@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
@@ -12,27 +11,39 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY §7 step 1): errors per device per minute.
+
+    The reference's raison d'être — the time-series severity query the
+    `mikrotik_logs` ClickHouse table exists to answer — run over the
+    events fixture (event_type='error' standing in for Severity<=3).
+    """
+    from syslog_handler_with_clickhouse_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("minute"),
+            F.col("user_id").alias("device"),
+            "n_errors",
+        )
+        .orderBy(F.col("minute"), F.col("device"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from syslog_handler_with_clickhouse_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from syslog_handler_with_clickhouse_spark.queries import all_oracle_sql
+
+    return all_oracle_sql()

@@ -1,0 +1,99 @@
+"""Text-analysis column builders (tier X, SURVEY §2.3 UDF surface).
+
+All native column expressions — language ID, quality scoring, token
+counting, and fingerprinting run JVM-side in whole-stage codegen; no
+Python in the hot path.  Each has an exact ANSI-SQL twin used by the
+DuckDB oracle (see queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer: letter runs, digit runs, single punctuation marks.
+# Same pattern semantics in Java regex (Spark) and RE2 (DuckDB).
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language function-word lists for the n-gram/stopword language
+# heuristic.  Deliberately small + deterministic; the oracle embeds the
+# same lists.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr": ("le", "la", "de", "et", "un", "en", "est", "que", "pour", "sur"),
+    "de": ("der", "die", "das", "und", "in", "ist", "zu", "den", "mit", "von"),
+}
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization (single-space fixture texts)."""
+    return F.split(text, " ")
+
+
+def norm_text(text: Column) -> Column:
+    """Normalization for fingerprinting: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint = md5 of normalized text."""
+    return F.md5(norm_text(text))
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count via regex matches."""
+    return F.regexp_count(text, F.lit(TOKEN_RE))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """How many tokens of ``text`` are in ``lang``'s stopword list."""
+    stop = list(LANG_STOPWORDS[lang])
+    return F.size(F.filter(words(text), lambda w: w.isin(stop)))
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    return [(lang, stopword_hits(text, lang)) for lang in LANG_STOPWORDS]
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Quality-scoring metrics: lengths, ratios — all integer-derived so
+    the double divisions match the oracle bit-for-bit."""
+    n_chars = F.length(text)
+    wlist = words(text)
+    n_words = F.size(wlist)
+    alpha_chars = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    stop_en = stopword_hits(text, "en")
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_words": n_words.cast("bigint"),
+        "alpha_ratio": (alpha_chars.cast("double") / n_chars.cast("double")),
+        "avg_word_len": (
+            (n_chars - (n_words - F.lit(1))).cast("double") / n_words.cast("double")
+        ),
+        "stopword_ratio": (stop_en.cast("double") / n_words.cast("double")),
+    }
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word-level n-gram shingles.
+
+    transform over sequence keeps it codegen-native; empty array when the
+    doc has fewer than n words.
+    """
+    w = words(text)
+    count = F.size(w) - F.lit(n - 1)
+    return F.when(
+        count > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))

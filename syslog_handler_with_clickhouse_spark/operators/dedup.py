@@ -1,0 +1,203 @@
+"""Deduplication operators (tier X): exact, fingerprint, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Scale notes (100 TB posture):
+- exact/fingerprint dedup: single hash-shuffle on the digest — optimal.
+- n-gram Jaccard: equi-join on shingle; candidate pairs bounded by shared
+  shingles (inverted-index join), never an all-pairs cross join.
+- MinHash LSH: signature is a fixed 64-hash agg per doc (one shuffle);
+  banding turns near-dup search into an equi-join on (band, band-hash) —
+  the standard shape that scales linearly in corpus size.
+- SimHash: 64-bit signature via per-token hash bit-voting; bucket by
+  prefix for candidate generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, shingles, words
+
+
+def exact_dedup_clusters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical texts: keeper = min id, cnt = cluster size."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(F.col(id_col)).alias("keeper_id"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Normalized-text fingerprint dedup (whitespace/case-insensitive)."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) inverted index + per-doc shingle count."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        shingles(F.col(text_col), n).alias("sh"),
+    )
+    return sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Inverted-index equi-join on the shingle — the intersection size falls
+    out of a groupBy on the joined pairs; union size from the per-doc
+    distinct-shingle counts.  No cross join anywhere.
+    """
+    sh = shingle_table(df, text_col, id_col, n).cache()
+    left = sh.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle")
+    right = sh.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle")
+    pairs = (
+        left.join(right, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------- MinHash LSH
+
+N_HASHES = 64
+N_BANDS = 16  # 16 bands × 4 rows — s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """64 min-hashes per doc: explode shingles once, take 64 mins in ONE
+    aggregation pass (single shuffle on doc id)."""
+    sh = shingle_table(df, text_col, id_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    sig = sh.groupBy("doc").agg(*mins)
+    return sig.select(
+        "doc", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs via banding: docs agreeing on any full band
+    of 4 consecutive min-hashes meet in an equi-join bucket."""
+    sig = minhash_signatures(df, text_col, id_col, n)
+    rows_per_band = N_HASHES // N_BANDS
+    bands = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bh"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bh"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    return cand
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """LSH candidates refined by signature-agreement estimate of Jaccard."""
+    sig = minhash_signatures(df, text_col, id_col, n).cache()
+    cand = minhash_lsh_pairs(df, text_col, id_col, n)
+    a = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ).cast("double")
+            / F.lit(float(N_HASHES)),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+    return est
+
+
+# ------------------------------------------------------------------- SimHash
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per doc: per-word xxhash64, bit-vote per position.
+
+    Expressed as explode → 64 conditional sums → sign vector; one shuffle.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(words(F.col(text_col))).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    # bit masks via shiftleft — 1<<63 as a Python literal would overflow
+    # the signed-long literal under ANSI mode
+    masks = [F.shiftleft(F.lit(1).cast("bigint"), i) for i in range(64)]
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(masks[i]) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("doc").agg(*votes)
+    bit_terms = [
+        F.when(F.col(f"b{i}") > 0, masks[i]).otherwise(F.lit(0).cast("bigint"))
+        for i in range(64)
+    ]
+    sig = agg.select(
+        "doc",
+        sum(bit_terms[1:], bit_terms[0]).cast("bigint").alias("simhash"),
+    )
+    return sig
+
+
+def simhash_buckets(df: DataFrame, text_col: str, id_col: str, prefix_bits: int = 16) -> DataFrame:
+    """Bucket docs by high bits of simhash → candidate near-dup groups."""
+    sig = simhash(df, text_col, id_col)
+    return sig.withColumn(
+        "bucket", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    )

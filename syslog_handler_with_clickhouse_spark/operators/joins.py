@@ -1,0 +1,81 @@
+"""Join operators beyond plain equi-joins (SURVEY §2.3 Joins).
+
+The reference delegates all querying to ClickHouse; these are the join
+shapes a `mikrotik_logs`-style table (device dims, config-change streams)
+exists to serve, implemented with scale-first physical shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts (backward), matching DuckDB's ASOF JOIN.
+
+    Physical shape: union + single sort within key partitions +
+    ``last(ignorenulls)`` running window — ONE shuffle on the key, no
+    range-join blowup, no per-key skew quadratic term.  This scales to
+    100 TB the way a merge-asof does: each key's timeline is processed
+    in one sorted pass.
+    """
+    if direction != "backward":
+        raise NotImplementedError("forward as-of: flip sort order")
+
+    lcols = [c for c in left.columns]
+    tagged_left = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),  # after right rows at equal ts (<= semantics)
+        F.struct(*[F.col(c) for c in lcols]).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+    )
+    tagged_right = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            tagged_left.schema["__l"].dataType
+        ).alias("__l"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "__side",
+        "__l",
+        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__v_{c}") for c in value_cols],
+    ).filter(F.col("__side") == 1)
+    out = filled.select(
+        *[F.col("__l")[c].alias(c) for c in lcols],
+        *[F.col(f"__v_{c}").alias(f"{c}_asof") for c in value_cols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Column,
+    range_cond: Column,
+) -> DataFrame:
+    """Equi + range join: equi key keeps it a hash/sort-merge join with the
+    range predicate applied as a post-join filter — never a broadcast
+    nested loop over the full cross product."""
+    return left.join(right, on=[on] if isinstance(on, Column) else [F.col(on)], how="inner").filter(
+        range_cond
+    )

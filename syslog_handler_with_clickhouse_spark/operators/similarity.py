@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (tier X).
+
+Two paths:
+- brute-force cosine top-k: exact baseline — broadcast the (small) query
+  set against the full corpus; one scan, no shuffle of the corpus.
+- sign-bucket LSH (IVF-style): deterministic sign-pattern bucketing of the
+  leading dimensions prunes candidates to ~corpus/2^bits per query; the
+  scale path when the query set is itself large (bucket equi-join instead
+  of cross product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, sign_bucket, to_double
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Rank by cosine rounded to 6dp with vec_id tiebreak — fully
+    deterministic so the DuckDB oracle ranks identically."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+def _scored(queries: DataFrame, corpus: DataFrame) -> DataFrame:
+    return (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine(to_double(F.col("qvec")), to_double(F.col("nvec"))), 6),
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred=None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the query subset vs full corpus."""
+    queries = emb.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    if query_pred is not None:
+        queries = queries.filter(query_pred)
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    return _ranked_topk(_scored(queries, corpus), k)
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    k: int = 5,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred=None,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket.
+
+    Recall is the method's semantics (same-bucket neighbors only), so the
+    oracle replicates the bucketing exactly and results match.
+    """
+    bucketed = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    queries = bucketed.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+    )
+    if query_pred is not None:
+        queries = queries.filter(query_pred)
+    corpus = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"), "bucket"
+    )
+    scored = (
+        queries.join(corpus, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine(to_double(F.col("qvec")), to_double(F.col("nvec"))), 6),
+        )
+    )
+    return _ranked_topk(scored, k)

@@ -22,6 +22,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; one of {TESTDATA_TABLES}")
     apply_runtime_conf(spark)  # UTC session time for oracle parity
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects
+        # ([PARQUET_TYPE_ILLEGAL]); read the raw int64 nanos and truncate to
+        # microseconds — DuckDB's reader truncates ns → µs identically, so
+        # oracle parity is exact.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -1,0 +1,64 @@
+"""Mirror of the driver's t2 gate: run every registered query on Spark AND
+its DuckDB oracle at sf0.01, compare row count, column names, and exact
+values (columns sorted by name, rows sorted by all values)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from syslog_handler_with_clickhouse_spark.queries import ORACLE, QUERIES
+
+from conftest import SF_DIR
+
+
+def _normalize(df):
+    """pandas frame → sorted-by-name columns, row-sorted list of tuples."""
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False):
+        row = []
+        for v in tup:
+            if hasattr(v, "isoformat"):
+                v = v.isoformat()
+            row.append(v)
+        rows.append(tuple(row))
+    return sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    odf = duck.execute(ORACLE[name]).df()
+
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: column mismatch spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+    )
+    assert len(sdf) == len(odf), f"{name}: rowcount spark={len(sdf)} oracle={len(odf)}"
+
+    s_rows = _normalize(sdf)
+    o_rows = _normalize(odf)
+    n_bad = 0
+    first_bad = None
+    for i, (sr, orr) in enumerate(zip(s_rows, o_rows)):
+        if len(sr) != len(orr) or not all(_values_equal(a, b) for a, b in zip(sr, orr)):
+            n_bad += 1
+            if first_bad is None:
+                first_bad = (i, sr, orr)
+    assert n_bad == 0, f"{name}: {n_bad}/{len(s_rows)} rows differ; first: {first_bad}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run(name, spark):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
