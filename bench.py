@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative heavy queries across the operator surface.
+HEADLINE = [
+    "q01_pricing_summary",   # scan + hash agg
+    "q11_agg_basic",         # high-cardinality group-by
+    "q14_percentiles",       # exact percentiles
+    "q17_topk_per_group",    # window rank
+    "q22_join_large",        # fact-fact shuffle join
+    "q25_outer_join",        # outer join + agg
+    "q26_range_join",        # equi+range self-join
+    "q27_asof_join",         # as-of via union+window
+    "q30_window_frames",     # running frames
+    "q34_explode_wordcount", # explode + agg
+    "q38_jaccard_pairs",     # near-dup inverted-index join
+    "q39_minhash_lsh",       # minhash signatures + banding
+    "q41_simsearch_brute",   # brute-force cosine top-k
+    "q48_window_tumbling",   # time-window agg
+    "q50_session_window",    # session windows
+    "q51_parse_syslog",      # the reference parse path
+]
+
+
+def main() -> None:
+    t_import = time.time()
+    from syslog_handler_with_clickhouse_spark.queries import QUERIES
+    from syslog_handler_with_clickhouse_spark.session import get_spark
+
+    spark = get_spark("syslog-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers with a trivial action (not timed).
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: v for k, v in timings.items()},
+        "sf": float(sf_match.group(1).rstrip(".")) if sf_match else None,
+        "startup_sec": round(time.time() - t_import - total, 3),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
