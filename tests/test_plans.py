@@ -1,0 +1,88 @@
+"""Physical-plan contracts: the properties that make queries survive a
+100× scale-up — pushdown, pruning, broadcast, codegen, no stray Python."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from syslog_handler_with_clickhouse_spark.plans.explain import (
+    formatted_plan,
+    has_broadcast_hash_join,
+    has_pushed_filters,
+    python_eval_nodes,
+    read_schema_columns,
+)
+from syslog_handler_with_clickhouse_spark.queries import QUERIES
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["q02_filter_range"](spark, SF_DIR)
+    # event_type equality must be pushed into the parquet scan
+    assert has_pushed_filters(df, "event_type"), formatted_plan(df)
+
+
+def test_column_pruning(spark):
+    df = QUERIES["q02_filter_range"](spark, SF_DIR)
+    schema_line = read_schema_columns(df)
+    assert "props" not in schema_line, schema_line  # unused column not read
+
+
+def test_dim_joins_broadcast(spark):
+    df = QUERIES["q21_join_broadcast"](spark, SF_DIR)
+    assert has_broadcast_hash_join(df), formatted_plan(df)
+
+
+def test_global_topn_avoids_full_sort(spark):
+    df = QUERIES["q31_global_topn"](spark, SF_DIR)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_native_queries_have_no_python(spark):
+    """Everything except the explicit pandas path must stay JVM-side."""
+    for name in [
+        "q01_pricing_summary",
+        "q22_join_large",
+        "q27_asof_join",
+        "q38_jaccard_pairs",
+        "q41_simsearch_brute",
+        "q43_langid",
+        "q51_parse_syslog",
+    ]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert python_eval_nodes(df) == [], name
+
+
+def test_multimodal_uses_arrow_batches(spark):
+    df = QUERIES["q47_multimodal_features"](spark, SF_DIR)
+    nodes = python_eval_nodes(df)
+    assert nodes == ["MapInPandas"], nodes
+
+
+def test_whole_stage_codegen_on_parse(spark):
+    df = QUERIES["q51_parse_syslog"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark whole-stage-codegen stages in the plan string
+    assert "*(1)" in plan or "WholeStageCodegen" in plan, plan
+
+
+def test_partition_pruning_on_log_store(spark, tmp_path):
+    """Date-partitioned log store prunes partitions on date predicates."""
+    import datetime
+
+    from syslog_handler_with_clickhouse_spark.functions.parse import parsed_logs
+    from syslog_handler_with_clickhouse_spark.sources.sinks import write_logs_batch
+
+    rows = [
+        (f"sys,info msg {i}", "d:1", datetime.datetime(2024, 1, 1 + (i % 3), 12, 0, 0))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "raw string, device string, clock timestamp")
+    store = str(tmp_path / "logs")
+    write_logs_batch(parsed_logs(df, clock_col="clock"), store)
+
+    scan = spark.read.parquet(store).filter(F.col("log_date") == "2024-01-02")
+    assert scan.count() == 10
+    plan = formatted_plan(scan)
+    assert "log_date" in plan
