@@ -1359,6 +1359,271 @@ def q51(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Array / map / date / string families (rounding out §2.3 scalar surface)
+# =====================================================================
+
+
+@query(
+    "q52_array_ops",
+    """
+    SELECT doc_id,
+           list_contains(string_split(text, ' '), 'scan') AS has_scan,
+           list_has_any(string_split(text, ' '), ['join', 'merge', 'sort']) AS has_joinish,
+           array_to_string(list_sort(list_distinct(
+             list_slice(string_split(text, ' '), 1, 5))), ',') AS first5_sorted,
+           len(list_distinct(string_split(text, ' '))) AS n_unique_words
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def q52(spark, sf_dir):
+    """Array predicates ClickHouse-style: has(), hasAny(), arraySort,
+    arrayDistinct over word arrays."""
+    d = _t(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    return d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.array_contains(w, "scan").alias("has_scan"),
+        F.arrays_overlap(w, F.array(F.lit("join"), F.lit("merge"), F.lit("sort"))).alias(
+            "has_joinish"
+        ),
+        F.concat_ws(",", F.array_sort(F.array_distinct(F.slice(w, 1, 5)))).alias(
+            "first5_sorted"
+        ),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_unique_words"),
+    )
+
+
+@query(
+    "q53_map_json",
+    """
+    SELECT event_id,
+           array_to_string(json_keys(props), ',') AS prop_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events WHERE event_id % 25 = 0
+    """,
+)
+def q53(spark, sf_dir):
+    """from_json → map type → map_keys/map_values (events.props)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.filter(F.col("event_id") % 25 == 0).select(
+        "event_id",
+        F.concat_ws(",", F.map_keys(m)).alias("prop_keys"),
+        F.element_at(F.map_values(m), 1).alias("k_val"),
+    )
+
+
+@query(
+    "q54_date_arith",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS d_plus30,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           year(o_orderdate) AS y, quarter(o_orderdate) AS q
+    FROM orders WHERE o_orderkey % 40 = 0
+    """,
+)
+def q54(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 40 == 0).select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias(
+            "d_plus30"
+        ),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.to_date("o_orderdate")).alias(
+            "days_to_y2k"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+    )
+
+
+@query(
+    "q55_string_extra",
+    """
+    SELECT c_custkey,
+           levenshtein(c_name, 'Customer#000000000') AS lev,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+           reverse(c_mktsegment) AS seg_rev,
+           repeat(left(c_mktsegment, 2), 3) AS seg_rep,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr
+    FROM customer WHERE c_custkey % 11 = 0
+    """,
+)
+def q55(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") % 11 == 0).select(
+        "c_custkey",
+        F.levenshtein("c_name", F.lit("Customer#000000000")).alias("lev"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_pad"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.repeat(F.substring("c_mktsegment", 1, 2), 3).alias("seg_rep"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_tr"),
+    )
+
+
+# =====================================================================
+# TPC-H-style deep joins
+# =====================================================================
+
+
+@query(
+    "q56_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q56(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): selective dim filter → two fk joins →
+    agg → top-10.  Revenue summed as DECIMAL(18,6) of the double product —
+    products of 2dp×2dp values are exactly 4dp, so the decimal quantization
+    is engine-neutral and the sum order-independent."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q57_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q57(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): 6-way join; region/nation/supplier
+    broadcast, fact chain shuffles on its fk keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q58_severity_rollup",
+    """
+    SELECT CASE CAST(CASE WHEN event_type = 'error' THEN 3 ELSE 6 END AS TINYINT)
+             WHEN 3 THEN 'Error' WHEN 6 THEN 'Informational' END AS sev_name,
+           strftime(time_bucket(INTERVAL '1 hour', ts), '{tsd}') AS hour_s,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    """.format(tsd=TS_D),
+)
+def q58(spark, sf_dir):
+    """Severity-name dimension (RFC 5424 levels, `lib/lopParse.go:10-19`)
+    over hourly buckets — the CASE-expression dim from with_severity_name,
+    applied to the events-as-logs mapping."""
+    from .functions.parse import with_severity_name
+
+    ev = _t(spark, sf_dir, "events")
+    sev = F.when(F.col("event_type") == "error", 3).otherwise(6).cast("tinyint")
+    logs_like = ev.select(
+        sev.alias("Severity"), F.date_trunc("hour", "ts").alias("hour_ts")
+    )
+    return (
+        with_severity_name(logs_like)
+        .groupBy(
+            F.col("SeverityName").alias("sev_name"),
+            F.date_format("hour_ts", TS_S).alias("hour_s"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "q59_embedding_stats",
+    """
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           MIN({norm}) AS min_norm,
+           MAX({norm}) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """.format(
+        norm="""sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+                i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                (x, y) -> x + y))"""
+    ),
+)
+def q59(spark, sf_dir):
+    """Per-label embedding norm stats (min/max are order-independent)."""
+    from .functions.vectors import norm, to_double
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nrm = norm(to_double(F.col("embedding")))
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
