@@ -55,14 +55,38 @@ def jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    """n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
     Inverted-index equi-join on the shingle — the intersection size falls
     out of a groupBy on the joined pairs; union size from the per-doc
     distinct-shingle counts.  No cross join anywhere.
+
+    ``max_df`` drops shingles occurring in more than that many documents
+    (stop-shingle removal): candidate pairs scale as Σ freq², so capping
+    the frequency bounds the join output — THE lever that keeps this
+    linear-ish at 100 TB.  Jaccard is then defined over kept shingles
+    (per-doc counts recomputed post-filter), a semantics the oracle
+    replicates exactly.
     """
-    sh = shingle_table(df, text_col, id_col, n).cache()
+    # Join on the 64-bit shingle hash, not the string: cheaper shuffles and
+    # comparisons, identical pair set barring ~2^-64 collisions.
+    sh = shingle_table(df, text_col, id_col, n).withColumn(
+        "shingle", F.xxhash64("shingle")
+    )
+    if max_df is not None:
+        sh = sh.cache()
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_cnt"))
+            .filter(F.col("df_cnt") <= max_df)
+            .select("shingle")
+        )
+        kept = sh.select("doc", "shingle").join(keep, "shingle")
+        counts = kept.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+        sh = kept.join(counts, "doc")
+    sh = sh.cache()
     left = sh.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle")
     right = sh.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle")
     pairs = (
@@ -86,15 +110,31 @@ def jaccard_pairs(
 N_HASHES = 64
 N_BANDS = 16  # 16 bands × 4 rows — s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
 
+# Universal-hash family h_i(x) = (a_i·x + b_i) mod P over the base shingle
+# hash: one string hash per shingle, then 64 multiply-adds (codegen-friendly)
+# instead of 64 string hashes.  P = 2^31-1 keeps a_i·x + b_i < 2^62, safe
+# under ANSI-mode overflow checking.  Constants fixed-seeded → deterministic.
+_MINHASH_P = (1 << 31) - 1
+import random as _random
+
+_rng = _random.Random(42)
+_MINHASH_A = [_rng.randrange(1, _MINHASH_P) for _ in range(N_HASHES)]
+_MINHASH_B = [_rng.randrange(0, _MINHASH_P) for _ in range(N_HASHES)]
+
 
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
     """64 min-hashes per doc: explode shingles once, take 64 mins in ONE
     aggregation pass (single shuffle on doc id)."""
-    sh = shingle_table(df, text_col, id_col, n)
+    sh = shingle_table(df, text_col, id_col, n).withColumn(
+        "base", F.pmod(F.xxhash64("shingle"), F.lit(_MINHASH_P))
+    )
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(
+            F.pmod(F.col("base") * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]),
+                   F.lit(_MINHASH_P))
+        ).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
     sig = sh.groupBy("doc").agg(*mins)
@@ -104,11 +144,19 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3
+    df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banding: docs agreeing on any full band
-    of 4 consecutive min-hashes meet in an equi-join bucket."""
-    sig = minhash_signatures(df, text_col, id_col, n)
+    of 4 consecutive min-hashes meet in an equi-join bucket.
+
+    Pass a precomputed (cached) ``sig`` to avoid recomputing signatures.
+    """
+    if sig is None:
+        sig = minhash_signatures(df, text_col, id_col, n)
     rows_per_band = N_HASHES // N_BANDS
     bands = sig.select(
         "doc",
@@ -141,7 +189,7 @@ def minhash_jaccard_estimate(
 ) -> DataFrame:
     """LSH candidates refined by signature-agreement estimate of Jaccard."""
     sig = minhash_signatures(df, text_col, id_col, n).cache()
-    cand = minhash_lsh_pairs(df, text_col, id_col, n)
+    cand = minhash_lsh_pairs(sig=sig)
     a = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
     b = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = (

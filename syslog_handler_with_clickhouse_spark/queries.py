@@ -973,7 +973,10 @@ def q37(spark, sf_dir):
     """,
 )
 def q38(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs via inverted-index equi-join."""
+    """3-gram Jaccard near-dup pairs via inverted-index equi-join on the
+    64-bit shingle hash.  At corpus scale, pass ``max_df`` (stop-shingle
+    removal) to bound the Σ freq² candidate-pair blowup — unnecessary at
+    this SF where max shingle frequency is ~32."""
     d = _t(spark, sf_dir, "documents")
     corpus = d.select("doc_id", "text").unionByName(
         d.filter(F.col("doc_id") % 5 == 0).select(
@@ -1622,6 +1625,111 @@ def q59(spark, sf_dir):
             F.max("nrm").alias("max_norm"),
         )
     )
+
+
+@query(
+    "q60_embedding_neardup",
+    """
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 5 = 0
+    ), b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM corpus),
+         q AS (SELECT vec_id AS id_a, embedding AS qv, bucket FROM b),
+         c AS (SELECT vec_id AS id_b, embedding AS nv, bucket FROM b)
+    SELECT id_a, id_b, {cos} AS cos_sim
+    FROM q JOIN c USING (bucket)
+    WHERE id_a < id_b AND {cos} >= 0.99
+    """.format(cos=_COS_EXPR.format(a="qv", b="nv")),
+)
+def q60(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection: sign-bucket LSH blocking
+    (8 bits ≈ 256 buckets) then exact cosine within buckets — near-dup
+    pairs never require the full O(n²) cross join.  Corpus salted with
+    copies of every 5th vector so true dups (cos=1) exist."""
+    from .functions.vectors import sign_bucket
+
+    from pyspark.sql import functions as _F
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    bucketed = corpus.select(
+        "vec_id", "embedding", sign_bucket(F.col("embedding"), 8).alias("bucket")
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("qvec"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("nvec"), "bucket"
+    )
+    from .operators.similarity import _cos, _with_norm
+
+    return (
+        _with_norm(a, "qvec", "qn")
+        .join(_with_norm(b, "nvec", "nn"), "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", _cos("qvec", "nvec", "qn", "nn"))
+        .filter(F.col("cos_sim") >= 0.99)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+@query("q61_approx_percentile")  # sketch-based → rows-only check
+def q61(spark, sf_dir):
+    """percentile_approx (GK sketch) — the at-scale quantile path where the
+    exact percentile's full sort per group is unaffordable."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("p_approx")
+    )
+
+
+@query(
+    "q62_quality_filter",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+             CAST(len(list_filter(string_split(text, ' '),
+                  w -> w IN ('the','and','of','to','a','in','is','it','for','on'))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN n_words < 20 THEN 'too_short'
+                WHEN alpha_ratio <= 0.6 THEN 'low_alpha'
+                WHEN stop_ratio <= 0.01 THEN 'no_stopwords'
+                ELSE 'keep' END AS verdict
+    FROM m
+    """,
+)
+def q62(spark, sf_dir):
+    """Composite C4-style quality filter: first-failing-rule verdict per
+    document — the keep/drop gate of a training-data pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    q = quality_columns(F.col("text"))
+    verdict = (
+        F.when(q["n_words"] < 20, "too_short")
+        .when(q["alpha_ratio"] <= 0.6, "low_alpha")
+        .when(q["stopword_ratio"] <= 0.01, "no_stopwords")
+        .otherwise("keep")
+    )
+    return d.select("doc_id", verdict.alias("verdict"))
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
