@@ -1,0 +1,75 @@
+"""Unit tests for dedup operators beyond the oracle parity suite."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from syslog_handler_with_clickhouse_spark.operators import dedup
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "completely different words appear here today"),
+    (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_dedup_clusters(_df(spark), "text", "doc_id").collect()
+    clusters = {r.keeper_id: r.cnt for r in out}
+    assert clusters[0] == 2  # docs 0 and 3
+    assert clusters[1] == 1 and clusters[2] == 1
+
+
+def test_jaccard_finds_near_dup(spark):
+    pairs = dedup.jaccard_pairs(_df(spark), "text", "doc_id", n=3, threshold=0.5)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+    assert (0, 3) in got and got[(0, 3)] == 1.0   # exact dup
+    assert (0, 1) in got and 0.5 <= got[(0, 1)] < 1.0  # near dup
+    assert (1, 3) in got
+    assert not any(2 in p for p in got)
+
+
+def test_jaccard_max_df_drops_stop_shingles(spark):
+    # every doc shares shingles from doc 0/1/3's common prefix; max_df=2
+    # drops shingles present in >2 docs, so the (0,1)/(0,3)/(1,3) overlap
+    # shrinks to the rarer shingles only.
+    uncapped = dedup.jaccard_pairs(_df(spark), "text", "doc_id", n=3, threshold=0.1)
+    capped = dedup.jaccard_pairs(
+        _df(spark), "text", "doc_id", n=3, threshold=0.1, max_df=2
+    )
+    un = {(r.doc_a, r.doc_b): r.inter for r in uncapped.collect()}
+    cap = {(r.doc_a, r.doc_b): r.inter for r in capped.collect()}
+    # shared-by-all-three shingles removed → intersections strictly smaller
+    assert cap.get((0, 1), 0) < un[(0, 1)]
+
+
+def test_minhash_estimates_jaccard(spark):
+    est = dedup.minhash_jaccard_estimate(
+        _df(spark), "text", "doc_id", n=3, threshold=0.4
+    )
+    got = {(r.doc_a, r.doc_b): r.est_jaccard for r in est.collect()}
+    assert got.get((0, 3)) == 1.0  # identical docs → identical signatures
+    assert (0, 1) in got  # near-dup caught by banding
+    assert not any(2 in p for p in got)
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    sig = {r.doc: r.simhash for r in
+           dedup.simhash(_df(spark), "text", "doc_id").collect()}
+    assert sig[0] == sig[3]
+    assert sig[0] != sig[2]
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, "other")],
+        "doc_id long, text string",
+    )
+    out = dedup.fingerprint_dedup(df, "text", "doc_id").collect()
+    clusters = {r.keeper_id: r.cnt for r in out}
+    assert clusters[0] == 2 and clusters[2] == 1

@@ -1,0 +1,59 @@
+"""Unit tests for similarity search and multimodal operators."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from syslog_handler_with_clickhouse_spark.operators import multimodal, similarity
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+    (3, [1.0, 0.01, 0.0, 0.0]),  # closest to 0
+    (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+]
+
+
+def _emb(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_bruteforce_topk_ordering(spark):
+    out = similarity.cosine_topk_bruteforce(
+        _emb(spark), k=3, query_pred=F.col("query_id") == 0
+    ).collect()
+    neighbors = [r.neighbor_id for r in sorted(out, key=lambda r: r.rnk)]
+    assert neighbors == [3, 1, 2]  # by descending cosine
+    top = [r for r in out if r.rnk == 1][0]
+    assert math.isclose(top.cos_sim, 1.0 / math.sqrt(1 + 0.01**2), rel_tol=1e-4)
+
+
+def test_lsh_same_bucket_recall(spark):
+    # vectors 0,1,3 share the sign pattern of dims 1-4 → same bucket;
+    # 4 is in the opposite bucket and must not appear as a neighbor of 0.
+    out = similarity.cosine_topk_lsh(
+        _emb(spark), k=3, bits=4, query_pred=F.col("query_id") == 0
+    ).collect()
+    neighbors = {r.neighbor_id for r in out}
+    assert 4 not in neighbors
+    assert {3, 1} <= neighbors
+
+
+def test_multimodal_features_match_bytes(spark):
+    docs = spark.createDataFrame([(0, "abc"), (1, "hello")], "doc_id long, text string")
+    feats = {r.doc_id: r for r in
+             multimodal.extract_features(multimodal.as_binary_assets(docs)).collect()}
+    assert feats[0].n_bytes == 3
+    assert feats[0].byte_sum == ord("a") + ord("b") + ord("c")
+    assert math.isclose(feats[0].byte_mean, feats[0].byte_sum / 3)
+    assert feats[1].n_bytes == 5
+
+
+def test_decode_real_is_stubbed():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"\x89PNG")
