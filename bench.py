@@ -33,6 +33,9 @@ HEADLINE = [
     "q48_window_tumbling",   # time-window agg
     "q50_session_window",    # session windows
     "q51_parse_syslog",      # the reference parse path
+    "q56_shipping_priority", # TPC-H Q3 3-way join + top-N
+    "q57_local_supplier_volume",  # TPC-H Q5 6-way join
+    "q60_embedding_neardup", # LSH-blocked cosine near-dup
 ]
 
 

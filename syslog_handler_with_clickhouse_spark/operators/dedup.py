@@ -157,23 +157,20 @@ def minhash_lsh_pairs(
     """
     if sig is None:
         sig = minhash_signatures(df, text_col, id_col, n)
-    rows_per_band = N_HASHES // N_BANDS
+    rpb = N_HASHES // N_BANDS
+    # posexplode(transform(...)) keeps the expression tree 16× smaller than
+    # an array-of-structs literal — materially faster to codegen-compile.
     bands = sig.select(
         "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bh"),
-                    )
-                    for b in range(N_BANDS)
-                ]
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.xxhash64(
+                    *[F.element_at("sig", b * rpb + r + 1) for r in range(rpb)]
+                ),
             )
-        ).alias("bb"),
-    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        ).alias("band", "bh"),
+    )
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bh"])
@@ -189,6 +186,9 @@ def minhash_jaccard_estimate(
 ) -> DataFrame:
     """LSH candidates refined by signature-agreement estimate of Jaccard."""
     sig = minhash_signatures(df, text_col, id_col, n).cache()
+    sig.count()  # materialize BEFORE fan-out: the banding + both sides of
+    # the refinement join reuse sig; without this, one action computes the
+    # 64-min aggregation three times concurrently (cache not yet filled).
     cand = minhash_lsh_pairs(sig=sig)
     a = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
     b = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
