@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, shingles, words
+from ..functions.text import fingerprint, words
 
 
 def exact_dedup_clusters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -41,12 +41,30 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) inverted index + per-doc shingle count."""
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        shingles(F.col(text_col), n).alias("sh"),
-    )
-    return sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    """(doc, shingle-hash) inverted index: distinct word n-grams per doc,
+    hashed to 64 bits inside the transform lambda.
+
+    Deliberately explode-only and inline (no intermediate named array
+    column): a projection that materializes the array before Generate
+    evaluates the interpreted higher-order expression on a separate
+    code path that measured ~4× slower; the inline form stays on the
+    fast Generate path (~0.9 s cold for 312 k shingles at sf0.1).
+    Joining/grouping on the 64-bit hash instead of the shingle string
+    makes every downstream shuffle and comparison fixed-width; the pair
+    set is identical barring ~2^-64 collisions.
+    """
+    w = F.split(F.col(text_col), " ")
+    cnt = F.size(w) - F.lit(n - 1)
+    sh = F.when(
+        cnt > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, n))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
 
 
 def jaccard_pairs(
@@ -70,30 +88,39 @@ def jaccard_pairs(
     (per-doc counts recomputed post-filter), a semantics the oracle
     replicates exactly.
     """
-    # Join on the 64-bit shingle hash, not the string: cheaper shuffles and
-    # comparisons, identical pair set barring ~2^-64 collisions.
-    sh = shingle_table(df, text_col, id_col, n).withColumn(
-        "shingle", F.xxhash64("shingle")
-    )
+    ex = shingle_table(df, text_col, id_col, n)
     if max_df is not None:
-        sh = sh.cache()
         keep = (
-            sh.groupBy("shingle")
+            ex.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df_cnt"))
             .filter(F.col("df_cnt") <= max_df)
             .select("shingle")
         )
-        kept = sh.select("doc", "shingle").join(keep, "shingle")
-        counts = kept.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-        sh = kept.join(counts, "doc")
-    sh = sh.cache()
-    left = sh.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle")
-    right = sh.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle")
+        ex = ex.join(keep, "shingle")
+    ex = ex.cache()
+    # Per-doc distinct-shingle counts as a SEPARATE tiny aggregate joined
+    # onto the (much smaller) pair output — carrying n_sh through the big
+    # inverted-index join would widen every shuffled row for nothing.
+    counts = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
-        left.join(right, "shingle")
+        ex.select(F.col("doc").alias("doc_a"), "shingle")
+        .join(ex.select(F.col("doc").alias("doc_b"), "shingle"), "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # counts is |docs|-sized: small here (AQE broadcasts it), and at
+    # 100 TB the join key (doc) is the pair output's own key — no hint,
+    # let AQE choose broadcast vs shuffle.
+    out = (
+        pairs.join(
+            counts.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            counts.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -102,7 +129,7 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", F.round("jaccard", 6).alias("jaccard"))
     )
-    return pairs
+    return out
 
 
 # ---------------------------------------------------------------- MinHash LSH
@@ -128,7 +155,7 @@ def minhash_signatures(
     """64 min-hashes per doc: explode shingles once, take 64 mins in ONE
     aggregation pass (single shuffle on doc id)."""
     sh = shingle_table(df, text_col, id_col, n).withColumn(
-        "base", F.pmod(F.xxhash64("shingle"), F.lit(_MINHASH_P))
+        "base", F.pmod(F.col("shingle"), F.lit(_MINHASH_P))
     )
     mins = [
         F.min(
