@@ -72,6 +72,65 @@ def cosine_topk_bruteforce(
     return _ranked_topk(_scored(queries, corpus), k)
 
 
+def cosine_topk_ivf(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred=None,
+) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize the corpus into ``n_cells`` Voronoi
+    cells and probe each query's ``nprobe`` nearest cells.
+
+    Centroids are the deterministic seed vectors ``id < n_cells`` (a
+    sampled coarse quantizer — the k-means refinement is orthogonal to
+    the query plan).  Scale shape: centroid scoring is a broadcast
+    cross-join (corpus never shuffles for it); the cell ranking shuffles
+    only narrow (id, cell, sim) rows — vectors are re-attached by an
+    id-equi-join afterwards; candidate scoring touches ~nprobe/n_cells
+    of the corpus per query instead of all of it.
+    """
+    cent = emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
+    )
+    c = _with_norm(cent, "cvec", "cn")
+    v = _with_norm(
+        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")),
+        "vec",
+        "vn",
+    )
+    cell_sims = (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("cell_sim", _cos("vec", "cvec", "vn", "cn"))
+        .select("vid", "cell", "cell_sim")
+    )
+    wcell = Window.partitionBy("vid").orderBy(
+        F.col("cell_sim").desc(), F.col("cell").asc()
+    )
+    ranked = cell_sims.withColumn("crnk", F.row_number().over(wcell))
+    assign = ranked.filter(F.col("crnk") == 1).select("vid", "cell")
+    probes = ranked.filter(F.col("crnk") <= nprobe).select("vid", "cell")
+
+    queries = probes.join(
+        v.select(F.col("vid"), F.col("vec").alias("qvec"), F.col("vn").alias("qn")),
+        "vid",
+    ).select(F.col("vid").alias("query_id"), "cell", "qvec", "qn")
+    if query_pred is not None:
+        queries = queries.filter(query_pred)
+    cand = assign.join(
+        v.select(F.col("vid"), F.col("vec").alias("nvec"), F.col("vn").alias("nn")),
+        "vid",
+    ).select(F.col("vid").alias("neighbor_id"), "cell", "nvec", "nn")
+    scored = (
+        queries.join(cand, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", _cos("qvec", "nvec", "qn", "nn"))
+    )
+    return _ranked_topk(scored, k)
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     k: int = 5,

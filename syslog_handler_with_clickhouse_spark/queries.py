@@ -1732,6 +1732,49 @@ def q62(spark, sf_dir):
     return d.select("doc_id", verdict.alias("verdict"))
 
 
+@query(
+    "q63_simsearch_ivf",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16),
+    cs AS (
+      SELECT e.vec_id AS vid, cent.cell, {cell_cos} AS cell_sim
+      FROM embeddings e, cent),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY vid
+                                   ORDER BY cell_sim DESC, cell) AS crnk
+      FROM cs),
+    assign AS (SELECT vid, cell FROM r WHERE crnk = 1),
+    probes AS (SELECT vid, cell FROM r WHERE crnk <= 2),
+    q AS (
+      SELECT p.vid AS query_id, p.cell, e.embedding AS qv
+      FROM probes p JOIN embeddings e ON e.vec_id = p.vid
+      WHERE p.vid < 10),
+    cand AS (
+      SELECT a.vid AS neighbor_id, a.cell, e.embedding AS nv
+      FROM assign a JOIN embeddings e ON e.vec_id = a.vid),
+    s AS (
+      SELECT query_id, neighbor_id, {cos} AS cos_sim
+      FROM q JOIN cand USING (cell) WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM s) t
+    WHERE rnk <= 5
+    """.format(
+        cell_cos=_COS_EXPR.format(a="e.embedding", b="cent.cv"),
+        cos=_COS_EXPR.format(a="qv", b="nv"),
+    ),
+)
+def q63(spark, sf_dir):
+    """IVF-flat ANN (the scale path next to q41 brute / q42 LSH): 16-cell
+    coarse quantizer from deterministic seed vectors, nprobe=2."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf(
+        emb, k=5, n_cells=16, nprobe=2, query_pred=F.col("query_id") < 10
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

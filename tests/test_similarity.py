@@ -42,6 +42,22 @@ def test_lsh_same_bucket_recall(spark):
     assert {3, 1} <= neighbors
 
 
+def test_ivf_probed_cells_recall(spark):
+    # n_cells=2 → centroids are vectors 0 and 1 (nearly parallel), so every
+    # vector except 4 lands in one of two adjacent cells; with nprobe=2 the
+    # query reaches both cells and recovers the brute-force top-k exactly.
+    out = similarity.cosine_topk_ivf(
+        _emb(spark), k=3, n_cells=2, nprobe=2, query_pred=F.col("query_id") == 0
+    ).collect()
+    neighbors = [r.neighbor_id for r in sorted(out, key=lambda r: r.rnk)]
+    assert neighbors == [3, 1, 2]
+    # nprobe=1 restricts query 2 to its own cell's members only
+    out1 = similarity.cosine_topk_ivf(
+        _emb(spark), k=3, n_cells=2, nprobe=1, query_pred=F.col("query_id") == 0
+    ).collect()
+    assert {r.neighbor_id for r in out1} <= {1, 2, 3, 4}
+
+
 def test_multimodal_features_match_bytes(spark):
     docs = spark.createDataFrame([(0, "abc"), (1, "hello")], "doc_id long, text string")
     feats = {r.doc_id: r for r in
