@@ -1775,6 +1775,94 @@ def q63(spark, sf_dir):
     )
 
 
+_STREAM_EXEC_SEQ = [0]  # unique memory-sink names across repeated calls
+_STREAM_DIRS: dict[str, str] = {}  # sf_dir → symlink dir for the file source
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a REAL file-source stream (same ns→µs
+    handling as the batch loader, schema pinned from the parquet footer).
+
+    The file streaming source requires a directory, and the fixture is a
+    single read-only file — so stream from a temp dir holding a symlink
+    to it (one dir per sf_dir, reused across calls)."""
+    import os
+    import tempfile
+
+    from .session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    if sf_dir not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(path, os.path.join(d, "events.parquet"))
+        _STREAM_DIRS[sf_dir] = d
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(_STREAM_DIRS[sf_dir])
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_stream(agg: DataFrame, mode: str) -> str:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink; returns the sink table name."""
+    _STREAM_EXEC_SEQ[0] += 1
+    name = f"stream_exec_{_STREAM_EXEC_SEQ[0]}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+@query(
+    "q64_stream_tumbling",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 minute', ts), '{tsd}') AS win_start,
+           event_type, COUNT(*) AS cnt
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY 1, 2
+    """.format(tsd=TS_D),
+)
+def q64(spark, sf_dir):
+    """q48's tumbling-window agg executed as a REAL Structured Streaming
+    query — file-source readStream, availableNow trigger, complete-mode
+    memory sink — hash-matched against the same batch SQL oracle.
+    Batch/stream parity is the reference's core promise (ingest loop →
+    ClickHouse answers the same query, `lib/cacheManage.go:40`)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("w.start", TS_S).alias("win_start"), "event_type", "cnt"
+        )
+    )
+    return spark.table(_run_stream(agg, "complete"))
+
+
+@query(
+    "q65_stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def q65(spark, sf_dir):
+    """Streaming exact dedup: dropDuplicates over an unbounded stream
+    (state-store backed), availableNow to completion.  Only the key
+    columns are emitted so the result is order-independent and equals
+    batch SELECT DISTINCT."""
+    ev = _events_stream(spark, sf_dir)
+    dedup_keys = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return spark.table(_run_stream(dedup_keys, "append"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
