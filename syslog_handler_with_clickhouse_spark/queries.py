@@ -1863,6 +1863,101 @@ def q65(spark, sf_dir):
     return spark.table(_run_stream(dedup_keys, "append"))
 
 
+@query(
+    "q66_full_outer_join",
+    """
+    WITH a AS (
+      SELECT o_custkey AS k, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spent_a
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey),
+    b AS (
+      SELECT o_custkey AS k, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spent_b
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+    SELECT coalesce(a.k, b.k) AS custkey,
+           CAST(coalesce(spent_a, 0) AS DOUBLE) AS spent_open,
+           CAST(coalesce(spent_b, 0) AS DOUBLE) AS spent_finished,
+           (a.k IS NOT NULL AND b.k IS NOT NULL) AS in_both
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+)
+def q66(spark, sf_dir):
+    """FULL OUTER join of two aggregated views of the same fact table —
+    customers with open vs finished order spend, either side may miss."""
+    o = _t(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.sum(_dec("o_totalprice")).alias("spent_a"))
+    )
+    b = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.sum(_dec("o_totalprice")).alias("spent_b"))
+    )
+    return a.join(b, a.k == b.k, "full_outer").select(
+        F.coalesce(a.k, b.k).alias("custkey"),
+        F.coalesce(F.col("spent_a"), F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spent_open"),
+        F.coalesce(F.col("spent_b"), F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spent_finished"),
+        (a.k.isNotNull() & b.k.isNotNull()).alias("in_both"),
+    )
+
+
+@query(
+    "q67_ntile_ranks",
+    """
+    SELECT o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q67(spark, sf_dir):
+    """Distribution ranking functions: ntile / percent_rank / cume_dist
+    with a total-order tiebreak so both engines rank identically."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q68_pandas_udaf_geomean",
+    """
+    SELECT o_orderstatus,
+           round(exp(avg(ln(CAST(o_totalprice AS DOUBLE)))), 2) AS geomean
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q68(spark, sf_dir):
+    """Grouped-agg pandas UDAF (Arrow-batched) — the sanctioned custom-
+    aggregate escape hatch when no built-in exists.  Geometric mean per
+    order status; 2 dp rounding absorbs summation-order float noise
+    (~1e-7 relative) between numpy and DuckDB."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations` makes
+    # type-hint inference see strings it can't resolve for local names
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(geomean(F.col("o_totalprice").cast("double")), 2).alias("geomean")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
