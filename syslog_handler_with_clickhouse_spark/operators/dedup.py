@@ -238,6 +238,49 @@ def minhash_jaccard_estimate(
     return est
 
 
+def cluster_assignments(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Connected components over the near-dup pair graph — the "keep one
+    per cluster" step of corpus dedup — by Pregel-style min-label
+    propagation run to a fixed point.
+
+    Returns (doc, cluster) for every doc in ≥1 pair; cluster = min doc
+    id in its component.  Iterations = component diameter, and near-dup
+    components are shallow (clones of a common source), so this
+    converges in a handful of rounds.  Scale notes: per round, one
+    shuffle (edges ⋈ labels, then min-agg on doc); ``localCheckpoint``
+    truncates the otherwise exponentially-growing lineage; the driver
+    sees only a changed-row COUNT per round, never the data.
+    """
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).cache()
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    while True:
+        nbr = edges.join(
+            labels.select(F.col("u").alias("v"), "label"), "v"
+        ).select("u", "label")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.select("u", F.col("label").alias("old")), "u")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias("doc"), F.col("label").alias("cluster"))
+
+
 # ------------------------------------------------------------------- SimHash
 
 

@@ -1958,6 +1958,54 @@ def q68(spark, sf_dir):
     )
 
 
+@query(
+    "q69_dedup_clusters",
+    """
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ), sh AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+             )) AS shl
+      FROM corpus
+    ), ex AS (
+      SELECT doc, len(shl) AS n_sh, unnest(shl) AS shingle FROM sh
+    ), pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY a.doc, b.doc, a.n_sh, b.n_sh
+      HAVING CAST(COUNT(*) AS DOUBLE)
+             / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ), reach AS (
+      SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS doc, MIN(v) AS cluster FROM reach GROUP BY u
+    """,
+)
+def q69(spark, sf_dir):
+    """Near-dup CLUSTER ASSIGNMENT: connected components over the q38
+    Jaccard pair graph by iterative min-label propagation (the oracle
+    computes the same transitive closure with a recursive CTE)."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    pairs = dedup.jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.5)
+    return dedup.cluster_assignments(pairs)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -73,3 +73,13 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     out = dedup.fingerprint_dedup(df, "text", "doc_id").collect()
     clusters = {r.keeper_id: r.cnt for r in out}
     assert clusters[0] == 2 and clusters[2] == 1
+
+
+def test_cluster_assignments_transitive_chain(spark):
+    # components: {1,2,3,4} via chain 1-2, 2-3, 3-4 (needs >1 propagation
+    # round for 4 to learn label 1) and {10,11}; 99 pairs with nothing.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.doc: r.cluster for r in dedup.cluster_assignments(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
