@@ -36,6 +36,7 @@ HEADLINE = [
     "q56_shipping_priority", # TPC-H Q3 3-way join + top-N
     "q57_local_supplier_volume",  # TPC-H Q5 6-way join
     "q60_embedding_neardup", # LSH-blocked cosine near-dup
+    "q70_stream_ingest_store",  # full streaming ingest -> store -> read
 ]
 
 
@@ -51,16 +52,19 @@ def main() -> None:
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.time()
         df = fn(spark, SF_DIR)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
+        rows[name] = n
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
+    ingest = "q70_stream_ingest_store"
     out = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -68,6 +72,11 @@ def main() -> None:
         "queries": {k: v for k, v in timings.items()},
         "sf": float(sf_match.group(1).rstrip(".")) if sf_match else None,
         "startup_sec": round(time.time() - t_import - total, 3),
+        # reference capacity envelope is >=500 rows/s (BASELINE.md) — this is
+        # the full stream-parse-store-readback path, not just the socket read
+        "ingest_rows_per_sec": round(rows[ingest] / timings[ingest], 1)
+        if timings.get(ingest)
+        else None,
     }
     print(json.dumps(out))
     spark.stop()

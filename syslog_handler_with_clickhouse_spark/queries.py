@@ -2006,6 +2006,58 @@ def q69(spark, sf_dir):
     return dedup.cluster_assignments(pairs)
 
 
+@query(
+    "q70_stream_ingest_store",
+    """
+    SELECT event_id,
+           'unknown:0' AS Device,
+           CAST(CASE WHEN event_type = 'error' THEN 3 ELSE 6 END AS TINYINT) AS Severity,
+           event_type || ',topic' || CAST(user_id % 5 AS VARCHAR)
+             || CASE WHEN event_type = 'error' THEN '' ELSE ',odd' END AS cats,
+           'msg ' || CAST(event_id AS VARCHAR) AS Message
+    FROM events
+    """,
+)
+def q70(spark, sf_dir):
+    """The reference's ENTIRE hot path, end to end and oracle-checked:
+    raw lines → Structured Streaming file source → P1-P8 parse →
+    foreachBatch date-partitioned Parquet append (checkpointed) → batch
+    read-back (`main.go:67-88` + `lib/cacheManage.go:12-65` as one
+    pipeline).  Same synthesized corpus as q51; event_id recovered from
+    the stored Message so the oracle can key on it."""
+    import tempfile
+
+    from .sources.sinks import read_logs
+    from .streaming.ingest import start_ingest
+
+    ev = _t(spark, sf_dir, "events")
+    sev_tok = F.when(F.col("event_type") == "error", "error").otherwise("odd")
+    raw = F.concat(
+        F.col("event_type"),
+        F.lit(","),
+        sev_tok,
+        F.lit(",topic"),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(" msg "),
+        F.col("event_id").cast("string"),
+    )
+    base = tempfile.mkdtemp(prefix="ingest_e2e_")
+    src, store, ckpt = f"{base}/in", f"{base}/store", f"{base}/ckpt"
+    ev.select(raw.alias("value")).coalesce(4).write.text(src)
+    q = start_ingest(
+        spark, src, store, ckpt, available_now=True, device_from_filename=False
+    )
+    q.awaitTermination(300)
+    logs = read_logs(spark, store)
+    return logs.select(
+        F.split("Message", " ")[1].cast("bigint").alias("event_id"),
+        "Device",
+        "Severity",
+        F.concat_ws(",", "Categories").alias("cats"),
+        "Message",
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -91,13 +91,16 @@ def start_ingest(
     store_path: str,
     checkpoint_path: str,
     available_now: bool = False,
+    device_from_filename: bool = True,
 ) -> StreamingQuery:
     """source → parse → foreachBatch parquet append, 2 s cadence.
 
     ``available_now=True`` drains everything currently in the source and
     stops — the deterministic mode tests use.
     """
-    parsed = parsed_stream(raw_lines_stream(spark, input_dir))
+    parsed = parsed_stream(
+        raw_lines_stream(spark, input_dir, device_from_filename=device_from_filename)
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # `flushLogs` analogue (`lib/cacheManage.go:35-65`); the echo line
