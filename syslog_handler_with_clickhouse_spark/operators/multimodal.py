@@ -46,6 +46,75 @@ def decode_real(payload: bytes) -> bytes:
     raise NotImplementedError("media codecs unavailable in this environment")
 
 
+FRAME_BYTES = 64  # fixed frame size for the deterministic frame sampler
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
+    """One-to-MANY Arrow-batched frame sampling: the payload is treated as
+    consecutive ``FRAME_BYTES`` frames and every ``every_n``-th frame is
+    emitted as its own row — the video frame-sample shape (generator
+    semantics: output rows ≠ input rows, schema declared up front)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, every_n):
+                    ids.append(int(did))
+                    idxs.append(i)
+                    frames.append(b[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return assets.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def resize_images(assets: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Deterministic fake 'resize': payload tiled/truncated to exactly
+    width×height bytes.  A real PIL/opencv resize drops into ``_rz``
+    unchanged — the binary-in/binary-out mapInPandas plumbing, schema,
+    and batch shape are what this exercises."""
+    target = width * height
+
+    def _rz(payload) -> bytes:
+        b = bytes(payload)
+        if not b:
+            return bytes(target)
+        reps = (target + len(b) - 1) // len(b)
+        return (b * reps)[:target]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pdf["payload"].map(_rz),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return assets.mapInPandas(batches, RESIZE_SCHEMA)
+
+
 def extract_features(assets: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

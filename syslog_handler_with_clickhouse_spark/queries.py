@@ -2058,6 +2058,30 @@ def q70(spark, sf_dir):
     )
 
 
+@query(
+    "q71_frame_sample",
+    """
+    WITH f AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 2)) AS frame_idx
+      FROM documents WHERE doc_id % 11 = 0)
+    SELECT doc_id, frame_idx,
+           substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64) AS frame_text
+    FROM f
+    """,
+)
+def q71(spark, sf_dir):
+    """Frame sampling (every 2nd 64-byte frame) through the one-to-many
+    mapInPandas path; frames decoded back to UTF-8 so the oracle can
+    state them with substring arithmetic (fixture text is ASCII)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    assets = multimodal.as_binary_assets(d)
+    frames = multimodal.sample_frames(assets, every_n=2)
+    return frames.select(
+        "doc_id", "frame_idx", F.decode("frame", "UTF-8").alias("frame_text")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -68,6 +68,26 @@ def test_multimodal_features_match_bytes(spark):
     assert feats[1].n_bytes == 5
 
 
+def test_sample_frames_one_to_many(spark):
+    text = "x" * 200  # 4 frames of 64 → sampled idx 0 and 2
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    frames = multimodal.sample_frames(multimodal.as_binary_assets(docs), every_n=2)
+    got = {r.frame_idx: r.frame for r in frames.collect()}
+    assert sorted(got) == [0, 2]
+    assert got[0] == b"x" * 64
+    assert got[2] == b"x" * 64  # bytes 128..192 of a 200-byte payload
+    # frame 3 is the 8-byte tail and must NOT appear (idx 3 skipped)
+
+
+def test_resize_images_fixed_target(spark):
+    docs = spark.createDataFrame([(0, "ab"), (1, "")], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           multimodal.resize_images(multimodal.as_binary_assets(docs), 4, 4).collect()}
+    assert out[0].payload == b"abababababababab"  # tiled to 16 bytes
+    assert out[1].payload == bytes(16)            # empty payload → zero bytes
+    assert (out[0].width, out[0].height) == (4, 4)
+
+
 def test_decode_real_is_stubbed():
     import pytest
 
