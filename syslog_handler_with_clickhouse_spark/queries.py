@@ -2082,6 +2082,81 @@ def q71(spark, sf_dir):
     )
 
 
+@query(
+    "q72_pivot",
+    """
+    SELECT user_id % 50 AS user_bucket,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'view') AS view,
+           COUNT(*) FILTER (event_type = 'error') AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase
+    FROM events GROUP BY 1
+    """,
+)
+def q72(spark, sf_dir):
+    """Pivot (long→wide): event-type counts per user bucket.  Explicit
+    value list keeps the plan a single pass (no distinct-values job) —
+    the form that scales; the oracle states it as filtered counts."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 50).alias("user_bucket"))
+        .pivot("event_type", ["click", "view", "error", "purchase"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@query(
+    "q73_window_navigation",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)
+             OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING) AS last_price,
+           nth_value(o_totalprice, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING) AS second_price
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q73(spark, sf_dir):
+    """Window navigation: first_value / last_value / nth_value per
+    customer order history (full-frame for last/nth so both engines see
+    the whole partition)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.filter(F.col("o_custkey") < 200).select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+    )
+
+
+@query(
+    "q74_levenshtein",
+    """
+    SELECT p_partkey, p_type,
+           levenshtein(p_type, 'STANDARD BRUSHED COPPER') AS dist
+    FROM part WHERE p_partkey % 20 = 0
+    """,
+)
+def q74(spark, sf_dir):
+    """Edit distance against a reference string — fuzzy text matching
+    (ClickHouse editDistance analogue); identical DP semantics in both
+    engines."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") % 20 == 0).select(
+        "p_partkey",
+        "p_type",
+        F.levenshtein("p_type", F.lit("STANDARD BRUSHED COPPER")).alias("dist"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
