@@ -2157,6 +2157,84 @@ def q74(spark, sf_dir):
     )
 
 
+@query(
+    "q75_salted_join",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q75(spark, sf_dir):
+    """Skew-resistant salted join (explicit salting, SURVEY §4 scale
+    posture) — row-identical to the plain join, which is exactly what the
+    oracle states."""
+    from .operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, on="l_orderkey", buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
+    )
+
+
+_BUCKETED_SEQ = [0]
+
+
+@query(
+    "q76_bucketed_join",
+    """
+    SELECT l_orderkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+           ANY_VALUE(o_orderstatus) AS status
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_custkey < 100
+    GROUP BY l_orderkey
+    """,
+)
+def q76(spark, sf_dir):
+    """Shuffle-free co-located join over bucketed tables: both sides
+    written bucketBy(8, orderkey) + sortBy once, then joined with zero
+    Exchange (asserted in tests/test_plans.py).  At 100 TB this is the
+    'pay the shuffle once at layout time' strategy for fact-fact joins."""
+    import tempfile
+
+    from .operators.joins import write_bucketed
+
+    _BUCKETED_SEQ[0] += 1
+    seq = _BUCKETED_SEQ[0]
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    write_bucketed(li, f"b_lineitem_{seq}", "l_orderkey", 8, f"{base}/li")
+    write_bucketed(o, f"b_orders_{seq}", "l_orderkey", 8, f"{base}/o")
+    bl = spark.table(f"b_lineitem_{seq}")
+    bo = spark.table(f"b_orders_{seq}")
+    # merge hint: at tiny SF Catalyst would broadcast the small side; the
+    # hint pins the SortMergeJoin so the plan demonstrates the bucketed
+    # zero-shuffle shape this query exists to show (at 100 TB neither
+    # side broadcasts and SMJ-over-buckets is what Catalyst picks anyway)
+    return (
+        bl.hint("merge")
+        .join(bo, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("qty"),
+            F.any_value("o_orderstatus").alias("status"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -86,3 +86,40 @@ def test_partition_pruning_on_log_store(spark, tmp_path):
     assert scan.count() == 10
     plan = formatted_plan(scan)
     assert "log_date" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Identically-bucketed tables must join with zero Exchange — the
+    co-location contract write_bucketed exists for."""
+    from syslog_handler_with_clickhouse_spark.operators.joins import write_bucketed
+    from syslog_handler_with_clickhouse_spark.sources.testdata import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    write_bucketed(li, "tp_bli", "l_orderkey", 4, str(tmp_path / "li"))
+    write_bucketed(o, "tp_bo", "l_orderkey", 4, str(tmp_path / "o"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("tp_bli").join(spark.table("tp_bo"), "l_orderkey")
+        plan = formatted_plan(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_equals_plain_on_skewed_keys(spark):
+    from syslog_handler_with_clickhouse_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, i) for i in range(5)],
+        "k long, v long",
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")],
+                                  "k long, name string")
+    plain = left.join(right, "k").groupBy("k", "name").count()
+    salted = salted_join(left, right, "k").groupBy("k", "name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
