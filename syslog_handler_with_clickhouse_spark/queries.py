@@ -2235,6 +2235,34 @@ def q76(spark, sf_dir):
     )
 
 
+@query(
+    "q77_stream_flap_detection",
+    """
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS Device,
+           COUNT(*) FILTER (event_type = 'error') AS n_errors,
+           COUNT(*) FILTER (event_type = 'error') >= 5 AS flapping
+    FROM events GROUP BY user_id
+    """,
+)
+def q77(spark, sf_dir):
+    """Arbitrary stateful streaming (applyInPandasWithState): per-device
+    error counter with a flapping threshold, run as a REAL stream to
+    completion.  The state update is a commutative sum, so the result is
+    batch-order independent and the batch SQL oracle states it exactly
+    (single-file source → one micro-batch → one update row per device)."""
+    from .streaming.analytics import flap_detection
+
+    ev = _events_stream(spark, sf_dir)
+    logs = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("Device"),
+        F.when(F.col("event_type") == "error", 3).otherwise(6)
+        .cast("byte")
+        .alias("Severity"),
+    )
+    flap = flap_detection(logs, threshold=5)
+    return spark.table(_run_stream(flap, "update"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
