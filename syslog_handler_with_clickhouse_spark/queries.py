@@ -2263,6 +2263,37 @@ def q77(spark, sf_dir):
     return spark.table(_run_stream(flap, "update"))
 
 
+@query(
+    "q78_unpivot",
+    """
+    WITH w AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS price,
+             SUM(CAST(l_discount AS DECIMAL(18,2))) AS discount,
+             SUM(CAST(l_tax AS DECIMAL(18,2))) AS tax
+      FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey)
+    SELECT l_orderkey, metric, CAST(val AS DOUBLE) AS val
+    FROM w UNPIVOT (val FOR metric IN (price, discount, tax))
+    """,
+)
+def q78(spark, sf_dir):
+    """Unpivot (wide→long), the inverse reshaping of q72's pivot —
+    per-order money columns melted to (metric, val) rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = (
+        li.filter(F.col("l_orderkey") < 2000)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(_dec("l_extendedprice")).alias("price"),
+            F.sum(_dec("l_discount")).alias("discount"),
+            F.sum(_dec("l_tax")).alias("tax"),
+        )
+    )
+    return wide.unpivot(
+        "l_orderkey", ["price", "discount", "tax"], "metric", "val"
+    ).withColumn("val", F.col("val").cast("double"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
