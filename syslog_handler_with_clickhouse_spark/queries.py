@@ -2294,6 +2294,25 @@ def q78(spark, sf_dir):
     ).withColumn("val", F.col("val").cast("double"))
 
 
+@query("q79_hll_sketch_rollup")  # sketch bytes are impl-specific → rows-only
+def q79(spark, sf_dir):
+    """ClickHouse uniqState/uniqMerge parity: per-day HLL sketches of
+    distinct users (hll_sketch_agg), then union-merged (hll_union_agg)
+    into a total — the mergeable-sketch rollup that lets 100 TB distinct
+    counts be maintained incrementally instead of recomputed.  Accuracy
+    vs exact is asserted in tests/test_dedup.py."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_daily"),
+    )
+    return daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total_users"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("exact_daily").alias("sum_daily_exact"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -83,3 +83,17 @@ def test_cluster_assignments_transitive_chain(spark):
     )
     got = {r.doc: r.cluster for r in dedup.cluster_assignments(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_hll_sketch_rollup_accuracy(spark):
+    # union of per-day sketches must estimate total distinct users within
+    # HLL error bounds (lgConfigK=12 default → ~1.6% standard error)
+    from conftest import SF_DIR
+    from syslog_handler_with_clickhouse_spark.queries import QUERIES
+    from syslog_handler_with_clickhouse_spark.sources.testdata import load_table
+
+    row = QUERIES["q79_hll_sketch_rollup"](spark, SF_DIR).collect()[0]
+    ev = load_table(spark, SF_DIR, "events")
+    exact = ev.select("user_id").distinct().count()
+    assert abs(row.est_total_users - exact) / exact < 0.05
+    assert row.n_days >= 1
