@@ -2313,6 +2313,31 @@ def q79(spark, sf_dir):
     )
 
 
+@query(
+    "q80_stream_sliding",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 minute', ts) - k * INTERVAL '1 minute',
+                    '{tsd}') AS win_start,
+           COUNT(*) AS cnt
+    FROM events, (SELECT unnest(range(5)) AS k) offs
+    WHERE event_type = 'error'
+    GROUP BY 1
+    """.format(tsd=TS_D),
+)
+def q80(spark, sf_dir):
+    """q49's sliding-window agg (5 min window / 1 min slide) executed as
+    a REAL stream — overlapping-window state, complete-mode memory sink,
+    same batch SQL oracle."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.date_format("w.start", TS_S).alias("win_start"), "cnt")
+    )
+    return spark.table(_run_stream(agg, "complete"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
