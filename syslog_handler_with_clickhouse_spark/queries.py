@@ -2338,6 +2338,46 @@ def q80(spark, sf_dir):
     return spark.table(_run_stream(agg, "complete"))
 
 
+@query(
+    "q81_stream_session",
+    """
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), y AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id, strftime(MIN(ts), '{tsfd}') AS session_start,
+           COUNT(*) AS n_events
+    FROM y GROUP BY user_id, sid
+    """.format(tsfd=TSF_D),
+)
+def q81(spark, sf_dir):
+    """q50's session windows executed as a REAL stream: merging session
+    state (session_window + watermark), complete-mode memory sink, same
+    gaps-and-islands oracle — the device-activity-session analytics the
+    reference's log table exists for, under streaming execution."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", TSF_S).alias("session_start"),
+            "n_events",
+        )
+    )
+    return spark.table(_run_stream(agg, "complete"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
