@@ -2378,6 +2378,50 @@ def q81(spark, sf_dir):
     return spark.table(_run_stream(agg, "complete"))
 
 
+@query(
+    "q82_right_join",
+    """
+    SELECT c_custkey, c_mktsegment,
+           COUNT(o_orderkey) AS n_orders
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def q82(spark, sf_dir):
+    """RIGHT outer join (completing the outer-join matrix with q25 left /
+    q66 full): every customer kept, orderless ones count 0."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "q83_setops_all",
+    """
+    WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+         b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'intersect_all' AS op, k FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'except_all' AS op, k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    """,
+)
+def q83(spark, sf_dir):
+    """Multiset set-ops (INTERSECT ALL / EXCEPT ALL — multiplicity
+    preserved), completing q32's distinct-semantics set ops."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.intersectAll(b).select(
+        F.lit("intersect_all").alias("op"), "k"
+    ).unionByName(a.exceptAll(b).select(F.lit("except_all").alias("op"), "k"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
