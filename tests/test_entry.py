@@ -37,4 +37,5 @@ def test_queries_oracle_keys_align(spark):
         "q39_minhash_lsh",
         "q40_simhash",
         "q61_approx_percentile",
+        "q79_hll_sketch_rollup",
     ], missing_oracle
