@@ -2422,6 +2422,94 @@ def q83(spark, sf_dir):
     ).unionByName(a.exceptAll(b).select(F.lit("except_all").alias("op"), "k"))
 
 
+@query(
+    "q84_corpus_pipeline",
+    """
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ), m AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+             CAST(len(list_filter(string_split(text, ' '),
+                  w -> w IN ('the','and','of','to','a','in','is','it','for','on'))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+      FROM corpus
+    ), keep1 AS (
+      SELECT doc_id, text FROM m
+      WHERE n_words >= 20 AND alpha_ratio > 0.6 AND stop_ratio > 0.01
+    ), d1 AS (
+      SELECT MIN(doc_id) AS doc_id FROM keep1 GROUP BY md5(text)
+    ), keep2 AS (
+      SELECT k.doc_id, k.text FROM keep1 k JOIN d1 USING (doc_id)
+    ), sh AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+             )) AS shl
+      FROM keep2
+    ), ex AS (
+      SELECT doc, len(shl) AS n_sh, unnest(shl) AS shingle FROM sh
+    ), pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY a.doc, b.doc, a.n_sh, b.n_sh
+      HAVING CAST(COUNT(*) AS DOUBLE)
+             / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ), reach AS (
+      SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ), clusters AS (
+      SELECT u AS doc, MIN(v) AS cluster FROM reach GROUP BY u
+    )
+    SELECT doc_id FROM keep2
+    WHERE doc_id NOT IN (SELECT doc FROM clusters WHERE doc <> cluster)
+    """,
+)
+def q84(spark, sf_dir):
+    """The COMPLETE training-corpus pipeline as one query — the reason a
+    100 TB engine exists: quality gate (C4-style heuristics) → exact
+    dedup (hash-groupBy, min-id keeper) → near-dup discovery (shingle
+    inverted-index Jaccard) → connected-component clustering → keep one
+    representative per cluster.  Every stage removes real rows on this
+    corpus, and the whole chain hash-matches a single recursive-CTE
+    oracle."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    # stage 1: quality gate (same metrics as q62)
+    q = quality_columns(F.col("text"))
+    keep1 = corpus.filter(
+        (q["n_words"] >= 20)
+        & (q["alpha_ratio"] > 0.6)
+        & (q["stopword_ratio"] > 0.01)
+    )
+    # stage 2: exact dedup on content hash, min-id keeper
+    keepers = keep1.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    keep2 = keep1.join(keepers.select("doc_id"), "doc_id")
+    # stages 3+4: near-dup pairs -> connected components -> drop non-reps
+    pairs = dedup.jaccard_pairs(keep2, "text", "doc_id", n=3, threshold=0.5)
+    clusters = dedup.cluster_assignments(pairs)
+    non_reps = clusters.filter(F.col("doc") != F.col("cluster")).select(
+        F.col("doc").alias("doc_id")
+    )
+    return keep2.join(non_reps, "doc_id", "left_anti").select("doc_id")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
