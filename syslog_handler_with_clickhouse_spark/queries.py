@@ -2510,6 +2510,39 @@ def q84(spark, sf_dir):
     return keep2.join(non_reps, "doc_id", "left_anti").select("doc_id")
 
 
+@query(
+    "q85_csv_json_sources",
+    """
+    SELECT l_returnflag,
+           2 * COUNT(*) AS n_rows,
+           CAST(2 * SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem WHERE l_orderkey < 1000
+    GROUP BY l_returnflag
+    """,
+)
+def q85(spark, sf_dir):
+    """CSV and JSON-lines sources next to parquet: the same slice round-
+    trips through both text formats (schemas passed EXPLICITLY — at
+    100 TB schema inference is a full extra scan) and unions back to one
+    aggregate, so format handling is value-exact or the oracle catches it."""
+    import tempfile
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000).select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    base = tempfile.mkdtemp(prefix="srcfmt_")
+    li.write.option("header", True).csv(f"{base}/csv")
+    li.write.json(f"{base}/json")
+    schema = li.schema
+    c = spark.read.schema(schema).option("header", True).csv(f"{base}/csv")
+    j = spark.read.schema(schema).json(f"{base}/json")
+    both = c.unionByName(j)
+    return both.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("l_quantity")).cast("double").alias("qty"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
