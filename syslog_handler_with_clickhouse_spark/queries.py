@@ -2543,6 +2543,67 @@ def q85(spark, sf_dir):
     )
 
 
+@query(
+    "q86_rollup_reuse",
+    """
+    SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def q86(spark, sf_dir):
+    """Re-aggregable rollup layers (ClickHouse materialized-view /
+    SummingMergeTree pattern): monthly totals derived from a DAILY
+    pre-aggregate, never from raw rows.  count→sum-of-counts and
+    sum→sum-of-sums re-aggregate losslessly, so the oracle (which hits
+    raw) must agree — at 100 TB the daily layer is what you maintain
+    incrementally and query repeatedly."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).alias("v"),
+    )
+    return (
+        daily.groupBy(F.date_format(F.date_trunc("month", "day"), "yyyy-MM").alias("month"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q87_embedding_quantize",
+    """
+    WITH m AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+      FROM embeddings)
+    SELECT e.vec_id,
+           CAST(round(127.0 * CAST(e.embedding[1] AS DOUBLE) / m.mx) AS TINYINT) AS q0,
+           CAST(round(127.0 * CAST(e.embedding[2] AS DOUBLE) / m.mx) AS TINYINT) AS q1,
+           round(m.mx / 127.0, 9) AS scale
+    FROM embeddings e JOIN m USING (vec_id) WHERE e.vec_id % 9 = 0
+    """,
+)
+def q87(spark, sf_dir):
+    """Symmetric int8 quantization of embeddings (per-vector max-abs
+    scale) — the 4× storage compression step of a production vector
+    pipeline; first two quantized dims + the dequant scale are checked
+    value-exact against the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    qd = F.transform(v, lambda x: F.round(F.lit(127.0) * x / mx).cast("byte"))
+    return emb.filter(F.col("vec_id") % 9 == 0).select(
+        "vec_id",
+        F.element_at(qd, 1).alias("q0"),
+        F.element_at(qd, 2).alias("q1"),
+        F.round(mx / F.lit(127.0), 9).alias("scale"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
