@@ -2604,6 +2604,317 @@ def q87(spark, sf_dir):
     )
 
 
+@query(
+    "q88_decontaminate",
+    """
+    WITH sp AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 4, 0) + 1),
+               i -> md5(array_to_string(list_slice(w, i, i + 4), ' '))
+             ))) AS g
+      FROM sp
+    ), bench AS (
+      SELECT DISTINCT g FROM sh WHERE doc_id % 7 = 0
+    ), dirty AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (g)
+      WHERE s.doc_id % 7 <> 0
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+)
+def q88(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3/PaLM-style n-gram filter): a
+    training doc is dropped iff it shares ANY 5-word-gram with the held-out
+    benchmark slice (doc_id % 7 = 0 stands in for the eval set).
+
+    Scale shape: shingles are emitted inline under the explode (the fast
+    Generate path, see operators/dedup.shingle_table), the join key is the
+    shingle digest — fixed width, so the semi-join shuffle is compact — and
+    the benchmark side (eval sets are tiny vs 100 TB of training data)
+    broadcasts, so the training scan never shuffles.  md5 instead of
+    xxhash64 only for DuckDB oracle portability.
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    cnt = F.size(w) - F.lit(4)
+    sh_arr = F.when(
+        cnt > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, 5))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(sh_arr).alias("g"))
+    bench = sh.filter(F.col("doc_id") % 7 == 0).select("g").distinct()
+    dirty = (
+        sh.filter(F.col("doc_id") % 7 != 0)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.filter(F.col("doc_id") % 7 != 0)
+        .join(dirty, "doc_id", "left_anti")
+        .select("doc_id")
+    )
+
+
+@query(
+    "q89_hash_split",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'train' ELSE 'eval' END AS split,
+           substr(md5(CAST(doc_id AS VARCHAR)), 3, 1) AS fold
+    FROM documents
+    """,
+)
+def q89(spark, sf_dir):
+    """Deterministic train/eval split + 16-fold bucket from a content-
+    independent key hash — the reproducible-split primitive of a training
+    pipeline.  Pure narrow projection: no shuffle, no RNG state, and the
+    same row lands in the same split on ANY cluster size or re-run (what
+    `rand(seed)` can NOT guarantee once partitioning changes).  Hex-prefix
+    compare 'e6' ≈ 230/256 → ~90 % train."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    return d.select(
+        "doc_id",
+        F.when(F.substring(h, 1, 2) < "e6", "train").otherwise("eval").alias("split"),
+        F.substring(h, 3, 1).alias("fold"),
+    )
+
+
+@query(
+    "q90_stratified_sample",
+    """
+    WITH r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    SELECT lang, doc_id, n_lang FROM r WHERE rn <= 20
+    """,
+)
+def q90(spark, sf_dir):
+    """Deterministic stratified sampling: fixed-k per language stratum,
+    ranked by content hash (a seedless, machine-independent shuffle).
+    Scale shape: one shuffle on the stratum key; the per-stratum window
+    is a rank-truncation so AQE-sized partitions stream through it — the
+    pattern for 'balance 100 languages in a 100 TB corpus'."""
+    d = _t(spark, sf_dir, "documents")
+    win = Window.partitionBy("lang").orderBy(F.md5(F.col("text")), F.col("doc_id"))
+    return (
+        d.select(
+            "lang",
+            "doc_id",
+            F.row_number().over(win).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_lang"),
+        )
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+
+
+@query(
+    "q91_sequence_packing",
+    """
+    WITH t AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT source, (cum - n_tok) // 512 AS chunk_id,
+           COUNT(*) AS n_docs, SUM(n_tok) AS chunk_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q91(spark, sf_dir):
+    """Concat-and-chunk sequence packing: docs are laid end-to-end per
+    source shard (deterministic doc_id order) and each doc is assigned to
+    the 512-token context window its START offset falls in — exactly the
+    packing policy of concatenation-style LLM pretraining loaders.
+    Expressed as a running-sum window + floor-div, so packing 100 TB is
+    one shuffle on the shard key; no greedy driver-side loop."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select(
+        "source",
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.sum(n_tok).over(win).alias("cum"),
+    )
+    return c.groupBy(
+        "source",
+        F.floor((F.col("cum") - F.col("n_tok")) / F.lit(512)).alias("chunk_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("chunk_tokens"),
+    )
+
+
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP_RE = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+
+
+@query(
+    "q92_pii_redaction",
+    r"""
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or admin@test.org at 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.25 now' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g'),
+             '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS clean,
+           len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS n_emails,
+           len(regexp_extract_all(raw, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_ips
+    FROM pii
+    """,
+)
+def q92(spark, sf_dir):
+    """PII redaction: scrub emails then IPv4s to typed placeholders and
+    count what was removed — the compliance pass every training corpus
+    goes through.  Pure narrow regexp projection (whole-stage codegen, no
+    shuffle, no Python); the redacted STRING is value-hashed against the
+    oracle, so the Java-regex and RE2 semantics are proven to agree on
+    these patterns.  PII is injected deterministically (the fixture corpus
+    has none) so every row exercises both rules."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat_ws(
+        "",
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or admin@test.org at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".25 now"),
+    )
+    p = d.select("doc_id", raw.alias("raw"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), _PII_EMAIL_RE, "<EMAIL>"),
+        _PII_IP_RE,
+        "<IP>",
+    )
+    return p.select(
+        "doc_id",
+        clean.alias("clean"),
+        F.regexp_count(F.col("raw"), F.lit(_PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("raw"), F.lit(_PII_IP_RE)).alias("n_ips"),
+    )
+
+
+@query(
+    "q93_stream_stream_join",
+    """
+    SELECT e.user_id,
+           strftime(e.ts, '{tsfd}') AS err_ts,
+           strftime(p.ts, '{tsfd}') AS pur_ts,
+           round(p.value, 2) AS pur_value
+    FROM events e JOIN events p
+      ON e.user_id = p.user_id
+     AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 10 MINUTE
+    WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+    """.format(tsfd=TSF_D),
+)
+def q93(spark, sf_dir):
+    """STREAM-STREAM inner join executed as a real Structured Streaming
+    query: error events matched to the same user's purchases within the
+    following 10 minutes.  Both sides carry watermarks and the join
+    condition bounds event-time distance, so Spark can expire join state
+    — the unbounded-state trap of naive stream joins — and the result
+    hash-matches the batch range-join oracle."""
+    err = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.col("ts").alias("err_ts"))
+        .withWatermark("err_ts", "30 minutes")
+    )
+    pur = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("pur_ts"), "value")
+        .withWatermark("pur_ts", "30 minutes")
+    )
+    j = err.join(
+        pur,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("pur_ts") > F.col("err_ts"))
+        & (F.col("pur_ts") <= F.col("err_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    )
+    out = j.select(
+        "user_id",
+        F.date_format("err_ts", TSF_S).alias("err_ts"),
+        F.date_format("pur_ts", TSF_S).alias("pur_ts"),
+        F.round("value", 2).alias("pur_value"),
+    )
+    return spark.table(_run_stream(out, "append"))
+
+
+@query(
+    "q94_udtf_ngrams",
+    """
+    WITH sel AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id % 11 = 0
+    ), g AS (
+      SELECT doc_id, w, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS pos
+      FROM sel
+    )
+    SELECT doc_id, pos, array_to_string(list_slice(w, pos, pos + 2), ' ') AS ngram
+    FROM g
+    """,
+)
+def q94(spark, sf_dir):
+    """Python UDTF (Spark 4 table function) via LATERAL join: a generator
+    expanding each doc into (position, word-3-gram) rows — the UDTF row of
+    SURVEY §2.3's UDF/UDAF/UDTF surface.  Deterministic, so it gets a full
+    value oracle (DuckDB unnest(range)).  Kept off the hot path by design:
+    `explode(transform(...))` covers this natively (q34/q38/q88) ~10×
+    cheaper; the UDTF exists to prove the extension point."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, ngram: string")
+    class NGrams:
+        def eval(self, text: str, n: int):
+            ws = text.split(" ")
+            for i in range(len(ws) - n + 1):
+                yield i + 1, " ".join(ws[i : i + n])
+
+    spark.udtf.register("ngrams_gen", NGrams)
+    d = _t(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") % 11 == 0).select("doc_id", "text").createOrReplaceTempView(
+        "docs_udtf_v"
+    )
+    return spark.sql(
+        "SELECT doc_id, g.pos AS pos, g.ngram AS ngram "
+        "FROM docs_udtf_v, LATERAL ngrams_gen(text, 3) AS g"
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
