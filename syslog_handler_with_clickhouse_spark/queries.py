@@ -2915,6 +2915,402 @@ def q94(spark, sf_dir):
     )
 
 
+@query(
+    "q95_argmax",
+    """
+    SELECT o_custkey,
+           arg_max(o_orderkey, CAST(o_totalprice AS DECIMAL(18,2))*100000000 + o_orderkey)
+             AS best_order,
+           arg_min(o_orderkey, CAST(o_totalprice AS DECIMAL(18,2))*100000000 + o_orderkey)
+             AS worst_order,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q95(spark, sf_dir):
+    """argMax/argMin (ClickHouse's workhorse "value at the extremum"
+    aggregate) via Spark's max_by/min_by — single hash aggregate, no
+    window, no self-join.  The ordering key is an EXACT decimal composite
+    (price·10^8 + orderkey) so ties are impossible and both engines pick
+    the identical row — a float composite would interleave key ranges and
+    diverge."""
+    o = _t(spark, sf_dir, "orders")
+    ordk = _dec("o_totalprice") * F.lit(100000000) + F.col("o_orderkey")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordk).alias("best_order"),
+        F.min_by("o_orderkey", ordk).alias("worst_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "q96_gapfill_locf",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
+                                    TIMESTAMP '2024-01-05 23:59:00',
+                                    INTERVAL 1 MINUTE)) AS m
+    ), a AS (
+      SELECT time_bucket(INTERVAL '1 minute', ts) AS m,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS v
+      FROM events
+      WHERE event_type = 'purchase'
+        AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+      GROUP BY 1
+    )
+    SELECT strftime(spine.m, '{tsd}') AS minute,
+           last_value(a.v IGNORE NULLS)
+             OVER (ORDER BY spine.m ROWS UNBOUNDED PRECEDING) AS v_filled,
+           CASE WHEN a.v IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM spine LEFT JOIN a ON spine.m = a.m
+    """.format(tsd=TS_D),
+)
+def q96(spark, sf_dir):
+    """Gap-fill over a generated time spine + last-observation-carried-
+    forward (ClickHouse `WITH FILL` / timeseries interpolation): minutes
+    with no purchases inherit the previous minute's average.  The spine is
+    `sequence()`+explode — no driver loop — and the LOCF is
+    `last(ignorenulls)` over an ordered frame.  Single-partition window
+    here (one day); at scale the spine and fill partition by (device, day)
+    so state stays bounded per key."""
+    ev = _t(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_timestamp(F.lit("2024-01-05 00:00:00")),
+                F.to_timestamp(F.lit("2024-01-05 23:59:00")),
+                F.expr("INTERVAL 1 MINUTE"),
+            )
+        ).alias("m")
+    )
+    a = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.to_timestamp(F.lit("2024-01-05")))
+            & (F.col("ts") < F.to_timestamp(F.lit("2024-01-06")))
+        )
+        .groupBy(F.date_trunc("minute", "ts").alias("m"))
+        .agg(
+            (
+                F.sum(_dec("value")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("v")
+        )
+    )
+    win = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return spine.join(a, "m", "left").select(
+        F.date_format("m", TS_S).alias("minute"),
+        F.last("v", ignorenulls=True).over(win).alias("v_filled"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
+
+
+@query(
+    "q97_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t2 + INTERVAL 7 DAY
+      GROUP BY 1
+    )
+    SELECT 1 + CAST(s2.user_id IS NOT NULL AS INT)
+             + CAST(s3.user_id IS NOT NULL AS INT) AS funnel_level,
+           COUNT(*) AS n_users
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    GROUP BY 1
+    """,
+)
+def q97(spark, sf_dir):
+    """Ordered conversion funnel (ClickHouse `windowFunnel`): view →
+    click within 7 days → purchase within 7 more days; users bucketed by
+    the deepest stage reached.  Each stage is one aggregation + one
+    equi-join on user_id — all three shuffles share the same key, so at
+    scale they co-partition and AQE collapses the exchanges; no
+    per-user event-list collection."""
+    ev = _t(spark, sf_dir, "events")
+    week = F.expr("INTERVAL 7 DAYS")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + week)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + week)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lvl = (
+        F.lit(1)
+        + F.col("t2").isNotNull().cast("int")
+        + F.col("t3").isNotNull().cast("int")
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .groupBy(lvl.alias("funnel_level"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "q98_moment_stats",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS xc,
+             CAST(hour(ts) AS BIGINT) AS h
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(xc) AS DOUBLE) AS sx,
+             CAST(SUM(xc * xc) AS DOUBLE) AS sxx,
+             CAST(SUM(h) AS DOUBLE) AS sh,
+             CAST(SUM(h * h) AS DOUBLE) AS shh,
+             CAST(SUM(xc * h) AS DOUBLE) AS sxh
+      FROM q GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(nd AS BIGINT) AS n,
+           sx / (100.0 * nd) AS mean_value,
+           sqrt((sxx - sx * sx / nd) / (10000.0 * (nd - 1.0))) AS stddev_value,
+           (nd * sxh - sx * sh)
+             / sqrt((nd * sxx - sx * sx) * (nd * shh - sh * sh)) AS corr_value_hour
+    FROM s
+    """,
+)
+def q98(spark, sf_dir):
+    """Statistical aggregates (stddev, Pearson correlation) computed from
+    EXACT mergeable sufficient statistics — cent-quantized integer sums of
+    x, x², h, h², x·h — instead of the built-in streaming accumulators.
+    That is both the determinism trick (builtin stddev/corr is
+    float-summation-order dependent, so Spark vs DuckDB would never hash-
+    match) and the 100 TB pattern: the five moments are partial-aggregable
+    per partition, mergeable across shards/days, and the final float math
+    happens once per group."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("xc"),
+        F.hour("ts").cast("bigint").alias("h"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum("xc").cast("double").alias("sx"),
+        F.sum(F.col("xc") * F.col("xc")).cast("double").alias("sxx"),
+        F.sum("h").cast("double").alias("sh"),
+        F.sum(F.col("h") * F.col("h")).cast("double").alias("shh"),
+        F.sum(F.col("xc") * F.col("h")).cast("double").alias("sxh"),
+    )
+    nd, sx, sxx = F.col("nd"), F.col("sx"), F.col("sxx")
+    sh, shh, sxh = F.col("sh"), F.col("shh"), F.col("sxh")
+    return s.select(
+        "event_type",
+        nd.cast("bigint").alias("n"),
+        (sx / (F.lit(100.0) * nd)).alias("mean_value"),
+        F.sqrt((sxx - sx * sx / nd) / (F.lit(10000.0) * (nd - F.lit(1.0)))).alias(
+            "stddev_value"
+        ),
+        (
+            (nd * sxh - sx * sh)
+            / F.sqrt((nd * sxx - sx * sx) * (nd * shh - sh * sh))
+        ).alias("corr_value_hour"),
+    )
+
+
+@query(
+    "q99_retention",
+    """
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+    ), u AS (
+      SELECT f.user_id, f.d0,
+             max(CASE WHEN CAST(e.ts AS DATE) = f.d0 + 1 THEN 1 ELSE 0 END) AS r1,
+             max(CASE WHEN CAST(e.ts AS DATE) = f.d0 + 7 THEN 1 ELSE 0 END) AS r7
+      FROM f JOIN events e USING (user_id) GROUP BY 1, 2
+    )
+    SELECT strftime(d0, '%Y-%m-%d') AS cohort,
+           COUNT(*) AS cohort_size,
+           SUM(r1) AS retained_d1,
+           SUM(r7) AS retained_d7
+    FROM u GROUP BY 1
+    """,
+)
+def q99(spark, sf_dir):
+    """Cohort retention (ClickHouse `retention`): users grouped by first-
+    seen day, with day-1 and day-7 return flags.  Two aggregations and one
+    join, ALL keyed on user_id — co-partitioned at scale — then a tiny
+    final rollup on cohort day; no per-user timelines collected."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    u = (
+        f.join(ev, "user_id")
+        .groupBy("user_id", "d0")
+        .agg(
+            F.max(
+                F.when(F.to_date("ts") == F.date_add(F.col("d0"), 1), 1).otherwise(0)
+            ).alias("r1"),
+            F.max(
+                F.when(F.to_date("ts") == F.date_add(F.col("d0"), 7), 1).otherwise(0)
+            ).alias("r7"),
+        )
+    )
+    return u.groupBy(F.date_format("d0", "yyyy-MM-dd").alias("cohort")).agg(
+        F.count(F.lit(1)).alias("cohort_size"),
+        F.sum("r1").alias("retained_d1"),
+        F.sum("r7").alias("retained_d7"),
+    )
+
+
+@query(
+    "q100_string_agg",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names,
+           COUNT(*) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q100(spark, sf_dir):
+    """Ordered string aggregation (string_agg / ClickHouse
+    groupArray+arrayStringConcat): collect_list is unordered by contract
+    (partition arrival order), so the deterministic form is
+    array_join(array_sort(collect_list)) — sort INSIDE the group, after
+    the shuffle, not a global orderBy."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+@query(
+    "q101_stream_static_join",
+    """
+    SELECT e.event_type, c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q101(spark, sf_dir):
+    """STREAM-STATIC join executed as a real streaming query: the event
+    stream enriched against the static customer dimension (the classic
+    "join the firehose to the dim table" topology).  The static side is
+    broadcast to every micro-batch — no stream-side shuffle for the join,
+    no join state to expire — then a windowless streaming aggregation in
+    complete mode.  Hash-matches the batch join oracle."""
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+        .groupBy("event_type", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+    return spark.table(_run_stream(agg, "complete"))
+
+
+@query(
+    "q102_label_centroids",
+    """
+    SELECT label, pos,
+           CAST(SUM(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT))
+                AS DOUBLE) / (1000000.0 * CAST(COUNT(*) AS DOUBLE)) AS centroid,
+           COUNT(*) AS n_vecs
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+    GROUP BY 1, 2
+    """,
+)
+def q102(spark, sf_dir):
+    """Per-label embedding centroids (the E-step of k-means / the class-
+    prototype computation): posexplode to (label, dim, component), sum
+    micro-quantized integer components (exact, mergeable, order-
+    independent — float sums would diverge between engines and between
+    cluster topologies), divide once at the end.  One shuffle keyed
+    (label, dim) with map-side partial aggregation: 100 TB of vectors
+    reduce to |labels|·dims rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "comp")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("comp").cast("double") * 1000000).cast("bigint").alias("q"),
+    )
+    return x.groupBy("label", "pos").agg(
+        (
+            F.sum("q").cast("double")
+            / (F.lit(1000000.0) * F.count(F.lit(1)).cast("double"))
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+@query(
+    "q103_histogram",
+    """
+    WITH b AS (
+      SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket_id
+      FROM events
+    )
+    SELECT bucket_id, COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+    FROM b GROUP BY bucket_id
+    """,
+)
+def q103(spark, sf_dir):
+    """Fixed-width histogram with a share-of-total column: floor-div
+    bucketing (portable width_bucket), hash agg, then a window over the
+    10-row AGGREGATED result for the normalization — the total is
+    computed from the tiny aggregate, never a second scan of the fact
+    table."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        F.least(F.floor(F.col("value") / F.lit(50.0)).cast("bigint"), F.lit(9)).alias(
+            "bucket_id"
+        )
+    )
+    agg = b.groupBy("bucket_id").agg(F.count(F.lit(1)).alias("n"))
+    return agg.select(
+        "bucket_id",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy()).cast("double")
+        ).alias("share"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

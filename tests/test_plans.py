@@ -54,6 +54,38 @@ def test_native_queries_have_no_python(spark):
         assert python_eval_nodes(df) == [], name
 
 
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """q88's eval-set shingles must reach the training scan as a
+    broadcast (eval sets are tiny vs the corpus) — a shuffled semi-join
+    there would dominate at 100 TB."""
+    df = QUERIES["q88_decontaminate"](spark, SF_DIR)
+    assert has_broadcast_hash_join(df), formatted_plan(df)
+
+
+def test_hash_split_is_narrow(spark):
+    """q89 (train/eval split) is a pure projection: no Exchange at all."""
+    df = QUERIES["q89_hash_split"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_curation_queries_have_no_python(spark):
+    """The corpus-curation batch stays JVM-side end to end."""
+    for name in [
+        "q88_decontaminate",
+        "q89_hash_split",
+        "q90_stratified_sample",
+        "q91_sequence_packing",
+        "q92_pii_redaction",
+        "q97_funnel",
+        "q98_moment_stats",
+        "q99_retention",
+        "q102_label_centroids",
+    ]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert python_eval_nodes(df) == [], name
+
+
 def test_multimodal_uses_arrow_batches(spark):
     df = QUERIES["q47_multimodal_features"](spark, SF_DIR)
     nodes = python_eval_nodes(df)
