@@ -18,6 +18,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Representative heavy queries across the operator surface.
 HEADLINE = [
     "q01_pricing_summary",   # scan + hash agg
+    "q109_tpch_q6",          # pure scan-throughput probe (TPC-H Q6)
     "q11_agg_basic",         # high-cardinality group-by
     "q14_percentiles",       # exact percentiles
     "q17_topk_per_group",    # window rank

@@ -3311,6 +3311,561 @@ def q103(spark, sf_dir):
     )
 
 
+@query(
+    "q104_sequence_match",
+    """
+    SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq,
+           CAST(contains(string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id),
+                         'vcp') AS INT) AS has_vcp
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q104(spark, sf_dir):
+    """Event-sequence pattern matching (ClickHouse `sequenceMatch`): each
+    user-day's events collapse to an ordered initial-letter string and the
+    contiguous view→click→purchase motif is detected with plain substring
+    search.  Ordering inside the group is total (ts, event_id), imposed by
+    array_sort AFTER the shuffle — collect_list order is explicitly not
+    relied on.  One shuffle on (user, day); pattern evaluation is per-group
+    string ops, trivially parallel at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"),
+                        F.col("event_id"),
+                        F.substring("event_type", 1, 1).alias("c"),
+                    )
+                )
+            ),
+            lambda x: x["c"],
+        ),
+        "",
+    )
+    return (
+        ev.groupBy("user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            "day",
+            "seq",
+            (F.instr("seq", "vcp") > 0).cast("int").alias("has_vcp"),
+        )
+    )
+
+
+@query(
+    "q105_ip_range_enrich",
+    """
+    WITH e AS (
+      SELECT (10*16777216) + ((user_id % 4) * 65536) + (event_id % 65536) AS ipn
+      FROM events
+    ), dim(subnet, lo, hi) AS (
+      VALUES ('10.0.0.0/16', 10*16777216,          10*16777216 +  65535),
+             ('10.1.0.0/16', 10*16777216 +  65536, 10*16777216 + 131071),
+             ('10.2.0.0/16', 10*16777216 + 131072, 10*16777216 + 196607),
+             ('10.3.0.0/16', 10*16777216 + 196608, 10*16777216 + 262143)
+    )
+    SELECT subnet, COUNT(*) AS n_events
+    FROM e JOIN dim ON e.ipn BETWEEN dim.lo AND dim.hi
+    GROUP BY subnet
+    """,
+)
+def q105(spark, sf_dir):
+    """CIDR/range-table enrichment — the log-analytics classic "which
+    subnet did this packet come from" — as a broadcast theta-join: the
+    range dim (always tiny) is broadcast, so each event scans a handful of
+    ranges with NO shuffle of the fact side; at 100 TB the alternative
+    (sort-merge on a synthetic prefix) is never needed below ~10⁵ ranges.
+    IPs are synthesized deterministically from the fixture columns."""
+    ev = _t(spark, sf_dir, "events")
+    base = 10 * 16777216
+    dim = spark.createDataFrame(
+        [
+            ("10.0.0.0/16", base, base + 65535),
+            ("10.1.0.0/16", base + 65536, base + 131071),
+            ("10.2.0.0/16", base + 131072, base + 196607),
+            ("10.3.0.0/16", base + 196608, base + 262143),
+        ],
+        "subnet string, lo long, hi long",
+    )
+    e = ev.select(
+        (
+            F.lit(base)
+            + (F.col("user_id") % 4) * 65536
+            + (F.col("event_id") % 65536)
+        ).alias("ipn")
+    )
+    return (
+        e.join(F.broadcast(dim), (F.col("ipn") >= F.col("lo")) & (F.col("ipn") <= F.col("hi")))
+        .groupBy("subnet")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "q106_parallel_arrays",
+    """
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           unnest(list_transform(string_split(text, ' '), w -> len(w))) AS wlen
+    FROM documents WHERE doc_id % 17 = 0
+    """,
+)
+def q106(spark, sf_dir):
+    """Positional multi-array explode (ClickHouse `ARRAY JOIN a, b`):
+    two parallel arrays unnested in lockstep via arrays_zip + explode —
+    one Generate node, no join, duplicate words preserved (multiset
+    semantics, unlike a position-join reconstruction)."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    t = d.filter(F.col("doc_id") % 17 == 0).select(
+        "doc_id",
+        w.alias("ws"),
+        F.transform(w, lambda x: F.length(x)).alias("ls"),
+    )
+    return t.select("doc_id", F.explode(F.arrays_zip("ws", "ls")).alias("z")).select(
+        "doc_id",
+        F.col("z.ws").alias("word"),
+        F.col("z.ls").cast("bigint").alias("wlen"),
+    )
+
+
+@query(
+    "q107_compaction",
+    """
+    SELECT event_type, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events WHERE event_id % 3 = 0
+    GROUP BY event_type
+    """,
+)
+def q107(spark, sf_dir):
+    """Small-file compaction as a first-class maintenance op: a 64-file
+    store (one file per micro-batch, the streaming sink's natural debris)
+    is rewritten to its size-targeted file count by `compact_parquet`,
+    then queried — the aggregate must match the oracle on the ORIGINAL
+    rows, proving the rewrite is lossless.  File-count assertions live in
+    tests/test_compaction.py."""
+    import tempfile
+
+    from .sources.sinks import compact_parquet
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    base = tempfile.mkdtemp(prefix="compact_q_") + "/store"
+    ev.repartition(64).write.parquet(base)
+    compact_parquet(spark, base, target_bytes=64 << 20)
+    back = spark.read.parquet(base)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "q108_sliding_distinct",
+    """
+    WITH x AS (
+      SELECT user_id,
+             unnest(generate_series(
+               time_bucket(INTERVAL '1 minute', ts) - INTERVAL 4 MINUTE,
+               time_bucket(INTERVAL '1 minute', ts),
+               INTERVAL 1 MINUTE)) AS w
+      FROM events
+      WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-02'
+    )
+    SELECT strftime(w, '{tsd}') AS win_start, COUNT(DISTINCT user_id) AS uniq_users
+    FROM x GROUP BY 1
+    """.format(tsd=TS_D),
+)
+def q108(spark, sf_dir):
+    """EXACT distinct users per 5-minute sliding window (1-minute slide)
+    — the uniq-per-sliding-window op Spark's window frames can't express
+    (no COUNT DISTINCT over frames).  Each event fans out to exactly the
+    5 windows that contain it (explode of a 5-element sequence — bounded,
+    unlike a range self-join), then one distinct-agg per window start.
+    The fan-out factor equals window/slide, constant at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.date_trunc("minute", F.col("ts"))
+    x = ev.filter(
+        (F.col("event_type") == "error")
+        & (F.col("ts") < F.to_timestamp(F.lit("2024-01-02")))
+    ).select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                m - F.expr("INTERVAL 4 MINUTES"), m, F.expr("INTERVAL 1 MINUTE")
+            )
+        ).alias("w"),
+    )
+    return x.groupBy(F.date_format("w", TS_S).alias("win_start")).agg(
+        F.countDistinct("user_id").alias("uniq_users")
+    )
+
+
+@query(
+    "q109_tpch_q6",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q109(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): THE pure-scan-throughput
+    probe — all four predicates push down to the parquet scan, the
+    projection reads three columns, and the whole query is one
+    whole-stage-codegen stage ending in a scalar aggregate.  Decimal
+    product keeps the sum order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q110_replacing_upsert",
+    """
+    WITH base AS (
+      SELECT event_id, event_type, round(value, 2) AS value, 1 AS version
+      FROM events WHERE event_id % 2 = 0
+    ), upd AS (
+      SELECT event_id, event_type, round(value * 2, 2) AS value, 2 AS version
+      FROM events WHERE event_id % 4 = 0 OR event_id % 5 = 1
+    ), u AS (
+      SELECT * FROM base UNION ALL SELECT * FROM upd
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_id
+                                   ORDER BY version DESC) AS rn
+      FROM u
+    )
+    SELECT event_id, event_type, value, version FROM r WHERE rn = 1
+    """,
+)
+def q110(spark, sf_dir):
+    """Keyed upsert with latest-version-wins (ClickHouse
+    ReplacingMergeTree / MERGE INTO): a store seeded with version-1 rows
+    receives a mixed batch of updates (existing keys, doubled value) and
+    inserts (new keys), via `sinks.upsert_parquet`.  The read-back store
+    must row-for-row match the oracle's window-dedup replay — proving the
+    merge keeps exactly the right version of every key."""
+    import tempfile
+
+    from .sources.sinks import upsert_parquet
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.lit(1).alias("version"),
+    )
+    upd = ev.filter((F.col("event_id") % 4 == 0) | (F.col("event_id") % 5 == 1)).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 2, 2).alias("value"),
+        F.lit(2).alias("version"),
+    )
+    store = tempfile.mkdtemp(prefix="upsert_q_") + "/store"
+    base.write.parquet(store)
+    upsert_parquet(spark, store, upd, keys=["event_id"], version_col="version")
+    return spark.read.parquet(store)
+
+
+@query(
+    "q111_left_array_join",
+    """
+    WITH a AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) >= 7) AS lw
+      FROM documents WHERE doc_id % 13 = 0
+    ), b AS (
+      SELECT doc_id, CASE WHEN len(lw) = 0 THEN [NULL] ELSE lw END AS lw2 FROM a
+    )
+    SELECT doc_id, unnest(lw2) AS long_word FROM b
+    """,
+)
+def q111(spark, sf_dir):
+    """LEFT ARRAY JOIN semantics (ClickHouse) = `explode_outer`: docs
+    whose filtered array is EMPTY survive with a NULL element instead of
+    vanishing — the outer-join-shaped explode.  Same Generate node as
+    explode, zero extra cost; the fixture filter (words ≥7 chars) leaves
+    a mix of populated and empty arrays so both branches are exercised."""
+    d = _t(spark, sf_dir, "documents")
+    lw = F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) >= 7)
+    return (
+        d.filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id", F.explode_outer(lw).alias("long_word"))
+    )
+
+
+@query(
+    "q112_try_functions",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                ELSE round(value / (event_id % 7), 6) END AS safe_div,
+           TRY_CAST(CASE WHEN event_id % 3 = 0 THEN 'not_a_number'
+                         ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS safe_num
+    FROM events WHERE event_id % 11 = 0
+    """,
+)
+def q112(spark, sf_dir):
+    """ANSI-safe error-tolerant scalar family (try_divide / TRY_CAST):
+    divide-by-zero and unparseable casts yield NULL instead of failing
+    the job — at 100 TB one poisoned row must never kill a 1000-executor
+    stage.  All narrow projections; the oracle emulates try-semantics
+    with CASE."""
+    ev = _t(spark, sf_dir, "events")
+    bad = F.when(F.col("event_id") % 3 == 0, F.lit("not_a_number")).otherwise(
+        F.col("event_id").cast("string")
+    )
+    return ev.filter(F.col("event_id") % 11 == 0).select(
+        "event_id",
+        F.round(F.try_divide(F.col("value"), F.col("event_id") % 7), 6).alias(
+            "safe_div"
+        ),
+        bad.try_cast("bigint").alias("safe_num"),
+    )
+
+
+@query(
+    "q113_variant_json",
+    """
+    WITH j AS (
+      SELECT event_id,
+             '{"a":{"b":' || CAST(event_id % 10 AS VARCHAR)
+               || ',"tags":["x","y"]},"inner":' || props || '}' AS doc
+      FROM events WHERE event_id % 13 = 0
+    )
+    SELECT event_id,
+           CAST(json_extract(doc, '$.a.b') AS BIGINT) AS ab,
+           json_extract_string(doc, '$.a.tags[1]') AS tag1,
+           CAST(json_extract(doc, '$.inner.k') AS BIGINT) AS k
+    FROM j
+    """,
+)
+def q113(spark, sf_dir):
+    """Semi-structured VARIANT path access (Spark 4's parse_json +
+    variant_get — the ClickHouse JSON / Snowflake VARIANT analogue):
+    parse once, then typed path extraction including nested objects and
+    array indexing.  Unlike get_json_object (q10), the variant is a
+    binary-encoded tree: parse cost is paid once per row however many
+    paths are read — the right shape for wide JSON at scale."""
+    ev = _t(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"a":{"b":'),
+        (F.col("event_id") % 10).cast("string"),
+        F.lit(',"tags":["x","y"]},"inner":'),
+        F.col("props"),
+        F.lit("}"),
+    )
+    j = ev.filter(F.col("event_id") % 13 == 0).select(
+        "event_id", F.parse_json(doc).alias("v")
+    )
+    return j.select(
+        "event_id",
+        F.variant_get("v", "$.a.b", "bigint").alias("ab"),
+        F.variant_get("v", "$.a.tags[1]", "string").alias("tag1"),
+        F.variant_get("v", "$.inner.k", "bigint").alias("k"),
+    )
+
+
+@query(
+    "q114_profile",
+    """
+    SELECT 'event_type' AS col, COUNT(*) AS n_rows,
+           SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS n_null,
+           COUNT(DISTINCT event_type) AS n_distinct,
+           MIN(CAST(event_type AS VARCHAR)) AS min_s,
+           MAX(CAST(event_type AS VARCHAR)) AS max_s
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*),
+           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT user_id),
+           CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'props_k', COUNT(*),
+           SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)),
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS VARCHAR),
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS VARCHAR)
+    FROM events
+    """,
+)
+def q114(spark, sf_dir):
+    """Data-profiling sweep (the pre-training data-quality report): per
+    column — row count, nulls, exact distinct, min/max as strings —
+    stacked with unionByName.  One scan per column group; at scale the
+    distinct counts switch to approx_count_distinct (q13) and all columns
+    share one pass via grouping sets of aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+
+    def prof(name: str, c: Column) -> DataFrame:
+        return ev.agg(
+            F.lit(name).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(c.isNull().cast("bigint")).alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_s"),
+            F.max(c).cast("string").alias("max_s"),
+        )
+
+    return (
+        prof("event_type", F.col("event_type"))
+        .unionByName(prof("user_id", F.col("user_id")))
+        .unionByName(prof("props_k", k))
+    )
+
+
+@query(
+    "q115_zscore_outliers",
+    """
+    WITH q AS (
+      SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS xc
+      FROM events
+    ), s AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(xc) AS DOUBLE) AS sx, CAST(SUM(xc * xc) AS DOUBLE) AS sxx
+      FROM q GROUP BY 1
+    ), m AS (
+      SELECT event_type, sx / nd AS mu,
+             sqrt((sxx - sx * sx / nd) / (nd - 1.0)) AS sd
+      FROM s
+    )
+    SELECT q.event_id, q.event_type,
+           (CAST(q.xc AS DOUBLE) - m.mu) / m.sd AS z
+    FROM q JOIN m USING (event_type)
+    WHERE abs((CAST(q.xc AS DOUBLE) - m.mu) / m.sd) > 2.5
+    """,
+)
+def q115(spark, sf_dir):
+    """Per-group z-score anomaly detection (the alerting query a syslog
+    store exists for): group moments from exact integer sums (q98's
+    mergeable-statistics trick), broadcast the tiny per-group (μ, σ) back
+    onto the fact stream, flag |z| > 2.5.  The fact side is scanned
+    twice but shuffled never — the stats table is groups-sized."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("xc"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum("xc").cast("double").alias("sx"),
+        F.sum(F.col("xc") * F.col("xc")).cast("double").alias("sxx"),
+    )
+    m = s.select(
+        "event_type",
+        (F.col("sx") / F.col("nd")).alias("mu"),
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("nd"))
+            / (F.col("nd") - F.lit(1.0))
+        ).alias("sd"),
+    )
+    z = (F.col("xc").cast("double") - F.col("mu")) / F.col("sd")
+    return (
+        q.join(F.broadcast(m), "event_type")
+        .select("event_id", "event_type", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.5)
+    )
+
+
+@query(
+    "q116_tfdf_topterms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), n AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), s AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE)
+               / CAST(df.df AS DOUBLE) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM s
+    )
+    SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3
+    """,
+)
+def q116(spark, sf_dir):
+    """Characteristic-term extraction: top-3 terms per doc by
+    tf · N / df — TF-IDF with a LINEAR inverse-document-frequency
+    (deliberate: no transcendental log, so Spark and DuckDB agree to the
+    bit; the ranking is order-isomorphic to tf·(N/df) monotone
+    transforms for fixed doc).  Term stats are one tokenize pass feeding
+    both tf and df aggregates; the df side is term-keyed and small, so
+    the score join broadcasts at realistic vocabulary sizes."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()
+    score = (
+        F.col("tf").cast("double")
+        * F.lit(float(n))
+        / F.col("df").cast("double")
+    )
+    s = tf.join(df_, "term").select("doc_id", "term", "tf", "df", score.alias("score"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@query(
+    "q117_bitmap_distinct",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q117(spark, sf_dir):
+    """EXACT distinct via bitmap aggregation (ClickHouse `groupBitmap`):
+    user ids are packed into per-bucket fixed-width bitmaps
+    (bitmap_construct_agg), OR-merged, and popcounted — the mergeable
+    exact-distinct representation that, materialized per day/segment,
+    re-aggregates without rescanning raw data (cheaper and exact, vs the
+    HLL sketch path of q79 which trades exactness for size).  The oracle
+    is plain COUNT(DISTINCT)."""
+    ev = _t(spark, sf_dir, "events")
+    sub = ev.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    return sub.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("uniq_users")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

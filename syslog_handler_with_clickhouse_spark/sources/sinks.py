@@ -39,6 +39,84 @@ def read_logs(spark, path: str) -> DataFrame:
     return spark.read.parquet(path).drop(LOGS_PARTITION_COL)
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_bytes: int = 128 << 20,
+    partition_col: str | None = None,
+) -> int:
+    """Small-file compaction for a streaming-fed Parquet store.
+
+    Micro-batch appends (2 s trigger, `main.go:20` cadence) produce one
+    file per batch per partition; after a day that is thousands of tiny
+    files and scan planning dominates query time.  Rewrite the store into
+    max(1, ceil(total_bytes / target_bytes)) files (per partition value
+    when `partition_col` is given, mirroring ClickHouse's background
+    merges of MergeTree parts) and swap directories.  The swap is
+    rename-based: readers racing the swap should retry — acceptable for a
+    maintenance window; a table format (Delta/Iceberg) makes it atomic.
+
+    Returns the target file count.
+    """
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compacting"
+    writer = df.repartition(n).write.mode("overwrite")
+    if partition_col is not None:
+        writer = df.repartition(n, partition_col).write.mode("overwrite").partitionBy(
+            partition_col
+        )
+    writer.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n
+
+
+def upsert_parquet(
+    spark,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str,
+) -> None:
+    """Keyed upsert into a Parquet store — the ClickHouse
+    ReplacingMergeTree semantics (latest version per key wins) as an
+    explicit merge: union current + updates, keep row_number()==1 per key
+    ordered by version DESC, rewrite, swap.  One shuffle on the key.
+
+    Plain Parquet has no MERGE, so the rewrite is whole-store (per
+    partition directory at scale — pair with date partitioning so a day's
+    late updates rewrite one partition, not the fleet's history; a table
+    format makes it transactional).
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    cur = spark.read.parquet(path)
+    merged = cur.unionByName(updates)
+    w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
+    latest = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    tmp = path.rstrip("/") + ".upserting"
+    latest.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
 def jdbc_sink_options(url: str, table: str, user: str, password: str) -> dict[str, str]:
     """ClickHouse-over-JDBC options mirroring the reference's connection
     settings: pool of 5 (`main.go:48-51`) → numPartitions; 10 s insert

@@ -86,6 +86,23 @@ def test_curation_queries_have_no_python(spark):
         assert python_eval_nodes(df) == [], name
 
 
+def test_range_enrich_broadcasts_dim(spark):
+    """q105's range dim must broadcast (BroadcastNestedLoopJoin) — a
+    shuffled theta-join of the fact side would be catastrophic at scale."""
+    df = QUERIES["q105_ip_range_enrich"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_tpch_q6_pushes_all_predicates(spark):
+    """q109: shipdate/discount/quantity predicates reach the parquet scan
+    and only the three needed columns are read."""
+    df = QUERIES["q109_tpch_q6"](spark, SF_DIR)
+    assert has_pushed_filters(df, "l_shipdate"), formatted_plan(df)
+    schema_line = read_schema_columns(df)
+    assert "l_comment" not in schema_line, schema_line
+
+
 def test_multimodal_uses_arrow_batches(spark):
     df = QUERIES["q47_multimodal_features"](spark, SF_DIR)
     nodes = python_eval_nodes(df)
