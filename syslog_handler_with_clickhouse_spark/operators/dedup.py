@@ -53,6 +53,7 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     makes every downstream shuffle and comparison fixed-width; the pair
     set is identical barring ~2^-64 collisions.
     """
+    df = _spread(df, id_col)
     w = F.split(F.col(text_col), " ")
     cnt = F.size(w) - F.lit(n - 1)
     sh = F.when(
@@ -65,6 +66,22 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     return df.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
+
+
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition a narrow corpus scan up to the cluster's parallelism
+    before CPU-heavy per-row fan-out (shingle explode + hashing).
+
+    A small corpus file scans into few input splits — at sf0.1 the
+    documents table arrives in 2 partitions, so the explode would run 2
+    tasks on 32 cores.  Shuffling the raw (id, text) rows is cheap
+    relative to the fan-out work it parallelizes.  At 100 TB inputs
+    already split past defaultParallelism and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(id_col))
+    return df
 
 
 def jaccard_pairs(
@@ -289,7 +306,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Expressed as explode → 64 conditional sums → sign vector; one shuffle.
     """
-    tok = df.select(
+    tok = _spread(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(words(F.col(text_col))).alias("w")
     ).withColumn("h", F.xxhash64("w"))
     # bit masks via shiftleft — 1<<63 as a Python literal would overflow
