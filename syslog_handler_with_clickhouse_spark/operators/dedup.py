@@ -169,21 +169,43 @@ _MINHASH_B = [_rng.randrange(0, _MINHASH_P) for _ in range(N_HASHES)]
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
-    """64 min-hashes per doc: explode shingles once, take 64 mins in ONE
-    aggregation pass (single shuffle on doc id)."""
+    """64 min-hashes per doc: explode shingles once, gather each doc's
+    base hashes, then evaluate the 64 universal hashes as ONE nested
+    higher-order expression (transform over hash index × array_min over
+    transform of bases).
+
+    Why not 64 ``F.min`` aggregate columns (the obvious partial-agg
+    form)?  Identical output, but its whole-stage-codegen stage costs
+    ~4 s of JIT compilation PER COLD RUN — measured 5.3 s vs 2.3 s for
+    this form at sf0.1 — and the driver's bench is always cold.  The
+    gather shuffle is no wider than the partial-min shuffle here because
+    shingle_table already co-partitions by doc (_spread), and the
+    interpreted higher-order evaluation is embarrassingly parallel.  On a
+    long-lived cluster where JIT amortizes, the 64-column aggregate form
+    is the better steady-state plan; the expression below is the cold-
+    start-optimal one.
+    """
     sh = shingle_table(df, text_col, id_col, n).withColumn(
         "base", F.pmod(F.col("shingle"), F.lit(_MINHASH_P))
     )
-    mins = [
-        F.min(
-            F.pmod(F.col("base") * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]),
-                   F.lit(_MINHASH_P))
-        ).alias(f"h{i}")
-        for i in range(N_HASHES)
-    ]
-    sig = sh.groupBy("doc").agg(*mins)
-    return sig.select(
-        "doc", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
+    a_arr = F.array(*[F.lit(a) for a in _MINHASH_A])
+    b_arr = F.array(*[F.lit(b) for b in _MINHASH_B])
+    bases = sh.groupBy("doc").agg(F.collect_list("base").alias("bs"))
+    return bases.select(
+        "doc",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("bs"),
+                    lambda x: F.pmod(
+                        x * F.element_at(a_arr, i + F.lit(1))
+                        + F.element_at(b_arr, i + F.lit(1)),
+                        F.lit(_MINHASH_P),
+                    ),
+                )
+            ),
+        ).alias("sig"),
     )
 
 
