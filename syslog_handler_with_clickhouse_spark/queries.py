@@ -3866,6 +3866,78 @@ def q117(spark, sf_dir):
     )
 
 
+@query(
+    "q118_calendar",
+    """
+    SELECT event_id,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           strftime(last_day(CAST(ts AS DATE)), '%Y-%m-%d') AS month_end,
+           quarter(ts) AS q,
+           weekofyear(ts) AS iso_week,
+           strftime(CAST(date_trunc('week', ts) AS DATE), '%Y-%m-%d') AS week_start,
+           strftime(CAST(ts + INTERVAL 1 MONTH AS DATE), '%Y-%m-%d') AS next_month
+    FROM events WHERE event_id % 23 = 0
+    """,
+)
+def q118(spark, sf_dir):
+    """Calendar scalar family (last_day / quarter / ISO week / week
+    truncation / month arithmetic with end-of-month clamping) — the
+    reporting-date kit on top of q07/q54's date arithmetic.  Narrow
+    projection; both engines agree on ISO week numbering and the
+    add-month clamp (Jan 31 + 1 month = Feb 29)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") % 23 == 0).select(
+        "event_id",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.last_day(F.to_date("ts")), "yyyy-MM-dd").alias("month_end"),
+        F.quarter("ts").alias("q"),
+        F.weekofyear("ts").alias("iso_week"),
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week_start"),
+        F.date_format(F.add_months(F.to_date("ts"), 1), "yyyy-MM-dd").alias(
+            "next_month"
+        ),
+    )
+
+
+@query(
+    "q119_interval_range_frame",
+    """
+    SELECT user_id, strftime(ts, '{tsfd}') AS ts_s,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+                              AND CURRENT ROW) AS DOUBLE) AS sum_10m,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+                                AND CURRENT ROW) AS n_10m
+    FROM events WHERE user_id < 12
+    """.format(tsfd=TSF_D),
+)
+def q119(spark, sf_dir):
+    """TIME-range window frames (`RANGE BETWEEN INTERVAL ... PRECEDING`):
+    each event's trailing-10-minute running sum/count per user — the
+    event-time cousin of q30's row frames, and the shape of "rate over
+    the last N minutes" alerting.  One shuffle on user_id; frame
+    evaluation is a sorted sliding pass per partition.  Expressed via
+    SQL window syntax (the DataFrame rangeBetween API takes long offsets
+    only, so interval frames are the SQL path)."""
+    ev = _t(spark, sf_dir, "events")
+    ev.filter(F.col("user_id") < 12).createOrReplaceTempView("ev_q119")
+    return spark.sql(
+        """
+        SELECT user_id, date_format(ts, '{tsfs}') AS ts_s,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                      OVER (PARTITION BY user_id ORDER BY ts
+                            RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                                  AND CURRENT ROW) AS DOUBLE) AS sum_10m,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                                    AND CURRENT ROW) AS n_10m
+        FROM ev_q119
+        """.format(tsfs=TSF_S)
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
