@@ -3938,6 +3938,102 @@ def q119(spark, sf_dir):
     )
 
 
+@query(
+    "q120_tpch_q10",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           round(c_acctbal, 2) AS acctbal
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name, round(c_acctbal, 2)
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q120(spark, sf_dir):
+    """TPC-H Q10 (returned-item revenue ranking): fact-fact shuffle join
+    (orders×lineitem), dim broadcasts (customer side chain, nation), agg
+    on a composite key, decimal-exact revenue, top-20 with a total-order
+    tiebreak.  The join tree is declared flat and AQE picks build sides
+    and reorders — no hints."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.sum(
+        _dec("l_extendedprice") * (F.lit(1.00).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("double")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-07-01")))
+            & (F.col("l_returnflag") == "R")
+        )
+        .groupBy("c_custkey", "c_name", "n_name", F.round("c_acctbal", 2).alias("acctbal"))
+        .agg(rev.alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue", "acctbal")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q121_tpch_q18",
+    """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180
+    )
+    SELECT c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN big      ON big.l_orderkey = o_orderkey
+    GROUP BY c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+    """,
+)
+def q121(spark, sf_dir):
+    """TPC-H Q18 (large-volume orders): a HAVING-filtered aggregate used
+    as a semi-filter on the fact table, then re-aggregated with customer
+    context — the aggregate-then-join shape where the first groupBy's
+    output is small enough to broadcast into the second pass, so the big
+    lineitem table is shuffled once, not twice, on the same key (AQE
+    reuses the exchange)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li.join(big, "l_orderkey", "left_semi"), o.o_orderkey == F.col("l_orderkey"))
+        .groupBy(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
