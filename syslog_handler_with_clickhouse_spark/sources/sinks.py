@@ -29,6 +29,11 @@ def write_logs_batch(df: DataFrame, path: str, mode: str = "append") -> None:
     """
     (
         df.withColumn(LOGS_PARTITION_COL, F.to_date("Timestamp"))
+        # Sort by Timestamp inside each task so parquet row-group min/max
+        # statistics are tight: a time-range predicate then skips whole row
+        # groups, not just partitions — the intra-day analogue of partition
+        # pruning (ClickHouse gets this from the MergeTree ORDER BY).
+        .sortWithinPartitions(LOGS_PARTITION_COL, "Timestamp")
         .write.mode(mode)
         .partitionBy(LOGS_PARTITION_COL)
         .parquet(path)
