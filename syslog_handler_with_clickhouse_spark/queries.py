@@ -4034,6 +4034,128 @@ def q121(spark, sf_dir):
     )
 
 
+@query(
+    "q122_grouping_id",
+    """
+    SELECT n_regionkey, n_name,
+           GROUPING(n_regionkey) AS g_region,
+           GROUPING(n_regionkey, n_name) AS gid,
+           COUNT(*) AS n
+    FROM nation GROUP BY ROLLUP (n_regionkey, n_name)
+    """,
+)
+def q122(spark, sf_dir):
+    """GROUPING()/GROUPING_ID() markers on rollup rows — how a consumer
+    tells a real NULL from a subtotal row (completing q18-q20's
+    rollup/cube/grouping-sets trio).  Same single-pass expand+aggregate
+    plan; the markers are free bit flags."""
+    n = _t(spark, sf_dir, "nation")
+    return n.rollup("n_regionkey", "n_name").agg(
+        F.grouping("n_regionkey").cast("bigint").alias("g_region"),
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("n_regionkey", "n_name", "g_region", "gid", "n")
+
+
+@query(
+    "q123_exists_subquery",
+    """
+    SELECT 'has_big_order' AS op, c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    UNION ALL
+    SELECT 'no_big_order' AS op, c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def q123(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS subqueries in SQL form: Catalyst
+    decorrelates them into the same left-semi/left-anti joins q23/q24
+    declare via the DataFrame API — asserting the SQL front door and the
+    DataFrame door reach identical physical shapes."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("cust_q123")
+    o.createOrReplaceTempView("ord_q123")
+    return spark.sql(
+        """
+        SELECT 'has_big_order' AS op, c_custkey FROM cust_q123 c
+        WHERE EXISTS (SELECT 1 FROM ord_q123 o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        UNION ALL
+        SELECT 'no_big_order' AS op, c_custkey FROM cust_q123 c
+        WHERE NOT EXISTS (SELECT 1 FROM ord_q123 o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        """
+    )
+
+
+@query(
+    "q124_scalar_subquery",
+    """
+    SELECT o_orderkey,
+           round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                 / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE)
+                    FROM orders), 6) AS ratio_to_avg
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+)
+def q124(spark, sf_dir):
+    """Scalar subquery: every order priced relative to the global average
+    — planned as an independent single-row subplan broadcast into the
+    main scan (no join, no per-row re-evaluation).  The average is a
+    decimal-sum ratio so both engines compute the identical double."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("ord_q124")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                     / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                               / CAST(COUNT(*) AS DOUBLE)
+                        FROM ord_q124), 6) AS ratio_to_avg
+        FROM ord_q124 WHERE o_orderkey % 11 = 0
+        """
+    )
+
+
+@query(
+    "q125_nullsafe_join",
+    """
+    WITH a AS (
+      SELECT nullif(user_id % 10, 7) AS k, COUNT(*) AS n_err
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ), b AS (
+      SELECT nullif(user_id % 10, 7) AS k, COUNT(*) AS n_click
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    )
+    SELECT a.k, n_err, n_click
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q125(spark, sf_dir):
+    """NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM): the NULL
+    key bucket joins to itself instead of vanishing — required when a
+    grouping key legitimately contains unknown (here: masked residue 7).
+    Still a hash-joinable equi-condition, unlike `a.k = b.k OR (a.k IS
+    NULL AND b.k IS NULL)` which degrades to a nested loop."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.nullif(F.col("user_id") % 10, F.lit(7)).alias("k")
+    a = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(k)
+        .agg(F.count(F.lit(1)).alias("n_err"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(k)
+        .agg(F.count(F.lit(1)).alias("n_click"))
+    )
+    return a.join(b, a.k.eqNullSafe(b.k)).select(a.k.alias("k"), "n_err", "n_click")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
