@@ -4156,6 +4156,86 @@ def q125(spark, sf_dir):
     return a.join(b, a.k.eqNullSafe(b.k)).select(a.k.alias("k"), "n_err", "n_click")
 
 
+@query(
+    "q126_stream_upsert",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, round(value, 2) AS value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id AS last_event_id, value AS last_value
+    FROM r WHERE rn = 1
+    """,
+)
+def q126(spark, sf_dir):
+    """Streaming CDC upsert: a purchase-event stream drains through
+    `foreachBatch` → `sinks.upsert_parquet`, so the store always holds
+    the LATEST row per user (ReplacingMergeTree fed by a stream — the
+    materialized "current state" table every log pipeline keeps next to
+    the append-only history).  The read-back store must equal the
+    oracle's latest-row-per-key window replay."""
+    import tempfile
+
+    from .sources.sinks import upsert_parquet
+
+    ev = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    upd = ev.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 2).alias("last_value"),
+    )
+    base = tempfile.mkdtemp(prefix="stream_upsert_")
+    store = f"{base}/store"
+
+    def sink(batch_df, batch_id):
+        if batch_id == 0:
+            # seed the store so upsert has a base; empty seed schema-matched
+            batch_df.limit(0).write.mode("overwrite").parquet(store)
+        upsert_parquet(
+            spark, store, batch_df, keys=["user_id"], version_col="last_event_id"
+        )
+
+    q = (
+        upd.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(store)
+
+
+@query(
+    "q127_ttl_expire",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS n
+    FROM events
+    WHERE event_id % 5 = 0 AND CAST(ts AS DATE) >= DATE '2024-01-20'
+    GROUP BY 1
+    """,
+)
+def q127(spark, sf_dir):
+    """Partition TTL (ClickHouse `TTL ts + INTERVAL`): a date-partitioned
+    store expires partitions older than the cutoff via O(1)-per-partition
+    directory drops — no rewrite, no scan — then the surviving store must
+    match the oracle's time-filtered aggregate exactly."""
+    import tempfile
+
+    from .sources.sinks import expire_partitions
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    store = tempfile.mkdtemp(prefix="ttl_q_") + "/store"
+    (
+        ev.withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+        .write.partitionBy("day")
+        .parquet(store)
+    )
+    expire_partitions(store, "day", "2024-01-20")
+    back = spark.read.parquet(store)
+    return back.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

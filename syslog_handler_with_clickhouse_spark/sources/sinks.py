@@ -122,6 +122,30 @@ def upsert_parquet(
     os.rename(tmp, path)
 
 
+def expire_partitions(path: str, partition_col: str, before: str) -> int:
+    """TTL enforcement for a date-partitioned store (the ClickHouse
+    `TTL Timestamp + INTERVAL n DAY` analogue): drop whole partition
+    directories older than ``before`` (``YYYY-MM-DD``).
+
+    Partition-level deletes are O(#expired-partitions) directory removals
+    — no data rewrite, no scan — which is exactly why the store is
+    date-partitioned (SURVEY §1.2).  Returns the number of partitions
+    removed.
+    """
+    import os
+    import shutil
+
+    removed = 0
+    if not os.path.isdir(path):
+        return 0
+    prefix = f"{partition_col}="
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith(prefix) and entry[len(prefix):] < before:
+            shutil.rmtree(os.path.join(path, entry))
+            removed += 1
+    return removed
+
+
 def jdbc_sink_options(url: str, table: str, user: str, password: str) -> dict[str, str]:
     """ClickHouse-over-JDBC options mirroring the reference's connection
     settings: pool of 5 (`main.go:48-51`) → numPartitions; 10 s insert
