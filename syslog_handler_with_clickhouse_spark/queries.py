@@ -4236,6 +4236,67 @@ def q127(spark, sf_dir):
     return back.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
 
 
+@query(
+    "q128_correlated_scalar",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           (SELECT CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            FROM lineitem WHERE l_orderkey = o_orderkey) AS max_line_qty
+    FROM orders WHERE o_orderkey % 17 = 0
+    """,
+)
+def q128(spark, sf_dir):
+    """CORRELATED scalar subquery (the TPC-H Q2/Q17 shape): per-order max
+    line quantity referenced as an expression.  Catalyst decorrelates it
+    into an aggregate + left outer join on the correlation key — one
+    shuffle, no per-row re-execution; orders with no lines yield NULL
+    (scalar-subquery semantics the rewrite must preserve)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o.createOrReplaceTempView("ord_q128")
+    li.createOrReplaceTempView("li_q128")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus,
+               (SELECT CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                FROM li_q128 WHERE l_orderkey = o_orderkey) AS max_line_qty
+        FROM ord_q128 WHERE o_orderkey % 17 = 0
+        """
+    )
+
+
+@query(
+    "q129_in_subquery",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+      AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+                             WHERE l_returnflag = 'R')
+    """,
+)
+def q129(spark, sf_dir):
+    """IN / NOT IN SUBQUERY predicates (vs q03's literal lists): planned
+    as left-semi and null-aware left-anti joins.  NOT IN over a column
+    that could contain NULLs is the classic three-valued-logic trap —
+    Spark's null-aware anti join and DuckDB must agree row-for-row."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    o.createOrReplaceTempView("ord_q129")
+    c.createOrReplaceTempView("cust_q129")
+    li.createOrReplaceTempView("li_q129")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM ord_q129
+        WHERE o_custkey IN (SELECT c_custkey FROM cust_q129 WHERE c_acctbal > 9000)
+          AND o_orderkey NOT IN (SELECT l_orderkey FROM li_q129
+                                 WHERE l_returnflag = 'R')
+        """
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
