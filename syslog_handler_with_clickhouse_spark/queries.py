@@ -4297,6 +4297,548 @@ def q129(spark, sf_dir):
     )
 
 
+@query(
+    "q130_tpch_q4",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q130(spark, sf_dir):
+    """TPC-H Q4 (order priority checking), adapted: the fixture has no
+    l_commitdate/l_receiptdate, so "late" = shipped >60 days after the
+    order date — same correlated-EXISTS-with-extra-predicate shape.  The
+    non-equi part of the EXISTS rides along as a join condition on the
+    left-semi join; the date filter on orders is pushed to the scan."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "q131_tpch_q7",
+    """
+    SELECT supp_nation, cust_nation, l_year, CAST(SUM(vol) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1.00 - CAST(l_discount AS DECIMAL(18,2))) AS vol
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q131(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): the same dimension table joined TWICE
+    under different roles (supplier nation vs customer nation) with a
+    disjunctive cross-pair predicate.  Both nation sides broadcast; the
+    disjunction can't be pushed below either single join, so it lands as
+    a post-join filter — exactly where Catalyst should leave it."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    vol = _dec("l_extendedprice") * (F.lit(1.00).cast("decimal(18,2)") - _dec("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            pair
+            & F.col("l_shipdate").between(
+                F.to_timestamp(F.lit("1996-01-01")), F.to_timestamp(F.lit("1997-12-31"))
+            )
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q132_tpch_q8",
+    """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1.00 - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    )
+    GROUP BY o_year
+    """,
+)
+def q132(spark, sf_dir):
+    """TPC-H Q8 (national market share): an 8-table join tree where the
+    measure is a RATIO of a conditional sum to the total sum in one
+    aggregation pass (sum-of-CASE over sum).  Division happens after both
+    decimal-exact sums are cast to double, in identical order on the
+    oracle side, so the hash can't drift."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    vol = _dec("l_extendedprice") * (F.lit(1.00).cast("decimal(18,2)") - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    base = (
+        F.broadcast(p)
+        .join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(
+            F.col("o_orderdate").between(
+                F.to_timestamp(F.lit("1996-01-01")), F.to_timestamp(F.lit("1997-12-31"))
+            )
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("vol"),
+            F.col("supp_nation"),
+        )
+    )
+    nat = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol")).otherwise(zero))
+    return base.groupBy("o_year").agg(
+        (nat.cast("double") / F.sum("vol").cast("double")).alias("mkt_share")
+    )
+
+
+@query(
+    "q133_tpch_q13",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q133(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join with
+    an extra non-key join predicate (which must NOT become a post-join
+    filter — that would drop order-less customers), a per-customer
+    COUNT(col) that counts zero for null matches, then a second aggregate
+    over the first's output.  Two shuffles by construction; the second
+    input is one row per customer, tiny."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q134_tpch_q14",
+    """
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+             / CAST(SUM(vol) AS DOUBLE) AS promo_revenue
+    FROM (
+      SELECT p_type,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1.00 - CAST(l_discount AS DECIMAL(18,2))) AS vol
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+    )
+    """,
+)
+def q134(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): single-row global ratio aggregate
+    over a fact×dim join — the dim (part) broadcasts, the month filter
+    prunes lineitem at the scan, and the whole query is one partial+final
+    hash aggregate with no shuffle of raw rows."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-03-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    p = _t(spark, sf_dir, "part")
+    vol = _dec("l_extendedprice") * (F.lit(1.00).cast("decimal(18,2)") - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    base = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_type", vol.alias("vol")
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("vol")).otherwise(zero))
+    return base.agg(
+        (promo.cast("double") * F.lit(100.0) / F.sum("vol").cast("double")).alias(
+            "promo_revenue"
+        )
+    )
+
+
+@query(
+    "q135_tpch_q15",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def q135(spark, sf_dir):
+    """TPC-H Q15 (top supplier): a derived revenue view consumed twice —
+    once as the join input, once inside a scalar MAX subquery — with an
+    EXACT-decimal equality between the two (double equality would be a
+    parity trap; decimal is safe).  Spark plans the 1-row max as a
+    broadcast and AQE reuses the revenue exchange for both consumers."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    vol = _dec("l_extendedprice") * (F.lit(1.00).cast("decimal(18,2)") - _dec("l_discount"))
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(vol).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+@query(
+    "q136_tpch_q19",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q136(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): three OR'd
+    conjunctions mixing columns from BOTH join sides.  Catalyst derives
+    the common single-side implications (p_brand IN (...), l_quantity
+    BETWEEN 1 AND 30) and pushes them below the join as scan filters
+    while keeping the full disjunction above — the classic CNF-extraction
+    test.  part side broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    vol = _dec("l_extendedprice") * (F.lit(1.00).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) | arm("Brand#4", 15, 20, 30))
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q137_tpch_q21",
+    """
+    WITH late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    """,
+)
+def q137(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: "late" =
+    shipped >90 days after order date on a finished order.  The shape is
+    the hard part and is preserved exactly: the same derived table
+    consumed three times — as the driving row set, inside an EXISTS
+    (another supplier touched the order), and inside a NOT EXISTS (no
+    OTHER supplier was late) — i.e. a semi join and an anti join both
+    carrying a non-equi (<>) conjunct next to the equality key."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    li2 = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
+    late3 = late.select(F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3"))
+    survivors = late.join(
+        li2,
+        (late.l_orderkey == li2.ok2) & (late.l_suppkey != li2.sk2),
+        "left_semi",
+    ).join(
+        late3,
+        (F.col("l_orderkey") == late3.ok3) & (F.col("l_suppkey") != late3.sk3),
+        "left_anti",
+    )
+    return (
+        survivors.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "q138_tpch_q22",
+    """
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT c_custkey % 10 AS cntrycode, c_acctbal, c_custkey
+      FROM customer
+      WHERE c_custkey % 10 IN (1, 3, 5, 7, 9)
+        AND c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                              / CAST(COUNT(*) AS DOUBLE)
+                         FROM customer c2
+                         WHERE c2.c_acctbal > 0.00 AND c2.c_custkey % 10 IN (1, 3, 5, 7, 9))
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    )
+    GROUP BY cntrycode
+    """,
+)
+def q138(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity), adapted: the fixture has no
+    c_phone, so "country code" = c_custkey % 10.  Combines an
+    UNCORRELATED scalar average (computed as exact-decimal sum / count,
+    the q98 moment rule), a NOT EXISTS anti join against orders, and a
+    grouped aggregate — three different subquery kinds in one query."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    code = (F.col("c_custkey") % 10).alias("cntrycode")
+    eligible = c.filter((F.col("c_custkey") % 10).isin(1, 3, 5, 7, 9))
+    thresh = eligible.filter(F.col("c_acctbal") > 0.00).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_bal"
+        )
+    )
+    return (
+        eligible.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, eligible.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(code)
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "q139_tpch_q2",
+    """
+    WITH supplies AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_partkey, p_brand, s_name, round(s_acctbal, 2) AS acctbal
+    FROM part
+    JOIN supplies ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+      AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+                       FROM supplies sp2
+                       JOIN supplier s2 ON s2.s_suppkey = sp2.l_suppkey
+                       JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+                       JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+                       WHERE sp2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    """,
+)
+def q139(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier), adapted: no partsupp table, so
+    "supplies" = DISTINCT (l_partkey, l_suppkey) observed in lineitem,
+    and the minimized measure is s_acctbal instead of ps_supplycost.  The
+    defining shape survives intact: a correlated scalar MIN over the SAME
+    multi-table join tree as the outer query, correlated on the part key.
+    Catalyst decorrelates it into an aggregate over the shared join +
+    equi-join back on (p_partkey, min) — the equality compares stored
+    doubles (no arithmetic), so it is hash-safe."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    li.select("l_partkey", "l_suppkey").distinct().createOrReplaceTempView("supplies_q139")
+    p.createOrReplaceTempView("part_q139")
+    s.createOrReplaceTempView("supplier_q139")
+    n.createOrReplaceTempView("nation_q139")
+    r.createOrReplaceTempView("region_q139")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, s_name, round(s_acctbal, 2) AS acctbal
+        FROM part_q139
+        JOIN supplies_q139 ON p_partkey = l_partkey
+        JOIN supplier_q139 ON s_suppkey = l_suppkey
+        JOIN nation_q139   ON s_nationkey = n_nationkey
+        JOIN region_q139   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+          AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+                           FROM supplies_q139 sp2
+                           JOIN supplier_q139 s2 ON s2.s_suppkey = sp2.l_suppkey
+                           JOIN nation_q139 n2   ON s2.s_nationkey = n2.n_nationkey
+                           JOIN region_q139 r2   ON n2.n_regionkey = r2.r_regionkey
+                           WHERE sp2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        """
+    )
+
+
+@query(
+    "q140_tpch_q11",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM pv
+    WHERE val > (SELECT SUM(val) * 0.001 FROM pv)
+    """,
+)
+def q140(spark, sf_dir):
+    """TPC-H Q11 (important stock), adapted: part value = summed
+    extendedprice shipped by NATION_3 suppliers (no ps_supplycost).  The
+    shape: a grouped aggregate compared in HAVING position against a
+    GLOBAL re-aggregate of itself scaled by a fraction — the threshold is
+    kept in exact decimal on both engines (decimal × decimal literal), so
+    the strict > comparison can't straddle a rounding boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    pv = (
+        li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("val"))
+    )
+    thresh = pv.agg(
+        (F.sum("val") * F.lit("0.001").cast("decimal(4,3)")).alias("cutoff")
+    )
+    return (
+        pv.join(F.broadcast(thresh))
+        .filter(F.col("val") > F.col("cutoff"))
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "q141_tpch_q17",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#12'
+      AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q141(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): correlated scalar AVG
+    against the SAME fact table being filtered — decorrelates into a
+    per-part aggregate joined back to lineitem.  l_quantity holds small
+    integers, so the double AVG is an exact-integer sum over an exact
+    count; 0.2×avg is then the identical IEEE double on both engines and
+    the < comparison is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    li.createOrReplaceTempView("li_q141")
+    p.createOrReplaceTempView("part_q141")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                 AS avg_yearly
+        FROM li_q141 JOIN part_q141 ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#12'
+          AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                            FROM li_q141 l2 WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
