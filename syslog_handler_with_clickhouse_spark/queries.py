@@ -4839,6 +4839,197 @@ def q141(spark, sf_dir):
     )
 
 
+@query(
+    "q142_summap",
+    """
+    SELECT user_id,
+           string_agg(event_type || ':' ||
+                      CAST(CAST(sum_val * 100 AS BIGINT) AS VARCHAR),
+                      ',' ORDER BY event_type) AS sum_map,
+           string_agg(event_type || ':' ||
+                      CAST(CAST(min_val * 100 AS BIGINT) AS VARCHAR),
+                      ',' ORDER BY event_type) AS min_map,
+           string_agg(event_type || ':' ||
+                      CAST(CAST(max_val * 100 AS BIGINT) AS VARCHAR),
+                      ',' ORDER BY event_type) AS max_map
+    FROM (
+      SELECT user_id, event_type,
+             SUM(CAST(value AS DECIMAL(18,2))) AS sum_val,
+             MIN(CAST(value AS DECIMAL(18,2))) AS min_val,
+             MAX(CAST(value AS DECIMAL(18,2))) AS max_val
+      FROM events GROUP BY user_id, event_type
+    )
+    GROUP BY user_id
+    """,
+)
+def q142(spark, sf_dir):
+    """ClickHouse sumMap / minMap / maxMap analogue: per user, a MAP from
+    event_type to the per-key sum/min/max of value.  Spark side builds a
+    real `map<string,decimal>` via map_from_entries(sort_array(collect_list
+    (struct(k,v)))) — ClickHouse's sorted-key-array semantics — then
+    serializes entries as `k:cents` for the hash compare (exact decimal
+    cents, never double-to-string).  One shuffle: the (user,key) pre-agg
+    and the per-user map assembly share the user_id hash partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id", "event_type").agg(
+        F.sum(_dec("value")).alias("sum_val"),
+        F.min(_dec("value")).alias("min_val"),
+        F.max(_dec("value")).alias("max_val"),
+    )
+
+    def as_map(col: str):
+        return F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(F.col("event_type"), F.col(col))))
+        )
+
+    def serialize(mapcol):
+        return F.concat_ws(
+            ",",
+            F.transform(
+                F.map_entries(mapcol),
+                lambda e: F.concat(
+                    e["key"],
+                    F.lit(":"),
+                    (e["value"] * 100).cast("bigint").cast("string"),
+                ),
+            ),
+        )
+
+    return per_key.groupBy("user_id").agg(
+        serialize(as_map("sum_val")).alias("sum_map"),
+        serialize(as_map("min_val")).alias("min_map"),
+        serialize(as_map("max_val")).alias("max_map"),
+    )
+
+
+@query(
+    "q143_weighted_quantile",
+    """
+    WITH by_value AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             SUM(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2))
+    ), cum AS (
+      SELECT l_returnflag, price,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM by_value
+    )
+    SELECT l_returnflag,
+           CAST(MIN(price) AS DOUBLE) AS weighted_median,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM cum
+    WHERE CAST(cw AS DOUBLE) >= 0.5 * CAST(tw AS DOUBLE)
+    GROUP BY l_returnflag
+    """,
+)
+def q143(spark, sf_dir):
+    """ClickHouse quantileExactWeighted(0.5)(price, quantity) analogue:
+    exact weighted median per group.  Weights collapse per DISTINCT value
+    first (groupBy), then a cumulative-weight window ordered by value
+    finds the smallest value whose cumulative weight crosses half the
+    total — value-level deterministic, no tie ambiguity.  Weights are
+    integer quantities, so every comparison is exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    by_value = li.groupBy(
+        "l_returnflag", _dec("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    wflag = Window.partitionBy("l_returnflag")
+    cum = by_value.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wflag.orderBy("price")).alias("cw"),
+        F.sum("w").over(wflag).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw").cast("double") >= F.lit(0.5) * F.col("tw").cast("double"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").cast("double").alias("weighted_median"),
+            F.max("tw").cast("bigint").alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "q144_agg_combinators",
+    """
+    SELECT event_type,
+           LEAST(COUNT(DISTINCT user_id), 11) AS uniq_upto_10,
+           COUNT(CASE WHEN value > 10.00 THEN 1 END) AS count_if_gt10,
+           CAST(SUM(CASE WHEN value > 10.00 THEN CAST(value AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_if_gt10,
+           CAST(SUM(CASE WHEN value > 10.00 THEN CAST(value AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(COUNT(CASE WHEN value > 10.00 THEN 1 END) AS DOUBLE)
+             AS avg_if_gt10,
+           MIN(user_id) AS any_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q144(spark, sf_dir):
+    """ClickHouse aggregate-combinator family in one pass: uniqUpTo(10)
+    (exact distinct capped at N+1 — the cheap "more than N?" probe),
+    countIf / sumIf / avgIf (avg derived from the exact conditional sum
+    and count, q98 moment rule), and `any` pinned to deterministic MIN
+    (ClickHouse `any` is execution-order-dependent; a distributed engine
+    must replace it with an order-free pick — documented deviation)."""
+    ev = _t(spark, sf_dir, "events")
+    zero = F.lit(0).cast("decimal(18,2)")
+    cond = F.col("value") > 10.00
+    sum_if = F.sum(F.when(cond, _dec("value")).otherwise(zero)).cast("double")
+    count_if = F.count(F.when(cond, F.lit(1)))
+    return ev.groupBy("event_type").agg(
+        F.least(F.countDistinct("user_id"), F.lit(11).cast("bigint")).alias("uniq_upto_10"),
+        count_if.alias("count_if_gt10"),
+        sum_if.alias("sum_if_gt10"),
+        (sum_if / count_if.cast("double")).alias("avg_if_gt10"),
+        F.min("user_id").alias("any_user"),
+    )
+
+
+@query(
+    "q145_topk_array",
+    """
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT user_id, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rn
+      FROM counts
+    )
+    SELECT string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY rn) AS top_users,
+           string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY rn) AS top_counts
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q145(spark, sf_dir):
+    """ClickHouse topK(5)(user_id) analogue with EXACT semantics: the five
+    most frequent users emitted as ONE array-valued aggregate row
+    (ClickHouse returns Array(T), serialized here as an ordered joined
+    string).  Exact top-by-count with a user_id tiebreak so the array is
+    total-order deterministic; the plan is groupBy + TakeOrdered(5) — no
+    global sort of the counts.  At 100 TB the approximate path is
+    df.stat.freqItems / countminsketch; this is the exact reference."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("user_id")).limit(5)
+    # collect_list gives no ordering guarantee — sort the collected structs
+    # by (-cnt, user_id) so the emitted arrays are order-deterministic.
+    ordered = F.sort_array(
+        F.collect_list(F.struct((-F.col("cnt")).alias("negc"), F.col("user_id")))
+    )
+    return top.agg(
+        F.concat_ws(
+            ",", F.transform(ordered, lambda x: x["user_id"].cast("string"))
+        ).alias("top_users"),
+        F.concat_ws(
+            ",", F.transform(ordered, lambda x: (-x["negc"]).cast("string"))
+        ).alias("top_counts"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
