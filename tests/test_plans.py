@@ -160,6 +160,70 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_q19_disjunction_decomposed_to_both_scans(spark):
+    """q136 (TPC-H Q19): Catalyst must extract each side's implied
+    predicates from the cross-table OR and push them into BOTH parquet
+    scans — l_quantity bounds reach lineitem, p_brand/p_size reach part.
+    Without this the scan reads 100% of lineitem at 100 TB."""
+    df = QUERIES["q136_tpch_q19"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert has_pushed_filters(df, "l_quantity"), plan
+    assert has_pushed_filters(df, "p_brand"), plan
+
+
+def test_q4_semi_join_carries_non_equi_condition(spark):
+    """q130 (TPC-H Q4): the correlated EXISTS plans as ONE left-semi join
+    whose non-equi part (shipdate > orderdate + 60d) rides as the join
+    condition — no extra shuffle, no subquery re-execution; the orders
+    date range is pushed to the scan."""
+    df = QUERIES["q130_tpch_q4"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert has_pushed_filters(df, "o_orderdate"), plan
+
+
+def test_q21_has_semi_and_anti_joins(spark):
+    """q137 (TPC-H Q21): EXISTS → left-semi and NOT EXISTS → left-anti,
+    each carrying the <> conjunct as the join condition."""
+    df = QUERIES["q137_tpch_q21"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q15_pushes_date_filter_to_both_revenue_consumers(spark):
+    """q135 (TPC-H Q15): the revenue view is consumed twice (join input +
+    scalar MAX); the shipdate range must reach the lineitem scan in both
+    instantiations rather than being filtered post-scan once."""
+    df = QUERIES["q135_tpch_q15"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("GreaterThanOrEqual(l_shipdate") >= 2, plan
+
+
+def test_tpch_batch_has_no_python(spark):
+    """The whole adapted TPC-H suite stays JVM-side."""
+    for name in [
+        "q130_tpch_q4",
+        "q131_tpch_q7",
+        "q132_tpch_q8",
+        "q133_tpch_q13",
+        "q134_tpch_q14",
+        "q135_tpch_q15",
+        "q136_tpch_q19",
+        "q137_tpch_q21",
+        "q138_tpch_q22",
+        "q139_tpch_q2",
+        "q140_tpch_q11",
+        "q141_tpch_q17",
+        "q142_summap",
+        "q143_weighted_quantile",
+        "q144_agg_combinators",
+        "q145_topk_array",
+    ]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert python_eval_nodes(df) == [], name
+
+
 def test_salted_join_equals_plain_on_skewed_keys(spark):
     from syslog_handler_with_clickhouse_spark.operators.joins import salted_join
 
