@@ -5030,6 +5030,176 @@ def q145(spark, sf_dir):
     )
 
 
+@query(
+    "q146_interval_overlap_join",
+    """
+    WITH sessions AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MIN(epoch_us(ts)) AS s_start, MAX(epoch_us(ts)) AS s_end
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), incidents AS (
+      SELECT CAST(ts AS DATE) AS day, MIN(epoch_us(ts)) AS i_start,
+             MIN(epoch_us(ts)) + 1800000000 AS i_end
+      FROM events WHERE event_type = 'error' GROUP BY CAST(ts AS DATE)
+    )
+    SELECT user_id, strftime(s.day, '%Y-%m-%d') AS day,
+           LEAST(s_end, i_end) - GREATEST(s_start, i_start) AS overlap_us
+    FROM sessions s JOIN incidents i ON s.day = i.day
+    WHERE s_start <= i_end AND i_start <= s_end
+    """,
+)
+def q146(spark, sf_dir):
+    """INTERVAL-OVERLAP join (range × range, not the point-in-range q26):
+    per-user daily activity spans joined to daily incident windows on
+    `a.start <= b.end AND b.start <= a.end`, returning overlap duration.
+    The equality on `day` is the partition key, so the theta part runs
+    within hash buckets (an equi+range join, not BNLJ); the incident side
+    is one row per day and broadcasts.  All arithmetic in exact integer
+    microseconds (unix_micros ↔ epoch_us)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    sessions = ev.groupBy("user_id", day).agg(
+        F.min(F.unix_micros("ts")).alias("s_start"),
+        F.max(F.unix_micros("ts")).alias("s_end"),
+    )
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(day)
+        .agg(F.min(F.unix_micros("ts")).alias("i_start"))
+        .select("day", "i_start", (F.col("i_start") + 1_800_000_000).alias("i_end"))
+    )
+    s, i = sessions.alias("s"), F.broadcast(incidents.alias("i"))
+    return (
+        s.join(
+            i,
+            (F.col("s.day") == F.col("i.day"))
+            & (F.col("s_start") <= F.col("i_end"))
+            & (F.col("i_start") <= F.col("s_end")),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("s.day"), "yyyy-MM-dd").alias("day"),
+            (
+                F.least("s_end", "i_end") - F.greatest("s_start", "i_start")
+            ).alias("overlap_us"),
+        )
+    )
+
+
+@query(
+    "q147_moving_median",
+    """
+    SELECT event_id,
+           l[(len(l) + 1) // 2] AS med5
+    FROM (
+      SELECT event_id,
+             list_sort(list(value) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS l
+      FROM events
+    )
+    """,
+)
+def q147(spark, sf_dir):
+    """Moving EXACT median (ClickHouse medianExact over a frame): per
+    user, the lower median of the last 5 values.  Built-in median()
+    rejects window frames, so the frame's values are collected, sorted,
+    and indexed — element selection, not arithmetic, so doubles stay
+    exact.  The frame is bounded (5 rows), so the per-row array is O(1)
+    and the whole thing is one window shuffle by user_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    sorted_l = F.array_sort(F.collect_list("value").over(w))
+    return ev.select(
+        "event_id",
+        F.element_at(sorted_l, ((F.size(sorted_l) + 1) / 2).cast("int")).alias("med5"),
+    )
+
+
+@query(
+    "q148_regexp_family",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+           COALESCE(array_to_string(regexp_extract_all(text, '[0-9]+'), ','), '')
+             AS numbers,
+           CASE WHEN regexp_matches(text, '(?i)spark') THEN 1 ELSE 0 END AS mentions_spark,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS masked
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def q148(spark, sf_dir):
+    """Regexp function family (ClickHouse extractAll / countMatches /
+    match / replaceRegexpAll): extract-all with counts, boolean match,
+    and global replace — all JVM-side codegen, no UDF.  Patterns kept to
+    portable ASCII classes so Java and RE2-style engines agree."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    nums = F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(nums).alias("n_numbers"),
+        F.concat_ws(",", nums).alias("numbers"),
+        F.when(F.col("text").rlike("(?i)spark"), 1).otherwise(0).alias("mentions_spark"),
+        F.regexp_replace("text", "[0-9]+", "#").alias("masked"),
+    )
+
+
+@query(
+    "q149_bit_aggregates",
+    """
+    SELECT event_type,
+           bit_and(user_id) AS band,
+           bit_or(user_id) AS bor,
+           bit_xor(user_id) AS bxor
+    FROM events GROUP BY event_type
+    """,
+)
+def q149(spark, sf_dir):
+    """Bitwise aggregates (ClickHouse groupBitAnd/Or/Xor): associative,
+    commutative, and mergeable — they partial-aggregate map-side like any
+    sum, so the shuffle carries one row per (partition × event_type)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("band"),
+        F.bit_or("user_id").alias("bor"),
+        F.bit_xor("user_id").alias("bxor"),
+    )
+
+
+@query(
+    "q150_limit_by",
+    """
+    SELECT user_id, event_id, event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    WHERE rn <= 2
+    """,
+)
+def q150(spark, sf_dir):
+    """ClickHouse `LIMIT 2 BY user_id`: the first two events per user in
+    time order.  Maps to row_number over a per-user window — the window
+    shuffle is the only exchange, and the rn <= 2 filter is applied
+    inside the window operator's output before any further stage (Spark
+    pushes the rank limit into the sort via WindowGroupLimit)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id", "event_id", "event_type", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 2)
+        .drop("rn")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
