@@ -5200,6 +5200,147 @@ def q150(spark, sf_dir):
     )
 
 
+@query(
+    "q151_recursive_cte",
+    """
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey AS node, c_custkey // 2 AS anc
+      FROM customer WHERE c_custkey > 1
+      UNION ALL
+      SELECT a.node, a.anc // 2 FROM anc a WHERE a.anc > 1
+    )
+    SELECT node, COUNT(*) AS n_ancestors, SUM(anc) AS anc_sum
+    FROM anc GROUP BY node
+    """,
+)
+def q151(spark, sf_dir):
+    """RECURSIVE CTE (Spark 4 `WITH RECURSIVE`): full ancestor closure of
+    the implicit binary-tree hierarchy node -> node div 2.  Unlike q69's
+    driver-side loop-to-fixpoint, this runs the iteration inside ONE SQL
+    statement on both engines.  Each iteration is a narrow projection of
+    the frontier (no joins), so the work per step is O(frontier) and the
+    depth is log2(n) — ~17 iterations even at 10^5 customers."""
+    c = _t(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("cust_q151")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT c_custkey AS node, c_custkey div 2 AS anc
+          FROM cust_q151 WHERE c_custkey > 1
+          UNION ALL
+          SELECT a.node, a.anc div 2 FROM anc a WHERE a.anc > 1
+        )
+        SELECT node, COUNT(*) AS n_ancestors, SUM(anc) AS anc_sum
+        FROM anc GROUP BY node
+        """
+    )
+
+
+@query(
+    "q152_rfc5424_parse",
+    """
+    WITH lines AS (
+      SELECT event_id,
+             '<' || CAST((user_id % 24) * 8 + (event_id % 8) AS VARCHAR)
+                 || '>1 2024-01-01T00:00:00Z host-' || CAST(user_id AS VARCHAR)
+                 || ' app - - ' || event_type AS raw
+      FROM events
+    )
+    SELECT event_id,
+           CAST(regexp_extract(raw, '^<([0-9]+)>', 1) AS BIGINT) // 8 AS facility,
+           CAST(regexp_extract(raw, '^<([0-9]+)>', 1) AS BIGINT) % 8 AS severity,
+           regexp_extract(raw, '^<[0-9]+>1 \\S+ (\\S+)', 1) AS host,
+           regexp_extract(raw, ' - - (.*)$', 1) AS msg
+    FROM lines
+    """,
+)
+def q152(spark, sf_dir):
+    """RFC 5424 syslog header decode (SURVEY §2.2 tier-X extension): the
+    `<PRI>` integer splits as facility = pri div 8, severity = pri mod 8,
+    plus host and free-text message capture — ALL native regexp_extract +
+    integer arithmetic, no UDF (the reference's ParseLog is a Go
+    function; here the whole decode stays in whole-stage codegen).  Input
+    lines are synthesized deterministically from the events fixture so
+    both engines parse identical bytes."""
+    ev = _t(spark, sf_dir, "events")
+    raw = F.concat(
+        F.lit("<"),
+        ((F.col("user_id") % 24) * 8 + (F.col("event_id") % 8)).cast("string"),
+        F.lit(">1 2024-01-01T00:00:00Z host-"),
+        F.col("user_id").cast("string"),
+        F.lit(" app - - "),
+        F.col("event_type"),
+    )
+    lines = ev.select("event_id", raw.alias("raw"))
+    pri = F.regexp_extract("raw", r"^<([0-9]+)>", 1).cast("bigint")
+    return lines.select(
+        "event_id",
+        (pri / 8).cast("bigint").alias("facility"),
+        (pri % 8).alias("severity"),
+        F.regexp_extract("raw", r"^<[0-9]+>1 \S+ (\S+)", 1).alias("host"),
+        F.regexp_extract("raw", r" - - (.*)$", 1).alias("msg"),
+    )
+
+
+@query(
+    "q153_higher_moments",
+    """
+    SELECT event_type,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_val,
+           (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+              - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+              + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+           / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+              * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+             AS skew_cents
+    FROM (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s1,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s2,
+             SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0))
+                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s3
+      FROM events GROUP BY event_type
+    )
+    """,
+)
+def q153(spark, sf_dir):
+    """Population SKEWNESS (ClickHouse skewPop) from exact mergeable
+    moments — the q98 rule extended to the 3rd moment.  Values become
+    integer cents; s1/s2/s3 are exact integer/decimal sums (associative,
+    order-free, partial-aggregable map-side), and the final skew =
+    m3_central / m2^1.5 is assembled from them in ONE deterministic
+    double expression, identical token-for-token on both engines —
+    built-in skewness() would drift by summation order at scale."""
+    ev = _t(spark, sf_dir, "events")
+    cents = (_dec("value") * 100).cast("bigint")
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+        F.sum((cents * cents).cast("decimal(38,0)") * cents).alias("s3"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    var = r2 - m1 * m1
+    m3c = r3 - F.lit(3.0) * m1 * r2 + F.lit(2.0) * m1 * m1 * m1
+    return base.select(
+        "event_type",
+        (m1 / F.lit(100.0)).alias("mean_val"),
+        (m3c / (var * F.sqrt(var))).alias("skew_cents"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
