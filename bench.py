@@ -38,6 +38,9 @@ HEADLINE = [
     "q57_local_supplier_volume",  # TPC-H Q5 6-way join
     "q60_embedding_neardup", # LSH-blocked cosine near-dup
     "q70_stream_ingest_store",  # full streaming ingest -> store -> read
+    "q133_tpch_q13",         # outer join + double aggregation
+    "q136_tpch_q19",         # disjunctive CNF pushdown join
+    "q137_tpch_q21",         # semi+anti join tree (EXISTS/NOT EXISTS)
 ]
 
 
