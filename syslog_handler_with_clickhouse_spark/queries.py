@@ -5341,6 +5341,134 @@ def q153(spark, sf_dir):
     )
 
 
+@query(
+    "q154_token_budget_select",
+    """
+    WITH t AS (
+      SELECT lang, doc_id, n_chars,
+             len(string_split(text, ' ')) AS toks
+      FROM documents
+    ), c AS (
+      SELECT lang, doc_id, toks,
+             SUM(toks) OVER (PARTITION BY lang
+                             ORDER BY n_chars DESC, doc_id) AS cum_toks
+      FROM t
+    )
+    SELECT lang, doc_id, toks, cum_toks FROM c WHERE cum_toks <= 5000
+    """,
+)
+def q154(spark, sf_dir):
+    """Token-budget corpus selection: per language, keep the best docs
+    (longest-first as the quality proxy, doc_id tiebreak) until a 5 000-
+    token budget is exhausted — the 'fill each language's share of the
+    training mix' primitive.  A cumulative-sum window per stratum; all
+    integer arithmetic.  One shuffle on lang; at 100 TB the same plan
+    holds with lang → (lang, quality-bucket) pre-partitioning."""
+    d = _t(spark, sf_dir, "documents")
+    toks = token_count_ws(F.col("text")).alias("toks")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    c = d.select("lang", "doc_id", "n_chars", toks).withColumn(
+        "cum_toks", F.sum("toks").over(w)
+    )
+    return c.filter(F.col("cum_toks") <= 5000).select(
+        "lang", "doc_id", "toks", "cum_toks"
+    )
+
+
+@query(
+    "q155_mixture_resample",
+    """
+    WITH quota AS (
+      SELECT source,
+             CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                  THEN 15 ELSE 5 END AS q
+      FROM (SELECT DISTINCT source FROM documents)
+    ), ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(text), doc_id) AS rn
+      FROM documents
+    )
+    SELECT r.source, r.doc_id, q.q AS source_quota
+    FROM ranked r JOIN quota q ON r.source = q.source
+    WHERE r.rn <= q.q
+    """,
+)
+def q155(spark, sf_dir):
+    """Source-mixture resampling: downsample each source to a TARGET
+    WEIGHT (even-indexed sources get 3× the share of odd ones, the
+    'more web, less forum' knob).  Per-source quotas are a tiny derived
+    dim broadcast into a rank filter; ranking by content hash gives a
+    deterministic, machine-independent shuffle (q89/q90 rule).  No RNG,
+    no collect — the whole mixture policy is one broadcast join."""
+    d = _t(spark, sf_dir, "documents")
+    quota = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.when(F.substring("source", 4, 10).cast("int") % 2 == 0, 15)
+            .otherwise(5)
+            .alias("q"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("text")), F.col("doc_id"))
+    ranked = d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("rn") <= F.col("q"))
+        .select("source", "doc_id", F.col("q").alias("source_quota"))
+    )
+
+
+@query(
+    "q156_idf_doc_score",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t AS token
+      FROM documents, UNNEST(regexp_extract_all(lower(text), '{re}')) AS u(t)
+    ), df AS (
+      SELECT token, COUNT(*) AS dfreq FROM tok GROUP BY token
+    ), n AS (SELECT COUNT(*) AS nd FROM documents)
+    SELECT tok.doc_id,
+           SUM(n.nd // df.dfreq) AS idf_score,
+           COUNT(*) AS n_unique_tokens
+    FROM tok JOIN df ON tok.token = df.token CROSS JOIN n
+    GROUP BY tok.doc_id
+    """.format(re=TOKEN_RE),
+)
+def q156(spark, sf_dir):
+    """Integer-IDF document scoring (rarity-weighted quality, the
+    KenLM-perplexity stand-in that stays EXACT): score(doc) = Σ over
+    distinct tokens of N div df(token).  Integer division keeps both
+    engines bit-identical where a float log-idf would drift ulps.  Plan:
+    explode→distinct (one shuffle on (doc,token)), df aggregate (shuffle
+    on token), broadcast N, then the token-keyed join back — at 100 TB
+    the df table exceeds memory and the same plan degrades gracefully to
+    a shuffled join on token, already its key."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+            ).alias("token"),
+        )
+        .distinct()
+    )
+    df_ = tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    n = d.agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        tok.join(df_, "token")
+        .join(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.floor(F.col("nd") / F.col("dfreq"))).alias("idf_score"),
+            F.count(F.lit(1)).alias("n_unique_tokens"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
