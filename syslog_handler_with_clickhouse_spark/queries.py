@@ -5469,6 +5469,42 @@ def q156(spark, sf_dir):
     )
 
 
+@query(
+    "q157_alter_delete",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE event_id % 5 = 0 AND NOT (user_id % 17 = 3)
+    GROUP BY strftime(CAST(ts AS DATE), '%Y-%m-%d')
+    """,
+)
+def q157(spark, sf_dir):
+    """ClickHouse `ALTER TABLE ... DELETE WHERE` mutation (the GDPR
+    right-to-erasure path): build a date-partitioned store, delete every
+    row of the target users (user_id % 17 == 3) via partition-targeted
+    rewrite — only partitions containing matches are rewritten, the rest
+    keep their files — then the surviving store must equal the oracle's
+    NOT-filtered aggregate."""
+    import tempfile
+
+    from .sources.sinks import delete_rows
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    store = tempfile.mkdtemp(prefix="del_q_") + "/store"
+    (
+        ev.withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+        .write.partitionBy("day")
+        .parquet(store)
+    )
+    delete_rows(spark, store, F.col("user_id") % 17 == 3, partition_col="day")
+    back = spark.read.parquet(store)
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -146,6 +146,61 @@ def expire_partitions(path: str, partition_col: str, before: str) -> int:
     return removed
 
 
+def delete_rows(
+    spark,
+    path: str,
+    condition,
+    partition_col: str | None = None,
+) -> int:
+    """Targeted row deletion — the ClickHouse ``ALTER TABLE ... DELETE
+    WHERE`` mutation (and the GDPR-erasure primitive) for a Parquet store.
+
+    Plain Parquet is immutable, so deletion is a rewrite — but only of the
+    partitions that actually contain matching rows.  With ``partition_col``
+    given, a first cheap scan projects just the partition values of
+    matching rows (predicate pushdown + column pruning make this a
+    metadata-light pass), then each AFFECTED partition directory is read
+    back, filtered, and atomically swapped; untouched partitions keep
+    their files byte-for-byte.  At 100 TB with date partitioning, erasing
+    one user's data rewrites only the days that user appears in.
+
+    Returns the number of rows deleted.  A table format (Delta/Iceberg)
+    would make the same operation transactional deletion-vector writes.
+    """
+    import os
+    import shutil
+
+    if partition_col is None:
+        cur = spark.read.parquet(path)
+        keep = cur.filter(~condition)
+        deleted = cur.count() - keep.count()
+        if deleted == 0:
+            return 0
+        tmp = path.rstrip("/") + ".deleting"
+        keep.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        return deleted
+
+    cur = spark.read.parquet(path)
+    affected = [
+        r[0]
+        for r in cur.filter(condition).select(partition_col).distinct().collect()
+    ]
+    deleted = 0
+    for val in affected:
+        part_dir = os.path.join(path, f"{partition_col}={val}")
+        part = spark.read.option("basePath", path).parquet(part_dir)
+        keep = part.filter(~condition)
+        deleted += part.count() - keep.count()
+        tmp = part_dir + ".deleting"
+        # the partition dir encodes the value; drop the constant column
+        keep.drop(partition_col).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(part_dir)
+        os.rename(tmp, part_dir)
+    return deleted
+
+
 def jdbc_sink_options(url: str, table: str, user: str, password: str) -> dict[str, str]:
     """ClickHouse-over-JDBC options mirroring the reference's connection
     settings: pool of 5 (`main.go:48-51`) → numPartitions; 10 s insert

@@ -45,3 +45,51 @@ def test_compaction_partitioned_store(spark, tmp_path):
     compact_parquet(spark, store, target_bytes=1 << 30, partition_col="day")
     assert len(_parquet_files(store)) < n_before
     assert spark.read.parquet(store).count() == before
+
+
+def test_delete_rows_partition_targeted(spark, tmp_path):
+    """delete_rows removes exactly the matching rows, reports the count,
+    and does NOT rewrite partitions that contain no matches."""
+    import os
+
+    from syslog_handler_with_clickhouse_spark.sources.sinks import delete_rows
+
+    df = spark.createDataFrame(
+        [(i, "d1" if i < 10 else "d2", i % 4) for i in range(20)],
+        "id long, day string, uid long",
+    )
+    store = str(tmp_path / "store")
+    df.write.partitionBy("day").parquet(store)
+
+    # uid==3 rows live only in both partitions; delete uid==3 where id<10
+    # → only partition d1 is affected
+    cond = (F.col("uid") == 3) & (F.col("id") < 10)
+    untouched = sorted(
+        (f, os.path.getmtime(os.path.join(store, "day=d2", f)))
+        for f in os.listdir(os.path.join(store, "day=d2"))
+        if f.endswith(".parquet")
+    )
+    n = delete_rows(spark, store, cond, partition_col="day")
+    assert n == 2  # ids 3, 7
+    after = sorted(
+        (f, os.path.getmtime(os.path.join(store, "day=d2", f)))
+        for f in os.listdir(os.path.join(store, "day=d2"))
+        if f.endswith(".parquet")
+    )
+    assert after == untouched  # byte-identical partition kept its files
+
+    back = spark.read.parquet(store)
+    assert back.count() == 18
+    assert back.filter(cond).count() == 0
+    # schema intact incl. partition column
+    assert sorted(back.columns) == ["day", "id", "uid"]
+
+
+def test_delete_rows_no_match_is_noop(spark, tmp_path):
+    from syslog_handler_with_clickhouse_spark.sources.sinks import delete_rows
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, day string")
+    store = str(tmp_path / "s2")
+    df.write.partitionBy("day").parquet(store)
+    assert delete_rows(spark, store, F.col("id") == 99, partition_col="day") == 0
+    assert spark.read.parquet(store).count() == 2
