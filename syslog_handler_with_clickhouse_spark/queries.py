@@ -5505,6 +5505,87 @@ def q157(spark, sf_dir):
     )
 
 
+@query(
+    "q158_alter_update",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*) AS n,
+           SUM(CASE WHEN user_id % 17 = 3 THEN -1 ELSE user_id END) AS uid_sum
+    FROM events
+    WHERE event_id % 5 = 1
+    GROUP BY strftime(CAST(ts AS DATE), '%Y-%m-%d')
+    """,
+)
+def q158(spark, sf_dir):
+    """ClickHouse `ALTER TABLE ... UPDATE` mutation (the pseudonymization
+    path: overwrite the target users' id with a sentinel, keep their
+    rows for aggregate integrity).  Partition-targeted like q157 — only
+    partitions containing matches are rewritten; row COUNT must be
+    unchanged while the uid sum reflects the in-place update."""
+    import tempfile
+
+    from .sources.sinks import update_rows
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 1)
+    store = tempfile.mkdtemp(prefix="upd_q_") + "/store"
+    (
+        ev.withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+        .write.partitionBy("day")
+        .parquet(store)
+    )
+    update_rows(
+        spark,
+        store,
+        F.col("user_id") % 17 == 3,
+        {"user_id": F.lit(-1).cast("bigint")},
+        partition_col="day",
+    )
+    back = spark.read.parquet(store)
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("uid_sum")
+    )
+
+
+@query(
+    "q159_overlap_chunking",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    )
+    SELECT doc_id, s AS chunk_start,
+           array_to_string(list_slice(toks, s + 1, s + 50), ' ') AS chunk,
+           len(list_slice(toks, s + 1, s + 50)) AS chunk_toks
+    FROM t, UNNEST(range(0, CAST(n AS BIGINT), 40)) AS u(s)
+    """,
+)
+def q159(spark, sf_dir):
+    """Overlapping-window chunking (RAG / long-context training prep):
+    each document splits into 50-token chunks with stride 40 (10-token
+    overlap), keeping (doc_id, chunk_start) provenance.  Unlike q91's
+    cross-doc packing, chunks never cross documents.  Pure narrow
+    explode — no shuffle at all; the fan-out is bounded by
+    ceil(tokens/stride) so executor memory stays flat at any corpus
+    size."""
+    d = _t(spark, sf_dir, "documents")
+    toks = words(F.col("text"))
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    starts = F.sequence(
+        F.lit(0).cast("bigint"),
+        (F.col("n") - 1).cast("bigint"),
+        F.lit(40).cast("bigint"),
+    )
+    exploded = t.select("doc_id", "toks", F.explode(starts).alias("s"))
+    sl = F.slice(F.col("toks"), F.col("s").cast("int") + 1, 50)
+    return exploded.select(
+        "doc_id",
+        F.col("s").alias("chunk_start"),
+        F.concat_ws(" ", sl).alias("chunk"),
+        F.size(sl).cast("bigint").alias("chunk_toks"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

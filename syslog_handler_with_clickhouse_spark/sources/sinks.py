@@ -201,6 +201,54 @@ def delete_rows(
     return deleted
 
 
+def update_rows(
+    spark,
+    path: str,
+    condition,
+    assignments: dict,
+    partition_col: str | None = None,
+) -> int:
+    """``ALTER TABLE ... UPDATE col = expr WHERE cond`` — the mutation
+    twin of :func:`delete_rows`.  ``assignments`` maps column name →
+    Column expression applied only to matching rows (non-matching rows
+    pass through unchanged).  Same partition-targeting: only partitions
+    containing matches are rewritten.  Returns rows updated."""
+    import os
+    import shutil
+
+    def _apply(df):
+        out = df
+        for col, expr in assignments.items():
+            out = out.withColumn(col, F.when(condition, expr).otherwise(F.col(col)))
+        return out
+
+    cur = spark.read.parquet(path)
+    if partition_col is None:
+        updated = cur.filter(condition).count()
+        if updated == 0:
+            return 0
+        tmp = path.rstrip("/") + ".updating"
+        _apply(cur).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        return updated
+
+    affected = [
+        r[0]
+        for r in cur.filter(condition).select(partition_col).distinct().collect()
+    ]
+    updated = 0
+    for val in affected:
+        part_dir = os.path.join(path, f"{partition_col}={val}")
+        part = spark.read.option("basePath", path).parquet(part_dir)
+        updated += part.filter(condition).count()
+        tmp = part_dir + ".updating"
+        _apply(part).drop(partition_col).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(part_dir)
+        os.rename(tmp, part_dir)
+    return updated
+
+
 def jdbc_sink_options(url: str, table: str, user: str, password: str) -> dict[str, str]:
     """ClickHouse-over-JDBC options mirroring the reference's connection
     settings: pool of 5 (`main.go:48-51`) → numPartitions; 10 s insert

@@ -93,3 +93,28 @@ def test_delete_rows_no_match_is_noop(spark, tmp_path):
     df.write.partitionBy("day").parquet(store)
     assert delete_rows(spark, store, F.col("id") == 99, partition_col="day") == 0
     assert spark.read.parquet(store).count() == 2
+
+
+def test_update_rows_partition_targeted(spark, tmp_path):
+    from syslog_handler_with_clickhouse_spark.sources.sinks import update_rows
+
+    df = spark.createDataFrame(
+        [(i, "d1" if i < 10 else "d2", i % 4) for i in range(20)],
+        "id long, day string, uid long",
+    )
+    store = str(tmp_path / "ustore")
+    df.write.partitionBy("day").parquet(store)
+
+    n = update_rows(
+        spark,
+        store,
+        (F.col("uid") == 3) & (F.col("id") < 10),
+        {"uid": F.lit(-1).cast("long")},
+        partition_col="day",
+    )
+    assert n == 2
+    back = spark.read.parquet(store)
+    assert back.count() == 20  # updates never drop rows
+    assert back.filter(F.col("uid") == -1).count() == 2
+    # d2 partition untouched: its uid==3 rows survive
+    assert back.filter((F.col("day") == "d2") & (F.col("uid") == 3)).count() > 0
