@@ -5586,6 +5586,58 @@ def q159(spark, sf_dir):
     )
 
 
+@query(
+    "q160_ohlc_downsample",
+    """
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '{tss}') AS bucket,
+           event_type,
+           CAST(arg_min(CAST(value AS DECIMAL(18,2)),
+                        lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS DOUBLE)
+             AS open,
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS high,
+           CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS low,
+           CAST(arg_max(CAST(value AS DECIMAL(18,2)),
+                        lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS DOUBLE)
+             AS close,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """.format(tss=TS_D),
+)
+def q160(spark, sf_dir):
+    """Time-series OHLC downsampling (the ClickHouse
+    `toStartOfFiveMinutes` + argMin/argMax resample): per 5-minute bucket
+    per series, open/close via min_by/max_by on an EXACT zero-padded
+    string composite key (µs ‖ event_id — unique, so no arg tie
+    ambiguity, and lexicographic == numeric without the int64 overflow a
+    µs·10^5+id product would hit; the q95 rule: never float composites),
+    high/low as plain decimal extrema.
+    One partial+final hash aggregate — min_by/max_by are mergeable, so
+    the shuffle carries one row per (partition × bucket × series)."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.groupBy(
+            F.date_format(F.window("ts", "5 minutes").getField("start"), TS_S).alias(
+                "bucket"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.min_by(_dec("value"), key).cast("double").alias("open"),
+            F.max(_dec("value")).cast("double").alias("high"),
+            F.min(_dec("value")).cast("double").alias("low"),
+            F.max_by(_dec("value"), key).cast("double").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
