@@ -224,6 +224,26 @@ def test_tpch_batch_has_no_python(spark):
         assert python_eval_nodes(df) == [], name
 
 
+def test_join_strategy_hints_are_honored(spark):
+    """The full hint surface a user tunes with: SHUFFLE_HASH avoids the
+    sort phase of SMJ (right for large-but-fits-in-memory build sides),
+    MERGE forces SMJ, BROADCAST forces BHJ — each must surface in the
+    physical plan."""
+    from syslog_handler_with_clickhouse_spark.sources.testdata import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus")
+
+    shj = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in formatted_plan(shj), formatted_plan(shj)
+
+    smj = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in formatted_plan(smj), formatted_plan(smj)
+
+    bhj = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
+    assert "BroadcastHashJoin" in formatted_plan(bhj), formatted_plan(bhj)
+
+
 def test_salted_join_equals_plain_on_skewed_keys(spark):
     from syslog_handler_with_clickhouse_spark.operators.joins import salted_join
 
