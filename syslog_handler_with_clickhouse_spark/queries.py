@@ -5638,6 +5638,75 @@ def q160(spark, sf_dir):
     )
 
 
+@query(
+    "q161_ewma",
+    """
+    SELECT event_id,
+           list_sum(list_transform(l, (x, i) -> x * pow(0.5, len(l) - i)))
+             / list_sum(list_transform(l, (x, i) -> pow(0.5, len(l) - i)))
+             AS ewma8
+    FROM (
+      SELECT event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+      FROM events
+    )
+    """,
+)
+def q161(spark, sf_dir):
+    """Exponentially-weighted moving average over a bounded 8-row frame
+    (ClickHouse exponentialMovingAverage / pandas ewm): newest row gets
+    weight 1, each older row halves.  alpha = 1/2 makes every weight an
+    EXACT power of two, so the weighted sum is deterministic across
+    engines (the reason alpha is 1/2 and not 0.3); both sides fold the
+    frame list left-to-right.  One window shuffle on user_id; the frame
+    list is O(8) per row."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-7, 0)
+    arr = F.collect_list("value").over(w)
+    t = ev.select("event_id", arr.alias("l"))
+    n = F.size("l")
+    num = F.aggregate(
+        F.transform("l", lambda x, i: x * F.pow(F.lit(0.5), (n - 1 - i).cast("double"))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    den = F.aggregate(
+        F.transform("l", lambda x, i: F.pow(F.lit(0.5), (n - 1 - i).cast("double"))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return t.select("event_id", (num / den).alias("ewma8"))
+
+
+@query(
+    "q162_group_topn_array",
+    """
+    SELECT user_id,
+           array_to_string(list_slice(list_sort(
+             list(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)), 'DESC'),
+             1, 3), ',') AS top3_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def q162(spark, sf_dir):
+    """ClickHouse groupArray-with-limit / topK-values analogue: per key,
+    the 3 largest values emitted as ONE ordered array (serialized for the
+    hash compare; exact integer cents).  collect_list has no ordering
+    guarantee, so the sort happens on the collected array — bounded
+    output per group regardless of group size.  At 100 TB, cap the
+    collected array first with a windowed rank when groups are huge;
+    here groups are small and one aggregate pass wins."""
+    ev = _t(spark, sf_dir, "events")
+    cents = (_dec("value") * 100).cast("bigint")
+    top3 = F.slice(F.sort_array(F.collect_list(cents), asc=False), 1, 3)
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.transform(top3, lambda x: x.cast("string"))).alias(
+            "top3_cents"
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
