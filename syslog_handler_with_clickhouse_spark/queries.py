@@ -5707,6 +5707,87 @@ def q162(spark, sf_dir):
     )
 
 
+@query(
+    "q163_windowed_funnel",
+    """
+    WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT v.user_id,
+           COUNT(DISTINCT v.event_id) AS converted_views,
+           strftime(MIN(p.ts), '{tsf}') AS first_completion
+    FROM v
+    JOIN c ON c.user_id = v.user_id
+          AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+    JOIN p ON p.user_id = v.user_id
+          AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
+    GROUP BY v.user_id
+    """.format(tsf=TSF_D),
+)
+def q163(spark, sf_dir):
+    """TIME-BOUNDED funnel — ClickHouse windowFunnel(14400)(...) semantics
+    (q97 is the unbounded ordered variant): view → click → purchase must
+    ALL land inside 4 hours of the view.  Expressed as equi-joins on
+    user_id with range conjuncts riding the hash join, so the quadratic
+    term is bounded by events-per-user-per-window, not per-user totals.
+    At 100 TB, pre-bucketing events by (user, hour) bounds each join's
+    probe set by construction."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", F.col("ts").alias("v_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    horizon = F.col("v_ts") + F.expr("INTERVAL 4 HOURS")
+    return (
+        v.join(
+            c,
+            (F.col("c_uid") == F.col("user_id"))
+            & (F.col("c_ts") > F.col("v_ts"))
+            & (F.col("c_ts") <= horizon),
+        )
+        .join(
+            p,
+            (F.col("p_uid") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= horizon),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("event_id").alias("converted_views"),
+            F.date_format(F.min("p_ts"), TSF_S).alias("first_completion"),
+        )
+    )
+
+
+@query(
+    "q164_format_strings",
+    """
+    SELECT event_id,
+           printf('%s-%05d', event_type, user_id) AS tag,
+           printf('%08.2f', CAST(value AS DOUBLE)) AS amount,
+           printf('%x', event_id) AS id_hex
+    FROM events WHERE event_id % 11 = 0
+    """,
+)
+def q164(spark, sf_dir):
+    """C-style string formatting (ClickHouse format/formatReadable
+    family): zero-padded composite tags, fixed-width decimal rendering,
+    hex ids — format_string ↔ printf share printf semantics, so the
+    rendered bytes must agree exactly.  Pure narrow projection."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    return ev.select(
+        "event_id",
+        F.format_string("%s-%05d", F.col("event_type"), F.col("user_id")).alias("tag"),
+        F.format_string("%08.2f", F.col("value")).alias("amount"),
+        F.format_string("%x", F.col("event_id")).alias("id_hex"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
