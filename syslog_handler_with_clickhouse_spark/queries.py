@@ -5788,6 +5788,44 @@ def q164(spark, sf_dir):
     )
 
 
+@query(
+    "q165_snapshot_store",
+    """
+    SELECT event_type, COUNT(*) AS n, SUM(user_id) AS uid_sum
+    FROM events
+    WHERE (event_id % 3 = 0 OR event_id % 3 = 1)
+      AND NOT (event_id % 3 = 0 AND user_id % 5 = 0)
+    GROUP BY event_type
+    """,
+)
+def q165(spark, sf_dir):
+    """Transactional snapshot store (`sources/snapshots.py` — the
+    manifest-commit answer to sinks' rename-swap caveat): v1 = append of
+    the %3==0 slice, v2 = append of the %3==1 slice, v3 = transactional
+    delete-rewrite (drop uid%5==0 rows from the first slice only).  The
+    latest snapshot must equal the oracle's equivalent filter; snapshot
+    isolation and time travel are unit-tested in tests/test_snapshots.py."""
+    import tempfile
+
+    from .sources.snapshots import read_snapshot, rewrite_snapshot, write_snapshot
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    path = tempfile.mkdtemp(prefix="snapq_") + "/store"
+    write_snapshot(ev.filter(F.col("event_id") % 3 == 0), path)
+    write_snapshot(ev.filter(F.col("event_id") % 3 == 1), path)
+    rewrite_snapshot(
+        spark,
+        path,
+        lambda df: df.filter(
+            ~((F.col("event_id") % 3 == 0) & (F.col("user_id") % 5 == 0))
+        ),
+    )
+    back = read_snapshot(spark, path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("uid_sum")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -1,0 +1,62 @@
+"""Manifest snapshot store: atomic publish, snapshot isolation, time
+travel, transactional rewrite, vacuum."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from syslog_handler_with_clickhouse_spark.sources.snapshots import (
+    latest_version,
+    read_snapshot,
+    rewrite_snapshot,
+    vacuum,
+    write_snapshot,
+)
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    df1 = spark.range(0, 10).withColumnRenamed("id", "x")
+    df2 = spark.range(10, 15).withColumnRenamed("id", "x")
+
+    assert write_snapshot(df1, path) == 1
+    assert write_snapshot(df2, path) == 2
+    assert latest_version(path) == 2
+
+    assert read_snapshot(spark, path).count() == 15  # latest
+    assert read_snapshot(spark, path, version=1).count() == 10  # time travel
+
+
+def test_reader_isolated_from_concurrent_commit(spark, tmp_path):
+    path = str(tmp_path / "iso")
+    write_snapshot(spark.range(0, 100).withColumnRenamed("id", "x"), path)
+
+    reader = read_snapshot(spark, path)  # resolves v1's file list NOW
+    # a concurrent overwrite commits v2 while the reader is in flight
+    write_snapshot(
+        spark.range(0, 3).withColumnRenamed("id", "x"), path, mode="overwrite"
+    )
+    assert reader.count() == 100  # still sees v1, not a half state
+    assert read_snapshot(spark, path).count() == 3  # new readers see v2
+
+
+def test_transactional_rewrite_keeps_old_snapshot(spark, tmp_path):
+    path = str(tmp_path / "rw")
+    write_snapshot(spark.range(0, 20).withColumnRenamed("id", "x"), path)
+    v2 = rewrite_snapshot(spark, path, lambda df: df.filter(F.col("x") % 2 == 0))
+    assert v2 == 2
+    assert read_snapshot(spark, path).count() == 10
+    assert read_snapshot(spark, path, version=1).count() == 20
+
+
+def test_vacuum_removes_dead_files(spark, tmp_path):
+    path = str(tmp_path / "vac")
+    write_snapshot(spark.range(0, 20).withColumnRenamed("id", "x"), path)
+    rewrite_snapshot(spark, path, lambda df: df.filter(F.col("x") < 5))
+    n_before = len(glob.glob(f"{path}/data/*.parquet"))
+    removed = vacuum(path, keep_last=1)
+    assert removed > 0
+    assert len(glob.glob(f"{path}/data/*.parquet")) == n_before - removed
+    assert read_snapshot(spark, path).count() == 5  # latest still intact
