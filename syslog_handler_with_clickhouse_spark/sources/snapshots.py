@@ -57,11 +57,22 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _commit(path: str, version: int, files: list[str], note: str) -> None:
+def _commit(
+    path: str,
+    version: int,
+    files: list[dict],
+    note: str,
+    batch_ids: list[int] | None = None,
+) -> None:
     """Publish manifest ``version`` atomically (write temp + rename)."""
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
-    manifest = {"version": version, "files": sorted(files), "note": note}
+    manifest = {
+        "version": version,
+        "files": sorted(files, key=lambda e: e["name"]),
+        "note": note,
+        "batch_ids": batch_ids or [],
+    }
     tmp = os.path.join(mdir, f".v{version}.json.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -72,8 +83,33 @@ def _commit(path: str, version: int, files: list[str], note: str) -> None:
     os.rename(tmp, final)
 
 
-def _write_data_files(df: DataFrame, path: str) -> list[str]:
-    """Write df's rows as new immutable files; return their relative names."""
+def _file_stats(fpath: str, stat_cols: list[str]) -> dict:
+    """Per-file min/max for ``stat_cols`` from the parquet footer only —
+    no data pages are read."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fpath).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    stats: dict = {}
+    for col in stat_cols:
+        if col not in idx:
+            continue
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx[col]).statistics
+            if s is None or not s.has_min_max:
+                return {}  # stats unavailable → never prune on this file
+            lo = s.min if lo is None else min(lo, s.min)
+            hi = s.max if hi is None else max(hi, s.max)
+        stats[col] = [lo, hi]
+    return stats
+
+
+def _write_data_files(
+    df: DataFrame, path: str, stat_cols: list[str] | None = None
+) -> list[dict]:
+    """Write df's rows as new immutable files; return manifest entries
+    ``{"name": ..., "stats": {col: [min, max]}}``."""
     ddir = _data_dir(path)
     os.makedirs(ddir, exist_ok=True)
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
@@ -83,44 +119,98 @@ def _write_data_files(df: DataFrame, path: str) -> list[str]:
         if f.endswith(".parquet"):
             new = f"{uuid.uuid4().hex}.parquet"
             os.rename(os.path.join(staging, f), os.path.join(ddir, new))
-            out.append(new)
+            entry = {"name": new}
+            if stat_cols:
+                entry["stats"] = _file_stats(os.path.join(ddir, new), stat_cols)
+            out.append(entry)
     import shutil
 
     shutil.rmtree(staging)
     return out
 
 
-def write_snapshot(df: DataFrame, path: str, mode: str = "append") -> int:
+def write_snapshot(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    stat_cols: list[str] | None = None,
+    batch_id: int | None = None,
+) -> int:
     """Commit df as the next snapshot.  ``append`` keeps prior files;
-    ``overwrite`` starts the file list fresh.  Returns the new version."""
+    ``overwrite`` starts the file list fresh.  ``stat_cols`` records
+    per-file min/max in the manifest for read-time file pruning.
+    ``batch_id`` makes the commit IDEMPOTENT: if a prior snapshot already
+    recorded this id (a foreachBatch retry after a crash between write
+    and checkpoint), the commit is skipped — exactly-once into this store.
+    Returns the (possibly unchanged) latest version."""
     base = latest_version(path)
-    files = [] if mode == "overwrite" or base == 0 else _read_manifest(path, base)["files"]
-    new_files = _write_data_files(df, path)
+    prior_ids: list[int] = []
+    files: list[dict] = []
+    if base > 0:
+        m = _read_manifest(path, base)
+        prior_ids = m.get("batch_ids", [])
+        if batch_id is not None and batch_id in prior_ids:
+            return base  # duplicate delivery — already committed
+        if mode != "overwrite":
+            files = m["files"]
+    new_files = _write_data_files(df, path, stat_cols)
     version = base + 1
-    _commit(path, version, files + new_files, note=mode)
+    ids = prior_ids + ([batch_id] if batch_id is not None else [])
+    _commit(path, version, files + new_files, note=mode, batch_ids=ids)
     return version
 
 
-def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
+def read_snapshot(
+    spark,
+    path: str,
+    version: int | None = None,
+    prune: tuple[str, object, object] | None = None,
+) -> DataFrame:
     """Read snapshot ``version`` (default: latest).  The file list is
     resolved ONCE here — concurrent commits cannot change what this
-    DataFrame reads."""
+    DataFrame reads.  ``prune=(col, lo, hi)`` drops files whose manifest
+    [min,max] range cannot intersect [lo,hi] BEFORE Spark ever opens them
+    — at 100 TB this is the difference between listing 10^6 files and
+    reading the 10 that matter.  Pruning is advisory: apply the real
+    filter on the returned frame too."""
     v = latest_version(path) if version is None else version
     if v == 0:
         raise FileNotFoundError(f"no snapshots at {path}")
-    files = _read_manifest(path, v)["files"]
+    all_entries = _read_manifest(path, v)["files"]
+    entries = all_entries
+    if prune is not None:
+        col, lo, hi = prune
+        entries = [
+            e
+            for e in all_entries
+            if (s := e.get("stats", {}).get(col)) is None or (s[0] <= hi and lo <= s[1])
+        ]  # unknown stats → must read
     ddir = _data_dir(path)
-    return spark.read.parquet(*[os.path.join(ddir, f) for f in files])
+    if not entries:
+        if not all_entries:
+            raise FileNotFoundError(f"snapshot v{v} at {path} has no data files")
+        # everything pruned: empty frame with the snapshot's schema
+        return spark.read.parquet(
+            *[os.path.join(ddir, e["name"]) for e in all_entries]
+        ).limit(0)
+    return spark.read.parquet(*[os.path.join(ddir, e["name"]) for e in entries])
 
 
-def rewrite_snapshot(spark, path: str, transform) -> int:
+def rewrite_snapshot(spark, path: str, transform, stat_cols: list[str] | None = None) -> int:
     """Full-table transactional rewrite (compaction / delete / update):
     read latest, apply ``transform(df) -> df``, write new files, publish.
     The previous snapshot stays intact and readable throughout."""
+    base = latest_version(path)
     cur = read_snapshot(spark, path)
-    new_files = _write_data_files(transform(cur), path)
-    version = latest_version(path) + 1
-    _commit(path, version, new_files, note="rewrite")
+    new_files = _write_data_files(transform(cur), path, stat_cols)
+    version = base + 1
+    _commit(
+        path,
+        version,
+        new_files,
+        note="rewrite",
+        batch_ids=_read_manifest(path, base).get("batch_ids", []),
+    )
     return version
 
 
@@ -133,7 +223,7 @@ def vacuum(path: str, keep_last: int = 1) -> int:
     keep_versions = set(range(max(1, latest - keep_last + 1), latest + 1))
     live: set[str] = set()
     for v in keep_versions:
-        live.update(_read_manifest(path, v)["files"])
+        live.update(e["name"] for e in _read_manifest(path, v)["files"])
     removed = 0
     ddir = _data_dir(path)
     for f in os.listdir(ddir):

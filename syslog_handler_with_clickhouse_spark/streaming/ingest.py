@@ -115,3 +115,39 @@ def start_ingest(
     else:
         writer = writer.trigger(processingTime=f"{TRIGGER_SECONDS} seconds")
     return writer.start()
+
+
+def start_ingest_snapshots(
+    spark: SparkSession,
+    input_dir: str,
+    store_path: str,
+    checkpoint_path: str,
+    available_now: bool = False,
+    stat_cols: list[str] | None = None,
+) -> StreamingQuery:
+    """source → parse → foreachBatch into the TRANSACTIONAL snapshot store
+    (`sources/snapshots.py`).
+
+    Each micro-batch commits with its batch_id recorded in the manifest,
+    so a foreachBatch replay (crash between data write and checkpoint
+    advance — the window where plain-parquet appends duplicate) is
+    detected and skipped: end-to-end exactly-once without relying on the
+    sink directory's rename semantics.  Upgrades the reference's
+    at-most-once drop-on-error (`lib/cacheManage.go:60-62`)."""
+    from ..sources.snapshots import write_snapshot
+
+    parsed = parsed_stream(raw_lines_stream(spark, input_dir))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_snapshot(
+            batch_df, store_path, batch_id=batch_id, stat_cols=stat_cols
+        )
+
+    writer = parsed.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{TRIGGER_SECONDS} seconds")
+    return writer.start()

@@ -60,3 +60,42 @@ def test_vacuum_removes_dead_files(spark, tmp_path):
     assert removed > 0
     assert len(glob.glob(f"{path}/data/*.parquet")) == n_before - removed
     assert read_snapshot(spark, path).count() == 5  # latest still intact
+
+
+def test_manifest_stats_prune_files(spark, tmp_path):
+    """Files whose [min,max] can't intersect the predicate are dropped
+    from the read BEFORE Spark opens them."""
+    path = str(tmp_path / "stats")
+    # three disjoint ranges → three separate commits → ≥3 files
+    for lo in (0, 100, 200):
+        write_snapshot(
+            spark.range(lo, lo + 50).withColumnRenamed("id", "x").coalesce(1),
+            path,
+            stat_cols=["x"],
+        )
+    full = read_snapshot(spark, path)
+    pruned = read_snapshot(spark, path, prune=("x", 100, 149))
+    assert full.count() == 150
+    assert pruned.count() == 50  # only the middle file's rows
+    # the pruned scan reads strictly fewer files
+    n_full = len(full.inputFiles())
+    n_pruned = len(pruned.inputFiles())
+    assert n_pruned < n_full, (n_pruned, n_full)
+    # everything-pruned edge: empty frame, schema intact
+    none = read_snapshot(spark, path, prune=("x", 10_000, 20_000))
+    assert none.count() == 0
+    assert none.columns == ["x"]
+
+
+def test_batch_id_makes_commit_idempotent(spark, tmp_path):
+    """Replaying a foreachBatch delivery with the same batch_id must not
+    duplicate rows — exactly-once into the snapshot store."""
+    path = str(tmp_path / "eo")
+    df = spark.range(0, 10).withColumnRenamed("id", "x")
+    v1 = write_snapshot(df, path, batch_id=0)
+    v_dup = write_snapshot(df, path, batch_id=0)  # retry of batch 0
+    assert v_dup == v1  # no new snapshot
+    assert read_snapshot(spark, path).count() == 10
+    v2 = write_snapshot(df, path, batch_id=1)
+    assert v2 == v1 + 1
+    assert read_snapshot(spark, path).count() == 20

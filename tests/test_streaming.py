@@ -122,3 +122,39 @@ def test_dedup_within_watermark_plan(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.table("dedup_stream").count() == 5  # all rows unique
+
+
+def test_snapshot_ingest_exactly_once(spark, tmp_path):
+    """Streaming ingest into the transactional snapshot store: batch-id
+    idempotence + checkpoint restart → no duplicates, and the store is
+    time-travelable afterwards."""
+    from syslog_handler_with_clickhouse_spark.sources.snapshots import (
+        latest_version,
+        read_snapshot,
+    )
+    from syslog_handler_with_clickhouse_spark.streaming.ingest import (
+        start_ingest_snapshots,
+    )
+
+    src = str(tmp_path / "in_snap")
+    store = str(tmp_path / "snap_store")
+    ckpt = str(tmp_path / "snap_ckpt")
+    _write_fixture(src)
+
+    q = start_ingest_snapshots(spark, src, store, ckpt, available_now=True)
+    q.awaitTermination(120)
+    total = len(LINES_A) + len(LINES_B)
+    assert read_snapshot(spark, store).count() == total
+    v = latest_version(store)
+
+    # restart on the same checkpoint: no new input → no new snapshot rows
+    q2 = start_ingest_snapshots(spark, src, store, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert read_snapshot(spark, store).count() == total
+
+    # replaying batch 0 by hand (simulates crash-between-write-and-ckpt)
+    from syslog_handler_with_clickhouse_spark.sources.snapshots import write_snapshot
+
+    replay = read_snapshot(spark, store, version=v)
+    assert write_snapshot(replay, store, batch_id=0) == latest_version(store)
+    assert read_snapshot(spark, store).count() == total
