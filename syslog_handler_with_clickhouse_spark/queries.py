@@ -5826,6 +5826,43 @@ def q165(spark, sf_dir):
     )
 
 
+@query(
+    "q166_snapshot_pruned_read",
+    """
+    SELECT user_id, COUNT(*) AS n, SUM(event_id) AS id_sum
+    FROM events
+    WHERE user_id BETWEEN 10 AND 19
+    GROUP BY user_id
+    """,
+)
+def q166(spark, sf_dir):
+    """Manifest-level file pruning through the oracle gate: events are
+    committed to the snapshot store in user_id ranges (per-file min/max
+    recorded from parquet footers), then the read prunes to files whose
+    stats can intersect [10, 19] BEFORE Spark opens anything — the
+    Iceberg/Delta data-skipping pattern.  Pruning is advisory, so the
+    real filter still applies on the frame; the oracle checks the result
+    is byte-identical to an unpruned scan."""
+    import tempfile
+
+    from .sources.snapshots import read_snapshot, write_snapshot
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    path = tempfile.mkdtemp(prefix="snapprune_") + "/store"
+    for lo, hi in ((0, 9), (10, 19), (20, 1 << 62)):
+        write_snapshot(
+            ev.filter(F.col("user_id").between(lo, hi)).coalesce(1),
+            path,
+            stat_cols=["user_id"],
+        )
+    pruned = read_snapshot(spark, path, prune=("user_id", 10, 19))
+    return (
+        pruned.filter(F.col("user_id").between(10, 19))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("id_sum"))
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

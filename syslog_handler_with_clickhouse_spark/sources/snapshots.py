@@ -101,6 +101,8 @@ def _file_stats(fpath: str, stat_cols: list[str]) -> dict:
                 return {}  # stats unavailable → never prune on this file
             lo = s.min if lo is None else min(lo, s.min)
             hi = s.max if hi is None else max(hi, s.max)
+        if lo is None:  # zero row groups (empty file) → no usable range
+            continue
         stats[col] = [lo, hi]
     return stats
 
@@ -183,8 +185,10 @@ def read_snapshot(
         entries = [
             e
             for e in all_entries
-            if (s := e.get("stats", {}).get(col)) is None or (s[0] <= hi and lo <= s[1])
-        ]  # unknown stats → must read
+            if (s := e.get("stats", {}).get(col)) is None
+            or s[0] is None
+            or (s[0] <= hi and lo <= s[1])
+        ]  # unknown/degenerate stats → must read
     ddir = _data_dir(path)
     if not entries:
         if not all_entries:
