@@ -5863,6 +5863,190 @@ def q166(spark, sf_dir):
     )
 
 
+@query(
+    "q167_tpch_q9",
+    """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1.00 - CAST(l_discount AS DECIMAL(18,2)))
+             - CAST(p_retailprice AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q167(spark, sf_dir):
+    """TPC-H Q9 (product-type profit), adapted: no ps_supplycost, so cost
+    = p_retailprice × quantity (profit sign shifts; the shape — a 5-way
+    join with a substring part filter and a two-term decimal measure
+    grouped by supplier nation × order year — is intact).  The p_name
+    LIKE filter prunes part at the scan and the part side broadcasts."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = _dec("l_extendedprice") * (
+        F.lit(1.00).cast("decimal(18,2)") - _dec("l_discount")
+    ) - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        F.broadcast(p)
+        .join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "q168_tpch_q12",
+    """
+    SELECT ship_class,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY
+                  THEN 'FAST' ELSE 'SLOW' END AS ship_class
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+    )
+    GROUP BY ship_class
+    """,
+)
+def q168(spark, sf_dir):
+    """TPC-H Q12 (shipping modes / priority): no l_shipmode column, so
+    the mode becomes a derived shipping-speed class (≤30 days = FAST).
+    Shape preserved: fact-fact join + dual conditional counts per class —
+    the countIf pair rides one aggregation pass."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ship_class = F.when(
+        F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+        "FAST",
+    ).otherwise("SLOW")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(ship_class.alias("ship_class"), high.alias("is_high"))
+        .groupBy("ship_class")
+        .agg(
+            F.count(F.when(F.col("is_high"), 1)).alias("high_line_count"),
+            F.count(F.when(~F.col("is_high"), 1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q169_tpch_q16",
+    """
+    WITH supplies AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM supplies JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q169(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship), adapted: supplies =
+    distinct lineitem pairs (no partsupp); "complaint" suppliers =
+    negative account balance.  Shape intact: negated predicates + IN
+    list on the dim, a NOT IN anti-subquery against a second dim, and a
+    COUNT(DISTINCT) over the surviving pairs."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    supplies = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        supplies.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q170_tpch_q20",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ), totals AS (
+      SELECT l_partkey, SUM(sq) AS tq FROM shipped GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM shipped JOIN totals USING (l_partkey)
+      WHERE sq > 0.5 * tq
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'))
+    """,
+)
+def q170(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion), adapted: no ps_availqty, so
+    the "excess stock" test becomes dominance — a supplier who shipped
+    MORE THAN HALF of a red part's total volume in the year.  The nested
+    IN-subquery tower (supplier ← dominant pairs ← name-filtered parts)
+    plans as stacked semi joins; the per-part total reuses the shipped
+    aggregate's exchange (same key), and the comparison stays in exact
+    decimal."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("sq")
+    )
+    totals = shipped.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    dominant = (
+        shipped.join(totals, "l_partkey")
+        .filter(F.col("sq") > F.lit("0.5").cast("decimal(2,1)") * F.col("tq"))
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select("l_suppkey")
+    )
+    return s.join(
+        dominant, s.s_suppkey == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
