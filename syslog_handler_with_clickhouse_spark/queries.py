@@ -6047,6 +6047,94 @@ def q170(spark, sf_dir):
     ).select("s_suppkey", "s_name")
 
 
+@query(
+    "q171_url_functions",
+    """
+    WITH u AS (
+      SELECT event_id,
+             'https://shard-' || CAST(user_id % 4 AS VARCHAR)
+               || '.example.com/' || event_type || '/item?uid='
+               || CAST(user_id AS VARCHAR) || '&v=' || CAST(event_id % 7 AS VARCHAR)
+               AS url
+      FROM events WHERE event_id % 13 = 0
+    )
+    SELECT event_id,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]uid=([^&]*)', 1) AS uid_param,
+           'https' AS protocol
+    FROM u
+    """,
+)
+def q171(spark, sf_dir):
+    """URL function family (ClickHouse domain()/path()/
+    extractURLParameter()): Spark's parse_url (java.net.URI-backed)
+    against a regex oracle on deterministically-synthesized well-formed
+    URLs — host, path, a named query parameter, protocol.  All JVM-side;
+    no UDF."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    url = F.concat(
+        F.lit("https://shard-"),
+        (F.col("user_id") % 4).cast("string"),
+        F.lit(".example.com/"),
+        F.col("event_type"),
+        F.lit("/item?uid="),
+        F.col("user_id").cast("string"),
+        F.lit("&v="),
+        (F.col("event_id") % 7).cast("string"),
+    )
+    u = ev.select("event_id", url.alias("url"))
+    return u.select(
+        "event_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("uid")).alias("uid_param"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )
+
+
+@query(
+    "q172_new_vs_returning",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+    )
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(DISTINCT e.user_id) AS dau,
+           COUNT(DISTINCT CASE WHEN CAST(ts AS DATE) = f.first_day
+                               THEN e.user_id END) AS new_users,
+           COUNT(DISTINCT CASE WHEN CAST(ts AS DATE) > f.first_day
+                               THEN e.user_id END) AS returning_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY strftime(CAST(ts AS DATE), '%Y-%m-%d')
+    """,
+)
+def q172(spark, sf_dir):
+    """New-vs-returning daily active users (first-touch attribution —
+    the uniqIf-on-registration-day ClickHouse pattern): a per-user MIN
+    first-seen day joined back to the fact, then conditional distinct
+    counts per day.  The first_seen aggregate is one row per user (tiny
+    vs events) and broadcasts; both aggregations shuffle on the same
+    user/day keys."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    return (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.countDistinct(
+                F.when(F.col("d") == F.col("first_day"), F.col("user_id"))
+            ).alias("new_users"),
+            F.countDistinct(
+                F.when(F.col("d") > F.col("first_day"), F.col("user_id"))
+            ).alias("returning_users"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
