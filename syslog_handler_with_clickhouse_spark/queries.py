@@ -5475,17 +5475,18 @@ def q156(spark, sf_dir):
     SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
            COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
     FROM events
-    WHERE event_id % 5 = 0 AND NOT (user_id % 17 = 3)
+    WHERE event_id % 5 = 0
+      AND NOT (user_id % 17 = 3 AND CAST(ts AS DATE) < DATE '2024-01-08')
     GROUP BY strftime(CAST(ts AS DATE), '%Y-%m-%d')
     """,
 )
 def q157(spark, sf_dir):
     """ClickHouse `ALTER TABLE ... DELETE WHERE` mutation (the GDPR
-    right-to-erasure path): build a date-partitioned store, delete every
-    row of the target users (user_id % 17 == 3) via partition-targeted
-    rewrite — only partitions containing matches are rewritten, the rest
-    keep their files — then the surviving store must equal the oracle's
-    NOT-filtered aggregate."""
+    right-to-erasure path): build a date-partitioned store, delete the
+    target users' rows (user_id % 17 == 3) before 2024-01-08 via
+    partition-targeted rewrite — only the seven matching day-partitions
+    are rewritten, the remaining days keep their files untouched — then
+    the surviving store must equal the oracle's NOT-filtered aggregate."""
     import tempfile
 
     from .sources.sinks import delete_rows
@@ -5497,7 +5498,12 @@ def q157(spark, sf_dir):
         .write.partitionBy("day")
         .parquet(store)
     )
-    delete_rows(spark, store, F.col("user_id") % 17 == 3, partition_col="day")
+    delete_rows(
+        spark,
+        store,
+        (F.col("user_id") % 17 == 3) & (F.col("day") < "2024-01-08"),
+        partition_col="day",
+    )
     back = spark.read.parquet(store)
     return back.groupBy("day").agg(
         F.count(F.lit(1)).alias("n"),
@@ -5510,7 +5516,8 @@ def q157(spark, sf_dir):
     """
     SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
            COUNT(*) AS n,
-           SUM(CASE WHEN user_id % 17 = 3 THEN -1 ELSE user_id END) AS uid_sum
+           SUM(CASE WHEN user_id % 17 = 3 AND CAST(ts AS DATE) < DATE '2024-01-08'
+                    THEN -1 ELSE user_id END) AS uid_sum
     FROM events
     WHERE event_id % 5 = 1
     GROUP BY strftime(CAST(ts AS DATE), '%Y-%m-%d')
@@ -5536,7 +5543,7 @@ def q158(spark, sf_dir):
     update_rows(
         spark,
         store,
-        F.col("user_id") % 17 == 3,
+        (F.col("user_id") % 17 == 3) & (F.col("day") < "2024-01-08"),
         {"user_id": F.lit(-1).cast("bigint")},
         partition_col="day",
     )

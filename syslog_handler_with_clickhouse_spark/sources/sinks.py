@@ -183,16 +183,21 @@ def delete_rows(
         return deleted
 
     cur = spark.read.parquet(path)
-    affected = [
-        r[0]
-        for r in cur.filter(condition).select(partition_col).distinct().collect()
-    ]
+    # ONE job finds affected partitions AND per-partition delete counts
+    # (vs a count per partition: 2 jobs per partition → 1 + 1 per partition)
+    per_part = {
+        r[0]: r[1]
+        for r in cur.filter(condition)
+        .groupBy(partition_col)
+        .count()
+        .collect()
+    }
     deleted = 0
-    for val in affected:
+    for val, n in per_part.items():
         part_dir = os.path.join(path, f"{partition_col}={val}")
         part = spark.read.option("basePath", path).parquet(part_dir)
         keep = part.filter(~condition)
-        deleted += part.count() - keep.count()
+        deleted += n
         tmp = part_dir + ".deleting"
         # the partition dir encodes the value; drop the constant column
         keep.drop(partition_col).write.mode("overwrite").parquet(tmp)
@@ -233,15 +238,18 @@ def update_rows(
         os.rename(tmp, path)
         return updated
 
-    affected = [
-        r[0]
-        for r in cur.filter(condition).select(partition_col).distinct().collect()
-    ]
+    per_part = {
+        r[0]: r[1]
+        for r in cur.filter(condition)
+        .groupBy(partition_col)
+        .count()
+        .collect()
+    }
     updated = 0
-    for val in affected:
+    for val, n in per_part.items():
         part_dir = os.path.join(path, f"{partition_col}={val}")
         part = spark.read.option("basePath", path).parquet(part_dir)
-        updated += part.filter(condition).count()
+        updated += n
         tmp = part_dir + ".updating"
         _apply(part).drop(partition_col).write.mode("overwrite").parquet(tmp)
         shutil.rmtree(part_dir)
