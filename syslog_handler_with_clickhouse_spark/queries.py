@@ -6142,6 +6142,34 @@ def q172(spark, sf_dir):
     )
 
 
+@query(
+    "q173_stream_topk",
+    """
+    SELECT user_id, cnt FROM (
+      SELECT user_id, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rn
+      FROM events GROUP BY user_id
+    ) WHERE rn <= 5
+    """,
+)
+def q173(spark, sf_dir):
+    """Streaming LEADERBOARD: complete-mode aggregation + ORDER BY +
+    LIMIT in the SAME streaming query (Spark permits the sorted-limit
+    only in complete mode — the live 'current top-5' surface a ClickHouse
+    user gets from a totals-ordered MV).  Drained with availableNow, the
+    final emission must equal the batch exact top-5 with the user_id
+    tiebreak.  State is one row per user; the sort sees only the
+    aggregated leaderboard, never raw events."""
+    ev = _events_stream(spark, sf_dir)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("user_id"))
+        .limit(5)
+    )
+    return spark.table(_run_stream(top, "complete"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
