@@ -1,0 +1,147 @@
+"""Seeded SQL fuzz differential — the sqllogictest-style corpus the
+reference lacks (SURVEY §5).
+
+A deterministic generator composes ANSI-SQL statements from a grammar of
+predicates, aggregates, and projections that BOTH engines parse, then the
+IDENTICAL SQL text runs through spark.sql and DuckDB over the same events
+fixture.  Results must agree row-for-row (columns sorted, rows sorted) —
+any Catalyst/DuckDB semantic divergence in the covered surface fails a
+concrete reproducible statement.
+
+Determinism rules baked into the grammar (repo-wide oracle-parity rules):
+decimal-exact sums cast to double AFTER aggregation, integer arithmetic
+everywhere else, no floating literals except through exact decimals.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from conftest import SF_DIR
+
+PREDICATES = [
+    "value > 10.00",
+    "value <= 3.50",
+    "event_type = 'click'",
+    "event_type <> 'error'",
+    "event_type IN ('view', 'purchase')",
+    "user_id % 7 = 3",
+    "user_id BETWEEN 10 AND 60",
+    "event_id % 2 = 0",
+    "ts < TIMESTAMP '2024-01-10 00:00:00'",
+    "ts >= TIMESTAMP '2024-01-05 12:00:00'",
+]
+
+GROUP_KEYS = [
+    "event_type",
+    "user_id % 10",
+    "user_id % 3",
+]
+
+AGGS = [
+    "COUNT(*) AS cnt",
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val",
+    "MIN(event_id) AS min_id",
+    "MAX(event_id) AS max_id",
+    "MIN(user_id) AS min_uid",
+    "MAX(user_id) AS max_uid",
+    "COUNT(DISTINCT user_id) AS n_users",
+    "COUNT(CASE WHEN value > 8.00 THEN 1 END) AS n_big",
+]
+
+PROJ_EXPRS = [
+    "event_id",
+    "user_id",
+    "user_id * 3 + 1 AS uid3",
+    "event_id % 97 AS bucket",
+    "length(event_type) AS tlen",
+    "upper(event_type) AS tup",
+    "CASE WHEN value > 9.00 THEN 'hi' ELSE 'lo' END AS band",
+]
+
+
+WINDOW_EXPRS = [
+    "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn",
+    "RANK() OVER (PARTITION BY event_type ORDER BY event_id) AS rk",
+    "LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id",
+    "COUNT(*) OVER (PARTITION BY user_id) AS n_user",
+    "SUM(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+    " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS run_sum",
+]
+
+
+def _gen_statement(rng: random.Random) -> str:
+    where = " AND ".join(rng.sample(PREDICATES, rng.randint(1, 3)))
+    if rng.random() < 0.3:
+        extra = rng.choice(PREDICATES)
+        where = f"({where}) OR ({extra})"
+    form = rng.random()
+    if form < 0.40:  # aggregate
+        key = rng.choice(GROUP_KEYS)
+        aggs = ", ".join(rng.sample(AGGS, rng.randint(1, 4)))
+        return f"SELECT {key} AS k, {aggs} FROM events WHERE {where} GROUP BY {key}"
+    if form < 0.55:  # window functions
+        wins = ", ".join(rng.sample(WINDOW_EXPRS, rng.randint(1, 2)))
+        return f"SELECT event_id, {wins} FROM events WHERE {where}"
+    if form < 0.70:  # self-join dim: per-type stats joined back
+        agg = rng.choice(
+            ["COUNT(*) AS c", "MIN(event_id) AS c", "COUNT(DISTINCT user_id) AS c"]
+        )
+        return (
+            f"SELECT e.event_id, d.c FROM events e JOIN "
+            f"(SELECT event_type, {agg} FROM events GROUP BY event_type) d "
+            f"ON e.event_type = d.event_type WHERE {where.replace('value', 'e.value').replace('user_id', 'e.user_id').replace('event_id', 'e.event_id').replace('event_type ', 'e.event_type ').replace('ts ', 'e.ts ')}"
+        )
+    if form < 0.85:  # total-order top-N
+        return (
+            f"SELECT event_id, user_id FROM events WHERE {where} "
+            f"ORDER BY user_id, event_id LIMIT 50"
+        )
+    cols = ", ".join(rng.sample(PROJ_EXPRS, rng.randint(1, 4)))
+    return f"SELECT {cols} FROM events WHERE {where}"
+
+
+def _normalize(df):
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False):
+        rows.append(tuple(v.isoformat() if hasattr(v, "isoformat") else v for v in tup))
+    return sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+
+def _eq(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        return (math.isnan(a) and math.isnan(b)) or a == b
+    return a == b
+
+
+@pytest.fixture(scope="module")
+def events_view(spark, duck):
+    from syslog_handler_with_clickhouse_spark.sources.testdata import load_table
+
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    return None
+
+
+def test_sql_fuzz_differential(spark, duck, events_view):
+    rng = random.Random(20260813)
+    failures = []
+    for i in range(90):
+        sql = _gen_statement(rng)
+        sdf = spark.sql(sql).toPandas()
+        odf = duck.execute(sql).df()
+        if sorted(sdf.columns) != sorted(odf.columns):
+            failures.append((i, sql, "columns", sorted(sdf.columns), sorted(odf.columns)))
+            continue
+        if len(sdf) != len(odf):
+            failures.append((i, sql, "rowcount", len(sdf), len(odf)))
+            continue
+        s_rows, o_rows = _normalize(sdf), _normalize(odf)
+        for sr, orr in zip(s_rows, o_rows):
+            if len(sr) != len(orr) or not all(_eq(a, b) for a, b in zip(sr, orr)):
+                failures.append((i, sql, "values", sr, orr))
+                break
+    assert not failures, f"{len(failures)} divergent statements; first: {failures[0]}"
