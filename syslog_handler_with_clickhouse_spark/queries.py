@@ -6170,6 +6170,57 @@ def q173(spark, sf_dir):
     return spark.table(_run_stream(top, "complete"))
 
 
+@query(
+    "q174_max_concurrency",
+    """
+    WITH spans AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), pts AS (
+      SELECT day, s AS t, 1 AS delta, user_id FROM spans
+      UNION ALL
+      SELECT day, e AS t, -1 AS delta, user_id FROM spans
+    ), running AS (
+      SELECT day,
+             SUM(delta) OVER (PARTITION BY day
+                              ORDER BY t, delta DESC, user_id) AS conc
+      FROM pts
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, MAX(conc) AS max_concurrent
+    FROM running GROUP BY strftime(day, '%Y-%m-%d')
+    """,
+)
+def q174(spark, sf_dir):
+    """ClickHouse maxIntersections: the peak number of simultaneously-
+    active user sessions per day, by sweep line — each span emits a +1 at
+    its start and a -1 at its end, a running sum over the time-ordered
+    points traces concurrency, and the max per day is the answer.  The
+    tiebreak (delta DESC at equal t) makes touching intervals count as
+    overlapping, identically on both engines.  One window shuffle on day;
+    2 rows per span regardless of span length — the shape that replaces
+    a quadratic interval self-join at scale."""
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min(F.unix_micros("ts")).alias("s"),
+        F.max(F.unix_micros("ts")).alias("e"),
+    )
+    pts = spans.select(
+        "day", F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        spans.select(
+            "day", F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id"
+        )
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("t"), F.col("delta").desc(), F.col("user_id")
+    )
+    running = pts.select("day", F.sum("delta").over(w).alias("conc"))
+    return running.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
+        F.max("conc").alias("max_concurrent")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
