@@ -6221,6 +6221,63 @@ def q174(spark, sf_dir):
     )
 
 
+@query(
+    "q175_paragraph_dedup",
+    """
+    WITH paras AS (
+      SELECT doc_id, s // 10 AS pidx,
+             array_to_string(list_slice(string_split(text, ' '), s + 1, s + 10), ' ')
+               AS para
+      FROM documents, UNNEST(range(0, len(string_split(text, ' ')), 10)) AS u(s)
+    ), keep AS (
+      SELECT doc_id, pidx, para,
+             ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                ORDER BY doc_id, pidx) AS occ
+      FROM paras
+    )
+    SELECT doc_id,
+           COUNT(*) AS kept_paras,
+           string_agg(para, ' ' ORDER BY pidx) AS dedup_text
+    FROM keep WHERE occ = 1
+    GROUP BY doc_id
+    """,
+)
+def q175(spark, sf_dir):
+    """PARAGRAPH-level exact dedup (the CCNet/C4 recipe: drop repeated
+    boilerplate chunks corpus-wide, keep each paragraph's FIRST
+    occurrence, reassemble the survivors in order).  Paragraph = 10-word
+    chunk here (fixture texts have no sentence structure).  Plan: narrow
+    chunk explode → one shuffle on the content hash for the
+    first-occurrence window → one shuffle back on doc_id for ordered
+    reassembly.  Document-level dedup (q36-q40) can't remove shared
+    boilerplate inside otherwise-unique docs; this is the op that does."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0).cast("bigint"),
+        (F.size(toks) - 1).cast("bigint"),
+        F.lit(10).cast("bigint"),
+    )
+    paras = d.select(
+        "doc_id", F.col("text"), F.explode(starts).alias("s")
+    ).select(
+        "doc_id",
+        (F.col("s") / 10).cast("bigint").alias("pidx"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), " "), F.col("s").cast("int") + 1, 10)
+        ).alias("para"),
+    )
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "pidx")
+    keep = paras.withColumn("occ", F.row_number().over(w)).filter(F.col("occ") == 1)
+    ordered = F.sort_array(F.collect_list(F.struct("pidx", "para")))
+    return keep.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_paras"),
+        F.concat_ws(
+            " ", F.transform(ordered, lambda x: x["para"])
+        ).alias("dedup_text"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
