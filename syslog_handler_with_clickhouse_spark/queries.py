@@ -6278,6 +6278,84 @@ def q175(spark, sf_dir):
     )
 
 
+@query(
+    "q176_time_weighted_avg",
+    """
+    WITH seg AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+               - epoch_us(ts) AS dur_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(cents * dur_us) AS DOUBLE)
+             / CAST(SUM(dur_us) AS DOUBLE) / 100.0 AS twap,
+           SUM(dur_us) AS total_us
+    FROM seg WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q176(spark, sf_dir):
+    """TIME-WEIGHTED average (TWAP / ClickHouse avgWeighted with
+    hold-until-next-event durations): each reading holds until the next
+    one, so its weight is the inter-event gap in exact integer
+    microseconds; value becomes integer cents.  cents×µs products stay
+    within int64 (10^4 × 10^11), sums are exact, and the single division
+    happens once at the end — deterministic across engines.  One window
+    shuffle on user_id feeding the aggregate on the same key (exchange
+    reuse)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = (_dec("value") * 100).cast("bigint")
+    seg = ev.select(
+        "user_id",
+        cents.alias("cents"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return seg.groupBy("user_id").agg(
+        (
+            F.sum(F.col("cents") * F.col("dur_us")).cast("double")
+            / F.sum("dur_us").cast("double")
+            / F.lit(100.0)
+        ).alias("twap"),
+        F.sum("dur_us").alias("total_us"),
+    )
+
+
+@query(
+    "q177_file_introspection",
+    """
+    SELECT 'lineitem.parquet' AS file,
+           COUNT(*) AS n_rows,
+           MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+    FROM lineitem
+    """,
+)
+def q177(spark, sf_dir):
+    """Storage introspection — the `system.parts` / `_part` virtual
+    column analogue: per physical parquet file, row count and key range
+    via the input_file_name() metadata column.  This is how an operator
+    answers "which files would a key-range query touch, and is the
+    layout sorted enough to prune?" without any external catalog.  The
+    fixture table is a single file, so the oracle states the per-file
+    row as the table totals (DuckDB's read_parquet(filename=true) is
+    the equivalent surface for multi-file stores)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "file", F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+        )
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
