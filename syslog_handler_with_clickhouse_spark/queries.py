@@ -6205,13 +6205,18 @@ def q174(spark, sf_dir):
         F.min(F.unix_micros("ts")).alias("s"),
         F.max(F.unix_micros("ts")).alias("e"),
     )
+    # one scan + one aggregate: each span explodes into its two sweep
+    # points (a union of the aggregate would scan and aggregate twice)
     pts = spans.select(
-        "day", F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id"
-    ).unionByName(
-        spans.select(
-            "day", F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id"
-        )
-    )
+        "day",
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("p"),
+    ).select("day", F.col("p.t").alias("t"), F.col("p.delta").alias("delta"), "user_id")
     w = Window.partitionBy("day").orderBy(
         F.col("t"), F.col("delta").desc(), F.col("user_id")
     )
