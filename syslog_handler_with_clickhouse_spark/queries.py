@@ -6361,6 +6361,105 @@ def q177(spark, sf_dir):
     )
 
 
+@query(
+    "q178_union_by_name",
+    """
+    SELECT event_id, user_id, source_ver, extra
+    FROM (
+      SELECT event_id, user_id, 'v1' AS source_ver, NULL AS extra
+      FROM events WHERE event_id % 10 = 0
+      UNION ALL BY NAME
+      SELECT user_id, 'v2' AS source_ver, event_id,
+             event_type AS extra
+      FROM events WHERE event_id % 10 = 5
+    )
+    """,
+)
+def q178(spark, sf_dir):
+    """Schema-evolution union: two versions of a feed — v2 adds a column
+    and declares its columns in a different order — merged by NAME with
+    NULL back-fill (Spark unionByName(allowMissingColumns=True) ↔ DuckDB
+    UNION ALL BY NAME).  Positional UNION would silently misalign
+    columns; name-based resolution is the evolution-safe surface."""
+    ev = _t(spark, sf_dir, "events")
+    v1 = ev.filter(F.col("event_id") % 10 == 0).select(
+        "event_id", "user_id", F.lit("v1").alias("source_ver")
+    )
+    v2 = ev.filter(F.col("event_id") % 10 == 5).select(
+        "user_id",
+        F.lit("v2").alias("source_ver"),
+        "event_id",
+        F.col("event_type").alias("extra"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "event_id", "user_id", "source_ver", "extra"
+    )
+
+
+@query(
+    "q179_summap_merge",
+    """
+    SELECT user_id,
+           string_agg(event_type || ':' ||
+                      CAST(CAST(total * 100 AS BIGINT) AS VARCHAR),
+                      ',' ORDER BY event_type) AS merged_map
+    FROM (
+      SELECT user_id, event_type,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total
+      FROM events GROUP BY user_id, event_type
+    )
+    GROUP BY user_id
+    """,
+)
+def q179(spark, sf_dir):
+    """sumMap MERGE (the -Merge combinator over map states): two
+    partial sumMaps — early-half and late-half of the month — combined
+    key-wise with map_zip_with(coalesce(a,0)+coalesce(b,0)).  This is
+    how map-valued rollup layers merge without rescanning raw rows; the
+    oracle computes the same totals flat.  Each half aggregates
+    map-side, and the merge is a per-row array operation after one
+    user_id shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    mid = F.to_timestamp(F.lit("2024-01-15"))
+    zero = F.lit(0).cast("decimal(18,2)")
+
+    def half_map(df):
+        per_key = df.groupBy("user_id", "event_type").agg(
+            F.sum(_dec("value")).alias("v")
+        )
+        return per_key.groupBy("user_id").agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("event_type", "v")))
+            ).alias("m")
+        )
+
+    a = half_map(ev.filter(F.col("ts") < mid)).withColumnRenamed("m", "ma")
+    b = half_map(ev.filter(F.col("ts") >= mid)).withColumnRenamed("m", "mb")
+    both = a.join(b, "user_id", "full_outer")
+    empty = F.map_from_entries(
+        F.array().cast("array<struct<event_type:string,v:decimal(28,2)>>")
+    )
+    merged = F.map_zip_with(
+        F.coalesce("ma", empty),
+        F.coalesce("mb", empty),
+        lambda k, x, y: F.coalesce(x, zero) + F.coalesce(y, zero),
+    )
+    return both.select(
+        "user_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.map_entries(merged)),
+                lambda e: F.concat(
+                    e["key"],
+                    F.lit(":"),
+                    (e["value"] * 100).cast("bigint").cast("string"),
+                ),
+            ),
+        ).alias("merged_map"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
