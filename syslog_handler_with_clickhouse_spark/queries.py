@@ -6460,6 +6460,93 @@ def q179(spark, sf_dir):
     )
 
 
+@query(
+    "q180_sequence_next_node",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS occ
+      FROM events
+    )
+    SELECT COALESCE(next_type, '(end)') AS next_after_signup,
+           COUNT(*) AS n_users
+    FROM seq WHERE event_type = 'signup' AND occ = 1
+    GROUP BY COALESCE(next_type, '(end)')
+    """,
+)
+def q180(spark, sf_dir):
+    """ClickHouse sequenceNextNode: what does each user do immediately
+    AFTER their first signup?  lead() over the full per-user timeline +
+    a per-(user,type) occurrence rank isolates the first signup; NULL
+    next (signup was the last event) becomes an explicit '(end)' node.
+    Both windows share the user_id partitioning — one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(wu).alias("next_type"),
+        F.row_number().over(wt).alias("occ"),
+    )
+    return (
+        seq.filter((F.col("event_type") == "signup") & (F.col("occ") == 1))
+        .groupBy(F.coalesce("next_type", F.lit("(end)")).alias("next_after_signup"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "q181_bounding_ratio",
+    """
+    SELECT user_id,
+           CAST(arg_max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+                        lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                - arg_min(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+                          lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                            || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS DOUBLE)
+             / CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS DOUBLE)
+             AS slope_cents_per_us
+    FROM events
+    GROUP BY user_id
+    HAVING MAX(epoch_us(ts)) > MIN(epoch_us(ts))
+    """,
+)
+def q181(spark, sf_dir):
+    """ClickHouse boundingRatio: the end-to-end slope of each user's
+    value series — (last value − first value) / (last ts − first ts).
+    First/last picked by max_by/min_by on the q160 zero-padded string
+    composite key (exact, no tie ambiguity); the division is the only
+    float op and happens once per group on exact integer cents/µs."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    cents = (_dec("value") * 100).cast("bigint")
+    us = F.unix_micros("ts")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by(cents, key).alias("last_c"),
+            F.min_by(cents, key).alias("first_c"),
+            F.max(us).alias("max_us"),
+            F.min(us).alias("min_us"),
+        )
+        .filter(F.col("max_us") > F.col("min_us"))
+        .select(
+            "user_id",
+            (
+                (F.col("last_c") - F.col("first_c")).cast("double")
+                / (F.col("max_us") - F.col("min_us")).cast("double")
+            ).alias("slope_cents_per_us"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
