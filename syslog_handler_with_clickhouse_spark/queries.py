@@ -6547,6 +6547,54 @@ def q181(spark, sf_dir):
     )
 
 
+@query(
+    "q182_json_array_roundtrip",
+    """
+    WITH built AS (
+      SELECT user_id,
+             to_json(list(struct_pack(
+               i := event_id,
+               c := CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               ORDER BY event_id)) AS j
+      FROM events WHERE user_id % 9 = 0 GROUP BY user_id
+    ), parsed AS (
+      SELECT user_id, x.i AS i, x.c AS c
+      FROM built, UNNEST(json_transform(j, '[{"i":"BIGINT","c":"BIGINT"}]')) AS u(x)
+    )
+    SELECT user_id, COUNT(*) AS n, SUM(c) AS cents_sum, MIN(i) AS min_id
+    FROM parsed GROUP BY user_id
+    """,
+)
+def q182(spark, sf_dir):
+    """Nested-JSON array round trip (the events.props surface taken to
+    depth): each user's readings serialize into ONE json array of
+    objects (to_json of sorted structs), parse back with an explicit
+    array<struct> schema (from_json), explode, and re-aggregate — the
+    final numbers must survive the trip exactly even though the two
+    engines' JSON writers differ in formatting.  Exact integer cents
+    only; no float ever enters a JSON literal."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 9 == 0)
+    cents = (_dec("value") * 100).cast("bigint")
+    built = ev.groupBy("user_id").agg(
+        F.to_json(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("event_id").alias("i"), cents.alias("c")))
+            )
+        ).alias("j")
+    )
+    parsed = built.select(
+        "user_id",
+        F.explode(
+            F.from_json("j", "array<struct<i:bigint,c:bigint>>")
+        ).alias("x"),
+    )
+    return parsed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x.c").alias("cents_sum"),
+        F.min("x.i").alias("min_id"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
