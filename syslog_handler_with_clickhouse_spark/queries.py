@@ -6595,6 +6595,45 @@ def q182(spark, sf_dir):
     )
 
 
+@query(
+    "q183_counter_rate",
+    """
+    WITH deltas AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               - LAG(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+      FROM events
+    )
+    SELECT user_id,
+           SUM(CASE WHEN d > 0 THEN d ELSE 0 END) AS delta_sum_cents,
+           COUNT(CASE WHEN d < 0 THEN 1 END) AS n_resets
+    FROM deltas WHERE d IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q183(spark, sf_dir):
+    """Counter-rate extraction (ClickHouse deltaSum / Prometheus
+    rate()): treat each user's value series as a monotone counter that
+    occasionally resets — sum only the POSITIVE deltas and count the
+    resets.  A lag window in exact integer cents feeding an aggregate on
+    the same key (window partitioning reused, q176 pattern); the
+    monitoring op a syslog/metrics store must answer over counters that
+    wrap on process restart."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = (_dec("value") * 100).cast("bigint")
+    deltas = ev.select(
+        "user_id", (cents - F.lag(cents).over(w)).alias("d")
+    ).filter(F.col("d").isNotNull())
+    return deltas.groupBy("user_id").agg(
+        F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(0)).alias(
+            "delta_sum_cents"
+        ),
+        F.count(F.when(F.col("d") < 0, 1)).alias("n_resets"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
