@@ -6634,6 +6634,41 @@ def q183(spark, sf_dir):
     )
 
 
+@query(
+    "q184_zorder_store",
+    """
+    SELECT event_type, COUNT(*) AS n, SUM(event_id) AS id_sum
+    FROM events
+    WHERE user_id BETWEEN 20 AND 40 AND event_id BETWEEN 1000 AND 60000
+    GROUP BY event_type
+    """,
+)
+def q184(spark, sf_dir):
+    """Z-ORDER clustered store (`operators/layout.py` — the Delta/Iceberg
+    ZORDER BY primitive from native bit expressions): events rewritten
+    clustered on the Morton interleave of (user_id, event_id), then a
+    conjunctive range query on BOTH columns runs against the store and
+    must equal the oracle on the raw table.  tests/test_layout.py proves
+    the layout property itself (row-group min/max narrow on both
+    columns); this query proves the rewrite is lossless through the
+    same gate every maintenance op passes."""
+    import tempfile
+
+    from .operators.layout import write_zordered
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    store = tempfile.mkdtemp(prefix="zq_") + "/store"
+    write_zordered(ev, store, "user_id", "event_id", bits=12, n_files=4)
+    back = spark.read.parquet(store)
+    return (
+        back.filter(
+            F.col("user_id").between(20, 40) & F.col("event_id").between(1000, 60000)
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("id_sum"))
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
