@@ -6669,6 +6669,47 @@ def q184(spark, sf_dir):
     )
 
 
+@query(
+    "q185_transition_matrix",
+    """
+    WITH pairs AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ), counts AS (
+      SELECT src, dst, COUNT(*) AS n FROM pairs
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+    FROM counts
+    """,
+)
+def q185(spark, sf_dir):
+    """Event-type TRANSITION MATRIX (first-order Markov counts + row-
+    normalized probabilities): consecutive event pairs per user via lead,
+    counted per (src, dst), with p = n / row-total computed from exact
+    integer counts in one window pass over the tiny 5×5 matrix.  The
+    heavy work (lag pairing) is one user_id window shuffle; the
+    normalization touches 25 rows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    row_total = F.sum("n").over(Window.partitionBy("src"))
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        (F.col("n").cast("double") / row_total.cast("double")).alias("p"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
