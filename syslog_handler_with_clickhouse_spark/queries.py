@@ -6710,6 +6710,86 @@ def q185(spark, sf_dir):
     )
 
 
+@query(
+    "q186_volume_anomaly",
+    """
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS b, COUNT(*) AS cnt
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ), stats AS (
+      SELECT COUNT(*) AS n, SUM(cnt) AS s1, SUM(cnt * cnt) AS s2 FROM buckets
+    )
+    SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, cnt,
+           (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+    FROM buckets CROSS JOIN stats
+    WHERE CAST(cnt AS DOUBLE)
+          > CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+            + 2.0 * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+    """,
+)
+def q186(spark, sf_dir):
+    """LOG-VOLUME SPIKE ALERTING — the syslog capstone: bucket error
+    counts into 10-minute windows, compute the population mean/std from
+    exact integer moments over the buckets (q98 rule — counts are ints,
+    so s1/s2 are exact), and flag buckets above mean + 2σ with their
+    z-score.  The moments are ONE tiny row broadcast into the bucket
+    frame; at 100 TB the bucket table is minutes×devices, not raw rows,
+    so the alert scan touches pre-aggregated data only."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    buckets = ev.groupBy(
+        F.window("ts", "10 minutes").getField("start").alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = buckets.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    std = F.sqrt(F.col("s2").cast("double") / nd - mean * mean)
+    return (
+        buckets.join(F.broadcast(stats))
+        .filter(F.col("cnt").cast("double") > mean + F.lit(2.0) * std)
+        .select(
+            F.date_format("b", TS_S).alias("bucket"),
+            "cnt",
+            ((F.col("cnt").cast("double") - mean) / std).alias("z"),
+        )
+    )
+
+
+@query(
+    "q187_topk_with_ties",
+    """
+    SELECT user_id, cnt FROM (
+      SELECT user_id, COUNT(*) AS cnt,
+             RANK() OVER (ORDER BY COUNT(*) DESC) AS rk
+      FROM events GROUP BY user_id
+    ) WHERE rk <= 3
+    """,
+)
+def q187(spark, sf_dir):
+    """Top-k WITH TIES (ClickHouse LIMIT ... WITH TIES / SQL FETCH FIRST
+    k ROWS WITH TIES): rank() instead of row_number(), so every user
+    tied with the 3rd-most-active survives — the cutoff is value-defined
+    and needs no arbitrary tiebreak.  Spark plans the rank filter as
+    WindowGroupLimit, so partial top-k is computed map-side before the
+    single-partition rank."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc())
+    return (
+        counts.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "cnt")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
