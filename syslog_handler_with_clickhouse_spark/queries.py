@@ -6790,6 +6790,51 @@ def q187(spark, sf_dir):
     )
 
 
+@query(
+    "q188_iqr_outliers",
+    """
+    WITH q AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.25), 4) AS q1,
+             round(quantile_cont(value, 0.75), 4) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, q.q1, q.q3,
+           COUNT(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                        OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                      THEN 1 END) AS n_outliers,
+           COUNT(*) AS n
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type, q.q1, q.q3
+    """,
+)
+def q188(spark, sf_dir):
+    """Tukey IQR outlier detection per group (the box-plot fence rule —
+    the robust sibling of q115's z-score): exact interpolated quartiles
+    per event_type (q14's percentile ↔ quantile_cont parity, rounded),
+    fences at q1/q3 ∓ 1.5·IQR computed in identical expression order on
+    both engines, then a broadcast join back over the raw rows counts
+    the escapees.  Two passes total: the tiny quartile dim broadcasts."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile("value", F.lit(0.75)), 4).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - F.lit(1.5) * iqr
+    hi = F.col("q3") + F.lit(1.5) * iqr
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(
+                F.when((F.col("value") < lo) | (F.col("value") > hi), 1)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
