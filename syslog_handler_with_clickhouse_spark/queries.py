@@ -165,7 +165,8 @@ def q04(spark, sf_dir):
     """
     SELECT coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_n,
            COUNT(*) AS cnt,
-           SUM(CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN 1 ELSE 0 END) AS n_null
+           CAST(SUM(CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_null
     FROM orders
     GROUP BY coalesce(nullif(o_orderstatus, 'O'), 'OPEN')
     """,
@@ -303,7 +304,7 @@ def q09(spark, sf_dir):
     "q10_json",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            COUNT(*) AS cnt
     FROM events
     GROUP BY event_type
@@ -400,8 +401,8 @@ def q14(spark, sf_dir):
     """
     SELECT user_id,
            COUNT(*) AS n_total,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS err_rate
     FROM events
@@ -1165,8 +1166,8 @@ def q44(spark, sf_dir):
     """
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS ws_tokens,
-           SUM(len(regexp_extract_all(text, '{re}'))) AS bpe_tokens
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{re}'))) AS BIGINT) AS bpe_tokens
     FROM documents
     GROUP BY source
     """.format(re=TOKEN_RE),
@@ -2735,8 +2736,8 @@ def q90(spark, sf_dir):
                               ROWS UNBOUNDED PRECEDING) AS cum
       FROM t
     )
-    SELECT source, (cum - n_tok) // 512 AS chunk_id,
-           COUNT(*) AS n_docs, SUM(n_tok) AS chunk_tokens
+    SELECT source, CAST((cum - n_tok) // 512 AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens
     FROM c GROUP BY 1, 2
     """,
 )
@@ -3156,8 +3157,8 @@ def q98(spark, sf_dir):
     )
     SELECT strftime(d0, '%Y-%m-%d') AS cohort,
            COUNT(*) AS cohort_size,
-           SUM(r1) AS retained_d1,
-           SUM(r7) AS retained_d7
+           CAST(SUM(r1) AS BIGINT) AS retained_d1,
+           CAST(SUM(r7) AS BIGINT) AS retained_d7
     FROM u GROUP BY 1
     """,
 )
@@ -3691,20 +3692,20 @@ def q113(spark, sf_dir):
     "q114_profile",
     """
     SELECT 'event_type' AS col, COUNT(*) AS n_rows,
-           SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            COUNT(DISTINCT event_type) AS n_distinct,
            MIN(CAST(event_type AS VARCHAR)) AS min_s,
            MAX(CAST(event_type AS VARCHAR)) AS max_s
     FROM events
     UNION ALL
     SELECT 'user_id', COUNT(*),
-           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT user_id),
            CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
     FROM events
     UNION ALL
     SELECT 'props_k', COUNT(*),
-           SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)),
            CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS VARCHAR),
            CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS VARCHAR)
@@ -5209,7 +5210,7 @@ def q150(spark, sf_dir):
       UNION ALL
       SELECT a.node, a.anc // 2 FROM anc a WHERE a.anc > 1
     )
-    SELECT node, COUNT(*) AS n_ancestors, SUM(anc) AS anc_sum
+    SELECT node, COUNT(*) AS n_ancestors, CAST(SUM(anc) AS BIGINT) AS anc_sum
     FROM anc GROUP BY node
     """,
 )
@@ -5354,7 +5355,8 @@ def q153(spark, sf_dir):
                              ORDER BY n_chars DESC, doc_id) AS cum_toks
       FROM t
     )
-    SELECT lang, doc_id, toks, cum_toks FROM c WHERE cum_toks <= 5000
+    SELECT lang, doc_id, toks, CAST(cum_toks AS BIGINT) AS cum_toks
+    FROM c WHERE cum_toks <= 5000
     """,
 )
 def q154(spark, sf_dir):
@@ -5431,7 +5433,7 @@ def q155(spark, sf_dir):
       SELECT token, COUNT(*) AS dfreq FROM tok GROUP BY token
     ), n AS (SELECT COUNT(*) AS nd FROM documents)
     SELECT tok.doc_id,
-           SUM(n.nd // df.dfreq) AS idf_score,
+           CAST(SUM(n.nd // df.dfreq) AS BIGINT) AS idf_score,
            COUNT(*) AS n_unique_tokens
     FROM tok JOIN df ON tok.token = df.token CROSS JOIN n
     GROUP BY tok.doc_id
@@ -5516,8 +5518,8 @@ def q157(spark, sf_dir):
     """
     SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
            COUNT(*) AS n,
-           SUM(CASE WHEN user_id % 17 = 3 AND CAST(ts AS DATE) < DATE '2024-01-08'
-                    THEN -1 ELSE user_id END) AS uid_sum
+           CAST(SUM(CASE WHEN user_id % 17 = 3 AND CAST(ts AS DATE) < DATE '2024-01-08'
+                    THEN -1 ELSE user_id END) AS BIGINT) AS uid_sum
     FROM events
     WHERE event_id % 5 = 1
     GROUP BY strftime(CAST(ts AS DATE), '%Y-%m-%d')
@@ -5798,7 +5800,7 @@ def q164(spark, sf_dir):
 @query(
     "q165_snapshot_store",
     """
-    SELECT event_type, COUNT(*) AS n, SUM(user_id) AS uid_sum
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS uid_sum
     FROM events
     WHERE (event_id % 3 = 0 OR event_id % 3 = 1)
       AND NOT (event_id % 3 = 0 AND user_id % 5 = 0)
@@ -5836,7 +5838,7 @@ def q165(spark, sf_dir):
 @query(
     "q166_snapshot_pruned_read",
     """
-    SELECT user_id, COUNT(*) AS n, SUM(event_id) AS id_sum
+    SELECT user_id, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum
     FROM events
     WHERE user_id BETWEEN 10 AND 19
     GROUP BY user_id
@@ -6187,7 +6189,8 @@ def q173(spark, sf_dir):
                               ORDER BY t, delta DESC, user_id) AS conc
       FROM pts
     )
-    SELECT strftime(day, '%Y-%m-%d') AS day, MAX(conc) AS max_concurrent
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent
     FROM running GROUP BY strftime(day, '%Y-%m-%d')
     """,
 )
@@ -6297,7 +6300,7 @@ def q175(spark, sf_dir):
     SELECT user_id,
            CAST(SUM(cents * dur_us) AS DOUBLE)
              / CAST(SUM(dur_us) AS DOUBLE) / 100.0 AS twap,
-           SUM(dur_us) AS total_us
+           CAST(SUM(dur_us) AS BIGINT) AS total_us
     FROM seg WHERE dur_us IS NOT NULL
     GROUP BY user_id
     """,
@@ -6561,7 +6564,8 @@ def q181(spark, sf_dir):
       SELECT user_id, x.i AS i, x.c AS c
       FROM built, UNNEST(json_transform(j, '[{"i":"BIGINT","c":"BIGINT"}]')) AS u(x)
     )
-    SELECT user_id, COUNT(*) AS n, SUM(c) AS cents_sum, MIN(i) AS min_id
+    SELECT user_id, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS cents_sum,
+           MIN(i) AS min_id
     FROM parsed GROUP BY user_id
     """,
 )
@@ -6606,7 +6610,7 @@ def q182(spark, sf_dir):
       FROM events
     )
     SELECT user_id,
-           SUM(CASE WHEN d > 0 THEN d ELSE 0 END) AS delta_sum_cents,
+           CAST(SUM(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT) AS delta_sum_cents,
            COUNT(CASE WHEN d < 0 THEN 1 END) AS n_resets
     FROM deltas WHERE d IS NOT NULL
     GROUP BY user_id
@@ -6637,7 +6641,7 @@ def q183(spark, sf_dir):
 @query(
     "q184_zorder_store",
     """
-    SELECT event_type, COUNT(*) AS n, SUM(event_id) AS id_sum
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum
     FROM events
     WHERE user_id BETWEEN 20 AND 40 AND event_id BETWEEN 1000 AND 60000
     GROUP BY event_type
