@@ -19,6 +19,25 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, words
 
+# --------------------------------------------------------------- portable hash
+#
+# Cross-engine 60-bit hash: first 15 hex chars of md5, parsed as an integer.
+# Spark:  conv(substr(md5(x), 1, 15), 16, 10) :: bigint
+# DuckDB: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+# Non-negative, < 2^60 — fits a signed 64-bit lane in both engines, so the
+# MinHash/SimHash pipelines built on it are reproducible in the SQL oracle
+# (xxhash64, the previous base, exists only in Spark and forced rows-only
+# checks).  md5 costs more per row than xxhash64; on a long-lived cluster
+# where no oracle rides along, swapping the base back is a one-line change
+# and every downstream shape is unchanged.
+
+DUCK_HASH60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+def portable_hash60(col: Column) -> Column:
+    """md5-derived 60-bit non-negative hash; see DUCK_HASH60 for the twin."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
 
 def exact_dedup_clusters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Group identical texts: keeper = min id, cnt = cluster size."""
@@ -42,16 +61,16 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """(doc, shingle-hash) inverted index: distinct word n-grams per doc,
-    hashed to 64 bits inside the transform lambda.
+    hashed to 60 bits (portable_hash60) inside the transform lambda.
 
     Deliberately explode-only and inline (no intermediate named array
     column): a projection that materializes the array before Generate
     evaluates the interpreted higher-order expression on a separate
     code path that measured ~4× slower; the inline form stays on the
     fast Generate path (~0.9 s cold for 312 k shingles at sf0.1).
-    Joining/grouping on the 64-bit hash instead of the shingle string
-    makes every downstream shuffle and comparison fixed-width; the pair
-    set is identical barring ~2^-64 collisions.
+    Joining/grouping on the fixed-width hash instead of the shingle
+    string makes every downstream shuffle and comparison fixed-width;
+    the pair set is identical barring ~2^-60 collisions.
     """
     df = _spread(df, id_col)
     w = F.split(F.col(text_col), " ")
@@ -61,7 +80,7 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), cnt),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, n))),
+                lambda i: portable_hash60(F.concat_ws(" ", F.slice(w, i, n))),
             )
         ),
     ).otherwise(F.array().cast("array<bigint>"))
@@ -226,13 +245,19 @@ def minhash_lsh_pairs(
     rpb = N_HASHES // N_BANDS
     # posexplode(transform(...)) keeps the expression tree 16× smaller than
     # an array-of-structs literal — materially faster to codegen-compile.
+    # Band key = portable_hash60 of the '|'-joined row values so the oracle
+    # reproduces the exact buckets (concat_ws renders bigints identically to
+    # DuckDB's array_to_string).
     bands = sig.select(
         "doc",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda b: F.xxhash64(
-                    *[F.element_at("sig", b * rpb + r + 1) for r in range(rpb)]
+                lambda b: portable_hash60(
+                    F.concat_ws(
+                        "|",
+                        *[F.element_at("sig", b * rpb + r + 1) for r in range(rpb)],
+                    )
                 ),
             )
         ).alias("band", "bh"),
@@ -322,28 +347,32 @@ def cluster_assignments(
 
 # ------------------------------------------------------------------- SimHash
 
+SIMHASH_BITS = 60  # width of portable_hash60 — every bit position carries
+# signal; a 64-wide vote over a 60-bit hash would waste 4 constant lanes.
+
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash per doc: per-word xxhash64, bit-vote per position.
-
-    Expressed as explode → 64 conditional sums → sign vector; one shuffle.
+    """60-bit SimHash per doc: per-word portable_hash60, bit-vote per
+    position.  Expressed as explode → 60 conditional sums → sign vector;
+    one shuffle.  The portable base hash makes the whole signature
+    reproducible in the DuckDB oracle (q40).
     """
     tok = _spread(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(words(F.col(text_col))).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
-    # bit masks via shiftleft — 1<<63 as a Python literal would overflow
-    # the signed-long literal under ANSI mode
-    masks = [F.shiftleft(F.lit(1).cast("bigint"), i) for i in range(64)]
+    ).withColumn("h", portable_hash60(F.col("w")))
+    # bit masks via shiftleft — a 1<<63 Python literal would overflow the
+    # signed-long literal under ANSI mode (moot at 60 bits, kept uniform)
+    masks = [F.shiftleft(F.lit(1).cast("bigint"), i) for i in range(SIMHASH_BITS)]
     votes = [
         F.sum(
             F.when(F.col("h").bitwiseAND(masks[i]) != 0, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy("doc").agg(*votes)
     bit_terms = [
         F.when(F.col(f"b{i}") > 0, masks[i]).otherwise(F.lit(0).cast("bigint"))
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     sig = agg.select(
         "doc",
@@ -356,5 +385,5 @@ def simhash_buckets(df: DataFrame, text_col: str, id_col: str, prefix_bits: int 
     """Bucket docs by high bits of simhash → candidate near-dup groups."""
     sig = simhash(df, text_col, id_col)
     return sig.withColumn(
-        "bucket", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+        "bucket", F.shiftrightunsigned(F.col("simhash"), SIMHASH_BITS - prefix_bits)
     )

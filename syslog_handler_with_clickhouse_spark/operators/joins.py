@@ -20,17 +20,21 @@ def asof_join(
     value_cols: list[str],
     direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for each left row, the latest right row with
-    right_ts <= left_ts (backward), matching DuckDB's ASOF JOIN.
+    """As-of join, matching DuckDB's ASOF JOIN in both directions:
+    ``backward`` pairs each left row with the LATEST right row at
+    right_ts <= left_ts; ``forward`` with the EARLIEST right row at
+    right_ts >= left_ts (both inclusive).
 
     Physical shape: union + single sort within key partitions +
     ``last(ignorenulls)`` running window — ONE shuffle on the key, no
     range-join blowup, no per-key skew quadratic term.  This scales to
     100 TB the way a merge-asof does: each key's timeline is processed
-    in one sorted pass.
+    in one sorted pass.  Forward is the identical plan with the timeline
+    walked in descending ts order, so the running ``last`` holds the
+    smallest right_ts that is still >= left_ts.
     """
-    if direction != "backward":
-        raise NotImplementedError("forward as-of: flip sort order")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
     lcols = [c for c in left.columns]
     tagged_left = left.select(
@@ -50,9 +54,12 @@ def asof_join(
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
     unioned = tagged_left.unionByName(tagged_right)
+    # __side ascending keeps right rows (0) ahead of left rows (1) at equal
+    # ts in BOTH directions, which is exactly inclusive <= / >= semantics.
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy(ts_order, "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
@@ -122,7 +129,11 @@ def range_join(
 ) -> DataFrame:
     """Equi + range join: equi key keeps it a hash/sort-merge join with the
     range predicate applied as a post-join filter — never a broadcast
-    nested loop over the full cross product."""
-    return left.join(right, on=[on] if isinstance(on, Column) else [F.col(on)], how="inner").filter(
-        range_cond
-    )
+    nested loop over the full cross product.
+
+    ``on`` is either a column NAME present on both sides (name-based equi
+    key — the only form that is unambiguous when both inputs share the
+    column) or a boolean Column join expression.
+    """
+    join_on = [on] if isinstance(on, str) else on
+    return left.join(right, on=join_on, how="inner").filter(range_cond)

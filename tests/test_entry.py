@@ -31,11 +31,6 @@ def test_queries_oracle_keys_align(spark):
     # every oracle key must have a query; rows-only queries are allowed
     assert set(o) <= set(q)
     missing_oracle = sorted(set(q) - set(o))
-    # only the intentionally hash-specific ops lack an oracle
-    assert missing_oracle == [
-        "q13_approx_distinct",
-        "q39_minhash_lsh",
-        "q40_simhash",
-        "q61_approx_percentile",
-        "q79_hll_sketch_rollup",
-    ], missing_oracle
+    # every registered query now carries a full value oracle (sketch ops
+    # emit exact values + a within-tolerance boolean the oracle pins TRUE)
+    assert missing_oracle == [], missing_oracle
