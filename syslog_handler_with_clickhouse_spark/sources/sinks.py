@@ -7,8 +7,11 @@ partition-pruned on Timestamp date, exactly-once under streaming
 checkpointing (a documented upgrade over the reference's drop-on-error,
 `lib/cacheManage.go:60-62`).
 
-An optional JDBC path mirrors the ClickHouse target when a server exists;
-it is config only — no engine code depends on it.
+An optional JDBC path mirrors the ClickHouse target when a server exists
+(`write_logs_jdbc`); no ClickHouse server exists in this environment, so
+the writer path is exercised end-to-end against embedded Derby (on the
+Spark classpath) in tests/test_jdbc_sink.py with the reference's pool /
+deadline / batch settings.
 """
 
 from __future__ import annotations
@@ -270,3 +273,22 @@ def jdbc_sink_options(url: str, table: str, user: str, password: str) -> dict[st
         "queryTimeout": "10",
         "batchsize": "1000",  # CacheSize, `main.go:19`
     }
+
+
+def write_logs_jdbc(
+    df: DataFrame, options: dict[str, str], mode: str = "append"
+) -> None:
+    """Batched JDBC INSERT — the reference's actual sink path
+    (`lib/cacheManage.go:35-65`): each of numPartitions partitions opens
+    one connection (the pool of 5, `main.go:48-51`) and inserts in
+    ``batchsize`` chunks under ``queryTimeout``.  Spark's JDBC writer
+    retries failed TASKS, upgrading the reference's drop-batch-on-error
+    to at-least-once; pair with a unique key + dedup-on-read (or a
+    ClickHouse ReplacingMergeTree target) for effective exactly-once."""
+    df.write.format("jdbc").options(**options).mode(mode).save()
+
+
+def read_logs_jdbc(spark, options: dict[str, str]) -> DataFrame:
+    """Read back a JDBC-stored logs table (round-trip twin of
+    :func:`write_logs_jdbc`)."""
+    return spark.read.format("jdbc").options(**options).load()
