@@ -381,13 +381,15 @@ def q12(spark, sf_dir):
 def q13(spark, sf_dir):
     """approx_count_distinct = ClickHouse uniq (HLL++).  The raw estimate
     is engine-specific, so the deterministic-checkable output is the exact
-    count plus a boolean asserting the estimate landed within HLL++'s
-    documented error envelope (5% >> the ~1.6% standard error) — the
-    oracle expects literal TRUE, making a bad sketch a hard hash FAIL."""
+    count plus a boolean asserting the estimate landed within a 5% error
+    envelope.  rsd is pinned to 0.01 (measured error ~0.5% on this data;
+    the DEFAULT rsd=0.05 actually lands 6.7% off at sf0.1 — one standard
+    deviation is a coin flip, not a bound) — the oracle expects literal
+    TRUE, making a bad sketch a hard hash FAIL."""
     ev = _t(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users_exact"),
-        F.approx_count_distinct("user_id").alias("est"),
+        F.approx_count_distinct("user_id", 0.01).alias("est"),
     )
     return agg.select(
         "event_type",
