@@ -6992,6 +6992,107 @@ def q188(spark, sf_dir):
     )
 
 
+@query(
+    "q189_interval_length_sum",
+    """
+    WITH spans AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), m AS (
+      SELECT day, s, e,
+             MAX(e) OVER (PARTITION BY day ORDER BY s, e, user_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS pmax
+      FROM spans
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(SUM(GREATEST(e - GREATEST(COALESCE(pmax, s), s), 0))
+                AS BIGINT) AS busy_us,
+           COUNT(*) AS n_spans
+    FROM m GROUP BY strftime(day, '%Y-%m-%d')
+    """,
+)
+def q189(spark, sf_dir):
+    """ClickHouse intervalLengthSum: the length of the UNION of
+    possibly-overlapping intervals — here, per day, the total time at
+    least one user session was active (the complement of q174's peak
+    concurrency on the same span set).  Sweep line as a prefix maximum:
+    spans sort by start within the day, each contributes the part of
+    [s, e] past the running max of all earlier ends —
+    greatest(0, e - greatest(prev_max_end, s)) — and the per-day sum of
+    those clamped pieces is exactly the union length, overlap counted
+    once.  One window shuffle on day, O(n log n), no quadratic interval
+    self-join; the (s, e, user_id) tiebreak makes the prefix order — and
+    the oracle — deterministic.  Zero-length spans contribute 0."""
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min(F.unix_micros("ts")).alias("s"),
+        F.max(F.unix_micros("ts")).alias("e"),
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("s", "e", "user_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.col("e") - F.greatest(F.coalesce(F.max("e").over(w), F.col("s")), F.col("s")),
+        F.lit(0).cast("long"),
+    )
+    return (
+        spans.select("day", contrib.alias("piece"))
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum("piece").alias("busy_us"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+    )
+
+
+@query(
+    "q190_incremental_mv",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS uid_sum,
+           round(CAST(SUM(user_id) AS DOUBLE) / COUNT(*), 4) AS uid_avg
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q190(spark, sf_dir):
+    """Incremental materialized-view maintenance (`sources/mv.py` — the
+    ClickHouse AggregatingMergeTree-MV analogue): events arrive in three
+    batches (event_id % 3 slices), each refresh folds ONLY its batch's
+    partial (count, sum) states into the group-sized MV via the snapshot
+    store's atomic versioned commits, and the final read-time
+    finalization (avg = sum/n on exact integer sums) must equal the
+    oracle's full GROUP BY over everything — incremental == recompute.
+    The raw table is scanned once per batch and never again; at 100 TB
+    the serving read touches kilobytes of state, not the history."""
+    import tempfile
+
+    from .sources.mv import read_mv, refresh_mv
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    path = tempfile.mkdtemp(prefix="mvq_") + "/mv"
+    for i in range(3):
+        refresh_mv(
+            ev.filter(F.col("event_id") % 3 == i),
+            path,
+            keys=["event_type"],
+            sum_cols=["user_id"],
+            batch_id=i,
+        )
+    state = read_mv(spark, path)
+    return state.select(
+        "event_type",
+        "n",
+        F.col("sum_user_id").alias("uid_sum"),
+        F.round(F.col("sum_user_id").cast("double") / F.col("n"), 4).alias("uid_avg"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

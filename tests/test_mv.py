@@ -1,0 +1,71 @@
+"""Incremental materialized-view maintenance (sources/mv.py):
+incremental == recompute, idempotent replay, state versioning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from syslog_handler_with_clickhouse_spark.sources.mv import read_mv, refresh_mv
+from syslog_handler_with_clickhouse_spark.sources.snapshots import latest_version
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_incremental_equals_full_recompute(spark, tmp_path):
+    path = str(tmp_path / "mv")
+    data = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    for i in range(4):
+        refresh_mv(data.filter(F.col("v") % 4 == i), path, ["k"], ["v"], batch_id=i)
+
+    full = data.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v")
+    )
+    assert _rows(read_mv(spark, path)) == _rows(full)
+
+
+def test_duplicate_batch_is_not_double_counted(spark, tmp_path):
+    path = str(tmp_path / "mv")
+    data = spark.range(0, 100).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    refresh_mv(data, path, ["k"], ["v"], batch_id=0)
+    before = _rows(read_mv(spark, path))
+    v = latest_version(path)
+    # foreachBatch redelivery after a crash between write and checkpoint
+    assert refresh_mv(data, path, ["k"], ["v"], batch_id=0) == v
+    assert _rows(read_mv(spark, path)) == before
+
+
+def test_state_versions_time_travel(spark, tmp_path):
+    path = str(tmp_path / "mv")
+    a = spark.range(0, 10).select(F.lit("g").alias("k"), F.col("id").alias("v"))
+    b = spark.range(10, 30).select(F.lit("g").alias("k"), F.col("id").alias("v"))
+    refresh_mv(a, path, ["k"], ["v"])
+    refresh_mv(b, path, ["k"], ["v"])
+
+    (row,) = read_mv(spark, path).collect()
+    assert (row["n"], row["sum_v"]) == (30, sum(range(30)))
+    (old,) = read_mv(spark, path, version=1).collect()
+    assert (old["n"], old["sum_v"]) == (10, sum(range(10)))
+
+
+def test_new_groups_join_existing_state(spark, tmp_path):
+    path = str(tmp_path / "mv")
+    refresh_mv(
+        spark.range(0, 5).select(F.lit("a").alias("k"), F.col("id").alias("v")),
+        path,
+        ["k"],
+        ["v"],
+    )
+    refresh_mv(
+        spark.range(0, 4).select(F.lit("b").alias("k"), F.col("id").alias("v")),
+        path,
+        ["k"],
+        ["v"],
+    )
+    got = {r["k"]: (r["n"], r["sum_v"]) for r in read_mv(spark, path).collect()}
+    assert got == {"a": (5, 10), "b": (4, 6)}
