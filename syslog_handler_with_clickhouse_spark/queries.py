@@ -7093,6 +7093,314 @@ def q190(spark, sf_dir):
     )
 
 
+@query(
+    "q191_welch_ttest",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS xc,
+             user_id % 2 AS g
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(CASE WHEN g = 0 THEN 1 END) AS DOUBLE) AS n0,
+             CAST(COUNT(CASE WHEN g = 1 THEN 1 END) AS DOUBLE) AS n1,
+             CAST(SUM(CASE WHEN g = 0 THEN xc ELSE 0 END) AS DOUBLE) AS s0,
+             CAST(SUM(CASE WHEN g = 1 THEN xc ELSE 0 END) AS DOUBLE) AS s1,
+             CAST(SUM(CASE WHEN g = 0 THEN xc * xc ELSE 0 END) AS DOUBLE) AS ss0,
+             CAST(SUM(CASE WHEN g = 1 THEN xc * xc ELSE 0 END) AS DOUBLE) AS ss1
+      FROM q GROUP BY 1
+    ), v AS (
+      SELECT event_type, n0, n1, s0, s1,
+             (ss0 - s0 * s0 / n0) / (n0 - 1.0) / n0 AS se0,
+             (ss1 - s1 * s1 / n1) / (n1 - 1.0) / n1 AS se1
+      FROM s
+    )
+    SELECT event_type,
+           CAST(n0 AS BIGINT) AS n_a,
+           CAST(n1 AS BIGINT) AS n_b,
+           s0 / (100.0 * n0) AS mean_a,
+           s1 / (100.0 * n1) AS mean_b,
+           (s0 / n0 - s1 / n1) / sqrt(se0 + se1) AS t_stat,
+           (se0 + se1) * (se0 + se1)
+             / (se0 * se0 / (n0 - 1.0) + se1 * se1 / (n1 - 1.0)) AS dof
+    FROM v
+    """,
+)
+def q191(spark, sf_dir):
+    """ClickHouse welchTTest: two-sample unequal-variance t-statistic with
+    Welch-Satterthwaite degrees of freedom, here an A/B read-out per
+    event_type over user cohorts (user_id parity).  Determinism the q98
+    way: the only data-dependent aggregation is six exact integer sums
+    (conditional n / Σx / Σx² per cohort, cent-quantized), partial-agg
+    mergeable per partition; every float op after that is a fixed-order
+    expression both engines round identically.  One shuffle on
+    event_type, no second pass over the data."""
+    ev = _t(spark, sf_dir, "events")
+    g = F.col("user_id") % 2
+    xc = F.round(F.col("value") * 100).cast("bigint")
+    q = ev.select("event_type", xc.alias("xc"), g.alias("g"))
+    s = q.groupBy("event_type").agg(
+        F.count(F.when(F.col("g") == 0, 1)).cast("double").alias("n0"),
+        F.count(F.when(F.col("g") == 1, 1)).cast("double").alias("n1"),
+        F.sum(F.when(F.col("g") == 0, F.col("xc")).otherwise(0))
+        .cast("double")
+        .alias("s0"),
+        F.sum(F.when(F.col("g") == 1, F.col("xc")).otherwise(0))
+        .cast("double")
+        .alias("s1"),
+        F.sum(F.when(F.col("g") == 0, F.col("xc") * F.col("xc")).otherwise(0))
+        .cast("double")
+        .alias("ss0"),
+        F.sum(F.when(F.col("g") == 1, F.col("xc") * F.col("xc")).otherwise(0))
+        .cast("double")
+        .alias("ss1"),
+    )
+    n0, n1, s0, s1 = F.col("n0"), F.col("n1"), F.col("s0"), F.col("s1")
+    v = s.select(
+        "event_type",
+        "n0",
+        "n1",
+        "s0",
+        "s1",
+        ((F.col("ss0") - s0 * s0 / n0) / (n0 - F.lit(1.0)) / n0).alias("se0"),
+        ((F.col("ss1") - s1 * s1 / n1) / (n1 - F.lit(1.0)) / n1).alias("se1"),
+    )
+    se0, se1 = F.col("se0"), F.col("se1")
+    return v.select(
+        "event_type",
+        n0.cast("bigint").alias("n_a"),
+        n1.cast("bigint").alias("n_b"),
+        (s0 / (F.lit(100.0) * n0)).alias("mean_a"),
+        (s1 / (F.lit(100.0) * n1)).alias("mean_b"),
+        ((s0 / n0 - s1 / n1) / F.sqrt(se0 + se1)).alias("t_stat"),
+        (
+            (se0 + se1)
+            * (se0 + se1)
+            / (se0 * se0 / (n0 - F.lit(1.0)) + se1 * se1 / (n1 - F.lit(1.0)))
+        ).alias("dof"),
+    )
+
+
+@query(
+    "q192_cramers_v",
+    """
+    WITH cells AS (
+      SELECT event_type AS a, hour(ts) AS b, CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT a, b, o,
+             CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS ra,
+             CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS cb,
+             CAST(SUM(o) OVER () AS BIGINT) AS n
+      FROM cells
+    ), t AS (
+      SELECT a, b, n,
+             CAST(o * n - ra * cb AS DOUBLE) * CAST(o * n - ra * cb AS DOUBLE)
+               / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)) AS term
+      FROM m
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT a) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT b) AS BIGINT) AS n_hours,
+           list_reduce(list(term ORDER BY a, b), (x, y) -> x + y)
+             / CAST(MAX(n) AS DOUBLE) AS chi2,
+           sqrt(list_reduce(list(term ORDER BY a, b), (x, y) -> x + y)
+                  / CAST(MAX(n) AS DOUBLE)
+                / (CAST(MAX(n) AS DOUBLE)
+                   * CAST(LEAST(COUNT(DISTINCT a) - 1,
+                                COUNT(DISTINCT b) - 1) AS DOUBLE))) AS cramers_v
+    FROM t
+    """,
+)
+def q192(spark, sf_dir):
+    """ClickHouse cramersV / contingency: chi-square association between
+    event_type and hour-of-day.  The heavy pass is one COUNT(*) groupBy
+    over the contingency cells; marginals come from window sums over the
+    cell table (types x 24 rows, not the raw data).  Each cell's term
+    uses the integer identity (o*n - ra*cb)^2/(ra*cb) — exact int64
+    inputs, float only at the last step — and the cross-cell float sum
+    folds in sorted (a, b) order on BOTH engines (sort_array + aggregate
+    here, list(ORDER BY) + list_reduce in DuckDB), so summation order
+    can't perturb the hash.  At 100 TB the cell table is KB-sized; only
+    the first groupBy touches the data."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("a"), F.hour("ts").alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = (
+        cells.withColumn("ra", F.sum("o").over(Window.partitionBy("a")))
+        .withColumn("cb", F.sum("o").over(Window.partitionBy("b")))
+        .withColumn(
+            "n", F.sum("o").over(Window.partitionBy())
+        )
+    )
+    d = F.col("o") * F.col("n") - F.col("ra") * F.col("cb")
+    t = m.select(
+        "a",
+        "b",
+        "n",
+        (
+            d.cast("double")
+            * d.cast("double")
+            / (F.col("ra").cast("double") * F.col("cb").cast("double"))
+        ).alias("term"),
+    )
+    fold = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("a", "b", "term"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["term"],
+    )
+    nd = F.max("n").cast("double")
+    chi2 = fold / nd
+    k = F.least(
+        F.count_distinct(F.col("a")) - 1, F.count_distinct(F.col("b")) - 1
+    ).cast("double")
+    return t.agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.count_distinct(F.col("a")).cast("bigint").alias("n_types"),
+        F.count_distinct(F.col("b")).cast("bigint").alias("n_hours"),
+        chi2.alias("chi2"),
+        F.sqrt(chi2 / (nd * k)).alias("cramers_v"),
+    )
+
+
+@query(
+    "q193_entropy",
+    """
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1, 2
+    ), s AS (
+      SELECT source, lang, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM c
+    ), t AS (
+      SELECT source, lang, n,
+             CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE)) AS w
+      FROM s
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           round(log2(CAST(MAX(n) AS DOUBLE))
+                 - list_reduce(list(w ORDER BY lang), (x, y) -> x + y)
+                   / CAST(MAX(n) AS DOUBLE), 6) AS lang_entropy_bits
+    FROM t GROUP BY source
+    """,
+)
+def q193(spark, sf_dir):
+    """ClickHouse entropy: Shannon entropy of the language mix per corpus
+    source (a training-data diversity metric).  H = log2(n) - (1/n)
+    SUM(c*log2(c)) over the per-(source, lang) count table — the raw scan
+    is one groupBy; everything after runs on the tiny cell table.  The
+    per-lang float terms fold in sorted lang order on both engines, and
+    the result is rounded to 6 dp because log2 is the one op IEEE does
+    NOT pin to the last ulp across libm implementations (sub-ulp input
+    differences are ~1e-15 relative, far inside the rounding margin)."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    s = c.withColumn("n", F.sum("cnt").over(Window.partitionBy("source")))
+    t = s.select(
+        "source",
+        "lang",
+        "n",
+        (F.col("cnt").cast("double") * F.log2(F.col("cnt").cast("double"))).alias(
+            "w"
+        ),
+    )
+    fold = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("lang", "w"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["w"],
+    )
+    nd = F.max("n").cast("double")
+    return t.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.round(F.log2(nd) - fold / nd, 6).alias("lang_entropy_bits"),
+    )
+
+
+@query(
+    "q194_spearman_rank_corr",
+    """
+    WITH r AS (
+      SELECT event_type,
+             2 * RANK() OVER (PARTITION BY event_type ORDER BY value)
+               + COUNT(*) OVER (PARTITION BY event_type ORDER BY value
+                                RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+               - 1 AS rx,
+             2 * RANK() OVER (PARTITION BY event_type ORDER BY user_id)
+               + COUNT(*) OVER (PARTITION BY event_type ORDER BY user_id
+                                RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+               - 1 AS ry
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(rx) AS DOUBLE) AS sx,
+             CAST(SUM(ry) AS DOUBLE) AS sy,
+             CAST(SUM(rx * rx) AS DOUBLE) AS sxx,
+             CAST(SUM(ry * ry) AS DOUBLE) AS syy,
+             CAST(SUM(rx * ry) AS DOUBLE) AS sxy
+      FROM r GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(nd AS BIGINT) AS n,
+           (nd * sxy - sx * sy)
+             / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)) AS spearman_rho
+    FROM s
+    """,
+)
+def q194(spark, sf_dir):
+    """ClickHouse rankCorr: Spearman rank correlation between event value
+    and user_id per event_type.  Tie-averaged ranks come from the
+    identity avg_rank = rank + (peers-1)/2, doubled to 2*rank + peers - 1
+    so they stay INTEGER (no half-fraction floats); Pearson over the
+    doubled ranks equals Pearson over the averaged ranks because
+    correlation is affine-invariant.  Peer counts use the RANGE CURRENT
+    ROW..CURRENT ROW peers frame, so both rank and peers share ONE
+    partitioning (event_type) — one exchange, two in-partition sorts.
+    From there it is the q98 exact-moment pattern: six integer sums,
+    fixed-order float finish.  rx <= 2n keeps SUM(rx*rx) inside int64 up
+    to ~1e6 rows per group; beyond that, quantile-bucket ranks first."""
+    ev = _t(spark, sf_dir, "events")
+    wv = Window.partitionBy("event_type").orderBy("value")
+    wu = Window.partitionBy("event_type").orderBy("user_id")
+    peers_v = (
+        F.count(F.lit(1))
+        .over(wv.rangeBetween(Window.currentRow, Window.currentRow))
+    )
+    peers_u = (
+        F.count(F.lit(1))
+        .over(wu.rangeBetween(Window.currentRow, Window.currentRow))
+    )
+    r = ev.select(
+        "event_type",
+        (F.lit(2) * F.rank().over(wv) + peers_v - 1).alias("rx"),
+        (F.lit(2) * F.rank().over(wu) + peers_u - 1).alias("ry"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("double").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
+    )
+    nd, sx, sy = F.col("nd"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "event_type",
+        nd.cast("bigint").alias("n"),
+        (
+            (nd * sxy - sx * sy)
+            / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+        ).alias("spearman_rho"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
