@@ -149,6 +149,25 @@ def expire_partitions(path: str, partition_col: str, before: str) -> int:
     return removed
 
 
+def _swap_partitions(staging: str, path: str, partition_col: str, values) -> None:
+    """Swap the affected partition directories of ``path`` with the ones a
+    single-job rewrite produced under ``staging``.  Renames only — no data
+    movement.  A value with no staging directory means the rewrite emitted
+    zero rows for it (e.g. a whole-partition delete): the partition is
+    simply dropped."""
+    import os
+    import shutil
+
+    for val in values:
+        part = f"{partition_col}={val}"
+        dst = os.path.join(path, part)
+        src = os.path.join(staging, part)
+        shutil.rmtree(dst)
+        if os.path.isdir(src):
+            os.rename(src, dst)
+    shutil.rmtree(staging)
+
+
 def delete_rows(
     spark,
     path: str,
@@ -162,10 +181,13 @@ def delete_rows(
     partitions that actually contain matching rows.  With ``partition_col``
     given, a first cheap scan projects just the partition values of
     matching rows (predicate pushdown + column pruning make this a
-    metadata-light pass), then each AFFECTED partition directory is read
-    back, filtered, and atomically swapped; untouched partitions keep
-    their files byte-for-byte.  At 100 TB with date partitioning, erasing
-    one user's data rewrites only the days that user appears in.
+    metadata-light pass), then ONE Spark job rewrites every affected
+    partition at once (partition-pruned read → filter → partitionBy write
+    to a staging root) and the affected directories are swapped with
+    driver-side renames; untouched partitions keep their files
+    byte-for-byte.  At 100 TB with date partitioning, erasing one user's
+    data rewrites only the days that user appears in — and the job count
+    stays O(1) no matter how many days that is.
 
     Returns the number of rows deleted.  A table format (Delta/Iceberg)
     would make the same operation transactional deletion-vector writes.
@@ -195,18 +217,25 @@ def delete_rows(
         .count()
         .collect()
     }
-    deleted = 0
-    for val, n in per_part.items():
-        part_dir = os.path.join(path, f"{partition_col}={val}")
-        part = spark.read.option("basePath", path).parquet(part_dir)
-        keep = part.filter(~condition)
-        deleted += n
-        tmp = part_dir + ".deleting"
-        # the partition dir encodes the value; drop the constant column
-        keep.drop(partition_col).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(part_dir)
-        os.rename(tmp, part_dir)
-    return deleted
+    if not per_part:
+        return 0
+    # ONE rewrite job covering every affected partition (dynamic-partition-
+    # overwrite shape): filter the store to the affected partition values
+    # (partition pruning makes this scan only those directories), drop the
+    # matches, and write all surviving rows partitionBy(partition_col) into
+    # a staging root in a single Spark job.  The per-partition work is then
+    # just driver-side directory renames — filesystem metadata ops, not
+    # jobs — so 10 000 affected date partitions at 100 TB cost one job +
+    # 10 000 renames instead of 10 000 serialized Spark jobs.  (A literal
+    # ``mode("overwrite")`` back into `path` would trip Spark's
+    # cannot-overwrite-a-path-being-read-from check, and staging + rename
+    # also preserves untouched-partition file identity byte-for-byte.)
+    affected = list(per_part)
+    keep = cur.filter(F.col(partition_col).isin(affected)).filter(~condition)
+    staging = path.rstrip("/") + ".deleting"
+    keep.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    _swap_partitions(staging, path, partition_col, affected)
+    return sum(per_part.values())
 
 
 def update_rows(
@@ -248,16 +277,16 @@ def update_rows(
         .count()
         .collect()
     }
-    updated = 0
-    for val, n in per_part.items():
-        part_dir = os.path.join(path, f"{partition_col}={val}")
-        part = spark.read.option("basePath", path).parquet(part_dir)
-        updated += n
-        tmp = part_dir + ".updating"
-        _apply(part).drop(partition_col).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(part_dir)
-        os.rename(tmp, part_dir)
-    return updated
+    if not per_part:
+        return 0
+    # Same single-job dynamic-overwrite shape as delete_rows: one write
+    # covering all affected partitions, then driver-side renames.
+    affected = list(per_part)
+    new = _apply(cur.filter(F.col(partition_col).isin(affected)))
+    staging = path.rstrip("/") + ".updating"
+    new.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    _swap_partitions(staging, path, partition_col, affected)
+    return sum(per_part.values())
 
 
 def jdbc_sink_options(url: str, table: str, user: str, password: str) -> dict[str, str]:

@@ -95,6 +95,54 @@ def test_delete_rows_no_match_is_noop(spark, tmp_path):
     assert spark.read.parquet(store).count() == 2
 
 
+def test_delete_rows_one_job_for_all_partitions(spark, tmp_path):
+    """The mutation rewrite is ONE Spark job covering every affected
+    partition (plus the single metadata scan), not one job per partition —
+    with 8 affected partitions the job count must stay far below 8."""
+    import os
+
+    from syslog_handler_with_clickhouse_spark.sources.sinks import delete_rows
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 8}") for i in range(64)], "id long, day string"
+    )
+    store = str(tmp_path / "jstore")
+    df.write.partitionBy("day").parquet(store)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("mutation-jobs", "single-job delete")
+    try:
+        n = delete_rows(spark, store, F.col("id") < 32, partition_col="day")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert n == 32
+    jobs = sc.statusTracker().getJobIdsForGroup("mutation-jobs")
+    # metadata groupBy-count (AQE may split it) + one staging write:
+    # bounded by a constant, NOT by the 8 affected partitions
+    assert 0 < len(jobs) <= 4, jobs
+    # all 8 partitions still present (every one kept its odd ids)
+    parts = sorted(e for e in os.listdir(store) if e.startswith("day="))
+    assert len(parts) == 8
+    assert spark.read.parquet(store).count() == 32
+
+
+def test_delete_rows_whole_partition_vanishes(spark, tmp_path):
+    """Deleting every row of a partition drops its directory entirely."""
+    from syslog_handler_with_clickhouse_spark.sources.sinks import delete_rows
+
+    df = spark.createDataFrame(
+        [(i, "gone" if i < 5 else "kept") for i in range(10)],
+        "id long, day string",
+    )
+    store = str(tmp_path / "vstore")
+    df.write.partitionBy("day").parquet(store)
+    n = delete_rows(spark, store, F.col("day") == "gone", partition_col="day")
+    assert n == 5
+    back = spark.read.parquet(store)
+    assert back.count() == 5
+    assert back.filter(F.col("day") == "gone").count() == 0
+
+
 def test_update_rows_partition_targeted(spark, tmp_path):
     from syslog_handler_with_clickhouse_spark.sources.sinks import update_rows
 
