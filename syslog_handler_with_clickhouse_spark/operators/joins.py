@@ -37,12 +37,25 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
     lcols = [c for c in left.columns]
+    # Right-side values ride in ONE struct (non-null for every right row,
+    # null for left rows): the running last(ignorenulls) then latches onto
+    # the nearest right ROW, so a matching row whose value columns are NULL
+    # still wins — DuckDB ASOF semantics — instead of falling through to an
+    # older/newer row the way per-column ignorenulls would.
     tagged_left = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),  # after right rows at equal ts (<= semantics)
         F.struct(*[F.col(c) for c in lcols]).alias("__l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in value_cols
+            )
+            + ">"
+        )
+        .alias("__r"),
     )
     tagged_right = right.select(
         F.col(on).alias("__k"),
@@ -51,7 +64,7 @@ def asof_join(
         F.lit(None).cast(
             tagged_left.schema["__l"].dataType
         ).alias("__l"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__r"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     # __side ascending keeps right rows (0) ahead of left rows (1) at equal
@@ -65,11 +78,11 @@ def asof_join(
     filled = unioned.select(
         "__side",
         "__l",
-        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__v_{c}") for c in value_cols],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     ).filter(F.col("__side") == 1)
     out = filled.select(
         *[F.col("__l")[c].alias(c) for c in lcols],
-        *[F.col(f"__v_{c}").alias(f"{c}_asof") for c in value_cols],
+        *[F.col("__r")[c].alias(f"{c}_asof") for c in value_cols],
     )
     return out
 

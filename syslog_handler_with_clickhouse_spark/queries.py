@@ -7070,21 +7070,31 @@ def q190(spark, sf_dir):
     oracle's full GROUP BY over everything — incremental == recompute.
     The raw table is scanned once per batch and never again; at 100 TB
     the serving read touches kilobytes of state, not the history."""
+    import shutil
     import tempfile
 
     from .sources.mv import read_mv, refresh_mv
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
-    path = tempfile.mkdtemp(prefix="mvq_") + "/mv"
-    for i in range(3):
-        refresh_mv(
-            ev.filter(F.col("event_id") % 3 == i),
-            path,
-            keys=["event_type"],
-            sum_cols=["user_id"],
-            batch_id=i,
-        )
-    state = read_mv(spark, path)
+    tmp = tempfile.mkdtemp(prefix="mvq_")
+    path = tmp + "/mv"
+    try:
+        for i in range(3):
+            refresh_mv(
+                ev.filter(F.col("event_id") % 3 == i),
+                path,
+                keys=["event_type"],
+                sum_cols=["user_id"],
+                batch_id=i,
+            )
+        final = read_mv(spark, path)
+        # The MV state is group-cardinality-sized (a handful of rows), so
+        # rebuilding it driver-side lets the scratch dir be removed before
+        # returning — repeated invocations leak nothing, and the returned
+        # frame carries no dangling file reference.
+        state = spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return state.select(
         "event_type",
         "n",
@@ -7327,12 +7337,12 @@ def q193(spark, sf_dir):
     """
     WITH r AS (
       SELECT event_type,
-             2 * RANK() OVER (PARTITION BY event_type ORDER BY value)
-               + COUNT(*) OVER (PARTITION BY event_type ORDER BY value
+             2 * RANK() OVER (PARTITION BY event_type ORDER BY value NULLS LAST)
+               + COUNT(*) OVER (PARTITION BY event_type ORDER BY value NULLS LAST
                                 RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
                - 1 AS rx,
-             2 * RANK() OVER (PARTITION BY event_type ORDER BY user_id)
-               + COUNT(*) OVER (PARTITION BY event_type ORDER BY user_id
+             2 * RANK() OVER (PARTITION BY event_type ORDER BY user_id NULLS LAST)
+               + COUNT(*) OVER (PARTITION BY event_type ORDER BY user_id NULLS LAST
                                 RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
                - 1 AS ry
       FROM events
@@ -7366,8 +7376,11 @@ def q194(spark, sf_dir):
     fixed-order float finish.  rx <= 2n keeps SUM(rx*rx) inside int64 up
     to ~1e6 rows per group; beyond that, quantile-bucket ranks first."""
     ev = _t(spark, sf_dir, "events")
-    wv = Window.partitionBy("event_type").orderBy("value")
-    wu = Window.partitionBy("event_type").orderBy("user_id")
+    # Explicit NULLS LAST: Spark's default asc ordering is NULLS FIRST,
+    # DuckDB's is NULLS LAST — pinned on both sides so rank parity (and
+    # hence spearman_rho) survives nullable value/user_id data.
+    wv = Window.partitionBy("event_type").orderBy(F.asc_nulls_last("value"))
+    wu = Window.partitionBy("event_type").orderBy(F.asc_nulls_last("user_id"))
     peers_v = (
         F.count(F.lit(1))
         .over(wv.rangeBetween(Window.currentRow, Window.currentRow))

@@ -23,15 +23,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown fixture table {name!r}; one of {TESTDATA_TABLES}")
     apply_runtime_conf(spark)  # UTC session time for oracle parity
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects
-        # ([PARQUET_TYPE_ILLEGAL]); read the raw int64 nanos and truncate to
-        # microseconds — DuckDB's reader truncates ns → µs identically, so
-        # oracle parity is exact.
+        # Some fixture generations store ts as TIMESTAMP(NANOS), which
+        # Spark 4 rejects ([PARQUET_TYPE_ILLEGAL]); with nanosAsLong those
+        # columns surface as int64 nanos, truncated here to microseconds —
+        # DuckDB's reader truncates ns → µs identically, so oracle parity
+        # is exact.  Generations that store TIMESTAMP(MICROS) read as a
+        # proper timestamp (the conf is a no-op for them) and pass through.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
