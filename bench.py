@@ -44,6 +44,15 @@ HEADLINE = [
 ]
 
 
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def main() -> None:
     t_import = time.time()
     from syslog_handler_with_clickhouse_spark.queries import QUERIES
@@ -54,17 +63,30 @@ def main() -> None:
 
     # Warm the JVM + parquet footers with a trivial action (not timed).
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    t_ready = time.time()
 
+    # Median-of-RUNS per query: the single-run harness had ±30%+ variance on
+    # a contended box (round-3 verdict adjudicated a false 2.1× regression
+    # alarm) — medians make one noisy run invisible.
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        rows[name] = n
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        samples: list[float] = []
+        for i in range(RUNS):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            samples.append(round(time.time() - t0, 3))
+            if i == 0:
+                rows[name] = n
+        all_runs[name] = samples
+        timings[name] = round(_median(samples), 3)
+        print(
+            f"# {name}: median={timings[name]:.3f}s runs={samples} rows={rows[name]}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
@@ -75,7 +97,9 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: v for k, v in timings.items()},
         "sf": float(sf_match.group(1).rstrip(".")) if sf_match else None,
-        "startup_sec": round(time.time() - t_import - total, 3),
+        "runs": RUNS,
+        "runs_detail": all_runs,
+        "startup_sec": round(t_ready - t_import, 3),
         # reference capacity envelope is >=500 rows/s (BASELINE.md) — this is
         # the full stream-parse-store-readback path, not just the socket read
         "ingest_rows_per_sec": round(rows[ingest] / timings[ingest], 1)

@@ -29,7 +29,7 @@ from .functions.text import (
 from .operators import dedup, multimodal, similarity
 from .operators.joins import asof_join
 from .operators.topk import global_top_k, top_k_per_group
-from .sources.testdata import load_table
+from .sources.testdata import load_table, normalize_events_ts
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -1910,8 +1910,9 @@ _STREAM_DIRS: dict[str, str] = {}  # sf_dir → symlink dir for the file source
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events fixture as a REAL file-source stream (same ns→µs
-    handling as the batch loader, schema pinned from the parquet footer).
+    """The events fixture as a REAL file-source stream (same ts
+    normalization as the batch loader, schema pinned from the parquet
+    footer).
 
     The file streaming source requires a directory, and the fixture is a
     single read-only file — so stream from a temp dir holding a symlink
@@ -1930,7 +1931,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _STREAM_DIRS[sf_dir] = d
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(schema).parquet(_STREAM_DIRS[sf_dir])
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def _run_stream(agg: DataFrame, mode: str) -> str:

@@ -18,25 +18,44 @@ from ..session import apply_runtime_conf
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the ``ts`` column of an events scan to session-TZ
+    TimestampType regardless of how the fixture generation stored it.
+
+    Fixture generations have stored ``ts`` three ways:
+
+    - TIMESTAMP(NANOS): Spark 4 rejects it ([PARQUET_TYPE_ILLEGAL]); with
+      ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as int64 nanos,
+      truncated here to microseconds — DuckDB's reader truncates ns → µs
+      identically, so oracle parity is exact.
+    - TIMESTAMP(MICROS) with no TZ annotation: surfaces as TIMESTAMP_NTZ,
+      which ltz-only functions (``unix_millis``/``unix_micros``) and
+      streaming watermarks reject — cast to TimestampType.  The session TZ
+      is pinned UTC (``apply_runtime_conf``), so wall-clock values and every
+      downstream ``date_format``/oracle hash are unchanged.
+    - TIMESTAMP(MICROS, isAdjustedToUTC): already TimestampType; no-op.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dtype, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; one of {TESTDATA_TABLES}")
     apply_runtime_conf(spark)  # UTC session time for oracle parity
     if name == "events":
-        # Some fixture generations store ts as TIMESTAMP(NANOS), which
-        # Spark 4 rejects ([PARQUET_TYPE_ILLEGAL]); with nanosAsLong those
-        # columns surface as int64 nanos, truncated here to microseconds —
-        # DuckDB's reader truncates ns → µs identically, so oracle parity
-        # is exact.  Generations that store TIMESTAMP(MICROS) read as a
-        # proper timestamp (the conf is a no-op for them) and pass through.
+        # nanosAsLong is a no-op for µs fixtures; needed so ns fixtures
+        # surface as int64 instead of failing the scan outright.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_events_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
