@@ -1014,6 +1014,56 @@ def q38(spark, sf_dir):
 
 
 @query(
+    "q195_jaccard_pairs_maxdf",
+    _DUP_UNION
+    + """
+    , sh AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+             )) AS shl
+      FROM corpus
+    ), ex0 AS (
+      SELECT doc, unnest(shl) AS shingle FROM sh
+    ), keep AS (
+      SELECT shingle FROM ex0 GROUP BY shingle HAVING COUNT(*) <= 4
+    ), ex AS (
+      SELECT ex0.doc, ex0.shingle FROM ex0 JOIN keep USING (shingle)
+    ), cnts AS (
+      SELECT doc, COUNT(*) AS n_sh FROM ex GROUP BY doc
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter,
+           round(CAST(COUNT(*) AS DOUBLE)
+             / CAST(ca.n_sh + cb.n_sh - COUNT(*) AS DOUBLE), 6) AS jaccard
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc < b.doc
+    JOIN cnts ca ON a.doc = ca.doc
+    JOIN cnts cb ON b.doc = cb.doc
+    GROUP BY a.doc, b.doc, ca.n_sh, cb.n_sh
+    HAVING CAST(COUNT(*) AS DOUBLE)
+             / CAST(ca.n_sh + cb.n_sh - COUNT(*) AS DOUBLE) >= 0.5
+    """,
+)
+def q195(spark, sf_dir):
+    """q38 with the stop-shingle cap engaged (``max_df=4``) — THE lever
+    that bounds the Σ freq² candidate-pair blowup at 100 TB
+    (`operators/dedup.py:128-135`).  At sf0.01 the cap drops the top
+    decile of shingles (max df is 9) and changes inter/jaccard on 138 of
+    the 139 surviving pairs, so the oracle pins the post-filter
+    recompute semantics (per-doc counts over KEPT shingles only), not
+    just the pair set."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return dedup.jaccard_pairs(
+        corpus, "text", "doc_id", n=3, threshold=0.5, max_df=4
+    ).select("doc_a", "doc_b", "inter", "jaccard")
+
+
+@query(
     "q39_minhash_lsh",
     _DUP_UNION
     + """
