@@ -72,6 +72,57 @@ def cosine_topk_bruteforce(
     return _ranked_topk(_scored(queries, corpus), k)
 
 
+def _cell_sims(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """Score every corpus vector against every centroid — broadcast
+    cross-join, the corpus never shuffles for it."""
+    c = _with_norm(cent, "cvec", "cn")
+    return (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("cell_sim", _cos("vec", "cvec", "vn", "cn"))
+        .select("vid", "cell", "cell_sim")
+    )
+
+
+def _nearest_cell(cell_sims: DataFrame) -> DataFrame:
+    w = Window.partitionBy("vid").orderBy(F.col("cell_sim").desc(), F.col("cell").asc())
+    return (
+        cell_sims.withColumn("crnk", F.row_number().over(w))
+        .filter(F.col("crnk") == 1)
+        .select("vid", "cell")
+    )
+
+
+def refine_centroids(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd (k-means) refinement pass: assign each vector to its
+    nearest centroid by cosine, replace each centroid with the
+    elementwise mean of its members.
+
+    Components are rounded to 6 dp so the result is reproducible across
+    engines despite float summation-order differences (same contract as
+    the 6-dp cosine everywhere else in this tier) — that keeps the DuckDB
+    oracle exact.  Cosine ranking is scale-invariant, so the spherical
+    k-means renormalization of the mean is a provable no-op here and is
+    skipped.
+
+    Scale shape: one broadcast scoring pass over the corpus plus one
+    narrow (cell, pos, val) shuffle of |corpus|×dim scalar rows — at
+    100 TB you run this on a sample (pass ``emb.sample(...)`` as the
+    training set; the quantizer need not see every vector), never the
+    full corpus.  Empty cells drop out, matching the oracle's GROUP BY.
+    """
+    assign = _nearest_cell(_cell_sims(v, cent))
+    mem = assign.join(v, "vid").select(
+        "cell", F.posexplode(F.col("vec")).alias("pos", "val")
+    )
+    means = mem.groupBy("cell", "pos").agg(F.round(F.avg("val"), 6).alias("cval"))
+    return means.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s.cval,
+        ).alias("cvec")
+    )
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     k: int = 5,
@@ -80,32 +131,31 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_pred=None,
+    refine: int = 0,
 ) -> DataFrame:
     """IVF-flat ANN: coarse-quantize the corpus into ``n_cells`` Voronoi
     cells and probe each query's ``nprobe`` nearest cells.
 
-    Centroids are the deterministic seed vectors ``id < n_cells`` (a
-    sampled coarse quantizer — the k-means refinement is orthogonal to
-    the query plan).  Scale shape: centroid scoring is a broadcast
-    cross-join (corpus never shuffles for it); the cell ranking shuffles
-    only narrow (id, cell, sim) rows — vectors are re-attached by an
-    id-equi-join afterwards; candidate scoring touches ~nprobe/n_cells
-    of the corpus per query instead of all of it.
+    Centroids start as the deterministic seed vectors ``id < n_cells``;
+    ``refine`` Lloyd passes (see :func:`refine_centroids`) make the
+    quantizer data-adaptive while staying fully deterministic.  Scale
+    shape: centroid scoring is a broadcast cross-join (corpus never
+    shuffles for it); the cell ranking shuffles only narrow
+    (id, cell, sim) rows — vectors are re-attached by an id-equi-join
+    afterwards; candidate scoring touches ~nprobe/n_cells of the corpus
+    per query instead of all of it.
     """
     cent = emb.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
     )
-    c = _with_norm(cent, "cvec", "cn")
     v = _with_norm(
         emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")),
         "vec",
         "vn",
     )
-    cell_sims = (
-        v.crossJoin(F.broadcast(c))
-        .withColumn("cell_sim", _cos("vec", "cvec", "vn", "cn"))
-        .select("vid", "cell", "cell_sim")
-    )
+    for _ in range(refine):
+        cent = refine_centroids(v, cent)
+    cell_sims = _cell_sims(v, cent)
     wcell = Window.partitionBy("vid").orderBy(
         F.col("cell_sim").desc(), F.col("cell").asc()
     )

@@ -1915,8 +1915,25 @@ def q62(spark, sf_dir):
 @query(
     "q63_simsearch_ivf",
     """
-    WITH cent AS (
+    WITH cent0 AS (
       SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16),
+    cs0 AS (
+      SELECT e.vec_id AS vid, cent0.cell, {cell_cos0} AS cell_sim
+      FROM embeddings e, cent0),
+    r0 AS (
+      SELECT *, row_number() OVER (PARTITION BY vid
+                                   ORDER BY cell_sim DESC, cell) AS crnk
+      FROM cs0),
+    a0 AS (SELECT vid, cell FROM r0 WHERE crnk = 1),
+    mem AS (
+      SELECT a0.cell, t.i AS pos, CAST(e.embedding[t.i] AS DOUBLE) AS val
+      FROM a0 JOIN embeddings e ON e.vec_id = a0.vid,
+           unnest(range(1, len(e.embedding) + 1)) AS t(i)),
+    cent AS (
+      SELECT cell, list(v ORDER BY pos) AS cv
+      FROM (SELECT cell, pos, round(avg(val), 6) AS v
+            FROM mem GROUP BY cell, pos)
+      GROUP BY cell),
     cs AS (
       SELECT e.vec_id AS vid, cent.cell, {cell_cos} AS cell_sim
       FROM embeddings e, cent),
@@ -1942,16 +1959,20 @@ def q62(spark, sf_dir):
       FROM s) t
     WHERE rnk <= 5
     """.format(
+        cell_cos0=_COS_EXPR.format(a="e.embedding", b="cent0.cv"),
         cell_cos=_COS_EXPR.format(a="e.embedding", b="cent.cv"),
         cos=_COS_EXPR.format(a="qv", b="nv"),
     ),
 )
 def q63(spark, sf_dir):
     """IVF-flat ANN (the scale path next to q41 brute / q42 LSH): 16-cell
-    coarse quantizer from deterministic seed vectors, nprobe=2."""
+    coarse quantizer, seeded from deterministic vectors and refined by
+    ONE Lloyd pass (`operators/similarity.py` refine_centroids) so the
+    cells are data-adaptive; nprobe=2.  The oracle replicates the
+    refinement exactly (6-dp-rounded elementwise means)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_ivf(
-        emb, k=5, n_cells=16, nprobe=2, query_pred=F.col("query_id") < 10
+        emb, k=5, n_cells=16, nprobe=2, query_pred=F.col("query_id") < 10, refine=1
     )
 
 

@@ -93,3 +93,45 @@ def test_decode_real_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(b"\x89PNG")
+
+
+def test_refine_centroids_tightens_cells(spark):
+    """One Lloyd pass must not worsen the quantizer: mean best-cell
+    cosine (the spherical k-means objective) improves on real data."""
+    from syslog_handler_with_clickhouse_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cent0 = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    v = similarity._with_norm(
+        emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("vec")),
+        "vec",
+        "vn",
+    )
+    cent1 = similarity.refine_centroids(v, cent0)
+
+    def mean_best(cent):
+        sims = similarity._cell_sims(v, cent)
+        best = sims.groupBy("vid").agg(F.max("cell_sim").alias("best"))
+        return best.agg(F.avg("best")).first()[0]
+
+    before, after = mean_best(cent0), mean_best(cent1)
+    assert after > before, (before, after)
+
+
+def test_refine_centroids_deterministic(spark):
+    from syslog_handler_with_clickhouse_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cent0 = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    v = similarity._with_norm(
+        emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("vec")),
+        "vec",
+        "vn",
+    )
+    a = {r.cell: r.cvec for r in similarity.refine_centroids(v, cent0).collect()}
+    b = {r.cell: r.cvec for r in similarity.refine_centroids(v, cent0).collect()}
+    assert a == b  # 6-dp rounding makes the pass engine- and run-stable
