@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -47,14 +48,11 @@ def asof_join(
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),  # after right rows at equal ts (<= semantics)
         F.struct(*[F.col(c) for c in lcols]).alias("__l"),
+        # Build the null-struct type programmatically — a DDL string would
+        # need escaping for backticks in column names and simpleString()
+        # does not quote nested field names.
         F.lit(None)
-        .cast(
-            "struct<"
-            + ",".join(
-                f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in value_cols
-            )
-            + ">"
-        )
+        .cast(T.StructType([T.StructField(c, right.schema[c].dataType) for c in value_cols]))
         .alias("__r"),
     )
     tagged_right = right.select(

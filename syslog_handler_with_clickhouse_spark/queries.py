@@ -1992,9 +1992,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from .session import apply_runtime_conf
+    from .sources.testdata import reset_nanos_conf_if_unneeded, set_nanos_conf
 
     apply_runtime_conf(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    set_nanos_conf(spark)
     path = os.path.join(sf_dir, "events.parquet")
     if sf_dir not in _STREAM_DIRS:
         d = tempfile.mkdtemp(prefix="events_stream_")
@@ -2002,6 +2003,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _STREAM_DIRS[sf_dir] = d
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(schema).parquet(_STREAM_DIRS[sf_dir])
+    reset_nanos_conf_if_unneeded(spark, raw)
     return normalize_events_ts(raw)
 
 

@@ -149,6 +149,25 @@ def expire_partitions(path: str, partition_col: str, before: str) -> int:
     return removed
 
 
+# Characters Hive/Spark URL-escape in partition directory names
+# (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName):
+# control chars plus the filesystem/glob/URI metacharacters below.
+_PART_ESCAPE = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
+
+
+def _escape_partition_value(val) -> str:
+    """Replicate Spark's partition-path escaping so the driver-side renames
+    in :func:`_swap_partitions` always name the same directory the
+    ``partitionBy`` writer produced — a string value containing ``/`` or
+    ``=`` must not walk into (or miss) a different directory."""
+    if val is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    s = str(val)
+    if s == "":
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join(f"%{ord(c):02X}" if c in _PART_ESCAPE else c for c in s)
+
+
 def _swap_partitions(staging: str, path: str, partition_col: str, values) -> None:
     """Swap the affected partition directories of ``path`` with the ones a
     single-job rewrite produced under ``staging``.  Renames only — no data
@@ -159,7 +178,7 @@ def _swap_partitions(staging: str, path: str, partition_col: str, values) -> Non
     import shutil
 
     for val in values:
-        part = f"{partition_col}={val}"
+        part = f"{partition_col}={_escape_partition_value(val)}"
         dst = os.path.join(path, part)
         src = os.path.join(staging, part)
         shutil.rmtree(dst)

@@ -46,15 +46,32 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def set_nanos_conf(spark: SparkSession) -> None:
+    """nanosAsLong is a no-op for µs fixtures; needed so ns fixtures
+    surface as int64 instead of failing the scan outright."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def reset_nanos_conf_if_unneeded(spark: SparkSession, df: DataFrame) -> None:
+    """Don't leave the legacy conf set on the shared session: a later
+    TIMESTAMP(NANOS) parquet read anywhere else would silently surface as
+    int64.  Only safe to unset when THIS read didn't need it (ts is not
+    int64) — an ns fixture's lazy execution re-checks the conf at scan
+    time, so for those the conf must stay set."""
+    from pyspark.sql.types import LongType
+
+    if not isinstance(df.schema["ts"].dataType, LongType):
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; one of {TESTDATA_TABLES}")
     apply_runtime_conf(spark)  # UTC session time for oracle parity
     if name == "events":
-        # nanosAsLong is a no-op for µs fixtures; needed so ns fixtures
-        # surface as int64 instead of failing the scan outright.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        set_nanos_conf(spark)
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        reset_nanos_conf_if_unneeded(spark, df)
         return normalize_events_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

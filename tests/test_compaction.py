@@ -166,3 +166,44 @@ def test_update_rows_partition_targeted(spark, tmp_path):
     assert back.filter(F.col("uid") == -1).count() == 2
     # d2 partition untouched: its uid==3 rows survive
     assert back.filter((F.col("day") == "d2") & (F.col("uid") == 3)).count() > 0
+
+
+def test_escape_matches_spark_writer(spark, tmp_path):
+    """_escape_partition_value must agree byte-for-byte with the directory
+    names Spark's partitionBy writer produces, or _swap_partitions renames
+    the wrong directory (round-3 advice, hostile partition values)."""
+    import os
+
+    from syslog_handler_with_clickhouse_spark.sources.sinks import (
+        _escape_partition_value,
+    )
+
+    vals = ["a/b", "x=y", "pct%20", "co:lon", "br[ack]et", "ok", "sp ace",
+            'q"uote', "hash#1", "back\\slash"]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, k string"
+    )
+    store = str(tmp_path / "esc")
+    df.write.partitionBy("k").parquet(store)
+    actual = sorted(e for e in os.listdir(store) if e.startswith("k="))
+    assert actual == sorted(f"k={_escape_partition_value(v)}" for v in vals)
+
+
+def test_delete_rows_hostile_partition_value(spark, tmp_path):
+    from syslog_handler_with_clickhouse_spark.sources.sinks import delete_rows
+
+    df = spark.createDataFrame(
+        [(i, "a/b=c" if i < 6 else "plain", i % 3) for i in range(12)],
+        "id long, day string, uid long",
+    )
+    store = str(tmp_path / "hostile")
+    df.write.partitionBy("day").parquet(store)
+
+    # delete a subset of the hostile partition: it must be rewritten in
+    # place (not dropped, not duplicated) and the plain one untouched
+    n = delete_rows(spark, store, F.col("uid") == 0, partition_col="day")
+    assert n == 4  # uids 0,3 in 0..5 → 2 rows; 6,9 in 6..11 → 2 rows
+    back = spark.read.parquet(store)
+    assert back.count() == 8
+    assert back.filter(F.col("day") == "a/b=c").count() == 4
+    assert back.filter(F.col("day") == "plain").count() == 4
