@@ -256,3 +256,24 @@ def test_salted_join_equals_plain_on_skewed_keys(spark):
     plain = left.join(right, "k").groupBy("k", "name").count()
     salted = salted_join(left, right, "k").groupBy("k", "name").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_maxdf_filter_stays_native_equi_join(spark):
+    """q195 (max_df engaged) must keep the inverted-index shape: no
+    Python nodes, no cartesian/broadcast-nested-loop — the stop-shingle
+    filter is itself an equi-join on the shingle hash."""
+    df = QUERIES["q195_jaccard_pairs_maxdf"](spark, SF_DIR)
+    assert python_eval_nodes(df) == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_refinement_centroids_broadcast(spark):
+    """q63's refined-centroid scoring must broadcast the (tiny) centroid
+    side both for the refinement assignment and the final cell scoring —
+    the corpus never shuffles for quantization."""
+    df = QUERIES["q63_simsearch_ivf"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
