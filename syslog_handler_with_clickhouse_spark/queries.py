@@ -7510,6 +7510,346 @@ def q194(spark, sf_dir):
     )
 
 
+@query(
+    "q196_simple_linear_regression",
+    """
+    WITH q AS (
+      SELECT event_type, user_id AS x,
+             CAST(round(value * 100) AS BIGINT) AS yc
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(yc) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(yc * yc) AS DOUBLE) AS syy,
+             CAST(SUM(x * yc) AS DOUBLE) AS sxy
+      FROM q GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0 AS slope,
+           (sy / 100.0 - (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0 * sx)
+             / n AS intercept,
+           (n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM s
+    """,
+)
+def q196(spark, sf_dir):
+    """ClickHouse simpleLinearRegression (and ANSI regr_slope /
+    regr_intercept / regr_r2): least-squares y=value on x=user_id per
+    event_type.  Deliberately NOT Spark's regr_* aggregates — their
+    float accumulation order varies with partitioning; here the only
+    data-dependent aggregation is six exact integer sums (y
+    cent-quantized), so both engines compute bit-identical doubles in a
+    fixed-order scalar epilogue.  One shuffle, partial-agg mergeable —
+    the same plan at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.col("user_id").alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("yc"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("yc").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("yc") * F.col("yc")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("yc")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) / F.lit(100.0)
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        slope.alias("slope"),
+        ((sy / F.lit(100.0) - slope * sx) / n).alias("intercept"),
+        (
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    )
+
+
+@query(
+    "q197_student_ttest",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS xc,
+             user_id % 2 AS g
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(CASE WHEN g = 0 THEN 1 END) AS DOUBLE) AS n0,
+             CAST(COUNT(CASE WHEN g = 1 THEN 1 END) AS DOUBLE) AS n1,
+             CAST(SUM(CASE WHEN g = 0 THEN xc ELSE 0 END) AS DOUBLE) AS s0,
+             CAST(SUM(CASE WHEN g = 1 THEN xc ELSE 0 END) AS DOUBLE) AS s1,
+             CAST(SUM(CASE WHEN g = 0 THEN xc * xc ELSE 0 END) AS DOUBLE) AS ss0,
+             CAST(SUM(CASE WHEN g = 1 THEN xc * xc ELSE 0 END) AS DOUBLE) AS ss1
+      FROM q GROUP BY 1
+    ), v AS (
+      SELECT event_type, n0, n1, s0, s1,
+             ((ss0 - s0 * s0 / n0) + (ss1 - s1 * s1 / n1))
+               / (n0 + n1 - 2.0) AS sp2
+      FROM s
+    )
+    SELECT event_type,
+           CAST(n0 AS BIGINT) AS n_a,
+           CAST(n1 AS BIGINT) AS n_b,
+           (s0 / n0 - s1 / n1) / sqrt(sp2 * (1.0 / n0 + 1.0 / n1)) AS t_stat,
+           n0 + n1 - 2.0 AS dof
+    FROM v
+    """,
+)
+def q197(spark, sf_dir):
+    """ClickHouse studentTTest: two-sample POOLED-variance t-statistic
+    (the equal-variance twin of q191's welchTTest) over the same user
+    cohorts.  Same determinism contract: exact integer sums, fixed-order
+    float epilogue, one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    g = F.col("user_id") % 2
+    xc = F.round(F.col("value") * 100).cast("bigint")
+    q = ev.select("event_type", xc.alias("xc"), g.alias("g"))
+    s = q.groupBy("event_type").agg(
+        F.count(F.when(F.col("g") == 0, 1)).cast("double").alias("n0"),
+        F.count(F.when(F.col("g") == 1, 1)).cast("double").alias("n1"),
+        F.sum(F.when(F.col("g") == 0, F.col("xc")).otherwise(0))
+        .cast("double")
+        .alias("s0"),
+        F.sum(F.when(F.col("g") == 1, F.col("xc")).otherwise(0))
+        .cast("double")
+        .alias("s1"),
+        F.sum(F.when(F.col("g") == 0, F.col("xc") * F.col("xc")).otherwise(0))
+        .cast("double")
+        .alias("ss0"),
+        F.sum(F.when(F.col("g") == 1, F.col("xc") * F.col("xc")).otherwise(0))
+        .cast("double")
+        .alias("ss1"),
+    )
+    n0, n1, s0, s1 = F.col("n0"), F.col("n1"), F.col("s0"), F.col("s1")
+    v = s.select(
+        "event_type",
+        "n0",
+        "n1",
+        "s0",
+        "s1",
+        (
+            ((F.col("ss0") - s0 * s0 / n0) + (F.col("ss1") - s1 * s1 / n1))
+            / (n0 + n1 - F.lit(2.0))
+        ).alias("sp2"),
+    )
+    return v.select(
+        "event_type",
+        n0.cast("bigint").alias("n_a"),
+        n1.cast("bigint").alias("n_b"),
+        (
+            (s0 / n0 - s1 / n1)
+            / F.sqrt(F.col("sp2") * (F.lit(1.0) / n0 + F.lit(1.0) / n1))
+        ).alias("t_stat"),
+        (n0 + n1 - F.lit(2.0)).alias("dof"),
+    )
+
+
+@query(
+    "q198_mann_whitney",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS xc,
+             user_id % 2 AS g
+      FROM events
+    ), pv AS (
+      SELECT event_type, xc,
+             COUNT(*) AS nt,
+             COUNT(CASE WHEN g = 0 THEN 1 END) AS n0v
+      FROM q GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, xc, nt, n0v,
+             SUM(nt) OVER (PARTITION BY event_type ORDER BY xc
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - nt AS cum_prev
+      FROM pv
+    ), s AS (
+      SELECT event_type,
+             SUM(n0v) AS n0,
+             SUM(nt) - SUM(n0v) AS n1,
+             SUM(nt) AS n,
+             SUM(n0v * (2 * cum_prev + nt + 1)) AS r0x2,
+             SUM(nt * nt * nt - nt) AS ties
+      FROM w GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+           CAST(r0x2 AS DOUBLE) / 2.0
+             - CAST(n0 AS DOUBLE) * CAST(n0 + 1 AS DOUBLE) / 2.0 AS u_a,
+           CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+             - (CAST(r0x2 AS DOUBLE) / 2.0
+                - CAST(n0 AS DOUBLE) * CAST(n0 + 1 AS DOUBLE) / 2.0) AS u_b,
+           (CAST(r0x2 AS DOUBLE) / 2.0
+             - CAST(n0 AS DOUBLE) * CAST(n0 + 1 AS DOUBLE) / 2.0
+             - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 2.0)
+           / sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0
+                  * (CAST(n + 1 AS DOUBLE)
+                     - CAST(ties AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))) AS z
+    FROM s
+    """,
+)
+def q198(spark, sf_dir):
+    """ClickHouse mannWhitneyUTest: rank-sum U (with midrank tie
+    handling and tie-corrected normal approximation z) between user
+    cohorts per event_type.  Every aggregation is an exact INTEGER sum —
+    midranks are kept doubled (2·cum_prev + nt + 1 is integral) so even
+    the rank sum is exact; the float epilogue is fixed-order.  Two
+    shuffles: groupBy (event_type, value) then a window per event_type —
+    the rank table is |distinct values|-sized, not |rows|-sized."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("xc"),
+        (F.col("user_id") % 2).alias("g"),
+    )
+    pv = q.groupBy("event_type", "xc").agg(
+        F.count(F.lit(1)).alias("nt"),
+        F.count(F.when(F.col("g") == 0, 1)).alias("n0v"),
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("xc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = pv.withColumn("cum_prev", F.sum("nt").over(win) - F.col("nt"))
+    nt, n0v = F.col("nt"), F.col("n0v")
+    s = w.groupBy("event_type").agg(
+        F.sum(n0v).alias("n0"),
+        (F.sum(nt) - F.sum(n0v)).alias("n1"),
+        F.sum(nt).alias("n"),
+        F.sum(n0v * (F.lit(2) * F.col("cum_prev") + nt + F.lit(1))).alias("r0x2"),
+        F.sum(nt * nt * nt - nt).alias("ties"),
+    )
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    nd = F.col("n").cast("double")
+    r0 = F.col("r0x2").cast("double") / F.lit(2.0)
+    u_a = r0 - n0d * (F.col("n0") + F.lit(1)).cast("double") / F.lit(2.0)
+    sigma = F.sqrt(
+        n0d
+        * n1d
+        / F.lit(12.0)
+        * (
+            (F.col("n") + F.lit(1)).cast("double")
+            - F.col("ties").cast("double")
+            / (nd * (F.col("n") - F.lit(1)).cast("double"))
+        )
+    )
+    return s.select(
+        "event_type",
+        F.col("n0").alias("n_a"),
+        F.col("n1").alias("n_b"),
+        u_a.alias("u_a"),
+        (n0d * n1d - u_a).alias("u_b"),
+        ((u_a - n0d * n1d / F.lit(2.0)) / sigma).alias("z"),
+    )
+
+
+@query(
+    "q199_ks_test",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS xc,
+             user_id % 2 AS g
+      FROM events
+    ), pv AS (
+      SELECT event_type, xc,
+             COUNT(CASE WHEN g = 0 THEN 1 END) AS c0,
+             COUNT(CASE WHEN g = 1 THEN 1 END) AS c1
+      FROM q GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type,
+             SUM(c0) OVER (PARTITION BY event_type ORDER BY xc
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0,
+             SUM(c1) OVER (PARTITION BY event_type ORDER BY xc
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1
+      FROM pv
+    ), tot AS (
+      SELECT event_type, SUM(c0) AS n0, SUM(c1) AS n1 FROM pv GROUP BY 1
+    ), d AS (
+      SELECT w.event_type,
+             MAX(abs(w.cum0 * t.n1 - w.cum1 * t.n0)) AS dnum
+      FROM w JOIN tot t ON w.event_type = t.event_type
+      GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(t.n0 AS BIGINT) AS n_a, CAST(t.n1 AS BIGINT) AS n_b,
+           CAST(dnum AS DOUBLE) / (CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE))
+             AS d_stat,
+           CAST(dnum AS DOUBLE) / (CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE))
+             * sqrt(CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE)
+                    / (CAST(t.n0 AS DOUBLE) + CAST(t.n1 AS DOUBLE))) AS ks_z
+    FROM d JOIN tot t ON d.event_type = t.event_type
+    """,
+)
+def q199(spark, sf_dir):
+    """ClickHouse kolmogorovSmirnovTest: two-sample KS statistic
+    D = max |ECDF_a − ECDF_b| between user cohorts per event_type, plus
+    the scaled z = D·√(n_a·n_b/(n_a+n_b)).  The max is taken over the
+    INTEGER quantity |cum0·n1 − cum1·n0| (exact, order-independent) and
+    only divided at the end — no float comparisons inside the max.  Same
+    two-shuffle shape as q198."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("xc"),
+        (F.col("user_id") % 2).alias("g"),
+    )
+    pv = q.groupBy("event_type", "xc").agg(
+        F.count(F.when(F.col("g") == 0, 1)).alias("c0"),
+        F.count(F.when(F.col("g") == 1, 1)).alias("c1"),
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("xc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = pv.select(
+        "event_type",
+        F.sum("c0").over(win).alias("cum0"),
+        F.sum("c1").over(win).alias("cum1"),
+    )
+    tot = pv.groupBy("event_type").agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
+    )
+    d = (
+        w.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.abs(F.col("cum0") * F.col("n1") - F.col("cum1") * F.col("n0"))
+            ).alias("dnum")
+        )
+    )
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    d_stat = F.col("dnum").cast("double") / (n0d * n1d)
+    return (
+        d.join(tot, "event_type")
+        .select(
+            "event_type",
+            F.col("n0").alias("n_a"),
+            F.col("n1").alias("n_b"),
+            d_stat.alias("d_stat"),
+            (d_stat * F.sqrt(n0d * n1d / (n0d + n1d))).alias("ks_z"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
