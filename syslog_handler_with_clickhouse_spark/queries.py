@@ -7850,6 +7850,148 @@ def q199(spark, sf_dir):
     )
 
 
+@query(
+    "q200_lttb_downsample",
+    """
+    WITH base AS (
+      SELECT event_type, event_id, ts,
+             epoch_us(ts) AS xm,
+             CAST(round(value * 100) AS BIGINT) AS yc
+      FROM events
+    ), b2 AS (
+      SELECT *, xm - MIN(xm) OVER (PARTITION BY event_type) AS xr FROM base
+    ), b3 AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY xr, event_id) AS rn
+      FROM b2
+    ), b4 AS (
+      SELECT *, CAST(floor((rn - 1) / 50.0) AS BIGINT) AS bucket FROM b3
+    ), agg AS (
+      SELECT event_type, bucket, COUNT(*) AS n,
+             SUM(xr) AS sx, SUM(yc) AS sy
+      FROM b4 GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, MAX(rn) AS nmax, MAX(bucket) AS bmax
+      FROM b4 GROUP BY 1
+    ), mid AS (
+      SELECT p.event_type, p.bucket, p.rn, p.ts, p.yc,
+             abs( (CAST(ap.sx AS HUGEINT) * an.n - CAST(an.sx AS HUGEINT) * ap.n)
+                    * (CAST(p.yc AS HUGEINT) * ap.n - ap.sy)
+                - (CAST(ap.sx AS HUGEINT) - CAST(p.xr AS HUGEINT) * ap.n)
+                    * (CAST(an.sy AS HUGEINT) * ap.n - CAST(ap.sy AS HUGEINT) * an.n)
+             ) AS s_abs
+      FROM b4 p
+      JOIN agg ap ON ap.event_type = p.event_type AND ap.bucket = p.bucket - 1
+      JOIN agg an ON an.event_type = p.event_type AND an.bucket = p.bucket + 1
+    ), midpick AS (
+      SELECT event_type, ts, yc FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                                     ORDER BY s_abs DESC, rn) AS pick
+        FROM mid) m
+      WHERE pick = 1
+    ), edges AS (
+      SELECT b.event_type, b.ts, b.yc
+      FROM b4 b JOIN tot t ON b.event_type = t.event_type
+      WHERE b.rn = 1 OR b.rn = t.nmax
+    )
+    SELECT event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           yc / 100.0 AS val
+    FROM (SELECT * FROM midpick UNION ALL SELECT * FROM edges) u
+    """,
+)
+def q200(spark, sf_dir):
+    """ClickHouse largestTriangleThreeBuckets: per-series time-series
+    downsampling to ~n/50 visually-representative points.
+
+    Parallel variant: strict LTTB anchors each bucket's triangle on the
+    PREVIOUSLY SELECTED point — an inherently sequential scan.  Here both
+    anchors are neighbor-bucket AVERAGES (the right anchor already is in
+    strict LTTB), which decouples every bucket and turns the pass into
+    groupBy + two small equi-joins + one window — embarrassingly parallel
+    per series, the form you want at 100 TB.  First/last points are kept
+    exactly (LTTB's fixed endpoints).
+
+    Determinism: the triangle-area argmax is taken over an EXACT integer
+    metric — x as micros relative to the series start, y in cents, the
+    area comparison multiplied through by n_prev·n_next so no division
+    ever happens (DECIMAL(38,0) here, HUGEINT in the oracle; ~1e22 max,
+    both exact), ties broken by row number.  Output is integers and
+    fixed-order scalars only."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.unix_micros(F.col("ts")).alias("xm"),
+        F.round(F.col("value") * 100).cast("bigint").alias("yc"),
+    )
+    ws = Window.partitionBy("event_type")
+    b2 = base.withColumn("xr", F.col("xm") - F.min("xm").over(ws))
+    wrn = Window.partitionBy("event_type").orderBy("xr", "event_id")
+    b4 = b2.withColumn("rn", F.row_number().over(wrn)).withColumn(
+        "bucket", F.floor((F.col("rn") - 1) / F.lit(50.0)).cast("bigint")
+    )
+    agg = b4.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xr").alias("sx"),
+        F.sum("yc").alias("sy"),
+    )
+    tot = b4.groupBy("event_type").agg(
+        F.max("rn").alias("nmax"), F.max("bucket").alias("bmax")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ap = agg.select(
+        F.col("event_type").alias("p_et"),
+        (F.col("bucket") + 1).alias("p_b"),
+        F.col("n").alias("np"),
+        F.col("sx").alias("sxp"),
+        F.col("sy").alias("syp"),
+    )
+    an = agg.select(
+        F.col("event_type").alias("n_et"),
+        (F.col("bucket") - 1).alias("n_b"),
+        F.col("n").alias("nn"),
+        F.col("sx").alias("sxn"),
+        F.col("sy").alias("syn"),
+    )
+    mid = (
+        b4.join(
+            ap, (F.col("event_type") == F.col("p_et")) & (F.col("bucket") == F.col("p_b"))
+        )
+        .join(
+            an, (F.col("event_type") == F.col("n_et")) & (F.col("bucket") == F.col("n_b"))
+        )
+        .withColumn(
+            "s_abs",
+            F.abs(
+                (dec(F.col("sxp")) * F.col("nn") - dec(F.col("sxn")) * F.col("np"))
+                * (dec(F.col("yc")) * F.col("np") - dec(F.col("syp")))
+                - (dec(F.col("sxp")) - dec(F.col("xr")) * F.col("np"))
+                * (dec(F.col("syn")) * F.col("np") - dec(F.col("syp")) * F.col("nn"))
+            ),
+        )
+    )
+    wpick = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("s_abs").desc(), F.col("rn").asc()
+    )
+    midpick = (
+        mid.withColumn("pick", F.row_number().over(wpick))
+        .filter(F.col("pick") == 1)
+        .select("event_type", "ts", "yc")
+    )
+    edges = (
+        b4.join(tot, "event_type")
+        .filter((F.col("rn") == 1) | (F.col("rn") == F.col("nmax")))
+        .select("event_type", "ts", "yc")
+    )
+    u = midpick.unionByName(edges)
+    return u.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        (F.col("yc") / F.lit(100.0)).alias("val"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
