@@ -1,0 +1,97 @@
+"""Geo functions (ClickHouse greatCircleDistance / pointInPolygon family)
+as native Column expressions — no UDFs.
+
+Cross-engine determinism:
+
+- ``point_in_polygon`` is EXACT: the ray-casting crossing test is
+  multiplied through by the edge's Δy so it never divides — pure integer
+  comparisons, bit-identical on any engine.  The Spark Column and the
+  oracle SQL are generated from the same vertex list by the same code, so
+  the two sides cannot drift.
+- ``haversine_km`` is trig-heavy; engines' libm implementations differ in
+  the last ulp, so consumers must round the result (6 dp ≈ mm) before
+  comparing — the q193 cross-libm rule.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance (ClickHouse greatCircleDistance, km).
+
+    Fixed-order scalar expression; round to ≤6 dp before cross-engine
+    comparison (libm ulp differences)."""
+    rad = math.pi / 180.0
+    dlat = (lat2 - lat1) * rad / 2.0
+    dlon = (lon2 - lon1) * rad / 2.0
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(lat1 * rad) * F.cos(lat2 * rad) * F.sin(dlon) * F.sin(dlon)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def sql_haversine_km(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """The identical expression as ANSI SQL for the DuckDB oracle."""
+    rad = math.pi / 180.0
+    dlat = f"(({lat2}) - ({lat1})) * {rad!r} / 2.0"
+    dlon = f"(({lon2}) - ({lon1})) * {rad!r} / 2.0"
+    a = (
+        f"sin({dlat}) * sin({dlat})"
+        f" + cos(({lat1}) * {rad!r}) * cos(({lat2}) * {rad!r})"
+        f" * sin({dlon}) * sin({dlon})"
+    )
+    return f"{2.0 * EARTH_RADIUS_KM!r} * asin(sqrt({a}))"
+
+
+def _edges(vertices: list[tuple[int, int]]) -> list[tuple[int, int, int, int]]:
+    n = len(vertices)
+    return [(*vertices[i], *vertices[(i + 1) % n]) for i in range(n)]
+
+
+def point_in_polygon(
+    px: Column, py: Column, vertices: list[tuple[int, int]]
+) -> Column:
+    """Ray casting with INTEGER coordinates, division-free.
+
+    For edge (x1,y1)→(x2,y2) a rightward ray from (px,py) crosses iff the
+    edge straddles py AND px is left of the intersection; the intersection
+    comparison ``px < x1 + (x2-x1)(py-y1)/(y2-y1)`` is multiplied through
+    by Δy (sign-corrected) so everything stays in exact integers.  Odd
+    crossing count = inside.  Points exactly on an edge follow the
+    half-open straddle rule (consistent on both engines — exact ints)."""
+    crossings: Column = F.lit(0)
+    for x1, y1, x2, y2 in _edges(vertices):
+        d = y2 - y1
+        if d == 0:
+            continue  # horizontal edge never straddles py strictly
+        straddle = (F.lit(y1) > py) != (F.lit(y2) > py)
+        lhs = px * F.lit(d)
+        rhs = F.lit(x1 * d) + F.lit(x2 - x1) * (py - F.lit(y1))
+        crosses = straddle & ((lhs < rhs) if d > 0 else (lhs > rhs))
+        crossings = crossings + F.when(crosses, 1).otherwise(0)
+    return crossings % 2 == 1
+
+
+def sql_point_in_polygon(px: str, py: str, vertices: list[tuple[int, int]]) -> str:
+    """The identical crossing test as SQL, generated from the SAME vertex
+    list — the two engines cannot disagree."""
+    terms = []
+    for x1, y1, x2, y2 in _edges(vertices):
+        d = y2 - y1
+        if d == 0:
+            continue
+        cmp_op = "<" if d > 0 else ">"
+        terms.append(
+            f"(CASE WHEN ({y1} > ({py})) <> ({y2} > ({py}))"
+            f" AND ({px}) * ({d}) {cmp_op} {x1 * d} + ({x2 - x1}) * (({py}) - {y1})"
+            f" THEN 1 ELSE 0 END)"
+        )
+    return f"(({' + '.join(terms)}) % 2 = 1)"

@@ -26,6 +26,7 @@ from .functions.text import (
     token_count_ws,
     words,
 )
+from .functions import geo as _geo
 from .operators import dedup, multimodal, similarity
 from .operators.joins import asof_join
 from .operators.topk import global_top_k, top_k_per_group
@@ -7989,6 +7990,97 @@ def q200(spark, sf_dir):
         "event_type",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         (F.col("yc") / F.lit(100.0)).alias("val"),
+    )
+
+
+# Geo family (ClickHouse greatCircleDistance / pointInPolygon) — the
+# Spark Column and the oracle SQL for the polygon test are generated from
+# this ONE vertex list by functions/geo.py, so the engines cannot drift.
+_GEO_PENTAGON = [(0, 950), (904, 294), (559, -769), (-559, -769), (-904, 294)]
+_GEO_PX = "(event_id % 2000) - 1000"
+_GEO_PY = "((user_id * 7 + event_id) % 2000) - 1000"
+
+
+@query(
+    "q201_geo_functions",
+    """
+    SELECT event_id,
+           {inside} AS inside,
+           round({dist}, 6) AS dist_km
+    FROM (
+      SELECT event_id,
+             {px} AS px,
+             {py} AS py,
+             CAST({py} AS DOUBLE) / 20.0 AS lat,
+             CAST({px} AS DOUBLE) / 10.0 AS lon
+      FROM events
+      WHERE event_id % 997 = 0
+    )
+    """.format(
+        px=_GEO_PX,
+        py=_GEO_PY,
+        inside=_geo.sql_point_in_polygon("px", "py", _GEO_PENTAGON),
+        dist=_geo.sql_haversine_km("lat", "lon", "48.8566", "2.3522"),
+    ),
+)
+def q201(spark, sf_dir):
+    """ClickHouse geo family: pointInPolygon (EXACT division-free integer
+    ray casting — see functions/geo.py; Column and oracle SQL generated
+    from the same vertex list) and greatCircleDistance (haversine,
+    rounded to 6 dp for the q193 cross-libm rule) on a deterministic
+    integer grid synthesized from the fixture columns.  Pure native
+    expressions in a single projection — no UDFs, no shuffle at all."""
+    ev = _t(spark, sf_dir, "events")
+    px = (F.col("event_id") % 2000) - 1000
+    py = ((F.col("user_id") * 7 + F.col("event_id")) % 2000) - 1000
+    base = ev.filter(F.col("event_id") % 997 == 0).select(
+        "event_id",
+        px.alias("px"),
+        py.alias("py"),
+        (py.cast("double") / 20.0).alias("lat"),
+        (px.cast("double") / 10.0).alias("lon"),
+    )
+    return base.select(
+        "event_id",
+        _geo.point_in_polygon(F.col("px"), F.col("py"), _GEO_PENTAGON).alias("inside"),
+        F.round(
+            _geo.haversine_km(
+                F.col("lat"), F.col("lon"), F.lit(48.8566), F.lit(2.3522)
+            ),
+            6,
+        ).alias("dist_km"),
+    )
+
+
+@query(
+    "q202_point_in_polygon_agg",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN {inside} THEN 1 END) AS n_inside
+    FROM (
+      SELECT event_type, {px} AS px, {py} AS py FROM events
+    )
+    GROUP BY event_type
+    """.format(
+        px=_GEO_PX,
+        py=_GEO_PY,
+        inside=_geo.sql_point_in_polygon("px", "py", _GEO_PENTAGON),
+    ),
+)
+def q202(spark, sf_dir):
+    """Full-corpus polygon containment counts per event_type — the
+    aggregate form of q201's exact integer test, so the whole pipeline
+    (projection + conditional count) is bit-deterministic: one shuffle,
+    partial-agg mergeable, the geofence-analytics shape at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    px = (F.col("event_id") % 2000) - 1000
+    py = ((F.col("user_id") * 7 + F.col("event_id")) % 2000) - 1000
+    base = ev.select("event_type", px.alias("px"), py.alias("py"))
+    inside = _geo.point_in_polygon(F.col("px"), F.col("py"), _GEO_PENTAGON)
+    return base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(inside, 1)).alias("n_inside"),
     )
 
 
