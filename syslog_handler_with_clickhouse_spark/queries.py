@@ -8084,6 +8084,61 @@ def q202(spark, sf_dir):
     )
 
 
+@query(
+    "q203_ip_functions",
+    """
+    WITH q AS (
+      SELECT event_id,
+             (10 * 16777216) + ((user_id % 4) * 65536) + (event_id % 65536) AS ipn
+      FROM events WHERE event_id % 499 = 0
+    )
+    SELECT event_id, ipn,
+           CAST(ipn // 16777216 AS VARCHAR) || '.' ||
+           CAST((ipn // 65536) % 256 AS VARCHAR) || '.' ||
+           CAST((ipn // 256) % 256 AS VARCHAR) || '.' ||
+           CAST(ipn % 256 AS VARCHAR) AS ip_str,
+           ipn // 65536 = (10 * 16777216 + 65536) // 65536 AS in_10_1_0_0_16,
+           ipn - (ipn % 256) AS net_24
+    FROM q
+    """,
+)
+def q203(spark, sf_dir):
+    """ClickHouse IPv4 function family (IPv4NumToString /
+    IPv4StringToNum round-trip / isIPAddressInRange / CIDR-to-range):
+    pure integer/string expressions, no shuffle — the conversions that
+    feed q105's range-dim enrichment.  The CIDR membership test is the
+    div-by-block-size form (ipn div 2^(32-prefix) equality), which is
+    what a 100 TB scan wants: sargable integer arithmetic, no string
+    parsing in the hot path."""
+    ev = _t(spark, sf_dir, "events")
+    ipn = (
+        F.lit(10 * 16777216)
+        + (F.col("user_id") % 4) * 65536
+        + (F.col("event_id") % 65536)
+    )
+    q = ev.filter(F.col("event_id") % 499 == 0).select(
+        "event_id", ipn.alias("ipn")
+    )
+    n = F.col("ipn")
+    ip_str = F.concat_ws(
+        ".",
+        (n / 16777216).cast("bigint").cast("string"),
+        ((n / 65536).cast("bigint") % 256).cast("string"),
+        ((n / 256).cast("bigint") % 256).cast("string"),
+        (n % 256).cast("string"),
+    )
+    return q.select(
+        "event_id",
+        "ipn",
+        ip_str.alias("ip_str"),
+        (
+            (n / 65536).cast("bigint")
+            == F.lit((10 * 16777216 + 65536) // 65536)
+        ).alias("in_10_1_0_0_16"),
+        (n - (n % 256)).alias("net_24"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
