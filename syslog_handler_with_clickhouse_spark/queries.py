@@ -8139,6 +8139,82 @@ def q203(spark, sf_dir):
     )
 
 
+@query(
+    "q204_ngram_distance",
+    """
+    WITH q AS (
+      SELECT doc_id, lower(substr(text, 1, 60)) AS s
+      FROM documents WHERE doc_id % 17 = 0
+    ), g AS (
+      SELECT doc_id, s,
+             list_distinct(list_transform(
+               range(1, greatest(len(s) - 2, 0) + 1),
+               i -> substr(s, i, 3))) AS tg
+      FROM q
+    ), n AS (
+      SELECT list_distinct(list_transform(
+               range(1, len('spark table query fast scan') - 2 + 1),
+               i -> substr('spark table query fast scan', i, 3))) AS ng
+    )
+    SELECT doc_id,
+           round(1.0 - 2.0 * CAST(len(list_intersect(tg, ng)) AS DOUBLE)
+                   / CAST(len(tg) + len(ng) AS DOUBLE), 6) AS ngram_dist,
+           len(list_filter(['stream', 'vector', 'hash'],
+                           w -> contains(s, w))) > 0 AS multi_match
+    FROM g, n
+    """,
+)
+def q204(spark, sf_dir):
+    """ClickHouse fuzzy text search: ngramDistance (character-trigram
+    distance, here over DISTINCT trigram sets — ClickHouse's multiset
+    profile is noted as a deviation) and multiSearchAny (any-of-needles
+    containment) as pure native higher-order expressions.  Counts are
+    exact set sizes, the only float op is one fixed-order division —
+    bit-deterministic.  No shuffle: a single projection over the scan,
+    the fuzzy-dedup-candidate shape at corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    needle = "spark table query fast scan"
+
+    def trigrams(col):
+        # guarded: Spark's sequence(1, 0) DESCENDS instead of producing
+        # an empty array (DuckDB's range(1, 1) is empty) — same guard as
+        # dedup.shingle_table
+        cnt = F.length(col) - 2
+        return F.when(
+            cnt > 0,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), cnt), lambda i: col.substr(i, F.lit(3))
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    q = d.filter(F.col("doc_id") % 17 == 0).select(
+        "doc_id", F.lower(F.col("text").substr(1, 60)).alias("s")
+    )
+    g = q.select(
+        "doc_id",
+        "s",
+        trigrams(F.col("s")).alias("tg"),
+        trigrams(F.lit(needle)).alias("ng"),
+    )
+    inter = F.size(F.array_intersect(F.col("tg"), F.col("ng")))
+    return g.select(
+        "doc_id",
+        F.round(
+            F.lit(1.0)
+            - F.lit(2.0)
+            * inter.cast("double")
+            / (F.size("tg") + F.size("ng")).cast("double"),
+            6,
+        ).alias("ngram_dist"),
+        F.exists(
+            F.array(F.lit("stream"), F.lit("vector"), F.lit("hash")),
+            lambda w: F.col("s").contains(w),
+        ).alias("multi_match"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
