@@ -8215,6 +8215,152 @@ def q204(spark, sf_dir):
     )
 
 
+@query(
+    "q205_topk_weighted",
+    """
+    WITH w AS (
+      SELECT event_type, user_id,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS wt
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT event_type, user_id, wt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY wt DESC, user_id) AS rk
+      FROM w
+    )
+    SELECT event_type,
+           string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY rk) AS top_users,
+           string_agg(CAST(wt AS VARCHAR), ',' ORDER BY rk) AS top_weights
+    FROM r WHERE rk <= 3 GROUP BY event_type
+    """,
+)
+def q205(spark, sf_dir):
+    """ClickHouse topKWeighted: heaviest keys by accumulated weight (here
+    users by exact cent-summed value) as an array-valued aggregate, exact
+    and fully ordered (weight DESC, key ASC tiebreak).  Two-stage shape:
+    partial-agg the weights, rank inside each group, collect the tiny
+    top-3 — the per-group state is O(k), mergeable at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    w = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("wt")
+    )
+    rw = Window.partitionBy("event_type").orderBy(
+        F.col("wt").desc(), F.col("user_id").asc()
+    )
+    r = w.withColumn("rk", F.row_number().over(rw)).filter(F.col("rk") <= 3)
+    sorted_structs = F.array_sort(
+        F.collect_list(F.struct("rk", "user_id", "wt"))
+    )
+    return r.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(sorted_structs, lambda s: s["user_id"].cast("string")), ","
+        ).alias("top_users"),
+        F.array_join(
+            F.transform(sorted_structs, lambda s: s["wt"].cast("string")), ","
+        ).alias("top_weights"),
+    )
+
+
+@query(
+    "q206_moving_agg_arrays",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, day, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv
+      FROM d
+    )
+    SELECT event_type,
+           string_agg(CAST(mv AS VARCHAR), ',' ORDER BY day) AS moving_sums,
+           string_agg(CAST(CAST(round(CAST(mv AS DOUBLE) * 1000.0 / 3.0) AS BIGINT)
+                           AS VARCHAR), ',' ORDER BY day) AS moving_avg_millis
+    FROM m GROUP BY event_type
+    """,
+)
+def q206(spark, sf_dir):
+    """ClickHouse groupArrayMovingSum / groupArrayMovingAvg: the moving
+    window aggregates materialized as ORDERED ARRAYS per group (one row
+    per series, the sparkline-feed shape).  Counts are exact integers;
+    the avg is emitted as a scaled integer (×1000, thirds never land on
+    .5 so both engines round identically); arrays serialize to ordered
+    CSV strings (q145's rule — the driver hashes scalars).
+    One shuffle to daily grain, one window, one tiny collect."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    m = d.withColumn("mv", F.sum("c").over(mw))
+    sorted_structs = F.array_sort(F.collect_list(F.struct("day", "mv")))
+    return m.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(sorted_structs, lambda s: s["mv"].cast("string")), ","
+        ).alias("moving_sums"),
+        F.array_join(
+            F.transform(
+                sorted_structs,
+                lambda s: F.round(s["mv"].cast("double") * 1000.0 / F.lit(3.0))
+                .cast("bigint")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("moving_avg_millis"),
+    )
+
+
+@query(
+    "q207_sequence_count",
+    """
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           len(regexp_extract_all(seq, 'e[^p]*p')) AS n_error_then_purchase
+    FROM s
+    WHERE len(regexp_extract_all(seq, 'e[^p]*p')) > 0
+    """,
+)
+def q207(spark, sf_dir):
+    """ClickHouse sequenceCount('(?1).*(?2)'): NON-OVERLAPPING count of
+    "error, then eventually purchase" per user.  The per-user timeline
+    collapses to an ordered initial-letter string (q104's total-order
+    rule: array_sort on (ts, event_id) after the shuffle) and the greedy
+    left-to-right pairing IS regex scanning with 'e[^p]*p' — both
+    engines' regex engines make the same leftmost non-overlapping
+    matches.  Per-key state is the bounded event string, one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"),
+                        F.col("event_id"),
+                        F.substring("event_type", 1, 1).alias("c"),
+                    )
+                )
+            ),
+            lambda x: x["c"],
+        ),
+        "",
+    )
+    s = ev.groupBy("user_id").agg(seq.alias("seq"))
+    cnt = F.size(F.regexp_extract_all(F.col("seq"), F.lit("e[^p]*p"), F.lit(0)))
+    return s.select("user_id", cnt.alias("n_error_then_purchase")).filter(
+        F.col("n_error_then_purchase") > 0
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
