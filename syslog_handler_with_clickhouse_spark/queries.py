@@ -8361,6 +8361,69 @@ def q207(spark, sf_dir):
     )
 
 
+@query(
+    "q208_array_combinators",
+    """
+    WITH q AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '), w -> len(w)) AS ls
+      FROM documents WHERE doc_id % 23 = 0
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(
+             range(1, len(ls) + 1),
+             i -> CAST(list_reduce(list_slice(ls, 1, i), (a, b) -> a + b)
+                       AS VARCHAR)), ',') AS cumsum,
+           array_to_string(list_transform(
+             range(1, len(ls) + 1),
+             i -> CAST(CASE WHEN i = 1 THEN 0
+                            ELSE ls[i] - ls[i - 1] END AS VARCHAR)), ',')
+             AS diffs,
+           len(list_distinct(ls)) AS n_uniq_lens
+    FROM q
+    """,
+)
+def q208(spark, sf_dir):
+    """ClickHouse array combinator tail: arrayCumSum, arrayDifference
+    (first element 0, CH convention), arrayEnumerateUniq-adjacent
+    distinct count — all native higher-order expressions over the
+    word-length array.  Exact integers, serialized to CSV per q145's
+    rule; single projection, no shuffle.  The O(n²) prefix-fold in the
+    oracle is DuckDB-side only — Spark computes the cumsum in one linear
+    aggregate fold carrying (acc, list) state."""
+    d = _t(spark, sf_dir, "documents")
+    ls = F.transform(F.split(F.col("text"), " "), lambda w: F.length(w))
+    q = d.filter(F.col("doc_id") % 23 == 0).select("doc_id", ls.alias("ls"))
+    # linear cumulative sum: fold once, appending the running total
+    cumsum = F.aggregate(
+        F.col("ls"),
+        F.struct(
+            F.lit(0).alias("acc"), F.array().cast("array<int>").alias("out")
+        ),
+        lambda st, x: F.struct(
+            (st["acc"] + x).alias("acc"),
+            F.concat(st["out"], F.array(st["acc"] + x)).alias("out"),
+        ),
+        lambda st: st["out"],
+    )
+    diffs = F.transform(
+        F.sequence(F.lit(1), F.size("ls")),
+        lambda i: F.when(i == 1, F.lit(0)).otherwise(
+            F.element_at(F.col("ls"), i) - F.element_at(F.col("ls"), i - 1)
+        ),
+    )
+    return q.select(
+        "doc_id",
+        F.array_join(F.transform(cumsum, lambda x: x.cast("string")), ",").alias(
+            "cumsum"
+        ),
+        F.array_join(F.transform(diffs, lambda x: x.cast("string")), ",").alias(
+            "diffs"
+        ),
+        F.size(F.array_distinct("ls")).cast("bigint").alias("n_uniq_lens"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -277,3 +277,33 @@ def test_ivf_refinement_centroids_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_stat_tests_single_shuffle(spark):
+    """q196/q197 must be one scan -> partial agg -> exchange -> final agg:
+    exactly one Exchange, no joins at all."""
+    for name in ["q196_simple_linear_regression", "q197_student_ttest"]:
+        plan = (
+            QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") <= 2, name  # shuffle + AQE read
+        for bad in ("Join", "CartesianProduct"):
+            assert bad not in plan, (name, bad)
+
+
+def test_rank_stats_no_cartesian(spark):
+    """q198/q199 rank tables are |distinct values|-sized; the only joins
+    allowed are the tiny per-group totals (broadcast or shuffled-hash),
+    never a cartesian."""
+    for name in ["q198_mann_whitney", "q199_ks_test"]:
+        plan = (
+            QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
