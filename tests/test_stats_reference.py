@@ -1,0 +1,143 @@
+"""Independent-reference checks for the q196-q199 statistical family.
+
+The DuckDB oracle shares the queries' formulas, so a mirror pass alone
+can't catch a formula transcribed wrong on both sides.  These tests run
+the REAL registered queries over a synthetic events fixture and compare
+against independently derived definitions: closed-form least squares for
+q196, the O(n²) pairwise definition of Mann-Whitney U for q198 (not the
+rank-sum formula the query uses), and a naive ECDF scan for q199.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+SEED = 20260813
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    """A tiny synthetic events.parquet with the fixture schema, exact-cent
+    values, deliberate ties, two event types."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(SEED)
+    n = 400
+    rows = {
+        "event_id": list(range(n)),
+        "ts": [1704067200000000 + i * 60_000_000 for i in range(n)],
+        "user_id": [rng.randrange(50) for _ in range(n)],
+        "event_type": [rng.choice(["error", "purchase"]) for _ in range(n)],
+        # exact cents, narrow range → plenty of ties for midrank handling
+        "value": [rng.randrange(0, 2000) / 100 for _ in range(n)],
+        "props": ["{}" for _ in range(n)],
+    }
+    tbl = pa.table(
+        {
+            "event_id": pa.array(rows["event_id"], pa.int64()),
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+            "user_id": pa.array(rows["user_id"], pa.int64()),
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "value": pa.array(rows["value"], pa.float64()),
+            "props": pa.array(rows["props"], pa.string()),
+        }
+    )
+    d = tmp_path_factory.mktemp("synth_events")
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d), rows
+
+
+def _cohorts(rows, et):
+    a = [
+        round(v * 100)
+        for v, t, u in zip(rows["value"], rows["event_type"], rows["user_id"])
+        if t == et and u % 2 == 0
+    ]
+    b = [
+        round(v * 100)
+        for v, t, u in zip(rows["value"], rows["event_type"], rows["user_id"])
+        if t == et and u % 2 == 1
+    ]
+    return a, b
+
+
+def test_q196_matches_closed_form(spark, synth_dir):
+    from syslog_handler_with_clickhouse_spark.queries import QUERIES
+
+    d, rows = synth_dir
+    got = {r.event_type: r for r in QUERIES["q196_simple_linear_regression"](spark, d).collect()}
+    for et in ("error", "purchase"):
+        pts = [
+            (u, round(v * 100))
+            for v, t, u in zip(rows["value"], rows["event_type"], rows["user_id"])
+            if t == et
+        ]
+        n = len(pts)
+        mx = sum(p[0] for p in pts) / n
+        my = sum(p[1] for p in pts) / n
+        sxy = sum((x - mx) * (y - my) for x, y in pts)
+        sxx = sum((x - mx) ** 2 for x, y in pts)
+        syy = sum((y - my) ** 2 for x, y in pts)
+        slope = sxy / sxx / 100.0
+        intercept = my / 100.0 - slope * mx
+        r2 = sxy * sxy / (sxx * syy)
+        g = got[et]
+        assert math.isclose(g.slope, slope, rel_tol=1e-9), et
+        assert math.isclose(g.intercept, intercept, rel_tol=1e-9), et
+        assert math.isclose(g.r2, r2, rel_tol=1e-9), et
+
+
+def test_q198_matches_pairwise_definition(spark, synth_dir):
+    """U_a == Σ_{i∈A,j∈B} [a_i > b_j] + ½[a_i == b_j] — the pairwise
+    DEFINITION, independent of the rank-sum formula the query uses."""
+    from syslog_handler_with_clickhouse_spark.queries import QUERIES
+
+    d, rows = synth_dir
+    got = {r.event_type: r for r in QUERIES["q198_mann_whitney"](spark, d).collect()}
+    for et in ("error", "purchase"):
+        a, b = _cohorts(rows, et)
+        u_a = sum(
+            1.0 if x > y else (0.5 if x == y else 0.0) for x in a for y in b
+        )
+        g = got[et]
+        assert g.n_a == len(a) and g.n_b == len(b), et
+        assert math.isclose(g.u_a, u_a, rel_tol=0, abs_tol=1e-9), (et, g.u_a, u_a)
+        assert math.isclose(g.u_b, len(a) * len(b) - u_a, abs_tol=1e-9), et
+
+
+def test_q199_matches_naive_ecdf(spark, synth_dir):
+    from syslog_handler_with_clickhouse_spark.queries import QUERIES
+
+    d, rows = synth_dir
+    got = {r.event_type: r for r in QUERIES["q199_ks_test"](spark, d).collect()}
+    for et in ("error", "purchase"):
+        a, b = _cohorts(rows, et)
+        xs = sorted(set(a) | set(b))
+        d_ref = max(
+            abs(
+                sum(1 for v in a if v <= x) / len(a)
+                - sum(1 for v in b if v <= x) / len(b)
+            )
+            for x in xs
+        )
+        g = got[et]
+        assert math.isclose(g.d_stat, d_ref, rel_tol=1e-9), (et, g.d_stat, d_ref)
+
+
+def test_q197_matches_direct_formula(spark, synth_dir):
+    from syslog_handler_with_clickhouse_spark.queries import QUERIES
+
+    d, rows = synth_dir
+    got = {r.event_type: r for r in QUERIES["q197_student_ttest"](spark, d).collect()}
+    for et in ("error", "purchase"):
+        a, b = _cohorts(rows, et)
+        ma, mb = sum(a) / len(a), sum(b) / len(b)
+        va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+        vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+        sp2 = ((len(a) - 1) * va + (len(b) - 1) * vb) / (len(a) + len(b) - 2)
+        t = (ma - mb) / math.sqrt(sp2 * (1 / len(a) + 1 / len(b)))
+        assert math.isclose(got[et].t_stat, t, rel_tol=1e-9), et
