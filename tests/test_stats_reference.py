@@ -141,3 +141,62 @@ def test_q197_matches_direct_formula(spark, synth_dir):
         sp2 = ((len(a) - 1) * va + (len(b) - 1) * vb) / (len(a) + len(b) - 2)
         t = (ma - mb) / math.sqrt(sp2 * (1 / len(a) + 1 / len(b)))
         assert math.isclose(got[et].t_stat, t, rel_tol=1e-9), et
+
+
+def test_q200_lttb_matches_naive_reference(spark, synth_dir):
+    """Re-derive the q200 variant (neighbor-bucket-average anchors,
+    bucket size 50, first/last kept) in plain Python over the synthetic
+    fixture and require the exact same point selection."""
+    from syslog_handler_with_clickhouse_spark.queries import QUERIES
+
+    d, rows = synth_dir
+    got = {
+        (r.event_type, r.ts_s): r.val
+        for r in QUERIES["q200_lttb_downsample"](spark, d).collect()
+    }
+
+    import datetime
+
+    by_series = {}
+    for eid, ts, et, v in zip(
+        rows["event_id"], rows["ts"], rows["event_type"], rows["value"]
+    ):
+        by_series.setdefault(et, []).append((ts, eid, round(v * 100)))
+    expected = set()
+    for et, pts in by_series.items():
+        xmin = min(p[0] for p in pts)
+        pts = sorted((ts - xmin, eid, yc, ts) for ts, eid, yc in pts)
+        buckets = {}
+        for i, p in enumerate(pts):
+            buckets.setdefault(i // 50, []).append((i + 1, p))
+        bmax = max(buckets)
+        for bi, members in buckets.items():
+            if bi == 0 or bi == bmax:
+                continue
+            prev, nxt = buckets[bi - 1], buckets[bi + 1]
+            np_, nn = len(prev), len(nxt)
+            sxp = sum(m[1][0] for m in prev)
+            syp = sum(m[1][2] for m in prev)
+            sxn = sum(m[1][0] for m in nxt)
+            syn = sum(m[1][2] for m in nxt)
+            best = max(
+                members,
+                key=lambda m: (
+                    abs(
+                        (sxp * nn - sxn * np_) * (m[1][2] * np_ - syp)
+                        - (sxp - m[1][0] * np_) * (syn * np_ - syp * nn)
+                    ),
+                    -m[0],
+                ),
+            )
+            expected.add((et, best[1][3], best[1][2]))
+        expected.add((et, pts[0][3], pts[0][2]))
+        expected.add((et, pts[-1][3], pts[-1][2]))
+
+    def fmt(us):
+        return datetime.datetime.utcfromtimestamp(us / 1e6).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+
+    expected_rows = {(et, fmt(ts)): yc / 100.0 for et, ts, yc in expected}
+    assert got == expected_rows
