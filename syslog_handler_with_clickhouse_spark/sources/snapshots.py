@@ -107,11 +107,56 @@ def _file_stats(fpath: str, stat_cols: list[str]) -> dict:
     return stats
 
 
+_BLOOM_BITS = 8192  # 1 KiB per column per file
+_BLOOM_HASHES = 6  # k; ~1% FPR at ~850 distinct values per file
+
+
+def _bloom_hashes(value) -> list[int]:
+    """k bit positions for a value via double hashing over md5 — the
+    write AND read side share this exact function, so false negatives are
+    impossible.  Values are canonicalized as str(); intended for point
+    lookups on int/string key columns (floats: don't)."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode("utf-8")).digest()
+    h1 = int.from_bytes(h[:8], "big")
+    h2 = int.from_bytes(h[8:], "big") | 1
+    return [(h1 + i * h2) % _BLOOM_BITS for i in range(_BLOOM_HASHES)]
+
+
+def _file_bloom(fpath: str, col: str) -> str | None:
+    """Hex-encoded per-file bloom bitset over ``col``'s values — the
+    ClickHouse ``bloom_filter`` skipping-index analogue, stored in the
+    manifest.  Reads only that one column (columnar), never full rows."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(fpath)
+    if col not in pf.schema_arrow.names:
+        return None
+    bits = bytearray(_BLOOM_BITS // 8)
+    for batch in pf.iter_batches(columns=[col]):
+        for v in batch.column(0):
+            v = v.as_py()
+            if v is None:
+                continue
+            for pos in _bloom_hashes(v):
+                bits[pos // 8] |= 1 << (pos % 8)
+    return bytes(bits).hex()
+
+
+def _bloom_may_contain(hex_bits: str, value) -> bool:
+    bits = bytes.fromhex(hex_bits)
+    return all(bits[p // 8] & (1 << (p % 8)) for p in _bloom_hashes(value))
+
+
 def _write_data_files(
-    df: DataFrame, path: str, stat_cols: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    stat_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> list[dict]:
     """Write df's rows as new immutable files; return manifest entries
-    ``{"name": ..., "stats": {col: [min, max]}}``."""
+    ``{"name": ..., "stats": {col: [min, max]}, "blooms": {col: hex}}``."""
     ddir = _data_dir(path)
     os.makedirs(ddir, exist_ok=True)
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
@@ -124,6 +169,14 @@ def _write_data_files(
             entry = {"name": new}
             if stat_cols:
                 entry["stats"] = _file_stats(os.path.join(ddir, new), stat_cols)
+            if bloom_cols:
+                blooms = {}
+                for c in bloom_cols:
+                    b = _file_bloom(os.path.join(ddir, new), c)
+                    if b is not None:
+                        blooms[c] = b
+                if blooms:
+                    entry["blooms"] = blooms
             out.append(entry)
     import shutil
 
@@ -137,10 +190,14 @@ def write_snapshot(
     mode: str = "append",
     stat_cols: list[str] | None = None,
     batch_id: int | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Commit df as the next snapshot.  ``append`` keeps prior files;
     ``overwrite`` starts the file list fresh.  ``stat_cols`` records
-    per-file min/max in the manifest for read-time file pruning.
+    per-file min/max in the manifest for read-time file pruning;
+    ``bloom_cols`` additionally records a 1 KiB per-file bloom bitset for
+    EQUALITY pruning on high-cardinality key columns where ranges overlap
+    everywhere (the ClickHouse ``bloom_filter`` skipping-index analogue).
     ``batch_id`` makes the commit IDEMPOTENT: if a prior snapshot already
     recorded this id (a foreachBatch retry after a crash between write
     and checkpoint), the commit is skipped — exactly-once into this store.
@@ -155,7 +212,7 @@ def write_snapshot(
             return base  # duplicate delivery — already committed
         if mode != "overwrite":
             files = m["files"]
-    new_files = _write_data_files(df, path, stat_cols)
+    new_files = _write_data_files(df, path, stat_cols, bloom_cols)
     version = base + 1
     ids = prior_ids + ([batch_id] if batch_id is not None else [])
     _commit(path, version, files + new_files, note=mode, batch_ids=ids)
@@ -167,14 +224,19 @@ def read_snapshot(
     path: str,
     version: int | None = None,
     prune: tuple[str, object, object] | None = None,
+    bloom: tuple[str, object] | None = None,
 ) -> DataFrame:
     """Read snapshot ``version`` (default: latest).  The file list is
     resolved ONCE here — concurrent commits cannot change what this
     DataFrame reads.  ``prune=(col, lo, hi)`` drops files whose manifest
     [min,max] range cannot intersect [lo,hi] BEFORE Spark ever opens them
     — at 100 TB this is the difference between listing 10^6 files and
-    reading the 10 that matter.  Pruning is advisory: apply the real
-    filter on the returned frame too."""
+    reading the 10 that matter.  ``bloom=(col, value)`` drops files whose
+    bloom bitset proves the value absent — equality pruning that works
+    where ranges don't (uniformly distributed keys overlap every file's
+    [min,max]).  False negatives are impossible (write/read share the
+    hash function); false positives only cost an extra file read.
+    Pruning is advisory: apply the real filter on the returned frame."""
     v = latest_version(path) if version is None else version
     if v == 0:
         raise FileNotFoundError(f"no snapshots at {path}")
@@ -189,6 +251,14 @@ def read_snapshot(
             or s[0] is None
             or (s[0] <= hi and lo <= s[1])
         ]  # unknown/degenerate stats → must read
+    if bloom is not None:
+        bcol, bval = bloom
+        entries = [
+            e
+            for e in entries
+            if (b := e.get("blooms", {}).get(bcol)) is None
+            or _bloom_may_contain(b, bval)
+        ]  # no bloom recorded → must read
     ddir = _data_dir(path)
     if not entries:
         if not all_entries:

@@ -99,3 +99,52 @@ def test_batch_id_makes_commit_idempotent(spark, tmp_path):
     v2 = write_snapshot(df, path, batch_id=1)
     assert v2 == v1 + 1
     assert read_snapshot(spark, path).count() == 20
+
+
+def test_bloom_prunes_files_and_preserves_results(spark, tmp_path):
+    """Equality pruning via per-file blooms: uniformly-spread keys make
+    min/max ranges useless (every file overlaps), but blooms prune — and
+    never drop a file that actually holds the value."""
+    from syslog_handler_with_clickhouse_spark.sources import snapshots as sn
+
+    store = str(tmp_path / "bloomstore")
+    # 4 appends = 4+ files; keys uniformly spread so ranges all overlap
+    for part in range(4):
+        df = spark.createDataFrame(
+            [(part * 1000 + i * 7, f"k{part}_{i}") for i in range(200)],
+            "id long, key string",
+        ).coalesce(1)
+        sn.write_snapshot(df, store, stat_cols=["id"], bloom_cols=["key"])
+
+    target = "k2_55"
+    full = sn.read_snapshot(spark, store)
+    pruned = sn.read_snapshot(spark, store, bloom=("key", target))
+    n_full = len(full.inputFiles())
+    n_pruned = len(pruned.inputFiles())
+    assert n_pruned < n_full, (n_pruned, n_full)
+    # correctness: pruned read + real filter == full read + real filter
+    from pyspark.sql import functions as F
+
+    a = sorted(r.id for r in pruned.filter(F.col("key") == target).collect())
+    b = sorted(r.id for r in full.filter(F.col("key") == target).collect())
+    assert a == b and len(a) == 1
+
+    # absent value: everything pruned (with overwhelming probability at
+    # 200 keys/file vs 8192-bit k=6 blooms), empty result, schema kept
+    gone = sn.read_snapshot(spark, store, bloom=("key", "no_such_key"))
+    assert gone.count() == 0
+
+
+def test_bloom_no_false_negative_exhaustive(spark, tmp_path):
+    """EVERY present key must survive bloom pruning of its own file."""
+    from syslog_handler_with_clickhouse_spark.sources import snapshots as sn
+
+    keys = [f"user{i}" for i in range(300)]
+    store = str(tmp_path / "bs2")
+    df = spark.createDataFrame([(i, k) for i, k in enumerate(keys)],
+                               "id long, key string").coalesce(1)
+    sn.write_snapshot(df, store, bloom_cols=["key"])
+    m = sn._read_manifest(store, sn.latest_version(store))
+    hexbits = m["files"][0]["blooms"]["key"]
+    for k in keys:
+        assert sn._bloom_may_contain(hexbits, k), k
