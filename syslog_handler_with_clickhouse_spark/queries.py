@@ -8424,6 +8424,43 @@ def q208(spark, sf_dir):
     )
 
 
+@query(
+    "q209_snapshot_bloom_read",
+    """
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY event_type
+    """,
+)
+def q209(spark, sf_dir):
+    """Bloom skip-index pruning through the oracle gate: events are
+    committed to the snapshot store one event_type per file with a
+    per-file bloom over event_type, then the point-lookup read drops
+    every file whose bloom proves 'purchase' absent BEFORE Spark opens
+    anything — equality skipping where min/max ranges are useless (every
+    file's string range spans the alphabet).  The real filter still
+    applies; the oracle checks byte-identical results vs a full scan."""
+    import tempfile
+
+    from .sources.snapshots import read_snapshot, write_snapshot
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    path = tempfile.mkdtemp(prefix="snapbloom_") + "/store"
+    for et_mod in range(4):
+        write_snapshot(
+            ev.filter(F.crc32(F.col("event_type")) % 4 == et_mod).coalesce(1),
+            path,
+            bloom_cols=["event_type"],
+        )
+    pruned = read_snapshot(spark, path, bloom=("event_type", "purchase"))
+    return (
+        pruned.filter(F.col("event_type") == "purchase")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("id_sum"))
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
