@@ -8461,6 +8461,58 @@ def q209(spark, sf_dir):
     )
 
 
+@query(
+    "q210_mg_heavy_hitters",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS user_id,
+           COUNT(*) AS exact_cnt,
+           TRUE AS mg_sound
+    FROM events
+    GROUP BY user_id
+    ORDER BY exact_cnt DESC, CAST(user_id AS BIGINT)
+    LIMIT 5
+    """,
+)
+def q210(spark, sf_dir):
+    """ClickHouse approximate topK (SpaceSaving/Misra-Gries) beside the
+    exact q145: a mergeable k-counter sketch per partition
+    (`operators/sketches.py`), shuffling k rows per partition instead of
+    every key.  The oracle pins the sketch's PROVABLE soundness
+    predicate: present keys satisfy est ≤ exact ≤ est + err_total,
+    absent keys satisfy exact ≤ err_total — TRUE by theorem for any
+    processing order, so the boolean is oracle-stable even though the
+    sketch itself is order-sensitive.  Top-5 rows are the exact counts
+    (deterministic tiebreak) so values hash-match."""
+    from .operators.sketches import mg_summarize
+
+    ev = _t(spark, sf_dir, "events")
+    sk = mg_summarize(ev, "user_id", k=64)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    w5 = Window.orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+    top5 = (
+        exact.withColumn("rk", F.row_number().over(w5))
+        .filter(F.col("rk") <= 5)
+        .select(F.col("user_id").cast("string").alias("user_id"), "exact_cnt")
+    )
+    err_total = sk.select("err_total").limit(1)
+    joined = (
+        top5.crossJoin(F.broadcast(err_total))
+        .join(
+            F.broadcast(sk.select(F.col("value").alias("user_id"), "est")),
+            "user_id",
+            "left",
+        )
+    )
+    sound = (
+        F.col("est").isNull() & (F.col("exact_cnt") <= F.col("err_total"))
+    ) | (
+        F.col("est").isNotNull()
+        & (F.col("est") <= F.col("exact_cnt"))
+        & (F.col("exact_cnt") <= F.col("est") + F.col("err_total"))
+    )
+    return joined.select("user_id", "exact_cnt", sound.alias("mg_sound"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
