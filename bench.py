@@ -77,10 +77,14 @@ def main() -> None:
         for i in range(RUNS):
             t0 = time.time()
             df = fn(spark, SF_DIR)
-            n = df.count()
+            # noop sink: evaluates EVERY output column (count() lets Catalyst
+            # prune unused projections, which under-measured projection-only
+            # queries such as q51_parse_syslog — round-4 verdict item 1).
+            df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.time() - t0, 3))
             if i == 0:
-                rows[name] = n
+                # row count reported for context / ingest rate; untimed.
+                rows[name] = df.count()
         all_runs[name] = samples
         timings[name] = round(_median(samples), 3)
         print(
