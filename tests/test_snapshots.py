@@ -148,3 +148,47 @@ def test_bloom_no_false_negative_exhaustive(spark, tmp_path):
     hexbits = m["files"][0]["blooms"]["key"]
     for k in keys:
         assert sn._bloom_may_contain(hexbits, k), k
+
+
+def test_vacuum_retention_guard_and_clear_error(spark, tmp_path):
+    """vacuum refuses keep_last below min_versions_to_keep, and a
+    time-travel read of a vacuumed-away version raises a clear error."""
+    import pytest
+
+    from syslog_handler_with_clickhouse_spark.sources import snapshots as sn
+
+    path = str(tmp_path / "vac")
+    for i in range(3):
+        sn.write_snapshot(
+            spark.createDataFrame([(i,)], "v long"), path, mode="append"
+        )
+    assert sn.latest_version(path) == 3
+
+    with pytest.raises(ValueError, match="min_versions_to_keep"):
+        sn.vacuum(path, keep_last=0)
+
+    sn.vacuum(path, keep_last=1)
+    # latest still reads fine
+    assert sn.read_snapshot(spark, path).count() == 3
+    # vacuumed-away version raises a clear, named error
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        sn.read_snapshot(spark, path, version=1)
+
+
+def test_bloom_integral_column_no_false_negative(spark, tmp_path):
+    """Bloom over a BIGINT key column must hash int values identically on
+    the write (Spark job, pandas) and read (python int) sides — guards
+    the pandas float64-for-nullable-int coercion trap."""
+    from syslog_handler_with_clickhouse_spark.sources import snapshots as sn
+
+    store = str(tmp_path / "bi")
+    rows = [(i, i * 1000 + 7) for i in range(200)] + [(200, None)]
+    df = spark.createDataFrame(rows, "id long, key long").coalesce(1)
+    sn.write_snapshot(df, store, bloom_cols=["key"])
+    m = sn._read_manifest(store, sn.latest_version(store))
+    hexbits = m["files"][0]["blooms"]["key"]
+    for i in range(200):
+        assert sn._bloom_may_contain(hexbits, i * 1000 + 7), i
+    # and the pruning read path agrees
+    got = sn.read_snapshot(spark, store, bloom=("key", 42 * 1000 + 7))
+    assert got.count() == 201  # file kept (value present)
