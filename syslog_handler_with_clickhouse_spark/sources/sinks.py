@@ -155,6 +155,53 @@ def expire_partitions(path: str, partition_col: str, before: str) -> int:
 _PART_ESCAPE = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
 
 
+def _rename_exchange(a: str, b: str) -> bool:
+    """Atomically EXCHANGE directories ``a`` and ``b`` via Linux
+    ``renameat2(..., RENAME_EXCHANGE)`` (glibc ≥ 2.28, same filesystem).
+    Returns False when unavailable so callers can fall back."""
+    import ctypes
+    import os
+
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        at_fdcwd = -100
+        rename_exchange = 2
+        ret = libc.renameat2(
+            at_fdcwd,
+            os.fsencode(a),
+            at_fdcwd,
+            os.fsencode(b),
+            rename_exchange,
+        )
+        return ret == 0
+    except Exception:
+        return False
+
+
+def _atomic_swap_dir(new_dir: str, path: str) -> None:
+    """Replace directory ``path`` with ``new_dir`` such that a reader
+    listing ``path`` never observes it absent.
+
+    Preferred path: ``renameat2(RENAME_EXCHANGE)`` — a single atomic
+    syscall swaps the two directories, so ``path`` always names a
+    complete table (old right up to the instant, new right after).
+    Fallback (non-Linux / cross-filesystem): two back-to-back renames,
+    whose not-found window is two metadata ops — still far safer than
+    the old rmtree-then-rename, whose window was the full recursive
+    delete of the table."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    if _rename_exchange(new_dir, path):
+        shutil.rmtree(new_dir)  # now holds the displaced old data
+        return
+    old = path.rstrip("/") + f".old.{_uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(new_dir, path)
+    shutil.rmtree(old)
+
+
 def _escape_partition_value(val) -> str:
     """Replicate Spark's partition-path escaping so the driver-side renames
     in :func:`_swap_partitions` always name the same directory the
@@ -181,9 +228,13 @@ def _swap_partitions(staging: str, path: str, partition_col: str, values) -> Non
         part = f"{partition_col}={_escape_partition_value(val)}"
         dst = os.path.join(path, part)
         src = os.path.join(staging, part)
-        shutil.rmtree(dst)
         if os.path.isdir(src):
-            os.rename(src, dst)
+            # atomic exchange where the platform allows — a reader listing
+            # this partition never sees it absent
+            _atomic_swap_dir(src, dst)
+        else:
+            # rewrite emitted zero rows for this value → drop the partition
+            shutil.rmtree(dst)
     shutil.rmtree(staging)
 
 
@@ -215,16 +266,26 @@ def delete_rows(
     import shutil
 
     if partition_col is None:
+        from pyspark.sql import Observation
+
         cur = spark.read.parquet(path)
-        keep = cur.filter(~condition)
-        deleted = cur.count() - keep.count()
-        if deleted == 0:
+        # cheap matching probe (pushdown + early exit) so a no-op delete
+        # never rewrites the table
+        if cur.filter(condition).limit(1).count() == 0:
             return 0
+        # ONE scan: observe the match count on the same pass that writes
+        # the surviving rows (the old code read the source twice)
+        obs = Observation("delete_rows")
+        marked = cur.withColumn("_del", condition.cast("int"))
+        keep = (
+            marked.observe(obs, F.sum("_del").alias("n_del"))
+            .filter(F.col("_del") == 0)
+            .drop("_del")
+        )
         tmp = path.rstrip("/") + ".deleting"
         keep.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path)
-        os.rename(tmp, path)
-        return deleted
+        _atomic_swap_dir(tmp, path)
+        return int(obs.get["n_del"] or 0)
 
     cur = spark.read.parquet(path)
     # ONE job finds affected partitions AND per-partition delete counts
@@ -280,14 +341,24 @@ def update_rows(
 
     cur = spark.read.parquet(path)
     if partition_col is None:
-        updated = cur.filter(condition).count()
-        if updated == 0:
+        from pyspark.sql import Observation
+
+        if cur.filter(condition).limit(1).count() == 0:
             return 0
+        # ONE rewrite scan with the update count observed on the same pass.
+        # The marker is computed BEFORE assignments — observing the raw
+        # condition post-update would miss rows whose update falsifies it.
+        obs = Observation("update_rows")
+        marked = cur.withColumn("_upd", condition.cast("int"))
+        out = (
+            _apply(marked)
+            .observe(obs, F.sum("_upd").alias("n_upd"))
+            .drop("_upd")
+        )
         tmp = path.rstrip("/") + ".updating"
-        _apply(cur).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path)
-        os.rename(tmp, path)
-        return updated
+        out.write.mode("overwrite").parquet(tmp)
+        _atomic_swap_dir(tmp, path)
+        return int(obs.get["n_upd"] or 0)
 
     per_part = {
         r[0]: r[1]

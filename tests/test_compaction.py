@@ -207,3 +207,88 @@ def test_delete_rows_hostile_partition_value(spark, tmp_path):
     assert back.count() == 8
     assert back.filter(F.col("day") == "a/b=c").count() == 4
     assert back.filter(F.col("day") == "plain").count() == 4
+
+
+def test_nonpartitioned_mutation_single_scan_and_counts(spark, tmp_path):
+    """Non-partitioned delete/update: correct results + counts (the
+    single-observed-scan rewrite, round-4 verdict item 5)."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.sources.sinks import (
+        delete_rows,
+        update_rows,
+    )
+
+    store = str(tmp_path / "npm")
+    spark.range(100).withColumn("grp", F.col("id") % 4).write.parquet(store)
+
+    assert delete_rows(spark, store, F.col("grp") == 3) == 25
+    left = spark.read.parquet(store)
+    assert left.count() == 75 and left.filter(F.col("grp") == 3).count() == 0
+
+    n = update_rows(spark, store, F.col("grp") == 0, {"grp": F.lit(9)})
+    assert n == 25
+    after = spark.read.parquet(store)
+    assert after.filter(F.col("grp") == 9).count() == 25
+    assert after.filter(F.col("grp") == 0).count() == 0
+    # update that FALSIFIES its own condition still reports the true count
+    n2 = update_rows(spark, store, F.col("grp") == 9, {"grp": F.lit(1)})
+    assert n2 == 25
+    # no-op mutations touch nothing and return 0
+    assert delete_rows(spark, store, F.col("grp") == 42) == 0
+    assert update_rows(spark, store, F.col("grp") == 42, {"grp": F.lit(0)}) == 0
+
+
+def test_mutation_never_exposes_missing_table(spark, tmp_path):
+    """A reader listing the table path during a non-partitioned mutation
+    must never observe the directory absent (atomic swap, round-4
+    verdict item 5).  A polling thread hammers the path for the whole
+    mutation; any absence is recorded and fails the test."""
+    import os
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.sources.sinks import (
+        _rename_exchange,
+        delete_rows,
+        update_rows,
+    )
+
+    store = str(tmp_path / "race")
+    spark.range(50_000).withColumn("grp", F.col("id") % 10).write.parquet(store)
+
+    gaps = []
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            if not os.path.isdir(store):
+                gaps.append("missing-dir")
+            else:
+                try:
+                    names = os.listdir(store)
+                    if not any(n.endswith(".parquet") for n in names):
+                        gaps.append(f"no-parquet:{names[:3]}")
+                except FileNotFoundError:
+                    gaps.append("listdir-enoent")
+
+    t = threading.Thread(target=poll, daemon=True)
+    t.start()
+    try:
+        for i in range(3):
+            assert delete_rows(spark, store, F.col("id") % 7 == i) > 0
+            assert update_rows(
+                spark, store, F.col("grp") == i, {"grp": F.lit(100 + i)}
+            ) > 0
+    finally:
+        stop.set()
+        t.join(timeout=10)
+
+    # On Linux (this sandbox) renameat2 gives a true atomic exchange, so
+    # ANY observed gap is a bug; guard the assert on the primitive being
+    # available so the test stays meaningful on other platforms.
+    probe_a, probe_b = str(tmp_path / "pa"), str(tmp_path / "pb")
+    os.makedirs(probe_a), os.makedirs(probe_b)
+    if _rename_exchange(probe_a, probe_b):
+        assert gaps == [], gaps[:10]
