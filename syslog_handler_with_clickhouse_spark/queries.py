@@ -7912,6 +7912,13 @@ def q200(spark, sf_dir):
     per series, the form you want at 100 TB.  First/last points are kept
     exactly (LTTB's fixed endpoints).
 
+    Trade-off vs q211 (the strict ClickHouse-exact variant): this one
+    parallelizes WITHIN a series (windows + joins, no Python), so one
+    multi-billion-point series still scales out; q211 matches ClickHouse
+    ``largestTriangleThreeBuckets`` 1:1 but is sequential within a series
+    (parallel only across series).  Pick q200 for throughput on few huge
+    series, q211 for output parity with ClickHouse.
+
     Determinism: the triangle-area argmax is taken over an EXACT integer
     metric — x as micros relative to the series start, y in cents, the
     area comparison multiplied through by n_prev·n_next so no division
@@ -8511,6 +8518,157 @@ def q210(spark, sf_dir):
         & (F.col("exact_cnt") <= F.col("est") + F.col("err_total"))
     )
     return joined.select("user_id", "exact_cnt", sound.alias("mg_sound"))
+
+
+@query(
+    "q211_lttb_strict",
+    """
+    WITH RECURSIVE base AS (
+      SELECT event_type, event_id, ts,
+             epoch_us(ts) AS xm,
+             CAST(round(value * 100) AS BIGINT) AS yc
+      FROM events
+    ), b2 AS (
+      SELECT *, xm - MIN(xm) OVER (PARTITION BY event_type) AS xr FROM base
+    ), b3 AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY xr, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_tot
+      FROM b2
+    ), interior AS (
+      SELECT *, CAST(floor((rn - 2) / 50.0) AS BIGINT) AS bucket
+      FROM b3 WHERE rn >= 2 AND rn <= n_tot - 1
+    ), bsum AS (
+      SELECT event_type, bucket, COUNT(*) AS n,
+             SUM(xr) AS sx, SUM(yc) AS sy
+      FROM interior GROUP BY 1, 2
+    ), lastp AS (
+      SELECT event_type, xr AS lx, yc AS ly FROM b3
+      WHERE rn = n_tot AND n_tot > 1
+    ), ranchor AS (
+      SELECT b.event_type, b.bucket,
+             COALESCE(nx.n, 1) AS nn,
+             CAST(COALESCE(nx.sx, l.lx) AS HUGEINT) AS sxn,
+             CAST(COALESCE(nx.sy, l.ly) AS HUGEINT) AS syn
+      FROM bsum b
+      LEFT JOIN bsum nx ON nx.event_type = b.event_type
+                       AND nx.bucket = b.bucket + 1
+      JOIN lastp l ON l.event_type = b.event_type
+    ), sel AS (
+      SELECT event_type, CAST(-1 AS BIGINT) AS bucket,
+             CAST(xr AS HUGEINT) AS ax, CAST(yc AS HUGEINT) AS ay, ts
+      FROM b3 WHERE rn = 1
+      UNION ALL
+      SELECT q.event_type, q.bucket, q.ax, q.ay, q.ts FROM (
+        SELECT s.event_type, i.bucket,
+               CAST(i.xr AS HUGEINT) AS ax, CAST(i.yc AS HUGEINT) AS ay,
+               i.ts,
+               row_number() OVER (
+                 PARTITION BY s.event_type
+                 ORDER BY abs(
+                     (s.ax * r.nn - r.sxn) * (CAST(i.yc AS HUGEINT) - s.ay)
+                   - (s.ax - CAST(i.xr AS HUGEINT)) * (r.syn - s.ay * r.nn)
+                 ) DESC, i.rn ASC) AS rk
+        FROM sel s
+        JOIN interior i ON i.event_type = s.event_type
+                       AND i.bucket = s.bucket + 1
+        JOIN ranchor r ON r.event_type = s.event_type
+                      AND r.bucket = s.bucket + 1
+      ) q WHERE q.rk = 1
+    )
+    SELECT event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           yc / 100.0 AS val
+    FROM (
+      SELECT event_type, ts, CAST(ay AS BIGINT) AS yc
+      FROM sel WHERE bucket >= 0
+      UNION ALL
+      SELECT event_type, ts, yc FROM b3
+      WHERE rn = 1 OR (rn = n_tot AND n_tot > 1)
+    ) u
+    """,
+)
+def q211(spark, sf_dir):
+    """ClickHouse largestTriangleThreeBuckets EXACT semantics: the strict
+    SEQUENTIAL variant, where each bucket's triangle is anchored on the
+    PREVIOUSLY SELECTED point (q200 is the embarrassingly-parallel
+    neighbor-bucket-average variant; its docstring cross-references the
+    trade-off).  Selection is inherently a per-series scan, so the Spark
+    shape is applyInPandas per series — parallel ACROSS series (the only
+    parallelism the strict semantics admit), sequential within.
+
+    Shared structure with q200: points ordered by (x, event_id), x as
+    micros relative to the series start, y in cents, bucket width 50,
+    first/last points fixed.  Interior rows rn∈[2, N-1] form buckets
+    floor((rn-2)/50); bucket b's right anchor is bucket b+1's average
+    (the LAST point for the final bucket), its left anchor the point
+    selected in bucket b-1.  The area argmax multiplies through by the
+    right bucket's row count so no division occurs — Python arbitrary-
+    precision ints here, HUGEINT in the oracle's recursive CTE (the
+    sequential selection IS expressible in SQL: one recursive step per
+    bucket carrying the anchor) — and ties break to the smaller row
+    number.  Both engines therefore select the identical point set."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.unix_micros(F.col("ts")).alias("xm"),
+        F.round(F.col("value") * 100).cast("bigint").alias("yc"),
+    )
+    ws = Window.partitionBy("event_type")
+    b2 = base.withColumn("xr", F.col("xm") - F.min("xm").over(ws))
+
+    def pick(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["xr", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        n = len(pdf)
+        xs = [int(v) for v in pdf["xr"]]
+        ys = [int(v) for v in pdf["yc"]]
+        sel = [0]
+        if n > 2:
+            n_buckets = (n - 2 + 49) // 50
+            ax, ay = xs[0], ys[0]
+            for b in range(n_buckets):
+                lo, hi = 1 + 50 * b, min(1 + 50 * (b + 1), n - 1)
+                if b < n_buckets - 1:
+                    nlo, nhi = hi, min(1 + 50 * (b + 2), n - 1)
+                    nn = nhi - nlo
+                    sxn = sum(xs[nlo:nhi])
+                    syn = sum(ys[nlo:nhi])
+                else:
+                    nn, sxn, syn = 1, xs[n - 1], ys[n - 1]
+                best, best_a = lo, -1
+                for i in range(lo, hi):
+                    a2 = abs(
+                        (ax * nn - sxn) * (ys[i] - ay)
+                        - (ax - xs[i]) * (syn - ay * nn)
+                    )
+                    if a2 > best_a:
+                        best_a, best = a2, i
+                sel.append(best)
+                ax, ay = xs[best], ys[best]
+        if n > 1:
+            sel.append(n - 1)
+        out = pdf.iloc[sel]
+        return pd.DataFrame(
+            {
+                "event_type": out["event_type"],
+                "ts": out["ts"],
+                "yc": out["yc"],
+            }
+        )
+
+    picked = b2.groupBy("event_type").applyInPandas(
+        pick, "event_type string, ts timestamp, yc long"
+    )
+    return picked.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        (F.col("yc") / F.lit(100.0)).alias("val"),
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

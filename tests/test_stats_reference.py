@@ -200,3 +200,88 @@ def test_q200_lttb_matches_naive_reference(spark, synth_dir):
 
     expected_rows = {(et, fmt(ts)): yc / 100.0 for et, ts, yc in expected}
     assert got == expected_rows
+
+
+def test_q211_strict_lttb_matches_naive_reference(spark, synth_dir):
+    """Re-derive strict-sequential LTTB (previously-selected-point anchor,
+    bucket width 50, next-bucket-average right anchor, last-point anchor
+    for the final bucket) in plain Python and require the exact same
+    point selection from the registered q211."""
+    import datetime
+
+    from syslog_handler_with_clickhouse_spark.queries import QUERIES
+
+    d, rows = synth_dir
+    got = {
+        (r.event_type, r.ts_s): r.val
+        for r in QUERIES["q211_lttb_strict"](spark, d).collect()
+    }
+
+    by_series = {}
+    for eid, ts, et, v in zip(
+        rows["event_id"], rows["ts"], rows["event_type"], rows["value"]
+    ):
+        by_series.setdefault(et, []).append((ts, eid, round(v * 100)))
+    expected = set()
+    for et, pts in by_series.items():
+        xmin = min(p[0] for p in pts)
+        pts = sorted((ts - xmin, eid, yc, ts) for ts, eid, yc in pts)
+        n = len(pts)
+        chosen = [pts[0]]
+        if n > 2:
+            interior = pts[1 : n - 1]
+            n_buckets = (len(interior) + 49) // 50
+            anchor = pts[0]
+            for b in range(n_buckets):
+                members = interior[50 * b : 50 * (b + 1)]
+                nxt = interior[50 * (b + 1) : 50 * (b + 2)]
+                if b < n_buckets - 1 and nxt:
+                    nn = len(nxt)
+                    sxn = sum(p[0] for p in nxt)
+                    syn = sum(p[2] for p in nxt)
+                else:
+                    nn, sxn, syn = 1, pts[-1][0], pts[-1][2]
+                ax, ay = anchor[0], anchor[2]
+                best, best_a = None, -1
+                for p in members:  # in order → first max = smallest rn
+                    a2 = abs(
+                        (ax * nn - sxn) * (p[2] - ay)
+                        - (ax - p[0]) * (syn - ay * nn)
+                    )
+                    if a2 > best_a:
+                        best_a, best = a2, p
+                chosen.append(best)
+                anchor = best
+        if n > 1:
+            chosen.append(pts[-1])
+        for p in chosen:
+            expected.add((et, p[3], p[2]))
+
+    def fmt(us):
+        return datetime.datetime.utcfromtimestamp(us / 1e6).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+
+    expected_rows = {(et, fmt(ts)): yc / 100.0 for et, ts, yc in expected}
+    assert got == expected_rows
+
+
+def test_q200_q211_variants_share_endpoints(spark, synth_dir):
+    """The two LTTB variants must agree on the fixed first/last points
+    (their bucket interiors legitimately differ — that is the variant
+    trade-off the docstrings document)."""
+    from syslog_handler_with_clickhouse_spark.queries import QUERIES
+
+    d, _ = synth_dir
+    a = QUERIES["q200_lttb_downsample"](spark, d).collect()
+    b = QUERIES["q211_lttb_strict"](spark, d).collect()
+    per_a, per_b = {}, {}
+    for r in a:
+        per_a.setdefault(r.event_type, set()).add((r.ts_s, r.val))
+    for r in b:
+        per_b.setdefault(r.event_type, set()).add((r.ts_s, r.val))
+    assert per_a.keys() == per_b.keys()
+    for et in per_a:
+        first_a, last_a = min(per_a[et]), max(per_a[et])
+        first_b, last_b = min(per_b[et]), max(per_b[et])
+        assert first_a == first_b and last_a == last_b, et
