@@ -66,7 +66,14 @@ def point_in_polygon(
     comparison ``px < x1 + (x2-x1)(py-y1)/(y2-y1)`` is multiplied through
     by Δy (sign-corrected) so everything stays in exact integers.  Odd
     crossing count = inside.  Points exactly on an edge follow the
-    half-open straddle rule (consistent on both engines — exact ints)."""
+    half-open straddle rule (consistent on both engines — exact ints).
+
+    DEVIATION from ClickHouse pointInPolygon (documented in
+    COVERAGE/SURVEY next to the family entry): boundary points resolve
+    by the half-open rule (left/bottom edges count as inside, right/top
+    as outside, horizontal edges skipped), not by CH's boundary
+    handling.  Interior and exterior points agree exactly; only points
+    lying ON an edge can differ from CH."""
     crossings: Column = F.lit(0)
     for x1, y1, x2, y2 in _edges(vertices):
         d = y2 - y1

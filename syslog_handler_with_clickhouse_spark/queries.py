@@ -7530,11 +7530,12 @@ def q194(spark, sf_dir):
     )
     SELECT event_type,
            CAST(n AS BIGINT) AS n,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0 AS slope,
-           (sy / 100.0 - (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0 * sx)
+           (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) / 100.0 AS slope,
+           (sy / 100.0
+              - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) / 100.0 * sx)
              / n AS intercept,
            (n * sxy - sx * sy) * (n * sxy - sx * sy)
-             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+             / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0) AS r2
     FROM s
     """,
 )
@@ -7563,7 +7564,15 @@ def q196(spark, sf_dir):
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) / F.lit(100.0)
+    # NULLIF-guard group-dependent denominators (constant-x group, zero
+    # variance): Spark non-ANSI and DuckDB ieee_floating_point_ops
+    # disagree on x/0.0 (NULL vs inf/nan) — guarded identically on both
+    # engines so degenerate groups produce NULL identically.
+    slope = (
+        (n * sxy - sx * sy)
+        / F.nullif(n * sxx - sx * sx, F.lit(0.0))
+        / F.lit(100.0)
+    )
     return s.select(
         "event_type",
         n.cast("bigint").alias("n"),
@@ -7572,7 +7581,9 @@ def q196(spark, sf_dir):
         (
             (n * sxy - sx * sy)
             * (n * sxy - sx * sy)
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+            / F.nullif(
+                (n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0)
+            )
         ).alias("r2"),
     )
 
@@ -7596,14 +7607,17 @@ def q196(spark, sf_dir):
       FROM q GROUP BY 1
     ), v AS (
       SELECT event_type, n0, n1, s0, s1,
-             ((ss0 - s0 * s0 / n0) + (ss1 - s1 * s1 / n1))
-               / (n0 + n1 - 2.0) AS sp2
+             ((ss0 - s0 * s0 / NULLIF(n0, 0))
+              + (ss1 - s1 * s1 / NULLIF(n1, 0)))
+               / NULLIF(n0 + n1 - 2.0, 0) AS sp2
       FROM s
     )
     SELECT event_type,
            CAST(n0 AS BIGINT) AS n_a,
            CAST(n1 AS BIGINT) AS n_b,
-           (s0 / n0 - s1 / n1) / sqrt(sp2 * (1.0 / n0 + 1.0 / n1)) AS t_stat,
+           (s0 / NULLIF(n0, 0) - s1 / NULLIF(n1, 0))
+             / NULLIF(sqrt(sp2 * (1.0 / NULLIF(n0, 0)
+                                  + 1.0 / NULLIF(n1, 0))), 0) AS t_stat,
            n0 + n1 - 2.0 AS dof
     FROM v
     """,
@@ -7634,6 +7648,9 @@ def q197(spark, sf_dir):
         .alias("ss1"),
     )
     n0, n1, s0, s1 = F.col("n0"), F.col("n1"), F.col("s0"), F.col("s1")
+    # degenerate-cohort guards mirrored in the oracle SQL (see q196 note)
+    zero = F.lit(0.0)
+    n0g, n1g = F.nullif(n0, zero), F.nullif(n1, zero)
     v = s.select(
         "event_type",
         "n0",
@@ -7641,8 +7658,8 @@ def q197(spark, sf_dir):
         "s0",
         "s1",
         (
-            ((F.col("ss0") - s0 * s0 / n0) + (F.col("ss1") - s1 * s1 / n1))
-            / (n0 + n1 - F.lit(2.0))
+            ((F.col("ss0") - s0 * s0 / n0g) + (F.col("ss1") - s1 * s1 / n1g))
+            / F.nullif(n0 + n1 - F.lit(2.0), zero)
         ).alias("sp2"),
     )
     return v.select(
@@ -7650,8 +7667,11 @@ def q197(spark, sf_dir):
         n0.cast("bigint").alias("n_a"),
         n1.cast("bigint").alias("n_b"),
         (
-            (s0 / n0 - s1 / n1)
-            / F.sqrt(F.col("sp2") * (F.lit(1.0) / n0 + F.lit(1.0) / n1))
+            (s0 / n0g - s1 / n1g)
+            / F.nullif(
+                F.sqrt(F.col("sp2") * (F.lit(1.0) / n0g + F.lit(1.0) / n1g)),
+                zero,
+            )
         ).alias("t_stat"),
         (n0 + n1 - F.lit(2.0)).alias("dof"),
     )
@@ -7695,10 +7715,11 @@ def q197(spark, sf_dir):
            (CAST(r0x2 AS DOUBLE) / 2.0
              - CAST(n0 AS DOUBLE) * CAST(n0 + 1 AS DOUBLE) / 2.0
              - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 2.0)
-           / sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0
+           / NULLIF(sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0
                   * (CAST(n + 1 AS DOUBLE)
                      - CAST(ties AS DOUBLE)
-                       / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))) AS z
+                       / NULLIF(CAST(n AS DOUBLE)
+                                * CAST(n - 1 AS DOUBLE), 0))), 0) AS z
     FROM s
     """,
 )
@@ -7739,6 +7760,7 @@ def q198(spark, sf_dir):
     nd = F.col("n").cast("double")
     r0 = F.col("r0x2").cast("double") / F.lit(2.0)
     u_a = r0 - n0d * (F.col("n0") + F.lit(1)).cast("double") / F.lit(2.0)
+    # degenerate-cohort guards mirrored in the oracle SQL (see q196 note)
     sigma = F.sqrt(
         n0d
         * n1d
@@ -7746,7 +7768,9 @@ def q198(spark, sf_dir):
         * (
             (F.col("n") + F.lit(1)).cast("double")
             - F.col("ties").cast("double")
-            / (nd * (F.col("n") - F.lit(1)).cast("double"))
+            / F.nullif(
+                nd * (F.col("n") - F.lit(1)).cast("double"), F.lit(0.0)
+            )
         )
     )
     return s.select(
@@ -7755,7 +7779,9 @@ def q198(spark, sf_dir):
         F.col("n1").alias("n_b"),
         u_a.alias("u_a"),
         (n0d * n1d - u_a).alias("u_b"),
-        ((u_a - n0d * n1d / F.lit(2.0)) / sigma).alias("z"),
+        ((u_a - n0d * n1d / F.lit(2.0)) / F.nullif(sigma, F.lit(0.0))).alias(
+            "z"
+        ),
     )
 
 
@@ -7789,9 +7815,11 @@ def q198(spark, sf_dir):
     )
     SELECT d.event_type,
            CAST(t.n0 AS BIGINT) AS n_a, CAST(t.n1 AS BIGINT) AS n_b,
-           CAST(dnum AS DOUBLE) / (CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE))
+           CAST(dnum AS DOUBLE)
+             / NULLIF(CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE), 0)
              AS d_stat,
-           CAST(dnum AS DOUBLE) / (CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE))
+           CAST(dnum AS DOUBLE)
+             / NULLIF(CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE), 0)
              * sqrt(CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE)
                     / (CAST(t.n0 AS DOUBLE) + CAST(t.n1 AS DOUBLE))) AS ks_z
     FROM d JOIN tot t ON d.event_type = t.event_type
@@ -7838,7 +7866,8 @@ def q199(spark, sf_dir):
     )
     n0d = F.col("n0").cast("double")
     n1d = F.col("n1").cast("double")
-    d_stat = F.col("dnum").cast("double") / (n0d * n1d)
+    # degenerate-cohort guard mirrored in the oracle SQL (see q196 note)
+    d_stat = F.col("dnum").cast("double") / F.nullif(n0d * n1d, F.lit(0.0))
     return (
         d.join(tot, "event_type")
         .select(

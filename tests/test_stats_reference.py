@@ -285,3 +285,84 @@ def test_q200_q211_variants_share_endpoints(spark, synth_dir):
         first_a, last_a = min(per_a[et]), max(per_a[et])
         first_b, last_b = min(per_b[et]), max(per_b[et])
         assert first_a == first_b and last_a == last_b, et
+
+
+def test_degenerate_groups_null_on_both_engines(spark, tmp_path):
+    """Advisor round-4 item: constant-x, zero-variance, and single-parity
+    cohorts must yield NULL (not inf/nan, not an engine-dependent value)
+    identically on Spark and the DuckDB oracle for q196-q199."""
+    import math
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from syslog_handler_with_clickhouse_spark.queries import ORACLE, QUERIES
+
+    # const_x: every user_id identical -> q196 slope/intercept/r2 NULL
+    # flat: every value identical      -> q197 t_stat NULL (sp2 = 0),
+    #                                     q198 z NULL (all ties -> sigma 0)
+    # one_parity: only even user_ids   -> q197/q198/q199 cohort-1 empty
+    rows = []
+    for i in range(40):
+        rows.append((i, 1704067200000000 + i * 1_000_000, 7, "const_x", 1.0 + i))
+    for i in range(40):
+        rows.append((100 + i, 1704067200000000 + i * 1_000_000, i, "flat", 5.0))
+    for i in range(40):
+        rows.append((200 + i, 1704067200000000 + i * 1_000_000, 2 * i, "one_parity", 1.0 + (i % 7)))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / "degenerate"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+
+    def norm(v):
+        if v is None:
+            return None
+        if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+            return ("NONFINITE", v)  # would fail the comparison loudly
+        return round(v, 9) if isinstance(v, float) else v
+
+    checks = {
+        "q196_simple_linear_regression": ["slope", "intercept", "r2"],
+        "q197_student_ttest": ["t_stat"],
+        "q198_mann_whitney": ["z"],
+        "q199_ks_test": ["d_stat", "ks_z"],
+    }
+    for qname, cols in checks.items():
+        got = {
+            r.event_type: {c: norm(r[c]) for c in cols}
+            for r in QUERIES[qname](spark, str(d)).collect()
+        }
+        oracle_rows = con.execute(ORACLE[qname]).fetchall()
+        names = [desc[0] for desc in con.description]
+        want = {
+            row[names.index("event_type")]: {
+                c: norm(row[names.index(c)]) for c in cols
+            }
+            for row in oracle_rows
+        }
+        assert got == want, (qname, got, want)
+        # the degenerate groups specifically must be NULL, not a number
+        if qname == "q196_simple_linear_regression":
+            assert got["const_x"]["slope"] is None
+        if qname == "q197_student_ttest":
+            assert got["flat"]["t_stat"] is None
+            assert got["one_parity"]["t_stat"] is None
+        if qname == "q198_mann_whitney":
+            assert got["flat"]["z"] is None
+        if qname == "q199_ks_test":
+            assert got["one_parity"]["d_stat"] is None
