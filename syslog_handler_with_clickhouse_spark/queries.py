@@ -8700,6 +8700,390 @@ def q211(spark, sf_dir):
     )
 
 
+@query(
+    "q212_kurtosis",
+    """
+    SELECT event_type,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_val,
+           round(
+           (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+              - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+              + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+              - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+           / NULLIF((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+              * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))), 0), 6)
+             AS kurt_cents
+    FROM (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s1,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s2,
+             SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0))
+                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s3,
+             SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0))
+                 * CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS DECIMAL(38,0))) AS s4
+      FROM events GROUP BY event_type
+    )
+    """,
+)
+def q212(spark, sf_dir):
+    """Population KURTOSIS (ClickHouse kurtPop) — the q153 skewPop rule
+    extended to the 4th moment: integer-cent values, exact mergeable
+    moment sums s1..s4 (s3/s4 in DECIMAL(38,0) / HUGEINT so nothing
+    rounds), and kurt = m4_central / var² assembled in one double
+    epilogue, rounded to 6 dp on both engines (the long float pipeline
+    can drift ULPs under engine codegen/FMA differences even with
+    identical token order — measured 3 ULP on one group at sf0.01).
+    NULLIF-guarded for zero-variance groups (q196 rule).  One shuffle,
+    map-side partial-aggregable — the 100 TB plan."""
+    ev = _t(spark, sf_dir, "events")
+    cents = (_dec("value") * 100).cast("bigint")
+    c2 = (cents * cents).cast("decimal(38,0)")
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+        F.sum(c2 * cents).alias("s3"),
+        F.sum(c2 * c2).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    var = r2 - m1 * m1
+    m4c = (
+        r4
+        - F.lit(4.0) * m1 * r3
+        + F.lit(6.0) * m1 * m1 * r2
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    return base.select(
+        "event_type",
+        (m1 / F.lit(100.0)).alias("mean_val"),
+        # 6-dp rounding: raw moment sums are engine-identical (verified),
+        # but the 10-op double epilogue can drift a few ULP across
+        # engines' codegen (FMA contraction) — the q193 cross-libm rule
+        # applies to long float pipelines too.
+        F.round(m4c / F.nullif(var * var, F.lit(0.0)), 6).alias("kurt_cents"),
+    )
+
+
+@query(
+    "q213_entropy",
+    """
+    WITH c AS (
+      SELECT event_type, user_id % 64 AS b, COUNT(*) AS cb
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, SUM(cb) AS n,
+             SUM(CAST(cb AS DOUBLE) * log2(CAST(cb AS DOUBLE))) AS sclgc
+      FROM c GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(log2(CAST(n AS DOUBLE)) - sclgc / CAST(n AS DOUBLE), 6)
+             AS entropy_bits
+    FROM t
+    """,
+)
+def q213(spark, sf_dir):
+    """Shannon ENTROPY (ClickHouse entropy) of the user-bucket
+    distribution per event_type: H = log2(n) − Σ c·log2(c) / n over
+    exact integer counts.  log2 is a cross-libm function and the Σ is a
+    64-term float sum, so the output follows the repo's 6-dp rounding
+    rule (q193/q201 precedent): term-order variation is ~1e-13, five
+    orders below the rounding granularity.  Two shuffles (bucket counts,
+    then per-type), both tiny."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", (F.col("user_id") % 64).alias("b")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    cbd = F.col("cb").cast("double")
+    t = c.groupBy("event_type").agg(
+        F.sum("cb").alias("n"),
+        F.sum(cbd * F.log2(cbd)).alias("sclgc"),
+    )
+    nd = F.col("n").cast("double")
+    return t.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.log2(nd) - F.col("sclgc") / nd, 6).alias("entropy_bits"),
+    )
+
+
+@query(
+    "q214_delta_sum",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc,
+             LAG(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND yc > prev
+                         THEN yc - prev ELSE 0 END) AS DOUBLE) / 100.0
+             AS delta_sum,
+           COUNT(CASE WHEN prev IS NOT NULL AND yc > prev THEN 1 END)
+             AS n_rises
+    FROM o GROUP BY event_type
+    """,
+)
+def q214(spark, sf_dir):
+    """ClickHouse deltaSum: the sum of POSITIVE deltas of a time-ordered
+    series per event_type (counter-rate analysis for monotonic-ish
+    gauges).  Values in integer cents, deltas via LAG over the total
+    order (ts, event_id), exact integer sum — no float until the final
+    /100.  One window + one groupBy, both on event_type: a single
+    shuffle reused across the two steps."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    yc = (_dec("value") * 100).cast("bigint")
+    o = ev.select("event_type", "ts", "event_id", yc.alias("yc")).withColumn(
+        "prev", F.lag("yc").over(w)
+    )
+    rise = F.col("prev").isNotNull() & (F.col("yc") > F.col("prev"))
+    return o.groupBy("event_type").agg(
+        (
+            F.sum(F.when(rise, F.col("yc") - F.col("prev")).otherwise(0))
+            .cast("double")
+            / F.lit(100.0)
+        ).alias("delta_sum"),
+        F.count(F.when(rise, 1)).alias("n_rises"),
+    )
+
+
+@query(
+    "q215_bounding_ratio",
+    """
+    WITH o AS (
+      SELECT event_type, epoch_us(ts) AS xm,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM events
+    ), f AS (
+      SELECT event_type, xm AS x0, yc AS y0 FROM o WHERE rn_a = 1
+    ), l AS (
+      SELECT event_type, xm AS x1, yc AS y1 FROM o WHERE rn_z = 1
+    )
+    SELECT f.event_type,
+           (CAST(l.y1 - f.y0 AS DOUBLE) / 100.0)
+             / NULLIF(CAST(l.x1 - f.x0 AS DOUBLE) / 1000000.0, 0)
+             AS slope_per_sec
+    FROM f JOIN l ON f.event_type = l.event_type
+    """,
+)
+def q215(spark, sf_dir):
+    """ClickHouse boundingRatio: (last_y − first_y)/(last_x − first_x)
+    per series — the endpoint slope in value-units per second.  First
+    and last are taken under the same total order (ts, event_id) used
+    everywhere else; both coordinates stay exact integers (cents,
+    micros) until the single final division, NULLIF-guarded for a
+    single-point series.  Two windows over one shuffle + a self-join of
+    two 1-row-per-group frames."""
+    ev = _t(spark, sf_dir, "events")
+    wa = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wz = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    yc = (_dec("value") * 100).cast("bigint")
+    o = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("xm"),
+        yc.alias("yc"),
+    ).withColumns(
+        {"rn_a": F.row_number().over(wa), "rn_z": F.row_number().over(wz)}
+    )
+    f = o.filter(F.col("rn_a") == 1).select(
+        "event_type", F.col("xm").alias("x0"), F.col("yc").alias("y0")
+    )
+    last = o.filter(F.col("rn_z") == 1).select(
+        "event_type", F.col("xm").alias("x1"), F.col("yc").alias("y1")
+    )
+    return f.join(last, "event_type").select(
+        "event_type",
+        (
+            ((F.col("y1") - F.col("y0")).cast("double") / F.lit(100.0))
+            / F.nullif(
+                (F.col("x1") - F.col("x0")).cast("double") / F.lit(1e6),
+                F.lit(0.0),
+            )
+        ).alias("slope_per_sec"),
+    )
+
+
+@query(
+    "q216_cramers_v",
+    """
+    WITH cells AS (
+      SELECT event_type AS x, user_id % 8 AS y, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ), rows_t AS (
+      SELECT x, SUM(o) AS rx FROM cells GROUP BY 1
+    ), cols_t AS (
+      SELECT y, SUM(o) AS cy FROM cells GROUP BY 1
+    ), tot AS (
+      SELECT SUM(o) AS n, COUNT(DISTINCT x) AS r, COUNT(DISTINCT y) AS c
+      FROM cells
+    ), chi AS (
+      SELECT SUM(
+               (CAST(cells.o AS DOUBLE)
+                - CAST(rt.rx AS DOUBLE) * CAST(ct.cy AS DOUBLE)
+                  / CAST(t.n AS DOUBLE))
+               * (CAST(cells.o AS DOUBLE)
+                  - CAST(rt.rx AS DOUBLE) * CAST(ct.cy AS DOUBLE)
+                    / CAST(t.n AS DOUBLE))
+               / (CAST(rt.rx AS DOUBLE) * CAST(ct.cy AS DOUBLE)
+                  / CAST(t.n AS DOUBLE))
+             ) AS chi2
+      FROM cells
+      JOIN rows_t rt ON rt.x = cells.x
+      JOIN cols_t ct ON ct.y = cells.y
+      CROSS JOIN tot t
+    )
+    SELECT CAST(t.n AS BIGINT) AS n,
+           round(chi.chi2, 6) AS chi2,
+           round(sqrt(chi.chi2 / (CAST(t.n AS DOUBLE)
+                 * (CASE WHEN t.r < t.c THEN t.r ELSE t.c END - 1))), 6)
+             AS cramers_v
+    FROM chi CROSS JOIN tot t
+    """,
+)
+def q216(spark, sf_dir):
+    """ClickHouse cramersV: association strength between event_type and
+    a user bucket via the chi-squared contingency statistic,
+    V = √(χ²/(n·(min(r,c)−1))).  The contingency table is exact integer
+    counts (one shuffle); χ² is a ~40-cell float sum, so chi2/V follow
+    the 6-dp rounding rule.  Row/column totals re-derive FROM the cells
+    (no second scan); the cells frame is tiny, so every join here is a
+    broadcast in practice."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("x"), (F.col("user_id") % 8).alias("y")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_t = cells.groupBy("x").agg(F.sum("o").alias("rx"))
+    cols_t = cells.groupBy("y").agg(F.sum("o").alias("cy"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("x").alias("r"),
+        F.countDistinct("y").alias("c"),
+    )
+    od = F.col("o").cast("double")
+    e = (
+        F.col("rx").cast("double")
+        * F.col("cy").cast("double")
+        / F.col("n").cast("double")
+    )
+    chi = (
+        cells.join(F.broadcast(rows_t), "x")
+        .join(F.broadcast(cols_t), "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum((od - e) * (od - e) / e).alias("chi2"))
+    )
+    mind = F.when(F.col("r") < F.col("c"), F.col("r")).otherwise(F.col("c"))
+    return chi.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n").cast("double") * (mind - F.lit(1)).cast("double"))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "q217_theils_u",
+    """
+    WITH cells AS (
+      SELECT event_type AS x, user_id % 8 AS y, COUNT(*) AS cxy
+      FROM events GROUP BY 1, 2
+    ), hx AS (
+      SELECT SUM(CAST(cx AS DOUBLE) * log2(CAST(cx AS DOUBLE))) AS sx
+      FROM (SELECT x, SUM(cxy) AS cx FROM cells GROUP BY 1)
+    ), hy AS (
+      SELECT SUM(CAST(cy AS DOUBLE) * log2(CAST(cy AS DOUBLE))) AS sy
+      FROM (SELECT y, SUM(cxy) AS cy FROM cells GROUP BY 1)
+    ), hxy AS (
+      SELECT SUM(CAST(cxy AS DOUBLE) * log2(CAST(cxy AS DOUBLE))) AS sxy,
+             SUM(cxy) AS n
+      FROM cells
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((hx.sx + hy.sy - hxy.sxy
+                  - CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE)))
+                 / NULLIF(hx.sx - CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE)),
+                          0), 6) AS theils_u
+    FROM hxy CROSS JOIN hx CROSS JOIN hy
+    """,
+)
+def q217(spark, sf_dir):
+    """ClickHouse theilsU: the uncertainty coefficient
+    U(X|Y) = (H(X) − H(X|Y)) / H(X) for X = event_type, Y = user bucket.
+    Expanded over integer counts it needs only three Σ c·log2(c) sums
+    (marginal-x, marginal-y, joint) plus n·log2(n):
+    U = (Sx + Sy − Sxy − n·log2 n) / (Sx − n·log2 n).  Counts are exact;
+    the log2 sums follow the 6-dp rounding rule; NULLIF guards the
+    degenerate single-category case where H(X) = 0.  Everything derives
+    from ONE cells aggregation — a single shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("x"), (F.col("user_id") % 8).alias("y")
+    ).agg(F.count(F.lit(1)).alias("cxy"))
+    cxd = F.col("cx").cast("double")
+    cyd = F.col("cy").cast("double")
+    cxyd = F.col("cxy").cast("double")
+    hx = (
+        cells.groupBy("x")
+        .agg(F.sum("cxy").alias("cx"))
+        .agg(F.sum(cxd * F.log2(cxd)).alias("sx"))
+    )
+    hy = (
+        cells.groupBy("y")
+        .agg(F.sum("cxy").alias("cy"))
+        .agg(F.sum(cyd * F.log2(cyd)).alias("sy"))
+    )
+    hxy = cells.agg(
+        F.sum(cxyd * F.log2(cxyd)).alias("sxy"), F.sum("cxy").alias("n")
+    )
+    nd = F.col("n").cast("double")
+    nlg = nd * F.log2(nd)
+    return (
+        hxy.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                (F.col("sx") + F.col("sy") - F.col("sxy") - nlg)
+                / F.nullif(F.col("sx") - nlg, F.lit(0.0)),
+                6,
+            ).alias("theils_u"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -366,3 +366,108 @@ def test_degenerate_groups_null_on_both_engines(spark, tmp_path):
             assert got["flat"]["z"] is None
         if qname == "q199_ks_test":
             assert got["one_parity"]["d_stat"] is None
+
+
+def test_q212_kurtosis_matches_naive(spark, synth_dir):
+    """Naive 4th-central-moment kurtosis over the synthetic fixture."""
+    from syslog_handler_with_clickhouse_spark.queries import QUERIES
+
+    d, rows = synth_dir
+    got = {
+        r.event_type: r.kurt_cents
+        for r in QUERIES["q212_kurtosis"](spark, d).collect()
+    }
+    by = {}
+    for et, v in zip(rows["event_type"], rows["value"]):
+        by.setdefault(et, []).append(round(v * 100))
+    for et, xs in by.items():
+        n = len(xs)
+        m = sum(xs) / n
+        m4 = sum((x - m) ** 4 for x in xs) / n
+        var = sum((x - m) ** 2 for x in xs) / n
+        want = m4 / (var * var)
+        assert abs(got[et] - want) < 1e-5, (et, got[et], want)
+
+
+def test_q213_entropy_matches_naive(spark, synth_dir):
+    import collections
+    import math
+
+    from syslog_handler_with_clickhouse_spark.queries import QUERIES
+
+    d, rows = synth_dir
+    got = {
+        r.event_type: r.entropy_bits
+        for r in QUERIES["q213_entropy"](spark, d).collect()
+    }
+    by = collections.defaultdict(collections.Counter)
+    for et, u in zip(rows["event_type"], rows["user_id"]):
+        by[et][u % 64] += 1
+    for et, counter in by.items():
+        n = sum(counter.values())
+        want = -sum((c / n) * math.log2(c / n) for c in counter.values())
+        assert abs(got[et] - want) < 1e-5, (et, got[et], want)
+
+
+def test_q214_q215_delta_and_bounding_match_naive(spark, synth_dir):
+    from syslog_handler_with_clickhouse_spark.queries import QUERIES
+
+    d, rows = synth_dir
+    series = {}
+    for eid, ts, et, v in zip(
+        rows["event_id"], rows["ts"], rows["event_type"], rows["value"]
+    ):
+        series.setdefault(et, []).append((ts, eid, round(v * 100)))
+    for pts in series.values():
+        pts.sort()
+
+    got_ds = {
+        r.event_type: (r.delta_sum, r.n_rises)
+        for r in QUERIES["q214_delta_sum"](spark, d).collect()
+    }
+    got_br = {
+        r.event_type: r.slope_per_sec
+        for r in QUERIES["q215_bounding_ratio"](spark, d).collect()
+    }
+    for et, pts in series.items():
+        ds = sum(
+            max(0, b[2] - a[2]) for a, b in zip(pts, pts[1:])
+        )
+        rises = sum(1 for a, b in zip(pts, pts[1:]) if b[2] > a[2])
+        assert got_ds[et] == (ds / 100.0, rises), et
+        slope = ((pts[-1][2] - pts[0][2]) / 100.0) / (
+            (pts[-1][0] - pts[0][0]) / 1e6
+        )
+        assert abs(got_br[et] - slope) < 1e-9, et
+
+
+def test_q216_q217_association_match_naive(spark, synth_dir):
+    import collections
+    import math
+
+    from syslog_handler_with_clickhouse_spark.queries import QUERIES
+
+    d, rows = synth_dir
+    cells = collections.Counter(
+        (et, u % 8) for et, u in zip(rows["event_type"], rows["user_id"])
+    )
+    n = sum(cells.values())
+    rx = collections.Counter()
+    cy = collections.Counter()
+    for (x, y), c in cells.items():
+        rx[x] += c
+        cy[y] += c
+    chi2 = sum(
+        (c - rx[x] * cy[y] / n) ** 2 / (rx[x] * cy[y] / n)
+        for (x, y), c in cells.items()
+    )
+    v = math.sqrt(chi2 / (n * (min(len(rx), len(cy)) - 1)))
+    got = QUERIES["q216_cramers_v"](spark, d).collect()[0]
+    assert abs(got.chi2 - chi2) < 1e-4 and abs(got.cramers_v - v) < 1e-5
+
+    sx = sum(c * math.log2(c) for c in rx.values())
+    sy = sum(c * math.log2(c) for c in cy.values())
+    sxy = sum(c * math.log2(c) for c in cells.values())
+    u_want = (sx + sy - sxy - n * math.log2(n)) / (sx - n * math.log2(n))
+    got_u = QUERIES["q217_theils_u"](spark, d).collect()[0]
+    assert got_u.n == n and abs(got_u.theils_u - u_want) < 1e-5
