@@ -9084,6 +9084,33 @@ def q217(spark, sf_dir):
     )
 
 
+@query(
+    "q218_hh_twophase",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS value,
+           COUNT(*) AS exact_cnt
+    FROM events
+    GROUP BY user_id
+    ORDER BY exact_cnt DESC, CAST(user_id AS VARCHAR)
+    LIMIT 5
+    """,
+)
+def q218(spark, sf_dir):
+    """JVM-native two-phase approximate topK (`operators/sketches.py:
+    hh_twophase`) beside q210's one-pass Misra-Gries: hash-bucket
+    candidate selection (agg state and shuffle capped at `buckets`
+    regardless of key cardinality) + broadcast-semi-join exact verify.
+    The oracle is the PLAIN exact top-5: phase 2 counts are exact and
+    the capture guarantee (bucket_count ≥ exact count) puts every
+    fixture heavy hitter far above the 512-bucket candidate threshold,
+    so the two-phase result IS the exact answer — a full value oracle,
+    stronger than a soundness-predicate pin."""
+    from .operators.sketches import hh_twophase
+
+    ev = _t(spark, sf_dir, "events")
+    return hh_twophase(ev, "user_id", k=5).select("value", "exact_cnt")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
