@@ -32,7 +32,11 @@ def main() -> None:
     for name in QUERIES:
         t0 = time.time()
         try:
-            QUERIES[name](spark, SF_DIR).count()
+            # noop sink, not count(): count lets Catalyst prune projections
+            # (bench.py got the same fix — round-4 verdict item 1)
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
             timings[name] = round(time.time() - t0, 2)
         except Exception as e:  # a sweep must finish; failures are the finding
             failures[name] = f"{type(e).__name__}: {e}"[:200]
