@@ -307,3 +307,54 @@ def test_rank_stats_no_cartesian(spark):
         )
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q211_strict_lttb_one_shuffle_per_series(spark):
+    """Strict LTTB may shuffle ONCE (by series); the sequential walk is
+    an Arrow-grouped kernel, and no join exists anywhere."""
+    from syslog_handler_with_clickhouse_spark.plans.explain import executed_plan
+
+    plan = executed_plan(QUERIES["q211_lttb_strict"](spark, SF_DIR))
+    # window min + groupBy pick share the series partitioning: the plan
+    # may materialize at most two Exchanges (one + an AQE re-read)
+    assert plan.count("Exchange") <= 2, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan, plan
+
+
+def test_moment_tail_single_aggregate_shape(spark):
+    """q212 kurtosis / q214 deltaSum: one scan, no joins; q214 window and
+    groupBy share the event_type partitioning."""
+    from syslog_handler_with_clickhouse_spark.plans.explain import executed_plan
+
+    for name in ["q212_kurtosis", "q214_delta_sum"]:
+        plan = executed_plan(QUERIES[name](spark, SF_DIR))
+        assert plan.count("Exchange") <= 2, (name, plan)
+        for bad in ("Join", "CartesianProduct"):
+            assert bad not in plan, (name, bad)
+
+
+def test_association_tail_broadcast_only_joins(spark):
+    """q216/q217 marginal totals derive from the tiny cells frame —
+    every join must be broadcast (or the 1-row cross of aggregates);
+    nothing may re-shuffle events a second time."""
+    from syslog_handler_with_clickhouse_spark.plans.explain import executed_plan
+
+    for name in ["q216_cramers_v", "q217_theils_u"]:
+        plan = executed_plan(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, (name, "cells joins must broadcast")
+
+
+def test_hh_twophase_capped_exchange_and_semi_join(spark):
+    """Phase 1's exchange carries hash buckets (capped cardinality);
+    phase 2 must reach the second scan through a broadcast LEFT SEMI —
+    a shuffled semi there would defeat the operator's purpose."""
+    from syslog_handler_with_clickhouse_spark.operators.sketches import hh_twophase
+    from syslog_handler_with_clickhouse_spark.plans.explain import executed_plan
+    from syslog_handler_with_clickhouse_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    plan = executed_plan(hh_twophase(ev, "user_id", k=5))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
