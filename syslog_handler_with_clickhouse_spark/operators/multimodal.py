@@ -138,3 +138,88 @@ def extract_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+
+def probe_media(b: bytes) -> tuple[str, int | None, int | None, int | None, int | None]:
+    """REAL container-metadata decode — pure struct parsing, no codec
+    libraries: PNG IHDR, JPEG SOF0/1/2 markers, GIF logical screen
+    descriptor, BMP DIB header, WAV fmt chunk.  Pixel/sample decode
+    still requires the absent codecs (``decode_real``); dimensions,
+    format identification, and audio parameters do not.
+
+    Returns (format, width, height, sample_rate, channels) with None for
+    fields the container doesn't carry; ("unknown", None, ...) when no
+    magic matches — never raises on truncated/garbage payloads."""
+    import struct
+
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return ("png", w, h, None, None)
+        if b[:3] == b"\xff\xd8\xff":
+            # walk JPEG segments to a start-of-frame marker
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    break
+                marker = b[i + 1]
+                if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    return ("jpeg", w, h, None, None)
+                seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+                i += 2 + seg_len
+            return ("jpeg", None, None, None, None)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", b[6:10])
+            return ("gif", w, h, None, None)
+        if b[:2] == b"BM" and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            return ("bmp", w, abs(h), None, None)
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            i = 12
+            while i + 8 <= len(b):
+                cid = b[i : i + 4]
+                clen = struct.unpack("<I", b[i + 4 : i + 8])[0]
+                if cid == b"fmt " and i + 16 <= len(b):
+                    channels, rate = struct.unpack("<HI", b[i + 10 : i + 16])
+                    return ("wav", None, None, rate, channels)
+                i += 8 + clen + (clen & 1)
+            return ("wav", None, None, None, None)
+    except Exception:
+        pass
+    return ("unknown", None, None, None, None)
+
+
+def probe_assets(assets: DataFrame) -> DataFrame:
+    """Distributed media probing: `probe_media` over every payload via
+    Arrow-batched mapInPandas — the same plumbing the fake decoders use,
+    but with a REAL parser inside (the round-4 'partial' upgrade: format
+    identification and container metadata need no codecs)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [probe_media(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "format": [r[0] for r in rows],
+                    "width": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "sample_rate": pd.array([r[3] for r in rows], dtype="Int32"),
+                    "channels": pd.array([r[4] for r in rows], dtype="Int32"),
+                }
+            )
+
+    return assets.mapInPandas(batches, PROBE_SCHEMA)

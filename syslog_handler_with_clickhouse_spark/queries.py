@@ -9111,6 +9111,78 @@ def q218(spark, sf_dir):
     return hh_twophase(ev, "user_id", k=5).select("value", "exact_cnt")
 
 
+@query(
+    "q219_media_probe",
+    """
+    SELECT doc_id,
+           'png' AS format,
+           CAST(doc_id % 100 + 1 AS INT) AS width,
+           CAST(doc_id % 37 + 1 AS INT) AS height
+    FROM documents
+    WHERE doc_id % 53 = 0
+    """,
+)
+def q219(spark, sf_dir):
+    """REAL media decode round-trip (the round-4 'partial multimodal'
+    upgrade): build genuinely valid PNG files executor-side (struct +
+    zlib IHDR/IDAT/IEND — no codec libraries needed for container
+    structure) with dimensions derived from doc_id, then recover those
+    dimensions with `operators/multimodal.py:probe_media`, a real
+    binary header parser.  The oracle computes the expected dimensions
+    arithmetically — so a hash match proves the prober actually parsed
+    the bytes it was handed.  Pixel decode (IDAT inflation to pixels)
+    remains the documented environment stub; format identification and
+    container metadata are no longer faked."""
+    import struct
+    import zlib
+
+    import pandas as pd
+
+    from .operators.multimodal import probe_media
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 53 == 0
+    ).select("doc_id")
+
+    def build_and_probe(it):
+        def png(w: int, h: int) -> bytes:
+            def chunk(typ: bytes, data: bytes) -> bytes:
+                c = typ + data
+                return (
+                    struct.pack(">I", len(data))
+                    + c
+                    + struct.pack(">I", zlib.crc32(c))
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            raw = b"".join(b"\x00" + b"\x7f" * w for _ in range(h))
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in it:
+            probed = [
+                probe_media(png(int(d) % 100 + 1, int(d) % 37 + 1))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "format": [p[0] for p in probed],
+                    "width": pd.array([p[1] for p in probed], dtype="int32"),
+                    "height": pd.array([p[2] for p in probed], dtype="int32"),
+                }
+            )
+
+    return docs.mapInPandas(
+        build_and_probe,
+        "doc_id long, format string, width int, height int",
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

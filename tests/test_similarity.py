@@ -135,3 +135,83 @@ def test_refine_centroids_deterministic(spark):
     a = {r.cell: r.cvec for r in similarity.refine_centroids(v, cent0).collect()}
     b = {r.cell: r.cvec for r in similarity.refine_centroids(v, cent0).collect()}
     assert a == b  # 6-dp rounding makes the pass engine- and run-stable
+
+
+def test_probe_media_on_real_file_bytes(spark):
+    """probe_media is a REAL container parser: feed it genuinely valid
+    minimal files built with struct/zlib only (no codec libs) and
+    require exact dimensions/audio params back — plus distributed
+    agreement via probe_assets."""
+    import struct
+    import zlib
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        probe_assets,
+        probe_media,
+    )
+
+    def png(w, h):
+        def chunk(typ, data):
+            c = typ + data
+            return struct.pack(">I", len(data)) + c + struct.pack(
+                ">I", zlib.crc32(c)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raw = b"".join(
+            b"\x00" + b"\x00" * (3 * w) for _ in range(h)
+        )  # filter byte + RGB rows
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    def jpeg(w, h):
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof0 = (
+            b"\xff\xc0"
+            + struct.pack(">H", 11)
+            + b"\x08"
+            + struct.pack(">HH", h, w)
+            + b"\x01\x11\x00"
+        )
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00\x3b"
+
+    def wav(rate, channels):
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                          channels * 2, 16)
+        data = b"\x00\x00" * 4
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+            + b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    assert probe_media(png(640, 480)) == ("png", 640, 480, None, None)
+    assert probe_media(jpeg(1920, 1080)) == ("jpeg", 1920, 1080, None, None)
+    assert probe_media(gif(32, 16)) == ("gif", 32, 16, None, None)
+    assert probe_media(wav(44100, 2)) == ("wav", None, None, 44100, 2)
+    assert probe_media(b"not a media file")[0] == "unknown"
+    assert probe_media(b"")[0] == "unknown"
+    assert probe_media(b"\x89PNG\r\n\x1a\n\x00")[0] == "unknown"  # truncated
+
+    assets = spark.createDataFrame(
+        [
+            (1, png(8, 4)),
+            (2, jpeg(100, 50)),
+            (3, gif(5, 7)),
+            (4, wav(16000, 1)),
+            (5, b"\xde\xad\xbe\xef"),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: (r.format, r.width, r.height, r.sample_rate, r.channels)
+           for r in probe_assets(assets).collect()}
+    assert got[1] == ("png", 8, 4, None, None)
+    assert got[2] == ("jpeg", 100, 50, None, None)
+    assert got[3] == ("gif", 5, 7, None, None)
+    assert got[4] == ("wav", None, None, 16000, 1)
+    assert got[5][0] == "unknown"
