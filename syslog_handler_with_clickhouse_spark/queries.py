@@ -9183,6 +9183,78 @@ def q219(spark, sf_dir):
     )
 
 
+@query(
+    "q220_repetition_signals",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ), w AS (
+      SELECT doc_id, w, i
+      FROM d, LATERAL (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS w,
+               generate_subscripts(list_filter(string_split(lower(text), ' '),
+                                               x -> x <> ''), 1) AS i)
+    ), tri AS (
+      SELECT doc_id,
+             w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i)
+               || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS g,
+             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM w
+    ), per_g AS (
+      SELECT doc_id, g, COUNT(*) AS c
+      FROM tri WHERE w2 IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_3grams,
+           round(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+             AS dup_3gram_frac,
+           round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+             AS top_3gram_frac
+    FROM per_g GROUP BY doc_id
+    """,
+)
+def q220(spark, sf_dir):
+    """Gopher/C4-style REPETITION quality signals — the data-quality
+    filter family's missing member beside q44's length/alpha/stopword
+    ratios: per document, the duplicate word-3gram fraction
+    (1 − distinct/total) and the top-3gram occupancy (most frequent
+    3-gram's share).  High values flag boilerplate/spam for corpus
+    filtering.
+
+    Tokenization is engine-identical by construction: split on single
+    space, drop empties, lowercase; 3-grams built with two window leads
+    over the exploded positions (not a UDF) so both engines assemble
+    the same grams.  Shape: one explode (rows = words), one groupBy
+    (doc_id, gram), one groupBy doc_id — all counts integer-exact, the
+    two fractions 6-dp rounded.  Docs with <3 words drop out on both
+    engines identically (no gram rows)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    words = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+    )
+    w = d.select("doc_id", F.posexplode(words).alias("i", "w"))
+    win = Window.partitionBy("doc_id").orderBy("i")
+    tri = (
+        w.withColumn("w1", F.lead("w", 1).over(win))
+        .withColumn("w2", F.lead("w", 2).over(win))
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "w", "w1", "w2").alias("g"),
+        )
+    )
+    per_g = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c").cast("double")
+    return per_g.groupBy("doc_id").agg(
+        F.sum("c").alias("n_3grams"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)).cast("double") / total, 6
+        ).alias("dup_3gram_frac"),
+        F.round(F.max("c").cast("double") / total, 6).alias("top_3gram_frac"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
