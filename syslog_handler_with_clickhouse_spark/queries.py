@@ -9255,6 +9255,163 @@ def q220(spark, sf_dir):
     )
 
 
+@query(
+    "q221_series_decompose",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, h, y,
+             CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS s5,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS w5
+      FROM b
+    ), season AS (
+      SELECT event_type, EXTRACT(hour FROM h) AS hod,
+             CAST(SUM(5 * y - s5) AS BIGINT) AS sn,
+             COUNT(*) AS nh
+      FROM w WHERE w5 = 5 GROUP BY 1, 2
+    )
+    SELECT w.event_type,
+           strftime(w.h, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           CAST(w.y AS DOUBLE) / 100.0 AS y_val,
+           round(CAST(w.s5 AS DOUBLE) / CAST(w.w5 AS DOUBLE) / 100.0, 6)
+             AS trend,
+           round(CAST(se.sn AS DOUBLE) / (5.0 * CAST(se.nh AS DOUBLE))
+                 / 100.0, 6) AS seasonal
+    FROM w
+    JOIN season se ON se.event_type = w.event_type
+                  AND se.hod = EXTRACT(hour FROM w.h)
+    WHERE w.w5 = 5
+    """,
+)
+def q221(spark, sf_dir):
+    """ClickHouse seriesDecomposeSTL, the deterministic additive-lite
+    variant: hourly per-type series split into TREND (centered 5-bucket
+    moving average), SEASONAL (hour-of-day mean of the detrended
+    series), and implicitly residual = y − trend − seasonal.
+
+    Every aggregation is integer-exact: bucket sums are cents, the
+    window sum s5 is an exact integer, and the detrended quantity is
+    kept as the exact integer 5·y − s5 (full windows only, w5 = 5) so
+    the seasonal mean is ONE division of two exact integers — no float
+    accumulates across rows on either engine.  Edge buckets (partial
+    windows) are excluded from both output and seasonal fitting
+    identically.  Two window passes + one small join on (type, hod) —
+    the hourly frame is |types|·|hours|, thousands of rows at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    yc = (_dec("value") * 100).cast("bigint")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(yc).alias("y"))
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-2, 2)
+    )
+    w = b.withColumn("s5", F.sum("y").over(win)).withColumn(
+        "w5", F.count(F.lit(1)).over(win)
+    )
+    full = w.filter(F.col("w5") == 5)
+    season = full.groupBy(
+        F.col("event_type").alias("se_et"), F.hour("h").alias("hod")
+    ).agg(
+        F.sum(F.lit(5) * F.col("y") - F.col("s5")).alias("sn"),
+        F.count(F.lit(1)).alias("nh"),
+    )
+    return (
+        full.withColumn("w_hod", F.hour("h"))
+        .join(
+            F.broadcast(season),
+            (F.col("event_type") == F.col("se_et"))
+            & (F.col("w_hod") == F.col("hod")),
+        )
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+            (F.col("y").cast("double") / F.lit(100.0)).alias("y_val"),
+            F.round(
+                F.col("s5").cast("double")
+                / F.col("w5").cast("double")
+                / F.lit(100.0),
+                6,
+            ).alias("trend"),
+            F.round(
+                F.col("sn").cast("double")
+                / (F.lit(5.0) * F.col("nh").cast("double"))
+                / F.lit(100.0),
+                6,
+            ).alias("seasonal"),
+        )
+    )
+
+
+@query(
+    "q222_tukey_outliers",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+      FROM events
+    ), f AS (
+      SELECT event_type,
+             quantile_cont(yc, 0.25) AS q1,
+             quantile_cont(yc, 0.75) AS q3
+      FROM c GROUP BY 1
+    )
+    SELECT c.event_type,
+           COUNT(*) AS n,
+           round((f.q1 - 1.5 * (f.q3 - f.q1)) / 100.0, 6) AS fence_lo,
+           round((f.q3 + 1.5 * (f.q3 - f.q1)) / 100.0, 6) AS fence_hi,
+           COUNT(CASE WHEN CAST(c.yc AS DOUBLE) < f.q1 - 1.5 * (f.q3 - f.q1)
+                        OR CAST(c.yc AS DOUBLE) > f.q3 + 1.5 * (f.q3 - f.q1)
+                      THEN 1 END) AS n_outliers
+    FROM c JOIN f ON f.event_type = c.event_type
+    GROUP BY c.event_type, f.q1, f.q3
+    """,
+)
+def q222(spark, sf_dir):
+    """ClickHouse seriesOutliersDetectTukey: interquartile fences
+    (q1 − 1.5·IQR, q3 + 1.5·IQR) per series and the count of points
+    outside them.  Quartiles are exact interpolated percentiles over
+    integer cents (the q14 precedent — Spark percentile ==
+    DuckDB quantile_cont semantics); the fence arithmetic is a fixed
+    3-op float expression on two exact quantiles, and the outlier
+    predicate compares integers against those fences.  One percentile
+    aggregation + one broadcast join back — two passes over events, no
+    wide shuffle beyond the groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    yc = (_dec("value") * 100).cast("bigint")
+    c = ev.select("event_type", yc.alias("yc"))
+    f = c.groupBy("event_type").agg(
+        F.percentile("yc", F.lit(0.25)).alias("q1"),
+        F.percentile("yc", F.lit(0.75)).alias("q3"),
+    )
+    lo = F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    out = F.col("yc").cast("double") < lo
+    out2 = F.col("yc").cast("double") > hi
+    return (
+        c.join(F.broadcast(f), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(out | out2, 1)).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(lo / F.lit(100.0), 6).alias("fence_lo"),
+            F.round(hi / F.lit(100.0), 6).alias("fence_hi"),
+            "n_outliers",
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

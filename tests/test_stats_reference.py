@@ -471,3 +471,87 @@ def test_q216_q217_association_match_naive(spark, synth_dir):
     u_want = (sx + sy - sxy - n * math.log2(n)) / (sx - n * math.log2(n))
     got_u = QUERIES["q217_theils_u"](spark, d).collect()[0]
     assert got_u.n == n and abs(got_u.theils_u - u_want) < 1e-5
+
+
+def test_q221_decomposition_matches_naive(spark, synth_dir):
+    """Naive hourly trend/seasonal decomposition over the synth fixture."""
+    import collections
+
+    from syslog_handler_with_clickhouse_spark.queries import QUERIES
+
+    d, rows = synth_dir
+    got = {
+        (r.event_type, r.hour_s): (r.y_val, r.trend, r.seasonal)
+        for r in QUERIES["q221_series_decompose"](spark, d).collect()
+    }
+
+    buckets = collections.defaultdict(int)
+    for ts, et, v in zip(rows["ts"], rows["event_type"], rows["value"]):
+        hour_us = ts - ts % 3_600_000_000
+        buckets[(et, hour_us)] += round(v * 100)
+    series = collections.defaultdict(list)
+    for (et, h), y in sorted(buckets.items()):
+        series[et].append((h, y))
+
+    import datetime
+
+    def fmt(us):
+        return datetime.datetime.utcfromtimestamp(us / 1e6).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+
+    expected = {}
+    for et, pts in series.items():
+        n = len(pts)
+        detr = {}  # hod -> list of exact 5y - s5
+        full = []
+        for i in range(n):
+            if i - 2 < 0 or i + 2 >= n:
+                continue
+            s5 = sum(y for _, y in pts[i - 2 : i + 3])
+            h, y = pts[i]
+            hod = datetime.datetime.utcfromtimestamp(h / 1e6).hour
+            detr.setdefault(hod, []).append(5 * y - s5)
+            full.append((h, y, s5, hod))
+        for h, y, s5, hod in full:
+            sn = sum(detr[hod])
+            expected[(et, fmt(h))] = (
+                y / 100.0,
+                round(s5 / 5 / 100.0, 6),
+                round(sn / (5 * len(detr[hod])) / 100.0, 6),
+            )
+    assert set(got) == set(expected)
+    for k in got:
+        for a, b in zip(got[k], expected[k]):
+            assert abs(a - b) < 1e-9, (k, got[k], expected[k])
+
+
+def test_q222_tukey_matches_naive(spark, synth_dir):
+    """Naive quartile/fence/outlier count over the synth fixture."""
+    import collections
+
+    from syslog_handler_with_clickhouse_spark.queries import QUERIES
+
+    d, rows = synth_dir
+    got = {
+        r.event_type: (r.n, r.fence_lo, r.fence_hi, r.n_outliers)
+        for r in QUERIES["q222_tukey_outliers"](spark, d).collect()
+    }
+    by = collections.defaultdict(list)
+    for et, v in zip(rows["event_type"], rows["value"]):
+        by[et].append(round(v * 100))
+
+    def quantile_cont(xs, q):
+        xs = sorted(xs)
+        pos = q * (len(xs) - 1)
+        lo, frac = int(pos), pos - int(pos)
+        return xs[lo] if frac == 0 else xs[lo] * (1 - frac) + xs[lo + 1] * frac
+
+    for et, xs in by.items():
+        q1, q3 = quantile_cont(xs, 0.25), quantile_cont(xs, 0.75)
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        n_out = sum(1 for x in xs if x < lo or x > hi)
+        n, flo, fhi, nout = got[et]
+        assert n == len(xs) and nout == n_out, et
+        assert abs(flo - round(lo / 100.0, 6)) < 1e-9, et
+        assert abs(fhi - round(hi / 100.0, 6)) < 1e-9, et
