@@ -9412,6 +9412,51 @@ def q222(spark, sf_dir):
     )
 
 
+@query(
+    "q223_array_set_ops",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(lower(text), ' '),
+                                       x -> x <> '')) AS ws
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(
+             array_sort(array_intersect(ws,
+               ['the','and','of','to','a'])), ','), '') AS common_csv,
+           CAST(len(list_distinct(list_concat(ws,
+               ['the','and','of','to','a']))) AS BIGINT) AS n_union,
+           CAST(len(list_filter(ws,
+               x -> NOT list_contains(['the','and','of','to','a'], x)))
+             AS BIGINT) AS n_except
+    FROM d
+    """,
+)
+def q223(spark, sf_dir):
+    """ClickHouse array set-operation family — arrayIntersect /
+    arrayUnion(arrayDistinct(arrayConcat)) / arrayExcept — over each
+    document's distinct word set against a fixed function-word list.
+    The intersect is exported as a SORTED CSV string (the repo's
+    array-export rule: engines' internal set orders differ, the sorted
+    serialization doesn't); union/except are exported as sizes.  All
+    native Spark array functions on one projection — no shuffle at all
+    beyond the scan."""
+    stop = F.array(*[F.lit(s) for s in ["the", "and", "of", "to", "a"]])
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    ws = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    )
+    return d.select(
+        "doc_id",
+        F.concat_ws(",", F.array_sort(F.array_intersect(ws, stop))).alias(
+            "common_csv"
+        ),
+        F.size(F.array_union(ws, stop)).cast("bigint").alias("n_union"),
+        F.size(F.array_except(ws, stop)).cast("bigint").alias("n_except"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
