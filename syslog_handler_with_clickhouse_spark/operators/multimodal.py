@@ -169,24 +169,66 @@ def probe_media(b: bytes) -> tuple[str, int | None, int | None, int | None, int 
             w, h = struct.unpack(">II", b[16:24])
             return ("png", w, h, None, None)
         if b[:3] == b"\xff\xd8\xff":
-            # walk JPEG segments to a start-of-frame marker
+            # Walk JPEG segments to a start-of-frame marker.  Per the
+            # round-5 advice this handles the full marker grammar, not
+            # just the golden fixtures: 0xFF fill bytes between segments,
+            # length-less markers (TEM 0x01, RSTn 0xD0-0xD7), and every
+            # SOFn variant carrying dimensions (0xC0-0xCF minus DHT 0xC4,
+            # JPGext 0xC8, DAC 0xCC — i.e. baseline, progressive,
+            # lossless, arithmetic, differential).
+            _SOF = {
+                m
+                for m in range(0xC0, 0xD0)
+                if m not in (0xC4, 0xC8, 0xCC)
+            }
             i = 2
-            while i + 9 < len(b):
+            while i + 1 < len(b):
                 if b[i] != 0xFF:
                     break
+                # 0xFF fill bytes: any number may pad before the marker id
+                while i + 1 < len(b) and b[i + 1] == 0xFF:
+                    i += 1
+                if i + 1 >= len(b):
+                    break
                 marker = b[i + 1]
-                if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                if marker in _SOF:
+                    if i + 9 > len(b):
+                        break
                     h, w = struct.unpack(">HH", b[i + 5 : i + 9])
                     return ("jpeg", w, h, None, None)
+                if marker == 0xD9:  # EOI — no frame header found
+                    break
+                if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                    # TEM / RSTn carry no length word
+                    i += 2
+                    continue
+                if marker == 0xDA:
+                    # SOS: entropy-coded data follows — a naive length
+                    # hop no longer lands on marker boundaries; stop.
+                    break
+                if i + 4 > len(b):
+                    break
                 seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+                if seg_len < 2:
+                    break
                 i += 2 + seg_len
             return ("jpeg", None, None, None, None)
         if b[:6] in (b"GIF87a", b"GIF89a"):
             w, h = struct.unpack("<HH", b[6:10])
             return ("gif", w, h, None, None)
         if b[:2] == b"BM" and len(b) >= 26:
-            w, h = struct.unpack("<ii", b[18:26])
-            return ("bmp", w, abs(h), None, None)
+            # Gate the dimension read on the DIB header size at offset 14
+            # (round-5 advice): BITMAPCOREHEADER (12) stores unsigned
+            # 16-bit dims at 18; BITMAPINFOHEADER and successors (>=40)
+            # store signed 32-bit dims (negative height = top-down rows).
+            dib = struct.unpack("<I", b[14:18])[0]
+            if dib == 12 and len(b) >= 22:
+                w, h = struct.unpack("<HH", b[18:22])
+                return ("bmp", w, h, None, None)
+            if dib >= 40:
+                w, h = struct.unpack("<ii", b[18:26])
+                return ("bmp", w, abs(h), None, None)
+            return ("bmp", None, None, None, None)
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             i = 12
             while i + 8 <= len(b):

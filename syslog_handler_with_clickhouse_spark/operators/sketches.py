@@ -47,6 +47,16 @@ def mg_summarize(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     ``est`` is the summed counter (a lower bound on the exact count) and
     ``err_total`` the global undercount bound.  ``est ≤ exact ≤ est +
     err_total`` for present keys; ``exact ≤ err_total`` for absent ones.
+
+    EAGER: constructing the returned DataFrame runs the sketch scan
+    immediately — the per-partition summaries are cached and materialized
+    up front so the two downstream branches (error total and merged
+    counters) don't recompute the expensive pass per action.  What stays
+    pinned in executor storage is the SUMMARY, not the input: ≤ (k+1)
+    rows per input partition (k=64 default → a few thousand rows total),
+    held until the session ends or the caller releases it with
+    ``unpersist_mg(result)`` (below) — cache (vs localCheckpoint) is used
+    precisely so that release path actually frees the blocks.
     """
     import pandas as pd
 
@@ -105,7 +115,12 @@ def mg_summarize(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     )
     # The sketch pass is the expensive stage; it feeds two branches
     # (err_total and merged) that would otherwise recompute it per action.
-    summaries = summaries.localCheckpoint(eager=True)
+    # persist()+count (not localCheckpoint): same one-materialization
+    # intent, but cache goes through the CacheManager so unpersist_mg can
+    # genuinely release the blocks (round-5 advice: eager localCheckpoint
+    # pinned storage for the session's lifetime with no release path).
+    summaries = summaries.persist()
+    summaries.count()
     # one error bound per partition (constant within it) → sum across
     per_pid_err = summaries.groupBy("pid").agg(F.max("err").alias("perr"))
     err_total = per_pid_err.agg(F.sum("perr").alias("err_total"))
@@ -114,7 +129,29 @@ def mg_summarize(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         .groupBy("value")
         .agg(F.sum("cnt").alias("est"))
     )
-    return merged.crossJoin(F.broadcast(err_total))
+    result = merged.crossJoin(F.broadcast(err_total))
+    # caller-visible handle for unpersist_mg (plain Python attribute on
+    # the DataFrame wrapper; invisible to Spark itself)
+    result._mg_summaries = summaries
+    return result
+
+
+def unpersist_mg(result: DataFrame) -> bool:
+    """Release the executor storage pinned by :func:`mg_summarize`.
+
+    ``mg_summarize`` eagerly materializes its per-partition summary so
+    both output branches share one sketch pass; that cached summary
+    (≤ (k+1) rows per input partition) otherwise stays resident until
+    the session ends.  Long-lived sessions invoking ``mg_summarize``
+    repeatedly should call this once the result has been consumed.
+    Returns True if blocks were released, False for DataFrames that
+    didn't come from ``mg_summarize`` (no-op).
+    """
+    summaries = getattr(result, "_mg_summaries", None)
+    if summaries is None:
+        return False
+    summaries.unpersist()
+    return True
 
 
 def hh_twophase(

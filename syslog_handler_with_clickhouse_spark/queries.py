@@ -5554,8 +5554,8 @@ def q152(spark, sf_dir):
     FROM (
       SELECT event_type, COUNT(*) AS n,
              SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s1,
-             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s2,
+             SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0))) AS s2,
              SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
                  * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0))
                  * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s3
@@ -5576,7 +5576,9 @@ def q153(spark, sf_dir):
     base = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).alias("s1"),
-        F.sum(cents * cents).alias("s2"),
+        # widened like q212's s2: BIGINT-product SUM wraps silently in
+        # non-ANSI Spark while DuckDB promotes to HUGEINT
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("s2"),
         F.sum((cents * cents).cast("decimal(38,0)") * cents).alias("s3"),
     )
     nd = F.col("n").cast("double")
@@ -8726,8 +8728,8 @@ def q211(spark, sf_dir):
     FROM (
       SELECT event_type, COUNT(*) AS n,
              SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s1,
-             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s2,
+             SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0))) AS s2,
              SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
                  * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0))
                  * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s3,
@@ -8756,7 +8758,11 @@ def q212(spark, sf_dir):
     base = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).alias("s1"),
-        F.sum(cents * cents).alias("s2"),
+        # s2 widened to DECIMAL(38,0) like s3/s4: SUM over BIGINT products
+        # silently wraps in non-ANSI Spark while DuckDB promotes to
+        # HUGEINT — widening keeps the engines bit-identical for large
+        # cent magnitudes instead of diverging silently (round-5 advice).
+        F.sum(c2).alias("s2"),
         F.sum(c2 * cents).alias("s3"),
         F.sum(c2 * c2).alias("s4"),
     )

@@ -265,6 +265,13 @@ def delete_rows(
     import os
     import shutil
 
+    # SQL DELETE semantics: a NULL predicate means KEEP the row.  Coalesce
+    # once and use the same expression for both the delete marker and the
+    # keep filter — otherwise `filter(_del == 0)` would drop NULL-condition
+    # rows (NULL == 0 is not true) while the observed SUM skipped them,
+    # under-reporting deletions exactly where it matters (GDPR accounting).
+    condition = F.coalesce(condition, F.lit(False))
+
     if partition_col is None:
         from pyspark.sql import Observation
 

@@ -85,6 +85,36 @@ def test_delete_rows_partition_targeted(spark, tmp_path):
     assert sorted(back.columns) == ["day", "id", "uid"]
 
 
+def test_delete_rows_null_condition_keeps_and_counts_exactly(spark, tmp_path):
+    """SQL DELETE semantics: a NULL predicate means KEEP the row — and the
+    returned count must equal the rows actually removed (round-5 advice:
+    the observed SUM skipped NULL-condition rows while the keep filter
+    dropped them, under-reporting deletions)."""
+    from syslog_handler_with_clickhouse_spark.sources.sinks import delete_rows
+
+    # score is NULL for ids 2 and 5 → `score > 10` is NULL there → keep
+    df = spark.createDataFrame(
+        [(1, 20), (2, None), (3, 5), (4, 30), (5, None), (6, 11)],
+        "id long, score long",
+    )
+    # non-partitioned path (the flagged one)
+    store = str(tmp_path / "nullstore")
+    df.write.parquet(store)
+    n = delete_rows(spark, store, F.col("score") > 10)
+    back = spark.read.parquet(store)
+    assert n == 3  # ids 1, 4, 6 — NULL rows neither deleted nor counted
+    assert sorted(r.id for r in back.collect()) == [2, 3, 5]
+
+    # partitioned path obeys the same semantics
+    df2 = df.withColumn("day", F.when(F.col("id") < 4, "a").otherwise("b"))
+    store2 = str(tmp_path / "nullstore_part")
+    df2.write.partitionBy("day").parquet(store2)
+    n2 = delete_rows(spark, store2, F.col("score") > 10, partition_col="day")
+    back2 = spark.read.parquet(store2)
+    assert n2 == 3
+    assert sorted(r.id for r in back2.collect()) == [2, 3, 5]
+
+
 def test_delete_rows_no_match_is_noop(spark, tmp_path):
     from syslog_handler_with_clickhouse_spark.sources.sinks import delete_rows
 

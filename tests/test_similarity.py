@@ -215,3 +215,72 @@ def test_probe_media_on_real_file_bytes(spark):
     assert got[3] == ("gif", 5, 7, None, None)
     assert got[4] == ("wav", None, None, 16000, 1)
     assert got[5][0] == "unknown"
+
+
+def test_probe_media_marker_grammar_edge_cases():
+    """Round-5 advice: the JPEG walk must survive the full marker grammar
+    (fill bytes, length-less TEM/RSTn, every SOFn variant) and the BMP
+    branch must gate on the DIB header size — real-world files, not just
+    the golden fixtures."""
+    import struct
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        probe_media,
+    )
+
+    def sof(marker, w, h):
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", 11)
+            + b"\x08"
+            + struct.pack(">HH", h, w)
+            + b"\x01\x11\x00"
+        )
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+
+    # progressive (SOF2), lossless (SOF3), arithmetic (SOF9), differential
+    # lossless arithmetic (SOFF) all carry dimensions
+    for m in (0xC2, 0xC3, 0xC9, 0xCF):
+        assert probe_media(b"\xff\xd8" + app0 + sof(m, 321, 123)) == (
+            "jpeg", 321, 123, None, None,
+        )
+
+    # fill bytes (extra 0xFF padding) before markers are legal
+    padded = b"\xff\xd8" + b"\xff" + app0 + b"\xff\xff" + sof(0xC0, 64, 32)
+    assert probe_media(padded) == ("jpeg", 64, 32, None, None)
+
+    # length-less markers (TEM 0x01) between segments must be stepped over
+    tem = b"\xff\xd8" + b"\xff\x01" + app0 + sof(0xC1, 10, 20)
+    assert probe_media(tem) == ("jpeg", 10, 20, None, None)
+
+    # DHT (0xC4) is NOT a frame header even though it's in the C0-CF range
+    dht = b"\xff\xc4" + struct.pack(">H", 5) + b"\x00\x01\x02"
+    assert probe_media(b"\xff\xd8" + dht + sof(0xC0, 7, 9)) == (
+        "jpeg", 7, 9, None, None,
+    )
+
+    # SOS before any SOF: entropy data follows — stop, report no dims
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    assert probe_media(b"\xff\xd8" + app0 + sos + b"\x12\x34") == (
+        "jpeg", None, None, None, None,
+    )
+
+    def bmp_info(w, h):
+        return (b"BM" + b"\x00" * 8 + struct.pack("<I", 54)
+                + struct.pack("<I", 40) + struct.pack("<ii", w, h) + b"\x00" * 16)
+
+    def bmp_core(w, h):
+        return (b"BM" + b"\x00" * 8 + struct.pack("<I", 26)
+                + struct.pack("<I", 12) + struct.pack("<HH", w, h)
+                + struct.pack("<HH", 1, 24))
+
+    assert probe_media(bmp_info(800, 600)) == ("bmp", 800, 600, None, None)
+    # top-down BMP: negative height, magnitude reported
+    assert probe_media(bmp_info(800, -600)) == ("bmp", 800, 600, None, None)
+    # BITMAPCOREHEADER: 16-bit dims at the same offset — the old code
+    # read them as the low half of a 32-bit little-endian pair (garbage)
+    assert probe_media(bmp_core(320, 200)) == ("bmp", 320, 200, None, None)
+    # unrecognized DIB size: identified as bmp, dims withheld
+    weird = b"BM" + b"\x00" * 8 + struct.pack("<I", 30) + struct.pack("<I", 16) + b"\x00" * 8
+    assert probe_media(weird) == ("bmp", None, None, None, None)

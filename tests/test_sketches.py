@@ -50,6 +50,26 @@ def test_summary_size_bounded(spark):
     assert len(out) <= 8 * 4
 
 
+def test_unpersist_mg_releases_cached_summary(spark):
+    """mg_summarize eagerly caches its per-partition summary so both
+    output branches share one sketch pass; unpersist_mg must actually
+    release those blocks (round-5 advice: the eager localCheckpoint had
+    no release path and pinned storage for the session's lifetime)."""
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        unpersist_mg,
+    )
+
+    df = _mk(spark, ["a"] * 50 + [f"u{i}" for i in range(100)])
+    res = mg_summarize(df, "key", k=16)
+    handle = res._mg_summaries
+    assert handle.storageLevel.useMemory  # cached + materialized
+    assert len(res.collect()) > 0
+    assert unpersist_mg(res) is True
+    assert not handle.storageLevel.useMemory  # blocks released
+    # no-op on foreign DataFrames
+    assert unpersist_mg(df) is False
+
+
 def test_weighted_merge_equivalent_to_unit_stream(spark):
     """The vectorized interior pre-aggregates each Arrow batch with
     value_counts() and MG-merges (value, weight) pairs.  Weighted MG must
