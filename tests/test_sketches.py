@@ -153,3 +153,155 @@ def test_hh_twophase_matches_exact_groupby(spark):
     heavy = {k_ for k_, c in exact.items() if c > thresh}
     assert heavy <= {r.value for r in got}
     assert got[0].value == "dominant" and got[0].exact_cnt == 500
+
+
+# ---------------------------------------------------------------------------
+# t-digest (mergeable quantile sketch)
+# ---------------------------------------------------------------------------
+
+
+def _rank_error(values_sorted, est, q):
+    """|true rank of est - q·n| / n, with est's rank taken as the count
+    of values strictly below it (the most favorable valid rank would be
+    anywhere within the tied run; strictly-below is the conservative
+    left edge, so we allow the tied-run width on top of the bound in
+    callers that need it — the fixtures here have no heavy ties)."""
+    import bisect
+
+    n = len(values_sorted)
+    lo = bisect.bisect_left(values_sorted, est)
+    hi = bisect.bisect_right(values_sorted, est)
+    # distance from the nearest valid rank of est to the target rank
+    target = q * n
+    if lo <= target <= hi:
+        return 0.0
+    return min(abs(lo - target), abs(hi - target)) / n
+
+
+def test_tdigest_state_bounded_and_rank_error():
+    """Pure-Python kernel: centroid count stays O(delta) and every
+    quantile estimate lands within ~π/(2δ) rank of truth (we assert the
+    looser 2% for δ=100), with tails much tighter thanks to the k1
+    scale function."""
+    import numpy as np
+
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        td_compress,
+        td_quantile,
+    )
+
+    rng = np.random.RandomState(7)
+    for data in (
+        rng.uniform(0, 1000, 100_000),
+        rng.lognormal(3, 2, 100_000),  # heavy right skew
+        np.repeat(np.arange(100), 1000).astype(float),  # heavy ties
+    ):
+        m, w = td_compress(data, np.ones(data.size), delta=100.0)
+        assert m.size <= 200, f"state blew past 2*delta: {m.size}"
+        assert w.sum() == data.size
+        s = np.sort(data).tolist()
+        for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+            est = td_quantile(m, w, q)
+            assert _rank_error(s, est, q) <= 0.02, (q, est)
+        # tail quantiles: k1 keeps extreme centroids tiny
+        for q in (0.001, 0.999):
+            est = td_quantile(m, w, q)
+            assert _rank_error(s, est, q) <= 0.005, (q, est)
+
+
+def test_tdigest_merge_preserves_bound():
+    """Merging per-chunk digests (the level-2 path) keeps the rank-error
+    guarantee over the union — the mergeability property itself."""
+    import numpy as np
+
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        td_compress,
+        td_quantile,
+    )
+
+    rng = np.random.RandomState(11)
+    chunks = [rng.exponential(50, 10_000) + i * 10 for i in range(8)]
+    partials = [td_compress(c, np.ones(c.size), 100.0) for c in chunks]
+    merged_m = np.concatenate([p[0] for p in partials])
+    merged_w = np.concatenate([p[1] for p in partials])
+    m, w = td_compress(merged_m, merged_w, 100.0)
+    assert m.size <= 200
+    allv = np.sort(np.concatenate(chunks)).tolist()
+    for q in (0.05, 0.5, 0.95):
+        assert _rank_error(allv, td_quantile(m, w, q), q) <= 0.03
+
+
+def test_tdigest_spark_merge_equals_python_rederivation(spark):
+    """merge-equals-monolithic (round-5 verdict #3): feed KNOWN partial
+    digests through the Spark level-2 merge and require bit-identical
+    quantiles to a pure-Python re-derivation running the same
+    deterministic merge — and a single-partition end-to-end run must
+    equal the monolithic Python digest of the raw values."""
+    import numpy as np
+
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        td_compress,
+        td_quantile,
+        tdigest_merge_quantiles,
+        tdigest_quantiles,
+    )
+
+    probs = [0.1, 0.5, 0.9]
+    rng = np.random.RandomState(3)
+    chunks = [rng.uniform(0, 100, 3000) for _ in range(4)]
+    partials = [td_compress(c, np.ones(c.size), 100.0) for c in chunks]
+
+    rows = [("g", p[0].tolist(), p[1].tolist()) for p in partials]
+    pdf = spark.createDataFrame(
+        rows, "grp string, td_means array<double>, td_weights array<double>"
+    )
+    got = tdigest_merge_quantiles(pdf, ["grp"], probs, 100.0).collect()[0]
+
+    mm = np.concatenate([p[0] for p in partials])
+    ww = np.concatenate([p[1] for p in partials])
+    m, w = td_compress(mm, ww, 100.0)
+    expect = [td_quantile(m, w, p) for p in probs]
+    assert got.quantiles == expect  # bit-identical: same deterministic ops
+    assert got.n_centroids == m.size
+
+    # single-partition end-to-end == monolithic python digest
+    vals = rng.uniform(0, 100, 5000)
+    df = spark.createDataFrame(
+        [(float(v),) for v in vals], "value double"
+    ).coalesce(1)
+    got1 = tdigest_quantiles(df, "value", [], probs, 100.0)
+    # empty group_cols: group everything
+    got1 = got1.collect()[0] if not got1.columns[0:0] else got1.collect()[0]
+    m1, w1 = td_compress(vals, np.ones(vals.size), 100.0)
+    expect1 = [td_quantile(m1, w1, p) for p in probs]
+    assert got1.quantiles == expect1
+
+
+def test_tdigest_distributed_grouped(spark):
+    """End-to-end over 8 partitions with groups: bound holds per group,
+    state stays bounded, nulls ignored."""
+    import numpy as np
+
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        tdigest_quantiles,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = []
+    by_g = {}
+    for g, scale in (("a", 10.0), ("b", 1000.0)):
+        v = rng.gamma(2.0, scale, 20_000)
+        by_g[g] = np.sort(v).tolist()
+        rows += [(g, float(x)) for x in v]
+    rows.append(("a", None))
+    df = spark.createDataFrame(rows, "grp string, value double").repartition(8)
+    out = {
+        r.grp: r
+        for r in tdigest_quantiles(
+            df, "value", ["grp"], [0.1, 0.5, 0.9], 100.0
+        ).collect()
+    }
+    for g in ("a", "b"):
+        assert out[g].n_centroids <= 200
+        for q, est in zip((0.1, 0.5, 0.9), out[g].quantiles):
+            assert _rank_error(by_g[g], est, q) <= 0.03, (g, q, est)
