@@ -9679,6 +9679,106 @@ def q225(spark, sf_dir):
     )
 
 
+@query(
+    "q226_retention",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS m1,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS m2,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS m3
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(m1 AS INT) AS r1,
+           CAST(m1 * m2 AS INT) AS r2,
+           CAST(m1 * m3 AS INT) AS r3
+    FROM per_user
+    """,
+)
+def q226(spark, sf_dir):
+    """ClickHouse ``retention(cond1, ..., condN)`` — the funnel-holding
+    aggregate a log table invites (round-5 verdict #4): per user,
+    r1 = 1 iff the anchor condition (signup) ever held; r_i (i>1) = 1
+    iff the anchor AND condition i both held on some rows — NOT
+    sequenced (that's q76/q207 sequenceMatch territory), just
+    co-occurrence against the anchor, exactly CH's semantics.
+
+    One scan, one shuffle: each condition is a conditional MAX —
+    associative, map-side partial-aggregable — and the retention vector
+    is assembled from the N maxima per group.  At 100 TB this is the
+    same plan as any groupBy count: no joins, no windows, state = N
+    bits per live group."""
+    ev = _t(spark, sf_dir, "events")
+
+    def hit(cond):
+        return F.max(F.when(cond, 1).otherwise(0))
+
+    per_user = ev.groupBy("user_id").agg(
+        hit(F.col("event_type") == "signup").alias("m1"),
+        hit(F.col("event_type") == "view").alias("m2"),
+        hit(F.col("event_type") == "purchase").alias("m3"),
+    )
+    return per_user.select(
+        "user_id",
+        F.col("m1").cast("int").alias("r1"),
+        (F.col("m1") * F.col("m2")).cast("int").alias("r2"),
+        (F.col("m1") * F.col("m3")).cast("int").alias("r3"),
+    )
+
+
+@query(
+    "q227_array_enumerate_uniq",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_slice(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> ''), 1, 12) AS ws
+      FROM documents WHERE doc_id % 11 = 4
+    )
+    SELECT doc_id,
+           array_to_string(ws, ',') AS words_csv,
+           array_to_string(
+             list_transform(range(1, len(ws) + 1),
+               i -> len(list_filter(ws[1:i], y -> y = ws[i]))),
+             ',') AS enum_csv
+    FROM d
+    """,
+)
+def q227(spark, sf_dir):
+    """ClickHouse ``arrayEnumerateUniq`` — per element, its occurrence
+    number among equal elements so far ([a,b,a] → [1,1,2]).  Expressed
+    natively as a higher-order composition: transform-with-index over
+    the array, counting equal elements in the prefix slice — no UDF,
+    whole-stage codegen, zero shuffle beyond the scan.  The prefix
+    count is O(n²) per array, so the word array is capped at 12
+    elements (the same cap the oracle applies); for unbounded arrays
+    the posexplode + window row_number shape (q28 family) is the
+    alternative at one shuffle.  Output serialized positionally as CSV
+    (array order is deterministic here — the repo's array-export rule
+    only forces sorting when engines' set orders could differ)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 4)
+    ws = F.slice(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")),
+        1,
+        12,
+    )
+    d = d.select("doc_id", ws.alias("ws"))
+    enum = F.transform(
+        "ws",
+        lambda x, i: F.size(
+            F.filter(
+                F.slice("ws", 1, i + 1), lambda y: y == x
+            )
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.concat_ws(",", "ws").alias("words_csv"),
+        F.concat_ws(",", enum).alias("enum_csv"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
