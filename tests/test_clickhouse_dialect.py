@@ -119,3 +119,32 @@ def test_jdbc_options_mirror_reference_envelope():
     assert opts["numPartitions"] == "5"  # pool of 5, main.go:48-51
     assert opts["queryTimeout"] == "10"  # 10 s deadline, cacheManage.go:37
     assert opts["batchsize"] == "1000"  # CacheSize, main.go:19
+
+
+def test_mikrotik_sql_matches_golden_file():
+    """Golden-file pin (round-5 verdict #7): no ClickHouse binary can be
+    installed in this sandbox, so the full generated SQL text — MergeTree
+    DDL with the Enum8 severity and the Array staging/MATERIALIZED pair,
+    plus the staged INSERT the JDBC writer binds — is pinned
+    byte-for-byte.  Any drift in type mapping, enum numbering, staging
+    naming, or column order against what a live server was once given
+    fails here, not in production.  To refresh intentionally:
+    regenerate tests/golden/mikrotik_logs.sql from
+    mikrotik_logs_ddl() + mikrotik_staged_insert_sql() and review the
+    diff like a schema migration."""
+    import pathlib
+
+    from syslog_handler_with_clickhouse_spark.sources.clickhouse import (
+        mikrotik_staged_insert_sql,
+    )
+
+    golden = pathlib.Path(__file__).parent / "golden" / "mikrotik_logs.sql"
+    expected = mikrotik_logs_ddl() + ";\n\n" + mikrotik_staged_insert_sql() + ";\n"
+    assert golden.read_text() == expected
+    # the INSERT must not mention the MATERIALIZED column (CH rejects
+    # explicit inserts into MATERIALIZED columns) but must carry the
+    # staging column that feeds it
+    insert = mikrotik_staged_insert_sql()
+    assert "`Categories_json`" in insert
+    assert "`Categories`," not in insert and not insert.endswith("`Categories`")
+    assert insert.count("?") == 5
