@@ -118,7 +118,88 @@ ARRAY_EXPRS = [
 ]
 
 
+# JOIN productions (round-5 verdict #8): two-table equi-joins over the
+# fixture FK pairs (orders.o_custkey → customer.c_custkey,
+# customer.c_nationkey → nation.n_nationkey), in the four shapes the
+# engine must agree on — inner, left-with-aggregated-dim (NULL padding),
+# semi (IN over a non-null FK), and anti (NOT EXISTS, correlated).
+# Aggregates stay COUNT/MIN/MAX (exact integers) or the decimal-exact
+# SUM rule; join outputs need no ORDER BY because the comparator sorts.
+ORDER_PREDICATES = [
+    "o.o_totalprice > 150000.00",
+    "o.o_totalprice <= 80000.00",
+    "o.o_orderpriority = '1-URGENT'",
+    "o.o_orderpriority <> '5-LOW'",
+    "o.o_orderkey % 5 = 0",
+    "o.o_orderdate >= DATE '1995-01-01'",
+    "o.o_orderdate < DATE '1997-06-01'",
+]
+
+CUST_PREDICATES = [
+    "c.c_mktsegment = 'BUILDING'",
+    "c.c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')",
+    "c.c_custkey % 3 = 1",
+    "c.c_acctbal > 1000.00",
+    "c.c_nationkey BETWEEN 5 AND 20",
+]
+
+
+def _gen_join_statement(rng: random.Random) -> str:
+    opred = " AND ".join(rng.sample(ORDER_PREDICATES, rng.randint(1, 2)))
+    cpred = rng.choice(CUST_PREDICATES)
+    form = rng.random()
+    if form < 0.25:  # inner FK join, row-level output
+        return (
+            "SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            f"WHERE {opred} AND {cpred}"
+        )
+    if form < 0.45:  # inner join + group (the broadcast-dim agg shape)
+        agg = rng.choice(
+            [
+                "COUNT(*) AS cnt",
+                "MIN(o.o_orderkey) AS mn",
+                "MAX(o.o_custkey) AS mx",
+                "COUNT(DISTINCT c.c_custkey) AS n_cust",
+            ]
+        )
+        return (
+            f"SELECT c.c_mktsegment AS k, {agg} "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            f"WHERE {opred} GROUP BY c.c_mktsegment"
+        )
+    if form < 0.62:  # LEFT join against an aggregated dim (NULL padding)
+        return (
+            "SELECT c.c_custkey, d.n FROM customer c LEFT JOIN "
+            f"(SELECT o_custkey, COUNT(*) AS n FROM orders o WHERE {opred} "
+            "GROUP BY o_custkey) d ON c.c_custkey = d.o_custkey "
+            f"WHERE {cpred}"
+        )
+    if form < 0.80:  # semi join: IN over the non-null FK
+        return (
+            "SELECT c.c_custkey, c.c_mktsegment FROM customer c "
+            f"WHERE {cpred} AND c.c_custkey IN "
+            f"(SELECT o.o_custkey FROM orders o WHERE {opred})"
+        )
+    if form < 0.92:  # anti join: correlated NOT EXISTS
+        return (
+            "SELECT c.c_custkey FROM customer c "
+            f"WHERE {cpred} AND NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            f"AND {opred})"
+        )
+    # three-way with the tiny nation dim
+    return (
+        "SELECT n.n_name AS k, COUNT(*) AS cnt "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        f"WHERE {opred} GROUP BY n.n_name"
+    )
+
+
 def _gen_statement(rng: random.Random) -> str:
+    if rng.random() < 0.15:
+        return _gen_join_statement(rng)
     where = " AND ".join(rng.sample(PREDICATES, rng.randint(1, 3)))
     if rng.random() < 0.3:
         extra = rng.choice(PREDICATES)
@@ -173,7 +254,9 @@ def _eq(a, b):
 def events_view(spark, duck):
     from syslog_handler_with_clickhouse_spark.sources.testdata import load_table
 
-    load_table(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    # events plus the FK-pair tables the JOIN productions reference
+    for name in ("events", "orders", "customer", "nation"):
+        load_table(spark, SF_DIR, name).createOrReplaceTempView(name)
     return None
 
 
