@@ -117,9 +117,17 @@ def salted_join(
     replicates ×buckets, and the join key becomes (key, salt) — a hot key
     spreads over ``buckets`` tasks instead of melting one.
 
-    Result is row-identical to ``skewed.join(other, on, how)``; AQE's
-    skew-join split is the first line of defense, this is the explicit
-    fallback when a single key exceeds what one task can hold.
+    Result is row-identical to ``skewed.join(other, on, how)``.
+
+    Decision rule (measured, PERF.md round-6 / scripts/skew_bench.py):
+    salting levels max/median task input from 11.8-25× to 1.2-2.6× on a
+    zipf(1.5) key at 20 M rows, but its cost is ×``buckets`` replication
+    of ``other`` — with a dim comparable to the fact that replication
+    costs more than the hot task it removes.  So: AQE's skew-join split
+    is the first line of defense (mind ``skewedPartitionThresholdInBytes``
+    — the 256 MB default never fires on smaller partitions); reach for
+    explicit salting when a single key exceeds one task's capacity AND
+    ``other`` is small relative to the skewed side.
     """
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(buckets)

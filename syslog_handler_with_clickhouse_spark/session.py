@@ -41,7 +41,11 @@ def get_spark(app_name: str = "syslog-spark-engine") -> SparkSession:
         .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI on by default: its REST status API is how the skew-resilience
+        # test and scripts/skew_bench.py read per-task shuffle metrics
+        # (max-task vs median-task input).  SPARK_GRAFT_UI=false restores
+        # the headless profile; the port auto-increments if 4040 is taken.
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "true"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in RUNTIME_CONF.items():

@@ -358,3 +358,72 @@ def test_hh_twophase_capped_exchange_and_semi_join(spark):
     plan = executed_plan(hh_twophase(ev, "user_id", k=5))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_salted_join_bounds_task_skew(spark):
+    """Runtime skew evidence (round-5 verdict #5): on a zipf(1.5)-style
+    device column whose hottest key holds ~29% of all rows, the SALTED
+    join's max-task shuffle-read stays within ~2× the median task, while
+    the plain join (AQE skew-split disabled to isolate the salting
+    itself) melts one task at >5× median — proving both that salting
+    levels the distribution and that this probe can tell the
+    difference.  Metrics come from the Spark UI status API per-task
+    summary (`metrics.shuffle_skew_probe`), not the plan text: skew
+    resilience is a runtime property."""
+    import pytest
+
+    from syslog_handler_with_clickhouse_spark.metrics import (
+        shuffle_skew_probe,
+    )
+    from syslog_handler_with_clickhouse_spark.operators.joins import (
+        salted_join,
+    )
+
+    if spark.sparkContext.uiWebUrl is None:
+        pytest.skip("Spark UI disabled (SPARK_GRAFT_UI=false)")
+
+    # deterministic heavy-tail device distribution: u = hash(id)/2^30 in
+    # (0,1], device = min(floor(u^-2), cap) gives P(device >= k) = k^-1/2
+    # — the zipf(1.5) count-tail; the hottest key (1) draws ~29% of rows
+    n = 2_000_000
+    u = (F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000_000)) + 1) / 1e9
+    device = F.least(F.floor(1 / (u * u)), F.lit(1_000_000)).cast("bigint")
+    fact = spark.range(n).select(
+        device.alias("device"), F.col("id").alias("payload")
+    )
+    dim = spark.range(1, 1_000_001).select(
+        F.col("id").alias("device"), (F.col("id") % 97).alias("attr")
+    )
+
+    confs = {
+        "spark.sql.adaptive.enabled": "false",  # isolate explicit salting
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        # 32 reducers: at the test session's default 8, the per-task base
+        # load (total/8) drowns the hot key and the plain join's ratio
+        # flattens to ~2 — more partitions is also the realistic cluster
+        # regime where skew actually hurts
+        "spark.sql.shuffle.partitions": "32",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plain = shuffle_skew_probe(spark, fact.join(dim, "device"))
+        salted = shuffle_skew_probe(
+            spark, salted_join(fact, dim, on="device", buckets=8)
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+    # the unsalted plan demonstrably melts one task...
+    assert plain["skew_ratio"] > 5.0, plain
+    # ...and salting levels it: max task within ~2x the median (the
+    # hottest key spreads over 8 sub-keys; 2.5 leaves headroom for the
+    # residual second-tier keys at this scale)
+    assert salted["skew_ratio"] <= 2.5, salted
+    # same logical result notwithstanding (row counts agree)
+    assert (
+        fact.join(dim, "device").count()
+        == salted_join(fact, dim, on="device", buckets=8).count()
+    )
