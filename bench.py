@@ -54,6 +54,12 @@ def _median(xs: list[float]) -> float:
 
 
 def main() -> None:
+    # Environment honesty (round-5 verdict nit 1: the official r5
+    # artifact was produced on a busy box and read as a phantom 26%
+    # regression): record load BEFORE the run so a contended artifact is
+    # self-describing, and again after (the suite itself loads all
+    # cores, so the END loadavg mostly reflects the bench's own work).
+    loadavg_start = os.getloadavg()
     t_import = time.time()
     from syslog_handler_with_clickhouse_spark.queries import QUERIES
     from syslog_handler_with_clickhouse_spark.session import get_spark
@@ -109,6 +115,9 @@ def main() -> None:
         "ingest_rows_per_sec": round(rows[ingest] / timings[ingest], 1)
         if timings.get(ingest)
         else None,
+        "loadavg_start": [round(x, 2) for x in loadavg_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "cpus_host": os.cpu_count(),
     }
     print(json.dumps(out))
     spark.stop()
