@@ -9779,6 +9779,190 @@ def q227(spark, sf_dir):
     )
 
 
+@query(
+    "q229_series_gap_fill",
+    """
+    WITH f AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE user_id % 23 = 0
+    ), c AS (
+      SELECT event_type, bucket, COUNT(*) AS n, SUM(cents) AS cents
+      FROM f GROUP BY 1, 2
+    ), r AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM c GROUP BY 1
+    ), g AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM r
+    )
+    SELECT g.event_type,
+           strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket_s,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+           CAST(COALESCE(c.cents, 0) AS BIGINT) AS cents
+    FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.bucket = c.bucket
+    """,
+)
+def q229(spark, sf_dir):
+    """ClickHouse ``ORDER BY ... WITH FILL STEP`` — dense time-series
+    output over a sparse input: every hour bucket between each group's
+    first and last observation appears, zero-filled where no events
+    landed.  Spark shape: one aggregation to hourly counts, a tiny
+    per-group (min, max) agg, ``sequence(lo, hi, INTERVAL 1 HOUR)`` +
+    explode to build the dense grid WITHOUT a generator UDF, then a
+    left join of grid ← counts on (group, bucket).  At 100 TB the grid
+    is groups × buckets — metadata-sized next to the input — and the
+    one data-sized shuffle is the same hash-agg any groupBy pays; the
+    grid join keys on the already-aggregated (small) side."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 23 == 0)
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((_dec("value") * 100).cast("bigint")).alias("cents"),
+    )
+    rng = counts.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = rng.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    out = grid.join(counts, ["event_type", "bucket"], "left")
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce("cents", F.lit(0)).cast("bigint").alias("cents"),
+    )
+
+
+@query(
+    "q230_series_interpolate",
+    """
+    WITH f AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE user_id % 199 = 7
+    ), c AS (
+      SELECT event_type, bucket, MAX(cents) AS val
+      FROM f GROUP BY 1, 2
+    ), r AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM c GROUP BY 1
+    ), g AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM r
+    ), j AS (
+      SELECT g.event_type, g.bucket, c.val,
+             CAST(epoch(g.bucket) AS BIGINT) / 3600 AS i,
+             CASE WHEN c.val IS NOT NULL
+                  THEN CAST(epoch(g.bucket) AS BIGINT) / 3600 END AS ki
+      FROM g LEFT JOIN c
+        ON g.event_type = c.event_type AND g.bucket = c.bucket
+    ), w AS (
+      SELECT *,
+             last_value(val IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(ki IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+             first_value(val IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(ki IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+      FROM j
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_s,
+           CAST(val IS NOT NULL AS INT) AS known,
+           round(CASE WHEN val IS NOT NULL THEN CAST(val AS DOUBLE)
+                      ELSE CAST(pv AS DOUBLE)
+                           + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                             * (CAST(i - pi AS DOUBLE)
+                                / CAST(ni - pi AS DOUBLE))
+                 END / 100.0, 6) AS interp_val
+    FROM w
+    """,
+)
+def q230(spark, sf_dir):
+    """ClickHouse ``WITH FILL ... INTERPOLATE`` — the q229 dense grid
+    with gap values LINEARLY INTERPOLATED between the neighboring known
+    points instead of zero-filled.  The neighbors come from
+    ignore-nulls running windows (``last_value IGNORE NULLS`` backward,
+    ``first_value IGNORE NULLS`` forward — both engines share the
+    semantics), the abscissa is the exact integer hour index, and the
+    interpolation is one deterministic double expression identical
+    token-for-token on both engines (q153 rule).  Grid endpoints are
+    always known (the grid spans min..max of PRESENT buckets), so every
+    gap is interior and the divisor ni − pi is never zero on gap rows.
+    Two window passes over the grid reuse one (group, bucket) sort —
+    Catalyst runs both frames in a single Window node."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 199 == 7)
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.max((_dec("value") * 100).cast("bigint")).alias("val"))
+    rng = c.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = rng.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    i = (F.unix_timestamp("bucket") / 3600).cast("bigint")
+    j = grid.join(c, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        "val",
+        i.alias("i"),
+        F.when(F.col("val").isNotNull(), i).alias("ki"),
+    )
+    from pyspark.sql.window import Window
+
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w = j.select(
+        "*",
+        F.last("val", ignorenulls=True).over(back).alias("pv"),
+        F.last("ki", ignorenulls=True).over(back).alias("pi"),
+        F.first("val", ignorenulls=True).over(fwd).alias("nv"),
+        F.first("ki", ignorenulls=True).over(fwd).alias("ni"),
+    )
+    interp = F.when(
+        F.col("val").isNotNull(), F.col("val").cast("double")
+    ).otherwise(
+        F.col("pv").cast("double")
+        + (F.col("nv").cast("double") - F.col("pv").cast("double"))
+        * (
+            (F.col("i") - F.col("pi")).cast("double")
+            / (F.col("ni") - F.col("pi")).cast("double")
+        )
+    )
+    return w.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),
+        F.col("val").isNotNull().cast("int").alias("known"),
+        F.round(interp / F.lit(100.0), 6).alias("interp_val"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
