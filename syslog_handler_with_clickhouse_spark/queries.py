@@ -9963,6 +9963,123 @@ def q230(spark, sf_dir):
     )
 
 
+@query(
+    "q231_array_fold",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_transform(
+               list_slice(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> ''), 1, 12),
+               w -> CAST(length(w) AS BIGINT)) AS lens
+      FROM documents WHERE doc_id % 9 = 2
+    )
+    SELECT doc_id,
+           CAST(len(lens) AS INT) AS n_words,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), lens),
+                       (acc, x) -> (acc * 31 + x) % 1000003) AS fold_hash,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), lens),
+                       (acc, x) -> greatest(acc, x)) AS fold_max
+    FROM d
+    """,
+)
+def q231(spark, sf_dir):
+    """ClickHouse ``arrayFold`` — a general left fold over an array with
+    an explicit initial accumulator, here a 31-polynomial rolling hash
+    (mod 1 000 003 each step so the accumulator never overflows) and a
+    running max over the first-12 word lengths.  Spark's ``F.aggregate``
+    IS arrayFold (initial + merge lambda); DuckDB's ``list_reduce`` has
+    no initial value, so the oracle prepends the identity element — the
+    two spellings are then step-for-step identical.  All native
+    higher-order expressions: zero shuffle, whole-stage codegen."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 2)
+    lens = F.transform(
+        F.slice(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+            ),
+            1,
+            12,
+        ),
+        lambda w: F.length(w).cast("bigint"),
+    )
+    d = d.select("doc_id", lens.alias("lens"))
+    fold_hash = F.aggregate(
+        "lens",
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % 1000003,
+    )
+    fold_max = F.aggregate(
+        "lens", F.lit(0).cast("bigint"), lambda acc, x: F.greatest(acc, x)
+    )
+    return d.select(
+        "doc_id",
+        F.size("lens").alias("n_words"),
+        fold_hash.alias("fold_hash"),
+        fold_max.alias("fold_max"),
+    )
+
+
+@query(
+    "q232_sparkbar",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, MAX(n) AS mx FROM c GROUP BY 1
+    )
+    SELECT c.event_type,
+           CAST(COUNT(*) AS INT) AS n_days,
+           string_agg(
+             chr(9600 + CAST(greatest(1.0,
+               ceil(CAST(c.n AS DOUBLE) * 8.0 / CAST(m.mx AS DOUBLE)))
+               AS INT)), '' ORDER BY c.day) AS bar
+    FROM c JOIN m ON c.event_type = m.event_type
+    GROUP BY c.event_type
+    """,
+)
+def q232(spark, sf_dir):
+    """ClickHouse ``sparkbar`` — the inline unicode bar chart aggregate:
+    per event_type, daily counts rendered as ▁▂▃▄▅▆▇█ (block element
+    U+2581..U+2588 = level 1..8, level = ceil(8·n/max)).  Ordering
+    inside an aggregate differs by engine — Spark's collect_list has no
+    ORDER BY, DuckDB's string_agg does — so the Spark side sorts an
+    array of (day, level) structs (array_sort is total on structs) and
+    transforms to characters; the oracle uses the ordered string_agg.
+    The level math is small-integer-exact double arithmetic, identical
+    on both engines.  One shuffle (the daily pre-aggregation); the
+    per-group state is days × 16 bytes."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = c.groupBy("event_type").agg(F.max("n").alias("mx"))
+    j = c.join(m, "event_type")
+    level = F.greatest(
+        F.lit(1.0),
+        F.ceil(F.col("n").cast("double") * 8.0 / F.col("mx").cast("double")),
+    ).cast("int")
+    j = j.select("event_type", F.struct("day", level.alias("lv")).alias("e"))
+    # explicit U+2581..U+2588 ramp: Spark's char()/chr() is the ASCII
+    # function (mods the code point by 256), so the block elements are
+    # indexed from a literal array instead
+    ramp = F.array(*[F.lit(chr(0x2580 + i)) for i in range(1, 9)])
+    return (
+        j.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+        .select(
+            "event_type",
+            F.size("es").alias("n_days"),
+            F.concat_ws(
+                "",
+                F.transform("es", lambda e: F.element_at(ramp, e["lv"])),
+            ).alias("bar"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
