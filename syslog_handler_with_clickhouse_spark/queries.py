@@ -10080,6 +10080,180 @@ def q232(spark, sf_dir):
     )
 
 
+@query(
+    "q233_group_array_intersect",
+    """
+    WITH d AS (
+      SELECT doc_id, user_id % 40 AS grp,
+             list_distinct(list_filter(string_split(lower(text), ' '),
+                                       x -> length(x) >= 6)) AS ws
+      FROM (SELECT doc_id, doc_id AS user_id, text FROM documents
+            WHERE doc_id % 3 = 1)
+    ), x AS (
+      SELECT grp, w, COUNT(DISTINCT doc_id) AS n_docs
+      FROM d, LATERAL (SELECT unnest(ws) AS w) u
+      GROUP BY grp, w
+    ), sz AS (
+      SELECT grp, COUNT(*) AS n FROM d GROUP BY grp
+    )
+    SELECT x.grp,
+           CAST(sz.n AS BIGINT) AS n_docs,
+           COALESCE(array_to_string(array_sort(
+             list(w) FILTER (WHERE x.n_docs = sz.n)), ','), '')
+             AS common_csv
+    FROM x JOIN sz ON x.grp = sz.grp
+    GROUP BY x.grp, sz.n
+    """,
+)
+def q233(spark, sf_dir):
+    """ClickHouse ``groupArrayIntersect`` — the aggregate that
+    intersects an array column ACROSS rows (elements present in every
+    row of the group).  No fold over collected arrays (that would pull
+    whole groups into one task): explode to (group, element, doc),
+    distinct, count per (group, element), and keep elements whose doc
+    count equals the group size — two hash aggregations, fully
+    distributed, the shape that survives groups of millions of rows.
+    Export as sorted CSV (array-export rule).  Words ≥ 6 chars and
+    ~4-doc groups (doc_id % 40) make the fixture non-trivial: 32 of 40
+    groups intersect non-empty at sf0.01, the rest pin the empty case
+    (left join + '')."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 40).alias("grp"),
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " "),
+                    lambda x: F.length(x) >= 6,
+                )
+            ).alias("ws"),
+        )
+    )
+    sz = d.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    x = (
+        d.select("grp", "doc_id", F.explode("ws").alias("w"))
+        .distinct()
+        .groupBy("grp", "w")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    common = (
+        x.join(F.broadcast(sz), "grp")
+        .filter(F.col("n_docs") == F.col("n"))
+        .groupBy("grp", "n")
+        .agg(F.array_sort(F.collect_list("w")).alias("ws"))
+        .select("grp", "n", F.concat_ws(",", "ws").alias("common_csv"))
+    )
+    # groups whose intersection is empty still appear (left join + '')
+    return (
+        sz.join(common.drop("n"), "grp", "left")
+        .select(
+            "grp",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.coalesce("common_csv", F.lit("")).alias("common_csv"),
+        )
+    )
+
+
+@query(
+    "q234_format_readable",
+    """
+    WITH src AS (
+      SELECT event_id,
+             event_id * event_id % 2147483647 AS b,
+             event_id * 37 % 5000000 AS q
+      FROM events WHERE event_id % 101 = 7
+    ), r AS (
+      SELECT event_id, b, q,
+             CAST(floor((CAST(b AS DOUBLE) * 200.0 + 1073741824.0)
+                        / 2147483648.0) AS BIGINT) AS g100,
+             CAST(floor((CAST(b AS DOUBLE) * 200.0 + 1048576.0)
+                        / 2097152.0) AS BIGINT) AS m100,
+             CAST(floor((CAST(b AS DOUBLE) * 200.0 + 1024.0)
+                        / 2048.0) AS BIGINT) AS k100,
+             CAST(floor((CAST(q AS DOUBLE) * 200.0 + 1000000.0)
+                        / 2000000.0) AS BIGINT) AS mm100,
+             CAST(floor((CAST(q AS DOUBLE) * 200.0 + 1000.0)
+                        / 2000.0) AS BIGINT) AS t100
+      FROM src
+    )
+    SELECT event_id,
+           CASE
+             WHEN b >= 1073741824 THEN
+               CAST(g100 // 100 AS VARCHAR) || '.'
+               || lpad(CAST(g100 % 100 AS VARCHAR), 2, '0') || ' GiB'
+             WHEN b >= 1048576 THEN
+               CAST(m100 // 100 AS VARCHAR) || '.'
+               || lpad(CAST(m100 % 100 AS VARCHAR), 2, '0') || ' MiB'
+             WHEN b >= 1024 THEN
+               CAST(k100 // 100 AS VARCHAR) || '.'
+               || lpad(CAST(k100 % 100 AS VARCHAR), 2, '0') || ' KiB'
+             ELSE CAST(b AS VARCHAR) || ' B'
+           END AS size_readable,
+           CASE
+             WHEN q >= 1000000 THEN
+               CAST(mm100 // 100 AS VARCHAR) || '.'
+               || lpad(CAST(mm100 % 100 AS VARCHAR), 2, '0') || ' million'
+             WHEN q >= 1000 THEN
+               CAST(t100 // 100 AS VARCHAR) || '.'
+               || lpad(CAST(t100 % 100 AS VARCHAR), 2, '0') || ' thousand'
+             ELSE CAST(q AS VARCHAR)
+           END AS qty_readable
+    FROM r
+    """,
+)
+def q234(spark, sf_dir):
+    """ClickHouse ``formatReadableSize`` / ``formatReadableQuantity`` —
+    human-readable scaling with CH's fixed two-decimal rendering
+    ('14.10 MiB', '142.27 thousand').  The rounded hundredths are
+    computed in EXACT integer arithmetic — r100 = floor((v·200 +
+    divisor) / (2·divisor)), half-up by construction, with every
+    intermediate < 2^53 so the double floor is exact — because
+    round(double, 2) diverges between engines on .xx5 ties (Spark
+    rounds the decimal string, DuckDB the binary double; measured on
+    142.265 → 142.27 vs 142.26).  The digits are then assembled with
+    intpart || '.' || lpad(frac) — identical rendering by construction,
+    no float formatting anywhere.  Zero shuffle — a projection."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 7)
+    b = (F.col("event_id") * F.col("event_id") % 2147483647).alias("b")
+    q = (F.col("event_id") * 37 % 5000000).alias("q")
+    d = ev.select("event_id", b, q)
+
+    def r100(col, div):
+        return F.floor(
+            (F.col(col).cast("double") * 200.0 + float(div)) / (2.0 * div)
+        ).cast("bigint")
+
+    def render(r, suffix):
+        return F.concat(
+            (r / 100).cast("bigint").cast("string"),
+            F.lit("."),
+            F.lpad((r % 100).cast("string"), 2, "0"),
+            F.lit(suffix),
+        )
+
+    def readable(col, units, plain_suffix=""):
+        out = F.concat(F.col(col).cast("string"), F.lit(plain_suffix))
+        for thresh, suffix in reversed(units):
+            out = F.when(
+                F.col(col) >= thresh, render(r100(col, thresh), suffix)
+            ).otherwise(out)
+        return out
+
+    size_units = [
+        (1073741824, " GiB"),
+        (1048576, " MiB"),
+        (1024, " KiB"),
+    ]
+    qty_units = [(1000000, " million"), (1000, " thousand")]
+    return d.select(
+        "event_id",
+        readable("b", size_units, " B").alias("size_readable"),
+        readable("q", qty_units).alias("qty_readable"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
