@@ -10254,6 +10254,252 @@ def q234(spark, sf_dir):
     )
 
 
+@query(
+    "q235_vector_distances",
+    """
+    WITH p AS (
+      SELECT a.vec_id,
+             a.embedding AS va, b.embedding AS vb
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 4 = 0
+    ), z AS (
+      SELECT vec_id,
+             list_transform(range(1, len(va) + 1),
+               i -> CAST(va[i] AS DOUBLE) - CAST(vb[i] AS DOUBLE)) AS d,
+             list_transform(range(1, len(va) + 1),
+               i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)) AS pr,
+             list_transform(va, x -> CAST(x AS DOUBLE)) AS da,
+             list_transform(vb, x -> CAST(x AS DOUBLE)) AS db
+      FROM p
+    )
+    SELECT vec_id,
+           round(list_reduce(list_prepend(0.0,
+             list_transform(d, x -> abs(x))), (a, x) -> a + x), 6) AS l1,
+           round(sqrt(list_reduce(list_prepend(0.0,
+             list_transform(d, x -> x * x)), (a, x) -> a + x)), 6) AS l2,
+           round(list_reduce(list_prepend(0.0,
+             list_transform(d, x -> abs(x))), (a, x) -> greatest(a, x)), 6)
+             AS linf,
+           round(list_reduce(list_prepend(0.0, pr), (a, x) -> a + x), 6)
+             AS dot_product,
+           round(1.0 - list_reduce(list_prepend(0.0, pr), (a, x) -> a + x)
+             / (sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(da, x -> x * x)), (a, x) -> a + x))
+                * sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(db, x -> x * x)), (a, x) -> a + x))), 6)
+             AS cosine_distance
+    FROM z
+    """,
+)
+def q235(spark, sf_dir):
+    """ClickHouse vector distance family — L1Distance / L2Distance /
+    LinfDistance / dotProduct / cosineDistance — over ``array<float>``
+    embeddings as NATIVE higher-order expressions (zip_with for the
+    elementwise combine, F.aggregate for the sequential left fold whose
+    summation ORDER matches DuckDB's list_reduce fold exactly — the
+    functions/vectors.py determinism rule, so the doubles agree
+    bit-for-bit before the 6-dp export rounding).  Pairs are consecutive
+    vec_ids via a self-join; at 100 TB the distance kernel itself is a
+    zero-shuffle projection — the join is whatever pairing the workload
+    implies (here equi on vec_id+1, broadcast-able for bounded query
+    sets, q41's shape)."""
+    from .functions.vectors import dot, norm, to_double
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 4 == 0).select(
+        "vec_id", F.col("embedding").alias("va")
+    )
+    b = emb.select((F.col("vec_id") - 1).alias("vec_id"),
+                   F.col("embedding").alias("vb"))
+    p = a.join(b, "vec_id")
+    da, db = to_double(F.col("va")), to_double(F.col("vb"))
+    d = F.zip_with(da, db, lambda x, y: x - y)
+    absd = F.transform(d, lambda x: F.abs(x))
+    l1 = F.aggregate(absd, F.lit(0.0), lambda acc, x: acc + x)
+    l2 = F.sqrt(
+        F.aggregate(
+            F.transform(d, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    linf = F.aggregate(absd, F.lit(0.0), lambda acc, x: F.greatest(acc, x))
+    dp = dot(da, db)
+    cosd = F.lit(1.0) - dp / (norm(da) * norm(db))
+    return p.select(
+        "vec_id",
+        F.round(l1, 6).alias("l1"),
+        F.round(l2, 6).alias("l2"),
+        F.round(linf, 6).alias("linf"),
+        F.round(dp, 6).alias("dot_product"),
+        F.round(cosd, 6).alias("cosine_distance"),
+    )
+
+
+@query(
+    "q236_anova",
+    """
+    WITH m AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s1,
+             SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS DECIMAL(38,0))) AS s2
+      FROM events GROUP BY event_type
+    ), t AS (
+      SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s1) AS g1, SUM(s2) AS g2,
+             SUM(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(n AS DOUBLE)) AS bterm
+      FROM m
+    )
+    SELECT CAST(k AS INT) AS k, CAST(nn AS BIGINT) AS n,
+           round((bterm - CAST(g1 AS DOUBLE) * CAST(g1 AS DOUBLE)
+                          / CAST(nn AS DOUBLE))
+                 / (CAST(k AS DOUBLE) - 1.0)
+                 / NULLIF((CAST(g2 AS DOUBLE) - bterm)
+                          / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)), 0.0), 6)
+             AS f_stat,
+           CAST(k - 1 AS BIGINT) AS dof_between,
+           CAST(nn - k AS BIGINT) AS dof_within
+    FROM t
+    """,
+)
+def q236(spark, sf_dir):
+    """ClickHouse ``analysisOfVariance`` (one-way ANOVA F) — does mean
+    spend differ across event types?  F = (SSB/(k−1)) / (SSW/(N−k))
+    with SSB = Σ s1_g²/n_g − S1²/N and SSW = Σ s2_g − Σ s1_g²/n_g, all
+    from the same exact integer moments the t-test family uses (s2
+    widened to DECIMAL(38,0), q212 rule).  Two-level aggregation: the
+    data-sized shuffle is the per-group moment pass; the second agg
+    reduces k=5 rows, where the one float sum (Σ s1²/n over groups)
+    follows the q216 precedent — a tiny cross-group double sum under
+    the 6-dp export rule.  NULLIF guards the zero-within-variance
+    degenerate case (q196 rule)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = (_dec("value") * 100).cast("bigint")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    t = m.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s1").alias("g1"),
+        F.sum("s2").alias("g2"),
+        F.sum(s1d * s1d / nd).alias("bterm"),
+    )
+    kd = F.col("k").cast("double")
+    nnd = F.col("nn").cast("double")
+    ssb = F.col("bterm") - F.col("g1").cast("double") * F.col("g1").cast(
+        "double"
+    ) / nnd
+    ssw = F.col("g2").cast("double") - F.col("bterm")
+    f_stat = (ssb / (kd - F.lit(1.0))) / F.nullif(
+        ssw / (nnd - kd), F.lit(0.0)
+    )
+    return t.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("nn").cast("bigint").alias("n"),
+        F.round(f_stat, 6).alias("f_stat"),
+        (F.col("k") - 1).cast("bigint").alias("dof_between"),
+        (F.col("nn") - F.col("k")).cast("bigint").alias("dof_within"),
+    )
+
+
+@query(
+    "q237_cramers_v_bias_corrected",
+    """
+    WITH cells AS (
+      SELECT event_type AS x, user_id % 8 AS y, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ), rows_t AS (
+      SELECT x, SUM(o) AS rx FROM cells GROUP BY 1
+    ), cols_t AS (
+      SELECT y, SUM(o) AS cy FROM cells GROUP BY 1
+    ), tot AS (
+      SELECT SUM(o) AS n, COUNT(DISTINCT x) AS r, COUNT(DISTINCT y) AS c
+      FROM cells
+    ), chi AS (
+      SELECT SUM(
+               (CAST(cells.o AS DOUBLE)
+                - CAST(rt.rx AS DOUBLE) * CAST(ct.cy AS DOUBLE)
+                  / CAST(t.n AS DOUBLE))
+               * (CAST(cells.o AS DOUBLE)
+                  - CAST(rt.rx AS DOUBLE) * CAST(ct.cy AS DOUBLE)
+                    / CAST(t.n AS DOUBLE))
+               / (CAST(rt.rx AS DOUBLE) * CAST(ct.cy AS DOUBLE)
+                  / CAST(t.n AS DOUBLE))
+             ) AS chi2
+      FROM cells
+      JOIN rows_t rt ON rt.x = cells.x
+      JOIN cols_t ct ON ct.y = cells.y
+      CROSS JOIN tot t
+    )
+    SELECT CAST(t.n AS BIGINT) AS n,
+           round(sqrt(
+             greatest(0.0,
+               chi.chi2 / CAST(t.n AS DOUBLE)
+               - (CAST(t.r AS DOUBLE) - 1.0) * (CAST(t.c AS DOUBLE) - 1.0)
+                 / (CAST(t.n AS DOUBLE) - 1.0))
+             / NULLIF(least(
+                 CAST(t.r AS DOUBLE)
+                 - (CAST(t.r AS DOUBLE) - 1.0) * (CAST(t.r AS DOUBLE) - 1.0)
+                   / (CAST(t.n AS DOUBLE) - 1.0),
+                 CAST(t.c AS DOUBLE)
+                 - (CAST(t.c AS DOUBLE) - 1.0) * (CAST(t.c AS DOUBLE) - 1.0)
+                   / (CAST(t.n AS DOUBLE) - 1.0)) - 1.0, 0.0)), 6)
+             AS cramers_v_bc
+    FROM chi CROSS JOIN tot t
+    """,
+)
+def q237(spark, sf_dir):
+    """ClickHouse ``cramersVBiasCorrected`` — Bergsma's small-sample
+    correction on q216's Cramér's V: φ²_corr = max(0, χ²/n −
+    (r−1)(c−1)/(n−1)), r̃ = r − (r−1)²/(n−1), c̃ = c − (c−1)²/(n−1),
+    V = √(φ²_corr / (min(r̃, c̃) − 1)).  Same exact-integer contingency
+    cells and broadcast-joined marginals as q216; only the epilogue
+    differs — shared 6-dp rule, greatest(0, ·) for the truncation the
+    estimator defines, NULLIF for the degenerate 1×1 table."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("x"), (F.col("user_id") % 8).alias("y")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_t = cells.groupBy("x").agg(F.sum("o").alias("rx"))
+    cols_t = cells.groupBy("y").agg(F.sum("o").alias("cy"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("x").alias("r"),
+        F.countDistinct("y").alias("c"),
+    )
+    od = F.col("o").cast("double")
+    e = (
+        F.col("rx").cast("double")
+        * F.col("cy").cast("double")
+        / F.col("n").cast("double")
+    )
+    chi = (
+        cells.join(F.broadcast(rows_t), "x")
+        .join(F.broadcast(cols_t), "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum((od - e) * (od - e) / e).alias("chi2"))
+    )
+    nd = F.col("n").cast("double")
+    rd = F.col("r").cast("double")
+    cd = F.col("c").cast("double")
+    phi2c = F.greatest(
+        F.lit(0.0),
+        F.col("chi2") / nd - (rd - 1.0) * (cd - 1.0) / (nd - 1.0),
+    )
+    r_t = rd - (rd - 1.0) * (rd - 1.0) / (nd - 1.0)
+    c_t = cd - (cd - 1.0) * (cd - 1.0) / (nd - 1.0)
+    v = F.sqrt(phi2c / F.nullif(F.least(r_t, c_t) - 1.0, F.lit(0.0)))
+    return chi.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(v, 6).alias("cramers_v_bc"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
