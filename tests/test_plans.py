@@ -427,3 +427,52 @@ def test_salted_join_bounds_task_skew(spark):
         fact.join(dim, "device").count()
         == salted_join(fact, dim, on="device", buckets=8).count()
     )
+
+
+def test_tdigest_raw_values_never_shuffle(spark):
+    """q225's scale contract: level-1 digests run INSIDE the scan
+    partitions (MapInPandas with no Exchange beneath it), so the only
+    exchange on the sketch path carries centroid rows.  If a refactor
+    inserted a repartition or groupBy below the summarize kernel, the
+    raw values would start shuffling and this fails."""
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        tdigest_partials,
+    )
+    from syslog_handler_with_clickhouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value")
+    plan = formatted_plan(tdigest_partials(ev, "value", ["event_type"]))
+    # the partials plan must contain the Python kernel and NO exchange
+    assert "MapInPandas" in plan or "mapInPandas" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_interpolate_single_window_node(spark):
+    """q230's four ignore-nulls frames (prev/next value and index) must
+    fuse into ONE Window node over one sort — a second Window would mean
+    a second sort of the grid."""
+    import re
+
+    df = QUERIES["q230_series_interpolate"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # formatted mode lists each node twice (tree + detail); count the
+    # detail headers
+    windows = re.findall(r"^\(\d+\) Window", plan, re.M)
+    assert len(windows) == 1, plan
+
+
+def test_group_array_intersect_never_collects_raw_arrays(spark):
+    """q233 must not fold whole word arrays in a single task: the only
+    collect_list in the plan sees post-filter intersection winners.
+    The raw path is explode → dedup agg → count agg (all
+    partial-aggregable)."""
+    df = QUERIES["q233_group_array_intersect"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # exactly ONE collect aggregate (its partial form appears once), fed
+    # by the exploded-then-counted element stream — the raw arrays only
+    # ever appear under Generate, never under a collect
+    assert plan.count("partial_collect_list") == 1, plan
+    assert "Generate" in plan, plan
+    assert "partial_count" in plan, plan
