@@ -102,3 +102,66 @@ def sql_point_in_polygon(px: str, py: str, vertices: list[tuple[int, int]]) -> s
             f" THEN 1 ELSE 0 END)"
         )
     return f"(({' + '.join(terms)}) % 2 = 1)"
+
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lat: Column, lon: Column, precision: int = 9) -> Column:
+    """ClickHouse ``geohashEncode`` as a CLOSED-FORM native expression —
+    no fold, no UDF.
+
+    The classic algorithm bisects [-180,180]×[-90,90] bit by bit, but
+    each bit has a direct formula: the k-th longitude bit is
+    ``floor((lon+180)/360 · 2^(k+1)) mod 2`` (and likewise latitude
+    over 180), because k bisections of the unit interval land the point
+    in cell ``floor(frac · 2^k)`` and the next bit is that cell index's
+    parity.  Global bit m (even → longitude bit m/2, odd → latitude bit
+    (m−1)/2) and base32 chunking then assemble each character as a
+    5-bit integer.  All arithmetic is IEEE double identical across
+    engines (validated against the canonical test vectors
+    u4pruydqqvj / 6gkzwgjz in tests/test_geo.py), so the SQL twin
+    below is generated from the same bit formula.
+    """
+    fl = (lon + F.lit(180.0)) / F.lit(360.0)
+    fa = (lat + F.lit(90.0)) / F.lit(180.0)
+
+    def bit(m: int) -> Column:
+        if m % 2 == 0:
+            frac, k = fl, m // 2
+        else:
+            frac, k = fa, (m - 1) // 2
+        return (
+            F.floor(frac * F.lit(float(2 ** (k + 1)))).cast("bigint")
+            % 2
+        )
+
+    chars = []
+    for j in range(precision):
+        v: Column = F.lit(0).cast("bigint")
+        for b in range(5):
+            v = v * 2 + bit(5 * j + b)
+        chars.append(F.substr(F.lit(GEOHASH_B32), v + 1, F.lit(1)))
+    return F.concat(*chars)
+
+
+def sql_geohash_encode(lat: str, lon: str, precision: int = 9) -> str:
+    """The identical closed-form bit assembly as SQL text (DuckDB),
+    generated from the same formula so the engines cannot disagree."""
+
+    def bit(m: int) -> str:
+        if m % 2 == 0:
+            frac, k = f"(({lon}) + 180.0) / 360.0", m // 2
+        else:
+            frac, k = f"(({lat}) + 90.0) / 180.0", (m - 1) // 2
+        return f"(CAST(floor(({frac}) * {float(2 ** (k + 1))}) AS BIGINT) % 2)"
+
+    chars = []
+    for j in range(precision):
+        v = " + ".join(
+            f"{2 ** (4 - b)} * {bit(5 * j + b)}" for b in range(5)
+        )
+        chars.append(
+            f"substring('{GEOHASH_B32}', CAST(({v}) AS INT) + 1, 1)"
+        )
+    return " || ".join(chars)

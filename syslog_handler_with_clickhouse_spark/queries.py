@@ -10500,6 +10500,46 @@ def q237(spark, sf_dir):
     )
 
 
+@query(
+    "q238_geohash_encode",
+    """
+    SELECT event_id,
+           {gh9} AS geohash9,
+           {gh4} AS geohash4
+    FROM (
+      SELECT event_id,
+             CAST(((user_id * 7 + event_id) % 2000) - 1000 AS DOUBLE) / 20.0
+               AS lat,
+             CAST((event_id % 2000) - 1000 AS DOUBLE) / 10.0 AS lon
+      FROM events WHERE event_id % 499 = 11
+    )
+    """.format(
+        gh9=_geo.sql_geohash_encode("lat", "lon", 9),
+        gh4=_geo.sql_geohash_encode("lat", "lon", 4),
+    ),
+)
+def q238(spark, sf_dir):
+    """ClickHouse ``geohashEncode`` — closed-form native bit assembly
+    (functions/geo.py:geohash_encode): the k-th bisection bit of a
+    coordinate is floor(frac·2^(k+1)) mod 2 directly, so the whole
+    geohash is one projection — no fold, no UDF, no shuffle.  Column
+    expression and oracle SQL are generated from the SAME formula
+    (the q201 pointInPolygon rule); the bit math itself is additionally
+    pinned against the canonical published vectors (u4pruydqqvj) in
+    tests/test_geo.py, independent of the oracle.  Same q201 fixture
+    grid (lat = py/20 ∈ [-50,50], lon = px/10 ∈ [-100,100])."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 499 == 11)
+    lat = (
+        ((F.col("user_id") * 7 + F.col("event_id")) % 2000) - 1000
+    ).cast("double") / 20.0
+    lon = ((F.col("event_id") % 2000) - 1000).cast("double") / 10.0
+    return ev.select(
+        "event_id",
+        _geo.geohash_encode(lat, lon, 9).alias("geohash9"),
+        _geo.geohash_encode(lat, lon, 4).alias("geohash4"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

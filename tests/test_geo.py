@@ -83,3 +83,64 @@ def test_haversine_known_distance(spark):
         geo.haversine_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")
     ).first().km
     assert math.isclose(km, 343.5, rel_tol=0.01)
+
+
+def test_geohash_encode_canonical_vectors(spark):
+    """The closed-form geohash must reproduce the canonical test vectors
+    (u4pruydqqvj for 57.64911,10.40744 and 6gkzwgjz for the Curitiba
+    point) — pinning the bit formula against the published algorithm,
+    independent of the oracle."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.functions.geo import (
+        geohash_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (-25.382708, -49.265506), (48.8566, 2.3522)],
+        "lat double, lon double",
+    )
+    got = [
+        r.g
+        for r in df.select(
+            geohash_encode(F.col("lat"), F.col("lon"), 11).alias("g")
+        ).collect()
+    ]
+    assert got[0] == "u4pruydqqvj"
+    assert got[1].startswith("6gkzwgjz")
+    assert got[2].startswith("u09tvw0f6")
+
+
+def test_geohash_sql_twin_agrees(spark, duck):
+    """Spark Column and generated SQL run the same bit formula — verify
+    on a grid of points including cell-boundary-adjacent ones."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.functions.geo import (
+        geohash_encode,
+        sql_geohash_encode,
+    )
+
+    pts = [
+        (lat / 7.0, lon / 11.0)
+        for lat in range(-600, 601, 97)
+        for lon in range(-1900, 1901, 211)
+    ]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    s = sorted(
+        r.g
+        for r in df.select(
+            geohash_encode(F.col("lat"), F.col("lon"), 9).alias("g")
+        ).collect()
+    )
+    sql = sql_geohash_encode("lat", "lon", 9)
+    rows = ", ".join(
+        f"(CAST({a!r} AS DOUBLE), CAST({b!r} AS DOUBLE))" for a, b in pts
+    )
+    o = sorted(
+        r[0]
+        for r in duck.execute(
+            f"SELECT {sql} AS g FROM (VALUES {rows}) t(lat, lon)"
+        ).fetchall()
+    )
+    assert s == o
