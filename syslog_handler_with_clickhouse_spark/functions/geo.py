@@ -165,3 +165,71 @@ def sql_geohash_encode(lat: str, lon: str, precision: int = 9) -> str:
             f"substring('{GEOHASH_B32}', CAST(({v}) AS INT) + 1, 1)"
         )
     return " || ".join(chars)
+
+
+def geohash_decode(gh: Column, precision: int = 9) -> tuple[Column, Column]:
+    """ClickHouse ``geohashDecode`` — closed-form inverse of
+    :func:`geohash_encode`: re-assemble the interleaved bits into the
+    longitude/latitude cell indices and return the CELL CENTER,
+    ``(lat, lon)``.  Character values come from a map literal (the
+    base32 alphabet is fixed); bit b of character j is
+    ``floor(v_j / 2^(4-b)) mod 2``; the k-th longitude/latitude bit is
+    global bit 2k / 2k+1.  Pure projection, like the encoder."""
+    cmap = F.create_map(
+        *[x for i, c in enumerate(GEOHASH_B32) for x in (F.lit(c), F.lit(i))]
+    )
+    vals = [
+        F.element_at(cmap, F.substring(gh, j + 1, 1)) for j in range(precision)
+    ]
+
+    def bit(m: int) -> Column:
+        j, b = divmod(m, 5)
+        return F.floor(vals[j] / F.lit(2 ** (4 - b))).cast("bigint") % 2
+
+    n_bits = 5 * precision
+    n_lon = (n_bits + 1) // 2
+    n_lat = n_bits // 2
+    lon_idx: Column = F.lit(0).cast("bigint")
+    for k in range(n_lon):
+        lon_idx = lon_idx * 2 + bit(2 * k)
+    lat_idx: Column = F.lit(0).cast("bigint")
+    for k in range(n_lat):
+        lat_idx = lat_idx * 2 + bit(2 * k + 1)
+    lon = (
+        F.lit(-180.0)
+        + (lon_idx.cast("double") + F.lit(0.5)) * F.lit(360.0 / 2 ** n_lon)
+    )
+    lat = (
+        F.lit(-90.0)
+        + (lat_idx.cast("double") + F.lit(0.5)) * F.lit(180.0 / 2 ** n_lat)
+    )
+    return lat, lon
+
+
+def sql_geohash_decode(gh: str, precision: int = 9) -> tuple[str, str]:
+    """SQL twin of :func:`geohash_decode`, same formula (DuckDB:
+    strpos is 1-based, hence the −1)."""
+
+    def val(j: int) -> str:
+        return f"(strpos('{GEOHASH_B32}', substring({gh}, {j + 1}, 1)) - 1)"
+
+    def bit(m: int) -> str:
+        j, b = divmod(m, 5)
+        return f"(CAST(floor({val(j)} / {2 ** (4 - b)}.0) AS BIGINT) % 2)"
+
+    n_bits = 5 * precision
+    n_lon = (n_bits + 1) // 2
+    n_lat = n_bits // 2
+    lon_idx = " + ".join(
+        f"{2 ** (n_lon - 1 - k)} * {bit(2 * k)}" for k in range(n_lon)
+    )
+    lat_idx = " + ".join(
+        f"{2 ** (n_lat - 1 - k)} * {bit(2 * k + 1)}" for k in range(n_lat)
+    )
+    lon = (
+        f"(-180.0 + (CAST({lon_idx} AS DOUBLE) + 0.5) * {360.0 / 2 ** n_lon!r})"
+    )
+    lat = (
+        f"(-90.0 + (CAST({lat_idx} AS DOUBLE) + 0.5) * {180.0 / 2 ** n_lat!r})"
+    )
+    return lat, lon

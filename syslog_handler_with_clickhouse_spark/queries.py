@@ -10540,6 +10540,67 @@ def q238(spark, sf_dir):
     )
 
 
+@query(
+    "q239_geohash_decode",
+    """
+    WITH pts AS (
+      SELECT event_id,
+             CAST(((user_id * 7 + event_id) % 2000) - 1000 AS DOUBLE) / 20.0
+               AS lat,
+             CAST((event_id % 2000) - 1000 AS DOUBLE) / 10.0 AS lon
+      FROM events WHERE event_id % 499 = 11
+    ), enc AS (
+      SELECT event_id, lat, lon, {gh} AS gh FROM pts
+    )
+    SELECT event_id, gh,
+           round({dlat}, 6) AS cell_lat,
+           round({dlon}, 6) AS cell_lon,
+           (abs(lat - {dlat}) <= {half_lat!r}
+            AND abs(lon - {dlon}) <= {half_lon!r}) AS within_cell
+    FROM enc
+    """.format(
+        gh=_geo.sql_geohash_encode("lat", "lon", 7),
+        dlat=_geo.sql_geohash_decode("gh", 7)[0],
+        dlon=_geo.sql_geohash_decode("gh", 7)[1],
+        half_lat=180.0 / 2**17 / 2 * 1.0000001,
+        half_lon=360.0 / 2**18 / 2 * 1.0000001,
+    ),
+)
+def q239(spark, sf_dir):
+    """ClickHouse ``geohashDecode`` — the closed-form inverse of q238:
+    base32 chars → interleaved bits → cell indices → CELL CENTER.  The
+    query is an encode→decode round trip on the q201 fixture grid with
+    a pinned ``within_cell`` boolean (|coord − center| ≤ half the cell
+    span, with a 1e-7 relative slack for the double multiply): a
+    decoder bit-reversal or interleave error throws the center a whole
+    cell away and flips the flag.  Both directions are pure projections
+    generated from one formula on each engine."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 499 == 11)
+    lat = (
+        ((F.col("user_id") * 7 + F.col("event_id")) % 2000) - 1000
+    ).cast("double") / 20.0
+    lon = ((F.col("event_id") % 2000) - 1000).cast("double") / 10.0
+    enc = ev.select(
+        "event_id",
+        lat.alias("lat"),
+        lon.alias("lon"),
+        _geo.geohash_encode(lat, lon, 7).alias("gh"),
+    )
+    dlat, dlon = _geo.geohash_decode(F.col("gh"), 7)
+    half_lat = 180.0 / 2**17 / 2 * 1.0000001
+    half_lon = 360.0 / 2**18 / 2 * 1.0000001
+    return enc.select(
+        "event_id",
+        "gh",
+        F.round(dlat, 6).alias("cell_lat"),
+        F.round(dlon, 6).alias("cell_lon"),
+        (
+            (F.abs(F.col("lat") - dlat) <= half_lat)
+            & (F.abs(F.col("lon") - dlon) <= half_lon)
+        ).alias("within_cell"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
