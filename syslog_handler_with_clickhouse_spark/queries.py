@@ -10601,6 +10601,136 @@ def q239(spark, sf_dir):
     )
 
 
+@query(
+    "q240_ngram_overlap_metrics",
+    """
+    WITH pairs AS (
+      SELECT a.doc_id,
+             list_filter(string_split(lower(a.text), ' '), x -> x <> '') AS cw,
+             list_filter(string_split(lower(b.text), ' '), x -> x <> '') AS rw
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 6 = 0
+    ), uni AS (
+      SELECT doc_id, SUM(clip) AS clip1 FROM (
+        SELECT p.doc_id, t.w,
+               least(COUNT(*) FILTER (WHERE t.side = 'c'),
+                     COUNT(*) FILTER (WHERE t.side = 'r')) AS clip
+        FROM pairs p, LATERAL (
+          SELECT unnest(p.cw) AS w, 'c' AS side
+          UNION ALL
+          SELECT unnest(p.rw) AS w, 'r' AS side) t
+        GROUP BY p.doc_id, t.w
+      ) GROUP BY doc_id
+    ), big AS (
+      SELECT doc_id, SUM(clip) AS clip2 FROM (
+        SELECT p.doc_id, t.g,
+               least(COUNT(*) FILTER (WHERE t.side = 'c'),
+                     COUNT(*) FILTER (WHERE t.side = 'r')) AS clip
+        FROM pairs p, LATERAL (
+          SELECT unnest(list_transform(range(1, len(p.cw)),
+                   i -> p.cw[i] || ' ' || p.cw[i + 1])) AS g, 'c' AS side
+          UNION ALL
+          SELECT unnest(list_transform(range(1, len(p.rw)),
+                   i -> p.rw[i] || ' ' || p.rw[i + 1])) AS g, 'r' AS side) t
+        GROUP BY p.doc_id, t.g
+      ) GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(len(p.cw) AS BIGINT) AS n_cand,
+           CAST(len(p.rw) AS BIGINT) AS n_ref,
+           CAST(COALESCE(u.clip1, 0) AS BIGINT) AS clip1,
+           round(CAST(COALESCE(u.clip1, 0) AS DOUBLE)
+                 / CAST(len(p.cw) AS DOUBLE), 6) AS bleu1_precision,
+           round(CAST(COALESCE(u.clip1, 0) AS DOUBLE)
+                 / CAST(len(p.rw) AS DOUBLE), 6) AS rouge1_recall,
+           CAST(COALESCE(b.clip2, 0) AS BIGINT) AS clip2,
+           round(CAST(COALESCE(b.clip2, 0) AS DOUBLE)
+                 / CAST(len(p.cw) - 1 AS DOUBLE), 6) AS bleu2_precision
+    FROM pairs p
+    LEFT JOIN uni u ON u.doc_id = p.doc_id
+    LEFT JOIN big b ON b.doc_id = p.doc_id
+    """,
+)
+def q240(spark, sf_dir):
+    """N-gram overlap evaluation metrics — clipped-count BLEU-1/BLEU-2
+    precision and ROUGE-1 recall between candidate/reference document
+    pairs, the eval-harness primitive a training-data pipeline runs at
+    corpus scale (model outputs vs references).
+
+    The clipped count Σ_w min(count_cand(w), count_ref(w)) is computed
+    DISTRIBUTED: explode both sides tagged c/r, one conditional-count
+    aggregation per (pair, gram), least() of the two counts, sum per
+    pair — no per-pair Python, no multiset intersection in one task, so
+    a 1 M-token document costs the same per-row work as a tweet.  The
+    ratios are exact-integer / exact-integer divisions rounded 6 dp.
+    Bigrams come from zip_with over the array and its shift — the
+    gram constructor both engines share."""
+    d = _t(spark, sf_dir, "documents")
+    tok = lambda c: F.filter(  # noqa: E731
+        F.split(F.lower(c), " "), lambda x: x != F.lit("")
+    )
+    a = d.filter(F.col("doc_id") % 6 == 0).select(
+        "doc_id", tok(F.col("text")).alias("cw")
+    )
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"),
+                 tok(F.col("text")).alias("rw"))
+    pairs = a.join(b, "doc_id")
+
+    def bigrams(col):
+        n = F.size(col)
+        return F.zip_with(
+            F.slice(col, 1, n - 1),
+            F.slice(col, 2, n - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+
+    def clipped(gram_col_c, gram_col_r, out_name):
+        c = pairs.select(
+            "doc_id", F.explode(gram_col_c).alias("g"), F.lit("c").alias("side")
+        )
+        r = pairs.select(
+            "doc_id", F.explode(gram_col_r).alias("g"), F.lit("r").alias("side")
+        )
+        both = c.unionByName(r)
+        per_gram = both.groupBy("doc_id", "g").agg(
+            F.least(
+                F.count(F.when(F.col("side") == "c", 1)),
+                F.count(F.when(F.col("side") == "r", 1)),
+            ).alias("clip")
+        )
+        return per_gram.groupBy("doc_id").agg(F.sum("clip").alias(out_name))
+
+    uni = clipped(F.col("cw"), F.col("rw"), "clip1")
+    big = clipped(bigrams(F.col("cw")), bigrams(F.col("rw")), "clip2")
+    out = (
+        pairs.join(uni, "doc_id", "left")
+        .join(big, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("cw").cast("bigint").alias("n_cand"),
+            F.size("rw").cast("bigint").alias("n_ref"),
+            F.coalesce("clip1", F.lit(0)).cast("bigint").alias("clip1"),
+            F.round(
+                F.coalesce("clip1", F.lit(0)).cast("double")
+                / F.size("cw").cast("double"),
+                6,
+            ).alias("bleu1_precision"),
+            F.round(
+                F.coalesce("clip1", F.lit(0)).cast("double")
+                / F.size("rw").cast("double"),
+                6,
+            ).alias("rouge1_recall"),
+            F.coalesce("clip2", F.lit(0)).cast("bigint").alias("clip2"),
+            F.round(
+                F.coalesce("clip2", F.lit(0)).cast("double")
+                / (F.size("cw") - 1).cast("double"),
+                6,
+            ).alias("bleu2_precision"),
+        )
+    )
+    return out
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
