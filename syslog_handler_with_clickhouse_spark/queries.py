@@ -10731,6 +10731,83 @@ def q240(spark, sf_dir):
     return out
 
 
+@query(
+    "q241_window_funnel_strict",
+    """
+    WITH coded AS (
+      SELECT user_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                  ELSE 'e' END AS code,
+             ts, event_id
+      FROM events
+    ), s AS (
+      SELECT user_id,
+             string_agg(code, '' ORDER BY ts, event_id) AS seq
+      FROM coded GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(CASE
+             WHEN regexp_matches(seq, 'v.*c.*p') THEN 3
+             WHEN regexp_matches(seq, 'v.*c') THEN 2
+             WHEN regexp_matches(seq, 'v') THEN 1
+             ELSE 0 END AS INT) AS level_loose,
+           CAST(CASE
+             WHEN regexp_matches(seq, 'v[^vcp]*c[^vcp]*p') THEN 3
+             WHEN regexp_matches(seq, 'v[^vcp]*c') THEN 2
+             WHEN regexp_matches(seq, 'v') THEN 1
+             ELSE 0 END AS INT) AS level_strict_order
+    FROM s
+    """,
+)
+def q241(spark, sf_dir):
+    """ClickHouse ``windowFunnel(... , 'strict_order')`` — the funnel
+    mode where an intervening FUNNEL-STEP event out of order breaks the
+    chain (a second view or an early purchase between view and click
+    kills the v→c advance), next to the loose ordered level for
+    contrast.  Built on the q207 total-ordered event-string technique:
+    one character per event, string assembled in exact (ts, event_id)
+    order, and each strictness mode is ONE regex — strict_order's
+    'no interruption' is precisely the [^vcp]* gap class.  One shuffle
+    (the per-user string agg); the regex scan is linear per user.  The
+    oracle shares the string construction and the identical regex
+    (both engines' regex dialects agree on char classes)."""
+    ev = _t(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    coded = ev.select(
+        "user_id", F.struct("ts", "event_id", code.alias("code")).alias("e")
+    )
+    s = coded.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("e")), lambda x: x["code"]
+            ),
+            "",
+        ).alias("seq")
+    )
+
+    def level(p3, p2):
+        return (
+            F.when(F.col("seq").rlike(p3), 3)
+            .when(F.col("seq").rlike(p2), 2)
+            .when(F.col("seq").rlike("v"), 1)
+            .otherwise(0)
+            .cast("int")
+        )
+
+    return s.select(
+        "user_id",
+        level("v.*c.*p", "v.*c").alias("level_loose"),
+        level("v[^vcp]*c[^vcp]*p", "v[^vcp]*c").alias("level_strict_order"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
