@@ -10808,6 +10808,93 @@ def q241(spark, sf_dir):
     )
 
 
+@query(
+    "q242_stream_tdigest",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50_exact,
+           round(quantile_cont(value, 0.9), 4) AS p90_exact,
+           TRUE AS ok_p10, TRUE AS ok_p50, TRUE AS ok_p90,
+           TRUE AS state_bounded
+    FROM events GROUP BY event_type
+    """,
+)
+def q242(spark, sf_dir):
+    """STREAMING t-digest — the exported-state property of q225's sketch
+    doing the job it exists for: quantiles over an unbounded stream with
+    O(δ) state.  A REAL file-source stream runs to completion with a
+    foreachBatch sink that reduces each micro-batch to its per-group
+    centroid partials (`tdigest_partials`, raw values never leave their
+    batch partitions) and APPENDS the centroids to a store; after the
+    stream drains, one merge pass (`tdigest_merge_quantiles`)
+    re-clusters the accumulated state — batch boundaries just add one
+    more merge level, which the digest's mergeability absorbs.  The
+    oracle is the q225 tolerance pattern: exact interpolated quantiles
+    plus booleans pinning the streamed digest inside q ∓ 3% rank and
+    the merged state under 2δ centroids.  This is the 100 TB streaming
+    shape: per-batch work is one narrow pass, accumulated state grows
+    as centroid rows per batch (compactable), never as data."""
+    import os
+    import tempfile
+
+    from .operators.sketches import tdigest_merge_quantiles, tdigest_partials
+
+    probs = [0.1, 0.5, 0.9]
+    tol = 0.03
+    lo_hi = []
+    for p in probs:
+        lo_hi += [max(p - tol, 0.0), min(p + tol, 1.0)]
+
+    ev = _events_stream(spark, sf_dir).select("event_type", "value")
+    base = tempfile.mkdtemp(prefix="td_stream_")
+    store = os.path.join(base, "centroids")
+
+    def sink(batch_df, _batch_id):
+        tdigest_partials(batch_df, "value", ["event_type"], 100.0).write.mode(
+            "append"
+        ).parquet(store)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"),
+    )
+    try:
+        q = (
+            ev.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    td = tdigest_merge_quantiles(
+        spark.read.parquet(store), ["event_type"], probs, 100.0
+    )
+    exact = _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.percentile("value", F.array(*[F.lit(x) for x in lo_hi])).alias("b"),
+    )
+    j = td.join(exact, "event_type")
+    oks = [
+        (
+            (F.element_at("quantiles", i + 1) >= F.element_at("b", 2 * i + 1))
+            & (F.element_at("quantiles", i + 1) <= F.element_at("b", 2 * i + 2))
+        ).alias(f"ok_p{int(p * 100)}")
+        for i, p in enumerate(probs)
+    ]
+    return j.select(
+        "event_type",
+        F.round("p50", 4).alias("p50_exact"),
+        F.round("p90", 4).alias("p90_exact"),
+        *oks,
+        (F.col("n_centroids") <= 200).alias("state_bounded"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
