@@ -408,3 +408,148 @@ def tdigest_quantiles(
     return tdigest_merge_quantiles(
         tdigest_partials(df, col, group_cols, delta), group_cols, probs, delta
     )
+
+
+# ---------------------------------------------------------------------
+# KMV / theta distinct sketch (ClickHouse ``uniqTheta``)
+# ---------------------------------------------------------------------
+#
+# HLL (q13/q79) answers "how many distinct" but cannot answer
+# "how many distinct IN COMMON between two sets" — theta sketches can.
+# A KMV (k-minimum-values) sketch keeps the k smallest values of a
+# uniform hash h: X -> (0, 1].  With h_k the k-th smallest retained
+# hash, E[distinct] = (k-1)/h_k (unbiased), rel-stddev ~ 1/sqrt(k-2).
+# Set algebra comes from the theta-sketch reading: the retained hashes
+# are a uniform sample of the distinct universe at sampling rate
+# theta = h_k, so for two sketches with thresholds theta_a, theta_b,
+# theta = min(theta_a, theta_b) and
+#   |A ∩ B| ≈ |{h in both sketches, h < theta}| / theta.
+#
+# 100 TB shape: level 1 (mapInPandas) keeps at most k distinct hashes
+# per (input partition, group) — O(k) state regardless of partition row
+# count; level 2 is a NATIVE merge (flatten + array_distinct +
+# array_sort + slice), shuffling only sketch state
+# (≤ partitions · k doubles per group), never raw keys.  The hash runs
+# JVM-side (xxhash64 inside whole-stage codegen); Python only keeps
+# mins.  Compare: exact countDistinct shuffles every distinct key.
+
+
+def _kmv_hash_col(col: str):
+    """Uniform (0, 1] hash: JVM xxhash64 (signed int64) recentered into
+    [0, 1) in double space (the low ~11 bits fall below double
+    precision — irrelevant at sketch accuracy), floored at 2^-64 so a
+    retained hash is always a valid nonzero sampling threshold."""
+    u = F.xxhash64(F.col(col)).cast("double") / float(2**64) + 0.5
+    return F.greatest(u, F.lit(2.0**-64)).alias("_h01")
+
+
+def kmv_partials(
+    df: DataFrame, col: str, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Level 1: per (input partition, group), the k smallest DISTINCT
+    normalized hashes of ``col``, as one array row.  Bounded state: the
+    per-group set is trimmed back to k every time it doubles."""
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [f"{g} string" for g in group_cols] + ["kmv_hashes array<double>"]
+    )
+
+    def summarize(batches):
+        import numpy as np
+
+        state: dict = {}  # key tuple -> np.ndarray of ≤ 2k distinct hashes
+        for pdf in batches:
+            groups = (
+                pdf.groupby(group_cols, sort=False, dropna=False)
+                if group_cols
+                else [((), pdf)]
+            )
+            for key, grp in groups:
+                if not isinstance(key, tuple):
+                    key = (key,)
+                h = grp["_h01"].dropna().unique()
+                cur = state.get(key)
+                merged = h if cur is None else np.union1d(cur, h)
+                if merged.size > 2 * k:
+                    merged = np.partition(merged, k - 1)[:k]
+                state[key] = merged
+        rows = []
+        for key, h in state.items():
+            h = np.unique(h)
+            if h.size > k:
+                h = np.partition(h, k - 1)[:k]
+            rows.append((*[str(x) for x in key], np.sort(h).tolist()))
+        yield pd.DataFrame(rows, columns=[*group_cols, "kmv_hashes"])
+
+    return df.select(
+        *[F.col(g).cast("string").alias(g) for g in group_cols],
+        _kmv_hash_col(col),
+    ).mapInPandas(summarize, out_schema)
+
+
+def kmv_merge(partials: DataFrame, group_cols: list[str], k: int = 256) -> DataFrame:
+    """Level 2, fully native: union the partial hash sets, keep the k
+    smallest, derive (theta, est_distinct).  If fewer than k distinct
+    hashes were ever seen the sketch IS the exact distinct set."""
+    h = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv_hashes")))),
+        1,
+        k,
+    )
+    merged = (
+        partials.groupBy(*group_cols)
+        .agg(h.alias("kmv_hashes"))
+        .withColumn("n_kept", F.size("kmv_hashes"))
+    )
+    exact_mode = F.col("n_kept") < k
+    theta = F.when(exact_mode, F.lit(1.0)).otherwise(
+        F.element_at("kmv_hashes", k)
+    )
+    est = F.when(exact_mode, F.col("n_kept").cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.element_at("kmv_hashes", k)
+    )
+    return merged.select(
+        *group_cols,
+        "kmv_hashes",
+        theta.alias("theta"),
+        est.alias("est_distinct"),
+    )
+
+
+def kmv_sketch(
+    df: DataFrame, col: str, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Mergeable KMV distinct sketch per group — level 1 + level 2."""
+    return kmv_merge(kmv_partials(df, col, group_cols, k), group_cols, k)
+
+
+def kmv_intersect_estimate(
+    sk_a: DataFrame, sk_b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Theta-sketch intersection of two single-row sketches (columns
+    ``kmv_hashes``/``theta`` as produced by ``kmv_merge``): cut both
+    retained sets at theta = min(theta_a, theta_b); hashes below theta
+    present in BOTH are a uniform sample of A ∩ B at rate theta, so
+    |A ∩ B| ≈ |sample| / theta.  Native array_intersect + filter — no
+    Python, no raw data."""
+    a = sk_a.select(
+        F.col("kmv_hashes").alias("ha"), F.col("theta").alias("ta")
+    )
+    b = sk_b.select(
+        F.col("kmv_hashes").alias("hb"), F.col("theta").alias("tb")
+    )
+    theta = F.least("ta", "tb")
+    common = F.size(
+        F.filter(
+            F.array_intersect("ha", "hb"), lambda x: x < F.col("_theta")
+        )
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .withColumn("_theta", theta)
+        .select(
+            (common.cast("double") / F.col("_theta")).alias("est_intersect"),
+            F.col("_theta").alias("theta"),
+        )
+    )

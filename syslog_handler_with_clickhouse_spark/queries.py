@@ -10895,6 +10895,596 @@ def q242(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Round 6 tail: association/CI family completion, theta-sketch set
+# algebra, time-decayed window aggregates, sequence/time-series tail
+# =====================================================================
+
+
+@query(
+    "q243_contingency",
+    """
+    WITH cells AS (
+      SELECT event_type AS x, user_id % 8 AS y, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ), rows_t AS (
+      SELECT x, SUM(o) AS rx FROM cells GROUP BY 1
+    ), cols_t AS (
+      SELECT y, SUM(o) AS cy FROM cells GROUP BY 1
+    ), tot AS (
+      SELECT SUM(o) AS n FROM cells
+    ), chi AS (
+      SELECT SUM(
+               (CAST(cells.o AS DOUBLE)
+                - CAST(rt.rx AS DOUBLE) * CAST(ct.cy AS DOUBLE)
+                  / CAST(t.n AS DOUBLE))
+               * (CAST(cells.o AS DOUBLE)
+                  - CAST(rt.rx AS DOUBLE) * CAST(ct.cy AS DOUBLE)
+                    / CAST(t.n AS DOUBLE))
+               / (CAST(rt.rx AS DOUBLE) * CAST(ct.cy AS DOUBLE)
+                  / CAST(t.n AS DOUBLE))
+             ) AS chi2
+      FROM cells
+      JOIN rows_t rt ON rt.x = cells.x
+      JOIN cols_t ct ON ct.y = cells.y
+      CROSS JOIN tot t
+    )
+    SELECT CAST(t.n AS BIGINT) AS n,
+           round(chi.chi2, 6) AS chi2,
+           round(sqrt(chi.chi2 / (chi.chi2 + CAST(t.n AS DOUBLE))), 6)
+             AS contingency_coef
+    FROM chi CROSS JOIN tot t
+    """,
+)
+def q243(spark, sf_dir):
+    """ClickHouse ``contingency`` — Pearson's contingency coefficient
+    C = sqrt(chi2 / (chi2 + n)), completing the association family
+    (q216 cramersV, q217 theilsU, q237 cramersVBiasCorrected) over the
+    same event_type x user-bucket table.  Identical scaffold to q216:
+    exact integer contingency cells (one shuffle), row/col totals
+    re-derived from the cells, every join a broadcast of a ~40-row
+    frame; only the final normalization differs."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("x"), (F.col("user_id") % 8).alias("y")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_t = cells.groupBy("x").agg(F.sum("o").alias("rx"))
+    cols_t = cells.groupBy("y").agg(F.sum("o").alias("cy"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    od = F.col("o").cast("double")
+    e = (
+        F.col("rx").cast("double")
+        * F.col("cy").cast("double")
+        / F.col("n").cast("double")
+    )
+    chi = (
+        cells.join(F.broadcast(rows_t), "x")
+        .join(F.broadcast(cols_t), "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum((od - e) * (od - e) / e).alias("chi2"))
+    )
+    return chi.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("chi2") + F.col("n").cast("double"))),
+            6,
+        ).alias("contingency_coef"),
+    )
+
+
+@query(
+    "q244_kmv_theta_distinct",
+    """
+    SELECT o_orderpriority AS set_expr,
+           COUNT(DISTINCT o_custkey) AS exact_distinct,
+           TRUE AS within_15pct
+    FROM orders GROUP BY 1
+    UNION ALL
+    SELECT 'URGENT&HIGH' AS set_expr,
+           COUNT(*) AS exact_distinct, TRUE AS within_15pct
+    FROM (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH') t
+    UNION ALL
+    SELECT 'URGENT|HIGH' AS set_expr,
+           COUNT(DISTINCT o_custkey) AS exact_distinct, TRUE AS within_15pct
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def q244(spark, sf_dir):
+    """ClickHouse ``uniqTheta`` — KMV/theta distinct sketch with SET
+    ALGEBRA (`operators/sketches.py:kmv_*`), the capability HLL (q13,
+    q79) lacks: besides per-group distinct estimates, the retained
+    k-minimum hashes act as a uniform sample of the distinct universe
+    at rate theta, so |A∩B| ~= |{h in both, h < min(theta_a,theta_b)}|
+    / theta and A∪B merges by re-trimming the hash union to k.  Level 1
+    is O(k) state per (partition, group) via mapInPandas (hashes
+    computed JVM-side); level 2 and all set ops are native array
+    functions over single sketch rows.  k=1024 -> rel-stddev ~3.1%;
+    measured worst case 5.6% at sf0.1, so the 15% envelope is ~5 sigma.
+    The oracle pins exact counts and expects literal TRUE for every
+    within_15pct — a broken estimator is a hard hash FAIL."""
+    from .operators.sketches import kmv_intersect_estimate, kmv_sketch
+
+    K = 1024
+    o = _t(spark, sf_dir, "orders")
+    sk = kmv_sketch(o, "o_custkey", ["o_orderpriority"], K)
+    ex = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    ok = (
+        F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+        <= 0.15 * F.col("exact_distinct")
+    ).alias("within_15pct")
+    per = sk.join(ex, "o_orderpriority").select(
+        F.col("o_orderpriority").alias("set_expr"), "exact_distinct", ok
+    )
+
+    a = sk.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = sk.filter(F.col("o_orderpriority") == "2-HIGH")
+    inter_est = kmv_intersect_estimate(a, b, K)
+    exact_inter = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .intersect(
+            o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    inter_row = exact_inter.crossJoin(F.broadcast(inter_est)).select(
+        F.lit("URGENT&HIGH").alias("set_expr"),
+        "exact_distinct",
+        (
+            F.abs(F.col("est_intersect") - F.col("exact_distinct"))
+            <= 0.15 * F.col("exact_distinct")
+        ).alias("within_15pct"),
+    )
+
+    hu = F.slice(
+        F.array_sort(F.array_distinct(F.concat("ha", "hb"))), 1, K
+    )
+    union_est = (
+        a.select(F.col("kmv_hashes").alias("ha"))
+        .crossJoin(F.broadcast(b.select(F.col("kmv_hashes").alias("hb"))))
+        .select(hu.alias("h"))
+        .select(
+            F.when(F.size("h") < K, F.size("h").cast("double"))
+            .otherwise(F.lit(float(K - 1)) / F.element_at("h", K))
+            .alias("est_union")
+        )
+    )
+    exact_union = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    union_row = exact_union.crossJoin(F.broadcast(union_est)).select(
+        F.lit("URGENT|HIGH").alias("set_expr"),
+        "exact_distinct",
+        (
+            F.abs(F.col("est_union") - F.col("exact_distinct"))
+            <= 0.15 * F.col("exact_distinct")
+        ).alias("within_15pct"),
+    )
+    return per.unionByName(inter_row).unionByName(union_row)
+
+
+@query(
+    "q245_time_decayed_agg",
+    """
+    WITH ev AS (
+      SELECT event_id, event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      FROM events
+      WHERE event_type IN ('click', 'error')
+        AND value IS NOT NULL AND ts IS NOT NULL
+    ), win AS (
+      SELECT event_id, event_type, value, tsec,
+             list({'t': tsec, 'v': value}) OVER (
+               PARTITION BY event_type ORDER BY tsec
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS fr
+      FROM ev
+    )
+    SELECT event_id, event_type,
+           round(list_sum(list_transform(fr,
+                 x -> x.v * exp((x.t - tsec) / 600.0))), 4) AS etd_sum,
+           round(list_sum(list_transform(fr,
+                 x -> exp((x.t - tsec) / 600.0))), 4) AS etd_count,
+           round(list_sum(list_transform(fr,
+                   x -> x.v * exp((x.t - tsec) / 600.0)))
+                 / list_sum(list_transform(fr,
+                   x -> exp((x.t - tsec) / 600.0))), 4) AS etd_avg,
+           round(list_max(list_transform(fr,
+                 x -> x.v * exp((x.t - tsec) / 600.0))), 4) AS etd_max
+    FROM win
+    """,
+)
+def q245(spark, sf_dir):
+    """ClickHouse ``exponentialTimeDecayedAvg/Sum/Count/Max`` over a
+    window frame: each row sees Sum_j v_j*e^((t_j-t_i)/tau) over the
+    trailing hour (tau = 600 s), anchored at the CURRENT row's time —
+    true time decay, unlike q161's row-count EWMA.  Anchoring at t_i
+    keeps every exponent <= 0, so the computation is overflow-free for
+    arbitrary time spans (the naive running-sum factorization
+    e^(-t_i/tau)*Sum v_j e^(t_j/tau) overflows once the span exceeds
+    ~700*tau).  Implementation: RANGE window on integer epoch seconds
+    collects the frame's (t, v) structs, then native higher-order
+    aggregates reduce them with the row's own t_i in scope — no Python
+    anywhere.  Frame arrays are bounded by the horizon's event density,
+    and the window partitioning (per event_type) is the same shape CH
+    requires; 4-dp rounding absorbs peer-order float noise."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("click", "error")
+            & F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_timestamp("ts").alias("tsec"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("tsec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    df = ev.withColumn(
+        "fr",
+        F.collect_list(
+            F.struct(F.col("tsec").alias("t"), F.col("value").alias("v"))
+        ).over(w),
+    )
+    here = F.col("tsec").cast("double")
+
+    def dec(x):
+        return x["v"] * F.exp((x["t"].cast("double") - here) / 600.0)
+
+    def wgt(x):
+        return F.exp((x["t"].cast("double") - here) / 600.0)
+
+    s = F.aggregate("fr", F.lit(0.0), lambda acc, x: acc + dec(x))
+    c = F.aggregate("fr", F.lit(0.0), lambda acc, x: acc + wgt(x))
+    m = F.array_max(F.transform("fr", dec))
+    return df.select(
+        "event_id",
+        "event_type",
+        F.round(s, 4).alias("etd_sum"),
+        F.round(c, 4).alias("etd_count"),
+        F.round(s / c, 4).alias("etd_avg"),
+        F.round(m, 4).alias("etd_max"),
+    )
+
+
+@query(
+    "q246_categorical_iv",
+    """
+    WITH base AS (
+      SELECT user_id % 16 AS bucket,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS good
+      FROM events WHERE user_id IS NOT NULL
+    ), cells AS (
+      SELECT bucket,
+             SUM(good) AS g,
+             COUNT(*) - SUM(good) AS b
+      FROM base GROUP BY 1
+    ), tot AS (
+      SELECT SUM(g) AS gt, SUM(b) AS bt FROM cells
+    )
+    SELECT c.bucket,
+           CAST(c.g AS BIGINT) AS n_good,
+           CAST(c.b AS BIGINT) AS n_bad,
+           round(CASE WHEN c.g = 0 OR c.b = 0 THEN NULL
+                 ELSE ln((CAST(c.g AS DOUBLE) / t.gt)
+                         / (CAST(c.b AS DOUBLE) / t.bt)) END, 6) AS woe,
+           round(CASE WHEN c.g = 0 OR c.b = 0 THEN NULL
+                 ELSE (CAST(c.g AS DOUBLE) / t.gt
+                       - CAST(c.b AS DOUBLE) / t.bt)
+                      * ln((CAST(c.g AS DOUBLE) / t.gt)
+                           / (CAST(c.b AS DOUBLE) / t.bt)) END, 6)
+             AS iv_contrib
+    FROM cells c CROSS JOIN tot t
+    """,
+)
+def q246(spark, sf_dir):
+    """ClickHouse ``categoricalInformationValue``: weight-of-evidence
+    and information-value contribution of a categorical predictor
+    (user bucket) against a binary outcome (purchase).  Exact integer
+    class counts per cell (one shuffle), class totals re-aggregated
+    from the 16-row cells frame and broadcast; WoE/IV are float math
+    over that tiny frame.  Degenerate cells (a class count of zero)
+    yield NULL on both engines instead of +-inf."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    cells = ev.groupBy((F.col("user_id") % 16).alias("bucket")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("g"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+        ).alias("b"),
+    )
+    tot = cells.agg(F.sum("g").alias("gt"), F.sum("b").alias("bt"))
+    dg = F.col("g").cast("double") / F.col("gt").cast("double")
+    db = F.col("b").cast("double") / F.col("bt").cast("double")
+    degenerate = (F.col("g") == 0) | (F.col("b") == 0)
+    woe = F.when(degenerate, F.lit(None)).otherwise(F.log(dg / db))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.col("g").cast("bigint").alias("n_good"),
+        F.col("b").cast("bigint").alias("n_bad"),
+        F.round(woe, 6).alias("woe"),
+        F.round((dg - db) * woe, 6).alias("iv_contrib"),
+    )
+
+
+@query(
+    "q247_sequence_match_time",
+    """
+    WITH fe AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      FROM events
+      WHERE event_type IN ('signup', 'purchase') AND user_id IS NOT NULL
+    ), nx AS (
+      SELECT user_id, event_type, tsec,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY tsec, event_id) AS nxt,
+             lead(tsec) OVER (
+               PARTITION BY user_id ORDER BY tsec, event_id) AS nxt_tsec
+      FROM fe
+    )
+    SELECT user_id,
+           COALESCE(BOOL_OR(event_type = 'signup' AND nxt = 'purchase'
+                            AND nxt_tsec - tsec <= 86400), FALSE) AS matched,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'
+                              AND nxt = 'purchase'
+                              AND nxt_tsec - tsec <= 86400
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_matches
+    FROM nx GROUP BY user_id
+    """,
+)
+def q247(spark, sf_dir):
+    """ClickHouse ``sequenceMatch('(?1)(?t<=86400)(?2)')`` /
+    ``sequenceCount`` with a TIME-GAP constraint — the (?t<=n) operator
+    q207/q241 don't exercise.  CH semantics: events matching no
+    condition are skipped, so the pattern means "a cond-1 event
+    directly followed, within the cond-filtered stream, by a cond-2
+    event at most n seconds later".  One window pass per user over the
+    pre-filtered stream (lead of type + time with a total-order
+    tiebreak), then a per-user any/count aggregate — two shuffles on
+    user_id, the second reusing the first's partitioning."""
+    fe = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("signup", "purchase")
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("tsec"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    nx = fe.select(
+        "user_id",
+        "event_type",
+        "tsec",
+        F.lead("event_type").over(w).alias("nxt"),
+        F.lead("tsec").over(w).alias("nxt_tsec"),
+    )
+    hit = (
+        (F.col("event_type") == "signup")
+        & (F.col("nxt") == "purchase")
+        & (F.col("nxt_tsec") - F.col("tsec") <= 86400)
+    )
+    return nx.groupBy("user_id").agg(
+        F.coalesce(F.bool_or(hit), F.lit(False)).alias("matched"),
+        F.coalesce(F.sum(F.when(hit, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_matches"),
+    )
+
+
+@query(
+    "q248_series_period_autocorr",
+    """
+    WITH hrs AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hrs GROUP BY 1
+    ), grid AS (
+      SELECT b.event_type,
+             CAST((epoch(gs.h) - epoch(b.h0)) / 3600 AS BIGINT) AS idx,
+             gs.h
+      FROM bounds b, LATERAL (
+        SELECT unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+      ) gs
+    ), series AS (
+      SELECT g.event_type, g.idx,
+             CAST(COALESCE(hrs.c, 0) AS DOUBLE) AS c
+      FROM grid g
+      LEFT JOIN hrs ON hrs.event_type = g.event_type AND hrs.h = g.h
+    ), stats AS (
+      SELECT s.event_type, m.mu,
+             SUM((s.c - m.mu) * (s.c - m.mu)) AS ss
+      FROM series s
+      JOIN (SELECT event_type, AVG(c) AS mu FROM series GROUP BY 1) m
+        ON m.event_type = s.event_type
+      GROUP BY s.event_type, m.mu
+    ), ac AS (
+      SELECT s1.event_type, l.lag,
+             SUM((s1.c - st.mu) * (s2.c - st.mu)) / st.ss AS r
+      FROM series s1
+      JOIN (SELECT unnest(generate_series(1, 48)) AS lag) l ON TRUE
+      JOIN series s2 ON s2.event_type = s1.event_type
+                    AND s2.idx = s1.idx + l.lag
+      JOIN stats st ON st.event_type = s1.event_type
+      GROUP BY s1.event_type, l.lag, st.ss
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS best_lag,
+           round(r, 6) AS best_r
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY round(r, 6) DESC, lag) AS rn
+          FROM ac)
+    WHERE rn = 1
+    """,
+)
+def q248(spark, sf_dir):
+    """ClickHouse ``seriesPeriodDetect`` analogue via autocorrelation:
+    gap-filled hourly count series per event_type, ACF at lags 1..48 h,
+    argmax lag reported with its coefficient.  The 100 TB shape: the
+    raw scan collapses to |types| x |hours| aggregate rows FIRST (the
+    only full-data shuffle); grid fill, the mean/SS pass, the 48-lag
+    self-join, and the argmax all run on that compressed series, with
+    the lag table and per-type stats broadcast.  Ranking compares
+    6-dp-rounded coefficients with a lag tiebreak so float noise in
+    the summation order can't flip the winner across engines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hrs = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = hrs.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        "h0",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    ).select(
+        "event_type",
+        ((F.unix_timestamp("h") - F.unix_timestamp("h0")) / 3600)
+        .cast("bigint")
+        .alias("idx"),
+        "h",
+    )
+    series = (
+        grid.join(hrs, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "idx",
+            F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("c"),
+        )
+    )
+    mu = series.groupBy("event_type").agg(F.avg("c").alias("mu"))
+    stats = (
+        series.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type", "mu")
+        .agg(
+            F.sum(
+                (F.col("c") - F.col("mu")) * (F.col("c") - F.col("mu"))
+            ).alias("ss")
+        )
+    )
+    lags = spark.range(1, 49).select(F.col("id").alias("lag"))
+    s1 = series.alias("s1")
+    s2 = series.select(
+        F.col("event_type").alias("event_type2"),
+        F.col("idx").alias("idx2"),
+        F.col("c").alias("c2"),
+    )
+    ac = (
+        s1.crossJoin(F.broadcast(lags))
+        .join(
+            s2,
+            (F.col("event_type2") == F.col("event_type"))
+            & (F.col("idx2") == F.col("idx") + F.col("lag")),
+        )
+        .join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "lag", "ss")
+        .agg(
+            F.sum(
+                (F.col("c") - F.col("mu")) * (F.col("c2") - F.col("mu"))
+            ).alias("num")
+        )
+        .select(
+            "event_type", "lag", (F.col("num") / F.col("ss")).alias("r")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.round(F.col("r"), 6).desc(), F.col("lag")
+    )
+    return (
+        ac.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("lag").cast("bigint").alias("best_lag"),
+            F.round("r", 6).alias("best_r"),
+        )
+    )
+
+
+@query(
+    "q249_min_sample_size",
+    """
+    WITH base AS (
+      SELECT event_type,
+             AVG(CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END) AS p1,
+             VAR_SAMP(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), params AS (
+      SELECT event_type, p1, v,
+             LEAST(p1 + 0.02, 1.0) AS p2,
+             (p1 + LEAST(p1 + 0.02, 1.0)) / 2 AS pb
+      FROM base
+    )
+    SELECT event_type,
+           round(p1, 6) AS baseline_rate,
+           CAST(ceil(
+             (1.959964 * sqrt(2 * pb * (1 - pb))
+              + 0.841621 * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+             * (1.959964 * sqrt(2 * pb * (1 - pb))
+                + 0.841621 * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+             / (0.02 * 0.02)) AS BIGINT) AS n_conversion,
+           CAST(ceil(2 * v * (1.959964 + 0.841621)
+                       * (1.959964 + 0.841621) / (5.0 * 5.0)) AS BIGINT)
+             AS n_continuous
+    FROM params
+    """,
+)
+def q249(spark, sf_dir):
+    """ClickHouse ``minSampleSizeConversion`` / ``minSampleSizeContinuous``:
+    A/B-test power analysis from the data's own baseline.  Per
+    event_type, the baseline conversion rate (value > 50) and sample
+    variance feed the closed-form two-sample size formulas at
+    alpha = 0.05, power = 0.8 (z constants pinned to 6 dp on both
+    engines), MDE = 0.02 absolute for conversion and 5.0 for the
+    continuous metric.  One aggregation pass; everything after is
+    scalar math on 5 rows.  p2 is clamped to 1.0 so a saturated
+    baseline can't produce a negative under the square root."""
+    za, zb = 1.959964, 0.841621
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.groupBy("event_type").agg(
+        F.avg(
+            F.when(F.col("value") > 50, F.lit(1.0)).otherwise(F.lit(0.0))
+        ).alias("p1"),
+        F.var_samp("value").alias("v"),
+    )
+    p1 = F.col("p1")
+    p2 = F.least(p1 + 0.02, F.lit(1.0))
+    pb = (p1 + p2) / 2
+    root = za * F.sqrt(2 * pb * (1 - pb)) + zb * F.sqrt(
+        p1 * (1 - p1) + p2 * (1 - p2)
+    )
+    return base.select(
+        "event_type",
+        F.round(p1, 6).alias("baseline_rate"),
+        F.ceil(root * root / (0.02 * 0.02)).cast("bigint").alias(
+            "n_conversion"
+        ),
+        F.ceil(2 * F.col("v") * (za + zb) * (za + zb) / (5.0 * 5.0))
+        .cast("bigint")
+        .alias("n_continuous"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -305,3 +305,82 @@ def test_tdigest_distributed_grouped(spark):
         assert out[g].n_centroids <= 200
         for q, est in zip((0.1, 0.5, 0.9), out[g].quantiles):
             assert _rank_error(by_g[g], est, q) <= 0.03, (g, q, est)
+
+
+# ---------------------------------------------------------------------
+# KMV / theta distinct sketch (operators/sketches.py: kmv_*)
+# ---------------------------------------------------------------------
+
+
+def test_kmv_exact_mode_below_k(spark):
+    """Fewer distinct values than k -> the sketch IS the distinct set:
+    theta = 1.0 and est_distinct is exactly right, regardless of how
+    many partitions / duplicate rows fed it."""
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        kmv_sketch,
+    )
+
+    rows = [(f"g{i % 2}", i % 100) for i in range(10_000)]
+    df = spark.createDataFrame(rows, "grp string, v int").repartition(16)
+    out = {r.grp: r for r in kmv_sketch(df, "v", ["grp"], k=256).collect()}
+    for g in ("g0", "g1"):
+        assert out[g].theta == 1.0
+        assert out[g].est_distinct == 50.0
+        assert len(out[g].kmv_hashes) == 50
+
+
+def test_kmv_partition_layout_invariant(spark):
+    """Merge-equals-monolithic: the merged sketch (and hence every
+    estimate) is IDENTICAL whether the data arrives in 1 partition or
+    32 — the defining mergeability property."""
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        kmv_sketch,
+    )
+
+    rows = [("g", i * 7919) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    one = kmv_sketch(df.coalesce(1), "v", ["grp"], k=128).collect()[0]
+    many = kmv_sketch(df.repartition(32), "v", ["grp"], k=128).collect()[0]
+    assert one.kmv_hashes == many.kmv_hashes
+    assert one.theta == many.theta
+    assert one.est_distinct == many.est_distinct
+
+
+def test_kmv_estimate_and_state_bounds(spark):
+    """20k distinct at k=128: state capped at k hashes and the estimate
+    lands well inside 5 relative standard deviations (1/sqrt(k-2))."""
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        kmv_sketch,
+    )
+
+    n = 20_000
+    df = spark.createDataFrame(
+        [("g", i * 2654435761 % (1 << 40)) for i in range(n)],
+        "grp string, v long",
+    ).repartition(8)
+    r = kmv_sketch(df, "v", ["grp"], k=128).collect()[0]
+    assert len(r.kmv_hashes) == 128
+    assert 0.0 < r.theta < 1.0
+    rsd = 1.0 / (128 - 2) ** 0.5
+    assert abs(r.est_distinct - n) / n <= 5 * rsd
+
+
+def test_kmv_intersection_estimate(spark):
+    """Theta intersection on two overlapping integer sets: A = 0..12k,
+    B = 8k..20k, |A ∩ B| = 4k.  The estimate must land within 5 sigma
+    of truth (sigma ~ sqrt(|A∩B|/theta)/theta is loose; use 25%)."""
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        kmv_intersect_estimate,
+        kmv_sketch,
+    )
+
+    a = spark.createDataFrame(
+        [(i,) for i in range(0, 12_000)], "v long"
+    ).repartition(4)
+    b = spark.createDataFrame(
+        [(i,) for i in range(8_000, 20_000)], "v long"
+    ).repartition(4)
+    sa = kmv_sketch(a, "v", [], k=512)
+    sb = kmv_sketch(b, "v", [], k=512)
+    est = kmv_intersect_estimate(sa, sb, k=512).collect()[0].est_intersect
+    assert abs(est - 4_000) / 4_000 <= 0.25
