@@ -266,6 +266,242 @@ def encode_wav(samples, rate: int, channels: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytes:
+    """GIF variable-width LZW decode (pure Python, spec algorithm):
+    LSB-first bit packing, CLEAR/END control codes, code width growing
+    at table sizes 2^n up to 12 bits, table frozen at 4096 entries
+    until the stream's next CLEAR.  ``expected`` pins the pixel count
+    so a mis-decoded stream fails loudly instead of silently."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table = {i: bytes([i]) for i in range(clear)}
+    nxt = end + 1
+    out = bytearray()
+    prev = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            nxt = end + 1
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None or code in table:
+            entry = table[code]
+        elif code == nxt:
+            entry = table[prev] + table[prev][:1]  # the KwKwK case
+        else:
+            raise ValueError(f"bad GIF LZW code {code} (next={nxt})")
+        out += entry
+        if prev is not None and nxt < 4096:
+            table[nxt] = table[prev] + entry[:1]
+            nxt += 1
+            if nxt == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = code
+        if len(out) > expected:
+            raise ValueError("GIF LZW produced too many pixels")
+    if len(out) != expected:
+        raise ValueError(
+            f"GIF LZW produced {len(out)} pixels, want {expected}"
+        )
+    return bytes(out)
+
+
+def _gif_lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """GIF LZW encode, the exact mirror of :func:`_gif_lzw_decode`:
+    greedy longest-match table build, CLEAR emitted up front and again
+    whenever the table hits 4096.  The encoder's width-growth trigger
+    is offset by one from the decoder's because the decoder registers
+    each new entry one code later."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    nxt = end + 1
+    emit(clear)
+    cur = b""
+    for px in indices:
+        cand = cur + bytes([px])
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur])
+        if nxt < 4096:
+            table[cand] = nxt
+            nxt += 1
+            if nxt == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            nxt = end + 1
+            code_size = min_code_size + 1
+        cur = bytes([px])
+    if cur:
+        emit(table[cur])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    order = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    return order
+
+
+def decode_gif_pixels(b: bytes) -> tuple[int, int, int, bytes]:
+    """REAL GIF pixel decode using ONLY stdlib — the LZW entropy decode
+    is implemented here (:func:`_gif_lzw_decode`), removing GIF from
+    the round-5 'needs codec libs' list.  Parses the logical screen
+    descriptor and global color table, skips extension blocks, decodes
+    the FIRST image frame (local color table and Adam-style interlacing
+    both supported), then maps palette indices to RGB.
+
+    Returns ``(width, height, 3, rgb_bytes)`` with ``rgb_bytes`` the
+    frame's row-major interleaved RGB, matching the PNG decode shape.
+    Later frames, transparency, and disposal are animation features and
+    are intentionally out of scope for pixel statistics."""
+    import struct
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(b) < 13:
+        raise ValueError("GIF truncated before logical screen descriptor")
+    _sw, _sh, flags, _bg, _aspect = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = b[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("GIF global color table truncated")
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h, iflags = struct.unpack("<HHHHB", b[pos : pos + 9])
+        pos += 9
+        pal = gct
+        if iflags & 0x80:  # local color table wins for this frame
+            n = 2 << (iflags & 0x07)
+            pal = b[pos : pos + 3 * n]
+            if len(pal) < 3 * n:
+                raise ValueError("GIF local color table truncated")
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        min_code_size = b[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError(f"bad GIF LZW min code size {min_code_size}")
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            data += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1  # block terminator
+        idx = _gif_lzw_decode(min_code_size, bytes(data), w * h)
+        if iflags & 0x40:  # interlaced: rows arrive in 4-pass order
+            rows = _gif_interlace_order(h)
+            de = bytearray(w * h)
+            for src_r, dst_r in enumerate(rows):
+                de[dst_r * w : (dst_r + 1) * w] = idx[
+                    src_r * w : (src_r + 1) * w
+                ]
+            idx = bytes(de)
+        npal = len(pal) // 3
+        if idx and max(idx) >= npal:
+            raise ValueError(
+                f"GIF index {max(idx)} outside {npal}-color table"
+            )
+        triples = [pal[3 * v : 3 * v + 3] for v in range(npal)]
+        return w, h, 3, b"".join(map(triples.__getitem__, idx))
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(
+    indices: bytes,
+    w: int,
+    h: int,
+    palette: bytes,
+    interlace: bool = False,
+) -> bytes:
+    """Build a valid single-frame GIF89a from palette ``indices``
+    (row-major, one byte each) and an RGB ``palette`` (3 bytes per
+    entry, power-of-two entry count 4..256) — the construct side of the
+    q250 construct-then-decode oracle, using the real LZW encoder."""
+    import struct
+
+    npal = len(palette) // 3
+    if npal & (npal - 1) or not 4 <= npal <= 256:
+        raise ValueError("palette entries must be a power of two in 4..256")
+    if len(indices) != w * h:
+        raise ValueError("indices length != w*h")
+    size_bits = npal.bit_length() - 2  # 2^(size_bits+1) == npal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | size_bits, 0, 0)
+    out += palette
+    if interlace:
+        rows = _gif_interlace_order(h)
+        src = bytearray()
+        for r in rows:
+            src += indices[r * w : (r + 1) * w]
+        indices = bytes(src)
+    out.append(0x2C)  # image separator
+    out += struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    min_code_size = max(2, npal.bit_length() - 1)
+    out.append(min_code_size)
+    data = _gif_lzw_encode(min_code_size, indices)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
 def decode_real(payload: bytes):
     """Real media decode for the containers stdlib can handle — PNG
     pixels (zlib inflate + filter reversal) and WAV PCM samples (struct)
@@ -273,17 +509,21 @@ def decode_real(payload: bytes):
     ``("png", width, height, channels, pixel_bytes)`` or
     ``("wav", sample_rate, channels, bits, samples)``.
 
-    JPEG/GIF remain ``NotImplementedError``: their ENTROPY decode
-    (Huffman+DCT / LZW) genuinely needs the codec libraries absent from
-    this container — that is an environment stub, unlike the container
-    parsing in :func:`probe_media` and the full decodes above, which
-    are real."""
+    GIF is ALSO fully decoded (``("gif", width, height, 3, rgb_bytes)``)
+    — its LZW entropy decode is pure table arithmetic, implemented in
+    :func:`_gif_lzw_decode`.  Only JPEG remains ``NotImplementedError``:
+    Huffman+DCT entropy decode genuinely needs the codec libraries
+    absent from this container — that is an environment stub, unlike
+    the container parsing in :func:`probe_media` and the full decodes
+    above, which are real."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return ("png", *decode_png_pixels(payload))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return ("gif", *decode_gif_pixels(payload))
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return ("wav", *decode_wav_samples(payload))
     raise NotImplementedError(
-        "JPEG/GIF entropy decode requires codec libs absent in this environment"
+        "JPEG entropy decode requires codec libs absent in this environment"
     )
 
 
@@ -545,10 +785,10 @@ def decode_assets(assets: DataFrame) -> DataFrame:
                     rows.append((int(did), "undecoded", None, None, None,
                                  None, None, None, None, None))
                     continue
-                if decoded[0] == "png":
-                    _, w, h, c, px = decoded
+                if decoded[0] in ("png", "gif"):
+                    kind, w, h, c, px = decoded
                     a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
-                    rows.append((int(did), "png", w, h, c, None, a.size,
+                    rows.append((int(did), kind, w, h, c, None, a.size,
                                  int(a.sum()), int(a.min()), int(a.max())))
                 else:
                     _, rate, c, _bits, a = decoded

@@ -11485,6 +11485,329 @@ def q249(spark, sf_dir):
     )
 
 
+@query(
+    "q250_gif_pixel_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 47) + 3 AS w,
+             (doc_id % 19) + 2 AS h
+      FROM documents WHERE doc_id % 7 = 0
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h, t.k,
+             (d.doc_id * 5 + 11 * (t.k // 3)) % 251 AS i
+      FROM d, LATERAL (SELECT unnest(range(0, d.w * d.h * 3)) AS k) t
+    ), v AS (
+      SELECT doc_id, w, h,
+             CASE k % 3 WHEN 0 THEN i
+                        WHEN 1 THEN (i * 3) % 256
+                        ELSE (i * 7) % 256 END AS val
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           3 AS channels,
+           CAST(SUM(val) AS BIGINT) AS px_sum,
+           round(AVG(CAST(val AS DOUBLE)), 6) AS px_mean,
+           CAST(MIN(val) AS INT) AS px_min,
+           CAST(MAX(val) AS INT) AS px_max
+    FROM v GROUP BY doc_id, w, h
+    """,
+)
+def q250(spark, sf_dir):
+    """REAL GIF PIXEL decode round trip — removes GIF from the 'needs
+    codec libs' list: the variable-width LZW entropy decode is pure
+    table arithmetic, implemented stdlib-only in
+    `operators/multimodal.py:_gif_lzw_decode` / `decode_gif_pixels`
+    (code width growth at 2^n, the KwKwK case, 4096-entry table reset,
+    local color tables, and 4-pass interlacing all handled).
+
+    Executor-side, each selected doc builds a genuinely valid GIF89a:
+    palette entry j = (j, 3j mod 256, 7j mod 256), pixel index
+    k -> (doc_id*5 + 11k) mod 251, every third doc INTERLACED so the
+    row-reorder path is exercised.  The file runs through the real
+    distributed decode path (`decode_assets`, Arrow-batched
+    mapInPandas) and the decoded RGB statistics are compared against
+    the oracle's closed-form arithmetic over the same palette mapping.
+    A wrong LZW width transition, palette lookup, or interlace pass
+    order changes the sums — a full value oracle on decoded bytes.
+    Per-asset output is O(1); bytes never visit the driver."""
+    import pandas as pd
+
+    from .operators.multimodal import decode_assets, encode_gif
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+    )
+    palette = b"".join(
+        bytes([j, (j * 3) % 256, (j * 7) % 256]) for j in range(256)
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 47 + 3, d % 19 + 2
+                idx = bytes((d * 5 + 11 * k) % 251 for k in range(w * h))
+                payloads.append(
+                    encode_gif(idx, w, h, palette, interlace=(d % 3 == 0))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    return dec.select(
+        "doc_id",
+        "width",
+        "height",
+        F.col("channels").cast("int").alias("channels"),
+        F.col("val_sum").alias("px_sum"),
+        F.round(
+            F.col("val_sum").cast("double") / F.col("n_values").cast("double"),
+            6,
+        ).alias("px_mean"),
+        F.col("val_min").cast("int").alias("px_min"),
+        F.col("val_max").cast("int").alias("px_max"),
+    )
+
+
+@query(
+    "q251_array_auc",
+    """
+    WITH pts AS (
+      SELECT event_type, value AS s,
+             CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ), lvl AS (
+      SELECT event_type, s,
+             COUNT(*) AS n, SUM(y) AS npos
+      FROM pts GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, s, n, npos,
+             COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_less
+      FROM lvl
+    ), agg AS (
+      SELECT event_type,
+             SUM(npos) AS p,
+             SUM(n) - SUM(npos) AS nneg,
+             SUM(CAST(npos AS DOUBLE)
+                 * (cum_less + (n + 1.0) / 2.0)) AS rank_sum
+      FROM cum GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(p AS BIGINT) AS n_pos,
+           CAST(nneg AS BIGINT) AS n_neg,
+           round((rank_sum - p * (p + 1.0) / 2.0)
+                 / (CAST(p AS DOUBLE) * nneg), 6) AS auc
+    FROM agg
+    """,
+)
+def q251(spark, sf_dir):
+    """ClickHouse ``arrayAUC``: ROC AUC of a score against a binary
+    label, via the rank formulation AUC = (R_pos − P(P+1)/2)/(P·N) with
+    AVERAGE ranks for ties (equivalent to the trapezoid-over-thresholds
+    definition CH uses).  The scale shape: scores collapse to DISTINCT
+    score levels first (one shuffle, same cardinality as a histogram),
+    the cumulative rank comes from a window over those levels, and the
+    final reduce is per group — raw rows are never sorted globally.
+    The label (user parity) is independent of the score, so AUC ~ 0.5;
+    the oracle checks the exact 6-dp value, not the interpretation."""
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.col("value").alias("s"),
+            F.when(F.col("user_id") % 3 == 0, 1).otherwise(0).alias("y"),
+        )
+    )
+    lvl = pts.groupBy("event_type", "s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("npos")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = lvl.withColumn(
+        "cum_less", F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    agg = cum.groupBy("event_type").agg(
+        F.sum("npos").alias("p"),
+        (F.sum("n") - F.sum("npos")).alias("nneg"),
+        F.sum(
+            F.col("npos").cast("double")
+            * (F.col("cum_less") + (F.col("n") + 1.0) / 2.0)
+        ).alias("rank_sum"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("p").cast("bigint").alias("n_pos"),
+        F.col("nneg").cast("bigint").alias("n_neg"),
+        F.round(
+            (F.col("rank_sum") - F.col("p") * (F.col("p") + 1.0) / 2.0)
+            / (F.col("p").cast("double") * F.col("nneg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@query(
+    "q252_group_array_sample",
+    """
+    WITH ranked AS (
+      SELECT event_type, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)
+             AS sample_ids
+    FROM ranked WHERE rn <= 5 GROUP BY event_type
+    """,
+)
+def q252(spark, sf_dir):
+    """ClickHouse ``groupArraySample(k)`` with a DETERMINISTIC,
+    engine-portable sampler: uniform sampling becomes "top-k by a
+    content hash of the key" (md5 of the decimal id string, id
+    tiebreak), which both engines compute bit-identically — so the
+    oracle pins the exact sampled ids, not just the count.  At scale
+    this is a per-group top-k (map-side partial possible via
+    TakeOrdered semantics), not a reservoir walk; sampling stays
+    stable under any repartitioning because the order key is content,
+    not arrival."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.select("event_type", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("event_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("sample_ids"),
+        )
+    )
+
+
+@query(
+    "q253_mean_z_test",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS xc,
+             user_id % 2 AS g
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(CASE WHEN g = 0 THEN 1 END) AS DOUBLE) AS n0,
+             CAST(COUNT(CASE WHEN g = 1 THEN 1 END) AS DOUBLE) AS n1,
+             CAST(SUM(CASE WHEN g = 0 THEN xc ELSE 0 END) AS DOUBLE) AS s0,
+             CAST(SUM(CASE WHEN g = 1 THEN xc ELSE 0 END) AS DOUBLE) AS s1,
+             CAST(SUM(CASE WHEN g = 0 THEN xc * xc ELSE 0 END) AS DOUBLE)
+               AS ss0,
+             CAST(SUM(CASE WHEN g = 1 THEN xc * xc ELSE 0 END) AS DOUBLE)
+               AS ss1
+      FROM q GROUP BY 1
+    ), z AS (
+      SELECT event_type, n0, n1,
+             (s0 / n0 - s1 / n1)
+             / sqrt((ss0 / n0 - (s0 / n0) * (s0 / n0)) / n0
+                    + (ss1 / n1 - (s1 / n1) * (s1 / n1)) / n1) AS zs
+      FROM s
+    ), p AS (
+      SELECT event_type, n0, n1, zs,
+             1.0 / (1.0 + 0.2316419 * abs(zs)) AS t
+      FROM z
+    )
+    SELECT event_type,
+           CAST(n0 AS BIGINT) AS n_a,
+           CAST(n1 AS BIGINT) AS n_b,
+           round(zs, 6) AS z_stat,
+           round(2.0 * (exp(-zs * zs / 2.0) / sqrt(2.0 * pi())
+                 * (0.319381530 * t - 0.356563782 * t * t
+                    + 1.781477937 * t * t * t
+                    - 1.821255978 * t * t * t * t
+                    + 1.330274429 * t * t * t * t * t)), 6)
+             AS p_two_sided
+    FROM p
+    """,
+)
+def q253(spark, sf_dir):
+    """ClickHouse ``meanZTest``: two-sample z-statistic using the
+    cohorts' own population variances, plus a two-sided p-value from
+    the Abramowitz-Stegun 26.2.17 normal-tail polynomial — an EXPLICIT
+    five-term formula both engines evaluate identically (neither Spark
+    nor DuckDB exposes erfc), so the p-value is oracle-checkable to
+    6 dp.  Determinism the q191 way: six exact cent-quantized integer
+    sums per event_type (one shuffle, partial-agg mergeable), then
+    fixed-order float math on a 5-row frame."""
+    import math
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    xc = F.round(F.col("value") * 100).cast("bigint")
+    g = F.col("user_id") % 2
+    q = ev.select("event_type", xc.alias("xc"), g.alias("g"))
+    s = q.groupBy("event_type").agg(
+        F.count(F.when(F.col("g") == 0, 1)).cast("double").alias("n0"),
+        F.count(F.when(F.col("g") == 1, 1)).cast("double").alias("n1"),
+        F.sum(F.when(F.col("g") == 0, F.col("xc")).otherwise(0))
+        .cast("double")
+        .alias("s0"),
+        F.sum(F.when(F.col("g") == 1, F.col("xc")).otherwise(0))
+        .cast("double")
+        .alias("s1"),
+        F.sum(F.when(F.col("g") == 0, F.col("xc") * F.col("xc")).otherwise(0))
+        .cast("double")
+        .alias("ss0"),
+        F.sum(F.when(F.col("g") == 1, F.col("xc") * F.col("xc")).otherwise(0))
+        .cast("double")
+        .alias("ss1"),
+    )
+    m0, m1 = F.col("s0") / F.col("n0"), F.col("s1") / F.col("n1")
+    v0 = F.col("ss0") / F.col("n0") - m0 * m0
+    v1 = F.col("ss1") / F.col("n1") - m1 * m1
+    zs = (m0 - m1) / F.sqrt(v0 / F.col("n0") + v1 / F.col("n1"))
+    z = s.select("event_type", "n0", "n1", zs.alias("zs"))
+    t = 1.0 / (1.0 + 0.2316419 * F.abs(F.col("zs")))
+    poly = (
+        0.319381530 * t
+        - 0.356563782 * t * t
+        + 1.781477937 * t * t * t
+        - 1.821255978 * t * t * t * t
+        + 1.330274429 * t * t * t * t * t
+    )
+    phi = F.exp(-F.col("zs") * F.col("zs") / 2.0) / math.sqrt(2.0 * math.pi)
+    return z.select(
+        "event_type",
+        F.col("n0").cast("bigint").alias("n_a"),
+        F.col("n1").cast("bigint").alias("n_b"),
+        F.round(F.col("zs"), 6).alias("z_stat"),
+        F.round(2.0 * phi * poly, 6).alias("p_two_sided"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

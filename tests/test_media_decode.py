@@ -175,3 +175,129 @@ def test_decode_assets_distributed_mixed_media(spark):
     assert (got[2]["val_min"], got[2]["val_max"]) == (-20, 30)
     assert got[3]["kind"] == "undecoded"
     assert got[4]["kind"] == "undecoded"
+
+
+# ---------------------------------------------------------------------
+# GIF (pure-stdlib LZW entropy decode)
+# ---------------------------------------------------------------------
+
+
+def _pal(n):
+    return b"".join(bytes([j % 256, (j * 3) % 256, (j * 7) % 256]) for j in range(n))
+
+
+def _rgb_of(pal, idx):
+    return b"".join(pal[3 * v : 3 * v + 3] for v in idx)
+
+
+def test_gif_roundtrip_noise_and_patterns():
+    """Random and structured index streams across LZW code-width
+    boundaries (511/512/513 entries) decode back bit-exactly."""
+    import random
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    rng = random.Random(11)
+    pal = _pal(256)
+    for w, h in [(1, 1), (17, 30), (64, 8), (61, 23)]:
+        for mk in (
+            lambda n: bytes(rng.randrange(251) for _ in range(n)),
+            lambda n: bytes([9] * n),
+            lambda n: bytes(i % 13 for i in range(n)),
+        ):
+            idx = mk(w * h)
+            W, H, C, rgb = decode_gif_pixels(encode_gif(idx, w, h, pal))
+            assert (W, H, C) == (w, h, 3)
+            assert rgb == _rgb_of(pal, idx)
+
+
+def test_gif_interlaced_roundtrip():
+    """The 4-pass interlace row order is undone exactly — a pass-order
+    bug scrambles rows and fails the byte compare."""
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    pal = _pal(256)
+    w, h = 10, 13  # odd height exercises all four passes unevenly
+    idx = bytes((r * w + c) % 251 for r in range(h) for c in range(w))
+    _, _, _, rgb = decode_gif_pixels(encode_gif(idx, w, h, pal, interlace=True))
+    assert rgb == _rgb_of(pal, idx)
+
+
+def test_gif_small_palette_and_table_reset():
+    """4-color palette (min code size 2) and a stream long enough to
+    fill the 4096-entry table and force a mid-stream CLEAR."""
+    import random
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    rng = random.Random(3)
+    pal4 = _pal(4)
+    idx = bytes(rng.randrange(4) for _ in range(200 * 160))
+    _, _, _, rgb = decode_gif_pixels(encode_gif(idx, 200, 160, pal4))
+    assert rgb == _rgb_of(pal4, idx)
+
+
+def test_gif_kwkwk_case():
+    """cScSc strings hit the code==next ('KwKwK') branch; aaa... is its
+    minimal trigger."""
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    pal = _pal(256)
+    idx = bytes([1] * 7)
+    _, _, _, rgb = decode_gif_pixels(encode_gif(idx, 7, 1, pal))
+    assert rgb == _rgb_of(pal, idx)
+
+
+def test_gif_malformed_inputs_raise():
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    with pytest.raises(ValueError):
+        decode_gif_pixels(b"NOTGIF89a")
+    blob = bytearray(encode_gif(bytes([1, 2, 3, 4]), 2, 2, _pal(256)))
+    with pytest.raises(ValueError):
+        decode_gif_pixels(bytes(blob[:20]))  # truncated mid-stream
+    # extension blocks are skipped: splice a GCE before the image
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    hdr_end = 13 + 3 * 256
+    spliced = bytes(blob[:hdr_end]) + gce + bytes(blob[hdr_end:])
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_real,
+    )
+
+    assert decode_real(spliced)[0] == "gif"
+
+
+def test_gif_decode_assets_distributed(spark):
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_assets,
+        encode_gif,
+    )
+
+    pal = _pal(256)
+    idx = bytes((5 * k) % 251 for k in range(12 * 9))
+    blob = encode_gif(idx, 12, 9, pal)
+    assets = spark.createDataFrame(
+        [(1, blob)], "doc_id long, payload binary"
+    )
+    r = decode_assets(assets).collect()[0]
+    rgb = _rgb_of(pal, idx)
+    assert r.kind == "gif"
+    assert (r.width, r.height, r.channels) == (12, 9, 3)
+    assert r.n_values == len(rgb)
+    assert r.val_sum == sum(rgb)
+    assert (r.val_min, r.val_max) == (min(rgb), max(rgb))
