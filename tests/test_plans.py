@@ -476,3 +476,58 @@ def test_group_array_intersect_never_collects_raw_arrays(spark):
     assert plan.count("partial_collect_list") == 1, plan
     assert "Generate" in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_kmv_raw_keys_never_shuffle(spark):
+    """q244's scale contract (mirror of the t-digest one): KMV level-1
+    runs inside the scan partitions — the partials plan has the Python
+    kernel and NO Exchange, so raw keys never shuffle; only ≤k-hash
+    sketch rows do."""
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        kmv_partials,
+    )
+    from syslog_handler_with_clickhouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderpriority", "o_custkey"
+    )
+    plan = formatted_plan(kmv_partials(o, "o_custkey", ["o_orderpriority"]))
+    assert "MapInPandas" in plan or "mapInPandas" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_time_decayed_agg_stays_native(spark):
+    """q245: the frame collect + higher-order reduction must be pure
+    JVM — any Python eval node means the per-row exponential math fell
+    out of codegen."""
+    df = QUERIES["q245_time_decayed_agg"](spark, SF_DIR)
+    assert python_eval_nodes(df) == [], formatted_plan(df)
+
+
+def test_autocorr_runs_on_compressed_series(spark):
+    """q248: the 48-lag self-join and stats join happen AFTER the
+    hourly pre-aggregation, with the small sides broadcast — the plan
+    must show broadcast joins and no SortMergeJoin over raw events."""
+    df = QUERIES["q248_series_period_autocorr"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert has_broadcast_hash_join(df), plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_auc_aggregates_score_levels_before_window(spark):
+    """q251: the rank window must run over DISTINCT score levels (the
+    level hash-aggregate sits below the Window node), never over raw
+    rows — that is what keeps the sort linear in level count."""
+    import re
+
+    df = QUERIES["q251_array_auc"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    w = re.search(r"^\(\d+\) Window", plan, re.M)
+    agg = re.search(r"^\(\d+\) HashAggregate", plan, re.M)
+    assert w and agg, plan
+    # formatted plans number nodes bottom-up within each subtree; the
+    # level aggregate must appear before (below) the window operator
+    first_window = plan.index("Window")
+    assert "HashAggregate" in plan[:first_window], plan
