@@ -238,6 +238,48 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(sig: DataFrame) -> DataFrame:
+    """Banded bucket keys for a signature frame: (doc, band, bh) with one
+    row per band.  posexplode(transform(...)) keeps the expression tree
+    16× smaller than an array-of-structs literal — materially faster to
+    codegen-compile.  Band key = portable_hash60 of the '|'-joined row
+    values so the oracle reproduces the exact buckets (concat_ws renders
+    bigints identically to DuckDB's array_to_string)."""
+    rpb = N_HASHES // N_BANDS
+    return sig.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: portable_hash60(
+                    F.concat_ws(
+                        "|",
+                        *[F.element_at("sig", b * rpb + r + 1) for r in range(rpb)],
+                    )
+                ),
+            )
+        ).alias("band", "bh"),
+    )
+
+
+def minhash_lsh_cross_pairs(sig_a: DataFrame, sig_b: DataFrame) -> DataFrame:
+    """CROSS-CORPUS LSH: candidate (doc_a, doc_b) pairs between two
+    DIFFERENT corpora (e.g. training data vs a benchmark suite for
+    fuzzy decontamination) — docs meet iff they agree on a full band.
+    Same linear-in-corpus equi-join shape as the self-join variant, but
+    no doc_a < doc_b halving (the corpora are distinct universes) and
+    the (typically tiny) benchmark side can broadcast."""
+    ba = minhash_bands(sig_a)
+    bb = minhash_bands(sig_b).select(
+        "band", "bh", F.col("doc").alias("doc_b")
+    )
+    return (
+        ba.join(bb, ["band", "bh"])
+        .select(F.col("doc").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame | None = None,
     text_col: str = "text",
@@ -252,26 +294,7 @@ def minhash_lsh_pairs(
     """
     if sig is None:
         sig = minhash_signatures(df, text_col, id_col, n)
-    rpb = N_HASHES // N_BANDS
-    # posexplode(transform(...)) keeps the expression tree 16× smaller than
-    # an array-of-structs literal — materially faster to codegen-compile.
-    # Band key = portable_hash60 of the '|'-joined row values so the oracle
-    # reproduces the exact buckets (concat_ws renders bigints identically to
-    # DuckDB's array_to_string).
-    bands = sig.select(
-        "doc",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda b: portable_hash60(
-                    F.concat_ws(
-                        "|",
-                        *[F.element_at("sig", b * rpb + r + 1) for r in range(rpb)],
-                    )
-                ),
-            )
-        ).alias("band", "bh"),
-    )
+    bands = minhash_bands(sig)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bh"])

@@ -11808,6 +11808,218 @@ def q253(spark, sf_dir):
     )
 
 
+@query(
+    "q254_stream_mg_heavy_hitters",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS user_id,
+           COUNT(*) AS exact_cnt,
+           TRUE AS mg_sound
+    FROM events
+    GROUP BY user_id
+    ORDER BY exact_cnt DESC, CAST(user_id AS BIGINT)
+    LIMIT 5
+    """,
+)
+def q254(spark, sf_dir):
+    """STREAMING Misra-Gries heavy hitters — the frequency twin of
+    q242's streaming t-digest: a real file-source stream whose
+    foreachBatch sink reduces each micro-batch to its MG summary
+    (value, est, err_total) and appends it to a store, releasing the
+    batch's sketch cache immediately (`unpersist_mg`) so state never
+    accumulates across batches.  One post-drain merge SUMS counters per
+    value and ADDS the per-batch error bounds — MG's mergeability: each
+    batch undercounts any key by at most its own err, so
+    est_merged ≤ exact ≤ est_merged + Σ err_i for present keys and
+    exact ≤ Σ err_i for absent ones, for ANY batch boundaries.  The
+    oracle pins exactly that soundness predicate on the exact top-5
+    (the q210 rule), so a merge that double-counted or dropped a batch
+    is a hard FAIL."""
+    import os
+    import tempfile
+
+    from .operators.sketches import mg_summarize, unpersist_mg
+
+    ev = _events_stream(spark, sf_dir).select("user_id")
+    base = tempfile.mkdtemp(prefix="mg_stream_")
+    store = os.path.join(base, "partials")
+
+    def sink(batch_df, batch_id):
+        sk = mg_summarize(batch_df, "user_id", k=64)
+        sk.select(
+            F.lit(int(batch_id)).alias("batch_id"),
+            F.col("value"),
+            F.col("est"),
+            F.col("err_total"),
+        ).write.mode("append").parquet(store)
+        unpersist_mg(sk)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"),
+    )
+    try:
+        q = (
+            ev.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    parts = spark.read.parquet(store)
+    err_total = (
+        parts.groupBy("batch_id")
+        .agg(F.max("err_total").alias("e"))
+        .agg(F.sum("e").alias("err_total"))
+    )
+    merged = parts.groupBy("value").agg(F.sum("est").alias("est"))
+
+    exact = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    w5 = Window.orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+    top5 = (
+        exact.withColumn("rk", F.row_number().over(w5))
+        .filter(F.col("rk") <= 5)
+        .select(F.col("user_id").cast("string").alias("user_id"), "exact_cnt")
+    )
+    joined = top5.crossJoin(F.broadcast(err_total)).join(
+        F.broadcast(merged.select(F.col("value").alias("user_id"), "est")),
+        "user_id",
+        "left",
+    )
+    sound = (
+        F.col("est").isNull() & (F.col("exact_cnt") <= F.col("err_total"))
+    ) | (
+        F.col("est").isNotNull()
+        & (F.col("est") <= F.col("exact_cnt"))
+        & (F.col("exact_cnt") <= F.col("est") + F.col("err_total"))
+    )
+    return joined.select("user_id", "exact_cnt", sound.alias("mg_sound"))
+
+
+@query(
+    "q255_fuzzy_decontaminate",
+    """
+    WITH train AS (
+      SELECT doc_id, text FROM documents
+    ), eval_set AS (
+      SELECT doc_id, text || ' eval' AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ), consts AS (
+      SELECT {a_list} AS ha, {b_list} AS hb
+    ), sh_t AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+               i -> CAST('0x' || substr(md5(array_to_string(
+                      list_slice(string_split(text, ' '), i, i + 2), ' ')), 1, 15)
+                    AS BIGINT)
+             )) AS shl
+      FROM train
+    ), sh_e AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+               i -> CAST('0x' || substr(md5(array_to_string(
+                      list_slice(string_split(text, ' '), i, i + 2), ' ')), 1, 15)
+                    AS BIGINT)
+             )) AS shl
+      FROM eval_set
+    ), sig_t AS (
+      SELECT doc,
+             list_transform(range(0, 64), k ->
+               list_min(list_transform(shl, x ->
+                 ((x % 2147483647) * ha[k + 1] + hb[k + 1]) % 2147483647))
+             ) AS sig
+      FROM sh_t CROSS JOIN consts WHERE len(shl) > 0
+    ), sig_e AS (
+      SELECT doc,
+             list_transform(range(0, 64), k ->
+               list_min(list_transform(shl, x ->
+                 ((x % 2147483647) * ha[k + 1] + hb[k + 1]) % 2147483647))
+             ) AS sig
+      FROM sh_e CROSS JOIN consts WHERE len(shl) > 0
+    ), bands_t AS (
+      SELECT doc, b AS band,
+             CAST('0x' || substr(md5(array_to_string(
+               list_slice(sig, b * 4 + 1, b * 4 + 4), '|')), 1, 15) AS BIGINT) AS bh
+      FROM sig_t, UNNEST(range(0, 16)) AS t(b)
+    ), bands_e AS (
+      SELECT doc, b AS band,
+             CAST('0x' || substr(md5(array_to_string(
+               list_slice(sig, b * 4 + 1, b * 4 + 4), '|')), 1, 15) AS BIGINT) AS bh
+      FROM sig_e, UNNEST(range(0, 16)) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT x.doc AS train_doc, y.doc AS eval_doc
+      FROM bands_t x JOIN bands_e y ON x.band = y.band AND x.bh = y.bh
+    )
+    SELECT c.train_doc, c.eval_doc,
+           CAST(len(list_filter(range(1, 65), i -> st.sig[i] = se.sig[i]))
+             AS DOUBLE) / 64.0 AS est_jaccard
+    FROM cand c
+    JOIN sig_t st ON st.doc = c.train_doc
+    JOIN sig_e se ON se.doc = c.eval_doc
+    WHERE CAST(len(list_filter(range(1, 65), i -> st.sig[i] = se.sig[i]))
+            AS DOUBLE) / 64.0 >= 0.5
+    """.format(
+        a_list=list(dedup._MINHASH_A), b_list=list(dedup._MINHASH_B)
+    ),
+)
+def q255(spark, sf_dir):
+    """FUZZY benchmark decontamination — the near-dup sibling of q88's
+    exact 5-gram overlap: MinHash signatures for the training corpus
+    and the benchmark set (here: every 5th doc with one appended token,
+    so matches are NEAR- not exact dups), CROSS-corpus LSH banding
+    (`operators/dedup.py:minhash_lsh_cross_pairs` — the same
+    linear-in-corpus equi-join as self-LSH, but between two universes,
+    with the small benchmark side free to broadcast), then signature-
+    agreement refinement at est_jaccard ≥ 0.5.  At 100 TB: train
+    signatures are one shuffle; the benchmark side is tiny by
+    definition, so contamination checking costs one broadcast-join scan
+    over the banded train table.  The oracle re-derives the entire
+    pipeline arithmetically (the q39 rule)."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.select("doc_id", "text")
+    eval_set = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" eval")).alias("text")
+    )
+    sig_t = dedup.minhash_signatures(train, "text", "doc_id").localCheckpoint(
+        eager=True
+    )
+    sig_e = dedup.minhash_signatures(
+        eval_set, "text", "doc_id"
+    ).localCheckpoint(eager=True)
+    cand = dedup.minhash_lsh_cross_pairs(sig_t, sig_e)
+    st = sig_t.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sa"))
+    se = sig_e.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sb"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sa", "sb", lambda a, b: (a == b).cast("int")),
+                lambda x: x == 1,
+            )
+        ).cast("double")
+        / 64.0
+    )
+    return (
+        cand.join(st, "doc_a")
+        .join(F.broadcast(se), "doc_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select(
+            F.col("doc_a").alias("train_doc"),
+            F.col("doc_b").alias("eval_doc"),
+            "est_jaccard",
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
