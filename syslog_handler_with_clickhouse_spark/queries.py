@@ -12020,6 +12020,226 @@ def q255(spark, sf_dir):
     )
 
 
+@query(
+    "q256_dict_functions",
+    """
+    SELECT c.c_custkey,
+           n.n_name AS nation_name,
+           COALESCE(n2.n_name, 'UNKNOWN') AS shifted_nation,
+           n3.n_nationkey IS NOT NULL AS has_shifted,
+           CASE WHEN n.n_name IS NULL THEN NULL
+                WHEN r.r_name IS NULL THEN n.n_name
+                ELSE n.n_name || '>' || r.r_name END AS hierarchy
+    FROM customer c
+    LEFT JOIN nation n  ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN nation n2 ON n2.n_nationkey = c.c_nationkey + 20
+    LEFT JOIN nation n3 ON n3.n_nationkey = c.c_nationkey + 20
+    LEFT JOIN region r  ON r.r_regionkey = n.n_regionkey
+    WHERE c.c_custkey % 13 = 0
+    """,
+)
+def q256(spark, sf_dir):
+    """ClickHouse external-dictionary surface (`functions/dicts.py`):
+    dictGetOrNull / dictGetOrDefault / dictHas / dictGetHierarchy over
+    the nation+region dims.  Each lookup is a BROADCAST left join —
+    the Spark-native shape of CH's in-memory dictionary: the dictionary
+    ships once, probes run inside codegen, the fact side never shuffles.
+    The shifted key (+20) exercises the miss paths: NULL for
+    dictGetOrNull, 'UNKNOWN' for the default variant, FALSE for
+    dictHas.  The hierarchy walk (nation → region) is a fixed
+    broadcast-join chain returning the names child-first, exported as a
+    '>'-joined string for the hash compare."""
+    from .functions import dicts
+
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 13 == 0)
+        .select("c_custkey", "c_nationkey")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    out = dicts.dict_get(
+        c, "c_nationkey", nation, "n_nationkey", "n_name", out="nation_name"
+    )
+    out = dicts.dict_get_or_default(
+        out,
+        F.col("c_nationkey") + 20,
+        nation,
+        "n_nationkey",
+        "n_name",
+        "UNKNOWN",
+        out="shifted_nation",
+    )
+    out = dicts.dict_has(
+        out, F.col("c_nationkey") + 20, nation, "n_nationkey", out="has_shifted"
+    )
+    out = dicts.dict_get_hierarchy(
+        out,
+        "c_nationkey",
+        [
+            (nation, "n_nationkey", "n_name", "n_regionkey"),
+            (region, "r_regionkey", "r_name", None),
+        ],
+        out="hier_arr",
+    )
+    return out.select(
+        "c_custkey",
+        "nation_name",
+        "shifted_nation",
+        "has_shifted",
+        F.when(
+            F.size("hier_arr") > 0, F.concat_ws(">", "hier_arr")
+        ).alias("hierarchy"),
+    )
+
+
+@query(
+    "q257_calibration_ece",
+    """
+    WITH scored AS (
+      SELECT (CAST(doc_id * 2654435761 AS BIGINT) % 1000) / 1000.0 AS conf,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+    ), binned AS (
+      SELECT CAST(floor(conf * 10) AS BIGINT) AS bin,
+             COUNT(*) AS n,
+             AVG(conf) AS avg_conf,
+             AVG(y) AS acc
+      FROM scored GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n) AS nt,
+             SUM(n * abs(acc - avg_conf)) / SUM(n) AS ece
+      FROM binned
+    )
+    SELECT b.bin,
+           CAST(b.n AS BIGINT) AS n,
+           round(b.avg_conf, 6) AS avg_conf,
+           round(b.acc, 6) AS observed_rate,
+           round(t.ece, 6) AS ece
+    FROM binned b CROSS JOIN tot t
+    """,
+)
+def q257(spark, sf_dir):
+    """Classifier-calibration evaluation for quality-filter pipelines:
+    a reliability table (10 confidence deciles -> mean confidence vs
+    observed positive rate) plus the Expected Calibration Error
+    ECE = Σ (n_b/n)·|acc_b − conf_b|.  The 'classifier' is a
+    deterministic hash score so both engines see identical confidences;
+    the machinery — decile binning, per-bin aggregates, weighted
+    deviation — is exactly what auditing a learned quality scorer over
+    a 100 TB corpus needs: one shuffle to 10 bins, everything after is
+    arithmetic on a 10-row frame (broadcast total)."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        (
+            (F.col("doc_id") * F.lit(2654435761)).cast("bigint") % 1000
+        ).cast("double").alias("raw"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    ).select((F.col("raw") / 1000.0).alias("conf"), "y")
+    binned = scored.groupBy(
+        F.floor(F.col("conf") * 10).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("conf").alias("avg_conf"),
+        F.avg("y").alias("acc"),
+    )
+    tot = binned.agg(
+        (
+            F.sum(F.col("n") * F.abs(F.col("acc") - F.col("avg_conf")))
+            / F.sum("n")
+        ).alias("ece")
+    )
+    return binned.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("avg_conf", 6).alias("avg_conf"),
+        F.round("acc", 6).alias("observed_rate"),
+        F.round("ece", 6).alias("ece"),
+    )
+
+
+@query(
+    "q258_pr_auc",
+    """
+    WITH pts AS (
+      SELECT event_type, value AS s,
+             CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ), lvl AS (
+      SELECT event_type, s, COUNT(*) AS n, SUM(y) AS npos
+      FROM pts GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, s,
+             SUM(npos) OVER w AS cpos,
+             SUM(n) OVER w AS cn,
+             SUM(npos) OVER (PARTITION BY event_type) AS p
+      FROM lvl
+      WINDOW w AS (PARTITION BY event_type ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), steps AS (
+      SELECT event_type,
+             (cpos - COALESCE(lag(cpos) OVER (
+                PARTITION BY event_type ORDER BY s DESC), 0))
+               / CAST(p AS DOUBLE) AS d_recall,
+             CAST(cpos AS DOUBLE) / cn AS precision_at
+      FROM cum
+    )
+    SELECT event_type,
+           round(SUM(d_recall * precision_at), 6) AS pr_auc
+    FROM steps GROUP BY event_type
+    """,
+)
+def q258(spark, sf_dir):
+    """Precision-Recall AUC (the imbalanced-data companion of q251's
+    ROC AUC) by STEP integration over distinct score thresholds,
+    descending: at each level, precision = cumpos/cumseen and the step
+    width is that level's recall gain; PR-AUC = Σ Δrecall·precision —
+    the standard right-step definition (equals average precision).
+    Same scale shape as q251: raw rows collapse to score levels before
+    any window; the integration is a window + sum over histogram-sized
+    data.  The hash-label baseline makes PR-AUC ≈ the positive rate
+    (~1/3) — the oracle checks the exact 6-dp value."""
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.col("value").alias("s"),
+            F.when(F.col("user_id") % 3 == 0, 1).otherwise(0).alias("y"),
+        )
+    )
+    lvl = pts.groupBy("event_type", "s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("npos")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("event_type")
+    wl = Window.partitionBy("event_type").orderBy(F.col("s").desc())
+    cum = lvl.select(
+        "event_type",
+        "s",
+        F.sum("npos").over(w).alias("cpos"),
+        F.sum("n").over(w).alias("cn"),
+        F.sum("npos").over(wp).alias("p"),
+    )
+    steps = cum.select(
+        "event_type",
+        (
+            (F.col("cpos") - F.coalesce(F.lag("cpos").over(wl), F.lit(0)))
+            / F.col("p").cast("double")
+        ).alias("d_recall"),
+        (F.col("cpos").cast("double") / F.col("cn")).alias("precision_at"),
+    )
+    return steps.groupBy("event_type").agg(
+        F.round(F.sum(F.col("d_recall") * F.col("precision_at")), 6).alias(
+            "pr_auc"
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

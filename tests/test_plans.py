@@ -531,3 +531,13 @@ def test_auc_aggregates_score_levels_before_window(spark):
     # level aggregate must appear before (below) the window operator
     first_window = plan.index("Window")
     assert "HashAggregate" in plan[:first_window], plan
+
+
+def test_dict_functions_fact_side_never_shuffles(spark):
+    """q256: every dictionary lookup must be a BroadcastHashJoin — the
+    CH in-memory-dictionary equivalent.  A SortMergeJoin or an Exchange
+    on the fact side means a lookup turned into a shuffle."""
+    df = QUERIES["q256_dict_functions"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert has_broadcast_hash_join(df), plan
+    assert "SortMergeJoin" not in plan, plan
