@@ -214,3 +214,136 @@ def cosine_topk_lsh(
         .withColumn("cos_sim", _cos("qvec", "nvec", "qn", "nn"))
     )
     return _ranked_topk(scored, k)
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-compression scale path
+# ---------------------------------------------------------------------
+
+
+def _pq_subvectors(emb: DataFrame, id_col, vec_col, m_sub: int, d_sub: int):
+    """Explode each vector into (vid, m, sv) sub-vector rows with the
+    sub-vector INTEGER-QUANTIZED (round(x·1000) per component): all
+    downstream distances and centroid means stay in exact integer/
+    decimal arithmetic, so training and encoding are bit-deterministic
+    under any partitioning."""
+    sv = F.transform(
+        F.slice(F.col(vec_col), F.col("m") * d_sub + 1, d_sub),
+        lambda x: F.round(x.cast("double") * 1000).cast("bigint"),
+    )
+    return (
+        emb.select(F.col(id_col).alias("vid"), F.col(vec_col))
+        .withColumn("m", F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))))
+        .select("vid", "m", sv.alias("sv"))
+    )
+
+
+def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid code per (vid, m): broadcast the codebook, exact
+    integer squared distance via zip_with, argmin with a code tiebreak."""
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = sub.join(F.broadcast(cent), "m").withColumn("d2", d2)
+    w = Window.partitionBy("vid", "m").orderBy("d2", "code")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vid", "m", "code", "sv")
+    )
+
+
+def pq_codebooks(
+    sub: DataFrame, m_sub: int, d_sub: int, n_codes: int, refine: int = 1
+) -> DataFrame:
+    """Per-subspace codebooks: centroids seeded from the sub-vectors of
+    the first ``n_codes`` ids (the IVF convention), then ``refine``
+    Lloyd passes.  Means are computed as exact integer sums divided and
+    re-rounded to integers, so every pass is deterministic — no float
+    accumulation order anywhere.  Returns (m, code, cv)."""
+    cent = sub.filter(F.col("vid") < n_codes).select(
+        "m", F.col("vid").cast("int").alias("code"), F.col("sv").alias("cv")
+    )
+    mean_cols = [
+        F.round(
+            F.sum(F.element_at("sv", i + 1)).cast("decimal(28,6)")
+            / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias(f"_c{i}")
+        for i in range(d_sub)
+    ]
+    for _ in range(refine):
+        assign = _pq_assign(sub, cent)
+        cent = (
+            assign.groupBy("m", "code")
+            .agg(*mean_cols)
+            .select(
+                "m",
+                "code",
+                F.array(*[F.col(f"_c{i}") for i in range(d_sub)]).alias("cv"),
+            )
+        )
+    return cent
+
+
+def pq_topk(
+    emb: DataFrame,
+    k: int = 10,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    refine: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred=None,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC):
+
+    1. split the ``dim``-d vector into ``m_sub`` subspaces;
+    2. train a ``n_codes``-entry codebook per subspace (deterministic
+       Lloyd, integer arithmetic — :func:`pq_codebooks`);
+    3. encode the corpus: each vector becomes ``m_sub`` small codes —
+       the 100 TB point: 64 floats (256 B) collapse to 8 code bytes,
+       so the scanned index is ~32× smaller than the raw vectors;
+    4. per query, build the ADC lookup table (exact distance from each
+       query sub-vector to every centroid — |queries|·m_sub·n_codes
+       rows, broadcast), then score the whole corpus by SUMMING table
+       entries selected by its codes: a linear scan over codes that
+       never touches corpus floats.
+
+    Returns (query_id, neighbor_id, adc_d2, rnk) — top-``k`` per query
+    by approximate distance, code/id tiebreaks, fully deterministic."""
+    d_sub = dim // m_sub
+    sub = _pq_subvectors(emb, id_col, vec_col, m_sub, d_sub)
+    cent = pq_codebooks(sub, m_sub, d_sub, n_codes, refine)
+    codes = _pq_assign(sub, cent).select("vid", "m", "code")
+
+    queries = sub
+    if query_pred is not None:
+        queries = queries.filter(query_pred)
+    lut_d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        queries.select(F.col("vid").alias("query_id"), "m", "sv")
+        .join(F.broadcast(cent), "m")
+        .select("query_id", "m", "code", lut_d2.alias("part_d2"))
+    )
+    scored = (
+        codes.withColumnRenamed("vid", "neighbor_id")
+        .join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("part_d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "rnk")
+    )

@@ -12240,6 +12240,125 @@ def q258(spark, sf_dir):
     )
 
 
+@query(
+    "q259_pq_ann",
+    """
+    WITH ql AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                   i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i])))
+               AS BIGINT) AS d2
+      FROM ql q JOIN ql c ON q.vec_id != c.vec_id
+      WHERE q.vec_id % 50 = 0
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2, neighbor_id) AS rk
+      FROM pairs
+    )
+    SELECT query_id,
+           string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY rk)
+             AS exact_top10,
+           TRUE AS recall_ok
+    FROM ranked WHERE rk <= 10 GROUP BY query_id
+    """,
+)
+def q259(spark, sf_dir):
+    """Product-quantization ANN (`operators/similarity.py:pq_topk`) —
+    the memory-compression scale path IVF (q63) doesn't cover: vectors
+    collapse to m_sub=16 one-byte codes (~16× smaller than raw floats),
+    queries scan CODES via a broadcast ADC lookup table, and only the
+    100 ADC-best candidates per query get exact re-ranking.  Training
+    (per-subspace Lloyd), encoding, and both distance passes run in
+    integer-quantized arithmetic, so the whole pipeline is
+    bit-deterministic under any partitioning.
+
+    Output per query: the EXACT top-10 (which the DuckDB oracle
+    re-derives verbatim — same quantized L2, same tiebreak) and a
+    pinned recall boolean: the re-ranked PQ top-10 must capture ≥ 50%
+    of the true top-10 (measured: ≥ 70% at every fixture scale for
+    m=16, 32 codes, 100 candidates — on near-random synthetic vectors,
+    the hardest case for PQ).  A broken codebook, ADC table, or re-rank
+    drops recall to ~k/N and hard-FAILs the literal-TRUE oracle."""
+    from .operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qi = lambda c: F.round(c.cast("double") * 1000).cast("bigint")  # noqa: E731
+    qd = F.aggregate(
+        F.zip_with("qv", "nv", lambda a, b: (qi(a) - qi(b)) * (qi(a) - qi(b))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+
+    # exact reference: quantized-L2 brute force, rank-ordered id string
+    exact_scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("d2", qd)
+    )
+    we = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact10 = (
+        exact_scored.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= 10)
+        .groupBy("query_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rk", "neighbor_id"))
+                    ),
+                    lambda s: s["neighbor_id"].cast("string"),
+                ),
+            ).alias("exact_top10"),
+            F.collect_set("neighbor_id").alias("exact_ids"),
+        )
+    )
+
+    # PQ: ADC top-100 candidates, then exact re-rank of just those
+    cand = pq_topk(
+        emb,
+        k=100,
+        m_sub=16,
+        n_codes=32,
+        query_pred=(F.col("vid") % 50 == 0),
+    ).select("query_id", "neighbor_id")
+    rer = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("d2", qd)
+    )
+    wr = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    pq10 = (
+        rer.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 10)
+        .groupBy("query_id")
+        .agg(F.collect_set("neighbor_id").alias("pq_ids"))
+    )
+    return (
+        exact10.join(pq10, "query_id")
+        .select(
+            "query_id",
+            "exact_top10",
+            (
+                F.size(F.array_intersect("exact_ids", "pq_ids")) >= 5
+            ).alias("recall_ok"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

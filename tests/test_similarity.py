@@ -284,3 +284,47 @@ def test_probe_media_marker_grammar_edge_cases():
     # unrecognized DIB size: identified as bmp, dims withheld
     weird = b"BM" + b"\x00" * 8 + struct.pack("<I", 30) + struct.pack("<I", 16) + b"\x00" * 8
     assert probe_media(weird) == ("bmp", None, None, None, None)
+
+
+def test_pq_deterministic_under_repartition(spark):
+    """PQ training/encoding/ADC are integer arithmetic end to end — the
+    full top-k output must be IDENTICAL for 1-partition and 16-partition
+    layouts of the same corpus."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pred = F.col("vid") % 100 == 0
+    a = pq_topk(emb.coalesce(1), k=10, m_sub=16, n_codes=32, query_pred=pred)
+    b = pq_topk(
+        emb.repartition(16), k=10, m_sub=16, n_codes=32, query_pred=pred
+    )
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+
+
+def test_pq_codebook_shape_and_code_range(spark):
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.similarity import (
+        _pq_assign,
+        _pq_subvectors,
+        pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sub = _pq_subvectors(emb, "vec_id", "embedding", 8, 8)
+    cent = pq_codebooks(sub, 8, 8, 16, refine=1)
+    rows = cent.collect()
+    assert {r.m for r in rows} == set(range(8))
+    assert all(0 <= r.code < 16 for r in rows)
+    assert all(len(r.cv) == 8 for r in rows)
+    codes = _pq_assign(sub, cent)
+    # exactly one code per (vid, m)
+    n_vec = emb.count()
+    assert codes.count() == n_vec * 8
+    assert codes.select(F.max("code")).collect()[0][0] < 16
