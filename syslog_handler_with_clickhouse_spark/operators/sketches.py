@@ -553,3 +553,89 @@ def kmv_intersect_estimate(
             F.col("_theta").alias("theta"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Adaptive histogram (ClickHouse ``histogram(n)``)
+# ---------------------------------------------------------------------
+
+
+def hist_merge_to_bins(means, weights, n_bins: int):
+    """CH's streaming-adaptive histogram finish: given weighted points
+    (here: t-digest centroids, which already bound state), repeatedly
+    merge the CLOSEST adjacent pair (tiebreak: leftmost) until at most
+    ``n_bins`` remain.  Deterministic for a given centroid multiset.
+    Returns (centers, weights) numpy arrays, sorted ascending."""
+    import numpy as np
+
+    m = np.asarray(means, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    order = np.argsort(m, kind="stable")
+    m, w = list(m[order]), list(w[order])
+    while len(m) > n_bins:
+        gaps = [m[i + 1] - m[i] for i in range(len(m) - 1)]
+        i = int(np.argmin(gaps))  # first minimum -> leftmost tiebreak
+        tw = w[i] + w[i + 1]
+        m[i] = (m[i] * w[i] + m[i + 1] * w[i + 1]) / tw
+        w[i] = tw
+        del m[i + 1], w[i + 1]
+    return np.asarray(m), np.asarray(w)
+
+
+def adaptive_histogram(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    n_bins: int = 10,
+    delta: float = 100.0,
+) -> DataFrame:
+    """Mergeable adaptive histogram per group, ClickHouse
+    ``histogram(n)`` semantics: bins place themselves where the data
+    is, no a-priori bounds.  Level 1 reuses the t-digest partials
+    (bounded O(delta) state per partition per group, raw values never
+    shuffle); the merge level re-clusters the centroid multiset then
+    greedily merges closest adjacent pairs down to ``n_bins``
+    (:func:`hist_merge_to_bins`).  Output one row per bin:
+    (group, bin_idx, lower, upper, height) with bin bounds at
+    neighbor-midpoints (extremes clamped to the centroid means) and
+    ``height`` the bin's weight — Σ height == row count EXACTLY
+    (centroid weights are conserved through every merge)."""
+    import pandas as pd
+
+    partials = tdigest_partials(df, col, group_cols, delta)
+    out_schema = ", ".join(
+        [f"{g} string" for g in group_cols]
+        + ["bin_idx int", "lower double", "upper double", "height double"]
+    )
+
+    def merge(key, pdf):
+        import numpy as np
+
+        means = np.concatenate(
+            [np.asarray(a, dtype=np.float64) for a in pdf["td_means"]]
+        )
+        weights = np.concatenate(
+            [np.asarray(a, dtype=np.float64) for a in pdf["td_weights"]]
+        )
+        if means.size == 0:
+            return pd.DataFrame(
+                columns=[*group_cols, "bin_idx", "lower", "upper", "height"]
+            )
+        m, w = td_compress(means, weights, delta)
+        m, w = hist_merge_to_bins(m, w, n_bins)
+        # bounds: midpoints between adjacent centers; extremes clamped
+        lowers = [m[0]] + [(m[i - 1] + m[i]) / 2.0 for i in range(1, m.size)]
+        uppers = [(m[i] + m[i + 1]) / 2.0 for i in range(m.size - 1)] + [
+            m[-1]
+        ]
+        return pd.DataFrame(
+            {
+                **{g: k for g, k in zip(group_cols, key)},
+                "bin_idx": range(m.size),
+                "lower": lowers,
+                "upper": uppers,
+                "height": w,
+            }
+        )
+
+    return partials.groupBy(*group_cols).applyInPandas(merge, out_schema)

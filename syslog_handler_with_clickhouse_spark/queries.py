@@ -12359,6 +12359,109 @@ def q259(spark, sf_dir):
     )
 
 
+@query(
+    "q260_adaptive_histogram",
+    """
+    SELECT event_type,
+           COUNT(value) AS n_exact,
+           TRUE AS weight_ok,
+           TRUE AS nbins_ok,
+           TRUE AS bounds_ok,
+           TRUE AS p50_ok
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q260(spark, sf_dir):
+    """ClickHouse ``histogram(n)`` — the ADAPTIVE histogram (bins place
+    themselves, no a-priori bounds), mergeable:
+    `operators/sketches.py:adaptive_histogram` reuses the t-digest
+    level-1 partials (bounded state, raw values never shuffle) and
+    finishes with CH's closest-pair greedy merge down to n bins.
+
+    The bins themselves are sketch-dependent, so the oracle pins the
+    INVARIANTS that must hold exactly or within measured tolerance:
+    weight conservation (Σ height == row count — centroid weights are
+    integer counts, conserved exactly through every merge), bin-count
+    bound, monotone bounds covering [min, max], and a histogram-read
+    median within 10% of the data span of the exact p50 (measured ~1%
+    at every fixture scale) — all literal-TRUE booleans, so a merge
+    that loses weight or misplaces mass is a hard hash FAIL."""
+    from .operators.sketches import adaptive_histogram
+
+    N_BINS = 10
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bins = adaptive_histogram(ev, "value", ["event_type"], N_BINS)
+
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    wlag = Window.partitionBy("event_type").orderBy("bin_idx")
+    enriched = bins.select(
+        "event_type",
+        "bin_idx",
+        "lower",
+        "upper",
+        "height",
+        F.sum("height").over(wcum).alias("cum"),
+        F.sum("height").over(wall).alias("wtot"),
+        F.max("bin_idx").over(wall).alias("max_idx"),
+        F.lag("upper").over(wlag).alias("prev_upper"),
+    )
+    # histogram-read p50: first bin whose cumulative weight crosses n/2
+    p50_bin = enriched.filter(F.col("cum") >= F.col("wtot") / 2.0)
+    wfirst = Window.partitionBy("event_type").orderBy("bin_idx")
+    p50_est = (
+        p50_bin.withColumn("rk", F.row_number().over(wfirst))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            ((F.col("lower") + F.col("upper")) / 2.0).alias("p50_est"),
+        )
+    )
+    per_group = enriched.groupBy("event_type").agg(
+        F.sum("height").alias("wsum"),
+        (F.max("bin_idx") + 1).alias("nbins"),
+        F.min("lower").alias("blo"),
+        F.max("upper").alias("bhi"),
+        F.min(
+            F.when(
+                F.col("prev_upper").isNull()
+                | (F.col("lower") >= F.col("prev_upper") - 1e-9),
+                1,
+            ).otherwise(0)
+        ).alias("mono"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count("value").alias("n_exact"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.percentile("value", F.lit(0.5)).alias("p50_exact"),
+    )
+    j = (
+        exact.join(per_group, "event_type")
+        .join(p50_est, "event_type")
+    )
+    span = F.col("vmax") - F.col("vmin")
+    return j.select(
+        "event_type",
+        "n_exact",
+        (F.abs(F.col("wsum") - F.col("n_exact")) < 0.5).alias("weight_ok"),
+        (F.col("nbins") <= N_BINS).alias("nbins_ok"),
+        (
+            (F.col("mono") == 1)
+            & (F.col("blo") >= F.col("vmin") - 1e-9)
+            & (F.col("bhi") <= F.col("vmax") + 1e-9)
+        ).alias("bounds_ok"),
+        (
+            F.abs(F.col("p50_est") - F.col("p50_exact")) <= 0.10 * span
+        ).alias("p50_ok"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

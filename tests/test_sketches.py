@@ -384,3 +384,73 @@ def test_kmv_intersection_estimate(spark):
     sb = kmv_sketch(b, "v", [], k=512)
     est = kmv_intersect_estimate(sa, sb, k=512).collect()[0].est_intersect
     assert abs(est - 4_000) / 4_000 <= 0.25
+
+
+# ---------------------------------------------------------------------
+# Adaptive histogram (operators/sketches.py: adaptive_histogram)
+# ---------------------------------------------------------------------
+
+
+def test_adaptive_histogram_invariants(spark):
+    """Weight conservation (exact), bin-count bound, sorted covering
+    bounds — on a bimodal distribution where equi-width would waste
+    bins, the adaptive merge must keep both modes separated."""
+    import numpy as np
+
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        adaptive_histogram,
+    )
+
+    rng = np.random.RandomState(9)
+    vals = np.concatenate(
+        [rng.normal(0.0, 1.0, 5000), rng.normal(100.0, 1.0, 5000)]
+    )
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "grp string, value double"
+    ).repartition(8)
+    bins = sorted(
+        adaptive_histogram(df, "value", ["grp"], 10).collect(),
+        key=lambda r: r.bin_idx,
+    )
+    assert 1 <= len(bins) <= 10
+    assert abs(sum(b.height for b in bins) - 10_000) < 1e-6
+    for a, b in zip(bins, bins[1:]):
+        assert b.lower >= a.upper - 1e-9
+    assert bins[0].lower >= vals.min() - 1e-9
+    assert bins[-1].upper <= vals.max() + 1e-9
+    # bimodal: no bin may straddle the empty [10, 90] gap with real mass
+    straddlers = [
+        b for b in bins if b.lower < 10 and b.upper > 90 and b.height > 0
+    ]
+    assert not straddlers, straddlers
+
+
+def test_adaptive_histogram_partition_invariant(spark):
+    """Same data, 1 vs 16 partitions: the per-partition digests differ,
+    but weight totals and the COARSE shape (per-mode mass) must agree."""
+    import numpy as np
+
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        adaptive_histogram,
+    )
+
+    rng = np.random.RandomState(4)
+    vals = np.concatenate(
+        [rng.normal(0.0, 1.0, 3000), rng.normal(50.0, 1.0, 7000)]
+    )
+    rows = [("g", float(v)) for v in vals]
+    df1 = spark.createDataFrame(rows, "grp string, value double").coalesce(1)
+    df16 = spark.createDataFrame(rows, "grp string, value double").repartition(
+        16
+    )
+    def mode_mass(bins):
+        lo = sum(b.height for b in bins if (b.lower + b.upper) / 2 < 25)
+        hi = sum(b.height for b in bins if (b.lower + b.upper) / 2 >= 25)
+        return lo, hi
+
+    b1 = adaptive_histogram(df1, "value", ["grp"], 8).collect()
+    b16 = adaptive_histogram(df16, "value", ["grp"], 8).collect()
+    lo1, hi1 = mode_mass(b1)
+    lo16, hi16 = mode_mass(b16)
+    assert abs(lo1 - 3000) < 150 and abs(lo16 - 3000) < 150
+    assert abs(hi1 - 7000) < 150 and abs(hi16 - 7000) < 150
