@@ -424,3 +424,52 @@ def simhash_buckets(df: DataFrame, text_col: str, id_col: str, prefix_bits: int 
     return sig.withColumn(
         "bucket", F.shiftrightunsigned(F.col("simhash"), SIMHASH_BITS - prefix_bits)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm) — the SUBSTRING-robust third fingerprinting family
+    beside MinHash (set resemblance) and SimHash (weighted cosine):
+    positioned word k-gram hashes, then the minimum of every length-w
+    hash window (leftmost-min tiebreak), distinct per doc.
+
+    The winnowing guarantee: any shared run of ≥ w+k-1 tokens between
+    two documents yields at least one SHARED fingerprint — so substring
+    containment (a snippet quoted inside a larger doc) is detectable
+    even when whole-document Jaccard is near zero, which is exactly
+    where LSH-on-minhash fails.  Density: ~2/(w+1) of positions selected.
+
+    Scale shape: grams stay positioned inside one Generate (no array
+    materialization), the window min is one (doc, pos) window over the
+    gram stream, and the output is the distinct-min inverted index —
+    the same fixed-width equi-join currency as ``shingle_table``.
+    Returns (doc, fp) rows."""
+    from pyspark.sql import Window
+
+    df = _spread(df, id_col)
+    wrd = F.split(F.col(text_col), " ")
+    n_grams = F.size(wrd) - F.lit(k - 1)
+    grams = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: portable_hash60(F.concat_ws(" ", F.slice(wrd, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    pos = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            n_grams.alias("ng"),
+            F.posexplode(grams).alias("pos", "h"),
+        )
+    )
+    win = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        pos.withColumn("wmin", F.min("h").over(win))
+        .filter(F.col("pos") <= F.greatest(F.col("ng") - w, F.lit(0)))
+        .select("doc", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+    return sel

@@ -12462,6 +12462,119 @@ def q260(spark, sf_dir):
     )
 
 
+@query(
+    "q261_winnowing_fingerprints",
+    """
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+    ), snips AS (
+      SELECT doc_id AS snip_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, 15), ' ')
+               AS text
+      FROM documents WHERE doc_id % 4 = 0
+    ), gd AS (
+      SELECT d.doc_id AS doc, t.i AS pos,
+             len(string_split(d.text, ' ')) - 2 AS ng,
+             CAST('0x' || substr(md5(array_to_string(
+               list_slice(string_split(d.text, ' '), t.i, t.i + 2), ' ')),
+               1, 15) AS BIGINT) AS h
+      FROM docs d, LATERAL (
+        SELECT unnest(range(1,
+          greatest(len(string_split(d.text, ' ')) - 2, 0) + 1)) AS i) t
+    ), gs AS (
+      SELECT s.snip_id AS doc, t.i AS pos,
+             len(string_split(s.text, ' ')) - 2 AS ng,
+             CAST('0x' || substr(md5(array_to_string(
+               list_slice(string_split(s.text, ' '), t.i, t.i + 2), ' ')),
+               1, 15) AS BIGINT) AS h
+      FROM snips s, LATERAL (
+        SELECT unnest(range(1,
+          greatest(len(string_split(s.text, ' ')) - 2, 0) + 1)) AS i) t
+    ), fpd AS (
+      SELECT DISTINCT doc, wmin AS fp FROM (
+        SELECT doc, pos, ng,
+               MIN(h) OVER (PARTITION BY doc ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        FROM gd)
+      WHERE pos <= greatest(ng - 4, 0) + 1
+    ), fps AS (
+      SELECT DISTINCT doc, wmin AS fp FROM (
+        SELECT doc, pos, ng,
+               MIN(h) OVER (PARTITION BY doc ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        FROM gs)
+      WHERE pos <= greatest(ng - 4, 0) + 1
+    ), cnt AS (
+      SELECT doc AS snip, COUNT(*) AS nfp FROM fps GROUP BY 1
+    ), shared AS (
+      SELECT s.doc AS snip, d.doc AS doc, COUNT(*) AS n_shared
+      FROM fps s JOIN fpd d ON d.fp = s.fp GROUP BY 1, 2
+    ), scored AS (
+      SELECT sh.snip, sh.doc,
+             round(CAST(sh.n_shared AS DOUBLE) / c.nfp, 6) AS containment
+      FROM shared sh JOIN cnt c ON c.snip = sh.snip
+    )
+    SELECT snip AS snip_id, doc AS matched_doc, containment
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY snip ORDER BY containment DESC, doc) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def q261(spark, sf_dir):
+    """Winnowing fingerprints (the MOSS algorithm,
+    `operators/dedup.py:winnow_fingerprints`) — SUBSTRING-robust
+    matching, the failure mode of whole-document MinHash: a 15-word
+    snippet quoted from a long doc has near-zero document Jaccard but,
+    by the winnowing guarantee (any shared run of ≥ w+k−1 tokens yields
+    a shared fingerprint), its winnowed minima collide with the source
+    doc's.  Pipeline: positioned word-3-gram hashes in one Generate,
+    min of every 4-hash window (one (doc, pos) window pass), distinct
+    minima as the fingerprint inverted index, then
+    containment(|FP_snip ∩ FP_doc| / |FP_snip|) via the same
+    fixed-width equi-join currency as the shingle table.  The query
+    plants snippets (first 15 words of every 4th doc) and reports each
+    snippet's best-containment doc — expected: its own source, at high
+    containment.  The oracle re-derives the full pipeline (portable
+    md5-60 hashes, identical window semantics, round-before-rank)."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "text")
+    snips = d.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("snip_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 15)).alias("text"),
+    )
+    fpd = dedup.winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
+    fps = dedup.winnow_fingerprints(snips, "text", "snip_id", k=3, w=4)
+    cnt = fps.groupBy(F.col("doc").alias("snip")).agg(
+        F.count(F.lit(1)).alias("nfp")
+    )
+    shared = (
+        fps.select(F.col("doc").alias("snip"), "fp")
+        .join(fpd.select(F.col("doc").alias("doc"), "fp"), "fp")
+        .groupBy("snip", "doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    scored = shared.join(cnt, "snip").select(
+        "snip",
+        "doc",
+        F.round(
+            F.col("n_shared").cast("double") / F.col("nfp"), 6
+        ).alias("containment"),
+    )
+    w1 = Window.partitionBy("snip").orderBy(
+        F.col("containment").desc(), F.col("doc").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("snip").alias("snip_id"),
+            F.col("doc").alias("matched_doc"),
+            "containment",
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

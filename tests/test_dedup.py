@@ -99,3 +99,53 @@ def test_hll_sketch_rollup_accuracy(spark):
     assert row.total_users_exact == exact
     assert row.est_within_5pct is True
     assert row.n_days >= 1
+
+
+def test_winnowing_substring_guarantee(spark):
+    """The winnowing theorem: any shared token run of length >= w+k-1
+    (here 6) yields at least one shared fingerprint — even when the
+    snippet is buried inside an otherwise unrelated document."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    quoted = "alpha bravo charlie delta echo foxtrot golf hotel"
+    host = (
+        "completely different prefix words here "
+        + quoted
+        + " and unrelated suffix tokens follow after"
+    )
+    df = spark.createDataFrame(
+        [(1, quoted), (2, host), (3, "nothing in common at all whatsoever")],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(df, "text", "doc_id", k=3, w=4)
+    by_doc = {
+        r.doc: set(x.fp for x in rows)
+        for r in fp.select("doc").distinct().collect()
+        for rows in [fp.filter(F.col("doc") == r.doc).collect()]
+    }
+    assert by_doc[1] & by_doc[2], "quoted run must share a fingerprint"
+    assert not (by_doc[1] & by_doc.get(3, set()))
+
+
+def test_winnowing_density_and_short_docs(spark):
+    """Selected positions ~2/(w+1) of gram count; docs shorter than one
+    window still emit >=1 fingerprint; docs below k words emit none."""
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    long_text = " ".join(f"tok{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "just four words here"), (3, "two words")],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(df, "text", "doc_id", k=3, w=4)
+    counts = {r[0]: r[1] for r in fp.groupBy("doc").count().collect()}
+    # 198 distinct grams, window w=4: density ~2/(w+1) — wide slack
+    assert 40 <= counts[1] <= 120, counts
+    assert counts[2] >= 1  # 2 grams < w -> one window over all grams
+    assert 3 not in counts  # 2 words < k -> no grams at all
