@@ -12575,6 +12575,52 @@ def q261(spark, sf_dir):
     )
 
 
+@query(
+    "q262_aggregate_remainder_tail",
+    """
+    SELECT user_id,
+           round(CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                          * (user_id % 5 + 1)) AS DOUBLE)
+                 / 100.0 / SUM(user_id % 5 + 1), 6) AS avg_weighted,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_val,
+           COUNT(value) AS cnt,
+           CASE WHEN COUNT(DISTINCT event_type) = 1
+                THEN MIN(event_type) ELSE NULL END AS single_event_type
+    FROM events
+    WHERE user_id IS NOT NULL AND value IS NOT NULL AND user_id % 7 = 0
+    GROUP BY user_id
+    """,
+)
+def q262(spark, sf_dir):
+    """The last uncovered ClickHouse aggregate stragglers in one pass:
+    ``avgWeighted`` (exact cent-quantized weighted mean — the integer
+    numerator makes the result order-independent), ``sumCount`` (the
+    (sum, count) pair, exported as exact-decimal double + bigint), and
+    and ``singleValueOrNull`` (the value iff the group is single-valued,
+    else NULL, via a countDistinct == 1 guard, one scan).
+    Per-user groups over a sampled id range; one shuffle, all
+    partial-agg mergeable."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("user_id") % 7 == 0)
+    )
+    wgt = (F.col("user_id") % 5 + 1)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return ev.groupBy("user_id").agg(
+        F.round(
+            F.sum(cents * wgt).cast("double") / 100.0 / F.sum(wgt),
+            6,
+        ).alias("avg_weighted"),
+        (F.sum(cents).cast("double") / 100.0).alias("sum_val"),
+        F.count("value").alias("cnt"),
+        F.when(
+            F.countDistinct("event_type") == 1, F.min("event_type")
+        ).alias("single_event_type"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -541,3 +541,42 @@ def test_dict_functions_fact_side_never_shuffles(spark):
     plan = formatted_plan(df)
     assert has_broadcast_hash_join(df), plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
+    """100 TB posture: when a shuffle join's build side carries a
+    selective predicate, Spark's InjectRuntimeFilter should plant a
+    bloom_filter_agg on the build side and a might_contain guard on the
+    probe side scan — rows that can't join die before the shuffle.  The
+    default application-side threshold (10 GB scanned) only trips on
+    real clusters, so the test lowers it; everything else is stock."""
+    from pyspark.sql import functions as F
+
+    prev_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+        assert "bloom_filter_agg" in opt, opt
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_thresh,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
