@@ -639,3 +639,28 @@ def adaptive_histogram(
         )
 
     return partials.groupBy(*group_cols).applyInPandas(merge, out_schema)
+
+
+def kmv_anotb_estimate(
+    sk_a: DataFrame, sk_b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Theta-sketch A-NOT-B, completing the KMV set algebra (union =
+    re-trimmed merge, intersection = :func:`kmv_intersect_estimate`):
+    cut both retained sets at theta = min(theta_a, theta_b); A-hashes
+    below theta NOT present in B's sketch are a uniform theta-rate
+    sample of A \\ B, so |A \\ B| ~= |sample| / theta.  Native
+    array_except + filter on single sketch rows."""
+    a = sk_a.select(F.col("kmv_hashes").alias("ha"), F.col("theta").alias("ta"))
+    b = sk_b.select(F.col("kmv_hashes").alias("hb"), F.col("theta").alias("tb"))
+    theta = F.least("ta", "tb")
+    only = F.size(
+        F.filter(F.array_except("ha", "hb"), lambda x: x < F.col("_theta"))
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .withColumn("_theta", theta)
+        .select(
+            (only.cast("double") / F.col("_theta")).alias("est_anotb"),
+            F.col("_theta").alias("theta"),
+        )
+    )

@@ -10990,6 +10990,12 @@ def q243(spark, sf_dir):
     SELECT 'URGENT|HIGH' AS set_expr,
            COUNT(DISTINCT o_custkey) AS exact_distinct, TRUE AS within_15pct
     FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    UNION ALL
+    SELECT 'URGENT-HIGH' AS set_expr,
+           COUNT(*) AS exact_distinct, TRUE AS within_15pct
+    FROM (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH') t
     """,
 )
 def q244(spark, sf_dir):
@@ -11005,7 +11011,11 @@ def q244(spark, sf_dir):
     measured worst case 5.6% at sf0.1, so the 15% envelope is ~5 sigma.
     The oracle pins exact counts and expects literal TRUE for every
     within_15pct — a broken estimator is a hard hash FAIL."""
-    from .operators.sketches import kmv_intersect_estimate, kmv_sketch
+    from .operators.sketches import (
+        kmv_anotb_estimate,
+        kmv_intersect_estimate,
+        kmv_sketch,
+    )
 
     K = 1024
     o = _t(spark, sf_dir, "orders")
@@ -11065,7 +11075,28 @@ def q244(spark, sf_dir):
             <= 0.15 * F.col("exact_distinct")
         ).alias("within_15pct"),
     )
-    return per.unionByName(inter_row).unionByName(union_row)
+    anotb_est = kmv_anotb_estimate(a, b, K)
+    exact_anotb = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .subtract(
+            o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    anotb_row = exact_anotb.crossJoin(F.broadcast(anotb_est)).select(
+        F.lit("URGENT-HIGH").alias("set_expr"),
+        "exact_distinct",
+        (
+            F.abs(F.col("est_anotb") - F.col("exact_distinct"))
+            <= 0.15 * F.col("exact_distinct")
+        ).alias("within_15pct"),
+    )
+    return (
+        per.unionByName(inter_row)
+        .unionByName(union_row)
+        .unionByName(anotb_row)
+    )
 
 
 @query(
@@ -12618,6 +12649,55 @@ def q262(spark, sf_dir):
         F.when(
             F.countDistinct("event_type") == 1, F.min("event_type")
         ).alias("single_event_type"),
+    )
+
+
+@query(
+    "q263_encoding_functions",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             substr(text, 1, 30) AS frag
+      FROM documents WHERE doc_id % 9 = 0
+    )
+    SELECT doc_id,
+           base64(encode(frag)) AS b64,
+           decode(from_base64(base64(encode(frag)))) = frag AS b64_roundtrip,
+           hex(frag) AS hexed,
+           decode(unhex(hex(frag))) = frag AS hex_roundtrip,
+           bin(doc_id) AS id_bin,
+           hex(doc_id * 255) AS id_hex
+    FROM d
+    """,
+)
+def q263(spark, sf_dir):
+    """ClickHouse encoding-function family: base64Encode/Decode,
+    hex/unhex over strings, bin/hex over integers — byte-identical
+    across engines (Spark and DuckDB both emit unpadded-uppercase hex
+    and RFC 4648 base64; fragments are capped at 30 chars, below any
+    MIME line-wrap boundary).  Both roundtrip booleans go through the
+    full encode → decode cycle, so an alphabet or padding divergence is
+    a hard FAIL, not just a different-looking string.  Pure projection,
+    whole-stage codegen."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 0)
+        .select("doc_id", F.substring("text", 1, 30).alias("frag"))
+    )
+    fb = F.col("frag").cast("binary")
+    b64 = F.base64(fb)
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        (F.unbase64(b64).cast("string") == F.col("frag")).alias(
+            "b64_roundtrip"
+        ),
+        F.hex("frag").alias("hexed"),
+        (F.unhex(F.hex("frag")).cast("string") == F.col("frag")).alias(
+            "hex_roundtrip"
+        ),
+        F.bin("doc_id").alias("id_bin"),
+        F.hex(F.col("doc_id") * 255).alias("id_hex"),
     )
 
 
