@@ -12701,6 +12701,217 @@ def q263(spark, sf_dir):
     )
 
 
+_SCRIPT_HAN = "中文字数据分析系统流"
+_SCRIPT_CYR = "абвгдежз"
+_SCRIPT_AR = "ابتثجحخد"
+
+
+@query(
+    "q264_script_detection",
+    """
+    WITH mixed AS (
+      SELECT doc_id,
+             substr(text, 1, 40)
+               || ' ' || repeat(substr('{han}', doc_id % 10 + 1, 1),
+                                CAST(doc_id % 4 AS INT))
+               || repeat(substr('{cyr}', doc_id % 8 + 1, 1),
+                         CAST(doc_id % 3 AS INT))
+               || repeat(substr('{ar}', doc_id % 6 + 1, 1),
+                         CAST(doc_id % 2 AS INT)) AS t
+      FROM documents WHERE doc_id % 11 = 0
+    ), counts AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '\\p{{Han}}')) AS n_han,
+             len(regexp_extract_all(t, '\\p{{Cyrillic}}')) AS n_cyr,
+             len(regexp_extract_all(t, '\\p{{Arabic}}')) AS n_ar,
+             len(regexp_extract_all(t, '[A-Za-z]')) AS n_latin
+      FROM mixed
+    )
+    SELECT doc_id, n_han, n_cyr, n_ar, n_latin,
+           CASE WHEN n_han >= n_cyr AND n_han >= n_ar AND n_han >= n_latin
+                  THEN 'han'
+                WHEN n_latin >= n_cyr AND n_latin >= n_ar THEN 'latin'
+                WHEN n_cyr >= n_ar THEN 'cyrillic'
+                ELSE 'arabic' END AS dominant_script
+    FROM counts
+    """.format(han=_SCRIPT_HAN, cyr=_SCRIPT_CYR, ar=_SCRIPT_AR),
+)
+def q264(spark, sf_dir):
+    """Unicode SCRIPT detection — the corpus-curation sibling of q43's
+    n-gram language ID, covering the scripts n-grams can't separate
+    (Han/Cyrillic/Arabic vs Latin): per-script codepoint counts via
+    Unicode script classes, dominant script by fixed precedence.  The
+    cross-engine subtlety is the regex DIALECT: Java (Spark) spells
+    script classes \\p{IsHan}, RE2 (DuckDB) spells them \\p{Han} — the
+    two sides use different pattern strings for the same semantics, and
+    the oracle proves they agree on every count.  Mixed-script text is
+    constructed deterministically from literal alphabets (repeat counts
+    keyed on doc_id) since the synthetic fixture is ASCII-only; the
+    counting machinery is exactly what a 100 TB curation pass runs.
+    Character-indexed substr is UTF-8-aware on both engines."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select(
+            "doc_id",
+            F.concat(
+                F.substring("text", 1, 40),
+                F.lit(" "),
+                F.repeat(
+                    F.substring(
+                        F.lit(_SCRIPT_HAN), (F.col("doc_id") % 10 + 1).cast("int"), 1
+                    ),
+                    (F.col("doc_id") % 4).cast("int"),
+                ),
+                F.repeat(
+                    F.substring(
+                        F.lit(_SCRIPT_CYR), (F.col("doc_id") % 8 + 1).cast("int"), 1
+                    ),
+                    (F.col("doc_id") % 3).cast("int"),
+                ),
+                F.repeat(
+                    F.substring(
+                        F.lit(_SCRIPT_AR), (F.col("doc_id") % 6 + 1).cast("int"), 1
+                    ),
+                    (F.col("doc_id") % 2).cast("int"),
+                ),
+            ).alias("t"),
+        )
+    )
+    counts = d.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(r"\p{IsHan}")).alias("n_han"),
+        F.regexp_count("t", F.lit(r"\p{IsCyrillic}")).alias("n_cyr"),
+        F.regexp_count("t", F.lit(r"\p{IsArabic}")).alias("n_ar"),
+        F.regexp_count("t", F.lit(r"[A-Za-z]")).alias("n_latin"),
+    )
+    han, cyr, ar, lat = (
+        F.col("n_han"),
+        F.col("n_cyr"),
+        F.col("n_ar"),
+        F.col("n_latin"),
+    )
+    dom = (
+        F.when((han >= cyr) & (han >= ar) & (han >= lat), "han")
+        .when((lat >= cyr) & (lat >= ar), "latin")
+        .when(cyr >= ar, "cyrillic")
+        .otherwise("arabic")
+    )
+    return counts.select(
+        "doc_id",
+        "n_han",
+        "n_cyr",
+        "n_ar",
+        "n_latin",
+        dom.alias("dominant_script"),
+    )
+
+
+@query(
+    "q265_path_analysis",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events WHERE user_id IS NOT NULL
+    ), collapsed AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS step
+      FROM ordered WHERE prev IS NULL OR event_type != prev
+    ), paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY step) AS path
+      FROM collapsed WHERE step <= 5 GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def q265(spark, sf_dir):
+    """User-journey PATH analysis (the Sankey-diagram source, CH's
+    sequenceNextNode generalized to whole paths): per user, the first 5
+    steps of the event-type sequence with consecutive repeats collapsed
+    (view>view>click becomes view>click), then path frequencies.  Two
+    window passes sharing one user_id partitioning + one path-level
+    aggregate; top-20 with a total-order tiebreak.  The repeat-collapse
+    uses lag() within the SAME sort the step numbering uses, so both
+    engines see identical paths."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    kept = ordered.filter(
+        F.col("prev").isNull() | (F.col("event_type") != F.col("prev"))
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    collapsed = kept.withColumn("step", F.row_number().over(ws)).filter(
+        F.col("step") <= 5
+    )
+    paths = collapsed.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("step", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )
+
+
+@query(
+    "q266_orc_roundtrip",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_val
+    FROM events
+    WHERE value IS NOT NULL AND event_id % 3 = 0
+    GROUP BY event_type
+    """,
+)
+def q266(spark, sf_dir):
+    """ORC source/sink round trip — the second columnar format beside
+    Parquet (both are first-class Spark-native scans with pushdown and
+    pruning): the filtered events subset is written as ORC (zstd) to a
+    scratch dir, read BACK through the ORC reader, and aggregated; the
+    oracle aggregates the same subset straight from parquet, so any
+    value/type mangling through the ORC writer-reader pair (timestamp
+    precision, decimal widening, NULL handling) breaks the hash."""
+    import os
+    import tempfile
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("event_id") % 3 == 0))
+        .select("event_id", "event_type", "value")
+    )
+    base = tempfile.mkdtemp(prefix="orc_rt_")
+    path = os.path.join(base, "events_orc")
+    ev.write.mode("overwrite").option("compression", "zstd").orc(path)
+    back = spark.read.orc(path)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents).cast("double") / 100.0).alias("sum_val"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
