@@ -12912,6 +12912,149 @@ def q266(spark, sf_dir):
     )
 
 
+@query(
+    "q267_window_funnel_modes",
+    """
+    WITH coded AS (
+      SELECT user_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                  ELSE 'e' END AS code,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             ts, event_id
+      FROM events WHERE user_id IS NOT NULL
+    ), seqs AS (
+      SELECT user_id,
+             string_agg(code, '' ORDER BY ts, event_id) AS seq
+      FROM coded GROUP BY user_id
+    ), lv AS (
+      SELECT user_id,
+             MAX(CASE WHEN code = 'v' THEN 1 ELSE 0 END) AS l1,
+             MAX(CASE WHEN code = 'c' AND min_v_before < tsec
+                      THEN 1 ELSE 0 END) AS l2,
+             MAX(CASE WHEN code = 'p' AND min_c2_before < tsec
+                      THEN 1 ELSE 0 END) AS l3
+      FROM (
+        SELECT user_id, code, tsec, min_v_before,
+               MIN(CASE WHEN code = 'c' AND min_v_before < tsec
+                        THEN tsec END) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS min_c2_before
+        FROM (
+          SELECT user_id, code, tsec, ts, event_id,
+                 MIN(CASE WHEN code = 'v' THEN tsec END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS min_v_before
+          FROM coded)
+      ) GROUP BY user_id
+    )
+    SELECT s.user_id,
+           CAST(CASE
+             WHEN regexp_matches(s.seq, 'v[^v]*c[^vc]*p') THEN 3
+             WHEN regexp_matches(s.seq, 'v[^v]*c') THEN 2
+             WHEN regexp_matches(s.seq, 'v') THEN 1
+             ELSE 0 END AS INT) AS level_strict_dedup,
+           CAST(CASE WHEN lv.l3 = 1 THEN 3
+                     WHEN lv.l2 = 1 THEN 2
+                     WHEN lv.l1 = 1 THEN 1
+                     ELSE 0 END AS INT) AS level_strict_increase
+    FROM seqs s JOIN lv ON lv.user_id = s.user_id
+    """,
+)
+def q267(spark, sf_dir):
+    """The two remaining ClickHouse ``windowFunnel`` modes beside loose
+    (q97/q163) and strict_order (q241):
+
+    - ``strict_dedup`` — a REPEAT of an already-matched condition
+      interrupts the funnel (a second view before the click kills the
+      v→c advance): one regex with per-step exclusion classes over the
+      q207 total-ordered event string.
+    - ``strict_increase`` — matched steps need STRICTLY increasing
+      timestamps, which a regex over codes cannot see.  The Spark side
+      is a greedy FOLD over the time-ordered event list with the state
+      packed into one BIGINT (level·2^44 + last_matched_tsec) via
+      native ``aggregate``.  The ORACLE deliberately uses a DIFFERENT
+      formulation — running-window minima (earliest view before each
+      click, earliest qualified click before each purchase) — which
+      equals the greedy fold by the exchange argument (taking the
+      earliest valid step only relaxes future constraints), so the two
+      independent derivations cross-validate each other.  A
+      ``list_reduce`` mirror of the fold was tried first and REJECTED:
+      DuckDB 1.0's list_reduce returns different results for the same
+      group depending on what other rows are in the table (2 of 1500
+      users flipped at sf0.1; the same SQL filtered to those users
+      gives the correct level) — a vectorization bug worth knowing
+      about.  Second-truncated timestamps make real ties, so the
+      mode's constraint actually bites.
+
+    One shuffle per user; both modes evaluate on the same grouped pass."""
+    T = 17592186044416  # 2^44
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    code = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    cid = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .otherwise(0)
+        .cast("bigint")
+    )
+    packed = cid * T + F.unix_timestamp("ts")
+    coded = ev.select(
+        "user_id",
+        F.struct(
+            "ts", "event_id", code.alias("code"), packed.alias("ev")
+        ).alias("e"),
+    )
+    s = coded.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("e")), lambda x: x["code"]
+            ),
+            "",
+        ).alias("seq"),
+        F.transform(
+            F.array_sort(F.collect_list("e")), lambda x: x["ev"]
+        ).alias("evs"),
+    )
+    dedup_level = (
+        F.when(F.col("seq").rlike("v[^v]*c[^vc]*p"), 3)
+        .when(F.col("seq").rlike("v[^v]*c"), 2)
+        .when(F.col("seq").rlike("v"), 1)
+        .otherwise(0)
+        .cast("int")
+    )
+
+    def step(acc, x):
+        lvl = (acc / T).cast("bigint")
+        last = acc % T
+        c = (x / T).cast("bigint")
+        ts = x % T
+        advance = (c == lvl + 1) & ((lvl == 0) | (ts > last))
+        return F.when(advance, (lvl + 1) * T + ts).otherwise(acc)
+
+    inc_level = (
+        F.aggregate(
+            F.concat(F.array(F.lit(0).cast("bigint")), F.col("evs")),
+            F.lit(0).cast("bigint"),
+            step,
+        )
+        / T
+    ).cast("int")
+    return s.select(
+        "user_id",
+        dedup_level.alias("level_strict_dedup"),
+        inc_level.alias("level_strict_increase"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
