@@ -13055,6 +13055,124 @@ def q267(spark, sf_dir):
     )
 
 
+@query(
+    "q268_running_uniques",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS first_day
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), new_by_day AS (
+      SELECT first_day AS day, COUNT(*) AS new_users
+      FROM firsts GROUP BY first_day
+    ), dau AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS active_users
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           d.active_users,
+           COALESCE(n.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+             ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS BIGINT) AS cumulative_uniques
+    FROM dau d LEFT JOIN new_by_day n ON n.day = d.day
+    """,
+)
+def q268(spark, sf_dir):
+    """Running CUMULATIVE distinct users by day — the classic growth
+    metric that naive running `COUNT(DISTINCT)` windows cannot compute
+    at scale (distinct state would accumulate across the whole frame).
+    The scale-safe identity: cumulative uniques to day D = Σ over days
+    ≤ D of users whose FIRST event falls on that day — one min-per-user
+    shuffle (partial-agg mergeable), a tiny day-level frame, and a
+    running sum over ~30 rows.  Daily actives ride the same scan."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    day = F.date_trunc("day", "ts").cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    new_by_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    dau = ev.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = dau.join(new_by_day, "day", "left").select(
+        "day",
+        "active_users",
+        F.coalesce("new_users", F.lit(0)).alias("new_users"),
+    )
+    return joined.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "active_users",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_uniques"),
+    )
+
+
+@query(
+    "q269_light_stemmer",
+    """
+    WITH toks AS (
+      SELECT lower(t.w) AS w
+      FROM documents d, LATERAL (
+        SELECT unnest(string_split(d.text, ' ')) AS w) t
+      WHERE t.w != ''
+    ), stemmed AS (
+      SELECT regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(w, 'sses$', 'ss'),
+                   'ies$', 'i'),
+                 'ing$', ''),
+               '([^s])s$', '\\\\1') AS stem
+      FROM toks
+    )
+    SELECT stem, COUNT(*) AS cnt
+    FROM stemmed WHERE stem != ''
+    GROUP BY stem
+    ORDER BY cnt DESC, stem
+    LIMIT 20
+    """,
+)
+def q269(spark, sf_dir):
+    """ClickHouse ``stem()`` approximated by a deterministic LIGHT
+    stemmer (S-stemmer + -ing strip): four ordered regex rules both
+    engines apply identically — sses→ss, ies→i, -ing strip, trailing
+    -s strip guarded so 'ss' survives.  Rule-based stemming is exactly
+    what a vocabulary-normalization pass over a 100 TB corpus runs
+    when per-token model inference is too expensive: one Generate, one
+    hash aggregate on the stem, top-20 with a total-order tiebreak.
+    (Snowball's full rule set is more of the same chained-regex
+    machinery.)"""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    stem = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("w"), "sses$", "ss"),
+                "ies$",
+                "i",
+            ),
+            "ing$",
+            "",
+        ),
+        "([^s])s$",
+        "$1",
+    )
+    return (
+        toks.select(stem.alias("stem"))
+        .filter(F.col("stem") != "")
+        .groupBy("stem")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "stem")
+        .limit(20)
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
