@@ -13173,6 +13173,64 @@ def q269(spark, sf_dir):
     )
 
 
+@query(
+    "q270_snapshot_changefeed",
+    """
+    SELECT 'insert' AS change_type, event_type,
+           COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM events WHERE event_id % 3 = 1
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'delete' AS change_type, event_type,
+           COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM events WHERE event_id % 3 = 0 AND user_id % 5 = 0
+    GROUP BY event_type
+    """,
+)
+def q270(spark, sf_dir):
+    """CDC changefeed READ between snapshot versions
+    (`sources/snapshots.py:snapshot_diff`) — the consumer side of the
+    store's mutation story (q165 writes, this reads what changed):
+    v1 = the %3==0 slice, v2 = append of the %3==1 slice, v3 =
+    transactional delete of uid%5==0 rows from the first slice.
+    diff(v1 → v3) must surface exactly: INSERTS = the whole appended
+    slice, DELETES = the erased rows — which the oracle derives
+    straight from the base table.  Scale property: immutable data
+    files named in both manifests are skipped WITHOUT READING — the
+    diff's cost tracks the size of the change, not the table; the
+    row-level exceptAll over just the changed-file subsets trims
+    rewrite-copied rows out of the feed.  Updates would surface as
+    delete+insert pairs, the standard changefeed encoding."""
+    import tempfile
+
+    from .sources.snapshots import (
+        rewrite_snapshot,
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    path = tempfile.mkdtemp(prefix="cdcq_") + "/store"
+    write_snapshot(ev.filter(F.col("event_id") % 3 == 0), path)  # v1
+    write_snapshot(ev.filter(F.col("event_id") % 3 == 1), path)  # v2
+    rewrite_snapshot(  # v3
+        spark,
+        path,
+        lambda df: df.filter(
+            ~((F.col("event_id") % 3 == 0) & (F.col("user_id") % 5 == 0))
+        ),
+    )
+    feed = snapshot_diff(spark, path, 1, 3)
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -377,3 +377,50 @@ def vacuum(path: str, keep_last: int = 1, min_versions_to_keep: int = 1) -> int:
         if f.startswith("v") and f.endswith(".json") and int(f[1:-5]) not in keep_versions:
             os.remove(os.path.join(mdir, f))
     return removed
+
+
+def snapshot_diff(spark, path: str, v_from: int, v_to: int) -> DataFrame:
+    """CDC-style changefeed between two snapshot versions: every row
+    inserted or deleted between ``v_from`` and ``v_to``, tagged with a
+    ``_change_type`` column ('insert' / 'delete').
+
+    The 100 TB property comes from file immutability: a data file named
+    in BOTH manifests is bit-identical in both snapshots, so the diff
+    only READS files added or removed between the versions — cost
+    scales with the size of the CHANGE, not the table.  Rewrites copy
+    surviving rows into new files, so the file-level diff overstates;
+    a row-level ``exceptAll`` between just the changed-file subsets
+    (multiset semantics — duplicate rows diff by count) trims it to the
+    true row changefeed.  Updates surface as delete+insert pairs, the
+    standard changefeed encoding."""
+    from pyspark.sql import functions as F
+
+    ma = _read_manifest(path, v_from)["files"]
+    mb = _read_manifest(path, v_to)["files"]
+    names_a = {e["name"] for e in ma}
+    names_b = {e["name"] for e in mb}
+    only_a = sorted(names_a - names_b)
+    only_b = sorted(names_b - names_a)
+    ddir = _data_dir(path)
+
+    def read_files(names, like):
+        if names:
+            return spark.read.parquet(
+                *[os.path.join(ddir, n) for n in names]
+            )
+        # empty side: preserve schema from any file of the other set
+        return spark.read.parquet(
+            *[os.path.join(ddir, n) for n in like]
+        ).limit(0)
+
+    if not only_a and not only_b:
+        base = sorted(names_a) or sorted(names_b)
+        empty = read_files([], base) if base else None
+        if empty is None:
+            raise FileNotFoundError(f"both snapshots at {path} are empty")
+        return empty.withColumn("_change_type", F.lit("insert")).limit(0)
+    a = read_files(only_a, only_b)
+    b = read_files(only_b, only_a)
+    inserted = b.exceptAll(a).withColumn("_change_type", F.lit("insert"))
+    deleted = a.exceptAll(b).withColumn("_change_type", F.lit("delete"))
+    return inserted.unionByName(deleted)

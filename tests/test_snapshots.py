@@ -192,3 +192,54 @@ def test_bloom_integral_column_no_false_negative(spark, tmp_path):
     # and the pruning read path agrees
     got = sn.read_snapshot(spark, store, bloom=("key", 42 * 1000 + 7))
     assert got.count() == 201  # file kept (value present)
+
+
+def test_snapshot_diff_reads_only_changed_files(spark, tmp_path):
+    """The CDC diff must (a) produce exactly the inserted/deleted rows
+    and (b) prove the file-level skip: appending a slice leaves v1's
+    files untouched, so diff(v1, v2) reads ONLY the new files."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "store")
+    df1 = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    df2 = spark.range(100, 130).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_snapshot(df1, path)
+    write_snapshot(df2, path)
+    m1 = {e["name"] for e in _read_manifest(path, 1)["files"]}
+    m2 = {e["name"] for e in _read_manifest(path, 2)["files"]}
+    assert m1 < m2  # append keeps v1 files — immutability
+    feed = snapshot_diff(spark, path, 1, 2)
+    rows = feed.collect()
+    assert all(r._change_type == "insert" for r in rows)
+    assert sorted(r.k for r in rows) == list(range(100, 130))
+
+
+def test_snapshot_diff_rewrite_emits_delete_only_for_erased(spark, tmp_path):
+    """A rewrite copies survivors into new files; the row-level
+    exceptAll must trim them so only truly-erased rows appear as
+    deletes (and nothing as insert)."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.sources.snapshots import (
+        rewrite_snapshot,
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "store")
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    write_snapshot(df, path)
+    rewrite_snapshot(spark, path, lambda d: d.filter(F.col("k") % 10 != 0))
+    feed = snapshot_diff(spark, path, 1, 2).collect()
+    assert all(r._change_type == "delete" for r in feed)
+    assert sorted(r.k for r in feed) == [0, 10, 20, 30, 40]
