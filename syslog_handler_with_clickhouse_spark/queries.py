@@ -13231,6 +13231,79 @@ def q270(spark, sf_dir):
     )
 
 
+@query(
+    "q271_incremental_mv_changefeed",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           round(CAST(SUM(event_id) AS DOUBLE) / COUNT(*), 6) AS avg_event_id
+    FROM events
+    WHERE (event_id % 3 = 0 OR event_id % 3 = 1)
+      AND NOT (event_id % 3 = 0 AND user_id % 5 = 0)
+    GROUP BY event_type
+    """,
+)
+def q271(spark, sf_dir):
+    """TRUE incremental view maintenance, end to end
+    (`sources/mv.py:refresh_mv_from_changefeed`): a per-type count/sum
+    MV tracks a mutating snapshot store using ONLY CDC deltas — the
+    append arrives as +partials, the GDPR-style delete-rewrite arrives
+    as −partials from the changefeed (count/sum are self-inverting
+    algebraic aggregates), and the raw table is never rescanned after
+    the initial batch.  Sequence: v1 = %3==0 slice → MV init;
+    v2 = append %3==1 → fold diff(v1,v2); v3 = delete uid%5==0 of the
+    first slice → fold diff(v2,v3).  The final MV state must equal the
+    oracle's direct aggregate over the equivalent filter — a drift of
+    even one row in either direction breaks n / sum / avg.  Refresh
+    cost is O(|change| + |groups|); the changefeed reads only changed
+    files (q270)."""
+    import tempfile
+
+    from .sources.mv import read_mv, refresh_mv, refresh_mv_from_changefeed
+    from .sources.snapshots import rewrite_snapshot, write_snapshot
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    base = tempfile.mkdtemp(prefix="imvq_")
+    src_path = base + "/source"
+    mv_path = base + "/mv"
+
+    s1 = ev.filter(F.col("event_id") % 3 == 0)
+    write_snapshot(s1, src_path)  # v1
+    refresh_mv(s1, mv_path, ["event_type"], ["event_id"], batch_id=1)
+
+    write_snapshot(ev.filter(F.col("event_id") % 3 == 1), src_path)  # v2
+    refresh_mv_from_changefeed(
+        spark, mv_path, src_path, ["event_type"], ["event_id"], 1, 2,
+        batch_id=2,
+    )
+
+    rewrite_snapshot(  # v3: transactional erasure
+        spark,
+        src_path,
+        lambda df: df.filter(
+            ~((F.col("event_id") % 3 == 0) & (F.col("user_id") % 5 == 0))
+        ),
+    )
+    refresh_mv_from_changefeed(
+        spark, mv_path, src_path, ["event_type"], ["event_id"], 2, 3,
+        batch_id=3,
+    )
+
+    state = read_mv(spark, mv_path)
+    return state.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_event_id").cast("bigint").alias("sum_event_id"),
+        F.round(
+            F.col("sum_event_id").cast("double") / F.col("n").cast("double"),
+            6,
+        ).alias("avg_event_id"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

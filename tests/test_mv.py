@@ -69,3 +69,45 @@ def test_new_groups_join_existing_state(spark, tmp_path):
     )
     got = {r["k"]: (r["n"], r["sum_v"]) for r in read_mv(spark, path).collect()}
     assert got == {"a": (5, 10), "b": (4, 6)}
+
+
+def test_changefeed_mv_matches_full_recompute(spark, tmp_path):
+    """The changefeed-maintained MV must equal a from-scratch aggregate
+    of the final source state after append + delete mutations,
+    including a group deleted down to zero (dropped from state)."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.sources.mv import (
+        read_mv,
+        refresh_mv,
+        refresh_mv_from_changefeed,
+    )
+    from syslog_handler_with_clickhouse_spark.sources.snapshots import (
+        read_snapshot,
+        rewrite_snapshot,
+        write_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    d1 = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 10), ("c", 100)], "k string, v long"
+    )
+    write_snapshot(d1, src)  # v1
+    refresh_mv(d1, mv, ["k"], ["v"], batch_id=1)
+    d2 = spark.createDataFrame([("a", 3), ("d", 7)], "k string, v long")
+    write_snapshot(d2, src)  # v2
+    refresh_mv_from_changefeed(spark, mv, src, ["k"], ["v"], 1, 2, batch_id=2)
+    rewrite_snapshot(spark, src, lambda df: df.filter(F.col("k") != "c"))  # v3
+    refresh_mv_from_changefeed(spark, mv, src, ["k"], ["v"], 2, 3, batch_id=3)
+
+    got = {r.k: (r.n, r.sum_v) for r in read_mv(spark, mv).collect()}
+    want = {
+        r.k: (r.n, r.sum_v)
+        for r in read_snapshot(spark, src)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == want
+    assert "c" not in got  # zero-count group dropped, not kept at n=0
