@@ -13304,6 +13304,165 @@ def q271(spark, sf_dir):
     )
 
 
+@query(
+    "q272_sliding_distinct_kmv",
+    """
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           (SELECT COUNT(DISTINCT e.user_id)
+            FROM events e
+            WHERE e.user_id IS NOT NULL
+              AND CAST(date_trunc('day', e.ts) AS DATE)
+                  BETWEEN d.day - INTERVAL 6 DAY AND d.day)
+             AS exact_7d_uniques,
+           TRUE AS kmv_within_10pct
+    FROM days d
+    """,
+)
+def q272(spark, sf_dir):
+    """Sliding-window distinct via MERGEABLE sketches — the query exact
+    distinct cannot serve at scale: 7-day rolling unique users needs
+    either a 7× rescan per day or per-day distinct SETS merged over the
+    window; HLL registers don't expose a native Spark window-merge, but
+    KMV hash arrays DO, because the merge is pure array algebra.  Per
+    day: the k smallest distinct user hashes (one sketch row per day,
+    via `kmv_partials` + native per-day trim).  Per 7-day window: flatten
+    the frame's arrays, array_distinct, re-trim to k — the same
+    native merge as `kmv_merge`, just running INSIDE a window frame —
+    then (k−1)/h_k.  Sketch state per day is O(k); the window pass
+    touches day-level rows only.  The oracle pins the exact 7-day
+    distinct (correlated per day) and a literal-TRUE 10% envelope
+    (k=1024 → ~3.1% rel-stddev; measured well inside)."""
+    from .operators.sketches import kmv_partials
+
+    K = 1024
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    day = F.date_trunc("day", "ts").cast("date")
+    partials = kmv_partials(
+        ev.select(day.alias("day"), "user_id"), "user_id", ["day"], K
+    )
+    per_day = partials.groupBy("day").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv_hashes")))),
+            1,
+            K,
+        ).alias("h")
+    )
+    # window merge: flatten the 7-day frame's sketch arrays, re-trim
+    wday = (
+        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    merged = per_day.withColumn(
+        "hw",
+        F.slice(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("h").over(wday)))
+            ),
+            1,
+            K,
+        ),
+    )
+    est = F.when(
+        F.size("hw") < K, F.size("hw").cast("double")
+    ).otherwise(F.lit(float(K - 1)) / F.element_at("hw", K))
+    with_est = merged.withColumn("est", est)
+
+    exact = (
+        ev.select(day.alias("d2"), "user_id")
+        .alias("e")
+        .join(
+            per_day.select(F.col("day").alias("dref")).alias("r"),
+            (F.col("e.d2") >= F.date_sub(F.col("r.dref"), 6))
+            & (F.col("e.d2") <= F.col("r.dref")),
+        )
+        .groupBy("dref")
+        .agg(F.countDistinct("user_id").alias("exact_7d_uniques"))
+    )
+    return (
+        with_est.join(exact, with_est["day"] == exact["dref"])
+        .select(
+            F.date_format(with_est["day"], "yyyy-MM-dd").alias("day"),
+            "exact_7d_uniques",
+            (
+                F.abs(F.col("est") - F.col("exact_7d_uniques"))
+                <= 0.10 * F.col("exact_7d_uniques")
+            ).alias("kmv_within_10pct"),
+        )
+    )
+
+
+@query(
+    "q273_bfs_frontier",
+    """
+    WITH RECURSIVE nodes AS (
+      SELECT DISTINCT user_id AS id FROM events WHERE user_id IS NOT NULL
+    ), edges AS (
+      SELECT id AS src, (id * 2 + 1) % 1000 AS dst FROM nodes
+      UNION ALL
+      SELECT id AS src, (id * 3 + 7) % 1000 AS dst FROM nodes
+    ), walk(node, d) AS (
+      SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+      UNION ALL
+      SELECT e.dst, w.d + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 6
+    )
+    SELECT d AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS id_sum
+    FROM (SELECT node, MIN(d) AS d FROM walk GROUP BY node)
+    GROUP BY d
+    """,
+)
+def q273(spark, sf_dir):
+    """Distributed BFS — iterative frontier expansion, the graph
+    traversal pattern connected components (q69) doesn't cover: from
+    node 0 over a deterministic functional graph on the user-id space
+    (each node points at 2n+1 mod 1000 and 3n+7 mod 1000), 6 levels of
+    frontier ⋈ edges with visited-set subtraction.  Per round: ONE
+    equi-join shuffle + localCheckpoint to truncate lineage (the same
+    iterative-algorithm hygiene as q69); the frontier and visited set
+    are node-sized, never edge-path-sized — at 100 TB the working set
+    is the VERTEX set, which is what makes level-synchronous BFS the
+    scalable formulation.  The oracle re-derives distances with a
+    recursive CTE (UNION ALL walk bounded at depth 6, then MIN(d) per
+    node), and the output compares the full per-level profile."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    nodes = ev.select(F.col("user_id").alias("id")).distinct()
+    edges = nodes.select(
+        F.col("id").alias("src"), ((F.col("id") * 2 + 1) % 1000).alias("dst")
+    ).unionByName(
+        nodes.select(
+            F.col("id").alias("src"),
+            ((F.col("id") * 3 + 7) % 1000).alias("dst"),
+        )
+    ).localCheckpoint(eager=True)
+
+    spark_ = ev.sparkSession
+    visited = spark_.createDataFrame([(0, 0)], "node long, dist int")
+    frontier = visited
+    for depth in range(1, 7):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.groupBy(F.col("dist").alias("dist")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("node").cast("bigint").alias("id_sum"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
