@@ -13463,6 +13463,232 @@ def q273(spark, sf_dir):
     )
 
 
+@query(
+    "q274_weighted_sample",
+    """
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             pow(
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                    AS BIGINT) / 4503599627370496.0,
+               1.0 / n_chars) AS key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, round(key, 10) AS sample_key
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY round(key, 10) DESC, doc_id) AS rn
+          FROM scored)
+    WHERE rn <= 25
+    """,
+)
+def q274(spark, sf_dir):
+    """Weighted random sampling WITHOUT replacement, the
+    Efraimidis-Spirakis A-ES algorithm: each item draws u ~ U(0,1) and
+    keeps key = u^(1/w); the k largest keys are an exact weighted
+    sample.  The property that makes it THE distributed weighted
+    sampler: keys are computed independently per row (one pass, no
+    coordination), and top-k by key is a TakeOrdered — so a 100 TB
+    weighted sample is one scan plus a k-row reduce, and the sample is
+    reproducible because u comes from a content hash (md5 of the id,
+    13 hex digits → exact /2^52 in both engines) rather than an RNG.
+    Weights here are document lengths — longer docs proportionally more
+    likely, the standard token-budget corpus-sampling move.  The
+    oracle re-derives keys bit-identically; ranking compares
+    10-dp-rounded keys with an id tiebreak."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("double") / float(1 << 52)
+    key = F.pow(u, 1.0 / F.col("n_chars"))
+    scored = d.select("doc_id", "n_chars", F.round(key, 10).alias("key"))
+    w = Window.orderBy(F.col("key").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("doc_id", "n_chars", F.col("key").alias("sample_key"))
+    )
+
+
+@query(
+    "q275_rendezvous_hashing",
+    """
+    WITH assign AS (
+      SELECT user_id,
+             (SELECT b FROM (
+                SELECT t.b,
+                       CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                            || '#' || CAST(t.b AS VARCHAR)), 1, 15)
+                         AS BIGINT) AS hv
+                FROM (SELECT unnest(range(0, 8)) AS b) t
+              ) x ORDER BY hv DESC, b LIMIT 1) AS bucket8,
+             (SELECT b FROM (
+                SELECT t.b,
+                       CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                            || '#' || CAST(t.b AS VARCHAR)), 1, 15)
+                         AS BIGINT) AS hv
+                FROM (SELECT unnest(range(0, 8)) AS b) t
+                WHERE t.b != 3
+              ) x ORDER BY hv DESC, b LIMIT 1) AS bucket7
+      FROM (SELECT DISTINCT user_id FROM events
+            WHERE user_id IS NOT NULL) u
+    )
+    SELECT CAST(bucket8 AS INT) AS bucket8,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN bucket7 != bucket8 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_remapped,
+           BOOL_AND(bucket7 = bucket8 OR bucket8 = 3) AS only_removed_moved
+    FROM assign GROUP BY bucket8
+    """,
+)
+def q275(spark, sf_dir):
+    """Rendezvous (highest-random-weight) hashing — the consistent
+    partition-assignment scheme behind CH's consistent-hash functions
+    and every shard router: key → argmax over buckets of
+    hash(key, bucket).  Its defining guarantee, pinned EXACTLY by the
+    oracle: removing bucket 3 remaps ONLY the keys that lived on
+    bucket 3 (every other key's argmax is untouched) —
+    ``only_removed_moved`` must be literal TRUE per group, and
+    ``n_remapped`` is 0 for every surviving bucket.  Native shape: the
+    per-key argmax is a transform over a constant 8-element array +
+    array_max — a pure projection, no join, no shuffle beyond the
+    final count; at 100 TB this is exactly how a repartition-free
+    shard-assignment audit runs.  Hashes are the portable md5-60
+    currency, so DuckDB reproduces the argmax bit-for-bit."""
+    from .operators.dedup import portable_hash60
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = ev.select("user_id").distinct()
+
+    def argmax_bucket(exclude=None):
+        buckets = [b for b in range(8) if b != exclude]
+        hv = [
+            F.struct(
+                portable_hash60(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("#"),
+                        F.lit(str(b)),
+                    )
+                ).alias("hv"),
+                F.lit(-b).alias("negb"),
+            )
+            for b in buckets
+        ]
+        return (-F.array_max(F.array(*hv))["negb"]).cast("int")
+
+    assign = u.select(
+        "user_id",
+        argmax_bucket().alias("bucket8"),
+        argmax_bucket(exclude=3).alias("bucket7"),
+    )
+    return assign.groupBy("bucket8").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(
+            F.when(F.col("bucket7") != F.col("bucket8"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_remapped"),
+        F.bool_and(
+            (F.col("bucket7") == F.col("bucket8")) | (F.col("bucket8") == 3)
+        ).alias("only_removed_moved"),
+    )
+
+
+_CORRM_COLS = [
+    ("l_quantity", 100),
+    ("l_extendedprice", 100),
+    ("l_discount", 10000),
+    ("l_tax", 10000),
+]
+
+
+def _corrm_oracle() -> str:
+    quant = {
+        c: f"CAST(round({c} * {s}) AS BIGINT)" for c, s in _CORRM_COLS
+    }
+    names = [c for c, _ in _CORRM_COLS]
+    sums = ["COUNT(*) AS n"]
+    for c in names:
+        sums.append(f"SUM(CAST({quant[c]} AS HUGEINT)) AS s_{c}")
+        sums.append(
+            f"SUM(CAST({quant[c]} AS HUGEINT) * {quant[c]}) AS ss_{c}"
+        )
+    pairs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            sums.append(
+                f"SUM(CAST({quant[a]} AS HUGEINT) * {quant[b]}) AS sp_{a}_{b}"
+            )
+            pairs.append((a, b))
+    sel = []
+    for a, b in pairs:
+        cov = (
+            f"(CAST(sp_{a}_{b} AS DOUBLE) - CAST(s_{a} AS DOUBLE)"
+            f" * CAST(s_{b} AS DOUBLE) / n)"
+        )
+        va = f"(CAST(ss_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE) / n)"
+        vb = f"(CAST(ss_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE) / n)"
+        sel.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"round({cov} / sqrt({va} * {vb}), 6) AS corr FROM s"
+        )
+    return (
+        "WITH s AS (SELECT "
+        + ", ".join(sums)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(sel)
+    )
+
+
+@query("q276_corr_matrix", _corrm_oracle())
+def q276(spark, sf_dir):
+    """ClickHouse ``corrMatrix``: ALL pairwise Pearson correlations of
+    four lineitem measures in ONE aggregation pass — n + 4 sums +
+    4 square-sums + 6 cross-sums, every one an EXACT integer
+    (cent/basis-point quantized, widened to DECIMAL(38,0)/HUGEINT so
+    1e19-magnitude squares can't wrap), then a fixed-order float
+    epilogue per pair rounded to 6 dp.  One shuffle total vs six
+    separate corr() scans — the q98 mergeable-moments rule generalized
+    to the matrix, which is how feature-correlation audits run over
+    100 TB feature tables."""
+    li = _t(spark, sf_dir, "lineitem")
+    names = [c for c, _ in _CORRM_COLS]
+    q = {
+        c: F.round(F.col(c) * s).cast("bigint").cast("decimal(38,0)")
+        for c, s in _CORRM_COLS
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in names:
+        aggs.append(F.sum(q[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(q[c] * q[c]).alias(f"ss_{c}"))
+    pairs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(F.sum(q[a] * q[b]).alias(f"sp_{a}_{b}"))
+            pairs.append((a, b))
+    s = li.agg(*aggs)
+    nd = F.col("n").cast("double")
+    corr_cols = []
+    for a, b in pairs:
+        sa = F.col(f"s_{a}").cast("double")
+        sb = F.col(f"s_{b}").cast("double")
+        cov = F.col(f"sp_{a}_{b}").cast("double") - sa * sb / nd
+        va = F.col(f"ss_{a}").cast("double") - sa * sa / nd
+        vb = F.col(f"ss_{b}").cast("double") - sb * sb / nd
+        corr_cols.append(
+            F.round(cov / F.sqrt(va * vb), 6).alias(f"{a}__{b}")
+        )
+    # one wide row -> unpivot via stack: the aggregate runs ONCE, not
+    # once per pair
+    wide = s.select(*corr_cols)
+    stack = (
+        f"stack({len(pairs)}, "
+        + ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs)
+        + ") as (col_a, col_b, corr)"
+    )
+    return wide.selectExpr(stack)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
