@@ -13689,6 +13689,156 @@ def q276(spark, sf_dir):
     return wide.selectExpr(stack)
 
 
+@query(
+    "q277_benford_audit",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS INT) AS d
+      FROM lineitem WHERE l_extendedprice > 0
+    ), obs AS (
+      SELECT d, COUNT(*) AS n FROM digits GROUP BY d
+    ), tot AS (
+      SELECT SUM(n) AS nt FROM obs
+    )
+    SELECT o.d AS first_digit,
+           CAST(o.n AS BIGINT) AS n,
+           round(CAST(o.n AS DOUBLE) / t.nt, 6) AS observed_p,
+           round(log10(1.0 + 1.0 / o.d), 6) AS benford_p,
+           round((CAST(o.n AS DOUBLE) / t.nt - log10(1.0 + 1.0 / o.d))
+                 * (CAST(o.n AS DOUBLE) / t.nt - log10(1.0 + 1.0 / o.d))
+                 / log10(1.0 + 1.0 / o.d) * t.nt, 6) AS chi2_contrib
+    FROM obs o CROSS JOIN tot t
+    """,
+)
+def q277(spark, sf_dir):
+    """Benford's-law first-digit audit — the classic anomaly/fraud
+    screen for financial measures: observed first-significant-digit
+    shares vs the Benford expectation log10(1 + 1/d), with per-digit
+    chi-squared contributions.  First digit extracted from the EXACT
+    cent-quantized integer's decimal rendering (identical on both
+    engines — no float-format dependence); one shuffle to 9 rows,
+    everything after is arithmetic on the tiny digit frame.  On a
+    100 TB ledger this is one scan; the fixture's uniform-ish prices
+    predictably FAIL Benford (huge chi2), and the oracle pins those
+    exact values — the point is the machinery, not the verdict."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    d = F.substring(cents.cast("string"), 1, 1).cast("int")
+    obs = li.select(d.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = obs.agg(F.sum("n").alias("nt"))
+    p_obs = F.col("n").cast("double") / F.col("nt").cast("double")
+    p_ben = F.log10(1.0 + 1.0 / F.col("d"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("first_digit"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(p_obs, 6).alias("observed_p"),
+        F.round(p_ben, 6).alias("benford_p"),
+        F.round(
+            (p_obs - p_ben) * (p_obs - p_ben) / p_ben
+            * F.col("nt").cast("double"),
+            6,
+        ).alias("chi2_contrib"),
+    )
+
+
+@query(
+    "q278_sax_symbolization",
+    """
+    WITH hrs AS (
+      SELECT event_type,
+             CAST((epoch(date_trunc('hour', ts))
+                   - epoch(date_trunc('day', min(ts) OVER ()))) / 3600
+               AS BIGINT) AS hidx,
+             COUNT(*) OVER (PARTITION BY event_type,
+                            date_trunc('hour', ts)) AS c0
+      FROM events
+    ), hourly AS (
+      SELECT DISTINCT event_type, hidx, c0 AS c FROM hrs
+    ), segmented AS (
+      SELECT event_type, hidx // 60 AS seg, AVG(CAST(c AS DOUBLE)) AS paa
+      FROM hourly GROUP BY event_type, hidx // 60
+    ), stats AS (
+      SELECT event_type, AVG(paa) AS mu, STDDEV_SAMP(paa) AS sd
+      FROM segmented GROUP BY event_type
+    ), lettered AS (
+      SELECT s.event_type, s.seg,
+             CASE
+               WHEN sd = 0 OR sd IS NULL THEN 'c'
+               WHEN (paa - mu) / sd < -0.6745 THEN 'a'
+               WHEN (paa - mu) / sd < 0 THEN 'b'
+               WHEN (paa - mu) / sd < 0.6745 THEN 'c'
+               ELSE 'd' END AS letter
+      FROM segmented s JOIN stats ON stats.event_type = s.event_type
+    )
+    SELECT event_type,
+           string_agg(letter, '' ORDER BY seg) AS sax_word
+    FROM lettered GROUP BY event_type
+    """,
+)
+def q278(spark, sf_dir):
+    """SAX time-series symbolization (Lin/Keogh): hourly count series →
+    Piecewise Aggregate Approximation (60-hour segment means) →
+    z-normalize per series → map to a 4-letter alphabet at the N(0,1)
+    quartile breakpoints (±0.6745, 0) → one word per series.  SAX is
+    the standard trick for similarity search / motif mining over long
+    series at scale because downstream matching works on tiny symbol
+    strings instead of raw points; every stage here is an aggregate of
+    an aggregate (raw → hourly → segments → letters), so the raw scan
+    happens once and the rest is metadata-sized.  Breakpoint
+    comparisons happen on identically-derived doubles; equal-boundary
+    risk is absent because segment means sit far from the exact
+    breakpoints on this data (verified at all fixture scales)."""
+    ev = _t(spark, sf_dir, "events")
+    day0 = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0")
+    )
+    hourly = (
+        ev.crossJoin(F.broadcast(day0))
+        .groupBy(
+            "event_type",
+            (
+                (
+                    F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+                    - F.unix_timestamp("d0")
+                )
+                / 3600
+            )
+            .cast("bigint")
+            .alias("hidx"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    segmented = hourly.groupBy(
+        "event_type", (F.col("hidx") / 60).cast("bigint").alias("seg")
+    ).agg(F.avg(F.col("c").cast("double")).alias("paa"))
+    stats = segmented.groupBy("event_type").agg(
+        F.avg("paa").alias("mu"), F.stddev_samp("paa").alias("sd")
+    )
+    z = (F.col("paa") - F.col("mu")) / F.col("sd")
+    letter = (
+        F.when(F.col("sd").isNull() | (F.col("sd") == 0), "c")
+        .when(z < -0.6745, "a")
+        .when(z < 0, "b")
+        .when(z < 0.6745, "c")
+        .otherwise("d")
+    )
+    lettered = segmented.join(F.broadcast(stats), "event_type").select(
+        "event_type", "seg", letter.alias("letter")
+    )
+    return lettered.groupBy("event_type").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "letter"))),
+                lambda s: s["letter"],
+            ),
+        ).alias("sax_word")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
