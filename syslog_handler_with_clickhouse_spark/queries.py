@@ -13839,6 +13839,140 @@ def q278(spark, sf_dir):
     )
 
 
+@query(
+    "q279_log_histogram",
+    """
+    WITH b AS (
+      SELECT CAST(floor(log2(value)) AS INT) AS bucket,
+             COUNT(*) AS n
+      FROM events WHERE value > 0
+      GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n) AS nt FROM b
+    ), cum AS (
+      SELECT bucket, n,
+             SUM(n) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM b
+    )
+    SELECT cum.bucket,
+           round(pow(2.0, cum.bucket), 6) AS lo,
+           round(pow(2.0, cum.bucket + 1), 6) AS hi,
+           CAST(cum.n AS BIGINT) AS n,
+           CAST(cum.c AS BIGINT) AS cum_n,
+           (CAST(cum.c - cum.n AS DOUBLE) < 0.5 * t.nt
+            AND CAST(cum.c AS DOUBLE) >= 0.5 * t.nt) AS contains_p50,
+           (CAST(cum.c - cum.n AS DOUBLE) < 0.95 * t.nt
+            AND CAST(cum.c AS DOUBLE) >= 0.95 * t.nt) AS contains_p95
+    FROM cum CROSS JOIN tot t
+    """,
+)
+def q279(spark, sf_dir):
+    """Exponential (log2) bucket histogram — the Prometheus/HDR
+    observability shape: fixed RELATIVE error (every bucket spans 2×),
+    bounded bucket count regardless of value range, and trivially
+    mergeable (integer counts per bucket).  Quantiles read off the
+    cumulative counts with a guaranteed ≤ 2× value error — the
+    contains_p50/p95 booleans pin which bucket each quantile falls in,
+    so a wrong bucket boundary or cumulative order is a hard FAIL.
+    One shuffle to ~15 buckets; at 100 TB this is THE latency-summary
+    shape because merging dashboards is integer addition."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    b = ev.groupBy(
+        F.floor(F.log2("value")).cast("int").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = b.agg(F.sum("n").alias("nt"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = b.withColumn("c", F.sum("n").over(w))
+    nt = F.col("nt").cast("double")
+    prev = (F.col("c") - F.col("n")).cast("double")
+    cur = F.col("c").cast("double")
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(F.pow(F.lit(2.0), F.col("bucket")), 6).alias("lo"),
+        F.round(F.pow(F.lit(2.0), F.col("bucket") + 1), 6).alias("hi"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("c").cast("bigint").alias("cum_n"),
+        ((prev < 0.5 * nt) & (cur >= 0.5 * nt)).alias("contains_p50"),
+        ((prev < 0.95 * nt) & (cur >= 0.95 * nt)).alias("contains_p95"),
+    )
+
+
+@query(
+    "q280_seasonal_backtest",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(extract(hour FROM ts) AS INT) AS hr,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2, 3
+    ), last_day AS (
+      SELECT MAX(day) AS d FROM hourly
+    ), actual AS (
+      SELECT h.event_type, h.hr, h.c
+      FROM hourly h CROSS JOIN last_day ld WHERE h.day = ld.d
+    ), forecast AS (
+      SELECT h.event_type, h.hr, h.c AS f
+      FROM hourly h CROSS JOIN last_day ld
+      WHERE h.day = ld.d - INTERVAL 7 DAY
+    )
+    SELECT a.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           round(SUM(abs(CAST(a.c AS DOUBLE) - f.f)
+                     / ((abs(CAST(a.c AS DOUBLE)) + abs(CAST(f.f AS DOUBLE)))
+                        / 2.0))
+                 / COUNT(*), 6) AS smape,
+           CAST(SUM(CAST(a.c AS BIGINT)) AS BIGINT) AS actual_total,
+           CAST(SUM(CAST(f.f AS BIGINT)) AS BIGINT) AS forecast_total
+    FROM actual a
+    JOIN forecast f ON f.event_type = a.event_type AND f.hr = a.hr
+    GROUP BY a.event_type
+    """,
+)
+def q280(spark, sf_dir):
+    """Seasonal-naive forecast BACKTEST — the baseline every production
+    forecaster must beat, evaluated in-engine: predict the final day's
+    hourly event counts from the same weekday one week earlier, score
+    with sMAPE (symmetric, scale-free, defined even at zero actuals
+    via the half-sum denominator — both engines evaluate the identical
+    fixed-order expression).  Everything happens on the hourly
+    aggregate (one raw shuffle): the join is 24 rows × type against 24
+    rows × type.  The backtest-at-scale shape: model evaluation as a
+    query, no data leaves the engine."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    last_day = hourly.agg(F.max("day").alias("d"))
+    actual = hourly.crossJoin(F.broadcast(last_day)).filter(
+        F.col("day") == F.col("d")
+    )
+    forecast = (
+        hourly.crossJoin(F.broadcast(last_day))
+        .filter(F.col("day") == F.date_sub(F.col("d"), 7))
+        .select("event_type", "hr", F.col("c").alias("f"))
+    )
+    j = actual.select("event_type", "hr", "c").join(
+        forecast, ["event_type", "hr"]
+    )
+    ad = F.col("c").cast("double")
+    fd = F.col("f").cast("double")
+    term = F.abs(ad - fd) / ((F.abs(ad) + F.abs(fd)) / 2.0)
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.round(F.sum(term) / F.count(F.lit(1)), 6).alias("smape"),
+        F.sum(F.col("c").cast("bigint")).cast("bigint").alias("actual_total"),
+        F.sum(F.col("f").cast("bigint")).cast("bigint").alias(
+            "forecast_total"
+        ),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
