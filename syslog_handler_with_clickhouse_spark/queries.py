@@ -13973,6 +13973,187 @@ def q280(spark, sf_dir):
     )
 
 
+@query(
+    "q281_mad_robust_outliers",
+    """
+    WITH med AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS m
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ), devs AS (
+      SELECT e.event_type, e.value, med.m,
+             abs(e.value - med.m) AS dev
+      FROM events e JOIN med ON med.event_type = e.event_type
+      WHERE e.value IS NOT NULL
+    ), mad AS (
+      SELECT event_type, m,
+             quantile_cont(dev, 0.5) AS mad
+      FROM devs GROUP BY event_type, m
+    )
+    SELECT d.event_type,
+           round(mad.m, 6) AS median_val,
+           round(mad.mad, 6) AS mad,
+           CAST(SUM(CASE WHEN abs(d.value - mad.m)
+                          > 3.0 * 1.4826 * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM devs d JOIN mad ON mad.event_type = d.event_type
+    GROUP BY d.event_type, mad.m, mad.mad
+    """,
+)
+def q281(spark, sf_dir):
+    """Median Absolute Deviation robust statistics — the outlier screen
+    that, unlike q222's Tukey fences or z-scores, has a 50% breakdown
+    point (half the data can be corrupt before it moves): per group,
+    median, MAD = median(|x − median|), and the count of points beyond
+    3 robust sigmas (1.4826·MAD, the normal-consistency constant).
+    Two exact interpolated-percentile passes sharing one partitioning
+    (the q14 precedent) with the medians broadcast back between them —
+    at 100 TB the second pass is the cost of one extra scan, which is
+    the honest price of exact MAD (the sketch alternative runs both
+    medians through q225's t-digests).  6-dp rounding on the
+    interpolated medians; the outlier threshold comparison happens on
+    identically-derived doubles."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("m")
+    )
+    devs = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "m",
+        F.abs(F.col("value") - F.col("m")).alias("dev"),
+    )
+    mad = devs.groupBy("event_type", "m").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    j = devs.drop("m").join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type", "m", "mad").agg(
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("m"))
+                > 3.0 * 1.4826 * F.col("mad"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers")
+    ).select(
+        "event_type",
+        F.round("m", 6).alias("median_val"),
+        F.round("mad", 6).alias("mad"),
+        "n_outliers",
+    )
+
+
+@query(
+    "q282_simhash_hamming_index",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || ' x' AS text
+      FROM documents WHERE doc_id % 7 = 0
+    ), tok AS (
+      SELECT doc_id AS doc,
+             CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+      FROM corpus, UNNEST(string_split(text, ' ')) AS u(w)
+    ), votes AS (
+      SELECT doc, i,
+             SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM tok CROSS JOIN UNNEST(range(0, 60)) AS t(i)
+      GROUP BY doc, i
+    ), sig AS (
+      SELECT doc,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc
+    ), blocks AS (
+      SELECT doc, simhash, t.b,
+             (simhash >> (15 * t.b)) & 32767 AS bv
+      FROM sig CROSS JOIN UNNEST(range(0, 4)) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT x.doc AS doc_a, x.simhash AS sa,
+                      y.doc AS doc_b, y.simhash AS sb
+      FROM blocks x JOIN blocks y
+        ON y.b = x.b AND y.bv = x.bv AND x.doc < y.doc
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def q282(spark, sf_dir):
+    """SimHash near-dup search done PROPERLY — the multi-block Hamming
+    pigeonhole index (the Google/Manku WWW'07 construction) q40's
+    single prefix bucket approximates: split the 60-bit signature into
+    4 blocks of 15 bits; any pair within Hamming distance 3 differs in
+    at most 3 blocks, so it must agree EXACTLY on at least one — an
+    equi-join per block finds every such pair with zero false
+    negatives (a theorem, not a heuristic; unit-testable by
+    construction).  Candidates are verified with bit_count(a XOR b).
+    Corpus salted with exact copies (hamming 0) and one-token-appended
+    mutations (small nonzero hamming).  Scale shape: 4 index rows per
+    doc, equi-join on 15-bit block values — expected chance collisions
+    n²·4/2^15, linear-ish at corpus scale and embarrassingly
+    shardable; no O(n²) scan anywhere.  The oracle re-derives
+    signatures bit-for-bit (portable md5-60 base hash) and runs the
+    identical index."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = (
+        d.select("doc_id", "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat("text", F.lit(" x")).alias("text"),
+            )
+        )
+    )
+    sig = dedup.simhash(corpus, "text", "doc_id")
+    blocks = sig.select(
+        "doc",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 15 * b).bitwiseAND(F.lit(32767))
+                    for b in range(4)
+                ]
+            )
+        ).alias("b", "bv"),
+    )
+    x = blocks.select(
+        F.col("doc").alias("doc_a"),
+        F.col("simhash").alias("sa"),
+        "b",
+        "bv",
+    )
+    y = blocks.select(
+        F.col("doc").alias("doc_b"),
+        F.col("simhash").alias("sb"),
+        "b",
+        "bv",
+    )
+    cand = (
+        x.join(y, ["b", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "sa", "doc_b", "sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.filter(ham <= 3).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -149,3 +149,43 @@ def test_winnowing_density_and_short_docs(spark):
     assert 40 <= counts[1] <= 120, counts
     assert counts[2] >= 1  # 2 grams < w -> one window over all grams
     assert 3 not in counts  # 2 words < k -> no grams at all
+
+
+def test_simhash_pigeonhole_index_no_false_negatives(spark):
+    """The 4x15-bit block index must find EVERY pair within Hamming
+    distance 3 — compare against a brute-force all-pairs check on a
+    small corpus with planted near-identical docs."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.dedup import simhash
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [(1, base), (2, base + " extra"), (3, base.replace("tok5", "zzz"))]
+    rows += [(10 + i, " ".join(f"w{i}_{j}" for j in range(40))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r.doc: r.simhash for r in simhash(df, "text", "doc_id").collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    truth = {
+        (a, b)
+        for a in sig
+        for b in sig
+        if a < b and ham(sig[a], sig[b]) <= 3
+    }
+    assert truth, "fixture must contain at least one near-dup pair"
+
+    blocks = {}
+    for doc, s in sig.items():
+        for b in range(4):
+            blocks.setdefault((b, (s >> (15 * b)) & 0x7FFF), []).append(doc)
+    cands = {
+        (a, b)
+        for docs in blocks.values()
+        for a in docs
+        for b in docs
+        if a < b
+    }
+    found = {(a, b) for a, b in cands if ham(sig[a], sig[b]) <= 3}
+    assert truth <= found  # pigeonhole completeness: no false negatives
