@@ -14154,6 +14154,111 @@ def q282(spark, sf_dir):
     )
 
 
+@query(
+    "q283_countmin_sketch",
+    """
+    WITH rows_h AS (
+      SELECT e.user_id, t.i,
+             CAST('0x' || substr(md5(CAST(e.user_id AS VARCHAR)
+                  || '#' || CAST(t.i AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1024 AS cell
+      FROM events e CROSS JOIN UNNEST(range(0, 4)) AS t(i)
+      WHERE e.user_id IS NOT NULL
+    ), sketch AS (
+      SELECT i, cell, COUNT(*) AS c FROM rows_h GROUP BY i, cell
+    ), probes AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE user_id IS NOT NULL AND user_id % 29 = 0
+    ), probe_cells AS (
+      SELECT p.user_id, t.i,
+             CAST('0x' || substr(md5(CAST(p.user_id AS VARCHAR)
+                  || '#' || CAST(t.i AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1024 AS cell
+      FROM probes p CROSS JOIN UNNEST(range(0, 4)) AS t(i)
+    ), est AS (
+      SELECT pc.user_id, MIN(s.c) AS cm_est
+      FROM probe_cells pc JOIN sketch s
+        ON s.i = pc.i AND s.cell = pc.cell
+      GROUP BY pc.user_id
+    ), exact AS (
+      SELECT user_id, COUNT(*) AS exact_cnt FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT e.user_id,
+           CAST(x.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(e.cm_est AS BIGINT) AS cm_est,
+           CAST(e.cm_est - x.exact_cnt AS BIGINT) AS overcount,
+           e.cm_est >= x.exact_cnt AS never_undercounts
+    FROM est e JOIN exact x ON x.user_id = e.user_id
+    """,
+)
+def q283(spark, sf_dir):
+    """Count-Min sketch — point-frequency estimation with a one-sided
+    error guarantee, ENTIRELY in native aggregates (no Python kernel —
+    the sketch IS a grouped count): depth 4 × width 1024, cell =
+    portable_hash60(key#row) mod width, update = the (i, cell) counts,
+    point estimate = MIN over the 4 rows' cells.  Mergeability is
+    integer vector addition (a groupBy-sum of sketch tables), and the
+    never-undercount guarantee (est ≥ exact, always — every true
+    occurrence lands in all 4 counted cells) is pinned as a
+    literal-TRUE boolean.  Because update AND query are deterministic
+    hash arithmetic, the oracle reproduces the EXACT estimates
+    including collision overcounts — no tolerance band needed, unlike
+    the probabilistic-bound framing.  Sketch state: ≤ 4096 cells
+    regardless of key cardinality — the CM trade against MG (q210):
+    O(1) point queries and linear merges vs provable heavy-hitter
+    capture."""
+    from .operators.dedup import portable_hash60
+
+    W, D = 1024, 4
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+
+    def cells(df, key):
+        return df.select(
+            key,
+            F.posexplode(
+                F.array(
+                    *[
+                        portable_hash60(
+                            F.concat(
+                                F.col(key).cast("string"),
+                                F.lit("#"),
+                                F.lit(str(i)),
+                            )
+                        )
+                        % W
+                        for i in range(D)
+                    ]
+                )
+            ).alias("i", "cell"),
+        )
+
+    sketch = (
+        cells(ev, "user_id")
+        .groupBy("i", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = (
+        ev.filter(F.col("user_id") % 29 == 0).select("user_id").distinct()
+    )
+    est = (
+        cells(probes, "user_id")
+        .join(sketch, ["i", "cell"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cm_est"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return est.join(exact, "user_id").select(
+        "user_id",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        F.col("cm_est").cast("bigint").alias("cm_est"),
+        (F.col("cm_est") - F.col("exact_cnt")).cast("bigint").alias(
+            "overcount"
+        ),
+        (F.col("cm_est") >= F.col("exact_cnt")).alias("never_undercounts"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
