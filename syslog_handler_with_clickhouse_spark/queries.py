@@ -14259,6 +14259,65 @@ def q283(spark, sf_dir):
     )
 
 
+@query(
+    "q284_trimmed_winsorized_mean",
+    """
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.1) AS p10,
+             quantile_cont(value, 0.9) AS p90
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(AVG(CASE WHEN e.value >= b.p10 AND e.value <= b.p90
+                          THEN e.value END), 6) AS trimmed_mean,
+           round(AVG(CASE WHEN e.value < b.p10 THEN b.p10
+                          WHEN e.value > b.p90 THEN b.p90
+                          ELSE e.value END), 6) AS winsorized_mean,
+           CAST(SUM(CASE WHEN e.value < b.p10 OR e.value > b.p90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM events e JOIN bounds b ON b.event_type = e.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+    """,
+)
+def q284(spark, sf_dir):
+    """Trimmed and winsorized means (CH ``avgTrimmed`` analogue) — the
+    robust location estimates between the mean (0% breakdown) and the
+    median (50%): drop, respectively CLAMP, everything outside
+    [p10, p90] and average the rest.  Two passes sharing one
+    event_type partitioning — exact interpolated decile bounds (the
+    q14 precedent) broadcast back onto the scan — with trimmed,
+    winsorized, and the clamp count read in ONE conditional aggregate.
+    Float sums round to 6 dp; the bounds comparisons happen on
+    identically-derived doubles on both engines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.1)).alias("p10"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    inside = (F.col("value") >= F.col("p10")) & (
+        F.col("value") <= F.col("p90")
+    )
+    wins = (
+        F.when(F.col("value") < F.col("p10"), F.col("p10"))
+        .when(F.col("value") > F.col("p90"), F.col("p90"))
+        .otherwise(F.col("value"))
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg(F.when(inside, F.col("value"))), 6).alias(
+            "trimmed_mean"
+        ),
+        F.round(F.avg(wins), 6).alias("winsorized_mean"),
+        F.sum(F.when(~inside, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clamped"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
