@@ -14318,6 +14318,53 @@ def q284(spark, sf_dir):
     )
 
 
+@query(
+    "q285_deterministic_shuffle_shards",
+    """
+    WITH ranked AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, rk, CAST((rk - 1) // 64 AS BIGINT) AS shard
+      FROM ranked
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(rk) AS BIGINT) AS rk_lo,
+           CAST(MAX(rk) AS BIGINT) AS rk_hi,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM sharded GROUP BY shard
+    """,
+)
+def q285(spark, sf_dir):
+    """Deterministic global TRAINING-ORDER shuffle + sharding — the
+    corpus-curation step that turns "randomize example order" into a
+    reproducible, resumable property of the data instead of a runtime
+    RNG: order = content hash of the id (md5, id tiebreak), shards =
+    consecutive 64-doc ranges of that order.  Every re-run, on any
+    cluster layout, produces byte-identical shard assignments — which
+    is what makes mid-training restarts and A/B data ablations
+    comparable.  One global sort by a 32-hex key (at 100 TB: range
+    partitioning on the hash prefix gives the same total order without
+    a single-node sort — the hash IS uniformly distributed by
+    construction, so ranges balance).  The oracle re-derives ranks and
+    shard stats bit-identically."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select("doc_id", F.row_number().over(w).alias("rk"))
+    sharded = ranked.withColumn(
+        "shard", ((F.col("rk") - 1) / 64).cast("bigint")
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("rk").cast("bigint").alias("rk_lo"),
+        F.max("rk").cast("bigint").alias("rk_hi"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
