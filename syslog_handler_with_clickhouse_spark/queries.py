@@ -14365,6 +14365,90 @@ def q285(spark, sf_dir):
     )
 
 
+@query(
+    "q286_run_length_encoding",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events WHERE user_id IS NOT NULL
+    ), starts AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN prev IS NULL OR event_type != prev
+                  THEN 1 ELSE 0 END AS is_start
+      FROM ordered
+    ), runs AS (
+      SELECT user_id, event_type,
+             SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM starts
+    ), rle AS (
+      SELECT user_id, run_id,
+             MIN(event_type) AS t, COUNT(*) AS len
+      FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(len) AS BIGINT) AS longest_run,
+           string_agg(t || CAST(len AS VARCHAR), '>' ORDER BY run_id)
+             AS rle
+    FROM rle GROUP BY user_id
+    """,
+)
+def q286(spark, sf_dir):
+    """Run-length encoding of per-user event sequences (CH
+    ``arrayCompact`` + run lengths): the gaps-and-islands classic —
+    run boundaries from lag(), run ids from a running sum of starts,
+    then one aggregate per run and an ordered reassembly into
+    'v3>c1>p2' strings.  Three window/aggregate stages all sharing ONE
+    user_id partitioning (no re-shuffle after the first), which is the
+    property that keeps sequence compression linear at 100 TB.  RLE is
+    the repetition-analysis primitive behind q220's quality signals;
+    here the full encoding round-trips through the oracle's identical
+    derivation (longest-run and run-count pinned alongside)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .withColumn(
+            "is_start",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("event_type") != F.col("prev")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("run_id", F.sum("is_start").over(wcum))
+    )
+    rle = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("t"), F.count(F.lit(1)).alias("len")
+    )
+    return rle.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.max("len").cast("bigint").alias("longest_run"),
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "run_id",
+                            F.concat(
+                                F.col("t"), F.col("len").cast("string")
+                            ).alias("seg"),
+                        )
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+        ).alias("rle"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
