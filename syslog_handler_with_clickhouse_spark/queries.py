@@ -14449,6 +14449,83 @@ def q286(spark, sf_dir):
     )
 
 
+@query(
+    "q287_cohort_retention_triangle",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), cohort_size AS (
+      SELECT cohort_week, COUNT(*) AS n0 FROM firsts GROUP BY cohort_week
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST((epoch(date_trunc('week', e.ts))
+                   - epoch(f.cohort_week)) / 604800 AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+      WHERE e.user_id IS NOT NULL
+    )
+    SELECT strftime(a.cohort_week, '%Y-%m-%d') AS cohort_week,
+           a.week_offset,
+           CAST(cs.n0 AS BIGINT) AS cohort_size,
+           CAST(COUNT(*) AS BIGINT) AS retained,
+           round(CAST(COUNT(*) AS DOUBLE) / cs.n0, 6) AS retention_rate
+    FROM activity a JOIN cohort_size cs ON cs.cohort_week = a.cohort_week
+    GROUP BY a.cohort_week, a.week_offset, cs.n0
+    """,
+)
+def q287(spark, sf_dir):
+    """The full COHORT-RETENTION TRIANGLE — the growth-analytics table
+    q99's fixed day-1/day-7 flags only sample: users bucketed into
+    first-touch weekly cohorts, and for every (cohort, week-offset)
+    cell, the share of the cohort active that week.  Shape: the
+    first-touch aggregate (one shuffle on user), a user-level join back
+    (first-touch is user-keyed, so it co-partitions with the activity
+    scan), DISTINCT per (user, offset) so multi-event weeks count once,
+    then a cell-level aggregate with the cohort sizes broadcast.  Week
+    arithmetic runs on epoch seconds of date_trunc-ed weeks, identical
+    on both engines (UTC session, Monday week start in both)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    cohort_size = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n0")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                (
+                    F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                    - F.unix_timestamp(F.col("cohort_week").cast("timestamp"))
+                )
+                / 604800
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("retained"))
+        .join(F.broadcast(cohort_size), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            F.col("n0").cast("bigint").alias("cohort_size"),
+            F.col("retained").cast("bigint").alias("retained"),
+            F.round(
+                F.col("retained").cast("double") / F.col("n0").cast("double"),
+                6,
+            ).alias("retention_rate"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
