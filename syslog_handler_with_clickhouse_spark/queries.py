@@ -14526,6 +14526,63 @@ def q287(spark, sf_dir):
     )
 
 
+@query(
+    "q288_sequence_gap_detection",
+    """
+    WITH ids AS (
+      SELECT event_id % 100000 AS id FROM events
+      WHERE event_id % 7 != 0
+    ), d AS (
+      SELECT DISTINCT id FROM ids
+    ), gaps AS (
+      SELECT lag(id) OVER (ORDER BY id) + 1 AS gap_start,
+             id - 1 AS gap_end
+      FROM d
+    )
+    SELECT CAST(gap_start AS BIGINT) AS gap_start,
+           CAST(gap_end AS BIGINT) AS gap_end,
+           CAST(gap_end - gap_start + 1 AS BIGINT) AS gap_len
+    FROM gaps
+    WHERE gap_start IS NOT NULL AND gap_end >= gap_start
+    ORDER BY gap_start
+    LIMIT 50
+    """,
+)
+def q288(spark, sf_dir):
+    """Sequence-completeness audit — find every MISSING id range in a
+    supposedly-dense sequence (the 'did we drop messages' check a log
+    pipeline runs after every backfill): distinct ids, one ordered
+    lag() pass, a gap row wherever the step exceeds 1.  The fixture
+    removes every 7th id, so the expected answer is a lattice of
+    single-id holes plus whatever the id space genuinely lacks.  One
+    sort (at 100 TB: range-partitioned, gaps detected within
+    partitions plus one boundary exchange per partition edge — the
+    lag() formulation parallelizes exactly that way), top-50 with a
+    total order.  Both engines derive identical gap bounds from the
+    same integer arithmetic."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 != 0)
+    d = ev.select((F.col("event_id") % 100000).alias("id")).distinct()
+    w = Window.orderBy("id")
+    gaps = d.select(
+        (F.lag("id").over(w) + 1).alias("gap_start"),
+        (F.col("id") - 1).alias("gap_end"),
+    ).filter(
+        F.col("gap_start").isNotNull()
+        & (F.col("gap_end") >= F.col("gap_start"))
+    )
+    return (
+        gaps.select(
+            F.col("gap_start").cast("bigint").alias("gap_start"),
+            F.col("gap_end").cast("bigint").alias("gap_end"),
+            (F.col("gap_end") - F.col("gap_start") + 1)
+            .cast("bigint")
+            .alias("gap_len"),
+        )
+        .orderBy("gap_start")
+        .limit(50)
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
