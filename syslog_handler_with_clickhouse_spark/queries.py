@@ -14583,6 +14583,69 @@ def q288(spark, sf_dir):
     )
 
 
+@query(
+    "q289_hierarchy_shares",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(round(o.o_totalprice * 100) AS HUGEINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           round(CAST(cents AS DOUBLE)
+                 / CAST(SUM(cents) OVER (PARTITION BY region) AS DOUBLE),
+                 6) AS share_of_region,
+           round(CAST(cents AS DOUBLE)
+                 / CAST(SUM(cents) OVER () AS DOUBLE), 6) AS share_of_total
+    FROM rev
+    """,
+)
+def q289(spark, sf_dir):
+    """Hierarchy contribution shares — every BI drill-down's backbone:
+    nation revenue as a share of its REGION and of the TOTAL, computed
+    with two window sums over the already-aggregated 25-row frame (no
+    second scan, no self-join).  Revenue sums are exact integer cents
+    (HUGEINT/DECIMAL so the global sum can't wrap), shares are float
+    division rounded to 6 dp.  The dims broadcast onto the fact scan;
+    at 100 TB the only heavy stage is the one fact aggregate — the
+    share arithmetic is free."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint").cast(
+        "decimal(38,0)"
+    )
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    cd = F.col("cents").cast("double")
+    return rev.select(
+        "region",
+        "nation",
+        (cd / 100.0).alias("revenue"),
+        F.round(cd / F.sum("cents").over(wr).cast("double"), 6).alias(
+            "share_of_region"
+        ),
+        F.round(cd / F.sum("cents").over(wt).cast("double"), 6).alias(
+            "share_of_total"
+        ),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
