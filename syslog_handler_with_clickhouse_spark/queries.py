@@ -14646,6 +14646,80 @@ def q289(spark, sf_dir):
     )
 
 
+@query(
+    "q290_pareto_abc",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cents) OVER () AS total
+      FROM rev
+    ), classed AS (
+      SELECT l_partkey, cents,
+             CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+             CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8
+                    THEN 'A'
+                  WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95
+                    THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT abc,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS class_revenue,
+           round(MIN(cum_share), 6) AS min_cum_share,
+           round(MAX(cum_share), 6) AS max_cum_share
+    FROM classed GROUP BY abc
+    """,
+)
+def q290(spark, sf_dir):
+    """Pareto / ABC classification — the 80-15-5 inventory cut: parts
+    ranked by revenue, cumulative share over the DESC order (total-order
+    tiebreak on the key), classes at the 80% and 95% cumulative
+    boundaries, summarized per class.  The cumulative sum runs in EXACT
+    integer cents (widened so the running total can't wrap) and only
+    the final share division is float — so the class boundary decisions
+    are deterministic on both engines even where two parts' revenues
+    tie.  One fact aggregate, then windows over the part-level frame;
+    the classic long-tail report at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint").cast(
+        "decimal(38,0)"
+    )
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
+    wcum = Window.orderBy(
+        F.col("cents").desc(), F.col("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(wcum).alias("cum"),
+        F.sum("cents").over(wtot).alias("total"),
+    )
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    classed = ranked.select(
+        "l_partkey",
+        "cents",
+        share.alias("cum_share"),
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        (F.sum("cents").cast("double") / 100.0).alias("class_revenue"),
+        F.round(F.min("cum_share"), 6).alias("min_cum_share"),
+        F.round(F.max("cum_share"), 6).alias("max_cum_share"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
