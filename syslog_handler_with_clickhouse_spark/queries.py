@@ -14720,6 +14720,180 @@ def q290(spark, sf_dir):
     )
 
 
+@query(
+    "q291_growth_accounting",
+    """
+    WITH weeks AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events WHERE user_id IS NOT NULL
+    ), firsts AS (
+      SELECT user_id, MIN(w) AS first_w FROM weeks GROUP BY user_id
+    ), marked AS (
+      SELECT wk.user_id, wk.w, f.first_w,
+             lag(wk.w) OVER (PARTITION BY wk.user_id ORDER BY wk.w)
+               AS prev_w
+      FROM weeks wk JOIN firsts f ON f.user_id = wk.user_id
+    ), classed AS (
+      SELECT w,
+             CASE WHEN w = first_w THEN 'new'
+                  WHEN prev_w = w - INTERVAL 7 DAY THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM marked
+    ), churn AS (
+      SELECT CAST(prev_w + INTERVAL 7 DAY AS DATE) AS w,
+             'churned' AS status
+      FROM (
+        SELECT user_id, w AS prev_w,
+               lead(w) OVER (PARTITION BY user_id ORDER BY w) AS next_w
+        FROM weeks)
+      WHERE (next_w IS NULL OR next_w > prev_w + INTERVAL 7 DAY)
+        AND prev_w + INTERVAL 7 DAY <= (SELECT MAX(w) FROM weeks)
+    )
+    SELECT strftime(w, '%Y-%m-%d') AS week, status,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM (SELECT w, status FROM classed
+          UNION ALL SELECT w, status FROM churn)
+    GROUP BY w, status
+    """,
+)
+def q291(spark, sf_dir):
+    """GROWTH ACCOUNTING — the new/retained/resurrected/churned weekly
+    user ledger every growth team lives by: active weeks per user
+    (distinct (user, week) — the only raw-data shuffle), then lag/lead
+    over each user's week sequence classify every active week (new =
+    first touch, retained = also active the prior week, resurrected =
+    returning after a gap) and emit a churned marker the week AFTER an
+    activity streak ends (capped at the observation horizon so the
+    final week can't accuse everyone of churning).  All classification
+    runs on the user-week frame; by construction
+    new+retained+resurrected = WAU per week — the reconciliation
+    property that makes this ledger trustworthy, and which both
+    engines must reproduce row-for-row."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+    ).distinct()
+    firsts = weeks.groupBy("user_id").agg(F.min("w").alias("first_w"))
+    wseq = Window.partitionBy("user_id").orderBy("w")
+    marked = weeks.join(firsts, "user_id").withColumn(
+        "prev_w", F.lag("w").over(wseq)
+    )
+    classed = marked.select(
+        "w",
+        F.when(F.col("w") == F.col("first_w"), "new")
+        .when(F.col("prev_w") == F.date_sub(F.col("w"), 7), "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+    )
+    horizon = weeks.agg(F.max("w").alias("max_w"))
+    churn = (
+        weeks.withColumn("next_w", F.lead("w").over(wseq))
+        .filter(
+            F.col("next_w").isNull()
+            | (F.col("next_w") > F.date_add(F.col("w"), 7))
+        )
+        .crossJoin(F.broadcast(horizon))
+        .filter(F.date_add(F.col("w"), 7) <= F.col("max_w"))
+        .select(
+            F.date_add(F.col("w"), 7).alias("w"),
+            F.lit("churned").alias("status"),
+        )
+    )
+    return (
+        classed.unionByName(churn)
+        .groupBy("w", "status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            F.date_format("w", "yyyy-MM-dd").alias("week"),
+            "status",
+            "n_users",
+        )
+    )
+
+
+@query(
+    "q292_cooccurrence_lift",
+    """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE user_id IS NOT NULL
+    ), n_users AS (
+      SELECT COUNT(DISTINCT user_id) AS n FROM ut
+    ), singles AS (
+      SELECT event_type, COUNT(*) AS c FROM ut GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS cab
+      FROM ut a JOIN ut b
+        ON b.user_id = a.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.ta, p.tb,
+           CAST(p.cab AS BIGINT) AS n_both,
+           round(CAST(p.cab AS DOUBLE) / t.n, 6) AS support,
+           round(CAST(p.cab AS DOUBLE) / sa.c, 6) AS confidence_a_to_b,
+           round(CAST(p.cab AS DOUBLE) * t.n
+                 / (CAST(sa.c AS DOUBLE) * sb.c), 6) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.ta
+    JOIN singles sb ON sb.event_type = p.tb
+    CROSS JOIN n_users t
+    """,
+)
+def q292(spark, sf_dir):
+    """Association-rule mining lite — co-occurrence support /
+    confidence / LIFT between event types at user grain (the
+    market-basket analysis primitive): distinct (user, type) pairs
+    (one shuffle — the only raw-data pass), a self-join per user for
+    the pair counts (bounded: ≤ C(|types|,2) output rows, and the join
+    fan-out per user is |types|² ≤ 25, not |events|²), then the
+    support/lift arithmetic on the tiny pair frame with singles and
+    the user count broadcast.  lift > 1 means the pair co-occurs more
+    than independence predicts — exact 6-dp values pinned on both
+    engines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ut.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = ut.select("user_id", F.col("event_type").alias("ta"))
+    b = ut.select("user_id", F.col("event_type").alias("tb"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("ta"), F.col("c").alias("ca")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("tb"), F.col("c").alias("cb")
+    )
+    nd = F.col("n").cast("double")
+    return (
+        pairs.join(F.broadcast(sa), "ta")
+        .join(F.broadcast(sb), "tb")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "ta",
+            "tb",
+            F.col("cab").cast("bigint").alias("n_both"),
+            F.round(F.col("cab").cast("double") / nd, 6).alias("support"),
+            F.round(
+                F.col("cab").cast("double") / F.col("ca").cast("double"), 6
+            ).alias("confidence_a_to_b"),
+            F.round(
+                F.col("cab").cast("double")
+                * nd
+                / (F.col("ca").cast("double") * F.col("cb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
