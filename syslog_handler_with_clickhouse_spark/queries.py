@@ -14894,6 +14894,122 @@ def q292(spark, sf_dir):
     )
 
 
+@query(
+    "q293_conversion_latency",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' AND user_id IS NOT NULL
+      GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id
+    ), lat AS (
+      SELECT s.user_id,
+             CAST(floor(epoch(p.purchase_ts))
+                  - floor(epoch(s.signup_ts)) AS BIGINT) AS sec
+      FROM s JOIN p ON p.user_id = s.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(MIN(sec) AS BIGINT) AS min_sec,
+           round(quantile_cont(sec, 0.5), 4) AS p50_sec,
+           round(quantile_cont(sec, 0.9), 4) AS p90_sec,
+           CAST(MAX(sec) AS BIGINT) AS max_sec,
+           CAST(SUM(CASE WHEN sec <= 86400 THEN 1 ELSE 0 END) AS BIGINT)
+             AS within_1d
+    FROM lat
+    """,
+)
+def q293(spark, sf_dir):
+    """Conversion LATENCY distribution — time from first signup to
+    first subsequent purchase per user, the funnel-velocity metric
+    windowFunnel's boolean levels (q97/q163/q241/q267) never surface:
+    two first-touch aggregates (the purchase side pre-filtered to
+    post-signup events via a user-keyed join, so a purchase BEFORE
+    signup never counts), integer-second deltas, then exact
+    interpolated percentiles + a within-1-day conversion count.  Three
+    shuffles all on user_id — co-partitioned end to end; latencies are
+    exact integers so only the interpolated quantiles carry the 4-dp
+    rounding rule."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    lat = s.join(p, "user_id").select(
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+        ).alias("sec")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.min("sec").cast("bigint").alias("min_sec"),
+        F.round(F.percentile("sec", F.lit(0.5)), 4).alias("p50_sec"),
+        F.round(F.percentile("sec", F.lit(0.9)), 4).alias("p90_sec"),
+        F.max("sec").cast("bigint").alias("max_sec"),
+        F.sum(F.when(F.col("sec") <= 86400, 1).otherwise(0))
+        .cast("bigint")
+        .alias("within_1d"),
+    )
+
+
+@query(
+    "q294_interarrival_rate",
+    """
+    WITH arr AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id) AS gap
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           round(AVG(CAST(gap AS DOUBLE)), 6) AS mean_gap_sec,
+           round(1.0 / AVG(CAST(gap AS DOUBLE)), 9) AS rate_per_sec,
+           round(quantile_cont(gap, 0.5), 4) AS p50_gap,
+           round(STDDEV_SAMP(CAST(gap AS DOUBLE))
+                 / AVG(CAST(gap AS DOUBLE)), 6) AS cv
+    FROM arr WHERE gap IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q294(spark, sf_dir):
+    """Inter-arrival-time statistics — the Poisson-process health check
+    for an event stream: per-type gaps from one lag() pass (integer
+    seconds, total-order tiebreak), then arrival rate λ = 1/mean, the
+    median gap, and the coefficient of variation (cv ≈ 1 is the
+    exponential/Poisson signature; cv >> 1 means bursty, << 1 means
+    metronomic — the operational question behind q77's flap detector,
+    answered distributionally).  One window + one aggregate sharing the
+    event_type partitioning.  Mean/cv round at 6 dp over exact integer
+    gaps; λ at 9 dp because its magnitude is ~1e-3."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    tsec = F.unix_timestamp("ts")
+    arr = ev.select(
+        "event_type", (tsec - F.lag(tsec).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    gd = F.col("gap").cast("double")
+    return arr.groupBy("event_type").agg(
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.round(F.avg(gd), 6).alias("mean_gap_sec"),
+        F.round(1.0 / F.avg(gd), 9).alias("rate_per_sec"),
+        F.round(F.percentile("gap", F.lit(0.5)), 4).alias("p50_gap"),
+        F.round(F.stddev_samp(gd) / F.avg(gd), 6).alias("cv"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
