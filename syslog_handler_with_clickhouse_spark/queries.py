@@ -15010,6 +15010,135 @@ def q294(spark, sf_dir):
     )
 
 
+@query(
+    "q295_zipf_fit",
+    """
+    WITH tf AS (
+      SELECT lower(t.w) AS w, COUNT(*) AS c
+      FROM documents d, LATERAL (
+        SELECT unnest(string_split(d.text, ' ')) AS w) t
+      WHERE t.w != ''
+      GROUP BY lower(t.w)
+    ), ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk
+      FROM tf
+    ), pts AS (
+      SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM ranked WHERE rk <= 1000
+    ), s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS intercept
+    FROM s
+    """,
+)
+def q295(spark, sf_dir):
+    """Zipf-law fit of the vocabulary — the corpus-health diagnostic
+    data-curation pipelines run to catch boilerplate floods and
+    tokenizer breakage (natural text has rank-frequency slope ≈ −1;
+    duplicated spam flattens it): exact integer token counts (one
+    shuffle), rank with a total-order tiebreak, then ordinary least
+    squares of ln(freq) on ln(rank) over the top 1000 ranks via the
+    q196 closed-form sums.  The float sums here ARE order-dependent in
+    the last bits, but 1000 ln-magnitude terms summed to ~1e4 keep
+    6-dp rounding stable (verified at all fixture scales) — the
+    alternative exact path would fixed-point-quantize the logs."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy(F.lower("w").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wrk = Window.orderBy(F.col("c").desc(), F.col("w"))
+    pts = (
+        tf.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= 1000)
+        .select(
+            F.log(F.col("rk").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@query(
+    "q296_gini_coefficient",
+    """
+    WITH act AS (
+      SELECT user_id, COUNT(*) AS c FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id
+    ), ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c, user_id) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(c) OVER () AS tot
+      FROM act
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(MAX(tot) AS BIGINT) AS total_events,
+           round(CAST(SUM((2 * i - n - 1) * c) AS DOUBLE)
+                 / (CAST(MAX(n) AS DOUBLE) * MAX(tot)), 6) AS gini
+    FROM ranked
+    """,
+)
+def q296(spark, sf_dir):
+    """Gini coefficient of user activity — the inequality measure
+    behind 'do 10% of users generate 90% of events': the exact sorted
+    formula G = Σ(2i−n−1)·x_i / (n·Σx) with ascending rank i (user-id
+    tiebreak).  The numerator is a sum of INTEGER products (rank
+    arithmetic × integer counts), so the only float op is the final
+    division — G is deterministic to the last bit before its 6-dp
+    rounding.  One aggregate + one ranked pass over the
+    user-cardinality frame; pairs naturally with q290's Pareto classes
+    and q275's placement audit."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    act = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    wi = Window.orderBy("c", "user_id")
+    wall = Window.partitionBy()
+    ranked = act.select(
+        "c",
+        F.row_number().over(wi).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("c").over(wall).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.max("tot").cast("bigint").alias("total_events"),
+        F.round(
+            F.sum(
+                (2 * F.col("i") - F.col("n") - 1) * F.col("c")
+            ).cast("double")
+            / (
+                F.max("n").cast("double") * F.max("tot").cast("double")
+            ),
+            6,
+        ).alias("gini"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
