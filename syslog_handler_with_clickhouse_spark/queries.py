@@ -15139,6 +15139,176 @@ def q296(spark, sf_dir):
     )
 
 
+@query(
+    "q297_heaps_law",
+    """
+    WITH ord AS (
+      SELECT doc_id, text,
+             row_number() OVER (ORDER BY doc_id) AS rk
+      FROM documents
+    ), firsts AS (
+      SELECT lower(t.w) AS w, MIN(o.rk) AS first_rk
+      FROM ord o, LATERAL (
+        SELECT unnest(string_split(o.text, ' ')) AS w) t
+      WHERE t.w != ''
+      GROUP BY lower(t.w)
+    ), cks AS (
+      SELECT unnest([32, 64, 128, 256, 512, 1024, 2048, 4096]) AS ck
+    ), vocab AS (
+      SELECT c.ck, COUNT(*) AS v
+      FROM cks c JOIN firsts f ON f.first_rk <= c.ck
+      WHERE c.ck <= (SELECT MAX(rk) FROM ord)
+      GROUP BY c.ck
+    ), pts AS (
+      SELECT ln(CAST(ck AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+      FROM vocab
+    ), s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_checkpoints,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS heaps_beta,
+           round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n), 4) AS heaps_k
+    FROM s
+    """,
+)
+def q297(spark, sf_dir):
+    """Heaps'-law vocabulary growth — V(n) ≈ K·n^β, the companion
+    diagnostic to q295's Zipf slope (natural corpora grow vocabulary
+    at β ≈ 0.4–0.7; duplicated content pushes β toward 0): each
+    token's FIRST document rank (one shuffle — the same first-touch
+    identity as q268's cumulative uniques), vocabulary size at
+    power-of-two checkpoints via a tiny broadcast range join, then
+    log-log OLS for (K, β).  The raw corpus is scanned once; the
+    curve fitting happens on ≤ 8 checkpoint rows."""
+    d = _t(spark, sf_dir, "documents")
+    wrk = Window.orderBy("doc_id")
+    ordd = d.select("doc_id", "text", F.row_number().over(wrk).alias("rk"))
+    firsts = (
+        ordd.select("rk", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy(F.lower("w").alias("w"))
+        .agg(F.min("rk").alias("first_rk"))
+    )
+    max_rk = ordd.agg(F.max("rk").alias("mx"))
+    cks = spark.createDataFrame(
+        [(c,) for c in [32, 64, 128, 256, 512, 1024, 2048, 4096]],
+        "ck long",
+    )
+    vocab = (
+        cks.crossJoin(F.broadcast(max_rk))
+        .filter(F.col("ck") <= F.col("mx"))
+        .join(firsts, F.col("first_rk") <= F.col("ck"))
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    pts = vocab.select(
+        F.log(F.col("ck").cast("double")).alias("x"),
+        F.log(F.col("v").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_checkpoints"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(
+            F.exp((F.col("sy") - slope * F.col("sx")) / n), 4
+        ).alias("heaps_k"),
+    )
+
+
+@query(
+    "q298_session_stats",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                    - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    > 1800
+                  OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WHERE user_id IS NOT NULL
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      , tsec
+      FROM ordered
+    ), per_sess AS (
+      SELECT user_id, sid, COUNT(*) AS depth,
+             MAX(tsec) - MIN(tsec) AS dur_sec
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           round(AVG(CAST(depth AS DOUBLE)), 6) AS avg_depth,
+           round(CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS bounce_rate,
+           round(quantile_cont(dur_sec, 0.5), 4) AS p50_duration_sec,
+           CAST(MAX(dur_sec) AS BIGINT) AS max_duration_sec
+    FROM per_sess
+    """,
+)
+def q298(spark, sf_dir):
+    """Batch SESSION STATISTICS — the per-session table q50/q81's
+    windowed aggregates summarize away: 30-minute-gap sessionization by
+    gaps-and-islands (new-session markers from lag, session ids from
+    the running sum — one user_id partitioning shared by both windows),
+    then per-session depth and duration reduced to the product
+    metrics: session count, average depth, BOUNCE RATE (single-event
+    sessions), median duration.  Durations are exact integer seconds;
+    only the interpolated median carries rounding.  Same machinery as
+    q286's RLE pointed at time gaps instead of value changes."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tsec = F.unix_timestamp("ts")
+    ordered = ev.select(
+        "user_id", "ts", "event_id", tsec.alias("tsec")
+    ).withColumn(
+        "new_sess",
+        F.when(
+            F.lag("tsec").over(w).isNull()
+            | (F.col("tsec") - F.lag("tsec").over(w) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = ordered.withColumn("sid", F.sum("new_sess").over(wcum))
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("depth"),
+        (F.max("tsec") - F.min("tsec")).alias("dur_sec"),
+    )
+    return per_sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.round(F.avg(F.col("depth").cast("double")), 6).alias("avg_depth"),
+        F.round(
+            F.sum(F.when(F.col("depth") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+        F.round(F.percentile("dur_sec", F.lit(0.5)), 4).alias(
+            "p50_duration_sec"
+        ),
+        F.max("dur_sec").cast("bigint").alias("max_duration_sec"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
