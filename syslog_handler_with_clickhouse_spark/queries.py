@@ -15309,6 +15309,127 @@ def q298(spark, sf_dir):
     )
 
 
+@query(
+    "q299_attribution_matrix",
+    """
+    WITH fl AS (
+      SELECT user_id,
+             arg_min(event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) * 4194304 + event_id)
+               AS first_touch,
+             arg_max(event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) * 4194304 + event_id)
+               AS last_touch,
+             COUNT(*) AS n_events
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT first_touch, last_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM fl GROUP BY first_touch, last_touch
+    """,
+)
+def q299(spark, sf_dir):
+    """First-touch × last-touch ATTRIBUTION MATRIX — the marketing
+    question behind every argMin/argMax pair: which entry channel pairs
+    with which converting channel.  One aggregate does everything:
+    min_by/max_by keyed on a PACKED (epoch-second, event_id) BIGINT
+    total order (the q95 exact-tiebreak rule — same-second ties resolve
+    by id identically on both engines), then the 25-cell matrix
+    with user and event counts.  At 100 TB: one partial-aggregable
+    shuffle on user, one on the 5×5 matrix — no windows, no sorts."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # packed total order: epoch-seconds * 2^22 + event_id — one sortable
+    # BIGINT (DuckDB 1.0's arg_min can't order by a struct), exact below
+    # 2^53 for any realistic id density
+    key = F.unix_timestamp("ts") * 4194304 + F.col("event_id")
+    fl = ev.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("first_touch"),
+        F.max_by("event_type", key).alias("last_touch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return fl.groupBy("first_touch", "last_touch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+@query(
+    "q300_data_profile",
+    """
+    SELECT 'event_id' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           round(CAST(COUNT(*) - COUNT(event_id) AS DOUBLE)
+                 / COUNT(*), 6) AS null_share
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+           COUNT(DISTINCT user_id),
+           round(CAST(COUNT(*) - COUNT(user_id) AS DOUBLE) / COUNT(*), 6)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+           COUNT(DISTINCT event_type),
+           round(CAST(COUNT(*) - COUNT(event_type) AS DOUBLE) / COUNT(*), 6)
+    FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+           COUNT(DISTINCT value),
+           round(CAST(COUNT(*) - COUNT(value) AS DOUBLE) / COUNT(*), 6)
+    FROM events
+    UNION ALL
+    SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+           COUNT(DISTINCT props),
+           round(CAST(COUNT(*) - COUNT(props) AS DOUBLE) / COUNT(*), 6)
+    FROM events
+    """,
+)
+def q300(spark, sf_dir):
+    """Column PROFILING scorecard (the ANALYZE TABLE / dbt-test
+    staple): per column, row count, null count, exact distinct, null
+    share — emitted as one metric row per column.  The Spark side
+    computes ALL columns in a single aggregate pass (count + count(col)
+    + countDistinct(col) per column are partial-aggregable together)
+    and unpivots via stack, so profiling five columns costs ONE scan —
+    the property that matters when the table is 100 TB and the naive
+    per-column loop would scan five times.  The oracle's per-column
+    UNION form is the semantic spec; Spark's fused form must match it
+    row for row."""
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value", "props"]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    s = ev.agg(*aggs)
+    wide = s.select(
+        "_n",
+        *[
+            (F.col("_n") - F.col(f"nn_{c}")).alias(f"null_{c}")
+            for c in cols
+        ],
+        *[F.col(f"nd_{c}") for c in cols],
+    )
+    stack = (
+        f"stack({len(cols)}, "
+        + ", ".join(
+            f"'{c}', `null_{c}`, `nd_{c}`" for c in cols
+        )
+        + ") as (col, n_null, n_distinct)"
+    )
+    return wide.selectExpr("_n", stack).select(
+        "col",
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.round(
+            F.col("n_null").cast("double") / F.col("_n").cast("double"), 6
+        ).alias("null_share"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
