@@ -15430,6 +15430,174 @@ def q300(spark, sf_dir):
     )
 
 
+@query(
+    "q301_cuped_adjustment",
+    """
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS grp,
+             SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS x_cents,
+             SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS y_cents
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY user_id
+    ), mom AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(x_cents AS DOUBLE)) AS sx,
+             SUM(CAST(y_cents AS DOUBLE)) AS sy,
+             SUM(CAST(x_cents AS DOUBLE) * x_cents) AS sxx,
+             SUM(CAST(x_cents AS DOUBLE) * y_cents) AS sxy
+      FROM per_user
+    ), theta AS (
+      SELECT n, sx / n AS mx,
+             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS th
+      FROM mom
+    )
+    SELECT p.grp,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(AVG(CAST(p.y_cents AS DOUBLE)) / 100.0, 6) AS raw_mean,
+           round(AVG(CAST(p.y_cents AS DOUBLE)
+                     - t.th * (p.x_cents - t.mx)) / 100.0, 6)
+             AS cuped_mean,
+           round(t.th, 6) AS theta
+    FROM per_user p CROSS JOIN theta t
+    GROUP BY p.grp, t.th
+    """,
+)
+def q301(spark, sf_dir):
+    """CUPED variance reduction — the experimentation-platform
+    workhorse: adjust each user's experiment-period metric Y by their
+    PRE-period covariate X, Y_adj = Y − θ(X − mean(X)) with
+    θ = cov(X,Y)/var(X), which shrinks variance by the squared
+    correlation without biasing the treatment contrast (the adjustment
+    has zero mean by construction).  Pre/post split at mid-month,
+    cohorts by user parity; θ from exact integer cent moments (the q98
+    rule — only the final ratios are float), broadcast onto the
+    per-user frame, group means read out raw AND adjusted so the
+    variance-reduction machinery is fully oracle-pinned."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    cut = F.to_timestamp(F.lit("2024-01-16"))
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(0)).alias(
+            "x_cents"
+        ),
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(0)).alias(
+            "y_cents"
+        ),
+    ).withColumn("grp", F.col("user_id") % 2)
+    xd = F.col("x_cents").cast("double")
+    yd = F.col("y_cents").cast("double")
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("x_cents")).alias("sxx"),
+        F.sum(xd * F.col("y_cents")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    theta = mom.select(
+        (F.col("sx") / n).alias("mx"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / n)
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / n)
+        ).alias("th"),
+    )
+    j = per_user.crossJoin(F.broadcast(theta))
+    return j.groupBy("grp", "th").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.avg(yd) / 100.0, 6).alias("raw_mean"),
+        F.round(
+            F.avg(yd - F.col("th") * (F.col("x_cents") - F.col("mx")))
+            / 100.0,
+            6,
+        ).alias("cuped_mean"),
+    ).select(
+        "grp",
+        "n_users",
+        "raw_mean",
+        "cuped_mean",
+        F.round("th", 6).alias("theta"),
+    )
+
+
+@query(
+    "q302_distribution_drift_jsd",
+    """
+    WITH wk AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS w,
+             event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT w, SUM(c) AS n FROM wk GROUP BY w
+    ), p AS (
+      SELECT wk.w, wk.event_type,
+             CAST(wk.c AS DOUBLE) / tot.n AS p
+      FROM wk JOIN tot ON tot.w = wk.w
+    ), pairs AS (
+      SELECT cur.w, cur.event_type,
+             cur.p AS pc, prv.p AS pp
+      FROM p cur JOIN p prv
+        ON prv.event_type = cur.event_type
+       AND prv.w = cur.w - INTERVAL 7 DAY
+    )
+    SELECT strftime(w, '%Y-%m-%d') AS week,
+           round(SUM(
+             0.5 * pc * ln(pc / ((pc + pp) / 2))
+             + 0.5 * pp * ln(pp / ((pc + pp) / 2))
+           ) / ln(2), 6) AS jsd_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_categories
+    FROM pairs GROUP BY w
+    """,
+)
+def q302(spark, sf_dir):
+    """Week-over-week DISTRIBUTION DRIFT via Jensen-Shannon divergence
+    — the monitoring alarm for 'did the traffic mix change': per-week
+    event-type shares, JSD in bits against the previous week
+    (symmetric, bounded [0,1], defined even when a category vanishes —
+    though here every type appears weekly, so the pure formula
+    applies).  The raw scan collapses to the week×type frame FIRST;
+    the self-join shifts by exactly one week on the date key, and the
+    divergence sum runs over ≤ 5 categories per week.  Both engines
+    evaluate the identical fixed-order ln expression, 6-dp rounded —
+    the drift monitor as a query, no sampling, no estimation."""
+    ev = _t(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = wk.groupBy("w").agg(F.sum("c").alias("n"))
+    p = wk.join(tot, "w").select(
+        "w",
+        "event_type",
+        (F.col("c").cast("double") / F.col("n").cast("double")).alias("p"),
+    )
+    cur = p.select("w", "event_type", F.col("p").alias("pc"))
+    prv = p.select(
+        F.date_add(F.col("w"), 7).alias("w"),
+        "event_type",
+        F.col("p").alias("pp"),
+    )
+    pairs = cur.join(prv, ["w", "event_type"])
+    m = (F.col("pc") + F.col("pp")) / 2
+    term = 0.5 * F.col("pc") * F.log(F.col("pc") / m) + 0.5 * F.col(
+        "pp"
+    ) * F.log(F.col("pp") / m)
+    import math
+
+    return pairs.groupBy("w").agg(
+        F.round(F.sum(term) / math.log(2.0), 6).alias("jsd_bits"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+    ).select(
+        F.date_format("w", "yyyy-MM-dd").alias("week"),
+        "jsd_bits",
+        "n_categories",
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
