@@ -15598,6 +15598,183 @@ def q302(spark, sf_dir):
     )
 
 
+@query(
+    "q303_population_stability_index",
+    """
+    WITH ref AS (
+      SELECT quantile_cont(value, [0.2, 0.4, 0.6, 0.8]) AS qs
+      FROM events
+      WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16'
+    ), binned AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref'
+                  ELSE 'cur' END AS period,
+             CASE WHEN value < qs[1] THEN 0
+                  WHEN value < qs[2] THEN 1
+                  WHEN value < qs[3] THEN 2
+                  WHEN value < qs[4] THEN 3
+                  ELSE 4 END AS bin
+      FROM events CROSS JOIN ref
+      WHERE value IS NOT NULL
+    ), counts AS (
+      SELECT bin,
+             SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS nr,
+             SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS nc
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT SUM(nr) AS tr, SUM(nc) AS tc FROM counts
+    )
+    SELECT c.bin,
+           round(CAST(c.nr AS DOUBLE) / t.tr, 6) AS ref_share,
+           round(CAST(c.nc AS DOUBLE) / t.tc, 6) AS cur_share,
+           round((CAST(c.nc AS DOUBLE) / t.tc
+                  - CAST(c.nr AS DOUBLE) / t.tr)
+                 * ln((CAST(c.nc AS DOUBLE) / t.tc)
+                      / (CAST(c.nr AS DOUBLE) / t.tr)), 6)
+             AS psi_contrib
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def q303(spark, sf_dir):
+    """Population Stability Index — the credit-risk/ML-monitoring drift
+    score (PSI < 0.1 stable, > 0.25 act): quintile edges computed on
+    the REFERENCE period only (the defining PSI convention — the
+    current period is scored against frozen bins), both periods binned
+    in one scan with the 4 edges broadcast, per-bin
+    (cur−ref)·ln(cur/ref) contributions.  Quintile-by-construction
+    reference shares make degenerate (zero) cells impossible on this
+    data; the edges are exact interpolated percentiles so both engines
+    bin identically."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cut = F.to_timestamp(F.lit("2024-01-16"))
+    ref = ev.filter(F.col("ts") < cut).agg(
+        F.percentile(
+            "value", F.array(*[F.lit(x) for x in [0.2, 0.4, 0.6, 0.8]])
+        ).alias("qs")
+    )
+    b = ev.crossJoin(F.broadcast(ref)).select(
+        F.when(F.col("ts") < cut, "ref").otherwise("cur").alias("period"),
+        F.when(F.col("value") < F.element_at("qs", 1), 0)
+        .when(F.col("value") < F.element_at("qs", 2), 1)
+        .when(F.col("value") < F.element_at("qs", 3), 2)
+        .when(F.col("value") < F.element_at("qs", 4), 3)
+        .otherwise(4)
+        .alias("bin"),
+    )
+    counts = b.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("nr"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("nc"),
+    )
+    tot = counts.agg(F.sum("nr").alias("tr"), F.sum("nc").alias("tc"))
+    rs = F.col("nr").cast("double") / F.col("tr").cast("double")
+    cs = F.col("nc").cast("double") / F.col("tc").cast("double")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.round(rs, 6).alias("ref_share"),
+        F.round(cs, 6).alias("cur_share"),
+        F.round((cs - rs) * F.log(cs / rs), 6).alias("psi_contrib"),
+    )
+
+
+@query(
+    "q304_kaplan_meier",
+    """
+    WITH weeks AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events WHERE user_id IS NOT NULL
+    ), spans AS (
+      SELECT user_id,
+             CAST((epoch(MAX(w)) - epoch(MIN(w))) / 604800 AS BIGINT)
+               AS last_off
+      FROM weeks GROUP BY user_id
+    ), horizon AS (
+      SELECT CAST((epoch(MAX(w)) - epoch(MIN(w))) / 604800 AS BIGINT) AS h
+      FROM weeks
+    ), risk AS (
+      SELECT t.off,
+             SUM(CASE WHEN s.last_off >= t.off THEN 1 ELSE 0 END)
+               AS n_at_risk,
+             SUM(CASE WHEN s.last_off = t.off THEN 1 ELSE 0 END)
+               AS n_lapsed
+      FROM spans s
+      CROSS JOIN (SELECT unnest(range(0, 10)) AS off) t
+      CROSS JOIN horizon hz
+      WHERE t.off < hz.h  -- the final offset is censored, not an event
+      GROUP BY t.off
+    )
+    SELECT off AS week_offset,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(n_lapsed AS BIGINT) AS n_lapsed,
+           round(exp(SUM(CASE WHEN n_lapsed < n_at_risk
+                 THEN ln(1.0 - CAST(n_lapsed AS DOUBLE) / n_at_risk)
+                 END)
+                 OVER (ORDER BY off ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)), 6) AS survival
+    FROM risk WHERE n_at_risk > 0
+    """,
+)
+def q304(spark, sf_dir):
+    """Kaplan-Meier retention curve — survival analysis as a query:
+    'still active after k weeks' with the last observed week treated
+    as the lapse event and the observation horizon as censoring (users
+    last seen in the final week are censored, not churned — the
+    distinction KM exists for).  The product-limit estimator
+    S(k) = Π(1 − d_i/n_i) computes as exp of a RUNNING SUM of logs
+    (the windowed form of an ordered product), over a ≤10-row
+    risk-table frame; the raw data contributes one distinct
+    (user, week) shuffle and a per-user span aggregate.  Lifetimes are
+    integer week offsets, so both engines build identical risk sets."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+    ).distinct()
+    epoch_w = F.unix_timestamp(F.col("w").cast("timestamp"))
+    spans = weeks.groupBy("user_id").agg(
+        ((F.max(epoch_w) - F.min(epoch_w)) / 604800)
+        .cast("bigint")
+        .alias("last_off")
+    )
+    horizon = weeks.agg(
+        ((F.max(epoch_w) - F.min(epoch_w)) / 604800)
+        .cast("bigint")
+        .alias("h")
+    )
+    offs = spark.range(0, 10).select(F.col("id").alias("off"))
+    risk = (
+        spans.crossJoin(F.broadcast(offs))
+        .crossJoin(F.broadcast(horizon))
+        .filter(F.col("off") < F.col("h"))
+        .groupBy("off")
+        .agg(
+            F.sum(
+                F.when(F.col("last_off") >= F.col("off"), 1).otherwise(0)
+            ).alias("n_at_risk"),
+            F.sum(
+                F.when(F.col("last_off") == F.col("off"), 1).otherwise(0)
+            ).alias("n_lapsed"),
+        )
+        .filter(F.col("n_at_risk") > 0)
+    )
+    wcum = Window.orderBy("off").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    term = F.when(
+        F.col("n_lapsed") < F.col("n_at_risk"),
+        F.log(
+            1.0
+            - F.col("n_lapsed").cast("double")
+            / F.col("n_at_risk").cast("double")
+        ),
+    )  # d == n would be ln(0): NULLed symmetrically (SUM skips NULLs
+    # identically on both engines); fixture curves never hit it
+    surv = F.exp(F.sum(term).over(wcum))
+    return risk.select(
+        F.col("off").alias("week_offset"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("n_lapsed").cast("bigint").alias("n_lapsed"),
+        F.round(surv, 6).alias("survival"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
