@@ -15775,6 +15775,150 @@ def q304(spark, sf_dir):
     )
 
 
+@query(
+    "q305_rfm_segmentation",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+             ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f,
+             ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS m
+      FROM cust
+    )
+    SELECT CAST(r AS INT) || CAST(f AS INT) || CAST(m AS INT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1
+    ORDER BY n_customers DESC, segment
+    LIMIT 25
+    """,
+)
+def q305(spark, sf_dir):
+    """RFM segmentation — the CRM classic: every customer scored 1-5 on
+    Recency (latest order first), Frequency, and Monetary value via
+    ntile(5), concatenated into the familiar '111'-is-best segment
+    code, top segments by population.  The three ntiles share one
+    customer-level frame (a single aggregate over orders with exact
+    cent money); every ORDER BY carries the customer-key tiebreak so
+    ntile boundaries — which split ties by position — land identically
+    on both engines.  Top-25 with a total order."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint").cast(
+        "decimal(38,0)"
+    )
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(cents).alias("cents"),
+    )
+    wr = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    wf = Window.orderBy(F.col("freq").desc(), F.col("o_custkey"))
+    wm = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    scored = cust.select(
+        "o_custkey",
+        F.ntile(5).over(wr).alias("r"),
+        F.ntile(5).over(wf).alias("f"),
+        F.ntile(5).over(wm).alias("m"),
+    )
+    seg = F.concat(
+        F.col("r").cast("string"),
+        F.col("f").cast("string"),
+        F.col("m").cast("string"),
+    )
+    return (
+        scored.select(seg.alias("segment"))
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), "segment")
+        .limit(25)
+    )
+
+
+@query(
+    "q306_l_moments",
+    """
+    WITH ranked AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS xc,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY value, event_id) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    ), b AS (
+      SELECT event_type, MAX(n) AS n,
+             SUM(CAST(xc AS DOUBLE)) / MAX(n) AS b0,
+             SUM(CAST(xc AS DOUBLE) * (i - 1) / (n - 1.0)) / MAX(n) AS b1,
+             SUM(CAST(xc AS DOUBLE) * (i - 1) * (i - 2)
+                 / ((n - 1.0) * (n - 2.0))) / MAX(n) AS b2
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           round(b0 / 100.0, 6) AS l1_mean,
+           round((2 * b1 - b0) / 100.0, 6) AS l2_scale,
+           round((2 * b1 - b0) / b0, 6) AS l_cv,
+           round((6 * b2 - 6 * b1 + b0) / (2 * b1 - b0), 6) AS l_skewness
+    FROM b
+    """,
+)
+def q306(spark, sf_dir):
+    """L-moments — the order-statistics alternative to q98's
+    conventional moments (L-scale and L-skewness exist whenever the
+    MEAN exists and are far less outlier-brittle than variance and
+    skewness; hydrology/insurance's standard distribution-fitting
+    inputs): the unbiased b-moment estimators b0/b1/b2 are
+    RANK-WEIGHTED sums over the sorted sample, so one window rank per
+    group (value with an id tiebreak — ties get distinct ranks, which
+    is exactly what the estimator's combinatorial weights require)
+    feeds a single aggregate; λ2 = 2b1−b0, τ3 = λ3/λ2.  Cent-quantized
+    integer values keep the weighted sums' magnitudes tame; 6-dp
+    rounding absorbs the float weight products."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wall = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("xc"),
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    xd = F.col("xc").cast("double")
+    nr = F.col("n").cast("double")  # per-row constant within the group
+    b = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        (F.sum(xd) / F.max("n")).alias("b0_raw"),
+        (
+            F.sum(xd * (F.col("i") - 1) / (nr - 1.0)) / F.max("n")
+        ).alias("b1_raw"),
+        (
+            F.sum(
+                xd
+                * (F.col("i") - 1)
+                * (F.col("i") - 2)
+                / ((nr - 1.0) * (nr - 2.0))
+            )
+            / F.max("n")
+        ).alias("b2_raw"),
+    )
+    b0, b1, b2 = F.col("b0_raw"), F.col("b1_raw"), F.col("b2_raw")
+    return b.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(b0 / 100.0, 6).alias("l1_mean"),
+        F.round((2 * b1 - b0) / 100.0, 6).alias("l2_scale"),
+        F.round((2 * b1 - b0) / b0, 6).alias("l_cv"),
+        F.round((6 * b2 - 6 * b1 + b0) / (2 * b1 - b0), 6).alias(
+            "l_skewness"
+        ),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
