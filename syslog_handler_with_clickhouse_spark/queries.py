@@ -15919,6 +15919,174 @@ def q306(spark, sf_dir):
     )
 
 
+@query(
+    "q307_cross_correlation_lag",
+    """
+    WITH hrs AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(h) AS h0, max(h) AS h1 FROM hrs
+    ), grid AS (
+      SELECT CAST((epoch(gs.h) - epoch(b.h0)) / 3600 AS BIGINT) AS idx,
+             gs.h
+      FROM bounds b, LATERAL (
+        SELECT unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+      ) gs
+    ), x AS (
+      SELECT g.idx, CAST(COALESCE(hrs.c, 0) AS DOUBLE) AS v
+      FROM grid g LEFT JOIN hrs
+        ON hrs.h = g.h AND hrs.event_type = 'click'
+    ), y AS (
+      SELECT g.idx, CAST(COALESCE(hrs.c, 0) AS DOUBLE) AS v
+      FROM grid g LEFT JOIN hrs
+        ON hrs.h = g.h AND hrs.event_type = 'purchase'
+    ), sx AS (
+      SELECT AVG(v) AS mu, COUNT(*) AS n,
+             SUM(v * v) - COUNT(*) * AVG(v) * AVG(v) AS ss
+      FROM x
+    ), sy AS (
+      SELECT AVG(v) AS mu,
+             SUM(v * v) - COUNT(*) * AVG(v) * AVG(v) AS ss
+      FROM y
+    ), cc AS (
+      SELECT l.lag,
+             SUM((x.v - sx.mu) * (y.v - sy.mu))
+               / sqrt(sx.ss * sy.ss) AS r
+      FROM x
+      JOIN (SELECT unnest(range(-12, 13)) AS lag) l ON TRUE
+      JOIN y ON y.idx = x.idx + l.lag
+      CROSS JOIN sx CROSS JOIN sy
+      GROUP BY l.lag, sx.ss, sy.ss
+    )
+    SELECT CAST(lag AS BIGINT) AS best_lag, round(r, 6) AS best_r
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY round(r, 6) DESC, lag) AS rn FROM cc)
+    WHERE rn = 1
+    """,
+)
+def q307(spark, sf_dir):
+    """CROSS-correlation lead-lag detection — 'do purchases follow
+    clicks, and by how many hours': the two gap-filled hourly series
+    (q248's grid machinery), normalized cross-correlation at lags
+    −12..+12, argmax with the 6-dp-round-before-rank rule.  Same scale
+    posture as the autocorrelation: one raw shuffle into the hourly
+    aggregate, then a 25-lag fan-out over the ~720-point series with
+    the global moments broadcast — the lead-lag scan costs arithmetic
+    on |hours|·|lags| tiny rows regardless of raw volume."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hrs = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = hrs.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        "h0",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    ).select(
+        ((F.unix_timestamp("h") - F.unix_timestamp("h0")) / 3600)
+        .cast("bigint")
+        .alias("idx"),
+        "h",
+    )
+
+    def series(t):
+        return grid.join(
+            hrs.filter(F.col("event_type") == t), ["h"], "left"
+        ).select(
+            "idx", F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("v")
+        )
+
+    x, y = series("click"), series("purchase")
+    sx = x.agg(
+        F.avg("v").alias("mux"),
+        (
+            F.sum(F.col("v") * F.col("v"))
+            - F.count(F.lit(1)) * F.avg("v") * F.avg("v")
+        ).alias("ssx"),
+    )
+    sy = y.agg(
+        F.avg("v").alias("muy"),
+        (
+            F.sum(F.col("v") * F.col("v"))
+            - F.count(F.lit(1)) * F.avg("v") * F.avg("v")
+        ).alias("ssy"),
+    )
+    lags = spark.range(-12, 13).select(F.col("id").alias("lag"))
+    y2 = y.select(F.col("idx").alias("idy"), F.col("v").alias("vy"))
+    cc = (
+        x.crossJoin(F.broadcast(lags))
+        .join(y2, F.col("idy") == F.col("idx") + F.col("lag"))
+        .crossJoin(F.broadcast(sx))
+        .crossJoin(F.broadcast(sy))
+        .groupBy("lag", "ssx", "ssy")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("mux")) * (F.col("vy") - F.col("muy"))
+            ).alias("num")
+        )
+        .select(
+            "lag",
+            (F.col("num") / F.sqrt(F.col("ssx") * F.col("ssy"))).alias("r"),
+        )
+    )
+    wr = Window.orderBy(F.round(F.col("r"), 6).desc(), F.col("lag"))
+    return (
+        cc.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("lag").cast("bigint").alias("best_lag"),
+            F.round("r", 6).alias("best_r"),
+        )
+    )
+
+
+@query(
+    "q308_seasonality_profile",
+    """
+    WITH cells AS (
+      SELECT CAST(extract(isodow FROM ts) AS INT) AS dow,
+             CAST(extract(hour FROM ts) AS INT) AS hr,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT SUM(c) AS n FROM cells
+    )
+    SELECT dow, hr,
+           CAST(c AS BIGINT) AS n_events,
+           round(CAST(c AS DOUBLE) * 168.0 / t.n, 6) AS seasonality_index
+    FROM cells CROSS JOIN tot t
+    """,
+)
+def q308(spark, sf_dir):
+    """Hour-of-day × day-of-week SEASONALITY PROFILE — the heatmap
+    behind capacity planning: counts per (ISO weekday, hour) cell and
+    the seasonality INDEX (cell share × 168 — 1.0 means a perfectly
+    flat week, 2.0 means double the average load).  One shuffle to 168
+    cells; the index arithmetic is on the tiny frame.  ISO weekday
+    (Monday=1) is the cross-engine pitfall here — Spark's dayofweek()
+    is Sunday=1, so the Spark side derives ISO dow from date_format 'u'
+    semantics via weekday()+1 to match DuckDB's extract(isodow)."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hr",
+        F.col("c").cast("bigint").alias("n_events"),
+        F.round(
+            F.col("c").cast("double") * 168.0 / F.col("n").cast("double"), 6
+        ).alias("seasonality_index"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
