@@ -16087,6 +16087,73 @@ def q308(spark, sf_dir):
     )
 
 
+@query(
+    "q309_price_elasticity",
+    """
+    WITH obs AS (
+      SELECT split_part(p.p_type, ' ', 1) AS segment,
+             ln(CAST(l.l_quantity AS DOUBLE)) AS y,
+             ln(CAST(l.l_extendedprice AS DOUBLE)
+                / CAST(l.l_quantity AS DOUBLE)) AS x
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    ), s AS (
+      SELECT segment, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM obs GROUP BY segment
+    )
+    SELECT segment, CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+             AS elasticity,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 4) AS intercept
+    FROM s
+    """,
+)
+def q309(spark, sf_dir):
+    """Price ELASTICITY by product segment — the pricing-analytics
+    staple: log-log OLS of quantity on unit price (elasticity is the
+    slope, directly), per p_type segment with the part dim broadcast
+    onto the fact scan.  The q196 closed-form-sums shape: one shuffle
+    to 6 partial-aggregable sums per segment, slope/intercept as
+    fixed-order float epilogues.  ln-magnitude sums over ~100 k terms
+    round at 4 dp (wider than the stats family's 6 — the sums reach
+    ~1e6, so the last two decimals of a 6-dp round would sit inside
+    float-accumulation noise; 4 dp is the honest precision)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    p = _t(spark, sf_dir, "part")
+    obs = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("segment"),
+        F.log(F.col("l_quantity").cast("double")).alias("y"),
+        F.log(
+            F.col("l_extendedprice").cast("double")
+            / F.col("l_quantity").cast("double")
+        ).alias("x"),
+    )
+    s = obs.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 4).alias("elasticity"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 4).alias(
+            "intercept"
+        ),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
