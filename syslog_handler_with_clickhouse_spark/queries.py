@@ -16154,6 +16154,69 @@ def q309(spark, sf_dir):
     )
 
 
+@query(
+    "q310_doc_entropy",
+    """
+    WITH tok AS (
+      SELECT doc_id, lower(t.w) AS w
+      FROM documents d, LATERAL (
+        SELECT unnest(string_split(d.text, ' ')) AS w) t
+      WHERE t.w != ''
+    ), wc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+    ), dn AS (
+      SELECT doc_id, SUM(c) AS n FROM wc GROUP BY doc_id
+    ), ent AS (
+      SELECT wc.doc_id,
+             -SUM((CAST(wc.c AS DOUBLE) / dn.n)
+                  * ln(CAST(wc.c AS DOUBLE) / dn.n)) / ln(2) AS h
+      FROM wc JOIN dn ON dn.doc_id = wc.doc_id
+      GROUP BY wc.doc_id
+    )
+    SELECT CAST(floor(h) AS INT) AS entropy_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(MIN(h), 6) AS min_entropy,
+           round(MAX(h), 6) AS max_entropy
+    FROM ent GROUP BY CAST(floor(h) AS INT)
+    """,
+)
+def q310(spark, sf_dir):
+    """Per-document TOKEN ENTROPY — the lexical-diversity quality
+    signal (near-zero bits: 'buy buy buy' spam; high bits: diverse
+    vocabulary) that complements q220's repetition fractions and q44's
+    surface ratios: per-doc word distribution → Shannon entropy in
+    bits → documents bucketed by whole-bit entropy with per-bucket
+    extremes.  Shape: explode → (doc, word) counts → per-doc totals
+    re-aggregated FROM the counts (no second raw scan) → an ≤ ~20-term
+    entropy sum per doc.  Per-doc sums are few-term and the bucket
+    boundary is floor-of-bits, so float order can't move a doc across
+    buckets unless its entropy sits within 1e-12 of an integer —
+    absent in the fixtures at every scale."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .select("doc_id", F.lower("w").alias("w"))
+    )
+    wc = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    dn = wc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    import math
+
+    ent = (
+        wc.join(dn, "doc_id")
+        .groupBy("doc_id")
+        .agg((-F.sum(p * F.log(p)) / math.log(2.0)).alias("h"))
+    )
+    return ent.groupBy(
+        F.floor("h").cast("int").alias("entropy_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.min("h"), 6).alias("min_entropy"),
+        F.round(F.max("h"), 6).alias("max_entropy"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
