@@ -16217,6 +16217,145 @@ def q310(spark, sf_dir):
     )
 
 
+@query(
+    "q311_two_proportion_ztest",
+    """
+    WITH conv AS (
+      SELECT user_id, user_id % 2 AS grp,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 250
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS n0,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS n1,
+             CAST(SUM(CASE WHEN grp = 0 THEN converted ELSE 0 END)
+               AS DOUBLE) AS c0,
+             CAST(SUM(CASE WHEN grp = 1 THEN converted ELSE 0 END)
+               AS DOUBLE) AS c1
+      FROM conv
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_a,
+           CAST(n1 AS BIGINT) AS n_b,
+           round(c0 / n0, 6) AS rate_a,
+           round(c1 / n1, 6) AS rate_b,
+           round((c0 / n0 - c1 / n1)
+                 / sqrt(NULLIF(((c0 + c1) / (n0 + n1))
+                        * (1 - (c0 + c1) / (n0 + n1))
+                        * (1 / n0 + 1 / n1), 0)), 6) AS z_stat
+    FROM s
+    """,
+)
+def q311(spark, sf_dir):
+    """Two-proportion z-test — the conversion-rate A/B readout
+    (the categorical sibling of q253's mean z-test and the inferential
+    closure of q249's sample-size planner): per-user conversion flags
+    (MAX over the purchase indicator — one scan), cohorts by parity,
+    pooled-proportion z in one fixed-order expression.  Four exact
+    integer counts are the only data-dependent aggregates; both
+    engines evaluate the identical pooled-variance formula to 6 dp."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    conv = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 250),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).withColumn("grp", F.col("user_id") % 2)
+    s = conv.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0))
+        .cast("double")
+        .alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0))
+        .cast("double")
+        .alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    # NULLIF degenerate guard (pp in {0,1}) — symmetric on both engines
+    z = (p0 - p1) / F.sqrt(
+        F.nullif(
+            pp * (1 - pp) * (1 / F.col("n0") + 1 / F.col("n1")), F.lit(0.0)
+        )
+    )
+    return s.select(
+        F.col("n0").cast("bigint").alias("n_a"),
+        F.col("n1").cast("bigint").alias("n_b"),
+        F.round(p0, 6).alias("rate_a"),
+        F.round(p1, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+@query(
+    "q312_repeat_purchase_latency",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+               lag(o_orderdate) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap_days
+      FROM orders
+    ), per_cust AS (
+      SELECT o_custkey, COUNT(gap_days) AS n_repeats,
+             AVG(CAST(gap_days AS DOUBLE)) AS mean_gap
+      FROM gaps WHERE gap_days IS NOT NULL
+      GROUP BY o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_repeat_customers,
+           round(AVG(mean_gap), 6) AS avg_mean_gap_days,
+           round(quantile_cont(mean_gap, 0.5), 4) AS p50_mean_gap_days,
+           CAST(SUM(CASE WHEN mean_gap <= 30 THEN 1 ELSE 0 END)
+             AS BIGINT) AS monthly_or_faster
+    FROM per_cust
+    """,
+)
+def q312(spark, sf_dir):
+    """Repeat-purchase latency — the replenishment-cycle metric behind
+    subscription and CRM forecasting: per customer, the gaps between
+    consecutive order dates (one lag pass, orderkey tiebreak for
+    same-day orders), each customer's mean cycle, then the population
+    view (how many repeat customers, typical cycle, share on a
+    ~monthly cadence).  Date subtraction yields exact integer days on
+    both engines (DuckDB DATE−DATE and Spark datediff agree);
+    only the interpolated median carries the 4-dp rule."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("bigint").alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.count("gap_days").alias("n_repeats"),
+        F.avg(F.col("gap_days").cast("double")).alias("mean_gap"),
+    )
+    return per_cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_repeat_customers"),
+        F.round(F.avg("mean_gap"), 6).alias("avg_mean_gap_days"),
+        F.round(F.percentile("mean_gap", F.lit(0.5)), 4).alias(
+            "p50_mean_gap_days"
+        ),
+        F.sum(F.when(F.col("mean_gap") <= 30, 1).otherwise(0))
+        .cast("bigint")
+        .alias("monthly_or_faster"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
