@@ -16356,6 +16356,138 @@ def q312(spark, sf_dir):
     )
 
 
+@query(
+    "q313_hhi_concentration",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(round(o.o_totalprice * 100) AS HUGEINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    ), tot AS (
+      SELECT region, SUM(cents) AS t FROM rev GROUP BY region
+    )
+    SELECT rev.region,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           round(SUM((CAST(rev.cents AS DOUBLE) / tot.t)
+                     * (CAST(rev.cents AS DOUBLE) / tot.t)), 6) AS hhi,
+           round(1.0 / SUM((CAST(rev.cents AS DOUBLE) / tot.t)
+                     * (CAST(rev.cents AS DOUBLE) / tot.t)), 6)
+             AS effective_nations
+    FROM rev JOIN tot ON tot.region = rev.region
+    GROUP BY rev.region
+    """,
+)
+def q313(spark, sf_dir):
+    """Herfindahl-Hirschman concentration index per region — the
+    antitrust/market-structure measure completing the inequality trio
+    (q296 Gini, q290 Pareto): HHI = Σ share², and its reciprocal, the
+    'effective number of competitors'.  Shares come from exact integer
+    cent revenue (region totals re-aggregated FROM the 25-row
+    nation-level frame, no second fact scan); the squared-share sum
+    runs over ≤ 5 terms per region so float order is irrelevant at
+    6 dp.  One fact aggregate with all dims broadcast — the q289
+    hierarchy-shares shape with a different epilogue."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint").cast(
+        "decimal(38,0)"
+    )
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    tot = rev.groupBy("region").agg(F.sum("cents").alias("t"))
+    share = F.col("cents").cast("double") / F.col("t").cast("double")
+    return (
+        rev.join(F.broadcast(tot), "region")
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+            F.round(1.0 / F.sum(share * share), 6).alias(
+                "effective_nations"
+            ),
+        )
+    )
+
+
+@query(
+    "q314_order_consistency_audit",
+    """
+    WITH line_side AS (
+      SELECT l_orderkey,
+             SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                            * (1 + l_tax) * 100) AS HUGEINT)) AS line_cents
+      FROM lineitem GROUP BY l_orderkey
+    ), joined AS (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS HUGEINT) AS order_cents,
+             ls.line_cents,
+             abs(CAST(round(o.o_totalprice * 100) AS HUGEINT)
+                 - ls.line_cents) AS diff_cents
+      FROM orders o JOIN line_side ls ON ls.l_orderkey = o.o_orderkey
+    )
+    SELECT CASE WHEN diff_cents = 0 THEN 'exact'
+                WHEN diff_cents <= 5 THEN 'rounding'
+                ELSE 'mismatch' END AS consistency,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(diff_cents) AS BIGINT) AS max_diff_cents
+    FROM joined GROUP BY 1
+    """,
+)
+def q314(spark, sf_dir):
+    """Referential-CONSISTENCY audit — does every order header's total
+    equal its lines' Σ extendedprice·(1−discount)·(1+tax)?  The
+    cross-table invariant check every warehouse runs after a load:
+    both sides quantized to exact integer cents BEFORE comparison
+    (per-line rounding then exact integer sums — float equality never
+    enters), orders bucketed into exact / rounding-noise (≤5¢) /
+    genuine mismatch with the worst offset reported.  One fact
+    aggregate + one key join; whatever the fixture's generator
+    actually guarantees, both engines must bucket it identically —
+    the audit is the machinery, the verdict is data."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    line_cents = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+    ).cast("bigint").cast("decimal(38,0)")
+    ls = li.groupBy("l_orderkey").agg(
+        F.sum(line_cents).alias("line_cents")
+    )
+    order_cents = F.round(F.col("o_totalprice") * 100).cast("bigint").cast(
+        "decimal(38,0)"
+    )
+    j = o.select("o_orderkey", order_cents.alias("order_cents")).join(
+        ls, o["o_orderkey"] == ls["l_orderkey"]
+    )
+    diff = F.abs(F.col("order_cents") - F.col("line_cents"))
+    bucket = (
+        F.when(diff == 0, "exact")
+        .when(diff <= 5, "rounding")
+        .otherwise("mismatch")
+    )
+    return j.select(bucket.alias("consistency"), diff.alias("d")).groupBy(
+        "consistency"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.max("d").cast("bigint").alias("max_diff_cents"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
