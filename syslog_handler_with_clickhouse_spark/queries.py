@@ -16488,6 +16488,134 @@ def q314(spark, sf_dir):
     )
 
 
+@query(
+    "q315_seasonal_anomaly_flags",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(extract(isodow FROM ts) AS INT) AS dow,
+             CAST(extract(hour FROM ts) AS INT) AS hr,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2, 3
+    ), base AS (
+      SELECT dow, hr,
+             AVG(CAST(c AS DOUBLE)) AS mu,
+             STDDEV_SAMP(CAST(c AS DOUBLE)) AS sd,
+             COUNT(*) AS n_obs
+      FROM hourly GROUP BY dow, hr
+    )
+    SELECT strftime(h.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(h.c AS BIGINT) AS n_events,
+           round(b.mu, 6) AS baseline_mu,
+           round((h.c - b.mu) / b.sd, 6) AS z
+    FROM hourly h JOIN base b ON b.dow = h.dow AND b.hr = h.hr
+    WHERE b.n_obs >= 3 AND b.sd > 0
+      AND abs((h.c - b.mu) / b.sd) > 2.5
+    ORDER BY hour
+    """,
+)
+def q315(spark, sf_dir):
+    """SEASONAL anomaly detection — the alerting rule a plain global
+    z-score gets wrong (3 AM traffic is 'anomalously high' only vs
+    other 3 AMs): each hour scored against its OWN hour-of-week cell's
+    baseline (the q308 profile as μ/σ), cells with <3 observations or
+    zero variance excluded, |z| > 2.5 flagged.  Two aggregates of the
+    same hourly frame (raw scan once), baseline broadcast back — the
+    shape that turns 100 TB of history into a 168-row alerting model
+    refreshed by one query.  z rounds at 6 dp on exact-count inputs."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"),
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    base = hourly.groupBy("dow", "hr").agg(
+        F.avg(F.col("c").cast("double")).alias("mu"),
+        F.stddev_samp(F.col("c").cast("double")).alias("sd"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    j = hourly.join(F.broadcast(base), ["dow", "hr"])
+    z = (F.col("c") - F.col("mu")) / F.col("sd")
+    return (
+        j.filter(
+            (F.col("n_obs") >= 3) & (F.col("sd") > 0) & (F.abs(z) > 2.5)
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("c").cast("bigint").alias("n_events"),
+            F.round("mu", 6).alias("baseline_mu"),
+            F.round(z, 6).alias("z"),
+        )
+        .orderBy("hour")
+    )
+
+
+@query(
+    "q316_segment_overlap_matrix",
+    """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE user_id IS NOT NULL
+    ), sizes AS (
+      SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type
+    ), inter AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS i
+      FROM ut a JOIN ut b
+        ON b.user_id = a.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT it.ta, it.tb,
+           CAST(it.i AS BIGINT) AS n_overlap,
+           round(CAST(it.i AS DOUBLE) / (sa.n + sb.n - it.i), 6)
+             AS jaccard,
+           round(CAST(it.i AS DOUBLE)
+                 / (CASE WHEN sa.n < sb.n THEN sa.n ELSE sb.n END), 6)
+             AS overlap_coef
+    FROM inter it
+    JOIN sizes sa ON sa.event_type = it.ta
+    JOIN sizes sb ON sb.event_type = it.tb
+    """,
+)
+def q316(spark, sf_dir):
+    """Audience SEGMENT-OVERLAP matrix — Jaccard and Szymkiewicz-
+    Simpson overlap between every pair of behavioral segments (users
+    who click vs users who purchase...): the audience-planning
+    question 'are these the same people'.  Same bounded-fan-out shape
+    as q292's lift (per-user join width ≤ |types|²) but SET-similarity
+    semantics: exact intersection counts, union by
+    inclusion-exclusion, overlap coefficient against the smaller set.
+    Segment sizes broadcast onto the 10-pair frame; this is the EXACT
+    ground truth the q244 theta sketches estimate — the two queries
+    bracket the accuracy-vs-state trade."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("ta"))
+    b = ut.select("user_id", F.col("event_type").alias("tb"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("tb"), F.col("n").alias("nb"))
+    idd = F.col("i").cast("double")
+    return (
+        inter.join(F.broadcast(sa), "ta")
+        .join(F.broadcast(sb), "tb")
+        .select(
+            "ta",
+            "tb",
+            F.col("i").cast("bigint").alias("n_overlap"),
+            F.round(
+                idd / (F.col("na") + F.col("nb") - F.col("i")), 6
+            ).alias("jaccard"),
+            F.round(idd / F.least("na", "nb"), 6).alias("overlap_coef"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
