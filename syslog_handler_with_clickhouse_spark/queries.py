@@ -16616,6 +16616,55 @@ def q316(spark, sf_dir):
     )
 
 
+@query(
+    "q317_double_fire_audit",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS gap
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(gap) AS BIGINT) AS n_consecutive,
+           CAST(SUM(CASE WHEN gap <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_double_fires,
+           round(CAST(SUM(CASE WHEN gap <= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(gap), 6) AS double_fire_share
+    FROM seq WHERE gap IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q317(spark, sf_dir):
+    """Instrumentation DOUBLE-FIRE audit — the telemetry-QA check for
+    client retry bugs and duplicate beacons: consecutive same-user
+    same-type events within 5 seconds, counted and shared per type.
+    One lag window partitioned by (user, type) — a narrower
+    partitioning than the session/path queries, same single-shuffle
+    shape — then a conditional aggregate.  Distinct from q65's
+    streaming exact dedup (identical events) and q294's inter-arrival
+    stats (all gaps): this flags the NEAR-duplicate rapid-fire band
+    that exact dedup misses and rate stats average away."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    tsec = F.unix_timestamp("ts")
+    seq = ev.select(
+        "event_type", (tsec - F.lag(tsec).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    dbl = F.sum(F.when(F.col("gap") <= 5, 1).otherwise(0))
+    return seq.groupBy("event_type").agg(
+        F.count("gap").cast("bigint").alias("n_consecutive"),
+        dbl.cast("bigint").alias("n_double_fires"),
+        F.round(dbl.cast("double") / F.count("gap"), 6).alias(
+            "double_fire_share"
+        ),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
