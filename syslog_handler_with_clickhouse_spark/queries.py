@@ -16665,6 +16665,110 @@ def q317(spark, sf_dir):
     )
 
 
+@query(
+    "q318_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events WHERE user_id IS NOT NULL
+    ), trans AS (
+      SELECT cur, nxt, COUNT(*) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), outdeg AS (
+      SELECT cur, SUM(c) AS n FROM trans GROUP BY cur
+    )
+    SELECT t.cur, t.nxt,
+           CAST(t.c AS BIGINT) AS n_transitions,
+           round(CAST(t.c AS DOUBLE) / o.n, 6) AS p
+    FROM trans t JOIN outdeg o ON o.cur = t.cur
+    """,
+)
+def q318(spark, sf_dir):
+    """First-order MARKOV transition matrix over event types —
+    P(next | current) per user journey, the quantitative core of the
+    q265 path analysis and the input every Sankey diagram and
+    next-action model starts from: one lead() pass per user, the 25
+    transition counts, row-normalized by out-degree (re-aggregated
+    from the transition frame — no second scan).  Exact integer counts
+    make each probability a single float division; rows where a user's
+    stream ends (no successor) are excluded from the denominator, the
+    standard convention."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    outdeg = trans.groupBy("cur").agg(F.sum("c").alias("n"))
+    return trans.join(F.broadcast(outdeg), "cur").select(
+        "cur",
+        "nxt",
+        F.col("c").cast("bigint").alias("n_transitions"),
+        F.round(
+            F.col("c").cast("double") / F.col("n").cast("double"), 6
+        ).alias("p"),
+    )
+
+
+@query(
+    "q319_stickiness_dau_wau",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2
+    ), dau AS (
+      SELECT day, COUNT(*) AS dau FROM daily GROUP BY day
+    ), wau AS (
+      SELECT d.day, COUNT(DISTINCT a.user_id) AS wau
+      FROM dau d JOIN daily a
+        ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day
+    """,
+)
+def q319(spark, sf_dir):
+    """STICKINESS (DAU / trailing-7-day WAU) — the engagement-quality
+    ratio plain DAU hides (growing DAU with falling stickiness means a
+    widening but shallower audience): distinct (user, day) pairs once
+    (the only raw-data shuffle), DAU per day, WAU per day via a 7-day
+    range join over the user-day frame with a per-window exact
+    distinct.  At 100 TB the user-day frame is the compressed currency
+    — everything after the first aggregate is proportional to users ×
+    days, not events.  Exact integer counts; one float division."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    daily = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    dau = daily.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    anchor = dau.select(F.col("day").alias("aday"), "dau")
+    wau = (
+        anchor.join(
+            daily,
+            (F.col("day") >= F.date_sub(F.col("aday"), 6))
+            & (F.col("day") <= F.col("aday")),
+        )
+        .groupBy("aday", "dau")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return wau.select(
+        F.date_format("aday", "yyyy-MM-dd").alias("day"),
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+        F.round(
+            F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+        ).alias("stickiness"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
