@@ -16769,6 +16769,89 @@ def q319(spark, sf_dir):
     )
 
 
+@query(
+    "q320_power_user_tiers",
+    """
+    WITH act AS (
+      SELECT user_id, COUNT(*) AS c,
+             SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS rev_cents
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), cuts AS (
+      SELECT quantile_cont(c, [0.5, 0.9, 0.99]) AS q FROM act
+    ), tiered AS (
+      SELECT a.user_id, a.c, a.rev_cents,
+             CASE WHEN a.c >= q[3] THEN 'p99_power'
+                  WHEN a.c >= q[2] THEN 'p90_heavy'
+                  WHEN a.c >= q[1] THEN 'p50_regular'
+                  ELSE 'casual' END AS tier
+      FROM act a CROSS JOIN cuts
+    )
+    SELECT tier,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(SUM(rev_cents) AS DOUBLE) / 100.0 AS revenue,
+           round(CAST(SUM(c) AS DOUBLE)
+                 / (SELECT SUM(c) FROM act), 6) AS event_share
+    FROM tiered GROUP BY tier
+    """,
+)
+def q320(spark, sf_dir):
+    """POWER-USER tiers — the 'casual / regular / heavy / p99 power'
+    segmentation every engagement dashboard leads with: per-user
+    activity counts, tier cuts at the EXACT interpolated P50/P90/P99
+    of the user distribution (broadcast — three numbers), then
+    per-tier population, event share, and purchase revenue (exact
+    cents).  Tier boundaries compare exact counts against
+    identically-derived percentiles, so both engines cut the
+    population at the same users; one raw shuffle, everything after is
+    user-frame arithmetic."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    act = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        ).alias("rev_cents"),
+    )
+    cuts = act.agg(
+        F.percentile(
+            "c", F.array(*[F.lit(x) for x in [0.5, 0.9, 0.99]])
+        ).alias("q")
+    )
+    tot = act.agg(F.sum("c").alias("tot_events"))
+    tier = (
+        F.when(F.col("c") >= F.element_at("q", 3), "p99_power")
+        .when(F.col("c") >= F.element_at("q", 2), "p90_heavy")
+        .when(F.col("c") >= F.element_at("q", 1), "p50_regular")
+        .otherwise("casual")
+    )
+    return (
+        act.crossJoin(F.broadcast(cuts))
+        .select(tier.alias("tier"), "c", "rev_cents")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("c").cast("bigint").alias("n_events"),
+            (F.sum("rev_cents").cast("double") / 100.0).alias("revenue"),
+            F.sum("c").alias("_se"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tier",
+            "n_users",
+            "n_events",
+            "revenue",
+            F.round(
+                F.col("_se").cast("double")
+                / F.col("tot_events").cast("double"),
+                6,
+            ).alias("event_share"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
