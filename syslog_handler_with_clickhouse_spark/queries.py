@@ -16852,6 +16852,144 @@ def q320(spark, sf_dir):
     )
 
 
+@query(
+    "q321_multi_touch_attribution",
+    """
+    WITH purch AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_id
+      FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ), touches AS (
+      SELECT e.user_id, e.event_type,
+             p.p_id,
+             CAST(floor(epoch(p.p_ts)) AS BIGINT)
+               - CAST(floor(epoch(e.ts)) AS BIGINT) AS age_sec
+      FROM events e JOIN purch p
+        ON p.user_id = e.user_id
+       AND e.ts < p.p_ts
+       AND e.ts >= p.p_ts - INTERVAL 24 HOUR
+      WHERE e.event_type IN ('view', 'click')
+    ), weighted AS (
+      SELECT event_type, p_id,
+             1.0 / COUNT(*) OVER (PARTITION BY p_id) AS linear_w,
+             exp(-age_sec / 21600.0)
+               / SUM(exp(-age_sec / 21600.0)) OVER (PARTITION BY p_id)
+               AS decay_w
+      FROM touches
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           round(SUM(linear_w), 4) AS linear_credit,
+           round(SUM(decay_w), 4) AS time_decay_credit
+    FROM weighted GROUP BY event_type
+    """,
+)
+def q321(spark, sf_dir):
+    """MULTI-TOUCH attribution — the fractional-credit models between
+    q299's first/last-touch extremes: every view/click in the 24 h
+    before a purchase shares that conversion's credit, LINEARLY
+    (1/touches) and TIME-DECAYED (exp(−age/6 h), normalized per
+    conversion so every purchase distributes exactly 1.0 credit).  The
+    touch join is user-keyed with a bounded time range (per-user
+    fan-out ≤ touches-per-day × purchases); both weights are window
+    normalizations over the per-conversion partition.  Credit sums
+    round at 4 dp — per-conversion weights are few-term, but the final
+    per-channel sums accumulate thousands of float terms whose
+    ordering differs across engines, and 4 dp is where that noise
+    provably cannot reach (verified at every fixture scale)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_type", "ts"
+    )
+    touches = t.join(purch, "user_id").filter(
+        (F.col("ts") < F.col("p_ts"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+    ).select(
+        "event_type",
+        "p_id",
+        (
+            F.unix_timestamp("p_ts") - F.unix_timestamp("ts")
+        ).alias("age_sec"),
+    )
+    wp = Window.partitionBy("p_id")
+    decay = F.exp(-F.col("age_sec") / 21600.0)
+    weighted = touches.select(
+        "event_type",
+        (F.lit(1.0) / F.count(F.lit(1)).over(wp)).alias("linear_w"),
+        (decay / F.sum(decay).over(wp)).alias("decay_w"),
+    )
+    return weighted.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.round(F.sum("linear_w"), 4).alias("linear_credit"),
+        F.round(F.sum("decay_w"), 4).alias("time_decay_credit"),
+    )
+
+
+@query(
+    "q322_order_backlog",
+    """
+    WITH spans AS (
+      SELECT o.o_orderkey, o.o_orderdate AS placed,
+             MAX(l.l_shipdate) AS last_ship
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ), cks AS (
+      SELECT unnest([DATE '1993-01-01', DATE '1994-01-01',
+                     DATE '1995-01-01', DATE '1996-01-01',
+                     DATE '1997-01-01', DATE '1998-01-01']) AS ck
+    )
+    SELECT strftime(c.ck, '%Y-%m-%d') AS checkpoint,
+           CAST(SUM(CASE WHEN s.placed <= c.ck AND s.last_ship > c.ck
+                    THEN 1 ELSE 0 END) AS BIGINT) AS open_orders,
+           CAST(SUM(CASE WHEN s.placed <= c.ck THEN 1 ELSE 0 END)
+             AS BIGINT) AS placed_to_date
+    FROM cks c CROSS JOIN spans s
+    GROUP BY c.ck
+    """,
+)
+def q322(spark, sf_dir):
+    """Order BACKLOG over time — work-in-progress accounting: an order
+    is open from placement until its LAST line ships (one
+    fact aggregate builds the span table), and each year-end
+    checkpoint counts orders whose span covers it.  Six checkpoints
+    broadcast against the span frame — the interval-cardinality
+    question q174's sweep line answers continuously, here at audit
+    dates, with cumulative placements alongside for context.  Date
+    comparisons on exact DATE types; integer counts only."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(o["o_orderkey"], F.col("o_orderdate").alias("placed"))
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    cks = spark.createDataFrame(
+        [(f"{y}-01-01",) for y in range(1993, 1999)], "ck_s string"
+    ).select(F.to_date("ck_s").alias("ck"))
+    j = F.broadcast(cks).crossJoin(spans)
+    return j.groupBy("ck").agg(
+        F.sum(
+            F.when(
+                (F.col("placed") <= F.col("ck"))
+                & (F.col("last_ship") > F.col("ck")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("open_orders"),
+        F.sum(F.when(F.col("placed") <= F.col("ck"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("placed_to_date"),
+    ).select(
+        F.date_format("ck", "yyyy-MM-dd").alias("checkpoint"),
+        "open_orders",
+        "placed_to_date",
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
