@@ -16990,6 +16990,61 @@ def q322(spark, sf_dir):
     )
 
 
+@query(
+    "q323_delivery_lead_time",
+    """
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           round(AVG(CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+                 AS DOUBLE)), 6) AS avg_lead_days,
+           round(quantile_cont(
+                 date_diff('day', o.o_orderdate, l.l_shipdate), 0.9), 4)
+             AS p90_lead_days,
+           round(CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate,
+                                              l.l_shipdate) > 90
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS slow_share
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q323(spark, sf_dir):
+    """Supply-chain LEAD-TIME scorecard per supplier nation — the ops
+    dashboard TPC-H's own Q12 only samples: order-to-ship lead time
+    (o_orderdate → l_shipdate) mean and exact P90, plus the SLOW share
+    (shipped more than 90 days after ordering — the SLA-breach rate
+    this schema can express; the fixture carries no receipt/commit
+    dates).  Date differences are exact integer days on both engines;
+    supplier and nation dims broadcast, orders join on the fact key.
+    One scan, 25 output rows — the shape a 100 TB logistics table
+    serves daily."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    lead = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    slow = F.when(lead > 90, 1).otherwise(0)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.avg(lead.cast("double")), 6).alias("avg_lead_days"),
+            F.round(F.percentile(lead, F.lit(0.9)), 4).alias(
+                "p90_lead_days"
+            ),
+            F.round(
+                F.sum(slow).cast("double") / F.count(F.lit(1)), 6
+            ).alias("slow_share"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
