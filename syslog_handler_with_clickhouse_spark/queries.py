@@ -17045,6 +17045,133 @@ def q323(spark, sf_dir):
     )
 
 
+@query(
+    "q324_activation_metric",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(ts) AS first_ts
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), marked AS (
+      SELECT e.user_id,
+             CASE WHEN e.ts < f.first_ts + INTERVAL 48 HOUR
+                  THEN 1 ELSE 0 END AS in_first_48h
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+    ), per_user AS (
+      SELECT user_id,
+             SUM(in_first_48h) AS early,
+             COUNT(*) AS total
+      FROM marked GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(AVG(CAST(early AS DOUBLE)), 6) AS avg_first48h_events,
+           round(AVG(CAST(early AS DOUBLE) / total), 6)
+             AS avg_early_share,
+           CAST(SUM(CASE WHEN early >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_activated
+    FROM per_user
+    """,
+)
+def q324(spark, sf_dir):
+    """ACTIVATION metric — the onboarding-funnel question 'how much do
+    users do in their first 48 hours, and how many clear the
+    activation bar (≥5 early events)': first-touch timestamps (one
+    user aggregate), every event flagged against its user's own
+    48-hour window via the user-keyed join (co-partitioned — the same
+    shuffle), per-user early counts, population summary.  Interval
+    comparison on exact timestamps; the activation threshold is an
+    integer count so the n_activated cut is deterministic."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    marked = ev.join(firsts, "user_id").select(
+        "user_id",
+        F.when(
+            F.col("ts") < F.col("first_ts") + F.expr("INTERVAL 48 HOURS"),
+            1,
+        )
+        .otherwise(0)
+        .alias("in_first_48h"),
+    )
+    per_user = marked.groupBy("user_id").agg(
+        F.sum("in_first_48h").alias("early"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.avg(F.col("early").cast("double")), 6).alias(
+            "avg_first48h_events"
+        ),
+        F.round(
+            F.avg(F.col("early").cast("double") / F.col("total")), 6
+        ).alias("avg_early_share"),
+        F.sum(F.when(F.col("early") >= 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_activated"),
+    )
+
+
+@query(
+    "q325_wow_growth",
+    """
+    WITH weekly AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS w,
+             COUNT(*) AS n_events,
+             SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS rev_cents
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(w, '%Y-%m-%d') AS week,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+           round(CAST(n_events AS DOUBLE)
+                 / lag(n_events) OVER (ORDER BY w) - 1, 6)
+             AS events_wow,
+           round(CAST(rev_cents AS DOUBLE)
+                 / NULLIF(lag(rev_cents) OVER (ORDER BY w), 0) - 1, 6)
+             AS revenue_wow
+    FROM weekly
+    """,
+)
+def q325(spark, sf_dir):
+    """Week-over-week GROWTH rates — the board-deck table: weekly
+    events and exact-cents purchase revenue with WoW percentage
+    changes from a lag over the weekly frame (revenue guarded with
+    NULLIF against a zero prior week; the first week's growth is NULL
+    by construction on both engines).  One raw shuffle to ~5 weekly
+    rows; every derived rate is a single float division on exact
+    integer inputs."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    weekly = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        ).alias("rev_cents"),
+    )
+    wlag = Window.orderBy("w")
+    return weekly.select(
+        F.date_format("w", "yyyy-MM-dd").alias("week"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+        F.round(
+            F.col("n_events").cast("double")
+            / F.lag("n_events").over(wlag)
+            - 1,
+            6,
+        ).alias("events_wow"),
+        F.round(
+            F.col("rev_cents").cast("double")
+            / F.nullif(
+                F.lag("rev_cents").over(wlag), F.lit(0)
+            )
+            - 1,
+            6,
+        ).alias("revenue_wow"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
