@@ -17172,6 +17172,121 @@ def q325(spark, sf_dir):
     )
 
 
+@query(
+    "q326_new_vs_returning_revenue",
+    """
+    WITH firsts AS (
+      SELECT o_custkey, MIN(o_orderdate) AS first_order
+      FROM orders GROUP BY o_custkey
+    ), tagged AS (
+      SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m,
+             CASE WHEN date_trunc('month', o.o_orderdate)
+                       = date_trunc('month', f.first_order)
+                  THEN 'new' ELSE 'returning' END AS cust_kind,
+             CAST(round(o.o_totalprice * 100) AS HUGEINT) AS cents
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+      WHERE o.o_orderdate >= DATE '1995-01-01'
+        AND o.o_orderdate < DATE '1996-01-01'
+    )
+    SELECT strftime(m, '%Y-%m') AS month, cust_kind,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue
+    FROM tagged GROUP BY m, cust_kind
+    """,
+)
+def q326(spark, sf_dir):
+    """NEW-vs-RETURNING revenue mix by month — the acquisition-vs-
+    retention revenue split every growth report opens with: each
+    order tagged by whether it falls in its customer's FIRST order
+    month (first-touch aggregate joined back on the customer key,
+    co-partitioned), monthly order counts and exact-cents revenue per
+    kind, scoped to one observation year.  Month-equality comparison
+    on date_trunc'ed dates is exact on both engines."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    )
+    all_o = _t(spark, sf_dir, "orders")
+    firsts = all_o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_order")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint").cast(
+        "decimal(38,0)"
+    )
+    tagged = o.join(firsts, "o_custkey").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+        F.when(
+            F.date_trunc("month", "o_orderdate")
+            == F.date_trunc("month", "first_order"),
+            "new",
+        )
+        .otherwise("returning")
+        .alias("cust_kind"),
+        cents.alias("cents"),
+    )
+    return tagged.groupBy("m", "cust_kind").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+    ).select(
+        F.date_format("m", "yyyy-MM").alias("month"),
+        "cust_kind",
+        "n_orders",
+        "revenue",
+    )
+
+
+@query(
+    "q327_order_size_distribution",
+    """
+    WITH sizes AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines,
+             SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(qty_cents) AS DOUBLE) / 100.0 AS total_quantity,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM sizes), 6) AS order_share
+    FROM sizes GROUP BY n_lines
+    """,
+)
+def q327(spark, sf_dir):
+    """ORDER-SIZE distribution — the basket-depth histogram (TPC-H's
+    Q13 counts orders per customer; this counts LINES per order): one
+    aggregate builds the per-order frame, a second collapses it to the
+    1–7-row distribution with order shares and exact quantity totals.
+    The aggregate-of-an-aggregate shape — both shuffles partial-
+    aggregable, the second over an already-tiny frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity") * 100).cast("bigint")
+    sizes = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(qty).alias("qty_cents"),
+    )
+    tot = sizes.agg(F.count(F.lit(1)).alias("n_tot"))
+    return (
+        sizes.groupBy("n_lines")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (F.sum("qty_cents").cast("double") / 100.0).alias(
+                "total_quantity"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_lines",
+            "n_orders",
+            "total_quantity",
+            F.round(
+                F.col("n_orders").cast("double")
+                / F.col("n_tot").cast("double"),
+                6,
+            ).alias("order_share"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
