@@ -24,6 +24,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _tmp_name(taken, base: str) -> str:
+    """Collision-free temp column name: ``base`` unless a user column
+    already claims it, else ``base_2``, ``base_3``, … — so a fact frame
+    that legitimately has a ``__fk``/``__h0_name`` column is never
+    clobbered or dropped."""
+    name, i = base, 1
+    while name in taken:
+        i += 1
+        name = f"{base}_{i}"
+    return name
+
+
 def _probe(
     facts: DataFrame,
     key: str | Column,
@@ -33,17 +45,21 @@ def _probe(
     out_names: list[str],
 ) -> DataFrame:
     """Broadcast left join of ``dim[attrs]`` onto ``facts`` keyed by
-    ``key`` == ``dim[dim_key]``.  The join key column is temporary and
-    dropped; attr columns are renamed to ``out_names``."""
+    ``key`` == ``dim[dim_key]``.  The join key columns are temporary
+    (collision-free vs both frames) and dropped; attr columns are
+    renamed to ``out_names``."""
     k = F.col(key) if isinstance(key, str) else key
+    taken = set(facts.columns) | set(out_names)
+    fk = _tmp_name(taken, "__fk")
+    dk = _tmp_name(taken | {fk}, "__dk")
     probe = dim.select(
-        F.col(dim_key).alias("__dk"),
+        F.col(dim_key).alias(dk),
         *[F.col(a).alias(o) for a, o in zip(attrs, out_names)],
     )
     return (
-        facts.withColumn("__fk", k)
-        .join(F.broadcast(probe), F.col("__fk") == F.col("__dk"), "left")
-        .drop("__fk", "__dk")
+        facts.withColumn(fk, k)
+        .join(F.broadcast(probe), F.col(fk) == F.col(dk), "left")
+        .drop(fk, dk)
     )
 
 
@@ -83,15 +99,19 @@ def dict_has(
 ) -> DataFrame:
     """``dictHas``: boolean key-presence probe (same broadcast shape —
     a left join on a 1-column dictionary projection)."""
-    marked = dim.select(F.col(dim_key).alias("__hk")).withColumn(
-        "__present", F.lit(True)
+    taken = set(facts.columns) | {out}
+    fk = _tmp_name(taken, "__fk")
+    hk = _tmp_name(taken | {fk}, "__hk")
+    present = _tmp_name(taken | {fk, hk}, "__present")
+    marked = dim.select(F.col(dim_key).alias(hk)).withColumn(
+        present, F.lit(True)
     )
     k = F.col(key) if isinstance(key, str) else key
     return (
-        facts.withColumn("__fk", k)
-        .join(F.broadcast(marked), F.col("__fk") == F.col("__hk"), "left")
-        .withColumn(out, F.coalesce(F.col("__present"), F.lit(False)))
-        .drop("__fk", "__hk", "__present")
+        facts.withColumn(fk, k)
+        .join(F.broadcast(marked), F.col(fk) == F.col(hk), "left")
+        .withColumn(out, F.coalesce(F.col(present), F.lit(False)))
+        .drop(fk, hk, present)
     )
 
 
@@ -109,19 +129,23 @@ def dict_get_hierarchy(
     region), so the plan stays static, no iteration."""
     cur = key
     out_cols = []
+    tmp_cols = []  # exact temp names created here — the ONLY ones dropped
     work = facts
     for i, (dim, dim_key, name_attr, parent_attr) in enumerate(levels):
-        ncol, pcol = f"__h{i}_name", f"__h{i}_parent"
+        taken = set(work.columns) | set(tmp_cols) | {out}
+        ncol = _tmp_name(taken, f"__h{i}_name")
+        pcol = _tmp_name(taken | {ncol}, f"__h{i}_parent")
         attrs, outs = [name_attr], [ncol]
         if parent_attr is not None:
             attrs.append(parent_attr)
             outs.append(pcol)
+            tmp_cols.append(pcol)
         work = _probe(work, cur, dim, dim_key, attrs, outs)
         out_cols.append(ncol)
+        tmp_cols.append(ncol)
         cur = F.col(pcol) if parent_attr is not None else None
     arr = F.filter(
         F.array(*[F.col(c) for c in out_cols]), lambda x: x.isNotNull()
     )
     work = work.withColumn(out, arr)
-    drop = [c for c in work.columns if c.startswith("__h")]
-    return work.drop(*drop)
+    return work.drop(*tmp_cols)

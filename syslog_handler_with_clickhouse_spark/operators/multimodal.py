@@ -298,6 +298,10 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytes:
             continue
         if code == end:
             break
+        if prev is None and code not in table:
+            # first code after CLEAR must be a literal; anything else is
+            # a corrupt stream (raise ValueError, not a bare KeyError)
+            raise ValueError(f"bad GIF LZW code {code} after clear")
         if prev is None or code in table:
             entry = table[code]
         elif code == nxt:

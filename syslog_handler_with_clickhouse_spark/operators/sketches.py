@@ -438,9 +438,15 @@ def _kmv_hash_col(col: str):
     """Uniform (0, 1] hash: JVM xxhash64 (signed int64) recentered into
     [0, 1) in double space (the low ~11 bits fall below double
     precision — irrelevant at sketch accuracy), floored at 2^-64 so a
-    retained hash is always a valid nonzero sampling threshold."""
+    retained hash is always a valid nonzero sampling threshold.
+
+    NULL keys hash to NULL (countDistinct / ClickHouse uniq semantics:
+    NULL is not a distinct value).  xxhash64(NULL) would otherwise
+    return a seed-derived CONSTANT, silently adding one phantom
+    distinct per nullable column."""
     u = F.xxhash64(F.col(col)).cast("double") / float(2**64) + 0.5
-    return F.greatest(u, F.lit(2.0**-64)).alias("_h01")
+    u = F.when(F.col(col).isNotNull(), F.greatest(u, F.lit(2.0**-64)))
+    return u.alias("_h01")
 
 
 def kmv_partials(

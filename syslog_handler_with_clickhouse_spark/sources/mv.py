@@ -120,6 +120,17 @@ def refresh_mv_from_changefeed(
                 *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
             )
         )
+    else:
+        # No MV base state yet: a delete-bearing changefeed folded
+        # without the base would persist negative counts as "initial"
+        # state — a caller bug (the base snapshot was never built).
+        neg = part.filter(F.col("n") < 0).limit(1).count()
+        if neg:
+            raise ValueError(
+                "refresh_mv_from_changefeed: MV state is empty but the "
+                "changefeed folds to negative counts — initialize the MV "
+                "from a base snapshot before applying delete deltas"
+            )
     part = part.filter(F.col("n") != 0)
     return write_snapshot(
         part.coalesce(1), path, mode="overwrite", batch_id=batch_id

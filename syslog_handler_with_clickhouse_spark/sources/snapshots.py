@@ -392,9 +392,17 @@ def snapshot_diff(spark, path: str, v_from: int, v_to: int) -> DataFrame:
     a row-level ``exceptAll`` between just the changed-file subsets
     (multiset semantics — duplicate rows diff by count) trims it to the
     true row changefeed.  Updates surface as delete+insert pairs, the
-    standard changefeed encoding."""
+    standard changefeed encoding.
+
+    ``v_from`` must be strictly older than ``v_to``: a reversed range
+    would silently swap the insert/delete labels, so it raises instead
+    (callers wanting the inverse diff should swap args and relabel)."""
     from pyspark.sql import functions as F
 
+    if v_from >= v_to:
+        raise ValueError(
+            f"snapshot_diff requires v_from < v_to, got {v_from} >= {v_to}"
+        )
     ma = _read_manifest(path, v_from)["files"]
     mb = _read_manifest(path, v_to)["files"]
     names_a = {e["name"] for e in ma}
