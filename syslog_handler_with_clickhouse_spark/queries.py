@@ -7169,31 +7169,29 @@ def q190(spark, sf_dir):
     oracle's full GROUP BY over everything — incremental == recompute.
     The raw table is scanned once per batch and never again; at 100 TB
     the serving read touches kilobytes of state, not the history."""
+    import hashlib
+    import os
     import shutil
     import tempfile
 
     from .sources.mv import read_mv, refresh_mv
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
-    tmp = tempfile.mkdtemp(prefix="mvq_")
-    path = tmp + "/mv"
-    try:
-        for i in range(3):
-            refresh_mv(
-                ev.filter(F.col("event_id") % 3 == i),
-                path,
-                keys=["event_type"],
-                sum_cols=["user_id"],
-                batch_id=i,
-            )
-        final = read_mv(spark, path)
-        # The MV state is group-cardinality-sized (a handful of rows), so
-        # rebuilding it driver-side lets the scratch dir be removed before
-        # returning — repeated invocations leak nothing, and the returned
-        # frame carries no dangling file reference.
-        state = spark.createDataFrame(final.collect(), final.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    # Deterministic per-sf scratch path, wiped at the START of each
+    # invocation: repeated runs reuse (never accumulate) one dir, and the
+    # returned frame reads the live snapshot files — no driver collect.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"syslog_spark_mv_q190_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    for i in range(3):
+        refresh_mv(
+            ev.filter(F.col("event_id") % 3 == i),
+            path,
+            keys=["event_type"],
+            sum_cols=["user_id"],
+            batch_id=i,
+        )
+    state = read_mv(spark, path)
     return state.select(
         "event_type",
         "n",
@@ -17285,6 +17283,94 @@ def q327(spark, sf_dir):
             ).alias("order_share"),
         )
     )
+
+
+@query(
+    "q328_group_bitmap",
+    """
+    WITH d AS (
+      SELECT DISTINCT event_type, event_id % 4096 AS v FROM events
+    ), runs AS (
+      SELECT event_type, v,
+             LAG(v) OVER (PARTITION BY event_type ORDER BY v) AS prev
+      FROM d
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS cardinality,
+           CAST(MIN(v) AS BIGINT) AS v_min,
+           CAST(MAX(v) AS BIGINT) AS v_max,
+           CAST(SUM(CASE WHEN prev IS NULL OR prev < v - 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+    FROM runs GROUP BY event_type
+    """,
+)
+def q328(spark, sf_dir):
+    """``groupBitmap`` analogue (`operators/bitmaps.py:group_bitmap`):
+    exact compressed bitmap (canonical sorted-run encoding) of
+    ``event_id % 4096`` per event_type.  The oracle re-derives the run
+    STRUCTURE in SQL (LAG gap-count = number of runs) — so not just the
+    cardinality but the canonical-form invariant is value-checked.
+    Level 1 compresses per input partition inside mapInPandas; the one
+    shuffle carries run state, never member values (the ClickHouse
+    groupBitmapState merge shape)."""
+    from .operators.bitmaps import group_bitmap
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("event_id") % 4096).alias("v")
+    )
+    bm = group_bitmap(ev, "v", ["event_type"])
+    return bm.select(
+        "event_type",
+        F.col("cardinality").cast("bigint").alias("cardinality"),
+        F.element_at("runs", 1).alias("v_min"),
+        F.element_at("runs", -1).alias("v_max"),
+        (F.size("runs") / 2).cast("bigint").alias("n_runs"),
+    )
+
+
+@query(
+    "q329_bitmap_set_algebra",
+    """
+    WITH a AS (
+      SELECT DISTINCT event_id % 4096 AS v FROM events
+      WHERE event_type = 'click'
+    ), b AS (
+      SELECT DISTINCT event_id % 4096 AS v FROM events
+      WHERE event_type = 'view'
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS card_a,
+      CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS card_b,
+      CAST((SELECT COUNT(*) FROM a WHERE v IN (SELECT v FROM b))
+           AS BIGINT) AS and_card,
+      CAST((SELECT COUNT(*) FROM (SELECT v FROM a UNION SELECT v FROM b))
+           AS BIGINT) AS or_card,
+      CAST((SELECT COUNT(*) FROM a WHERE v NOT IN (SELECT v FROM b))
+           + (SELECT COUNT(*) FROM b WHERE v NOT IN (SELECT v FROM a))
+           AS BIGINT) AS xor_card,
+      CAST((SELECT COUNT(*) FROM a WHERE v NOT IN (SELECT v FROM b))
+           AS BIGINT) AS andnot_card
+    """,
+)
+def q329(spark, sf_dir):
+    """``bitmapAnd/Or/Xor/AndnotCardinality`` analogue
+    (`operators/bitmaps.py:bitmap_set_algebra`): build the exact bitmap
+    states for the 'click' and 'view' user slices, then run two-pointer
+    interval algebra ON THE STATES — O(runs_a + runs_b), members never
+    re-expanded.  Both sides are single-row state frames, so the
+    crossJoin is a broadcast of O(runs) bytes (the accepted
+    state-singleton pattern, cf. kmv_intersect_estimate)."""
+    from .operators.bitmaps import bitmap_set_algebra, group_bitmap
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("event_id") % 4096).alias("v")
+    )
+    states = group_bitmap(
+        ev.filter(F.col("event_type").isin("click", "view")),
+        "v",
+        ["event_type"],
+    )
+    return bitmap_set_algebra(states, "event_type", "click", "view")
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
