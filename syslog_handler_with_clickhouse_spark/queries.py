@@ -17373,6 +17373,91 @@ def q329(spark, sf_dir):
     return bitmap_set_algebra(states, "event_type", "click", "view")
 
 
+@query(
+    "q330_incremental_mv_wide_state",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           round(MIN(value), 6) AS min_value,
+           round(MAX(value), 6) AS max_value,
+           CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS uniq_users
+    FROM events
+    WHERE (event_id % 3 = 0 OR event_id % 3 = 1)
+      AND NOT (event_id % 3 = 0 AND user_id % 5 = 0)
+    GROUP BY event_type
+    """,
+)
+def q330(spark, sf_dir):
+    """Wide AggregatingMergeTree state under TRUE incremental
+    maintenance (`sources/mv.py:refresh_mv_wide_from_changefeed`):
+    count/sum PLUS minState/maxState and uniqState (mergeable KMV hash
+    array, re-trimmed to k on every merge).  Same v1-append-v2-erase-v3
+    choreography as q271; the non-invertible min/max/uniq states merge
+    mergeably on the append and are recomputed ONLY for delete-touched
+    groups on the erasure (bounded partial rescan — the honest IVM
+    cost for non-distributive aggregates).  Final state must equal a
+    full recompute: n, exact sum, min/max of value, and the uniq
+    estimate — exact here because per-type distinct users < k, so the
+    sketch IS the distinct set."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.mv import (
+        finalize_uniq,
+        read_mv,
+        refresh_mv_wide,
+        refresh_mv_wide_from_changefeed,
+    )
+    from .sources.snapshots import rewrite_snapshot, write_snapshot
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = os.path.join(
+        tempfile.gettempdir(), f"syslog_spark_mv_q330_{tag}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src_path = base + "/source"
+    mv_path = base + "/mv"
+
+    s1 = ev.filter(F.col("event_id") % 3 == 0)
+    write_snapshot(s1, src_path)  # v1
+    refresh_mv_wide(
+        s1, mv_path, ["event_type"], ["event_id"], ["value"], ["user_id"],
+        batch_id=1,
+    )
+    write_snapshot(ev.filter(F.col("event_id") % 3 == 1), src_path)  # v2
+    refresh_mv_wide_from_changefeed(
+        spark, mv_path, src_path, ["event_type"], ["event_id"], ["value"],
+        ["user_id"], 1, 2, batch_id=2,
+    )
+    rewrite_snapshot(  # v3: transactional erasure
+        spark,
+        src_path,
+        lambda df: df.filter(
+            ~((F.col("event_id") % 3 == 0) & (F.col("user_id") % 5 == 0))
+        ),
+    )
+    refresh_mv_wide_from_changefeed(
+        spark, mv_path, src_path, ["event_type"], ["event_id"], ["value"],
+        ["user_id"], 2, 3, batch_id=3,
+    )
+
+    state = read_mv(spark, mv_path)
+    return state.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_event_id").cast("bigint").alias("sum_event_id"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        finalize_uniq(state, "user_id").alias("uniq_users"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

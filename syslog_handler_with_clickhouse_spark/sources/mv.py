@@ -135,3 +135,214 @@ def refresh_mv_from_changefeed(
     return write_snapshot(
         part.coalesce(1), path, mode="overwrite", batch_id=batch_id
     )
+
+
+# ---------------------------------------------------------------------
+# wide MV state: count/sum + min/max + uniqState (KMV)
+# ---------------------------------------------------------------------
+# The AggregatingMergeTree states real ClickHouse MVs carry beyond
+# sumState/countState: minState/maxState and uniqState.  min/max merge
+# with least/greatest; uniqState is the KMV hash array (the same
+# mergeable sketch as operators/sketches.kmv_*, trimmed back to k on
+# every merge — pure native array algebra, q272 precedent).
+#
+# Deletion semantics are the honest IVM split: count/sum are
+# SELF-INVERTING (fold signed partials), but min/max/uniq are not — a
+# deleted minimum cannot be un-merged.  So the changefeed path folds
+# sums algebraically and recomputes min/max/uniq ONLY for groups the
+# delete touched, reading the post-delete source snapshot restricted to
+# those keys (left-semi on a group-cardinality key set).  Cost is
+# O(|change| + |rows in delete-touched groups|), still never a full
+# rescan; insert-only groups stay purely mergeable.
+
+
+def _kmv_expr(col: str, k: int):
+    """k smallest distinct (0,1]-normalized hashes of ``col`` — the
+    mergeable uniqState.  NULLs hash to NULL and drop out (collect_list
+    skips them): countDistinct semantics."""
+    u = F.xxhash64(F.col(col)).cast("double") / float(2**64) + 0.5
+    u = F.when(F.col(col).isNotNull(), F.greatest(u, F.lit(2.0**-64)))
+    return F.slice(F.array_sort(F.array_distinct(F.collect_list(u))), 1, k)
+
+
+def _kmv_remerge(name: str, k: int):
+    """-Merge combinator for stored uniqState arrays: flatten, dedupe,
+    re-trim to the k smallest.  Associative + commutative, so refresh
+    order never changes the state."""
+    return F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(name)))),
+        1,
+        k,
+    )
+
+
+def _wide_partials(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    minmax_cols: list[str],
+    uniq_cols: list[str],
+    k: int,
+) -> DataFrame:
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        *[F.min(c).alias(f"min_{c}") for c in minmax_cols],
+        *[F.max(c).alias(f"max_{c}") for c in minmax_cols],
+        *[_kmv_expr(c, k).alias(f"kmv_{c}") for c in uniq_cols],
+    )
+
+
+def _wide_merge_aggs(
+    sum_cols: list[str],
+    minmax_cols: list[str],
+    uniq_cols: list[str],
+    k: int,
+):
+    return [
+        F.sum("n").alias("n"),
+        *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        *[F.min(f"min_{c}").alias(f"min_{c}") for c in minmax_cols],
+        *[F.max(f"max_{c}").alias(f"max_{c}") for c in minmax_cols],
+        *[_kmv_remerge(f"kmv_{c}", k).alias(f"kmv_{c}") for c in uniq_cols],
+    ]
+
+
+def refresh_mv_wide(
+    batch_df: DataFrame,
+    path: str,
+    keys: list[str],
+    sum_cols: list[str],
+    minmax_cols: list[str],
+    uniq_cols: list[str],
+    k: int = 256,
+    batch_id: int | None = None,
+) -> int:
+    """Append-path refresh of the wide state: every component is
+    mergeable, so one union + re-aggregate folds the batch exactly like
+    :func:`refresh_mv`."""
+    spark = batch_df.sparkSession
+    part = _wide_partials(batch_df, keys, sum_cols, minmax_cols, uniq_cols, k)
+    if latest_version(path) > 0:
+        state = read_snapshot(spark, path)
+        part = (
+            state.unionByName(part)
+            .groupBy(*keys)
+            .agg(*_wide_merge_aggs(sum_cols, minmax_cols, uniq_cols, k))
+        )
+    return write_snapshot(
+        part.coalesce(1), path, mode="overwrite", batch_id=batch_id
+    )
+
+
+def refresh_mv_wide_from_changefeed(
+    spark,
+    path: str,
+    source_path: str,
+    keys: list[str],
+    sum_cols: list[str],
+    minmax_cols: list[str],
+    uniq_cols: list[str],
+    v_from: int,
+    v_to: int,
+    k: int = 256,
+    batch_id: int | None = None,
+) -> int:
+    """Changefeed refresh of the wide state.  count/sum fold signed
+    partials (self-inverting); min/max/uniq merge mergeably for
+    insert-only groups and are RECOMPUTED from the ``v_to`` source
+    snapshot for the (few) groups the delete touched — the bounded
+    partial-rescan every IVM system needs for non-invertible
+    aggregates."""
+    from .snapshots import read_snapshot as read_src
+    from .snapshots import snapshot_diff
+
+    if latest_version(path) == 0:
+        raise ValueError(
+            "refresh_mv_wide_from_changefeed: initialize the MV with "
+            "refresh_mv_wide before folding changefeed deltas"
+        )
+    feed = snapshot_diff(spark, source_path, v_from, v_to)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    signed = feed.groupBy(*keys).agg(
+        F.sum(sign).alias("n"),
+        *[F.sum(sign * F.col(c)).alias(f"sum_{c}") for c in sum_cols],
+    )
+    state = read_snapshot(spark, path)
+
+    # count/sum: algebraic fold of signed partials into the state
+    ns = (
+        state.select(*keys, "n", *[f"sum_{c}" for c in sum_cols])
+        .unionByName(signed)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").alias("n"),
+            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        )
+        .filter(F.col("n") != 0)
+    )
+
+    mm_cols = (
+        [f"min_{c}" for c in minmax_cols]
+        + [f"max_{c}" for c in minmax_cols]
+        + [f"kmv_{c}" for c in uniq_cols]
+    )
+    state_mm = state.select(*keys, *mm_cols)
+
+    # non-invertible part: groups touched by a delete get recomputed
+    # from the post-change snapshot restricted to those keys
+    del_keys = (
+        feed.filter(F.col("_change_type") == "delete")
+        .select(*keys)
+        .distinct()
+    )
+    src_now = read_src(spark, source_path, version=v_to)
+    recomputed = (
+        src_now.join(F.broadcast(del_keys), keys, "left_semi")
+        .groupBy(*keys)
+        .agg(
+            *[F.min(c).alias(f"min_{c}") for c in minmax_cols],
+            *[F.max(c).alias(f"max_{c}") for c in minmax_cols],
+            *[_kmv_expr(c, k).alias(f"kmv_{c}") for c in uniq_cols],
+        )
+    )
+    # insert-only groups: mergeable fold of state + inserted partials
+    ins_mm = (
+        feed.filter(F.col("_change_type") == "insert")
+        .groupBy(*keys)
+        .agg(
+            *[F.min(c).alias(f"min_{c}") for c in minmax_cols],
+            *[F.max(c).alias(f"max_{c}") for c in minmax_cols],
+            *[_kmv_expr(c, k).alias(f"kmv_{c}") for c in uniq_cols],
+        )
+    )
+    merged_mm = (
+        state_mm.unionByName(ins_mm)
+        .join(F.broadcast(del_keys), keys, "left_anti")
+        .groupBy(*keys)
+        .agg(
+            *[F.min(f"min_{c}").alias(f"min_{c}") for c in minmax_cols],
+            *[F.max(f"max_{c}").alias(f"max_{c}") for c in minmax_cols],
+            *[
+                _kmv_remerge(f"kmv_{c}", k).alias(f"kmv_{c}")
+                for c in uniq_cols
+            ],
+        )
+    )
+    final_mm = merged_mm.unionByName(recomputed)
+    part = ns.join(final_mm, keys, "inner")
+    return write_snapshot(
+        part.coalesce(1), path, mode="overwrite", batch_id=batch_id
+    )
+
+
+def finalize_uniq(state: DataFrame, col: str, k: int = 256):
+    """Read-time finalization of a stored uniqState column: exact size
+    below k, else the KMV estimator (k-1)/h_k."""
+    name = f"kmv_{col}"
+    sz = F.size(name)
+    return F.when(sz < k, sz.cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.element_at(name, k)
+    )

@@ -111,3 +111,99 @@ def test_changefeed_mv_matches_full_recompute(spark, tmp_path):
     }
     assert got == want
     assert "c" not in got  # zero-count group dropped, not kept at n=0
+
+
+def test_wide_state_erasure_recomputes_min_max_uniq(spark, tmp_path):
+    """The non-invertible states must survive an erasure that deletes
+    the group's CURRENT min, max, and one distinct member — exactly the
+    case pure mergeable folding cannot handle (the bounded
+    partial-rescan path must fire and produce recompute-exact state)."""
+    from syslog_handler_with_clickhouse_spark.sources.mv import (
+        finalize_uniq,
+        read_mv,
+        refresh_mv_wide,
+        refresh_mv_wide_from_changefeed,
+    )
+    from syslog_handler_with_clickhouse_spark.sources.snapshots import (
+        read_snapshot,
+        rewrite_snapshot,
+        write_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    # group 'a': uid 1 holds BOTH the min (-100) and max (900) values;
+    # group 'b' untouched by the later erasure
+    d1 = spark.createDataFrame(
+        [
+            ("a", 1, -100.0),
+            ("a", 1, 900.0),
+            ("a", 2, 5.0),
+            ("a", 3, 7.0),
+            ("b", 9, 1.0),
+        ],
+        "k string, uid long, v double",
+    )
+    write_snapshot(d1, src)  # v1
+    refresh_mv_wide(d1, mv, ["k"], ["v"], ["v"], ["uid"], batch_id=1)
+
+    d2 = spark.createDataFrame(
+        [("a", 4, 50.0), ("b", 9, 2.0)], "k string, uid long, v double"
+    )
+    write_snapshot(d2, src)  # v2 (append: mergeable path)
+    refresh_mv_wide_from_changefeed(
+        spark, mv, src, ["k"], ["v"], ["v"], ["uid"], 1, 2, batch_id=2
+    )
+    # v3: erase uid 1 -> removes min AND max AND one distinct of 'a'
+    rewrite_snapshot(spark, src, lambda df: df.filter(F.col("uid") != 1))
+    refresh_mv_wide_from_changefeed(
+        spark, mv, src, ["k"], ["v"], ["v"], ["uid"], 2, 3, batch_id=3
+    )
+
+    state = read_mv(spark, mv)
+    got = {
+        r.k: (r.n, r.sum_v, r.min_v, r.max_v, r.uniq)
+        for r in state.withColumn(
+            "uniq", finalize_uniq(state, "uid")
+        ).collect()
+    }
+    want = {
+        r.k: (r.n, r.sum_v, r.min_v, r.max_v, float(r.uniq))
+        for r in read_snapshot(spark, src)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.countDistinct("uid").alias("uniq"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert got["a"] == (3, 62.0, 5.0, 50.0, 3.0)
+
+
+def test_wide_state_group_deleted_to_zero_dropped(spark, tmp_path):
+    from syslog_handler_with_clickhouse_spark.sources.mv import (
+        read_mv,
+        refresh_mv_wide,
+        refresh_mv_wide_from_changefeed,
+    )
+    from syslog_handler_with_clickhouse_spark.sources.snapshots import (
+        rewrite_snapshot,
+        write_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    d1 = spark.createDataFrame(
+        [("gone", 1, 1.0), ("stay", 2, 2.0)], "k string, uid long, v double"
+    )
+    write_snapshot(d1, src)
+    refresh_mv_wide(d1, mv, ["k"], ["v"], ["v"], ["uid"], batch_id=1)
+    rewrite_snapshot(spark, src, lambda df: df.filter(F.col("k") != "gone"))
+    refresh_mv_wide_from_changefeed(
+        spark, mv, src, ["k"], ["v"], ["v"], ["uid"], 1, 2, batch_id=2
+    )
+    assert [r.k for r in read_mv(spark, mv).collect()] == ["stay"]
