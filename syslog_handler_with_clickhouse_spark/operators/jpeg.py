@@ -1,0 +1,659 @@
+"""Baseline sequential JPEG (SOF0) codec — stdlib + numpy only.
+
+Closes the last 'partial' inventory cell: JPEG *pixel* decode
+(``multimodal.decode_real`` previously raised ``NotImplementedError``
+for JPEG; header/dimension probing was already real).  Both directions
+are implemented so the correctness oracle can be construct-then-decode
+(the q224 PNG / q250 GIF pattern): the encoder builds genuinely valid
+baseline JPEGs executor-side, the decoder runs the REAL entropy decode
+(Huffman → dequantize → IDCT → upsample → YCbCr→RGB), and aggregated
+channel statistics are pinned against the source pattern within the
+quantization-error tolerance.
+
+Scope (what "baseline" means here, per ITU-T T.81):
+- SOF0 (and SOF1 extended-sequential, which decodes identically for
+  8-bit), 8-bit precision, 1 or 3 components.
+- Arbitrary per-component sampling factors in the general MCU loop —
+  4:4:4, 4:2:2 and 4:2:0 all decode; the encoder emits 4:4:4 or 4:2:0.
+- Restart markers (DRI/RSTn): DC predictors reset, bit reader
+  re-aligns; the encoder can emit them so the path is testable.
+- Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
+  modes raise ``NotImplementedError`` — format guards, not stubs.
+
+All constant tables below are the public ITU-T T.81 Annex K examples
+(the tables every libjpeg-compatible encoder ships).  The DCT is the
+exact float DCT-II as an 8×8 orthonormal matrix product (numpy), not a
+fast-integer approximation — bit-exactness with libjpeg is NOT a goal;
+round-trip accuracy within quantization error is, and the unit tests
+pin it (quality-100 round trip ≤ 1 LSB, FDCT/IDCT inverse pair to
+float precision).
+
+Spark integration: ``multimodal.decode_real`` dispatches SOI-marked
+payloads here, so the Arrow-batched ``decode_assets`` mapInPandas path
+(bytes never on the driver, O(1) output per asset) covers JPEG with no
+new plumbing.  Registry entry: q331.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------
+# ITU-T T.81 Annex K constant tables (public spec examples)
+# ---------------------------------------------------------------------
+
+# zigzag position -> natural (row-major) index
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# K.1 / K.2 quantization tables, natural order
+QUANT_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+QUANT_CHROM = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# K.3 Huffman table examples: (bits[1..16], huffval)
+DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+for _bits, _vals in (DC_LUM, DC_CHROM, AC_LUM, AC_CHROM):
+    assert sum(_bits) == len(_vals), "corrupt Annex K Huffman table"
+
+# orthonormal 8x8 DCT-II matrix: FDCT = D @ f @ D.T, IDCT = D.T @ F @ D
+_D = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+    for _x in range(8):
+        _D[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def fdct2(block: np.ndarray) -> np.ndarray:
+    """2-D forward DCT of one level-shifted 8x8 block."""
+    return _D @ block @ _D.T
+
+
+def idct2(coef: np.ndarray) -> np.ndarray:
+    """2-D inverse DCT (exact inverse of :func:`fdct2`)."""
+    return _D.T @ coef @ _D
+
+
+def scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """Quality-scaled quantization table (the public libjpeg mapping:
+    50 → base table, 100 → all-ones/lossless-quantization)."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _build_huffman(bits, vals):
+    """Canonical JPEG Huffman code assignment.  Returns
+    (encode: symbol -> (code, length), decode: (length, code) -> symbol)."""
+    enc, dec = {}, {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[vals[k]] = (code, length)
+            dec[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return enc, dec
+
+
+# ---------------------------------------------------------------------
+# bit I/O with JPEG byte stuffing
+# ---------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        """Pad the final partial byte with 1-bits (spec convention)."""
+        while self.n:
+            self.write(1, 1)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream truncated")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated at 0xFF")
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2  # stuffed 0xFF data byte
+            else:
+                # a real marker inside entropy data — only legal at a
+                # restart boundary, which sync_restart() consumes
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} in entropy data"
+                )
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self, expect: int):
+        """Byte-align and consume the expected RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("missing restart marker")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != (
+            0xD0 + (expect & 7)
+        ):
+            raise ValueError(
+                f"bad restart marker at {self.pos}: "
+                f"{self.data[self.pos:self.pos + 2].hex()}"
+            )
+        self.pos += 2
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map the s low bits back to the signed coefficient."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _decode_huff(r: _BitReader, dec: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | r.read_bit()
+        length += 1
+        sym = dec.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+# ---------------------------------------------------------------------
+# color transforms (JFIF YCbCr)
+# ---------------------------------------------------------------------
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+# ---------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------
+
+
+def _pad_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicate pad a plane to (bh*8, bw*8)."""
+    h, w = plane.shape
+    return np.pad(
+        plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+    )
+
+
+def _encode_block(
+    w: _BitWriter, qcoef: np.ndarray, dc_pred: int, dc_enc, ac_enc
+) -> int:
+    """Huffman-encode one quantized block (natural order); returns the
+    new DC predictor."""
+    zz = qcoef.ravel()[ZIGZAG]
+    diff = int(zz[0]) - dc_pred
+    s = int(abs(diff)).bit_length()
+    code, length = dc_enc[s]
+    w.write(code, length)
+    if s:
+        v = diff if diff >= 0 else diff + (1 << s) - 1
+        w.write(v, s)
+    run = 0
+    for k in range(1, 64):
+        c = int(zz[k])
+        if c == 0:
+            run += 1
+            continue
+        while run > 15:
+            zcode, zlen = ac_enc[0xF0]  # ZRL
+            w.write(zcode, zlen)
+            run -= 16
+        s = int(abs(c)).bit_length()
+        acode, alen = ac_enc[(run << 4) | s]
+        w.write(acode, alen)
+        v = c if c >= 0 else c + (1 << s) - 1
+        w.write(v, s)
+        run = 0
+    if run:
+        ecode, elen = ac_enc[0x00]  # EOB
+        w.write(ecode, elen)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential JPEG encoder.  ``pixels`` is row-major
+    grayscale (channels=1) or interleaved RGB (channels=3).
+    ``subsample=True`` emits 4:2:0 (chroma box-mean downsampled);
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer length != w*h*c")
+    img = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(height, width, channels)
+        .astype(np.float64)
+    )
+    qt_lum = scaled_quant(QUANT_LUM, quality)
+    qt_chrom = scaled_quant(QUANT_CHROM, quality)
+
+    if channels == 1:
+        planes = [img[..., 0]]
+        samp = [(1, 1)]
+        qts = [qt_lum]
+    else:
+        ycc = rgb_to_ycbcr(img)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample:
+            # 4:2:0 — pad to even dims (edge), then 2x2 box mean
+            ph = height + (height & 1)
+            pw = width + (width & 1)
+            cbp = np.pad(cb, ((0, ph - height), (0, pw - width)), mode="edge")
+            crp = np.pad(cr, ((0, ph - height), (0, pw - width)), mode="edge")
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qts = [qt_lum, qt_chrom, qt_chrom]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    padded = [
+        _pad_to_blocks(p, mcus_y * s[1], mcus_x * s[0])
+        for p, s in zip(planes, samp)
+    ]
+
+    dc_enc_l, _ = _build_huffman(*DC_LUM)
+    ac_enc_l, _ = _build_huffman(*AC_LUM)
+    dc_enc_c, _ = _build_huffman(*DC_CHROM)
+    ac_enc_c, _ = _build_huffman(*AC_CHROM)
+    hufs = [
+        (dc_enc_l, ac_enc_l) if i == 0 or channels == 1 else (dc_enc_c, ac_enc_c)
+        for i in range(channels)
+    ]
+
+    w = _BitWriter()
+    dc_pred = [0] * channels
+    rst_count = 0
+    n_mcus = mcus_x * mcus_y
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            w.flush()
+            w.out += bytes([0xFF, 0xD0 + (rst_count & 7)])
+            rst_count += 1
+            dc_pred = [0] * channels
+        my, mx = divmod(m, mcus_x)
+        for ci in range(channels):
+            hi, vi = samp[ci]
+            qt = qts[ci].reshape(8, 8).astype(np.float64)
+            for by in range(vi):
+                for bx in range(hi):
+                    r0 = (my * vi + by) * 8
+                    c0 = (mx * hi + bx) * 8
+                    block = padded[ci][r0 : r0 + 8, c0 : c0 + 8] - 128.0
+                    qcoef = np.round(fdct2(block) / qt).astype(np.int64)
+                    dc_pred[ci] = _encode_block(
+                        w, qcoef, dc_pred[ci], *hufs[ci]
+                    )
+    w.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    # DQT
+    qts_emit = [(0, qt_lum)] if channels == 1 else [(0, qt_lum), (1, qt_chrom)]
+    for tid, qt in qts_emit:
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64)
+        out.append(tid)  # Pq=0 (8-bit), Tq=tid
+        out += bytes(int(qt[z]) for z in ZIGZAG)
+    # SOF0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * channels, 8, height, width, channels)
+    for ci in range(channels):
+        hi, vi = samp[ci]
+        tq = 0 if (ci == 0 or channels == 1) else 1
+        out += bytes([ci + 1, (hi << 4) | vi, tq])
+    # DHT
+    tables = (
+        [(0x00, DC_LUM), (0x10, AC_LUM)]
+        if channels == 1
+        else [(0x00, DC_LUM), (0x10, AC_LUM), (0x01, DC_CHROM), (0x11, AC_CHROM)]
+    )
+    for tc_th, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+        out.append(tc_th)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * channels, channels)
+    for ci in range(channels):
+        td_ta = 0x00 if (ci == 0 or channels == 1) else 0x11
+        out += bytes([ci + 1, td_ta])
+    out += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------
+
+
+def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline sequential JPEG to
+    ``(width, height, channels, pixel_bytes)`` (row-major, interleaved
+    RGB for 3 components, grayscale for 1).  Raises ``ValueError`` on
+    corrupt streams and ``NotImplementedError`` for progressive /
+    arithmetic / 12-bit variants."""
+    try:
+        return _decode_jpeg(b)
+    except (IndexError, struct.error) as e:  # truncated stream
+        raise ValueError(f"corrupt JPEG stream: {e}") from e
+
+
+def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff_dec: dict[tuple[int, int], dict] = {}  # (class, id) -> decode map
+    frame = None  # (height, width, comps)
+    restart_interval = 0
+    scan = None
+
+    while pos < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        seg_len = struct.unpack(">H", b[pos : pos + 2])[0]
+        seg = b[pos + 2 : pos + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("JPEG segment truncated")
+        nxt = pos + seg_len
+        if marker == 0xDB:  # DQT
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = seg[sp + 1 : sp + 65]
+                nat = np.zeros(64, dtype=np.int64)
+                for zi, ni in enumerate(ZIGZAG):
+                    nat[ni] = zz[zi]
+                qtabs[tq] = nat.reshape(8, 8)
+                sp += 65
+        elif marker == 0xC4:  # DHT
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 15
+                bits = list(seg[sp + 1 : sp + 17])
+                nv = sum(bits)
+                vals = list(seg[sp + 17 : sp + 17 + nv])
+                _, dec = _build_huffman(bits, vals)
+                huff_dec[(tc, th)] = dec
+                sp += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = (h, w, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"JPEG SOF{marker - 0xC0} mode")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
+                scan.append((cs, tdta >> 4, tdta & 15))
+            pos = nxt
+            break  # entropy-coded data follows
+        # APPn / COM / others: skip
+        pos = nxt
+
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps = frame
+    if not 1 <= len(comps) <= 3 or len(scan) != len(comps):
+        raise NotImplementedError(
+            f"{len(comps)}-component / multi-scan JPEG unsupported"
+        )
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scan:
+        c = by_id.get(cs)
+        if c is None:
+            raise ValueError(f"scan references unknown component {cs}")
+        dc = huff_dec.get((0, td))
+        ac = huff_dec.get((1, ta))
+        qt = qtabs.get(c["tq"])
+        if dc is None or ac is None or qt is None:
+            raise ValueError("scan references missing Huffman/quant table")
+        order.append((c, dc, ac, qt.astype(np.float64)))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in comps
+    ]
+
+    r = _BitReader(b, pos)
+    dc_pred = [0] * len(comps)
+    rst_count = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            r.sync_restart(rst_count)
+            rst_count += 1
+            dc_pred = [0] * len(comps)
+        my, mx = divmod(m, mcus_x)
+        for ci, (c, dc, ac, qt) in enumerate(order):
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = np.zeros(64, dtype=np.int64)
+                    s = _decode_huff(r, dc)
+                    diff = _extend(r.receive(s), s) if s else 0
+                    dc_pred[ci] += diff
+                    zz[0] = dc_pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _decode_huff(r, ac)
+                        run, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if run == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC coefficient overrun")
+                        zz[k] = _extend(r.receive(size), size)
+                        k += 1
+                    nat = np.zeros(64)
+                    for zi, ni in enumerate(ZIGZAG):
+                        nat[ni] = zz[zi]
+                    block = idct2(nat.reshape(8, 8) * qt) + 128.0
+                    r0 = (my * c["v"] + by) * 8
+                    c0 = (mx * c["h"] + bx) * 8
+                    planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
+
+    # upsample to full grid, crop to (h, w)
+    full = []
+    for c, plane in zip(comps, planes):
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        full.append(plane[:h, :w])
+    if len(comps) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return (w, h, 1, out.tobytes())
+    rgb = ycbcr_to_rgb(np.stack(full, axis=-1))
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return (w, h, 3, out.tobytes())

@@ -515,20 +515,24 @@ def decode_real(payload: bytes):
 
     GIF is ALSO fully decoded (``("gif", width, height, 3, rgb_bytes)``)
     — its LZW entropy decode is pure table arithmetic, implemented in
-    :func:`_gif_lzw_decode`.  Only JPEG remains ``NotImplementedError``:
-    Huffman+DCT entropy decode genuinely needs the codec libraries
-    absent from this container — that is an environment stub, unlike
-    the container parsing in :func:`probe_media` and the full decodes
-    above, which are real."""
+    :func:`_gif_lzw_decode`.  Baseline-sequential JPEG (SOF0/SOF1,
+    8-bit, incl. 4:2:0 subsampling and restart markers) is decoded by
+    the stdlib+numpy codec in :mod:`.jpeg` — Huffman → dequantize →
+    IDCT → upsample → YCbCr→RGB — returning
+    ``("jpeg", width, height, channels, pixel_bytes)``.  Progressive /
+    arithmetic / 12-bit JPEGs raise ``NotImplementedError`` (format
+    guards inside a real decoder, not stubs)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return ("png", *decode_png_pixels(payload))
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return ("gif", *decode_gif_pixels(payload))
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return ("wav", *decode_wav_samples(payload))
-    raise NotImplementedError(
-        "JPEG entropy decode requires codec libs absent in this environment"
-    )
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_pixels
+
+        return ("jpeg", *decode_jpeg_pixels(payload))
+    raise NotImplementedError("unrecognized media container")
 
 
 FRAME_BYTES = 64  # fixed frame size for the deterministic frame sampler
@@ -775,8 +779,8 @@ def decode_assets(assets: DataFrame) -> DataFrame:
     statistics executor-side — the bytes never visit the driver, and
     the per-asset output is O(1) regardless of media size, which is
     what lets this run over a 100 TB binary column.  Undecodable
-    payloads (JPEG/GIF/garbage) yield kind='undecoded' rather than
-    failing the batch."""
+    payloads (progressive JPEG / corrupt streams / garbage) yield
+    kind='undecoded' rather than failing the batch."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -789,7 +793,7 @@ def decode_assets(assets: DataFrame) -> DataFrame:
                     rows.append((int(did), "undecoded", None, None, None,
                                  None, None, None, None, None))
                     continue
-                if decoded[0] in ("png", "gif"):
+                if decoded[0] in ("png", "gif", "jpeg"):
                     kind, w, h, c, px = decoded
                     a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
                     rows.append((int(did), kind, w, h, c, None, a.size,

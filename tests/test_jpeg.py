@@ -1,0 +1,166 @@
+"""Baseline-JPEG codec (operators/jpeg.py): transform properties,
+round-trip accuracy bounds, variant coverage (4:2:0, restart markers),
+and corrupt-stream / unsupported-mode guards."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+    decode_jpeg_pixels,
+    encode_jpeg,
+    fdct2,
+    idct2,
+    scaled_quant,
+    QUANT_LUM,
+)
+
+
+def _gray(w, h):
+    return bytes((40 + 2 * x + 3 * y) for y in range(h) for x in range(w))
+
+
+def _rgb(w, h):
+    buf = bytearray()
+    for y in range(h):
+        for x in range(w):
+            buf += bytes((40 + 2 * x + y, 200 - x - 2 * y, 30 + x + 3 * y))
+    return bytes(buf)
+
+
+def _err(a: bytes, b: bytes) -> np.ndarray:
+    return np.abs(
+        np.frombuffer(a, np.uint8).astype(int)
+        - np.frombuffer(b, np.uint8).astype(int)
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_fdct_idct_inverse_pair(seed):
+    rng = np.random.default_rng(seed)
+    block = rng.uniform(-128, 127, (8, 8))
+    assert np.allclose(idct2(fdct2(block)), block, atol=1e-9)
+
+
+def test_quality_scaling_endpoints():
+    assert (scaled_quant(QUANT_LUM, 100) == 1).all()
+    assert (scaled_quant(QUANT_LUM, 50) == QUANT_LUM).all()
+    assert (scaled_quant(QUANT_LUM, 10) >= QUANT_LUM).all()
+
+
+def test_gray_quality100_bit_exact():
+    """All quant steps are 1 at quality 100, so the smooth-gradient
+    grayscale round trip is BIT-exact — the q331 oracle's exact-sum
+    branch depends on this (exhaustive 703-shape sweep ran during
+    development; spot-check the corner shapes here)."""
+    for w, h in ((16, 12), (52, 30), (37, 19), (24, 17)):
+        px = _gray(w, h)
+        for rst in (0, 2):
+            jb = encode_jpeg(px, w, h, 1, quality=100, restart_interval=rst)
+            W, H, C, out = decode_jpeg_pixels(jb)
+            assert (W, H, C) == (w, h, 1)
+            assert _err(px, out).max() == 0, (w, h, rst)
+
+
+def test_gray_nonsmooth_quality100_near_exact():
+    """A wrapping (high-frequency) pattern at q100: still ≤1 LSB."""
+    w, h = 33, 21
+    px = bytes(((x * 3 + y * 7) % 256) for y in range(h) for x in range(w))
+    _, _, _, out = decode_jpeg_pixels(encode_jpeg(px, w, h, 1, quality=100))
+    assert _err(px, out).max() <= 1
+
+
+def test_rgb_444_tolerance():
+    w, h = 40, 25
+    px = _rgb(w, h)
+    _, _, C, out = decode_jpeg_pixels(encode_jpeg(px, w, h, 3, quality=85))
+    assert C == 3
+    e = _err(px, out)
+    assert e.mean() < 2.0 and e.max() < 20
+
+
+def test_rgb_420_subsampled_decodes():
+    """4:2:0: chroma planes are quarter-size in the stream; the decoder
+    must run the general MCU loop (4 Y blocks + Cb + Cr per MCU) and
+    upsample.  Linear gradients bound the box-mean error tightly."""
+    w, h = 35, 22  # odd dims exercise the chroma edge padding
+    px = _rgb(w, h)
+    jb = encode_jpeg(px, w, h, 3, quality=85, subsample=True)
+    W, H, C, out = decode_jpeg_pixels(jb)
+    assert (W, H, C) == (w, h, 3)
+    e = _err(px, out)
+    assert e.mean() < 3.0
+    # subsampled stream must actually be smaller than 4:4:4
+    assert len(jb) < len(encode_jpeg(px, w, h, 3, quality=85))
+
+
+def test_restart_markers_roundtrip_and_are_present():
+    w, h = 48, 20
+    px = _rgb(w, h)
+    jb = encode_jpeg(px, w, h, 3, quality=85, restart_interval=1)
+    assert b"\xff\xdd" in jb  # DRI segment
+    assert b"\xff\xd0" in jb and b"\xff\xd1" in jb  # RST0, RST1
+    _, _, _, out = decode_jpeg_pixels(jb)
+    assert _err(px, out).mean() < 2.0
+
+
+def test_corrupt_streams_raise_valueerror():
+    jb = encode_jpeg(_gray(16, 16), 16, 16, 1, quality=85)
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(jb[: len(jb) // 2])  # truncated entropy data
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(b"\x00\x01not a jpeg")
+    # flip a restart marker id -> decoder must flag the bad sync
+    jr = bytearray(encode_jpeg(_gray(32, 32), 32, 32, 1, restart_interval=1))
+    i = bytes(jr).find(b"\xff\xd0")
+    assert i > 0
+    jr[i + 1] = 0xD5
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(jr))
+
+
+def test_unsupported_modes_raise_notimplemented():
+    jb = bytearray(encode_jpeg(_gray(16, 16), 16, 16, 1))
+    i = bytes(jb).find(b"\xff\xc0")
+    jb[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(bytes(jb))
+
+
+def test_decode_real_dispatches_jpeg():
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_real,
+    )
+
+    kind, w, h, c, px = decode_real(encode_jpeg(_gray(20, 14), 20, 14, 1, quality=100))
+    assert (kind, w, h, c) == ("jpeg", 20, 14, 1)
+    assert px == _gray(20, 14)
+
+
+def test_decode_assets_jpeg_distributed(spark):
+    """The Arrow-batched decode path covers JPEG end-to-end with exact
+    stats for the quality-100 grayscale fixture."""
+    import pandas as pd
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_assets,
+    )
+
+    rows = []
+    for d in range(4):
+        w, h = 16 + d, 12 + d
+        rows.append((d, encode_jpeg(_gray(w, h), w, h, 1, quality=100)))
+    assets = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "payload"])
+    )
+    got = {r.doc_id: r for r in decode_assets(assets).collect()}
+    for d in range(4):
+        w, h = 16 + d, 12 + d
+        px = np.frombuffer(_gray(w, h), np.uint8).astype(int)
+        r = got[d]
+        assert r.kind == "jpeg"
+        assert (r.width, r.height, r.channels) == (w, h, 1)
+        assert (r.n_values, r.val_sum) == (px.size, px.sum())
+        assert (r.val_min, r.val_max) == (px.min(), px.max())

@@ -148,9 +148,18 @@ def test_decode_real_dispatch_and_remaining_stub():
     assert (kind, w, h, c, px) == ("png", 2, 2, 1, bytes([5, 6, 7, 8]))
     wav = encode_wav([1, -1], 8000, 1)
     assert decode_real(wav)[0] == "wav"
-    # JPEG entropy decode is the one remaining (documented) stub
-    with pytest.raises(NotImplementedError):
+    # JPEG now REALLY decodes (operators/jpeg.py) — a truncated stream
+    # is a ValueError, and a valid one round-trips pixels
+    with pytest.raises(ValueError):
         decode_real(b"\xff\xd8\xff\xe0rest")
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import encode_jpeg
+
+    gray = bytes(range(64))
+    kind, w, h, c, px = decode_real(encode_jpeg(gray, 8, 8, 1, quality=100))
+    assert (kind, w, h, c, px) == ("jpeg", 8, 8, 1, gray)
+    # unknown containers remain the documented environment guard
+    with pytest.raises(NotImplementedError):
+        decode_real(b"\x00\x00unknown container")
 
 
 def test_decode_assets_distributed_mixed_media(spark):
