@@ -9881,12 +9881,13 @@ def q229(spark, sf_dir):
     SELECT event_type,
            strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_s,
            CAST(val IS NOT NULL AS INT) AS known,
-           round(CASE WHEN val IS NOT NULL THEN CAST(val AS DOUBLE)
+           CAST(floor((CASE WHEN val IS NOT NULL THEN CAST(val AS DOUBLE)
                       ELSE CAST(pv AS DOUBLE)
                            + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
                              * (CAST(i - pi AS DOUBLE)
                                 / CAST(ni - pi AS DOUBLE))
-                 END / 100.0, 6) AS interp_val
+                 END / 100.0) * 1000000.0 + 0.5) AS DOUBLE)
+             / 1000000.0 AS interp_val
     FROM w
     """,
 )
@@ -9953,11 +9954,20 @@ def q230(spark, sf_dir):
             / (F.col("ni") - F.col("pi")).cast("double")
         )
     )
+    # round-to-6dp via floor(x*1e6 + 0.5): engine round() internals
+    # differ on .5-ulp boundaries (found by the sf0.001 sweep — one
+    # boundary row in 3301), but this form is pure IEEE mult/add/floor,
+    # token-identical on both engines, hence bit-identical.
     return w.select(
         "event_type",
         F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),
         F.col("val").isNotNull().cast("int").alias("known"),
-        F.round(interp / F.lit(100.0), 6).alias("interp_val"),
+        (
+            F.floor(
+                (interp / F.lit(100.0)) * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("interp_val"),
     )
 
 

@@ -11,6 +11,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 SF_SMALL = "/root/testdata/sf0.001"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "sweep: full-registry oracle-parity sweep; scale factor is "
+        "selected by SPARK_GRAFT_TEST_SF_DIR (COVERAGE.md documents the "
+        "3-scale invocation: run `pytest -m sweep` once per "
+        "/root/testdata/sf{0.001,0.01,0.1})",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from syslog_handler_with_clickhouse_spark.session import get_spark

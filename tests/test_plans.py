@@ -580,3 +580,45 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
             prev_thresh,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_lsh_candidate_exchange_is_on_band_keys_only(spark):
+    """The LSH banding join must shuffle on (band, bh) ONLY — never on
+    doc ids or signatures (round-6 verdict #3).  At fixture scale the
+    planner broadcasts one side (also fine); broadcast is disabled here
+    to pin the SHAPE that runs at 100 TB, where both sides are huge and
+    the join must be the linear inverted-index equi-shuffle."""
+    import re
+
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from syslog_handler_with_clickhouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = load_table(spark, SF_DIR, "documents")
+        sig = minhash_signatures(docs, "text", "doc_id")
+        plan = formatted_plan(minhash_lsh_pairs(sig=sig))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, plan
+    # join-feeding exchanges: every non-REPARTITION exchange must key on
+    # exactly {band, bh}.  (The doc_id REPARTITION_BY_NUM exchanges are
+    # the deliberate _spread co-partitioning before signature agg.)
+    join_keys = []
+    for e in exchanges:
+        keys = {k.split("#")[0].strip() for k in e.split(",")[:-1]}
+        if keys in ({"doc_id"}, {"doc"}):
+            continue  # _spread / signature-agg partitioning, not the join
+        if keys == {"doc_a", "doc_b"}:
+            continue  # the post-join .distinct() over candidate pairs
+        join_keys.append(keys)
+    assert join_keys, f"no banding exchange found: {exchanges}"
+    for keys in join_keys:
+        assert keys == {"band", "bh"}, (keys, exchanges)

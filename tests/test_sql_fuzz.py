@@ -144,14 +144,65 @@ CUST_PREDICATES = [
 ]
 
 
+# Window-over-join productions (round-6 verdict #8): rank/frame windows
+# computed over the joined orders×customer frame — the partition key
+# comes from the DIM side, the order key from the FACT side, so the
+# window runs after the join shuffle.  ORDER BY keys are total orders
+# (o_orderkey unique, or date tie-broken by it); only integer outputs
+# reach the comparator (decimals stay inside ORDER BY).
+WINDOW_JOIN_EXPRS = [
+    "RANK() OVER (PARTITION BY c.c_mktsegment"
+    " ORDER BY o.o_totalprice, o.o_orderkey) AS wj_rank",
+    "ROW_NUMBER() OVER (PARTITION BY c.c_custkey"
+    " ORDER BY o.o_orderdate, o.o_orderkey) AS wj_rn",
+    "SUM(o.o_orderkey) OVER (PARTITION BY c.c_mktsegment"
+    " ORDER BY o.o_orderkey"
+    " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS wj_runsum",
+    "LAG(o.o_orderkey) OVER (PARTITION BY c.c_nationkey"
+    " ORDER BY o.o_orderdate, o.o_orderkey) AS wj_prev",
+    "COUNT(*) OVER (PARTITION BY c.c_mktsegment ORDER BY o.o_orderkey"
+    " RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS wj_cntrange",
+    "DENSE_RANK() OVER (PARTITION BY c.c_nationkey"
+    " ORDER BY o.o_custkey) AS wj_drank",
+    "MAX(o.o_orderkey) OVER (PARTITION BY c.c_mktsegment"
+    " ORDER BY o.o_orderkey"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wj_maxprec",
+]
+
+
 def _gen_join_statement(rng: random.Random) -> str:
     opred = " AND ".join(rng.sample(ORDER_PREDICATES, rng.randint(1, 2)))
     cpred = rng.choice(CUST_PREDICATES)
     form = rng.random()
-    if form < 0.25:  # inner FK join, row-level output
+    if form < 0.20:  # inner FK join, row-level output
         return (
             "SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            f"WHERE {opred} AND {cpred}"
+        )
+    if form < 0.68 and form >= 0.58:  # window over a joined frame
+        wins = ", ".join(rng.sample(WINDOW_JOIN_EXPRS, rng.randint(1, 2)))
+        return (
+            f"SELECT o.o_orderkey, {wins} "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            f"WHERE {opred} AND {cpred}"
+        )
+    if form < 0.58 and form >= 0.50:  # 3-table chain + window over dim key
+        win = rng.choice(
+            [
+                "ROW_NUMBER() OVER (PARTITION BY n.n_name"
+                " ORDER BY o.o_orderkey) AS rn3",
+                "RANK() OVER (PARTITION BY n.n_regionkey"
+                " ORDER BY o.o_totalprice, o.o_orderkey) AS rk3",
+                "SUM(c.c_nationkey) OVER (PARTITION BY n.n_name"
+                " ORDER BY o.o_orderkey ROWS BETWEEN 1 PRECEDING"
+                " AND 1 FOLLOWING) AS ws3",
+            ]
+        )
+        return (
+            f"SELECT o.o_orderkey, n.n_name, {win} "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
             f"WHERE {opred} AND {cpred}"
         )
     if form < 0.45:  # inner join + group (the broadcast-dim agg shape)
