@@ -473,3 +473,75 @@ def winnow_fingerprints(
         .distinct()
     )
     return sel
+
+
+def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over the candidate near-dup graph — the
+    step that turns pairwise LSH hits into DEDUP CLUSTERS (keep one doc
+    per component, drop the rest): pairs are not transitive-closed, so
+    a 3-doc cluster {a,b,c} may surface as (a,b),(b,c) only.
+
+    Min-label propagation (the Pregel/GraphX connected-components
+    algorithm): every node starts labeled with itself; each round every
+    node takes the min of its own and its neighbors' labels; fixpoint
+    after diameter(G) rounds.  Near-dup clusters have tiny diameters
+    (they are near-cliques — every member shares a band with most
+    others), so the loop exits after 2-3 rounds in practice; max_iter
+    is a safety bound, and the loop raises if it is ever hit, rather
+    than returning silently-unconverged labels.
+
+    100 TB shape: each round is ONE equi-join edges⋈labels (both sides
+    hash-partitioned on the join key) plus a min-aggregate — working
+    set is edge-sized, never quadratic.  ``localCheckpoint`` truncates
+    the per-round lineage (the standard iterative-algorithm guard);
+    the convergence probe is a 1-row driver scalar per round — the
+    Pregel control loop, not a data collect.
+
+    Returns (node, comp) for every node that appears in ``pairs``;
+    comp = min doc id of the component, so ``node == comp`` marks the
+    canonical keeper."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(
+                labels.select(F.col("node").alias("src"), "comp"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("ncomp", "comp")
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.select("node", F.col("comp").alias("oc")), "node")
+            .filter(F.col("comp") != F.col("oc"))
+            .limit(1)
+            .count()
+        )
+        old = labels
+        labels = new
+        old.unpersist()
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"dedup_components did not converge in {max_iter} rounds"
+    )

@@ -17612,6 +17612,209 @@ def q331(spark, sf_dir):
     )
 
 
+@query(
+    "q332_summap_family",
+    """
+    WITH g AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s,
+             MIN(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS mn,
+             MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS mx
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           string_agg(event_type, ',' ORDER BY event_type) AS mkeys,
+           string_agg(CAST(s AS VARCHAR), ',' ORDER BY event_type) AS msum,
+           string_agg(CAST(mn AS VARCHAR), ',' ORDER BY event_type) AS mmin,
+           string_agg(CAST(mx AS VARCHAR), ',' ORDER BY event_type) AS mmax
+    FROM g GROUP BY day
+    """,
+)
+def q332(spark, sf_dir):
+    """ClickHouse ``sumMap`` / ``minMap`` / ``maxMap`` — the Map
+    combinators that aggregate (keys[], values[]) pairs KEY-WISE.  The
+    Spark-first shape is the relational dual: aggregate per (group,
+    key) first — one hash aggregate, partial-agg friendly, the form
+    Catalyst optimizes — then assemble the CH-style parallel
+    key-sorted arrays per group (exported as CSV per the repo's
+    engine-neutral array convention, q16 precedent).  This beats a
+    literal map-valued UDAF because the per-key partials merge
+    associatively in the exchange instead of shipping whole maps."""
+    ev = _t(spark, sf_dir, "events")
+    cents = (_dec("value") * 100).cast("bigint")
+    g = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type"
+    ).agg(
+        F.sum(cents).alias("s"),
+        F.min(cents).alias("mn"),
+        F.max(cents).alias("mx"),
+    )
+    ent = F.struct("event_type", "s", "mn", "mx")
+    arr = F.array_sort(F.collect_list(ent))
+    return g.groupBy("day").agg(arr.alias("a")).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.concat_ws(
+            ",", F.transform("a", lambda e: e["event_type"])
+        ).alias("mkeys"),
+        F.concat_ws(
+            ",", F.transform("a", lambda e: e["s"].cast("string"))
+        ).alias("msum"),
+        F.concat_ws(
+            ",", F.transform("a", lambda e: e["mn"].cast("string"))
+        ).alias("mmin"),
+        F.concat_ws(
+            ",", F.transform("a", lambda e: e["mx"].cast("string"))
+        ).alias("mmax"),
+    )
+
+
+@query(
+    "q333_interval_length_sum",
+    """
+    WITH iv AS (
+      SELECT l_suppkey % 50 AS grp,
+             CAST(epoch(l_shipdate) AS BIGINT) / 86400 AS s,
+             CAST(epoch(l_shipdate) AS BIGINT) / 86400
+               + l_linenumber * 3 AS e
+      FROM lineitem
+    ), sw AS (
+      SELECT grp, s, e,
+             MAX(e) OVER (PARTITION BY grp ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS cm
+      FROM iv
+    )
+    SELECT grp,
+           CAST(SUM(CASE WHEN cm IS NULL OR s > cm THEN e - s
+                         WHEN e > cm THEN e - cm ELSE 0 END)
+                AS BIGINT) AS union_days,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(CASE WHEN cm IS NULL OR s > cm THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_segments
+    FROM sw GROUP BY grp
+    """,
+)
+def q333(spark, sf_dir):
+    """ClickHouse ``intervalLengthSum`` — total length of the UNION of
+    per-group intervals, overlaps merged.  One sort per group does it:
+    sweep in start order keeping the running max of prior ends (an
+    exclusive-frame window cummax); each interval contributes only the
+    part past that watermark, and a contribution starting fresh opens a
+    new segment (``n_segments`` = merged-interval count, the
+    ``intervalCount`` sibling).  Exact integer day arithmetic; one
+    window sort + one aggregate, both on the same (grp) partitioning —
+    no per-pair interval join anywhere, so it scales with rows, not
+    rows²."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    day = (F.unix_timestamp("l_shipdate") / 86400).cast("bigint")
+    iv = li.select(
+        (F.col("l_suppkey") % 50).alias("grp"),
+        day.alias("s"),
+        (day + F.col("l_linenumber") * 3).alias("e"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sw = iv.withColumn("cm", F.max("e").over(w))
+    fresh = F.col("cm").isNull() | (F.col("s") > F.col("cm"))
+    contrib = (
+        F.when(fresh, F.col("e") - F.col("s"))
+        .when(F.col("e") > F.col("cm"), F.col("e") - F.col("cm"))
+        .otherwise(F.lit(0))
+    )
+    return sw.groupBy("grp").agg(
+        F.sum(contrib).cast("bigint").alias("union_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(fresh.cast("int")).cast("bigint").alias("n_segments"),
+    )
+
+
+@query(
+    "q334_dedup_components",
+    _DUP_UNION.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+    + """
+    , consts AS (
+      SELECT {a_list} AS ha, {b_list} AS hb
+    ), sh AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+               i -> CAST('0x' || substr(md5(array_to_string(
+                      list_slice(string_split(text, ' '), i, i + 2), ' ')), 1, 15)
+                    AS BIGINT)
+             )) AS shl
+      FROM corpus
+    ), sig AS (
+      SELECT doc,
+             list_transform(range(0, 64), k ->
+               list_min(list_transform(shl, x ->
+                 ((x % 2147483647) * ha[k + 1] + hb[k + 1]) % 2147483647))
+             ) AS sig
+      FROM sh CROSS JOIN consts WHERE len(shl) > 0
+    ), bands AS (
+      SELECT doc, b AS band,
+             CAST('0x' || substr(md5(array_to_string(
+               list_slice(sig, b * 4 + 1, b * 4 + 4), '|')), 1, 15) AS BIGINT) AS bh
+      FROM sig, UNNEST(range(0, 16)) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc < y.doc
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ), reach(node, r) AS (
+      SELECT DISTINCT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    ), comp AS (
+      SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+    )
+    SELECT node AS doc_id, comp,
+           CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT)
+             AS cluster_size,
+           CAST(node = comp AS BOOLEAN) AS is_canonical
+    FROM comp
+    """.format(
+        a_list=list(dedup._MINHASH_A), b_list=list(dedup._MINHASH_B)
+    ),
+)
+def q334(spark, sf_dir):
+    """Near-dup DEDUP CLUSTERS: connected components over the MinHash-
+    LSH candidate graph (`operators/dedup.py:dedup_components` — Pregel
+    min-label propagation, one edge-sized equi-join per round, 2-3
+    rounds on near-clique dup clusters).  This is the step a real
+    corpus-dedup pipeline runs after q39: candidate PAIRS are not
+    transitive-closed, so cluster membership — and the keep-one-doc
+    policy (``is_canonical`` = min-id member) — needs the closure.  The
+    oracle recomputes the identical pair graph bit-for-bit (q39's
+    portable-hash chain) and closes it with a recursive CTE — exact
+    per-doc component ids, sizes, and canonical flags."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    pairs = dedup.minhash_lsh_pairs(corpus, "text", "doc_id")
+    comp = dedup.dedup_components(pairs)
+    from pyspark.sql.window import Window
+
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "comp",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("comp"))
+        .cast("bigint")
+        .alias("cluster_size"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -189,3 +189,32 @@ def test_simhash_pigeonhole_index_no_false_negatives(spark):
     }
     found = {(a, b) for a, b in cands if ham(sig[a], sig[b]) <= 3}
     assert truth <= found  # pigeonhole completeness: no false negatives
+
+
+def test_dedup_components_transitive_closure(spark):
+    """A chain (1,2),(2,3) plus a disjoint pair (10,11): components must
+    transitively close the chain even though (1,3) never surfaced as a
+    candidate pair, and the min-id member is the canonical keeper."""
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        dedup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 7)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.comp for r in dedup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_dedup_components_long_path_converges(spark):
+    """A 12-node path is the worst diameter case for label propagation:
+    the min label must walk the whole chain."""
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        dedup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.comp for r in dedup_components(pairs).collect()}
+    assert got == {i: 0 for i in range(12)}
