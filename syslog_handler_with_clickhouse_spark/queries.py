@@ -17815,6 +17815,147 @@ def q334(spark, sf_dir):
     )
 
 
+@query(
+    "q335_rare_bigram_novelty",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bigram
+      FROM tok, UNNEST(range(1, len(ts))) AS t(i)
+      WHERE len(ts) >= 2
+    ), cnt AS (
+      SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(MIN(c.c) AS BIGINT) AS min_freq,
+           CAST(MAX(c.c) AS BIGINT) AS max_freq,
+           CAST(floor(CAST(SUM(CASE WHEN c.c <= 2 THEN 1 ELSE 0 END)
+                           AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5)
+                AS BIGINT) AS novelty_ppm
+    FROM bg b JOIN cnt c ON b.bigram = c.bigram
+    GROUP BY b.doc_id
+    """,
+)
+def q335(spark, sf_dir):
+    """Corpus-relative NOVELTY scoring — the bigram-LM quality signal
+    with the float log floor removed: per doc, the fraction of its
+    bigrams that are globally rare (corpus-wide count ≤ 2), plus its
+    min/max bigram frequency.  Low novelty flags boilerplate /
+    near-dup text; high novelty flags unusual (or noisy) text — the
+    same decision axis as perplexity filtering, in exact integer
+    arithmetic (counts + a ppm ratio via the IEEE floor form), so the
+    oracle is bit-for-bit.
+
+    Two scans of the exploded bigram frame share one shuffle key: the
+    corpus count aggregates on bigram, and the doc join probes the same
+    partitioning; the count table is zipf-concentrated so AQE handles
+    the hot-bigram skew.  At 100 TB the counts frame is
+    vocabulary²-bounded (zipf-truncated), not corpus-bounded."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    tok = d.select("doc_id", toks.alias("ts")).filter(F.size("ts") >= 2)
+    bg = tok.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ts", i), F.element_at("ts", i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    rare_frac = F.sum(
+        F.when(F.col("c") <= 2, 1).otherwise(0)
+    ).cast("double") / F.count(F.lit(1)).cast("double")
+    return (
+        bg.join(cnt, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.min("c").cast("bigint").alias("min_freq"),
+            F.max("c").cast("bigint").alias("max_freq"),
+            F.floor(rare_frac * 1000000.0 + 0.5)
+            .cast("bigint")
+            .alias("novelty_ppm"),
+        )
+    )
+
+
+@query(
+    "q336_max_intersections",
+    """
+    WITH iv AS (
+      SELECT l_suppkey % 50 AS grp,
+             CAST(epoch(l_shipdate) AS BIGINT) / 86400 AS s,
+             CAST(epoch(l_shipdate) AS BIGINT) / 86400
+               + l_linenumber * 3 AS e
+      FROM lineitem
+    ), ev AS (
+      SELECT grp, pos, SUM(delta) AS d FROM (
+        SELECT grp, s AS pos, 1 AS delta FROM iv
+        UNION ALL
+        SELECT grp, e + 1 AS pos, -1 AS delta FROM iv
+      ) GROUP BY grp, pos
+    ), run AS (
+      SELECT grp, pos,
+             SUM(d) OVER (PARTITION BY grp ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS depth
+      FROM ev
+    )
+    SELECT grp,
+           CAST(MAX(depth) AS BIGINT) AS max_intersections,
+           CAST(MIN(CASE WHEN depth = md THEN pos END) AS BIGINT)
+             AS max_position
+    FROM (SELECT *, MAX(depth) OVER (PARTITION BY grp) AS md FROM run)
+    GROUP BY grp
+    """,
+)
+def q336(spark, sf_dir):
+    """ClickHouse ``maxIntersections`` / ``maxIntersectionsPosition`` —
+    the PEAK number of concurrently open intervals per group and the
+    earliest position where the peak occurs (q333's union-length
+    sibling; together they cover the CH interval-aggregate pair).
+    Sweep-line as +1/-1 deltas COLLAPSED per position first (so
+    same-position ties cannot produce an order-dependent intermediate
+    depth), then one running sum and one max — two window passes on the
+    same (grp, pos) sort, linear in rows."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    day = (F.unix_timestamp("l_shipdate") / 86400).cast("bigint")
+    iv = li.select(
+        (F.col("l_suppkey") % 50).alias("grp"),
+        day.alias("s"),
+        (day + F.col("l_linenumber") * 3).alias("e"),
+    )
+    deltas = iv.select("grp", F.col("s").alias("pos"), F.lit(1).alias("delta")).unionByName(
+        iv.select("grp", (F.col("e") + 1).alias("pos"), F.lit(-1).alias("delta"))
+    )
+    ev = deltas.groupBy("grp", "pos").agg(F.sum("delta").alias("d"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = ev.withColumn("depth", F.sum("d").over(w)).withColumn(
+        "md", F.max("depth").over(Window.partitionBy("grp"))
+    )
+    return run.groupBy("grp").agg(
+        F.max("depth").cast("bigint").alias("max_intersections"),
+        F.min(F.when(F.col("depth") == F.col("md"), F.col("pos")))
+        .cast("bigint")
+        .alias("max_position"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
