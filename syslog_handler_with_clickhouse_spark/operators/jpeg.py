@@ -17,8 +17,15 @@ Scope (what "baseline" means here, per ITU-T T.81):
   4:4:4, 4:2:2 and 4:2:0 all decode; the encoder emits 4:4:4 or 4:2:0.
 - Restart markers (DRI/RSTn): DC predictors reset, bit reader
   re-aligns; the encoder can emit them so the path is testable.
-- Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
-  modes raise ``NotImplementedError`` — format guards, not stubs.
+- Progressive (SOF2) SPECTRAL SELECTION: multi-scan decode with DC
+  scans, single-component AC band scans, general EOB runs, and
+  inter-scan DHT redefinition (encoder: ``encode_jpeg_progressive``,
+  4:4:4/grayscale).  The entropy layer is provably lossless — the
+  progressive decode of an image is bit-identical to its baseline
+  decode (unit-pinned).
+- Successive approximation (Ah/Al != 0), progressive-with-subsampling,
+  arithmetic coding, 12-bit, lossless (SOF3), and hierarchical modes
+  raise ``NotImplementedError`` — format guards, not stubs.
 
 All constant tables below are the public ITU-T T.81 Annex K examples
 (the tables every libjpeg-compatible encoder ships).  The DCT is the
@@ -510,6 +517,7 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     frame = None  # (height, width, comps)
     restart_interval = 0
     scan = None
+    progressive = False
 
     while pos < len(b):
         if b[pos] != 0xFF:
@@ -520,6 +528,12 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
+        if marker == 0xDA and progressive:
+            # SOF2: hand the whole remaining walk (scans + interleaved
+            # DHT redefinitions) to the multi-scan decoder
+            return _decode_jpeg_progressive(
+                b, pos - 2, qtabs, huff_dec, frame
+            )
         seg_len = struct.unpack(">H", b[pos : pos + 2])[0]
         seg = b[pos + 2 : pos + seg_len]
         if len(seg) != seg_len - 2:
@@ -547,7 +561,8 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 _, dec = _build_huffman(bits, vals)
                 huff_dec[(tc, th)] = dec
                 sp += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -558,8 +573,6 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF{marker - 0xC0} mode")
         elif marker == 0xDD:  # DRI
@@ -655,5 +668,352 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
         out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return (w, h, 1, out.tobytes())
     rgb = ycbcr_to_rgb(np.stack(full, axis=-1))
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return (w, h, 3, out.tobytes())
+
+
+# ---------------------------------------------------------------------
+# progressive (SOF2), spectral-selection mode
+# ---------------------------------------------------------------------
+# Progressive JPEG sends the DCT coefficients in multiple scans.  The
+# SPECTRAL-SELECTION axis (each scan carries a band [Ss..Se] of
+# coefficients, fully) is implemented here for 4:4:4 / grayscale;
+# the SUCCESSIVE-APPROXIMATION axis (bitplane refinement, Ah/Al != 0)
+# and progressive-with-subsampling raise NotImplementedError — format
+# guards, same policy as 12-bit/arithmetic.
+#
+# Non-interleaved AC scans use EOB RUNS: the EOBn symbol (s=0, r<15)
+# ends the current block's band AND declares the next 2^r - 1 +
+# receive(r) blocks all-zero in this band.  The encoder below emits
+# plain EOB0 per block (legal, no run batching); the decoder handles
+# the general run so real progressive streams also decode.
+
+
+# Progressive AC scans need EOBn symbols (0x10..0xE0) that the Annex K
+# SEQUENTIAL tables cannot encode (their Kraft sum is exactly full).
+# Real progressive encoders ship optimized per-image tables; this one
+# ships a fixed flat 8-bit canonical table over every symbol a
+# spectral-selection AC scan can emit — 16 runs x 10 sizes (8-bit
+# precision caps AC size at 10), ZRL, and EOBn for runs up to 2^15-1.
+# 175 symbols x 2^-8 = 0.684 Kraft — comfortably legal, decoded from
+# the DHT segment like any other table, so interop is preserved.
+_PROG_AC_SYMS = sorted(
+    [(r << 4) | sz for r in range(16) for sz in range(1, 11)]
+    + [r << 4 for r in range(15)]  # EOB0..EOB14
+    + [0xF0]  # ZRL
+)
+PROG_AC = (
+    [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMS), 0, 0, 0, 0, 0, 0, 0, 0],
+    _PROG_AC_SYMS,
+)
+assert sum(PROG_AC[0]) == len(PROG_AC[1])
+
+
+def encode_jpeg_progressive(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int,
+    quality: int = 85,
+) -> bytes:
+    """Progressive (SOF2) encoder, spectral selection: scan 1 = all DC
+    coefficients (interleaved), then one full-band AC scan (1..63) per
+    component.  4:4:4 only — every component shares the full-resolution
+    block grid, which is also what keeps the non-interleaved AC block
+    order equal to the DC MCU order."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer length != w*h*c")
+    img = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(height, width, channels)
+        .astype(np.float64)
+    )
+    qt_lum = scaled_quant(QUANT_LUM, quality)
+    qt_chrom = scaled_quant(QUANT_CHROM, quality)
+    if channels == 1:
+        planes = [img[..., 0]]
+        qts = [qt_lum]
+    else:
+        ycc = rgb_to_ycbcr(img)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qts = [qt_lum, qt_chrom, qt_chrom]
+
+    bx_n = -(-width // 8)
+    by_n = -(-height // 8)
+    padded = [_pad_to_blocks(p, by_n, bx_n) for p in planes]
+    # quantize every block once; store zigzag-order coefficients
+    coefs = []
+    for ci in range(channels):
+        qt = qts[ci].reshape(8, 8).astype(np.float64)
+        cz = np.zeros((by_n, bx_n, 64), dtype=np.int64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                cz[by, bx] = np.round(fdct2(block) / qt).astype(np.int64).ravel()[ZIGZAG]
+        coefs.append(cz)
+
+    dc_enc_l, _ = _build_huffman(*DC_LUM)
+    dc_enc_c, _ = _build_huffman(*DC_CHROM)
+    ac_enc_p, _ = _build_huffman(*PROG_AC)
+    ac_enc_l = ac_enc_c = ac_enc_p  # one flat AC table for all scans
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    qts_emit = [(0, qt_lum)] if channels == 1 else [(0, qt_lum), (1, qt_chrom)]
+    for tid, qt in qts_emit:
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64)
+        out.append(tid)
+        out += bytes(int(qt[z]) for z in ZIGZAG)
+    out += b"\xff\xc2" + struct.pack(  # SOF2
+        ">HBHHB", 8 + 3 * channels, 8, height, width, channels
+    )
+    for ci in range(channels):
+        tq = 0 if (ci == 0 or channels == 1) else 1
+        out += bytes([ci + 1, 0x11, tq])  # h=v=1 (4:4:4)
+    tables = (
+        [(0x00, DC_LUM), (0x10, PROG_AC)]
+        if channels == 1
+        else [(0x00, DC_LUM), (0x10, PROG_AC), (0x01, DC_CHROM)]
+    )
+    for tc_th, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+        out.append(tc_th)
+        out += bytes(bits) + bytes(vals)
+
+    # scan 1: DC, all components interleaved, Ss=Se=0
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * channels, channels)
+    for ci in range(channels):
+        td = 0 if (ci == 0 or channels == 1) else 1
+        out += bytes([ci + 1, td << 4])
+    out += b"\x00\x00\x00"  # Ss=0 Se=0 AhAl=0
+    w = _BitWriter()
+    pred = [0] * channels
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for ci in range(channels):
+                dc = int(coefs[ci][by, bx, 0])
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                s = abs(diff).bit_length()
+                enc = dc_enc_l if (ci == 0 or channels == 1) else dc_enc_c
+                code, length = enc[s]
+                w.write(code, length)
+                if s:
+                    v = diff if diff >= 0 else diff + (1 << s) - 1
+                    w.write(v, s)
+    w.flush()
+    out += w.out
+
+    # one AC scan per component, band 1..63 (shared flat AC table 0)
+    for ci in range(channels):
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
+        out += bytes([ci + 1, 0])
+        out += b"\x01\x3f\x00"  # Ss=1 Se=63 AhAl=0
+        enc = ac_enc_l if (ci == 0 or channels == 1) else ac_enc_c
+        w = _BitWriter()
+        pending_eob = 0  # accumulated EOB run (spec: 1..32767 blocks)
+
+        def flush_eob(w=w, enc=enc):
+            nonlocal pending_eob
+            if not pending_eob:
+                return
+            rr = pending_eob.bit_length() - 1
+            ec, el = enc[rr << 4]
+            w.write(ec, el)
+            if rr:
+                w.write(pending_eob - (1 << rr), rr)
+            pending_eob = 0
+
+        for by in range(by_n):
+            for bx in range(bx_n):
+                zz = coefs[ci][by, bx]
+                nz = [k for k in range(1, 64) if zz[k]]
+                if not nz:
+                    pending_eob += 1
+                    if pending_eob == 32767:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(1, 64):
+                    c = int(zz[k])
+                    if c == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        zc, zl = enc[0xF0]
+                        w.write(zc, zl)
+                        run -= 16
+                    s = abs(c).bit_length()
+                    acode, alen = enc[(run << 4) | s]
+                    w.write(acode, alen)
+                    v = c if c >= 0 else c + (1 << s) - 1
+                    w.write(v, s)
+                    run = 0
+                if run:
+                    pending_eob = 1  # this block ends with EOB -> run starts
+        flush_eob()
+        w.flush()
+        out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _skip_to_marker(b: bytes, pos: int) -> int:
+    """Advance to the next real marker (0xFF + non-stuffing, non-RST
+    byte) at or after ``pos``."""
+    n = len(b)
+    while pos < n - 1:
+        if b[pos] == 0xFF and b[pos + 1] != 0x00:
+            if 0xD0 <= b[pos + 1] <= 0xD7:
+                pos += 2  # restart marker inside entropy data
+                continue
+            return pos
+        pos += 1
+    raise ValueError("JPEG stream ended without a terminating marker")
+
+
+def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame):
+    """Multi-scan decode loop for SOF2 spectral selection.  ``pos``
+    points at the byte after the first SOS header; ``frame`` is
+    (h, w, comps).  Handles any number of DC/AC scans plus interleaved
+    DHT/DQT redefinitions; Ah/Al != 0 (successive approximation) and
+    sampling factors != 1 raise NotImplementedError."""
+    h, w, comps = frame
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise NotImplementedError("progressive JPEG with subsampling")
+    bx_n = -(-w // 8)
+    by_n = -(-h // 8)
+    coefs = {
+        c["id"]: np.zeros((by_n, bx_n, 64), dtype=np.int64) for c in comps
+    }
+    seen_dc = set()
+    by_id = {c["id"]: c for c in comps}
+
+    def run_scan(scan, ss, se, ah, al, pos):
+        if ah != 0 or al != 0:
+            raise NotImplementedError(
+                "progressive JPEG successive approximation"
+            )
+        r = _BitReader(b, pos)
+        if ss == 0:  # DC scan, interleaved over scan components
+            if se != 0:
+                raise ValueError("DC scan must have Se=0")
+            preds = {cs: 0 for cs, _, _ in scan}
+            tabs = {}
+            for cs, td, _ta in scan:
+                tab = huff_dec.get((0, td))
+                if tab is None:
+                    raise ValueError("missing DC Huffman table")
+                tabs[cs] = tab
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    for cs, _td, _ta in scan:
+                        s = _decode_huff(r, tabs[cs])
+                        diff = _extend(r.receive(s), s) if s else 0
+                        preds[cs] += diff
+                        coefs[cs][by, bx, 0] = preds[cs]
+                        seen_dc.add(cs)
+        else:  # AC scan: single component, EOB runs
+            if len(scan) != 1:
+                raise ValueError("progressive AC scan must be 1 component")
+            cs, _td, ta = scan[0]
+            tab = huff_dec.get((1, ta))
+            if tab is None:
+                raise ValueError("missing AC Huffman table")
+            cz = coefs[cs]
+            eobrun = 0
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _decode_huff(r, tab)
+                        rr, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if rr == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << rr) - 1 + (
+                                r.receive(rr) if rr else 0
+                            )
+                            break
+                        k += rr
+                        if k > se:
+                            raise ValueError("AC band overrun")
+                        cz[by, bx, k] = _extend(r.receive(s), s)
+                        k += 1
+        return r.pos
+
+    # process the first scan (header already parsed by caller is NOT
+    # the case here: caller hands us pos at the first SOS payload start
+    # — so the walk below re-reads from that SOS header)
+    while True:
+        if b[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", b[pos : pos + 2])[0]
+        seg = b[pos + 2 : pos + seg_len]
+        nxt = pos + seg_len
+        if marker == 0xC4:  # DHT (tables may be redefined between scans)
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 15
+                bits = list(seg[sp + 1 : sp + 17])
+                nv = sum(bits)
+                vals = list(seg[sp + 17 : sp + 17 + nv])
+                _, dec = _build_huffman(bits, vals)
+                huff_dec[(tc, th)] = dec
+                sp += 17 + nv
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                csel, tdta = seg[1 + 2 * i : 3 + 2 * i]
+                if csel not in by_id:
+                    raise ValueError(f"scan references component {csel}")
+                scan.append((csel, tdta >> 4, tdta & 15))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            data_pos = run_scan(scan, ss, se, ahal >> 4, ahal & 15, nxt)
+            pos = _skip_to_marker(b, data_pos)
+            continue
+        elif marker == 0xDD:
+            raise NotImplementedError("progressive JPEG restart intervals")
+        pos = nxt
+
+    if any(c["id"] not in seen_dc for c in comps):
+        raise ValueError("progressive JPEG missing a DC scan")
+    # reconstruct: dequantize + IDCT every block
+    planes = []
+    for c in comps:
+        qt = qtabs.get(c["tq"])
+        if qt is None:
+            raise ValueError("missing quant table")
+        qtf = qt.astype(np.float64).ravel()
+        cz = coefs[c["id"]]
+        plane = np.zeros((by_n * 8, bx_n * 8))
+        nat = np.zeros(64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                nat[:] = 0.0
+                zz = cz[by, bx]
+                for zi, ni in enumerate(ZIGZAG):
+                    nat[ni] = zz[zi]
+                block = idct2((nat * qtf[np.arange(64)]).reshape(8, 8)) + 128.0
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        planes.append(plane[:h, :w])
+    if len(comps) == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return (w, h, 1, out.tobytes())
+    rgb = ycbcr_to_rgb(np.stack(planes, axis=-1))
     out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return (w, h, 3, out.tobytes())

@@ -17956,6 +17956,209 @@ def q336(spark, sf_dir):
     )
 
 
+@query(
+    "q337_corpus_mixture_apportionment",
+    """
+    WITH dom AS (
+      SELECT 'dom_' || CAST(doc_id % 7 AS VARCHAR) AS domain,
+             COUNT(*) AS n_docs,
+             SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+               AS n_tokens
+      FROM documents GROUP BY 1
+    ), wts AS (
+      -- temperature-scaled weight ~ sqrt(n_tokens), exact integer sqrt
+      SELECT domain, n_docs, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+      FROM dom
+    ), tot AS (
+      SELECT SUM(w) AS tw FROM wts
+    ), quo AS (
+      -- exact integer quotient: subtract the modulus first, so the
+      -- float division is of an exactly-divisible int64 (< 2^53)
+      SELECT domain, n_docs, n_tokens, w,
+             CAST(((w * 100000) - ((w * 100000) % tw)) / tw AS BIGINT)
+               AS floor_share,
+             (w * 100000) % tw AS remainder
+      FROM wts CROSS JOIN tot
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY remainder DESC, domain)
+               AS rem_rank,
+             100000 - SUM(floor_share) OVER () AS leftover
+      FROM quo
+    )
+    SELECT domain,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(w AS BIGINT) AS weight,
+           CAST(floor_share + CASE WHEN rem_rank <= leftover
+                                   THEN 1 ELSE 0 END AS BIGINT)
+             AS budget_per_100k
+    FROM ranked
+    """,
+)
+def q337(spark, sf_dir):
+    """Training-corpus MIXTURE apportionment — the data-mixing step a
+    corpus pipeline runs before sampling: per-domain weights from a
+    temperature-scaled size law (here w = floor(sqrt(tokens)), the
+    alpha = 0.5 mixing used to up-weight small domains), turned into an
+    EXACT integer budget per 100 000 sampled docs by largest-remainder
+    (Hamilton) apportionment: every domain gets floor(w·N/W), and the
+    leftover seats go to the largest remainders (domain-name
+    tie-break).  Shares sum to exactly N by construction — no float
+    normalization drift, so the oracle is bit-exact.  The whole thing
+    runs on the domain-cardinality frame: one aggregate over the
+    corpus, then window arithmetic on a handful of rows."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    dom = d.groupBy(
+        F.concat(F.lit("dom_"), (F.col("doc_id") % 7).cast("string")).alias(
+            "domain"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    wts = dom.withColumn(
+        "w", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint")
+    )
+    tot = wts.agg(F.sum("w").alias("tw"))
+    quo = wts.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        "w",
+        (
+            ((F.col("w") * 100000) - ((F.col("w") * 100000) % F.col("tw")))
+            / F.col("tw")
+        )
+        .cast("bigint")
+        .alias("floor_share"),
+        ((F.col("w") * 100000) % F.col("tw")).alias("remainder"),
+    )
+    wall = Window.orderBy(F.col("remainder").desc(), F.col("domain"))
+    ranked = quo.select(
+        "*",
+        F.row_number().over(wall).alias("rem_rank"),
+        (
+            F.lit(100000)
+            - F.sum("floor_share").over(
+                Window.partitionBy()
+            )
+        ).alias("leftover"),
+    )
+    return ranked.select(
+        "domain",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("w").cast("bigint").alias("weight"),
+        (
+            F.col("floor_share")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("budget_per_100k"),
+    )
+
+
+@query(
+    "q338_jpeg_progressive_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 37) + 16 AS w,
+             (doc_id % 19) + 12 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(c AS INT) AS channels,
+           CAST(w * h * c AS BIGINT) AS n_values,
+           CASE WHEN c = 1
+                THEN CAST(40 * w * h + h * w * (w - 1)
+                          + 3 * w * h * (h - 1) / 2 AS BIGINT)
+                ELSE NULL END AS gray_px_sum,
+           TRUE AS mean_ok
+    FROM d
+    """,
+)
+def q338(spark, sf_dir):
+    """PROGRESSIVE-JPEG (SOF2 spectral selection) decode through the
+    shared distributed path — multi-scan Huffman decode with general
+    EOB runs (`operators/jpeg.py:_decode_jpeg_progressive`).  Same
+    construct-then-decode oracle split as q331: grayscale at quality
+    100 is BIT-exact (the entropy layer is lossless — progressive ==
+    baseline decode, unit-pinned), so the oracle pins the closed-form
+    pixel sum; color at quality 85 pins dims/counts plus the mean
+    tolerance boolean."""
+    import pandas as pd
+
+    from .operators.jpeg import encode_jpeg_progressive
+    from .operators.multimodal import decode_assets
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 37 + 16, d % 19 + 12
+                if d % 2 == 0:
+                    px = bytes(
+                        (40 + 2 * x + 3 * y)
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    payloads.append(
+                        encode_jpeg_progressive(px, w, h, 1, quality=100)
+                    )
+                else:
+                    buf = bytearray()
+                    for y in range(h):
+                        for x in range(w):
+                            buf += bytes(
+                                (40 + 2 * x + y, 200 - x - 2 * y,
+                                 30 + x + 3 * y)
+                            )
+                    payloads.append(
+                        encode_jpeg_progressive(bytes(buf), w, h, 3, quality=85)
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    w = F.col("width").cast("long")
+    h = F.col("height").cast("long")
+    c = F.col("channels").cast("long")
+    exp_mean = F.when(
+        c == 1,
+        F.lit(40.0) + (w - 1).cast("double") + 1.5 * (h - 1).cast("double"),
+    ).otherwise(
+        F.lit(90.0) + ((w - 1) + (h - 1)).cast("double") / 3.0
+    )
+    mean = F.col("val_sum").cast("double") / F.col("n_values").cast("double")
+    return dec.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.when(c == 1, F.col("val_sum")).cast("bigint").alias("gray_px_sum"),
+        (F.abs(mean - exp_mean) <= 2.0).alias("mean_ok"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -122,9 +122,16 @@ def test_corrupt_streams_raise_valueerror():
 
 
 def test_unsupported_modes_raise_notimplemented():
+    # SOF2 is now SUPPORTED (spectral selection) — but a baseline
+    # stream merely relabeled as progressive has an illegal DC scan
+    # (Ss=0, Se=63) and must be rejected as corrupt, not mis-decoded
     jb = bytearray(encode_jpeg(_gray(16, 16), 16, 16, 1))
     i = bytes(jb).find(b"\xff\xc0")
-    jb[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    jb[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(jb))
+    # genuinely unsupported: lossless sequential (SOF3)
+    jb[i + 1] = 0xC3
     with pytest.raises(NotImplementedError):
         decode_jpeg_pixels(bytes(jb))
 
@@ -164,3 +171,77 @@ def test_decode_assets_jpeg_distributed(spark):
         assert (r.width, r.height, r.channels) == (w, h, 1)
         assert (r.n_values, r.val_sum) == (px.size, px.sum())
         assert (r.val_min, r.val_max) == (px.min(), px.max())
+
+
+# ---------------------------------------------------------------------
+# progressive (SOF2), spectral selection
+# ---------------------------------------------------------------------
+
+
+def test_progressive_equals_baseline_decode():
+    """The defining invariant of spectral selection with Ah=Al=0: the
+    coefficients are carried losslessly, just in a different scan
+    order — so decoding the progressive encoding of an image must be
+    BIT-IDENTICAL to decoding its baseline encoding (same quant
+    tables, same DCT).  Any EOBRUN/band bug breaks this equality."""
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    for w, h, c, px in (
+        (24, 17, 1, _gray(24, 17)),
+        (40, 25, 3, _rgb(40, 25)),
+        (33, 31, 1, bytes(((x * 3 + y * 7) % 256) for y in range(31) for x in range(33))),
+    ):
+        base = decode_jpeg_pixels(encode_jpeg(px, w, h, c, quality=85))
+        prog = decode_jpeg_pixels(encode_jpeg_progressive(px, w, h, c, quality=85))
+        assert base == prog, (w, h, c)
+
+
+def test_progressive_eob_runs_roundtrip():
+    """A near-flat image makes almost every AC band empty, forcing the
+    encoder's EOBn run batching and the decoder's general EOBRUN skip
+    path (not just EOB0)."""
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    w, h = 64, 48
+    px = bytearray([128] * (w * h))
+    px[5 + 3 * w] = 200
+    jb = encode_jpeg_progressive(bytes(px), w, h, 1, quality=85)
+    base = decode_jpeg_pixels(encode_jpeg(bytes(px), w, h, 1, quality=85))
+    assert decode_jpeg_pixels(jb) == base
+    # and q100 on a flat image is exact
+    flat = bytes([77] * (w * h))
+    W, H, C, out = decode_jpeg_pixels(
+        encode_jpeg_progressive(flat, w, h, 1, quality=100)
+    )
+    assert out == flat
+
+
+def test_progressive_gray_q100_bit_exact():
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    px = _gray(37, 29)
+    W, H, C, out = decode_jpeg_pixels(
+        encode_jpeg_progressive(px, 37, 29, 1, quality=100)
+    )
+    assert (W, H, C) == (37, 29, 1) and out == px
+
+
+def test_progressive_unsupported_modes_guarded():
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    jb = bytearray(encode_jpeg_progressive(_gray(16, 16), 16, 16, 1))
+    # flip the first AC scan's AhAl byte to declare successive
+    # approximation (Al=1) -> decoder must refuse, not mis-decode
+    i = bytes(jb).find(b"\x01\x3f\x00")
+    assert i > 0
+    jb[i + 2] = 0x01
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(bytes(jb))
