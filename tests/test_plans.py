@@ -622,3 +622,38 @@ def test_lsh_candidate_exchange_is_on_band_keys_only(spark):
     assert join_keys, f"no banding exchange found: {exchanges}"
     for keys in join_keys:
         assert keys == {"band", "bh"}, (keys, exchanges)
+
+
+def test_round7_queries_are_python_free(spark):
+    """The round-7 native families (bitmap queries excepted — their
+    state kernels are deliberate Arrow paths) must stay JVM-side."""
+    for name in [
+        "q332_summap_family",
+        "q333_interval_length_sum",
+        "q335_rare_bigram_novelty",
+        "q336_max_intersections",
+        "q337_corpus_mixture_apportionment",
+    ]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert python_eval_nodes(df) == [], name
+
+
+def test_interval_sweep_single_window_sort(spark):
+    """q333's sweep-line is ONE window pass (the cummax) feeding one
+    aggregate — if a second Window node appears the per-group sort is
+    being paid twice."""
+    plan = formatted_plan(QUERIES["q333_interval_length_sum"](spark, SF_DIR))
+    assert plan.count("Window (") == 1, plan
+
+
+def test_bigram_novelty_shuffles_on_bigram(spark):
+    """q335's corpus-count aggregate and the doc probe must both key
+    their exchanges on the bigram column — the shared-key shape that
+    lets AQE coalesce them and handle hot-bigram skew."""
+    import re
+
+    plan = formatted_plan(QUERIES["q335_rare_bigram_novelty"](spark, SF_DIR))
+    keys = re.findall(r"hashpartitioning\((\w+)#", plan)
+    assert "bigram" in keys, keys
+    # the only other exchange key is the final per-doc aggregate
+    assert set(keys) <= {"bigram", "doc_id"}, keys
