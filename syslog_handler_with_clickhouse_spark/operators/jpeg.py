@@ -17,15 +17,19 @@ Scope (what "baseline" means here, per ITU-T T.81):
   4:4:4, 4:2:2 and 4:2:0 all decode; the encoder emits 4:4:4 or 4:2:0.
 - Restart markers (DRI/RSTn): DC predictors reset, bit reader
   re-aligns; the encoder can emit them so the path is testable.
-- Progressive (SOF2) SPECTRAL SELECTION: multi-scan decode with DC
-  scans, single-component AC band scans, general EOB runs, and
-  inter-scan DHT redefinition (encoder: ``encode_jpeg_progressive``,
-  4:4:4/grayscale).  The entropy layer is provably lossless — the
-  progressive decode of an image is bit-identical to its baseline
-  decode (unit-pinned).
-- Successive approximation (Ah/Al != 0), progressive-with-subsampling,
-  arithmetic coding, 12-bit, lossless (SOF3), and hierarchical modes
-  raise ``NotImplementedError`` — format guards, not stubs.
+- Progressive (SOF2), BOTH axes: SPECTRAL SELECTION (multi-scan decode
+  with DC scans, single-component AC band scans, general EOB runs,
+  inter-scan DHT redefinition) and SUCCESSIVE APPROXIMATION (Al-shifted
+  first scans, raw-bit DC refinement, AC refinement with correction
+  bits + EOB-run-buffered bits — T.81 G.1.2.3 / the libjpeg
+  encode_mcu_AC_refine bookkeeping).  Encoder:
+  ``encode_jpeg_progressive(successive=...)``, 4:4:4/grayscale.  The
+  entropy layer is provably lossless — the progressive decode of an
+  image is bit-identical to its baseline decode in both modes
+  (unit-pinned).
+- Progressive-with-subsampling, arithmetic coding, 12-bit, lossless
+  (SOF3), and hierarchical modes raise ``NotImplementedError`` —
+  format guards, not stubs.
 
 All constant tables below are the public ITU-T T.81 Annex K examples
 (the tables every libjpeg-compatible encoder ships).  The DCT is the
@@ -715,12 +719,19 @@ def encode_jpeg_progressive(
     height: int,
     channels: int,
     quality: int = 85,
+    successive: bool = False,
 ) -> bytes:
     """Progressive (SOF2) encoder, spectral selection: scan 1 = all DC
     coefficients (interleaved), then one full-band AC scan (1..63) per
     component.  4:4:4 only — every component shares the full-resolution
     block grid, which is also what keeps the non-interleaved AC block
-    order equal to the DC MCU order."""
+    order equal to the DC MCU order.
+
+    ``successive=True`` adds the SUCCESSIVE-APPROXIMATION axis: the
+    first scans send coefficients at Al=1 (halved precision), then a
+    raw-bit DC refinement and per-component AC refinement scans
+    (Ah=1, Al=0) deliver the LSBs — 2(1+channels) scans total, the
+    full T.81 G.1.2.3 two-pass structure."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
     if len(pixels) != width * height * channels:
@@ -784,18 +795,20 @@ def encode_jpeg_progressive(
         out.append(tc_th)
         out += bytes(bits) + bytes(vals)
 
-    # scan 1: DC, all components interleaved, Ss=Se=0
+    al0 = 1 if successive else 0
+
+    # DC first scan: all components interleaved, Ss=Se=0, values >> Al
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * channels, channels)
     for ci in range(channels):
         td = 0 if (ci == 0 or channels == 1) else 1
         out += bytes([ci + 1, td << 4])
-    out += b"\x00\x00\x00"  # Ss=0 Se=0 AhAl=0
+    out += bytes([0, 0, al0])  # Ss=0 Se=0 Ah=0 Al=al0
     w = _BitWriter()
     pred = [0] * channels
     for by in range(by_n):
         for bx in range(bx_n):
             for ci in range(channels):
-                dc = int(coefs[ci][by, bx, 0])
+                dc = int(coefs[ci][by, bx, 0]) >> al0  # arithmetic shift
                 diff = dc - pred[ci]
                 pred[ci] = dc
                 s = abs(diff).bit_length()
@@ -808,12 +821,12 @@ def encode_jpeg_progressive(
     w.flush()
     out += w.out
 
-    # one AC scan per component, band 1..63 (shared flat AC table 0)
+    # AC first scan per component, band 1..63, values sign·(|v| >> Al)
     for ci in range(channels):
         out += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
         out += bytes([ci + 1, 0])
-        out += b"\x01\x3f\x00"  # Ss=1 Se=63 AhAl=0
-        enc = ac_enc_l if (ci == 0 or channels == 1) else ac_enc_c
+        out += bytes([1, 63, al0])  # Ss=1 Se=63 Ah=0 Al=al0
+        enc = ac_enc_p
         w = _BitWriter()
         pending_eob = 0  # accumulated EOB run (spec: 1..32767 blocks)
 
@@ -831,8 +844,11 @@ def encode_jpeg_progressive(
         for by in range(by_n):
             for bx in range(bx_n):
                 zz = coefs[ci][by, bx]
-                nz = [k for k in range(1, 64) if zz[k]]
-                if not nz:
+                vals = [
+                    (1 if zz[k] >= 0 else -1) * (abs(int(zz[k])) >> al0)
+                    for k in range(64)
+                ]
+                if not any(vals[1:]):
                     pending_eob += 1
                     if pending_eob == 32767:
                         flush_eob()
@@ -840,7 +856,7 @@ def encode_jpeg_progressive(
                 flush_eob()
                 run = 0
                 for k in range(1, 64):
-                    c = int(zz[k])
+                    c = vals[k]
                     if c == 0:
                         run += 1
                         continue
@@ -859,8 +875,108 @@ def encode_jpeg_progressive(
         flush_eob()
         w.flush()
         out += w.out
+
+    if successive:
+        # DC refinement: Ah=1, Al=0 — one raw LSB per block per comp
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * channels, channels)
+        for ci in range(channels):
+            out += bytes([ci + 1, 0])  # DC table unused in refinement
+        out += bytes([0, 0, 0x10])  # Ss=0 Se=0 Ah=1 Al=0
+        w = _BitWriter()
+        for by in range(by_n):
+            for bx in range(bx_n):
+                for ci in range(channels):
+                    w.write(int(coefs[ci][by, bx, 0]) & 1, 1)
+        w.flush()
+        out += w.out
+        # AC refinement per component: Ah=1, Al=0
+        for ci in range(channels):
+            out += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
+            out += bytes([ci + 1, 0])
+            out += bytes([1, 63, 0x10])  # Ss=1 Se=63 Ah=1 Al=0
+            w = _BitWriter()
+            _emit_ac_refine(
+                w,
+                ac_enc_p,
+                (
+                    coefs[ci][by, bx]
+                    for by in range(by_n)
+                    for bx in range(bx_n)
+                ),
+            )
+            w.flush()
+            out += w.out
+
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _emit_ac_refine(w: _BitWriter, enc, blocks, ss: int = 1, se: int = 63, al: int = 0):
+    """AC successive-approximation refinement scan (T.81 G.1.2.3 second
+    pass; the libjpeg encode_mcu_AC_refine bookkeeping): newly-nonzero
+    coefficients (|v| >> (al+1) == 0 but |v| >> al == 1) are inserted
+    as (run<<4)|1 symbols with a raw sign bit; already-nonzero
+    coefficients emit ONE raw correction bit each — buffered and
+    flushed after the next symbol (ZRL / insertion / EOBn) so the
+    decoder's walk reads them in encounter order.  Two buffers: ``cur``
+    holds this block's bits since the last flush, ``be_run`` holds bits
+    belonging to the pending EOB run."""
+    eobrun = 0
+    be_run: list[int] = []  # correction bits owned by the pending EOB run
+    cur: list[int] = []  # bits since the last symbol in the current block
+
+    def flush_eobrun():
+        nonlocal eobrun, be_run
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            ec, el = enc[rr << 4]
+            w.write(ec, el)
+            if rr:
+                w.write(eobrun - (1 << rr), rr)
+            eobrun = 0
+        for bit in be_run:
+            w.write(bit, 1)
+        be_run = []
+
+    for zz in blocks:
+        absv = [abs(int(zz[k])) >> al for k in range(64)]
+        eobpos = 0  # last newly-nonzero position in the band
+        for k in range(ss, se + 1):
+            if absv[k] == 1:
+                eobpos = k
+        run = 0
+        for k in range(ss, se + 1):
+            temp = absv[k]
+            if temp == 0:
+                run += 1
+                continue
+            if temp > 1:
+                cur.append(temp & 1)  # correction bit, buffered
+                continue
+            # temp == 1: newly-nonzero insertion
+            while run > 15 and k <= eobpos:
+                flush_eobrun()
+                zc, zl = enc[0xF0]
+                w.write(zc, zl)
+                run -= 16
+                for bit in cur:
+                    w.write(bit, 1)
+                cur = []
+            flush_eobrun()
+            acode, alen = enc[(run << 4) | 1]
+            w.write(acode, alen)
+            w.write(1 if zz[k] >= 0 else 0, 1)
+            for bit in cur:
+                w.write(bit, 1)
+            cur = []
+            run = 0
+        if run > 0 or cur:
+            eobrun += 1
+            be_run.extend(cur)
+            cur = []
+            if eobrun == 32766:
+                flush_eobrun()
+    flush_eobrun()
 
 
 def _skip_to_marker(b: bytes, pos: int) -> int:
@@ -895,12 +1011,8 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame):
     by_id = {c["id"]: c for c in comps}
 
     def run_scan(scan, ss, se, ah, al, pos):
-        if ah != 0 or al != 0:
-            raise NotImplementedError(
-                "progressive JPEG successive approximation"
-            )
         r = _BitReader(b, pos)
-        if ss == 0:  # DC scan, interleaved over scan components
+        if ss == 0 and ah == 0:  # DC first scan (Al may shift)
             if se != 0:
                 raise ValueError("DC scan must have Se=0")
             preds = {cs: 0 for cs, _, _ in scan}
@@ -916,9 +1028,15 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame):
                         s = _decode_huff(r, tabs[cs])
                         diff = _extend(r.receive(s), s) if s else 0
                         preds[cs] += diff
-                        coefs[cs][by, bx, 0] = preds[cs]
+                        coefs[cs][by, bx, 0] = preds[cs] << al
                         seen_dc.add(cs)
-        else:  # AC scan: single component, EOB runs
+        elif ss == 0:  # DC refinement: one raw bit per block
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    for cs, _td, _ta in scan:
+                        if r.read_bit():
+                            coefs[cs][by, bx, 0] += 1 << al
+        elif ah == 0:  # AC first scan (values arrive shifted by Al)
             if len(scan) != 1:
                 raise ValueError("progressive AC scan must be 1 component")
             cs, _td, ta = scan[0]
@@ -947,8 +1065,70 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame):
                         k += rr
                         if k > se:
                             raise ValueError("AC band overrun")
-                        cz[by, bx, k] = _extend(r.receive(s), s)
+                        cz[by, bx, k] = _extend(r.receive(s), s) << al
                         k += 1
+        else:  # AC refinement (Ah = Al+1): correction bits + insertions
+            if len(scan) != 1:
+                raise ValueError("progressive AC scan must be 1 component")
+            cs, _td, ta = scan[0]
+            tab = huff_dec.get((1, ta))
+            if tab is None:
+                raise ValueError("missing AC Huffman table")
+            cz = coefs[cs]
+            p1, m1 = 1 << al, -(1 << al)
+            eobrun = 0
+
+            def correct(blk, k):
+                """One correction bit for an already-nonzero coef."""
+                if r.read_bit():
+                    if (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    blk = cz[by, bx]
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _decode_huff(r, tab)
+                            rr, s = rs >> 4, rs & 15
+                            val = 0
+                            if s == 0:
+                                if rr != 15:
+                                    eobrun = (1 << rr) + (
+                                        r.receive(rr) if rr else 0
+                                    )
+                                    break
+                                # ZRL: skip 16 zero-history positions
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "refinement insertion must have s=1"
+                                    )
+                                val = p1 if r.read_bit() else m1
+                            # advance past rr zero-history coeffs,
+                            # correcting every nonzero one passed over
+                            while k <= se:
+                                if blk[k] != 0:
+                                    correct(blk, k)
+                                else:
+                                    if rr == 0:
+                                        break
+                                    rr -= 1
+                                k += 1
+                            if val:
+                                if k > se:
+                                    raise ValueError("refinement overrun")
+                                blk[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        # end-of-band: remaining nonzeros still receive
+                        # their correction bits
+                        while k <= se:
+                            if blk[k] != 0:
+                                correct(blk, k)
+                            k += 1
+                        eobrun -= 1
         return r.pos
 
     # process the first scan (header already parsed by caller is NOT

@@ -237,11 +237,51 @@ def test_progressive_unsupported_modes_guarded():
         encode_jpeg_progressive,
     )
 
+    # progressive + subsampling: flip the SOF2 sampling byte 0x11->0x22
     jb = bytearray(encode_jpeg_progressive(_gray(16, 16), 16, 16, 1))
-    # flip the first AC scan's AhAl byte to declare successive
-    # approximation (Al=1) -> decoder must refuse, not mis-decode
-    i = bytes(jb).find(b"\x01\x3f\x00")
+    i = bytes(jb).find(b"\xff\xc2")
     assert i > 0
-    jb[i + 2] = 0x01
+    # marker(2) + len(2) + prec(1) + h(2) + w(2) + nc(1) + comp id(1)
+    samp = i + 11
+    assert jb[samp] == 0x11
+    jb[samp] = 0x22
     with pytest.raises(NotImplementedError):
         decode_jpeg_pixels(bytes(jb))
+
+
+def test_successive_approximation_equals_baseline_decode():
+    """Both SOF2 axes together: Al=1 first scans + DC/AC refinement
+    scans reconstruct the coefficients EXACTLY, so the successive-
+    approximation decode must be bit-identical to the baseline decode
+    — any error in the correction-bit bookkeeping (buffered bits, EOB
+    runs carrying corrections, insertion sign bits) breaks this."""
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    w2, h2 = 64, 48
+    flat = bytearray([128] * (w2 * h2))
+    flat[5 + 3 * w2] = 200
+    for (w, h, c, px, q) in (
+        (24, 17, 1, _gray(24, 17), 85),
+        (24, 17, 1, bytes(((x * 3 + y * 7) % 256) for y in range(17) for x in range(24)), 100),
+        (40, 25, 3, _rgb(40, 25), 85),
+        (w2, h2, 1, bytes(flat), 85),  # EOB runs carrying correction bits
+    ):
+        base = decode_jpeg_pixels(encode_jpeg(px, w, h, c, quality=q))
+        succ = decode_jpeg_pixels(
+            encode_jpeg_progressive(px, w, h, c, quality=q, successive=True)
+        )
+        assert succ == base, (w, h, c, q)
+
+
+def test_successive_gray_q100_bit_exact_to_source():
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    px = _gray(37, 29)
+    W, H, C, out = decode_jpeg_pixels(
+        encode_jpeg_progressive(px, 37, 29, 1, quality=100, successive=True)
+    )
+    assert (W, H, C) == (37, 29, 1) and out == px
