@@ -994,21 +994,56 @@ def _skip_to_marker(b: bytes, pos: int) -> int:
 
 
 def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame):
-    """Multi-scan decode loop for SOF2 spectral selection.  ``pos``
-    points at the byte after the first SOS header; ``frame`` is
-    (h, w, comps).  Handles any number of DC/AC scans plus interleaved
-    DHT/DQT redefinitions; Ah/Al != 0 (successive approximation) and
-    sampling factors != 1 raise NotImplementedError."""
+    """Multi-scan decode loop for SOF2 — both progressive axes and any
+    sampling factors.  ``pos`` points at the first SOS marker;
+    ``frame`` is (h, w, comps).  Handles DC/AC first and refinement
+    scans plus inter-scan DHT/DQT redefinitions.
+
+    Grid subtlety the baseline path doesn't have: INTERLEAVED scans
+    (multi-component DC) walk the MCU-padded grid, but NON-INTERLEAVED
+    scans (single-component DC/AC) walk the component's OWN block grid
+    — ceil(comp_w/8) × ceil(comp_h/8) from its downsampled pixel dims —
+    which excludes interleave-padding blocks.  Storage is the padded
+    grid; pad blocks simply keep zero AC."""
     h, w, comps = frame
-    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
-        raise NotImplementedError("progressive JPEG with subsampling")
-    bx_n = -(-w // 8)
-    by_n = -(-h // 8)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    grids = {}  # id -> (pbx, pby, cbx, cby)
+    for c in comps:
+        cw = -(-(w * c["h"]) // hmax)
+        ch2 = -(-(h * c["v"]) // vmax)
+        grids[c["id"]] = (
+            mcus_x * c["h"],
+            mcus_y * c["v"],
+            -(-cw // 8),
+            -(-ch2 // 8),
+        )
     coefs = {
-        c["id"]: np.zeros((by_n, bx_n, 64), dtype=np.int64) for c in comps
+        cid: np.zeros((pby, pbx, 64), dtype=np.int64)
+        for cid, (pbx, pby, _, _) in grids.items()
     }
     seen_dc = set()
     by_id = {c["id"]: c for c in comps}
+
+    def scan_blocks(scan):
+        """Yield (cs, by, bx) in scan order: MCU-interleaved when the
+        scan has several components, component-grid raster otherwise."""
+        if len(scan) > 1:
+            for m in range(mcus_x * mcus_y):
+                my, mx = divmod(m, mcus_x)
+                for cs, _td, _ta in scan:
+                    c = by_id[cs]
+                    for byy in range(c["v"]):
+                        for bxx in range(c["h"]):
+                            yield cs, my * c["v"] + byy, mx * c["h"] + bxx
+        else:
+            cs = scan[0][0]
+            _, _, cbx, cby = grids[cs]
+            for by in range(cby):
+                for bx in range(cbx):
+                    yield cs, by, bx
 
     def run_scan(scan, ss, se, ah, al, pos):
         r = _BitReader(b, pos)
@@ -1022,20 +1057,16 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame):
                 if tab is None:
                     raise ValueError("missing DC Huffman table")
                 tabs[cs] = tab
-            for by in range(by_n):
-                for bx in range(bx_n):
-                    for cs, _td, _ta in scan:
-                        s = _decode_huff(r, tabs[cs])
-                        diff = _extend(r.receive(s), s) if s else 0
-                        preds[cs] += diff
-                        coefs[cs][by, bx, 0] = preds[cs] << al
-                        seen_dc.add(cs)
+            for cs, by, bx in scan_blocks(scan):
+                s = _decode_huff(r, tabs[cs])
+                diff = _extend(r.receive(s), s) if s else 0
+                preds[cs] += diff
+                coefs[cs][by, bx, 0] = preds[cs] << al
+                seen_dc.add(cs)
         elif ss == 0:  # DC refinement: one raw bit per block
-            for by in range(by_n):
-                for bx in range(bx_n):
-                    for cs, _td, _ta in scan:
-                        if r.read_bit():
-                            coefs[cs][by, bx, 0] += 1 << al
+            for cs, by, bx in scan_blocks(scan):
+                if r.read_bit():
+                    coefs[cs][by, bx, 0] += 1 << al
         elif ah == 0:  # AC first scan (values arrive shifted by Al)
             if len(scan) != 1:
                 raise ValueError("progressive AC scan must be 1 component")
@@ -1044,9 +1075,10 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame):
             if tab is None:
                 raise ValueError("missing AC Huffman table")
             cz = coefs[cs]
+            _, _, cbx, cby = grids[cs]
             eobrun = 0
-            for by in range(by_n):
-                for bx in range(bx_n):
+            for by in range(cby):
+                for bx in range(cbx):
                     if eobrun > 0:
                         eobrun -= 1
                         continue
@@ -1075,6 +1107,7 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame):
             if tab is None:
                 raise ValueError("missing AC Huffman table")
             cz = coefs[cs]
+            _, _, cbx, cby = grids[cs]
             p1, m1 = 1 << al, -(1 << al)
             eobrun = 0
 
@@ -1084,8 +1117,8 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame):
                     if (blk[k] & p1) == 0:
                         blk[k] += p1 if blk[k] >= 0 else m1
 
-            for by in range(by_n):
-                for bx in range(bx_n):
+            for by in range(cby):
+                for bx in range(cbx):
                     blk = cz[by, bx]
                     k = ss
                     if eobrun == 0:
@@ -1172,7 +1205,7 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame):
 
     if any(c["id"] not in seen_dc for c in comps):
         raise ValueError("progressive JPEG missing a DC scan")
-    # reconstruct: dequantize + IDCT every block
+    # reconstruct: dequantize + IDCT every block, then upsample
     planes = []
     for c in comps:
         qt = qtabs.get(c["tq"])
@@ -1180,16 +1213,23 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame):
             raise ValueError("missing quant table")
         qtf = qt.astype(np.float64).ravel()
         cz = coefs[c["id"]]
-        plane = np.zeros((by_n * 8, bx_n * 8))
+        pbx, pby, _, _ = grids[c["id"]]
+        cw = -(-(w * c["h"]) // hmax)
+        ch2 = -(-(h * c["v"]) // vmax)
+        plane = np.zeros((pby * 8, pbx * 8))
         nat = np.zeros(64)
-        for by in range(by_n):
-            for bx in range(bx_n):
+        for by in range(pby):
+            for bx in range(pbx):
                 nat[:] = 0.0
                 zz = cz[by, bx]
                 for zi, ni in enumerate(ZIGZAG):
                     nat[ni] = zz[zi]
                 block = idct2((nat * qtf[np.arange(64)]).reshape(8, 8)) + 128.0
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        plane = plane[:ch2, :cw]
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         planes.append(plane[:h, :w])
     if len(comps) == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
