@@ -203,11 +203,19 @@ def bitmap_merge(partials: DataFrame, group_cols: list[str]) -> DataFrame:
 
     if group_cols:
         return partials.groupBy(*group_cols).applyInPandas(merge, out_schema)
+
     # global bitmap: the partials frame is one O(runs) row per input
-    # partition — coalesce(1) moves only state, then one merge pass
-    return partials.coalesce(1).mapInPandas(
-        lambda it: iter([merge(pd.concat(list(it)))]), out_schema
-    )
+    # partition — coalesce(1) moves only state, then one merge pass.
+    # An empty input yields an empty iterator; the empty bitmap
+    # (runs=[], cardinality=0) is the correct identity result.
+    def merge_global(it):
+        batches = [pdf for pdf in it if len(pdf)]
+        if not batches:
+            yield pd.DataFrame({"runs": [[]], "cardinality": [0]})
+            return
+        yield merge(pd.concat(batches))
+
+    return partials.coalesce(1).mapInPandas(merge_global, out_schema)
 
 
 def group_bitmap(

@@ -22,12 +22,17 @@ Scope (what "baseline" means here, per ITU-T T.81):
   inter-scan DHT redefinition) and SUCCESSIVE APPROXIMATION (Al-shifted
   first scans, raw-bit DC refinement, AC refinement with correction
   bits + EOB-run-buffered bits — T.81 G.1.2.3 / the libjpeg
-  encode_mcu_AC_refine bookkeeping).  Encoder:
-  ``encode_jpeg_progressive(successive=...)``, 4:4:4/grayscale.  The
-  entropy layer is provably lossless — the progressive decode of an
-  image is bit-identical to its baseline decode in both modes
-  (unit-pinned).
-- Progressive-with-subsampling, arithmetic coding, 12-bit, lossless
+  encode_mcu_AC_refine bookkeeping).  Arbitrary sampling factors:
+  interleaved (multi-component) scans walk the MCU-padded grid while
+  non-interleaved scans walk the component's own block grid, so 4:2:0
+  progressive decodes too.  Restart intervals (DRI/RSTn) work in
+  progressive scans: per-scan modulo-8 marker count, DC predictors and
+  EOB runs reset, reader re-aligns.  Encoder:
+  ``encode_jpeg_progressive(successive=..., subsample=...,
+  restart_interval=...)``.  The entropy layer is provably lossless —
+  the progressive decode of an image is bit-identical to its baseline
+  decode in every mode combination (unit-pinned).
+- Arithmetic coding, 12-bit precision, 16-bit quant tables, lossless
   (SOF3), and hierarchical modes raise ``NotImplementedError`` —
   format guards, not stubs.
 
@@ -536,7 +541,7 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
             # SOF2: hand the whole remaining walk (scans + interleaved
             # DHT redefinitions) to the multi-scan decoder
             return _decode_jpeg_progressive(
-                b, pos - 2, qtabs, huff_dec, frame
+                b, pos - 2, qtabs, huff_dec, frame, restart_interval
             )
         seg_len = struct.unpack(">H", b[pos : pos + 2])[0]
         seg = b[pos + 2 : pos + seg_len]
@@ -713,6 +718,14 @@ PROG_AC = (
 assert sum(PROG_AC[0]) == len(PROG_AC[1])
 
 
+def _emit_restart(w: _BitWriter, rst: list):
+    """Byte-align the writer and append the next RSTn marker (modulo-8
+    per-scan count, spec E.1.4)."""
+    w.flush()
+    w.out += bytes([0xFF, 0xD0 + (rst[0] & 7)])
+    rst[0] += 1
+
+
 def encode_jpeg_progressive(
     pixels: bytes,
     width: int,
@@ -720,18 +733,29 @@ def encode_jpeg_progressive(
     channels: int,
     quality: int = 85,
     successive: bool = False,
+    subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) encoder, spectral selection: scan 1 = all DC
-    coefficients (interleaved), then one full-band AC scan (1..63) per
-    component.  4:4:4 only — every component shares the full-resolution
-    block grid, which is also what keeps the non-interleaved AC block
-    order equal to the DC MCU order.
+    coefficients (interleaved over the MCU grid), then one full-band AC
+    scan (1..63) per component walking that component's OWN block grid
+    (ceil(comp_dims/8) — MCU-padding blocks are DC-only, per T.81's
+    non-interleaved scan rules).
+
+    ``subsample=True`` (3-channel only) emits 4:2:0 — chroma box-mean
+    downsampled exactly as the baseline encoder so the progressive
+    decode stays bit-identical to the baseline decode of the same
+    pixels.
 
     ``successive=True`` adds the SUCCESSIVE-APPROXIMATION axis: the
     first scans send coefficients at Al=1 (halved precision), then a
     raw-bit DC refinement and per-component AC refinement scans
     (Ah=1, Al=0) deliver the LSBs — 2(1+channels) scans total, the
-    full T.81 G.1.2.3 two-pass structure."""
+    full T.81 G.1.2.3 two-pass structure.
+
+    ``restart_interval`` > 0 emits DRI + per-scan RSTn markers every
+    that many MCUs (interleaved scans) / blocks (non-interleaved
+    scans); DC predictors and EOB runs reset at each marker."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
     if len(pixels) != width * height * channels:
@@ -745,22 +769,50 @@ def encode_jpeg_progressive(
     qt_chrom = scaled_quant(QUANT_CHROM, quality)
     if channels == 1:
         planes = [img[..., 0]]
+        samp = [(1, 1)]
         qts = [qt_lum]
     else:
         ycc = rgb_to_ycbcr(img)
-        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample:
+            # 4:2:0 — identical downsampling to the baseline encoder
+            ph = height + (height & 1)
+            pw = width + (width & 1)
+            cbp = np.pad(cb, ((0, ph - height), (0, pw - width)), mode="edge")
+            crp = np.pad(cr, ((0, ph - height), (0, pw - width)), mode="edge")
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
         qts = [qt_lum, qt_chrom, qt_chrom]
 
-    bx_n = -(-width // 8)
-    by_n = -(-height // 8)
-    padded = [_pad_to_blocks(p, by_n, bx_n) for p in planes]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+    padded = [
+        _pad_to_blocks(p, mcus_y * s[1], mcus_x * s[0])
+        for p, s in zip(planes, samp)
+    ]
+    # per-component grids: padded (interleaved walk) vs own block grid
+    # (non-interleaved walk excludes MCU-padding blocks)
+    pgrid, cgrid = [], []
+    for hi, vi in samp:
+        pgrid.append((mcus_x * hi, mcus_y * vi))
+        cw = -(-(width * hi) // hmax)
+        ch2 = -(-(height * vi) // vmax)
+        cgrid.append((-(-cw // 8), -(-ch2 // 8)))
     # quantize every block once; store zigzag-order coefficients
     coefs = []
     for ci in range(channels):
         qt = qts[ci].reshape(8, 8).astype(np.float64)
-        cz = np.zeros((by_n, bx_n, 64), dtype=np.int64)
-        for by in range(by_n):
-            for bx in range(bx_n):
+        pbx, pby = pgrid[ci]
+        cz = np.zeros((pby, pbx, 64), dtype=np.int64)
+        for by in range(pby):
+            for bx in range(pbx):
                 block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
                 cz[by, bx] = np.round(fdct2(block) / qt).astype(np.int64).ravel()[ZIGZAG]
         coefs.append(cz)
@@ -768,7 +820,6 @@ def encode_jpeg_progressive(
     dc_enc_l, _ = _build_huffman(*DC_LUM)
     dc_enc_c, _ = _build_huffman(*DC_CHROM)
     ac_enc_p, _ = _build_huffman(*PROG_AC)
-    ac_enc_l = ac_enc_c = ac_enc_p  # one flat AC table for all scans
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(
@@ -783,8 +834,9 @@ def encode_jpeg_progressive(
         ">HBHHB", 8 + 3 * channels, 8, height, width, channels
     )
     for ci in range(channels):
+        hi, vi = samp[ci]
         tq = 0 if (ci == 0 or channels == 1) else 1
-        out += bytes([ci + 1, 0x11, tq])  # h=v=1 (4:4:4)
+        out += bytes([ci + 1, (hi << 4) | vi, tq])
     tables = (
         [(0x00, DC_LUM), (0x10, PROG_AC)]
         if channels == 1
@@ -794,8 +846,19 @@ def encode_jpeg_progressive(
         out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
         out.append(tc_th)
         out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     al0 = 1 if successive else 0
+
+    def mcu_blocks(ci):
+        """(mcu_index, by, bx) over the interleaved walk of comp ci."""
+        hi, vi = samp[ci]
+        for m in range(n_mcus):
+            my, mx = divmod(m, mcus_x)
+            for by in range(vi):
+                for bx in range(hi):
+                    yield m, my * vi + by, mx * hi + bx
 
     # DC first scan: all components interleaved, Ss=Se=0, values >> Al
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * channels, channels)
@@ -805,29 +868,39 @@ def encode_jpeg_progressive(
     out += bytes([0, 0, al0])  # Ss=0 Se=0 Ah=0 Al=al0
     w = _BitWriter()
     pred = [0] * channels
-    for by in range(by_n):
-        for bx in range(bx_n):
-            for ci in range(channels):
-                dc = int(coefs[ci][by, bx, 0]) >> al0  # arithmetic shift
-                diff = dc - pred[ci]
-                pred[ci] = dc
-                s = abs(diff).bit_length()
-                enc = dc_enc_l if (ci == 0 or channels == 1) else dc_enc_c
-                code, length = enc[s]
-                w.write(code, length)
-                if s:
-                    v = diff if diff >= 0 else diff + (1 << s) - 1
-                    w.write(v, s)
+    rst = [0]
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            _emit_restart(w, rst)
+            pred = [0] * channels
+        my, mx = divmod(m, mcus_x)
+        for ci in range(channels):
+            hi, vi = samp[ci]
+            enc = dc_enc_l if (ci == 0 or channels == 1) else dc_enc_c
+            for by in range(vi):
+                for bx in range(hi):
+                    dc = int(coefs[ci][my * vi + by, mx * hi + bx, 0]) >> al0
+                    diff = dc - pred[ci]
+                    pred[ci] = dc
+                    s = abs(diff).bit_length()
+                    code, length = enc[s]
+                    w.write(code, length)
+                    if s:
+                        v = diff if diff >= 0 else diff + (1 << s) - 1
+                        w.write(v, s)
     w.flush()
     out += w.out
 
-    # AC first scan per component, band 1..63, values sign·(|v| >> Al)
+    # AC first scan per component, band 1..63, values sign·(|v| >> Al),
+    # non-interleaved walk over the component's own block grid
     for ci in range(channels):
         out += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
         out += bytes([ci + 1, 0])
         out += bytes([1, 63, al0])  # Ss=1 Se=63 Ah=0 Al=al0
         enc = ac_enc_p
+        cbx, cby = cgrid[ci]
         w = _BitWriter()
+        rst = [0]
         pending_eob = 0  # accumulated EOB run (spec: 1..32767 blocks)
 
         def flush_eob(w=w, enc=enc):
@@ -841,8 +914,12 @@ def encode_jpeg_progressive(
                 w.write(pending_eob - (1 << rr), rr)
             pending_eob = 0
 
-        for by in range(by_n):
-            for bx in range(bx_n):
+        for by in range(cby):
+            for bx in range(cbx):
+                unit = by * cbx + bx
+                if restart_interval and unit and unit % restart_interval == 0:
+                    flush_eob()
+                    _emit_restart(w, rst)
                 zz = coefs[ci][by, bx]
                 vals = [
                     (1 if zz[k] >= 0 else -1) * (abs(int(zz[k])) >> al0)
@@ -877,32 +954,44 @@ def encode_jpeg_progressive(
         out += w.out
 
     if successive:
-        # DC refinement: Ah=1, Al=0 — one raw LSB per block per comp
+        # DC refinement: Ah=1, Al=0 — one raw LSB per block per comp,
+        # interleaved MCU walk (restart only re-aligns: no predictors)
         out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * channels, channels)
         for ci in range(channels):
             out += bytes([ci + 1, 0])  # DC table unused in refinement
         out += bytes([0, 0, 0x10])  # Ss=0 Se=0 Ah=1 Al=0
         w = _BitWriter()
-        for by in range(by_n):
-            for bx in range(bx_n):
-                for ci in range(channels):
-                    w.write(int(coefs[ci][by, bx, 0]) & 1, 1)
+        rst = [0]
+        for m in range(n_mcus):
+            if restart_interval and m and m % restart_interval == 0:
+                _emit_restart(w, rst)
+            my, mx = divmod(m, mcus_x)
+            for ci in range(channels):
+                hi, vi = samp[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        w.write(
+                            int(coefs[ci][my * vi + by, mx * hi + bx, 0]) & 1,
+                            1,
+                        )
         w.flush()
         out += w.out
-        # AC refinement per component: Ah=1, Al=0
+        # AC refinement per component: Ah=1, Al=0, component block grid
         for ci in range(channels):
             out += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
             out += bytes([ci + 1, 0])
             out += bytes([1, 63, 0x10])  # Ss=1 Se=63 Ah=1 Al=0
+            cbx, cby = cgrid[ci]
             w = _BitWriter()
             _emit_ac_refine(
                 w,
                 ac_enc_p,
                 (
                     coefs[ci][by, bx]
-                    for by in range(by_n)
-                    for bx in range(bx_n)
+                    for by in range(cby)
+                    for bx in range(cbx)
                 ),
+                restart_interval=restart_interval,
             )
             w.flush()
             out += w.out
@@ -911,7 +1000,15 @@ def encode_jpeg_progressive(
     return bytes(out)
 
 
-def _emit_ac_refine(w: _BitWriter, enc, blocks, ss: int = 1, se: int = 63, al: int = 0):
+def _emit_ac_refine(
+    w: _BitWriter,
+    enc,
+    blocks,
+    ss: int = 1,
+    se: int = 63,
+    al: int = 0,
+    restart_interval: int = 0,
+):
     """AC successive-approximation refinement scan (T.81 G.1.2.3 second
     pass; the libjpeg encode_mcu_AC_refine bookkeeping): newly-nonzero
     coefficients (|v| >> (al+1) == 0 but |v| >> al == 1) are inserted
@@ -920,10 +1017,23 @@ def _emit_ac_refine(w: _BitWriter, enc, blocks, ss: int = 1, se: int = 63, al: i
     flushed after the next symbol (ZRL / insertion / EOBn) so the
     decoder's walk reads them in encounter order.  Two buffers: ``cur``
     holds this block's bits since the last flush, ``be_run`` holds bits
-    belonging to the pending EOB run."""
+    belonging to the pending EOB run.
+
+    The ZRL loop runs at ANY nonzero coefficient BEFORE the
+    correction-bit branch (libjpeg's ``while (r > 15 && k <= EOB)``):
+    this is what keeps every buffered correction bit inside the span
+    of the next emitted symbol.  Emitting ZRLs only at newly-nonzero
+    coefficients misplaces correction bits whenever an already-nonzero
+    coefficient sits more than 15 zero-history positions past the last
+    symbol — the decoder then reads the bit during the wrong symbol's
+    walk and rejects the stream.
+
+    ``restart_interval`` > 0 flushes the EOB run, byte-aligns, and
+    emits RSTn every that many blocks."""
     eobrun = 0
     be_run: list[int] = []  # correction bits owned by the pending EOB run
     cur: list[int] = []  # bits since the last symbol in the current block
+    rst = [0]
 
     def flush_eobrun():
         nonlocal eobrun, be_run
@@ -938,7 +1048,10 @@ def _emit_ac_refine(w: _BitWriter, enc, blocks, ss: int = 1, se: int = 63, al: i
             w.write(bit, 1)
         be_run = []
 
-    for zz in blocks:
+    for bi, zz in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            flush_eobrun()
+            _emit_restart(w, rst)
         absv = [abs(int(zz[k])) >> al for k in range(64)]
         eobpos = 0  # last newly-nonzero position in the band
         for k in range(ss, se + 1):
@@ -950,10 +1063,8 @@ def _emit_ac_refine(w: _BitWriter, enc, blocks, ss: int = 1, se: int = 63, al: i
             if temp == 0:
                 run += 1
                 continue
-            if temp > 1:
-                cur.append(temp & 1)  # correction bit, buffered
-                continue
-            # temp == 1: newly-nonzero insertion
+            # emit any required ZRLs (not foldable into EOB) FIRST —
+            # for correction coefficients too, per libjpeg
             while run > 15 and k <= eobpos:
                 flush_eobrun()
                 zc, zl = enc[0xF0]
@@ -962,6 +1073,11 @@ def _emit_ac_refine(w: _BitWriter, enc, blocks, ss: int = 1, se: int = 63, al: i
                 for bit in cur:
                     w.write(bit, 1)
                 cur = []
+            if temp > 1:
+                cur.append(temp & 1)  # correction bit, buffered
+                continue
+            # temp == 1: newly-nonzero insertion (run <= 15 is
+            # guaranteed here: k <= eobpos whenever temp == 1)
             flush_eobrun()
             acode, alen = enc[(run << 4) | 1]
             w.write(acode, alen)
@@ -993,18 +1109,23 @@ def _skip_to_marker(b: bytes, pos: int) -> int:
     raise ValueError("JPEG stream ended without a terminating marker")
 
 
-def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame):
-    """Multi-scan decode loop for SOF2 — both progressive axes and any
-    sampling factors.  ``pos`` points at the first SOS marker;
-    ``frame`` is (h, w, comps).  Handles DC/AC first and refinement
-    scans plus inter-scan DHT/DQT redefinitions.
+def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame, restart_interval=0):
+    """Multi-scan decode loop for SOF2 — both progressive axes, any
+    sampling factors, and restart intervals.  ``pos`` points at the
+    first SOS marker; ``frame`` is (h, w, comps).  Handles DC/AC first
+    and refinement scans plus inter-scan DHT/DRI redefinitions.
 
     Grid subtlety the baseline path doesn't have: INTERLEAVED scans
     (multi-component DC) walk the MCU-padded grid, but NON-INTERLEAVED
     scans (single-component DC/AC) walk the component's OWN block grid
     — ceil(comp_w/8) × ceil(comp_h/8) from its downsampled pixel dims —
     which excludes interleave-padding blocks.  Storage is the padded
-    grid; pad blocks simply keep zero AC."""
+    grid; pad blocks simply keep zero AC.
+
+    Restart semantics (T.81 E.1.4 applied per scan): every Ri MCUs
+    (interleaved) / blocks (non-interleaved) the reader byte-aligns and
+    consumes RSTn (modulo-8 count restarting at 0 each scan); DC
+    predictors and EOB runs reset."""
     h, w, comps = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -1028,8 +1149,9 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame):
     by_id = {c["id"]: c for c in comps}
 
     def scan_blocks(scan):
-        """Yield (cs, by, bx) in scan order: MCU-interleaved when the
-        scan has several components, component-grid raster otherwise."""
+        """Yield (unit, cs, by, bx) in scan order: MCU-interleaved when
+        the scan has several components (unit = MCU index),
+        component-grid raster otherwise (unit = block index)."""
         if len(scan) > 1:
             for m in range(mcus_x * mcus_y):
                 my, mx = divmod(m, mcus_x)
@@ -1037,16 +1159,28 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame):
                     c = by_id[cs]
                     for byy in range(c["v"]):
                         for bxx in range(c["h"]):
-                            yield cs, my * c["v"] + byy, mx * c["h"] + bxx
+                            yield m, cs, my * c["v"] + byy, mx * c["h"] + bxx
         else:
             cs = scan[0][0]
             _, _, cbx, cby = grids[cs]
             for by in range(cby):
                 for bx in range(cbx):
-                    yield cs, by, bx
+                    yield by * cbx + bx, cs, by, bx
 
     def run_scan(scan, ss, se, ah, al, pos):
         r = _BitReader(b, pos)
+        ri = restart_interval
+        rst = [0]
+
+        def at_restart(unit):
+            """True at the start of each restart segment after the
+            first: consume RSTn, re-align."""
+            if ri and unit and unit % ri == 0:
+                r.sync_restart(rst[0])
+                rst[0] += 1
+                return True
+            return False
+
         if ss == 0 and ah == 0:  # DC first scan (Al may shift)
             if se != 0:
                 raise ValueError("DC scan must have Se=0")
@@ -1057,14 +1191,23 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame):
                 if tab is None:
                     raise ValueError("missing DC Huffman table")
                 tabs[cs] = tab
-            for cs, by, bx in scan_blocks(scan):
+            prev_unit = 0
+            for unit, cs, by, bx in scan_blocks(scan):
+                if unit != prev_unit:
+                    prev_unit = unit
+                    if at_restart(unit):
+                        preds = {c_: 0 for c_ in preds}
                 s = _decode_huff(r, tabs[cs])
                 diff = _extend(r.receive(s), s) if s else 0
                 preds[cs] += diff
                 coefs[cs][by, bx, 0] = preds[cs] << al
                 seen_dc.add(cs)
         elif ss == 0:  # DC refinement: one raw bit per block
-            for cs, by, bx in scan_blocks(scan):
+            prev_unit = 0
+            for unit, cs, by, bx in scan_blocks(scan):
+                if unit != prev_unit:
+                    prev_unit = unit
+                    at_restart(unit)
                 if r.read_bit():
                     coefs[cs][by, bx, 0] += 1 << al
         elif ah == 0:  # AC first scan (values arrive shifted by Al)
@@ -1079,6 +1222,8 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame):
             eobrun = 0
             for by in range(cby):
                 for bx in range(cbx):
+                    if at_restart(by * cbx + bx):
+                        eobrun = 0
                     if eobrun > 0:
                         eobrun -= 1
                         continue
@@ -1119,6 +1264,8 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame):
 
             for by in range(cby):
                 for bx in range(cbx):
+                    if at_restart(by * cbx + bx):
+                        eobrun = 0
                     blk = cz[by, bx]
                     k = ss
                     if eobrun == 0:
@@ -1199,8 +1346,8 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame):
             data_pos = run_scan(scan, ss, se, ahal >> 4, ahal & 15, nxt)
             pos = _skip_to_marker(b, data_pos)
             continue
-        elif marker == 0xDD:
-            raise NotImplementedError("progressive JPEG restart intervals")
+        elif marker == 0xDD:  # DRI may be (re)defined between scans
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         pos = nxt
 
     if any(c["id"] not in seen_dc for c in comps):

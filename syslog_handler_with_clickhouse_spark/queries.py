@@ -18175,6 +18175,114 @@ def q338(spark, sf_dir):
     )
 
 
+@query(
+    "q339_jpeg_prog420_dri_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 31) + 18 AS w,
+             (doc_id % 23) + 14 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+      FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(c AS INT) AS channels,
+           CAST(w * h * c AS BIGINT) AS n_values,
+           CASE WHEN c = 1
+                THEN CAST(40 * w * h + h * w * (w - 1)
+                          + 3 * w * h * (h - 1) / 2 AS BIGINT)
+                ELSE NULL END AS gray_px_sum,
+           TRUE AS mean_ok
+    FROM d
+    """,
+)
+def q339(spark, sf_dir):
+    """PROGRESSIVE-JPEG decode, SUBSAMPLED + RESTART-INTERVAL variants
+    (`operators/jpeg.py:_decode_jpeg_progressive`): every payload
+    carries DRI + per-scan RSTn (interval (doc_id % 3) + 1 — DC
+    predictors/EOB runs reset, reader re-aligns, modulo-8 count per
+    scan); odd doc_ids are 4:2:0 color (interleaved DC scans on the
+    MCU grid, non-interleaved AC scans on each component's own block
+    grid), alternating both SOF2 axes.  Same construct-then-decode
+    oracle split as q331/q338: grayscale quality-100 pins the exact
+    closed-form pixel sum (entropy layer lossless — progressive-with-
+    DRI == baseline decode, unit-pinned); 4:2:0 color at quality 85
+    pins dims/counts + channel-mean tolerance."""
+    import pandas as pd
+
+    from .operators.jpeg import encode_jpeg_progressive
+    from .operators.multimodal import decode_assets
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 0)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 31 + 18, d % 23 + 14
+                succ = (d // 17) % 2 == 1  # alternate both SOF2 axes
+                ri = d % 3 + 1  # always emit DRI + RSTn
+                if d % 2 == 0:
+                    px = bytes(
+                        (40 + 2 * x + 3 * y)
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    payloads.append(
+                        encode_jpeg_progressive(
+                            px, w, h, 1, quality=100, successive=succ,
+                            restart_interval=ri,
+                        )
+                    )
+                else:
+                    buf = bytearray()
+                    for y in range(h):
+                        for x in range(w):
+                            buf += bytes(
+                                (40 + 2 * x + y, 200 - x - 2 * y,
+                                 30 + x + 3 * y)
+                            )
+                    payloads.append(
+                        encode_jpeg_progressive(
+                            bytes(buf), w, h, 3, quality=85,
+                            successive=succ, subsample=True,
+                            restart_interval=ri,
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    w = F.col("width").cast("long")
+    h = F.col("height").cast("long")
+    c = F.col("channels").cast("long")
+    exp_mean = F.when(
+        c == 1,
+        F.lit(40.0) + (w - 1).cast("double") + 1.5 * (h - 1).cast("double"),
+    ).otherwise(
+        F.lit(90.0) + ((w - 1) + (h - 1)).cast("double") / 3.0
+    )
+    mean = F.col("val_sum").cast("double") / F.col("n_values").cast("double")
+    return dec.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.when(c == 1, F.col("val_sum")).cast("bigint").alias("gray_px_sum"),
+        (F.abs(mean - exp_mean) <= 2.0).alias("mean_ok"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

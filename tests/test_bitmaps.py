@@ -128,3 +128,18 @@ def test_group_bitmap_no_group_cols(spark):
     assert len(out) == 1
     assert list(out[0].runs) == [1, 3, 9, 9]
     assert out[0].cardinality == 4
+
+
+def test_group_bitmap_global_empty_input(spark):
+    """ADVICE r8: an empty input to the global (no group cols) path must
+    return the identity bitmap (runs=[], cardinality=0), not raise from
+    pd.concat on an empty iterator."""
+    df = spark.createDataFrame([], "v long")
+    out = group_bitmap(df, "v", []).collect()
+    assert len(out) == 1
+    assert list(out[0].runs) == [] and out[0].cardinality == 0
+    # all-NULL input reduces to the same identity
+    df2 = spark.createDataFrame([(None,), (None,)], "v long")
+    out2 = group_bitmap(df2.repartition(3), "v", []).collect()
+    assert len(out2) == 1
+    assert list(out2[0].runs) == [] and out2[0].cardinality == 0

@@ -233,20 +233,122 @@ def test_progressive_gray_q100_bit_exact():
 
 
 def test_progressive_unsupported_modes_guarded():
+    """The REMAINING format guards on the progressive path: 12-bit
+    precision and 16-bit quant tables.  (Subsampling and restart
+    intervals are now supported — positive tests below.)"""
     from syslog_handler_with_clickhouse_spark.operators.jpeg import (
         encode_jpeg_progressive,
     )
 
-    # progressive + subsampling: flip the SOF2 sampling byte 0x11->0x22
     jb = bytearray(encode_jpeg_progressive(_gray(16, 16), 16, 16, 1))
     i = bytes(jb).find(b"\xff\xc2")
     assert i > 0
-    # marker(2) + len(2) + prec(1) + h(2) + w(2) + nc(1) + comp id(1)
-    samp = i + 11
-    assert jb[samp] == 0x11
-    jb[samp] = 0x22
+    # marker(2) + len(2) -> precision byte at i+4
+    assert jb[i + 4] == 8
+    j12 = bytearray(jb)
+    j12[i + 4] = 12
     with pytest.raises(NotImplementedError):
-        decode_jpeg_pixels(bytes(jb))
+        decode_jpeg_pixels(bytes(j12))
+    # DQT Pq nibble -> 1 (16-bit table)
+    q = bytes(jb).find(b"\xff\xdb")
+    assert q > 0
+    j16 = bytearray(jb)
+    j16[q + 4] |= 0x10
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(bytes(j16))
+
+
+def test_progressive_subsampled_equals_baseline_decode():
+    """4:2:0 progressive: interleaved DC scans walk the MCU-padded
+    grid while non-interleaved AC scans walk each component's OWN
+    block grid (MCU-padding blocks are DC-only) — decode must still be
+    bit-identical to the baseline 4:2:0 decode of the same pixels.
+    w=20 makes the luma padded grid (4 cols) wider than its block grid
+    (3 cols), exercising the excluded-pad-block subtlety; odd dims
+    exercise chroma edge padding."""
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    for (w, h), succ in (
+        ((20, 12), False),
+        ((20, 12), True),
+        ((35, 22), False),
+        ((35, 22), True),
+    ):
+        px = _rgb(w, h)
+        base = decode_jpeg_pixels(
+            encode_jpeg(px, w, h, 3, quality=85, subsample=True)
+        )
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive(
+                px, w, h, 3, quality=85, successive=succ, subsample=True
+            )
+        )
+        assert prog == base, (w, h, succ)
+        # the subsampled SOF2 really is 4:2:0 (luma byte 0x22)
+        jb = encode_jpeg_progressive(px, w, h, 3, quality=85, subsample=True)
+        i = jb.find(b"\xff\xc2")
+        assert jb[i + 11] == 0x22
+
+
+def test_progressive_restart_intervals_roundtrip():
+    """DRI + per-scan RSTn in progressive mode: DC predictors and EOB
+    runs reset, reader re-aligns, modulo-8 count restarts each scan.
+    Decode equals the no-restart decode bit-for-bit; a corrupted RST
+    id is flagged."""
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    for (w, h, c, succ, sub, ri) in (
+        (24, 17, 1, False, False, 2),
+        (37, 29, 1, True, False, 1),
+        (35, 22, 3, True, True, 3),
+    ):
+        px = _gray(w, h) if c == 1 else _rgb(w, h)
+        jb = encode_jpeg_progressive(
+            px, w, h, c, quality=85, successive=succ, subsample=sub,
+            restart_interval=ri,
+        )
+        assert b"\xff\xdd" in jb and b"\xff\xd0" in jb
+        plain = encode_jpeg_progressive(
+            px, w, h, c, quality=85, successive=succ, subsample=sub
+        )
+        assert decode_jpeg_pixels(jb) == decode_jpeg_pixels(plain)
+    # corrupt the first RST id -> bad sync must raise
+    jr = bytearray(
+        encode_jpeg_progressive(_gray(32, 32), 32, 32, 1, restart_interval=1)
+    )
+    i = bytes(jr).find(b"\xff\xd0")
+    assert i > 0
+    jr[i + 1] = 0xD6
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(jr))
+
+
+def test_ac_refine_zrl_correction_bit_ordering():
+    """Regression for the refinement-encoder ZRL bug: when an
+    already-nonzero coefficient sits >15 zero-history positions past
+    the last symbol, the ZRL must be emitted BEFORE buffering its
+    correction bit (libjpeg's `while (r > 15 && k <= EOB)` runs for
+    ANY nonzero coefficient).  Random noise images hit the pattern
+    reliably; each must round-trip identical to baseline."""
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(1234)
+    for t in range(20):
+        w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+        c = 1 if t % 2 == 0 else 3
+        px = bytes(rng.integers(0, 256, w * h * c, dtype=np.uint8))
+        q = int(rng.choice([60, 85, 100]))
+        base = decode_jpeg_pixels(encode_jpeg(px, w, h, c, quality=q))
+        succ = decode_jpeg_pixels(
+            encode_jpeg_progressive(px, w, h, c, quality=q, successive=True)
+        )
+        assert succ == base, (t, w, h, c, q)
 
 
 def test_successive_approximation_equals_baseline_decode():
