@@ -1,0 +1,1018 @@
+"""Bitmap state, wide-MV IVM, JPEG codecs (q328-q339).
+
+Split from the monolithic queries.py (round 8).  Importing this module
+registers its queries into the shared QUERIES/ORACLE registry.
+"""
+
+from ._common import *  # noqa: F401,F403
+from ._common import (  # noqa: F401
+    _BUCKETED_SEQ,
+    _CORRM_COLS,
+    _COS_EXPR,
+    _DUP_UNION,
+    _GEO_PENTAGON,
+    _GEO_PX,
+    _GEO_PY,
+    _PII_EMAIL_RE,
+    _PII_IP_RE,
+    _SCRIPT_AR,
+    _SCRIPT_CYR,
+    _SCRIPT_HAN,
+    _STREAM_EXEC_SEQ,
+    _corrm_oracle,
+    _dec,
+    _dsum,
+    _events_stream,
+    _geo,
+    _lang_case_sql,
+    _run_stream,
+    _t,
+)
+
+
+@query(
+    "q328_group_bitmap",
+    """
+    WITH d AS (
+      SELECT DISTINCT event_type, event_id % 4096 AS v FROM events
+    ), runs AS (
+      SELECT event_type, v,
+             LAG(v) OVER (PARTITION BY event_type ORDER BY v) AS prev
+      FROM d
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS cardinality,
+           CAST(MIN(v) AS BIGINT) AS v_min,
+           CAST(MAX(v) AS BIGINT) AS v_max,
+           CAST(SUM(CASE WHEN prev IS NULL OR prev < v - 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+    FROM runs GROUP BY event_type
+    """,
+)
+def q328(spark, sf_dir):
+    """``groupBitmap`` analogue (`operators/bitmaps.py:group_bitmap`):
+    exact compressed bitmap (canonical sorted-run encoding) of
+    ``event_id % 4096`` per event_type.  The oracle re-derives the run
+    STRUCTURE in SQL (LAG gap-count = number of runs) — so not just the
+    cardinality but the canonical-form invariant is value-checked.
+    Level 1 compresses per input partition inside mapInPandas; the one
+    shuffle carries run state, never member values (the ClickHouse
+    groupBitmapState merge shape)."""
+    from ..operators.bitmaps import group_bitmap
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("event_id") % 4096).alias("v")
+    )
+    bm = group_bitmap(ev, "v", ["event_type"])
+    return bm.select(
+        "event_type",
+        F.col("cardinality").cast("bigint").alias("cardinality"),
+        F.element_at("runs", 1).alias("v_min"),
+        F.element_at("runs", -1).alias("v_max"),
+        (F.size("runs") / 2).cast("bigint").alias("n_runs"),
+    )
+
+
+@query(
+    "q329_bitmap_set_algebra",
+    """
+    WITH a AS (
+      SELECT DISTINCT event_id % 4096 AS v FROM events
+      WHERE event_type = 'click'
+    ), b AS (
+      SELECT DISTINCT event_id % 4096 AS v FROM events
+      WHERE event_type = 'view'
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS card_a,
+      CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS card_b,
+      CAST((SELECT COUNT(*) FROM a WHERE v IN (SELECT v FROM b))
+           AS BIGINT) AS and_card,
+      CAST((SELECT COUNT(*) FROM (SELECT v FROM a UNION SELECT v FROM b))
+           AS BIGINT) AS or_card,
+      CAST((SELECT COUNT(*) FROM a WHERE v NOT IN (SELECT v FROM b))
+           + (SELECT COUNT(*) FROM b WHERE v NOT IN (SELECT v FROM a))
+           AS BIGINT) AS xor_card,
+      CAST((SELECT COUNT(*) FROM a WHERE v NOT IN (SELECT v FROM b))
+           AS BIGINT) AS andnot_card
+    """,
+)
+def q329(spark, sf_dir):
+    """``bitmapAnd/Or/Xor/AndnotCardinality`` analogue
+    (`operators/bitmaps.py:bitmap_set_algebra`): build the exact bitmap
+    states for the 'click' and 'view' user slices, then run two-pointer
+    interval algebra ON THE STATES — O(runs_a + runs_b), members never
+    re-expanded.  Both sides are single-row state frames, so the
+    crossJoin is a broadcast of O(runs) bytes (the accepted
+    state-singleton pattern, cf. kmv_intersect_estimate)."""
+    from ..operators.bitmaps import bitmap_set_algebra, group_bitmap
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("event_id") % 4096).alias("v")
+    )
+    states = group_bitmap(
+        ev.filter(F.col("event_type").isin("click", "view")),
+        "v",
+        ["event_type"],
+    )
+    return bitmap_set_algebra(states, "event_type", "click", "view")
+
+
+@query(
+    "q330_incremental_mv_wide_state",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           round(MIN(value), 6) AS min_value,
+           round(MAX(value), 6) AS max_value,
+           CAST(COUNT(DISTINCT user_id % 200) AS DOUBLE) AS uniq_buckets
+    FROM events
+    WHERE (event_id % 3 = 0 OR event_id % 3 = 1)
+      AND NOT (event_id % 3 = 0 AND user_id % 5 = 0)
+    GROUP BY event_type
+    """,
+)
+def q330(spark, sf_dir):
+    """Wide AggregatingMergeTree state under TRUE incremental
+    maintenance (`sources/mv.py:refresh_mv_wide_from_changefeed`):
+    count/sum PLUS minState/maxState and uniqState (mergeable KMV hash
+    array, re-trimmed to k on every merge).  Same v1-append-v2-erase-v3
+    choreography as q271; the non-invertible min/max/uniq states merge
+    mergeably on the append and are recomputed ONLY for delete-touched
+    groups on the erasure (bounded partial rescan — the honest IVM
+    cost for non-distributive aggregates).  Final state must equal a
+    full recompute: n, exact sum, min/max of value, and the uniq
+    estimate.  The tracked uniq key is user_id % 200, whose per-group
+    cardinality stays below k at EVERY fixture scale, so the sketch IS
+    the distinct set and the oracle pins it exactly (sf0.1 has ~1500
+    distinct raw users per type — above k — which the multi-scale
+    sweep caught; the approximate-regime behavior of the same KMV
+    state is envelope-pinned by q272/q244)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.mv import (
+        finalize_uniq,
+        read_mv,
+        refresh_mv_wide,
+        refresh_mv_wide_from_changefeed,
+    )
+    from ..sources.snapshots import rewrite_snapshot, write_snapshot
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        "value",
+        (F.col("user_id") % 200).alias("uid_bucket"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = os.path.join(
+        tempfile.gettempdir(), f"syslog_spark_mv_q330_{tag}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src_path = base + "/source"
+    mv_path = base + "/mv"
+
+    s1 = ev.filter(F.col("event_id") % 3 == 0)
+    write_snapshot(s1, src_path)  # v1
+    refresh_mv_wide(
+        s1, mv_path, ["event_type"], ["event_id"], ["value"], ["uid_bucket"],
+        batch_id=1,
+    )
+    write_snapshot(ev.filter(F.col("event_id") % 3 == 1), src_path)  # v2
+    refresh_mv_wide_from_changefeed(
+        spark, mv_path, src_path, ["event_type"], ["event_id"], ["value"],
+        ["uid_bucket"], 1, 2, batch_id=2,
+    )
+    rewrite_snapshot(  # v3: transactional erasure
+        spark,
+        src_path,
+        lambda df: df.filter(
+            ~((F.col("event_id") % 3 == 0) & (F.col("user_id") % 5 == 0))
+        ),
+    )
+    refresh_mv_wide_from_changefeed(
+        spark, mv_path, src_path, ["event_type"], ["event_id"], ["value"],
+        ["uid_bucket"], 2, 3, batch_id=3,
+    )
+
+    state = read_mv(spark, mv_path)
+    return state.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_event_id").cast("bigint").alias("sum_event_id"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        finalize_uniq(state, "uid_bucket").alias("uniq_buckets"),
+    )
+
+
+@query(
+    "q331_jpeg_pixel_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 37) + 16 AS w,
+             (doc_id % 19) + 12 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c,
+             CASE ((doc_id // 11) % 3)
+               WHEN 0 THEN 'plain' WHEN 1 THEN 'sub' ELSE 'rst' END AS variant
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT doc_id, variant,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(c AS INT) AS channels,
+           CAST(w * h * c AS BIGINT) AS n_values,
+           CASE WHEN c = 1
+                THEN CAST(40 * w * h + h * w * (w - 1)
+                          + 3 * w * h * (h - 1) / 2 AS BIGINT)
+                ELSE NULL END AS gray_px_sum,
+           TRUE AS mean_ok,
+           TRUE AS minmax_ok
+    FROM d
+    """,
+)
+def q331(spark, sf_dir):
+    """REAL baseline-JPEG entropy decode round trip — closes the last
+    'partial' inventory cell (`operators/jpeg.py`: Huffman decode →
+    dequantize → IDCT → chroma upsample → YCbCr→RGB, stdlib+numpy).
+
+    Executor-side, each selected doc builds a genuinely valid SOF0
+    JPEG of a linear-gradient image; doc_id cycles the encode variants
+    so 4:4:4, 4:2:0 subsampling, AND restart-marker streams all hit
+    the decoder.  The file then flows through the SAME distributed
+    decode path as PNG/GIF/WAV (`decode_assets`, Arrow-batched
+    mapInPandas — bytes never on the driver, O(1) per asset).
+
+    Oracle strength is split by what JPEG mathematics permits:
+    grayscale fixtures encode at quality 100 where every quantization
+    step is 1, so the decode is BIT-EXACT and the oracle pins the
+    closed-form pixel sum (verified exhaustively over all 703 (w, h)
+    fixture shapes × both restart variants in tests).  Color fixtures
+    encode at quality 85 and the oracle pins dimensions/counts exactly
+    plus mean-within-2.0 and min/max-within-4 booleans — the honest
+    bound for a lossy codec (measured worst-case mean drift over the
+    fixture sweep: 0.20)."""
+    import pandas as pd
+
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import decode_assets
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 37 + 16, d % 19 + 12
+                c = 1 if d % 2 == 0 else 3
+                v = (d // 11) % 3
+                if c == 1:
+                    px = bytes(
+                        (40 + 2 * x + 3 * y)
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    payloads.append(
+                        encode_jpeg(
+                            px, w, h, 1, quality=100,
+                            restart_interval=2 if v == 2 else 0,
+                        )
+                    )
+                else:
+                    buf = bytearray()
+                    for y in range(h):
+                        for x in range(w):
+                            buf += bytes(
+                                (40 + 2 * x + y, 200 - x - 2 * y,
+                                 30 + x + 3 * y)
+                            )
+                    payloads.append(
+                        encode_jpeg(
+                            bytes(buf), w, h, 3, quality=85,
+                            subsample=(v == 1),
+                            restart_interval=2 if v == 2 else 0,
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+
+    w = F.col("width").cast("long")
+    h = F.col("height").cast("long")
+    c = F.col("channels").cast("long")
+    variant = (
+        F.when((F.col("doc_id") / 11).cast("long") % 3 == 0, "plain")
+        .when((F.col("doc_id") / 11).cast("long") % 3 == 1, "sub")
+        .otherwise("rst")
+    )
+    exp_mean = F.when(
+        c == 1,
+        F.lit(40.0) + (w - 1).cast("double") + 1.5 * (h - 1).cast("double"),
+    ).otherwise(
+        F.lit(90.0)
+        + ((w - 1) + (h - 1)).cast("double") / 3.0
+    )
+    exp_min = F.when(c == 1, F.lit(40)).otherwise(F.lit(30)).cast("long")
+    exp_max = F.when(c == 1, 40 + 2 * (w - 1) + 3 * (h - 1)).otherwise(
+        F.greatest(
+            F.lit(200).cast("long"),
+            40 + 2 * (w - 1) + (h - 1),
+            30 + (w - 1) + 3 * (h - 1),
+        )
+    )
+    mean = F.col("val_sum").cast("double") / F.col("n_values").cast("double")
+    return dec.select(
+        "doc_id",
+        variant.alias("variant"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.when(c == 1, F.col("val_sum"))
+        .cast("bigint")
+        .alias("gray_px_sum"),
+        (F.abs(mean - exp_mean) <= 2.0).alias("mean_ok"),
+        (
+            (F.col("val_min") >= exp_min - 4)
+            & (F.col("val_min") <= exp_min + 4)
+            & (F.col("val_max") >= exp_max - 4)
+            & (F.col("val_max") <= exp_max + 4)
+        ).alias("minmax_ok"),
+    )
+
+
+@query(
+    "q332_summap_family",
+    """
+    WITH g AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s,
+             MIN(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS mn,
+             MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS mx
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           string_agg(event_type, ',' ORDER BY event_type) AS mkeys,
+           string_agg(CAST(s AS VARCHAR), ',' ORDER BY event_type) AS msum,
+           string_agg(CAST(mn AS VARCHAR), ',' ORDER BY event_type) AS mmin,
+           string_agg(CAST(mx AS VARCHAR), ',' ORDER BY event_type) AS mmax
+    FROM g GROUP BY day
+    """,
+)
+def q332(spark, sf_dir):
+    """ClickHouse ``sumMap`` / ``minMap`` / ``maxMap`` — the Map
+    combinators that aggregate (keys[], values[]) pairs KEY-WISE.  The
+    Spark-first shape is the relational dual: aggregate per (group,
+    key) first — one hash aggregate, partial-agg friendly, the form
+    Catalyst optimizes — then assemble the CH-style parallel
+    key-sorted arrays per group (exported as CSV per the repo's
+    engine-neutral array convention, q16 precedent).  This beats a
+    literal map-valued UDAF because the per-key partials merge
+    associatively in the exchange instead of shipping whole maps."""
+    ev = _t(spark, sf_dir, "events")
+    cents = (_dec("value") * 100).cast("bigint")
+    g = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type"
+    ).agg(
+        F.sum(cents).alias("s"),
+        F.min(cents).alias("mn"),
+        F.max(cents).alias("mx"),
+    )
+    ent = F.struct("event_type", "s", "mn", "mx")
+    arr = F.array_sort(F.collect_list(ent))
+    return g.groupBy("day").agg(arr.alias("a")).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.concat_ws(
+            ",", F.transform("a", lambda e: e["event_type"])
+        ).alias("mkeys"),
+        F.concat_ws(
+            ",", F.transform("a", lambda e: e["s"].cast("string"))
+        ).alias("msum"),
+        F.concat_ws(
+            ",", F.transform("a", lambda e: e["mn"].cast("string"))
+        ).alias("mmin"),
+        F.concat_ws(
+            ",", F.transform("a", lambda e: e["mx"].cast("string"))
+        ).alias("mmax"),
+    )
+
+
+@query(
+    "q333_interval_length_sum",
+    """
+    WITH iv AS (
+      SELECT l_suppkey % 50 AS grp,
+             CAST(epoch(l_shipdate) AS BIGINT) / 86400 AS s,
+             CAST(epoch(l_shipdate) AS BIGINT) / 86400
+               + l_linenumber * 3 AS e
+      FROM lineitem
+    ), sw AS (
+      SELECT grp, s, e,
+             MAX(e) OVER (PARTITION BY grp ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS cm
+      FROM iv
+    )
+    SELECT grp,
+           CAST(SUM(CASE WHEN cm IS NULL OR s > cm THEN e - s
+                         WHEN e > cm THEN e - cm ELSE 0 END)
+                AS BIGINT) AS union_days,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(CASE WHEN cm IS NULL OR s > cm THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_segments
+    FROM sw GROUP BY grp
+    """,
+)
+def q333(spark, sf_dir):
+    """ClickHouse ``intervalLengthSum`` — total length of the UNION of
+    per-group intervals, overlaps merged.  One sort per group does it:
+    sweep in start order keeping the running max of prior ends (an
+    exclusive-frame window cummax); each interval contributes only the
+    part past that watermark, and a contribution starting fresh opens a
+    new segment (``n_segments`` = merged-interval count, the
+    ``intervalCount`` sibling).  Exact integer day arithmetic; one
+    window sort + one aggregate, both on the same (grp) partitioning —
+    no per-pair interval join anywhere, so it scales with rows, not
+    rows²."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    day = (F.unix_timestamp("l_shipdate") / 86400).cast("bigint")
+    iv = li.select(
+        (F.col("l_suppkey") % 50).alias("grp"),
+        day.alias("s"),
+        (day + F.col("l_linenumber") * 3).alias("e"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sw = iv.withColumn("cm", F.max("e").over(w))
+    fresh = F.col("cm").isNull() | (F.col("s") > F.col("cm"))
+    contrib = (
+        F.when(fresh, F.col("e") - F.col("s"))
+        .when(F.col("e") > F.col("cm"), F.col("e") - F.col("cm"))
+        .otherwise(F.lit(0))
+    )
+    return sw.groupBy("grp").agg(
+        F.sum(contrib).cast("bigint").alias("union_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(fresh.cast("int")).cast("bigint").alias("n_segments"),
+    )
+
+
+@query(
+    "q334_dedup_components",
+    _DUP_UNION.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+    + """
+    , consts AS (
+      SELECT {a_list} AS ha, {b_list} AS hb
+    ), sh AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+               i -> CAST('0x' || substr(md5(array_to_string(
+                      list_slice(string_split(text, ' '), i, i + 2), ' ')), 1, 15)
+                    AS BIGINT)
+             )) AS shl
+      FROM corpus
+    ), sig AS (
+      SELECT doc,
+             list_transform(range(0, 64), k ->
+               list_min(list_transform(shl, x ->
+                 ((x % 2147483647) * ha[k + 1] + hb[k + 1]) % 2147483647))
+             ) AS sig
+      FROM sh CROSS JOIN consts WHERE len(shl) > 0
+    ), bands AS (
+      SELECT doc, b AS band,
+             CAST('0x' || substr(md5(array_to_string(
+               list_slice(sig, b * 4 + 1, b * 4 + 4), '|')), 1, 15) AS BIGINT) AS bh
+      FROM sig, UNNEST(range(0, 16)) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc < y.doc
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ), reach(node, r) AS (
+      SELECT DISTINCT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    ), comp AS (
+      SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+    )
+    SELECT node AS doc_id, comp,
+           CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT)
+             AS cluster_size,
+           CAST(node = comp AS BOOLEAN) AS is_canonical
+    FROM comp
+    """.format(
+        a_list=list(dedup._MINHASH_A), b_list=list(dedup._MINHASH_B)
+    ),
+)
+def q334(spark, sf_dir):
+    """Near-dup DEDUP CLUSTERS: connected components over the MinHash-
+    LSH candidate graph (`operators/dedup.py:dedup_components` — Pregel
+    min-label propagation, one edge-sized equi-join per round, 2-3
+    rounds on near-clique dup clusters).  This is the step a real
+    corpus-dedup pipeline runs after q39: candidate PAIRS are not
+    transitive-closed, so cluster membership — and the keep-one-doc
+    policy (``is_canonical`` = min-id member) — needs the closure.  The
+    oracle recomputes the identical pair graph bit-for-bit (q39's
+    portable-hash chain) and closes it with a recursive CTE — exact
+    per-doc component ids, sizes, and canonical flags."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    pairs = dedup.minhash_lsh_pairs(corpus, "text", "doc_id")
+    comp = dedup.dedup_components(pairs)
+    from pyspark.sql.window import Window
+
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "comp",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("comp"))
+        .cast("bigint")
+        .alias("cluster_size"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    )
+
+
+@query(
+    "q335_rare_bigram_novelty",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bigram
+      FROM tok, UNNEST(range(1, len(ts))) AS t(i)
+      WHERE len(ts) >= 2
+    ), cnt AS (
+      SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(MIN(c.c) AS BIGINT) AS min_freq,
+           CAST(MAX(c.c) AS BIGINT) AS max_freq,
+           CAST(floor(CAST(SUM(CASE WHEN c.c <= 2 THEN 1 ELSE 0 END)
+                           AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5)
+                AS BIGINT) AS novelty_ppm
+    FROM bg b JOIN cnt c ON b.bigram = c.bigram
+    GROUP BY b.doc_id
+    """,
+)
+def q335(spark, sf_dir):
+    """Corpus-relative NOVELTY scoring — the bigram-LM quality signal
+    with the float log floor removed: per doc, the fraction of its
+    bigrams that are globally rare (corpus-wide count ≤ 2), plus its
+    min/max bigram frequency.  Low novelty flags boilerplate /
+    near-dup text; high novelty flags unusual (or noisy) text — the
+    same decision axis as perplexity filtering, in exact integer
+    arithmetic (counts + a ppm ratio via the IEEE floor form), so the
+    oracle is bit-for-bit.
+
+    Two scans of the exploded bigram frame share one shuffle key: the
+    corpus count aggregates on bigram, and the doc join probes the same
+    partitioning; the count table is zipf-concentrated so AQE handles
+    the hot-bigram skew.  At 100 TB the counts frame is
+    vocabulary²-bounded (zipf-truncated), not corpus-bounded."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    tok = d.select("doc_id", toks.alias("ts")).filter(F.size("ts") >= 2)
+    bg = tok.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ts", i), F.element_at("ts", i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    rare_frac = F.sum(
+        F.when(F.col("c") <= 2, 1).otherwise(0)
+    ).cast("double") / F.count(F.lit(1)).cast("double")
+    return (
+        bg.join(cnt, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.min("c").cast("bigint").alias("min_freq"),
+            F.max("c").cast("bigint").alias("max_freq"),
+            F.floor(rare_frac * 1000000.0 + 0.5)
+            .cast("bigint")
+            .alias("novelty_ppm"),
+        )
+    )
+
+
+@query(
+    "q336_max_intersections",
+    """
+    WITH iv AS (
+      SELECT l_suppkey % 50 AS grp,
+             CAST(epoch(l_shipdate) AS BIGINT) / 86400 AS s,
+             CAST(epoch(l_shipdate) AS BIGINT) / 86400
+               + l_linenumber * 3 AS e
+      FROM lineitem
+    ), ev AS (
+      SELECT grp, pos, SUM(delta) AS d FROM (
+        SELECT grp, s AS pos, 1 AS delta FROM iv
+        UNION ALL
+        SELECT grp, e + 1 AS pos, -1 AS delta FROM iv
+      ) GROUP BY grp, pos
+    ), run AS (
+      SELECT grp, pos,
+             SUM(d) OVER (PARTITION BY grp ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS depth
+      FROM ev
+    )
+    SELECT grp,
+           CAST(MAX(depth) AS BIGINT) AS max_intersections,
+           CAST(MIN(CASE WHEN depth = md THEN pos END) AS BIGINT)
+             AS max_position
+    FROM (SELECT *, MAX(depth) OVER (PARTITION BY grp) AS md FROM run)
+    GROUP BY grp
+    """,
+)
+def q336(spark, sf_dir):
+    """ClickHouse ``maxIntersections`` / ``maxIntersectionsPosition`` —
+    the PEAK number of concurrently open intervals per group and the
+    earliest position where the peak occurs (q333's union-length
+    sibling; together they cover the CH interval-aggregate pair).
+    Sweep-line as +1/-1 deltas COLLAPSED per position first (so
+    same-position ties cannot produce an order-dependent intermediate
+    depth), then one running sum and one max — two window passes on the
+    same (grp, pos) sort, linear in rows."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    day = (F.unix_timestamp("l_shipdate") / 86400).cast("bigint")
+    iv = li.select(
+        (F.col("l_suppkey") % 50).alias("grp"),
+        day.alias("s"),
+        (day + F.col("l_linenumber") * 3).alias("e"),
+    )
+    deltas = iv.select("grp", F.col("s").alias("pos"), F.lit(1).alias("delta")).unionByName(
+        iv.select("grp", (F.col("e") + 1).alias("pos"), F.lit(-1).alias("delta"))
+    )
+    ev = deltas.groupBy("grp", "pos").agg(F.sum("delta").alias("d"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = ev.withColumn("depth", F.sum("d").over(w)).withColumn(
+        "md", F.max("depth").over(Window.partitionBy("grp"))
+    )
+    return run.groupBy("grp").agg(
+        F.max("depth").cast("bigint").alias("max_intersections"),
+        F.min(F.when(F.col("depth") == F.col("md"), F.col("pos")))
+        .cast("bigint")
+        .alias("max_position"),
+    )
+
+
+@query(
+    "q337_corpus_mixture_apportionment",
+    """
+    WITH dom AS (
+      SELECT 'dom_' || CAST(doc_id % 7 AS VARCHAR) AS domain,
+             COUNT(*) AS n_docs,
+             SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+               AS n_tokens
+      FROM documents GROUP BY 1
+    ), wts AS (
+      -- temperature-scaled weight ~ sqrt(n_tokens), exact integer sqrt
+      SELECT domain, n_docs, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+      FROM dom
+    ), tot AS (
+      SELECT SUM(w) AS tw FROM wts
+    ), quo AS (
+      -- exact integer quotient: subtract the modulus first, so the
+      -- float division is of an exactly-divisible int64 (< 2^53)
+      SELECT domain, n_docs, n_tokens, w,
+             CAST(((w * 100000) - ((w * 100000) % tw)) / tw AS BIGINT)
+               AS floor_share,
+             (w * 100000) % tw AS remainder
+      FROM wts CROSS JOIN tot
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY remainder DESC, domain)
+               AS rem_rank,
+             100000 - SUM(floor_share) OVER () AS leftover
+      FROM quo
+    )
+    SELECT domain,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(w AS BIGINT) AS weight,
+           CAST(floor_share + CASE WHEN rem_rank <= leftover
+                                   THEN 1 ELSE 0 END AS BIGINT)
+             AS budget_per_100k
+    FROM ranked
+    """,
+)
+def q337(spark, sf_dir):
+    """Training-corpus MIXTURE apportionment — the data-mixing step a
+    corpus pipeline runs before sampling: per-domain weights from a
+    temperature-scaled size law (here w = floor(sqrt(tokens)), the
+    alpha = 0.5 mixing used to up-weight small domains), turned into an
+    EXACT integer budget per 100 000 sampled docs by largest-remainder
+    (Hamilton) apportionment: every domain gets floor(w·N/W), and the
+    leftover seats go to the largest remainders (domain-name
+    tie-break).  Shares sum to exactly N by construction — no float
+    normalization drift, so the oracle is bit-exact.  The whole thing
+    runs on the domain-cardinality frame: one aggregate over the
+    corpus, then window arithmetic on a handful of rows."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    dom = d.groupBy(
+        F.concat(F.lit("dom_"), (F.col("doc_id") % 7).cast("string")).alias(
+            "domain"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    wts = dom.withColumn(
+        "w", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint")
+    )
+    tot = wts.agg(F.sum("w").alias("tw"))
+    quo = wts.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        "w",
+        (
+            ((F.col("w") * 100000) - ((F.col("w") * 100000) % F.col("tw")))
+            / F.col("tw")
+        )
+        .cast("bigint")
+        .alias("floor_share"),
+        ((F.col("w") * 100000) % F.col("tw")).alias("remainder"),
+    )
+    wall = Window.orderBy(F.col("remainder").desc(), F.col("domain"))
+    ranked = quo.select(
+        "*",
+        F.row_number().over(wall).alias("rem_rank"),
+        (
+            F.lit(100000)
+            - F.sum("floor_share").over(
+                Window.partitionBy()
+            )
+        ).alias("leftover"),
+    )
+    return ranked.select(
+        "domain",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("w").cast("bigint").alias("weight"),
+        (
+            F.col("floor_share")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("budget_per_100k"),
+    )
+
+
+@query(
+    "q338_jpeg_progressive_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 37) + 16 AS w,
+             (doc_id % 19) + 12 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(c AS INT) AS channels,
+           CAST(w * h * c AS BIGINT) AS n_values,
+           CASE WHEN c = 1
+                THEN CAST(40 * w * h + h * w * (w - 1)
+                          + 3 * w * h * (h - 1) / 2 AS BIGINT)
+                ELSE NULL END AS gray_px_sum,
+           TRUE AS mean_ok
+    FROM d
+    """,
+)
+def q338(spark, sf_dir):
+    """PROGRESSIVE-JPEG (SOF2) decode through the shared distributed
+    path — multi-scan Huffman decode with general EOB runs, and BOTH
+    progressive axes: docs alternate between plain spectral selection
+    and full successive approximation (Al=1 first scans + raw-bit DC
+    refinement + correction-bit AC refinement,
+    `operators/jpeg.py:_decode_jpeg_progressive`).  Same
+    construct-then-decode oracle split as q331: grayscale at quality
+    100 is BIT-exact (the entropy layer is lossless — progressive ==
+    baseline decode in both modes, unit-pinned), so the oracle pins
+    the closed-form pixel sum; color at quality 85 pins dims/counts
+    plus the mean tolerance boolean."""
+    import pandas as pd
+
+    from ..operators.jpeg import encode_jpeg_progressive
+    from ..operators.multimodal import decode_assets
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 37 + 16, d % 19 + 12
+                succ = (d // 13) % 2 == 1  # alternate both SOF2 axes
+                if d % 2 == 0:
+                    px = bytes(
+                        (40 + 2 * x + 3 * y)
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    payloads.append(
+                        encode_jpeg_progressive(
+                            px, w, h, 1, quality=100, successive=succ
+                        )
+                    )
+                else:
+                    buf = bytearray()
+                    for y in range(h):
+                        for x in range(w):
+                            buf += bytes(
+                                (40 + 2 * x + y, 200 - x - 2 * y,
+                                 30 + x + 3 * y)
+                            )
+                    payloads.append(
+                        encode_jpeg_progressive(
+                            bytes(buf), w, h, 3, quality=85, successive=succ
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    w = F.col("width").cast("long")
+    h = F.col("height").cast("long")
+    c = F.col("channels").cast("long")
+    exp_mean = F.when(
+        c == 1,
+        F.lit(40.0) + (w - 1).cast("double") + 1.5 * (h - 1).cast("double"),
+    ).otherwise(
+        F.lit(90.0) + ((w - 1) + (h - 1)).cast("double") / 3.0
+    )
+    mean = F.col("val_sum").cast("double") / F.col("n_values").cast("double")
+    return dec.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.when(c == 1, F.col("val_sum")).cast("bigint").alias("gray_px_sum"),
+        (F.abs(mean - exp_mean) <= 2.0).alias("mean_ok"),
+    )
+
+
+@query(
+    "q339_jpeg_prog420_dri_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 31) + 18 AS w,
+             (doc_id % 23) + 14 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+      FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(c AS INT) AS channels,
+           CAST(w * h * c AS BIGINT) AS n_values,
+           CASE WHEN c = 1
+                THEN CAST(40 * w * h + h * w * (w - 1)
+                          + 3 * w * h * (h - 1) / 2 AS BIGINT)
+                ELSE NULL END AS gray_px_sum,
+           TRUE AS mean_ok
+    FROM d
+    """,
+)
+def q339(spark, sf_dir):
+    """PROGRESSIVE-JPEG decode, SUBSAMPLED + RESTART-INTERVAL variants
+    (`operators/jpeg.py:_decode_jpeg_progressive`): every payload
+    carries DRI + per-scan RSTn (interval (doc_id % 3) + 1 — DC
+    predictors/EOB runs reset, reader re-aligns, modulo-8 count per
+    scan); odd doc_ids are 4:2:0 color (interleaved DC scans on the
+    MCU grid, non-interleaved AC scans on each component's own block
+    grid), alternating both SOF2 axes.  Same construct-then-decode
+    oracle split as q331/q338: grayscale quality-100 pins the exact
+    closed-form pixel sum (entropy layer lossless — progressive-with-
+    DRI == baseline decode, unit-pinned); 4:2:0 color at quality 85
+    pins dims/counts + channel-mean tolerance."""
+    import pandas as pd
+
+    from ..operators.jpeg import encode_jpeg_progressive
+    from ..operators.multimodal import decode_assets
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 0)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 31 + 18, d % 23 + 14
+                succ = (d // 17) % 2 == 1  # alternate both SOF2 axes
+                ri = d % 3 + 1  # always emit DRI + RSTn
+                if d % 2 == 0:
+                    px = bytes(
+                        (40 + 2 * x + 3 * y)
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    payloads.append(
+                        encode_jpeg_progressive(
+                            px, w, h, 1, quality=100, successive=succ,
+                            restart_interval=ri,
+                        )
+                    )
+                else:
+                    buf = bytearray()
+                    for y in range(h):
+                        for x in range(w):
+                            buf += bytes(
+                                (40 + 2 * x + y, 200 - x - 2 * y,
+                                 30 + x + 3 * y)
+                            )
+                    payloads.append(
+                        encode_jpeg_progressive(
+                            bytes(buf), w, h, 3, quality=85,
+                            successive=succ, subsample=True,
+                            restart_interval=ri,
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    w = F.col("width").cast("long")
+    h = F.col("height").cast("long")
+    c = F.col("channels").cast("long")
+    exp_mean = F.when(
+        c == 1,
+        F.lit(40.0) + (w - 1).cast("double") + 1.5 * (h - 1).cast("double"),
+    ).otherwise(
+        F.lit(90.0) + ((w - 1) + (h - 1)).cast("double") / 3.0
+    )
+    mean = F.col("val_sum").cast("double") / F.col("n_values").cast("double")
+    return dec.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.when(c == 1, F.col("val_sum")).cast("bigint").alias("gray_px_sum"),
+        (F.abs(mean - exp_mean) <= 2.0).alias("mean_ok"),
+    )
