@@ -141,6 +141,50 @@ def runs_cardinality(runs) -> int:
     return sum(hi - lo + 1 for lo, hi in _pairs(runs))
 
 
+def runs_contains(runs, v: int) -> bool:
+    """``bitmapContains`` kernel: membership via bisect over the
+    interleaved run list — O(log runs)."""
+    import bisect
+
+    if not len(runs):
+        return False
+    # position of the first lo strictly greater than v
+    i = bisect.bisect_right([runs[k] for k in range(0, len(runs), 2)], v)
+    if i == 0:
+        return False
+    return v <= runs[2 * (i - 1) + 1]
+
+
+def runs_has_any(a, b) -> bool:
+    """``bitmapHasAny`` kernel: two-pointer early-exit intersection
+    test — O(runs_a + runs_b), stops at the first overlap."""
+    pa, pb = _pairs(a), _pairs(b)
+    i = j = 0
+    while i < len(pa) and j < len(pb):
+        if max(pa[i][0], pb[j][0]) <= min(pa[i][1], pb[j][1]):
+            return True
+        if pa[i][1] < pb[j][1]:
+            i += 1
+        else:
+            j += 1
+    return False
+
+
+def runs_has_all(a, b) -> bool:
+    """``bitmapHasAll(a, b)`` kernel: does A contain every element of
+    B?  In canonical form each B-interval must sit inside a SINGLE
+    A-interval (A's gaps are real gaps), so one two-pointer pass with
+    early exit decides it — O(runs_a + runs_b)."""
+    pa, pb = _pairs(a), _pairs(b)
+    i = 0
+    for blo, bhi in pb:
+        while i < len(pa) and pa[i][1] < blo:
+            i += 1
+        if i == len(pa) or pa[i][0] > blo or pa[i][1] < bhi:
+            return False
+    return True
+
+
 # ---------------------------------------------------------------------
 # level 1 + level 2 aggregation
 # ---------------------------------------------------------------------
@@ -275,3 +319,58 @@ def bitmap_set_algebra(
             )
 
     return joined.mapInPandas(algebra, out_schema)
+
+
+def bitmap_predicate_matrix(
+    states: DataFrame, group_col: str, probe_values: list[int]
+) -> DataFrame:
+    """ClickHouse ``bitmapHasAny`` / ``bitmapHasAll`` / ``bitmapContains``
+    over every ordered pair of stored bitmap states, plus per-pair
+    ``bitmapAndCardinality`` and state-size telemetry for the left side.
+
+    The states frame is one O(runs) row per group, so the pair matrix is
+    a broadcast self-join of state only — members are never expanded;
+    each predicate is an early-exit two-pointer (has_any/has_all) or a
+    bisect (contains) ON STATE inside one Arrow batch.
+    ``contains_k`` columns report membership of ``probe_values[k]`` in
+    the LEFT bitmap."""
+    a = states.select(
+        F.col(group_col).alias("grp_a"), F.col("runs").alias("runs_a")
+    )
+    b = states.select(
+        F.col(group_col).alias("grp_b"), F.col("runs").alias("runs_b")
+    )
+    joined = a.crossJoin(F.broadcast(b))
+
+    contains_cols = [f"contains_{k}" for k in range(len(probe_values))]
+    out_schema = ", ".join(
+        ["grp_a string", "grp_b string", "has_any boolean",
+         "has_all boolean", "and_card bigint", "n_runs_a bigint"]
+        + [f"{c} boolean" for c in contains_cols]
+    )
+
+    def pred(it):
+        for pdf in it:
+            rows = []
+            for ga, ra, gb, rb in zip(
+                pdf["grp_a"], pdf["runs_a"], pdf["grp_b"], pdf["runs_b"]
+            ):
+                ra, rb = list(ra), list(rb)
+                rows.append(
+                    (
+                        ga,
+                        gb,
+                        runs_has_any(ra, rb),
+                        runs_has_all(ra, rb),
+                        runs_cardinality(and_runs(ra, rb)),
+                        len(ra) // 2,
+                        *[runs_contains(ra, v) for v in probe_values],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["grp_a", "grp_b", "has_any", "has_all",
+                         "and_card", "n_runs_a", *contains_cols],
+            )
+
+    return joined.mapInPandas(pred, out_schema)

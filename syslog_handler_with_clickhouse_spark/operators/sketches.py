@@ -36,7 +36,8 @@ Two variants, different trade-offs (measured honestly in PERF.md):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -670,3 +671,127 @@ def kmv_anotb_estimate(
             F.col("_theta").alias("theta"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# quantileTiming analogue: exact mergeable bucket histogram
+# ---------------------------------------------------------------------
+
+
+def timing_bucket(col) -> Column:
+    """ClickHouse ``quantileTiming``-style bucket mapping for
+    non-negative integer timings (ms): values < 1024 are EXACT; values
+    in [1024, 65536) collapse to 16-wide buckets (lower bound
+    representative, ~1.6% worst-case relative error); values >= 65536
+    saturate at 65535.  Negative inputs clamp to 0.  The bucket id IS
+    the representative value, so quantiles read straight off the
+    cumulative bucket counts."""
+    c = F.greatest(F.lit(0), (F.col(col) if isinstance(col, str) else col).cast("long"))
+    return (
+        F.when(c < 1024, c)
+        .when(c < 65536, (c - (c % 16)))
+        .otherwise(F.lit(65535))
+        .alias("bucket")
+    )
+
+
+def timing_quantiles(
+    df: DataFrame, col: str, group_cols: list[str], qs: list[float]
+) -> DataFrame:
+    """``quantileTiming(q)(col) GROUP BY group_cols`` — fully NATIVE
+    plan (no Python in the hot path): one hash aggregate to bucket
+    counts (≤ 5057 buckets per group, partial-agg friendly: the
+    exchange carries bounded bucket state, never raw timings), one
+    window cumsum over the per-group bucket frame, then min-bucket at
+    each target rank.  quantile rank = ceil(q * N) (lower quantile),
+    matching the SQL oracle arithmetic exactly — results are
+    deterministic integers, so parity is exact, not tolerance-based."""
+    counts = df.select(*group_cols, timing_bucket(col)).groupBy(
+        *group_cols, "bucket"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(*group_cols).orderBy("bucket")
+    wt = Window.partitionBy(*group_cols)
+    cum = counts.select(
+        *group_cols,
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("total")),
+                F.col("bucket"),
+            )
+        ).alias(f"qt_{str(q).replace('.', '_')}")
+        for q in qs
+    ]
+    return cum.groupBy(*group_cols).agg(
+        F.max("total").cast("bigint").alias("n"), *aggs
+    )
+
+
+# ---------------------------------------------------------------------
+# uniqUpTo(N) analogue: capped-set two-level aggregation
+# ---------------------------------------------------------------------
+
+
+def uniq_up_to(
+    df: DataFrame, col: str, group_cols: list[str], n: int
+) -> DataFrame:
+    """``uniqUpTo(N)(col) GROUP BY group_cols`` — exact distinct count
+    while it is <= N, else N+1.  Two-level capped-set state (the KMV
+    shape): level 1 keeps at most N+1 distinct values per (partition,
+    group) inside one Arrow batch pass — N+1 members already prove
+    "more than N", so state is bounded at N+1 longs regardless of input
+    cardinality and the ONE shuffle carries capped state, never raw
+    values; level 2 unions the capped sets (re-capped at N+1) per
+    group.  NULLs are not counted (CH uniq semantics)."""
+    cap = n + 1
+    part_schema = ", ".join(
+        [f"{g} string" for g in group_cols] + ["vals array<bigint>"]
+    )
+
+    def partials(batches):
+        state: dict = {}
+        for pdf in batches:
+            groups = (
+                pdf.groupby(group_cols, sort=False, dropna=False)
+                if group_cols
+                else [((), pdf)]
+            )
+            for key, grp in groups:
+                if not isinstance(key, tuple):
+                    key = (key,)
+                cur = state.setdefault(key, set())
+                if len(cur) >= cap:
+                    continue
+                for v in grp["_v"].dropna().unique():
+                    cur.add(int(v))
+                    if len(cur) >= cap:
+                        break
+        yield pd.DataFrame(
+            [(*[str(x) for x in k], sorted(vs)) for k, vs in state.items()],
+            columns=[*group_cols, "vals"],
+        )
+
+    parts = df.select(
+        *[F.col(g).cast("string").alias(g) for g in group_cols],
+        F.col(col).cast("long").alias("_v"),
+    ).mapInPandas(partials, part_schema)
+
+    out_schema = ", ".join(
+        [f"{g} string" for g in group_cols] + ["uniq_up_to bigint"]
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        u: set = set()
+        for vals in pdf["vals"]:
+            u.update(int(v) for v in vals)
+            if len(u) >= cap:
+                break
+        head = pdf.iloc[[0]][group_cols].copy()
+        head["uniq_up_to"] = min(len(u), cap)
+        return head
+
+    return parts.groupBy(*group_cols).applyInPandas(merge, out_schema)

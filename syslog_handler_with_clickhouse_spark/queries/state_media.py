@@ -119,6 +119,68 @@ def q329(spark, sf_dir):
 
 
 @query(
+    "q340_bitmap_predicates",
+    """
+    WITH d AS (
+      SELECT DISTINCT event_type, event_id % 4096 AS v FROM events
+    ), t AS (
+      SELECT DISTINCT event_type FROM d
+    ), runs AS (
+      SELECT event_type, v,
+             LAG(v) OVER (PARTITION BY event_type ORDER BY v) AS prev
+      FROM d
+    ), nr AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN prev IS NULL OR prev < v - 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+      FROM runs GROUP BY event_type
+    )
+    SELECT a.event_type AS grp_a, b.event_type AS grp_b,
+           EXISTS (SELECT 1 FROM d x JOIN d y ON x.v = y.v
+                   WHERE x.event_type = a.event_type
+                     AND y.event_type = b.event_type) AS has_any,
+           NOT EXISTS (SELECT 1 FROM d y
+                       WHERE y.event_type = b.event_type
+                         AND y.v NOT IN (SELECT x.v FROM d x
+                                         WHERE x.event_type = a.event_type))
+             AS has_all,
+           CAST((SELECT COUNT(*) FROM d x
+                 WHERE x.event_type = a.event_type
+                   AND x.v IN (SELECT y.v FROM d y
+                               WHERE y.event_type = b.event_type))
+                AS BIGINT) AS and_card,
+           (SELECT n_runs FROM nr WHERE nr.event_type = a.event_type)
+             AS n_runs_a,
+           EXISTS (SELECT 1 FROM d x WHERE x.event_type = a.event_type
+                   AND x.v = 777) AS contains_0,
+           EXISTS (SELECT 1 FROM d x WHERE x.event_type = a.event_type
+                   AND x.v = 4095) AS contains_1
+    FROM t a CROSS JOIN t b
+    """,
+)
+def q340(spark, sf_dir):
+    """``bitmapHasAny`` / ``bitmapHasAll`` / ``bitmapContains`` +
+    ``bitmapAndCardinality`` over every ordered pair of stored bitmap
+    states (`operators/bitmaps.py:bitmap_predicate_matrix`) — the
+    predicate half of the CH bitmap surface that the q328/q329
+    aggregates imply, with n_runs state-size telemetry on the left
+    bitmap.  The pair matrix is a broadcast self-join of O(runs) state
+    rows; each predicate is an early-exit two-pointer (has_any /
+    has_all) or a bisect (contains) ON STATE — members are never
+    re-expanded.  The diagonal pins has_all's reflexivity; the
+    off-diagonal pairs pin real subset rejections; the oracle
+    re-derives every predicate relationally (EXISTS / NOT EXISTS /
+    IN-count) plus the gaps-and-islands run count."""
+    from ..operators.bitmaps import bitmap_predicate_matrix, group_bitmap
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("event_id") % 4096).alias("v")
+    )
+    states = group_bitmap(ev, "v", ["event_type"])
+    return bitmap_predicate_matrix(states, "event_type", [777, 4095])
+
+
+@query(
     "q330_incremental_mv_wide_state",
     """
     SELECT event_type,
@@ -1015,4 +1077,98 @@ def q339(spark, sf_dir):
         F.col("n_values").cast("bigint").alias("n_values"),
         F.when(c == 1, F.col("val_sum")).cast("bigint").alias("gray_px_sum"),
         (F.abs(mean - exp_mean) <= 2.0).alias("mean_ok"),
+    )
+
+
+@query(
+    "q341_quantile_timing",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CASE WHEN v < 1024 THEN v
+                  WHEN v < 65536 THEN v - (v % 16)
+                  ELSE 65535 END AS bucket
+      FROM (SELECT event_type,
+                   GREATEST(0, CAST(FLOOR(value * 997) AS BIGINT)) AS v
+            FROM events)
+    ), c AS (
+      SELECT event_type, bucket, COUNT(*) AS cnt FROM t GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bucket,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS total
+      FROM c
+    )
+    SELECT event_type,
+           CAST(MAX(total) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN bucket END)
+                AS BIGINT) AS qt_0_5,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.9 * total) THEN bucket END)
+                AS BIGINT) AS qt_0_9,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.99 * total) THEN bucket END)
+                AS BIGINT) AS qt_0_99
+    FROM cum GROUP BY event_type
+    """,
+)
+def q341(spark, sf_dir):
+    """``quantileTiming`` analogue
+    (`operators/sketches.py:timing_quantiles`): exact mergeable bucket
+    histogram with the CH timing bucket map — values < 1024 exact,
+    [1024, 65536) in 16-wide buckets (lower-bound representative),
+    >= 65536 saturating at 65535.  Fully native plan: one partial-agg
+    hash aggregate to <= 5057 bounded buckets per group (the exchange
+    carries bucket state, never raw timings), one window cumsum, then
+    min-bucket at rank ceil(q*N).  Deterministic integers, so the
+    oracle (same bucket arithmetic in SQL) matches exactly — no
+    tolerance."""
+    from ..operators.sketches import timing_quantiles
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 997).cast("long").alias("ms"),
+    )
+    out = timing_quantiles(ev, "ms", ["event_type"], [0.5, 0.9, 0.99])
+    return out.select(
+        "event_type",
+        "n",
+        F.col("qt_0_5").cast("bigint").alias("qt_0_5"),
+        F.col("qt_0_9").cast("bigint").alias("qt_0_9"),
+        F.col("qt_0_99").cast("bigint").alias("qt_0_99"),
+    )
+
+
+@query(
+    "q342_uniq_up_to",
+    """
+    SELECT event_type,
+           CAST(LEAST(COUNT(DISTINCT user_id), 11) AS BIGINT)
+             AS uniq_users_upto10,
+           CAST(LEAST(COUNT(DISTINCT event_id % 7), 11) AS BIGINT)
+             AS uniq_mod7_upto10
+    FROM events GROUP BY event_type
+    """,
+)
+def q342(spark, sf_dir):
+    """``uniqUpTo(10)`` analogue (`operators/sketches.py:uniq_up_to`):
+    exact distinct count while <= N, saturating at N+1 — the everyday
+    CH guard aggregate for "are there more than N of these".  Two-level
+    capped-set state: each (partition, group) keeps at most N+1
+    distinct longs (11 here) no matter the input cardinality, so the
+    one shuffle carries bounded state, never raw values.  Two axes pin
+    both sides of the cap: user_id saturates at 11; event_id % 7 stays
+    exact at 7."""
+    from ..operators.sketches import uniq_up_to
+
+    ev = _t(spark, sf_dir, "events")
+    a = uniq_up_to(ev, "user_id", ["event_type"], 10).withColumnRenamed(
+        "uniq_up_to", "uniq_users_upto10"
+    )
+    b = uniq_up_to(
+        ev.select("event_type", (F.col("event_id") % 7).alias("m7")),
+        "m7",
+        ["event_type"],
+        10,
+    ).withColumnRenamed("uniq_up_to", "uniq_mod7_upto10")
+    return a.join(b, "event_type").select(
+        "event_type", "uniq_users_upto10", "uniq_mod7_upto10"
     )

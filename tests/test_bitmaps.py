@@ -143,3 +143,50 @@ def test_group_bitmap_global_empty_input(spark):
     out2 = group_bitmap(df2.repartition(3), "v", []).collect()
     assert len(out2) == 1
     assert list(out2[0].runs) == [] and out2[0].cardinality == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(sets, sets, st.integers(min_value=-500, max_value=500))
+def test_predicate_kernels_match_set_semantics(a, b, v):
+    """bitmapHasAny == non-empty intersection; bitmapHasAll(a,b) ==
+    b ⊆ a; bitmapContains == membership — differential against Python
+    set algebra, including the empty-bitmap identities."""
+    from syslog_handler_with_clickhouse_spark.operators.bitmaps import (
+        runs_contains,
+        runs_has_all,
+        runs_has_any,
+    )
+
+    ra, rb = runs_from_values(a), runs_from_values(b)
+    assert runs_has_any(ra, rb) == bool(a & b)
+    assert runs_has_all(ra, rb) == (b <= a)
+    assert runs_has_all(rb, ra) == (a <= b)
+    assert runs_contains(ra, v) == (v in a)
+
+
+def test_bitmap_predicate_matrix_distributed(spark):
+    from syslog_handler_with_clickhouse_spark.operators.bitmaps import (
+        bitmap_predicate_matrix,
+    )
+
+    data = {
+        "a": set(range(0, 100)) | {500},
+        "b": set(range(10, 50)),          # subset of a
+        "c": set(range(90, 120)) | {900},  # overlaps a, not subset
+        "d": {2000, 2001},                 # disjoint from all others
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, v long").repartition(6)
+    states = group_bitmap(df, "v", ["grp"])
+    out = {
+        (r.grp_a, r.grp_b): r
+        for r in bitmap_predicate_matrix(states, "grp", [500, 42]).collect()
+    }
+    for ga, sa in data.items():
+        for gb, sb in data.items():
+            r = out[(ga, gb)]
+            assert r.has_any == bool(sa & sb), (ga, gb)
+            assert r.has_all == (sb <= sa), (ga, gb)
+            assert r.and_card == len(sa & sb), (ga, gb)
+            assert r.contains_0 == (500 in sa)
+            assert r.contains_1 == (42 in sa)

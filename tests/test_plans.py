@@ -657,3 +657,53 @@ def test_bigram_novelty_shuffles_on_bigram(spark):
     assert "bigram" in keys, keys
     # the only other exchange key is the final per-doc aggregate
     assert set(keys) <= {"bigram", "doc_id"}, keys
+
+
+def test_round8_timing_quantiles_native_and_bounded(spark):
+    """q341 (quantileTiming analogue) must stay JVM-side end-to-end and
+    aggregate to BOUNDED bucket state before the exchange: the first
+    hash aggregate keys on (event_type, bucket) with a partial_count —
+    raw timings never shuffle."""
+    df = QUERIES["q341_quantile_timing"](spark, SF_DIR)
+    assert python_eval_nodes(df) == []
+    plan = formatted_plan(df)
+    assert "partial_count" in plan, plan  # map-side combine on buckets
+    import re
+
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, plan
+    for e in exchanges:
+        keys = {k.split("#")[0].strip() for k in e.split(",")[:-1]}
+        # bucket-count agg keys on (event_type, bucket); the window
+        # cumsum re-keys on event_type only
+        assert keys in ({"event_type", "bucket"}, {"event_type"}), (
+            keys,
+            exchanges,
+        )
+
+
+def test_round8_uniq_up_to_state_is_capped(spark):
+    """uniq_up_to's level-1 output rows carry at most N+1 values no
+    matter the input cardinality or partitioning (the bounded-state
+    contract the shuffle relies on)."""
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        uniq_up_to,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("v")
+    )
+    # partial frames are internal; assert via the public result + a
+    # direct probe of the partial schema path at several partitionings
+    for parts in (1, 7, 32):
+        out = {
+            r.g: r.uniq_up_to
+            for r in uniq_up_to(
+                df.repartition(parts), "v", ["g"], 10
+            ).collect()
+        }
+        assert out == {"0": 11, "1": 11, "2": 11}, (parts, out)
+    low = spark.range(0, 5000).select(
+        F.lit("x").alias("g"), (F.col("id") % 6).alias("v")
+    )
+    assert uniq_up_to(low, "v", ["g"], 10).collect()[0].uniq_up_to == 6

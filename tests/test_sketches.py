@@ -454,3 +454,55 @@ def test_adaptive_histogram_partition_invariant(spark):
     lo16, hi16 = mode_mass(b16)
     assert abs(lo1 - 3000) < 150 and abs(lo16 - 3000) < 150
     assert abs(hi1 - 7000) < 150 and abs(hi16 - 7000) < 150
+
+
+# ---------------------------------------------------------------------
+# quantileTiming / uniqUpTo analogues (round 8)
+# ---------------------------------------------------------------------
+
+
+def test_timing_bucket_map_edges(spark):
+    """The CH-style bucket map at its three regime boundaries: exact
+    below 1024, 16-wide lower-bound buckets to 65535, saturation
+    above; negatives clamp to 0."""
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        timing_bucket,
+    )
+
+    vals = [-5, 0, 1, 1023, 1024, 1039, 1040, 65535, 65536, 10**9]
+    exp = [0, 0, 1, 1023, 1024, 1024, 1040, 65520, 65535, 65535]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = [r.bucket for r in df.select(timing_bucket("v")).collect()]
+    assert got == exp
+
+
+def test_timing_quantiles_exact_and_partition_invariant(spark):
+    """Quantiles are exact ranks over bucket counts (rank = ceil(q*N)),
+    and the result is independent of input partitioning — the bucket
+    counts are a mergeable state."""
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        timing_quantiles,
+    )
+
+    # group a: 1..100 exact region -> q50=50, q90=90, q99=99
+    # group b: spans regimes
+    rows = [("a", v) for v in range(1, 101)]
+    rows += [("b", v) for v in [10, 2000, 2010, 70000]]
+    ref = None
+    for parts in (1, 5, 32):
+        df = spark.createDataFrame(rows, "g string, ms long").repartition(
+            parts
+        )
+        out = {
+            r.g: (r.n, r.qt_0_5, r.qt_0_9, r.qt_0_99)
+            for r in timing_quantiles(df, "ms", ["g"], [0.5, 0.9, 0.99]).collect()
+        }
+        if ref is None:
+            ref = out
+        assert out == ref, parts
+    assert ref["a"] == (100, 50, 90, 99)
+    # group b reference: apply the bucket map, then rank ceil(q*4)
+    b_sorted = sorted(
+        [v if v < 1024 else (v - v % 16 if v < 65536 else 65535) for v in [10, 2000, 2010, 70000]]
+    )
+    assert ref["b"] == (4, b_sorted[1], b_sorted[3], b_sorted[3])
