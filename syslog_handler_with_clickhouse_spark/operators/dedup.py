@@ -475,7 +475,26 @@ def winnow_fingerprints(
     return sel
 
 
-def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label-propagation round: neighbors' min label via ONE
+    edge-sized equi-join (keyed on src) + min-aggregate (keyed on dst),
+    folded into the current labels (keyed on node).  Extracted so the
+    per-round plan can be pinned: every exchange keys on the join key
+    only — src, dst, or node — never on labels or payloads."""
+    prop = (
+        edges.join(labels.select(F.col("node").alias("src"), "comp"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.min("comp").alias("ncomp"))
+    )
+    return labels.join(prop, "node", "left").select(
+        "node",
+        F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+    )
+
+
+def dedup_components(
+    pairs: DataFrame, max_iter: int = 25, stats: list | None = None
+) -> DataFrame:
     """Connected components over the candidate near-dup graph — the
     step that turns pairwise LSH hits into DEDUP CLUSTERS (keep one doc
     per component, drop the rest): pairs are not transitive-closed, so
@@ -499,7 +518,12 @@ def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 
     Returns (node, comp) for every node that appears in ``pairs``;
     comp = min doc id of the component, so ``node == comp`` marks the
-    canonical keeper."""
+    canonical keeper.  If ``stats`` is a list, one dict per round
+    ({"round", "sec", "changed"}) is appended — used by
+    scripts/cc_scale_bench.py to record rounds-to-converge and
+    per-round wall time at scale."""
+    import time as _time
+
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -512,24 +536,9 @@ def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        prop = (
-            edges.join(
-                labels.select(F.col("node").alias("src"), "comp"), "src"
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        new = (
-            labels.join(prop, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce("ncomp", "comp")
-                ).alias("comp"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    for rnd in range(max_iter):
+        t0 = _time.perf_counter()
+        new = _cc_round(edges, labels).localCheckpoint(eager=True)
         changed = (
             new.alias("n")
             .join(labels.select("node", F.col("comp").alias("oc")), "node")
@@ -537,6 +546,14 @@ def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .limit(1)
             .count()
         )
+        if stats is not None:
+            stats.append(
+                {
+                    "round": rnd + 1,
+                    "sec": round(_time.perf_counter() - t0, 2),
+                    "changed": changed,
+                }
+            )
         old = labels
         labels = new
         old.unpersist()

@@ -3,6 +3,8 @@ incremental == recompute, idempotent replay, state versioning."""
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from syslog_handler_with_clickhouse_spark.sources.mv import read_mv, refresh_mv
@@ -207,3 +209,99 @@ def test_wide_state_group_deleted_to_zero_dropped(spark, tmp_path):
         spark, mv, src, ["k"], ["v"], ["v"], ["uid"], 1, 2, batch_id=2
     )
     assert [r.k for r in read_mv(spark, mv).collect()] == ["stay"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            # insert batch: 1-4 rows of (key, uid, value)
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["a", "b", "c"]),
+                    st.integers(min_value=1, max_value=6),
+                    st.integers(min_value=-50, max_value=50),
+                ),
+                min_size=1,
+                max_size=4,
+            ),
+            # delete: by uid (int) or by key (string)
+            st.tuples(st.just("uid"), st.integers(min_value=1, max_value=6)),
+            st.tuples(st.just("key"), st.sampled_from(["a", "b"])),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_wide_state_random_interleavings_match_recompute(spark, ops):
+    """Round-7 verdict #8: hypothesis over random insert/delete
+    interleavings — after EVERY version, the incrementally maintained
+    wide state (count/sum algebraic fold + min/max/uniq bounded
+    partial-rescan) must equal a full recompute of the source snapshot.
+    Values are integer-valued doubles so float summation is exact."""
+    import tempfile
+
+    from syslog_handler_with_clickhouse_spark.sources.mv import (
+        finalize_uniq,
+        read_mv,
+        refresh_mv_wide,
+        refresh_mv_wide_from_changefeed,
+    )
+    from syslog_handler_with_clickhouse_spark.sources.snapshots import (
+        read_snapshot,
+        rewrite_snapshot,
+        write_snapshot,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        src = f"{td}/src"
+        mv = f"{td}/mv"
+        # version 1: a fixed seed batch so the MV always initializes
+        seed_rows = [("a", 1, 10.0), ("b", 2, -5.0), ("a", 3, 7.0)]
+        d0 = spark.createDataFrame(seed_rows, "k string, uid long, v double")
+        write_snapshot(d0, src)
+        refresh_mv_wide(d0, mv, ["k"], ["v"], ["v"], ["uid"], batch_id=1)
+        ver = 1
+        for step, op in enumerate(ops):
+            if isinstance(op, list):  # insert batch
+                batch = spark.createDataFrame(
+                    [(k, u, float(v)) for k, u, v in op],
+                    "k string, uid long, v double",
+                )
+                write_snapshot(batch, src)
+            else:  # delete
+                kind, val = op
+                if kind == "uid":
+                    rewrite_snapshot(
+                        spark, src, lambda df: df.filter(F.col("uid") != val)
+                    )
+                else:
+                    rewrite_snapshot(
+                        spark, src, lambda df: df.filter(F.col("k") != val)
+                    )
+            refresh_mv_wide_from_changefeed(
+                spark, mv, src, ["k"], ["v"], ["v"], ["uid"],
+                ver, ver + 1, batch_id=step + 2,
+            )
+            ver += 1
+            state = read_mv(spark, mv)
+            got = {
+                r.k: (r.n, r.sum_v, r.min_v, r.max_v, float(r.uniq))
+                for r in state.withColumn(
+                    "uniq", finalize_uniq(state, "uid")
+                ).collect()
+            }
+            want = {
+                r.k: (r.n, r.sum_v, r.min_v, r.max_v, float(r.uniq))
+                for r in read_snapshot(spark, src)
+                .groupBy("k")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("v").alias("sum_v"),
+                    F.min("v").alias("min_v"),
+                    F.max("v").alias("max_v"),
+                    F.countDistinct("uid").alias("uniq"),
+                )
+                .collect()
+            }
+            assert got == want, (step, op, got, want)

@@ -248,9 +248,68 @@ def _gen_join_statement(rng: random.Random) -> str:
     )
 
 
+# Interval/window-agg productions (round-7 verdict #6): the sweep-line
+# (q333 intervalLengthSum) and max-intersections (q336) shapes share the
+# subtle EXCLUSIVE-frame semantics (cummax over ROWS BETWEEN UNBOUNDED
+# PRECEDING AND 1 PRECEDING; running sum over collapsed +1/-1 deltas) —
+# the two most divergence-prone window idioms in the native families.
+# Intervals are [lo, hi) built from integer columns so all outputs are
+# exact integers; per-position delta collapse makes the running sum
+# tie-free, and duplicate (lo, hi) rows are symmetric under the
+# aggregate, so results are engine-deterministic without a total order.
+INTERVAL_GROUPS = ["event_type", "user_id % 5", "event_id % 3"]
+INTERVAL_WIDTHS = [
+    "event_id % 7 + 1",
+    "event_id % 13 + 1",
+    "event_id % 29 + 1",
+    "user_id % 11 + 2",
+]
+
+
+def _gen_interval_statement(rng: random.Random) -> str:
+    g = rng.choice(INTERVAL_GROUPS)
+    wexpr = rng.choice(INTERVAL_WIDTHS)
+    pred = " AND ".join(rng.sample(PREDICATES, rng.randint(1, 2)))
+    iv = (
+        f"SELECT {g} AS g, user_id AS lo, user_id + {wexpr} AS hi "
+        f"FROM events WHERE {pred}"
+    )
+    if rng.random() < 0.5:  # sweep-line union length + merged count
+        return (
+            "WITH iv AS (" + iv + "), sw AS ("
+            " SELECT g, lo, hi,"
+            " MAX(hi) OVER (PARTITION BY g ORDER BY lo, hi"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm"
+            " FROM iv)"
+            " SELECT g,"
+            " CAST(SUM(GREATEST(hi - GREATEST(lo, COALESCE(pm, lo)), 0))"
+            " AS BIGINT) AS union_len,"
+            " CAST(SUM(CASE WHEN pm IS NULL OR lo > pm THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_merged"
+            " FROM sw GROUP BY g"
+        )
+    # max-intersections / position of first maximum
+    return (
+        "WITH iv AS (" + iv + "), deltas AS ("
+        " SELECT g, pos, SUM(d) AS dd FROM ("
+        " SELECT g, lo AS pos, 1 AS d FROM iv"
+        " UNION ALL SELECT g, hi AS pos, -1 AS d FROM iv) u"
+        " GROUP BY g, pos), run AS ("
+        " SELECT g, pos, SUM(dd) OVER (PARTITION BY g ORDER BY pos) AS cur"
+        " FROM deltas)"
+        " SELECT g, CAST(MAX(cur) AS BIGINT) AS max_conc,"
+        " CAST(MIN(CASE WHEN cur = mx THEN pos END) AS BIGINT) AS max_pos"
+        " FROM (SELECT g, pos, cur, MAX(cur) OVER (PARTITION BY g) AS mx"
+        " FROM run) t GROUP BY g"
+    )
+
+
 def _gen_statement(rng: random.Random) -> str:
-    if rng.random() < 0.15:
+    r0 = rng.random()
+    if r0 < 0.15:
         return _gen_join_statement(rng)
+    if r0 < 0.24:
+        return _gen_interval_statement(rng)
     where = " AND ".join(rng.sample(PREDICATES, rng.randint(1, 3)))
     if rng.random() < 0.3:
         extra = rng.choice(PREDICATES)
