@@ -1172,3 +1172,105 @@ def q342(spark, sf_dir):
     return a.join(b, "event_type").select(
         "event_type", "uniq_users_upto10", "uniq_mod7_upto10"
     )
+
+
+@query(
+    "q343_media_adam7_float_wav",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 3 AS form,
+             (doc_id % 31) + 4 AS w,
+             (doc_id % 17) + 2 AS h,
+             CASE WHEN CAST(doc_id / 19 AS BIGINT) % 2 = 0
+                  THEN 1 ELSE 3 END AS c,
+             (doc_id % 500) + 50 AS ns
+      FROM documents WHERE doc_id % 19 = 0
+    ), e AS (
+      SELECT d.*, CASE WHEN form = 0 THEN w * h * c ELSE ns END AS n
+      FROM d
+    ), v AS (
+      SELECT e.doc_id, e.form,
+             CASE WHEN e.form = 0 THEN (e.doc_id * 7 + 13 * t.k) % 251
+                  WHEN e.form = 1 THEN ((e.doc_id + 31 * t.k) % 2001) - 1000
+                  ELSE ((e.doc_id * 11 + 97 * t.k) % 160001) - 80000
+             END AS val
+      FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS k) t
+    )
+    SELECT doc_id,
+           CASE WHEN form = 0 THEN 'png' ELSE 'wav' END AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(val) AS BIGINT) AS val_sum,
+           CAST(MIN(val) AS BIGINT) AS val_min,
+           CAST(MAX(val) AS BIGINT) AS val_max
+    FROM v GROUP BY doc_id, form
+    """,
+)
+def q343(spark, sf_dir):
+    """Round-8 media-format closures through the shared distributed
+    decode path: ADAM7-INTERLACED PNG (seven independently filtered
+    sub-images de-interleaved onto the 8x8 pass grid, default filter
+    cycling 0..4 across pass rows — `multimodal.decode_png_pixels`),
+    IEEE-FLOAT WAV (format tag 3, float32 — integer-valued fixtures so
+    the stat reduction stays exact), and PACKED 24-BIT PCM WAV
+    (vectorized pad-and-shift widening).  Same construct-then-decode
+    oracle as q224/q228: executor-built fixtures follow closed-form
+    arithmetic patterns; decoded value statistics must equal the
+    oracle's direct computation over the same pattern.  Per-asset
+    output O(1), bytes never on the driver."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import decode_assets, encode_png, encode_wav
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 19 == 0)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                form = d % 3
+                if form == 0:
+                    w, h = d % 31 + 4, d % 17 + 2
+                    c = 1 if (d // 19) % 2 == 0 else 3
+                    px = bytes(
+                        (d * 7 + 13 * k) % 251 for k in range(w * h * c)
+                    )
+                    payloads.append(encode_png(px, w, h, c, interlace=True))
+                elif form == 1:
+                    ns = d % 500 + 50
+                    samples = np.array(
+                        [((d + 31 * k) % 2001) - 1000 for k in range(ns)],
+                        dtype=np.float32,
+                    )
+                    payloads.append(
+                        encode_wav(samples, 48000, 1, fmt="float32")
+                    )
+                else:
+                    ns = d % 500 + 50
+                    samples = [
+                        ((d * 11 + 97 * k) % 160001) - 80000
+                        for k in range(ns)
+                    ]
+                    payloads.append(
+                        encode_wav(samples, 44100, 1, fmt="pcm24")
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    return dec.select(
+        "doc_id",
+        "kind",
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("val_sum"),
+        F.col("val_min").cast("bigint").alias("val_min"),
+        F.col("val_max").cast("bigint").alias("val_max"),
+    )

@@ -136,10 +136,75 @@ def test_wav_8bit_and_unsupported():
     assert (rate, ch, bits) == (8000, 1, 8)
     assert got.tolist() == [0, 128, 255]
 
-    fmt_float = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
-    body_f = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_float)) + fmt_float
+    # WAVE_FORMAT_EXTENSIBLE stays guarded (float32 now decodes)
+    fmt_ext = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 32000, 4, 32)
+    body_f = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_ext)) + fmt_ext
     with pytest.raises(NotImplementedError, match="tag"):
         decode_wav_samples(b"RIFF" + struct.pack("<I", len(body_f)) + body_f)
+
+
+def test_wav_float32_roundtrip():
+    """IEEE-float WAV (format tag 3): float32 samples decode exactly
+    (float64 out), the everyday DAW-export format."""
+    import numpy as np
+
+    samples = np.array([0.0, 0.5, -0.25, 1.0, -1.0, 3.75], dtype=np.float32)
+    blob = encode_wav(samples, 48000, 2, fmt="float32")
+    rate, ch, bits, got = decode_wav_samples(blob)
+    assert (rate, ch, bits) == (48000, 2, 32)
+    assert got.dtype == np.float64
+    assert got.tolist() == samples.astype(np.float64).tolist()
+
+
+def test_wav_pcm24_roundtrip():
+    """Packed 24-bit PCM: 3-byte little-endian signed samples widen via
+    the vectorized pad-and-shift (no per-sample loop); full range incl.
+    the extremes round-trips."""
+    import numpy as np
+
+    samples = np.array(
+        [0, 1, -1, 8_388_607, -8_388_608, 70_000, -70_000], dtype=np.int64
+    )
+    blob = encode_wav(samples, 44100, 1, fmt="pcm24")
+    rate, ch, bits, got = decode_wav_samples(blob)
+    assert (rate, ch, bits) == (44100, 1, 24)
+    assert got.tolist() == samples.tolist()
+
+
+def test_png_adam7_roundtrip_all_color_types():
+    """Adam7: seven independently filtered sub-images must de-interleave
+    back to the exact source pixels for every supported color type.
+    Odd dims exercise fractional passes; w=5,h=3 leaves several passes
+    EMPTY (no scanlines at all) — the spec subtlety most decoders get
+    wrong first."""
+    for w, h, c in ((13, 9, 1), (8, 8, 3), (5, 3, 4), (21, 17, 2), (1, 1, 3)):
+        px = bytes((i * 7 + 3) % 256 for i in range(w * h * c))
+        blob = encode_png(px, w, h, c, interlace=True)
+        W, H, C, got = decode_png_pixels(blob)
+        assert (W, H, C) == (w, h, c)
+        assert got == px, (w, h, c)
+        # header really says Adam7 and the stream differs from
+        # the non-interlaced encoding of the same pixels
+        assert blob[28] == 1 and encode_png(px, w, h, c)[28] == 0
+
+
+def test_png_adam7_explicit_filters_and_non_interlaced_unchanged():
+    """Explicit per-pass-row filter lists are honored in Adam7 order,
+    and the non-interlaced path is byte-identical to before the
+    refactor (all five filter types)."""
+    w, h, c = 11, 7, 3
+    px = bytes((i * 5 + 1) % 256 for i in range(w * h * c))
+    n_pass_rows = 0
+    for x0, y0, dx, dy in ((0,0,8,8),(4,0,8,8),(0,4,4,8),(2,0,4,4),(0,2,2,4),(1,0,2,2),(0,1,1,2)):
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            n_pass_rows += ph
+    filters = [(3 + r) % 5 for r in range(n_pass_rows)]
+    blob = encode_png(px, w, h, c, filters=filters, interlace=True)
+    assert decode_png_pixels(blob)[3] == px
+    plain = encode_png(px, w, h, c, filters=[r % 5 for r in range(h)])
+    assert decode_png_pixels(plain)[3] == px
 
 
 def test_decode_real_dispatch_and_remaining_stub():
