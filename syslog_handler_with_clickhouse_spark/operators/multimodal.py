@@ -111,14 +111,15 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     no PIL, no libpng (the round-5 verdict's "last partial" closure).
 
     Supports the 8-bit-per-sample color types: 0 (gray), 2 (RGB),
-    4 (gray+alpha), 6 (RGBA), BOTH non-interlaced and Adam7-interlaced
-    (seven independently filtered sub-images de-interleaved onto the
-    8×8 pass grid; empty passes of narrow images contribute no
-    scanlines, per spec).  Walks the chunk stream verifying each CRC,
-    concatenates IDAT segments, inflates, then reverses the
-    per-scanline filter (all five types: None/Sub/Up/Average/Paeth)
-    against the reconstructed prior row of the same (sub-)image.
-    Palette (type 3) and 1/2/4/16-bit depths raise
+    3 (palette — index bytes ride through the filter layer, then
+    expand via PLTE to RGB), 4 (gray+alpha), 6 (RGBA), BOTH
+    non-interlaced and Adam7-interlaced (seven independently filtered
+    sub-images de-interleaved onto the 8×8 pass grid; empty passes of
+    narrow images contribute no scanlines, per spec).  Walks the chunk
+    stream verifying each CRC, concatenates IDAT segments, inflates,
+    then reverses the per-scanline filter (all five types:
+    None/Sub/Up/Average/Paeth) against the reconstructed prior row of
+    the same (sub-)image.  1/2/4/16-bit depths raise
     ``NotImplementedError`` — format features, not environment stubs.
 
     Returns ``(width, height, channels, pixels)`` where ``pixels`` is
@@ -132,6 +133,7 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a PNG")
     ihdr = None
     idat = bytearray()
+    plte = None
     i = 8
     while i + 12 <= len(b):
         (length,) = struct.unpack(">I", b[i : i + 4])
@@ -142,6 +144,10 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
         if typ == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            if len(data) % 3 or not 3 <= len(data) <= 768:
+                raise ValueError("invalid PLTE length")
+            plte = data
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -154,35 +160,48 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         raise NotImplementedError(f"bit depth {depth} unsupported (8 only)")
     if interlace not in (0, 1):
         raise ValueError(f"invalid interlace method {interlace}")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    # palette images carry 1 index byte/pixel through the filter layer,
+    # then expand to RGB via PLTE at the end
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise NotImplementedError(f"color type {color_type} unsupported")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette image missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
     stride = w * channels
     if interlace == 0:
         out, off = _unfilter_pass(raw, 0, w, h, channels)
         if off != len(raw):
             raise ValueError("decompressed IDAT length != h * (stride + 1)")
-        return w, h, channels, out
-    # Adam7: seven filtered sub-images, de-interleaved onto the grid
-    out = bytearray(h * stride)
-    off = 0
-    for x0, y0, dx, dy in _ADAM7:
-        pw = (w - x0 + dx - 1) // dx
-        ph = (h - y0 + dy - 1) // dy
-        if pw <= 0 or ph <= 0:
-            continue  # empty pass: no scanlines at all (spec §8.2)
-        sub, off = _unfilter_pass(raw, off, pw, ph, channels)
-        for j in range(ph):
-            y = y0 + j * dy
-            row = (j * pw) * channels
-            for i2 in range(pw):
-                x = x0 + i2 * dx
-                dst = (y * w + x) * channels
-                src = row + i2 * channels
-                out[dst : dst + channels] = sub[src : src + channels]
-    if off != len(raw):
-        raise ValueError("decompressed IDAT length != Adam7 pass layout")
+    else:
+        # Adam7: seven filtered sub-images, de-interleaved onto the grid
+        out = bytearray(h * stride)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass: no scanlines at all (spec §8.2)
+            sub, off = _unfilter_pass(raw, off, pw, ph, channels)
+            for j in range(ph):
+                y = y0 + j * dy
+                row = (j * pw) * channels
+                for i2 in range(pw):
+                    x = x0 + i2 * dx
+                    dst = (y * w + x) * channels
+                    src = row + i2 * channels
+                    out[dst : dst + channels] = sub[src : src + channels]
+        if off != len(raw):
+            raise ValueError("decompressed IDAT length != Adam7 pass layout")
+        out = bytes(out)
+    if color_type == 3:
+        npal = len(plte) // 3
+        rgb = bytearray(w * h * 3)
+        for k, idx in enumerate(out):
+            if idx >= npal:
+                raise ValueError(f"palette index {idx} out of range")
+            rgb[3 * k : 3 * k + 3] = plte[3 * idx : 3 * idx + 3]
+        return w, h, 3, bytes(rgb)
     return w, h, channels, bytes(out)
 
 
@@ -297,6 +316,153 @@ def encode_png(
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
+
+
+def encode_png_palette(
+    indices: bytes, w: int, h: int, palette: bytes,
+    interlace: bool = False, filters=None,
+) -> bytes:
+    """Forward palette-PNG encoder (color type 3): one index byte per
+    pixel filtered exactly like a 1-channel image, plus the PLTE chunk
+    (3 bytes/entry).  Fixture-builder twin of the type-3 decode path —
+    reuses :func:`encode_png`'s scanline/Adam7 machinery and rewrites
+    the IHDR color type + inserts PLTE."""
+    import struct
+    import zlib
+
+    if len(palette) % 3 or not 3 <= len(palette) <= 768:
+        raise ValueError("palette must be 1..256 RGB triples")
+    base = encode_png(indices, w, h, 1, filters=filters, interlace=interlace)
+    # IHDR data: 8 sig + 4 len + 4 type .. 13 bytes; color type at +25
+    out = bytearray(base)
+    out[25] = 3
+    ihdr_data = bytes(out[16:29])
+    crc = zlib.crc32(b"IHDR" + ihdr_data)
+    out[29:33] = struct.pack(">I", crc)
+    plte = (
+        struct.pack(">I", len(palette))
+        + b"PLTE"
+        + palette
+        + struct.pack(">I", zlib.crc32(b"PLTE" + palette))
+    )
+    return bytes(out[:33]) + plte + bytes(out[33:])
+
+
+def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
+    """REAL BMP pixel decode (stdlib ``struct`` only): BITMAPINFOHEADER
+    (40-byte DIB), uncompressed BI_RGB, in the three everyday layouts —
+    24-bit BGR, 32-bit BGRX (padding byte dropped), and 8-bit
+    palettized (BGRA quads expanded to RGB).  Bottom-up rows (positive
+    height) are flipped to top-down; negative height means top-down
+    already; rows are padded to 4-byte boundaries per spec.  RLE
+    compression and other DIB header sizes raise
+    ``NotImplementedError``.
+
+    Returns ``(width, height, 3, rgb_bytes)`` row-major top-down."""
+    import struct
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    if len(b) < 54:
+        raise ValueError("BMP truncated")
+    (data_off,) = struct.unpack("<I", b[10:14])
+    (dib_size,) = struct.unpack("<I", b[14:18])
+    if dib_size < 40:
+        raise NotImplementedError(f"DIB header size {dib_size} unsupported")
+    w, h_signed = struct.unpack("<ii", b[18:26])
+    planes, bpp = struct.unpack("<HH", b[26:30])
+    (compression,) = struct.unpack("<I", b[30:34])
+    (colors_used,) = struct.unpack("<I", b[46:50])
+    if planes != 1:
+        raise ValueError(f"BMP planes {planes} != 1")
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} unsupported")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP unsupported")
+    if w <= 0 or h_signed == 0:
+        raise ValueError("invalid BMP dimensions")
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    palette = None
+    if bpp == 8:
+        npal = colors_used or 256
+        pal_off = 14 + dib_size
+        palette = b[pal_off : pal_off + 4 * npal]
+        if len(palette) != 4 * npal:
+            raise ValueError("BMP palette truncated")
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    need = row_bytes * h
+    if len(b) < data_off + need:
+        raise ValueError("BMP pixel data truncated")
+    out = bytearray(w * h * 3)
+    for r in range(h):
+        src_row = r if top_down else h - 1 - r
+        base = data_off + src_row * row_bytes
+        dst = r * w * 3
+        if bpp == 24:
+            for x in range(w):
+                bb, gg, rr = b[base + 3 * x : base + 3 * x + 3]
+                out[dst + 3 * x : dst + 3 * x + 3] = bytes((rr, gg, bb))
+        elif bpp == 32:
+            for x in range(w):
+                bb, gg, rr = b[base + 4 * x : base + 4 * x + 3]
+                out[dst + 3 * x : dst + 3 * x + 3] = bytes((rr, gg, bb))
+        else:  # 8-bit palettized
+            for x in range(w):
+                idx = b[base + x]
+                if idx * 4 + 3 > len(palette):
+                    raise ValueError(f"BMP palette index {idx} out of range")
+                bb, gg, rr, _a = palette[4 * idx : 4 * idx + 4]
+                out[dst + 3 * x : dst + 3 * x + 3] = bytes((rr, gg, bb))
+    return w, h, 3, bytes(out)
+
+
+def encode_bmp(
+    pixels: bytes, w: int, h: int, bpp: int = 24,
+    palette: bytes | None = None, top_down: bool = False,
+) -> bytes:
+    """Forward BMP encoder (fixture-builder twin of
+    :func:`decode_bmp_pixels`).  ``pixels`` is row-major top-down RGB
+    for 24/32-bit, or palette indices for 8-bit (with ``palette`` as
+    RGB triples, expanded to BGRA quads).  Emits bottom-up rows unless
+    ``top_down`` (negative height)."""
+    import struct
+
+    if bpp in (24, 32):
+        assert len(pixels) == w * h * 3
+        pal_bytes = b""
+    elif bpp == 8:
+        assert palette is not None and len(pixels) == w * h
+        npal = len(palette) // 3
+        pal_bytes = b"".join(
+            bytes((palette[3 * i + 2], palette[3 * i + 1], palette[3 * i], 0))
+            for i in range(npal)
+        )
+    else:
+        raise ValueError(f"unsupported bpp {bpp}")
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    data = bytearray()
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    for r in rows:
+        row = bytearray()
+        if bpp == 8:
+            row += pixels[r * w : (r + 1) * w]
+        else:
+            for x in range(w):
+                rr, gg, bb = pixels[(r * w + x) * 3 : (r * w + x) * 3 + 3]
+                row += bytes((bb, gg, rr))
+                if bpp == 32:
+                    row.append(0)
+        row += bytes(row_bytes - len(row))
+        data += row
+    npal = len(pal_bytes) // 4
+    data_off = 14 + 40 + len(pal_bytes)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, 0,
+        len(data), 2835, 2835, npal, 0,
+    )
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
+    return hdr + dib + pal_bytes + bytes(data)
 
 
 def decode_wav_samples(b: bytes) -> tuple[int, int, int, "object"]:
@@ -653,6 +819,8 @@ def decode_real(payload: bytes):
         return ("png", *decode_png_pixels(payload))
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return ("gif", *decode_gif_pixels(payload))
+    if payload[:2] == b"BM":
+        return ("bmp", *decode_bmp_pixels(payload))
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return ("wav", *decode_wav_samples(payload))
     if payload[:2] == b"\xff\xd8":
@@ -920,7 +1088,7 @@ def decode_assets(assets: DataFrame) -> DataFrame:
                     rows.append((int(did), "undecoded", None, None, None,
                                  None, None, None, None, None))
                     continue
-                if decoded[0] in ("png", "gif", "jpeg"):
+                if decoded[0] in ("png", "gif", "jpeg", "bmp"):
                     kind, w, h, c, px = decoded
                     a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
                     rows.append((int(did), kind, w, h, c, None, a.size,

@@ -1274,3 +1274,103 @@ def q343(spark, sf_dir):
         F.col("val_min").cast("bigint").alias("val_min"),
         F.col("val_max").cast("bigint").alias("val_max"),
     )
+
+
+@query(
+    "q344_media_palette_png_bmp",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 29) + 3 AS w,
+             (doc_id % 13) + 2 AS h
+      FROM documents WHERE doc_id % 23 = 0
+    ), v AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 2 = 0
+                  THEN (((d.doc_id * 3 + 5 * (t.k // 3)) % 16)
+                        * 17 + (t.k % 3) * 5 + d.doc_id) % 256
+                  ELSE (d.doc_id * 7 + 13 * t.k) % 251
+             END AS val
+      FROM d, LATERAL (SELECT unnest(range(0, d.w * d.h * 3)) AS k) t
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(val) AS BIGINT) AS val_sum,
+           CAST(MIN(val) AS BIGINT) AS val_min,
+           CAST(MAX(val) AS BIGINT) AS val_max
+    FROM v GROUP BY doc_id
+    """,
+)
+def q344(spark, sf_dir):
+    """PALETTE-PNG (color type 3, PLTE expansion, alternating Adam7)
+    and BMP (24/32-bit BGR(X), alternating bottom-up/top-down, 4-byte
+    row padding) through the shared distributed decode path
+    (`multimodal.decode_png_pixels` type-3 branch,
+    `multimodal.decode_bmp_pixels`).  Even docs build a 16-entry
+    palette whose triples and index raster both follow closed-form
+    arithmetic, so the EXPANDED RGB statistics are SQL-computable; odd
+    docs carry the q224 pixel pattern through the BMP container
+    layouts.  A decoder that mis-expanded the palette, dropped the BGR
+    swap, misread row padding, or flipped rows the wrong way would
+    break the exact sums."""
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        decode_assets,
+        encode_bmp,
+        encode_png_palette,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 0)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 29 + 3, d % 13 + 2
+                alt = (d // 23) % 2 == 1
+                if d % 2 == 0:
+                    palette = bytes(
+                        (i * 17 + j * 5 + d) % 256
+                        for i in range(16)
+                        for j in range(3)
+                    )
+                    indices = bytes(
+                        (d * 3 + 5 * p) % 16 for p in range(w * h)
+                    )
+                    payloads.append(
+                        encode_png_palette(
+                            indices, w, h, palette, interlace=alt
+                        )
+                    )
+                else:
+                    rgb = bytes(
+                        (d * 7 + 13 * k) % 251 for k in range(w * h * 3)
+                    )
+                    payloads.append(
+                        encode_bmp(
+                            rgb, w, h,
+                            bpp=24 if d % 4 == 1 else 32,
+                            top_down=alt,
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    return dec.select(
+        "doc_id",
+        "kind",
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("val_sum"),
+        F.col("val_min").cast("bigint").alias("val_min"),
+        F.col("val_max").cast("bigint").alias("val_max"),
+    )

@@ -103,12 +103,45 @@ def test_png_unsupported_features_raise_not_implemented():
     )
     with pytest.raises(NotImplementedError, match="depth"):
         decode_png_pixels(blob16)
+    # palette (type 3) now decodes — a MISSING PLTE is corrupt, not
+    # unsupported; an undefined color type stays a format guard
     ihdr_pal = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
     blob_pal = (
         b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr_pal) + _chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="color type"):
+    with pytest.raises(ValueError, match="PLTE"):
         decode_png_pixels(blob_pal)
+    ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 8, 5, 0, 0, 0)
+    blob_bad = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr_bad) + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="color type"):
+        decode_png_pixels(blob_bad)
+
+
+def test_png_palette_roundtrip():
+    """Color type 3: index bytes ride through the filter layer, then
+    expand via PLTE to RGB — including Adam7-interlaced palette images
+    and an out-of-range index rejection."""
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        encode_png_palette,
+    )
+
+    w, h = 9, 5
+    palette = bytes((i * 17 + j * 5) % 256 for i in range(16) for j in range(3))
+    indices = bytes((x * 3 + y * 7) % 16 for y in range(h) for x in range(w))
+    exp = b"".join(
+        palette[3 * i : 3 * i + 3] for i in indices
+    )
+    for interlace in (False, True):
+        blob = encode_png_palette(indices, w, h, palette, interlace=interlace)
+        W, H, C, got = decode_png_pixels(blob)
+        assert (W, H, C) == (w, h, 3)
+        assert got == exp, interlace
+    # index beyond the palette -> corrupt stream
+    bad = encode_png_palette(bytes([0, 1, 2, 15]), 2, 2, palette[: 3 * 8])
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png_pixels(bad)
 
 
 def test_wav_roundtrip_16bit():
@@ -375,3 +408,51 @@ def test_gif_decode_assets_distributed(spark):
     assert r.n_values == len(rgb)
     assert r.val_sum == sum(rgb)
     assert (r.val_min, r.val_max) == (min(rgb), max(rgb))
+
+
+def test_bmp_roundtrip_all_layouts():
+    """BMP: 24-bit bottom-up (default), 32-bit BGRX, 8-bit palettized,
+    and top-down (negative height) all round-trip to the same RGB
+    pixels; 4-byte row padding exercised via odd widths."""
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    w, h = 7, 5  # odd width -> padded rows for every bpp
+    rgb = bytes((x * 29 + y * 31 + c * 53) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    for kwargs in ({"bpp": 24}, {"bpp": 32}, {"bpp": 24, "top_down": True}):
+        blob = encode_bmp(rgb, w, h, **kwargs)
+        assert decode_bmp_pixels(blob) == (w, h, 3, rgb), kwargs
+    palette = bytes((i * 11 + j) % 256 for i in range(16) for j in range(3))
+    idx = bytes((x + y * 3) % 16 for y in range(h) for x in range(w))
+    exp = b"".join(palette[3 * i : 3 * i + 3] for i in idx)
+    blob = encode_bmp(idx, w, h, bpp=8, palette=palette)
+    assert decode_bmp_pixels(blob) == (w, h, 3, exp)
+
+
+def test_bmp_guards_and_dispatch():
+    import struct
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    blob = bytearray(encode_bmp(bytes(27), 3, 3))
+    # RLE8 compression -> guard
+    rle = bytearray(blob)
+    rle[30:34] = struct.pack("<I", 1)
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_bmp_pixels(bytes(rle))
+    # 16-bit -> guard
+    b16 = bytearray(blob)
+    b16[28:30] = struct.pack("<H", 16)
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_bmp_pixels(bytes(b16))
+    with pytest.raises(ValueError):
+        decode_bmp_pixels(b"BMshort")
+    # decode_real dispatches on the BM magic
+    kind, w, h, c, px = decode_real(encode_bmp(bytes(27), 3, 3))
+    assert (kind, w, h, c, px) == ("bmp", 3, 3, 3, bytes(27))
