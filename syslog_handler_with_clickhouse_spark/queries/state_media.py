@@ -1374,3 +1374,104 @@ def q344(spark, sf_dir):
         F.col("val_min").cast("bigint").alias("val_min"),
         F.col("val_max").cast("bigint").alias("val_max"),
     )
+
+
+def _ip6_case_sql(hs: list[str]) -> str:
+    """DuckDB expression for the RFC 5952 canonical text of 8 hextet
+    SQL expressions — the SAME unrolled longest-zero-run CASE chain as
+    `functions/ip6.py:format_ipv6` (length desc, start asc, maximal
+    runs, no single-zero compression), so the oracle re-derives the
+    formatting rather than trusting it."""
+    hx = [f"printf('%x', {h})" for h in hs]
+
+    def join(parts: list[str]) -> str:
+        return "''" if not parts else f"concat_ws(':', {', '.join(parts)})"
+
+    whens = []
+    for length in range(8, 1, -1):
+        for start in range(0, 9 - length):
+            conds = [f"{hs[k]} = 0" for k in range(start, start + length)]
+            if start > 0:
+                conds.append(f"{hs[start - 1]} <> 0")
+            if start + length < 8:
+                conds.append(f"{hs[start + length]} <> 0")
+            val = (
+                f"{join(hx[:start])} || '::' || {join(hx[start + length:])}"
+            )
+            whens.append(f"WHEN {' AND '.join(conds)} THEN {val}")
+    return "CASE " + " ".join(whens) + f" ELSE {join(hx)} END"
+
+
+_IP6_H = [
+    f"(CASE WHEN (doc_id + {i} * 7) % 5 < 2 THEN 0 "
+    f"ELSE (doc_id * 31 + {i} * 97) % 65536 END)"
+    for i in range(8)
+]
+
+
+@query(
+    "q345_ipv6_functions",
+    f"""
+    WITH d AS (
+      SELECT doc_id FROM documents WHERE doc_id % 11 = 0
+    ), h AS (
+      SELECT doc_id,
+             {', '.join(f'{_IP6_H[i]} AS h{i}' for i in range(8))}
+      FROM d
+    )
+    SELECT doc_id,
+           {_ip6_case_sql([f'h{i}' for i in range(8)])} AS addr,
+           TRUE AS valid,
+           CAST({' + '.join(f'h{i}' for i in range(8))} AS BIGINT)
+             AS hext_sum,
+           {_ip6_case_sql([f'h{i}' for i in range(4)] + ['0'] * 4)} AS net
+    FROM h
+    """,
+)
+def q345(spark, sf_dir):
+    """IPv6 function family (`functions/ip6.py`) — ClickHouse
+    ``IPv6NumToString`` / ``IPv6StringToNum`` / ``isIPv6String`` /
+    ``cutIPv6`` analogues as pure native expressions: RFC 5952
+    canonical formatting via a 28-candidate unrolled longest-zero-run
+    CASE chain, full parse (``::`` compression, leading zeros, dotted
+    v4 tail) via split/transform/conv, structural validation, and
+    /64-style prefix masking.  The fixture hextets zero ~40% of slots
+    on a varying pattern so every compression position occurs; the
+    oracle RE-DERIVES the canonical string with the same generated
+    CASE chain in DuckDB (printf hex), making the formatting a full
+    value oracle, and the round trip parse(format(h)) is checked via
+    the hextet sum.  Python-free plan — the whole family stays inside
+    whole-stage codegen."""
+    from ..functions.ip6 import (
+        format_ipv6,
+        is_ipv6_string,
+        mask_ipv6,
+        parse_ipv6,
+    )
+
+    d = F.col("doc_id")
+    hext = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.when((d + i * 7) % 5 < 2, F.lit(0))
+        .otherwise((d * 31 + i * 97) % 65536)
+        .cast("int"),
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id", hext.alias("h"))
+    )
+    addr = format_ipv6(F.col("h"))
+    parsed = parse_ipv6(F.col("addr"))
+    return (
+        docs.select("doc_id", addr.alias("addr"), "h")
+        .select(
+            "doc_id",
+            "addr",
+            is_ipv6_string(F.col("addr")).alias("valid"),
+            F.aggregate(
+                parsed, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            ).alias("hext_sum"),
+            format_ipv6(mask_ipv6(F.col("h"), 4)).alias("net"),
+        )
+    )
