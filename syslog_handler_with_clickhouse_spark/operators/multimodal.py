@@ -1,13 +1,21 @@
-"""Multimodal column plumbing (tier X).
+"""Multimodal column plumbing + REAL stdlib media codecs (tier X).
 
 Images/audio/video are opaque ``binary`` columns with typed metadata.
 The decode/feature-extract step runs as Arrow-batched ``mapInPandas`` —
 the real 100 TB shape: schema declared up front, work distributed per
 input partition, bytes never round-trip through the driver.
 
-The actual media codecs are NOT in this container, so the decode is a
-deterministic fake (byte statistics); the Spark-side plumbing — binary
-schema, UDF signature, batch iteration — is real and tested.
+The codecs here are REAL and stdlib/numpy-only — no PIL, libpng, or
+ffmpeg: PNG (all 8-bit color types incl. palette, all five scanline
+filters, Adam7 interlace), GIF (variable-width LZW incl. interlace),
+BMP (24/32-bit BGR(X) + 8-bit palettized, both row orders), WAV
+(8/16/24-bit PCM + IEEE float32), and JPEG via :mod:`.jpeg` (baseline
+AND progressive, both SOF2 axes, subsampling, restart intervals).
+Remaining ``NotImplementedError`` sites are format guards inside these
+working decoders (16-bit PNG, WAVE_FORMAT_EXTENSIBLE, BMP RLE,
+arithmetic/12-bit JPEG), not environment stubs.  ``resize_images``
+remains the one deterministic fake (a real PIL/opencv resize would
+drop into the same plumbing unchanged) — see its docstring.
 """
 
 from __future__ import annotations
@@ -1116,3 +1124,63 @@ def decode_assets(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, DECODE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("ssq", T.LongType()),
+        T.StructField("dominant_bin", T.IntegerType()),
+        T.StructField("dominant_ok", T.BooleanType()),
+    ]
+)
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over the WAV decode path: per
+    asset, decode samples (any supported WAV layout — 8/16/24-bit PCM
+    or IEEE float), then compute the power spectrum (numpy rfft) and
+    reduce to O(1) features executor-side: sample count, exact
+    sum-of-squares (integer for integer-valued fixtures — the energy
+    oracle), the DOMINANT non-DC frequency bin, and whether that bin
+    carries the majority of AC power.  The spectral argmax is the
+    robust cross-engine feature: for a square-wave fixture the
+    fundamental sits ~9 dB above the 3rd harmonic, so no float-ulp
+    drift can flip it.  Undecodable payloads yield nulls, not batch
+    failures — same contract as decode_assets."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    _rate, _ch, _bits, s = decode_wav_samples(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    rows.append((int(did), None, None, None, None))
+                    continue
+                a = np.asarray(s, dtype=np.float64)
+                n = int(a.size)
+                spec = np.abs(np.fft.rfft(a)) ** 2
+                ac = spec[1:]
+                if ac.size == 0 or ac.sum() <= 0:
+                    rows.append((int(did), n, 0, None, None))
+                    continue
+                dom = int(np.argmax(ac)) + 1
+                ratio = float(ac[dom - 1] / ac.sum())
+                ssq = int(np.round((a * a).sum()))
+                rows.append((int(did), n, ssq, dom, ratio > 0.5))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "n": "Int64",
+                    "ssq": "Int64",
+                    "dominant_bin": "Int32",
+                    "dominant_ok": "boolean",
+                }
+            )
+
+    return assets.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)

@@ -1475,3 +1475,180 @@ def q345(spark, sf_dir):
             format_ipv6(mask_ipv6(F.col("h"), 4)).alias("net"),
         )
     )
+
+
+@query(
+    "q346_kendall_tau_b",
+    """
+    WITH p AS (
+      SELECT event_type, event_id,
+             CAST(FLOOR(value) AS BIGINT) AS x,
+             event_id % 97 AS y
+      FROM events WHERE event_id % 19 = 0
+    ), n AS (
+      SELECT event_type, COUNT(*) AS n FROM p GROUP BY event_type
+    ), pr AS (
+      SELECT a.event_type,
+             SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                      THEN 1 ELSE 0 END) AS c2,
+             SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                      THEN 1 ELSE 0 END) AS d2,
+             SUM(CASE WHEN a.x = b.x AND a.event_id <> b.event_id
+                      THEN 1 ELSE 0 END) AS tx2,
+             SUM(CASE WHEN a.y = b.y AND a.event_id <> b.event_id
+                      THEN 1 ELSE 0 END) AS ty2
+      FROM p a JOIN p b ON a.event_type = b.event_type
+      GROUP BY a.event_type
+    )
+    SELECT n.event_type,
+           CAST(n.n AS BIGINT) AS n,
+           CAST((pr.c2 - pr.d2) / 2 AS BIGINT) AS cd,
+           CAST((pr.c2 - pr.d2) / 2 AS DOUBLE)
+             / sqrt(CAST((n.n * (n.n - 1) / 2 - pr.tx2 / 2)
+                         * (n.n * (n.n - 1) / 2 - pr.ty2 / 2) AS DOUBLE))
+             AS tau_b
+    FROM n JOIN pr ON n.event_type = pr.event_type
+    """,
+)
+def q346(spark, sf_dir):
+    """Kendall tau-b rank correlation with full tie correction
+    (`operators/rankcorr.py:kendall_tau_b`) — the ClickHouse
+    ``kendallTau`` analogue beside Spearman (q194).  The engine runs
+    Knight's O(n log n) form (x-sort + y-inversion merge count + three
+    tie terms) per group inside applyInPandas; the ORACLE independently
+    re-derives concordant/discordant/tie counts with the O(n^2)
+    pair-count SQL over the same sample, so the two implementations
+    cross-check each other — cd is an exact integer, and tau_b's
+    float arithmetic (cd / sqrt(margin product)) is written in the
+    same operation order on both sides (IEEE sqrt is correctly
+    rounded, so the doubles match exactly).  Sample bounded by the
+    event_id filter so the quadratic oracle stays cheap at sweep
+    scales; the engine side never goes quadratic."""
+    from ..operators.rankcorr import kendall_tau_b
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 19 == 0)
+        .select(
+            "event_type",
+            F.floor("value").cast("long").alias("x"),
+            (F.col("event_id") % 97).alias("y"),
+        )
+    )
+    return kendall_tau_b(ev, "x", "y", ["event_type"])
+
+
+@query(
+    "q347_jaro_winkler",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             lower(substr(text, 1, 12)) AS s1,
+             LEAD(lower(substr(text, 1, 12)))
+               OVER (ORDER BY doc_id) AS s2
+      FROM documents WHERE doc_id % 9 = 0
+    )
+    SELECT doc_id, s1, s2,
+           jaro_winkler_similarity(s1, s2) AS jw
+    FROM p WHERE s2 IS NOT NULL
+    """,
+)
+def q347(spark, sf_dir):
+    """Jaro-Winkler similarity (`functions/fuzzy.py`) between each
+    selected doc's 12-char prefix and the next doc's — a TRUE
+    cross-implementation differential: the engine side is our own
+    textbook implementation (Arrow-batched pandas UDF), the oracle is
+    DuckDB's independent builtin ``jaro_winkler_similarity``, and the
+    doubles must match BIT-EXACTLY (same match-window, transposition,
+    prefix-boost arithmetic; both-empty -> 0.0 per DuckDB's edge
+    convention)."""
+    from ..functions.fuzzy import jaro_winkler_col
+
+    w = Window.orderBy("doc_id")
+    p = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 0)
+        .select(
+            "doc_id",
+            F.lower(F.substring("text", 1, 12)).alias("s1"),
+        )
+        .withColumn("s2", F.lead("s1").over(w))
+        .filter(F.col("s2").isNotNull())
+    )
+    return p.select(
+        "doc_id",
+        "s1",
+        "s2",
+        jaro_winkler_col(F.col("s1"), F.col("s2")).alias("jw"),
+    )
+
+
+@query(
+    "q348_audio_dft_features",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 4
+                             WHEN 2 THEN 8 ELSE 16 END AS f,
+             1000 + doc_id % 500 AS a
+      FROM documents WHERE doc_id % 21 = 0
+    )
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n,
+           CAST(64 * a * a AS BIGINT) AS ssq,
+           CAST(f AS INT) AS dominant_bin,
+           TRUE AS dominant_ok
+    FROM d
+    """,
+)
+def q348(spark, sf_dir):
+    """Audio feature extraction through the WAV decode layer
+    (`multimodal.audio_features`): each selected doc builds a 64-sample
+    square wave at frequency-bin f in {2,4,8,16} and amplitude A,
+    rotating the container across pcm16 / pcm24 / float32 so every
+    decode layout feeds the same spectral pipeline.  The oracle pins
+    the CLOSED-FORM energy (ssq = 64*A^2 — every sample is +/-A) and
+    the dominant rfft bin (= f: the square wave's fundamental carries
+    ~81% of AC power, harmonics at 1/k^2, so the argmax is float-drift
+    immune), plus the majority-power boolean."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import audio_features, encode_wav
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 21 == 0)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                f = [2, 4, 8, 16][d % 4]
+                amp = 1000 + d % 500
+                half = 64 // f // 2
+                s = [
+                    amp if (k // half) % 2 == 0 else -amp for k in range(64)
+                ]
+                fmt = ["pcm16", "pcm24", "float32"][(d // 21) % 3]
+                arr = (
+                    np.array(s, dtype=np.float32)
+                    if fmt == "float32"
+                    else np.array(s, dtype=np.int64)
+                )
+                payloads.append(encode_wav(arr, 16000, 1, fmt=fmt))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    return audio_features(assets).select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("ssq").cast("bigint").alias("ssq"),
+        F.col("dominant_bin").cast("int").alias("dominant_bin"),
+        "dominant_ok",
+    )

@@ -456,3 +456,35 @@ def test_bmp_guards_and_dispatch():
     # decode_real dispatches on the BM magic
     kind, w, h, c, px = decode_real(encode_bmp(bytes(27), 3, 3))
     assert (kind, w, h, c, px) == ("bmp", 3, 3, 3, bytes(27))
+
+
+def test_audio_features_distributed(spark):
+    """Square-wave fixtures across all three WAV layouts: exact energy,
+    dominant rfft bin == the construction frequency, majority-power
+    flag; garbage payloads null out instead of failing the batch."""
+    import numpy as np
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    rows = []
+    for i, (f, amp, fmt) in enumerate(
+        [(2, 1000, "pcm16"), (4, 1200, "pcm24"), (8, 900, "float32"),
+         (16, 1499, "pcm16")]
+    ):
+        half = 64 // f // 2
+        s = [amp if (k // half) % 2 == 0 else -amp for k in range(64)]
+        arr = np.array(s, dtype=np.float32 if fmt == "float32" else np.int64)
+        rows.append((i, encode_wav(arr, 16000, 1, fmt=fmt), f, amp))
+    assets = spark.createDataFrame(
+        [(i, p) for i, p, _, _ in rows] + [(99, b"\x00garbage")],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in audio_features(assets).collect()}
+    for i, _, f, amp in rows:
+        r = got[i]
+        assert (r.n, r.ssq, r.dominant_bin, r.dominant_ok) == (
+            64, 64 * amp * amp, f, True,
+        ), (i, f, amp)
+    assert got[99].n is None and got[99].dominant_bin is None
