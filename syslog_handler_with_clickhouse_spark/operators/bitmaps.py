@@ -374,3 +374,41 @@ def bitmap_predicate_matrix(
             )
 
     return joined.mapInPandas(pred, out_schema)
+
+
+def bitmap_fold(states: DataFrame) -> DataFrame:
+    """ClickHouse ``groupBitmapAnd`` / ``groupBitmapOr`` /
+    ``groupBitmapXor`` analogue: fold EVERY stored bitmap state into
+    one row of intersection / union / symmetric-difference
+    cardinalities.  AND, OR and XOR are all associative + commutative
+    on sets, so the sequential fold over the (tiny, O(runs)-per-row)
+    state frame is order-free; ``coalesce(1)`` moves only state."""
+    out_schema = (
+        "n_states bigint, and_card bigint, or_card bigint, xor_card bigint"
+    )
+
+    def fold(it):
+        acc_and = None
+        acc_or: list[int] = []
+        acc_xor: list[int] = []
+        n = 0
+        for pdf in it:
+            for runs in pdf["runs"]:
+                runs = list(runs)
+                n += 1
+                acc_and = runs if acc_and is None else and_runs(acc_and, runs)
+                acc_or = merge_runs([acc_or, runs])
+                acc_xor = xor_runs(acc_xor, runs)
+        yield pd.DataFrame(
+            [
+                (
+                    n,
+                    runs_cardinality(acc_and or []),
+                    runs_cardinality(acc_or),
+                    runs_cardinality(acc_xor),
+                )
+            ],
+            columns=["n_states", "and_card", "or_card", "xor_card"],
+        )
+
+    return states.select("runs").coalesce(1).mapInPandas(fold, out_schema)

@@ -1652,3 +1652,163 @@ def q348(spark, sf_dir):
         F.col("dominant_bin").cast("int").alias("dominant_bin"),
         "dominant_ok",
     )
+
+
+@query(
+    "q349_bitmap_fold",
+    """
+    WITH d AS (
+      SELECT DISTINCT event_type, event_id % 4096 AS v FROM events
+    ), t AS (
+      SELECT COUNT(DISTINCT event_type) AS nt FROM d
+    ), c AS (
+      SELECT v, COUNT(*) AS k FROM d GROUP BY v
+    )
+    SELECT CAST((SELECT nt FROM t) AS BIGINT) AS n_states,
+           CAST((SELECT COUNT(*) FROM c WHERE k = (SELECT nt FROM t))
+                AS BIGINT) AS and_card,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS or_card,
+           CAST((SELECT COUNT(*) FROM c WHERE k % 2 = 1) AS BIGINT)
+             AS xor_card
+    """,
+)
+def q349(spark, sf_dir):
+    """``groupBitmapAnd/Or/Xor`` analogue
+    (`operators/bitmaps.py:bitmap_fold`): fold ALL per-event-type
+    bitmap states into intersection / union / parity cardinalities —
+    the aggregate-across-states half of the bitmap surface (q329 is
+    pairwise, q340 the predicate matrix).  All three folds are
+    order-free set algebra on O(runs) state; the oracle re-derives
+    them from membership counts (present in every type / any type /
+    an odd number of types)."""
+    from ..operators.bitmaps import bitmap_fold, group_bitmap
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("event_id") % 4096).alias("v")
+    )
+    return bitmap_fold(group_bitmap(ev, "v", ["event_type"]))
+
+
+@query(
+    "q350_unicode_normalize",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             substr(text, 1, 6) ||
+             CASE doc_id % 6
+               WHEN 0 THEN 'e' || chr(769)
+               WHEN 1 THEN 'A' || chr(778) || 'strom'
+               WHEN 2 THEN 'o' || chr(776) || chr(772)
+               WHEN 3 THEN 'n' || chr(771) || 'a'
+               WHEN 4 THEN chr(233) || 'tude'
+               ELSE 's' || chr(803) || chr(775)
+             END AS s
+      FROM documents WHERE doc_id % 13 = 1
+    )
+    SELECT doc_id, s,
+           nfc_normalize(s) AS nfc,
+           strip_accents(s) AS stripped,
+           nfc_normalize(s) = s AS already_nfc,
+           CAST(length(s) AS BIGINT) AS len_raw,
+           CAST(length(nfc_normalize(s)) AS BIGINT) AS len_nfc
+    FROM d
+    """,
+)
+def q350(spark, sf_dir):
+    """Unicode normalization (`functions/unicode_norm.py`) — CH
+    ``normalizeUTF8NFC`` + accent-strip analogues.  Fixtures append
+    decomposed sequences (single and MULTIPLE combining marks,
+    canonical-ordering case U+0323+U+0307, and an already-composed
+    control) to doc prefixes; the oracle runs DuckDB's independent
+    utf8proc-based ``nfc_normalize`` / ``strip_accents`` over the SAME
+    strings, so two unrelated UCD implementations must agree
+    byte-for-byte on every row — plus exact codepoint-count deltas
+    (combining marks merge under NFC)."""
+    from ..functions.unicode_norm import nfc_col, strip_accents_col
+
+    tail = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("é"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("Åstrom"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("ȫ"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("ña"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("étude"))
+        .otherwise(F.lit("ṩ"))
+    )
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 1)
+        .select(
+            "doc_id",
+            F.concat(F.substring("text", 1, 6), tail).alias("s"),
+        )
+    )
+    nfc = nfc_col(F.col("s"))
+    return d.select(
+        "doc_id",
+        "s",
+        nfc.alias("nfc"),
+        strip_accents_col(F.col("s")).alias("stripped"),
+        (nfc == F.col("s")).alias("already_nfc"),
+        F.length("s").cast("bigint").alias("len_raw"),
+        F.length(nfc).cast("bigint").alias("len_nfc"),
+    )
+
+
+def _pagerank_sql(iters: int) -> str:
+    """Unrolled DuckDB power iteration mirroring operators/graph.py."""
+    ctes = [
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nt) AS pr FROM nodes)"
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"r{k} AS ("
+            " SELECT n.node,"
+            " 0.15 / (SELECT n FROM nt)"
+            " + 0.85 * COALESCE(c.s, 0) AS pr"
+            " FROM nodes n LEFT JOIN ("
+            " SELECT e.dst AS node, SUM(p.pr / e.deg) AS s"
+            f" FROM wedges e JOIN r{k - 1} p ON p.node = e.src"
+            " GROUP BY e.dst) c ON c.node = n.node)"
+        )
+    return ", ".join(ctes)
+
+
+@query(
+    "q351_pagerank",
+    f"""
+    WITH edges AS (
+      SELECT DISTINCT user_id % 200 AS src,
+             (user_id * 3 + event_id) % 200 AS dst
+      FROM events
+      WHERE user_id % 200 <> (user_id * 3 + event_id) % 200
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ), nt AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (
+      SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ), wedges AS (
+      SELECT e.src, e.dst, o.deg FROM edges e JOIN outdeg o USING (src)
+    ), {_pagerank_sql(5)}
+    SELECT node, round(pr, 6) AS pr FROM r5
+    """,
+)
+def q351(spark, sf_dir):
+    """Fixed-iteration damped PageRank (`operators/graph.py:pagerank`)
+    over a deterministic event-derived edge set — the power-iteration
+    member of the graph family (BFS q273, connected components q334).
+    Five iterations at d=0.85; the oracle unrolls the same recurrence
+    as five DuckDB CTEs over identical edges/out-degrees, and ranks
+    are rounded to 1e-6 (summation-order float drift is ~1e-15).
+    Plan shape: per iteration one src-keyed equi-join + dst-keyed
+    partial-agg sum, lineage checkpoint-truncated — the q334 cost
+    structure, fully native."""
+    from ..operators.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 200).alias("src"),
+        ((F.col("user_id") * 3 + F.col("event_id")) % 200).alias("dst"),
+    )
+    edges = ev.filter(F.col("src") != F.col("dst"))
+    pr = pagerank(edges, iters=5, damping=0.85)
+    return pr.select("node", F.round("pr", 6).alias("pr"))

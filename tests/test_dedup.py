@@ -218,3 +218,27 @@ def test_dedup_components_long_path_converges(spark):
     )
     got = {r.node: r.comp for r in dedup_components(pairs).collect()}
     assert got == {i: 0 for i in range(12)}
+
+
+def test_pagerank_hand_computed_star(spark):
+    """3-node star a->c, b->c (+ c->a to avoid dangling-only sinks):
+    one power iteration from uniform 1/3 has closed-form values —
+    pins the damping, out-degree division, and no-inlink base case."""
+    from syslog_handler_with_clickhouse_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 2), (1, 2), (2, 0)], "src long, dst long"
+    )
+    got = {r.node: r.pr for r in pagerank(edges, iters=1).collect()}
+    base = 0.15 / 3
+    assert abs(got[0] - (base + 0.85 * (1 / 3))) < 1e-12       # from c
+    assert abs(got[1] - base) < 1e-12                          # no in-links
+    assert abs(got[2] - (base + 0.85 * (1 / 3 + 1 / 3))) < 1e-12
+    # ranks stay a probability mass when every node has out-links
+    edges2 = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 2)], "src long, dst long"
+    )
+    total = sum(
+        r.pr for r in pagerank(edges2, iters=8).collect()
+    )
+    assert abs(total - 1.0) < 1e-9

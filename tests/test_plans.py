@@ -739,3 +739,36 @@ def test_cc_round_exchanges_key_on_join_keys_only(spark):
         assert keys in ({"src"}, {"dst"}, {"node"}), (keys, exchanges)
     # and the min-agg must combine map-side before the dst exchange
     assert "partial_min" in plan, plan
+
+
+def test_pagerank_iteration_exchanges_on_join_keys(spark):
+    """q351's per-iteration work must shuffle on src (edge join) and
+    node/dst (sum + fold) only, with map-side partial_sum — the q334
+    cost contract applied to the power iteration."""
+    import re
+
+    from syslog_handler_with_clickhouse_spark.operators.graph import (
+        _pr_round,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.range(500).select(
+            (F.col("id") % 40).alias("src"),
+            ((F.col("id") * 7 + 3) % 40).alias("dst"),
+        ).filter(F.col("src") != F.col("dst"))
+        weighted = edges.join(
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), "src"
+        )
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+        ranks = nodes.withColumn("pr", F.lit(0.025))
+        plan = formatted_plan(_pr_round(weighted, nodes, ranks, 0.85, 40))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "partial_sum" in plan, plan
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, plan
+    for e in exchanges:
+        keys = {k.split("#")[0].strip() for k in e.split(",")[:-1]}
+        assert keys in ({"src"}, {"dst"}, {"node"}), (keys, exchanges)
