@@ -696,7 +696,11 @@ def timing_bucket(col) -> Column:
 
 
 def timing_quantiles(
-    df: DataFrame, col: str, group_cols: list[str], qs: list[float]
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    qs: list[float],
+    weight: str | None = None,
 ) -> DataFrame:
     """``quantileTiming(q)(col) GROUP BY group_cols`` — fully NATIVE
     plan (no Python in the hot path): one hash aggregate to bucket
@@ -705,10 +709,15 @@ def timing_quantiles(
     window cumsum over the per-group bucket frame, then min-bucket at
     each target rank.  quantile rank = ceil(q * N) (lower quantile),
     matching the SQL oracle arithmetic exactly — results are
-    deterministic integers, so parity is exact, not tolerance-based."""
-    counts = df.select(*group_cols, timing_bucket(col)).groupBy(
-        *group_cols, "bucket"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    deterministic integers, so parity is exact, not tolerance-based.
+
+    ``weight`` names an integer weight column for the
+    ``quantileTimingWeighted`` form: each row counts weight times, N
+    becomes the weight total — same bounded bucket state either way."""
+    wcol = F.col(weight).cast("long") if weight else F.lit(1)
+    counts = df.select(
+        *group_cols, timing_bucket(col), wcol.alias("_w")
+    ).groupBy(*group_cols, "bucket").agg(F.sum("_w").alias("cnt"))
     w = Window.partitionBy(*group_cols).orderBy("bucket")
     wt = Window.partitionBy(*group_cols)
     cum = counts.select(

@@ -1812,3 +1812,55 @@ def q351(spark, sf_dir):
     edges = ev.filter(F.col("src") != F.col("dst"))
     pr = pagerank(edges, iters=5, damping=0.85)
     return pr.select("node", F.round("pr", 6).alias("pr"))
+
+
+@query(
+    "q352_quantile_timing_weighted",
+    """
+    WITH t AS (
+      SELECT event_type,
+             GREATEST(1, user_id % 7) AS w,
+             CASE WHEN v < 1024 THEN v
+                  WHEN v < 65536 THEN v - (v % 16)
+                  ELSE 65535 END AS bucket
+      FROM (SELECT event_type, user_id,
+                   GREATEST(0, CAST(FLOOR(value * 997) AS BIGINT)) AS v
+            FROM events)
+    ), c AS (
+      SELECT event_type, bucket, SUM(w) AS cnt FROM t GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bucket,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS total
+      FROM c
+    )
+    SELECT event_type,
+           CAST(MAX(total) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN bucket END)
+                AS BIGINT) AS qt_0_5,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN bucket END)
+                AS BIGINT) AS qt_0_95
+    FROM cum GROUP BY event_type
+    """,
+)
+def q352(spark, sf_dir):
+    """``quantileTimingWeighted`` analogue — q341's exact bucket
+    histogram with per-row integer weights (each timing counts weight
+    times; N becomes the weight total).  Same bounded-bucket native
+    plan: the weight is summed into the bucket state BEFORE the
+    exchange, so state stays ≤ 5057 rows per group regardless of
+    weight magnitudes."""
+    from ..operators.sketches import timing_quantiles
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 997).cast("long").alias("ms"),
+        F.greatest(F.lit(1), F.col("user_id") % 7).alias("w"),
+    )
+    out = timing_quantiles(ev, "ms", ["event_type"], [0.5, 0.95], weight="w")
+    return out.select(
+        "event_type",
+        "n",
+        F.col("qt_0_5").cast("bigint").alias("qt_0_5"),
+        F.col("qt_0_95").cast("bigint").alias("qt_0_95"),
+    )
