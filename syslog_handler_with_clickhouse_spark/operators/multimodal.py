@@ -74,16 +74,21 @@ _ADAM7 = [
 ]
 
 
-def _unfilter_pass(raw: bytes, off: int, pw: int, ph: int, channels: int):
+def _unfilter_pass(
+    raw: bytes, off: int, pw: int, ph: int, channels: int,
+    sample_bytes: int = 1,
+):
     """Reverse the per-scanline filters of one (sub-)image starting at
     ``off`` in the inflated IDAT stream; returns (pixels, next_off).
     The filter context (prior row, left pixel) is local to the pass —
-    the first row of every pass filters against a zero prior row."""
-    stride = pw * channels
+    the first row of every pass filters against a zero prior row.
+    ``sample_bytes=2`` is the 16-bit-depth case: filters still operate
+    on BYTES (per spec), but the left-neighbor distance bpp doubles."""
+    stride = pw * channels * sample_bytes
     need = ph * (stride + 1)
     if off + need > len(raw):
         raise ValueError("decompressed IDAT shorter than scanline layout")
-    bpp = channels  # bytes per complete pixel at 8-bit depth
+    bpp = channels * sample_bytes  # bytes per complete pixel
     out = bytearray(ph * stride)
     prior = bytes(stride)
     for r in range(ph):
@@ -127,8 +132,11 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     stream verifying each CRC, concatenates IDAT segments, inflates,
     then reverses the per-scanline filter (all five types:
     None/Sub/Up/Average/Paeth) against the reconstructed prior row of
-    the same (sub-)image.  1/2/4/16-bit depths raise
-    ``NotImplementedError`` — format features, not environment stubs.
+    the same (sub-)image.  Depth 16 decodes too (byte-level filters
+    with doubled bpp per spec); this function returns its high-byte
+    8-bit view, :func:`decode_png_pixels16` the exact uint16 samples.
+    Sub-byte depths (1/2/4) raise ``NotImplementedError`` — format
+    features, not environment stubs.
 
     Returns ``(width, height, channels, pixels)`` where ``pixels`` is
     the reconstructed row-major, channel-interleaved byte string of
@@ -164,8 +172,8 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     if ihdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"bit depth {depth} unsupported (8 only)")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"bit depth {depth} unsupported (8/16 only)")
     if interlace not in (0, 1):
         raise ValueError(f"invalid interlace method {interlace}")
     # palette images carry 1 index byte/pixel through the filter layer,
@@ -173,12 +181,17 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise NotImplementedError(f"color type {color_type} unsupported")
-    if color_type == 3 and plte is None:
-        raise ValueError("palette image missing PLTE chunk")
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette image missing PLTE chunk")
+        if depth != 8:
+            raise ValueError("16-bit palette PNG is not a legal combination")
+    sb = depth // 8
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
+    px_bytes = channels * sb
+    stride = w * px_bytes
     if interlace == 0:
-        out, off = _unfilter_pass(raw, 0, w, h, channels)
+        out, off = _unfilter_pass(raw, 0, w, h, channels, sb)
         if off != len(raw):
             raise ValueError("decompressed IDAT length != h * (stride + 1)")
     else:
@@ -190,18 +203,23 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass: no scanlines at all (spec §8.2)
-            sub, off = _unfilter_pass(raw, off, pw, ph, channels)
+            sub, off = _unfilter_pass(raw, off, pw, ph, channels, sb)
             for j in range(ph):
                 y = y0 + j * dy
-                row = (j * pw) * channels
+                row = (j * pw) * px_bytes
                 for i2 in range(pw):
                     x = x0 + i2 * dx
-                    dst = (y * w + x) * channels
-                    src = row + i2 * channels
-                    out[dst : dst + channels] = sub[src : src + channels]
+                    dst = (y * w + x) * px_bytes
+                    src = row + i2 * px_bytes
+                    out[dst : dst + px_bytes] = sub[src : src + px_bytes]
         if off != len(raw):
             raise ValueError("decompressed IDAT length != Adam7 pass layout")
         out = bytes(out)
+    if depth == 16:
+        # 8-bit VIEW: the high byte of each big-endian 16-bit sample
+        # (the standard visual downconversion); exact samples via
+        # decode_png_pixels16.
+        out = bytes(out[0::2])
     if color_type == 3:
         npal = len(plte) // 3
         rgb = bytearray(w * h * 3)
@@ -213,14 +231,88 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     return w, h, channels, bytes(out)
 
 
+def decode_png_pixels16(b: bytes):
+    """EXACT 16-bit PNG decode: returns ``(w, h, channels,
+    numpy uint16 array)`` of the big-endian samples (8-bit inputs are
+    widened ``v*257`` per the PNG sample-scaling convention, so the
+    function is total over supported depths)."""
+    import struct
+
+    import numpy as np
+
+    i = b.find(b"IHDR")
+    if i < 0:
+        raise ValueError("not a PNG")
+    depth = b[i + 12]
+    w, h, channels, px = decode_png_pixels(b)
+    if depth == 8:
+        a = np.frombuffer(px, dtype=np.uint8).astype(np.uint16) * 257
+        return w, h, channels, a
+    # re-run the exact path: decode_png_pixels dropped the low bytes,
+    # so reproduce them by re-parsing with the full samples retained
+    raw16 = _decode_png_raw16(b)
+    return w, h, channels, raw16
+
+
+def _decode_png_raw16(b: bytes):
+    """Full 16-bit sample recovery (helper for decode_png_pixels16) —
+    identical walk to decode_png_pixels but keeping both bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ihdr = None
+    idat = bytearray()
+    i = 8
+    while i + 12 <= len(b):
+        (length,) = struct.unpack(">I", b[i : i + 4])
+        typ = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + length]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + length
+    w, h, depth, color_type, _c, _f, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    px_bytes = channels * 2
+    stride = w * px_bytes
+    if interlace == 0:
+        out, _ = _unfilter_pass(raw, 0, w, h, channels, 2)
+    else:
+        out = bytearray(h * stride)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = _unfilter_pass(raw, off, pw, ph, channels, 2)
+            for j in range(ph):
+                y = y0 + j * dy
+                row = (j * pw) * px_bytes
+                for i2 in range(pw):
+                    x = x0 + i2 * dx
+                    dst = (y * w + x) * px_bytes
+                    src = row + i2 * px_bytes
+                    out[dst : dst + px_bytes] = sub[src : src + px_bytes]
+        out = bytes(out)
+    return np.frombuffer(bytes(out), dtype=">u2").astype(np.uint16)
+
+
 def _forward_filter_pass(
-    pixels: bytes, pw: int, ph: int, channels: int, filters
+    pixels: bytes, pw: int, ph: int, channels: int, filters,
+    sample_bytes: int = 1,
 ) -> bytearray:
     """Forward-filter one (sub-)image; ``filters`` is the per-row
     filter-type list for this pass (the filter context is local to the
     pass, zero prior row at its first scanline)."""
-    stride = pw * channels
-    bpp = channels
+    stride = pw * channels * sample_bytes
+    bpp = channels * sample_bytes
     raw = bytearray()
     prior = bytes(stride)
     for r in range(ph):
@@ -318,6 +410,68 @@ def encode_png(
 
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace_byte)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png16(
+    samples, w: int, h: int, channels: int, filters=None,
+    interlace: bool = False,
+) -> bytes:
+    """Forward 16-bit PNG encoder (big-endian samples; the
+    fixture-builder twin of :func:`decode_png_pixels16`).  ``samples``
+    is a length-``w*h*channels`` iterable of 0..65535 ints.  Reuses
+    the scanline/Adam7 machinery with 2-byte samples — filters operate
+    on bytes with a doubled left-neighbor distance, per spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(list(samples), dtype=">u2")
+    assert a.size == w * h * channels
+    pixels = a.tobytes()
+    px_bytes = channels * 2
+    if not interlace:
+        raw = _forward_filter_pass(
+            pixels, w, h, channels,
+            filters if filters is not None else [0] * h, 2,
+        )
+        interlace_byte = 0
+    else:
+        raw = bytearray()
+        fi = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = bytearray(pw * ph * px_bytes)
+            for j in range(ph):
+                y = y0 + j * dy
+                for i2 in range(pw):
+                    x = x0 + i2 * dx
+                    src = (y * w + x) * px_bytes
+                    dst = (j * pw + i2) * px_bytes
+                    sub[dst : dst + px_bytes] = pixels[src : src + px_bytes]
+            if filters is None:
+                pf = [(fi + r) % 5 for r in range(ph)]
+            else:
+                pf = filters[fi : fi + ph]
+            fi += ph
+            raw += _forward_filter_pass(bytes(sub), pw, ph, channels, pf, 2)
+        interlace_byte = 1
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, interlace_byte)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)

@@ -1864,3 +1864,84 @@ def q352(spark, sf_dir):
         F.col("qt_0_5").cast("bigint").alias("qt_0_5"),
         F.col("qt_0_95").cast("bigint").alias("qt_0_95"),
     )
+
+
+@query(
+    "q353_png_16bit_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 27) + 3 AS w,
+             (doc_id % 11) + 2 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+      FROM documents WHERE doc_id % 31 = 2
+    )
+    SELECT d.doc_id,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(d.c AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(((d.doc_id * 97 + 4097 * t.k) % 65536) // 256)
+                AS BIGINT) AS val_sum,
+           CAST(MIN(((d.doc_id * 97 + 4097 * t.k) % 65536) // 256)
+                AS BIGINT) AS val_min,
+           CAST(MAX(((d.doc_id * 97 + 4097 * t.k) % 65536) // 256)
+                AS BIGINT) AS val_max
+    FROM d, LATERAL (SELECT unnest(range(0, d.w * d.h * d.c)) AS k) t
+    GROUP BY d.doc_id, d.w, d.h, d.c
+    """,
+)
+def q353(spark, sf_dir):
+    """16-BIT PNG decode through the shared distributed path
+    (`multimodal.decode_png_pixels` depth-16 branch: byte-level filter
+    reversal with doubled bpp, then the high-byte 8-bit view;
+    `decode_png_pixels16` keeps exact uint16 samples, unit-pinned).
+    Fixtures follow v(k) = (doc_id·97 + 4097k) mod 65536 with the
+    filter types cycling per row (and Adam7 on alternating docs), so
+    the oracle's closed-form HIGH-BYTE statistics (v // 256) verify
+    the full filter machinery at 2-byte bpp — a decoder that filtered
+    at the 8-bit neighbor distance would break every Sub/Paeth row."""
+    import pandas as pd
+
+    from ..operators.multimodal import decode_assets, encode_png16
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 31 == 2)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 27 + 3, d % 11 + 2
+                c = 1 if d % 2 == 0 else 3
+                samples = [
+                    (d * 97 + 4097 * k) % 65536 for k in range(w * h * c)
+                ]
+                inter = (d // 31) % 2 == 1
+                payloads.append(
+                    encode_png16(
+                        samples, w, h, c,
+                        filters=None if inter else [r % 5 for r in range(h)],
+                        interlace=inter,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    return dec.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("val_sum"),
+        F.col("val_min").cast("bigint").alias("val_min"),
+        F.col("val_max").cast("bigint").alias("val_max"),
+    )

@@ -97,12 +97,14 @@ def test_png_crc_mismatch_raises():
 
 
 def test_png_unsupported_features_raise_not_implemented():
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    blob16 = (
-        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr16) + _chunk(b"IEND", b"")
+    # depth 16 now decodes (test_png_16bit_roundtrip_and_8bit_view);
+    # sub-byte depths remain format guards
+    ihdr2 = struct.pack(">IIBBBBB", 2, 2, 2, 0, 0, 0, 0)
+    blob2 = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr2) + _chunk(b"IEND", b"")
     )
     with pytest.raises(NotImplementedError, match="depth"):
-        decode_png_pixels(blob16)
+        decode_png_pixels(blob2)
     # palette (type 3) now decodes — a MISSING PLTE is corrupt, not
     # unsupported; an undefined color type stays a format guard
     ihdr_pal = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
@@ -488,3 +490,41 @@ def test_audio_features_distributed(spark):
             64, 64 * amp * amp, f, True,
         ), (i, f, amp)
     assert got[99].n is None and got[99].dominant_bin is None
+
+
+def test_png_16bit_roundtrip_and_8bit_view():
+    """Depth 16: filters operate on bytes with doubled bpp; exact
+    uint16 samples round-trip via decode_png_pixels16, and the default
+    decode returns the high-byte 8-bit view.  Adam7 + all filter types
+    included; 8-bit inputs widen v*257 per the PNG scaling rule."""
+    import numpy as np
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_png_pixels16,
+        encode_png16,
+    )
+
+    for (w, h, c), interlace in (((9, 6, 1), False), ((7, 5, 3), True),
+                                 ((13, 4, 2), False), ((5, 3, 4), True)):
+        n = w * h * c
+        samples = [(i * 4097 + 13) % 65536 for i in range(n)]
+        filters = None if interlace else [r % 5 for r in range(h)]
+        blob = encode_png16(samples, w, h, c, filters=filters,
+                            interlace=interlace)
+        W, H, C, got16 = decode_png_pixels16(blob)
+        assert (W, H, C) == (w, h, c)
+        assert got16.tolist() == samples, (w, h, c, interlace)
+        W8, H8, C8, got8 = decode_png_pixels(blob)
+        assert got8 == bytes(v >> 8 for v in samples)
+    # 8-bit widening path
+    blob8 = encode_png(bytes([0, 1, 128, 255]), 2, 2, 1)
+    _, _, _, a = decode_png_pixels16(blob8)
+    assert a.tolist() == [0, 257, 128 * 257, 65535]
+    # 1/2/4-bit depths remain guarded
+    import struct as _st
+    ihdr4 = _st.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    blob4 = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr4) + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="depth"):
+        decode_png_pixels(blob4)
