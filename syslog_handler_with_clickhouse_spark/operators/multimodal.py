@@ -1338,3 +1338,274 @@ def audio_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+DECOMPRESS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("n_compressed", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("crc32", T.LongType()),
+    ]
+)
+
+
+def decompress_assets(assets: DataFrame) -> DataFrame:
+    """Compressed-corpus ingestion (the WARC.gz / jsonl.zst shape):
+    detect the codec by magic — gzip (1F 8B), zlib (78 xx with a valid
+    FCHECK), else raw — decompress executor-side with stdlib zlib, and
+    reduce each document to O(1) columns: byte counts, whitespace
+    token count, and the CRC32 of the DECOMPRESSED payload (so the
+    oracle can pin content identity, not just sizes).  Same
+    Arrow-batched mapInPandas contract as decode_assets: payloads
+    never visit the driver, corrupt streams yield codec='error' rows
+    instead of failing the batch.  zstd would slot into the same
+    dispatch behind an import-try (the zstandard lib is not in this
+    container)."""
+    import zlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                try:
+                    if b[:2] == b"\x1f\x8b":
+                        codec = "gzip"
+                        import gzip as _gz
+
+                        raw = _gz.decompress(b)
+                    elif (
+                        len(b) >= 2
+                        and b[0] == 0x78
+                        and (b[0] * 256 + b[1]) % 31 == 0
+                    ):
+                        codec = "zlib"
+                        raw = zlib.decompress(b)
+                    else:
+                        codec = "raw"
+                        raw = b
+                except Exception:
+                    rows.append((int(did), "error", len(b), None, None, None))
+                    continue
+                toks = len(raw.split())
+                rows.append(
+                    (
+                        int(did),
+                        codec,
+                        len(b),
+                        len(raw),
+                        toks,
+                        zlib.crc32(raw) & 0xFFFFFFFF,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DECOMPRESS_SCHEMA.fields]
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "n_compressed": "Int64",
+                    "n_bytes": "Int64",
+                    "n_tokens": "Int64",
+                    "crc32": "Int64",
+                }
+            )
+
+    return assets.mapInPandas(batches, DECOMPRESS_SCHEMA)
+
+
+def decode_gif_frames(b: bytes):
+    """REAL animated-GIF decode: every frame COMPOSED onto the logical
+    screen canvas per GIF89a semantics — graphic control extensions
+    (delay, transparency index, disposal), per-frame rects at
+    (left, top), local color tables, interlace.  Disposal methods: 0/1
+    leave the canvas, 2 restores the frame rect to the background
+    color, 3 restores the canvas state before the frame.  Transparent
+    pixels leave the underlying canvas untouched (the delta-frame
+    compression every real animation uses).
+
+    Returns ``(screen_w, screen_h, frames)`` with ``frames`` a list of
+    ``(delay_cs, rgb_bytes)`` — each the FULL composed canvas, so
+    frame k is what a viewer shows at step k."""
+    import struct
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, bg_idx, _aspect = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = b[pos : pos + 3 * n]
+        pos += 3 * n
+    bg_rgb = (
+        gct[3 * bg_idx : 3 * bg_idx + 3]
+        if gct and bg_idx < len(gct) // 3
+        else b"\x00\x00\x00"
+    )
+    canvas = bytearray(bg_rgb * (sw * sh))
+    frames = []
+    # pending GCE state for the next image descriptor
+    delay, transparent, disposal = 0, None, 0
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:  # extension
+            label = b[pos]
+            pos += 1
+            if label == 0xF9 and b[pos] == 4:  # graphic control
+                packed, delay = struct.unpack("<BH", b[pos + 1 : pos + 4])
+                disposal = (packed >> 2) & 0x07
+                transparent = b[pos + 4] if packed & 1 else None
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h, iflags = struct.unpack("<HHHHB", b[pos : pos + 9])
+        pos += 9
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = b[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        min_code_size = b[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            data += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(min_code_size, bytes(data), w * h)
+        if iflags & 0x40:
+            rows = _gif_interlace_order(h)
+            de = bytearray(w * h)
+            for src_r, dst_r in enumerate(rows):
+                de[dst_r * w : (dst_r + 1) * w] = idx[src_r * w : (src_r + 1) * w]
+            idx = bytes(de)
+        prev = bytes(canvas) if disposal == 3 else None
+        for r in range(h):
+            y = top + r
+            if y >= sh:
+                break
+            for x in range(w):
+                cx = left + x
+                if cx >= sw:
+                    continue
+                v = idx[r * w + x]
+                if transparent is not None and v == transparent:
+                    continue
+                canvas[(y * sw + cx) * 3 : (y * sw + cx) * 3 + 3] = pal[
+                    3 * v : 3 * v + 3
+                ]
+        frames.append((delay, bytes(canvas)))
+        if disposal == 2:  # restore rect to background
+            for r in range(h):
+                y = top + r
+                if y >= sh:
+                    break
+                for x in range(w):
+                    cx = left + x
+                    if cx < sw:
+                        canvas[(y * sw + cx) * 3 : (y * sw + cx) * 3 + 3] = bg_rgb
+        elif disposal == 3 and prev is not None:
+            canvas = bytearray(prev)
+        delay, transparent, disposal = 0, None, 0
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return sw, sh, frames
+
+
+def encode_gif_animation(
+    sw: int, sh: int, palette: bytes, frames: list, bg_idx: int = 0
+) -> bytes:
+    """Multi-frame GIF89a builder (fixture twin of
+    :func:`decode_gif_frames`).  ``frames`` is a list of dicts:
+    ``{left, top, w, h, indices, delay, disposal, transparent}`` —
+    each emitted as GCE + image descriptor + real LZW data."""
+    import struct
+
+    npal = len(palette) // 3
+    if npal & (npal - 1) or not 4 <= npal <= 256:
+        raise ValueError("palette entries must be a power of two in 4..256")
+    size_bits = npal.bit_length() - 2
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | size_bits, bg_idx, 0)
+    out += palette
+    min_code_size = max(2, npal.bit_length() - 1)
+    for fr in frames:
+        trans = fr.get("transparent")
+        packed = ((fr.get("disposal", 0) & 7) << 2) | (
+            1 if trans is not None else 0
+        )
+        out += bytes([0x21, 0xF9, 4, packed])
+        out += struct.pack("<H", fr.get("delay", 0))
+        out += bytes([trans if trans is not None else 0, 0])
+        out.append(0x2C)
+        out += struct.pack(
+            "<HHHHB", fr["left"], fr["top"], fr["w"], fr["h"], 0
+        )
+        out.append(min_code_size)
+        data = _gif_lzw_encode(min_code_size, fr["indices"])
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+GIF_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("delay_cs", T.IntegerType()),
+        T.StructField("rgb_sum", T.LongType()),
+    ]
+)
+
+
+def sample_gif_frames(assets: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video-style frame sampling over an actual animated
+    container: decode every GIF's composed frame sequence executor-side
+    and emit one O(1) row per SAMPLED frame (index, GCE delay, RGB
+    sum of the composed canvas) — the one-to-many generator shape of
+    ``sample_frames``, now backed by a true temporal decode.
+    Undecodable payloads yield a single null-stats row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    _sw, _sh, frames = decode_gif_frames(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    rows.append((int(did), None, None, None, None))
+                    continue
+                nf = len(frames)
+                for k in range(0, nf, every_n):
+                    delay, rgb = frames[k]
+                    rows.append((int(did), k, nf, delay, sum(rgb)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in GIF_FRAMES_SCHEMA.fields]
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "frame_idx": "Int32",
+                    "n_frames": "Int32",
+                    "delay_cs": "Int32",
+                    "rgb_sum": "Int64",
+                }
+            )
+
+    return assets.mapInPandas(batches, GIF_FRAMES_SCHEMA)

@@ -1945,3 +1945,168 @@ def q353(spark, sf_dir):
         F.col("val_min").cast("bigint").alias("val_min"),
         F.col("val_max").cast("bigint").alias("val_max"),
     )
+
+
+@query(
+    "q354_compressed_corpus_ingest",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib'
+                           ELSE 'raw' END AS codec,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+                END AS BIGINT) AS n_tokens,
+           TRUE AS crc_ok
+    FROM documents WHERE doc_id % 7 = 3
+    """,
+)
+def q354(spark, sf_dir):
+    """Compressed-corpus ingestion (`multimodal.decompress_assets`) —
+    the WARC.gz / jsonl-deflate step of a training-data pipeline:
+    docs are gzip-, zlib-, or raw-wrapped executor-side (rotating by
+    doc_id), the distributed path detects the codec by magic,
+    decompresses with stdlib zlib, and reduces to O(1) stats.  The
+    oracle pins codec detection, the decompressed byte length and
+    whitespace token count against the ORIGINAL text, and content
+    identity via a crc32 cross-check computed independently on the
+    Spark side (native crc32 over the source text == the operator's
+    crc32 over its decompressed bytes).  Single-space fixture text
+    keeps the token-count SQL exact."""
+    import gzip
+    import zlib as _zl
+
+    import pandas as pd
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 3)
+        .select("doc_id", "text")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d, txt in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                raw = str(txt).encode("utf-8")
+                if d % 3 == 0:
+                    payloads.append(gzip.compress(raw, 5))
+                elif d % 3 == 1:
+                    payloads.append(_zl.compress(raw, 6))
+                else:
+                    payloads.append(raw)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    from ..operators.multimodal import decompress_assets
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    out = decompress_assets(assets)
+    # crc cross-check: native crc32 over the source text must equal the
+    # operator's crc32 over its decompressed payload
+    src = docs.select("doc_id", F.crc32(F.encode("text", "UTF-8")).alias("src_crc"))
+    return out.join(src, "doc_id").select(
+        "doc_id",
+        "codec",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("crc32") == F.col("src_crc")).alias("crc_ok"),
+    )
+
+
+@query(
+    "q355_gif_animation_frames",
+    """
+    WITH d AS (
+      SELECT doc_id FROM documents WHERE doc_id % 25 = 0
+    ), fr AS (
+      SELECT doc_id, k FROM d, LATERAL (
+        SELECT unnest([0, 2, 4]) AS k) t
+    ), px AS (
+      SELECT f.doc_id, f.k, p.p,
+             CASE WHEN (p.p // 10) IN (1, 2) AND (p.p % 10) < 9
+                       AND ((p.p % 10) // 3) + 1 <= LEAST(f.k, 3)
+                  THEN (f.doc_id + 5 * (((p.p % 10) // 3) + 1)) % 16
+                  ELSE (f.doc_id + 3 * p.p) % 16
+             END AS idx
+      FROM fr f, LATERAL (SELECT unnest(range(0, 40)) AS p) p
+    )
+    SELECT doc_id,
+           CAST(k AS INT) AS frame_idx,
+           CAST(5 AS INT) AS n_frames,
+           CAST(5 + k AS INT) AS delay_cs,
+           CAST(SUM(((idx * 13 + doc_id) % 256)
+                    + ((idx * 13 + 7 + doc_id) % 256)
+                    + ((idx * 13 + 14 + doc_id) % 256)) AS BIGINT)
+             AS rgb_sum
+    FROM px GROUP BY doc_id, k
+    """,
+)
+def q355(spark, sf_dir):
+    """ANIMATED-GIF frame sampling (`multimodal.sample_gif_frames` over
+    `decode_gif_frames`) — real temporal decode behind the video
+    frame-sample shape: each doc builds a 5-frame 10x4 animation
+    (full first frame; three DISJOINT delta-patch frames at disposal 1;
+    a final all-transparent overlay that must leave the canvas
+    untouched), and every sampled frame's COMPOSED canvas RGB sum is
+    pinned against the oracle's closed-form replay of the same
+    composition (patch j applied iff j <= min(k,3); transparent frame
+    == frame 3).  GCE delays (5+k) verify the control-extension parse;
+    one O(1) row per sampled frame, bytes never on the driver."""
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        encode_gif_animation,
+        sample_gif_frames,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                palette = bytes(
+                    (i * 13 + j * 7 + d) % 256
+                    for i in range(16)
+                    for j in range(3)
+                )
+                idx0 = bytes((d + 3 * p) % 16 for p in range(40))
+                frames = [
+                    dict(left=0, top=0, w=10, h=4, indices=idx0, delay=5,
+                         disposal=1)
+                ]
+                for j in (1, 2, 3):
+                    cj = (d + 5 * j) % 16
+                    frames.append(
+                        dict(left=3 * (j - 1), top=1, w=3, h=2,
+                             indices=bytes([cj] * 6), delay=5 + j,
+                             disposal=1)
+                    )
+                frames.append(
+                    dict(left=0, top=0, w=10, h=4,
+                         indices=bytes([15] * 40), delay=9, disposal=1,
+                         transparent=15)
+                )
+                payloads.append(
+                    encode_gif_animation(10, 4, palette, frames)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    return sample_gif_frames(assets, every_n=2).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.col("delay_cs").cast("int").alias("delay_cs"),
+        F.col("rgb_sum").cast("bigint").alias("rgb_sum"),
+    )

@@ -528,3 +528,97 @@ def test_png_16bit_roundtrip_and_8bit_view():
     )
     with pytest.raises(NotImplementedError, match="depth"):
         decode_png_pixels(blob4)
+
+
+def test_gif_animation_composition():
+    """Multi-frame composition semantics: full first frame, disjoint
+    patch frames (disposal 1), an all-transparent frame (canvas
+    unchanged), restore-to-background (disposal 2), and
+    restore-to-previous (disposal 3) — each hand-computed."""
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    sw, sh = 6, 4
+    palette = bytes()
+    pal = []
+    for i in range(8):
+        pal += [i * 30, i * 30 + 1, i * 30 + 2]
+    palette = bytes(pal)
+
+    def rgb(i):
+        return palette[3 * i : 3 * i + 3]
+
+    base = bytes([1] * (sw * sh))
+    frames = [
+        dict(left=0, top=0, w=sw, h=sh, indices=base, delay=10, disposal=1),
+        # patch 2x2 at (1,1) with color 3
+        dict(left=1, top=1, w=2, h=2, indices=bytes([3] * 4), delay=20,
+             disposal=1),
+        # all-transparent overlay: canvas must not change
+        dict(left=0, top=0, w=sw, h=sh, indices=bytes([7] * (sw * sh)),
+             delay=30, disposal=1, transparent=7),
+        # disposal 2: draw color 5 at (4,0) 2x1, then restore rect to bg
+        dict(left=4, top=0, w=2, h=1, indices=bytes([5] * 2), delay=40,
+             disposal=2),
+        # after restore: rect is background (idx 0); next frame sees it
+        dict(left=0, top=0, w=1, h=1, indices=bytes([6]), delay=50,
+             disposal=3),
+        dict(left=0, top=0, w=1, h=1, indices=bytes([2]), delay=60,
+             disposal=1),
+    ]
+    blob = encode_gif_animation(sw, sh, palette, frames, bg_idx=0)
+    W, H, got = decode_gif_frames(blob)
+    assert (W, H) == (sw, sh) and len(got) == 6
+    assert [d for d, _ in got] == [10, 20, 30, 40, 50, 60]
+    f0 = bytearray(rgb(1) * (sw * sh))
+    assert got[0][1] == bytes(f0)
+    f1 = bytearray(f0)
+    for (x, y) in [(1, 1), (2, 1), (1, 2), (2, 2)]:
+        f1[(y * sw + x) * 3 : (y * sw + x) * 3 + 3] = rgb(3)
+    assert got[1][1] == bytes(f1)
+    assert got[2][1] == bytes(f1)  # transparent overlay: unchanged
+    f3 = bytearray(f1)
+    for (x, y) in [(4, 0), (5, 0)]:
+        f3[(y * sw + x) * 3 : (y * sw + x) * 3 + 3] = rgb(5)
+    assert got[3][1] == bytes(f3)
+    # frame 4 renders onto the disposal-2-restored canvas: (4,0),(5,0)
+    # are background now, plus pixel (0,0) becomes color 6
+    f4 = bytearray(f1)
+    for (x, y) in [(4, 0), (5, 0)]:
+        f4[(y * sw + x) * 3 : (y * sw + x) * 3 + 3] = rgb(0)
+    f4[0:3] = rgb(6)
+    assert got[4][1] == bytes(f4)
+    # frame 5: disposal 3 restored the pre-frame-4 canvas, then (0,0)=2
+    f5 = bytearray(f4)
+    f5[0:3] = rgb(2)
+    assert got[5][1] == bytes(f5)
+
+
+def test_sample_gif_frames_distributed(spark):
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        encode_gif_animation,
+        sample_gif_frames,
+    )
+
+    palette = bytes(v for i in range(4) for v in (i * 10, i * 10, i * 10))
+    frames = [
+        dict(left=0, top=0, w=4, h=2, indices=bytes([1] * 8), delay=5),
+        dict(left=0, top=0, w=2, h=1, indices=bytes([2] * 2), delay=7),
+        dict(left=2, top=0, w=2, h=1, indices=bytes([3] * 2), delay=9),
+    ]
+    blob = encode_gif_animation(4, 2, palette, frames)
+    assets = spark.createDataFrame(
+        [(1, blob), (2, b"junk")], "doc_id long, payload binary"
+    )
+    got = sorted(
+        [
+            (r.doc_id, r.frame_idx, r.n_frames, r.delay_cs, r.rgb_sum)
+            for r in sample_gif_frames(assets, every_n=2).collect()
+        ]
+    )
+    # doc 1: frames 0 and 2 sampled; sums hand-computed
+    s0 = 8 * (10 * 3)
+    s2 = 4 * (10 * 3) + 2 * (20 * 3) + 2 * (30 * 3)
+    assert got == [(1, 0, 3, 5, s0), (1, 2, 3, 9, s2), (2, None, None, None, None)]

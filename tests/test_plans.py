@@ -667,7 +667,8 @@ def test_round8_timing_quantiles_native_and_bounded(spark):
     df = QUERIES["q341_quantile_timing"](spark, SF_DIR)
     assert python_eval_nodes(df) == []
     plan = formatted_plan(df)
-    assert "partial_count" in plan, plan  # map-side combine on buckets
+    # map-side combine on buckets (weight generalization sums a lit(1))
+    assert "partial_sum" in plan or "partial_count" in plan, plan
     import re
 
     exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
