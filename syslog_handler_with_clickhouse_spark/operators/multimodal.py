@@ -13,9 +13,10 @@ BMP (24/32-bit BGR(X) + 8-bit palettized, both row orders), WAV
 AND progressive, both SOF2 axes, subsampling, restart intervals).
 Remaining ``NotImplementedError`` sites are format guards inside these
 working decoders (16-bit PNG, WAVE_FORMAT_EXTENSIBLE, BMP RLE,
-arithmetic/12-bit JPEG), not environment stubs.  ``resize_images``
-remains the one deterministic fake (a real PIL/opencv resize would
-drop into the same plumbing unchanged) — see its docstring.
+arithmetic/12-bit JPEG), not environment stubs.  Image resize is
+REAL too (``resize_decoded``: decode + exact nearest-neighbor /
+box-mean resampling); the legacy ``resize_images`` byte-tiler remains
+only as the q47 plumbing fixture.
 """
 
 from __future__ import annotations
@@ -1034,10 +1035,9 @@ def sample_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
 
 
 def resize_images(assets: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
-    """Deterministic fake 'resize': payload tiled/truncated to exactly
-    width×height bytes.  A real PIL/opencv resize drops into ``_rz``
-    unchanged — the binary-in/binary-out mapInPandas plumbing, schema,
-    and batch shape are what this exercises."""
+    """Legacy byte-tiling 'resize' kept for the q47 plumbing fixture —
+    superseded by :func:`resize_decoded`, which decodes payloads
+    through the real codec layer and resamples actual pixels."""
     target = width * height
 
     def _rz(payload) -> bytes:
@@ -1609,3 +1609,89 @@ def sample_gif_frames(assets: DataFrame, every_n: int = 1) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, GIF_FRAMES_SCHEMA)
+
+
+RESIZE_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("res_sum", T.LongType()),
+    ]
+)
+
+
+def resize_decoded(
+    assets: DataFrame, width: int = 8, height: int = 8,
+    method: str = "nearest",
+) -> DataFrame:
+    """REAL image resize over DECODED pixels — retires the tiled-bytes
+    fake (`resize_images`): every payload goes through the full codec
+    layer (`decode_real`: PNG/GIF/BMP/JPEG), then numpy resampling to
+    (width, height):
+
+    - ``nearest``: src index = floor(dst * src_dim / out_dim) — the
+      exact integer mapping, closed-form reproducible (the q356
+      oracle);
+    - ``mean``: exact box average when both dims divide evenly (the
+      thumbnailing downscale), falling back to nearest otherwise.
+
+    Output rows carry the resized interleaved bytes AND their sum, so
+    downstream embedding stages can consume the thumbnails while the
+    oracle pins values.  Audio/garbage payloads yield kind='skipped'
+    null rows; bytes never visit the driver."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    decoded = decode_real(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    decoded = None
+                if decoded is None or decoded[0] == "wav":
+                    rows.append(
+                        (int(did), "skipped", None, None, None, None, None)
+                    )
+                    continue
+                kind, w, h, c, px = decoded
+                a = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .reshape(h, w, c)
+                    .astype(np.int64)
+                )
+                if method == "mean" and h % height == 0 and w % width == 0:
+                    fy, fx = h // height, w // width
+                    out = (
+                        a.reshape(height, fy, width, fx, c)
+                        .mean(axis=(1, 3))
+                        .astype(np.int64)  # floor, exact for int inputs
+                    )
+                else:
+                    ys = (np.arange(height) * h) // height
+                    xs = (np.arange(width) * w) // width
+                    out = a[np.ix_(ys, xs)]
+                ob = out.astype(np.uint8).tobytes()
+                rows.append(
+                    (
+                        int(did), kind, width, height, c, ob,
+                        int(out.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_REAL_SCHEMA.fields]
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "out_w": "Int32",
+                    "out_h": "Int32",
+                    "channels": "Int32",
+                    "res_sum": "Int64",
+                }
+            )
+
+    return assets.mapInPandas(batches, RESIZE_REAL_SCHEMA)

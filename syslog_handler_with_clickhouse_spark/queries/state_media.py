@@ -2110,3 +2110,78 @@ def q355(spark, sf_dir):
         F.col("delay_cs").cast("int").alias("delay_cs"),
         F.col("rgb_sum").cast("bigint").alias("rgb_sum"),
     )
+
+
+@query(
+    "q356_image_resize_real",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 37) + 9 AS w,
+             (doc_id % 19) + 8 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+      FROM documents WHERE doc_id % 29 = 1
+    ), g AS (
+      SELECT d.*, t.i, t.j, ch.ch,
+             ((t.j * d.h) // 8) AS ys,
+             ((t.i * d.w) // 8) AS xs
+      FROM d,
+           LATERAL (SELECT unnest(range(0, 8)) AS i) t_i,
+           LATERAL (SELECT unnest(range(0, 8)) AS j) t_j,
+           LATERAL (SELECT unnest(range(0, d.c)) AS ch) ch,
+           LATERAL (SELECT t_i.i AS i, t_j.j AS j) t
+    )
+    SELECT doc_id,
+           CAST(8 AS INT) AS out_w,
+           CAST(8 AS INT) AS out_h,
+           CAST(MAX(c) AS INT) AS channels,
+           CAST(SUM((doc_id * 7 + 13 * ((ys * w + xs) * c + ch)) % 251)
+                AS BIGINT) AS res_sum
+    FROM g GROUP BY doc_id
+    """,
+)
+def q356(spark, sf_dir):
+    """REAL image resize over decoded pixels
+    (`multimodal.resize_decoded`) — the tiled-bytes fake is retired:
+    payloads decode through the full codec layer, then exact
+    nearest-neighbor resampling (src = floor(dst·src_dim/8)) produces
+    8x8 thumbnails whose value SUM the oracle recomputes closed-form
+    from the q224 pixel pattern at the mapped coordinates.  Fixtures are
+    filtered PNGs (q344/q355 pin the other codecs' decode parity);
+    grayscale and RGB alternate."""
+    import pandas as pd
+
+    from ..operators.multimodal import encode_png, resize_decoded
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 29 == 1)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 37 + 9, d % 19 + 8
+                c = 1 if d % 2 == 0 else 3
+                px = bytes(
+                    (d * 7 + 13 * k) % 251 for k in range(w * h * c)
+                )
+                payloads.append(
+                    encode_png(px, w, h, c, [r % 5 for r in range(h)])
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    out = resize_decoded(assets, 8, 8, method="nearest")
+    return out.select(
+        "doc_id",
+        F.col("out_w").cast("int").alias("out_w"),
+        F.col("out_h").cast("int").alias("out_h"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("res_sum").cast("bigint").alias("res_sum"),
+    )

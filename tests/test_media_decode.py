@@ -622,3 +622,40 @@ def test_sample_gif_frames_distributed(spark):
     s0 = 8 * (10 * 3)
     s2 = 4 * (10 * 3) + 2 * (20 * 3) + 2 * (30 * 3)
     assert got == [(1, 0, 3, 5, s0), (1, 2, 3, 9, s2), (2, None, None, None, None)]
+
+
+def test_resize_decoded_real(spark):
+    """Real resize: nearest-neighbor picks exact source pixels; the
+    integer-factor mean path is an exact box average; audio/garbage
+    skip cleanly."""
+    import numpy as np
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        encode_bmp,
+        resize_decoded,
+    )
+
+    w, h = 16, 8
+    rgb = bytes((x * 3 + y * 11 + c) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    a = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.int64)
+    assets = spark.createDataFrame(
+        [(1, encode_png(rgb, w, h, 3)), (2, encode_bmp(rgb, w, h)),
+         (3, encode_wav([1, 2], 8000, 1)), (4, b"xx")],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in resize_decoded(assets, 4, 4).collect()}
+    ys, xs = (np.arange(4) * h) // 4, (np.arange(4) * w) // 4
+    nn = a[np.ix_(ys, xs)]
+    for did, kind in ((1, "png"), (2, "bmp")):
+        r = got[did]
+        assert (r.kind, r.out_w, r.out_h, r.channels) == (kind, 4, 4, 3)
+        assert bytes(r.resized) == nn.astype(np.uint8).tobytes()
+        assert r.res_sum == int(nn.sum())
+    assert got[3].kind == "skipped" and got[4].kind == "skipped"
+    # integer-factor exact box mean
+    got_m = {r.doc_id: r for r in
+             resize_decoded(assets, 4, 4, method="mean").collect()}
+    bm = a.reshape(4, 2, 4, 4, 3).mean(axis=(1, 3)).astype(np.int64)
+    assert got_m[1].res_sum == int(bm.sum())
+    assert bytes(got_m[1].resized) == bm.astype(np.uint8).tobytes()
