@@ -538,8 +538,10 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     (colors_used,) = struct.unpack("<I", b[46:50])
     if planes != 1:
         raise ValueError(f"BMP planes {planes} != 1")
-    if compression != 0:
+    if compression not in (0, 1):
         raise NotImplementedError(f"BMP compression {compression} unsupported")
+    if compression == 1 and bpp != 8:
+        raise ValueError("RLE8 compression requires 8-bit BMP")
     if bpp not in (8, 24, 32):
         raise NotImplementedError(f"{bpp}-bit BMP unsupported")
     if w <= 0 or h_signed == 0:
@@ -553,6 +555,47 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         palette = b[pal_off : pal_off + 4 * npal]
         if len(palette) != 4 * npal:
             raise ValueError("BMP palette truncated")
+    if compression == 1:
+        # RLE8: decode to an index raster first (rows bottom-up unless
+        # top_down).  Encoded runs (n>0: n copies of next byte) and
+        # escapes (0,0=EOL, 0,1=EOD, 0,2=delta dx,dy, 0,n>=3: absolute
+        # run, word-aligned).  Unwritten pixels stay index 0.
+        raster = bytearray(w * h)  # raw order (first decoded row first)
+        x = y = 0
+        p = data_off
+        while p + 1 < len(b):
+            n, v = b[p], b[p + 1]
+            p += 2
+            if n > 0:
+                for _ in range(n):
+                    if x < w and y < h:
+                        raster[y * w + x] = v
+                    x += 1
+            elif v == 0:  # end of line
+                x, y = 0, y + 1
+            elif v == 1:  # end of data
+                break
+            elif v == 2:  # delta
+                x += b[p]
+                y += b[p + 1]
+                p += 2
+            else:  # absolute run of v bytes
+                for k in range(v):
+                    if x < w and y < h:
+                        raster[y * w + x] = b[p + k]
+                    x += 1
+                p += v + (v & 1)
+        out = bytearray(w * h * 3)
+        for r in range(h):
+            src_row = r if top_down else h - 1 - r
+            dst = r * w * 3
+            for x in range(w):
+                idx = raster[src_row * w + x]
+                if idx * 4 + 3 > len(palette):
+                    raise ValueError(f"BMP palette index {idx} out of range")
+                bb, gg, rr, _a = palette[4 * idx : 4 * idx + 4]
+                out[dst + 3 * x : dst + 3 * x + 3] = bytes((rr, gg, bb))
+        return w, h, 3, bytes(out)
     row_bytes = (w * bpp // 8 + 3) & ~3
     need = row_bytes * h
     if len(b) < data_off + need:
@@ -636,7 +679,8 @@ def decode_wav_samples(b: bytes) -> tuple[int, int, int, "object"]:
 
     Returns ``(sample_rate, channels, bits, samples)`` where ``samples``
     is a 1-D numpy array of interleaved channel samples — int64 for
-    PCM, float64 for IEEE float.  WAVE_FORMAT_EXTENSIBLE (0xFFFE) and
+    PCM, float64 for IEEE float.  WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+    unwraps to the SubFormat GUID's real tag (multichannel exports);
     compressed tags raise ``NotImplementedError``."""
     import struct
 
@@ -645,6 +689,7 @@ def decode_wav_samples(b: bytes) -> tuple[int, int, int, "object"]:
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     fmt = None
+    fmt_body = None
     data = None
     i = 12
     while i + 8 <= len(b):
@@ -653,12 +698,20 @@ def decode_wav_samples(b: bytes) -> tuple[int, int, int, "object"]:
         body = b[i + 8 : i + 8 + clen]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             data = body
         i += 8 + clen + (clen & 1)
     if fmt is None:
         raise ValueError("missing fmt chunk")
     tag, channels, rate, _byte_rate, _block_align, bits = fmt
+    if tag == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real tag is the first two bytes
+        # of the SubFormat GUID at offset 24 of the fmt body (after
+        # cbSize, wValidBitsPerSample, dwChannelMask)
+        if fmt_body is None or len(fmt_body) < 26:
+            raise ValueError("extensible WAV fmt chunk truncated")
+        tag = struct.unpack("<H", fmt_body[24:26])[0]
     if tag not in (1, 3):
         raise NotImplementedError(
             f"WAV format tag {tag} unsupported (PCM + IEEE float only)"
@@ -1695,3 +1748,53 @@ def resize_decoded(
             )
 
     return assets.mapInPandas(batches, RESIZE_REAL_SCHEMA)
+
+
+def encode_bmp_rle8(
+    indices: bytes, w: int, h: int, palette: bytes,
+    absolute_runs: bool = False,
+) -> bytes:
+    """RLE8-compressed 8-bit BMP builder (fixture twin of the RLE8
+    decode branch): rows emitted bottom-up, each as encoded runs (or
+    word-aligned ABSOLUTE runs when ``absolute_runs``) + EOL, stream
+    terminated by EOD."""
+    import struct
+
+    npal = len(palette) // 3
+    pal_bytes = b"".join(
+        bytes((palette[3 * i + 2], palette[3 * i + 1], palette[3 * i], 0))
+        for i in range(npal)
+    )
+    data = bytearray()
+    for r in range(h - 1, -1, -1):
+        row = indices[r * w : (r + 1) * w]
+        if absolute_runs and w >= 3:
+            # one absolute run per row (spec: length >= 3, word-aligned)
+            x = 0
+            while x < w:
+                n = min(255, w - x)
+                if n >= 3:
+                    data += bytes([0, n]) + row[x : x + n]
+                    if n & 1:
+                        data.append(0)
+                else:  # tail shorter than 3: encoded runs
+                    for k in range(n):
+                        data += bytes([1, row[x + k]])
+                x += n
+        else:
+            x = 0
+            while x < w:
+                v = row[x]
+                n = 1
+                while x + n < w and row[x + n] == v and n < 255:
+                    n += 1
+                data += bytes([n, v])
+                x += n
+        data += bytes([0, 0])  # EOL
+    data += bytes([0, 1])  # EOD
+    data_off = 14 + 40 + len(pal_bytes)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(data), 2835, 2835, npal, 0,
+    )
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
+    return hdr + dib + pal_bytes + bytes(data)

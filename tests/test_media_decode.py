@@ -171,11 +171,43 @@ def test_wav_8bit_and_unsupported():
     assert (rate, ch, bits) == (8000, 1, 8)
     assert got.tolist() == [0, 128, 255]
 
-    # WAVE_FORMAT_EXTENSIBLE stays guarded (float32 now decodes)
-    fmt_ext = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 32000, 4, 32)
-    body_f = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_ext)) + fmt_ext
+    # compressed tags stay guarded (float32 + extensible now decode)
+    fmt_adpcm = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)
+    body_f = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_adpcm)) + fmt_adpcm
     with pytest.raises(NotImplementedError, match="tag"):
         decode_wav_samples(b"RIFF" + struct.pack("<I", len(body_f)) + body_f)
+
+
+def test_wav_extensible_unwraps_subformat():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE): the real tag lives in the first
+    two SubFormat-GUID bytes — PCM16 and float32 payloads wrapped in
+    the extensible header must decode identically to the plain forms;
+    an unknown subformat stays guarded."""
+    import numpy as np
+
+    def ext_blob(subtag, bits, payload):
+        guid_tail = bytes.fromhex("000000001000800000aa00389b71")
+        fmt = (
+            struct.pack("<HHIIHH", 0xFFFE, 2, 44100,
+                        44100 * 2 * bits // 8, 2 * bits // 8, bits)
+            + struct.pack("<HHI", 22, bits, 3)  # cbSize, valid bits, mask
+            + struct.pack("<H", subtag) + guid_tail
+        )
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    pcm = np.array([5, -5, 32767, -32768], dtype="<i2")
+    rate, ch, bits, got = decode_wav_samples(ext_blob(1, 16, pcm.tobytes()))
+    assert (rate, ch, bits) == (44100, 2, 16)
+    assert got.tolist() == pcm.astype(np.int64).tolist()
+    flt = np.array([0.5, -1.0, 2.25], dtype="<f4")
+    rate, ch, bits, got = decode_wav_samples(ext_blob(3, 32, flt.tobytes()))
+    assert bits == 32 and got.tolist() == flt.astype(np.float64).tolist()
+    with pytest.raises(NotImplementedError, match="tag"):
+        decode_wav_samples(ext_blob(2, 4, b"\x00\x00"))
 
 
 def test_wav_float32_roundtrip():
@@ -443,9 +475,9 @@ def test_bmp_guards_and_dispatch():
     )
 
     blob = bytearray(encode_bmp(bytes(27), 3, 3))
-    # RLE8 compression -> guard
+    # RLE4 compression -> guard (RLE8 now decodes)
     rle = bytearray(blob)
-    rle[30:34] = struct.pack("<I", 1)
+    rle[30:34] = struct.pack("<I", 2)
     with pytest.raises(NotImplementedError, match="compression"):
         decode_bmp_pixels(bytes(rle))
     # 16-bit -> guard
@@ -659,3 +691,34 @@ def test_resize_decoded_real(spark):
     bm = a.reshape(4, 2, 4, 4, 3).mean(axis=(1, 3)).astype(np.int64)
     assert got_m[1].res_sum == int(bm.sum())
     assert bytes(got_m[1].resized) == bm.astype(np.uint8).tobytes()
+
+
+def test_bmp_rle8_roundtrip():
+    """RLE8: encoded runs, absolute runs (word-aligned), EOL/EOD
+    escapes — decodes to the same RGB as the uncompressed 8-bit form;
+    RLE on non-8-bit stays rejected."""
+    import struct as _st
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+        encode_bmp_rle8,
+    )
+
+    w, h = 11, 4
+    palette = bytes((i * 7 + j * 3) % 256 for i in range(16) for j in range(3))
+    idx = bytes(
+        [0] * 5 + [3] * 6          # runs
+        + [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11]  # distinct (absolute-friendly)
+        + [15] * 11
+        + [2, 2, 9, 9, 9, 0, 0, 0, 0, 1, 1]
+    )
+    plain = decode_bmp_pixels(encode_bmp(idx, w, h, bpp=8, palette=palette))
+    for absolute in (False, True):
+        rle = encode_bmp_rle8(idx, w, h, palette, absolute_runs=absolute)
+        assert decode_bmp_pixels(rle) == plain, absolute
+    # RLE8 with bpp 24 is corrupt
+    bad = bytearray(encode_bmp(bytes(w * h * 3), w, h))
+    bad[30:34] = _st.pack("<I", 1)
+    with pytest.raises(ValueError, match="RLE8"):
+        decode_bmp_pixels(bytes(bad))
