@@ -85,3 +85,24 @@ def row_group_ranges(path: str, col: str) -> list[tuple]:
             if s is not None and s.has_min_max:
                 out.append((s.min, s.max))
     return out
+
+
+def morton_decode(z: Column, bits: int = 16) -> tuple[Column, Column]:
+    """Inverse of :func:`zorder_key` — ClickHouse ``mortonDecode``
+    analogue: de-interleave a Morton code back into its two
+    coordinates (a from even bit positions, b from odd), as native
+    bit arithmetic."""
+    a = F.lit(0).cast("bigint")
+    b = F.lit(0).cast("bigint")
+    for i in range(bits):
+        a = a.bitwiseOR(
+            F.shiftleft(
+                F.shiftrightunsigned(z, 2 * i).bitwiseAND(F.lit(1)), i
+            )
+        )
+        b = b.bitwiseOR(
+            F.shiftleft(
+                F.shiftrightunsigned(z, 2 * i + 1).bitwiseAND(F.lit(1)), i
+            )
+        )
+    return a, b

@@ -2185,3 +2185,60 @@ def q356(spark, sf_dir):
         F.col("channels").cast("int").alias("channels"),
         F.col("res_sum").cast("bigint").alias("res_sum"),
     )
+
+
+def _morton_sql(a: str, b: str, bits: int = 16) -> str:
+    """DuckDB bit-interleave expression mirroring layout.zorder_key."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+@query(
+    "q357_morton_encode_decode",
+    f"""
+    WITH d AS (
+      SELECT event_id,
+             user_id % 1024 AS xa,
+             (event_id * 7) % 1024 AS xb
+      FROM events WHERE event_id % 17 = 5
+    )
+    SELECT event_id,
+           CAST(xa AS BIGINT) AS xa,
+           CAST(xb AS BIGINT) AS xb,
+           CAST({_morton_sql('xa', 'xb')} AS BIGINT) AS z,
+           TRUE AS roundtrip_ok
+    FROM d
+    """,
+)
+def q357(spark, sf_dir):
+    """``mortonEncode`` / ``mortonDecode`` as first-class column
+    functions (`operators/layout.py:zorder_key/morton_decode`) — the
+    same native bit-interleave that powers the q184 Z-order store,
+    exposed CH-style.  The oracle recomputes the interleave with a
+    generated 32-term bit expression in DuckDB, and the round trip
+    decode(encode(a,b)) == (a,b) is pinned as a boolean on every
+    row.  Python-free plan."""
+    from ..operators.layout import morton_decode, zorder_key
+
+    d = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 17 == 5)
+        .select(
+            "event_id",
+            (F.col("user_id") % 1024).alias("xa"),
+            ((F.col("event_id") * 7) % 1024).alias("xb"),
+        )
+    )
+    z = zorder_key(F.col("xa"), F.col("xb"), bits=16)
+    d = d.withColumn("z", z)
+    da, db = morton_decode(F.col("z"), bits=16)
+    return d.select(
+        "event_id",
+        F.col("xa").cast("bigint").alias("xa"),
+        F.col("xb").cast("bigint").alias("xb"),
+        F.col("z").cast("bigint").alias("z"),
+        ((da == F.col("xa")) & (db == F.col("xb"))).alias("roundtrip_ok"),
+    )
