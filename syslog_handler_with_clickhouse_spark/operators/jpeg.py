@@ -32,9 +32,14 @@ Scope (what "baseline" means here, per ITU-T T.81):
   restart_interval=...)``.  The entropy layer is provably lossless —
   the progressive decode of an image is bit-identical to its baseline
   decode in every mode combination (unit-pinned).
-- Arithmetic coding, 12-bit precision, 16-bit quant tables, lossless
-  (SOF3), and hierarchical modes raise ``NotImplementedError`` —
-  format guards, not stubs.
+- 12-BIT PRECISION, baseline grayscale: level shift 2048, 16-bit
+  quantization tables (DQT Pq=1), custom DC (16-symbol) / AC (flat
+  226-symbol) Huffman tables carried in DHT; decode returns the
+  high-byte 8-bit view (>> 4, the 16-bit-PNG convention).  Encoder:
+  ``encode_jpeg12``.
+- Arithmetic coding, 12-bit progressive/color, lossless (SOF3), and
+  hierarchical modes raise ``NotImplementedError`` — format guards,
+  not stubs.
 
 All constant tables below are the public ITU-T T.81 Annex K examples
 (the tables every libjpeg-compatible encoder ships).  The DCT is the
@@ -527,6 +532,7 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     restart_interval = 0
     scan = None
     progressive = False
+    precision = 8
 
     while pos < len(b):
         if b[pos] != 0xFF:
@@ -548,18 +554,25 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
         if len(seg) != seg_len - 2:
             raise ValueError("JPEG segment truncated")
         nxt = pos + seg_len
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (Pq=0: 8-bit entries, Pq=1: 16-bit)
             sp = 0
             while sp < len(seg):
                 pq, tq = seg[sp] >> 4, seg[sp] & 15
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                zz = seg[sp + 1 : sp + 65]
+                if pq not in (0, 1):
+                    raise ValueError(f"invalid DQT precision {pq}")
+                if pq == 0:
+                    zz = list(seg[sp + 1 : sp + 65])
+                    sp += 65
+                else:
+                    raw = seg[sp + 1 : sp + 129]
+                    zz = [
+                        (raw[2 * i] << 8) | raw[2 * i + 1] for i in range(64)
+                    ]
+                    sp += 129
                 nat = np.zeros(64, dtype=np.int64)
                 for zi, ni in enumerate(ZIGZAG):
                     nat[ni] = zz[zi]
                 qtabs[tq] = nat.reshape(8, 8)
-                sp += 65
         elif marker == 0xC4:  # DHT
             sp = 0
             while sp < len(seg):
@@ -573,8 +586,13 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit precision")
+            if prec == 12 and (progressive or nc != 1):
+                raise NotImplementedError(
+                    "12-bit JPEG supported for baseline grayscale only"
+                )
+            precision = prec
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
@@ -661,7 +679,9 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                     nat = np.zeros(64)
                     for zi, ni in enumerate(ZIGZAG):
                         nat[ni] = zz[zi]
-                    block = idct2(nat.reshape(8, 8) * qt) + 128.0
+                    block = idct2(nat.reshape(8, 8) * qt) + float(
+                        1 << (precision - 1)
+                    )
                     r0 = (my * c["v"] + by) * 8
                     c0 = (mx * c["h"] + bx) * 8
                     planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
@@ -673,8 +693,12 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
         if fy > 1 or fx > 1:
             plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         full.append(plane[:h, :w])
+    maxv = (1 << precision) - 1
     if len(comps) == 1:
-        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        samp12 = np.clip(np.round(full[0]), 0, maxv).astype(np.int64)
+        # 12-bit decodes to the high-byte 8-bit view (>> 4), the same
+        # convention as 16-bit PNG; 8-bit passes through
+        out = (samp12 >> (precision - 8)).astype(np.uint8)
         return (w, h, 1, out.tobytes())
     rgb = ycbcr_to_rgb(np.stack(full, axis=-1))
     out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
@@ -1384,3 +1408,72 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame, restart_interval=0)
     rgb = ycbcr_to_rgb(np.stack(planes, axis=-1))
     out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return (w, h, 3, out.tobytes())
+
+
+# ---------------------------------------------------------------------
+# 12-bit precision (baseline grayscale) — T.81 extended sample depth
+# ---------------------------------------------------------------------
+# 12-bit DC diffs need size categories up to 15 and AC magnitudes up to
+# size 14 — beyond the Annex K example tables (which stop at 11/10), so
+# the encoder ships legal custom tables carried in DHT like any other:
+# a 16-symbol DC table and a flat 8-bit AC table over all 226 symbols a
+# 12-bit sequential scan can emit (runs 0-15 x sizes 1-14, ZRL, EOB).
+DC12 = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0],
+    list(range(16)),
+)
+_AC12_SYMS = sorted(
+    [(r << 4) | s for r in range(16) for s in range(1, 15)] + [0x00, 0xF0]
+)
+AC12 = (
+    [0, 0, 0, 0, 0, 0, 0, len(_AC12_SYMS), 0, 0, 0, 0, 0, 0, 0, 0],
+    _AC12_SYMS,
+)
+assert sum(DC12[0]) == len(DC12[1]) and sum(AC12[0]) == len(AC12[1])
+
+
+def encode_jpeg12(
+    samples, width: int, height: int, quality: int = 100
+) -> bytes:
+    """12-bit baseline grayscale encoder (fixture twin of the
+    precision-12 decode branch): samples 0..4095, level shift 2048,
+    16-bit quantization table (DQT Pq=1 — the combination T.81
+    mandates for extended precision), custom DC/AC tables in DHT."""
+    a = np.asarray(list(samples), dtype=np.int64).reshape(height, width)
+    if a.min() < 0 or a.max() > 4095:
+        raise ValueError("12-bit samples must be in 0..4095")
+    qt = scaled_quant(QUANT_LUM, quality)
+    qtf = qt.reshape(8, 8).astype(np.float64)
+    bx_n = -(-width // 8)
+    by_n = -(-height // 8)
+    padded = _pad_to_blocks(a.astype(np.float64), by_n, bx_n)
+    dc_enc, _ = _build_huffman(*DC12)
+    ac_enc, _ = _build_huffman(*AC12)
+    w = _BitWriter()
+    pred = 0
+    for by in range(by_n):
+        for bx in range(bx_n):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 2048.0
+            qcoef = np.round(fdct2(block) / qtf).astype(np.int64)
+            pred = _encode_block(w, qcoef, pred, dc_enc, ac_enc)
+    w.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 128)
+    out.append(0x10)  # Pq=1 (16-bit entries), Tq=0
+    for z in ZIGZAG:
+        out += struct.pack(">H", int(qt[z]))
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3, 12, height, width, 1)
+    out += bytes([1, 0x11, 0])
+    for tc_th, (bits, vals) in ((0x00, DC12), (0x10, AC12)):
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+        out.append(tc_th)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += bytes([1, 0x00, 0, 63, 0])
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -2242,3 +2242,69 @@ def q357(spark, sf_dir):
         F.col("z").cast("bigint").alias("z"),
         ((da == F.col("xa")) & (db == F.col("xb"))).alias("roundtrip_ok"),
     )
+
+
+@query(
+    "q358_jpeg_12bit_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 33) + 9 AS w,
+             (doc_id % 15) + 8 AS h
+      FROM documents WHERE doc_id % 27 = 4
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(w * h AS BIGINT) AS n_values,
+           CAST(40 * w * h + h * w * (w - 1)
+                + 3 * w * h * (h - 1) / 2 AS BIGINT) AS px_sum
+    FROM d
+    """,
+)
+def q358(spark, sf_dir):
+    """12-BIT JPEG decode through the shared distributed path
+    (`operators/jpeg.py` precision-12 branch: 16-bit DQT Pq=1 parse,
+    2048 level shift, extended DC/AC size categories via custom DHT
+    tables, high-byte 8-bit view).  Fixtures carry mid-nibble samples
+    16·v8 + 8 over the q331 gradient at quality 100, so the >> 4 view
+    is BIT-exact and the oracle pins the same closed-form pixel sum as
+    the 8-bit family — a decoder that mis-parsed the 16-bit quant
+    table or mis-shifted the level would be off on every block."""
+    import pandas as pd
+
+    from ..operators.jpeg import encode_jpeg12
+    from ..operators.multimodal import decode_assets
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 27 == 4)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 33 + 9, d % 15 + 8
+                samples = [
+                    16 * (40 + 2 * (k % w) + 3 * (k // w)) + 8
+                    for k in range(w * h)
+                ]
+                payloads.append(encode_jpeg12(samples, w, h, quality=100))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    return dec.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("px_sum"),
+    )

@@ -234,8 +234,9 @@ def test_progressive_gray_q100_bit_exact():
 
 def test_progressive_unsupported_modes_guarded():
     """The REMAINING format guards on the progressive path: 12-bit
-    precision and 16-bit quant tables.  (Subsampling and restart
-    intervals are now supported — positive tests below.)"""
+    progressive (12-bit is baseline-grayscale only) and arithmetic
+    coding.  (Subsampling, restart intervals, 16-bit quant tables and
+    12-bit baseline grayscale are now supported.)"""
     from syslog_handler_with_clickhouse_spark.operators.jpeg import (
         encode_jpeg_progressive,
     )
@@ -247,15 +248,13 @@ def test_progressive_unsupported_modes_guarded():
     assert jb[i + 4] == 8
     j12 = bytearray(jb)
     j12[i + 4] = 12
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="baseline grayscale"):
         decode_jpeg_pixels(bytes(j12))
-    # DQT Pq nibble -> 1 (16-bit table)
-    q = bytes(jb).find(b"\xff\xdb")
-    assert q > 0
-    j16 = bytearray(jb)
-    j16[q + 4] |= 0x10
+    # arithmetic-coded progressive (SOF10) stays a format guard
+    ja = bytearray(jb)
+    ja[i + 1] = 0xCA
     with pytest.raises(NotImplementedError):
-        decode_jpeg_pixels(bytes(j16))
+        decode_jpeg_pixels(bytes(ja))
 
 
 def test_progressive_subsampled_equals_baseline_decode():
@@ -387,3 +386,27 @@ def test_successive_gray_q100_bit_exact_to_source():
         encode_jpeg_progressive(px, 37, 29, 1, quality=100, successive=True)
     )
     assert (W, H, C) == (37, 29, 1) and out == px
+
+
+def test_12bit_baseline_grayscale():
+    """Precision 12: 16-bit DQT (Pq=1), 2048 level shift, extended
+    DC/AC size categories.  Mid-nibble samples make the high-byte view
+    closed-form even under DCT rounding; q100 smooth gradient is
+    bit-exact after >> 4; color/progressive 12-bit stay guarded."""
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg12,
+    )
+
+    for w, h in ((21, 13), (32, 17), (9, 25)):
+        samples = [
+            16 * (40 + 2 * (k % w) + 3 * (k // w)) + 8
+            for k in range(w * h)
+        ]
+        jb = encode_jpeg12(samples, w, h, quality=100)
+        assert jb[jb.find(b"\xff\xc0") + 4] == 12  # SOF precision
+        assert jb[jb.find(b"\xff\xdb") + 4] == 0x10  # 16-bit DQT
+        W, H, C, out = decode_jpeg_pixels(jb)
+        assert (W, H, C) == (w, h, 1)
+        assert out == bytes(s >> 4 for s in samples), (w, h)
+    with pytest.raises(ValueError):
+        encode_jpeg12([5000], 1, 1)  # out of 12-bit range
