@@ -2308,3 +2308,44 @@ def q358(spark, sf_dir):
         F.col("n_values").cast("bigint").alias("n_values"),
         F.col("val_sum").cast("bigint").alias("px_sum"),
     )
+
+
+@query(
+    "q359_binary_codecs",
+    """
+    SELECT doc_id,
+           to_base64(encode(substr(text, 1, 23))) AS b64,
+           lower(hex(encode(substr(text, 1, 11)))) AS hx,
+           decode(from_base64(to_base64(encode(substr(text, 1, 23)))))
+             = substr(text, 1, 23) AS b64_rt,
+           CAST(octet_length(encode(substr(text, 1, 23))) AS BIGINT)
+             AS n_raw
+    FROM documents WHERE doc_id % 13 = 6
+    """,
+)
+def q359(spark, sf_dir):
+    """Binary text codecs — CH ``base64Encode/Decode`` / ``hex`` family
+    as Spark natives (base64/unbase64/hex/unhex), cross-checked against
+    DuckDB's independent to_base64/from_base64/hex on the same doc
+    slices: padded-base64 text, lowercase hex, and a decode(encode)
+    round-trip boolean computed INSIDE each engine.  Pure codegen —
+    no UDFs anywhere."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 6)
+        .select(
+            "doc_id",
+            F.substring("text", 1, 23).alias("s23"),
+            F.substring("text", 1, 11).alias("s11"),
+        )
+    )
+    raw = F.encode("s23", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.base64(raw).alias("b64"),
+        F.lower(F.hex(F.encode("s11", "UTF-8"))).alias("hx"),
+        (
+            F.decode(F.unbase64(F.base64(raw)), "UTF-8") == F.col("s23")
+        ).alias("b64_rt"),
+        F.octet_length(raw).cast("bigint").alias("n_raw"),
+    )
