@@ -100,3 +100,28 @@ def test_mask_and_plan_python_free(spark):
     assert r.net == "2001:db8:aa:bb::"
     assert r.ok and list(r.p) == [0, 0, 0, 0, 0, 0, 0, 2]
     assert python_eval_nodes(out) == []
+
+
+def test_format_parse_roundtrip_property(spark):
+    """parse(format(h)) == h over 400 seeded random hextet vectors in
+    ONE Spark job — zero runs land anywhere (60% zero bias), including
+    ties, full-zero, and no-compression cases; every canonical string
+    also validates."""
+    import random
+
+    rng = random.Random(424242)
+    vecs = [
+        [0 if rng.random() < 0.6 else rng.randint(0, 65535)
+         for _ in range(8)]
+        for _ in range(400)
+    ]
+    vecs += [[0] * 8, [1] * 8, [0, 0, 1, 0, 0, 1, 0, 0]]
+    df = spark.createDataFrame([(v,) for v in vecs], "h array<int>")
+    rows = df.select(
+        "h",
+        parse_ipv6(format_ipv6(F.col("h"))).alias("p"),
+        is_ipv6_string(format_ipv6(F.col("h"))).alias("ok"),
+    ).collect()
+    for r in rows:
+        assert list(r.p) == list(r.h), list(r.h)
+        assert r.ok, list(r.h)

@@ -506,3 +506,43 @@ def test_timing_quantiles_exact_and_partition_invariant(spark):
         [v if v < 1024 else (v - v % 16 if v < 65536 else 65535) for v in [10, 2000, 2010, 70000]]
     )
     assert ref["b"] == (4, b_sorted[1], b_sorted[3], b_sorted[3])
+
+
+def test_timing_quantiles_match_brute_force(spark):
+    """Hypothesis-style differential (fixed seeds, Spark per example is
+    slow): the native bucket-cumsum quantile equals a direct
+    computation of min{bucket : cum >= ceil(q*N)} over the bucketed
+    multiset, across regimes and weights."""
+    import math
+    import random
+
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        timing_quantiles,
+    )
+
+    def bucket(v):
+        v = max(0, v)
+        return v if v < 1024 else (v - v % 16 if v < 65536 else 65535)
+
+    rng = random.Random(99)
+    for trial in range(3):
+        rows = [
+            ("g", rng.choice([rng.randint(0, 1023), rng.randint(1024, 65535),
+                              rng.randint(65536, 10**6)]),
+             rng.randint(1, 5))
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame(rows, "g string, ms long, w long")
+        got = timing_quantiles(
+            df.repartition(7), "ms", ["g"], [0.25, 0.5, 0.9, 0.99],
+            weight="w",
+        ).collect()[0]
+        buckets = sorted(
+            b for (_, v, w) in rows for b in [bucket(v)] * w
+        )
+        n = len(buckets)
+        for q, gotv in ((0.25, got.qt_0_25), (0.5, got.qt_0_5),
+                        (0.9, got.qt_0_9), (0.99, got.qt_0_99)):
+            rank = math.ceil(q * n)
+            assert gotv == buckets[rank - 1], (trial, q)
+        assert got.n == n
