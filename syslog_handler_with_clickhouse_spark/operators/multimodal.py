@@ -1406,17 +1406,18 @@ DECOMPRESS_SCHEMA = T.StructType(
 
 
 def decompress_assets(assets: DataFrame) -> DataFrame:
-    """Compressed-corpus ingestion (the WARC.gz / jsonl.zst shape):
-    detect the codec by magic — gzip (1F 8B), zlib (78 xx with a valid
-    FCHECK), else raw — decompress executor-side with stdlib zlib, and
-    reduce each document to O(1) columns: byte counts, whitespace
-    token count, and the CRC32 of the DECOMPRESSED payload (so the
-    oracle can pin content identity, not just sizes).  Same
-    Arrow-batched mapInPandas contract as decode_assets: payloads
-    never visit the driver, corrupt streams yield codec='error' rows
-    instead of failing the batch.  zstd would slot into the same
-    dispatch behind an import-try (the zstandard lib is not in this
-    container)."""
+    """Compressed-corpus ingestion (the WARC.gz / wiki-dump shape):
+    detect the codec by magic — gzip (1F 8B, including MULTI-MEMBER
+    concatenated streams, the actual WARC.gz layout), zlib (78 xx with
+    a valid FCHECK), bzip2 (BZh), xz (FD 37 7A 58 5A), else raw —
+    decompress executor-side with stdlib codecs, and reduce each
+    document to O(1) columns: byte counts, whitespace token count, and
+    the CRC32 of the DECOMPRESSED payload (so the oracle can pin
+    content identity, not just sizes).  Same Arrow-batched mapInPandas
+    contract as decode_assets: payloads never visit the driver,
+    corrupt streams yield codec='error' rows instead of failing the
+    batch.  zstd would slot into the same dispatch behind an
+    import-try (the zstandard lib is not in this container)."""
     import zlib
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1430,6 +1431,16 @@ def decompress_assets(assets: DataFrame) -> DataFrame:
                         import gzip as _gz
 
                         raw = _gz.decompress(b)
+                    elif b[:3] == b"BZh":
+                        codec = "bzip2"
+                        import bz2 as _bz2
+
+                        raw = _bz2.decompress(b)
+                    elif b[:6] == b"\xfd7zXZ\x00":
+                        codec = "xz"
+                        import lzma as _lzma
+
+                        raw = _lzma.decompress(b)
                     elif (
                         len(b) >= 2
                         and b[0] == 0x78

@@ -1951,7 +1951,8 @@ def q353(spark, sf_dir):
     "q354_compressed_corpus_ingest",
     """
     SELECT doc_id,
-           CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib'
+           CASE doc_id % 5 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib'
+                           WHEN 2 THEN 'bzip2' WHEN 3 THEN 'xz'
                            ELSE 'raw' END AS codec,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CAST(CASE WHEN trim(text) = '' THEN 0
@@ -1963,10 +1964,11 @@ def q353(spark, sf_dir):
 )
 def q354(spark, sf_dir):
     """Compressed-corpus ingestion (`multimodal.decompress_assets`) —
-    the WARC.gz / jsonl-deflate step of a training-data pipeline:
-    docs are gzip-, zlib-, or raw-wrapped executor-side (rotating by
+    the WARC.gz / wiki-dump step of a training-data pipeline: docs are
+    gzip- (MULTI-MEMBER for half of them, the real WARC.gz layout),
+    zlib-, bzip2-, xz-, or raw-wrapped executor-side (rotating by
     doc_id), the distributed path detects the codec by magic,
-    decompresses with stdlib zlib, and reduces to O(1) stats.  The
+    decompresses with the stdlib codecs, and reduces to O(1) stats.  The
     oracle pins codec detection, the decompressed byte length and
     whitespace token count against the ORIGINAL text, and content
     identity via a crc32 cross-check computed independently on the
@@ -1985,15 +1987,31 @@ def q354(spark, sf_dir):
     )
 
     def build(it):
+        import bz2 as _bz2
+        import lzma as _lzma
+
         for pdf in it:
             payloads = []
             for d, txt in zip(pdf["doc_id"], pdf["text"]):
                 d = int(d)
                 raw = str(txt).encode("utf-8")
-                if d % 3 == 0:
-                    payloads.append(gzip.compress(raw, 5))
-                elif d % 3 == 1:
+                m = d % 5
+                if m == 0:
+                    if (d // 7) % 2 == 0:
+                        # concatenated members — the WARC.gz layout
+                        cut = max(1, len(raw) // 2)
+                        payloads.append(
+                            gzip.compress(raw[:cut], 5)
+                            + gzip.compress(raw[cut:], 5)
+                        )
+                    else:
+                        payloads.append(gzip.compress(raw, 5))
+                elif m == 1:
                     payloads.append(_zl.compress(raw, 6))
+                elif m == 2:
+                    payloads.append(_bz2.compress(raw))
+                elif m == 3:
+                    payloads.append(_lzma.compress(raw))
                 else:
                     payloads.append(raw)
             yield pd.DataFrame(
