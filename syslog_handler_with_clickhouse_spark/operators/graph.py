@@ -27,8 +27,17 @@ def pagerank(
     edges: DataFrame,
     iters: int = 5,
     damping: float = 0.85,
+    tol: float | None = None,
+    max_iter: int = 100,
 ) -> DataFrame:
-    """``edges`` must have (src, dst) columns; returns (node, pr)."""
+    """``edges`` must have (src, dst) columns; returns (node, pr).
+
+    Two stopping modes: fixed ``iters`` (deterministic, the
+    oracle-friendly q351 form) or ``tol`` — iterate until
+    max |pr_t - pr_{t-1}| < tol (capped at ``max_iter``, raising on
+    non-convergence like ``dedup_components``).  The convergence probe
+    is a 1-row driver scalar per round — control flow, not a data
+    collect."""
     edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -42,11 +51,30 @@ def pagerank(
     weighted = edges.join(outdeg, "src").localCheckpoint(eager=True)
 
     ranks = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
-    for _ in range(iters):
-        ranks = _pr_round(
+    if tol is None:
+        for _ in range(iters):
+            ranks = _pr_round(
+                weighted, nodes, ranks, damping, n_nodes
+            ).localCheckpoint(eager=True)
+        return ranks
+    for _ in range(max_iter):
+        new = _pr_round(
             weighted, nodes, ranks, damping, n_nodes
         ).localCheckpoint(eager=True)
-    return ranks
+        delta = (
+            new.join(
+                ranks.select("node", F.col("pr").alias("opr")), "node"
+            )
+            .agg(F.max(F.abs(F.col("pr") - F.col("opr"))).alias("d"))
+            .collect()[0]
+            .d
+        )
+        old = ranks
+        ranks = new
+        old.unpersist()
+        if delta is not None and delta < tol:
+            return ranks
+    raise RuntimeError(f"pagerank did not converge in {max_iter} rounds")
 
 
 def _pr_round(

@@ -242,3 +242,21 @@ def test_pagerank_hand_computed_star(spark):
         r.pr for r in pagerank(edges2, iters=8).collect()
     )
     assert abs(total - 1.0) < 1e-9
+
+
+def test_pagerank_convergence_probe(spark):
+    """tol-mode: iterate to a fixpoint (cycle graph converges to the
+    uniform distribution) and raise on an impossible tolerance cap."""
+    import pytest as _pytest
+
+    from syslog_handler_with_clickhouse_spark.operators.graph import pagerank
+
+    # directed 4-cycle: stationary distribution is exactly uniform
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    got = {r.node: r.pr for r in pagerank(edges, tol=1e-10).collect()}
+    for v in got.values():
+        assert abs(v - 0.25) < 1e-8
+    with _pytest.raises(RuntimeError, match="converge"):
+        pagerank(edges, tol=0.0, max_iter=2)
