@@ -1,0 +1,248 @@
+"""ClickHouse-SQL dialect translation — the migration shim for the
+reference's actual users.
+
+The reference feeds a ClickHouse table, so every query its users run
+today is written in CH SQL (``count()``, ``countIf``, ``has()``,
+``toStartOfMinute``, ``quantile(0.9)(x)`` ...).  ``translate_ch_sql``
+rewrites the COMMON CH-only surface into Spark SQL so those queries run
+unchanged on this engine; anything outside the documented subset passes
+through untouched (and will fail loudly in Spark's parser rather than
+silently change meaning).
+
+Scope (the everyday log-analytics subset, each rule unit-tested):
+
+==========================  =====================================
+ClickHouse                  Spark SQL
+==========================  =====================================
+count()                     count(*)
+countIf(c)                  count_if(c)
+sumIf(x, c) / avgIf /       sum(CASE WHEN c THEN x END) etc.
+  minIf / maxIf
+uniq(x), uniqExact(x)       approx_count_distinct(x),
+                            count(DISTINCT x)
+quantile(q)(x) /            percentile_approx(x, q) /
+  quantileExact(q)(x)         percentile(x, q)
+has(arr, v)                 array_contains(arr, v)
+empty(x) / notEmpty(x)      size(x) = 0 / size(x) > 0   (arrays)
+arrayJoin(x)                explode(x)
+arrayStringConcat(a, s)     array_join(a, s)
+splitByChar(c, s)           split(s, regexp-escaped c)
+match(s, re)                regexp_like(s, re)
+JSONExtractString(j, k)     get_json_object(j, '$.k')
+toDate/toDateTime           to_date / to_timestamp
+toStartOfMinute/Hour/Day/   date_trunc('minute'|'hour'|'day'|
+  Week/Month                  'week'|'month', x)
+toUInt8..64 / toInt8..64    CAST(x AS BIGINT)
+toFloat32/64                CAST(x AS DOUBLE)
+toString(x)                 CAST(x AS STRING)
+multiIf(c1,v1,...,e)        CASE WHEN c1 THEN v1 ... ELSE e END
+anyLast(x) / any(x)         last(x) / first(x)
+FORMAT <fmt> suffix         stripped
+==========================  =====================================
+
+Deliberately NOT translated (semantics differ or need a planner):
+``extract`` (CH group-or-whole-match rule), ``length`` (type-overloaded
+in CH), ``neighbor``, ``arrayEnumerate*`` beyond the q227 operator, CH
+``SAMPLE``/``FINAL``/``PREWHERE`` clauses (PREWHERE is translated to
+WHERE since Catalyst pushes predicates itself; SAMPLE/FINAL raise).
+"""
+
+from __future__ import annotations
+
+import re
+
+
+class ChTranslationError(ValueError):
+    pass
+
+
+def _split_top_args(s: str) -> list[str]:
+    """Split a function-argument string on top-level commas."""
+    out, depth, cur, in_str = [], 0, [], None
+    for ch in s:
+        if in_str:
+            cur.append(ch)
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in "'\"":
+            in_str = ch
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def _find_call(sql: str, name: str):
+    """Find ``name(`` at a word boundary; return (start, args, end) of
+    the first occurrence with balanced parens, else None."""
+    m = re.search(rf"\b{name}\s*\(", sql, flags=re.IGNORECASE)
+    if not m:
+        return None
+    i = m.end()
+    depth = 1
+    in_str = None
+    j = i
+    while j < len(sql):
+        ch = sql[j]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in "'\"":
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return m.start(), sql[i:j], j + 1
+        j += 1
+    raise ChTranslationError(f"unbalanced parens in {name}(...)")
+
+
+def _rewrite_calls(sql: str, name: str, fn) -> str:
+    """Repeatedly rewrite ``name(args)`` via fn(list_of_args)."""
+    guard = 0
+    while True:
+        hit = _find_call(sql, name)
+        if hit is None:
+            return sql
+        start, args, end = hit
+        repl = fn(_split_top_args(args) if args.strip() else [])
+        sql = sql[:start] + repl + sql[end:]
+        guard += 1
+        if guard > 500:
+            raise ChTranslationError(f"rewrite loop for {name}")
+
+
+_TRUNC = {
+    "toStartOfMinute": "minute",
+    "toStartOfHour": "hour",
+    "toStartOfDay": "day",
+    "toStartOfWeek": "week",
+    "toStartOfMonth": "month",
+}
+
+_CASTS = {
+    **{f"toUInt{b}": "BIGINT" for b in (8, 16, 32, 64)},
+    **{f"toInt{b}": "BIGINT" for b in (8, 16, 32, 64)},
+    "toFloat32": "DOUBLE",
+    "toFloat64": "DOUBLE",
+    "toString": "STRING",
+}
+
+
+def translate_ch_sql(sql: str) -> str:
+    """Rewrite a ClickHouse-dialect statement into Spark SQL (see the
+    module docstring for the covered subset)."""
+    s = sql
+
+    # clause-level
+    if re.search(r"\bSAMPLE\b|\bFINAL\b", s, re.IGNORECASE):
+        raise ChTranslationError("SAMPLE/FINAL have no Spark equivalent here")
+    s = re.sub(r"\bPREWHERE\b", "WHERE", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bFORMAT\s+\w+\s*;?\s*$", "", s, flags=re.IGNORECASE)
+
+    # parameterized aggregates: quantile[Exact](q)(x)
+    def _quant(exact):
+        def rule(m):
+            q, x = m.group(1).strip(), m.group(2).strip()
+            f = "percentile" if exact else "percentile_approx"
+            return f"{f}({x}, {q})"
+
+        return rule
+
+    s = re.sub(
+        r"\bquantileExact\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant(True), s
+    )
+    s = re.sub(r"\bquantile\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant(False), s)
+
+    # bare count()
+    s = re.sub(r"\bcount\s*\(\s*\)", "count(*)", s, flags=re.IGNORECASE)
+
+    # conditional aggregates
+    for agg in ("sum", "avg", "min", "max"):
+        s = _rewrite_calls(
+            s,
+            f"{agg}If",
+            lambda a, agg=agg: (
+                f"{agg}(CASE WHEN {a[1]} THEN {a[0]} END)"
+                if len(a) == 2
+                else (_ for _ in ()).throw(
+                    ChTranslationError(f"{agg}If needs 2 args")
+                )
+            ),
+        )
+    s = _rewrite_calls(s, "countIf", lambda a: f"count_if({a[0]})")
+
+    # uniq family
+    s = _rewrite_calls(s, "uniqExact", lambda a: f"count(DISTINCT {', '.join(a)})")
+    s = _rewrite_calls(s, "uniq", lambda a: f"approx_count_distinct({', '.join(a)})")
+
+    # arrays / strings
+    s = _rewrite_calls(s, "has", lambda a: f"array_contains({a[0]}, {a[1]})")
+    s = _rewrite_calls(s, "notEmpty", lambda a: f"(size({a[0]}) > 0)")
+    s = _rewrite_calls(s, "empty", lambda a: f"(size({a[0]}) = 0)")
+    s = _rewrite_calls(s, "arrayJoin", lambda a: f"explode({a[0]})")
+    s = _rewrite_calls(
+        s, "arrayStringConcat", lambda a: f"array_join({', '.join(a)})"
+    )
+
+    def _split_by_char(a):
+        sep = a[0].strip()
+        if not (len(sep) >= 2 and sep[0] in "'\"" and sep[-1] == sep[0]):
+            raise ChTranslationError("splitByChar needs a literal separator")
+        lit = re.escape(sep[1:-1]).replace("\\", "\\\\")
+        return f"split({a[1]}, '{lit}')"
+
+    s = _rewrite_calls(s, "splitByChar", _split_by_char)
+    s = _rewrite_calls(s, "match", lambda a: f"regexp_like({a[0]}, {a[1]})")
+
+    def _json_extract(a):
+        key = a[1].strip()
+        if not (len(key) >= 2 and key[0] in "'\"" and key[-1] == key[0]):
+            raise ChTranslationError("JSONExtractString needs a literal key")
+        return f"get_json_object({a[0]}, '$.{key[1:-1]}')"
+
+    s = _rewrite_calls(s, "JSONExtractString", _json_extract)
+
+    # temporal
+    for ch_fn, unit in _TRUNC.items():
+        s = _rewrite_calls(
+            s, ch_fn, lambda a, unit=unit: f"date_trunc('{unit}', {a[0]})"
+        )
+    s = _rewrite_calls(s, "toDateTime", lambda a: f"to_timestamp({a[0]})")
+    s = _rewrite_calls(s, "toDate", lambda a: f"to_date({a[0]})")
+
+    # casts
+    for ch_fn, t in _CASTS.items():
+        s = _rewrite_calls(s, ch_fn, lambda a, t=t: f"CAST({a[0]} AS {t})")
+
+    # multiIf -> CASE
+    def _multi_if(a):
+        if len(a) < 3 or len(a) % 2 == 0:
+            raise ChTranslationError("multiIf needs 2k+1 args")
+        parts = ["CASE"]
+        for i in range(0, len(a) - 1, 2):
+            parts.append(f"WHEN {a[i]} THEN {a[i + 1]}")
+        parts.append(f"ELSE {a[-1]} END")
+        return " ".join(parts)
+
+    s = _rewrite_calls(s, "multiIf", _multi_if)
+
+    # any / anyLast
+    s = _rewrite_calls(s, "anyLast", lambda a: f"last({a[0]})")
+    s = re.sub(r"\bany\s*\(", "first(", s)
+
+    return s

@@ -2367,3 +2367,45 @@ def q359(spark, sf_dir):
         ).alias("b64_rt"),
         F.octet_length(raw).cast("bigint").alias("n_raw"),
     )
+
+
+@query(
+    "q360_ch_dialect_translation",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+           CAST(SUM(CASE WHEN value > 50.00 THEN 1 ELSE 0 END) AS BIGINT)
+             AS big,
+           CAST(SUM(CASE WHEN value > 50.00 THEN event_id % 100 END)
+                AS BIGINT) AS s,
+           CASE WHEN COUNT(*) > 1000 THEN 'hot'
+                WHEN COUNT(*) > 10 THEN 'warm' ELSE 'cold' END AS tier
+    FROM events WHERE event_id % 3 = 1
+    GROUP BY event_type
+    """,
+)
+def q360(spark, sf_dir):
+    """ClickHouse-DIALECT execution
+    (`functions/ch_dialect.py:translate_ch_sql`): the statement below
+    is written exactly as the reference's users would write it against
+    their `mikrotik_logs`-style table — count(), uniqExact, countIf,
+    sumIf, multiIf, PREWHERE, FORMAT — and runs on Spark through the
+    translation shim; the oracle is the independent relational
+    equivalent in DuckDB.  This is the migration story made testable:
+    the CH query text itself is the fixture."""
+    from ..functions.ch_dialect import translate_ch_sql
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    ch = (
+        "SELECT event_type, "
+        "toUInt64(count()) AS n, "
+        "toUInt64(uniqExact(user_id)) AS users, "
+        "toUInt64(countIf(value > 50.00)) AS big, "
+        "toUInt64(sumIf(event_id % 100, value > 50.00)) AS s, "
+        "multiIf(count() > 1000, 'hot', count() > 10, 'warm', 'cold') "
+        "AS tier "
+        "FROM events PREWHERE event_id % 3 = 1 "
+        "GROUP BY event_type FORMAT TSV"
+    )
+    return spark.sql(translate_ch_sql(ch))

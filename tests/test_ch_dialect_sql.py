@@ -1,0 +1,102 @@
+"""ClickHouse-SQL dialect translation (functions/ch_dialect.py): rule
+unit tests + end-to-end — CH-dialect statements run on Spark via
+translation and match directly-written Spark SQL results."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_DIR
+from syslog_handler_with_clickhouse_spark.functions.ch_dialect import (
+    ChTranslationError,
+    translate_ch_sql,
+)
+
+CASES = [
+    ("SELECT count() FROM t", "SELECT count(*) FROM t"),
+    ("SELECT countIf(x > 3) FROM t", "SELECT count_if(x > 3) FROM t"),
+    (
+        "SELECT sumIf(v, t = 'a'), avgIf(v, f(x, y) > 2) FROM t",
+        "SELECT sum(CASE WHEN t = 'a' THEN v END), "
+        "avg(CASE WHEN f(x, y) > 2 THEN v END) FROM t",
+    ),
+    ("SELECT uniq(u), uniqExact(u) FROM t",
+     "SELECT approx_count_distinct(u), count(DISTINCT u) FROM t"),
+    ("SELECT quantile(0.9)(v) FROM t",
+     "SELECT percentile_approx(v, 0.9) FROM t"),
+    ("SELECT quantileExact(0.5)(v) FROM t",
+     "SELECT percentile(v, 0.5) FROM t"),
+    ("SELECT has(tags, 'x'), empty(tags), notEmpty(tags) FROM t",
+     "SELECT array_contains(tags, 'x'), (size(tags) = 0), "
+     "(size(tags) > 0) FROM t"),
+    ("SELECT arrayJoin(tags) FROM t", "SELECT explode(tags) FROM t"),
+    ("SELECT splitByChar('|', s) FROM t", "SELECT split(s, '\\\\|') FROM t"),
+    ("SELECT match(s, '^ab') FROM t", "SELECT regexp_like(s, '^ab') FROM t"),
+    ("SELECT JSONExtractString(j, 'k') FROM t",
+     "SELECT get_json_object(j, '$.k') FROM t"),
+    ("SELECT toStartOfMinute(ts), toStartOfDay(ts) FROM t",
+     "SELECT date_trunc('minute', ts), date_trunc('day', ts) FROM t"),
+    ("SELECT toUInt32(x), toFloat64(x), toString(x) FROM t",
+     "SELECT CAST(x AS BIGINT), CAST(x AS DOUBLE), "
+     "CAST(x AS STRING) FROM t"),
+    ("SELECT multiIf(a > 1, 'x', b > 2, 'y', 'z') FROM t",
+     "SELECT CASE WHEN a > 1 THEN 'x' WHEN b > 2 THEN 'y' "
+     "ELSE 'z' END FROM t"),
+    ("SELECT any(x), anyLast(y) FROM t",
+     "SELECT first(x), last(y) FROM t"),
+    ("SELECT x FROM t PREWHERE x > 1", "SELECT x FROM t WHERE x > 1"),
+    ("SELECT x FROM t FORMAT JSONEachRow", "SELECT x FROM t "),
+]
+
+
+@pytest.mark.parametrize("ch,expected", CASES)
+def test_translation_rules(ch, expected):
+    assert translate_ch_sql(ch) == expected
+
+
+def test_guards():
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT x FROM t SAMPLE 0.1")
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT sumIf(v) FROM t")
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT splitByChar(c, s) FROM t")  # non-literal
+
+
+def test_ch_queries_run_on_spark(spark):
+    """End-to-end: CH-dialect analytics over the events fixture produce
+    the same results as directly-written Spark SQL."""
+    from syslog_handler_with_clickhouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    ch = (
+        "SELECT event_type, count(), uniqExact(user_id) AS u, "
+        "countIf(value > 50) AS big, "
+        "sumIf(event_id % 100, value > 50) AS s, "
+        "quantileExact(0.5)(event_id % 97) AS med, "
+        "multiIf(count() > 1000, 'hot', count() > 10, 'warm', 'cold') "
+        "AS tier "
+        "FROM events PREWHERE event_id % 2 = 0 "
+        "GROUP BY event_type FORMAT TSV"
+    )
+    direct = (
+        "SELECT event_type, count(*), count(DISTINCT user_id) AS u, "
+        "count_if(value > 50) AS big, "
+        "sum(CASE WHEN value > 50 THEN event_id % 100 END) AS s, "
+        "percentile(event_id % 97, 0.5) AS med, "
+        "CASE WHEN count(*) > 1000 THEN 'hot' WHEN count(*) > 10 "
+        "THEN 'warm' ELSE 'cold' END AS tier "
+        "FROM events WHERE event_id % 2 = 0 GROUP BY event_type"
+    )
+    a = sorted(map(tuple, spark.sql(translate_ch_sql(ch)).collect()))
+    b = sorted(map(tuple, spark.sql(direct).collect()))
+    assert a == b and len(a) == 5
+    # arrayJoin / has / splitByChar path
+    ch2 = (
+        "SELECT event_type, arrayJoin(splitByChar('_', event_type)) AS p "
+        "FROM events WHERE has(splitByChar('_', event_type), 'click')"
+    )
+    out = spark.sql(translate_ch_sql(ch2))
+    assert {r.p for r in out.collect()} == {"click"}
