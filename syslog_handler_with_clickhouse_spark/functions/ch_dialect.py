@@ -149,10 +149,19 @@ def translate_ch_sql(sql: str) -> str:
     s = sql
 
     # clause-level
-    if re.search(r"\bSAMPLE\b|\bFINAL\b", s, re.IGNORECASE):
-        raise ChTranslationError("SAMPLE/FINAL have no Spark equivalent here")
+    if re.search(r"\bSAMPLE\b|\bFINAL\b|\bWITH\s+TOTALS\b", s, re.IGNORECASE):
+        raise ChTranslationError(
+            "SAMPLE/FINAL/WITH TOTALS have no Spark equivalent here"
+        )
     s = re.sub(r"\bPREWHERE\b", "WHERE", s, flags=re.IGNORECASE)
     s = re.sub(r"\bFORMAT\s+\w+\s*;?\s*$", "", s, flags=re.IGNORECASE)
+    # SETTINGS key=value[, ...] suffix: engine knobs, no Spark meaning
+    s = re.sub(
+        r"\bSETTINGS\s+\w+\s*=\s*[\w.'\"]+(\s*,\s*\w+\s*=\s*[\w.'\"]+)*\s*;?\s*$",
+        "",
+        s,
+        flags=re.IGNORECASE,
+    )
 
     # parameterized aggregates: quantile[Exact](q)(x)
     def _quant(exact):

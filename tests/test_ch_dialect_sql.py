@@ -100,3 +100,11 @@ def test_ch_queries_run_on_spark(spark):
     )
     out = spark.sql(translate_ch_sql(ch2))
     assert {r.p for r in out.collect()} == {"click"}
+
+
+def test_settings_strip_and_totals_guard():
+    assert translate_ch_sql(
+        "SELECT count() FROM t SETTINGS max_threads=4, join_algorithm='hash'"
+    ) == "SELECT count(*) FROM t "
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT x, count() FROM t GROUP BY x WITH TOTALS")
