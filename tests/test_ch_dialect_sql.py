@@ -108,3 +108,83 @@ def test_settings_strip_and_totals_guard():
     ) == "SELECT count(*) FROM t "
     with pytest.raises(ChTranslationError):
         translate_ch_sql("SELECT x, count() FROM t GROUP BY x WITH TOTALS")
+
+
+def test_reference_user_queries_over_mikrotik_logs(spark):
+    """The migration loop closed end-to-end: build the reference's
+    `mikrotik_logs` table through OUR native parse (P1-P8), then run
+    the ClickHouse queries its users actually write — severity
+    histograms, per-device top talkers, category containment, text
+    search, minute windows — through the dialect shim, checking each
+    against an independently computed expectation."""
+    from syslog_handler_with_clickhouse_spark.functions.parse import (
+        parse_syslog_columns,
+    )
+    from syslog_handler_with_clickhouse_spark.sources.testdata import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events").limit(2000)
+    sev_tok = F.when(F.col("event_type") == "error", "error").otherwise("odd")
+    raw = F.concat(
+        F.col("event_type"), F.lit(","), sev_tok, F.lit(",topic"),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(" msg "), F.col("event_id").cast("string"),
+    )
+    device = F.concat(
+        F.lit("u"), F.col("user_id").cast("string"), F.lit(":514")
+    )
+    cols = parse_syslog_columns(raw, device, clock=F.col("ts"))
+    logs = ev.select(
+        cols["Timestamp"], cols["Device"], cols["Severity"],
+        cols["Categories"], cols["Message"],
+    )
+    logs.createOrReplaceTempView("mikrotik_logs")
+
+    # 1) severity histogram (the canonical CH log query)
+    q = translate_ch_sql(
+        "SELECT Severity, count() AS n FROM mikrotik_logs "
+        "GROUP BY Severity FORMAT Pretty"
+    )
+    got = {r.Severity: r.n for r in spark.sql(q).collect()}
+    exp = {
+        r.Severity: r.n
+        for r in logs.groupBy("Severity").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == exp and set(got) == {3, 6}
+
+    # 2) top talkers among error-severity devices
+    q = translate_ch_sql(
+        "SELECT Device, countIf(Severity <= 3) AS errs "
+        "FROM mikrotik_logs GROUP BY Device "
+        "HAVING errs > 0 ORDER BY errs DESC, Device LIMIT 5"
+    )
+    rows = spark.sql(q).collect()
+    assert 0 < len(rows) <= 5
+    assert all(r.errs > 0 for r in rows)
+    assert [(-r.errs, r.Device) for r in rows] == sorted(
+        (-r.errs, r.Device) for r in rows
+    )
+
+    # 3) category containment + uniq devices
+    q = translate_ch_sql(
+        "SELECT uniqExact(Device) AS d FROM mikrotik_logs "
+        "PREWHERE has(Categories, 'topic3')"
+    )
+    got_d = spark.sql(q).collect()[0].d
+    exp_d = (
+        logs.filter(F.array_contains("Categories", "topic3"))
+        .select("Device").distinct().count()
+    )
+    assert got_d == exp_d > 0
+
+    # 4) text search + minute rollup
+    q = translate_ch_sql(
+        "SELECT toStartOfMinute(Timestamp) AS m, count() AS n "
+        "FROM mikrotik_logs WHERE match(Message, '^msg 1') "
+        "GROUP BY m ORDER BY m"
+    )
+    total = sum(r.n for r in spark.sql(q).collect())
+    exp_total = logs.filter(F.col("Message").rlike("^msg 1")).count()
+    assert total == exp_total > 0
