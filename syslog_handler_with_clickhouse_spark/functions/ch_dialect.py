@@ -195,9 +195,21 @@ def translate_ch_sql(sql: str) -> str:
         )
     s = _rewrite_calls(s, "countIf", lambda a: f"count_if({a[0]})")
 
-    # uniq family
+    # uniq family (If-combinators first: longest names win)
+    s = _rewrite_calls(
+        s, "uniqExactIf",
+        lambda a: f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)",
+    )
+    s = _rewrite_calls(
+        s, "uniqIf",
+        lambda a: f"approx_count_distinct(CASE WHEN {a[1]} THEN {a[0]} END)",
+    )
     s = _rewrite_calls(s, "uniqExact", lambda a: f"count(DISTINCT {', '.join(a)})")
     s = _rewrite_calls(s, "uniq", lambda a: f"approx_count_distinct({', '.join(a)})")
+    s = _rewrite_calls(
+        s, "avgWeighted",
+        lambda a: f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))",
+    )
 
     # arrays / strings
     s = _rewrite_calls(s, "has", lambda a: f"array_contains({a[0]}, {a[1]})")

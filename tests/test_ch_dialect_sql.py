@@ -188,3 +188,29 @@ def test_reference_user_queries_over_mikrotik_logs(spark):
     total = sum(r.n for r in spark.sql(q).collect())
     exp_total = logs.filter(F.col("Message").rlike("^msg 1")).count()
     assert total == exp_total > 0
+
+
+def test_if_combinators_and_avg_weighted(spark):
+    assert translate_ch_sql("SELECT uniqExactIf(u, v > 1) FROM t") == (
+        "SELECT count(DISTINCT CASE WHEN v > 1 THEN u END) FROM t"
+    )
+    assert translate_ch_sql("SELECT avgWeighted(x, w) FROM t") == (
+        "SELECT (sum((x) * (w)) / sum(w)) FROM t"
+    )
+    from syslog_handler_with_clickhouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    got = spark.sql(
+        translate_ch_sql(
+            "SELECT uniqExactIf(user_id, value > 50.00) AS u, "
+            "avgWeighted(event_id % 10, user_id % 7 + 1) AS aw FROM events"
+        )
+    ).collect()[0]
+    exp = spark.sql(
+        "SELECT count(DISTINCT CASE WHEN value > 50.00 THEN user_id END) "
+        "AS u, sum((event_id % 10) * (user_id % 7 + 1)) "
+        "/ sum(user_id % 7 + 1) AS aw FROM events"
+    ).collect()[0]
+    assert (got.u, got.aw) == (exp.u, exp.aw)
