@@ -2409,3 +2409,55 @@ def q360(spark, sf_dir):
         "GROUP BY event_type FORMAT TSV"
     )
     return spark.sql(translate_ch_sql(ch))
+
+
+@query(
+    "q361_snapshot_token_bloom_read",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(MIN(doc_id) AS BIGINT) AS id_min,
+           CAST(MAX(doc_id) AS BIGINT) AS id_max
+    FROM documents
+    WHERE list_contains(
+        regexp_split_to_array(lower(text), '[^0-9a-z]+'), 'merge')
+    """,
+)
+def q361(spark, sf_dir):
+    """TOKEN-bloom skip index (`sources/snapshots.py` tblooms — the
+    ClickHouse ``tokenbf_v1`` analogue): documents are committed to
+    the snapshot store across 6 files with a per-file bloom over the
+    lowercase-alphanumeric TOKENS of ``text``; the full-text
+    containment read then drops every file whose token bloom proves
+    'merge' absent BEFORE Spark opens anything — the skipping index
+    that makes needle-in-haystack text search feasible where min/max
+    and equality blooms are both useless.  Write/read share the
+    tokenizer and hash, so false negatives are impossible
+    (exhaustively pinned in tests/test_snapshots.py); the real token
+    filter still applies and the oracle checks the results against a
+    full relational scan."""
+    import tempfile
+
+    from ..sources.snapshots import read_snapshot, write_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="snaptok_") + "/store"
+    for m in range(6):
+        write_snapshot(
+            docs.filter(F.crc32(F.col("doc_id").cast("string")) % 6 == m)
+            .coalesce(1),
+            path,
+            token_bloom_cols=["text"],
+        )
+    pruned = read_snapshot(spark, path, token=("text", "merge"))
+    hit = pruned.filter(
+        F.array_contains(
+            F.split(F.lower("text"), "[^0-9a-z]+"), "merge"
+        )
+    )
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.min("doc_id").alias("id_min"),
+        F.max("doc_id").alias("id_max"),
+    )

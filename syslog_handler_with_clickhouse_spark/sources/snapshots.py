@@ -105,13 +105,23 @@ def _bloom_may_contain(hex_bits: str, value) -> bool:
     return all(bits[p // 8] & (1 << (p % 8)) for p in _bloom_hashes(value))
 
 
+def _token_split(v) -> list[str]:
+    """Tokenizer shared by the token-bloom WRITE and READ sides (must
+    match exactly or false negatives appear): lowercase alphanumeric
+    runs — the ClickHouse ``tokenbf_v1`` convention."""
+    import re as _re
+
+    return _re.findall(r"[0-9a-z]+", str(v).lower())
+
+
 def _stats_and_blooms(
     spark,
     ddir: str,
     names: list[str],
     stat_cols: list[str],
     bloom_cols: list[str],
-) -> dict[str, tuple[dict, dict]]:
+    token_cols: list[str] | None = None,
+) -> dict[str, tuple[dict, dict, dict]]:
     """Per-file min/max + bloom bitsets, computed in ONE distributed job.
 
     The committed files are re-read grouped by ``input_file_name()`` and
@@ -130,7 +140,8 @@ def _stats_and_blooms(
     src = spark.read.parquet(*paths)
     s_cols = [c for c in (stat_cols or []) if c in src.columns]
     b_cols = [c for c in (bloom_cols or []) if c in src.columns]
-    if not (s_cols or b_cols):
+    t_cols = [c for c in (token_cols or []) if c in src.columns]
+    if not (s_cols or b_cols or t_cols):
         return {}
     bloom_hash, bits_total = _bloom_hashes, _BLOOM_BITS
     # pandas represents a nullable int column as float64 — str(5.0) would
@@ -143,7 +154,7 @@ def _stats_and_blooms(
         if f.name in b_cols
         and f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
     }
-    src = src.select(*sorted(set(s_cols) | set(b_cols))).withColumn(
+    src = src.select(*sorted(set(s_cols) | set(b_cols) | set(t_cols))).withColumn(
         "_file", F.input_file_name()
     )
 
@@ -174,20 +185,41 @@ def _stats_and_blooms(
                 for pos in bloom_hash(v):
                     bits[pos // 8] |= 1 << (pos % 8)
             blooms[c] = bytes(bits).hex()
+        tblooms: dict = {}
+        for c in t_cols:
+            bits = bytearray(bits_total // 8)
+            toks = set()
+            for v in pdf[c].dropna().unique():
+                toks.update(_token_split(v))
+            for t in toks:
+                for pos in bloom_hash(t):
+                    bits[pos // 8] |= 1 << (pos % 8)
+            tblooms[c] = bytes(bits).hex()
         return pd.DataFrame(
             {
                 "name": [fname],
                 "stats": [_json.dumps(stats)],
                 "blooms": [_json.dumps(blooms)],
+                "tblooms": [_json.dumps(tblooms)],
             }
         )
 
     rows = (
         src.groupBy("_file")
-        .applyInPandas(per_file, "name string, stats string, blooms string")
+        .applyInPandas(
+            per_file,
+            "name string, stats string, blooms string, tblooms string",
+        )
         .collect()
     )
-    return {r.name: (_json.loads(r.stats), _json.loads(r.blooms)) for r in rows}
+    return {
+        r.name: (
+            _json.loads(r.stats),
+            _json.loads(r.blooms),
+            _json.loads(r.tblooms),
+        )
+        for r in rows
+    }
 
 
 def _write_data_files(
@@ -195,6 +227,7 @@ def _write_data_files(
     path: str,
     stat_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    token_bloom_cols: list[str] | None = None,
 ) -> list[dict]:
     """Write df's rows as new immutable files; return manifest entries
     ``{"name": ..., "stats": {col: [min, max]}, "blooms": {col: hex}}``.
@@ -214,20 +247,23 @@ def _write_data_files(
     import shutil
 
     shutil.rmtree(staging)
-    if stat_cols or bloom_cols:
+    if stat_cols or bloom_cols or token_bloom_cols:
         meta = _stats_and_blooms(
             df.sparkSession,
             ddir,
             [e["name"] for e in out],
             stat_cols or [],
             bloom_cols or [],
+            token_bloom_cols or [],
         )
         for e in out:
-            st, bl = meta.get(e["name"], ({}, {}))
+            st, bl, tb = meta.get(e["name"], ({}, {}, {}))
             if stat_cols:
                 e["stats"] = st
             if bl:
                 e["blooms"] = bl
+            if tb:
+                e["tblooms"] = tb
     return out
 
 
@@ -238,13 +274,18 @@ def write_snapshot(
     stat_cols: list[str] | None = None,
     batch_id: int | None = None,
     bloom_cols: list[str] | None = None,
+    token_bloom_cols: list[str] | None = None,
 ) -> int:
     """Commit df as the next snapshot.  ``append`` keeps prior files;
     ``overwrite`` starts the file list fresh.  ``stat_cols`` records
     per-file min/max in the manifest for read-time file pruning;
     ``bloom_cols`` additionally records a 1 KiB per-file bloom bitset for
     EQUALITY pruning on high-cardinality key columns where ranges overlap
-    everywhere (the ClickHouse ``bloom_filter`` skipping-index analogue).
+    everywhere (the ClickHouse ``bloom_filter`` skipping-index analogue);
+    ``token_bloom_cols`` records a TOKEN bloom per file over the
+    lowercase-alphanumeric tokens of a string column — the ClickHouse
+    ``tokenbf_v1`` analogue that lets full-text containment queries
+    skip files (read with ``token=(col, word)``).
     ``batch_id`` makes the commit IDEMPOTENT: if a prior snapshot already
     recorded this id (a foreachBatch retry after a crash between write
     and checkpoint), the commit is skipped — exactly-once into this store.
@@ -259,7 +300,9 @@ def write_snapshot(
             return base  # duplicate delivery — already committed
         if mode != "overwrite":
             files = m["files"]
-    new_files = _write_data_files(df, path, stat_cols, bloom_cols)
+    new_files = _write_data_files(
+        df, path, stat_cols, bloom_cols, token_bloom_cols
+    )
     version = base + 1
     ids = prior_ids + ([batch_id] if batch_id is not None else [])
     _commit(path, version, files + new_files, note=mode, batch_ids=ids)
@@ -272,6 +315,7 @@ def read_snapshot(
     version: int | None = None,
     prune: tuple[str, object, object] | None = None,
     bloom: tuple[str, object] | None = None,
+    token: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Read snapshot ``version`` (default: latest).  The file list is
     resolved ONCE here — concurrent commits cannot change what this
@@ -313,6 +357,19 @@ def read_snapshot(
             if (b := e.get("blooms", {}).get(bcol)) is None
             or _bloom_may_contain(b, bval)
         ]  # no bloom recorded → must read
+    if token is not None:
+        tcol, tword = token
+        toks = _token_split(tword)
+        if len(toks) != 1:
+            raise ValueError(
+                "token pruning takes exactly ONE alphanumeric token"
+            )
+        entries = [
+            e
+            for e in entries
+            if (tb := e.get("tblooms", {}).get(tcol)) is None
+            or _bloom_may_contain(tb, toks[0])
+        ]  # no token bloom recorded → must read
     ddir = _data_dir(path)
     if not entries:
         if not all_entries:

@@ -243,3 +243,50 @@ def test_snapshot_diff_rewrite_emits_delete_only_for_erased(spark, tmp_path):
     feed = snapshot_diff(spark, path, 1, 2).collect()
     assert all(r._change_type == "delete" for r in feed)
     assert sorted(r.k for r in feed) == [0, 10, 20, 30, 40]
+
+
+def test_token_bloom_prunes_files_and_never_false_negatives(spark, tmp_path):
+    """tokenbf_v1 analogue: per-file token blooms over a text column —
+    a containment search for a word unique to one file must read FEWER
+    files, and every word present anywhere must never be pruned away
+    (write/read share the tokenizer + hash)."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.sources.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    # 4 files; file k carries the unique marker word zebraK
+    for k in range(4):
+        df = spark.createDataFrame(
+            [(k * 100 + i, f"common words zebra{k} filler{i}")
+             for i in range(50)],
+            "id long, text string",
+        ).coalesce(1)
+        write_snapshot(df, path, token_bloom_cols=["text"])
+
+    def files_read(**kw):
+        d = read_snapshot(spark, path, **kw)
+        return d.select(F.input_file_name().alias("f")).distinct().count(), d
+
+    all_files, _ = files_read()
+    assert all_files == 4
+    hit_files, d = files_read(token=("text", "zebra2"))
+    assert hit_files < 4
+    got = d.filter(F.col("text").contains("zebra2")).count()
+    assert got == 50
+    # no false negatives: every marker + a common token
+    for word in ["zebra0", "zebra1", "zebra2", "zebra3", "common"]:
+        _, dw = files_read(token=("text", word))
+        assert dw.filter(F.col("text").contains(word)).count() == 50 * (
+            4 if word == "common" else 1
+        ), word
+    # tokenization is case/punct-insensitive on the probe side
+    _, dq = files_read(token=("text", "  ZEBRA3!"))
+    assert dq.filter(F.col("text").contains("zebra3")).count() == 50
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ONE"):
+        read_snapshot(spark, path, token=("text", "two words"))
