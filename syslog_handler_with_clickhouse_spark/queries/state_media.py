@@ -1,4 +1,11 @@
-"""Bitmap state, wide-MV IVM, JPEG codecs (q328-q339).
+"""State & media families plus the round-8 additions (q328-q361):
+bitmap state/predicates/folds, wide-MV IVM, the JPEG codec family
+(baseline/progressive/12-bit), media-format closures (Adam7/palette/
+16-bit PNG, BMP, WAV variants, animated GIF, compressed corpora),
+timing quantiles, uniqUpTo, rank statistics (Kendall, Jaro-Winkler),
+IPv6/Unicode/binary codecs, graph (PageRank), morton, real resize,
+audio DFT, the CH-dialect translation entry, and the token-bloom
+snapshot read.
 
 Split from the monolithic queries.py (round 8).  Importing this module
 registers its queries into the shared QUERIES/ORACLE registry.
