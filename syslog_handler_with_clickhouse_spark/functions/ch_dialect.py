@@ -16,8 +16,8 @@ ClickHouse                  Spark SQL
 ==========================  =====================================
 count()                     count(*)
 countIf(c)                  count_if(c)
-sumIf(x, c) / avgIf /       sum(CASE WHEN c THEN x END) etc.
-  minIf / maxIf
+sumIf(x, c)                 coalesce(sum(CASE WHEN c THEN x END), 0)
+avgIf / minIf / maxIf       avg/min/max(CASE WHEN c THEN x END)
 uniq(x), uniqExact(x)       approx_count_distinct(x),
                             count(DISTINCT x)
 quantile(q)(x) /            percentile_approx(x, q) /
@@ -180,19 +180,22 @@ def translate_ch_sql(sql: str) -> str:
     # bare count()
     s = re.sub(r"\bcount\s*\(\s*\)", "count(*)", s, flags=re.IGNORECASE)
 
-    # conditional aggregates
+    # conditional aggregates.  CH's sum/sumIf return 0 on an empty set
+    # (aggregate default values), so the faithful translation wraps the
+    # NULL-returning SQL-standard SUM in coalesce; avg/min/maxIf keep
+    # the SQL-standard NULL on empty (documented deviation: CH would
+    # return its type default there, which surprises more than NULL).
+    def _cond_agg(agg):
+        def rule(a):
+            if len(a) != 2:
+                raise ChTranslationError(f"{agg}If needs 2 args")
+            body = f"{agg}(CASE WHEN {a[1]} THEN {a[0]} END)"
+            return f"coalesce({body}, 0)" if agg == "sum" else body
+
+        return rule
+
     for agg in ("sum", "avg", "min", "max"):
-        s = _rewrite_calls(
-            s,
-            f"{agg}If",
-            lambda a, agg=agg: (
-                f"{agg}(CASE WHEN {a[1]} THEN {a[0]} END)"
-                if len(a) == 2
-                else (_ for _ in ()).throw(
-                    ChTranslationError(f"{agg}If needs 2 args")
-                )
-            ),
-        )
+        s = _rewrite_calls(s, f"{agg}If", _cond_agg(agg))
     s = _rewrite_calls(s, "countIf", lambda a: f"count_if({a[0]})")
 
     # uniq family (If-combinators first: longest names win)

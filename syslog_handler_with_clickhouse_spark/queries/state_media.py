@@ -2384,7 +2384,8 @@ def q359(spark, sf_dir):
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
            CAST(SUM(CASE WHEN value > 50.00 THEN 1 ELSE 0 END) AS BIGINT)
              AS big,
-           CAST(SUM(CASE WHEN value > 50.00 THEN event_id % 100 END)
+           CAST(COALESCE(SUM(CASE WHEN value > 50.00
+                             THEN event_id % 100 END), 0)
                 AS BIGINT) AS s,
            CASE WHEN COUNT(*) > 1000 THEN 'hot'
                 WHEN COUNT(*) > 10 THEN 'warm' ELSE 'cold' END AS tier
