@@ -253,6 +253,68 @@ def translate_ch_sql(sql: str) -> str:
     for ch_fn, t in _CASTS.items():
         s = _rewrite_calls(s, ch_fn, lambda a, t=t: f"CAST({a[0]} AS {t})")
 
+    # ARRAY JOIN clause -> LATERAL VIEW explode.  CH: `FROM t ARRAY
+    # JOIN expr AS alias [, expr2 AS alias2]`; LEFT ARRAY JOIN keeps
+    # rows with empty arrays -> explode_outer.
+    def _array_join(m):
+        outer = bool(m.group(1))
+        items = _split_top_args(m.group(2))
+        fn = "explode_outer" if outer else "explode"
+        views = []
+        for i, item in enumerate(items):
+            mm = re.match(r"(.+?)\s+AS\s+(\w+)\s*$", item,
+                          flags=re.IGNORECASE)
+            if not mm:
+                raise ChTranslationError(
+                    "ARRAY JOIN items need 'expr AS alias'"
+                )
+            views.append(
+                f"LATERAL VIEW {fn}({mm.group(1).strip()}) _aj{i} "
+                f"AS {mm.group(2)}"
+            )
+        return " " + " ".join(views) + " "
+
+    s = re.sub(
+        r"\s+(LEFT\s+)?ARRAY\s+JOIN\s+(.*?)(?=\s+(?:WHERE|GROUP|HAVING|ORDER|LIMIT|SETTINGS|FORMAT)\b|$)",
+        _array_join,
+        s,
+        flags=re.IGNORECASE | re.DOTALL,
+    )
+
+    # LIMIT n BY cols  ->  row_number window filter.  Requires the
+    # statement's ORDER BY (the CH semantics rank within each BY group
+    # by the global ORDER BY); translated by wrapping the query.
+    mlb = re.search(
+        r"\bLIMIT\s+(\d+)\s+BY\s+(.+?)(?=\s+(?:ORDER|LIMIT|FORMAT|SETTINGS)\b|$)",
+        s,
+        flags=re.IGNORECASE | re.DOTALL,
+    )
+    if mlb:
+        n, by = mlb.group(1), mlb.group(2).strip().rstrip(",")
+        morder = re.search(
+            r"\bORDER\s+BY\s+(.+?)(?=\s+(?:LIMIT|FORMAT|SETTINGS)\b|$)",
+            s,
+            flags=re.IGNORECASE | re.DOTALL,
+        )
+        if not morder:
+            raise ChTranslationError(
+                "LIMIT n BY needs an explicit ORDER BY to translate"
+            )
+        order = morder.group(1).strip()
+        inner = (s[: mlb.start()] + s[mlb.end():]).strip()
+        # strip any trailing global LIMIT off the inner, reapply outside
+        tail = ""
+        mtl = re.search(r"\bLIMIT\s+\d+\s*$", inner, flags=re.IGNORECASE)
+        if mtl:
+            tail = " " + inner[mtl.start():].strip()
+            inner = inner[: mtl.start()].strip()
+        s = (
+            f"SELECT * EXCEPT (_rn_by) FROM (SELECT _q.*, row_number() "
+            f"OVER (PARTITION BY {by} ORDER BY {order}) AS _rn_by FROM "
+            f"({inner}) _q) WHERE _rn_by <= {n}"
+            f" ORDER BY {order}{tail}"
+        )
+
     # multiIf -> CASE
     def _multi_if(a):
         if len(a) < 3 or len(a) % 2 == 0:

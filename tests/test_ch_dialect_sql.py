@@ -314,3 +314,54 @@ def test_ch_dialect_fuzz_differential(spark, duck):
             f"divergence (seed={seed}, stmt #{i}):\nCH: {ch}\nDK: {dk}\n"
             f"{s_rows[:3]} vs {o_rows[:3]}"
         )
+
+
+def test_array_join_and_limit_by(spark):
+    """CH clause constructs: ARRAY JOIN -> LATERAL VIEW explode (and
+    LEFT ARRAY JOIN -> explode_outer); LIMIT n BY cols -> row_number
+    window filter ranked by the statement's ORDER BY."""
+    from syslog_handler_with_clickhouse_spark.sources.testdata import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    load_table(spark, SF_DIR, "events").limit(500).withColumn(
+        "tags", F.split(F.col("event_type"), "")
+    ).createOrReplaceTempView("tagged")
+
+    # ARRAY JOIN
+    ch = ("SELECT event_id, x FROM tagged ARRAY JOIN tags AS x "
+          "WHERE x = 'c'")
+    got = spark.sql(translate_ch_sql(ch)).count()
+    exp = spark.sql(
+        "SELECT event_id, x FROM tagged LATERAL VIEW explode(tags) t "
+        "AS x WHERE x = 'c'"
+    ).count()
+    assert got == exp > 0
+    # LEFT ARRAY JOIN -> explode_outer
+    assert "explode_outer" in translate_ch_sql(
+        "SELECT x FROM t LEFT ARRAY JOIN tags AS x"
+    )
+
+    # LIMIT BY: top-2 events per type by value
+    ch2 = (
+        "SELECT event_type, event_id, value FROM tagged "
+        "ORDER BY value DESC, event_id LIMIT 2 BY event_type LIMIT 6"
+    )
+    rows = spark.sql(translate_ch_sql(ch2)).collect()
+    assert len(rows) == 6
+    assert "_rn_by" not in rows[0].asDict()
+    from collections import Counter
+
+    per_type = Counter(r.event_type for r in rows)
+    assert all(v <= 2 for v in per_type.values())
+    # values really are each type's top-2
+    exp_top = spark.sql(
+        "SELECT event_type, event_id, value FROM (SELECT *, row_number() "
+        "OVER (PARTITION BY event_type ORDER BY value DESC, event_id) rn "
+        "FROM tagged) WHERE rn <= 2 ORDER BY value DESC, event_id LIMIT 6"
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, exp_top))
+
+    with pytest.raises(ChTranslationError, match="ORDER BY"):
+        translate_ch_sql("SELECT x FROM t LIMIT 2 BY x")
