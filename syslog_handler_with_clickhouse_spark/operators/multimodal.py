@@ -1037,6 +1037,8 @@ def decode_real(payload: bytes):
         return ("gif", *decode_gif_pixels(payload))
     if payload[:2] == b"BM":
         return ("bmp", *decode_bmp_pixels(payload))
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return ("tiff", *decode_tiff_pixels(payload))
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return ("wav", *decode_wav_samples(payload))
     if payload[:2] == b"\xff\xd8":
@@ -1303,7 +1305,7 @@ def decode_assets(assets: DataFrame) -> DataFrame:
                     rows.append((int(did), "undecoded", None, None, None,
                                  None, None, None, None, None))
                     continue
-                if decoded[0] in ("png", "gif", "jpeg", "bmp"):
+                if decoded[0] in ("png", "gif", "jpeg", "bmp", "tiff"):
                     kind, w, h, c, px = decoded
                     a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
                     rows.append((int(did), kind, w, h, c, None, a.size,
@@ -1809,3 +1811,205 @@ def encode_bmp_rle8(
     )
     hdr = b"BM" + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
     return hdr + dib + pal_bytes + bytes(data)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits (Apple RLE): n in 0..127 -> n+1 literal bytes;
+    n in 129..255 (-127..-1) -> next byte repeated 257-n times;
+    128 -> no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    if len(out) < expected:
+        raise ValueError("PackBits strip shorter than expected")
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Simple run/literal PackBits encoder (round-trip twin)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find run length
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i = j + 1
+        else:
+            # literal stretch until next run of >=3 (or end)
+            k = i
+            while (
+                k < n
+                and k - i < 128
+                and not (
+                    k + 2 < n and data[k] == data[k + 1] == data[k + 2]
+                )
+            ):
+                k += 1
+            out += bytes([k - i - 1]) + data[i:k]
+            i = k
+    return bytes(out)
+
+
+def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
+    """REAL baseline-TIFF decode (stdlib ``struct`` only): both byte
+    orders (II little / MM big), 8-bit grayscale (PhotometricInterp 0
+    WhiteIsZero — inverted — and 1 BlackIsZero) and RGB, multi-strip
+    layout (StripOffsets/StripByteCounts/RowsPerStrip), Compression 1
+    (none) and 32773 (PackBits).  LZW/JPEG-in-TIFF, tiles, planar=2
+    and other sample depths raise ``NotImplementedError``.
+
+    Returns ``(width, height, channels, pixels)`` row-major
+    interleaved, matching the PNG decode shape."""
+    import struct
+
+    if b[:4] == b"II*\x00":
+        e = "<"
+    elif b[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (ifd_off,) = struct.unpack(e + "I", b[4:8])
+    if ifd_off + 2 > len(b):
+        raise ValueError("TIFF IFD offset out of range")
+    (n_entries,) = struct.unpack(e + "H", b[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    type_size = {1: 1, 3: 2, 4: 4}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ = struct.unpack(e + "HH", b[off : off + 4])
+        (cnt,) = struct.unpack(e + "I", b[off + 4 : off + 8])
+        if typ not in type_size:
+            continue  # RATIONAL etc. — not needed for the baseline set
+        sz = type_size[typ]
+        total = sz * cnt
+        if total <= 4:
+            raw = b[off + 8 : off + 8 + total]
+        else:
+            (voff,) = struct.unpack(e + "I", b[off + 8 : off + 12])
+            raw = b[voff : voff + total]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(e + fmt * cnt, raw))
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    compression = one(259, 1)
+    photometric = one(262, 1)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    if any(x != 8 for x in bits):
+        raise NotImplementedError("TIFF bit depths other than 8")
+    if one(284, 1) != 1:
+        raise NotImplementedError("TIFF planar configuration 2")
+    if compression not in (1, 32773):
+        raise NotImplementedError(f"TIFF compression {compression}")
+    if photometric not in (0, 1, 2):
+        raise NotImplementedError(f"TIFF photometric {photometric}")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF")
+    channels = 3 if photometric == 2 else 1
+    if spp != channels:
+        raise ValueError("SamplesPerPixel inconsistent with photometric")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip layout missing/inconsistent")
+    rows_per_strip = one(278, h)
+    out = bytearray()
+    need = w * h * channels
+    for si, (so, sc) in enumerate(zip(offsets, counts)):
+        strip = b[so : so + sc]
+        if len(strip) != sc:
+            raise ValueError("TIFF strip truncated")
+        rows = min(rows_per_strip, h - si * rows_per_strip)
+        expect = rows * w * channels
+        if compression == 32773:
+            out += _packbits_decode(strip, expect)
+        else:
+            if len(strip) < expect:
+                raise ValueError("TIFF strip shorter than row layout")
+            out += strip[:expect]
+    if len(out) < need:
+        raise ValueError("TIFF strips shorter than image")
+    px = bytes(out[:need])
+    if photometric == 0:  # WhiteIsZero: invert to the usual convention
+        px = bytes(255 - v for v in px)
+    return w, h, channels, px
+
+
+def encode_tiff(
+    pixels: bytes, w: int, h: int, channels: int,
+    endian: str = "<", rows_per_strip: int | None = None,
+    packbits: bool = False, white_is_zero: bool = False,
+) -> bytes:
+    """Baseline-TIFF builder (fixture twin of
+    :func:`decode_tiff_pixels`): either byte order, multi-strip via
+    ``rows_per_strip``, optional PackBits compression, optional
+    WhiteIsZero grayscale (pixels stored inverted)."""
+    import struct
+
+    assert channels in (1, 3) and len(pixels) == w * h * channels
+    e = endian
+    magic = b"II*\x00" if e == "<" else b"MM\x00*"
+    if white_is_zero:
+        assert channels == 1
+        pixels = bytes(255 - v for v in pixels)
+    rps = rows_per_strip or h
+    strips = []
+    for r0 in range(0, h, rps):
+        rows = min(rps, h - r0)
+        raw = pixels[r0 * w * channels : (r0 + rows) * w * channels]
+        strips.append(_packbits_encode(raw) if packbits else raw)
+    # layout: header(8) | strip data | IFD | external arrays
+    data_off = 8
+    offsets, pos = [], data_off
+    for sdata in strips:
+        offsets.append(pos)
+        pos += len(sdata)
+    ifd_off = pos
+    photometric = 0 if white_is_zero else (2 if channels == 3 else 1)
+    entries = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * channels),
+        (259, 3, [32773 if packbits else 1]), (262, 3, [photometric]),
+        (273, 4, offsets), (277, 3, [channels]), (278, 4, [rps]),
+        (279, 4, [len(s) for s in strips]), (284, 3, [1]),
+    ]
+    n = len(entries)
+    ext_off = ifd_off + 2 + 12 * n + 4
+    ifd = struct.pack(e + "H", n)
+    ext = bytearray()
+    tsz = {3: 2, 4: 4}
+    for tag, typ, vals in entries:
+        total = tsz[typ] * len(vals)
+        fmt = {3: "H", 4: "I"}[typ]
+        ifd += struct.pack(e + "HHI", tag, typ, len(vals))
+        if total <= 4:
+            raw = struct.pack(e + fmt * len(vals), *vals)
+            ifd += raw + b"\x00" * (4 - total)
+        else:
+            ifd += struct.pack(e + "I", ext_off + len(ext))
+            ext += struct.pack(e + fmt * len(vals), *vals)
+    ifd += struct.pack(e + "I", 0)  # no next IFD
+    return (
+        magic + struct.pack(e + "I", ifd_off)
+        + b"".join(strips) + ifd + bytes(ext)
+    )

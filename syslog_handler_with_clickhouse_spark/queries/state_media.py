@@ -2469,3 +2469,82 @@ def q361(spark, sf_dir):
         F.min("doc_id").alias("id_min"),
         F.max("doc_id").alias("id_max"),
     )
+
+
+@query(
+    "q362_tiff_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 25) + 5 AS w,
+             (doc_id % 13) + 4 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+      FROM documents WHERE doc_id % 33 = 7
+    )
+    SELECT d.doc_id,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(d.c AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM((d.doc_id * 11 + 17 * t.k) % 256) AS BIGINT) AS px_sum,
+           CAST(MIN((d.doc_id * 11 + 17 * t.k) % 256) AS BIGINT) AS px_min,
+           CAST(MAX((d.doc_id * 11 + 17 * t.k) % 256) AS BIGINT) AS px_max
+    FROM d, LATERAL (SELECT unnest(range(0, d.w * d.h * d.c)) AS k) t
+    GROUP BY d.doc_id, d.w, d.h, d.c
+    """,
+)
+def q362(spark, sf_dir):
+    """BASELINE-TIFF decode through the shared distributed path
+    (`multimodal.decode_tiff_pixels`): fixtures rotate BOTH byte
+    orders, single- vs multi-strip layouts, uncompressed vs PackBits,
+    and gray (incl. WhiteIsZero inversion) vs RGB — the scanned-
+    document container matrix — all pinned by the oracle's closed-form
+    pixel statistics.  A decoder that misread the IFD endianness,
+    mis-assembled strips, got PackBits runs wrong, or skipped the
+    photometric inversion would be off on every value."""
+    import pandas as pd
+
+    from ..operators.multimodal import decode_assets, encode_tiff
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 33 == 7)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 25 + 5, d % 13 + 4
+                c = 1 if d % 2 == 0 else 3
+                px = bytes(
+                    (d * 11 + 17 * k) % 256 for k in range(w * h * c)
+                )
+                v = d // 33
+                payloads.append(
+                    encode_tiff(
+                        px, w, h, c,
+                        endian="<" if v % 2 == 0 else ">",
+                        rows_per_strip=None if v % 3 == 0 else 2,
+                        packbits=(v % 4) // 2 == 1,
+                        white_is_zero=(c == 1 and v % 5 == 4),
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    return dec.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("px_sum"),
+        F.col("val_min").cast("bigint").alias("px_min"),
+        F.col("val_max").cast("bigint").alias("px_max"),
+    )

@@ -722,3 +722,44 @@ def test_bmp_rle8_roundtrip():
     bad[30:34] = _st.pack("<I", 1)
     with pytest.raises(ValueError, match="RLE8"):
         decode_bmp_pixels(bytes(bad))
+
+
+def test_tiff_roundtrip_matrix_and_guards():
+    """TIFF: both byte orders x multi-strip x PackBits x gray/RGB, plus
+    WhiteIsZero inversion, all round-trip; LZW/tiled/16-bit guarded;
+    decode_real dispatches on both magics."""
+    import struct as _st
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        encode_tiff,
+    )
+
+    w, h = 11, 7
+    for c in (1, 3):
+        px = bytes((i * 13 + 3) % 256 for i in range(w * h * c))
+        for e in ("<", ">"):
+            for rps in (None, 3):
+                for pb in (False, True):
+                    blob = encode_tiff(px, w, h, c, endian=e,
+                                       rows_per_strip=rps, packbits=pb)
+                    assert decode_tiff_pixels(blob) == (w, h, c, px)
+                    kind, W, H, C, got = decode_real(blob)
+                    assert (kind, W, H, C, got) == ("tiff", w, h, c, px)
+    g = bytes((i * 3) % 256 for i in range(w * h))
+    assert decode_tiff_pixels(
+        encode_tiff(g, w, h, 1, white_is_zero=True)
+    ) == (w, h, 1, g)
+    # LZW compression (5) -> guard: patch the Compression entry value
+    blob = bytearray(encode_tiff(g, w, h, 1))
+    (ifd_off,) = _st.unpack("<I", blob[4:8])
+    (n,) = _st.unpack("<H", blob[ifd_off : ifd_off + 2])
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag = _st.unpack("<H", blob[off : off + 2])[0]
+        if tag == 259:
+            blob[off + 8 : off + 10] = _st.pack("<H", 5)
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_tiff_pixels(bytes(blob))
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff_pixels(b"XX\x00\x00nope")
