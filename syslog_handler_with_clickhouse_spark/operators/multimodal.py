@@ -1868,7 +1868,8 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     orders (II little / MM big), 8-bit grayscale (PhotometricInterp 0
     WhiteIsZero — inverted — and 1 BlackIsZero) and RGB, multi-strip
     layout (StripOffsets/StripByteCounts/RowsPerStrip), Compression 1
-    (none) and 32773 (PackBits).  LZW/JPEG-in-TIFF, tiles, planar=2
+    (none), 5 (TIFF LZW: MSB-first, EarlyChange=1 — the libtiff
+    pairing) and 32773 (PackBits).  JPEG-in-TIFF, tiles, planar=2
     and other sample depths raise ``NotImplementedError``.
 
     Returns ``(width, height, channels, pixels)`` row-major
@@ -1920,7 +1921,7 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         raise NotImplementedError("TIFF bit depths other than 8")
     if one(284, 1) != 1:
         raise NotImplementedError("TIFF planar configuration 2")
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise NotImplementedError(f"TIFF compression {compression}")
     if photometric not in (0, 1, 2):
         raise NotImplementedError(f"TIFF photometric {photometric}")
@@ -1944,6 +1945,8 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         expect = rows * w * channels
         if compression == 32773:
             out += _packbits_decode(strip, expect)
+        elif compression == 5:
+            out += _tiff_lzw_decode(strip, expect)
         else:
             if len(strip) < expect:
                 raise ValueError("TIFF strip shorter than row layout")
@@ -1960,6 +1963,7 @@ def encode_tiff(
     pixels: bytes, w: int, h: int, channels: int,
     endian: str = "<", rows_per_strip: int | None = None,
     packbits: bool = False, white_is_zero: bool = False,
+    lzw: bool = False,
 ) -> bytes:
     """Baseline-TIFF builder (fixture twin of
     :func:`decode_tiff_pixels`): either byte order, multi-strip via
@@ -1973,12 +1977,18 @@ def encode_tiff(
     if white_is_zero:
         assert channels == 1
         pixels = bytes(255 - v for v in pixels)
+    if packbits and lzw:
+        raise ValueError("choose one compression")
     rps = rows_per_strip or h
     strips = []
     for r0 in range(0, h, rps):
         rows = min(rps, h - r0)
         raw = pixels[r0 * w * channels : (r0 + rows) * w * channels]
-        strips.append(_packbits_encode(raw) if packbits else raw)
+        if packbits:
+            raw = _packbits_encode(raw)
+        elif lzw:
+            raw = _tiff_lzw_encode(raw)
+        strips.append(raw)
     # layout: header(8) | strip data | IFD | external arrays
     data_off = 8
     offsets, pos = [], data_off
@@ -1989,7 +1999,8 @@ def encode_tiff(
     photometric = 0 if white_is_zero else (2 if channels == 3 else 1)
     entries = [
         (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * channels),
-        (259, 3, [32773 if packbits else 1]), (262, 3, [photometric]),
+        (259, 3, [32773 if packbits else (5 if lzw else 1)]),
+        (262, 3, [photometric]),
         (273, 4, offsets), (277, 3, [channels]), (278, 4, [rps]),
         (279, 4, [len(s) for s in strips]), (284, 3, [1]),
     ]
@@ -2013,3 +2024,103 @@ def encode_tiff(
         magic + struct.pack(e + "I", ifd_off)
         + b"".join(strips) + ifd + bytes(ext)
     )
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first bit packing, 8-bit
+    symbols, Clear=256/EOI=257, first dynamic code 258, and the
+    standard EarlyChange=1 width bump (9->10 at code 510, ->11 at
+    1022, ->12 at 2046)."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # Clear
+                reset()
+                prev = None
+                continue
+            if code == 257:  # EOI
+                return bytes(out[:expected])
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW code out of range")
+            out += entry
+            prev = entry
+            # EarlyChange + the decoder's one-entry lag behind the
+            # encoder: widen when the NEXT added entry would be
+            # (1<<width) - 2 (libtiff pairing)
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+            if len(out) >= expected:
+                return bytes(out[:expected])
+    if len(out) < expected:
+        raise ValueError("LZW strip shorter than expected")
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Symmetric TIFF LZW encoder (EarlyChange=1)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)  # initial Clear
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        # width bump mirrors the decoder's EarlyChange rule
+        if next_code + 1 >= (1 << width) and width < 12:
+            width += 1
+        if next_code > 4093:  # table nearly full: clear
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur])
+    emit(257)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)

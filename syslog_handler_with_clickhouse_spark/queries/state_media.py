@@ -2496,11 +2496,12 @@ def q361(spark, sf_dir):
 def q362(spark, sf_dir):
     """BASELINE-TIFF decode through the shared distributed path
     (`multimodal.decode_tiff_pixels`): fixtures rotate BOTH byte
-    orders, single- vs multi-strip layouts, uncompressed vs PackBits,
-    and gray (incl. WhiteIsZero inversion) vs RGB — the scanned-
-    document container matrix — all pinned by the oracle's closed-form
-    pixel statistics.  A decoder that misread the IFD endianness,
-    mis-assembled strips, got PackBits runs wrong, or skipped the
+    orders, single- vs multi-strip layouts, uncompressed vs PackBits
+    vs TIFF-LZW (MSB-first, EarlyChange=1), and gray (incl.
+    WhiteIsZero inversion) vs RGB — the scanned-document container
+    matrix — all pinned by the oracle's closed-form pixel statistics.
+    A decoder that misread the IFD endianness, mis-assembled strips,
+    got PackBits runs or LZW width bumps wrong, or skipped the
     photometric inversion would be off on every value."""
     import pandas as pd
 
@@ -2523,12 +2524,14 @@ def q362(spark, sf_dir):
                     (d * 11 + 17 * k) % 256 for k in range(w * h * c)
                 )
                 v = d // 33
+                comp = v % 3  # rotate none / PackBits / LZW
                 payloads.append(
                     encode_tiff(
                         px, w, h, c,
                         endian="<" if v % 2 == 0 else ">",
-                        rows_per_strip=None if v % 3 == 0 else 2,
-                        packbits=(v % 4) // 2 == 1,
+                        rows_per_strip=None if v % 4 == 0 else 2,
+                        packbits=comp == 1,
+                        lzw=comp == 2,
                         white_is_zero=(c == 1 and v % 5 == 4),
                     )
                 )

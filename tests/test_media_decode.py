@@ -750,7 +750,9 @@ def test_tiff_roundtrip_matrix_and_guards():
     assert decode_tiff_pixels(
         encode_tiff(g, w, h, 1, white_is_zero=True)
     ) == (w, h, 1, g)
-    # LZW compression (5) -> guard: patch the Compression entry value
+    # LZW now decodes (compression 5); JPEG-in-TIFF (7) stays a guard
+    lzw_blob = encode_tiff(g, w, h, 1, lzw=True, rows_per_strip=2)
+    assert decode_tiff_pixels(lzw_blob) == (w, h, 1, g)
     blob = bytearray(encode_tiff(g, w, h, 1))
     (ifd_off,) = _st.unpack("<I", blob[4:8])
     (n,) = _st.unpack("<H", blob[ifd_off : ifd_off + 2])
@@ -758,8 +760,33 @@ def test_tiff_roundtrip_matrix_and_guards():
         off = ifd_off + 2 + 12 * i
         tag = _st.unpack("<H", blob[off : off + 2])[0]
         if tag == 259:
-            blob[off + 8 : off + 10] = _st.pack("<H", 5)
+            blob[off + 8 : off + 10] = _st.pack("<H", 7)
     with pytest.raises(NotImplementedError, match="compression"):
         decode_tiff_pixels(bytes(blob))
     with pytest.raises(ValueError, match="not a TIFF"):
         decode_tiff_pixels(b"XX\x00\x00nope")
+
+
+def test_tiff_lzw_kernel_roundtrips():
+    """TIFF-variant LZW (MSB-first, EarlyChange=1): seeded fuzz across
+    random/runs/repetitive inputs large enough to force width bumps at
+    511/1023/2047 AND table-clear cycles (>4093 entries)."""
+    import random
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    rng = random.Random(77)
+    for t in range(40):
+        n = rng.randint(0, 12000)
+        style = t % 3
+        if style == 0:
+            data = bytes(rng.randrange(256) for _ in range(n))
+        elif style == 1:
+            data = bytes(rng.randrange(4) for _ in range(n))
+        else:
+            data = (b"abcab" * (n // 5 + 1))[:n]
+        enc = _tiff_lzw_encode(data)
+        assert _tiff_lzw_decode(enc, len(data)) == data, (t, n)
