@@ -1869,8 +1869,9 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     WhiteIsZero — inverted — and 1 BlackIsZero) and RGB, multi-strip
     layout (StripOffsets/StripByteCounts/RowsPerStrip), Compression 1
     (none), 5 (TIFF LZW: MSB-first, EarlyChange=1 — the libtiff
-    pairing) and 32773 (PackBits).  JPEG-in-TIFF, tiles, planar=2
-    and other sample depths raise ``NotImplementedError``.
+    pairing), 8/32946 (Deflate) and 32773 (PackBits).  JPEG-in-TIFF,
+    tiles, planar=2 and other sample depths raise
+    ``NotImplementedError``.
 
     Returns ``(width, height, channels, pixels)`` row-major
     interleaved, matching the PNG decode shape."""
@@ -1921,7 +1922,7 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         raise NotImplementedError("TIFF bit depths other than 8")
     if one(284, 1) != 1:
         raise NotImplementedError("TIFF planar configuration 2")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {compression}")
     if photometric not in (0, 1, 2):
         raise NotImplementedError(f"TIFF photometric {photometric}")
@@ -1947,6 +1948,13 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
             out += _packbits_decode(strip, expect)
         elif compression == 5:
             out += _tiff_lzw_decode(strip, expect)
+        elif compression in (8, 32946):  # (Adobe) Deflate
+            import zlib as _zlib
+
+            raw = _zlib.decompress(strip)
+            if len(raw) < expect:
+                raise ValueError("deflate strip shorter than row layout")
+            out += raw[:expect]
         else:
             if len(strip) < expect:
                 raise ValueError("TIFF strip shorter than row layout")
@@ -1963,7 +1971,7 @@ def encode_tiff(
     pixels: bytes, w: int, h: int, channels: int,
     endian: str = "<", rows_per_strip: int | None = None,
     packbits: bool = False, white_is_zero: bool = False,
-    lzw: bool = False,
+    lzw: bool = False, deflate: bool = False,
 ) -> bytes:
     """Baseline-TIFF builder (fixture twin of
     :func:`decode_tiff_pixels`): either byte order, multi-strip via
@@ -1977,7 +1985,7 @@ def encode_tiff(
     if white_is_zero:
         assert channels == 1
         pixels = bytes(255 - v for v in pixels)
-    if packbits and lzw:
+    if sum((packbits, lzw, deflate)) > 1:
         raise ValueError("choose one compression")
     rps = rows_per_strip or h
     strips = []
@@ -1988,6 +1996,10 @@ def encode_tiff(
             raw = _packbits_encode(raw)
         elif lzw:
             raw = _tiff_lzw_encode(raw)
+        elif deflate:
+            import zlib as _zlib
+
+            raw = _zlib.compress(raw, 6)
         strips.append(raw)
     # layout: header(8) | strip data | IFD | external arrays
     data_off = 8
@@ -1999,7 +2011,7 @@ def encode_tiff(
     photometric = 0 if white_is_zero else (2 if channels == 3 else 1)
     entries = [
         (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * channels),
-        (259, 3, [32773 if packbits else (5 if lzw else 1)]),
+        (259, 3, [32773 if packbits else (5 if lzw else (8 if deflate else 1))]),
         (262, 3, [photometric]),
         (273, 4, offsets), (277, 3, [channels]), (278, 4, [rps]),
         (279, 4, [len(s) for s in strips]), (284, 3, [1]),

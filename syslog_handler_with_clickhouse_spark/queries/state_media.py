@@ -2497,7 +2497,7 @@ def q362(spark, sf_dir):
     """BASELINE-TIFF decode through the shared distributed path
     (`multimodal.decode_tiff_pixels`): fixtures rotate BOTH byte
     orders, single- vs multi-strip layouts, uncompressed vs PackBits
-    vs TIFF-LZW (MSB-first, EarlyChange=1), and gray (incl.
+    vs TIFF-LZW (MSB-first, EarlyChange=1) vs Deflate, and gray (incl.
     WhiteIsZero inversion) vs RGB — the scanned-document container
     matrix — all pinned by the oracle's closed-form pixel statistics.
     A decoder that misread the IFD endianness, mis-assembled strips,
@@ -2524,7 +2524,7 @@ def q362(spark, sf_dir):
                     (d * 11 + 17 * k) % 256 for k in range(w * h * c)
                 )
                 v = d // 33
-                comp = v % 3  # rotate none / PackBits / LZW
+                comp = v % 4  # rotate none / PackBits / LZW / Deflate
                 payloads.append(
                     encode_tiff(
                         px, w, h, c,
@@ -2532,6 +2532,7 @@ def q362(spark, sf_dir):
                         rows_per_strip=None if v % 4 == 0 else 2,
                         packbits=comp == 1,
                         lzw=comp == 2,
+                        deflate=comp == 3,
                         white_is_zero=(c == 1 and v % 5 == 4),
                     )
                 )

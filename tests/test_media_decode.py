@@ -753,6 +753,20 @@ def test_tiff_roundtrip_matrix_and_guards():
     # LZW now decodes (compression 5); JPEG-in-TIFF (7) stays a guard
     lzw_blob = encode_tiff(g, w, h, 1, lzw=True, rows_per_strip=2)
     assert decode_tiff_pixels(lzw_blob) == (w, h, 1, g)
+    # Deflate decodes under both the official (8) and Adobe (32946)
+    # compression codes; the builder writes 8.
+    for e in ("<", ">"):
+        dz_blob = encode_tiff(g, w, h, 1, endian=e, deflate=True,
+                              rows_per_strip=3)
+        assert decode_tiff_pixels(dz_blob) == (w, h, 1, g)
+    dz = bytearray(encode_tiff(g, w, h, 1, deflate=True))
+    (ifd_off0,) = _st.unpack("<I", dz[4:8])
+    (n0,) = _st.unpack("<H", dz[ifd_off0 : ifd_off0 + 2])
+    for i in range(n0):
+        off = ifd_off0 + 2 + 12 * i
+        if _st.unpack("<H", dz[off : off + 2])[0] == 259:
+            dz[off + 8 : off + 10] = _st.pack("<H", 32946)
+    assert decode_tiff_pixels(bytes(dz)) == (w, h, 1, g)
     blob = bytearray(encode_tiff(g, w, h, 1))
     (ifd_off,) = _st.unpack("<I", blob[4:8])
     (n,) = _st.unpack("<H", blob[ifd_off : ifd_off + 2])
