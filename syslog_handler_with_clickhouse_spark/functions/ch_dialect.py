@@ -315,6 +315,66 @@ def translate_ch_sql(sql: str) -> str:
             f" ORDER BY {order}{tail}"
         )
 
+    # URL functions (docs/en/sql-reference/functions/url-functions) —
+    # same regex semantics as functions/url.py, emitted as Spark SQL.
+    _AUTH_RE = (
+        r"'^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//(?:[^/?#@]*@)?([^/?#]*)'"
+    )
+
+    def _dom(a):
+        return (
+            f"regexp_extract(regexp_extract({a[0]}, {_AUTH_RE}, 1), "
+            f"'^([^:]*)', 1)"
+        )
+
+    s = _rewrite_calls(
+        s, "protocol",
+        lambda a: f"regexp_extract({a[0]}, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)",
+    )
+    s = _rewrite_calls(
+        s, "domainWithoutWWW",
+        lambda a: (
+            f"(CASE WHEN {_dom(a)} LIKE 'www.%' "
+            f"THEN substring({_dom(a)}, 5) ELSE {_dom(a)} END)"
+        ),
+    )
+    s = _rewrite_calls(
+        s, "topLevelDomain",
+        lambda a: (
+            f"(CASE WHEN {_dom(a)} = '' THEN '' "
+            f"ELSE element_at(split({_dom(a)}, '\\\\.'), -1) END)"
+        ),
+    )
+    s = _rewrite_calls(s, "domain", _dom)
+    s = _rewrite_calls(
+        s, "cutQueryString",
+        lambda a: f"regexp_replace({a[0]}, '\\\\?[^#]*', '')",
+    )
+    s = _rewrite_calls(
+        s, "queryString",
+        lambda a: f"regexp_extract({a[0]}, '\\\\?([^#]*)', 1)",
+    )
+    s = _rewrite_calls(
+        s, "path",
+        lambda a: (
+            f"regexp_extract(regexp_replace({a[0]}, "
+            f"'^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//(?:[^/?#@]*@)?[^/?#]*', "
+            f"''), '^([^?#]*)', 1)"
+        ),
+    )
+
+    def _extract_param(a):
+        name = a[1].strip()
+        if not (name.startswith("'") and name.endswith("'")):
+            raise ChTranslationError(
+                "extractURLParameter needs a literal name"
+            )
+        return (
+            f"regexp_extract({a[0]}, '[?&]{name[1:-1]}=([^&#]*)', 1)"
+        )
+
+    s = _rewrite_calls(s, "extractURLParameter", _extract_param)
+
     # multiIf -> CASE
     def _multi_if(a):
         if len(a) < 3 or len(a) % 2 == 0:

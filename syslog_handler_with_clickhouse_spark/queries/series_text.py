@@ -3688,3 +3688,213 @@ def q230(spark, sf_dir):
             / F.lit(1000000.0)
         ).alias("interp_val"),
     )
+
+
+@query(
+    "q363_running_delta",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             ts
+      FROM events
+      WHERE event_type = 'click' AND value IS NOT NULL
+        AND ts IS NOT NULL AND user_id IS NOT NULL
+    ), w AS (
+      SELECT event_id, user_id, v,
+             COALESCE(v - lag(v) OVER ord, CAST(0 AS DECIMAL(18,2)))
+               AS rd,
+             CAST(SUM(v) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW)
+                  AS DECIMAL(18,2)) AS ra,
+             lag(v) OVER ord IS NULL AS first_row
+      FROM ev
+      WINDOW ord AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(rd AS DOUBLE) AS running_diff,
+           CAST(ra AS DOUBLE) AS running_acc,
+           CAST((SELECT CAST(COALESCE(SUM(CASE WHEN NOT w2.first_row
+                                     AND w2.rd > 0 THEN w2.rd END), 0)
+                 AS DECIMAL(18,2))
+                 FROM w w2 WHERE w2.user_id = w.user_id)
+                AS DOUBLE) AS delta_sum
+    FROM w
+    """,
+)
+def q363(spark, sf_dir):
+    """ClickHouse ``runningDifference`` / ``runningAccumulate`` /
+    ``deltaSum`` / ``deltaSumTimestamp`` as ORDER-SAFE window
+    analytics.  CH's running* functions are block-order-dependent
+    (deprecated for that reason) and deltaSumTimestamp exists precisely
+    to pin merge order to a time column; the Spark-first re-expression
+    makes the ordering explicit — one window per user ordered by
+    (ts, event_id) — so the semantics are deterministic on ANY
+    partitioning/merge schedule, which is the property CH's timestamped
+    variant approximates.  runningDifference's first-row-is-0
+    convention is kept; deltaSum ignores negative deltas and the
+    first-row pseudo-delta (CH sums only consecutive-difference
+    increases).  All arithmetic in DECIMAL(18,2): the per-row diffs and
+    the cumulative sum are exact, so the oracle hash can't be perturbed
+    by float association.  One shuffle (hash by user_id), both window
+    passes and the full-partition delta-sum reuse the same sort — no
+    Python, no extra exchange."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "click")
+            & F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("value").cast("decimal(18,2)").alias("v"),
+            "ts",
+        )
+    )
+    ord_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    all_w = Window.partitionBy("user_id")
+    prev = F.lag("v").over(ord_w)
+    rd = F.coalesce(
+        F.col("v") - prev, F.lit(0).cast("decimal(18,2)")
+    )
+    staged = ev.select(
+        "event_id",
+        "user_id",
+        rd.alias("rd"),
+        F.sum("v").over(run_w).cast("decimal(18,2)").alias("ra"),
+        prev.isNull().alias("first_row"),
+    )
+    pos = F.when(
+        ~F.col("first_row") & (F.col("rd") > 0), F.col("rd")
+    )
+    return staged.select(
+        "event_id",
+        "user_id",
+        F.col("rd").cast("double").alias("running_diff"),
+        F.col("ra").cast("double").alias("running_acc"),
+        F.coalesce(
+            F.sum(pos).over(all_w), F.lit(0).cast("decimal(28,2)")
+        )
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("delta_sum"),
+    )
+
+
+@query(
+    "q364_url_functions",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'https'
+                             ELSE 'ftp' END
+             || '://'
+             || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+             || 'host' || CAST(doc_id % 50 AS VARCHAR)
+             || CASE doc_id % 5 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.org'
+                                ELSE '.com' END
+             || CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+             || '/p' || CAST(doc_id % 9 AS VARCHAR) || '/item'
+             || CASE WHEN doc_id % 2 = 0
+                     THEN '?q=v' || CAST(doc_id % 11 AS VARCHAR)
+                          || '&utm=x' ELSE '' END
+             || CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END
+             AS url
+      FROM documents WHERE doc_id % 3 != 2 OR doc_id % 10 < 7
+    ), hostp AS (
+      SELECT doc_id, url,
+             regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)
+               AS proto,
+             regexp_extract(url,
+               '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//(?:[^/?#@]*@)?([^/?#]*)',
+               1) AS auth
+      FROM u
+    )
+    SELECT doc_id, url, proto AS protocol,
+           regexp_extract(auth, '^([^:]*)', 1) AS host,
+           CASE WHEN regexp_extract(auth, '^([^:]*)', 1) LIKE 'www.%'
+                THEN substr(regexp_extract(auth, '^([^:]*)', 1), 5)
+                ELSE regexp_extract(auth, '^([^:]*)', 1)
+           END AS host_nowww,
+           CASE WHEN auth = '' THEN ''
+                ELSE list_extract(string_split(
+                       regexp_extract(auth, '^([^:]*)', 1), '.'), -1)
+           END AS tld,
+           CASE WHEN regexp_extract(auth, ':(\\d+)$', 1) = '' THEN 0
+                ELSE CAST(regexp_extract(auth, ':(\\d+)$', 1) AS INT)
+           END AS port,
+           regexp_extract(
+             regexp_replace(url,
+               '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//(?:[^/?#@]*@)?[^/?#]*',
+               ''), '^([^?#]*)', 1) AS upath,
+           regexp_extract(url, '\\?([^#]*)', 1) AS qs,
+           regexp_replace(url, '\\?[^#]*', '') AS no_qs,
+           regexp_extract(url, '[?&]q=([^&#]*)', 1) AS param_q,
+           regexp_extract(url, '[?&]missing=([^&#]*)', 1) AS param_missing
+    FROM hostp
+    """,
+)
+def q364(spark, sf_dir):
+    """ClickHouse URL-function family (`functions/url.py`): protocol /
+    domain / domainWithoutWWW / topLevelDomain / port / path /
+    queryString / cutQueryString / extractURLParameter, every one a
+    native regexp/split expression inside whole-stage codegen.  The
+    fixture URLs are built IN-PLAN from doc_id (scheme x www x
+    multi-label-TLD x port x query x fragment rotation — 3x2x3x2x2x2
+    shapes incl. a filter with a composite predicate so ids aren't
+    contiguous), and the oracle re-parses the same construction with
+    DuckDB's independent regexp engine — a parser that mishandled
+    credentials-less authorities, ports, fragments, or bare parameters
+    would diverge on some rotation cell.  Zero shuffles: scan ->
+    project, the whole query is one codegen stage."""
+    from ..functions import url as U
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 3 != 2) | (F.col("doc_id") % 10 < 7))
+        .select("doc_id")
+    )
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 3 == 0, F.lit("http"))
+        .when(d % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("ftp")),
+        F.lit("://"),
+        F.when(d % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("host"),
+        (d % 50).cast("string"),
+        F.when(d % 5 == 0, F.lit(".co.uk"))
+        .when(d % 5 == 1, F.lit(".org"))
+        .otherwise(F.lit(".com")),
+        F.when(d % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p"),
+        (d % 9).cast("string"),
+        F.lit("/item"),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit("?q=v"), (d % 11).cast("string"), F.lit("&utm=x")),
+        ).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    u = F.col("url")
+    return with_url.select(
+        "doc_id",
+        "url",
+        U.protocol(u).alias("protocol"),
+        U.domain(u).alias("host"),
+        U.domain_without_www(u).alias("host_nowww"),
+        U.top_level_domain(u).alias("tld"),
+        U.url_port(u).alias("port"),
+        U.url_path(u).alias("upath"),
+        U.query_string(u).alias("qs"),
+        U.cut_query_string(u).alias("no_qs"),
+        U.extract_url_parameter(u, "q").alias("param_q"),
+        U.extract_url_parameter(u, "missing").alias("param_missing"),
+    )

@@ -365,3 +365,43 @@ def test_array_join_and_limit_by(spark):
 
     with pytest.raises(ChTranslationError, match="ORDER BY"):
         translate_ch_sql("SELECT x FROM t LIMIT 2 BY x")
+
+
+def test_url_function_rules_execute(spark):
+    """URL-family rewrites (domain/domainWithoutWWW/topLevelDomain/
+    protocol/path/queryString/cutQueryString/extractURLParameter)
+    translate to runnable Spark SQL with CH semantics."""
+    ch = (
+        "SELECT protocol(u) AS p, domain(u) AS d, "
+        "domainWithoutWWW(u) AS dw, topLevelDomain(u) AS tld, "
+        "path(u) AS pa, queryString(u) AS qs, "
+        "cutQueryString(u) AS cq, "
+        "extractURLParameter(u, 'q') AS pq FROM urls"
+    )
+    sql = translate_ch_sql(ch)
+    assert "regexp_extract" in sql and "domain(" not in sql
+    spark.createDataFrame(
+        [
+            ("https://user:pw@www.example.co.uk:8443/a/b?q=1&z=2#f",),
+            ("http://host7.com/item",),
+            ("ftp://cdn.example.org:21/pub?x=9",),
+            ("no-url-here",),
+        ],
+        "u string",
+    ).createOrReplaceTempView("urls")
+    rows = {r["u"]: r for r in spark.sql(
+        "SELECT u, " + sql.split("SELECT ", 1)[1]
+    ).collect()}
+    r = rows["https://user:pw@www.example.co.uk:8443/a/b?q=1&z=2#f"]
+    assert (r["p"], r["d"], r["dw"], r["tld"]) == (
+        "https", "www.example.co.uk", "example.co.uk", "uk")
+    assert (r["pa"], r["qs"], r["pq"]) == ("/a/b", "q=1&z=2", "1")
+    assert r["cq"] == "https://user:pw@www.example.co.uk:8443/a/b#f"
+    r2 = rows["http://host7.com/item"]
+    assert (r2["d"], r2["pa"], r2["qs"], r2["pq"]) == (
+        "host7.com", "/item", "", "")
+    r4 = rows["no-url-here"]
+    assert (r4["d"], r4["tld"]) == ("", "")
+
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT extractURLParameter(u, name) FROM t")
