@@ -804,3 +804,154 @@ def uniq_up_to(
         return head
 
     return parts.groupBy(*group_cols).applyInPandas(merge, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# quantileGK analogue: mergeable eps-approximate quantile summary
+# ---------------------------------------------------------------------------
+
+def gk_partials(
+    df: DataFrame, col: str, group_cols: list[str], eps: float = 0.02
+) -> DataFrame:
+    """Level 1 of a ClickHouse ``quantileGK``-style mergeable quantile
+    summary.  Per (input partition, group) the batch's values are
+    sorted ONCE and sampled at every ceil(eps/2 * n)-th order statistic
+    (ceil keeps the summary under 2/eps + 2 samples; the +1-per-summary
+    rank slack it adds is P/N overall, vanishing at scale), each sample
+    carrying its EXACT local
+    rank — a classic eps/2-approximate quantile summary (Greenwald-
+    Khanna-family; the one-shot-merge error composition is the
+    "mergeable summaries" bound: eps/2 locally + eps/2 from merging
+    gaps = eps overall, since this pipeline has exactly one merge
+    level).  State per summary is <= 2/eps + 2 (value, rank) pairs
+    regardless of partition size, and the single shuffle carries
+    summaries, never raw values."""
+    out_schema = ", ".join(
+        [f"{g} string" for g in group_cols]
+        + ["gk_vals array<double>", "gk_ranks array<bigint>", "gk_n bigint"]
+    )
+
+    def summarize(batches):
+        import numpy as np
+
+        state: dict = {}  # key -> list of value arrays
+        for pdf in batches:
+            groups = (
+                pdf.groupby(group_cols, sort=False, dropna=False)
+                if group_cols
+                else [((), pdf)]
+            )
+            for key, grp in groups:
+                if not isinstance(key, tuple):
+                    key = (key,)
+                vals = grp["_v"].dropna().to_numpy(dtype=np.float64)
+                state.setdefault(key, []).append(vals)
+        rows = []
+        for key, chunks in state.items():
+            allv = np.sort(np.concatenate(chunks))
+            n = allv.size
+            if n == 0:
+                rows.append((*[str(k) for k in key], [], [], 0))
+                continue
+            step = max(1, int(np.ceil(eps / 2.0 * n)))
+            idx = np.arange(0, n, step)
+            if idx[-1] != n - 1:
+                idx = np.append(idx, n - 1)
+            rows.append(
+                (
+                    *[str(k) for k in key],
+                    allv[idx].tolist(),
+                    (idx + 1).tolist(),  # exact 1-based local ranks
+                    int(n),
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=[*group_cols, "gk_vals", "gk_ranks", "gk_n"]
+        )
+
+    return df.select(
+        *[F.col(g).cast("string").alias(g) for g in group_cols],
+        F.col(col).cast("double").alias("_v"),
+    ).mapInPandas(summarize, out_schema)
+
+
+def gk_merge_quantiles(
+    partials: DataFrame,
+    group_cols: list[str],
+    probs: list[float],
+) -> DataFrame:
+    """Level 2: per group, bound each sample's GLOBAL rank by combining
+    its exact local rank with [pred-sample rank, next-sample rank - 1]
+    windows against every other summary (np.searchsorted per summary),
+    then answer each quantile with the sample whose rank-interval
+    midpoint is closest to ceil(q*N).  Work is O(S^2 log S) in the
+    TOTAL SAMPLE count S (bounded by partitions * (2/eps + 2)), never
+    in N; the output also reports the summary size so state growth is
+    observable."""
+    out_schema = ", ".join(
+        [f"{g} string" for g in group_cols]
+        + ["quantiles array<double>", "n bigint", "n_samples int"]
+    )
+
+    def merge(key, pdf):
+        import numpy as np
+
+        summaries = []
+        for vals, ranks, n in zip(pdf["gk_vals"], pdf["gk_ranks"], pdf["gk_n"]):
+            v = np.asarray(vals, dtype=np.float64)
+            if v.size:
+                summaries.append(
+                    (v, np.asarray(ranks, dtype=np.int64), int(n))
+                )
+        total = sum(n for _, _, n in summaries)
+        if total == 0:
+            return pd.DataFrame(
+                [(*key, [float("nan")] * len(probs), 0, 0)],
+                columns=[*group_cols, "quantiles", "n", "n_samples"],
+            )
+        allv = np.concatenate([v for v, _, _ in summaries])
+        lb = np.zeros(allv.size, dtype=np.int64)
+        ub = np.zeros(allv.size, dtype=np.int64)
+        off = 0
+        for i, (v_i, r_i, _) in enumerate(summaries):
+            sl = slice(off, off + v_i.size)
+            lb[sl] += r_i
+            ub[sl] += r_i
+            off += v_i.size
+            for j, (v_j, r_j, n_j) in enumerate(summaries):
+                if i == j:
+                    continue
+                pos = np.searchsorted(v_j, v_i, side="left")
+                # elements of j strictly below v: at least rank of the
+                # largest sample < v, at most rank(first sample >= v)-1
+                lo = np.where(pos > 0, r_j[np.maximum(pos - 1, 0)], 0)
+                hi = np.where(pos < v_j.size, r_j[np.minimum(pos, v_j.size - 1)] - 1, n_j)
+                lb[sl] += lo
+                ub[sl] += hi
+        order = np.argsort(allv, kind="stable")
+        allv, lb, ub = allv[order], lb[order], ub[order]
+        mid = (lb + ub) / 2.0
+        qs = []
+        for p in probs:
+            r = int(np.ceil(p * total)) or 1
+            qs.append(float(allv[int(np.argmin(np.abs(mid - r)))]))
+        return pd.DataFrame(
+            [(*key, qs, int(total), int(allv.size))],
+            columns=[*group_cols, "quantiles", "n", "n_samples"],
+        )
+
+    return partials.groupBy(*group_cols).applyInPandas(merge, out_schema)
+
+
+def gk_quantiles(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    probs: list[float],
+    eps: float = 0.02,
+) -> DataFrame:
+    """``quantileGK(eps)(col)`` end to end: partial summaries, one
+    state-only shuffle, merge + read."""
+    return gk_merge_quantiles(
+        gk_partials(df, col, group_cols, eps), group_cols, probs
+    )

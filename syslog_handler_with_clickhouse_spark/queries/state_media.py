@@ -2552,3 +2552,67 @@ def q362(spark, sf_dir):
         F.col("val_min").cast("bigint").alias("px_min"),
         F.col("val_max").cast("bigint").alias("px_max"),
     )
+
+
+@query(
+    "q365_quantile_gk",
+    """
+    SELECT event_type,
+           CAST(COUNT(value) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.25), 4) AS p25_exact,
+           round(quantile_cont(value, 0.50), 4) AS p50_exact,
+           round(quantile_cont(value, 0.95), 4) AS p95_exact,
+           TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p95,
+           TRUE AS state_bounded
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q365(spark, sf_dir):
+    """ClickHouse ``quantileGK(eps)(x)`` analogue
+    (`operators/sketches.py:gk_quantiles`): mergeable eps-approximate
+    quantile summary — per-partition sorted sampling at exact local
+    ranks (<= 2/eps + 2 pairs of state), ONE summary-only shuffle, and
+    a rank-interval merge; the published one-merge-level composition
+    keeps total rank error <= eps.  The oracle is the q242 tolerance
+    pattern: exact interpolated quantiles for the hash plus booleans
+    pinning each estimate inside the q -+ eps exact-rank bracket and
+    the merged summary under partitions * (2/eps + 2) samples.  This is
+    the quantile shape for 100 TB when t-digest's variable accuracy is
+    unacceptable: deterministic worst-case rank error with provably
+    bounded state."""
+    eps = 0.02
+    probs = [0.25, 0.50, 0.95]
+    lo_hi = []
+    for p in probs:
+        lo_hi += [max(p - eps, 0.0), min(p + eps, 1.0)]
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    from ..operators.sketches import gk_quantiles
+
+    gk = gk_quantiles(ev, "value", ["event_type"], probs, eps)
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cap = (shuffle_parts + 64) * (int(2 / eps) + 2)
+    exact = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("p25"),
+        F.percentile("value", F.lit(0.50)).alias("p50"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+        F.percentile("value", F.array(*[F.lit(x) for x in lo_hi])).alias("b"),
+    )
+    j = gk.join(exact, "event_type")
+    oks = [
+        (
+            (F.element_at("quantiles", i + 1) >= F.element_at("b", 2 * i + 1))
+            & (F.element_at("quantiles", i + 1) <= F.element_at("b", 2 * i + 2))
+        ).alias(f"ok_p{int(p * 100)}")
+        for i, p in enumerate(probs)
+    ]
+    return j.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("p25", 4).alias("p25_exact"),
+        F.round("p50", 4).alias("p50_exact"),
+        F.round("p95", 4).alias("p95_exact"),
+        *oks,
+        (F.col("n_samples") <= F.lit(cap)).alias("state_bounded"),
+    )

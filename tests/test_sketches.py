@@ -546,3 +546,55 @@ def test_timing_quantiles_match_brute_force(spark):
             rank = math.ceil(q * n)
             assert gotv == buckets[rank - 1], (trial, q)
         assert got.n == n
+
+
+def test_gk_summary_rank_error_and_partition_invariance(spark):
+    """quantileGK analogue: estimates stay inside the eps exact-rank
+    bracket under BOTH 1-partition and 16-partition layouts (merge
+    cannot degrade past the composed bound), and merged state is
+    bounded by partitions * (2/eps + 2) samples."""
+    import numpy as np
+    import pandas as pd
+
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        gk_quantiles,
+    )
+
+    rng = np.random.default_rng(41)
+    vals = np.concatenate(
+        [rng.normal(0, 1, 6000), rng.exponential(4, 6000)]
+    )
+    pdf = pd.DataFrame({"g": ["a"] * 6000 + ["b"] * 6000, "v": vals})
+    probs, eps = [0.1, 0.5, 0.9], 0.05
+    for nparts in (1, 16):
+        df = spark.createDataFrame(pdf).repartition(nparts)
+        out = gk_quantiles(df, "v", ["g"], probs, eps).collect()
+        assert len(out) == 2
+        for r in out:
+            grp = np.sort(pdf[pdf.g == r["g"]].v.to_numpy())
+            n = grp.size
+            assert r["n"] == n
+            assert r["n_samples"] <= nparts * (int(2 / eps) + 2)
+            for p, est in zip(probs, r["quantiles"]):
+                rank = np.searchsorted(grp, est, side="right")
+                assert abs(rank - p * n) / n <= eps + 1e-9
+
+
+def test_gk_summary_empty_and_single_value(spark):
+    import pandas as pd
+
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        gk_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a", "a", "b"], "v": [None, None, 7.0]})
+    )
+    out = {r["g"]: r for r in
+           gk_quantiles(df, "v", ["g"], [0.5], 0.1).collect()}
+    assert out["b"]["quantiles"] == [7.0] and out["b"]["n"] == 1
+    import math
+
+    q_a = out["a"]["quantiles"][0]
+    # Arrow surfaces the NaN placeholder as None in array<double>
+    assert out["a"]["n"] == 0 and (q_a is None or math.isnan(q_a))
