@@ -38,6 +38,19 @@ toString(x)                 CAST(x AS STRING)
 multiIf(c1,v1,...,e)        CASE WHEN c1 THEN v1 ... ELSE e END
 anyLast(x) / any(x)         last(x) / first(x)
 FORMAT <fmt> suffix         stripped
+toYYYYMM[DD], toUnixTime-   date_format/unix_timestamp/dayofyear/
+  stamp, toDayOfYear/Week/    quarter/weekofyear casts (toDayOfWeek
+  Month, toQuarter,           re-based to CH Monday=1)
+  toISOWeek, monthName
+timeSlot(ts) /              epoch floored to 1800 s / to the
+  toStartOfInterval(ts,       interval (SECOND|MINUTE|HOUR only;
+  INTERVAL n unit)            month-grain raises)
+dateDiff('u', a, b)         unit-BOUNDARY crossings per unit
+                            (day/month/year/hour/minute/second)
+protocol/domain[WithoutWWW]/ regexp_extract chains, same regexes
+  topLevelDomain/path/        as functions/url.py
+  queryString/cutQueryString/
+  extractURLParameter
 ==========================  =====================================
 
 Deliberately NOT translated (semantics differ or need a planner):
@@ -248,6 +261,90 @@ def translate_ch_sql(sql: str) -> str:
         )
     s = _rewrite_calls(s, "toDateTime", lambda a: f"to_timestamp({a[0]})")
     s = _rewrite_calls(s, "toDate", lambda a: f"to_date({a[0]})")
+    s = _rewrite_calls(
+        s, "toYYYYMMDD",
+        lambda a: f"CAST(date_format({a[0]}, 'yyyyMMdd') AS INT)",
+    )
+    s = _rewrite_calls(
+        s, "toYYYYMM",
+        lambda a: f"CAST(date_format({a[0]}, 'yyyyMM') AS INT)",
+    )
+    s = _rewrite_calls(
+        s, "toUnixTimestamp", lambda a: f"unix_timestamp({a[0]})"
+    )
+    s = _rewrite_calls(s, "toDayOfYear", lambda a: f"dayofyear({a[0]})")
+    # CH toDayOfWeek: Monday=1..Sunday=7; Spark dayofweek: Sunday=1
+    s = _rewrite_calls(
+        s, "toDayOfWeek",
+        lambda a: f"(((dayofweek({a[0]}) + 5) % 7) + 1)",
+    )
+    s = _rewrite_calls(s, "toDayOfMonth", lambda a: f"day({a[0]})")
+    s = _rewrite_calls(s, "toQuarter", lambda a: f"quarter({a[0]})")
+    s = _rewrite_calls(s, "toHour", lambda a: f"hour({a[0]})")
+    s = _rewrite_calls(s, "toMinute", lambda a: f"minute({a[0]})")
+    s = _rewrite_calls(s, "toSecond", lambda a: f"second({a[0]})")
+    s = _rewrite_calls(s, "toYear", lambda a: f"year({a[0]})")
+    s = _rewrite_calls(s, "toMonth", lambda a: f"month({a[0]})")
+    # Spark weekofyear IS the ISO week
+    s = _rewrite_calls(s, "toISOWeek", lambda a: f"weekofyear({a[0]})")
+    s = _rewrite_calls(
+        s, "monthName", lambda a: f"date_format({a[0]}, 'MMMM')"
+    )
+    # timeSlot: floor to the half hour
+    s = _rewrite_calls(
+        s, "timeSlot",
+        lambda a: (
+            f"timestamp_seconds(CAST(floor(unix_timestamp({a[0]}) / 1800)"
+            f" AS BIGINT) * 1800)"
+        ),
+    )
+    s = _rewrite_calls(s, "makeDate", lambda a: f"make_date({', '.join(a)})")
+
+    def _start_of_interval(a):
+        if len(a) != 2:
+            raise ChTranslationError("toStartOfInterval needs 2 args")
+        m = re.match(
+            r"(?i)^\s*INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR)S?\s*$", a[1]
+        )
+        if not m:
+            raise ChTranslationError(
+                "toStartOfInterval: only INTERVAL n SECOND|MINUTE|HOUR"
+            )
+        step = int(m.group(1)) * {
+            "second": 1, "minute": 60, "hour": 3600
+        }[m.group(2).lower()]
+        return (
+            f"timestamp_seconds(CAST(floor(unix_timestamp({a[0]}) / {step})"
+            f" AS BIGINT) * {step})"
+        )
+
+    s = _rewrite_calls(s, "toStartOfInterval", _start_of_interval)
+
+    def _date_diff(a):
+        # CH dateDiff('unit', a, b) counts UNIT-BOUNDARY crossings
+        if len(a) != 3:
+            raise ChTranslationError("dateDiff needs 3 args")
+        unit = a[0].strip().strip("'\"").lower()
+        x, y = a[1], a[2]
+        if unit == "day":
+            # backquoted so the emission can't re-match this rule's own
+            # case-insensitive dateDiff( pattern on the next scan
+            return f"`datediff`(to_date({y}), to_date({x}))"
+        if unit == "month":
+            return (
+                f"((year({y}) - year({x})) * 12 + month({y}) - month({x}))"
+            )
+        if unit == "year":
+            return f"(year({y}) - year({x}))"
+        if unit in ("second", "minute", "hour"):
+            step = {"second": 1, "minute": 60, "hour": 3600}[unit]
+            return (
+                f"(CAST(floor(unix_timestamp({y}) / {step}) AS BIGINT) - "
+                f"CAST(floor(unix_timestamp({x}) / {step}) AS BIGINT))"
+            )
+        raise ChTranslationError(f"dateDiff unit {unit!r} not translated")
+
+    s = _rewrite_calls(s, "dateDiff", _date_diff)
 
     # casts
     for ch_fn, t in _CASTS.items():

@@ -2616,3 +2616,157 @@ def q365(spark, sf_dir):
         *oks,
         (F.col("n_samples") <= F.lit(cap)).alias("state_bounded"),
     )
+
+
+@query(
+    "q366_any_heavy",
+    """
+    WITH keyed AS (
+      SELECT event_type,
+             CASE WHEN user_id % 10 < 6
+                  THEN 'heavy_' || event_type
+                  ELSE 'minor_' || CAST(user_id % 10 AS VARCHAR) END
+               AS k
+      FROM events WHERE user_id IS NOT NULL
+    ), c AS (
+      SELECT event_type, k, COUNT(*) AS cnt
+      FROM keyed GROUP BY 1, 2
+    )
+    SELECT event_type,
+           arg_max(k, cnt) AS any_heavy,
+           TRUE AS capture_ok
+    FROM c GROUP BY event_type
+    """,
+)
+def q366(spark, sf_dir):
+    """ClickHouse ``anyHeavy`` — a frequently-occurring value per group
+    via the heavy-hitters algorithm (CH cites Boyer-Moore; the
+    mergeable generalization IS Misra-Gries, `operators/sketches.py:
+    mg_summarize` with k counters = MG(k=1) ~ Boyer-Moore).  The
+    fixture gives each group a ~60 % majority key, so the MG capture
+    guarantee (any key with exact > n/(k+1) survives, est >= exact -
+    err) makes the argmax-est answer DETERMINISTIC — est(majority) >=
+    0.6 n - n/65 dominates every <= 0.4 n rival — which is what lets a
+    sketch answer hash-match an exact arg_max oracle.  capture_ok
+    re-checks the dominance condition in-plan (est_major - err >
+    est_runner_up) so the determinism argument is asserted, not
+    assumed.  Scale shape: per-partition O(k) state, summary-only
+    shuffle — anyHeavy never groups the raw key space."""
+    from ..operators.sketches import mg_summarize
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    keyed = ev.select(
+        F.concat(
+            F.when(F.col("user_id") % 10 < 6, F.lit("heavy_")).otherwise(
+                F.lit("minor_")
+            ),
+            F.when(
+                F.col("user_id") % 10 < 6, F.col("event_type")
+            ).otherwise((F.col("user_id") % 10).cast("string")),
+        ).alias("gk"),
+        "event_type",
+    )
+    # one MG pass per event_type group: tag the sketch key with the
+    # group so a single summarize covers all groups (the per-group
+    # majority keys are disjoint, so counters don't collide)
+    tagged = keyed.select(
+        F.concat_ws("\x01", "event_type", "gk").alias("tag")
+    )
+    mg = mg_summarize(tagged, "tag", k=64)
+    split = mg.select(
+        F.split("value", "\x01").getItem(0).alias("event_type"),
+        F.split("value", "\x01").getItem(1).alias("k"),
+        "est",
+        "err_total",
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("est"), F.asc("k")
+    )
+    ranked = split.select(
+        "event_type", "k", "est", "err_total",
+        F.row_number().over(w).alias("rn"),
+        F.lead("est").over(w).alias("runner_est"),
+    )
+    # NOTE: the sketch cache stays resident until the session ends (or
+    # a caller invokes unpersist_mg) — releasing it BEFORE execution
+    # would make the est and err branches recompute the summarize pass
+    # independently, the exact split the persist exists to prevent.
+    return ranked.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("k").alias("any_heavy"),
+        (
+            F.col("est") - F.col("err_total")
+            > F.coalesce(F.col("runner_est"), F.lit(0))
+        ).alias("capture_ok"),
+    )
+
+
+@query(
+    "q367_ch_temporal_functions",
+    """
+    SELECT event_id,
+           CAST(strftime(ts, '%Y%m') AS INT) AS ym,
+           CAST(strftime(ts, '%Y%m%d') AS INT) AS ymd,
+           CAST(floor(epoch(ts)) AS BIGINT) AS unix_ts,
+           CAST(dayofyear(ts) AS INT) AS doy,
+           CAST(isodow(ts) AS INT) AS dow,
+           CAST(quarter(ts) AS INT) AS q,
+           CAST(weekofyear(ts) AS INT) AS iso_w,
+           monthname(ts) AS mname,
+           strftime(to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT)
+                    * 900), '%Y-%m-%d %H:%M:%S') AS slot15,
+           strftime(to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT)
+                    * 1800), '%Y-%m-%d %H:%M:%S') AS slot30,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                AS INT) AS days_since
+    FROM events WHERE event_id % 97 = 0 AND ts IS NOT NULL
+    """,
+)
+def q367(spark, sf_dir):
+    """ClickHouse TEMPORAL-function family through the dialect shim:
+    toYYYYMM / toYYYYMMDD / toUnixTimestamp / toDayOfYear /
+    toDayOfWeek (CH Monday=1 vs Spark Sunday=1 — the rule re-bases) /
+    toQuarter / toISOWeek / monthName / toStartOfInterval(INTERVAL 15
+    MINUTE) / timeSlot / dateDiff (CH counts UNIT-BOUNDARY crossings,
+    not complete intervals — translated per-unit, guarded otherwise).
+    The query text is CH SQL run via `translate_ch_sql`; DuckDB
+    re-derives every value with ITS native temporal functions (strftime
+    / epoch / isodow / date_diff), so the two engines cross-check the
+    semantics rather than sharing a formula.  Timestamps exported as
+    strings per the parity rules; everything stays one codegen
+    projection."""
+    from ..functions.ch_dialect import translate_ch_sql
+
+    _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).createOrReplaceTempView("events_t")
+    ch = (
+        "SELECT event_id, "
+        "toYYYYMM(ts) AS ym, "
+        "toYYYYMMDD(ts) AS ymd, "
+        "toUnixTimestamp(ts) AS unix_ts, "
+        "toDayOfYear(ts) AS doy, "
+        "toDayOfWeek(ts) AS dow, "
+        "toQuarter(ts) AS q, "
+        "toISOWeek(ts) AS iso_w, "
+        "monthName(ts) AS mname, "
+        "toString(toStartOfInterval(ts, INTERVAL 15 MINUTE)) AS slot15, "
+        "toString(timeSlot(ts)) AS slot30, "
+        "dateDiff('day', toDate('2024-01-01'), ts) AS days_since "
+        "FROM events_t PREWHERE event_id % 97 = 0 FORMAT TSV"
+    )
+    df = spark.sql(translate_ch_sql(ch))
+    return df.select(
+        "event_id",
+        F.col("ym").cast("int").alias("ym"),
+        F.col("ymd").cast("int").alias("ymd"),
+        F.col("unix_ts").cast("bigint").alias("unix_ts"),
+        F.col("doy").cast("int").alias("doy"),
+        F.col("dow").cast("int").alias("dow"),
+        F.col("q").cast("int").alias("q"),
+        F.col("iso_w").cast("int").alias("iso_w"),
+        "mname",
+        "slot15",
+        "slot30",
+        F.col("days_since").cast("int").alias("days_since"),
+    )

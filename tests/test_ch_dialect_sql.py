@@ -405,3 +405,46 @@ def test_url_function_rules_execute(spark):
 
     with pytest.raises(ChTranslationError):
         translate_ch_sql("SELECT extractURLParameter(u, name) FROM t")
+
+
+def test_temporal_rules(spark):
+    """Temporal family: toYYYYMM/toYYYYMMDD/toUnixTimestamp/toDayOf*/
+    toQuarter/toISOWeek/monthName/timeSlot/toStartOfInterval/dateDiff
+    translate and execute with CH semantics (Monday=1 weekday, unit-
+    boundary-crossing dateDiff, half-hour timeSlot)."""
+    ch = (
+        "SELECT toYYYYMM(ts) AS ym, toYYYYMMDD(ts) AS ymd, "
+        "toUnixTimestamp(ts) AS ut, toDayOfWeek(ts) AS dow, "
+        "toDayOfYear(ts) AS doy, toQuarter(ts) AS q, "
+        "toISOWeek(ts) AS iw, monthName(ts) AS mn, "
+        "toString(timeSlot(ts)) AS slot, "
+        "toString(toStartOfInterval(ts, INTERVAL 10 MINUTE)) AS s10, "
+        "dateDiff('day', toDate('2024-01-01'), ts) AS dd, "
+        "dateDiff('month', toDate('2023-11-15'), ts) AS dm, "
+        "dateDiff('hour', toDateTime('2024-03-08 23:10:00'), ts) AS dh "
+        "FROM tt"
+    )
+    sql = translate_ch_sql(ch)
+    # the dateDiff emission must not re-match its own rule (regression:
+    # datediff( matched dateDiff( case-insensitively and looped)
+    assert "`datediff`" in sql
+    spark.createDataFrame(
+        [("2024-03-09 01:44:30.5",)], "s string"
+    ).selectExpr("cast(s as timestamp) AS ts").createOrReplaceTempView("tt")
+    r = spark.sql(sql).collect()[0]
+    assert (r["ym"], r["ymd"]) == (202403, 20240309)
+    assert r["dow"] == 6  # Saturday, CH Monday=1 base
+    assert (r["q"], r["doy"]) == (1, 69)
+    assert r["mn"] == "March"
+    assert r["slot"] == "2024-03-09 01:30:00"
+    assert r["s10"] == "2024-03-09 01:40:00"
+    assert r["dd"] == 68
+    assert r["dm"] == 4  # Nov->Mar month boundaries crossed
+    assert r["dh"] == 2  # 23:10 -> 01:44 crosses 00:00 and 01:00
+    assert r["ut"] == 1709948670
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT dateDiff('week', a, b) FROM t")
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql(
+            "SELECT toStartOfInterval(ts, INTERVAL 1 MONTH) FROM t"
+        )
