@@ -412,6 +412,53 @@ def translate_ch_sql(sql: str) -> str:
             f" ORDER BY {order}{tail}"
         )
 
+    # array manipulation — Spark slice() shares CH's 1-based
+    # positive/negative offset convention, so these are direct
+    def _array_slice(a):
+        if len(a) == 3:
+            return f"slice({a[0]}, {a[1]}, {a[2]})"
+        if len(a) == 2:
+            return f"slice({a[0]}, {a[1]}, size({a[0]}))"
+        raise ChTranslationError("arraySlice needs 2 or 3 args")
+
+    s = _rewrite_calls(s, "arraySlice", _array_slice)
+
+    def _array_resize(a):
+        if len(a) != 3:
+            raise ChTranslationError(
+                "arrayResize: only the 3-arg (explicit extender) form "
+                "translates — CH's 2-arg default is element-type-"
+                "dependent"
+            )
+        arr, size, pad = a
+        return (
+            f"(CASE WHEN size({arr}) >= {size} THEN slice({arr}, 1, {size}) "
+            f"ELSE concat({arr}, array_repeat({pad}, "
+            f"CAST({size} AS INT) - size({arr}))) END)"
+        )
+
+    s = _rewrite_calls(s, "arrayResize", _array_resize)
+
+    def _array_rot(left):
+        def rule(a):
+            arr, k = a[0], a[1]
+            n = f"size({arr})"
+            r = (
+                f"((({k}) % {n} + {n}) % {n})"
+                if left
+                else f"(({n} - (({k}) % {n} + {n}) % {n}) % {n})"
+            )
+            return (
+                f"(CASE WHEN {n} <= 0 THEN {arr} ELSE "
+                f"concat(slice({arr}, {r} + 1, {n} - {r}), "
+                f"slice({arr}, 1, {r})) END)"
+            )
+
+        return rule
+
+    s = _rewrite_calls(s, "arrayRotateLeft", _array_rot(True))
+    s = _rewrite_calls(s, "arrayRotateRight", _array_rot(False))
+
     # URL functions (docs/en/sql-reference/functions/url-functions) —
     # same regex semantics as functions/url.py, emitted as Spark SQL.
     _AUTH_RE = (

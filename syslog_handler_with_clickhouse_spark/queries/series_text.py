@@ -3898,3 +3898,90 @@ def q364(spark, sf_dir):
         U.extract_url_parameter(u, "q").alias("param_q"),
         U.extract_url_parameter(u, "missing").alias("param_missing"),
     )
+
+
+@query(
+    "q368_array_manipulation",
+    """
+    WITH a AS (
+      SELECT doc_id,
+             generate_series(doc_id % 5,
+                             doc_id % 5 + doc_id % 7 + 2) AS l,
+             CAST(doc_id % 4 AS INT) AS rot
+      FROM documents WHERE doc_id % 11 = 3
+    )
+    SELECT doc_id,
+           array_to_string(l, ',') AS l,
+           array_to_string(l[2:4], ',') AS sl,
+           array_to_string(l[-2:], ',') AS sl_neg,
+           array_to_string(CASE WHEN len(l) >= 4 THEN l[1:4]
+                ELSE list_concat(l, list_transform(
+                       generate_series(1, 4 - len(l)), x -> 0)) END,
+             ',') AS res4,
+           array_to_string(list_concat(l, list_transform(
+               generate_series(1, 9 - len(l)), x -> -1)), ',') AS res9,
+           array_to_string(CASE WHEN rot = 0 THEN l
+                ELSE list_concat(l[(rot + 1):], l[1:rot]) END, ',')
+             AS rotl,
+           CAST(GREATEST(len(l) - 2, 0) AS INT) AS n_shingles,
+           array_to_string(flatten(list_transform(
+               generate_series(1, len(l) - 2),
+               i -> l[i:i+2])), ',') AS shingles_flat
+    FROM a
+    """,
+)
+def q368(spark, sf_dir):
+    """ClickHouse array-manipulation tail — ``arraySlice`` (positive
+    AND negative 1-based offsets), ``arrayResize`` (truncate / pad
+    with an extender), ``arrayRotateLeft``, ``arrayShingles`` — every
+    one a composition of native slice/concat/array_repeat/transform
+    (no UDF, codegen end to end).  Fixture arrays are built in-plan
+    with sequence() at 7 lengths x 4 rotations; DuckDB re-derives with
+    ITS bracket-slicing and list_* functions, which have genuinely
+    different index conventions (inclusive ends, negative wraps) — an
+    off-by-one in either mapping shows up on some (length, rotation)
+    cell.  Outputs are comma-joined per the repo's parity convention
+    (the driver's value hasher compares scalars); shingles are
+    flattened with their count so every element and boundary is still
+    pinned."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 3)
+        .select("doc_id")
+    )
+    d = F.col("doc_id")
+    a = docs.select(
+        "doc_id",
+        F.sequence(d % 5, d % 5 + d % 7 + 2).alias("arr"),
+        (d % 4).cast("int").alias("rot"),
+    )
+    # NB: the input array is named `arr`, not `l` — the string output
+    # column below is aliased `l`, and inside a transform() lambda a
+    # same-name reference would resolve to that lateral alias.
+    l, rot = F.col("arr"), F.col("rot")
+    n = F.size(l)
+    res = lambda size, pad: F.when(
+        n >= size, F.slice(l, 1, size)
+    ).otherwise(F.concat(l, F.array_repeat(F.lit(pad).cast("bigint"), size - n)))
+    cw = lambda c: F.concat_ws(",", c.cast("array<string>"))
+    return a.select(
+        "doc_id",
+        cw(l).alias("l"),
+        cw(F.slice(l, 2, 3)).alias("sl"),
+        cw(F.slice(l, -2, 2)).alias("sl_neg"),
+        cw(res(4, 0)).alias("res4"),
+        cw(res(9, -1)).alias("res9"),
+        cw(
+            F.when(rot == 0, l).otherwise(
+                F.concat(F.slice(l, rot + 1, n - rot), F.slice(l, 1, rot))
+            )
+        ).alias("rotl"),
+        F.greatest(n - 2, F.lit(0)).cast("int").alias("n_shingles"),
+        cw(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 2), lambda i: F.slice(l, i, 3)
+                )
+            )
+        ).alias("shingles_flat"),
+    )

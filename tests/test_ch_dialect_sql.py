@@ -448,3 +448,28 @@ def test_temporal_rules(spark):
         translate_ch_sql(
             "SELECT toStartOfInterval(ts, INTERVAL 1 MONTH) FROM t"
         )
+
+
+def test_array_manipulation_rules(spark):
+    """arraySlice / arrayResize / arrayRotateLeft|Right translate and
+    execute with CH 1-based offsets, including negative offsets,
+    over-rotation (k > len), and the empty-array guard."""
+    ch = (
+        "SELECT arraySlice(a, 2, 3) AS s1, arraySlice(a, -2) AS s2, "
+        "arrayResize(a, 4, 0) AS r4, arrayResize(a, 2, 0) AS r2, "
+        "arrayRotateLeft(a, 7) AS rl, arrayRotateRight(a, 1) AS rr "
+        "FROM ta"
+    )
+    sql = translate_ch_sql(ch)
+    assert "arraySlice" not in sql and "arrayRotate" not in sql
+    spark.createDataFrame(
+        [([1, 2, 3, 4, 5],), ([],)], "a array<int>"
+    ).createOrReplaceTempView("ta")
+    full, empty = spark.sql(sql).collect()
+    assert full["s1"] == [2, 3, 4] and full["s2"] == [4, 5]
+    assert full["r4"] == [1, 2, 3, 4] and full["r2"] == [1, 2]
+    assert full["rl"] == [3, 4, 5, 1, 2]  # 7 % 5 == 2
+    assert full["rr"] == [5, 1, 2, 3, 4]
+    assert empty["rl"] == [] and empty["rr"] == []
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT arrayResize(a, 4) FROM t")
