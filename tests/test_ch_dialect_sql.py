@@ -473,3 +473,148 @@ def test_array_manipulation_rules(spark):
     assert empty["rl"] == [] and empty["rr"] == []
     with pytest.raises(ChTranslationError):
         translate_ch_sql("SELECT arrayResize(a, 4) FROM t")
+
+
+def test_ch_dialect_scalar_fuzz_differential(spark, duck):
+    """Row-level composition fuzz over the round-8 rule families
+    (temporal / URL / array manipulation): random CH projections run
+    on Spark through the translator against hand-paired DuckDB
+    equivalents.  Catches emission bugs the unit tests miss — the
+    dateDiff self-rematch loop was exactly this class."""
+    import os
+    import random
+
+    from syslog_handler_with_clickhouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("events")
+
+    # each entry: (ch_expr, duck_expr); identical outputs by design.
+    URL = (
+        "('http' || CAST(event_id % 2 AS VARCHAR) || '://' "
+        "|| CASE WHEN event_id % 3 = 0 THEN 'www.' ELSE '' END "
+        "|| 'h' || CAST(user_id % 20 AS VARCHAR) || '.org' "
+        "|| CASE WHEN event_id % 5 = 0 THEN ':81' ELSE '' END "
+        "|| '/p/' || CAST(event_id % 7 AS VARCHAR) "
+        "|| CASE WHEN user_id % 2 = 0 THEN '?a=' "
+        "|| CAST(event_id % 9 AS VARCHAR) || '&b=2' ELSE '' END)"
+    )
+    URL_CH = (
+        "concat('http', toString(event_id % 2), '://', "
+        "multiIf(event_id % 3 = 0, 'www.', ''), "
+        "'h', toString(user_id % 20), '.org', "
+        "multiIf(event_id % 5 = 0, ':81', ''), "
+        "'/p/', toString(event_id % 7), "
+        "multiIf(user_id % 2 = 0, "
+        "concat('?a=', toString(event_id % 9), '&b=2'), ''))"
+    )
+    AUTH_DK = "'^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//(?:[^/?#@]*@)?([^/?#]*)'"
+    HOST_DK = (
+        f"regexp_extract(regexp_extract({URL}, {AUTH_DK}, 1), "
+        f"'^([^:]*)', 1)"
+    )
+    SEQ_CH = "sequence(1, CAST(event_id % 5 + 3 AS INT))"
+    SEQ_DK = "generate_series(1, CAST(event_id % 5 + 3 AS INT))"
+    POOL = [
+        ("toYYYYMM(ts)", "CAST(strftime(ts, '%Y%m') AS INT)"),
+        ("toYYYYMMDD(ts)", "CAST(strftime(ts, '%Y%m%d') AS INT)"),
+        ("toDayOfWeek(ts)", "CAST(isodow(ts) AS INT)"),
+        ("toDayOfYear(ts)", "CAST(dayofyear(ts) AS INT)"),
+        ("toQuarter(ts)", "CAST(quarter(ts) AS INT)"),
+        ("toISOWeek(ts)", "CAST(weekofyear(ts) AS INT)"),
+        ("monthName(ts)", "monthname(ts)"),
+        (
+            "toUnixTimestamp(ts)",
+            "CAST(floor(epoch(ts)) AS BIGINT)",
+        ),
+        (
+            "toString(timeSlot(ts))",
+            "strftime(to_timestamp(CAST(floor(epoch(ts) / 1800) AS "
+            "BIGINT) * 1800), '%Y-%m-%d %H:%M:%S')",
+        ),
+        (
+            "dateDiff('day', toDate('2024-01-01'), ts)",
+            "CAST(date_diff('day', DATE '2024-01-01', "
+            "CAST(ts AS DATE)) AS BIGINT)",
+        ),
+        (
+            "dateDiff('hour', toDateTime('2024-01-01 00:00:00'), ts)",
+            "CAST(floor(epoch(ts) / 3600) AS BIGINT) - "
+            "CAST(floor(epoch(TIMESTAMP '2024-01-01 00:00:00') / 3600) "
+            "AS BIGINT)",
+        ),
+        (f"domain({URL_CH})", HOST_DK),
+        (
+            f"topLevelDomain({URL_CH})",
+            f"CASE WHEN {HOST_DK} = '' THEN '' ELSE "
+            f"list_extract(string_split({HOST_DK}, '.'), -1) END",
+        ),
+        (f"path({URL_CH})",
+         f"regexp_extract(regexp_replace({URL}, "
+         f"'^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//(?:[^/?#@]*@)?[^/?#]*', "
+         f"''), '^([^?#]*)', 1)"),
+        (f"queryString({URL_CH})",
+         f"regexp_extract({URL}, '\\?([^#]*)', 1)"),
+        (f"extractURLParameter({URL_CH}, 'a')",
+         f"regexp_extract({URL}, '[?&]a=([^&#]*)', 1)"),
+        (
+            f"arrayStringConcat(arraySlice({SEQ_CH}, 2, 3), ',')",
+            f"array_to_string({SEQ_DK}[2:4], ',')",
+        ),
+        (
+            f"arrayStringConcat(arrayRotateLeft({SEQ_CH}, "
+            f"CAST(event_id % 4 AS INT)), ',')",
+            f"array_to_string(list_concat("
+            f"{SEQ_DK}[(CAST(event_id % 4 AS INT) % len({SEQ_DK}) + 1):], "
+            f"{SEQ_DK}[1:(CAST(event_id % 4 AS INT) % len({SEQ_DK}))]), "
+            f"',')",
+        ),
+        (
+            f"arrayStringConcat(arrayResize({SEQ_CH}, 6, 0), ',')",
+            f"array_to_string(CASE WHEN len({SEQ_DK}) >= 6 "
+            f"THEN {SEQ_DK}[1:6] ELSE list_concat({SEQ_DK}, "
+            f"list_transform(generate_series(1, 6 - len({SEQ_DK})), "
+            f"x -> 0)) END, ',')",
+        ),
+    ]
+    PREDS = [
+        ("event_id % 13 = 1", "event_id % 13 = 1"),
+        ("user_id % 11 = 4 AND ts IS NOT NULL",
+         "user_id % 11 = 4 AND ts IS NOT NULL"),
+        ("event_id % 17 = 0", "event_id % 17 = 0"),
+    ]
+
+    seed_env = os.environ.get("SPARK_GRAFT_FUZZ_SEED")
+    seed = int(seed_env) if seed_env else int.from_bytes(os.urandom(6), "big")
+    rng = random.Random(seed)
+    for i in range(40):
+        picks = rng.sample(range(len(POOL)), rng.randint(2, 4))
+        chp, wp = rng.choice(["WHERE", "PREWHERE"]), rng.choice(PREDS)
+        ch_cols = ", ".join(
+            f"{POOL[p][0]} AS c{j}" for j, p in enumerate(picks)
+        )
+        dk_cols = ", ".join(
+            f"{POOL[p][1]} AS c{j}" for j, p in enumerate(picks)
+        )
+        ch = (
+            f"SELECT event_id, {ch_cols} FROM events {chp} "
+            f"{wp[0]} AND ts IS NOT NULL"
+            + rng.choice(["", " FORMAT TSV", " SETTINGS max_threads=4"])
+        )
+        dk = (
+            f"SELECT event_id, {dk_cols} FROM events WHERE "
+            f"{wp[1]} AND ts IS NOT NULL ORDER BY event_id"
+        )
+        sdf = spark.sql(translate_ch_sql(ch)).toPandas()
+        odf = duck.execute(dk).df()
+        sdf = sdf.sort_values("event_id").reset_index(drop=True)
+        odf = odf.sort_values("event_id").reset_index(drop=True)
+        s_rows = [tuple(str(v) for v in t) for t in
+                  sdf[sorted(sdf.columns)].itertuples(index=False)]
+        o_rows = [tuple(str(v) for v in t) for t in
+                  odf[sorted(odf.columns)].itertuples(index=False)]
+        assert s_rows == o_rows, (
+            f"divergence (seed={seed}, stmt #{i}):\nCH: {ch}\nDK: {dk}\n"
+            f"{s_rows[:2]} vs {o_rows[:2]}"
+        )
