@@ -773,3 +773,68 @@ def test_pagerank_iteration_exchanges_on_join_keys(spark):
     for e in exchanges:
         keys = {k.split("#")[0].strip() for k in e.split(",")[:-1]}
         assert keys in ({"src"}, {"dst"}, {"node"}), (keys, exchanges)
+
+
+def test_running_delta_single_shuffle_shared_sort(spark):
+    """q363 (running*/deltaSum): exactly ONE exchange (hash by
+    user_id) feeds every window pass — the lag/cumsum/full-partition
+    sum all reuse the same (user_id) partitioning, and no Python node
+    appears anywhere."""
+    import re
+
+    df = QUERIES["q363_running_delta"](spark, SF_DIR)
+    assert python_eval_nodes(df) == []
+    plan = formatted_plan(df)
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, plan
+    keysets = [
+        {k.split("#")[0].strip() for k in e.split(",")[:-1]}
+        for e in exchanges
+    ]
+    assert all(ks == {"user_id"} for ks in keysets), keysets
+    assert len(set(map(frozenset, keysets))) == 1
+
+
+def test_url_family_is_single_codegen_stage(spark):
+    """q364 (URL functions): scan -> project, zero exchanges, no
+    Python — the entire family must live inside whole-stage codegen."""
+    df = QUERIES["q364_url_functions"](spark, SF_DIR)
+    assert python_eval_nodes(df) == []
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "codegen id : 1" in plan, plan  # one whole-stage span
+    assert "codegen id : 2" not in plan, plan
+
+
+def test_gk_exchange_carries_summary_state_only(spark):
+    """q365 (quantileGK): the sketch side's exchange moves the partial
+    summaries (gk_vals/gk_ranks arrays), never the raw value column —
+    the bounded-shuffle contract the 100 TB posture rests on."""
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        gk_partials,
+    )
+    from syslog_handler_with_clickhouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    from syslog_handler_with_clickhouse_spark.operators.sketches import (
+        gk_merge_quantiles,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("value").isNotNull()
+    )
+    partials = gk_partials(ev, "value", ["event_type"], 0.02)
+    merged = gk_merge_quantiles(partials, ["event_type"], [0.5])
+    plan = formatted_plan(merged)
+    assert "MapInPandas" in plan, plan
+    import re
+
+    m = re.search(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert m, plan
+    exch_cols = m.group(1)
+    assert "gk_vals" in exch_cols and "gk_ranks" in exch_cols, exch_cols
+    # the raw value column must NOT cross the shuffle
+    assert "_v#" not in exch_cols and "value#" not in exch_cols, exch_cols
