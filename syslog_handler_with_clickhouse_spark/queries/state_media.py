@@ -1963,7 +1963,7 @@ def q353(spark, sf_dir):
                            ELSE 'raw' END AS codec,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CAST(CASE WHEN trim(text) = '' THEN 0
-                ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+                ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
                 END AS BIGINT) AS n_tokens,
            TRUE AS crc_ok
     FROM documents WHERE doc_id % 7 = 3
