@@ -51,6 +51,13 @@ protocol/domain[WithoutWWW]/ regexp_extract chains, same regexes
   topLevelDomain/path/        as functions/url.py
   queryString/cutQueryString/
   extractURLParameter
+GLOBAL IN / GLOBAL JOIN     hint stripped (Catalyst plans the
+                            distribution itself)
+ALL <type> JOIN             default strictness, stripped
+ANY [LEFT|INNER] JOIN t     right side deduped to one row per key
+  USING (k)                   via row_number (ON-form and ASOF raise)
+arraySlice/arrayResize/     slice/concat/array_repeat compositions
+  arrayRotateLeft|Right
 ==========================  =====================================
 
 Deliberately NOT translated (semantics differ or need a planner):
@@ -411,6 +418,59 @@ def translate_ch_sql(sql: str) -> str:
             f"({inner}) _q) WHERE _rn_by <= {n}"
             f" ORDER BY {order}{tail}"
         )
+
+    # JOIN modifiers.  GLOBAL is a CH distributed-execution hint with
+    # no Spark meaning (Catalyst decides broadcast vs shuffle) — strip
+    # before IN / NOT IN / join strictness+type.  ALL is CH's default
+    # strictness — strip.  ANY <type> JOIN keeps ONE right-side row
+    # per key; translated for the USING form by deduplicating the
+    # right side with a row_number window (CH does not promise WHICH
+    # row, so the deterministic min-by-key pick is a valid refinement).
+    s = re.sub(
+        r"\bGLOBAL\s+(?=(?:NOT\s+)?IN\b|ANY\b|ALL\b|ASOF\b|INNER\b|"
+        r"LEFT\b|RIGHT\b|FULL\b|JOIN\b)",
+        "",
+        s,
+        flags=re.IGNORECASE,
+    )
+    s = re.sub(
+        r"\bALL\s+(?=(?:INNER|LEFT|RIGHT|FULL)\s+JOIN\b|JOIN\b)",
+        "",
+        s,
+        flags=re.IGNORECASE,
+    )
+    if re.search(r"\bASOF\s+(?:\w+\s+)?JOIN\b", s, flags=re.IGNORECASE):
+        raise ChTranslationError(
+            "ASOF JOIN needs the asof_join operator (operators/joins.py)"
+            " — no textual Spark SQL equivalent"
+        )
+
+    def _any_join(m):
+        jtype = (m.group(1) or "INNER").strip().upper()
+        tbl, alias = m.group(2), m.group(3) or m.group(2)
+        cols = [c.strip() for c in m.group(4).split(",")]
+        keys = ", ".join(cols)
+        return (
+            f" {jtype} JOIN (SELECT * EXCEPT (_rn_any) FROM "
+            f"(SELECT *, row_number() OVER (PARTITION BY {keys} "
+            f"ORDER BY {keys}) AS _rn_any FROM {tbl}) WHERE _rn_any = 1) "
+            f"{alias} USING ({keys})"
+        )
+
+    s2 = re.sub(
+        r"\s+ANY\s+(LEFT\s+|INNER\s+)?JOIN\s+(\w+)"
+        r"(?:\s+AS\s+(\w+))?\s+USING\s*\(([^)]*)\)",
+        _any_join,
+        s,
+        flags=re.IGNORECASE,
+    )
+    if s2 == s and re.search(r"\bANY\s+(?:\w+\s+)?JOIN\b", s,
+                             flags=re.IGNORECASE):
+        raise ChTranslationError(
+            "ANY JOIN translates only in the `ANY [LEFT|INNER] JOIN "
+            "<table> [AS a] USING (keys)` form"
+        )
+    s = s2
 
     # array manipulation — Spark slice() shares CH's 1-based
     # positive/negative offset convention, so these are direct

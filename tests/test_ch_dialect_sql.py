@@ -618,3 +618,39 @@ def test_ch_dialect_scalar_fuzz_differential(spark, duck):
             f"divergence (seed={seed}, stmt #{i}):\nCH: {ch}\nDK: {dk}\n"
             f"{s_rows[:2]} vs {o_rows[:2]}"
         )
+
+
+def test_join_modifier_rules(spark):
+    """GLOBAL hints strip, ALL strictness strips, ANY [LEFT|INNER]
+    JOIN ... USING dedupes the right side to one row per key; ASOF
+    JOIN and non-USING ANY JOIN raise with pointers."""
+    assert translate_ch_sql(
+        "SELECT x FROM t WHERE x GLOBAL IN (SELECT y FROM u)"
+    ) == "SELECT x FROM t WHERE x IN (SELECT y FROM u)"
+    assert translate_ch_sql(
+        "SELECT * FROM a ALL LEFT JOIN b USING (k)"
+    ) == "SELECT * FROM a LEFT JOIN b USING (k)"
+    spark.createDataFrame(
+        [(1, "l1"), (2, "l2"), (3, "l3")], "k int, lv string"
+    ).createOrReplaceTempView("lhs")
+    spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k int, rv string"
+    ).createOrReplaceTempView("rhs")
+    sql = translate_ch_sql(
+        "SELECT k, lv, rv FROM lhs GLOBAL ANY LEFT JOIN rhs USING (k) "
+        "ORDER BY k"
+    )
+    rows = [tuple(r) for r in spark.sql(sql).collect()]
+    # exactly one right row per key; CH doesn't pin which, our
+    # translation picks deterministically
+    assert len(rows) == 3
+    assert rows[0][0] == 1 and rows[0][2] in ("a", "b")
+    assert rows[2] == (3, "l3", None)
+    sql_i = translate_ch_sql(
+        "SELECT k, rv FROM lhs ANY INNER JOIN rhs USING (k) ORDER BY k"
+    )
+    assert len(spark.sql(sql_i).collect()) == 2
+    with pytest.raises(ChTranslationError, match="asof_join"):
+        translate_ch_sql("SELECT * FROM a ASOF JOIN b ON a.k = b.k")
+    with pytest.raises(ChTranslationError, match="USING"):
+        translate_ch_sql("SELECT * FROM a ANY LEFT JOIN b ON a.k = b.k")
