@@ -192,6 +192,20 @@ def translate_ch_sql(sql: str) -> str:
 
         return rule
 
+    def _quants(exact):
+        def rule(m):
+            qs, x = m.group(1).strip(), m.group(2).strip()
+            f = "percentile" if exact else "percentile_approx"
+            return f"{f}({x}, array({qs}))"
+
+        return rule
+
+    s = re.sub(
+        r"\bquantilesExact\s*\(([^()]*)\)\s*\(([^()]*)\)", _quants(True), s
+    )
+    s = re.sub(
+        r"\bquantiles\s*\(([^()]*)\)\s*\(([^()]*)\)", _quants(False), s
+    )
     s = re.sub(
         r"\bquantileExact\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant(True), s
     )

@@ -654,3 +654,19 @@ def test_join_modifier_rules(spark):
         translate_ch_sql("SELECT * FROM a ASOF JOIN b ON a.k = b.k")
     with pytest.raises(ChTranslationError, match="USING"):
         translate_ch_sql("SELECT * FROM a ANY LEFT JOIN b ON a.k = b.k")
+
+
+def test_plural_quantiles_rules(spark):
+    assert translate_ch_sql(
+        "SELECT quantiles(0.5, 0.9)(v) FROM t"
+    ) == "SELECT percentile_approx(v, array(0.5, 0.9)) FROM t"
+    assert translate_ch_sql(
+        "SELECT quantilesExact(0.25, 0.75)(v) FROM t"
+    ) == "SELECT percentile(v, array(0.25, 0.75)) FROM t"
+    spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "v double"
+    ).createOrReplaceTempView("tq")
+    r = spark.sql(
+        translate_ch_sql("SELECT quantilesExact(0.5, 0.99)(v) AS q FROM tq")
+    ).collect()[0]["q"]
+    assert r[0] == 50.5 and abs(r[1] - 99.01) < 1e-9
