@@ -31,7 +31,11 @@ match(s, re)                regexp_like(s, re)
 JSONExtractString(j, k)     get_json_object(j, '$.k')
 toDate/toDateTime           to_date / to_timestamp
 toStartOfMinute/Hour/Day/   date_trunc('minute'|'hour'|'day'|
-  Week/Month                  'week'|'month', x)
+  Month                       'month', x)
+toStartOfWeek(x[, mode])    Sunday-based (CH default mode 0/2) or
+                            Monday-based (mode 1/3) date arithmetic —
+                            NOT date_trunc('week'), which is
+                            Monday-only in Spark
 toUInt8..64 / toInt8..64    CAST(x AS BIGINT)
 toFloat32/64                CAST(x AS DOUBLE)
 toString(x)                 CAST(x AS STRING)
@@ -60,6 +64,11 @@ arraySlice/arrayResize/     slice/concat/array_repeat compositions
   arrayRotateLeft|Right
 ==========================  =====================================
 
+String literals are never rewritten: every rule (the call rewriter and
+the bare keyword/regex rules alike) skips matches that start inside a
+quoted literal, so ``WHERE msg = 'call match(a, b) now'`` keeps its
+literal byte-for-byte.
+
 Deliberately NOT translated (semantics differ or need a planner):
 ``extract`` (CH group-or-whole-match rule), ``length`` (type-overloaded
 in CH), ``neighbor``, ``arrayEnumerate*`` beyond the q227 operator, CH
@@ -74,6 +83,63 @@ import re
 
 class ChTranslationError(ValueError):
     pass
+
+
+def _literal_spans(s: str) -> list[tuple[int, int]]:
+    """[start, end) spans of quoted string literals.  Handles both
+    escape conventions CH accepts: backslash escapes (``'it\\'s'``) and
+    SQL doubled quotes (``'it''s'``).  Rewrites must never fire inside
+    these spans — a CH function name occurring in a message literal is
+    data, not code."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(s)
+    while i < n:
+        if s[i] in "'\"":
+            q, j = s[i], i + 1
+            while j < n:
+                c = s[j]
+                if c == "\\":
+                    j += 2
+                    continue
+                if c == q:
+                    if j + 1 < n and s[j + 1] == q:  # doubled-quote escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = min(j + 1, n)
+        else:
+            i += 1
+    return spans
+
+
+def _in_spans(spans: list[tuple[int, int]], pos: int) -> bool:
+    return any(a <= pos < b for a, b in spans)
+
+
+def _search_nl(pattern: str, s: str, flags: int = 0):
+    """``re.search`` that ignores matches starting inside a string
+    literal (nl = "no literals")."""
+    spans = _literal_spans(s)
+    for m in re.finditer(pattern, s, flags=flags):
+        if not _in_spans(spans, m.start()):
+            return m
+    return None
+
+
+def _sub_nl(pattern: str, repl, s: str, flags: int = 0) -> str:
+    """``re.sub`` that leaves matches starting inside a string literal
+    untouched.  (Spans are computed on the input once; ``re.sub`` match
+    positions index the INPUT string, so a single pass stays aligned.)"""
+    spans = _literal_spans(s)
+
+    def guard(m):
+        if _in_spans(spans, m.start()):
+            return m.group(0)
+        return repl(m) if callable(repl) else m.expand(repl)
+
+    return re.sub(pattern, guard, s, flags=flags)
 
 
 def _split_top_args(s: str) -> list[str]:
@@ -105,30 +171,33 @@ def _split_top_args(s: str) -> list[str]:
 
 
 def _find_call(sql: str, name: str):
-    """Find ``name(`` at a word boundary; return (start, args, end) of
-    the first occurrence with balanced parens, else None."""
-    m = re.search(rf"\b{name}\s*\(", sql, flags=re.IGNORECASE)
-    if not m:
-        return None
-    i = m.end()
-    depth = 1
-    in_str = None
-    j = i
-    while j < len(sql):
-        ch = sql[j]
-        if in_str:
-            if ch == in_str:
-                in_str = None
-        elif ch in "'\"":
-            in_str = ch
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-            if depth == 0:
-                return m.start(), sql[i:j], j + 1
-        j += 1
-    raise ChTranslationError(f"unbalanced parens in {name}(...)")
+    """Find ``name(`` at a word boundary OUTSIDE string literals;
+    return (start, args, end) of the first such occurrence with
+    balanced parens, else None."""
+    spans = _literal_spans(sql)
+    for m in re.finditer(rf"\b{name}\s*\(", sql, flags=re.IGNORECASE):
+        if _in_spans(spans, m.start()):
+            continue
+        i = m.end()
+        depth = 1
+        in_str = None
+        j = i
+        while j < len(sql):
+            ch = sql[j]
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+            elif ch in "'\"":
+                in_str = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return m.start(), sql[i:j], j + 1
+            j += 1
+        raise ChTranslationError(f"unbalanced parens in {name}(...)")
+    return None
 
 
 def _rewrite_calls(sql: str, name: str, fn) -> str:
@@ -150,7 +219,9 @@ _TRUNC = {
     "toStartOfMinute": "minute",
     "toStartOfHour": "hour",
     "toStartOfDay": "day",
-    "toStartOfWeek": "week",
+    # toStartOfWeek is NOT date_trunc('week', ...): Spark's week truncation
+    # is Monday-based (ISO) while CH's default mode 0 is Sunday-based.  It
+    # gets a dedicated mode-aware rule in translate_ch_sql.
     "toStartOfMonth": "month",
 }
 
@@ -168,15 +239,17 @@ def translate_ch_sql(sql: str) -> str:
     module docstring for the covered subset)."""
     s = sql
 
-    # clause-level
-    if re.search(r"\bSAMPLE\b|\bFINAL\b|\bWITH\s+TOTALS\b", s, re.IGNORECASE):
+    # clause-level.  All keyword/function matching from here on is
+    # literal-aware (_search_nl/_sub_nl/_find_call skip quoted spans):
+    # `WHERE msg = 'call match(a, b) now'` keeps its literal verbatim.
+    if _search_nl(r"\bSAMPLE\b|\bFINAL\b|\bWITH\s+TOTALS\b", s, re.IGNORECASE):
         raise ChTranslationError(
             "SAMPLE/FINAL/WITH TOTALS have no Spark equivalent here"
         )
-    s = re.sub(r"\bPREWHERE\b", "WHERE", s, flags=re.IGNORECASE)
-    s = re.sub(r"\bFORMAT\s+\w+\s*;?\s*$", "", s, flags=re.IGNORECASE)
+    s = _sub_nl(r"\bPREWHERE\b", "WHERE", s, flags=re.IGNORECASE)
+    s = _sub_nl(r"\bFORMAT\s+\w+\s*;?\s*$", "", s, flags=re.IGNORECASE)
     # SETTINGS key=value[, ...] suffix: engine knobs, no Spark meaning
-    s = re.sub(
+    s = _sub_nl(
         r"\bSETTINGS\s+\w+\s*=\s*[\w.'\"]+(\s*,\s*\w+\s*=\s*[\w.'\"]+)*\s*;?\s*$",
         "",
         s,
@@ -200,19 +273,19 @@ def translate_ch_sql(sql: str) -> str:
 
         return rule
 
-    s = re.sub(
+    s = _sub_nl(
         r"\bquantilesExact\s*\(([^()]*)\)\s*\(([^()]*)\)", _quants(True), s
     )
-    s = re.sub(
+    s = _sub_nl(
         r"\bquantiles\s*\(([^()]*)\)\s*\(([^()]*)\)", _quants(False), s
     )
-    s = re.sub(
+    s = _sub_nl(
         r"\bquantileExact\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant(True), s
     )
-    s = re.sub(r"\bquantile\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant(False), s)
+    s = _sub_nl(r"\bquantile\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant(False), s)
 
     # bare count()
-    s = re.sub(r"\bcount\s*\(\s*\)", "count(*)", s, flags=re.IGNORECASE)
+    s = _sub_nl(r"\bcount\s*\(\s*\)", "count(*)", s, flags=re.IGNORECASE)
 
     # conditional aggregates.  CH's sum/sumIf return 0 on an empty set
     # (aggregate default values), so the faithful translation wraps the
@@ -280,6 +353,29 @@ def translate_ch_sql(sql: str) -> str:
         s = _rewrite_calls(
             s, ch_fn, lambda a, unit=unit: f"date_trunc('{unit}', {a[0]})"
         )
+
+    # toStartOfWeek(x[, mode]): CH mode 0 (the default) and 2 start weeks
+    # on SUNDAY; modes 1 and 3 on Monday.  Spark's date_trunc('week') is
+    # Monday-only, so emit day arithmetic (dayofweek: Sunday=1..Saturday=7)
+    # and return a DATE like CH does.  Non-literal / other modes raise
+    # rather than silently shifting every bucket.
+    def _start_of_week(a):
+        if not a or len(a) > 2:
+            raise ChTranslationError("toStartOfWeek needs 1 or 2 args")
+        mode = 0
+        if len(a) == 2:
+            mm = re.match(r"^\s*([0-3])\s*$", a[1])
+            if not mm:
+                raise ChTranslationError(
+                    "toStartOfWeek: only literal modes 0-3 translate"
+                )
+            mode = int(mm.group(1))
+        x = f"to_date({a[0]})"
+        if mode in (0, 2):  # Sunday-start (CH default)
+            return f"date_sub({x}, dayofweek({x}) - 1)"
+        return f"date_sub({x}, (dayofweek({x}) + 5) % 7)"  # Monday-start
+
+    s = _rewrite_calls(s, "toStartOfWeek", _start_of_week)
     s = _rewrite_calls(s, "toDateTime", lambda a: f"to_timestamp({a[0]})")
     s = _rewrite_calls(s, "toDate", lambda a: f"to_date({a[0]})")
     s = _rewrite_calls(
@@ -392,7 +488,7 @@ def translate_ch_sql(sql: str) -> str:
             )
         return " " + " ".join(views) + " "
 
-    s = re.sub(
+    s = _sub_nl(
         r"\s+(LEFT\s+)?ARRAY\s+JOIN\s+(.*?)(?=\s+(?:WHERE|GROUP|HAVING|ORDER|LIMIT|SETTINGS|FORMAT)\b|$)",
         _array_join,
         s,
@@ -402,14 +498,14 @@ def translate_ch_sql(sql: str) -> str:
     # LIMIT n BY cols  ->  row_number window filter.  Requires the
     # statement's ORDER BY (the CH semantics rank within each BY group
     # by the global ORDER BY); translated by wrapping the query.
-    mlb = re.search(
+    mlb = _search_nl(
         r"\bLIMIT\s+(\d+)\s+BY\s+(.+?)(?=\s+(?:ORDER|LIMIT|FORMAT|SETTINGS)\b|$)",
         s,
         flags=re.IGNORECASE | re.DOTALL,
     )
     if mlb:
         n, by = mlb.group(1), mlb.group(2).strip().rstrip(",")
-        morder = re.search(
+        morder = _search_nl(
             r"\bORDER\s+BY\s+(.+?)(?=\s+(?:LIMIT|FORMAT|SETTINGS)\b|$)",
             s,
             flags=re.IGNORECASE | re.DOTALL,
@@ -422,7 +518,7 @@ def translate_ch_sql(sql: str) -> str:
         inner = (s[: mlb.start()] + s[mlb.end():]).strip()
         # strip any trailing global LIMIT off the inner, reapply outside
         tail = ""
-        mtl = re.search(r"\bLIMIT\s+\d+\s*$", inner, flags=re.IGNORECASE)
+        mtl = _search_nl(r"\bLIMIT\s+\d+\s*$", inner, flags=re.IGNORECASE)
         if mtl:
             tail = " " + inner[mtl.start():].strip()
             inner = inner[: mtl.start()].strip()
@@ -439,47 +535,56 @@ def translate_ch_sql(sql: str) -> str:
     # strictness — strip.  ANY <type> JOIN keeps ONE right-side row
     # per key; translated for the USING form by deduplicating the
     # right side with a row_number window (CH does not promise WHICH
-    # row, so the deterministic min-by-key pick is a valid refinement).
-    s = re.sub(
+    # row, so a deterministic full-row-ordered pick is a valid
+    # refinement — see _any_join below).
+    s = _sub_nl(
         r"\bGLOBAL\s+(?=(?:NOT\s+)?IN\b|ANY\b|ALL\b|ASOF\b|INNER\b|"
         r"LEFT\b|RIGHT\b|FULL\b|JOIN\b)",
         "",
         s,
         flags=re.IGNORECASE,
     )
-    s = re.sub(
+    s = _sub_nl(
         r"\bALL\s+(?=(?:INNER|LEFT|RIGHT|FULL)\s+JOIN\b|JOIN\b)",
         "",
         s,
         flags=re.IGNORECASE,
     )
-    if re.search(r"\bASOF\s+(?:\w+\s+)?JOIN\b", s, flags=re.IGNORECASE):
+    if _search_nl(r"\bASOF\s+(?:\w+\s+)?JOIN\b", s, flags=re.IGNORECASE):
         raise ChTranslationError(
             "ASOF JOIN needs the asof_join operator (operators/joins.py)"
             " — no textual Spark SQL equivalent"
         )
 
     def _any_join(m):
+        # CH does not promise WHICH right-side row ANY JOIN keeps, so any
+        # single-row pick is valid — but a NONdeterministic pick makes
+        # results flap across runs.  Ordering the window by the partition
+        # keys alone would tie every row, so order by the full-row JSON
+        # serialization: a deterministic, content-based total order (rows
+        # tying on it are identical, so the pick no longer matters).
         jtype = (m.group(1) or "INNER").strip().upper()
         tbl, alias = m.group(2), m.group(3) or m.group(2)
         cols = [c.strip() for c in m.group(4).split(",")]
         keys = ", ".join(cols)
         return (
-            f" {jtype} JOIN (SELECT * EXCEPT (_rn_any) FROM "
+            f" {jtype} JOIN (SELECT * EXCEPT (_rn_any, _ord_any) FROM "
             f"(SELECT *, row_number() OVER (PARTITION BY {keys} "
-            f"ORDER BY {keys}) AS _rn_any FROM {tbl}) WHERE _rn_any = 1) "
+            f"ORDER BY _ord_any) AS _rn_any FROM "
+            f"(SELECT *, to_json(struct(*)) AS _ord_any FROM {tbl}) _anysrc) "
+            f"WHERE _rn_any = 1) "
             f"{alias} USING ({keys})"
         )
 
-    s2 = re.sub(
+    s2 = _sub_nl(
         r"\s+ANY\s+(LEFT\s+|INNER\s+)?JOIN\s+(\w+)"
         r"(?:\s+AS\s+(\w+))?\s+USING\s*\(([^)]*)\)",
         _any_join,
         s,
         flags=re.IGNORECASE,
     )
-    if s2 == s and re.search(r"\bANY\s+(?:\w+\s+)?JOIN\b", s,
-                             flags=re.IGNORECASE):
+    if s2 == s and _search_nl(r"\bANY\s+(?:\w+\s+)?JOIN\b", s,
+                              flags=re.IGNORECASE):
         raise ChTranslationError(
             "ANY JOIN translates only in the `ANY [LEFT|INNER] JOIN "
             "<table> [AS a] USING (keys)` form"
@@ -607,6 +712,6 @@ def translate_ch_sql(sql: str) -> str:
 
     # any / anyLast
     s = _rewrite_calls(s, "anyLast", lambda a: f"last({a[0]})")
-    s = re.sub(r"\bany\s*\(", "first(", s)
+    s = _sub_nl(r"\bany\s*\(", "first(", s)
 
     return s

@@ -126,8 +126,11 @@ def parse_ipv6(s: Column) -> Column:
 def is_ipv6_string(s: Column) -> Column:
     """``isIPv6String`` analogue: structural validation via the same
     split machinery — character set, at most one ``::``, per-group
-    1-4 hex digits, exact group count (8, or 6 + valid dotted quad),
-    and single-zero-group compression never required."""
+    1-4 hex digits, exact group count (8, or 6 + valid dotted quad).
+    ``::`` stands for >= 1 zero group, so single-zero compression
+    (``1:2:3:4:5:6:7::``) is ACCEPTED, matching CH/inet_pton; RFC
+    5952's don't-compress-one-group rule binds only format_ipv6's
+    output."""
     t = F.lower(F.trim(s))
     charset_ok = t.rlike(r"^[0-9a-f:.]+$")
     has4 = t.contains(".")
@@ -157,7 +160,11 @@ def is_ipv6_string(s: Column) -> Column:
     )
     comp_ok = (
         compressed
-        & (F.size(left) + F.size(right) <= target - 2)
+        # '::' stands for AT LEAST ONE zero group (RFC 4291 / inet_pton),
+        # so left+right may reach target-1: '1:2:3:4:5:6:7::' is valid.
+        # RFC 5952's never-compress-a-single-group rule is a FORMATTING
+        # constraint (format_ipv6 honors it); the validator accepts it.
+        & (F.size(left) + F.size(right) <= target - 1)
         & hexg(left)
         & hexg(right)
         # no stray lone ':' at the ends beyond the '::' itself

@@ -752,13 +752,17 @@ def uniq_up_to(
     while it is <= N, else N+1.  Two-level capped-set state (the KMV
     shape): level 1 keeps at most N+1 distinct values per (partition,
     group) inside one Arrow batch pass — N+1 members already prove
-    "more than N", so state is bounded at N+1 longs regardless of input
-    cardinality and the ONE shuffle carries capped state, never raw
-    values; level 2 unions the capped sets (re-capped at N+1) per
-    group.  NULLs are not counted (CH uniq semantics)."""
+    "more than N", so state is bounded at N+1 values regardless of
+    input cardinality and the ONE shuffle carries capped state, never
+    raw values; level 2 unions the capped sets (re-capped at N+1) per
+    group.  NULLs are not counted (CH uniq semantics).  Works on ANY
+    column type (CH uniqUpTo does too): values are carried as their
+    Spark string cast, which is injective for atomic types (ints,
+    floats, strings, dates, timestamps, booleans), so the count stays
+    EXACT — no hashing, no collision caveat."""
     cap = n + 1
     part_schema = ", ".join(
-        [f"{g} string" for g in group_cols] + ["vals array<bigint>"]
+        [f"{g} string" for g in group_cols] + ["vals array<string>"]
     )
 
     def partials(batches):
@@ -776,7 +780,7 @@ def uniq_up_to(
                 if len(cur) >= cap:
                     continue
                 for v in grp["_v"].dropna().unique():
-                    cur.add(int(v))
+                    cur.add(str(v))
                     if len(cur) >= cap:
                         break
         yield pd.DataFrame(
@@ -786,7 +790,7 @@ def uniq_up_to(
 
     parts = df.select(
         *[F.col(g).cast("string").alias(g) for g in group_cols],
-        F.col(col).cast("long").alias("_v"),
+        F.col(col).cast("string").alias("_v"),
     ).mapInPandas(partials, part_schema)
 
     out_schema = ", ".join(
@@ -796,7 +800,7 @@ def uniq_up_to(
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         u: set = set()
         for vals in pdf["vals"]:
-            u.update(int(v) for v in vals)
+            u.update(str(v) for v in vals)
             if len(u) >= cap:
                 break
         head = pdf.iloc[[0]][group_cols].copy()
