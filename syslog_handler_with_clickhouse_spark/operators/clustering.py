@@ -1,0 +1,195 @@
+"""Distributed k-means clustering and semantic deduplication (tier X).
+
+K-means (Lloyd) over embedding columns as pure DataFrame algebra — the
+clustering primitive behind SemDeDup-style training-data curation
+(Abbas et al. 2023, arXiv:2303.09540: cluster the corpus, then compare
+pairs only WITHIN a cluster, never corpus-wide).
+
+Determinism contract (what lets a DuckDB oracle replay the whole
+iteration unrolled):
+- vectors are integer-quantized — ``round(x * 1000)`` per component,
+  the same convention as the PQ codec in ``similarity.py`` — so every
+  distance is an exact ``bigint`` and every centroid mean is exact
+  ``decimal`` arithmetic re-rounded to ``bigint``.  No float
+  accumulation order anywhere in the training loop.
+- argmin ties break on the lower cell id; means round half-away-from-
+  zero in both engines.
+
+Scale shape (the part that matters at 100 TB):
+- the k centroids are collapsed into ONE broadcast row holding an
+  ``array<struct<cell, cv>>`` (k × dim bigints — a few KB), so the
+  assignment step is a pure projection: a higher-order fold over the
+  centroid array computes the exact argmin per corpus row with ZERO
+  corpus shuffle and no per-(row, centroid) blow-up ever materializing.
+- refinement shuffles only the (cell, pos, val) long form with map-side
+  partial aggregation into k × dim groups — the corpus itself never
+  re-partitions between iterations.
+- at 100 TB you train on a sample (Lloyd needs a representative slice,
+  not every row) and run the projection-only assignment once over the
+  full corpus; both steps here already have that shape.
+
+Reference parity: the reference engine (a syslog→ClickHouse pipeline,
+``main.go:27-101``) has no clustering surface; this module is part of
+the LLM-training-data extension tier mandated by SURVEY §0/§2.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import to_double
+
+
+def quantize_vectors(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vid, qv) with qv = round(x·1000) per component as bigint —
+    exact integer arithmetic downstream, any partitioning."""
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * 1000).cast("bigint")
+    )
+    return emb.select(F.col(id_col).alias("vid"), qv.alias("qv"))
+
+
+def _d2(a, b):
+    """Exact integer squared L2 between two bigint arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+_FAR = 1 << 62  # sentinel "worse than any real distance" seed
+
+
+def _centroid_array(cent: DataFrame) -> DataFrame:
+    """Collapse the (cell, cv) centroid set into one broadcastable row
+    holding array<struct<cell, cv>> sorted by cell (struct sort order is
+    field order, and cell is unique — deterministic)."""
+    return cent.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cents")
+    )
+
+
+def assign_nearest(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vid, cluster, d2): exact-argmin assignment as a PROJECTION.
+
+    The centroid set rides in as one broadcast row; a higher-order fold
+    over it keeps the running (d2, cell) minimum with a lower-cell
+    tiebreak.  No shuffle of ``v``, no |v|×k intermediate rows.
+    """
+    acc0 = F.struct(
+        F.lit(_FAR).cast("bigint").alias("d2"),
+        F.lit(-1).cast("bigint").alias("cell"),
+    )
+
+    def step(acc, c):
+        d = _d2(F.col("qv"), c.cv)
+        better = (d < acc.d2) | ((d == acc.d2) & (c.cell < acc.cell))
+        return F.when(
+            better, F.struct(d.alias("d2"), c.cell.cast("bigint").alias("cell"))
+        ).otherwise(acc)
+
+    best = F.aggregate(F.col("cents"), acc0, step)
+    return (
+        v.crossJoin(F.broadcast(_centroid_array(cent)))
+        .withColumn("best", best)
+        .select(
+            "vid",
+            F.col("best.cell").alias("cluster"),
+            F.col("best.d2").alias("d2"),
+            "qv",
+        )
+    )
+
+
+def refine_step(assigned: DataFrame) -> DataFrame:
+    """New centroids = per-component exact means of the members.
+
+    (cell, pos, val) long form, partial-agg groupBy into k×dim groups;
+    mean = round(sum::decimal / count) re-quantized to bigint — the
+    same half-away-from-zero convention as the oracle's round().
+    Empty cells simply drop out (GROUP BY semantics, both engines).
+    """
+    mem = assigned.select(
+        F.col("cluster").alias("cell"), F.posexplode("qv").alias("pos", "val")
+    )
+    means = mem.groupBy("cell", "pos").agg(
+        F.round(F.sum("val").cast("decimal(28,6)") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("cval")
+    )
+    return means.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s.cval,
+        ).alias("cv")
+    )
+
+
+def kmeans_assignments(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full deterministic Lloyd loop → final (vid, cluster, d2).
+
+    Seeding: the vectors with ``id < k`` (the IVF/PQ convention used
+    throughout this tier).  ``iters`` refinement passes, then one final
+    assignment against the refined centroids.
+    """
+    v = quantize_vectors(emb, id_col, vec_col)
+    cent = v.filter(F.col("vid") < k).select(
+        F.col("vid").alias("cell"), F.col("qv").alias("cv")
+    )
+    for _ in range(iters):
+        cent = refine_step(assign_nearest(v, cent))
+    return assign_nearest(v, cent).select("vid", "cluster", "d2")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: k-means cluster, then drop every vector that has a
+    more-senior (lower-id) cosine-near-duplicate INSIDE its cluster.
+
+    The pair join is an equi-join on the cluster id — candidates scale
+    with cluster size, never corpus².  Cosine is computed on the
+    ORIGINAL float vectors (cast double, 6 dp — the tier-wide cosine
+    contract), so the keep/drop decision is about real geometry, not
+    the quantized training view.  Returns the survivors
+    (vec_id, cluster).
+    """
+    assign = kmeans_assignments(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    from .similarity import _cos, _with_norm
+
+    vecs = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    tagged = assign.join(vecs, "vid")
+    a = tagged.select(
+        F.col("vid").alias("id_a"), F.col("cluster"), F.col("vec").alias("qvec")
+    )
+    b = tagged.select(
+        F.col("vid").alias("id_b"), F.col("cluster"), F.col("vec").alias("nvec")
+    )
+    dups = (
+        _with_norm(a, "qvec", "qn")
+        .join(_with_norm(b, "nvec", "nn"), "cluster")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .withColumn("cos_sim", _cos("qvec", "nvec", "qn", "nn"))
+        .filter(F.col("cos_sim") >= tau)
+        .select(F.col("id_a").alias("vid"))
+        .distinct()
+    )
+    return (
+        assign.join(dups, "vid", "left_anti")
+        .select(F.col("vid").alias(id_col), "cluster")
+    )

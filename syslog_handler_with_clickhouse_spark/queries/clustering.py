@@ -1,0 +1,334 @@
+"""Clustering / embedding-compression query family (q369–q372).
+
+Round-9 additions to the LLM-training-data tier: distributed k-means
+(``operators/clustering.py``), SemDeDup semantic deduplication, int8
+scalar quantization, and binary-signature Hamming ANN with exact-cosine
+rerank.  The k-means oracles replay the full Lloyd loop UNROLLED in SQL
+over the (vid, pos, val) long form — every iteration is exact integer /
+decimal arithmetic on both sides, so the parity check covers the whole
+training loop, not just the final projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators import clustering
+from ..functions.vectors import to_double
+from ._common import _COS_EXPR, _t, query
+
+_K = 8
+_ITERS = 2
+
+# (vid, pos, val) long form of a vector table, PQ-quantized (×1000 ints).
+_LONGFORM = """
+  idx AS (
+    SELECT {id} AS vid, {vec} AS emb,
+           UNNEST(range(1, len({vec}) + 1)) AS pos
+    FROM {src}
+  ),
+  v AS (
+    SELECT vid, pos,
+           CAST(round(CAST(emb[pos] AS DOUBLE) * 1000) AS BIGINT) AS val
+    FROM idx
+  )"""
+
+
+def _kmeans_ctes(k: int = _K, iters: int = _ITERS) -> str:
+    """Unrolled Lloyd loop over the ``v`` long form: c0 = seeds, then
+    ``iters`` × (assign → means), ending with centroid set c{iters}."""
+    parts = [f"c0 AS (SELECT vid AS cell, pos, val FROM v WHERE vid < {k})"]
+    for i in range(iters):
+        parts.append(
+            f"""a{i} AS (
+        SELECT v.vid, c.cell, SUM((v.val - c.val) * (v.val - c.val)) AS d2
+        FROM v JOIN c{i} c ON v.pos = c.pos
+        GROUP BY v.vid, c.cell
+      ),
+      m{i} AS (
+        SELECT vid, cell FROM (
+          SELECT vid, cell,
+                 row_number() OVER (PARTITION BY vid ORDER BY d2, cell) AS rk
+          FROM a{i}) WHERE rk = 1
+      ),
+      c{i + 1} AS (
+        SELECT m{i}.cell, v.pos,
+               CAST(round(CAST(SUM(v.val) AS DECIMAL(28,6)) / COUNT(*)) AS BIGINT) AS val
+        FROM m{i} JOIN v USING (vid)
+        GROUP BY m{i}.cell, v.pos
+      )"""
+        )
+    return ",\n  ".join(parts)
+
+
+_FINAL_ASSIGN = f"""
+  afin AS (
+    SELECT v.vid, c.cell, SUM((v.val - c.val) * (v.val - c.val)) AS d2
+    FROM v JOIN c{_ITERS} c ON v.pos = c.pos
+    GROUP BY v.vid, c.cell
+  ),
+  fin AS (
+    SELECT vid, cell, d2 FROM (
+      SELECT vid, cell, d2,
+             row_number() OVER (PARTITION BY vid ORDER BY d2, cell) AS rk
+      FROM afin) WHERE rk = 1
+  )"""
+
+
+@query(
+    "q369_kmeans_clusters",
+    "WITH"
+    + _LONGFORM.format(id="vec_id", vec="embedding", src="embeddings")
+    + ",\n  "
+    + _kmeans_ctes()
+    + ","
+    + _FINAL_ASSIGN
+    + """
+    SELECT vid AS vec_id, cell AS cluster, CAST(d2 AS BIGINT) AS d2 FROM fin
+    """,
+)
+def q369(spark, sf_dir):
+    """Distributed k-means (Lloyd) over the embedding corpus: 2 exact
+    integer-arithmetic refinement passes from deterministic seeds
+    (vec_id < 8), then a final assignment.  Spark side: assignment is a
+    zero-shuffle projection (centroids fold in as ONE broadcast array
+    row); refinement shuffles only k×dim partial-agg groups.  The oracle
+    replays the identical loop unrolled in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return clustering.kmeans_assignments(emb, k=_K, iters=_ITERS).select(
+        F.col("vid").alias("vec_id"), "cluster", "d2"
+    )
+
+
+_SALTED = """
+  corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 5 = 0
+  )"""
+
+
+@query(
+    "q370_semantic_dedup",
+    "WITH"
+    + _SALTED
+    + ","
+    + _LONGFORM.format(id="vec_id", vec="embedding", src="corpus")
+    + ",\n  "
+    + _kmeans_ctes()
+    + ","
+    + _FINAL_ASSIGN
+    + """,
+    tagged AS (
+      SELECT fin.vid, fin.cell AS cluster, corpus.embedding
+      FROM fin JOIN corpus ON fin.vid = corpus.vec_id
+    ),
+    dups AS (
+      SELECT DISTINCT a.vid
+      FROM tagged a JOIN tagged b USING (cluster)
+      WHERE b.vid < a.vid
+        AND {cos} >= 0.99
+    )
+    SELECT t.vid AS vec_id, t.cluster
+    FROM tagged t ANTI JOIN dups d ON t.vid = d.vid
+    """.format(cos=_COS_EXPR.format(a="a.embedding", b="b.embedding")),
+)
+def q370(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540): k-means cluster the corpus, then drop
+    every vector with a lower-id cosine near-duplicate (≥0.99, 6 dp)
+    INSIDE its own cluster — the pair join is an equi-join on the
+    cluster id, so candidates scale with cluster size, never corpus².
+    Corpus salted with copies of every 5th vector so true duplicates
+    exist; identical vectors land in identical clusters, and the salted
+    (higher-id) copies are exactly what gets dropped."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    return clustering.semantic_dedup(corpus, k=_K, iters=_ITERS, tau=0.99)
+
+
+@query(
+    "q371_embedding_int8_quant",
+    """
+    WITH q AS (
+      SELECT label, vec_id, embedding,
+             list_reduce(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE))),
+                         (a, b) -> CASE WHEN a >= b THEN a ELSE b END) AS vscale
+      FROM embeddings
+    ), e AS (
+      SELECT label, vec_id, embedding, vscale,
+             UNNEST(range(1, len(embedding) + 1)) AS pos
+      FROM q WHERE vscale > 0
+    ), err AS (
+      SELECT label,
+             round(abs(CAST(embedding[pos] AS DOUBLE)
+                   - round(CAST(embedding[pos] AS DOUBLE) / vscale * 127)
+                     * vscale / 127), 9) AS ae
+      FROM e
+    )
+    SELECT label,
+           COUNT(*) AS n_comp,
+           CAST(SUM(CAST(ae AS DECIMAL(20,10))) AS DOUBLE) AS sum_abs_err,
+           MAX(ae) AS max_abs_err
+    FROM err
+    GROUP BY label
+    """,
+)
+def q371(spark, sf_dir):
+    """Int8 scalar quantization of the embedding corpus (per-vector
+    scale = max |component|, symmetric round-to-nearest into [-127,127])
+    and its exact reconstruction-error envelope per label — the 4×
+    memory-compression step a 100 TB embedding store applies before
+    ANN indexing.  Error totals are exact decimal sums of 9 dp-rounded
+    per-component errors, so the hash is summation-order-proof."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = to_double(F.col("embedding"))
+    vscale = F.aggregate(
+        F.transform(vec, lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda a, b: F.when(a >= b, a).otherwise(b),
+    )
+    comp = (
+        emb.select("label", vscale.alias("vscale"), F.posexplode(vec))
+        .filter(F.col("vscale") > 0)
+        .withColumn(
+            "ae",
+            F.round(
+                F.abs(
+                    F.col("col")
+                    - F.round(F.col("col") / F.col("vscale") * 127)
+                    * F.col("vscale")
+                    / 127
+                ),
+                9,
+            ),
+        )
+    )
+    return comp.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_comp"),
+        F.sum(F.col("ae").cast("decimal(20,10)")).cast("double").alias("sum_abs_err"),
+        F.max("ae").alias("max_abs_err"),
+    )
+
+
+_SIG_SQL = """list_reduce(list_transform(embedding[{lo}:{hi}],
+               x -> CASE WHEN CAST(x AS DOUBLE) >= 0
+                         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+               (a, b) -> a * 2 + b)"""
+
+
+@query(
+    "q372_hamming_ann",
+    """
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {h1} AS h1, {h2} AS h2
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             bit_count(xor(q.h1, c.h1)) + bit_count(xor(q.h2, c.h2)) AS hamming
+      FROM sig q JOIN sig c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ), coarse AS (
+      SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS crk
+      FROM scored
+    ), rerank AS (
+      SELECT query_id, neighbor_id, hamming, {cos} AS cos_sim
+      FROM coarse
+      JOIN sig q ON q.vec_id = query_id
+      JOIN sig c ON c.vec_id = neighbor_id
+      WHERE crk <= 20
+    )
+    SELECT query_id, neighbor_id, hamming, cos_sim, rnk
+    FROM (
+      SELECT query_id, neighbor_id, hamming, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM rerank)
+    WHERE rnk <= 5
+    """.format(
+        h1=_SIG_SQL.format(lo=1, hi=32),
+        h2=_SIG_SQL.format(lo=33, hi=64),
+        cos=_COS_EXPR.format(a="q.embedding", b="c.embedding"),
+    ),
+)
+def q372(spark, sf_dir):
+    """Binary (sign) quantization ANN: each 64-d float vector collapses
+    to TWO bigints (16 B — a 16× index compression); coarse search is
+    integer Hamming distance (xor + bit_count, whole-stage codegen),
+    then the top-20 coarse candidates are reranked by exact cosine and
+    the top-5 kept.  The standard two-stage recipe for ANN over a
+    100 TB embedding store: the Hamming scan never touches floats, and
+    the exact-cosine rerank only ever sees 20 candidates per query."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def sig(lo: int):
+        return F.aggregate(
+            F.slice(to_double(F.col("embedding")), lo, 32),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc * 2
+            + F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+
+    s = emb.select(
+        "vec_id", "embedding", sig(1).alias("h1"), sig(33).alias("h2")
+    )
+    q = s.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("h1").alias("qh1"),
+        F.col("h2").alias("qh2"),
+    )
+    c = s.select(F.col("vec_id").alias("neighbor_id"), "h1", "h2")
+    from ..operators.similarity import _cos, _with_norm
+
+    # Coarse stage: signatures only — 2 bigints per side, never floats.
+    coarse = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("qh1").bitwiseXOR(F.col("h1")))
+            + F.bit_count(F.col("qh2").bitwiseXOR(F.col("h2"))),
+        )
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    wc = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    cand = coarse.withColumn("crk", F.row_number().over(wc)).filter(
+        F.col("crk") <= 20
+    )
+    # Rerank stage: exact cosine on the 20 survivors per query only.
+    qv = _with_norm(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        ),
+        "qvec",
+        "qn",
+    )
+    nv = _with_norm(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nvec")
+        ),
+        "nvec",
+        "nn",
+    )
+    rerank = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("cos_sim", _cos("qvec", "nvec", "qn", "nn"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rerank.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "hamming", "cos_sim", "rnk")
+    )
