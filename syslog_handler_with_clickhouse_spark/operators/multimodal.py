@@ -120,6 +120,36 @@ def _unfilter_pass(
     return bytes(out), off + need
 
 
+def _unpack_subbyte(packed: bytes, pw: int, ph: int, stride: int, depth: int) -> bytes:
+    """Unpack MSB-first sub-byte samples (depths 1/2/4) to one byte per
+    sample — the inverse of :func:`_pack_subbyte`."""
+    out = bytearray(pw * ph)
+    mask = (1 << depth) - 1
+    per = 8 // depth
+    for r in range(ph):
+        base = r * stride
+        for x in range(pw):
+            byte = packed[base + x // per]
+            shift = 8 - depth * (x % per + 1)
+            out[r * pw + x] = (byte >> shift) & mask
+    return bytes(out)
+
+
+def _pack_subbyte(samples, pw: int, ph: int, depth: int) -> tuple[bytes, int]:
+    """Pack one-byte-per-sample values (< 2**depth) into MSB-first
+    sub-byte scanlines; rows start at byte boundaries per spec."""
+    per = 8 // depth
+    stride = (pw * depth + 7) // 8
+    rows = bytearray(ph * stride)
+    for r in range(ph):
+        for x in range(pw):
+            v = samples[r * pw + x]
+            if not 0 <= v < (1 << depth):
+                raise ValueError(f"sample {v} out of range for depth {depth}")
+            rows[r * stride + x // per] |= v << (8 - depth * (x % per + 1))
+    return bytes(rows), stride
+
+
 def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     """REAL PNG pixel decode using ONLY stdlib ``zlib`` + ``struct`` —
     no PIL, no libpng (the round-5 verdict's "last partial" closure).
@@ -136,8 +166,12 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     the same (sub-)image.  Depth 16 decodes too (byte-level filters
     with doubled bpp per spec); this function returns its high-byte
     8-bit view, :func:`decode_png_pixels16` the exact uint16 samples.
-    Sub-byte depths (1/2/4) raise ``NotImplementedError`` — format
-    features, not environment stubs.
+    Sub-byte depths (1/2/4, gray + palette, Adam7 included) decode for
+    real: a packed scanline of ``stride`` bytes filters exactly like a
+    width-``stride`` one-channel image (bpp is 1 byte per spec §9.2),
+    so the shared filter layer applies unchanged and the samples unpack
+    MSB-first afterwards; gray samples scale ``v·(255/(2^d−1))``
+    (255/85/17 — exact integers), palette indices pass through to PLTE.
 
     Returns ``(width, height, channels, pixels)`` where ``pixels`` is
     the reconstructed row-major, channel-interleaved byte string of
@@ -173,8 +207,8 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     if ihdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth not in (8, 16):
-        raise NotImplementedError(f"bit depth {depth} unsupported (8/16 only)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {depth}")
     if interlace not in (0, 1):
         raise ValueError(f"invalid interlace method {interlace}")
     # palette images carry 1 index byte/pixel through the filter layer,
@@ -185,10 +219,54 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     if color_type == 3:
         if plte is None:
             raise ValueError("palette image missing PLTE chunk")
-        if depth != 8:
+        if depth == 16:
             raise ValueError("16-bit palette PNG is not a legal combination")
-    sb = depth // 8
     raw = zlib.decompress(bytes(idat))
+    if depth in (1, 2, 4):
+        # sub-byte: legal ONLY for gray (0) and palette (3) per spec §11.2.2
+        if color_type not in (0, 3):
+            raise ValueError(
+                f"{depth}-bit depth is illegal for color type {color_type}"
+            )
+
+        def rowbytes(pw: int) -> int:
+            return (pw * depth + 7) // 8
+
+        if interlace == 0:
+            packed, off = _unfilter_pass(raw, 0, rowbytes(w), h, 1, 1)
+            if off != len(raw):
+                raise ValueError("decompressed IDAT length != h * (stride + 1)")
+            out = _unpack_subbyte(packed, w, h, rowbytes(w), depth)
+        else:
+            grid = bytearray(w * h)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                packed, off = _unfilter_pass(raw, off, rowbytes(pw), ph, 1, 1)
+                sub = _unpack_subbyte(packed, pw, ph, rowbytes(pw), depth)
+                for j in range(ph):
+                    y = y0 + j * dy
+                    for i2 in range(pw):
+                        grid[y * w + x0 + i2 * dx] = sub[j * pw + i2]
+            if off != len(raw):
+                raise ValueError("decompressed IDAT length != Adam7 pass layout")
+            out = bytes(grid)
+        if color_type == 0:
+            scale = 255 // ((1 << depth) - 1)  # 255 / 85 / 17 — exact
+            out = bytes(v * scale for v in out)
+        else:
+            npal = len(plte) // 3
+            rgb = bytearray(w * h * 3)
+            for k, idx in enumerate(out):
+                if idx >= npal:
+                    raise ValueError(f"palette index {idx} out of range")
+                rgb[3 * k : 3 * k + 3] = plte[3 * idx : 3 * idx + 3]
+            return w, h, 3, bytes(rgb)
+        return w, h, 1, out
+    sb = depth // 8
     px_bytes = channels * sb
     stride = w * px_bytes
     if interlace == 0:
@@ -246,7 +324,9 @@ def decode_png_pixels16(b: bytes):
         raise ValueError("not a PNG")
     depth = b[i + 12]
     w, h, channels, px = decode_png_pixels(b)
-    if depth == 8:
+    if depth != 16:
+        # 8-bit and sub-byte paths already yield exact 0..255 samples
+        # (gray scaled by 255/(2^d−1), palette expanded) — widen v·257
         a = np.frombuffer(px, dtype=np.uint8).astype(np.uint16) * 257
         return w, h, channels, a
     # re-run the exact path: decode_png_pixels dropped the low bytes,
@@ -509,6 +589,68 @@ def encode_png_palette(
         + struct.pack(">I", zlib.crc32(b"PLTE" + palette))
     )
     return bytes(out[:33]) + plte + bytes(out[33:])
+
+
+def encode_png_subbyte(
+    samples, w: int, h: int, depth: int, palette: bytes | None = None,
+    filters=None, interlace: bool = False,
+) -> bytes:
+    """Forward sub-byte PNG encoder (depths 1/2/4; gray when
+    ``palette`` is None, color type 3 otherwise) — the fixture-builder
+    twin of the sub-byte decode branch.  ``samples`` is ``w*h`` ints
+    < 2**depth.  Rows pack MSB-first and start at byte boundaries; the
+    packed scanlines forward-filter exactly like a width-``stride``
+    one-channel image (bpp = 1 byte per spec §9.2), Adam7 passes pack
+    and filter independently."""
+    import struct
+    import zlib
+
+    if depth not in (1, 2, 4):
+        raise ValueError(f"depth {depth} is not sub-byte")
+    samples = list(samples)
+    if len(samples) != w * h:
+        raise ValueError("samples length != w*h")
+    if palette is not None and (len(palette) % 3 or not 3 <= len(palette) <= 768):
+        raise ValueError("palette must be 1..256 RGB triples")
+
+    if not interlace:
+        packed, stride = _pack_subbyte(samples, w, h, depth)
+        raw = _forward_filter_pass(
+            packed, stride, h, 1, filters if filters is not None else [0] * h
+        )
+        interlace_byte = 0
+    else:
+        raw = bytearray()
+        fi = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = [
+                samples[(y0 + j * dy) * w + (x0 + i2 * dx)]
+                for j in range(ph)
+                for i2 in range(pw)
+            ]
+            packed, stride = _pack_subbyte(sub, pw, ph, depth)
+            if filters is None:
+                pf = [(fi + r) % 5 for r in range(ph)]
+            else:
+                pf = filters[fi : fi + ph]
+            fi += ph
+            raw += _forward_filter_pass(packed, stride, ph, 1, pf)
+        interlace_byte = 1
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    color_type = 0 if palette is None else 3
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace_byte)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
 
 
 def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:

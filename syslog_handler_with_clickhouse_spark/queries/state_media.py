@@ -2770,3 +2770,111 @@ def q367(spark, sf_dir):
         "slot30",
         F.col("days_since").cast("int").alias("days_since"),
     )
+
+
+@query(
+    "q373_png_subbyte_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 21) + 2 AS w,
+             (doc_id % 9) + 2 AS h,
+             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS dep
+      FROM documents WHERE doc_id % 29 = 5
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h, (1 << d.dep) AS npal,
+             (d.doc_id + 3 * t.k) % (1 << d.dep) AS v
+      FROM d, LATERAL (SELECT unnest(range(0, d.w * d.h)) AS k) t
+    ), vals AS (
+      SELECT doc_id, w, h, 1 AS c, v * (255 // (npal - 1)) AS val
+      FROM px WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id, w, h, 3 AS c, (doc_id * 5 + 11 * v) % 256 AS val
+      FROM px WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, w, h, 3 AS c, (doc_id * 7 + 13 * v) % 256 AS val
+      FROM px WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, w, h, 3 AS c, (doc_id * 9 + 17 * v) % 256 AS val
+      FROM px WHERE doc_id % 2 = 0
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(c AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(val) AS BIGINT) AS val_sum,
+           CAST(MIN(val) AS BIGINT) AS val_min,
+           CAST(MAX(val) AS BIGINT) AS val_max
+    FROM vals GROUP BY doc_id, w, h, c
+    """,
+)
+def q373(spark, sf_dir):
+    """SUB-BYTE PNG decode (depths 1/2/4 — the 1-bit fax-scan / 4-bit
+    palette-web-graphic tier) through the shared distributed path:
+    packed MSB-first scanlines ride the UNCHANGED filter layer (a
+    stride-byte packed row filters exactly like a width-stride gray
+    image, bpp=1 per spec §9.2), then unpack + scale (255/85/17 exact)
+    or PLTE-expand.  Fixture rotation: depth cycles 1/2/4, odd doc_ids
+    are gray with all five filter types cycling, even doc_ids are
+    palettized with closed-form palettes, alternating docs are
+    Adam7-interlaced.  The oracle derives the decoded statistics in
+    pure arithmetic — a decoder that mis-packed, mis-filtered, or
+    mis-scaled any row breaks the sum."""
+    import pandas as pd
+
+    from ..operators.multimodal import decode_assets, encode_png_subbyte
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 29 == 5)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 21 + 2, d % 9 + 2
+                dep = {0: 1, 1: 2, 2: 4}[d % 3]
+                npal = 1 << dep
+                samples = [(d + 3 * k) % npal for k in range(w * h)]
+                palette = (
+                    b"".join(
+                        bytes(
+                            [
+                                (d * 5 + 11 * j) % 256,
+                                (d * 7 + 13 * j) % 256,
+                                (d * 9 + 17 * j) % 256,
+                            ]
+                        )
+                        for j in range(npal)
+                    )
+                    if d % 2 == 0
+                    else None
+                )
+                inter = (d // 29) % 2 == 1
+                payloads.append(
+                    encode_png_subbyte(
+                        samples, w, h, dep, palette=palette,
+                        filters=None if inter else [r % 5 for r in range(h)],
+                        interlace=inter,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    return dec.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("val_sum"),
+        F.col("val_min").cast("bigint").alias("val_min"),
+        F.col("val_max").cast("bigint").alias("val_max"),
+    )

@@ -97,13 +97,13 @@ def test_png_crc_mismatch_raises():
 
 
 def test_png_unsupported_features_raise_not_implemented():
-    # depth 16 now decodes (test_png_16bit_roundtrip_and_8bit_view);
-    # sub-byte depths remain format guards
-    ihdr2 = struct.pack(">IIBBBBB", 2, 2, 2, 0, 0, 0, 0)
+    # all legal depths (1/2/4/8/16) now decode; an ILLEGAL depth is
+    # corrupt data (ValueError), not a format guard
+    ihdr2 = struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)
     blob2 = (
         b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr2) + _chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="depth"):
+    with pytest.raises(ValueError, match="depth"):
         decode_png_pixels(blob2)
     # palette (type 3) now decodes — a MISSING PLTE is corrupt, not
     # unsupported; an undefined color type stays a format guard
@@ -552,14 +552,15 @@ def test_png_16bit_roundtrip_and_8bit_view():
     blob8 = encode_png(bytes([0, 1, 128, 255]), 2, 2, 1)
     _, _, _, a = decode_png_pixels16(blob8)
     assert a.tolist() == [0, 257, 128 * 257, 65535]
-    # 1/2/4-bit depths remain guarded
-    import struct as _st
-    ihdr4 = _st.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
-    blob4 = (
-        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr4) + _chunk(b"IEND", b"")
+    # 1/2/4-bit depths now decode (test_png_subbyte_round_trip_grid);
+    # the 16-bit view of a 4-bit gray image is the scaled sample ·257
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        encode_png_subbyte,
     )
-    with pytest.raises(NotImplementedError, match="depth"):
-        decode_png_pixels(blob4)
+
+    blob4 = encode_png_subbyte([0, 5, 10, 15], 2, 2, 4)
+    _, _, _, a4 = decode_png_pixels16(blob4)
+    assert a4.tolist() == [0, 5 * 17 * 257, 10 * 17 * 257, 65535]
 
 
 def test_gif_animation_composition():
@@ -804,3 +805,68 @@ def test_tiff_lzw_kernel_roundtrips():
             data = (b"abcab" * (n // 5 + 1))[:n]
         enc = _tiff_lzw_encode(data)
         assert _tiff_lzw_decode(enc, len(data)) == data, (t, n)
+
+
+def test_png_subbyte_round_trip_grid():
+    """Sub-byte PNG (1/2/4-bit, gray + palette, plain + Adam7) decodes
+    back to the exact encoded samples across a width grid that exercises
+    partial trailing bytes and empty Adam7 passes."""
+    import itertools
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_png_pixels,
+        decode_png_pixels16,
+        encode_png_subbyte,
+    )
+
+    checked = 0
+    for depth, pal, inter, w, h in itertools.product(
+        (1, 2, 4), (False, True), (False, True), (1, 3, 7, 16), (1, 2, 5)
+    ):
+        n = 1 << depth
+        samples = [(k * 3 + 1) % n for k in range(w * h)]
+        palette = (
+            b"".join(
+                bytes([5 * j % 256, 7 * j % 256, (9 * j + 1) % 256])
+                for j in range(n)
+            )
+            if pal
+            else None
+        )
+        filters = None if inter else [r % 5 for r in range(h)]
+        b = encode_png_subbyte(
+            samples, w, h, depth, palette=palette, filters=filters, interlace=inter
+        )
+        W, H, C, px = decode_png_pixels(b)
+        assert (W, H) == (w, h)
+        if pal:
+            assert C == 3
+            exp = b"".join(palette[3 * s : 3 * s + 3] for s in samples)
+        else:
+            assert C == 1
+            exp = bytes(s * (255 // (n - 1)) for s in samples)
+        assert px == exp, (depth, pal, inter, w, h)
+        assert list(decode_png_pixels16(b)[3]) == [v * 257 for v in exp]
+        checked += 1
+    assert checked == 144
+
+
+def test_png_subbyte_rejects_illegal_combinations():
+    import pytest as _pytest
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_subbyte,
+    )
+
+    # sub-byte RGB is illegal per spec §11.2.2 — forge the color type
+    b = bytearray(encode_png_subbyte([0, 1, 1, 0], 2, 2, 1))
+    b[25] = 2  # color type RGB
+    import struct
+    import zlib
+
+    b[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + bytes(b[16:29])))
+    with _pytest.raises(ValueError, match="illegal for color type"):
+        decode_png_pixels(bytes(b))
+    with _pytest.raises(ValueError, match="out of range"):
+        encode_png_subbyte([0, 2], 2, 1, 1)  # sample 2 needs depth > 1
