@@ -680,28 +680,32 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     (colors_used,) = struct.unpack("<I", b[46:50])
     if planes != 1:
         raise ValueError(f"BMP planes {planes} != 1")
-    if compression not in (0, 1):
+    if compression not in (0, 1, 2):
         raise NotImplementedError(f"BMP compression {compression} unsupported")
     if compression == 1 and bpp != 8:
         raise ValueError("RLE8 compression requires 8-bit BMP")
-    if bpp not in (8, 24, 32):
+    if compression == 2 and bpp != 4:
+        raise ValueError("RLE4 compression requires 4-bit BMP")
+    if bpp not in (1, 4, 8, 24, 32):
         raise NotImplementedError(f"{bpp}-bit BMP unsupported")
     if w <= 0 or h_signed == 0:
         raise ValueError("invalid BMP dimensions")
     top_down = h_signed < 0
     h = -h_signed if top_down else h_signed
     palette = None
-    if bpp == 8:
-        npal = colors_used or 256
+    if bpp in (1, 4, 8):
+        npal = colors_used or (1 << bpp)
         pal_off = 14 + dib_size
         palette = b[pal_off : pal_off + 4 * npal]
         if len(palette) != 4 * npal:
             raise ValueError("BMP palette truncated")
-    if compression == 1:
-        # RLE8: decode to an index raster first (rows bottom-up unless
-        # top_down).  Encoded runs (n>0: n copies of next byte) and
+    if compression in (1, 2):
+        # RLE8/RLE4: decode to an index raster first (rows bottom-up
+        # unless top_down).  Encoded runs (n>0: n pixels — RLE8 repeats
+        # the byte, RLE4 alternates the high/low nibbles of it) and
         # escapes (0,0=EOL, 0,1=EOD, 0,2=delta dx,dy, 0,n>=3: absolute
-        # run, word-aligned).  Unwritten pixels stay index 0.
+        # run of n PIXELS — bytes for RLE8, packed nibbles for RLE4 —
+        # word-aligned).  Unwritten pixels stay index 0.
         raster = bytearray(w * h)  # raw order (first decoded row first)
         x = y = 0
         p = data_off
@@ -709,9 +713,12 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
             n, v = b[p], b[p + 1]
             p += 2
             if n > 0:
-                for _ in range(n):
+                for k in range(n):
                     if x < w and y < h:
-                        raster[y * w + x] = v
+                        if compression == 1:
+                            raster[y * w + x] = v
+                        else:
+                            raster[y * w + x] = (v >> 4) if k % 2 == 0 else (v & 15)
                     x += 1
             elif v == 0:  # end of line
                 x, y = 0, y + 1
@@ -721,12 +728,22 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
                 x += b[p]
                 y += b[p + 1]
                 p += 2
-            else:  # absolute run of v bytes
-                for k in range(v):
-                    if x < w and y < h:
-                        raster[y * w + x] = b[p + k]
-                    x += 1
-                p += v + (v & 1)
+            else:  # absolute run of v pixels
+                if compression == 1:
+                    for k in range(v):
+                        if x < w and y < h:
+                            raster[y * w + x] = b[p + k]
+                        x += 1
+                    p += v + (v & 1)
+                else:
+                    for k in range(v):
+                        byte = b[p + k // 2]
+                        idx = (byte >> 4) if k % 2 == 0 else (byte & 15)
+                        if x < w and y < h:
+                            raster[y * w + x] = idx
+                        x += 1
+                    nb = (v + 1) // 2
+                    p += nb + (nb & 1)
         out = bytearray(w * h * 3)
         for r in range(h):
             src_row = r if top_down else h - 1 - r
@@ -738,7 +755,7 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
                 bb, gg, rr, _a = palette[4 * idx : 4 * idx + 4]
                 out[dst + 3 * x : dst + 3 * x + 3] = bytes((rr, gg, bb))
         return w, h, 3, bytes(out)
-    row_bytes = (w * bpp // 8 + 3) & ~3
+    row_bytes = ((w * bpp + 31) // 32) * 4  # bit rows pad to 4 bytes
     need = row_bytes * h
     if len(b) < data_off + need:
         raise ValueError("BMP pixel data truncated")
@@ -755,9 +772,15 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
             for x in range(w):
                 bb, gg, rr = b[base + 4 * x : base + 4 * x + 3]
                 out[dst + 3 * x : dst + 3 * x + 3] = bytes((rr, gg, bb))
-        else:  # 8-bit palettized
+        else:  # 1/4/8-bit palettized (sub-byte rows pack MSB-first)
             for x in range(w):
-                idx = b[base + x]
+                if bpp == 8:
+                    idx = b[base + x]
+                elif bpp == 4:
+                    byte = b[base + x // 2]
+                    idx = (byte >> 4) if x % 2 == 0 else (byte & 15)
+                else:  # 1-bit
+                    idx = (b[base + x // 8] >> (7 - x % 8)) & 1
                 if idx * 4 + 3 > len(palette):
                     raise ValueError(f"BMP palette index {idx} out of range")
                 bb, gg, rr, _a = palette[4 * idx : 4 * idx + 4]
@@ -779,8 +802,9 @@ def encode_bmp(
     if bpp in (24, 32):
         assert len(pixels) == w * h * 3
         pal_bytes = b""
-    elif bpp == 8:
+    elif bpp in (1, 4, 8):
         assert palette is not None and len(pixels) == w * h
+        assert all(v < (1 << bpp) for v in pixels)
         npal = len(palette) // 3
         pal_bytes = b"".join(
             bytes((palette[3 * i + 2], palette[3 * i + 1], palette[3 * i], 0))
@@ -788,13 +812,18 @@ def encode_bmp(
         )
     else:
         raise ValueError(f"unsupported bpp {bpp}")
-    row_bytes = (w * bpp // 8 + 3) & ~3
+    row_bytes = ((w * bpp + 31) // 32) * 4
     data = bytearray()
     rows = range(h) if top_down else range(h - 1, -1, -1)
     for r in rows:
         row = bytearray()
         if bpp == 8:
             row += pixels[r * w : (r + 1) * w]
+        elif bpp in (1, 4):  # MSB-first packed palette indices
+            per = 8 // bpp
+            row = bytearray((w + per - 1) // per)
+            for x in range(w):
+                row[x // per] |= pixels[r * w + x] << (8 - bpp * (x % per + 1))
         else:
             for x in range(w):
                 rr, gg, bb = pixels[(r * w + x) * 3 : (r * w + x) * 3 + 3]
@@ -1950,6 +1979,67 @@ def encode_bmp_rle8(
     data_off = 14 + 40 + len(pal_bytes)
     dib = struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(data), 2835, 2835, npal, 0,
+    )
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
+    return hdr + dib + pal_bytes + bytes(data)
+
+
+def encode_bmp_rle4(
+    indices: bytes, w: int, h: int, palette: bytes,
+    absolute_runs: bool = False,
+) -> bytes:
+    """RLE4-compressed 4-bit BMP builder (fixture twin of the RLE4
+    decode branch): encoded runs carry TWO alternating nibbles per run
+    byte; absolute runs pack nibbles high-first and pad to word
+    alignment.  Rows bottom-up, EOL per row, EOD terminator."""
+    import struct
+
+    assert all(v < 16 for v in indices)
+    npal = len(palette) // 3
+    pal_bytes = b"".join(
+        bytes((palette[3 * i + 2], palette[3 * i + 1], palette[3 * i], 0))
+        for i in range(npal)
+    )
+    data = bytearray()
+    for r in range(h - 1, -1, -1):
+        row = indices[r * w : (r + 1) * w]
+        x = 0
+        if absolute_runs and w >= 3:
+            while x < w:
+                n = min(255, w - x)
+                if n >= 3:
+                    data += bytes([0, n])
+                    nb = (n + 1) // 2
+                    packed = bytearray(nb)
+                    for k in range(n):
+                        packed[k // 2] |= row[x + k] << (4 if k % 2 == 0 else 0)
+                    data += packed
+                    if nb & 1:
+                        data.append(0)  # word alignment
+                else:  # tail shorter than 3: encoded runs
+                    for k in range(n):
+                        data += bytes([1, row[x + k] << 4])
+                x += n
+        else:
+            while x < w:
+                # alternating two-nibble run: count how far the pattern
+                # row[x], row[x+1], row[x], ... repeats
+                a = row[x]
+                bnib = row[x + 1] if x + 1 < w else 0
+                n = 1
+                while (
+                    x + n < w
+                    and n < 255
+                    and row[x + n] == (a if n % 2 == 0 else bnib)
+                ):
+                    n += 1
+                data += bytes([n, (a << 4) | bnib])
+                x += n
+        data += bytes([0, 0])  # EOL
+    data += bytes([0, 1])  # EOD
+    data_off = 14 + 40 + len(pal_bytes)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 4, 2, len(data), 2835, 2835, npal, 0,
     )
     hdr = b"BM" + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
     return hdr + dib + pal_bytes + bytes(data)

@@ -2878,3 +2878,105 @@ def q373(spark, sf_dir):
         F.col("val_min").cast("bigint").alias("val_min"),
         F.col("val_max").cast("bigint").alias("val_max"),
     )
+
+
+@query(
+    "q374_bmp_subbyte_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 19) + 2 AS w,
+             (doc_id % 7) + 2 AS h,
+             CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 16 END AS npal
+      FROM documents WHERE doc_id % 23 = 7
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h,
+             (d.doc_id + 3 * t.k) % d.npal AS v
+      FROM d, LATERAL (SELECT unnest(range(0, d.w * d.h)) AS k) t
+    ), vals AS (
+      SELECT doc_id, w, h, (doc_id * 5 + 11 * v) % 256 AS val FROM px
+      UNION ALL
+      SELECT doc_id, w, h, (doc_id * 7 + 13 * v) % 256 AS val FROM px
+      UNION ALL
+      SELECT doc_id, w, h, (doc_id * 9 + 17 * v) % 256 AS val FROM px
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(val) AS BIGINT) AS val_sum,
+           CAST(MIN(val) AS BIGINT) AS val_min,
+           CAST(MAX(val) AS BIGINT) AS val_max
+    FROM vals GROUP BY doc_id, w, h
+    """,
+)
+def q374(spark, sf_dir):
+    """Sub-byte BMP decode: 1-bit and 4-bit palettized rasters
+    (MSB-first packed rows, 4-byte row padding, both orientations) plus
+    RLE4 compression in BOTH its forms — alternating two-nibble encoded
+    runs and word-aligned absolute nibble runs — through the shared
+    distributed decode path.  Fixture rotation by doc_id: mode cycles
+    {1-bit plain, 4-bit plain, RLE4 encoded, RLE4 absolute}, plain docs
+    alternate top-down/bottom-up.  The oracle derives the decoded RGB
+    statistics from the palette arithmetic alone."""
+    import pandas as pd
+
+    from ..operators.multimodal import decode_assets, encode_bmp, encode_bmp_rle4
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 7)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 19 + 2, d % 7 + 2
+                mode = d % 4
+                npal = 2 if mode == 0 else 16
+                idx = bytes((d + 3 * k) % npal for k in range(w * h))
+                palette = b"".join(
+                    bytes(
+                        [
+                            (d * 5 + 11 * j) % 256,
+                            (d * 7 + 13 * j) % 256,
+                            (d * 9 + 17 * j) % 256,
+                        ]
+                    )
+                    for j in range(npal)
+                )
+                if mode == 0:
+                    payloads.append(
+                        encode_bmp(idx, w, h, bpp=1, palette=palette,
+                                   top_down=(d // 23) % 2 == 1)
+                    )
+                elif mode == 1:
+                    payloads.append(
+                        encode_bmp(idx, w, h, bpp=4, palette=palette,
+                                   top_down=(d // 23) % 2 == 1)
+                    )
+                else:
+                    payloads.append(
+                        encode_bmp_rle4(idx, w, h, palette,
+                                        absolute_runs=mode == 3)
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    return dec.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("val_sum"),
+        F.col("val_min").cast("bigint").alias("val_min"),
+        F.col("val_max").cast("bigint").alias("val_max"),
+    )

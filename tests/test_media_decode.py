@@ -475,11 +475,17 @@ def test_bmp_guards_and_dispatch():
     )
 
     blob = bytearray(encode_bmp(bytes(27), 3, 3))
-    # RLE4 compression -> guard (RLE8 now decodes)
+    # RLE4 now decodes (test_bmp_subbyte_round_trips); declaring it on a
+    # 24-bit image is corrupt data, not a format guard
     rle = bytearray(blob)
     rle[30:34] = struct.pack("<I", 2)
-    with pytest.raises(NotImplementedError, match="compression"):
+    with pytest.raises(ValueError, match="RLE4"):
         decode_bmp_pixels(bytes(rle))
+    # bitfields compression remains a guard
+    bf = bytearray(blob)
+    bf[30:34] = struct.pack("<I", 3)
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_bmp_pixels(bytes(bf))
     # 16-bit -> guard
     b16 = bytearray(blob)
     b16[28:30] = struct.pack("<H", 16)
@@ -870,3 +876,50 @@ def test_png_subbyte_rejects_illegal_combinations():
         decode_png_pixels(bytes(b))
     with _pytest.raises(ValueError, match="out of range"):
         encode_png_subbyte([0, 2], 2, 1, 1)  # sample 2 needs depth > 1
+
+
+def test_bmp_subbyte_round_trips():
+    """1/4-bit uncompressed (both orientations, widths crossing byte
+    boundaries) and RLE4 (encoded alternating-nibble + absolute runs)
+    decode back to the exact palette expansion."""
+    import itertools
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+        encode_bmp_rle4,
+    )
+
+    pal16 = b"".join(
+        bytes([(11 * j) % 256, (7 * j + 3) % 256, (5 * j + 1) % 256])
+        for j in range(16)
+    )
+    pal2 = bytes([10, 20, 30, 200, 210, 220])
+    checked = 0
+    for bpp, w, h, td in itertools.product(
+        (1, 4), (1, 2, 5, 8, 9, 13), (1, 3, 4), (False, True)
+    ):
+        n = 1 << bpp
+        idx = bytes((x * 3 + 1) % n for x in range(w * h))
+        pal = pal2 if bpp == 1 else pal16
+        W, H, C, px = decode_bmp_pixels(
+            encode_bmp(idx, w, h, bpp=bpp, palette=pal, top_down=td)
+        )
+        assert (W, H, C) == (w, h, 3)
+        assert px == b"".join(pal[3 * i : 3 * i + 3] for i in idx), (bpp, w, h, td)
+        checked += 1
+    for w, h, absr in itertools.product((1, 2, 3, 5, 9, 14), (1, 2, 4), (False, True)):
+        idx = bytes((x * 5 + x // 3) % 16 for x in range(w * h))
+        W, H, C, px = decode_bmp_pixels(
+            encode_bmp_rle4(idx, w, h, pal16, absolute_runs=absr)
+        )
+        assert (W, H, C) == (w, h, 3)
+        assert px == b"".join(pal16[3 * i : 3 * i + 3] for i in idx), (w, h, absr)
+        checked += 1
+    # a genuine alternating two-nibble run compresses to ONE run byte
+    idx = bytes([3, 7] * 8)
+    blob = encode_bmp_rle4(idx, 16, 1, pal16)
+    assert decode_bmp_pixels(blob)[3] == b"".join(
+        pal16[3 * i : 3 * i + 3] for i in idx
+    )
+    assert checked == 108
