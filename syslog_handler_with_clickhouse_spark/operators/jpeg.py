@@ -37,9 +37,14 @@ Scope (what "baseline" means here, per ITU-T T.81):
   226-symbol) Huffman tables carried in DHT; decode returns the
   high-byte 8-bit view (>> 4, the 16-bit-PNG convention).  Encoder:
   ``encode_jpeg12``.
-- Arithmetic coding, 12-bit progressive/color, lossless (SOF3), and
-  hierarchical modes raise ``NotImplementedError`` — format guards,
-  not stubs.
+- LOSSLESS (SOF3, Annex H): predictive coding with all seven
+  predictors, mod-2^16 differences in DC-style VLI categories (cat 16
+  = +32768, no extra bits), point transform, restart intervals with
+  the first-line-of-interval Ra rule, precisions 2-16 (exact bytes at
+  8, high-byte view deeper), interleaved 1x1 components.  Encoder:
+  ``encode_jpeg_lossless``.
+- Arithmetic coding, 12-bit progressive/color, and hierarchical modes
+  raise ``NotImplementedError`` — format guards, not stubs.
 
 All constant tables below are the public ITU-T T.81 Annex K examples
 (the tables every libjpeg-compatible encoder ships).  The DCT is the
@@ -511,11 +516,11 @@ def encode_jpeg(
 
 
 def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline sequential JPEG to
-    ``(width, height, channels, pixel_bytes)`` (row-major, interleaved
-    RGB for 3 components, grayscale for 1).  Raises ``ValueError`` on
-    corrupt streams and ``NotImplementedError`` for progressive /
-    arithmetic / 12-bit variants."""
+    """Decode a JPEG (baseline SOF0/SOF1, progressive SOF2, lossless
+    SOF3, 12-bit baseline grayscale) to ``(width, height, channels,
+    pixel_bytes)`` (row-major, interleaved RGB for 3 components,
+    grayscale for 1).  Raises ``ValueError`` on corrupt streams and
+    ``NotImplementedError`` for arithmetic / hierarchical variants."""
     try:
         return _decode_jpeg(b)
     except (IndexError, struct.error) as e:  # truncated stream
@@ -532,6 +537,7 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     restart_interval = 0
     scan = None
     progressive = False
+    lossless = False
     precision = 8
 
     while pos < len(b):
@@ -548,6 +554,11 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
             # DHT redefinitions) to the multi-scan decoder
             return _decode_jpeg_progressive(
                 b, pos - 2, qtabs, huff_dec, frame, restart_interval
+            )
+        if marker == 0xDA and lossless:
+            # SOF3: hand the scan to the predictive decoder
+            return _decode_jpeg_lossless(
+                b, pos - 2, huff_dec, frame, restart_interval, precision
             )
         seg_len = struct.unpack(">H", b[pos : pos + 2])[0]
         seg = b[pos + 2 : pos + seg_len]
@@ -583,12 +594,16 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 _, dec = _build_huffman(bits, vals)
                 huff_dec[(tc, th)] = dec
                 sp += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2/3
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            if prec not in (8, 12):
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise ValueError(f"invalid lossless precision {prec}")
+            elif prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit precision")
-            if prec == 12 and (progressive or nc != 1):
+            if prec == 12 and not lossless and (progressive or nc != 1):
                 raise NotImplementedError(
                     "12-bit JPEG supported for baseline grayscale only"
                 )
@@ -600,7 +615,7 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
             frame = (h, w, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF{marker - 0xC0} mode")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -1477,3 +1492,182 @@ def encode_jpeg12(
     out += w.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------
+# Lossless JPEG (SOF3, T.81 Annex H) — predictive, Huffman-coded
+# ---------------------------------------------------------------------
+
+# one shared DC-class table covering every difference category 0..16,
+# all codes length 5 (17/32 < 1 satisfies the canonical Kraft bound)
+_LL_BITS = [0, 0, 0, 0, 17] + [0] * 11
+_LL_VALS = list(range(17))
+
+
+def _ll_predict(plane, x, y, predictor, default, istart_x, istart_y):
+    """T.81 H.1.1/H.2.3 prediction: the first sample of the scan and of
+    every restart interval predicts from 2^(P-Pt-1); the REMAINDER of
+    the line the interval starts on uses the 1-D horizontal predictor
+    (Ra); column 0 of later lines uses Rb; everything else uses the
+    selected predictor (>> is the spec's arithmetic shift)."""
+    if y == istart_y:
+        return default if x == istart_x else plane[y][x - 1]
+    if x == 0:
+        return plane[y - 1][0]
+    ra, rb, rc = plane[y][x - 1], plane[y - 1][x], plane[y - 1][x - 1]
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    if predictor == 3:
+        return rc
+    if predictor == 4:
+        return ra + rb - rc
+    if predictor == 5:
+        return ra + ((rb - rc) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # predictor 7
+
+
+def encode_jpeg_lossless(
+    samples, width: int, height: int, channels: int = 1,
+    predictor: int = 1, precision: int = 8, restart_interval: int = 0,
+    point_transform: int = 0,
+) -> bytes:
+    """Lossless-JPEG (SOF3) encoder — fixture twin of the SOF3 decode
+    path.  ``samples`` is row-major channel-interleaved ints in
+    ``0..2**precision-1``; components are coded interleaved with 1×1
+    sampling (one sample per component per MCU, the layout DNG/DICOM
+    writers emit).  Differences are mod-2^16 with the DC-style VLI
+    categories; category 16 (diff = 32768) carries no extra bits."""
+    samples = list(samples)
+    if len(samples) != width * height * channels:
+        raise ValueError("samples length != width*height*channels")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid predictor {predictor}")
+    if not 2 <= precision <= 16:
+        raise ValueError(f"invalid precision {precision}")
+    if any(not 0 <= v < (1 << precision) for v in samples):
+        raise ValueError("sample out of range for precision")
+    planes = [
+        [
+            [samples[(y * width + x) * channels + c] >> point_transform
+             for x in range(width)]
+            for y in range(height)
+        ]
+        for c in range(channels)
+    ]
+    enc, _ = _build_huffman(_LL_BITS, _LL_VALS)
+    wtr = _BitWriter()
+    default = 1 << (precision - 1 - point_transform)
+    rst = [0]
+    istart = (0, 0)
+    for idx in range(width * height):
+        y, x = divmod(idx, width)
+        if restart_interval and idx and idx % restart_interval == 0:
+            _emit_restart(wtr, rst)
+            istart = (x, y)
+        for c in range(channels):
+            pred = _ll_predict(
+                planes[c], x, y, predictor, default, istart[0], istart[1]
+            )
+            d = (planes[c][y][x] - pred) & 0xFFFF
+            if d == 32768:
+                code, ln = enc[16]
+                wtr.write(code, ln)
+            else:
+                signed = d - 65536 if d > 32768 else d
+                ssss = abs(signed).bit_length()
+                code, ln = enc[ssss]
+                wtr.write(code, ln)
+                if ssss:
+                    bitsv = signed if signed >= 0 else signed + (1 << ssss) - 1
+                    wtr.write(bitsv, ssss)
+    wtr.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(_LL_VALS))
+        + bytes([0x00])
+        + bytes(_LL_BITS)
+        + bytes(_LL_VALS)
+    )
+    out += b"\xff\xc3" + struct.pack(
+        ">HBHHB", 8 + 3 * channels, precision, height, width, channels
+    )
+    for c in range(channels):
+        out += bytes([c + 1, 0x11, 0])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * channels, channels)
+    for c in range(channels):
+        out += bytes([c + 1, 0x00])
+    out += bytes([predictor, 0, point_transform])
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_jpeg_lossless(b, pos, huff_dec, frame, restart_interval, precision):
+    """SOF3 scan decode: ``pos`` sits on the SOS marker.  Returns
+    ``(w, h, channels, bytes)`` — exact samples for precision ≤ 8, the
+    high-byte view for deeper samples (the q353/q358 convention)."""
+    if b[pos] != 0xFF or b[pos + 1] != 0xDA:
+        raise ValueError("expected SOS")
+    seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+    seg = b[pos + 4 : pos + 2 + seg_len]
+    ns = seg[0]
+    h, w, comps = frame
+    if ns != len(comps):
+        raise NotImplementedError("multi-scan lossless JPEG unsupported")
+    by_id = {c["id"]: c for c in comps}
+    tables = []
+    for i in range(ns):
+        cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
+        c = by_id.get(cs)
+        if c is None:
+            raise ValueError(f"scan references unknown component {cs}")
+        if c["h"] != 1 or c["v"] != 1:
+            raise NotImplementedError("lossless JPEG with subsampling")
+        dc = huff_dec.get((0, tdta >> 4))
+        if dc is None:
+            raise ValueError("scan references missing Huffman table")
+        tables.append(dc)
+    predictor, _se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+    al = ahal & 15
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+
+    r = _BitReader(b, pos + 2 + seg_len)
+    default = 1 << (precision - 1 - al)
+    planes = [[[0] * w for _ in range(h)] for _ in range(ns)]
+    rst = 0
+    istart = (0, 0)
+    for idx in range(w * h):
+        y, x = divmod(idx, w)
+        if restart_interval and idx and idx % restart_interval == 0:
+            r.sync_restart(rst)
+            rst += 1
+            istart = (x, y)
+        for ci in range(ns):
+            s = _decode_huff(r, tables[ci])
+            if s == 16:
+                diff = 32768
+            elif s:
+                diff = _extend(r.receive(s), s)
+            else:
+                diff = 0
+            pred = _ll_predict(
+                planes[ci], x, y, predictor, default, istart[0], istart[1]
+            )
+            planes[ci][y][x] = (pred + diff) & 0xFFFF
+    shift_down = max(0, precision - 8)
+    out = bytearray(w * h * ns)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ns):
+                v = (planes[ci][y][x] << al) & 0xFFFF
+                out[(y * w + x) * ns + ci] = (v >> shift_down) & 0xFF
+    return w, h, ns, bytes(out)

@@ -1197,10 +1197,10 @@ def decode_real(payload: bytes):
     — its LZW entropy decode is pure table arithmetic, implemented in
     :func:`_gif_lzw_decode`.  JPEG (SOF0/SOF1 baseline AND SOF2
     progressive — both axes, any sampling factors, restart intervals;
-    8-bit) is decoded by the stdlib+numpy codec in :mod:`.jpeg` —
-    Huffman → dequantize → IDCT → upsample → YCbCr→RGB — returning
-    ``("jpeg", width, height, channels, pixel_bytes)``.  Arithmetic /
-    12-bit / lossless (SOF3) JPEGs raise ``NotImplementedError``
+    8-bit; 12-bit baseline grayscale; SOF3 lossless with all seven
+    predictors) is decoded by the stdlib+numpy codec in :mod:`.jpeg`,
+    returning ``("jpeg", width, height, channels, pixel_bytes)``.
+    Arithmetic-coded / hierarchical JPEGs raise ``NotImplementedError``
     (format guards inside a real decoder, not stubs)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return ("png", *decode_png_pixels(payload))

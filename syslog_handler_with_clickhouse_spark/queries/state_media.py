@@ -2980,3 +2980,78 @@ def q374(spark, sf_dir):
         F.col("val_min").cast("bigint").alias("val_min"),
         F.col("val_max").cast("bigint").alias("val_max"),
     )
+
+
+@query(
+    "q375_jpeg_lossless_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 17) + 2 AS w,
+             (doc_id % 6) + 2 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS c
+      FROM documents WHERE doc_id % 37 = 11
+    )
+    SELECT d.doc_id,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(d.c AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM((d.doc_id + 7 * t.k) % 256) AS BIGINT) AS val_sum,
+           CAST(MIN((d.doc_id + 7 * t.k) % 256) AS BIGINT) AS val_min,
+           CAST(MAX((d.doc_id + 7 * t.k) % 256) AS BIGINT) AS val_max
+    FROM d, LATERAL (SELECT unnest(range(0, d.w * d.h * d.c)) AS k) t
+    GROUP BY d.doc_id, d.w, d.h, d.c
+    """,
+)
+def q375(spark, sf_dir):
+    """LOSSLESS JPEG (SOF3, T.81 Annex H) decode through the shared
+    distributed path — the DNG/DICOM raw tier: predictive coding with
+    the predictor rotating over all seven selectors by doc_id, mod-2^16
+    VLI differences, gray and 3-component interleaved frames, and
+    mid-row restart intervals on every third doc (exercising the
+    first-line-of-interval Ra rule).  Lossless means decode == encoded
+    samples EXACTLY, so the oracle derives the statistics from the
+    sample formula alone — any predictor/restart drift breaks the sum."""
+    import pandas as pd
+
+    from ..operators.jpeg import encode_jpeg_lossless
+    from ..operators.multimodal import decode_assets
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 37 == 11)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 17 + 2, d % 6 + 2
+                ch = 3 if d % 2 == 0 else 1
+                samples = [(d + 7 * k) % 256 for k in range(w * h * ch)]
+                payloads.append(
+                    encode_jpeg_lossless(
+                        samples, w, h, channels=ch,
+                        predictor=d % 7 + 1,
+                        restart_interval=5 if d % 3 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    return dec.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("val_sum"),
+        F.col("val_min").cast("bigint").alias("val_min"),
+        F.col("val_max").cast("bigint").alias("val_max"),
+    )

@@ -130,8 +130,14 @@ def test_unsupported_modes_raise_notimplemented():
     jb[i + 1] = 0xC2
     with pytest.raises(ValueError):
         decode_jpeg_pixels(bytes(jb))
-    # genuinely unsupported: lossless sequential (SOF3)
+    # SOF3 is now SUPPORTED (test_lossless_*) — a baseline stream merely
+    # relabeled as lossless carries an illegal predictor 0 (Ss=0) and is
+    # rejected as corrupt
     jb[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="predictor"):
+        decode_jpeg_pixels(bytes(jb))
+    # genuinely unsupported: arithmetic-coded sequential (SOF9)
+    jb[i + 1] = 0xC9
     with pytest.raises(NotImplementedError):
         decode_jpeg_pixels(bytes(jb))
 
@@ -410,3 +416,68 @@ def test_12bit_baseline_grayscale():
         assert out == bytes(s >> 4 for s in samples), (w, h)
     with pytest.raises(ValueError):
         encode_jpeg12([5000], 1, 1)  # out of 12-bit range
+
+
+def test_lossless_round_trips():
+    """SOF3 across all seven predictors, 1/3 components, restart
+    intervals INCLUDING mid-row restarts (the first-line-of-interval Ra
+    rule), 16-bit precision (high-byte view) and point transform."""
+    import itertools
+    import random
+
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg_lossless,
+    )
+
+    rng = random.Random(42)
+    for pred, ch, ri, (w, h) in itertools.product(
+        range(1, 8), (1, 3), (0, 3, 5), ((1, 1), (4, 3), (7, 5))
+    ):
+        if ri and ri >= w * h:
+            continue
+        samples = [rng.randrange(256) for _ in range(w * h * ch)]
+        blob = encode_jpeg_lossless(
+            samples, w, h, channels=ch, predictor=pred, restart_interval=ri
+        )
+        W, H, C, px = decode_jpeg_pixels(blob)
+        assert (W, H, C) == (w, h, ch)
+        assert list(px) == samples, (pred, ch, ri, w, h)
+    samples16 = [rng.randrange(65536) for _ in range(12)]
+    blob = encode_jpeg_lossless(samples16, 4, 3, precision=16, predictor=4)
+    assert list(decode_jpeg_pixels(blob)[3]) == [v >> 8 for v in samples16]
+    s = [rng.randrange(256) for _ in range(20)]
+    blob = encode_jpeg_lossless(s, 5, 4, predictor=7, point_transform=2)
+    assert list(decode_jpeg_pixels(blob)[3]) == [(v >> 2) << 2 for v in s]
+
+
+def test_lossless_bitstream_hand_pinned():
+    """Spec-arithmetic pin INDEPENDENT of the encoder/decoder pair (a
+    symmetric bug cannot hide): 2×2 gray [100,102,99,99], predictor 1.
+    With the 17-symbol all-length-5 table (canonical codes = category
+    values), the entropy stream is hand-derived per T.81 H.1/H.2:
+      (0,0) pred=128 diff=-28  -> cat5 00101 + VLI 00011
+      (1,0) Ra=100  diff=+2    -> cat2 00010 + VLI 10
+      (0,1) Rb=100  diff=-1    -> cat1 00001 + VLI 0
+      (1,1) Ra=99   diff=0     -> cat0 00000
+    padded with 1-bits = bytes 28 C5 04 0F."""
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg_lossless,
+    )
+
+    blob = encode_jpeg_lossless([100, 102, 99, 99], 2, 2, predictor=1)
+    assert blob.endswith(bytes([0x28, 0xC5, 0x04, 0x0F, 0xFF, 0xD9]))
+    assert decode_jpeg_pixels(blob) == (2, 2, 1, bytes([100, 102, 99, 99]))
+
+
+def test_lossless_category16_edge():
+    """diff = 32768 codes as category 16 with NO extra bits (T.81
+    H.1.2.2): precision 16 with sample 0 after the 32768 default
+    prediction exercises it in both directions."""
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg_lossless,
+    )
+
+    # (0,0): pred = 1 << 15 = 32768, sample 0 -> diff = -32768 ≡ 32768
+    samples = [0, 32768]
+    blob = encode_jpeg_lossless(samples, 2, 1, precision=16, predictor=1)
+    assert list(decode_jpeg_pixels(blob)[3]) == [0 >> 8, 32768 >> 8]
