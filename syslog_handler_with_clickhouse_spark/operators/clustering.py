@@ -61,9 +61,6 @@ def _d2(a, b):
     )
 
 
-_FAR = 1 << 62  # sentinel "worse than any real distance" seed
-
-
 def _centroid_array(cent: DataFrame) -> DataFrame:
     """Collapse the (cell, cv) centroid set into one broadcastable row
     holding array<struct<cell, cv>> sorted by cell (struct sort order is
@@ -76,23 +73,20 @@ def _centroid_array(cent: DataFrame) -> DataFrame:
 def assign_nearest(v: DataFrame, cent: DataFrame) -> DataFrame:
     """(vid, cluster, d2): exact-argmin assignment as a PROJECTION.
 
-    The centroid set rides in as one broadcast row; a higher-order fold
-    over it keeps the running (d2, cell) minimum with a lower-cell
-    tiebreak.  No shuffle of ``v``, no |v|×k intermediate rows.
+    The centroid set rides in as one broadcast row; a higher-order
+    ``transform`` scores each centroid ONCE into a (d2, cell) struct and
+    ``array_min``'s lexicographic struct ordering delivers the argmin
+    with the lower-cell tiebreak.  No shuffle of ``v``, no |v|×k
+    intermediate rows, each distance computed exactly once.
     """
-    acc0 = F.struct(
-        F.lit(_FAR).cast("bigint").alias("d2"),
-        F.lit(-1).cast("bigint").alias("cell"),
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            _d2(F.col("qv"), c.cv).alias("d2"),
+            c.cell.cast("bigint").alias("cell"),
+        ),
     )
-
-    def step(acc, c):
-        d = _d2(F.col("qv"), c.cv)
-        better = (d < acc.d2) | ((d == acc.d2) & (c.cell < acc.cell))
-        return F.when(
-            better, F.struct(d.alias("d2"), c.cell.cast("bigint").alias("cell"))
-        ).otherwise(acc)
-
-    best = F.aggregate(F.col("cents"), acc0, step)
+    best = F.array_min(scored)
     return (
         v.crossJoin(F.broadcast(_centroid_array(cent)))
         .withColumn("best", best)

@@ -842,6 +842,164 @@ def encode_bmp(
     return hdr + dib + pal_bytes + bytes(data)
 
 
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(nib: int, pred: int, idx: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step (the reference recurrence both the
+    encoder's embedded decoder and the SQL-oracle re-derivation use):
+    diff = (2·mag+1)·step/8 via the shift/add form, predictor clamped
+    to int16, step index walked by the standard table."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if nib & 4:
+        diff += step
+    if nib & 2:
+        diff += step >> 1
+    if nib & 1:
+        diff += step >> 2
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+    return pred, idx
+
+
+def _ima_adpcm_decode(data: bytes, channels: int, block_align: int) -> list:
+    """IMA ADPCM (WAV tag 0x11) block decode: per block and channel a
+    4-byte header (int16 predictor = the block's FIRST output sample,
+    step index, reserved), then nibble data — low nibble first, and for
+    stereo interleaved in 4-byte per-channel groups (8 samples each)."""
+    import struct
+
+    if block_align < 4 * channels:
+        raise ValueError("IMA ADPCM block_align smaller than headers")
+    out_per_ch: list[list[int]] = [[] for _ in range(channels)]
+    for boff in range(0, len(data), block_align):
+        block = data[boff : boff + block_align]
+        if len(block) < 4 * channels:
+            break  # trailing garbage shorter than headers
+        preds, idxs = [], []
+        for c in range(channels):
+            p, i, _r = struct.unpack("<hBB", block[4 * c : 4 * c + 4])
+            if i > 88:
+                raise ValueError(f"IMA ADPCM step index {i} out of range")
+            preds.append(p)
+            idxs.append(i)
+            out_per_ch[c].append(p)
+        body = block[4 * channels :]
+        # walk 4-byte groups, rotating across channels
+        for g in range(len(body) // 4):
+            c = g % channels
+            for byte in body[4 * g : 4 * g + 4]:
+                for nib in (byte & 15, byte >> 4):  # low nibble first
+                    preds[c], idxs[c] = _ima_step(nib, preds[c], idxs[c])
+                    out_per_ch[c].append(preds[c])
+    # interleave channels; block sample counts are equal by construction
+    out = []
+    for k in range(max(len(ch) for ch in out_per_ch) if out_per_ch else 0):
+        for c in range(channels):
+            if k < len(out_per_ch[c]):
+                out.append(out_per_ch[c][k])
+    return out
+
+
+def _ima_wav_container(
+    body: bytes, rate: int, channels: int, block_align: int, n_samples: int
+) -> bytes:
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHHH", 0x11, channels, rate,
+        rate * block_align // max(1, _ima_samples_per_block(block_align, channels)),
+        block_align, 4, 2,
+    ) + struct.pack("<H", _ima_samples_per_block(block_align, channels))
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_samples)
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    if len(body) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _ima_samples_per_block(block_align: int, channels: int) -> int:
+    return (block_align - 4 * channels) * 2 // channels + 1
+
+
+def encode_wav_ima_adpcm_raw(
+    nibbles, rate: int, pred0: int, idx0: int
+) -> bytes:
+    """Mono single-block IMA ADPCM WAV from an EXPLICIT nibble sequence
+    (fixture builder: the decoded samples are then the deterministic
+    `_ima_step` recurrence, which the SQL oracle re-derives
+    independently).  ``len(nibbles)`` must be a multiple of 8."""
+    nibbles = list(nibbles)
+    if len(nibbles) % 8:
+        raise ValueError("nibble count must be a multiple of 8")
+    if any(not 0 <= n < 16 for n in nibbles):
+        raise ValueError("nibbles must be 0..15")
+    import struct
+
+    body = bytearray(struct.pack("<hBB", pred0, idx0, 0))
+    for k in range(0, len(nibbles), 2):
+        body.append(nibbles[k] | (nibbles[k + 1] << 4))
+    return _ima_wav_container(
+        bytes(body), rate, 1, len(body), len(nibbles) + 1
+    )
+
+
+def encode_wav_ima_adpcm(samples, rate: int) -> bytes:
+    """Lossy mono IMA ADPCM encoder (single block): quantizes each
+    difference to the nibble whose embedded-decoder reconstruction the
+    decoder will reproduce EXACTLY (encoder and decoder share
+    `_ima_step`), so decode(encode(x)) equals the encoder's own
+    reconstruction bit-for-bit and tracks x within the step size."""
+    samples = [int(v) for v in samples]
+    if not samples:
+        raise ValueError("empty sample sequence")
+    if any(not -32768 <= v <= 32767 for v in samples):
+        raise ValueError("samples must be int16")
+    # seed the step index near the signal's mean |delta| (what real
+    # encoders do) so the adaptive transient doesn't dominate short clips
+    if len(samples) > 1:
+        mean_d = sum(abs(b - a) for a, b in zip(samples, samples[1:])) / (
+            len(samples) - 1
+        )
+        idx0 = min(range(89), key=lambda i: abs(_IMA_STEPS[i] - mean_d))
+    else:
+        idx0 = 0
+    pred, idx = samples[0], idx0
+    nibbles = []
+    for v in samples[1:]:
+        diff = v - pred
+        nib = 8 if diff < 0 else 0
+        diff = abs(diff)
+        step = _IMA_STEPS[idx]
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        pred, idx = _ima_step(nib, pred, idx)
+        nibbles.append(nib)
+    while len(nibbles) % 8:
+        nibbles.append(0)
+    return encode_wav_ima_adpcm_raw(nibbles, rate, samples[0], idx0)
+
+
 def decode_wav_samples(b: bytes) -> tuple[int, int, int, "object"]:
     """REAL WAV sample decode with stdlib ``struct`` + numpy
     ``frombuffer`` — integer PCM (format tag 1: 8-bit unsigned, 16-bit
@@ -850,9 +1008,10 @@ def decode_wav_samples(b: bytes) -> tuple[int, int, int, "object"]:
 
     Returns ``(sample_rate, channels, bits, samples)`` where ``samples``
     is a 1-D numpy array of interleaved channel samples — int64 for
-    PCM, float64 for IEEE float.  WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+    PCM/ADPCM, float64 for IEEE float.  WAVE_FORMAT_EXTENSIBLE (0xFFFE)
     unwraps to the SubFormat GUID's real tag (multichannel exports);
-    compressed tags raise ``NotImplementedError``."""
+    IMA ADPCM (tag 0x11) block-decodes via :func:`_ima_adpcm_decode`;
+    other compressed tags raise ``NotImplementedError``."""
     import struct
 
     import numpy as np
@@ -883,12 +1042,18 @@ def decode_wav_samples(b: bytes) -> tuple[int, int, int, "object"]:
         if fmt_body is None or len(fmt_body) < 26:
             raise ValueError("extensible WAV fmt chunk truncated")
         tag = struct.unpack("<H", fmt_body[24:26])[0]
-    if tag not in (1, 3):
+    if tag not in (1, 3, 0x11):
         raise NotImplementedError(
-            f"WAV format tag {tag} unsupported (PCM + IEEE float only)"
+            f"WAV format tag {tag} unsupported (PCM / IEEE float / "
+            "IMA ADPCM only)"
         )
     if data is None:
         raise ValueError("missing data chunk")
+    if tag == 0x11:
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM requires 4-bit samples, got {bits}")
+        samples = _ima_adpcm_decode(data, channels, _block_align)
+        return rate, channels, bits, np.asarray(samples, dtype=np.int64)
     if tag == 3:
         if bits != 32:
             raise NotImplementedError(f"{bits}-bit IEEE float unsupported")

@@ -3055,3 +3055,98 @@ def q375(spark, sf_dir):
         F.col("val_min").cast("bigint").alias("val_min"),
         F.col("val_max").cast("bigint").alias("val_max"),
     )
+
+
+@query(
+    "q376_wav_ima_adpcm_decode",
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             ((doc_id % 13) + 2) * 8 AS n,
+             (doc_id * 37) % 2000 - 1000 AS p0,
+             (doc_id * 7) % 89 AS i0
+      FROM documents WHERE doc_id % 41 = 3
+    ), rec AS (
+      SELECT doc_id, n, 0 AS k, CAST(p0 AS BIGINT) AS pred, CAST(i0 AS INT) AS idx
+      FROM d
+      UNION ALL
+      SELECT doc_id, n, k + 1,
+             CAST(GREATEST(-32768, LEAST(32767,
+                  pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)) AS BIGINT),
+             CAST(GREATEST(0, LEAST(88,
+                  idx + CASE WHEN nib % 8 < 4 THEN -1
+                             ELSE ((nib % 8) - 3) * 2 END)) AS INT)
+      FROM (
+        SELECT doc_id, n, k, pred, idx, nib,
+               (step >> 3)
+               + CASE WHEN (nib % 8) >= 4 THEN step ELSE 0 END
+               + CASE WHEN (nib % 4) >= 2 THEN step >> 1 ELSE 0 END
+               + CASE WHEN (nib % 2) = 1 THEN step >> 2 ELSE 0 END AS diff
+        FROM (
+          SELECT doc_id, n, k, pred, idx,
+                 (doc_id + 5 * k) % 16 AS nib,
+                 list_extract([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767], idx + 1) AS step
+          FROM rec WHERE k < n
+        )
+      )
+    )
+    SELECT doc_id,
+           CAST(1 AS INT) AS channels,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(pred) AS BIGINT) AS val_sum,
+           CAST(MIN(pred) AS BIGINT) AS val_min,
+           CAST(MAX(pred) AS BIGINT) AS val_max
+    FROM rec GROUP BY doc_id
+""",
+)
+def q376(spark, sf_dir):
+    """IMA ADPCM WAV (format tag 0x11 — the classic 4-bit compressed
+    telephony/dictation codec) decoded through the shared distributed
+    path: per-block header (predictor = first output sample, step
+    index), low-nibble-first data, shift/add difference expansion,
+    int16 clamp, table-walked step adaptation.  Fixtures are built from
+    EXPLICIT nibble sequences (``encode_wav_ima_adpcm_raw``), so the
+    decoded samples are the deterministic IMA recurrence — which the
+    oracle RE-DERIVES independently as a recursive SQL CTE over the
+    step table (a cross-implementation differential, not a shared
+    code path)."""
+    import pandas as pd
+
+    from ..operators.multimodal import decode_assets, encode_wav_ima_adpcm_raw
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 41 == 3)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = ((d % 13) + 2) * 8
+                payloads.append(
+                    encode_wav_ima_adpcm_raw(
+                        [(d + 5 * k) % 16 for k in range(n)],
+                        8000,
+                        (d * 37) % 2000 - 1000,
+                        (d * 7) % 89,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    return dec.select(
+        "doc_id",
+        F.col("channels").cast("int").alias("channels"),
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("val_sum"),
+        F.col("val_min").cast("bigint").alias("val_min"),
+        F.col("val_max").cast("bigint").alias("val_max"),
+    )

@@ -923,3 +923,63 @@ def test_bmp_subbyte_round_trips():
         pal16[3 * i : 3 * i + 3] for i in idx
     )
     assert checked == 108
+
+
+def test_ima_adpcm_raw_matches_reference_recurrence():
+    """Raw-nibble fixture decode == the `_ima_step` recurrence, state
+    carried exactly (predictor clamp + index walk)."""
+    import random
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        _ima_step,
+        encode_wav_ima_adpcm_raw,
+    )
+
+    rng = random.Random(7)
+    nibbles = [rng.randrange(16) for _ in range(64)]
+    pred0, idx0 = -1234, 17
+    rate, ch, bits, got = decode_wav_samples(
+        encode_wav_ima_adpcm_raw(nibbles, 8000, pred0, idx0)
+    )
+    assert (rate, ch, bits) == (8000, 1, 4)
+    exp = [pred0]
+    p, i = pred0, idx0
+    for n in nibbles:
+        p, i = _ima_step(n, p, i)
+        exp.append(p)
+    assert got.tolist() == exp
+
+
+def test_ima_adpcm_lossy_encoder_tracks_signal():
+    """decode(encode(sine)) stays within a small fraction of the
+    amplitude once the step index is seeded from the signal."""
+    import math
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        encode_wav_ima_adpcm,
+    )
+
+    sine = [int(8000 * math.sin(k / 10)) for k in range(200)]
+    _, _, _, got = decode_wav_samples(encode_wav_ima_adpcm(sine, 8000))
+    assert max(abs(a - b) for a, b in zip(got.tolist(), sine)) < 800
+
+
+def test_ima_adpcm_clamps_and_guards():
+    """Predictor saturates at int16 bounds; an out-of-range step index
+    is corrupt; non-4-bit ADPCM is corrupt."""
+    import struct
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        encode_wav_ima_adpcm_raw,
+    )
+
+    # all-max positive nibbles from near the top: clamps at 32767
+    blob = encode_wav_ima_adpcm_raw([7] * 8, 8000, 32700, 88)
+    _, _, _, got = decode_wav_samples(blob)
+    assert got.max() == 32767
+    # step index 89 in the header -> corrupt
+    bad = bytearray(encode_wav_ima_adpcm_raw([0] * 8, 8000, 0, 0))
+    i = bad.find(b"data") + 8 + 2
+    bad[i] = 89
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav_samples(bytes(bad))
