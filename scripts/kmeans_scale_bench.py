@@ -73,7 +73,18 @@ def main() -> None:
         cent = cent.localCheckpoint(eager=True)
         t_train = time.monotonic() - t0
         t0 = time.monotonic()
-        n_rows = clustering.assign_nearest(v, cent).select("vid", "cluster").count()
+        # aggregate over the COMPUTED columns — a bare count() would let
+        # Catalyst prune the assignment projection away entirely
+        row = (
+            clustering.assign_nearest(v, cent)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cluster").alias("cl_sum"),
+                F.avg("d2").alias("d2_avg"),  # sum would overflow long
+            )
+            .first()
+        )
+        n_rows = row["n"]
         t_assign = time.monotonic() - t0
         cent.unpersist()
         rec = {

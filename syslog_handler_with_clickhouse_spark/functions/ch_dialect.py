@@ -62,6 +62,14 @@ ANY [LEFT|INNER] JOIN t     right side deduped to one row per key
   USING (k)                   via row_number (ON-form and ASOF raise)
 arraySlice/arrayResize/     slice/concat/array_repeat compositions
   arrayRotateLeft|Right
+position(h, n) /            locate (1-based, 0 = absent; the
+  positionCaseInsensitive     SQL-standard IN form passes through)
+hasToken(h, 'tok')          token-boundary RLIKE (literal
+                            alphanumeric tokens only — the CH
+                            tokenizer contract; else raises)
+countSubstrings(h, n)       replace-length arithmetic
+                            (non-overlapping, left-to-right)
+multiSearchAny(h, [..])     exists(array(..), n -> locate > 0)
 ==========================  =====================================
 
 String literals are never rewritten: every rule (the call rewriter and
@@ -339,6 +347,55 @@ def translate_ch_sql(sql: str) -> str:
 
     s = _rewrite_calls(s, "splitByChar", _split_by_char)
     s = _rewrite_calls(s, "match", lambda a: f"regexp_like({a[0]}, {a[1]})")
+
+    # string search family
+    s = _rewrite_calls(
+        s, "positionCaseInsensitive",
+        lambda a: f"locate(lower({a[1]}), lower({a[0]}))",
+    )
+
+    def _position(a):
+        if len(a) == 2:  # CH position(haystack, needle) — 1-based, 0=absent
+            return f"locate({a[1]}, {a[0]})"
+        # SQL-standard position(sub IN str): pass through, backquoted so
+        # the emission can't re-match this rule's own pattern
+        return f"`position`({', '.join(a)})"
+
+    s = _rewrite_calls(s, "position", _position)
+
+    def _has_token(a):
+        tok = a[1].strip()
+        if not (len(tok) >= 3 and tok[0] in "'\"" and tok[-1] == tok[0]):
+            raise ChTranslationError("hasToken needs a literal token")
+        t = tok[1:-1]
+        if not re.fullmatch(r"[A-Za-z0-9_]+", t):
+            raise ChTranslationError(
+                "hasToken token must be alphanumeric (CH tokenizer contract)"
+            )
+        # token boundary = non-alphanumeric or string edge, per the CH
+        # tokenbf tokenizer
+        return (
+            f"(({a[0]}) RLIKE '(^|[^a-zA-Z0-9]){t}([^a-zA-Z0-9]|$)')"
+        )
+
+    s = _rewrite_calls(s, "hasToken", _has_token)
+    s = _rewrite_calls(
+        s, "countSubstrings",
+        lambda a: (
+            f"CAST((length({a[0]}) - length(replace({a[0]}, {a[1]}, '')))"
+            f" / length({a[1]}) AS INT)"
+        ),
+    )
+
+    def _multi_search_any(a):
+        if len(a) != 2:
+            raise ChTranslationError("multiSearchAny needs 2 args")
+        arr = a[1].strip()
+        if arr.startswith("[") and arr.endswith("]"):
+            arr = f"array({arr[1:-1]})"
+        return f"exists({arr}, _n -> locate(_n, {a[0]}) > 0)"
+
+    s = _rewrite_calls(s, "multiSearchAny", _multi_search_any)
 
     def _json_extract(a):
         key = a[1].strip()

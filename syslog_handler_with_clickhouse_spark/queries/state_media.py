@@ -3150,3 +3150,54 @@ def q376(spark, sf_dir):
         F.col("val_min").cast("bigint").alias("val_min"),
         F.col("val_max").cast("bigint").alias("val_max"),
     )
+
+
+@query(
+    "q377_ch_string_search",
+    """
+    SELECT doc_id,
+           (regexp_matches(text, '(^|[^a-zA-Z0-9])the([^a-zA-Z0-9]|$)'))
+             AS has_the,
+           (regexp_matches(text, '(^|[^a-zA-Z0-9])tabl([^a-zA-Z0-9]|$)'))
+             AS has_tabl,
+           CAST((length(text) - length(replace(text, 'ta', ''))) / 2 AS INT)
+             AS n_ta,
+           CAST(strpos(text, 'data') AS INT) AS pos_data,
+           CAST(strpos(lower(text), lower('SPARK')) AS INT) AS pos_spark_ci,
+           (strpos(text, 'vector') > 0 OR strpos(text, 'stream') > 0
+            OR strpos(text, 'merge') > 0) AS any_hit
+    FROM documents WHERE doc_id % 11 = 4
+    """,
+)
+def q377(spark, sf_dir):
+    """ClickHouse string-search family through the dialect shim —
+    hasToken (token-boundary containment, the predicate the q361
+    tokenbf skip index accelerates), countSubstrings (non-overlapping,
+    left-to-right), position / positionCaseInsensitive (1-based, 0 =
+    absent), multiSearchAny (any-of-needles).  The query text IS CH SQL
+    run through ``translate_ch_sql``; DuckDB re-derives every value
+    with ITS OWN primitives (regexp_matches / strpos / replace-length
+    arithmetic), so the semantics are cross-checked, not shared."""
+    from ..functions.ch_dialect import translate_ch_sql
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents_t")
+    ch = (
+        "SELECT doc_id, "
+        "hasToken(text, 'the') AS has_the, "
+        "hasToken(text, 'tabl') AS has_tabl, "
+        "countSubstrings(text, 'ta') AS n_ta, "
+        "position(text, 'data') AS pos_data, "
+        "positionCaseInsensitive(text, 'SPARK') AS pos_spark_ci, "
+        "multiSearchAny(text, ['vector', 'stream', 'merge']) AS any_hit "
+        "FROM documents_t PREWHERE doc_id % 11 = 4 FORMAT TSV"
+    )
+    df = spark.sql(translate_ch_sql(ch))
+    return df.select(
+        "doc_id",
+        "has_the",
+        "has_tabl",
+        F.col("n_ta").cast("int").alias("n_ta"),
+        F.col("pos_data").cast("int").alias("pos_data"),
+        F.col("pos_spark_ci").cast("int").alias("pos_spark_ci"),
+        "any_hit",
+    )

@@ -670,3 +670,49 @@ def test_plural_quantiles_rules(spark):
         translate_ch_sql("SELECT quantilesExact(0.5, 0.99)(v) AS q FROM tq")
     ).collect()[0]["q"]
     assert r[0] == 50.5 and abs(r[1] - 99.01) < 1e-9
+
+
+def test_string_search_rules(spark):
+    """hasToken / countSubstrings / position(CaseInsensitive) /
+    multiSearchAny translate and execute with CH semantics (1-based
+    positions, 0 = absent, token boundaries = non-alphanumeric)."""
+    assert (
+        translate_ch_sql("SELECT position(s, 'ab') FROM t")
+        == "SELECT locate('ab', s) FROM t"
+    )
+    # SQL-standard position(x IN y) passes through (backquoted)
+    assert (
+        translate_ch_sql("SELECT position('b' IN s) FROM t")
+        == "SELECT `position`('b' IN s) FROM t"
+    )
+    assert "lower" in translate_ch_sql(
+        "SELECT positionCaseInsensitive(s, 'AB') FROM t"
+    )
+    with pytest.raises(ChTranslationError, match="literal token"):
+        translate_ch_sql("SELECT hasToken(s, col) FROM t")
+    with pytest.raises(ChTranslationError, match="alphanumeric"):
+        translate_ch_sql("SELECT hasToken(s, 'a b') FROM t")
+
+    spark.createDataFrame(
+        [("the cat sat", 1), ("theatre seats", 2), ("a THE b", 3)],
+        "s string, k int",
+    ).createOrReplaceTempView("tss")
+    rows = {
+        r.k: r
+        for r in spark.sql(
+            translate_ch_sql(
+                "SELECT k, hasToken(s, 'the') AS ht, "
+                "countSubstrings(s, 'at') AS n_at, "
+                "position(s, 'cat') AS p, "
+                "positionCaseInsensitive(s, 'THE') AS pci, "
+                "multiSearchAny(s, ['cat', 'seat']) AS ms "
+                "FROM tss"
+            )
+        ).collect()
+    }
+    # token semantics: 'theatre' does NOT contain token 'the'
+    assert rows[1].ht is True and rows[2].ht is False and rows[3].ht is False
+    assert rows[1].n_at == 2 and rows[2].n_at == 2  # 'theatre'+'seats'
+    assert rows[1].p == 5 and rows[2].p == 0
+    assert rows[1].pci == 1 and rows[3].pci == 3
+    assert rows[1].ms is True and rows[2].ms is True and rows[3].ms is False
