@@ -838,3 +838,42 @@ def test_gk_exchange_carries_summary_state_only(spark):
     assert "gk_vals" in exch_cols and "gk_ranks" in exch_cols, exch_cols
     # the raw value column must NOT cross the shuffle
     assert "_v#" not in exch_cols and "value#" not in exch_cols, exch_cols
+
+
+def test_round9_clustering_queries_are_python_free(spark):
+    """k-means, SemDeDup, int8 quantization and Hamming ANN are pure
+    native plans — the whole training loop included (media queries
+    q373-q376 are deliberate Arrow paths and excluded)."""
+    for name in [
+        "q369_kmeans_clusters",
+        "q370_semantic_dedup",
+        "q371_embedding_int8_quant",
+        "q372_hamming_ann",
+        "q377_ch_string_search",
+    ]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert python_eval_nodes(df) == [], name
+
+
+def test_kmeans_exchanges_are_state_sized(spark):
+    """q369's only hash exchanges are the refinement's (cell, pos)
+    partial aggregates and the centroid collapse — the corpus itself
+    never hash-partitions (assignment is a broadcast projection)."""
+    import re
+
+    plan = formatted_plan(QUERIES["q369_kmeans_clusters"](spark, SF_DIR))
+    keys = re.findall(r"hashpartitioning\((\w+)#", plan)
+    assert set(keys) <= {"cell"}, keys
+    # and vid never keys an exchange: no corpus re-partitioning
+    assert "hashpartitioning(vid" not in plan
+
+
+def test_hamming_ann_coarse_stage_is_signature_only(spark):
+    """q372's cross join side must carry only the two bigint
+    signatures + id — never the float vectors (the 16x compression is
+    the point); vectors re-attach only in the 20-candidate rerank."""
+    plan = formatted_plan(QUERIES["q372_hamming_ann"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    # hamming is computed from the packed-bigint XORs (bit_count over
+    # ^), never from the float vectors
+    assert "bit_count" in plan and "^" in plan
