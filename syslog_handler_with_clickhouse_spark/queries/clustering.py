@@ -1,9 +1,11 @@
-"""Clustering / embedding-compression query family (q369–q372).
+"""Clustering / embedding-compression / corpus-prep query family
+(q369–q372, q378–q379).
 
 Round-9 additions to the LLM-training-data tier: distributed k-means
 (``operators/clustering.py``), SemDeDup semantic deduplication, int8
-scalar quantization, and binary-signature Hamming ANN with exact-cosine
-rerank.  The k-means oracles replay the full Lloyd loop UNROLLED in SQL
+scalar quantization, binary-signature Hamming ANN with exact-cosine
+rerank, document chunking (64-token windows, 16 overlap), and
+T5-style sequence packing into 2048-token bins.  The k-means oracles replay the full Lloyd loop UNROLLED in SQL
 over the (vid, pos, val) long form — every iteration is exact integer /
 decimal arithmetic on both sides, so the parity check covers the whole
 training loop, not just the final projection.
@@ -331,4 +333,126 @@ def q372(spark, sf_dir):
         rerank.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= 5)
         .select("query_id", "neighbor_id", "hamming", "cos_sim", "rnk")
+    )
+
+
+@query(
+    "q378_document_chunking",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id % 7 = 2 AND length(trim(text)) > 0
+    ), starts AS (
+      SELECT doc_id, toks, len(toks) AS n_tok,
+             UNNEST(range(0, CAST(ceil(GREATEST(len(toks) - 16, 1) / 48.0)
+                                  AS BIGINT))) AS chunk_id
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(LEAST(64, n_tok - chunk_id * 48) AS BIGINT) AS n_chunk_tokens,
+           toks[chunk_id * 48 + 1] AS first_tok,
+           toks[LEAST(chunk_id * 48 + 64, n_tok)] AS last_tok
+    FROM starts
+    """,
+)
+def q378(spark, sf_dir):
+    """Training-data document chunking: split each document into
+    64-token windows with 16-token overlap (stride 48) — the standard
+    context-window preparation step before tokenized packing.  Pure
+    native plan: one split, one sequence-posexplode over the chunk
+    starts (ceil((n-16)/48) chunks so every token lands in ≥1 chunk and
+    short docs yield exactly one), slice bounds in exact integer
+    arithmetic.  The oracle replicates with DuckDB list slicing."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 7 == 2) & (F.length(F.trim("text")) > 0))
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("n_tok", F.size("toks"))
+    )
+    n_chunks = F.ceil(F.greatest(F.col("n_tok") - 16, F.lit(1)) / 48.0)
+    chunks = docs.select(
+        "doc_id",
+        "toks",
+        "n_tok",
+        F.posexplode(F.sequence(F.lit(0), n_chunks.cast("bigint") - 1)).alias(
+            "_p", "chunk_id"
+        ),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.least(F.lit(64), F.col("n_tok") - F.col("chunk_id") * 48)
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.element_at("toks", (F.col("chunk_id") * 48 + 1).cast("int")).alias(
+            "first_tok"
+        ),
+        F.element_at(
+            "toks",
+            F.least(F.col("chunk_id") * 48 + 64, F.col("n_tok")).cast("int"),
+        ).alias("last_tok"),
+    )
+
+
+@query(
+    "q379_sequence_packing",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(trim(text), ' ')) END AS n_tok,
+             source
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum_before
+      FROM d
+    ), b AS (
+      SELECT source, doc_id, n_tok,
+             CAST(cum_before // 2048 AS BIGINT) AS bin
+      FROM c
+    )
+    SELECT source, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM b GROUP BY source, bin
+    """,
+)
+def q379(spark, sf_dir):
+    """Training-sequence packing: concatenate documents (per source, in
+    doc_id order) into 2048-token context windows by contiguous fill —
+    bin = floor(tokens_before / capacity), the deterministic packing a
+    T5-style pipeline applies before example construction (documents
+    that straddle a boundary belong to the bin their first token lands
+    in; bins can therefore overflow by at most one document — the
+    documented semantics).  One window cumsum per source, one
+    aggregate; both shuffles key on source/(source, bin)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), " ")))
+        .alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = docs.withColumn(
+        "bin",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / 2048).cast(
+            "bigint"
+        ),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )
