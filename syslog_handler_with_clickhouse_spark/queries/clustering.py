@@ -13,6 +13,8 @@ training loop, not just the final projection.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -455,4 +457,106 @@ def q379(spark, sf_dir):
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
+    )
+
+
+# WordPiece-style demo vocab: multi-char subwords + full a-z coverage so
+# greedy longest-match never dead-ends on the synthetic corpus
+_WP_VOCAB = (
+    ["the", "scan", "query", "tab", "le", "val", "ue", "str", "eam",
+     "wind", "ow", "ord", "er", "merg", "batch", "col", "umn", "agg",
+     "join", "sort", "part", "fast", "slow", "row", "key", "hash"]
+    + [chr(c) for c in range(97, 123)]
+)
+_WP_VALUES = ",".join(f"('{v}')" for v in _WP_VOCAB)
+
+
+def _wp_subtok_series(words: pd.Series) -> pd.Series:
+    """Greedy longest-match subword count per word (module-level so the
+    pandas_udf type hints resolve under `from __future__ annotations`);
+    -1 marks untokenizable words, dropped by the caller's join."""
+    vs = sorted(_WP_VOCAB, key=len, reverse=True)
+    out = []
+    for w in words:
+        p, n = 0, 0
+        while p < len(w):
+            for v in vs:
+                if w.startswith(v, p):
+                    p += len(v)
+                    n += 1
+                    break
+            else:
+                n = -1
+                break
+        out.append(n)
+    return pd.Series(out, dtype="int32")
+
+
+@query(
+    "q380_wordpiece_tokenize",
+    """
+    WITH RECURSIVE wsrc AS (
+      SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS w
+      FROM documents WHERE doc_id % 13 = 6 AND length(trim(text)) > 0
+    ), dw AS (
+      SELECT DISTINCT w FROM wsrc WHERE w <> ''
+    ), vocab(v) AS (VALUES {values}),
+    pos AS (
+      SELECT w, UNNEST(range(1, length(w) + 1)) AS p FROM dw
+    ), best AS (
+      SELECT pos.w, pos.p, arg_max(v.v, length(v.v)) AS tok
+      FROM pos JOIN vocab v ON substr(pos.w, pos.p, length(v.v)) = v.v
+      GROUP BY pos.w, pos.p
+    ),
+    walk AS (
+      SELECT w, 1 AS p, 0 AS n FROM dw
+      UNION ALL
+      SELECT walk.w, walk.p + length(b.tok), walk.n + 1
+      FROM walk JOIN best b ON b.w = walk.w AND b.p = walk.p
+      WHERE walk.p <= length(walk.w)
+    ),
+    tok AS (
+      SELECT w, n AS n_tok FROM walk WHERE p = length(w) + 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_tok) AS BIGINT) AS n_subtokens,
+           CAST(MAX(n_tok) AS BIGINT) AS max_word_tokens
+    FROM wsrc JOIN tok ON wsrc.w = tok.w
+    GROUP BY doc_id
+    """.format(values=_WP_VALUES),
+)
+def q380(spark, sf_dir):
+    """REAL subword tokenization (WordPiece-style greedy longest-match
+    over a fixed vocabulary) — the token-counting step every training
+    pipeline runs before packing/budgeting.  Scale shape: tokenize the
+    DISTINCT words only (an Arrow-batched pandas UDF — tokenizer loops
+    are the canonical vectorized-UDF use case), then re-attach counts
+    with an equi-join; the corpus text itself never enters Python.
+    The oracle RE-DERIVES the greedy walk as a recursive SQL CTE over
+    a precomputed longest-prefix table — a genuine cross-implementation
+    differential (Python loop vs SQL recursion share nothing)."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_subtok = pandas_udf(_wp_subtok_series, "int")
+    words = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 13 == 6) & (F.length(F.trim("text")) > 0))
+        .select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    toks = (
+        words.select("w")
+        .distinct()
+        .withColumn("n_tok", n_subtok(F.col("w")))
+        .filter(F.col("n_tok") >= 0)
+    )
+    return (
+        words.join(F.broadcast(toks), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_subtokens"),
+            F.max("n_tok").cast("bigint").alias("max_word_tokens"),
+        )
     )
