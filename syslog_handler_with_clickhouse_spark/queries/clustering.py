@@ -560,3 +560,139 @@ def q380(spark, sf_dir):
             F.max("n_tok").cast("bigint").alias("max_word_tokens"),
         )
     )
+
+
+def _topk_cte(vec_expr: str, alias: str) -> str:
+    """DuckDB CTE: exact top-10 cosine neighbors per query (vec_id<10)
+    over ``vec_expr`` of the embedding — the q41 ranking contract
+    (6 dp cosine desc, neighbor_id tiebreak)."""
+    cos = _COS_EXPR.format(a="qv", b="nv")
+    return f"""{alias} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {cos.format()} DESC, c.neighbor_id) AS rnk
+        FROM (SELECT vec_id AS query_id, {vec_expr} AS qv
+              FROM embeddings WHERE vec_id < 10) q
+        JOIN (SELECT vec_id AS neighbor_id, {vec_expr} AS nv
+              FROM embeddings) c
+          ON q.query_id <> c.neighbor_id
+      ) WHERE rnk <= 10
+    )"""
+
+
+@query(
+    "q381_matryoshka_recall",
+    "WITH "
+    + _topk_cte("embedding", "full_k")
+    + ",\n"
+    + _topk_cte("embedding[1:16]", "trunc_k")
+    + """
+    SELECT f.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap
+    FROM full_k f
+    LEFT JOIN trunc_k t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def q381(spark, sf_dir):
+    """Matryoshka-style dimension-truncation evaluation: overlap@10
+    between exact cosine top-10 on the FULL 64-d embedding and on its
+    first 16 dimensions — the measurement that decides whether a 4×
+    cheaper truncated index is good enough before committing a 100 TB
+    re-embed.  Both rankings share the tier's deterministic contract
+    (6 dp cosine, neighbor tiebreak), so overlap counts are exact."""
+    from ..operators.similarity import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pred = F.col("query_id") < 10
+    full_k = cosine_topk_bruteforce(emb, k=10, query_pred=pred).select(
+        "query_id", "neighbor_id"
+    )
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    trunc_k = cosine_topk_bruteforce(trunc, k=10, query_pred=pred).select(
+        F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn")
+    )
+    return (
+        full_k.join(
+            trunc_k,
+            (F.col("query_id") == F.col("tq"))
+            & (F.col("neighbor_id") == F.col("tn")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("tn").alias("n_overlap"))
+    )
+
+
+def _register_q382():
+    """q382's oracle composes the FULL q38 (exact Jaccard) and q39
+    (MinHash-LSH) oracle statements as subqueries, so the recall metric
+    is measured against the same bit-exact pipelines the driver already
+    verifies individually."""
+    from ._common import ORACLE
+
+    exact_sql = ORACLE["q38_jaccard_pairs"]
+    cand_sql = ORACLE["q39_minhash_lsh"]
+    oracle = f"""
+    WITH exact AS (SELECT doc_a, doc_b FROM ({exact_sql})),
+         cand  AS (SELECT doc_a, doc_b FROM ({cand_sql})),
+         hit   AS (SELECT doc_a, doc_b FROM exact
+                   INTERSECT SELECT doc_a, doc_b FROM cand)
+    SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+           CAST((SELECT COUNT(*) FROM hit) * 1000000
+                // (SELECT COUNT(*) FROM exact) AS BIGINT) AS recall_ppm,
+           CAST((SELECT COUNT(*) FROM hit) * 1000000
+                // (SELECT COUNT(*) FROM cand) AS BIGINT) AS precision_ppm
+    """
+
+    @query("q382_lsh_recall_eval", oracle)
+    def q382(spark, sf_dir):
+        """Measure, don't guess: recall/precision of the MinHash-LSH
+        near-dup pipeline (q39) against exact 3-gram Jaccard ground
+        truth (q38) on the salted corpus, in exact integer ppm.  The
+        production decision metric for banding parameters — at 100 TB
+        you tune (bands, rows) on a sample with THIS query before
+        committing the cluster-wide run.  One row out; the three counts
+        fold together through 1×1 aggregate joins."""
+        from ..operators import dedup as _dd
+
+        d = _t(spark, sf_dir, "documents")
+        corpus = d.select("doc_id", "text").unionByName(
+            d.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        exact = _dd.jaccard_pairs(
+            corpus, "text", "doc_id", n=3, threshold=0.5
+        ).select("doc_a", "doc_b")
+        cand = _dd.minhash_jaccard_estimate(
+            corpus, "text", "doc_id", threshold=0.5
+        ).select("doc_a", "doc_b")
+        hit = exact.join(cand, ["doc_a", "doc_b"])
+        ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+        nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+        return (
+            ne.crossJoin(nc)
+            .crossJoin(nh)
+            .select(
+                "n_exact",
+                "n_cand",
+                "n_hit",
+                F.floor(F.col("n_hit") * 1000000 / F.col("n_exact"))
+                .cast("bigint")
+                .alias("recall_ppm"),
+                F.floor(F.col("n_hit") * 1000000 / F.col("n_cand"))
+                .cast("bigint")
+                .alias("precision_ppm"),
+            )
+        )
+
+
+_register_q382()
