@@ -104,3 +104,65 @@ def test_sign_signature_packing(spark, vec, expected):
         lambda acc, x: acc * 2 + F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)),
     )
     assert df.select(sig.alias("h")).first().h == expected
+
+
+def _py_lloyd(vecs, k, iters):
+    """Independent pure-Python Lloyd with the module's determinism
+    contract: integer quantized inputs, exact integer d2, lower-cell
+    argmin tiebreak, half-away-from-zero integer means — shares NO code
+    with the Spark implementation."""
+
+    def rnd_div(s, c):  # round(s/c) half away from zero, exact integers
+        return (2 * abs(s) + c) // (2 * c) * (1 if s >= 0 else -1)
+
+    q = {vid: [round(x * 1000) for x in v] for vid, v in vecs}
+    cent = {vid: q[vid][:] for vid, _ in vecs if vid < k}
+    for _ in range(iters):
+        assign = {}
+        for vid, qv in q.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(qv, cv)), cell)
+                for cell, cv in cent.items()
+            )
+            assign[vid] = best[1]
+        new = {}
+        for cell in set(assign.values()):
+            members = [q[vid] for vid, c in assign.items() if c == cell]
+            new[cell] = [
+                rnd_div(sum(col), len(members)) for col in zip(*members)
+            ]
+        cent = new
+    out = {}
+    for vid, qv in q.items():
+        d2, cell = min(
+            (sum((a - b) ** 2 for a, b in zip(qv, cv)), cell)
+            for cell, cv in cent.items()
+        )
+        out[vid] = (cell, d2)
+    return out
+
+
+def test_kmeans_matches_independent_python_lloyd(spark):
+    """Cross-implementation differential: the whole Spark training loop
+    (quantize → 2 refinements → assign) equals an independently written
+    Python Lloyd on randomized small corpora."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vec = st.lists(
+        st.integers(-50, 50).map(lambda n: n / 10.0), min_size=4, max_size=4
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(vec, min_size=4, max_size=14, unique_by=tuple))
+    def check(vs):
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vs)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        got = {
+            r.vid: (r.cluster, r.d2)
+            for r in clustering.kmeans_assignments(df, k=3, iters=2).collect()
+        }
+        exp = _py_lloyd(rows, 3, 2)
+        assert got == exp
+
+    check()
