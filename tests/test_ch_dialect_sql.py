@@ -578,6 +578,39 @@ def test_ch_dialect_scalar_fuzz_differential(spark, duck):
             f"x -> 0)) END, ',')",
         ),
     ]
+    # round-9 string-search family over a synthetic haystack
+    STR_CH = (
+        "concat('w', toString(event_id % 9), ' the tab',"
+        " toString(user_id % 5))"
+    )
+    STR_DK = (
+        "('w' || CAST(event_id % 9 AS VARCHAR) || ' the tab'"
+        " || CAST(user_id % 5 AS VARCHAR))"
+    )
+    POOL += [
+        (
+            f"hasToken({STR_CH}, 'the')",
+            f"regexp_matches({STR_DK}, "
+            f"'(^|[^a-zA-Z0-9])the([^a-zA-Z0-9]|$)')",
+        ),
+        (
+            f"countSubstrings({STR_CH}, 'ta')",
+            f"CAST((length({STR_DK}) - length(replace({STR_DK}, 'ta', '')))"
+            f" / 2 AS INT)",
+        ),
+        (
+            f"position({STR_CH}, 'tab')",
+            f"CAST(strpos({STR_DK}, 'tab') AS INT)",
+        ),
+        (
+            f"positionCaseInsensitive({STR_CH}, 'THE')",
+            f"CAST(strpos(lower({STR_DK}), 'the') AS INT)",
+        ),
+        (
+            f"multiSearchAny({STR_CH}, ['tab', 'zz'])",
+            f"(strpos({STR_DK}, 'tab') > 0 OR strpos({STR_DK}, 'zz') > 0)",
+        ),
+    ]
     PREDS = [
         ("event_id % 13 = 1", "event_id % 13 = 1"),
         ("user_id % 11 = 4 AND ts IS NOT NULL",
