@@ -2432,3 +2432,83 @@ def q110(spark, sf_dir):
     base.write.parquet(store)
     upsert_parquet(spark, store, upd, keys=["event_id"], version_col="version")
     return spark.read.parquet(store)
+
+
+@query(
+    "q383_stream_stream_left_outer",
+    """
+    WITH err AS (
+      SELECT user_id, ts AS err_ts FROM events
+      WHERE event_type = 'error' AND ts IS NOT NULL
+    ), pur AS (
+      SELECT user_id AS p_user, ts AS pur_ts, value FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+    ), wm AS (
+      -- the final global watermark: min of the two per-stream maxima
+      -- (ms-floored, Spark's watermark precision) minus the 30 min delay
+      SELECT to_timestamp((LEAST((SELECT epoch_ms(MAX(err_ts)) FROM err),
+                                 (SELECT epoch_ms(MAX(pur_ts)) FROM pur))
+                           - 1800000) / 1000.0) AS w
+    ), matched AS (
+      SELECT e.user_id, e.err_ts, p.pur_ts, round(p.value, 2) AS pur_value
+      FROM err e JOIN pur p ON e.user_id = p.p_user
+       AND p.pur_ts > e.err_ts
+       AND p.pur_ts <= e.err_ts + INTERVAL 10 MINUTE
+    ), unmatched AS (
+      SELECT e.user_id, e.err_ts,
+             CAST(NULL AS TIMESTAMP) AS pur_ts,
+             CAST(NULL AS DOUBLE) AS pur_value
+      FROM err e
+      WHERE NOT EXISTS (
+              SELECT 1 FROM pur p WHERE p.p_user = e.user_id
+                AND p.pur_ts > e.err_ts
+                AND p.pur_ts <= e.err_ts + INTERVAL 10 MINUTE)
+        AND e.err_ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+    )
+    SELECT user_id,
+           strftime(err_ts, '{tsfd}') AS err_ts,
+           strftime(pur_ts, '{tsfd}') AS pur_ts,
+           pur_value
+    FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+    """.format(tsfd=TSF_D),
+)
+def q383(spark, sf_dir):
+    """STREAM-STREAM LEFT OUTER interval join as a real Structured
+    Streaming query — the semantics q93's inner join can't show: an
+    unmatched error row is held in join state until the global
+    watermark (min of both streams' max-event-time minus the 30 min
+    delay) passes its match window (err_ts + 10 min), and only then
+    emits with NULL purchase columns.  Errors whose window is still
+    open at end-of-stream are deliberately withheld — the oracle
+    replicates the exact watermark arithmetic (ms-floored, strict <),
+    so the NULL-emission cutoff itself is value-verified."""
+    err = (
+        _events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "error") & F.col("ts").isNotNull())
+        .select("user_id", F.col("ts").alias("err_ts"))
+        .withWatermark("err_ts", "30 minutes")
+    )
+    pur = (
+        _events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pur_ts"),
+            "value",
+        )
+        .withWatermark("pur_ts", "30 minutes")
+    )
+    j = err.join(
+        pur,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("pur_ts") > F.col("err_ts"))
+        & (F.col("pur_ts") <= F.col("err_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    )
+    out = j.select(
+        "user_id",
+        F.date_format("err_ts", TSF_S).alias("err_ts"),
+        F.date_format("pur_ts", TSF_S).alias("pur_ts"),
+        F.round("value", 2).alias("pur_value"),
+    )
+    return spark.table(_run_stream(out, "append"))
