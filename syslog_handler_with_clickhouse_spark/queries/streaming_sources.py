@@ -2512,3 +2512,86 @@ def q383(spark, sf_dir):
         F.round("value", 2).alias("pur_value"),
     )
     return spark.table(_run_stream(out, "append"))
+
+
+@query(
+    "q384_stream_stream_full_outer",
+    """
+    WITH err AS (
+      SELECT user_id, ts AS err_ts FROM events
+      WHERE event_type = 'error' AND ts IS NOT NULL
+    ), pur AS (
+      SELECT user_id AS p_user, ts AS pur_ts FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+    ), wm AS (
+      SELECT to_timestamp((LEAST((SELECT epoch_ms(MAX(err_ts)) FROM err),
+                                 (SELECT epoch_ms(MAX(pur_ts)) FROM pur))
+                           - 1800000) / 1000.0) AS w
+    ), matched AS (
+      SELECT e.user_id, e.err_ts, p.pur_ts
+      FROM err e JOIN pur p ON e.user_id = p.p_user
+       AND p.pur_ts > e.err_ts
+       AND p.pur_ts <= e.err_ts + INTERVAL 10 MINUTE
+    ), unmatched_err AS (
+      -- error side: state holds until wm passes the whole match window
+      SELECT e.user_id, e.err_ts, CAST(NULL AS TIMESTAMP) AS pur_ts
+      FROM err e
+      WHERE NOT EXISTS (
+              SELECT 1 FROM pur p WHERE p.p_user = e.user_id
+                AND p.pur_ts > e.err_ts
+                AND p.pur_ts <= e.err_ts + INTERVAL 10 MINUTE)
+        AND e.err_ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+    ), unmatched_pur AS (
+      -- purchase side: only EARLIER errors can match (err_ts < pur_ts),
+      -- so its state is dead as soon as wm passes pur_ts itself
+      SELECT CAST(NULL AS BIGINT) AS user_id,
+             CAST(NULL AS TIMESTAMP) AS err_ts, p.pur_ts
+      FROM pur p
+      WHERE NOT EXISTS (
+              SELECT 1 FROM err e WHERE e.user_id = p.p_user
+                AND p.pur_ts > e.err_ts
+                AND p.pur_ts <= e.err_ts + INTERVAL 10 MINUTE)
+        AND p.pur_ts < (SELECT w FROM wm)
+    )
+    SELECT user_id,
+           strftime(err_ts, '{tsfd}') AS err_ts,
+           strftime(pur_ts, '{tsfd}') AS pur_ts
+    FROM (SELECT * FROM matched
+          UNION ALL SELECT * FROM unmatched_err
+          UNION ALL SELECT * FROM unmatched_pur)
+    """.format(tsfd=TSF_D),
+)
+def q384(spark, sf_dir):
+    """STREAM-STREAM FULL OUTER interval join — completes the streaming
+    join matrix (q93 inner, q383 left).  The two sides have DIFFERENT
+    state lifetimes, both value-verified: an unmatched error emits once
+    the watermark passes err_ts + 10 min (its whole match window), but
+    an unmatched purchase emits as soon as the watermark passes pur_ts
+    itself, because only EARLIER errors can ever match it — the
+    asymmetry Spark derives from the interval condition, replicated
+    exactly by the oracle's two cutoffs."""
+    err = (
+        _events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "error") & F.col("ts").isNotNull())
+        .select("user_id", F.col("ts").alias("err_ts"))
+        .withWatermark("err_ts", "30 minutes")
+    )
+    pur = (
+        _events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("pur_ts"))
+        .withWatermark("pur_ts", "30 minutes")
+    )
+    j = err.join(
+        pur,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("pur_ts") > F.col("err_ts"))
+        & (F.col("pur_ts") <= F.col("err_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "full_outer",
+    )
+    out = j.select(
+        "user_id",
+        F.date_format("err_ts", TSF_S).alias("err_ts"),
+        F.date_format("pur_ts", TSF_S).alias("pur_ts"),
+    )
+    return spark.table(_run_stream(out, "append"))
