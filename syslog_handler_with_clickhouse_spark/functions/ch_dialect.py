@@ -70,6 +70,12 @@ hasToken(h, 'tok')          token-boundary RLIKE (literal
 countSubstrings(h, n)       replace-length arithmetic
                             (non-overlapping, left-to-right)
 multiSearchAny(h, [..])     exists(array(..), n -> locate > 0)
+replaceAll / replaceRegexp- replace / regexp_replace
+  All                         (replaceRegexpOne raises: Spark's
+                              regexp_replace is replace-ALL only)
+trimLeft/Right/Both         ltrim / rtrim / trim
+leftPad / rightPad          lpad / rpad
+startsWith / endsWith       startswith / endswith
 ==========================  =====================================
 
 String literals are never rewritten: every rule (the call rewriter and
@@ -396,6 +402,43 @@ def translate_ch_sql(sql: str) -> str:
         return f"exists({arr}, _n -> locate(_n, {a[0]}) > 0)"
 
     s = _rewrite_calls(s, "multiSearchAny", _multi_search_any)
+
+    # string transforms
+    s = _rewrite_calls(
+        s, "replaceRegexpAll",
+        lambda a: f"regexp_replace({a[0]}, {a[1]}, {a[2]})",
+    )
+
+    def _replace_regexp_one(a):
+        # Spark's regexp_replace has no occurrence limit; anchor the
+        # pattern's FIRST match by splitting around it is not generally
+        # possible — raise rather than silently replacing all
+        raise ChTranslationError(
+            "replaceRegexpOne has no Spark equivalent (regexp_replace "
+            "replaces every match) — rewrite the query"
+        )
+
+    s = _rewrite_calls(s, "replaceRegexpOne", _replace_regexp_one)
+    s = _rewrite_calls(
+        s, "replaceAll", lambda a: f"replace({a[0]}, {a[1]}, {a[2]})"
+    )
+    s = _rewrite_calls(s, "trimLeft", lambda a: f"ltrim({a[0]})")
+    s = _rewrite_calls(s, "trimRight", lambda a: f"rtrim({a[0]})")
+    s = _rewrite_calls(s, "trimBoth", lambda a: f"trim({a[0]})")
+    s = _rewrite_calls(
+        s, "leftPad", lambda a: f"lpad({', '.join(a)})"
+    )
+    s = _rewrite_calls(
+        s, "rightPad", lambda a: f"rpad({', '.join(a)})"
+    )
+    # backquoted so the case-insensitive pattern can't re-match its own
+    # emission (the dateDiff precedent)
+    s = _rewrite_calls(
+        s, "startsWith", lambda a: f"`startswith`({a[0]}, {a[1]})"
+    )
+    s = _rewrite_calls(
+        s, "endsWith", lambda a: f"`endswith`({a[0]}, {a[1]})"
+    )
 
     def _json_extract(a):
         key = a[1].strip()

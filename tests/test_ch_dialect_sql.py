@@ -749,3 +749,32 @@ def test_string_search_rules(spark):
     assert rows[1].p == 5 and rows[2].p == 0
     assert rows[1].pci == 1 and rows[3].pci == 3
     assert rows[1].ms is True and rows[2].ms is True and rows[3].ms is False
+
+
+def test_string_transform_rules(spark):
+    """replaceAll / replaceRegexpAll / trims / pads / startsWith /
+    endsWith translate and execute; replaceRegexpOne raises (Spark's
+    regexp_replace is replace-ALL only — refusing beats silently
+    changing semantics)."""
+    spark.createDataFrame(
+        [("  ab-cd-ab  ",)], "s string"
+    ).createOrReplaceTempView("tst")
+    r = spark.sql(
+        translate_ch_sql(
+            "SELECT replaceAll(trimBoth(s), 'ab', 'X') AS r1, "
+            "replaceRegexpAll(trimLeft(s), '[-]', '_') AS r2, "
+            "leftPad(trimBoth(s), 12, '.') AS r3, "
+            "rightPad('ab', 4, 'z') AS r4, "
+            "startsWith(trimBoth(s), 'ab') AS r5, "
+            "endsWith(trimRight(s), 'ab') AS r6 "
+            "FROM tst"
+        )
+    ).first()
+    assert r.r1 == "X-cd-X"
+    assert r.r2 == "ab_cd_ab  "
+    assert r.r3 == "....ab-cd-ab"  # lpad pads to total width 12
+    assert r.r4 == "abzz"
+    assert r.r5 is True
+    assert r.r6 is True  # rtrim('  ab-cd-ab  ') ends with 'ab' 
+    with pytest.raises(ChTranslationError, match="replaceRegexpOne"):
+        translate_ch_sql("SELECT replaceRegexpOne(s, 'a', 'b') FROM t")
