@@ -696,3 +696,77 @@ def _register_q382():
 
 
 _register_q382()
+
+
+def _next_fit_pdf(pdf):
+    """Sequential next-fit packing of one source's docs (doc_id order):
+    a doc that would overflow the 256-token capacity starts a new bin
+    (an oversized doc occupies a bin alone).  The per-group stateful
+    recurrence a window function can't express — exactly what
+    applyInPandas exists for."""
+    pdf = pdf.sort_values("doc_id")
+    bins, fill, cur = [], 0, -1
+    for n in pdf["n_tok"]:
+        n = int(n)
+        if cur < 0 or fill + n > 256:
+            cur += 1
+            fill = n
+        else:
+            fill += n
+        bins.append(cur)
+    pdf = pdf.assign(bin=bins)
+    return pdf
+
+
+@query(
+    "q385_next_fit_packing",
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(trim(text), ' ')) END AS n_tok,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ), walk AS (
+      SELECT source, rn, doc_id, n_tok, 0 AS bin, n_tok AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.rn, d.doc_id, d.n_tok,
+             CASE WHEN w.fill + d.n_tok <= 256 THEN w.bin ELSE w.bin + 1 END,
+             CASE WHEN w.fill + d.n_tok <= 256 THEN w.fill + d.n_tok
+                  ELSE d.n_tok END
+      FROM walk w JOIN d ON d.source = w.source AND d.rn = w.rn + 1
+    )
+    SELECT source, CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM walk GROUP BY source, bin
+    """,
+)
+def q385(spark, sf_dir):
+    """EXACT next-fit sequence packing (the no-overflow contrast to
+    q379's contiguous fill): per source in doc_id order, a document
+    that would push the 256-token bin over capacity STARTS A NEW BIN —
+    a prefix-dependent recurrence no window function expresses, so the
+    Spark side is a per-source ``applyInPandas`` kernel (state = one
+    (bin, fill) pair per group, Arrow-batched) and the oracle replays
+    the recurrence as a recursive SQL CTE — independent implementations
+    of the same packing automaton."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), " ")))
+        .alias("n_tok"),
+    )
+    packed = docs.groupBy("source").applyInPandas(
+        _next_fit_pdf, "doc_id long, source string, n_tok long, bin long"
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
