@@ -187,3 +187,46 @@ def semantic_dedup(
         assign.join(dups, "vid", "left_anti")
         .select(F.col("vid").alias(id_col), "cluster")
     )
+
+
+def maximin_seeds(
+    emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic furthest-point (maximin) k-means initialization —
+    the quality-init alternative to first-k seeding: start from the
+    minimum id, then repeatedly pick the point whose distance to its
+    NEAREST chosen seed is largest (exact integer d2, lower-vid
+    tiebreak).  k−1 projection-only corpus scans (the same broadcast
+    array + higher-order argmin shape as :func:`assign_nearest`), each
+    ending in one TakeOrdered(1) — no driver collect, no corpus
+    shuffle.  Returns (pick_order, vid, min_d2) with min_d2 = the
+    maximin distance at pick time (0 for the seed)."""
+    v = quantize_vectors(emb, id_col, vec_col)
+    first = (
+        v.orderBy("vid")
+        .limit(1)
+        .select(
+            F.lit(0).alias("pick_order"),
+            "vid",
+            F.lit(0).cast("bigint").alias("min_d2"),
+            "qv",
+        )
+    )
+    chosen = first
+    for i in range(1, k):
+        cent = chosen.select(F.col("vid").alias("cell"), F.col("qv").alias("cv"))
+        scored = assign_nearest(v, cent).join(
+            chosen.select("vid"), "vid", "left_anti"
+        )
+        pick = (
+            scored.orderBy(F.col("d2").desc(), F.col("vid"))
+            .limit(1)
+            .select(
+                F.lit(i).alias("pick_order"),
+                "vid",
+                F.col("d2").alias("min_d2"),
+                "qv",
+            )
+        )
+        chosen = chosen.unionByName(pick)
+    return chosen.select("pick_order", "vid", "min_d2")

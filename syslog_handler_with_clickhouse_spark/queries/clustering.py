@@ -770,3 +770,68 @@ def q385(spark, sf_dir):
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+_MAXIMIN_K = 6
+
+
+def _maximin_oracle(k: int = _MAXIMIN_K) -> str:
+    parts = [
+        "WITH" + _LONGFORM.format(id="vec_id", vec="embedding", src="embeddings"),
+        """,
+  vd AS (SELECT DISTINCT vid FROM v),
+  p0 AS (SELECT MIN(vid) AS vid FROM vd),
+  ch0 AS (SELECT vid FROM p0)""",
+    ]
+    for i in range(1, k):
+        parts.append(
+            f""",
+  dd{i} AS (
+    SELECT pair.vid, MIN(pair.d2) AS mind
+    FROM (
+      SELECT a.vid, ch.vid AS cvid,
+             SUM((a.val - b.val) * (a.val - b.val)) AS d2
+      FROM v a
+      JOIN v b ON a.pos = b.pos
+      JOIN ch{i - 1} ch ON b.vid = ch.vid
+      GROUP BY a.vid, ch.vid
+    ) pair
+    GROUP BY pair.vid
+  ),
+  p{i} AS (
+    SELECT vid, mind FROM dd{i}
+    WHERE vid NOT IN (SELECT vid FROM ch{i - 1})
+    ORDER BY mind DESC, vid LIMIT 1
+  ),
+  ch{i} AS (SELECT vid FROM ch{i - 1} UNION ALL SELECT vid FROM p{i})"""
+        )
+    finals = [
+        """
+    SELECT 0 AS pick_order, (SELECT vid FROM p0) AS vec_id,
+           CAST(0 AS BIGINT) AS min_d2"""
+    ]
+    for i in range(1, k):
+        finals.append(
+            f"""
+    SELECT {i} AS pick_order, vid AS vec_id, CAST(mind AS BIGINT) AS min_d2
+    FROM p{i}"""
+        )
+    return "".join(parts) + "\n    UNION ALL".join(finals)
+
+
+@query("q386_kmeans_maximin_init", _maximin_oracle())
+def q386(spark, sf_dir):
+    """Deterministic furthest-point (maximin) k-means initialization:
+    seed with the minimum id, then k−1 rounds of 'pick the point whose
+    nearest chosen seed is furthest' (exact integer d2, lower-vid
+    tiebreak) — the spread-guaranteeing init that protects Lloyd from
+    the degenerate first-k seeding on clustered data.  Each round is a
+    projection-only corpus scan (the q369 broadcast-argmin shape)
+    ending in TakeOrdered(1); the oracle unrolls all k−1 rounds in SQL.
+    Output: (pick_order, vec_id, min_d2) — the maximin distances
+    themselves, so the pick SEQUENCE is value-verified, not just the
+    final set."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return clustering.maximin_seeds(emb, k=_MAXIMIN_K).select(
+        "pick_order", F.col("vid").alias("vec_id"), "min_d2"
+    )
