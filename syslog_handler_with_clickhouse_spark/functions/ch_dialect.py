@@ -76,6 +76,13 @@ replaceAll / replaceRegexp- replace / regexp_replace
 trimLeft/Right/Both         ltrim / rtrim / trim
 leftPad / rightPad          lpad / rpad
 startsWith / endsWith       startswith / endswith
+groupUniqArray(x)           array_sort(collect_set(x)) — CH's
+                            arbitrary order strengthened to sorted
+argMin/argMax[If]           min_by/max_by (If: CASE on value AND
+                            ordering so non-qualifiers vanish)
+anyIf(x, c)                 first(CASE WHEN c THEN x END, true)
+arrayFlatten / arrayZip     flatten / arrays_zip
+mapKeys / mapValues         map_keys / map_values
 ==========================  =====================================
 
 String literals are never rewritten: every rule (the call rewriter and
@@ -402,6 +409,39 @@ def translate_ch_sql(sql: str) -> str:
         return f"exists({arr}, _n -> locate(_n, {a[0]}) > 0)"
 
     s = _rewrite_calls(s, "multiSearchAny", _multi_search_any)
+
+    # aggregate combinators round 2 (longest names first)
+    s = _rewrite_calls(
+        s, "groupUniqArray",
+        # CH returns the distinct set in ARBITRARY order; sorting makes
+        # the translation deterministic (documented strengthening)
+        lambda a: f"array_sort(collect_set({a[0]}))",
+    )
+    s = _rewrite_calls(
+        s, "argMinIf",
+        lambda a: (
+            f"min_by(CASE WHEN {a[2]} THEN {a[0]} END,"
+            f" CASE WHEN {a[2]} THEN {a[1]} END)"
+        ),
+    )
+    s = _rewrite_calls(
+        s, "argMaxIf",
+        lambda a: (
+            f"max_by(CASE WHEN {a[2]} THEN {a[0]} END,"
+            f" CASE WHEN {a[2]} THEN {a[1]} END)"
+        ),
+    )
+    s = _rewrite_calls(s, "argMin", lambda a: f"min_by({a[0]}, {a[1]})")
+    s = _rewrite_calls(s, "argMax", lambda a: f"max_by({a[0]}, {a[1]})")
+    s = _rewrite_calls(
+        s, "anyIf", lambda a: f"first(CASE WHEN {a[1]} THEN {a[0]} END, true)"
+    )
+    s = _rewrite_calls(s, "arrayFlatten", lambda a: f"flatten({a[0]})")
+    s = _rewrite_calls(
+        s, "arrayZip", lambda a: f"arrays_zip({', '.join(a)})"
+    )
+    s = _rewrite_calls(s, "mapKeys", lambda a: f"map_keys({a[0]})")
+    s = _rewrite_calls(s, "mapValues", lambda a: f"map_values({a[0]})")
 
     # string transforms
     s = _rewrite_calls(

@@ -3201,3 +3201,49 @@ def q377(spark, sf_dir):
         F.col("pos_spark_ci").cast("int").alias("pos_spark_ci"),
         "any_hit",
     )
+
+
+@query(
+    "q387_ch_agg_combinators2",
+    """
+    SELECT event_type,
+           array_to_string(list_sort(list_distinct(list(user_id % 7))), ',') AS uset,
+           arg_min(user_id, event_id) AS first_user,
+           arg_max(user_id, event_id) AS last_user,
+           arg_min(CASE WHEN user_id % 2 = 0 THEN user_id END,
+                   CASE WHEN user_id % 2 = 0 THEN event_id END)
+             AS first_even_user,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q387(spark, sf_dir):
+    """Second CH aggregate-combinator family through the dialect shim:
+    groupUniqArray (translated to a SORTED collect_set — CH's arbitrary
+    order strengthened to a deterministic one, documented), argMin /
+    argMax (min_by / max_by on the unique event_id ordering), and the
+    If-combinator argMinIf (CASE-wrapped on BOTH the value and the
+    ordering so non-qualifying rows vanish from the argmin).  DuckDB
+    re-derives with ITS arg_min/arg_max/list primitives."""
+    from ..functions.ch_dialect import translate_ch_sql
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_t")
+    ch = (
+        "SELECT event_type, "
+        "arrayStringConcat(groupUniqArray(user_id % 7), ',') AS uset, "
+        "argMin(user_id, event_id) AS first_user, "
+        "argMax(user_id, event_id) AS last_user, "
+        "argMinIf(user_id, event_id, user_id % 2 = 0) AS first_even_user, "
+        "count() AS n "
+        "FROM events_t GROUP BY event_type FORMAT TSV"
+    )
+    df = spark.sql(translate_ch_sql(ch))
+    return df.select(
+        "event_type",
+        "uset",
+        "first_user",
+        "last_user",
+        "first_even_user",
+        F.col("n").cast("bigint").alias("n"),
+    )

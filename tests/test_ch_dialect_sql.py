@@ -778,3 +778,48 @@ def test_string_transform_rules(spark):
     assert r.r6 is True  # rtrim('  ab-cd-ab  ') ends with 'ab' 
     with pytest.raises(ChTranslationError, match="replaceRegexpOne"):
         translate_ch_sql("SELECT replaceRegexpOne(s, 'a', 'b') FROM t")
+
+
+def test_agg_combinator2_rules(spark):
+    """groupUniqArray / argMin[If] / argMax[If] / anyIf / arrayFlatten /
+    arrayZip / mapKeys / mapValues translate and execute."""
+    assert (
+        translate_ch_sql("SELECT argMin(a, b) FROM t")
+        == "SELECT min_by(a, b) FROM t"
+    )
+    assert "max_by(CASE WHEN c THEN a END, CASE WHEN c THEN b END)" in (
+        translate_ch_sql("SELECT argMaxIf(a, b, c) FROM t")
+    )
+    assert (
+        translate_ch_sql("SELECT arrayFlatten(x), mapKeys(m) FROM t")
+        == "SELECT flatten(x), map_keys(m) FROM t"
+    )
+    spark.createDataFrame(
+        [(1, 10, "x"), (1, 20, "y"), (2, 5, "z"), (2, 5, "z")],
+        "k int, v int, s string",
+    ).createOrReplaceTempView("tac")
+    r = {
+        row.k: row
+        for row in spark.sql(
+            translate_ch_sql(
+                "SELECT k, argMin(s, v) AS lo, argMax(s, v) AS hi, "
+                "anyIf(s, v = 20) AS a20, "
+                "arrayStringConcat(groupUniqArray(s), '|') AS us "
+                "FROM tac GROUP BY k"
+            )
+        ).collect()
+    }
+    assert r[1].lo == "x" and r[1].hi == "y" and r[1].a20 == "y"
+    assert r[1].us == "x|y" and r[2].us == "z"
+    assert r[2].a20 is None  # no qualifying row
+    # projection-side array/map functions execute
+    row = spark.sql(
+        translate_ch_sql(
+            "SELECT arrayFlatten(array(array(1, 2), array(3))) AS f, "
+            "mapValues(map('a', 1, 'b', 2)) AS mv, "
+            "arrayZip(array(1, 2), array('u', 'v')) AS z"
+        )
+    ).first()
+    assert list(row.f) == [1, 2, 3]
+    assert sorted(row.mv) == [1, 2]
+    assert [tuple(e) for e in row.z] == [(1, "u"), (2, "v")]
