@@ -370,9 +370,14 @@ def translate_ch_sql(sql: str) -> str:
     def _position(a):
         if len(a) == 2:  # CH position(haystack, needle) — 1-based, 0=absent
             return f"locate({a[1]}, {a[0]})"
-        # SQL-standard position(sub IN str): pass through, backquoted so
-        # the emission can't re-match this rule's own pattern
-        return f"`position`({', '.join(a)})"
+        # SQL-standard position(sub IN str): the IN form is special
+        # grammar (backquoting would break it), so rewrite it to locate
+        # as well — identical semantics
+        if len(a) == 1:
+            m = re.split(r"\s+IN\s+", a[0], maxsplit=1, flags=re.IGNORECASE)
+            if len(m) == 2:
+                return f"locate({m[0].strip()}, {m[1].strip()})"
+        raise ChTranslationError("position needs (haystack, needle) or IN form")
 
     s = _rewrite_calls(s, "position", _position)
 

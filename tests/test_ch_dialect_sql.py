@@ -713,10 +713,11 @@ def test_string_search_rules(spark):
         translate_ch_sql("SELECT position(s, 'ab') FROM t")
         == "SELECT locate('ab', s) FROM t"
     )
-    # SQL-standard position(x IN y) passes through (backquoted)
+    # SQL-standard position(x IN y): the IN form is special grammar
+    # (backquoting breaks it) — rewritten to the same locate
     assert (
         translate_ch_sql("SELECT position('b' IN s) FROM t")
-        == "SELECT `position`('b' IN s) FROM t"
+        == "SELECT locate('b', s) FROM t"
     )
     assert "lower" in translate_ch_sql(
         "SELECT positionCaseInsensitive(s, 'AB') FROM t"
