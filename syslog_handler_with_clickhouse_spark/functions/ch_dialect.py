@@ -81,6 +81,9 @@ groupUniqArray(x)           array_sort(collect_set(x)) — CH's
 argMin/argMax[If]           min_by/max_by (If: CASE on value AND
                             ordering so non-qualifiers vanish)
 anyIf(x, c)                 first(CASE WHEN c THEN x END, true)
+                            (empty set -> NULL; CH would return the
+                            type default — same documented deviation
+                            as avg/min/maxIf)
 arrayFlatten / arrayZip     flatten / arrays_zip
 mapKeys / mapValues         map_keys / map_values
 ==========================  =====================================
