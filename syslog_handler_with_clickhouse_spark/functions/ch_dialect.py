@@ -63,7 +63,9 @@ ANY [LEFT|INNER] JOIN t     right side deduped to one row per key
 arraySlice/arrayResize/     slice/concat/array_repeat compositions
   arrayRotateLeft|Right
 position(h, n) /            locate (1-based, 0 = absent; the
-  positionCaseInsensitive     SQL-standard IN form passes through)
+  positionCaseInsensitive     SQL-standard IN form also maps to
+                              locate — backquoting it would break
+                              the special grammar)
 hasToken(h, 'tok')          token-boundary RLIKE (literal
                             alphanumeric tokens only — the CH
                             tokenizer contract; else raises)
