@@ -835,3 +835,89 @@ def q386(spark, sf_dir):
     return clustering.maximin_seeds(emb, k=_MAXIMIN_K).select(
         "pick_order", F.col("vid").alias("vec_id"), "min_d2"
     )
+
+
+@query(
+    "q388_quality_rejection_sampling",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(trim(text), ' ')) END AS n_tok,
+             len(list_filter(string_split(trim(text), ' '),
+                             w -> w = 'the' OR w = 'a')) AS n_stop
+      FROM documents
+    ), q AS (
+      SELECT doc_id, source, n_tok,
+             LEAST(1000000,
+                   3000 * LEAST(n_tok, 100)
+                   + CASE WHEN n_tok = 0 THEN 0
+                          ELSE LEAST(700000, (n_stop * 3500000) // n_tok)
+                     END) AS q_ppm,
+             CAST('0x' || substr(md5('qrs' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 1000000 AS draw
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(count_if(draw < q_ppm) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN draw < q_ppm THEN n_tok ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           CAST(SUM(CASE WHEN draw < q_ppm THEN q_ppm ELSE 0 END) AS BIGINT)
+             AS kept_q_ppm_sum
+    FROM q GROUP BY source
+    """,
+)
+def q388(spark, sf_dir):
+    """Quality-weighted rejection sampling (the DCLM-style soft filter):
+    each document is kept with probability q_ppm/1e6 where q_ppm is an
+    EXACT-integer quality score (length component + stopword-ratio
+    component, pure integer arithmetic — no float drift), and the
+    'random' draw is the portable md5-derived hash of the doc id — so
+    the sample is deterministic, reproducible across engines, and
+    re-runnable at 100 TB with byte-identical membership.  Reports the
+    kept mass per source."""
+    from ..operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), " ")))
+        .alias("n_tok"),
+        F.size(
+            F.filter(
+                F.split(F.trim("text"), " "),
+                lambda w: (w == "the") | (w == "a"),
+            )
+        ).alias("n_stop"),
+    )
+    q = d.select(
+        "source",
+        "n_tok",
+        F.least(
+            F.lit(1000000),
+            3000 * F.least(F.col("n_tok"), F.lit(100))
+            + F.when(F.col("n_tok") == 0, F.lit(0)).otherwise(
+                F.least(
+                    F.lit(700000),
+                    F.expr("(n_stop * 3500000) DIV n_tok"),
+                )
+            ),
+        ).alias("q_ppm"),
+        (
+            portable_hash60(F.concat(F.lit("qrs"), F.col("doc_id").cast("string")))
+            % 1000000
+        ).alias("draw"),
+    )
+    kept = F.col("draw") < F.col("q_ppm")
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(kept).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.sum(F.when(kept, F.col("q_ppm")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_q_ppm_sum"),
+    )
