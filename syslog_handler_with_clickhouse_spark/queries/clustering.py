@@ -921,3 +921,119 @@ def q388(spark, sf_dir):
         .cast("bigint")
         .alias("kept_q_ppm_sum"),
     )
+
+
+@query(
+    "q389_ivfpq_ann",
+    """
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), planted AS (
+      SELECT 1000000 + b.vec_id * 100 + t.j AS vec_id,
+             list_transform(range(1, 65),
+               i -> b.emb[i] + CASE WHEN i = ((b.vec_id + t.j) % 64) + 1
+                                    THEN t.j * 0.001 ELSE 0 END) AS emb
+      FROM base b, LATERAL (SELECT unnest(range(1, 11)) AS j) t
+      WHERE b.vec_id % 50 = 0
+    ), corpus AS (
+      SELECT vec_id, emb FROM base
+      UNION ALL SELECT vec_id, emb FROM planted
+    ), ql AS (
+      SELECT vec_id,
+             list_transform(emb, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+      FROM corpus
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                   i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i])))
+               AS BIGINT) AS d2
+      FROM ql q JOIN ql c ON q.vec_id != c.vec_id
+      WHERE q.vec_id % 50 = 0 AND q.vec_id < 1000000
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2, neighbor_id) AS rk
+      FROM pairs
+    )
+    SELECT query_id,
+           string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY rk)
+             AS exact_top10,
+           TRUE AS recall_ok
+    FROM ranked WHERE rk <= 10 GROUP BY query_id
+    """,
+)
+def q389(spark, sf_dir):
+    """IVF-PQ — the two-level FAISS architecture composed from verified
+    pieces (`similarity.ivfpq_topk`): k-means coarse quantizer →
+    residual product quantization → nprobe cell scan over the 16×-
+    compressed codes → ADC → exact rerank.  Recall is made MEANINGFUL
+    by planting 10 perturbed near-duplicates per query (component j
+    bumped by j/1000 — quantized distances 1²..10², far below any
+    random pair), so the exact top-10 IS the planted set and a working
+    index must route query and plants to the same cell and rank them
+    through the residual codes.  Output: the exact top-10 (oracle
+    re-derives verbatim) + a recall boolean pinned at ≥ 7/10."""
+    from ..operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    planted = (
+        base.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "embedding", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("j"))
+        .select(
+            (F.lit(1000000) + F.col("vec_id") * 100 + F.col("j")).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: F.when(
+                    i == (F.col("vec_id") + F.col("j")) % 64,
+                    x.cast("double") + F.col("j") * 0.001,
+                ).otherwise(x.cast("double")),
+            ).alias("embedding"),
+        )
+    )
+    corpus = base.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(planted)
+
+    qpred = (F.col("vid") % 50 == 0) & (F.col("vid") < 1000000)
+    approx = ivfpq_topk(corpus, k=10, query_pred=qpred).groupBy("query_id").agg(
+        F.collect_set("neighbor_id").alias("pq_ids")
+    )
+
+    from ..operators.clustering import quantize_vectors, _d2
+
+    v = quantize_vectors(corpus)
+    q = v.filter((F.col("vid") % 50 == 0) & (F.col("vid") < 1000000)).select(
+        F.col("vid").alias("query_id"), F.col("qv").alias("qx")
+    )
+    c = v.select(F.col("vid").alias("neighbor_id"), F.col("qv").alias("nx"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("d2", _d2(F.col("qx"), F.col("nx")))
+    )
+    we = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact10 = (
+        scored.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= 10)
+        .groupBy("query_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "neighbor_id"))),
+                    lambda s: s["neighbor_id"].cast("string"),
+                ),
+            ).alias("exact_top10"),
+            F.collect_set("neighbor_id").alias("exact_ids"),
+        )
+    )
+    return exact10.join(approx, "query_id").select(
+        "query_id",
+        "exact_top10",
+        (F.size(F.array_intersect("exact_ids", "pq_ids")) >= 7).alias("recall_ok"),
+    )
