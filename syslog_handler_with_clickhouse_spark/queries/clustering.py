@@ -1,11 +1,13 @@
 """Clustering / embedding-compression / corpus-prep query family
-(q369–q372, q378–q379).
+(q369–q372, q378–q382, q385–q386, q388–q389).
 
 Round-9 additions to the LLM-training-data tier: distributed k-means
-(``operators/clustering.py``), SemDeDup semantic deduplication, int8
-scalar quantization, binary-signature Hamming ANN with exact-cosine
-rerank, document chunking (64-token windows, 16 overlap), and
-T5-style sequence packing into 2048-token bins.  The k-means oracles replay the full Lloyd loop UNROLLED in SQL
+(``operators/clustering.py``) with maximin init, SemDeDup semantic
+deduplication, int8 scalar quantization, binary-signature Hamming ANN,
+IVF-PQ two-level ANN, matryoshka-truncation and LSH-recall evaluation
+metrics, document chunking, T5-style contiguous + exact next-fit
+sequence packing, WordPiece-style subword tokenization, and
+quality-weighted rejection sampling.  The k-means oracles replay the full Lloyd loop UNROLLED in SQL
 over the (vid, pos, val) long form — every iteration is exact integer /
 decimal arithmetic on both sides, so the parity check covers the whole
 training loop, not just the final projection.

@@ -877,3 +877,19 @@ def test_hamming_ann_coarse_stage_is_signature_only(spark):
     # hamming is computed from the packed-bigint XORs (bit_count over
     # ^), never from the float vectors
     assert "bit_count" in plan and "^" in plan
+
+
+def test_round9_ann_and_prep_queries_python_free(spark):
+    """The IVF-PQ composition, evaluation metrics, and native corpus
+    prep stay JVM-side (q380/q385 are deliberate Arrow kernels)."""
+    for name in [
+        "q378_document_chunking",
+        "q379_sequence_packing",
+        "q381_matryoshka_recall",
+        "q382_lsh_recall_eval",
+        "q386_kmeans_maximin_init",
+        "q388_quality_rejection_sampling",
+        "q389_ivfpq_ann",
+    ]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert python_eval_nodes(df) == [], name
