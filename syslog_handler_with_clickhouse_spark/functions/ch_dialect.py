@@ -88,6 +88,11 @@ anyIf(x, c)                 first(CASE WHEN c THEN x END, true)
                             as avg/min/maxIf)
 arrayFlatten / arrayZip     flatten / arrays_zip
 mapKeys / mapValues         map_keys / map_values
+ORDER BY k WITH FILL        exploded-sequence grid FULL OUTER
+  FROM a TO b [STEP s]        merge, off-grid rows kept; filled
+                              rows carry NULL (not CH's type
+                              defaults — documented); literal
+                              integer bounds only, else raises
 ==========================  =====================================
 
 String literals are never rewritten: every rule (the call rewriter and
@@ -281,6 +286,41 @@ def translate_ch_sql(sql: str) -> str:
         s,
         flags=re.IGNORECASE,
     )
+
+    # ORDER BY <col> WITH FILL FROM a TO b [STEP s] (literal integers):
+    # CH generates the missing grid rows [a, b) step s and keeps every
+    # original row.  Translated as a FULL OUTER join against an exploded
+    # sequence with a star-except projection.  Deviation (documented):
+    # filled rows carry NULL in the other columns where CH would emit
+    # type defaults — the same class as the avg/min/max/anyIf note.
+    # Non-literal bounds / missing FROM-TO (data-driven fill) raise.
+    m = _search_nl(
+        r"ORDER\s+BY\s+(\w+)\s+WITH\s+FILL"
+        r"(?:\s+FROM\s+(-?\d+)\s+TO\s+(-?\d+)(?:\s+STEP\s+(\d+))?)?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        key, lo, hi, step = m.group(1), m.group(2), m.group(3), m.group(4)
+        if lo is None:
+            raise ChTranslationError(
+                "WITH FILL needs literal FROM/TO bounds to translate"
+            )
+        step = step or "1"
+        inner = s[: m.start()].strip()
+        s = (
+            f"SELECT coalesce(f.`{key}`, q.`{key}`) AS `{key}`, "
+            f"q.* EXCEPT (`{key}`) FROM "
+            f"(SELECT `{key}` FROM (SELECT explode(sequence({lo}, {hi}, "
+            f"{step})) AS `{key}`) WHERE `{key}` < {hi}) f "
+            f"FULL OUTER JOIN ({inner}) q ON f.`{key}` = q.`{key}` "
+            f"ORDER BY 1"
+        )
+    elif _search_nl(r"\bWITH\s+FILL\b", s, re.IGNORECASE):
+        raise ChTranslationError(
+            "WITH FILL supported only as the final ORDER BY <col> WITH "
+            "FILL FROM <int> TO <int> [STEP <int>] clause"
+        )
 
     # parameterized aggregates: quantile[Exact](q)(x)
     def _quant(exact):

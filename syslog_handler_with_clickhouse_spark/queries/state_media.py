@@ -3247,3 +3247,37 @@ def q387(spark, sf_dir):
         "first_even_user",
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "q390_ch_with_fill",
+    """
+    WITH q AS (
+      SELECT user_id % 40 AS k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_id % 997 = 0
+      GROUP BY user_id % 40
+    ), f AS (
+      SELECT g AS k FROM generate_series(0, 39, 3) t(g)
+    )
+    SELECT COALESCE(f.k, q.k) AS k, q.n AS n
+    FROM f FULL OUTER JOIN q ON f.k = q.k
+    """,
+)
+def q390(spark, sf_dir):
+    """ClickHouse ``ORDER BY ... WITH FILL FROM a TO b STEP s`` — the
+    dashboard gap-fill clause — through the dialect shim: the grid rows
+    [0, 40) step 3 are generated and FULL-OUTER-merged with the sparse
+    histogram, original off-grid rows kept, filled rows carrying NULL
+    (the documented type-default deviation).  The query text IS CH SQL;
+    DuckDB re-derives with generate_series."""
+    from ..functions.ch_dialect import translate_ch_sql
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_t")
+    ch = (
+        "SELECT user_id % 40 AS k, count() AS n "
+        "FROM events_t PREWHERE event_id % 997 = 0 "
+        "GROUP BY user_id % 40 "
+        "ORDER BY k WITH FILL FROM 0 TO 40 STEP 3"
+    )
+    df = spark.sql(translate_ch_sql(ch))
+    return df.select("k", F.col("n").cast("bigint").alias("n"))

@@ -824,3 +824,27 @@ def test_agg_combinator2_rules(spark):
     assert list(row.f) == [1, 2, 3]
     assert sorted(row.mv) == [1, 2]
     assert [tuple(e) for e in row.z] == [(1, "u"), (2, "v")]
+
+
+def test_with_fill_rule(spark):
+    """WITH FILL generates the [FROM, TO) grid, keeps off-grid original
+    rows, and fills other columns with NULL (documented deviation from
+    CH's type defaults); non-literal bounds raise."""
+    spark.createDataFrame(
+        [(1, 5), (1, 7), (4, 2)], "k int, v int"
+    ).createOrReplaceTempView("tfill")
+    rows = spark.sql(
+        translate_ch_sql(
+            "SELECT k, count() AS n FROM tfill GROUP BY k "
+            "ORDER BY k WITH FILL FROM 0 TO 6 STEP 2"
+        )
+    ).collect()
+    assert [(r.k, r.n) for r in rows] == [
+        (0, None), (1, 2), (2, None), (4, 1)
+    ]
+    with pytest.raises(ChTranslationError, match="literal FROM/TO"):
+        translate_ch_sql("SELECT k FROM t ORDER BY k WITH FILL")
+    with pytest.raises(ChTranslationError, match="final ORDER BY"):
+        translate_ch_sql(
+            "SELECT k FROM t ORDER BY k WITH FILL FROM 0 TO 5 LIMIT 3"
+        )
