@@ -22,6 +22,11 @@ uniq(x), uniqExact(x)       approx_count_distinct(x),
                             count(DISTINCT x)
 quantile(q)(x) /            percentile_approx(x, q) /
   quantileExact(q)(x)         percentile(x, q)
+quantile[Exact]If(q)(x, c)  percentile[_approx](CASE WHEN c
+                              THEN x END, q)
+<agg>State / <agg>Merge     raise: CH-internal aggregate state has
+                              no SQL-level Spark mapping (mergeable
+                              state lives in sketches.py / mv.py)
 has(arr, v)                 array_contains(arr, v)
 empty(x) / notEmpty(x)      size(x) = 0 / size(x) > 0   (arrays)
 arrayJoin(x)                explode(x)
@@ -339,6 +344,24 @@ def translate_ch_sql(sql: str) -> str:
 
         return rule
 
+    def _quant_if(exact):
+        def rule(m):
+            q = m.group(1).strip()
+            args = _split_top_args(m.group(2))
+            if len(args) != 2:
+                raise ChTranslationError("quantile*If(q)(x, cond) needs 2 args")
+            x, cond = args
+            f = "percentile" if exact else "percentile_approx"
+            return f"{f}(CASE WHEN {cond} THEN {x} END, {q})"
+
+        return rule
+
+    s = _sub_nl(
+        r"\bquantileExactIf\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant_if(True), s
+    )
+    s = _sub_nl(
+        r"\bquantileIf\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant_if(False), s
+    )
     s = _sub_nl(
         r"\bquantilesExact\s*\(([^()]*)\)\s*\(([^()]*)\)", _quants(True), s
     )
@@ -349,6 +372,18 @@ def translate_ch_sql(sql: str) -> str:
         r"\bquantileExact\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant(True), s
     )
     s = _sub_nl(r"\bquantile\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant(False), s)
+
+    # -State / -Merge combinators carry CH-internal aggregate state and
+    # CANNOT be mapped onto Spark SQL — refuse loudly (the engine's
+    # mergeable-state analogues live in operators/sketches.py and
+    # sources/mv.py, reached through the DataFrame API, not this shim)
+    st = _search_nl(r"\b\w+(State|Merge)\s*\(", s, re.IGNORECASE)
+    if st:
+        raise ChTranslationError(
+            f"{st.group(0).strip('( ')}: -State/-Merge combinators have no "
+            "SQL-level Spark equivalent; use the engine's mergeable-state "
+            "operators (sketches.py / mv.py) instead"
+        )
 
     # bare count()
     s = _sub_nl(r"\bcount\s*\(\s*\)", "count(*)", s, flags=re.IGNORECASE)

@@ -848,3 +848,23 @@ def test_with_fill_rule(spark):
         translate_ch_sql(
             "SELECT k FROM t ORDER BY k WITH FILL FROM 0 TO 5 LIMIT 3"
         )
+
+
+def test_quantile_if_and_state_merge_guard(spark):
+    assert translate_ch_sql(
+        "SELECT quantileExactIf(0.5)(v, v > 3) FROM t"
+    ) == "SELECT percentile(CASE WHEN v > 3 THEN v END, 0.5) FROM t"
+    assert "percentile_approx(CASE WHEN c THEN v END, 0.9)" in (
+        translate_ch_sql("SELECT quantileIf(0.9)(v, c) FROM t")
+    )
+    spark.createDataFrame(
+        [(float(i),) for i in range(1, 11)], "v double"
+    ).createOrReplaceTempView("tqi")
+    r = spark.sql(
+        translate_ch_sql("SELECT quantileExactIf(0.5)(v, v > 5) AS m FROM tqi")
+    ).first()
+    assert r.m == 8.0  # median of 6..10
+    # -State / -Merge combinators refuse loudly
+    for bad in ("uniqState(x)", "sumMerge(s)", "quantileState(v)"):
+        with pytest.raises(ChTranslationError, match="State/-Merge"):
+            translate_ch_sql(f"SELECT {bad} FROM t")
