@@ -653,6 +653,15 @@ def encode_png_subbyte(
     return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
 
 
+def _mask_channel(px: int, mask: int) -> int:
+    """Extract one BI_BITFIELDS channel and rescale to 8 bits
+    (floor v*255/maxval — the exact-integer convention the encoder
+    twin and the oracle share)."""
+    shift = (mask & -mask).bit_length() - 1
+    mval = mask >> shift
+    return ((px & mask) >> shift) * 255 // mval
+
+
 def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     """REAL BMP pixel decode (stdlib ``struct`` only): BITMAPINFOHEADER
     (40-byte DIB), uncompressed BI_RGB, in the three everyday layouts —
@@ -680,14 +689,26 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     (colors_used,) = struct.unpack("<I", b[46:50])
     if planes != 1:
         raise ValueError(f"BMP planes {planes} != 1")
-    if compression not in (0, 1, 2):
+    if compression not in (0, 1, 2, 3):
         raise NotImplementedError(f"BMP compression {compression} unsupported")
     if compression == 1 and bpp != 8:
         raise ValueError("RLE8 compression requires 8-bit BMP")
     if compression == 2 and bpp != 4:
         raise ValueError("RLE4 compression requires 4-bit BMP")
-    if bpp not in (1, 4, 8, 24, 32):
+    if bpp not in (1, 4, 8, 16, 24, 32):
         raise NotImplementedError(f"{bpp}-bit BMP unsupported")
+    masks = None
+    if compression == 3:
+        # BI_BITFIELDS: three DWORD channel masks follow the 40-byte DIB
+        if bpp not in (16, 32):
+            raise ValueError("BI_BITFIELDS requires 16/32-bit BMP")
+        if len(b) < 66:
+            raise ValueError("BMP bitfields masks truncated")
+        masks = struct.unpack("<III", b[54:66])
+        if any(m == 0 for m in masks):
+            raise ValueError("zero BMP channel mask")
+    elif bpp == 16:
+        masks = (0x7C00, 0x03E0, 0x001F)  # BI_RGB 16-bit default = 555
     if w <= 0 or h_signed == 0:
         raise ValueError("invalid BMP dimensions")
     top_down = h_signed < 0
@@ -768,10 +789,19 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
             for x in range(w):
                 bb, gg, rr = b[base + 3 * x : base + 3 * x + 3]
                 out[dst + 3 * x : dst + 3 * x + 3] = bytes((rr, gg, bb))
-        elif bpp == 32:
+        elif bpp == 32 and masks is None:
             for x in range(w):
                 bb, gg, rr = b[base + 4 * x : base + 4 * x + 3]
                 out[dst + 3 * x : dst + 3 * x + 3] = bytes((rr, gg, bb))
+        elif bpp in (16, 32):  # mask-extracted channels (555/565/custom)
+            nb = bpp // 8
+            for x in range(w):
+                px = int.from_bytes(
+                    b[base + nb * x : base + nb * x + nb], "little"
+                )
+                out[dst + 3 * x : dst + 3 * x + 3] = bytes(
+                    _mask_channel(px, m) for m in masks
+                )
         else:  # 1/4/8-bit palettized (sub-byte rows pack MSB-first)
             for x in range(w):
                 if bpp == 8:
@@ -2533,3 +2563,40 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
+
+
+def encode_bmp_bitfields(
+    pixels: bytes, w: int, h: int, bpp: int = 16,
+    masks: tuple = (0xF800, 0x07E0, 0x001F), top_down: bool = False,
+) -> bytes:
+    """BI_BITFIELDS BMP builder (fixture twin of the mask-extraction
+    decode branch): RGB input quantized per channel with floor
+    v·maxval/255, packed under the given masks (RGB565 default — the
+    classic screenshot format; 555 or custom 32-bit masks work too)."""
+    import struct
+
+    assert len(pixels) == w * h * 3
+    if bpp not in (16, 32):
+        raise ValueError("BI_BITFIELDS requires 16/32-bit BMP")
+    shifts = [(m & -m).bit_length() - 1 for m in masks]
+    mvals = [m >> sh for m, sh in zip(masks, shifts)]
+    row_bytes = ((w * bpp + 31) // 32) * 4
+    data = bytearray()
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    for r in rows:
+        row = bytearray()
+        for x in range(w):
+            rr, gg, bb = pixels[(r * w + x) * 3 : (r * w + x) * 3 + 3]
+            px = 0
+            for v, m, sh, mv in zip((rr, gg, bb), masks, shifts, mvals):
+                px |= (v * mv // 255) << sh
+            row += px.to_bytes(bpp // 8, "little")
+        row += bytes(row_bytes - len(row))
+        data += row
+    data_off = 14 + 40 + 12
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, 3,
+        len(data), 2835, 2835, 0, 0,
+    )
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
+    return hdr + dib + struct.pack("<III", *masks) + bytes(data)

@@ -3281,3 +3281,98 @@ def q390(spark, sf_dir):
     )
     df = spark.sql(translate_ch_sql(ch))
     return df.select("k", F.col("n").cast("bigint").alias("n"))
+
+
+@query(
+    "q391_bmp_bitfields_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 15) + 2 AS w,
+             (doc_id % 5) + 2 AS h,
+             doc_id % 3 AS mode   -- 0: RGB565, 1: RGB555, 2: 32-bit 888
+      FROM documents WHERE doc_id % 43 = 9
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h, d.mode, t.k
+      FROM d, LATERAL (SELECT unnest(range(0, d.w * d.h)) AS k) t
+    ), ch AS (
+      SELECT doc_id, w, h, k, c.c,
+             (doc_id + 37 * k + 11 * c.c) % 256 AS v,
+             CASE WHEN mode = 2 THEN 255
+                  WHEN mode = 0 AND c.c = 1 THEN 63
+                  ELSE 31 END AS mv
+      FROM px, (SELECT unnest(range(0, 3)) AS c) c
+    ), vals AS (
+      SELECT doc_id, w, h,
+             ((v * mv) // 255) * 255 // mv AS val
+      FROM ch
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(val) AS BIGINT) AS val_sum,
+           CAST(MIN(val) AS BIGINT) AS val_min,
+           CAST(MAX(val) AS BIGINT) AS val_max
+    FROM vals GROUP BY doc_id, w, h
+    """,
+)
+def q391(spark, sf_dir):
+    """BI_BITFIELDS BMP decode (the 16-bit RGB565/555 screenshot tier
+    plus mask-specified 32-bit) through the shared distributed path:
+    three DWORD channel masks after the DIB header, per-pixel mask
+    extraction with exact-integer 8-bit rescaling (floor v·255/maxval).
+    Fixture rotation: RGB565 / RGB555 / 32-bit-888 masks by doc_id,
+    alternating orientations.  The oracle derives the decoded stats
+    from the quantization arithmetic alone — a decoder with a wrong
+    shift, mask, or rescale breaks the sum."""
+    import pandas as pd
+
+    from ..operators.multimodal import decode_assets, encode_bmp_bitfields
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 43 == 9)
+        .select("doc_id")
+    )
+    MASKS = {
+        0: ((0xF800, 0x07E0, 0x001F), 16),
+        1: ((0x7C00, 0x03E0, 0x001F), 16),
+        2: ((0xFF0000, 0x00FF00, 0x0000FF), 32),
+    }
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 15 + 2, d % 5 + 2
+                masks, bpp = MASKS[d % 3]
+                px = bytes(
+                    (d + 37 * k + 11 * c) % 256
+                    for k in range(w * h)
+                    for c in range(3)
+                )
+                payloads.append(
+                    encode_bmp_bitfields(
+                        px, w, h, bpp=bpp, masks=masks,
+                        top_down=(d // 43) % 2 == 1,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    return dec.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("val_sum"),
+        F.col("val_min").cast("bigint").alias("val_min"),
+        F.col("val_max").cast("bigint").alias("val_max"),
+    )

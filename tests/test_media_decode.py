@@ -481,16 +481,26 @@ def test_bmp_guards_and_dispatch():
     rle[30:34] = struct.pack("<I", 2)
     with pytest.raises(ValueError, match="RLE4"):
         decode_bmp_pixels(bytes(rle))
-    # bitfields compression remains a guard
+    # BI_BITFIELDS on a 24-bit image is corrupt (16/32-bit only);
+    # JPEG-in-BMP compression stays a genuine guard
     bf = bytearray(blob)
     bf[30:34] = struct.pack("<I", 3)
-    with pytest.raises(NotImplementedError, match="compression"):
+    with pytest.raises(ValueError, match="BI_BITFIELDS"):
         decode_bmp_pixels(bytes(bf))
-    # 16-bit -> guard
-    b16 = bytearray(blob)
-    b16[28:30] = struct.pack("<H", 16)
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        decode_bmp_pixels(bytes(b16))
+    bj = bytearray(blob)
+    bj[30:34] = struct.pack("<I", 4)  # BI_JPEG
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_bmp_pixels(bytes(bj))
+    # 16-bit now decodes (test_bmp_bitfields_round_trips); a zero mask
+    # is corrupt
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        encode_bmp_bitfields,
+    )
+
+    z = bytearray(encode_bmp_bitfields(bytes(12), 2, 2, bpp=16))
+    z[54:58] = struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="mask"):
+        decode_bmp_pixels(bytes(z))
     with pytest.raises(ValueError):
         decode_bmp_pixels(b"BMshort")
     # decode_real dispatches on the BM magic
@@ -983,3 +993,49 @@ def test_ima_adpcm_clamps_and_guards():
     bad[i] = 89
     with pytest.raises(ValueError, match="step index"):
         decode_wav_samples(bytes(bad))
+
+
+def test_bmp_bitfields_round_trips():
+    """BI_BITFIELDS: RGB565, RGB555 and mask-specified 32-bit decode to
+    the exact floor-rescaled channels, both orientations."""
+    import itertools
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp_bitfields,
+    )
+
+    checked = 0
+    for masks, bpp in (
+        ((0xF800, 0x07E0, 0x001F), 16),
+        ((0x7C00, 0x03E0, 0x001F), 16),
+        ((0xFF0000, 0xFF00, 0xFF), 32),
+    ):
+        for w, h, td in itertools.product((1, 3, 7), (1, 2, 4), (False, True)):
+            px = bytes(
+                (x * 37 + c * 11) % 256 for x in range(w * h) for c in range(3)
+            )
+            W, H, C, got = decode_bmp_pixels(
+                encode_bmp_bitfields(px, w, h, bpp=bpp, masks=masks, top_down=td)
+            )
+            assert (W, H, C) == (w, h, 3)
+            exp = bytearray()
+            for i in range(w * h):
+                for c, m in zip(px[3 * i : 3 * i + 3], masks):
+                    sh = (m & -m).bit_length() - 1
+                    mv = m >> sh
+                    exp.append((c * mv // 255) * 255 // mv)
+            assert got == bytes(exp), (masks, bpp, w, h, td)
+            checked += 1
+    assert checked == 54
+    # plain BI_RGB 16-bit defaults to 555 masks
+    blob = bytearray(
+        encode_bmp_bitfields(
+            bytes([255, 0, 0] * 4), 2, 2, bpp=16,
+            masks=(0x7C00, 0x03E0, 0x001F),
+        )
+    )
+    import struct as _st
+
+    blob[30:34] = _st.pack("<I", 0)  # compression BI_RGB
+    assert decode_bmp_pixels(bytes(blob))[3][:3] == bytes([255, 0, 0])
