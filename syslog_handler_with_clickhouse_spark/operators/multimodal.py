@@ -883,6 +883,111 @@ _IMA_STEPS = [
 ]
 _IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
 
+_MS_COEF1 = [256, 512, 0, 192, 240, 460, 392]
+_MS_COEF2 = [0, -256, 0, 64, 0, -208, -232]
+_MS_ADAPT = [
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+]
+
+
+def _ms_step(nib: int, s1: int, s2: int, delta: int, c1: int, c2: int):
+    """One MS ADPCM decode step (the reference recurrence the SQL
+    oracle re-derives): 4-bit two's-complement error term scaled by the
+    adaptive delta on top of the 2-tap predictor (C arithmetic >> 8),
+    int16 clamp, delta walked by the adaption table with a floor of 16."""
+    signed = nib - 16 if nib >= 8 else nib
+    pred = (s1 * c1 + s2 * c2) >> 8
+    sample = max(-32768, min(32767, pred + signed * delta))
+    delta = max(16, (_MS_ADAPT[nib] * delta) >> 8)
+    return sample, delta
+
+
+def _ms_adpcm_decode(data: bytes, channels: int, block_align: int) -> list:
+    """MS ADPCM (WAV tag 2) block decode: per block and channel a
+    7-byte header (predictor index 0-6, initial delta, samp1, samp2 —
+    samp2 is the OLDER sample and emits first), then nibble data, HIGH
+    nibble first (opposite of IMA), alternating channels for stereo."""
+    import struct
+
+    hdr = 7 * channels
+    if block_align < hdr:
+        raise ValueError("MS ADPCM block_align smaller than headers")
+    out: list[int] = []
+    for boff in range(0, len(data), block_align):
+        block = data[boff : boff + block_align]
+        if len(block) < hdr:
+            break
+        bpred = list(block[0:channels])
+        if any(p > 6 for p in bpred):
+            raise ValueError(f"MS ADPCM predictor index {max(bpred)} > 6")
+        deltas = list(
+            struct.unpack(f"<{channels}h", block[channels : 3 * channels])
+        )
+        s1 = list(
+            struct.unpack(
+                f"<{channels}h", block[3 * channels : 5 * channels]
+            )
+        )
+        s2 = list(
+            struct.unpack(
+                f"<{channels}h", block[5 * channels : 7 * channels]
+            )
+        )
+        out.extend(s2)  # older pair first
+        out.extend(s1)
+        c1 = [_MS_COEF1[p] for p in bpred]
+        c2 = [_MS_COEF2[p] for p in bpred]
+        ch = 0
+        for byte in block[hdr:]:
+            for nib in (byte >> 4, byte & 15):  # HIGH nibble first
+                sample, deltas[ch] = _ms_step(
+                    nib, s1[ch], s2[ch], deltas[ch], c1[ch], c2[ch]
+                )
+                s2[ch], s1[ch] = s1[ch], sample
+                out.append(sample)
+                ch = (ch + 1) % channels
+    return out
+
+
+def encode_wav_ms_adpcm_raw(
+    nibbles, rate: int, bpred: int, idelta: int, samp1: int, samp2: int
+) -> bytes:
+    """Mono single-block MS ADPCM WAV from an EXPLICIT nibble sequence
+    (fixture builder — decoded samples are then the deterministic
+    `_ms_step` recurrence).  ``len(nibbles)`` must be even."""
+    import struct
+
+    nibbles = list(nibbles)
+    if len(nibbles) % 2:
+        raise ValueError("nibble count must be even")
+    if not 0 <= bpred <= 6:
+        raise ValueError("predictor index must be 0..6")
+    body = bytearray(struct.pack("<Bhhh", bpred, idelta, samp1, samp2))
+    for k in range(0, len(nibbles), 2):
+        body.append((nibbles[k] << 4) | nibbles[k + 1])
+    block_align = len(body)
+    n_samples = len(nibbles) + 2
+    coefs = b"".join(
+        struct.pack("<hh", a, b) for a, b in zip(_MS_COEF1, _MS_COEF2)
+    )
+    fmt = (
+        struct.pack(
+            "<HHIIHHH", 2, 1, rate, rate * block_align // n_samples,
+            block_align, 4, 32,
+        )
+        + struct.pack("<HH", n_samples, 7)
+        + coefs
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_samples)
+        + b"data" + struct.pack("<I", len(body)) + bytes(body)
+    )
+    if len(body) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
 
 def _ima_step(nib: int, pred: int, idx: int) -> tuple[int, int]:
     """One IMA ADPCM decode step (the reference recurrence both the
@@ -1072,13 +1177,18 @@ def decode_wav_samples(b: bytes) -> tuple[int, int, int, "object"]:
         if fmt_body is None or len(fmt_body) < 26:
             raise ValueError("extensible WAV fmt chunk truncated")
         tag = struct.unpack("<H", fmt_body[24:26])[0]
-    if tag not in (1, 3, 0x11):
+    if tag not in (1, 2, 3, 0x11):
         raise NotImplementedError(
             f"WAV format tag {tag} unsupported (PCM / IEEE float / "
-            "IMA ADPCM only)"
+            "MS + IMA ADPCM only)"
         )
     if data is None:
         raise ValueError("missing data chunk")
+    if tag == 2:
+        if bits != 4:
+            raise ValueError(f"MS ADPCM requires 4-bit samples, got {bits}")
+        samples = _ms_adpcm_decode(data, channels, _block_align)
+        return rate, channels, bits, np.asarray(samples, dtype=np.int64)
     if tag == 0x11:
         if bits != 4:
             raise ValueError(f"IMA ADPCM requires 4-bit samples, got {bits}")

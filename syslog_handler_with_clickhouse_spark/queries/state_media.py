@@ -3376,3 +3376,98 @@ def q391(spark, sf_dir):
         F.col("val_min").cast("bigint").alias("val_min"),
         F.col("val_max").cast("bigint").alias("val_max"),
     )
+
+
+@query(
+    "q392_wav_ms_adpcm_decode",
+    """
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         ((doc_id % 11) + 2) * 8 AS n,
+         doc_id % 7 AS bpred,
+         (doc_id * 13) % 400 + 20 AS d0,
+         (doc_id * 29) % 4000 - 2000 AS s1_0,
+         (doc_id * 31) % 4000 - 2000 AS s2_0
+  FROM documents WHERE doc_id % 47 = 5
+), rec AS (
+  SELECT doc_id, n, 0 AS k,
+         CAST(s1_0 AS BIGINT) AS s1, CAST(s2_0 AS BIGINT) AS s2,
+         CAST(d0 AS BIGINT) AS delta,
+         list_extract([256,512,0,192,240,460,392], bpred + 1) AS c1,
+         list_extract([0,-256,0,64,0,-208,-232], bpred + 1) AS c2
+  FROM d
+  UNION ALL
+  SELECT doc_id, n, k + 1,
+         GREATEST(-32768, LEAST(32767,
+           ((s1 * c1 + s2 * c2) >> 8)
+           + CASE WHEN nib >= 8 THEN nib - 16 ELSE nib END * delta)),
+         s1,
+         GREATEST(16, (list_extract([230,230,230,230,307,409,512,614,768,614,512,409,307,230,230,230], nib + 1) * delta) >> 8),
+         c1, c2
+  FROM (
+    SELECT doc_id, n, k, s1, s2, delta, c1, c2,
+           (doc_id + 7 * k) % 16 AS nib
+    FROM rec WHERE k < n
+  )
+)
+SELECT doc_id,
+       CAST(1 AS INT) AS channels,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_values,
+       CAST(SUM(s1) + MAX(CASE WHEN k = 0 THEN s2 END) AS BIGINT) AS val_sum,
+       CAST(LEAST(MIN(s1), MAX(CASE WHEN k = 0 THEN s2 END)) AS BIGINT) AS val_min,
+       CAST(GREATEST(MAX(s1), MAX(CASE WHEN k = 0 THEN s2 END)) AS BIGINT) AS val_max
+FROM rec GROUP BY doc_id
+""",
+)
+def q392(spark, sf_dir):
+    """MS ADPCM WAV (format tag 2 — the OTHER classic 4-bit codec,
+    closing the compressed-WAV pair with q376's IMA): 7-byte per-channel
+    block headers (predictor index into the 7 coefficient pairs,
+    initial delta, samp1/samp2 with the OLDER sample emitted first),
+    HIGH-nibble-first data, 2-tap predictor with C-arithmetic >> 8,
+    int16 clamp, adaption-table delta walk floored at 16.  Fixtures are
+    explicit nibble streams (``encode_wav_ms_adpcm_raw``); the oracle
+    RE-DERIVES the recurrence as a recursive SQL CTE carrying
+    (samp1, samp2, delta) — a cross-implementation differential."""
+    import pandas as pd
+
+    from ..operators.multimodal import decode_assets, encode_wav_ms_adpcm_raw
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 47 == 5)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = ((d % 11) + 2) * 8
+                payloads.append(
+                    encode_wav_ms_adpcm_raw(
+                        [(d + 7 * k) % 16 for k in range(n)],
+                        8000,
+                        d % 7,
+                        (d * 13) % 400 + 20,
+                        (d * 29) % 4000 - 2000,
+                        (d * 31) % 4000 - 2000,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    return dec.select(
+        "doc_id",
+        F.col("channels").cast("int").alias("channels"),
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("val_sum"),
+        F.col("val_min").cast("bigint").alias("val_min"),
+        F.col("val_max").cast("bigint").alias("val_max"),
+    )

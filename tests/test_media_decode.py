@@ -1039,3 +1039,41 @@ def test_bmp_bitfields_round_trips():
 
     blob[30:34] = _st.pack("<I", 0)  # compression BI_RGB
     assert decode_bmp_pixels(bytes(blob))[3][:3] == bytes([255, 0, 0])
+
+
+def test_ms_adpcm_matches_reference_recurrence():
+    """MS ADPCM raw-nibble decode == the `_ms_step` recurrence: older
+    samp2 emits first, high nibble first, adaptive delta floored at 16;
+    predictor index > 6 is corrupt."""
+    import random
+    import struct as _st
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        _MS_COEF1,
+        _MS_COEF2,
+        _ms_step,
+        encode_wav_ms_adpcm_raw,
+    )
+
+    rng = random.Random(11)
+    nibbles = [rng.randrange(16) for _ in range(64)]
+    bpred, idelta, s1, s2 = 4, 300, -120, 85
+    rate, ch, bits, got = decode_wav_samples(
+        encode_wav_ms_adpcm_raw(nibbles, 8000, bpred, idelta, s1, s2)
+    )
+    assert (rate, ch, bits) == (8000, 1, 4)
+    exp = [s2, s1]
+    d, a, b = idelta, s1, s2
+    c1, c2 = _MS_COEF1[bpred], _MS_COEF2[bpred]
+    for n in nibbles:
+        smp, d = _ms_step(n, a, b, d, c1, c2)
+        b, a = a, smp
+        exp.append(smp)
+    assert got.tolist() == exp
+    bad = bytearray(encode_wav_ms_adpcm_raw([0] * 8, 8000, 0, 16, 0, 0))
+    i = bad.find(b"data") + 8
+    bad[i] = 7  # predictor index out of range
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="predictor index"):
+        decode_wav_samples(bytes(bad))
