@@ -171,9 +171,10 @@ def test_wav_8bit_and_unsupported():
     assert (rate, ch, bits) == (8000, 1, 8)
     assert got.tolist() == [0, 128, 255]
 
-    # compressed tags stay guarded (float32 + extensible now decode)
-    fmt_adpcm = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)
-    body_f = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_adpcm)) + fmt_adpcm
+    # exotic compressed tags stay guarded (MS/IMA ADPCM now decode —
+    # q392/q376); A-law (tag 6) is still a guard
+    fmt_alaw = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
+    body_f = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_alaw)) + fmt_alaw
     with pytest.raises(NotImplementedError, match="tag"):
         decode_wav_samples(b"RIFF" + struct.pack("<I", len(body_f)) + body_f)
 
@@ -207,7 +208,7 @@ def test_wav_extensible_unwraps_subformat():
     rate, ch, bits, got = decode_wav_samples(ext_blob(3, 32, flt.tobytes()))
     assert bits == 32 and got.tolist() == flt.astype(np.float64).tolist()
     with pytest.raises(NotImplementedError, match="tag"):
-        decode_wav_samples(ext_blob(2, 4, b"\x00\x00"))
+        decode_wav_samples(ext_blob(6, 8, b"\x00\x00"))  # A-law guard
 
 
 def test_wav_float32_roundtrip():
