@@ -989,6 +989,53 @@ def encode_wav_ms_adpcm_raw(
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def _g711_ulaw(b: int) -> int:
+    """G.711 mu-law byte -> int16 (bit-exact vs audioop.ulaw2lin)."""
+    u = ~b & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _g711_alaw(b: int) -> int:
+    """G.711 A-law byte -> int16 (bit-exact vs audioop.alaw2lin)."""
+    a = b ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = (t + 0x108) << (seg - 1) if seg else t + 8
+    return t if (a & 0x80) else -t
+
+
+def _g711_luts():
+    import numpy as np
+
+    return (
+        np.array([_g711_ulaw(b) for b in range(256)], dtype=np.int64),
+        np.array([_g711_alaw(b) for b in range(256)], dtype=np.int64),
+    )
+
+
+_G711_ULAW, _G711_ALAW = _g711_luts()
+
+
+def encode_wav_g711(codes, rate: int, law: str = "ulaw") -> bytes:
+    """G.711 WAV builder from EXPLICIT code bytes (mono; tag 7 mu-law /
+    6 A-law) — the encoded stream IS the byte sequence, so fixtures are
+    trivial and the decode is the pure 256-entry expansion."""
+    import struct
+
+    codes = bytes(codes)
+    tag = 7 if law == "ulaw" else 6
+    fmt = struct.pack("<HHIIHHH", tag, 1, rate, rate, 1, 8, 0)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(codes))
+        + b"data" + struct.pack("<I", len(codes)) + codes
+    )
+    if len(codes) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def _ima_step(nib: int, pred: int, idx: int) -> tuple[int, int]:
     """One IMA ADPCM decode step (the reference recurrence both the
     encoder's embedded decoder and the SQL-oracle re-derivation use):
@@ -1177,13 +1224,22 @@ def decode_wav_samples(b: bytes) -> tuple[int, int, int, "object"]:
         if fmt_body is None or len(fmt_body) < 26:
             raise ValueError("extensible WAV fmt chunk truncated")
         tag = struct.unpack("<H", fmt_body[24:26])[0]
-    if tag not in (1, 2, 3, 0x11):
+    if tag not in (1, 2, 3, 6, 7, 0x11):
         raise NotImplementedError(
             f"WAV format tag {tag} unsupported (PCM / IEEE float / "
-            "MS + IMA ADPCM only)"
+            "MS + IMA ADPCM / G.711 A-law + mu-law only)"
         )
     if data is None:
         raise ValueError("missing data chunk")
+    if tag in (6, 7):
+        # G.711: one byte per sample through the 256-entry expansion
+        # (formula cross-checked against audioop's C tables on every
+        # code — tests/test_media_decode.py)
+        if bits != 8:
+            raise ValueError(f"G.711 requires 8-bit samples, got {bits}")
+        lut = _G711_ALAW if tag == 6 else _G711_ULAW
+        codes = np.frombuffer(data, dtype=np.uint8)
+        return rate, channels, bits, lut[codes].astype(np.int64)
     if tag == 2:
         if bits != 4:
             raise ValueError(f"MS ADPCM requires 4-bit samples, got {bits}")

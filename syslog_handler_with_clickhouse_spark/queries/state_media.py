@@ -3471,3 +3471,96 @@ def q392(spark, sf_dir):
         F.col("val_min").cast("bigint").alias("val_min"),
         F.col("val_max").cast("bigint").alias("val_max"),
     )
+
+
+@query(
+    "q393_wav_g711_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             ((doc_id % 9) + 2) * 16 AS n,
+             doc_id % 2 AS law   -- 0: mu-law, 1: A-law
+      FROM documents WHERE doc_id % 53 = 17
+    ), c AS (
+      SELECT d.doc_id, d.law, (d.doc_id + 3 * t.k) % 256 AS b
+      FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS k) t
+    ), v AS (
+      SELECT doc_id,
+             CASE WHEN law = 0 THEN
+               CASE WHEN (255 - b) >= 128
+                    THEN 132 - (((((255 - b) % 16) * 8) + 132)
+                                * (1 << (((255 - b) // 16) % 8)))
+                    ELSE (((((255 - b) % 16) * 8) + 132)
+                          * (1 << (((255 - b) // 16) % 8))) - 132
+               END
+             ELSE
+               CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+                    THEN CASE WHEN xor(b, 85) >= 128
+                              THEN (xor(b, 85) % 16) * 16 + 8
+                              ELSE -((xor(b, 85) % 16) * 16 + 8) END
+                    ELSE CASE WHEN xor(b, 85) >= 128
+                              THEN ((xor(b, 85) % 16) * 16 + 264)
+                                   * (1 << (((xor(b, 85) // 16) % 8) - 1))
+                              ELSE -(((xor(b, 85) % 16) * 16 + 264)
+                                   * (1 << (((xor(b, 85) // 16) % 8) - 1)))
+                         END
+               END
+             END AS s
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(1 AS INT) AS channels,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(s) AS BIGINT) AS val_sum,
+           CAST(MIN(s) AS BIGINT) AS val_min,
+           CAST(MAX(s) AS BIGINT) AS val_max
+    FROM v GROUP BY doc_id
+    """,
+)
+def q393(spark, sf_dir):
+    """G.711 mu-law and A-law WAV decode (tags 7/6 — the telephony
+    byte codecs, completing the compressed-WAV family with the q376/
+    q392 ADPCM pair): one byte per sample expanded through the
+    segment/mantissa formula, BIT-EXACT against ``audioop``'s
+    independent C tables on every one of the 256 codes (unit-pinned).
+    The oracle re-derives the expansion as pure SQL integer arithmetic
+    — a third independent implementation."""
+    import pandas as pd
+
+    from ..operators.multimodal import decode_assets, encode_wav_g711
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 53 == 17)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = ((d % 9) + 2) * 16
+                payloads.append(
+                    encode_wav_g711(
+                        bytes((d + 3 * k) % 256 for k in range(n)),
+                        8000,
+                        "ulaw" if d % 2 == 0 else "alaw",
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    return dec.select(
+        "doc_id",
+        F.col("channels").cast("int").alias("channels"),
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("val_sum"),
+        F.col("val_min").cast("bigint").alias("val_min"),
+        F.col("val_max").cast("bigint").alias("val_max"),
+    )

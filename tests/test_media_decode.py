@@ -1078,3 +1078,29 @@ def test_ms_adpcm_matches_reference_recurrence():
 
     with _pytest.raises(ValueError, match="predictor index"):
         decode_wav_samples(bytes(bad))
+
+
+def test_g711_bit_exact_vs_audioop():
+    """Every one of the 256 mu-law and A-law codes decodes bit-exactly
+    against audioop's independent C implementation."""
+    import warnings
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        encode_wav_g711,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    codes = bytes(range(256))
+    for law, ref in (("ulaw", audioop.ulaw2lin), ("alaw", audioop.alaw2lin)):
+        rate, ch, bits, got = decode_wav_samples(
+            encode_wav_g711(codes, 8000, law)
+        )
+        assert (rate, ch, bits) == (8000, 1, 8)
+        exp = ref(codes, 2)
+        assert (
+            b"".join(int(v).to_bytes(2, "little", signed=True) for v in got)
+            == exp
+        ), law
