@@ -171,10 +171,10 @@ def test_wav_8bit_and_unsupported():
     assert (rate, ch, bits) == (8000, 1, 8)
     assert got.tolist() == [0, 128, 255]
 
-    # exotic compressed tags stay guarded (MS/IMA ADPCM now decode —
-    # q392/q376); A-law (tag 6) is still a guard
-    fmt_alaw = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
-    body_f = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_alaw)) + fmt_alaw
+    # exotic compressed tags stay guarded (ADPCM pair + G.711 pair now
+    # decode — q376/q392/q393); GSM 6.10 (tag 0x31) is still a guard
+    fmt_gsm = struct.pack("<HHIIHH", 0x31, 1, 8000, 1625, 65, 0)
+    body_f = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_gsm)) + fmt_gsm
     with pytest.raises(NotImplementedError, match="tag"):
         decode_wav_samples(b"RIFF" + struct.pack("<I", len(body_f)) + body_f)
 
@@ -208,7 +208,7 @@ def test_wav_extensible_unwraps_subformat():
     rate, ch, bits, got = decode_wav_samples(ext_blob(3, 32, flt.tobytes()))
     assert bits == 32 and got.tolist() == flt.astype(np.float64).tolist()
     with pytest.raises(NotImplementedError, match="tag"):
-        decode_wav_samples(ext_blob(6, 8, b"\x00\x00"))  # A-law guard
+        decode_wav_samples(ext_blob(0x31, 0, b"\x00\x00"))  # GSM guard
 
 
 def test_wav_float32_roundtrip():
