@@ -562,3 +562,90 @@ def dedup_components(
     raise RuntimeError(
         f"dedup_components did not converge in {max_iter} rounds"
     )
+
+
+def duplicated_ngram_coverage(
+    docs: DataFrame, *, w: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Exact-substring duplication coverage — the measure behind
+    suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    the fraction of token positions covered by at least one w-token
+    window that occurs ``min_count``+ times ANYWHERE in the corpus
+    (intra-doc repeats included, as in the paper).
+
+    Spark-first shape (no suffix array needed for the coverage
+    statistic): per-doc token array stays a projection; the w-gram list
+    is a higher-order ``transform`` over ``sequence`` (no explode until
+    the grams themselves); duplicated grams come from ONE gram-keyed
+    aggregate; the per-doc interval union is the classic sweep-line —
+    every window has identical length w, so union length is
+    Σ min(w, gap) over consecutive duplicated starts (first start
+    contributes w).  All integers, no floats.
+
+    At 100 TB the gram string would be replaced by its 128-bit hash
+    before the shuffle (collision-negligible, 16 bytes/key); the plan
+    shape — explode, gram-keyed agg, gram-keyed join back, doc-keyed
+    window — is unchanged.
+
+    Returns (doc_id, n_tok, dup_starts, dup_cov, dup_ppm), one row per
+    document with ≥ w tokens; undupped docs report zeros.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import TOKEN_RE
+
+    base = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0).alias(
+            "arr"
+        ),
+    ).select("doc_id", "arr", F.size("arr").cast("bigint").alias("n_tok"))
+    base = base.filter(F.col("n_tok") >= w)
+
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tok") - w + 1),
+                lambda i: F.concat_ws(" ", F.slice("arr", i, w)),
+            )
+        ).alias("p0", "gram"),
+    ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("p"), "gram")
+
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("gram")
+    )
+
+    win = Window.partitionBy("doc_id").orderBy("p")
+    hits = (
+        grams.join(dup_grams, "gram")
+        .select("doc_id", "p")
+        .withColumn("gap", F.col("p") - F.lag("p").over(win))
+    )
+    cov = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_starts"),
+        F.sum(
+            F.when(
+                F.col("gap").isNull() | (F.col("gap") >= w), F.lit(w)
+            ).otherwise(F.col("gap"))
+        )
+        .cast("bigint")
+        .alias("dup_cov"),
+    )
+    return (
+        base.select("doc_id", "n_tok")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("dup_starts", F.lit(0)).cast("bigint").alias("dup_starts"),
+            F.coalesce("dup_cov", F.lit(0)).cast("bigint").alias("dup_cov"),
+            F.expr(
+                "coalesce(dup_cov, 0) * 1000000 DIV n_tok"
+            ).alias("dup_ppm"),
+        )
+    )

@@ -1,0 +1,126 @@
+"""Full-text retrieval scoring over the documents corpus.
+
+BM25 is the classic probabilistic ranking function (Robertson/Spärck
+Jones, as shipped by Lucene/Elasticsearch and ClickHouse's full-text
+experiments).  This implementation keeps the repo's parity contract —
+EXACT integer arithmetic end to end — by
+
+* using rational BM25 constants k1 = 1.2 = 6/5 and b = 0.75 = 3/4 and
+  clearing denominators, so the tf-saturation term
+
+      tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+  becomes the integer expression
+
+      tf_ppm = (22·tf·am·1 000 000) div (10·tf·am + 3·am + 9000·dl)
+
+  with am = (1000·L) div N the milli-avgdl (L = corpus token count,
+  N = corpus doc count) — every quantity a bigint, identical in Spark
+  and DuckDB;
+* replacing the float log-idf with the integer rarity weight
+  idf_int = N div df (same surrogate q156 uses; documented deviation —
+  the RANKING behavior matches BM25's rare-terms-dominate shape while
+  staying ulp-drift-free).
+
+Magnitudes: am is bounded by document length (not corpus size), so
+22·tf·am·1e6 stays far below int64 at any corpus scale.
+
+Scale shape: one explode + (doc, token) aggregate for the postings,
+one token-keyed aggregate for df, a broadcast of the two corpus
+scalars, then a token-keyed equi-join between query terms and the
+posting lists — never all-pairs.  Stop-term pruning (df > max_df·N)
+caps the posting-list fan-out the same way q195's max_df cap does, so
+candidate volume stays proportional to corpus size at 100 TB.
+
+Reference semantics: the syslog reference (main.go:27-101) has no
+retrieval surface; this extends the engine along the ClickHouse
+full-text direction SURVEY §0 mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKEN_RE
+
+#: ppm scale for the tf-saturation term.
+_SCALE = 1_000_000
+
+
+def _tokens(docs: DataFrame, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("token"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    max_df_num: int = 1,
+    max_df_den: int = 4,
+) -> DataFrame:
+    """Rank ``docs`` (doc_id, text) for each query doc (query_id, text)
+    by exact-integer BM25; keep the top ``k`` per query.
+
+    Query terms are the query document's DISTINCT tokens; terms whose
+    document frequency exceeds ``max_df_num/max_df_den`` of the corpus
+    are pruned (stop-term cap — both a quality choice and THE scale
+    guard, because it bounds every posting list the join fans out
+    over).  A query doc never matches itself.
+
+    Returns (query_id, rank, doc_id, score) with score the bigint
+    Σ idf_int · tf_ppm over matched terms; rank by (score DESC,
+    doc_id ASC) — a total order.
+    """
+    tok = _tokens(docs, "doc_id")
+    postings = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("corpus_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    ).select(
+        "n_docs",
+        (F.expr("corpus_tokens * 1000 DIV n_docs")).alias("am"),
+    )
+    df_ = postings.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+
+    qterms = _tokens(queries, "query_id").distinct()
+
+    scored_terms = (
+        qterms.join(df_, "token")
+        .join(F.broadcast(stats))
+        .filter(F.col("dfreq") * max_df_den <= F.col("n_docs") * max_df_num)
+        .join(postings, "token")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .join(dl, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.expr("n_docs DIV dfreq")
+                * F.expr(
+                    f"(22 * tf * am * {_SCALE}) "
+                    "DIV (10 * tf * am + 3 * am + 9000 * dl)"
+                )
+            ).alias("term_score"),
+        )
+    )
+    scores = scored_terms.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").cast("bigint").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "score")
+    )

@@ -42,6 +42,7 @@ from . import sketches_arrays  # noqa: F401,E402
 from . import product_analytics  # noqa: F401,E402
 from . import state_media  # noqa: F401,E402
 from . import clustering  # noqa: F401,E402
+from . import retrieval  # noqa: F401,E402
 
 
 def all_queries():

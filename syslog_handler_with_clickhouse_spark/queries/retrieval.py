@@ -1,0 +1,122 @@
+"""Retrieval, corpus-duplication, and graph analytics (round-9 tail:
+q394+).
+
+Split rationale mirrors the other family modules: importing this module
+registers its queries into the shared QUERIES/ORACLE registry.
+"""
+
+from ._common import *  # noqa: F401,F403
+from ._common import _t
+from ..functions.text import TOKEN_RE
+
+
+@query(
+    "q394_bm25_retrieval",
+    """
+    WITH tok AS (
+      SELECT doc_id, t AS token
+      FROM documents, UNNEST(regexp_extract_all(lower(text), '{re}')) AS u(t)
+    ), postings AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs,
+             (COUNT(*) * 1000) // COUNT(DISTINCT doc_id) AS am
+      FROM tok
+    ), df AS (
+      SELECT token, COUNT(*) AS dfreq FROM postings GROUP BY token
+    ), qterms AS (
+      SELECT DISTINCT doc_id AS query_id, token FROM tok WHERE doc_id % 50 = 0
+    ), term_scores AS (
+      SELECT q.query_id, p.doc_id,
+             (s.n_docs // d.dfreq)
+             * ((22 * p.tf * s.am * 1000000)
+                // (10 * p.tf * s.am + 3 * s.am + 9000 * l.dl)) AS term_score
+      FROM qterms q
+      JOIN df d ON q.token = d.token
+      CROSS JOIN stats s
+      JOIN postings p ON p.token = q.token
+      JOIN dl l ON l.doc_id = p.doc_id
+      WHERE d.dfreq * 4 <= s.n_docs AND p.doc_id <> q.query_id
+    ), scores AS (
+      SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score
+      FROM term_scores GROUP BY query_id, doc_id
+    ), ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
+    FROM ranked WHERE rank <= 5
+    """.format(re=TOKEN_RE),
+)
+def q394(spark, sf_dir):
+    """BM25 top-k retrieval (`operators/retrieval.bm25_topk`) — the
+    Lucene/Elasticsearch ranking function in EXACT integer arithmetic:
+    rational k1=6/5, b=3/4 with cleared denominators give a bigint
+    tf-saturation term, and idf uses the q156 integer rarity surrogate
+    (N div df) so both engines agree to the last bit.  Query workload:
+    every doc_id % 50 == 0 document queries the corpus with its own
+    distinct tokens (self-match excluded), stop terms pruned at
+    df > N/4.  Plan: postings/df/dl are token- and doc-keyed
+    aggregates, the corpus scalars broadcast, and the match is a
+    token-keyed equi-join — never all-pairs; the max_df cap bounds
+    posting fan-out at 100 TB exactly like q195's."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries_df = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(docs, queries_df, k=5)
+
+
+@query(
+    "q395_dup_ngram_coverage",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{re}') AS arr
+      FROM documents
+    ), dd AS (
+      SELECT doc_id, arr, CAST(len(arr) AS BIGINT) AS n_tok
+      FROM d WHERE len(arr) >= 8
+    ), grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p,
+             array_to_string(list_slice(arr, i, i + 7), ' ') AS gram
+      FROM dd, LATERAL (SELECT unnest(range(1, n_tok - 8 + 2)) AS i) t
+    ), gc AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+    ), hits AS (
+      SELECT g.doc_id, g.p,
+             g.p - lag(g.p) OVER (PARTITION BY g.doc_id ORDER BY g.p) AS gap
+      FROM grams g JOIN gc ON g.gram = gc.gram
+    ), cov AS (
+      SELECT doc_id, COUNT(*) AS dup_starts,
+             CAST(SUM(CASE WHEN gap IS NULL OR gap >= 8 THEN 8
+                           ELSE gap END) AS BIGINT) AS dup_cov
+      FROM hits GROUP BY doc_id
+    )
+    SELECT dd.doc_id, dd.n_tok,
+           CAST(COALESCE(cov.dup_starts, 0) AS BIGINT) AS dup_starts,
+           CAST(COALESCE(cov.dup_cov, 0) AS BIGINT) AS dup_cov,
+           (COALESCE(cov.dup_cov, 0) * 1000000) // dd.n_tok AS dup_ppm
+    FROM dd LEFT JOIN cov ON dd.doc_id = cov.doc_id
+    """.format(re=TOKEN_RE),
+)
+def q395(spark, sf_dir):
+    """Exact-substring duplication coverage (Lee et al. 2022's
+    suffix-array dedup measure, `operators/dedup.duplicated_ngram_
+    coverage`): per document, how many token positions sit under an
+    8-token window that occurs ≥2 times anywhere in the corpus, as an
+    exact ppm.  The coverage union is the q333 sweep-line specialized
+    to equal-length intervals (Σ min(w, gap)); duplicated windows come
+    from one gram-keyed aggregate + join back — the suffix array is
+    unnecessary for the coverage statistic, and the gram key hashes to
+    128 bits at 100 TB without changing the plan."""
+    from ..operators.dedup import duplicated_ngram_coverage
+
+    return duplicated_ngram_coverage(
+        _t(spark, sf_dir, "documents"), w=8, min_count=2
+    )

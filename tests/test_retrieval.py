@@ -1,0 +1,145 @@
+"""Unit tests for exact-integer BM25 (`operators/retrieval.py`) and
+exact-substring duplication coverage (`operators/dedup.
+duplicated_ngram_coverage`) on hand-computed fixtures."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from syslog_handler_with_clickhouse_spark.functions.text import TOKEN_RE
+from syslog_handler_with_clickhouse_spark.operators.dedup import (
+    duplicated_ngram_coverage,
+)
+from syslog_handler_with_clickhouse_spark.operators.retrieval import bm25_topk
+
+
+def _py_bm25(docs: dict[int, str], queries: dict[int, str], k=5,
+             max_df_num=1, max_df_den=4):
+    """Independent pure-Python mirror of the integer BM25 contract."""
+    tok = {d: re.findall(TOKEN_RE, t.lower()) for d, t in docs.items()}
+    n_docs = len(tok)
+    corpus_tokens = sum(len(v) for v in tok.values())
+    am = corpus_tokens * 1000 // n_docs
+    tf = {d: {} for d in tok}
+    for d, ts in tok.items():
+        for t in ts:
+            tf[d][t] = tf[d].get(t, 0) + 1
+    df = {}
+    for d in tf:
+        for t in tf[d]:
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for qid, qt in queries.items():
+        terms = set(re.findall(TOKEN_RE, qt.lower()))
+        scores = {}
+        for t in terms:
+            if t not in df or df[t] * max_df_den > n_docs * max_df_num:
+                continue
+            idf = n_docs // df[t]
+            for d, tfs in tf.items():
+                if d == qid or t not in tfs:
+                    continue
+                f, dl = tfs[t], len(tok[d])
+                ppm = (22 * f * am * 1_000_000) // (
+                    10 * f * am + 3 * am + 9000 * dl
+                )
+                scores[d] = scores.get(d, 0) + idf * ppm
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[qid] = [(r + 1, d, s) for r, (d, s) in enumerate(ranked)]
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "quick brown foxes are quick and brown",
+        3: "the lazy dog sleeps all day long every day",
+        4: "a fox and a dog met a lazy fox",
+        5: "nothing in common here whatsoever tonight",
+        6: "quick thinking saves the day for the fox",
+        7: "dogs and foxes and wolves roam the woods",
+        8: "day after day the quick fox ran far away",
+    }
+    queries = {2: docs[2], 4: docs[4], 8: docs[8]}
+    ddf = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id bigint, text string"
+    )
+    qdf = spark.createDataFrame(
+        [(d, t) for d, t in queries.items()], "query_id bigint, text string"
+    )
+    rows = bm25_topk(ddf, qdf, k=5, max_df_num=1, max_df_den=2).collect()
+    got = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    want = _py_bm25(docs, queries, k=5, max_df_num=1, max_df_den=2)
+    want = {q: v for q, v in want.items() if v}
+    assert got == want
+
+
+def test_bm25_rarer_term_scores_higher(spark):
+    # same tf/dl everywhere; the query term appearing in fewer docs must
+    # out-rank the common one through the integer idf.
+    docs = {
+        1: "alpha beta", 2: "alpha gamma", 3: "alpha delta",
+        4: "zeta beta", 5: "eta theta", 6: "iota kappa",
+        7: "lam mu", 8: "nu xi",
+    }
+    ddf = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id bigint, text string"
+    )
+    qdf = spark.createDataFrame(
+        [(100, "alpha zeta")], "query_id bigint, text string"
+    )
+    rows = bm25_topk(ddf, qdf, k=8, max_df_num=1, max_df_den=1).collect()
+    by_doc = {r.doc_id: r.score for r in rows}
+    # 'zeta' df=1 (idf 8) vs 'alpha' df=3 (idf 2): doc 4 carries zeta.
+    assert by_doc[4] > by_doc[2] == by_doc[3]
+    # doc 1 has alpha AND nothing else from the query: same alpha-only
+    # score as docs 2/3.
+    assert by_doc[1] == by_doc[2]
+
+
+def test_dup_coverage_sweep_line_overlap(spark):
+    # doc 1 and doc 2 share two OVERLAPPING 3-gram windows
+    # ("a b c", "b c d" at positions 1 and 2 of both) -> union covers
+    # positions 1..4 = 4 tokens, not 6.
+    docs = [
+        (1, "a b c d x y z q w"),
+        (2, "a b c d p q r s t"),
+        (3, "unrelated words only here nothing shared at all ok"),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in duplicated_ngram_coverage(ddf, w=3, min_count=2).collect()
+    }
+    assert out[1].dup_starts == 2 and out[1].dup_cov == 4
+    assert out[2].dup_starts == 2 and out[2].dup_cov == 4
+    assert out[1].dup_ppm == 4 * 1_000_000 // 9
+    assert out[3].dup_starts == 0 and out[3].dup_cov == 0 and out[3].dup_ppm == 0
+
+
+def test_dup_coverage_intra_doc_repeat_counts(spark):
+    # Lee et al. count intra-document repeats: one doc repeating its own
+    # 3-gram twice is duplicated even if no other doc shares it.
+    ddf = spark.createDataFrame(
+        [(7, "p q r z z p q r k"), (8, "totally different words here now")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in duplicated_ngram_coverage(ddf, w=3, min_count=2).collect()
+    }
+    # "p q r" occurs at positions 1 and 6: two disjoint windows of 3.
+    assert out[7].dup_starts == 2 and out[7].dup_cov == 6
+    assert out[8].dup_cov == 0
+
+
+def test_dup_coverage_short_docs_excluded(spark):
+    ddf = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d e f g h")], "doc_id bigint, text string"
+    )
+    rows = duplicated_ngram_coverage(ddf, w=8, min_count=2).collect()
+    assert [r.doc_id for r in rows] == [2]
