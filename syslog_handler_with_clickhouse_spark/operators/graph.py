@@ -97,3 +97,78 @@ def _pr_round(
         "node",
         (base + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias("pr"),
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts on an undirected simple graph.
+
+    ``edges`` is any (src, dst) frame; it is canonicalized to distinct
+    undirected edges first (self-loops dropped).  The algorithm is the
+    classic degree-ordered orientation (Chiba–Nishizeki / the
+    'compact-forward' join): orient every edge from the (degree, id)-
+    smaller endpoint to the larger, so each triangle is counted exactly
+    once at its unique smallest vertex, and — the 100 TB property —
+    the wedge join's fan-out per node is bounded by its OUT-degree
+    under the orientation, which is O(sqrt(m)) on any graph (arboricity
+    bound) instead of the raw degree.  A hub with 10 M neighbors
+    contributes no 10 M² wedge blow-up: almost all its edges point IN.
+
+    Plan shape: one degree aggregate, one self-join on the wedge apex,
+    one equi-join probing the closing edge on (b, c) — all key-local
+    shuffles, no cross join, no driver loop.
+
+    Returns (node, tri_cnt) for nodes participating in ≥1 triangle.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orientation key: (deg, node) lexicographic
+    e = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(
+                    F.col("u").alias("a"),
+                    F.col("v").alias("b"),
+                    F.col("du").alias("da"),
+                    F.col("dv").alias("db"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("a"),
+                    F.col("u").alias("b"),
+                    F.col("dv").alias("da"),
+                    F.col("du").alias("db"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.a", "o.b", "o.da", "o.db")
+    )
+    e1 = e.select(F.col("a"), F.col("b"), F.col("db").alias("kb"))
+    e2 = e.select(F.col("a"), F.col("b").alias("c"), F.col("db").alias("kc"))
+    wedges = e1.join(e2, "a").filter(
+        (F.col("kb") < F.col("kc"))
+        | ((F.col("kb") == F.col("kc")) & (F.col("b") < F.col("c")))
+    )
+    closing = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    return (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tri_cnt"))
+    )

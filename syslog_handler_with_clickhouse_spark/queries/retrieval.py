@@ -120,3 +120,47 @@ def q395(spark, sf_dir):
     return duplicated_ngram_coverage(
         _t(spark, sf_dir, "documents"), w=8, min_count=2
     )
+
+
+@query(
+    "q396_triangle_counts",
+    """
+    WITH raw AS (
+      SELECT user_id % 150 AS src, (user_id * 7 + event_id * 3) % 150 AS dst
+      FROM events
+    ), e AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM raw WHERE src <> dst
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), pern AS (
+      SELECT node, COUNT(*) AS tri_cnt
+      FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(tri_cnt AS BIGINT) AS tri_cnt
+    FROM pern
+    """,
+)
+def q396(spark, sf_dir):
+    """Per-node triangle counting (`operators/graph.triangle_counts`) —
+    the clustering-coefficient numerator and the third member of the
+    graph family (BFS q273, components q334, PageRank q351).  Spark
+    side runs the degree-ordered compact-forward join (each triangle
+    found once at its (deg,id)-minimal vertex; wedge fan-out bounded by
+    oriented out-degree = O(sqrt(m)) — hub-proof at 100 TB); the
+    DuckDB oracle counts the SAME triangles by the independent
+    id-ordered a<b<c three-way join, so the two derivations cross-check
+    each other."""
+    from ..operators.graph import triangle_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 150).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id") * 3) % 150).alias("dst"),
+    )
+    return triangle_counts(ev)

@@ -143,3 +143,34 @@ def test_dup_coverage_short_docs_excluded(spark):
     )
     rows = duplicated_ngram_coverage(ddf, w=8, min_count=2).collect()
     assert [r.doc_id for r in rows] == [2]
+
+
+def test_triangle_counts_k4_plus_tail(spark):
+    from syslog_handler_with_clickhouse_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant edge 4-5
+    # (no triangle) + duplicate/reversed/self edges that must be ignored.
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (2, 1), (3, 1),          # reversed duplicates
+        (4, 5), (5, 5),          # pendant + self-loop
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = {r.node: r.tri_cnt for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_hub_no_triangle(spark):
+    from syslog_handler_with_clickhouse_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # star graph: hub 0 with 20 leaves — zero triangles, and under the
+    # degree orientation every edge points leaf->hub, so the hub's
+    # oriented out-degree is 0 (the wedge join never fans out on it).
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 21)], "src bigint, dst bigint"
+    )
+    assert triangle_counts(df).count() == 0
