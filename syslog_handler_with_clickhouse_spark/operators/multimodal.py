@@ -2462,8 +2462,10 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     WhiteIsZero — inverted — and 1 BlackIsZero) and RGB, multi-strip
     layout (StripOffsets/StripByteCounts/RowsPerStrip), Compression 1
     (none), 5 (TIFF LZW: MSB-first, EarlyChange=1 — the libtiff
-    pairing), 8/32946 (Deflate) and 32773 (PackBits).  JPEG-in-TIFF,
-    tiles, planar=2 and other sample depths raise
+    pairing), 8/32946 (Deflate) and 32773 (PackBits), horizontal-
+    differencing predictor (tag 317 = 2) and BOTH planar
+    configurations (chunky and tag 284 = 2 plane-sequential strips).
+    JPEG-in-TIFF, tiles and other sample depths raise
     ``NotImplementedError``.
 
     Returns ``(width, height, channels, pixels)`` row-major
@@ -2513,8 +2515,12 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     bits = tags.get(258, [8] * spp)
     if any(x != 8 for x in bits):
         raise NotImplementedError("TIFF bit depths other than 8")
-    if one(284, 1) != 1:
-        raise NotImplementedError("TIFF planar configuration 2")
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF planar configuration {planar}")
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
     if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {compression}")
     if photometric not in (0, 1, 2):
@@ -2529,29 +2535,57 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF strip layout missing/inconsistent")
     rows_per_strip = one(278, h)
-    out = bytearray()
-    need = w * h * channels
-    for si, (so, sc) in enumerate(zip(offsets, counts)):
+    strips_per_plane = (h + rows_per_strip - 1) // rows_per_strip
+
+    def strip_bytes(so: int, sc: int, expect: int) -> bytes:
         strip = b[so : so + sc]
         if len(strip) != sc:
             raise ValueError("TIFF strip truncated")
-        rows = min(rows_per_strip, h - si * rows_per_strip)
-        expect = rows * w * channels
         if compression == 32773:
-            out += _packbits_decode(strip, expect)
-        elif compression == 5:
-            out += _tiff_lzw_decode(strip, expect)
-        elif compression in (8, 32946):  # (Adobe) Deflate
+            return _packbits_decode(strip, expect)
+        if compression == 5:
+            return _tiff_lzw_decode(strip, expect)
+        if compression in (8, 32946):  # (Adobe) Deflate
             import zlib as _zlib
 
             raw = _zlib.decompress(strip)
             if len(raw) < expect:
                 raise ValueError("deflate strip shorter than row layout")
-            out += raw[:expect]
-        else:
-            if len(strip) < expect:
-                raise ValueError("TIFF strip shorter than row layout")
-            out += strip[:expect]
+            return raw[:expect]
+        if len(strip) < expect:
+            raise ValueError("TIFF strip shorter than row layout")
+        return strip[:expect]
+
+    need = w * h * channels
+    if planar == 1:
+        out = bytearray()
+        for si, (so, sc) in enumerate(zip(offsets, counts)):
+            rows = min(rows_per_strip, h - si * rows_per_strip)
+            raw = strip_bytes(so, sc, rows * w * channels)
+            if predictor == 2:
+                raw = _tiff_undiff(raw, w * channels, channels)
+            out += raw
+    else:
+        # planar 2: strips arrive plane-major (all of sample 0, then 1, …)
+        if len(offsets) != strips_per_plane * channels:
+            raise ValueError("TIFF planar strip count inconsistent")
+        planes = []
+        for c in range(channels):
+            plane = bytearray()
+            for si in range(strips_per_plane):
+                so = offsets[c * strips_per_plane + si]
+                sc = counts[c * strips_per_plane + si]
+                rows = min(rows_per_strip, h - si * rows_per_strip)
+                raw = strip_bytes(so, sc, rows * w)
+                if predictor == 2:
+                    raw = _tiff_undiff(raw, w, 1)
+                plane += raw
+            if len(plane) < w * h:
+                raise ValueError("TIFF plane shorter than image")
+            planes.append(plane)
+        out = bytearray(need)
+        for c in range(channels):
+            out[c::channels] = planes[c][: w * h]
     if len(out) < need:
         raise ValueError("TIFF strips shorter than image")
     px = bytes(out[:need])
@@ -2560,16 +2594,41 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     return w, h, channels, px
 
 
+def _tiff_undiff(buf: bytes, row_len: int, stride: int) -> bytes:
+    """Invert TIFF predictor 2 (horizontal differencing) in place:
+    within each ``row_len`` slice, each byte is the delta to the byte
+    ``stride`` positions earlier (stride = samples/pixel in chunky
+    layout, 1 within a plane)."""
+    out = bytearray(buf)
+    for r0 in range(0, len(out), row_len):
+        for i in range(r0 + stride, r0 + row_len):
+            out[i] = (out[i] + out[i - stride]) & 0xFF
+    return bytes(out)
+
+
+def _tiff_diff(buf: bytes, row_len: int, stride: int) -> bytes:
+    """Forward TIFF predictor 2 (fixture twin of :func:`_tiff_undiff`)."""
+    out = bytearray(buf)
+    for r0 in range(0, len(out), row_len):
+        for i in range(r0 + row_len - 1, r0 + stride - 1, -1):
+            out[i] = (out[i] - out[i - stride]) & 0xFF
+    return bytes(out)
+
+
 def encode_tiff(
     pixels: bytes, w: int, h: int, channels: int,
     endian: str = "<", rows_per_strip: int | None = None,
     packbits: bool = False, white_is_zero: bool = False,
     lzw: bool = False, deflate: bool = False,
+    predictor: bool = False, planar: bool = False,
 ) -> bytes:
     """Baseline-TIFF builder (fixture twin of
     :func:`decode_tiff_pixels`): either byte order, multi-strip via
     ``rows_per_strip``, optional PackBits compression, optional
-    WhiteIsZero grayscale (pixels stored inverted)."""
+    WhiteIsZero grayscale (pixels stored inverted), optional
+    horizontal-differencing ``predictor`` (tag 317 = 2, the libtiff
+    LZW pairing) and plane-sequential ``planar`` layout (tag 284 = 2,
+    strips plane-major)."""
     import struct
 
     assert channels in (1, 3) and len(pixels) == w * h * channels
@@ -2580,20 +2639,38 @@ def encode_tiff(
         pixels = bytes(255 - v for v in pixels)
     if sum((packbits, lzw, deflate)) > 1:
         raise ValueError("choose one compression")
+    if planar and channels == 1:
+        raise ValueError("planar layout needs channels=3")
     rps = rows_per_strip or h
-    strips = []
-    for r0 in range(0, h, rps):
-        rows = min(rps, h - r0)
-        raw = pixels[r0 * w * channels : (r0 + rows) * w * channels]
+
+    def compress(raw: bytes) -> bytes:
         if packbits:
-            raw = _packbits_encode(raw)
-        elif lzw:
-            raw = _tiff_lzw_encode(raw)
-        elif deflate:
+            return _packbits_encode(raw)
+        if lzw:
+            return _tiff_lzw_encode(raw)
+        if deflate:
             import zlib as _zlib
 
-            raw = _zlib.compress(raw, 6)
-        strips.append(raw)
+            return _zlib.compress(raw, 6)
+        return raw
+
+    strips = []
+    if not planar:
+        for r0 in range(0, h, rps):
+            rows = min(rps, h - r0)
+            raw = pixels[r0 * w * channels : (r0 + rows) * w * channels]
+            if predictor:
+                raw = _tiff_diff(raw, w * channels, channels)
+            strips.append(compress(raw))
+    else:
+        for c in range(channels):
+            plane = pixels[c::channels]
+            for r0 in range(0, h, rps):
+                rows = min(rps, h - r0)
+                raw = plane[r0 * w : (r0 + rows) * w]
+                if predictor:
+                    raw = _tiff_diff(raw, w, 1)
+                strips.append(compress(raw))
     # layout: header(8) | strip data | IFD | external arrays
     data_off = 8
     offsets, pos = [], data_off
@@ -2607,8 +2684,11 @@ def encode_tiff(
         (259, 3, [32773 if packbits else (5 if lzw else (8 if deflate else 1))]),
         (262, 3, [photometric]),
         (273, 4, offsets), (277, 3, [channels]), (278, 4, [rps]),
-        (279, 4, [len(s) for s in strips]), (284, 3, [1]),
+        (279, 4, [len(s) for s in strips]), (284, 3, [2 if planar else 1]),
     ]
+    if predictor:
+        entries.append((317, 3, [2]))
+        entries.sort()
     n = len(entries)
     ext_off = ifd_off + 2 + 12 * n + 4
     ifd = struct.pack(e + "H", n)

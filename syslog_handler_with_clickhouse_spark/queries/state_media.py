@@ -3564,3 +3564,89 @@ def q393(spark, sf_dir):
         F.col("val_min").cast("bigint").alias("val_min"),
         F.col("val_max").cast("bigint").alias("val_max"),
     )
+
+
+@query(
+    "q397_tiff_predictor_planar_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 21) + 4 AS w,
+             (doc_id % 11) + 3 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+      FROM documents WHERE doc_id % 29 = 3
+    )
+    SELECT d.doc_id,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(d.c AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM((d.doc_id * 7 + 23 * t.k) % 256) AS BIGINT) AS px_sum,
+           CAST(MIN((d.doc_id * 7 + 23 * t.k) % 256) AS BIGINT) AS px_min,
+           CAST(MAX((d.doc_id * 7 + 23 * t.k) % 256) AS BIGINT) AS px_max
+    FROM d, LATERAL (SELECT unnest(range(0, d.w * d.h * d.c)) AS k) t
+    GROUP BY d.doc_id, d.w, d.h, d.c
+    """,
+)
+def q397(spark, sf_dir):
+    """TIFF predictor + planar-configuration decode through the shared
+    distributed path: closes the two remaining everyday-TIFF cells —
+    tag 317 = 2 horizontal differencing (the predictor libtiff pairs
+    with LZW by default; skipping the un-differencing step silently
+    yields delta garbage, which is why the decoder now refuses unknown
+    predictor values instead of ignoring the tag) and tag 284 = 2
+    plane-sequential strips (strips plane-major, predictor stride 1
+    inside each plane).  Fixtures rotate predictor on/off × chunky/
+    planar × all four compressions × both byte orders × multi-strip;
+    the oracle pins the closed-form pixel statistics."""
+    import pandas as pd
+
+    from ..operators.multimodal import decode_assets, encode_tiff
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 29 == 3)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 21 + 4, d % 11 + 3
+                c = 1 if d % 2 == 0 else 3
+                px = bytes((d * 7 + 23 * k) % 256 for k in range(w * h * c))
+                v = d // 29
+                comp = v % 4  # rotate none / PackBits / LZW / Deflate
+                mode = v % 3  # rotate plain / predictor / planar(+pred)
+                planar = c == 3 and mode == 2
+                pred = mode == 1 or planar
+                payloads.append(
+                    encode_tiff(
+                        px, w, h, c,
+                        endian="<" if v % 2 == 0 else ">",
+                        rows_per_strip=None if v % 5 == 0 else 2,
+                        packbits=comp == 1,
+                        lzw=comp == 2,
+                        deflate=comp == 3,
+                        predictor=pred,
+                        planar=planar,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    return dec.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("px_sum"),
+        F.col("val_min").cast("bigint").alias("px_min"),
+        F.col("val_max").cast("bigint").alias("px_max"),
+    )
