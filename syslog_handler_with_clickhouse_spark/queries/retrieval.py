@@ -164,3 +164,76 @@ def q396(spark, sf_dir):
         ((F.col("user_id") * 7 + F.col("event_id") * 3) % 150).alias("dst"),
     )
     return triangle_counts(ev)
+
+
+def _bpe_oracle(m: int) -> str:
+    """Unrolled m-round BPE oracle.  Merge mechanism is deliberately
+    DIFFERENT from the Spark fold: symbols live in a space-joined
+    string, spaces are doubled so each boundary owns two, and the
+    pattern ' l  r ' consumes one space from each side — giving exactly
+    the greedy left-to-right non-overlapping merge ('a a a a' merges
+    twice, 'a a a' once) without regex lookarounds."""
+    parts = [
+        """
+    WITH w0 AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             array_to_string(regexp_extract_all(word, '[a-z]'), ' ') AS sym
+      FROM (
+        SELECT t AS word
+        FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS u(t)
+      ) GROUP BY word
+    )"""
+    ]
+    for i in range(1, m + 1):
+        parts.append(
+            f""",
+    p{i} AS (
+      SELECT sp[j] AS l, sp[j + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT string_split(sym, ' ') AS sp, freq FROM w{i - 1}) s,
+           LATERAL (SELECT unnest(range(1, len(sp))) AS j) t
+      GROUP BY l, r
+    ),
+    b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+    w{i} AS (
+      SELECT word, freq,
+        trim(regexp_replace(
+          replace(replace(' ' || sym || ' ', ' ', '  '),
+                  (SELECT ' ' || l || '  ' || r || ' ' FROM b{i}),
+                  (SELECT ' ' || l || r || ' ' FROM b{i})),
+          ' +', ' ', 'g')) AS sym
+      FROM w{i - 1}
+    )"""
+        )
+    finals = [
+        f"""
+    SELECT {i} AS round, l AS lhs, r AS rhs, cnt AS pair_count FROM b{i}"""
+        for i in range(1, m + 1)
+    ]
+    return (
+        "".join(parts)
+        + "\n    SELECT CAST(round AS INTEGER) AS round, lhs, rhs, pair_count"
+        + " FROM ("
+        + "\n    UNION ALL".join(finals)
+        + "\n    )"
+    )
+
+
+_BPE_MERGES = 6
+
+
+@query("q398_bpe_train", _bpe_oracle(_BPE_MERGES))
+def q398(spark, sf_dir):
+    """BPE merge-table training (`operators/bpe.bpe_train`) — the
+    tokenizer-TRAINING loop (Sennrich 2016) completing q380's WordPiece
+    encoder: six rounds of (pair-count aggregate → arg-max pair →
+    greedy non-overlapping merge), each round one (l,r)-keyed shuffle
+    over the DISTINCT-words table plus a broadcast of the single best
+    pair, the merge itself a native higher-order fold (no Python, no
+    collect).  The oracle replays all six rounds with an independent
+    merge mechanism (double-space sentinel replace), so the greedy
+    semantics — including the 'aaaa merges twice, aaa once' edge — are
+    double-derived.  Output: the learned merge table in order with
+    exact weighted pair counts."""
+    from ..operators.bpe import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), _BPE_MERGES)

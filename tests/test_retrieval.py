@@ -174,3 +174,43 @@ def test_triangle_counts_hub_no_triangle(spark):
         [(0, i) for i in range(1, 21)], "src bigint, dst bigint"
     )
     assert triangle_counts(df).count() == 0
+
+
+def test_bpe_train_classic_corpus(spark):
+    from syslog_handler_with_clickhouse_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id bigint, text string",
+    )
+    rows = [tuple(r) for r in bpe_train(docs, 6).collect()]
+    assert rows == [
+        (1, "l", "o", 5),
+        (2, "lo", "w", 5),
+        (3, "e", "w", 4),
+        (4, "n", "ew", 4),
+        (5, "e", "r", 2),   # tie with (e,s)/(s,t) broken by (l, r) order
+        (6, "e", "s", 2),
+    ]
+
+
+def test_bpe_greedy_nonoverlapping_merge(spark):
+    from syslog_handler_with_clickhouse_spark.operators.bpe import bpe_train
+
+    # 'aaaa' must merge into [aa, aa] (twice), 'aaa' into [aa, a] (once):
+    # round 1 (a,a) weight 3+2=5; round 2 sees (aa,aa) and (aa,a) once
+    # each — tie broken to (aa, a) by rhs order.
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaa")], "doc_id bigint, text string"
+    )
+    rows = [tuple(r) for r in bpe_train(docs, 2).collect()]
+    assert rows == [(1, "a", "a", 5), (2, "aa", "a", 1)]
+
+
+def test_bpe_exhausts_pairs_early(spark):
+    from syslog_handler_with_clickhouse_spark.operators.bpe import bpe_train
+
+    # single two-letter word: one merge possible, then no pairs remain.
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id bigint, text string")
+    rows = [tuple(r) for r in bpe_train(docs, 5).collect()]
+    assert rows == [(1, "a", "b", 2)]
