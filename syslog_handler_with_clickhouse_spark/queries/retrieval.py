@@ -237,3 +237,66 @@ def q398(spark, sf_dir):
     from ..operators.bpe import bpe_train
 
     return bpe_train(_t(spark, sf_dir, "documents"), _BPE_MERGES)
+
+
+def _pca_oracle(iters: int) -> str:
+    parts = [
+        """
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ), cell AS (
+      SELECT vec_id, CAST(i - 1 AS INTEGER) AS i, q[i] AS val
+      FROM qv, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+    ), g AS (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.val * b.val) AS BIGINT) AS m
+      FROM cell a JOIN cell b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ), v0 AS (SELECT DISTINCT i, CAST(1000 AS BIGINT) AS v FROM cell)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+    u{k} AS (
+      SELECT g.i, CAST(SUM(g.m * v.v) AS BIGINT) AS u
+      FROM g JOIN v{k - 1} v ON g.j = v.i GROUP BY g.i
+    ),
+    s{k} AS (SELECT MAX(ABS(u)) // 1000 + 1 AS m1000 FROM u{k}),
+    v{k} AS (
+      SELECT i, CAST(CASE WHEN u < 0 THEN -(ABS(u) // m1000)
+                          ELSE ABS(u) // m1000 END AS BIGINT) AS v
+      FROM u{k}, s{k}
+    )"""
+        )
+    parts.append(
+        f""",
+    uf AS (
+      SELECT g.i, CAST(SUM(g.m * v.v) AS BIGINT) AS u
+      FROM g JOIN v{iters} v ON g.j = v.i GROUP BY g.i
+    )
+    SELECT v{iters}.i AS dim, v{iters}.v AS v, uf.u AS mv
+    FROM v{iters} JOIN uf ON v{iters}.i = uf.i"""
+    )
+    return "".join(parts)
+
+
+_PCA_ITERS = 4
+
+
+@query("q399_pca_power_iteration", _pca_oracle(_PCA_ITERS))
+def q399(spark, sf_dir):
+    """Top principal direction of the embedding corpus
+    (`operators/pca.power_iteration_top_component`): the d×d integer
+    Gram matrix in ONE corpus pass (per-vector outer product as a
+    native higher-order transform, partially aggregated map-side),
+    then four power-iteration rounds touching only the 4096-row Gram
+    and the 64-row vector — corpus never revisited, every round
+    broadcast-sized.  Exact integer arithmetic throughout (sign-split
+    division so trunc-vs-floor can't diverge); the oracle unrolls all
+    four rounds plus one extra mat-vec, pinning direction AND image."""
+    from ..operators.pca import power_iteration_top_component
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return power_iteration_top_component(emb, dim=64, iters=_PCA_ITERS)

@@ -214,3 +214,43 @@ def test_bpe_exhausts_pairs_early(spark):
     docs = spark.createDataFrame([(1, "ab ab")], "doc_id bigint, text string")
     rows = [tuple(r) for r in bpe_train(docs, 5).collect()]
     assert rows == [(1, "a", "b", 2)]
+
+
+def test_pca_power_iteration_matches_numpy_mirror(spark):
+    """Independent pure-numpy replay of the exact integer recurrence,
+    plus a semantic check that the found direction is the dominant one."""
+    import numpy as np
+
+    from syslog_handler_with_clickhouse_spark.operators.pca import (
+        power_iteration_top_component,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, n = 8, 40
+    # dominant direction along axis 2: big variance there, noise elsewhere
+    base = rng.normal(0, 0.05, (n, dim))
+    base[:, 2] += rng.normal(0, 2.0, n)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        r.dim: (r.v, r.mv)
+        for r in power_iteration_top_component(emb, dim=dim, iters=4).collect()
+    }
+
+    # integer mirror (float32 widen, round-half-away, trunc division)
+    q = np.round(base.astype(np.float32).astype(np.float64) * 1000).astype(
+        np.int64
+    )
+    g = q.T @ q
+    v = np.full(dim, 1000, dtype=np.int64)
+    for _ in range(4):
+        u = g @ v
+        m1000 = np.max(np.abs(u)) // 1000 + 1
+        v = np.sign(u) * (np.abs(u) // m1000)
+    mv = g @ v
+    for i in range(dim):
+        assert got[i] == (v[i], mv[i]), f"dim {i}: {got[i]} != {(v[i], mv[i])}"
+    # the dominant axis carries the peak magnitude
+    assert max(range(dim), key=lambda i: abs(got[i][0])) == 2
