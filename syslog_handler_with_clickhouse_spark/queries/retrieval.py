@@ -300,3 +300,63 @@ def q399(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return power_iteration_top_component(emb, dim=64, iters=_PCA_ITERS)
+
+
+@query(
+    "q400_holt_linear_forecast",
+    """
+    WITH RECURSIVE cnt AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) * 1000 AS BIGINT) AS ym
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), seq AS (
+      SELECT event_type, ym,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+      FROM cnt
+    ), mt AS (
+      SELECT event_type, MAX(t) AS maxt FROM seq GROUP BY event_type
+    ),
+    h AS (
+      SELECT a.event_type, CAST(1 AS BIGINT) AS t,
+             a.ym AS lev, b.ym - a.ym AS tr, CAST(0 AS BIGINT) AS sae
+      FROM seq a JOIN seq b
+        ON a.event_type = b.event_type AND a.t = 1 AND b.t = 2
+      UNION ALL
+      SELECT event_type, t, lev,
+             CASE WHEN (lev - plev) + tr < 0
+                  THEN -((-((lev - plev) + tr)) // 2)
+                  ELSE ((lev - plev) + tr) // 2 END AS tr,
+             sae
+      FROM (
+        SELECT h.event_type, h.t + 1 AS t, h.lev AS plev, h.tr AS tr,
+               CASE WHEN s.ym + 3 * (h.lev + h.tr) < 0
+                    THEN -((-(s.ym + 3 * (h.lev + h.tr))) // 4)
+                    ELSE (s.ym + 3 * (h.lev + h.tr)) // 4 END AS lev,
+               h.sae + ABS(s.ym - (h.lev + h.tr)) AS sae
+        FROM h JOIN seq s
+          ON s.event_type = h.event_type AND s.t = h.t + 1
+      )
+    )
+    SELECT h.event_type, CAST(h.t AS BIGINT) AS n_points,
+           h.lev AS level_milli, h.tr AS trend_milli,
+           h.lev + h.tr AS forecast_milli, h.sae AS sae_milli
+    FROM h JOIN mt ON h.event_type = mt.event_type AND h.t = mt.maxt
+    """,
+)
+def q400(spark, sf_dir):
+    """Holt linear (double-exponential) smoothing over per-type daily
+    event counts (`operators/forecast.holt_linear`): level + trend +
+    one-step forecast + cumulative one-step absolute error, all in
+    exact milli-integers with α=1/4, β=1/2 and sign-split truncating
+    division.  Spark side is the sanctioned stateful-scan shape
+    (groupBy + applyInPandas, O(1) state per series, parallel across
+    series); the oracle replays the identical recurrence as a
+    recursive CTE — the q392 ADPCM verification pattern applied to
+    forecasting."""
+    from ..operators.forecast import holt_linear
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return holt_linear(daily, "event_type", "day", "y")

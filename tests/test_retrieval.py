@@ -254,3 +254,59 @@ def test_pca_power_iteration_matches_numpy_mirror(spark):
         assert got[i] == (v[i], mv[i]), f"dim {i}: {got[i]} != {(v[i], mv[i])}"
     # the dominant axis carries the peak magnitude
     assert max(range(dim), key=lambda i: abs(got[i][0])) == 2
+
+
+def test_holt_linear_hand_computed(spark):
+    from syslog_handler_with_clickhouse_spark.operators.forecast import (
+        holt_linear,
+    )
+
+    # series 10, 12, 11, 15 (milli: 10000, 12000, 11000, 15000)
+    # L1=10000 B1=2000
+    # t2: pred=12000 err=0;  L=(12000+3*12000)/4=12000 B=(2000+2000)/2=2000
+    # t3: pred=14000 err=3000; L=(11000+42000)/4=13250 B=(1250+2000)/2=1625
+    # t4: pred=14875 err=125; L=(15000+44625)/4=14906 B=(1656+1625)/2=1640
+    rows = [("a", i, y) for i, y in enumerate([10, 12, 11, 15])]
+    df = spark.createDataFrame(rows, "g string, t int, y bigint")
+    out = holt_linear(df, "g", "t", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_points, r.level_milli, r.trend_milli) == (4, 14906, 1640)
+    assert r.forecast_milli == 14906 + 1640
+    assert r.sae_milli == 0 + 3000 + 125
+
+
+def test_holt_linear_negative_trend_division(spark):
+    from syslog_handler_with_clickhouse_spark.operators.forecast import (
+        holt_linear,
+    )
+
+    # strictly decreasing series exercises the sign-split division on a
+    # negative trend: floor-vs-trunc would differ here.
+    rows = [("d", i, y) for i, y in enumerate([100, 90, 79, 67, 54])]
+    df = spark.createDataFrame(rows, "g string, t int, y bigint")
+    r = holt_linear(df, "g", "t", "y").collect()[0]
+    assert r.trend_milli < 0
+    # python mirror
+    tdiv = lambda x, d: -((-x) // d) if x < 0 else x // d
+    ys = [y * 1000 for y in [100, 90, 79, 67, 54]]
+    lev, tr, sae = ys[0], ys[1] - ys[0], 0
+    for y in ys[1:]:
+        sae += abs(y - (lev + tr))
+        p = lev
+        lev = tdiv(y + 3 * (lev + tr), 4)
+        tr = tdiv((lev - p) + tr, 2)
+    assert (r.level_milli, r.trend_milli, r.sae_milli) == (lev, tr, sae)
+
+
+def test_holt_linear_single_point_dropped(spark):
+    from syslog_handler_with_clickhouse_spark.operators.forecast import (
+        holt_linear,
+    )
+
+    df = spark.createDataFrame(
+        [("one", 1, 5), ("two", 1, 3), ("two", 2, 4)],
+        "g string, t int, y bigint",
+    )
+    rows = holt_linear(df, "g", "t", "y").collect()
+    assert [r.g for r in rows] == ["two"]
