@@ -2595,3 +2595,71 @@ def q384(spark, sf_dir):
         F.date_format("pur_ts", TSF_S).alias("pur_ts"),
     )
     return spark.table(_run_stream(out, "append"))
+
+
+@query(
+    "q401_stream_stream_right_outer",
+    """
+    WITH err AS (
+      SELECT user_id, ts AS err_ts FROM events
+      WHERE event_type = 'error' AND ts IS NOT NULL
+    ), pur AS (
+      SELECT user_id AS p_user, ts AS pur_ts FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+    ), wm AS (
+      SELECT to_timestamp((LEAST((SELECT epoch_ms(MAX(err_ts)) FROM err),
+                                 (SELECT epoch_ms(MAX(pur_ts)) FROM pur))
+                           - 1800000) / 1000.0) AS w
+    ), matched AS (
+      SELECT p.p_user, e.err_ts, p.pur_ts
+      FROM err e JOIN pur p ON e.user_id = p.p_user
+       AND p.pur_ts > e.err_ts
+       AND p.pur_ts <= e.err_ts + INTERVAL 10 MINUTE
+    ), unmatched_pur AS (
+      SELECT p.p_user, CAST(NULL AS TIMESTAMP) AS err_ts, p.pur_ts
+      FROM pur p
+      WHERE NOT EXISTS (
+              SELECT 1 FROM err e WHERE e.user_id = p.p_user
+                AND p.pur_ts > e.err_ts
+                AND p.pur_ts <= e.err_ts + INTERVAL 10 MINUTE)
+        AND p.pur_ts < (SELECT w FROM wm)
+    )
+    SELECT p_user,
+           strftime(err_ts, '{tsfd}') AS err_ts,
+           strftime(pur_ts, '{tsfd}') AS pur_ts
+    FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched_pur)
+    """.format(tsfd=TSF_D),
+)
+def q401(spark, sf_dir):
+    """STREAM-STREAM RIGHT OUTER interval join — the last cell of the
+    streaming join matrix (q93 inner, q383 left, q384 full).  Only the
+    purchase side emits unmatched rows, and its state lifetime is the
+    SHORT one from q384's asymmetry: since only EARLIER errors can
+    match a purchase, an unmatched purchase emits as soon as the
+    global watermark passes pur_ts itself — no +10 min window hold.
+    The oracle replicates exactly that single cutoff."""
+    err = (
+        _events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "error") & F.col("ts").isNotNull())
+        .select("user_id", F.col("ts").alias("err_ts"))
+        .withWatermark("err_ts", "30 minutes")
+    )
+    pur = (
+        _events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("pur_ts"))
+        .withWatermark("pur_ts", "30 minutes")
+    )
+    j = err.join(
+        pur,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("pur_ts") > F.col("err_ts"))
+        & (F.col("pur_ts") <= F.col("err_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "right_outer",
+    )
+    out = j.select(
+        "p_user",
+        F.date_format("err_ts", TSF_S).alias("err_ts"),
+        F.date_format("pur_ts", TSF_S).alias("pur_ts"),
+    )
+    return spark.table(_run_stream(out, "append"))
