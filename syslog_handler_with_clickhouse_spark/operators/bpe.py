@@ -101,6 +101,21 @@ def bpe_train(docs: DataFrame, n_merges: int) -> DataFrame:
     (round, lhs, rhs, pair_count), the merge table in learned order.
 
     Stops early (fewer rows) if the corpus runs out of pairs."""
+    merges, _ = _train(docs, n_merges)
+    return merges
+
+
+def bpe_encoded_words(docs: DataFrame, n_merges: int) -> DataFrame:
+    """Train ``n_merges`` merges and return the RESULTING encoded word
+    table (word, freq, sym) — each distinct corpus word segmented by
+    the learned merge sequence.  Because training itself maintains the
+    merged word table round by round, encoding is free: it IS the
+    loop's final state (no second pass over anything)."""
+    _, words = _train(docs, n_merges)
+    return words
+
+
+def _train(docs: DataFrame, n_merges: int):
     spark: SparkSession = docs.sparkSession
     words = words_with_freq(docs).localCheckpoint(eager=True)
     merges = []
@@ -122,15 +137,21 @@ def bpe_train(docs: DataFrame, n_merges: int) -> DataFrame:
         )
         old.unpersist()
     if not merges:
-        return spark.createDataFrame(
-            [], "round int, lhs string, rhs string, pair_count bigint"
+        return (
+            spark.createDataFrame(
+                [], "round int, lhs string, rhs string, pair_count bigint"
+            ),
+            words,
         )
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
-    return out.select(
-        F.col("round").cast("int").alias("round"),
-        F.col("l").alias("lhs"),
-        F.col("r").alias("rhs"),
-        F.col("cnt").alias("pair_count"),
+    return (
+        out.select(
+            F.col("round").cast("int").alias("round"),
+            F.col("l").alias("lhs"),
+            F.col("r").alias("rhs"),
+            F.col("cnt").alias("pair_count"),
+        ),
+        words,
     )

@@ -166,13 +166,14 @@ def q396(spark, sf_dir):
     return triangle_counts(ev)
 
 
-def _bpe_oracle(m: int) -> str:
-    """Unrolled m-round BPE oracle.  Merge mechanism is deliberately
-    DIFFERENT from the Spark fold: symbols live in a space-joined
-    string, spaces are doubled so each boundary owns two, and the
-    pattern ' l  r ' consumes one space from each side — giving exactly
-    the greedy left-to-right non-overlapping merge ('a a a a' merges
-    twice, 'a a a' once) without regex lookarounds."""
+def _bpe_chain(m: int) -> str:
+    """Unrolled m-round BPE CTE chain (shared by q398/q402 oracles).
+    Merge mechanism is deliberately DIFFERENT from the Spark fold:
+    symbols live in a space-joined string, spaces are doubled so each
+    boundary owns two, and the pattern ' l  r ' consumes one space from
+    each side — giving exactly the greedy left-to-right non-overlapping
+    merge ('a a a a' merges twice, 'a a a' once) without regex
+    lookarounds."""
     parts = [
         """
     WITH w0 AS (
@@ -204,13 +205,17 @@ def _bpe_oracle(m: int) -> str:
       FROM w{i - 1}
     )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle(m: int) -> str:
     finals = [
         f"""
     SELECT {i} AS round, l AS lhs, r AS rhs, cnt AS pair_count FROM b{i}"""
         for i in range(1, m + 1)
     ]
     return (
-        "".join(parts)
+        _bpe_chain(m)
         + "\n    SELECT CAST(round AS INTEGER) AS round, lhs, rhs, pair_count"
         + " FROM ("
         + "\n    UNION ALL".join(finals)
@@ -360,3 +365,59 @@ def q400(spark, sf_dir):
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("y"))
     return holt_linear(daily, "event_type", "day", "y")
+
+
+def _bpe_encode_oracle(m: int) -> str:
+    return (
+        _bpe_chain(m)
+        + f"""
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(string_split(w.sym, ' '))) AS BIGINT) AS n_bpe_tokens,
+           CAST((CAST(SUM(len(string_split(w.sym, ' '))) AS BIGINT) * 1000000)
+                // CAST(SUM(length(d.word)) AS BIGINT)
+                AS BIGINT) AS tokens_per_char_ppm
+    FROM (
+      SELECT source, t AS word
+      FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS u(t)
+    ) d JOIN w{m} w ON d.word = w.word
+    GROUP BY d.source"""
+    )
+
+
+@query("q402_bpe_encode", _bpe_encode_oracle(_BPE_MERGES))
+def q402(spark, sf_dir):
+    """BPE ENCODING with the learned merge table
+    (`operators/bpe.bpe_encoded_words`) — the apply half completing
+    q398's training half: because training maintains the merged word
+    table round by round, the encoded vocabulary IS the loop's final
+    state, so segmenting the corpus costs one word-keyed join, no
+    second pass.  Reports per-source token accounting — words, chars,
+    BPE tokens, and tokens-per-char in exact ppm (the compression the
+    tokenizer actually buys on each slice), the number a data-mixture
+    budget is priced in."""
+    from ..operators.bpe import bpe_encoded_words
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = bpe_encoded_words(docs, _BPE_MERGES).select(
+        "word", F.size("sym").cast("bigint").alias("n_sym")
+    )
+    per_doc = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    )
+    return (
+        per_doc.join(vocab, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+            F.expr(
+                "sum(n_sym) * 1000000 DIV sum(length(word))"
+            ).alias("tokens_per_char_ppm"),
+        )
+    )

@@ -310,3 +310,29 @@ def test_holt_linear_single_point_dropped(spark):
     )
     rows = holt_linear(df, "g", "t", "y").collect()
     assert [r.g for r in rows] == ["two"]
+
+
+def test_bpe_encoded_words_is_training_final_state(spark):
+    from syslog_handler_with_clickhouse_spark.operators.bpe import (
+        bpe_encoded_words,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id bigint, text string",
+    )
+    # after the 6 merges of test_bpe_train_classic_corpus the vocab is:
+    # low->[low], lower->[low, er], lowest->[low, es, t],
+    # new->[new], newer->[new, er], newest->[new, es, t]
+    got = {
+        r.word: (r.freq, list(r.sym))
+        for r in bpe_encoded_words(docs, 6).collect()
+    }
+    assert got == {
+        "low": (3, ["low"]),
+        "lower": (1, ["low", "er"]),
+        "lowest": (1, ["low", "es", "t"]),
+        "new": (2, ["new"]),
+        "newer": (1, ["new", "er"]),
+        "newest": (1, ["new", "es", "t"]),
+    }
