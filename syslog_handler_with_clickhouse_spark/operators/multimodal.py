@@ -2846,3 +2846,77 @@ def encode_bmp_bitfields(
     )
     hdr = b"BM" + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
     return hdr + dib + struct.pack("<III", *masks) + bytes(data)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("hash_hi", T.LongType()),
+        T.StructField("hash_lo", T.LongType()),
+    ]
+)
+
+
+def dhash_images(assets: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over DECODED pixels — the
+    classic near-duplicate-image key: reduce to an 8×9 grid of exact
+    integer cell sums (cell of pixel (y, x) is ((y·8) div h,
+    (x·9) div w)), then one bit per horizontally adjacent cell pair.
+
+    Everything stays EXACT: grayscale is (r+g+b) div 3, and the
+    comparison is cross-multiplied sums (s₁·n₂ < s₂·n₁ — cell means
+    compared without ever dividing), so the oracle can replay the hash
+    closed-form.  A uniform brightness shift adds the same constant to
+    every mean and can NEVER flip a bit — the invariance that makes
+    dHash a near-dup key rather than an exact checksum.
+
+    The 64 bits pack into two 32-bit bigint halves (hash_hi rows 4-7,
+    hash_lo rows 0-3) to keep every value positive in int64 on both
+    engines.  Non-image/undecodable payloads yield kind='skipped'.
+
+    Scale shape: one Arrow mapInPandas pass (O(1) output per asset,
+    bytes never visit the driver) followed by whatever bucket-join the
+    caller runs on the 16-byte key — the q39 LSH shape with ONE band.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    decoded = decode_real(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    decoded = None
+                if decoded is None or decoded[0] == "wav":
+                    rows.append((int(did), "skipped", None, None))
+                    continue
+                kind, w, h, c, px = decoded
+                a = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .reshape(h, w, c)
+                    .astype(np.int64)
+                )
+                gray = a.sum(axis=2) // c
+                ridx = (np.arange(h) * 8) // h
+                cidx = (np.arange(w) * 9) // w
+                sums = np.zeros((8, 9), dtype=np.int64)
+                np.add.at(sums, (ridx[:, None], cidx[None, :]), gray)
+                ny = np.bincount(ridx, minlength=8)
+                nx = np.bincount(cidx, minlength=9)
+                counts = ny[:, None] * nx[None, :]
+                bits = (
+                    sums[:, :8] * counts[:, 1:] < sums[:, 1:] * counts[:, :8]
+                ).astype(np.int64)
+                weights = 1 << (np.arange(4)[:, None] * 8 + np.arange(8))
+                lo = int((bits[:4] * weights).sum())
+                hi = int((bits[4:] * weights).sum())
+                rows.append((int(did), kind, hi, lo))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "kind", "hash_hi", "hash_lo"]
+            ).astype(
+                {"doc_id": "int64", "hash_hi": "Int64", "hash_lo": "Int64"}
+            )
+
+    return assets.mapInPandas(batches, DHASH_SCHEMA)

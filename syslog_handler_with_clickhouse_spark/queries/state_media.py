@@ -3650,3 +3650,105 @@ def q397(spark, sf_dir):
         F.col("val_min").cast("bigint").alias("px_min"),
         F.col("val_max").cast("bigint").alias("px_max"),
     )
+
+
+@query(
+    "q403_image_dhash_neardup",
+    """
+    WITH d AS (
+      SELECT doc_id AS base, (doc_id % 23) + 9 AS w, (doc_id % 17) + 8 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+      FROM documents WHERE doc_id % 31 = 2
+    ), imgs AS (
+      SELECT base, w, h, c, base AS doc_id, 0 AS shift FROM d
+      UNION ALL SELECT base, w, h, c, base + 2000000, 0 FROM d
+      UNION ALL SELECT base, w, h, c, base + 4000000, 1 FROM d
+    ), px AS (
+      SELECT i.doc_id, i.w, i.h,
+             t.k // i.w AS y, t.k % i.w AS x,
+             CASE WHEN i.c = 1
+                  THEN (i.base * 7 + 13 * t.k) % 251 + i.shift
+                  ELSE ((i.base * 7 + 13 * (t.k * 3)) % 251
+                        + (i.base * 7 + 13 * (t.k * 3 + 1)) % 251
+                        + (i.base * 7 + 13 * (t.k * 3 + 2)) % 251
+                        + 3 * i.shift) // 3
+             END AS g
+      FROM imgs i, LATERAL (SELECT unnest(range(0, i.w * i.h)) AS k) t
+    ), cells AS (
+      SELECT doc_id, (y * 8) // h AS r, (x * 9) // w AS cc,
+             CAST(SUM(g) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM px GROUP BY doc_id, (y * 8) // h, (x * 9) // w
+    ), bits AS (
+      SELECT a.doc_id, a.r, a.cc,
+             CASE WHEN a.s * b.n < b.s * a.n THEN 1 ELSE 0 END AS bit
+      FROM cells a JOIN cells b
+        ON a.doc_id = b.doc_id AND a.r = b.r AND b.cc = a.cc + 1
+      WHERE a.cc < 8
+    ), hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN r >= 4 THEN
+                    bit * (CAST(1 AS BIGINT) << ((r - 4) * 8 + cc))
+                  ELSE 0 END) AS BIGINT) AS hash_hi,
+             CAST(SUM(CASE WHEN r < 4 THEN
+                    bit * (CAST(1 AS BIGINT) << (r * 8 + cc))
+                  ELSE 0 END) AS BIGINT) AS hash_lo
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id, hash_hi, hash_lo,
+           CAST(COUNT(*) OVER (PARTITION BY hash_hi, hash_lo) AS BIGINT)
+             AS bucket_size
+    FROM hashes
+    """,
+)
+def q403(spark, sf_dir):
+    """Perceptual image dedup via dHash (`multimodal.dhash_images`):
+    every payload decodes through the REAL codec layer, reduces to an
+    8×9 grid of exact integer cell sums, and emits one bit per adjacent
+    cell pair (cross-multiplied — no division ever happens).  Fixtures
+    plant, for every base image, an exact byte copy AND a +1-brightness
+    twin; the uniform shift adds the same constant to every cell mean,
+    so it provably cannot flip a bit — all three land in the same hash
+    bucket (bucket_size ≥ 3), which the oracle verifies by replaying
+    the entire hash closed-form from the construction.  The bucket key
+    is 16 bytes/image: the q39 LSH join shape with one band."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from ..operators.multimodal import dhash_images, encode_png
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 31 == 2)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 23 + 9, d % 17 + 8
+                c = 1 if d % 2 == 0 else 3
+                base_px = bytes((d * 7 + 13 * k) % 251 for k in range(w * h * c))
+                bright = bytes(v + 1 for v in base_px)
+                for did, px in (
+                    (d, base_px),
+                    (d + 2000000, base_px),
+                    (d + 4000000, bright),
+                ):
+                    ids.append(did)
+                    payloads.append(
+                        encode_png(px, w, h, c, [k % 5 for k in range(h)])
+                    )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    hashes = dhash_images(assets)
+    win = Window.partitionBy("hash_hi", "hash_lo")
+    return hashes.select(
+        "doc_id",
+        "hash_hi",
+        "hash_lo",
+        F.count(F.lit(1)).over(win).cast("bigint").alias("bucket_size"),
+    )

@@ -1157,3 +1157,47 @@ def test_tiff_predictor_and_planar_roundtrip():
             blob[off + 8 : off + 10] = _st.pack("<H", 3)
     with pytest.raises(NotImplementedError, match="predictor"):
         decode_tiff_pixels(bytes(blob))
+
+
+def test_dhash_brightness_invariant_and_discriminative(spark):
+    """dHash: uniform brightness shift can never flip a bit (cross-
+    multiplied means all shift together), while transposing the
+    gradient direction flips essentially every bit."""
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        dhash_images,
+        encode_png,
+    )
+
+    w, h = 18, 12
+    # horizontal gradient: strictly increasing left->right
+    grad = bytes((x * 14) % 251 for y in range(h) for x in range(w))
+    brighter = bytes(v + 4 for v in grad)
+    # vertical gradient: constant within each row
+    vert = bytes((y * 14) % 251 for y in range(h) for x in range(w))
+    rows = [
+        (1, encode_png(grad, w, h, 1, [0] * h)),
+        (2, encode_png(brighter, w, h, 1, [2] * h)),
+        (3, encode_png(vert, w, h, 1, [1] * h)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.hash_hi, r.hash_lo) for r in dhash_images(df).collect()}
+    assert got[1] == got[2]                    # brightness-invariant
+    assert got[1] != got[3]                    # direction-sensitive
+    # increasing gradient -> every adjacent comparison is 'less': all 64
+    # bits set -> both halves are 2^32 - 1.
+    assert got[1] == (2**32 - 1, 2**32 - 1)
+    # vertical gradient: within a row all cells equal -> no strict less,
+    # all bits zero.
+    assert got[3] == (0, 0)
+
+
+def test_dhash_skips_non_images(spark):
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        dhash_images,
+    )
+
+    df = spark.createDataFrame(
+        [(9, bytearray(b"not an image at all"))], "doc_id long, payload binary"
+    )
+    rows = dhash_images(df).collect()
+    assert rows[0].kind == "skipped" and rows[0].hash_hi is None
