@@ -2663,3 +2663,56 @@ def q401(spark, sf_dir):
         F.date_format("pur_ts", TSF_S).alias("pur_ts"),
     )
     return spark.table(_run_stream(out, "append"))
+
+
+@query(
+    "q404_join_mv_incremental",
+    """
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def q404(spark, sf_dir):
+    """JOIN-view incremental maintenance (`sources/mv.refresh_join_mv_
+    fact/_dim`) — the AggregatingMergeTree-over-a-JOIN pattern: the
+    per-nation order aggregate is maintained under interleaved,
+    OUT-OF-ORDER inserts to both the fact and the dimension side
+    (orders in three batches, customers in two, arriving O₀ C₀ O₁ C₁
+    O₂ — the first fact batch lands before ANY dimension row exists).
+    Fact partials whose customer has not arrived wait in a keyed
+    PENDING state and are released the moment their dim batch lands;
+    nothing ever rescans fact history — every refresh is
+    O(batch + touched keys).  The final view state must equal the
+    oracle's one-shot join aggregate over all rows, proving no partial
+    was lost, double-folded, or released to the wrong group."""
+    import tempfile
+
+    from ..sources.mv import (
+        read_join_mv,
+        refresh_join_mv_dim,
+        refresh_join_mv_fact,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="jmv_q_") + "/mv"
+    fact = lambda i: orders.filter(F.col("o_orderkey") % 3 == i)
+    dim = lambda i: cust.filter(F.col("o_custkey") % 2 == i)
+    refresh_join_mv_fact(fact(0), root, "o_custkey", "c_nationkey", "o_totalprice")
+    refresh_join_mv_dim(dim(0), root, "o_custkey", "c_nationkey")
+    refresh_join_mv_fact(fact(1), root, "o_custkey", "c_nationkey", "o_totalprice")
+    refresh_join_mv_dim(dim(1), root, "o_custkey", "c_nationkey")
+    refresh_join_mv_fact(fact(2), root, "o_custkey", "c_nationkey", "o_totalprice")
+    return read_join_mv(spark, root).select(
+        "c_nationkey",
+        F.col("n").alias("n_orders"),
+        F.col("s").cast("double").alias("sum_totalprice"),
+    )

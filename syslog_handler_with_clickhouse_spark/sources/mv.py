@@ -346,3 +346,111 @@ def finalize_uniq(state: DataFrame, col: str, k: int = 256):
     return F.when(sz < k, sz.cast("double")).otherwise(
         F.lit(float(k - 1)) / F.element_at(name, k)
     )
+
+
+# ---------------------------------------------------------------------
+# join-view IVM: MV over fact ⋈ dim with out-of-order arrival
+# ---------------------------------------------------------------------
+# The AggregatingMergeTree-over-a-JOIN pattern (in ClickHouse: an MV on
+# the fact table whose SELECT joins a dimension): the view
+#
+#     SELECT dim.group_col, count(*), sum(fact.val)
+#     FROM fact JOIN dim USING (key) GROUP BY dim.group_col
+#
+# maintained incrementally under INSERTS TO EITHER SIDE, in any order,
+# without ever rescanning the fact history.  Classic delta rule
+# ΔV = ΔF⋈D + F⋈ΔD (+ ΔF⋈ΔD), made O(|Δ|) by keeping, next to the
+# view state, a PENDING state: per-key mergeable fact partials whose
+# dimension row has not arrived yet.
+#
+#   fact batch:  partials by key; keys already in the dim state fold
+#                straight into the view (keyed equi-join, |Δ|-sized);
+#                the rest fold into pending.
+#   dim batch:   new keys upsert the dim state AND release their
+#                pending partials into the view; released rows leave
+#                pending.
+#
+# Every refresh touches O(|batch| + |touched keys|); the fact table is
+# never read back.  Dim-key UPDATES (group migration) are out of scope
+# — the honest limitation, as with the wide-MV min/max delete split.
+
+
+def _jmv(root: str, part: str) -> str:
+    return f"{root.rstrip('/')}/{part}"
+
+
+def refresh_join_mv_fact(
+    batch_df: DataFrame,
+    root: str,
+    key: str,
+    group_col: str,
+    sum_col: str,
+) -> None:
+    """Fold one fact batch into the join-MV (view += matched partials,
+    pending += unmatched partials)."""
+    spark = batch_df.sparkSession
+    dp = batch_df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(sum_col).cast("decimal(18,2)")).alias("s"),
+    )
+    have_dim = latest_version(_jmv(root, "dim")) > 0
+    if have_dim:
+        dim = read_snapshot(spark, _jmv(root, "dim"))
+        matched = dp.join(dim, key).groupBy(group_col).agg(
+            F.sum("n").alias("n"), F.sum("s").cast("decimal(18,2)").alias("s")
+        )
+        _fold_state(matched, _jmv(root, "view"), [group_col])
+        unmatched = dp.join(dim.select(key), key, "left_anti")
+    else:
+        unmatched = dp
+    _fold_state(
+        unmatched.select(key, "n", "s"), _jmv(root, "pending"), [key]
+    )
+
+
+def refresh_join_mv_dim(batch_df: DataFrame, root: str, key: str, group_col: str) -> None:
+    """Apply one dimension batch: upsert new keys, release their pending
+    fact partials into the view."""
+    spark = batch_df.sparkSession
+    newdim = batch_df.select(key, group_col).dropDuplicates([key])
+    if latest_version(_jmv(root, "dim")) > 0:
+        dim = read_snapshot(spark, _jmv(root, "dim"))
+        newdim = newdim.join(dim.select(key), key, "left_anti")
+        dim = dim.unionByName(newdim)
+    else:
+        dim = newdim
+    write_snapshot(dim.coalesce(1), _jmv(root, "dim"), mode="overwrite")
+    if latest_version(_jmv(root, "pending")) > 0:
+        pend = read_snapshot(spark, _jmv(root, "pending"))
+        released = pend.join(newdim, key).groupBy(group_col).agg(
+            F.sum("n").alias("n"), F.sum("s").cast("decimal(18,2)").alias("s")
+        )
+        _fold_state(released, _jmv(root, "view"), [group_col])
+        keep = pend.join(newdim.select(key), key, "left_anti")
+        write_snapshot(
+            keep.coalesce(1), _jmv(root, "pending"), mode="overwrite"
+        )
+
+
+def _fold_state(part: DataFrame, path: str, keys: list[str]) -> None:
+    spark = part.sparkSession
+    if latest_version(path) > 0:
+        part = (
+            read_snapshot(spark, path)
+            .unionByName(part)
+            .groupBy(*keys)
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("s").cast("decimal(18,2)").alias("s"),
+            )
+        )
+    write_snapshot(part.coalesce(1), path, mode="overwrite")
+
+
+def read_join_mv(spark, root: str) -> DataFrame:
+    """Current join-view state: (group_col, n, s)."""
+    return read_snapshot(spark, _jmv(root, "view"))
+
+
+def read_join_mv_pending(spark, root: str) -> DataFrame:
+    return read_snapshot(spark, _jmv(root, "pending"))

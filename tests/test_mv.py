@@ -305,3 +305,40 @@ def test_wide_state_random_interleavings_match_recompute(spark, ops):
                 .collect()
             }
             assert got == want, (step, op, got, want)
+
+
+def test_join_mv_pending_release_and_orphans(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.sources.mv import (
+        read_join_mv,
+        read_join_mv_pending,
+        refresh_join_mv_dim,
+        refresh_join_mv_fact,
+    )
+
+    root = str(tmp_path / "jmv")
+    fact1 = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0), (9, 7.0)], "k bigint, val double"
+    )
+    # no dim yet: everything pends
+    refresh_join_mv_fact(fact1, root, "k", "grp", "val")
+    assert read_join_mv_pending(spark, root).count() == 3  # keys 1,2,9
+    # dim arrives for keys 1 and 2 (9 stays orphan)
+    dim1 = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, grp string")
+    refresh_join_mv_dim(dim1, root, "k", "grp")
+    view = {r.grp: (r.n, float(r.s)) for r in read_join_mv(spark, root).collect()}
+    assert view == {"a": (2, 30.0), "b": (1, 5.0)}
+    pend = read_join_mv_pending(spark, root).collect()
+    assert [(r.k, r.n) for r in pend] == [(9, 1)]
+    # a second fact batch now folds straight through for known keys
+    fact2 = spark.createDataFrame([(2, 1.0), (9, 2.0)], "k bigint, val double")
+    refresh_join_mv_fact(fact2, root, "k", "grp", "val")
+    view = {r.grp: (r.n, float(r.s)) for r in read_join_mv(spark, root).collect()}
+    assert view["b"] == (2, 6.0)
+    # re-sending key 1 in a dim batch must NOT double-release anything
+    dim2 = spark.createDataFrame([(1, "a"), (9, "c")], "k bigint, grp string")
+    refresh_join_mv_dim(dim2, root, "k", "grp")
+    view = {r.grp: (r.n, float(r.s)) for r in read_join_mv(spark, root).collect()}
+    assert view == {"a": (2, 30.0), "b": (2, 6.0), "c": (2, 9.0)}
+    assert read_join_mv_pending(spark, root).count() == 0
