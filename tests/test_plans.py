@@ -893,3 +893,66 @@ def test_round9_ann_and_prep_queries_python_free(spark):
     ]:
         df = QUERIES[name](spark, SF_DIR)
         assert python_eval_nodes(df) == [], name
+
+
+def test_round9_tail_queries_are_python_free(spark):
+    """The round-9-tail native families (media/forecast excepted —
+    their kernels are deliberate Arrow paths) must stay JVM-side:
+    BM25, dup-ngram coverage, triangles, BPE train+encode, PCA."""
+    for name in [
+        "q394_bm25_retrieval",
+        "q395_dup_ngram_coverage",
+        "q396_triangle_counts",
+        "q398_bpe_train",
+        "q399_pca_power_iteration",
+        "q402_bpe_encode",
+    ]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert python_eval_nodes(df) == [], name
+
+
+def test_bm25_match_is_token_keyed_never_all_pairs(spark):
+    """q394's retrieval join must exchange on token/doc keys only — a
+    query_id×doc_id key (or a cartesian) would be the all-pairs shape
+    that dies at 100 TB."""
+    import re
+
+    df = QUERIES["q394_bm25_retrieval"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    assert keys <= {"token", "doc_id", "query_id"}, keys
+
+
+def test_dup_ngram_exchanges_on_gram_and_doc(spark):
+    """q395: the duplicated-window detection keys on the gram, the
+    sweep-line on the doc — nothing else may shuffle."""
+    import re
+
+    plan = formatted_plan(QUERIES["q395_dup_ngram_coverage"](spark, SF_DIR))
+    keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    assert keys <= {"gram", "doc_id"}, keys
+
+
+def test_triangle_count_has_no_cartesian(spark):
+    """q396's wedge and closing joins are equi-joins on (a) and (b, c);
+    with broadcast disabled the plan must stay shuffle-hash/sort-merge,
+    never a nested-loop over node pairs."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(QUERIES["q396_triangle_counts"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pca_final_plan_never_rereads_corpus(spark):
+    """q399: the corpus is consumed ONCE, eagerly, into the
+    checkpointed 4096-row Gram — the result's physical plan must read
+    only checkpoint RDDs, never the embeddings parquet (a parquet scan
+    here would mean an iteration re-derives the Gram from raw data)."""
+    plan = formatted_plan(QUERIES["q399_pca_power_iteration"](spark, SF_DIR))
+    assert "embeddings.parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
