@@ -172,3 +172,42 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tri_cnt"))
     )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node in exact ppm:
+    cc = 2·tri / (deg·(deg−1)), computed as (2 000 000·tri) div
+    (deg·(deg−1)) — the neighborhood-density score built on
+    :func:`triangle_counts`.  Nodes of degree < 2 report 0 (no
+    potential wedge).  Returns (node, deg, tri_cnt, cc_ppm) for every
+    node of the canonical simple graph."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    tri = triangle_counts(und.select(F.col("u").alias("src"), F.col("v").alias("dst")))
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("tri_cnt", F.lit(0)).cast("bigint").alias("tri_cnt"),
+            F.when(F.col("deg") < 2, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "coalesce(tri_cnt, 0) * 2000000 DIV (deg * (deg - 1))"
+                )
+            )
+            .cast("bigint")
+            .alias("cc_ppm"),
+        )
+    )

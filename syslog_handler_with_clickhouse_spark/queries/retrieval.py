@@ -421,3 +421,126 @@ def q402(spark, sf_dir):
             ).alias("tokens_per_char_ppm"),
         )
     )
+
+
+@query(
+    "q405_phrase_search",
+    """
+    WITH tok AS (
+      SELECT doc_id, CAST(t.i AS BIGINT) AS pos, arr[t.i] AS token
+      FROM (
+        SELECT doc_id, regexp_extract_all(lower(text), '{re}') AS arr
+        FROM documents
+      ), LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i) t
+    ), phrases AS (
+      SELECT doc_id AS query_id, arr[1] AS t0, arr[2] AS t1, arr[3] AS t2
+      FROM (
+        SELECT doc_id, regexp_extract_all(lower(text), '{re}') AS arr
+        FROM documents
+      )
+      WHERE doc_id % 50 = 0 AND len(arr) >= 3
+    ), hits AS (
+      SELECT ph.query_id, p0.doc_id, p0.pos
+      FROM phrases ph
+      JOIN tok p0 ON p0.token = ph.t0
+      JOIN tok p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+                 AND p1.token = ph.t1
+      JOIN tok p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
+                 AND p2.token = ph.t2
+      WHERE p0.doc_id <> ph.query_id
+    )
+    SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM hits GROUP BY query_id, doc_id
+    """.format(re=TOKEN_RE),
+)
+def q405(spark, sf_dir):
+    """Exact phrase search over a POSITIONAL inverted index — the
+    full-text operator BM25 (q394) can't express: each query doc's
+    leading 3-gram is located in every other document by joining the
+    (doc, pos, token) postings on token with position-shifted legs
+    ((doc, pos−1) and (doc, pos−2) aliased to the anchor position), so
+    all three hops are plain named-column equi-joins — the Lucene
+    phrase-query plan re-expressed relationally.  No document text is
+    rescanned; the only wide exchanges key on token and (doc, pos).
+    Occurrence COUNTS (not just membership) are value-verified."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0).alias(
+            "arr"
+        ),
+    )
+    tok = d.select(
+        "doc_id", F.posexplode("arr").alias("p0", "token")
+    ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "token")
+    phrases = d.filter(
+        (F.col("doc_id") % 50 == 0) & (F.size("arr") >= 3)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("arr")[0].alias("t0"),
+        F.col("arr")[1].alias("t1"),
+        F.col("arr")[2].alias("t2"),
+    )
+    leg = lambda name, shift: tok.select(
+        F.col("doc_id").alias("m_doc"),
+        (F.col("pos") - shift).alias("m_pos"),
+        F.col("token").alias(name),
+    )
+    hits = (
+        phrases.join(leg("t0", 0), "t0")
+        .filter(F.col("m_doc") != F.col("query_id"))
+        .join(leg("t1", 1), ["t1", "m_doc", "m_pos"])
+        .join(leg("t2", 2), ["t2", "m_doc", "m_pos"])
+    )
+    return hits.groupBy(
+        "query_id", F.col("m_doc").alias("doc_id")
+    ).agg(F.count(F.lit(1)).alias("n_occurrences"))
+
+
+@query(
+    "q406_clustering_coefficients",
+    """
+    WITH raw AS (
+      SELECT user_id % 150 AS src, (user_id * 7 + event_id * 3) % 150 AS dst
+      FROM events
+    ), e AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM raw WHERE src <> dst
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), pern AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+      FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT CAST(d.node AS BIGINT) AS node, d.deg,
+           CAST(COALESCE(p.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+           CAST(CASE WHEN d.deg < 2 THEN 0
+                ELSE (COALESCE(p.tri_cnt, 0) * 2000000)
+                     // (d.deg * (d.deg - 1)) END AS BIGINT) AS cc_ppm
+    FROM deg d LEFT JOIN pern p ON d.node = p.node
+    """,
+)
+def q406(spark, sf_dir):
+    """Local clustering coefficient
+    (`operators/graph.clustering_coefficients`): 2·tri/(deg·(deg−1))
+    in exact ppm over the q396 event graph — the neighborhood-density
+    metric (community tightness / spam-graph signal) composing the
+    degree-ordered triangle count with one degree aggregate and a
+    node-keyed left join; degree-<2 nodes report 0, and EVERY node
+    appears (the left join the oracle mirrors)."""
+    from ..operators.graph import clustering_coefficients
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 150).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id") * 3) % 150).alias("dst"),
+    )
+    return clustering_coefficients(ev)

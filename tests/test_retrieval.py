@@ -336,3 +336,20 @@ def test_bpe_encoded_words_is_training_final_state(spark):
         "newer": (1, ["new", "er"]),
         "newest": (1, ["new", "es", "t"]),
     }
+
+
+def test_clustering_coefficient_k4_and_star(spark):
+    from syslog_handler_with_clickhouse_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    # K4: every node deg 3, tri 3 -> cc = 6/6 = 1.0 -> 1_000_000 ppm.
+    # pendant node 5 on 4: deg 1 -> cc 0; node 4 gains deg 4, tri 3
+    # -> cc = 6/12 = 500_000 ppm.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = {r.node: (r.deg, r.tri_cnt, r.cc_ppm)
+           for r in clustering_coefficients(df).collect()}
+    assert out[1] == (3, 3, 1_000_000)
+    assert out[4] == (4, 3, 500_000)
+    assert out[5] == (1, 0, 0)
