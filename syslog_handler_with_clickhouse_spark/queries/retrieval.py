@@ -544,3 +544,125 @@ def q406(spark, sf_dir):
         ((F.col("user_id") * 7 + F.col("event_id") * 3) % 150).alias("dst"),
     )
     return clustering_coefficients(ev)
+
+
+@query(
+    "q407_cdc_chunking",
+    """
+    WITH d AS (
+      SELECT doc_id, source, text, length(text) AS n
+      FROM documents WHERE length(text) >= 8
+    ), hashed AS (
+      SELECT doc_id, source, text, n,
+             list_transform(range(8, n + 1),
+               i -> list_reduce(
+                      list_transform(range(i - 7, i + 1),
+                        j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
+                      (acc, x) -> (acc * 257 + x) % 1000003)) AS h
+      FROM d
+    ), cuts AS (
+      SELECT doc_id, source, text, n,
+             list_filter(range(8, n + 1),
+               i -> h[i - 7] % 64 = 0 AND i < n) AS cut
+      FROM hashed
+    ), chunks AS (
+      SELECT doc_id, source,
+             substr(text,
+                    CASE WHEN k = 1 THEN 1 ELSE cut[k - 1] + 1 END,
+                    CASE WHEN k = len(cut) + 1 THEN n ELSE cut[k] END
+                      - CASE WHEN k = 1 THEN 1 ELSE cut[k - 1] + 1 END
+                      + 1) AS chunk
+      FROM cuts, LATERAL (SELECT unnest(range(1, len(cut) + 2)) AS k) t
+    ), dupc AS (
+      SELECT chunk FROM chunks GROUP BY chunk HAVING COUNT(*) >= 2
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(length(c.chunk)) AS BIGINT) AS chunk_chars,
+           CAST(COUNT(*) FILTER (WHERE d2.chunk IS NOT NULL) AS BIGINT)
+             AS dup_chunks,
+           CAST(COALESCE(SUM(length(c.chunk))
+                  FILTER (WHERE d2.chunk IS NOT NULL), 0) AS BIGINT)
+             AS dup_chunk_chars
+    FROM chunks c LEFT JOIN dupc d2 ON c.chunk = d2.chunk
+    GROUP BY c.source
+    """,
+)
+def q407(spark, sf_dir):
+    """Content-defined chunking (the rsync/LBFS/backup-dedup primitive)
+    fully NATIVE: a Rabin-style rolling hash (Horner fold mod 1000003
+    over an 8-char window) marks a cut wherever hash % 64 == 0, and the
+    chunks between cuts dedup by exact content across the corpus —
+    insert-shift-robust, unlike fixed-size blocks.  Reports per-source
+    chunk counts and the duplicate chunk mass (the bytes a
+    content-addressed store would NOT store twice).
+
+    Plan note: positions are EXPLODED before hashing so each window's
+    Horner fold is computed exactly once as a per-row O(w) aggregate —
+    keeping the hash inside a single array-column expression made
+    Catalyst inline the whole-array computation into every lambda
+    reference (O(n²·w) per doc, measured pathological).  The explode
+    costs one doc-keyed collect_list shuffle and buys linear work; the
+    dedup aggregate is the q395 gram-keyed shape."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 8)
+        .select("doc_id", "source", "text", F.length("text").alias("n"))
+    )
+    pos = d.select(
+        "doc_id", "text", "n", F.explode(F.sequence(F.lit(8), F.col("n"))).alias("i")
+    )
+    cuts_rows = pos.select(
+        "doc_id",
+        "i",
+        F.expr(
+            "aggregate(transform(sequence(i - 7, i),"
+            " j -> cast(ascii(substring(text, j, 1)) as bigint)),"
+            " 0L, (acc, x) -> (acc * 257 + x) % 1000003)"
+        ).alias("h"),
+        "n",
+    ).filter((F.col("h") % 64 == 0) & (F.col("i") < F.col("n")))
+    cutlists = cuts_rows.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("i")).alias("cut")
+    )
+    with_cuts = d.join(cutlists, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "text",
+        "n",
+        F.coalesce("cut", F.array().cast("array<int>")).alias("cut"),
+    )
+    chunks = with_cuts.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(cut) + 1), k -> substring(text,"
+                " if(k = 1, 1, element_at(cut, k - 1) + 1),"
+                " if(k = size(cut) + 1, n, element_at(cut, k))"
+                "   - if(k = 1, 1, element_at(cut, k - 1) + 1) + 1))"
+            )
+        ).alias("chunk"),
+    )
+    dupc = (
+        chunks.groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("chunk", F.lit(1).alias("is_dup"))
+    )
+    return (
+        chunks.join(dupc, "chunk", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.length("chunk")).cast("bigint").alias("chunk_chars"),
+            F.count_if(F.col("is_dup").isNotNull())
+            .cast("bigint")
+            .alias("dup_chunks"),
+            F.sum(
+                F.when(F.col("is_dup").isNotNull(), F.length("chunk")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("dup_chunk_chars"),
+        )
+    )

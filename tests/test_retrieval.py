@@ -353,3 +353,33 @@ def test_clustering_coefficient_k4_and_star(spark):
     assert out[1] == (3, 3, 1_000_000)
     assert out[4] == (4, 3, 500_000)
     assert out[5] == (1, 0, 0)
+
+
+def test_cdc_chunking_shift_robustness(spark):
+    """The CDC property itself: inserting a prefix shifts every byte,
+    yet chunks after the first cut re-align — a fixed-size blocker
+    would share nothing."""
+    from syslog_handler_with_clickhouse_spark.queries.retrieval import q407
+    import re as _re
+
+    # mirror the query's hash inline to derive chunks for two texts
+    def chunks_of(text, w=8, mod=1000003, base=257, mask=64):
+        n = len(text)
+        cuts = []
+        for i in range(w, n + 1):
+            h = 0
+            for j in range(i - w, i):
+                h = (h * base + ord(text[j])) % mod
+            if h % mask == 0 and i < n:
+                cuts.append(i)
+        starts = [0] + cuts
+        ends = cuts + [n]
+        return [text[s:e] for s, e in zip(starts, ends)]
+
+    body = "the quick brown fox jumps over the lazy dog " * 20
+    a = chunks_of(body)
+    b = chunks_of("PREFIX-INSERTED-BYTES " + body)
+    assert len(a) > 2, "fixture must actually cut"
+    # all but the first chunk of the shifted text re-align with some
+    # suffix of the original chunk stream
+    assert set(a[1:]) & set(b[1:]), (a, b)
