@@ -376,8 +376,14 @@ def test_cdc_chunking_shift_robustness(spark):
         ends = cuts + [n]
         return [text[s:e] for s, e in zip(starts, ends)]
 
-    # varied (non-periodic) content so the 1/64 cut condition fires
-    body = "".join(chr(97 + (i * i * 7 + i) % 26) for i in range(1500))
+    # aperiodic content (md5-derived chars) so the 1/64 cut condition
+    # fires ~23 times over 1500 positions
+    import hashlib
+
+    body = "".join(
+        chr(97 + hashlib.md5(str(i).encode()).digest()[0] % 26)
+        for i in range(1500)
+    )
     a = chunks_of(body)
     b = chunks_of("PREFIX-INSERTED-BYTES " + body)
     assert len(a) > 3, "fixture must actually cut"
