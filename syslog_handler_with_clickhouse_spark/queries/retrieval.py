@@ -6,7 +6,7 @@ registers its queries into the shared QUERIES/ORACLE registry.
 """
 
 from ._common import *  # noqa: F401,F403
-from ._common import _t
+from ._common import _lang_case_sql, _t
 from ..functions.text import TOKEN_RE
 
 
@@ -665,4 +665,85 @@ def q407(spark, sf_dir):
             .cast("bigint")
             .alias("dup_chunk_chars"),
         )
+    )
+
+
+@query(
+    "q408_langid_evaluation",
+    """
+    WITH pred AS ({lang_sql}
+    ), j AS (
+      SELECT d.lang AS gold, p.pred_lang AS pred
+      FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    ), per_gold AS (
+      SELECT gold, CAST(COUNT(*) AS BIGINT) AS n_gold,
+             CAST(count_if(gold = pred) AS BIGINT) AS tp
+      FROM j GROUP BY gold
+    ), per_pred AS (
+      SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_pred FROM j GROUP BY pred
+    ), m AS (
+      SELECT g.gold AS lang, g.n_gold, COALESCE(p.n_pred, 0) AS n_pred, g.tp,
+             CASE WHEN COALESCE(p.n_pred, 0) = 0 THEN 0
+                  ELSE (g.tp * 1000000) // p.n_pred END AS precision_ppm,
+             (g.tp * 1000000) // g.n_gold AS recall_ppm
+      FROM per_gold g LEFT JOIN per_pred p ON g.gold = p.pred
+    )
+    SELECT lang, n_gold, CAST(n_pred AS BIGINT) AS n_pred, tp,
+           CAST(precision_ppm AS BIGINT) AS precision_ppm,
+           CAST(recall_ppm AS BIGINT) AS recall_ppm,
+           CAST(CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+                ELSE (2 * precision_ppm * recall_ppm)
+                     // (precision_ppm + recall_ppm) END AS BIGINT) AS f1_ppm
+    FROM m
+    """.format(lang_sql=_lang_case_sql()),
+)
+def q408(spark, sf_dir):
+    """Classifier evaluation harness applied to the q43 language-ID
+    heuristic against the corpus's GOLD lang labels: per-class
+    precision / recall / F1 in exact integer ppm (F1 as the harmonic
+    mean computed entirely in integer arithmetic).  Classes the
+    classifier can't emit (zh) surface honestly as recall 0 — the
+    open-set failure mode a stopword classifier has by construction.
+    One doc-keyed join + two tiny keyed aggregates; the oracle
+    composes the full q43 statement as its prediction subquery, so the
+    metric AND the classifier are verified together."""
+    from ..queries import QUERIES as _Q
+
+    pred = _Q["q43_langid"](spark, sf_dir).select("doc_id", "pred_lang")
+    gold = _t(spark, sf_dir, "documents").select("doc_id", F.col("lang").alias("gold"))
+    j = gold.join(pred, "doc_id").select("gold", F.col("pred_lang").alias("pred"))
+    per_gold = j.groupBy("gold").agg(
+        F.count(F.lit(1)).alias("n_gold"),
+        F.count_if(F.col("gold") == F.col("pred")).alias("tp"),
+    )
+    per_pred = j.groupBy("pred").agg(F.count(F.lit(1)).alias("n_pred"))
+    m = per_gold.join(
+        per_pred, per_gold["gold"] == per_pred["pred"], "left"
+    ).select(
+        F.col("gold").alias("lang"),
+        "n_gold",
+        F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+        "tp",
+        F.when(F.coalesce("n_pred", F.lit(0)) == 0, F.lit(0))
+        .otherwise(F.expr("tp * 1000000 DIV n_pred"))
+        .cast("bigint")
+        .alias("precision_ppm"),
+        F.expr("tp * 1000000 DIV n_gold").cast("bigint").alias("recall_ppm"),
+    )
+    return m.select(
+        "lang",
+        "n_gold",
+        "n_pred",
+        "tp",
+        "precision_ppm",
+        "recall_ppm",
+        F.when(F.col("precision_ppm") + F.col("recall_ppm") == 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                "2 * precision_ppm * recall_ppm "
+                "DIV (precision_ppm + recall_ppm)"
+            )
+        )
+        .cast("bigint")
+        .alias("f1_ppm"),
     )
