@@ -2920,3 +2920,74 @@ def dhash_images(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, DHASH_SCHEMA)
+
+
+DECIMATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames_out", T.LongType()),
+        T.StructField("dec_sum", T.LongType()),
+        T.StructField("dec_min", T.LongType()),
+        T.StructField("dec_max", T.LongType()),
+    ]
+)
+
+
+def decimate_audio(assets: DataFrame, factor: int = 4) -> DataFrame:
+    """Integer audio downsampling (decimation by ``factor`` with an
+    exact box anti-alias mean): per channel, each output frame is the
+    mean of ``factor`` consecutive input frames, computed as
+    sign-split truncating division (sign(s)·(|s| div factor)) so the
+    result is bit-identical across engines on negative PCM samples.
+    The ragged tail (< factor frames) is dropped; the reported output
+    rate is rate div factor.
+
+    One Arrow pass, O(1) stats out per asset — the thumbnail operator
+    for audio, mirroring what resize_decoded does for images.  Only
+    integer-PCM payloads participate; float WAVs and non-audio yield
+    kind-NULL rows upstream semantics (skipped)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rate, ch, bits, samples = decode_wav_samples(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    rows.append((int(did), None, None, None, None, None, None))
+                    continue
+                if samples.dtype.kind != "i":
+                    rows.append((int(did), None, None, None, None, None, None))
+                    continue
+                frames = samples.reshape(-1, ch)
+                nf = (frames.shape[0] // factor) * factor
+                if nf == 0:
+                    rows.append((int(did), int(rate), int(ch), 0, 0, 0, 0))
+                    continue
+                g = frames[:nf].reshape(-1, factor, ch).sum(axis=1)
+                dec = np.sign(g) * (np.abs(g) // factor)
+                rows.append(
+                    (
+                        int(did), int(rate), int(ch), int(dec.shape[0]),
+                        int(dec.sum()), int(dec.min()), int(dec.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in DECIMATE_SCHEMA.fields],
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "sample_rate": "Int32",
+                    "channels": "Int32",
+                    "n_frames_out": "Int64",
+                    "dec_sum": "Int64",
+                    "dec_min": "Int64",
+                    "dec_max": "Int64",
+                }
+            )
+
+    return assets.mapInPandas(batches, DECIMATE_SCHEMA)

@@ -3752,3 +3752,84 @@ def q403(spark, sf_dir):
         "hash_lo",
         F.count(F.lit(1)).over(win).cast("bigint").alias("bucket_size"),
     )
+
+
+@query(
+    "q409_audio_decimate",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             8000 * (1 + doc_id % 3) AS rate,
+             1 + doc_id % 2 AS ch,
+             (doc_id % 60) + 17 AS nf
+      FROM documents WHERE doc_id % 27 = 5
+    ), dec AS (
+      SELECT d.doc_id, d.rate, d.ch,
+             fr.f, c.c,
+             (SELECT SUM(((d.doc_id * 11
+                           + 17 * ((4 * fr.f + j.j) * d.ch + c.c))
+                          % 65536) - 32768)
+              FROM (SELECT unnest(range(0, 4)) AS j) j) AS s
+      FROM d,
+           LATERAL (SELECT unnest(range(0, d.nf // 4)) AS f) fr,
+           LATERAL (SELECT unnest(range(0, d.ch)) AS c) c
+    ), vals AS (
+      SELECT doc_id, rate, ch,
+             CASE WHEN s < 0 THEN -((-s) // 4) ELSE s // 4 END AS v
+      FROM dec
+    )
+    SELECT doc_id,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(ch AS INT) AS channels,
+           CAST(COUNT(*) / ch AS BIGINT) AS n_frames_out,
+           CAST(SUM(v) AS BIGINT) AS dec_sum,
+           CAST(MIN(v) AS BIGINT) AS dec_min,
+           CAST(MAX(v) AS BIGINT) AS dec_max
+    FROM vals GROUP BY doc_id, rate, ch
+    """,
+)
+def q409(spark, sf_dir):
+    """Integer audio decimation (`multimodal.decimate_audio`) — the
+    audio thumbnailing operator: decode real PCM WAVs (mono + stereo,
+    full signed range), box-mean every 4 frames per channel with
+    sign-split truncating division, drop the ragged tail.  The oracle
+    recomputes every decimated sample closed-form from the fixture
+    recurrence, so a channel-interleave or sign bug in the decimation
+    (not just the decode) shifts the pinned sum/extrema."""
+    import pandas as pd
+
+    from ..operators.multimodal import decimate_audio, encode_wav
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 27 == 5)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rate = 8000 * (1 + d % 3)
+                ch = 1 + d % 2
+                nf = d % 60 + 17
+                samples = [
+                    ((d * 11 + 17 * k) % 65536) - 32768
+                    for k in range(nf * ch)
+                ]
+                payloads.append(encode_wav(samples, rate, ch))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    return decimate_audio(assets, factor=4).select(
+        "doc_id",
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_frames_out").cast("bigint").alias("n_frames_out"),
+        F.col("dec_sum").cast("bigint").alias("dec_sum"),
+        F.col("dec_min").cast("bigint").alias("dec_min"),
+        F.col("dec_max").cast("bigint").alias("dec_max"),
+    )
