@@ -747,3 +747,85 @@ def q408(spark, sf_dir):
         .cast("bigint")
         .alias("f1_ppm"),
     )
+
+
+@query(
+    "q410_codec_size_advisor",
+    """
+    WITH s AS (
+      SELECT event_type, epoch_ms(ts) AS ms,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS d1,
+             row_number() OVER w AS rn
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), dd AS (
+      SELECT event_type, ms, d1, rn,
+             d1 - lag(d1) OVER (PARTITION BY event_type ORDER BY rn) AS d2
+      FROM s
+    ), bits AS (
+      SELECT event_type,
+             CASE WHEN rn = 1 THEN 8
+                  ELSE (length(bin(CASE WHEN d1 >= 0 THEN 2 * d1
+                                        ELSE -2 * d1 - 1 END)) + 6) // 7
+             END AS delta_bytes,
+             CASE WHEN rn <= 2 THEN 8
+                  ELSE (length(bin(CASE WHEN d2 >= 0 THEN 2 * d2
+                                        ELSE -2 * d2 - 1 END)) + 6) // 7
+             END AS dd_bytes
+      FROM dd
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+           CAST(SUM(delta_bytes) AS BIGINT) AS delta_varint_bytes,
+           CAST(SUM(dd_bytes) AS BIGINT) AS double_delta_varint_bytes
+    FROM bits GROUP BY event_type
+    """,
+)
+def q410(spark, sf_dir):
+    """Storage-codec size advisor — the ClickHouse Delta/DoubleDelta
+    codec decision computed EXACTLY: per event_type, the epoch-ms
+    timestamp column's encoded size under raw int64, zigzag-varint
+    delta, and zigzag-varint delta-of-delta (first one/two values kept
+    raw at 8 bytes, as the CH codecs do).  Bit widths via
+    length(bin(zigzag(x))) and varint bytes = (bits+6) div 7 — pure
+    integer arithmetic, identical on both engines.  Near-periodic
+    event streams should show double-delta ≪ delta ≪ raw; the numbers
+    let a 100 TB table pick its codec from a 1-minute sample."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ms = (F.unix_millis(F.col("ts"))).alias("ms")
+    s = ev.select("event_type", "event_id", "ts", ms).select(
+        "event_type",
+        "ms",
+        (F.col("ms") - F.lag("ms").over(w)).alias("d1"),
+        F.row_number().over(w).alias("rn"),
+        "ts",
+        "event_id",
+    )
+    w2 = Window.partitionBy("event_type").orderBy("rn")
+    dd = s.select(
+        "event_type",
+        "rn",
+        "d1",
+        (F.col("d1") - F.lag("d1").over(w2)).alias("d2"),
+    )
+    bits = dd.select(
+        "event_type",
+        F.when(F.col("rn") == 1, F.lit(8))
+        .otherwise(F.expr("(length(bin(if(d1 >= 0, 2*d1, -2*d1 - 1))) + 6) DIV 7"))
+        .cast("bigint")
+        .alias("delta_bytes"),
+        F.when(F.col("rn") <= 2, F.lit(8))
+        .otherwise(F.expr("(length(bin(if(d2 >= 0, 2*d2, -2*d2 - 1))) + 6) DIV 7"))
+        .cast("bigint")
+        .alias("dd_bytes"),
+    )
+    return bits.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) * 8).cast("bigint").alias("raw_bytes"),
+        F.sum("delta_bytes").cast("bigint").alias("delta_varint_bytes"),
+        F.sum("dd_bytes").cast("bigint").alias("double_delta_varint_bytes"),
+    )
