@@ -2716,3 +2716,59 @@ def q404(spark, sf_dir):
         F.col("n").alias("n_orders"),
         F.col("s").cast("double").alias("sum_totalprice"),
     )
+
+
+@query(
+    "q411_join_mv_with_deletes",
+    """
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 7 <> 0
+    GROUP BY c.c_nationkey
+    """,
+)
+def q411(spark, sf_dir):
+    """Join-view IVM under DELETES (q404 + retractions): every fact
+    batch is followed by a delete batch retracting its o_orderkey%7==0
+    rows, at three different lifecycle points — before any dimension
+    exists (the retraction cancels inside PENDING), with partial
+    dimension coverage (mixed view/pending negatives), and after full
+    coverage (pure view negatives).  Count/sum are self-inverting, so
+    deletes fold as negated partials with zero rescans; zeroed groups
+    leave the state entirely.  Final view == the oracle's one-shot
+    aggregate over the surviving rows."""
+    import tempfile
+
+    from ..sources.mv import (
+        read_join_mv,
+        refresh_join_mv_dim,
+        refresh_join_mv_fact,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="jmvd_q_") + "/mv"
+    fact = lambda i: orders.filter(F.col("o_orderkey") % 3 == i)
+    dele = lambda i: fact(i).filter(F.col("o_orderkey") % 7 == 0)
+    dim = lambda i: cust.filter(F.col("o_custkey") % 2 == i)
+    args = (root, "o_custkey", "c_nationkey", "o_totalprice")
+    refresh_join_mv_fact(fact(0), *args)
+    refresh_join_mv_fact(dele(0), *args, sign=-1)   # cancels in pending
+    refresh_join_mv_dim(dim(0), root, "o_custkey", "c_nationkey")
+    refresh_join_mv_fact(fact(1), *args)
+    refresh_join_mv_fact(dele(1), *args, sign=-1)   # mixed view/pending
+    refresh_join_mv_dim(dim(1), root, "o_custkey", "c_nationkey")
+    refresh_join_mv_fact(fact(2), *args)
+    refresh_join_mv_fact(dele(2), *args, sign=-1)   # pure view negatives
+    return read_join_mv(spark, root).select(
+        "c_nationkey",
+        F.col("n").alias("n_orders"),
+        F.col("s").cast("double").alias("sum_totalprice"),
+    )

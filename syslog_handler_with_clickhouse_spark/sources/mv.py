@@ -385,13 +385,21 @@ def refresh_join_mv_fact(
     key: str,
     group_col: str,
     sum_col: str,
+    sign: int = 1,
 ) -> None:
     """Fold one fact batch into the join-MV (view += matched partials,
-    pending += unmatched partials)."""
+    pending += unmatched partials).  ``sign=-1`` applies the batch as
+    DELETES: count and sum are self-inverting algebraic aggregates, so
+    retractions fold exactly like inserts with negated partials —
+    whether the deleted rows currently live in the view (dim arrived)
+    or still in pending (dim not yet arrived); zeroed groups vanish
+    from the state."""
     spark = batch_df.sparkSession
     dp = batch_df.groupBy(key).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col(sum_col).cast("decimal(18,2)")).alias("s"),
+        (F.count(F.lit(1)) * sign).alias("n"),
+        (F.sum(F.col(sum_col).cast("decimal(18,2)")) * sign)
+        .cast("decimal(18,2)")
+        .alias("s"),
     )
     have_dim = latest_version(_jmv(root, "dim")) > 0
     if have_dim:
@@ -444,6 +452,7 @@ def _fold_state(part: DataFrame, path: str, keys: list[str]) -> None:
                 F.sum("s").cast("decimal(18,2)").alias("s"),
             )
         )
+    part = part.filter((F.col("n") != 0) | (F.col("s") != 0))
     write_snapshot(part.coalesce(1), path, mode="overwrite")
 
 
