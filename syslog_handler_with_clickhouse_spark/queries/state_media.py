@@ -3833,3 +3833,112 @@ def q409(spark, sf_dir):
         F.col("dec_min").cast("bigint").alias("dec_min"),
         F.col("dec_max").cast("bigint").alias("dec_max"),
     )
+
+
+@query(
+    "q412_dedup_survivors",
+    _DUP_UNION.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+    + """
+    , consts AS (
+      SELECT {a_list} AS ha, {b_list} AS hb
+    ), sh AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+               i -> CAST('0x' || substr(md5(array_to_string(
+                      list_slice(string_split(text, ' '), i, i + 2), ' ')), 1, 15)
+                    AS BIGINT)
+             )) AS shl
+      FROM corpus
+    ), sig AS (
+      SELECT doc,
+             list_transform(range(0, 64), k ->
+               list_min(list_transform(shl, x ->
+                 ((x % 2147483647) * ha[k + 1] + hb[k + 1]) % 2147483647))
+             ) AS sig
+      FROM sh CROSS JOIN consts WHERE len(shl) > 0
+    ), bands AS (
+      SELECT doc, b AS band,
+             CAST('0x' || substr(md5(array_to_string(
+               list_slice(sig, b * 4 + 1, b * 4 + 4), '|')), 1, 15) AS BIGINT) AS bh
+      FROM sig, UNNEST(range(0, 16)) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc < y.doc
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ), reach(node, r) AS (
+      SELECT DISTINCT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    ), comp AS (
+      SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+    ), sized AS (
+      SELECT c.node, c.comp, length(co.text) AS n_chars
+      FROM comp c JOIN corpus co ON c.node = co.doc_id
+    ), ranked AS (
+      SELECT node, comp, n_chars,
+             row_number() OVER (PARTITION BY comp
+                                ORDER BY n_chars DESC, node) AS rk
+      FROM sized
+    )
+    SELECT comp,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(MAX(CASE WHEN rk = 1 THEN node END) AS BIGINT)
+             AS survivor_doc,
+           CAST(MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+             AS survivor_chars,
+           CAST(COUNT(*) - 1 AS BIGINT) AS removed_docs,
+           CAST(SUM(n_chars) - MAX(CASE WHEN rk = 1 THEN n_chars END)
+                AS BIGINT) AS removed_chars
+    FROM ranked GROUP BY comp
+    """.format(
+        a_list=list(dedup._MINHASH_A), b_list=list(dedup._MINHASH_B)
+    ),
+)
+def q412(spark, sf_dir):
+    """End-to-end dedup SURVIVOR SELECTION — the final step of the
+    corpus-dedup pipeline (q39 candidates -> q334 closure -> keep-one):
+    per near-dup cluster, keep the LONGEST member (min-id tiebreak) and
+    report exactly what a rewrite pass would drop — removed doc count
+    and removed character mass.  One length join + one per-cluster
+    window over the component table (cluster-cardinality-sized, tiny
+    next to the corpus); the oracle replays the identical pair graph,
+    recursive closure, and keep-longest policy."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    pairs = dedup.minhash_lsh_pairs(corpus, "text", "doc_id")
+    comp = dedup.dedup_components(pairs)
+    sized = comp.join(
+        corpus.select(
+            F.col("doc_id").alias("node"), F.length("text").alias("n_chars")
+        ),
+        "node",
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.col("n_chars").desc(), F.col("node").asc()
+    )
+    ranked = sized.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max(F.when(F.col("rk") == 1, F.col("node")))
+        .cast("bigint")
+        .alias("survivor_doc"),
+        F.max(F.when(F.col("rk") == 1, F.col("n_chars")))
+        .cast("bigint")
+        .alias("survivor_chars"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("removed_docs"),
+        (
+            F.sum("n_chars") - F.max(F.when(F.col("rk") == 1, F.col("n_chars")))
+        )
+        .cast("bigint")
+        .alias("removed_chars"),
+    )
