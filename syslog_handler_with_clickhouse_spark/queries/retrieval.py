@@ -38,7 +38,7 @@ from ..functions.text import TOKEN_RE
       CROSS JOIN stats s
       JOIN postings p ON p.token = q.token
       JOIN dl l ON l.doc_id = p.doc_id
-      WHERE d.dfreq * 4 <= s.n_docs AND p.doc_id <> q.query_id
+      WHERE d.dfreq * 10 <= s.n_docs * 9 AND p.doc_id <> q.query_id
     ), scores AS (
       SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score
       FROM term_scores GROUP BY query_id, doc_id
@@ -60,7 +60,9 @@ def q394(spark, sf_dir):
     (N div df) so both engines agree to the last bit.  Query workload:
     every doc_id % 50 == 0 document queries the corpus with its own
     distinct tokens (self-match excluded), stop terms pruned at
-    df > N/4.  Plan: postings/df/dl are token- and doc-keyed
+    df > 0.9N (the fixture corpus has a 31-token vocabulary with df
+    around 0.78N, so the classic 25% stop cap would prune EVERY term;
+    on a real corpus the cap parameter moves back down).  Plan: postings/df/dl are token- and doc-keyed
     aggregates, the corpus scalars broadcast, and the match is a
     token-keyed equi-join — never all-pairs; the max_df cap bounds
     posting fan-out at 100 TB exactly like q195's."""
@@ -70,7 +72,7 @@ def q394(spark, sf_dir):
     queries_df = docs.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    return bm25_topk(docs, queries_df, k=5)
+    return bm25_topk(docs, queries_df, k=5, max_df_num=9, max_df_den=10)
 
 
 @query(
@@ -859,7 +861,7 @@ def q410(spark, sf_dir):
       CROSS JOIN stats s
       JOIN postings p ON p.token = q.token
       JOIN dl l ON l.doc_id = p.doc_id
-      WHERE d.dfreq * 4 <= s.n_docs AND p.doc_id <> q.query_id
+      WHERE d.dfreq * 10 <= s.n_docs * 9 AND p.doc_id <> q.query_id
     ), bm25 AS (
       SELECT query_id, doc_id,
              row_number() OVER (PARTITION BY query_id
@@ -929,7 +931,7 @@ def q413(spark, sf_dir):
     queries_df = docs.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    a = bm25_topk(docs, queries_df, k=20).select(
+    a = bm25_topk(docs, queries_df, k=20, max_df_num=9, max_df_den=10).select(
         "query_id", "doc_id", F.col("rank").alias("rk_a")
     )
     sh = docs.select(
@@ -988,4 +990,81 @@ def q413(spark, sf_dir):
             "bm25_rank",
             "jaccard_rank",
         )
+    )
+
+
+@query(
+    "q414_asof_nearest_join",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+    ), e AS (
+      SELECT user_id, ts AS e_ts FROM events
+      WHERE event_type = 'error' AND ts IS NOT NULL
+    ), pairs AS (
+      SELECT p.event_id, p.user_id, p.p_ts, e.e_ts,
+             ABS(epoch_ms(e.e_ts) - epoch_ms(p.p_ts)) AS ad,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY ABS(epoch_ms(e.e_ts) - epoch_ms(p.p_ts)), e.e_ts
+             ) AS rn
+      FROM p JOIN e ON p.user_id = e.user_id
+    ), best AS (
+      SELECT event_id, user_id, p_ts,
+             CASE WHEN ad <= 1800000 THEN e_ts END AS err_ts,
+             CASE WHEN ad <= 1800000
+                  THEN epoch_ms(e_ts) - epoch_ms(p_ts) END AS delta_ms
+      FROM pairs WHERE rn = 1
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.p_ts, '{tsfd}') AS p_ts,
+           strftime(b.err_ts, '{tsfd}') AS err_ts,
+           CAST(b.delta_ms AS BIGINT) AS delta_ms
+    FROM p LEFT JOIN best b ON p.event_id = b.event_id
+    """.format(tsfd=TSF_D),
+)
+def q414(spark, sf_dir):
+    """NEAREST as-of join (pandas merge_asof direction='nearest', with
+    a 30-min tolerance): each purchase pairs with the closest error on
+    the same user in EITHER direction, ties to the earlier row.
+    Composed from two runs of the q27 single-sort as-of kernel
+    (backward latest-≤ + forward earliest-≥) and a three-way CASE —
+    still one key-partitioned sorted pass per direction, no range-join
+    blowup; the oracle ranks all same-user pairs by absolute distance.
+    Beyond-tolerance and error-free purchases surface with NULLs."""
+    from ..operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("e_ts"), F.col("ts").alias("err_ts")
+    )
+    bwd = asof_join(
+        left, right, on="user_id", left_ts="p_ts", right_ts="e_ts",
+        value_cols=["err_ts"], direction="backward",
+    ).select("event_id", F.col("err_ts_asof").alias("err_b"))
+    fwd = asof_join(
+        left, right, on="user_id", left_ts="p_ts", right_ts="e_ts",
+        value_cols=["err_ts"], direction="forward",
+    ).select("event_id", F.col("err_ts_asof").alias("err_f"))
+    j = left.join(bwd, "event_id", "left").join(fwd, "event_id", "left")
+    pm = F.unix_millis("p_ts")
+    db = pm - F.unix_millis("err_b")   # >= 0 when matched
+    df_ = F.unix_millis("err_f") - pm  # >= 0 when matched
+    tol = 1800000
+    pick_b = F.col("err_b").isNotNull() & (
+        F.col("err_f").isNull() | (db <= df_)
+    )
+    chosen = F.when(pick_b, F.col("err_b")).otherwise(F.col("err_f"))
+    delta = F.when(pick_b, -db).otherwise(df_)
+    ok = chosen.isNotNull() & (F.abs(delta) <= tol)
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("p_ts", TSF_S).alias("p_ts"),
+        F.when(ok, F.date_format(chosen, TSF_S)).alias("err_ts"),
+        F.when(ok, delta).cast("bigint").alias("delta_ms"),
     )

@@ -52,3 +52,35 @@ def test_asof_join_rejects_unknown_direction(spark):
             left, right, on="k", left_ts="lo", right_ts="x",
             value_cols=["x"], direction="sideways",
         )
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    """q414 composition contract: equal distance both directions picks
+    the EARLIER (backward) row; beyond-tolerance yields NULL."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.queries import QUERIES
+
+    # drive through the registered query's building blocks directly
+    from syslog_handler_with_clickhouse_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 12:00:00")],
+        "event_id bigint, user_id bigint, p_ts string",
+    ).select("event_id", "user_id", F.to_timestamp("p_ts").alias("p_ts"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 11:50:00"), (10, "2024-01-01 12:10:00")],
+        "user_id bigint, e_ts string",
+    ).select(
+        "user_id",
+        F.to_timestamp("e_ts").alias("e_ts"),
+        F.to_timestamp("e_ts").alias("err_ts"),
+    )
+    b = asof_join(left, right, on="user_id", left_ts="p_ts", right_ts="e_ts",
+                  value_cols=["err_ts"], direction="backward").collect()[0]
+    f = asof_join(left, right, on="user_id", left_ts="p_ts", right_ts="e_ts",
+                  value_cols=["err_ts"], direction="forward").collect()[0]
+    # both candidates are 10 minutes away; backward finds 11:50,
+    # forward finds 12:10 — the q414 CASE (db <= df) keeps backward.
+    assert str(b.err_ts_asof) == "2024-01-01 11:50:00"
+    assert str(f.err_ts_asof) == "2024-01-01 12:10:00"
