@@ -649,3 +649,61 @@ def duplicated_ngram_coverage(
             ).alias("dup_ppm"),
         )
     )
+
+
+def cdc_chunks(docs: DataFrame, *, w: int = 8, mod: int = 1000003,
+               base: int = 257, mask: int = 64) -> DataFrame:
+    """Content-defined chunking: cut wherever the w-char Rabin window
+    hash ≡ 0 (mod ``mask``); returns one row per (doc_id, source,
+    chunk).
+
+    The window hash is the Horner polynomial mod ``mod`` — computed
+    here as a VECTORIZED sliding dot product against precomputed
+    ``base^k mod mod`` powers (numpy sliding_window_view; max term
+    1 114 111·(mod−1)·w ≈ 9e12, safely inside int64), mathematically
+    identical to the per-step-mod Horner the DuckDB oracle folds.
+    This stage started life as a native higher-order expression, but
+    per-position `ascii(substring(...))` interpretation cost ~16 s at
+    sf0.1; byte-level work belongs on the Arrow path like every codec
+    in multimodal.py — the numpy version is ~40× faster and the
+    relational part (chunk-keyed dedup aggregate) is unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def batches(it):
+        powers = np.array(
+            [pow(base, k, mod) for k in range(w - 1, -1, -1)], dtype=np.int64
+        )
+        for pdf in it:
+            ids, srcs, chunks = [], [], []
+            for did, src, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                n = len(text)
+                if n < w:
+                    continue
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                win = np.lib.stride_tricks.sliding_window_view(codes, w)
+                h = (win @ powers) % mod
+                # window ending at 1-based position i = idx + w; cut
+                # after i when h % mask == 0 and i < n
+                ends = np.nonzero(h % mask == 0)[0] + w
+                cuts = [int(e) for e in ends if e < n]
+                starts = [0] + cuts
+                stops = cuts + [n]
+                for s0, s1 in zip(starts, stops):
+                    ids.append(int(did))
+                    srcs.append(src)
+                    chunks.append(text[s0:s1])
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "source": pd.Series(srcs, dtype="object"),
+                 "chunk": pd.Series(chunks, dtype="object")}
+            )
+
+    return docs.select("doc_id", "source", "text").mapInPandas(
+        batches, "doc_id long, source string, chunk string"
+    )

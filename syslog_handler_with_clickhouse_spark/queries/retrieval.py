@@ -591,60 +591,21 @@ def q406(spark, sf_dir):
     """,
 )
 def q407(spark, sf_dir):
-    """Content-defined chunking (the rsync/LBFS/backup-dedup primitive)
-    fully NATIVE: a Rabin-style rolling hash (Horner fold mod 1000003
-    over an 8-char window) marks a cut wherever hash % 64 == 0, and the
-    chunks between cuts dedup by exact content across the corpus —
-    insert-shift-robust, unlike fixed-size blocks.  Reports per-source
-    chunk counts and the duplicate chunk mass (the bytes a
-    content-addressed store would NOT store twice).
+    """Content-defined chunking (the rsync/LBFS/backup-dedup primitive,
+    `operators/dedup.cdc_chunks`): a Rabin-style rolling hash (Horner
+    polynomial mod 1000003 over an 8-char window) marks a cut wherever
+    hash % 64 == 0, and the chunks between cuts dedup by exact content
+    across the corpus — insert-shift-robust, unlike fixed-size blocks.
+    Reports per-source chunk counts and the duplicate chunk mass (the
+    bytes a content-addressed store would NOT store twice).  Chunking
+    is one Arrow pass (vectorized sliding-window hash — the native
+    expression version cost 16 s at sf0.1, see operator docstring);
+    the only shuffles are the chunk-keyed dedup aggregate (the q395
+    shape) and the per-source rollup."""
+    from ..operators.dedup import cdc_chunks
 
-    Plan note: positions are EXPLODED before hashing so each window's
-    Horner fold is computed exactly once as a per-row O(w) aggregate —
-    keeping the hash inside a single array-column expression made
-    Catalyst inline the whole-array computation into every lambda
-    reference (O(n²·w) per doc, measured pathological).  The explode
-    costs one doc-keyed collect_list shuffle and buys linear work; the
-    dedup aggregate is the q395 gram-keyed shape."""
-    d = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.length("text") >= 8)
-        .select("doc_id", "source", "text", F.length("text").alias("n"))
-    )
-    pos = d.select(
-        "doc_id", "text", "n", F.explode(F.sequence(F.lit(8), F.col("n"))).alias("i")
-    )
-    cuts_rows = pos.select(
-        "doc_id",
-        "i",
-        F.expr(
-            "aggregate(transform(sequence(i - 7, i),"
-            " j -> cast(ascii(substring(text, j, 1)) as bigint)),"
-            " 0L, (acc, x) -> (acc * 257 + x) % 1000003)"
-        ).alias("h"),
-        "n",
-    ).filter((F.col("h") % 64 == 0) & (F.col("i") < F.col("n")))
-    cutlists = cuts_rows.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("i")).alias("cut")
-    )
-    with_cuts = d.join(cutlists, "doc_id", "left").select(
-        "doc_id",
-        "source",
-        "text",
-        "n",
-        F.coalesce("cut", F.array().cast("array<int>")).alias("cut"),
-    )
-    chunks = with_cuts.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(cut) + 1), k -> substring(text,"
-                " if(k = 1, 1, element_at(cut, k - 1) + 1),"
-                " if(k = size(cut) + 1, n, element_at(cut, k))"
-                "   - if(k = 1, 1, element_at(cut, k - 1) + 1) + 1))"
-            )
-        ).alias("chunk"),
+    chunks = cdc_chunks(
+        _t(spark, sf_dir, "documents").filter(F.length("text") >= 8)
     )
     dupc = (
         chunks.groupBy("chunk")
