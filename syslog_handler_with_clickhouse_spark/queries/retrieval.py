@@ -1029,3 +1029,76 @@ def q414(spark, sf_dir):
         F.when(ok, F.date_format(chosen, TSF_S)).alias("err_ts"),
         F.when(ok, delta).cast("bigint").alias("delta_ms"),
     )
+
+
+@query(
+    "q415_low_cardinality_advisor",
+    """
+    WITH cols AS (
+      SELECT 'event_type' AS col, event_type AS v FROM events
+      UNION ALL SELECT 'props', props FROM events
+      UNION ALL SELECT 'user_bucket', 'u' || CAST(user_id % 1000 AS VARCHAR)
+      FROM events
+    ), st AS (
+      SELECT col,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+             CAST(SUM(length(v)) AS BIGINT) AS raw_bytes
+      FROM cols GROUP BY col
+    ), dlen AS (
+      SELECT col, CAST(SUM(length(v)) AS BIGINT) AS dict_payload
+      FROM (SELECT DISTINCT col, v FROM cols) GROUP BY col
+    )
+    SELECT st.col,
+           st.n, st.ndv, st.raw_bytes,
+           CAST(dlen.dict_payload
+                + (st.n * length(bin(st.ndv - 1)) + 7) // 8
+                AS BIGINT) AS dict_bytes,
+           CAST(dlen.dict_payload
+                + (st.n * length(bin(st.ndv - 1)) + 7) // 8
+                < st.raw_bytes AS BOOLEAN) AS recommend_low_cardinality
+    FROM st JOIN dlen ON st.col = dlen.col
+    """,
+)
+def q415(spark, sf_dir):
+    """LowCardinality encoding advisor — the companion of q410 for
+    string columns (ClickHouse's LowCardinality(String) decision):
+    per column, exact dictionary-encoding size = distinct payload +
+    n·ceil(log2 ndv) bits, vs raw concatenated bytes, with the
+    recommendation boolean.  Bit width via length(bin(ndv−1)) — the
+    same integer idiom as the codec advisor.  One unpivot + two
+    column-keyed aggregates; at 100 TB this runs on a sample but the
+    arithmetic is scale-free."""
+    ev = _t(spark, sf_dir, "events")
+    cols = (
+        ev.select(F.lit("event_type").alias("col"), F.col("event_type").alias("v"))
+        .unionAll(ev.select(F.lit("props"), F.col("props")))
+        .unionAll(
+            ev.select(
+                F.lit("user_bucket"),
+                F.concat(F.lit("u"), (F.col("user_id") % 1000).cast("string")),
+            )
+        )
+    )
+    st = cols.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("v").alias("ndv"),
+        F.sum(F.length("v")).cast("bigint").alias("raw_bytes"),
+    )
+    dlen = (
+        cols.distinct()
+        .groupBy("col")
+        .agg(F.sum(F.length("v")).cast("bigint").alias("dict_payload"))
+    )
+    j = st.join(dlen, "col")
+    dict_bytes = F.expr(
+        "dict_payload + (n * length(bin(ndv - 1)) + 7) DIV 8"
+    ).cast("bigint")
+    return j.select(
+        "col",
+        "n",
+        "ndv",
+        "raw_bytes",
+        dict_bytes.alias("dict_bytes"),
+        (dict_bytes < F.col("raw_bytes")).alias("recommend_low_cardinality"),
+    )
