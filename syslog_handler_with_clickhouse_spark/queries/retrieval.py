@@ -1102,3 +1102,74 @@ def q415(spark, sf_dir):
         dict_bytes.alias("dict_bytes"),
         (dict_bytes < F.col("raw_bytes")).alias("recommend_low_cardinality"),
     )
+
+
+@query(
+    "q416_entity_resolution",
+    """
+    WITH base AS (
+      SELECT c_custkey AS k, c_name AS name, c_nationkey,
+             CAST(floor(c_acctbal) AS BIGINT) AS bal_b
+      FROM customer
+    ), dirty AS (
+      SELECT k + 1000000 AS k,
+             substr(name, 1, 3 + k % 5) || substr(name, 5 + k % 5) AS name,
+             c_nationkey, bal_b
+      FROM base WHERE k % 3 = 0
+    ), ent AS (
+      SELECT * FROM base UNION ALL SELECT * FROM dirty
+    ), pairs AS (
+      SELECT a.k AS a_key, b.k AS b_key,
+             jaro_winkler_similarity(a.name, b.name) AS jw
+      FROM ent a JOIN ent b
+        ON a.c_nationkey = b.c_nationkey AND a.bal_b = b.bal_b
+       AND a.k < b.k
+    )
+    SELECT a_key, b_key, jw FROM pairs WHERE jw >= 0.9
+    """,
+)
+def q416(spark, sf_dir):
+    """Entity resolution (record linkage) end to end: plant a dirty
+    variant (one deterministic character dropped from the name) for a
+    third of the customers, BLOCK on the stable attributes
+    (nationkey, floor(acctbal)) — the step that turns O(n²) matching
+    into per-block work — then score candidate pairs with the
+    bit-exact Jaro-Winkler kernel (q347's cross-implementation
+    differential: our pandas UDF vs DuckDB's independent builtin) and
+    keep matches at ≥ 0.9.  Block sizes are bounded by construction;
+    a skewed block at 100 TB salts on an extra attribute without
+    changing the pipeline."""
+    from ..functions.fuzzy import jaro_winkler_col
+
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        "c_nationkey",
+        F.floor("c_acctbal").cast("bigint").alias("bal_b"),
+    )
+    dirty = base.filter(F.col("k") % 3 == 0).select(
+        (F.col("k") + 1000000).alias("k"),
+        F.expr(
+            "concat(substr(name, 1, 3 + k % 5), substr(name, 5 + k % 5))"
+        ).alias("name"),
+        "c_nationkey",
+        "bal_b",
+    )
+    ent = base.unionByName(dirty)
+    a = ent.select(
+        F.col("k").alias("a_key"), F.col("name").alias("a_name"),
+        "c_nationkey", "bal_b",
+    )
+    b = ent.select(
+        F.col("k").alias("b_key"), F.col("name").alias("b_name"),
+        "c_nationkey", "bal_b",
+    )
+    pairs = a.join(b, ["c_nationkey", "bal_b"]).filter(
+        F.col("a_key") < F.col("b_key")
+    )
+    scored = pairs.select(
+        "a_key",
+        "b_key",
+        jaro_winkler_col(F.col("a_name"), F.col("b_name")).alias("jw"),
+    )
+    return scored.filter(F.col("jw") >= 0.9)
