@@ -392,3 +392,33 @@ def test_cdc_chunking_shift_robustness(spark):
     # window, so they all translate by the prefix length
     assert set(a[1:-1]) <= set(b), (a, b)
     assert len(set(a[1:-1])) >= 2
+
+
+def test_sign_split_division_idiom_cross_engine(spark):
+    """Several round-9-tail queries (q399 PCA, q400 Holt, q409
+    decimation) rely on the sign-split idiom making Spark's truncating
+    DIV and DuckDB's flooring // agree on negatives.  Drive both
+    engines over a hostile value grid and pin all three-way equality
+    with Python's own truncating division."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    vals = [0, 1, -1, 2, -2, 3, -3, 7, -7, 63, -63, 64, -64, 65, -65,
+            999, -999, 10**12, -(10**12), 10**15 + 7, -(10**15) - 7]
+    divs = [2, 3, 4, 7, 64, 1000]
+
+    rows = [(v, d) for v in vals for d in divs]
+    sdf = spark.createDataFrame(rows, "x bigint, d bigint").select(
+        "x", "d",
+        (F.when(F.col("x") < 0, -F.lit(1)).otherwise(F.lit(1))
+         * F.expr("abs(x) DIV d")).cast("bigint").alias("q"),
+    )
+    got = {(r.x, r.d): r.q for r in sdf.collect()}
+    con = duckdb.connect()
+    for v, d in rows:
+        duck = con.execute(
+            f"SELECT CASE WHEN {v} < 0 THEN -((-({v})) // {d}) "
+            f"ELSE ({v}) // {d} END"
+        ).fetchone()[0]
+        py = -((-v) // d) if v < 0 else v // d
+        assert got[(v, d)] == duck == py, (v, d, got[(v, d)], duck, py)
