@@ -2991,3 +2991,136 @@ def decimate_audio(assets: DataFrame, factor: int = 4) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, DECIMATE_SCHEMA)
+
+
+def _read_ifd_numeric_tags(t: bytes) -> dict[int, list[int]]:
+    """Parse the numeric (BYTE/SHORT/LONG) tags of a TIFF block's first
+    IFD — the shape EXIF embeds inside JPEG APP1.  Returns {tag:
+    values}; RATIONAL and other types are skipped (the EXIF fields
+    pipelines act on — orientation, pixel dimensions, resolution unit —
+    are SHORT/LONG)."""
+    import struct
+
+    if t[:4] == b"II*\x00":
+        e = "<"
+    elif t[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF block")
+    (ifd_off,) = struct.unpack(e + "I", t[4:8])
+    out: dict[int, list[int]] = {}
+    type_size = {1: 1, 3: 2, 4: 4}
+    (n_entries,) = struct.unpack(e + "H", t[ifd_off : ifd_off + 2])
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ = struct.unpack(e + "HH", t[off : off + 4])
+        (cnt,) = struct.unpack(e + "I", t[off + 4 : off + 8])
+        if typ not in type_size:
+            continue
+        sz = type_size[typ] * cnt
+        if sz <= 4:
+            raw = t[off + 8 : off + 8 + sz]
+        else:
+            (voff,) = struct.unpack(e + "I", t[off + 8 : off + 12])
+            raw = t[voff : voff + sz]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        out[tag] = list(struct.unpack(e + fmt * cnt, raw))
+    return out
+
+
+def parse_exif(jpeg: bytes) -> dict[int, int] | None:
+    """Extract the numeric EXIF tags of a JPEG's APP1 segment —
+    orientation (274), resolution unit (296), and (following the
+    ExifIFD pointer 34665) pixel dimensions (40962/40963).  EXIF is a
+    TIFF IFD embedded after the ``Exif\\0\\0`` signature, so this
+    reuses the same struct walk as :func:`decode_tiff_pixels`'s
+    header parser.  Returns None when no EXIF APP1 exists."""
+    import struct
+
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i = 2
+    tiff = None
+    while i + 4 <= len(jpeg):
+        if jpeg[i] != 0xFF:
+            break
+        marker = jpeg[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seglen,) = struct.unpack(">H", jpeg[i + 2 : i + 4])
+        body = jpeg[i + 4 : i + 2 + seglen]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            tiff = body[6:]
+            break
+        if marker == 0xDA:  # SOS — no EXIF before scan data
+            break
+        i += 2 + seglen
+    if tiff is None:
+        return None
+    tags = _read_ifd_numeric_tags(tiff)
+    out: dict[int, int] = {}
+    for t in (256, 257, 274, 296):
+        if t in tags:
+            out[t] = tags[t][0]
+    if 34665 in tags:
+        # the ExifIFD pointer: parse the sub-IFD at that offset by
+        # rewriting the block's IFD offset and re-walking
+        import struct as _st
+
+        sub_off = tags[34665][0]
+        patched = tiff[:4] + _st.pack(
+            ("<" if tiff[:2] == b"II" else ">") + "I", sub_off
+        ) + tiff[8:]
+        sub = _read_ifd_numeric_tags(patched)
+        for t in (40962, 40963):
+            if t in sub:
+                out[t] = sub[t][0]
+    return out
+
+
+def build_exif_app1(
+    endian: str,
+    orientation: int,
+    res_unit: int,
+    px_x: int,
+    px_y: int,
+) -> bytes:
+    """Fixture twin of :func:`parse_exif`: an APP1 segment holding a
+    two-IFD TIFF block (IFD0: orientation + resolution unit + ExifIFD
+    pointer; ExifIFD: pixel dimensions)."""
+    import struct
+
+    e = endian
+    magic = b"II*\x00" if e == "<" else b"MM\x00*"
+    # layout: header(8) | ifd0 | exif ifd
+    ifd0_off = 8
+    n0 = 3
+    ifd0_len = 2 + 12 * n0 + 4
+    exif_off = ifd0_off + ifd0_len
+
+    def entry(tag, typ, val):
+        fmt = {3: "H", 4: "I"}[typ]
+        raw = struct.pack(e + fmt, val)
+        return struct.pack(e + "HHI", tag, typ, 1) + raw + b"\x00" * (4 - len(raw))
+
+    ifd0 = struct.pack(e + "H", n0)
+    ifd0 += entry(274, 3, orientation)
+    ifd0 += entry(296, 3, res_unit)
+    ifd0 += entry(34665, 4, exif_off)
+    ifd0 += struct.pack(e + "I", 0)
+    n1 = 2
+    sub = struct.pack(e + "H", n1)
+    sub += entry(40962, 4, px_x)
+    sub += entry(40963, 4, px_y)
+    sub += struct.pack(e + "I", 0)
+    tiff = magic + struct.pack(e + "I", ifd0_off) + ifd0 + sub
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
+    """Insert an APP1 segment right after SOI."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    return jpeg[:2] + app1 + jpeg[2:]

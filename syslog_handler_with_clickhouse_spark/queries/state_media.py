@@ -3942,3 +3942,89 @@ def q412(spark, sf_dir):
         .cast("bigint")
         .alias("removed_chars"),
     )
+
+
+@query(
+    "q417_exif_metadata",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             1 + (doc_id % 8) AS orientation,
+             2 + (doc_id % 2) AS res_unit,
+             (doc_id % 31) + 6 AS w,
+             (doc_id % 17) + 5 AS h
+      FROM documents WHERE doc_id % 23 = 11
+    )
+    SELECT doc_id,
+           CAST(orientation AS BIGINT) AS orientation,
+           CAST(res_unit AS BIGINT) AS res_unit,
+           CAST(w * 10 AS BIGINT) AS px_x,
+           CAST(h * 10 AS BIGINT) AS px_y,
+           CAST(CASE WHEN orientation IN (5, 6, 7, 8)
+                THEN h ELSE w END AS BIGINT) AS display_w,
+           CAST(CASE WHEN orientation IN (5, 6, 7, 8)
+                THEN w ELSE h END AS BIGINT) AS display_h
+    FROM d
+    """,
+)
+def q417(spark, sf_dir):
+    """EXIF metadata extraction (`multimodal.parse_exif`) — the APP1
+    walk every image pipeline needs before resizing (orientation 5-8
+    swap display axes): EXIF is a TIFF IFD embedded after the
+    Exif\\0\\0 signature, so the parser reuses the q362 struct walk,
+    including the ExifIFD (34665) sub-IFD hop for pixel dimensions.
+    Fixtures rotate both byte orders and all 8 orientations inside
+    REAL baseline JPEGs; the derived display_w/h (the
+    orientation-aware swap) is value-verified alongside the raw
+    tags."""
+    import pandas as pd
+
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import (
+        build_exif_app1,
+        insert_app1,
+        parse_exif,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 11)
+        .select("doc_id")
+    )
+
+    def build_and_parse(it):
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                ori = 1 + d % 8
+                ru = 2 + d % 2
+                w, h = d % 31 + 6, d % 17 + 5
+                px = bytes((d * 5 + 11 * k) % 256 for k in range(w * h))
+                jp = insert_app1(
+                    encode_jpeg(px, w, h, 1),
+                    build_exif_app1(
+                        "<" if d % 2 == 0 else ">", ori, ru, w * 10, h * 10
+                    ),
+                )
+                tags = parse_exif(jp)
+                swap = tags[274] in (5, 6, 7, 8)
+                rows.append(
+                    (
+                        d, tags[274], tags[296], tags[40962], tags[40963],
+                        h if swap else w, w if swap else h,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "orientation", "res_unit", "px_x", "px_y",
+                    "display_w", "display_h",
+                ],
+            ).astype("int64")
+
+    return docs.mapInPandas(
+        build_and_parse,
+        "doc_id long, orientation long, res_unit long, px_x long, "
+        "px_y long, display_w long, display_h long",
+    )

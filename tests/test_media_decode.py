@@ -1201,3 +1201,27 @@ def test_dhash_skips_non_images(spark):
     )
     rows = dhash_images(df).collect()
     assert rows[0].kind == "skipped" and rows[0].hash_hi is None
+
+
+def test_exif_roundtrip_and_edge_cases():
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import encode_jpeg
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        build_exif_app1,
+        insert_app1,
+        parse_exif,
+    )
+
+    px = bytes(range(64))
+    base = encode_jpeg(px, 8, 8, 1)
+    # no APP1 at all -> None
+    assert parse_exif(base) is None
+    for e in ("<", ">"):
+        for ori in range(1, 9):
+            jp = insert_app1(base, build_exif_app1(e, ori, 2, 640, 480))
+            tags = parse_exif(jp)
+            assert tags[274] == ori and tags[296] == 2
+            assert tags[40962] == 640 and tags[40963] == 480
+    import pytest
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        parse_exif(b"nope")
