@@ -150,6 +150,37 @@ def _literal_spans(s: str) -> list[tuple[int, int]]:
     return spans
 
 
+def _rewrite_array_literals(s: str) -> str:
+    """CH ``[a, b, c]`` array literals become ``array(a, b, c)``;
+    indexing-shaped brackets (a ``[`` straight after an identifier,
+    ``)`` or ``]``) raise — CH indexing is 1-based, Spark's is 0-based,
+    so a silent passthrough would shift every access by one.  Literal
+    strings are left untouched."""
+    spans = _literal_spans(s)
+    out: list[str] = []
+    for i, ch in enumerate(s):
+        if _in_spans(spans, i):
+            out.append(ch)
+            continue
+        if ch == "[":
+            j = len(out) - 1
+            while j >= 0 and out[j].isspace():
+                j -= 1
+            prev = out[j] if j >= 0 else ""
+            if prev and (prev.isalnum() or prev in "_)]"):
+                raise ChTranslationError(
+                    "array indexing with [] is not translated (CH is "
+                    "1-based, Spark 0-based) — use arrayElement(arr, i)"
+                )
+            out.append("array(")
+            continue
+        if ch == "]":
+            out.append(")")
+            continue
+        out.append(ch)
+    return "".join(out)
+
+
 def _in_spans(spans: list[tuple[int, int]], pos: int) -> bool:
     return any(a <= pos < b for a, b in spans)
 
@@ -274,6 +305,12 @@ def translate_ch_sql(sql: str) -> str:
     """Rewrite a ClickHouse-dialect statement into Spark SQL (see the
     module docstring for the covered subset)."""
     s = sql
+
+    # CH bracket array literals -> array(...).  A '[' directly after an
+    # identifier / ')' / ']' would be 1-BASED CH indexing, which Spark's
+    # 0-based arr[i] would silently shift — refuse loudly (arrayElement
+    # translates to element_at, which IS 1-based).
+    s = _rewrite_array_literals(s)
 
     # clause-level.  All keyword/function matching from here on is
     # literal-aware (_search_nl/_sub_nl/_find_call skip quoted spans):
@@ -938,5 +975,147 @@ def translate_ch_sql(sql: str) -> str:
     # any / anyLast
     s = _rewrite_calls(s, "anyLast", lambda a: f"last({a[0]})")
     s = _sub_nl(r"\bany\s*\(", "first(", s)
+
+    # ---- round 3: array higher-order (CH puts the lambda FIRST, Spark
+    # puts the array first), arithmetic, bit ops, formatDateTime ----
+    def _array_map(a):
+        if len(a) == 2:
+            return f"transform({a[1]}, {a[0]})"
+        if len(a) == 3:
+            return f"zip_with({a[1]}, {a[2]}, {a[0]})"
+        raise ChTranslationError("arrayMap supports 1 or 2 arrays")
+
+    s = _rewrite_calls(s, "arrayMap", _array_map)
+    s = _rewrite_calls(s, "arrayFilter", lambda a: f"filter({a[1]}, {a[0]})")
+    s = _rewrite_calls(s, "arrayExists", lambda a: f"exists({a[1]}, {a[0]})")
+    s = _rewrite_calls(s, "arrayAll", lambda a: f"forall({a[1]}, {a[0]})")
+
+    def _array_count(a):
+        if len(a) == 1:  # no lambda: count truthy (non-zero) elements
+            return f"size(filter({a[0]}, x -> x != 0))"
+        return f"size(filter({a[1]}, {a[0]}))"
+
+    s = _rewrite_calls(s, "arrayCount", _array_count)
+
+    def _array_sum(a):
+        if len(a) != 1:
+            raise ChTranslationError(
+                "arraySum(lambda, arr) is not translated — apply "
+                "arrayMap first"
+            )
+        return f"aggregate({a[0]}, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+
+    s = _rewrite_calls(s, "arraySum", _array_sum)
+
+    def _array_sort(rev):
+        def rule(a):
+            if len(a) != 1:
+                raise ChTranslationError(
+                    "arraySort/arrayReverseSort with a key lambda is not "
+                    "translated (no Spark equivalent preserving CH "
+                    "stability) — rewrite with transform + sort"
+                )
+            return (
+                f"reverse(array_sort({a[0]}))" if rev else f"array_sort({a[0]})"
+            )
+
+        return rule
+
+    s = _rewrite_calls(s, "arrayReverseSort", _array_sort(True))
+    s = _rewrite_calls(s, "arraySort", _array_sort(False))
+    s = _rewrite_calls(s, "arrayDistinct", lambda a: f"array_distinct({a[0]})")
+
+    def _array_uniq(a):
+        if len(a) != 1:
+            raise ChTranslationError("multi-array arrayUniq not translated")
+        return f"size(array_distinct({a[0]}))"
+
+    s = _rewrite_calls(s, "arrayUniq", _array_uniq)
+    s = _rewrite_calls(s, "arrayConcat", lambda a: f"concat({', '.join(a)})")
+    s = _rewrite_calls(
+        s, "indexOf", lambda a: f"array_position({a[0]}, {a[1]})"
+    )
+    # arrayElement: negative indices match; OUT-OF-RANGE deviates (CH
+    # returns the type default, Spark NULL) — documented deviation.
+    s = _rewrite_calls(
+        s, "arrayElement", lambda a: f"element_at({a[0]}, {a[1]})"
+    )
+
+    # UTF8-suffixed string functions: Spark's are already codepoint-based
+    s = _rewrite_calls(s, "lengthUTF8", lambda a: f"length({a[0]})")
+    s = _rewrite_calls(s, "lowerUTF8", lambda a: f"lower({a[0]})")
+    s = _rewrite_calls(s, "upperUTF8", lambda a: f"upper({a[0]})")
+    s = _rewrite_calls(
+        s, "substringUTF8", lambda a: f"substring({', '.join(a)})"
+    )
+
+    def _split_by_string(a):
+        sep, src = a[0], a[1]
+        if not (sep.startswith("'") and sep.endswith("'")):
+            raise ChTranslationError(
+                "splitByString needs a literal separator"
+            )
+        lit = sep[1:-1]
+        esc = re.sub(r"([.\\+*?\[\]^$(){}|])", r"\\\\\1", lit)
+        return f"split({src}, '{esc}', -1)"
+
+    s = _rewrite_calls(s, "splitByString", _split_by_string)
+
+    # integer arithmetic
+    s = _rewrite_calls(s, "intDivOrZero",
+                       lambda a: f"if(({a[1]}) = 0, 0, ({a[0]}) DIV ({a[1]}))")
+    s = _rewrite_calls(s, "intDiv", lambda a: f"(({a[0]}) DIV ({a[1]}))")
+    s = _rewrite_calls(s, "modulo", lambda a: f"(({a[0]}) % ({a[1]}))")
+
+    # bit functions
+    s = _rewrite_calls(s, "bitAnd", lambda a: f"(({a[0]}) & ({a[1]}))")
+    s = _rewrite_calls(s, "bitOr", lambda a: f"(({a[0]}) | ({a[1]}))")
+    s = _rewrite_calls(s, "bitXor", lambda a: f"(({a[0]}) ^ ({a[1]}))")
+    s = _rewrite_calls(
+        s, "bitShiftLeft", lambda a: f"shiftleft({a[0]}, {a[1]})"
+    )
+    s = _rewrite_calls(
+        s, "bitShiftRight", lambda a: f"shiftright({a[0]}, {a[1]})"
+    )
+    s = _rewrite_calls(s, "bitCount", lambda a: f"bit_count({a[0]})")
+
+    # formatDateTime: translate the %-spec to Spark's pattern letters.
+    def _format_datetime(a):
+        if len(a) != 2:
+            raise ChTranslationError("formatDateTime needs (value, format)")
+        fmt = a[1]
+        if not (fmt.startswith("'") and fmt.endswith("'")):
+            raise ChTranslationError("formatDateTime needs a literal format")
+        spec = fmt[1:-1]
+        table = {
+            "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
+            "%H": "HH", "%M": "mm", "%S": "ss",
+            "%F": "yyyy-MM-dd", "%T": "HH:mm:ss", "%j": "DDD",
+            "%e": "d", "%%": "%",
+        }
+        out = []
+        i = 0
+        while i < len(spec):
+            if spec[i] == "%":
+                code = spec[i : i + 2]
+                if code not in table:
+                    raise ChTranslationError(
+                        f"formatDateTime code {code!r} not translated"
+                    )
+                out.append(table[code])
+                i += 2
+            elif spec[i].isalpha():
+                # raw letters are pattern chars in Spark — quote them
+                out.append(f"'{spec[i]}'")
+                i += 1
+            else:
+                out.append(spec[i])
+                i += 1
+        # the Java pattern's own quotes must be doubled to survive
+        # embedding in the SQL string literal
+        pat = "".join(out).replace("'", "''")
+        return f"date_format({a[0]}, '{pat}')"
+
+    s = _rewrite_calls(s, "formatDateTime", _format_datetime)
 
     return s

@@ -1173,3 +1173,61 @@ def q416(spark, sf_dir):
         jaro_winkler_col(F.col("a_name"), F.col("b_name")).alias("jw"),
     )
     return scored.filter(F.col("jw") >= 0.9)
+
+
+@query(
+    "q418_ch_functions3",
+    """
+    SELECT event_type,
+           CAST(SUM(2 * (user_id % 5) + 2 * (event_id % 7)) AS BIGINT) AS s2,
+           CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS zeros,
+           CAST(SUM(CASE user_id % 6 WHEN 3 THEN 1 WHEN 1 THEN 2
+                    WHEN 4 THEN 3 WHEN 5 THEN 5 ELSE 0 END)
+                AS BIGINT) AS idx_sum,
+           CAST(SUM(bit_count(xor(user_id, event_id))) AS BIGINT) AS bits,
+           CAST(SUM((event_id // 7)
+                  - CASE WHEN user_id % 3 = 0 THEN 0
+                         ELSE event_id // (user_id % 3) END)
+                AS BIGINT) AS idv,
+           MIN(strftime(ts, '%Y-%m-%dT%H')) AS first_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q418(spark, sf_dir):
+    """Third CH dialect function family: array higher-order functions
+    with CH's lambda-first argument order (arrayMap/arrayFilter/
+    arrayCount/arraySum), bracket ARRAY LITERALS (now translated to
+    array(...) — while indexing-shaped brackets refuse loudly, CH
+    being 1-based where Spark is 0-based), indexOf via array_position,
+    integer arithmetic (intDiv/intDivOrZero), bit functions
+    (bitXor/bitCount), and formatDateTime with %-spec translation
+    (raw pattern letters auto-quoted).  The oracle re-derives every
+    expression with scalar arithmetic — no array machinery shared."""
+    from ..functions.ch_dialect import translate_ch_sql
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_t")
+    ch = (
+        "SELECT event_type, "
+        "sum(arraySum(arrayMap(x -> x * 2, [user_id % 5, event_id % 7]))) AS s2, "
+        "sum(arrayCount(x -> x = 0, [user_id % 3, event_id % 3])) AS zeros, "
+        "sum(indexOf([3, 1, 4, 1, 5], user_id % 6)) AS idx_sum, "
+        "sum(bitCount(bitXor(user_id, event_id))) AS bits, "
+        "sum(intDiv(event_id, 7) - intDivOrZero(event_id, user_id % 3)) AS idv, "
+        "min(formatDateTime(ts, '%Y-%m-%dT%H')) AS first_bucket, "
+        "count() AS n "
+        "FROM events_t GROUP BY event_type"
+    )
+    df = spark.sql(translate_ch_sql(ch))
+    return df.select(
+        "event_type",
+        F.col("s2").cast("bigint").alias("s2"),
+        F.col("zeros").cast("bigint").alias("zeros"),
+        F.col("idx_sum").cast("bigint").alias("idx_sum"),
+        F.col("bits").cast("bigint").alias("bits"),
+        F.col("idv").cast("bigint").alias("idv"),
+        "first_bucket",
+        F.col("n").cast("bigint").alias("n"),
+    )

@@ -868,3 +868,33 @@ def test_quantile_if_and_state_merge_guard(spark):
     for bad in ("uniqState(x)", "sumMerge(s)", "quantileState(v)"):
         with pytest.raises(ChTranslationError, match="State/-Merge"):
             translate_ch_sql(f"SELECT {bad} FROM t")
+
+
+def test_round3_array_literals_and_indexing_guard():
+    import pytest
+
+    from syslog_handler_with_clickhouse_spark.functions.ch_dialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    assert (
+        translate_ch_sql("SELECT arrayMap(x -> x * 2, [1, 2])")
+        == "SELECT transform(array(1, 2), x -> x * 2)"
+    )
+    # literal strings keep their brackets
+    assert "[1]" in translate_ch_sql("SELECT x FROM t WHERE m = 'a [1] b'")
+    # 1-based CH indexing must refuse, not silently shift to 0-based
+    with pytest.raises(ChTranslationError, match="1-based"):
+        translate_ch_sql("SELECT arr[1] FROM t")
+    with pytest.raises(ChTranslationError, match="1-based"):
+        translate_ch_sql("SELECT [1,2][1]")
+    # sorts with key lambdas refuse rather than mis-sort
+    with pytest.raises(ChTranslationError, match="arraySort"):
+        translate_ch_sql("SELECT arraySort(x -> -x, [1,2])")
+    # formatDateTime: unknown codes refuse; raw letters are quoted and
+    # survive SQL-literal embedding
+    with pytest.raises(ChTranslationError, match="%Q"):
+        translate_ch_sql("SELECT formatDateTime(ts, '%Q') FROM t")
+    out = translate_ch_sql("SELECT formatDateTime(ts, '%Y-%m-%dT%H') FROM t")
+    assert "date_format(ts, 'yyyy-MM-dd''T''HH')" in out
