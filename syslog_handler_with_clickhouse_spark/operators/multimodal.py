@@ -2465,8 +2465,9 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     pairing), 8/32946 (Deflate) and 32773 (PackBits), horizontal-
     differencing predictor (tag 317 = 2) and BOTH planar
     configurations (chunky and tag 284 = 2 plane-sequential strips).
-    JPEG-in-TIFF, tiles and other sample depths raise
-    ``NotImplementedError``.
+    Tiled layout (tags 322-325, full-size edge-padded tiles) decodes
+    through :func:`_decode_tiff_tiled`.  JPEG-in-TIFF and other sample
+    depths raise ``NotImplementedError``.
 
     Returns ``(width, height, channels, pixels)`` row-major
     interleaved, matching the PNG decode shape."""
@@ -2525,11 +2526,15 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         raise NotImplementedError(f"TIFF compression {compression}")
     if photometric not in (0, 1, 2):
         raise NotImplementedError(f"TIFF photometric {photometric}")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF")
     channels = 3 if photometric == 2 else 1
     if spp != channels:
         raise ValueError("SamplesPerPixel inconsistent with photometric")
+    if 322 in tags or 323 in tags:
+        if planar != 1:
+            raise NotImplementedError("tiled TIFF with planar configuration 2")
+        return _decode_tiff_tiled(
+            b, tags, one, w, h, channels, compression, predictor, photometric
+        )
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -2621,6 +2626,7 @@ def encode_tiff(
     packbits: bool = False, white_is_zero: bool = False,
     lzw: bool = False, deflate: bool = False,
     predictor: bool = False, planar: bool = False,
+    tile: "tuple[int, int] | None" = None,
 ) -> bytes:
     """Baseline-TIFF builder (fixture twin of
     :func:`decode_tiff_pixels`): either byte order, multi-strip via
@@ -2655,7 +2661,29 @@ def encode_tiff(
         return raw
 
     strips = []
-    if not planar:
+    if tile is not None:
+        if planar:
+            raise ValueError("tiled planar encoding unsupported")
+        tw, th = tile
+        ta = (w + tw - 1) // tw
+        td = (h + th - 1) // th
+        for ty in range(td):
+            for tx in range(ta):
+                buf = bytearray(tw * th * channels)  # zero-padded edges
+                y0, x0 = ty * th, tx * tw
+                rows = min(th, h - y0)
+                cols = min(tw, w - x0)
+                for r in range(rows):
+                    src = ((y0 + r) * w + x0) * channels
+                    dst = r * tw * channels
+                    buf[dst : dst + cols * channels] = pixels[
+                        src : src + cols * channels
+                    ]
+                raw = bytes(buf)
+                if predictor:
+                    raw = _tiff_diff(raw, tw * channels, channels)
+                strips.append(compress(raw))
+    elif not planar:
         for r0 in range(0, h, rps):
             rows = min(rps, h - r0)
             raw = pixels[r0 * w * channels : (r0 + rows) * w * channels]
@@ -2683,12 +2711,21 @@ def encode_tiff(
         (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * channels),
         (259, 3, [32773 if packbits else (5 if lzw else (8 if deflate else 1))]),
         (262, 3, [photometric]),
-        (273, 4, offsets), (277, 3, [channels]), (278, 4, [rps]),
-        (279, 4, [len(s) for s in strips]), (284, 3, [2 if planar else 1]),
+        (277, 3, [channels]), (284, 3, [2 if planar else 1]),
     ]
+    if tile is not None:
+        entries += [
+            (322, 4, [tile[0]]), (323, 4, [tile[1]]),
+            (324, 4, offsets), (325, 4, [len(s) for s in strips]),
+        ]
+    else:
+        entries += [
+            (273, 4, offsets), (278, 4, [rps]),
+            (279, 4, [len(s) for s in strips]),
+        ]
     if predictor:
         entries.append((317, 3, [2]))
-        entries.sort()
+    entries.sort()
     n = len(entries)
     ext_off = ifd_off + 2 + 12 * n + 4
     ifd = struct.pack(e + "H", n)
@@ -3124,3 +3161,56 @@ def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
     if jpeg[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     return jpeg[:2] + app1 + jpeg[2:]
+
+
+def _decode_tiff_tiled(
+    b: bytes, tags, one, w: int, h: int, channels: int,
+    compression: int, predictor: int, photometric: int,
+):
+    """Tiled-TIFF assembly (tags 322-325): tiles are stored at FULL
+    tile size (edge tiles padded), decompressed independently,
+    predictor-undone per tile row, then blitted into the image grid."""
+    tw, th = one(322), one(323)
+    offsets = tags.get(324)
+    counts = tags.get(325)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF tile layout missing/inconsistent")
+    ta = (w + tw - 1) // tw
+    td = (h + th - 1) // th
+    if len(offsets) != ta * td:
+        raise ValueError("TIFF tile count inconsistent")
+    out = bytearray(w * h * channels)
+    expect = tw * th * channels
+    for ti, (so, sc) in enumerate(zip(offsets, counts)):
+        raw = b[so : so + sc]
+        if len(raw) != sc:
+            raise ValueError("TIFF tile truncated")
+        if compression == 32773:
+            tile = _packbits_decode(raw, expect)
+        elif compression == 5:
+            tile = _tiff_lzw_decode(raw, expect)
+        elif compression in (8, 32946):
+            import zlib as _zlib
+
+            tile = _zlib.decompress(raw)
+            if len(tile) < expect:
+                raise ValueError("deflate tile shorter than tile size")
+            tile = tile[:expect]
+        else:
+            if len(raw) < expect:
+                raise ValueError("TIFF tile shorter than tile size")
+            tile = raw[:expect]
+        if predictor == 2:
+            tile = _tiff_undiff(tile, tw * channels, channels)
+        ty, tx = divmod(ti, ta)
+        y0, x0 = ty * th, tx * tw
+        rows = min(th, h - y0)
+        cols = min(tw, w - x0)
+        for r in range(rows):
+            src = r * tw * channels
+            dst = ((y0 + r) * w + x0) * channels
+            out[dst : dst + cols * channels] = tile[src : src + cols * channels]
+    px = bytes(out)
+    if photometric == 0:
+        px = bytes(255 - v for v in px)
+    return w, h, channels, px

@@ -4028,3 +4028,85 @@ def q417(spark, sf_dir):
         "doc_id long, orientation long, res_unit long, px_x long, "
         "px_y long, display_w long, display_h long",
     )
+
+
+@query(
+    "q419_tiff_tiled_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 19) + 7 AS w,
+             (doc_id % 13) + 6 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+      FROM documents WHERE doc_id % 37 = 9
+    )
+    SELECT d.doc_id,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(d.c AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM((d.doc_id * 19 + 29 * t.k) % 256) AS BIGINT) AS px_sum,
+           CAST(MIN((d.doc_id * 19 + 29 * t.k) % 256) AS BIGINT) AS px_min,
+           CAST(MAX((d.doc_id * 19 + 29 * t.k) % 256) AS BIGINT) AS px_max
+    FROM d, LATERAL (SELECT unnest(range(0, d.w * d.h * d.c)) AS k) t
+    GROUP BY d.doc_id, d.w, d.h, d.c
+    """,
+)
+def q419(spark, sf_dir):
+    """TILED TIFF decode through the shared distributed path — the
+    last everyday-TIFF guard closed (tags 322-325, the layout large
+    scans and GeoTIFFs ship): full-size edge-padded tiles decompressed
+    independently, predictor undone per tile row, blitted into the
+    image grid.  Fixtures rotate tile grids that do and don't divide
+    the image × all four compressions × predictor × both byte orders;
+    the oracle pins the closed-form pixel statistics — a mis-blitted
+    edge tile or a predictor run across a tile boundary shifts
+    px_sum."""
+    import pandas as pd
+
+    from ..operators.multimodal import decode_assets, encode_tiff
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 37 == 9)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 19 + 7, d % 13 + 6
+                c = 1 if d % 2 == 0 else 3
+                px = bytes((d * 19 + 29 * k) % 256 for k in range(w * h * c))
+                v = d // 37
+                comp = v % 4
+                tiles = [(8, 4), (16, 16), (4, 4)][v % 3]
+                payloads.append(
+                    encode_tiff(
+                        px, w, h, c,
+                        endian="<" if v % 2 == 0 else ">",
+                        packbits=comp == 1,
+                        lzw=comp == 2,
+                        deflate=comp == 3,
+                        predictor=v % 5 == 1,
+                        tile=tiles,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    return dec.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("px_sum"),
+        F.col("val_min").cast("bigint").alias("px_min"),
+        F.col("val_max").cast("bigint").alias("px_max"),
+    )

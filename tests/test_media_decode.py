@@ -744,7 +744,7 @@ def test_bmp_rle8_roundtrip():
 
 def test_tiff_roundtrip_matrix_and_guards():
     """TIFF: both byte orders x multi-strip x PackBits x gray/RGB, plus
-    WhiteIsZero inversion, all round-trip; LZW/tiled/16-bit guarded;
+    WhiteIsZero inversion, all round-trip; 16-bit guarded;
     decode_real dispatches on both magics."""
     import struct as _st
 
@@ -1225,3 +1225,35 @@ def test_exif_roundtrip_and_edge_cases():
 
     with pytest.raises(ValueError, match="not a JPEG"):
         parse_exif(b"nope")
+
+
+def test_tiff_tiled_roundtrip_matrix():
+    """Tiled TIFF (tags 322-325): full-size edge-padded tiles across
+    compressions, byte orders, predictor, gray/RGB, and tile grids that
+    do and don't divide the image."""
+    import pytest
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        encode_tiff,
+    )
+
+    w, h = 13, 9
+    g = bytes((i * 31 + 7) % 256 for i in range(w * h))
+    rgb = bytes((i * 13 + 5) % 256 for i in range(w * h * 3))
+    for e in ("<", ">"):
+        for comp in ({}, {"lzw": True}, {"deflate": True}, {"packbits": True}):
+            for pred in (False, True):
+                for px, c in ((g, 1), (rgb, 3)):
+                    for t in ((8, 4), (16, 16), (4, 4)):
+                        blob = encode_tiff(
+                            px, w, h, c, endian=e, predictor=pred,
+                            tile=t, **comp,
+                        )
+                        assert decode_tiff_pixels(blob) == (w, h, c, px)
+    # WhiteIsZero inverts after assembly
+    blob = encode_tiff(g, w, h, 1, white_is_zero=True, tile=(8, 4))
+    assert decode_tiff_pixels(blob) == (w, h, 1, g)
+    # planar + tiled remains guarded
+    with pytest.raises(ValueError, match="tiled planar"):
+        encode_tiff(rgb, w, h, 3, planar=True, tile=(8, 4))
