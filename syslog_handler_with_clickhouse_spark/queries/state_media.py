@@ -4110,3 +4110,145 @@ def q419(spark, sf_dir):
         F.col("val_min").cast("bigint").alias("px_min"),
         F.col("val_max").cast("bigint").alias("px_max"),
     )
+
+
+@query(
+    "q420_dhash_hamming1_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id AS base, (doc_id % 23) + 9 AS w, (doc_id % 17) + 8 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+      FROM documents WHERE doc_id % 31 = 2
+    ), imgs AS (
+      SELECT base, w, h, c, base AS doc_id, 0 AS shift FROM d
+      UNION ALL SELECT base, w, h, c, base + 2000000, 0 FROM d
+      UNION ALL SELECT base, w, h, c, base + 4000000, 1 FROM d
+    ), px AS (
+      SELECT i.doc_id, i.w, i.h,
+             t.k // i.w AS y, t.k % i.w AS x,
+             CASE WHEN i.c = 1
+                  THEN (i.base * 7 + 13 * t.k) % 251 + i.shift
+                  ELSE ((i.base * 7 + 13 * (t.k * 3)) % 251
+                        + (i.base * 7 + 13 * (t.k * 3 + 1)) % 251
+                        + (i.base * 7 + 13 * (t.k * 3 + 2)) % 251
+                        + 3 * i.shift) // 3
+             END AS g
+      FROM imgs i, LATERAL (SELECT unnest(range(0, i.w * i.h)) AS k) t
+    ), cells AS (
+      SELECT doc_id, (y * 8) // h AS r, (x * 9) // w AS cc,
+             CAST(SUM(g) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM px GROUP BY doc_id, (y * 8) // h, (x * 9) // w
+    ), bits AS (
+      SELECT a.doc_id, a.r, a.cc,
+             CASE WHEN a.s * b.n < b.s * a.n THEN 1 ELSE 0 END AS bit
+      FROM cells a JOIN cells b
+        ON a.doc_id = b.doc_id AND a.r = b.r AND b.cc = a.cc + 1
+      WHERE a.cc < 8
+    ), hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN r >= 4 THEN
+                    bit * (CAST(1 AS BIGINT) << ((r - 4) * 8 + cc))
+                  ELSE 0 END) AS BIGINT) AS hash_hi,
+             CAST(SUM(CASE WHEN r < 4 THEN
+                    bit * (CAST(1 AS BIGINT) << (r * 8 + cc))
+                  ELSE 0 END) AS BIGINT) AS hash_lo
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+                + bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS hdist
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+          + bit_count(xor(a.hash_lo, b.hash_lo)) <= 1
+    """,
+)
+def q420(spark, sf_dir):
+    """Hamming-≤1 near-duplicate PAIRS over the q403 dHash corpus via
+    MULTI-PROBE: each image emits its hash plus all 64 one-bit-flip
+    probes (65 16-byte rows), and near-pairs fall out of one
+    (hi, lo)-keyed equi-join — original-vs-probe — so the all-pairs
+    Hamming scan the oracle runs is replaced by the linear bucket join
+    that survives 100 TB (the q40 SimHash pigeonhole, specialized to
+    radius 1 with zero verification step because a probe hit IS the
+    distance proof)."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from ..operators.multimodal import dhash_images, encode_png
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 31 == 2)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 23 + 9, d % 17 + 8
+                c = 1 if d % 2 == 0 else 3
+                base_px = bytes((d * 7 + 13 * k) % 251 for k in range(w * h * c))
+                bright = bytes(v + 1 for v in base_px)
+                for did, px in (
+                    (d, base_px),
+                    (d + 2000000, base_px),
+                    (d + 4000000, bright),
+                ):
+                    ids.append(did)
+                    payloads.append(
+                        encode_png(px, w, h, c, [k % 5 for k in range(h)])
+                    )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    hashes = dhash_images(assets).select("doc_id", "hash_hi", "hash_lo")
+    # probes: identity + flip each of the 64 bits (32 in each half)
+    k = F.explode(F.sequence(F.lit(0), F.lit(64))).alias("k")
+    probes = hashes.select("doc_id", "hash_hi", "hash_lo", k).select(
+        "doc_id",
+        F.when(F.col("k") == 0, F.col("hash_hi"))
+        .when(F.col("k") <= 32, F.col("hash_hi").bitwiseXOR(
+            F.expr("shiftleft(cast(1 as bigint), k - 1)")))
+        .otherwise(F.col("hash_hi"))
+        .alias("phi"),
+        F.when(F.col("k") > 32, F.col("hash_lo").bitwiseXOR(
+            F.expr("shiftleft(cast(1 as bigint), k - 33)")))
+        .otherwise(F.col("hash_lo"))
+        .alias("plo"),
+    )
+    orig = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hash_hi").alias("phi"),
+        F.col("hash_lo").alias("plo"),
+        F.col("hash_hi").alias("bhi"),
+        F.col("hash_lo").alias("blo"),
+    )
+    cand = (
+        probes.join(orig, ["phi", "plo"])
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b", "bhi", "blo")
+    )
+    # recompute exact distance from the two stored hashes (probe hit
+    # guarantees <= 1, the expression documents it)
+    a_side = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hash_hi").alias("ahi"),
+        F.col("hash_lo").alias("alo"),
+    )
+    return (
+        cand.distinct()
+        .join(a_side, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
+                + F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
+            )
+            .cast("bigint")
+            .alias("hdist"),
+        )
+    )
