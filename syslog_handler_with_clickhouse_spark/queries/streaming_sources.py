@@ -2772,3 +2772,185 @@ def q411(spark, sf_dir):
         F.col("n").alias("n_orders"),
         F.col("s").cast("double").alias("sum_totalprice"),
     )
+
+
+@query(
+    "q421_collapsing_final",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS seq,
+             lag(CAST(value AS DECIMAL(18,2)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), s AS (
+      SELECT user_id, seq, v, 1 AS sign FROM e
+      UNION ALL
+      SELECT user_id, seq - 1, prev, -1 FROM e WHERE prev IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(SUM(sign) AS BIGINT) AS net_sign,
+           CAST(arg_max(v, CASE WHEN sign = 1 THEN seq END) AS DOUBLE)
+             AS last_value,
+           CAST(SUM(sign * v) AS DOUBLE) AS signed_sum
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q421(spark, sf_dir):
+    """CollapsingMergeTree FINAL read (CH table-engine semantics; the
+    reference's MergeTree target `main.go:61-76` is the append-only
+    world this engine exists for): each per-user event is written as a
+    (state, +1) insert and the previous state's (-1) cancel, and the
+    FINAL survivor per user is recovered by ONE hash aggregation —
+    max_by state among +1 rows gated on sum(sign) > 0 — no window, no
+    join, no merge simulation.  signed_sum telescopes to exactly the
+    surviving state (sum(v*sign) == last value), which the oracle
+    checks value-exact; net_sign == 1 proves every cancel paired."""
+    from ..operators.engines import collapse_final
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            _dec("value").alias("v"),
+        )
+        .withColumn("seq", F.row_number().over(w))
+        .withColumn("prev", F.lag("v").over(w))
+    )
+    signed = e.select(
+        "user_id",
+        F.explode(
+            F.concat(
+                F.array(F.struct(F.col("seq"), F.col("v"), F.lit(1).alias("sign"))),
+                F.when(
+                    F.col("prev").isNotNull(),
+                    F.array(
+                        F.struct(
+                            (F.col("seq") - 1).alias("seq"),
+                            F.col("prev").alias("v"),
+                            F.lit(-1).alias("sign"),
+                        )
+                    ),
+                ).otherwise(F.array()),
+            )
+        ).alias("r"),
+    ).select("user_id", "r.seq", "r.v", "r.sign")
+    # signed_sum telescopes inside the SAME aggregate the collapse runs
+    agg_check = signed.groupBy("user_id").agg(
+        F.sum(F.col("sign") * F.col("v")).cast("double").alias("signed_sum")
+    )
+    final = collapse_final(
+        signed, keys=["user_id"], value_cols=["v"], order_col="seq"
+    )
+    return (
+        final.join(agg_check, "user_id")
+        .select(
+            "user_id",
+            "net_sign",
+            F.col("v").cast("double").alias("last_value"),
+            "signed_sum",
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q422_versioned_collapsing_final",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS seq,
+             lag(CAST(value AS DECIMAL(18,2)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_ev
+      FROM events
+    ), s AS (
+      SELECT user_id, seq AS version, v, 1 AS sign FROM e
+      UNION ALL
+      SELECT user_id, seq - 1, prev, -1 FROM e WHERE prev IS NOT NULL
+      UNION ALL
+      -- at-least-once producer re-sends the terminal state for user%5==0
+      SELECT user_id, seq, v, 1 FROM e
+      WHERE user_id % 5 = 0 AND seq = n_ev
+    )
+    SELECT user_id, version,
+           CAST(arg_max(v, sign) AS DOUBLE) AS value,
+           CAST(SUM(sign) AS BIGINT) AS net
+    FROM s GROUP BY user_id, version
+    HAVING SUM(sign) <> 0
+    ORDER BY user_id, version
+    """,
+)
+def q422(spark, sf_dir):
+    """VersionedCollapsingMergeTree FINAL read: cancels pair with
+    inserts by (key, version) — arrival ORDER is irrelevant, which is
+    the engine's whole reason to exist — so the read is one hash
+    aggregation on (user_id, version) with net-zero groups vanishing.
+    An at-least-once producer re-sends the terminal state for every
+    user_id%5==0 (CH keeps the copies), so those survivors carry
+    net=2 while everyone else's carry net=1; the oracle replays the
+    pairing declaratively."""
+    from ..operators.engines import versioned_collapse_final
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", _dec("value").alias("v"))
+        .withColumn("seq", F.row_number().over(w))
+        .withColumn("prev", F.lag("v").over(w))
+        .withColumn("n_ev", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+    )
+    resend = F.when(
+        (F.col("user_id") % 5 == 0) & (F.col("seq") == F.col("n_ev")),
+        F.array(
+            F.struct(
+                F.col("seq").alias("version"),
+                F.col("v"),
+                F.lit(1).alias("sign"),
+            )
+        ),
+    ).otherwise(F.array())
+    signed = e.select(
+        "user_id",
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("seq").alias("version"),
+                        F.col("v"),
+                        F.lit(1).alias("sign"),
+                    )
+                ),
+                F.when(
+                    F.col("prev").isNotNull(),
+                    F.array(
+                        F.struct(
+                            (F.col("seq") - 1).alias("version"),
+                            F.col("prev").alias("v"),
+                            F.lit(-1).alias("sign"),
+                        )
+                    ),
+                ).otherwise(F.array()),
+                resend,
+            )
+        ).alias("r"),
+    ).select("user_id", "r.version", "r.v", "r.sign")
+    return (
+        versioned_collapse_final(
+            signed, keys=["user_id"], version_col="version", value_cols=["v"]
+        )
+        .select(
+            "user_id",
+            "version",
+            F.col("v").cast("double").alias("value"),
+            "net",
+        )
+        .orderBy("user_id", "version")
+    )
