@@ -43,6 +43,7 @@ toStartOfWeek(x[, mode])    Sunday-based (CH default mode 0/2) or
                             Monday-only in Spark
 toUInt8..64 / toInt8..64    CAST(x AS BIGINT)
 toFloat32/64                CAST(x AS DOUBLE)
+toDecimal32/64/128(x, s)    CAST(x AS DECIMAL(9|18|38, s))
 toString(x)                 CAST(x AS STRING)
 multiIf(c1,v1,...,e)        CASE WHEN c1 THEN v1 ... ELSE e END
 anyLast(x) / any(x)         last(x) / first(x)
@@ -98,6 +99,10 @@ ORDER BY k WITH FILL        exploded-sequence grid FULL OUTER
                               rows carry NULL (not CH's type
                               defaults — documented); literal
                               integer bounds only, else raises
+GROUP BY k WITH TOTALS      GROUPING SETS ((k), ()) — the totals
+                              row carries NULL keys (not CH's type
+                              defaults — documented); the HAVING
+                              combination raises (totals_mode)
 ==========================  =====================================
 
 String literals are never rewritten: every rule (the call rewriter and
@@ -109,7 +114,8 @@ Deliberately NOT translated (semantics differ or need a planner):
 ``extract`` (CH group-or-whole-match rule), ``length`` (type-overloaded
 in CH), ``neighbor``, ``arrayEnumerate*`` beyond the q227 operator, CH
 ``SAMPLE``/``FINAL``/``PREWHERE`` clauses (PREWHERE is translated to
-WHERE since Catalyst pushes predicates itself; SAMPLE/FINAL raise).
+WHERE since Catalyst pushes predicates itself; SAMPLE/FINAL raise —
+FINAL's engine-aware reads live in ``operators/engines.py``).
 """
 
 from __future__ import annotations
@@ -315,9 +321,36 @@ def translate_ch_sql(sql: str) -> str:
     # clause-level.  All keyword/function matching from here on is
     # literal-aware (_search_nl/_sub_nl/_find_call skip quoted spans):
     # `WHERE msg = 'call match(a, b) now'` keeps its literal verbatim.
-    if _search_nl(r"\bSAMPLE\b|\bFINAL\b|\bWITH\s+TOTALS\b", s, re.IGNORECASE):
+    if _search_nl(r"\bSAMPLE\b|\bFINAL\b", s, re.IGNORECASE):
         raise ChTranslationError(
-            "SAMPLE/FINAL/WITH TOTALS have no Spark equivalent here"
+            "SAMPLE/FINAL have no Spark equivalent here (FINAL needs "
+            "engine metadata; see operators/engines.py for the "
+            "Collapsing FINAL reads)"
+        )
+
+    # GROUP BY <keys> WITH TOTALS -> GROUPING SETS ((<keys>), ()).  CH
+    # appends one extra row aggregating ALL source rows; grouping sets
+    # reproduce its aggregate values exactly, with NULL group keys where
+    # CH's totals row carries type defaults (documented deviation, same
+    # class as the WITH FILL note).  HAVING's interaction with totals
+    # depends on CH's totals_mode setting -> refuse the combination
+    # rather than silently pick a mode.
+    m = _search_nl(
+        r"\bGROUP\s+BY\s+((?:(?!\bGROUP\s+BY\b)[\s\S])*?)\s*"
+        r"\bWITH\s+TOTALS\b",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        if _search_nl(r"\bHAVING\b", s, re.IGNORECASE):
+            raise ChTranslationError(
+                "WITH TOTALS + HAVING depends on totals_mode; refusing"
+            )
+        keys = m.group(1).strip()
+        s = (
+            s[: m.start()]
+            + f"GROUP BY GROUPING SETS (({keys}), ())"
+            + s[m.end():]
         )
     s = _sub_nl(r"\bPREWHERE\b", "WHERE", s, flags=re.IGNORECASE)
     s = _sub_nl(r"\bFORMAT\s+\w+\s*;?\s*$", "", s, flags=re.IGNORECASE)
@@ -728,6 +761,16 @@ def translate_ch_sql(sql: str) -> str:
     # casts
     for ch_fn, t in _CASTS.items():
         s = _rewrite_calls(s, ch_fn, lambda a, t=t: f"CAST({a[0]} AS {t})")
+    # toDecimal{32,64,128}(x, s): CH's value-scale decimal constructors.
+    # Spark needs an explicit precision: use the widest that fits the CH
+    # type (9/18/38 digits), keeping the requested scale literal.
+    for ch_fn, prec in (("toDecimal32", 9), ("toDecimal64", 18),
+                        ("toDecimal128", 38)):
+        s = _rewrite_calls(
+            s,
+            ch_fn,
+            lambda a, p=prec: f"CAST({a[0]} AS DECIMAL({p}, {a[1].strip()}))",
+        )
 
     # ARRAY JOIN clause -> LATERAL VIEW explode.  CH: `FROM t ARRAY
     # JOIN expr AS alias [, expr2 AS alias2]`; LEFT ARRAY JOIN keeps

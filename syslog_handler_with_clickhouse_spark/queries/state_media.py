@@ -4252,3 +4252,36 @@ def q420(spark, sf_dir):
             .alias("hdist"),
         )
     )
+
+
+@query(
+    "q423_ch_with_totals",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), ())
+    """,
+)
+def q423(spark, sf_dir):
+    """ClickHouse ``GROUP BY ... WITH TOTALS`` — the dashboard
+    summary-row clause — through the dialect shim: translated to
+    GROUPING SETS ((keys), ()), so the totals row's aggregates are
+    value-exact over ALL rows while its group keys surface as NULL
+    (the documented type-default deviation).  The query text IS CH
+    SQL; DuckDB re-derives with native grouping sets."""
+    from ..functions.ch_dialect import translate_ch_sql
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_t")
+    ch = (
+        "SELECT event_type, count() AS n, "
+        "sum(toDecimal64(value, 2)) AS total_value "
+        "FROM events_t GROUP BY event_type WITH TOTALS"
+    )
+    df = spark.sql(translate_ch_sql(ch))
+    return df.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )

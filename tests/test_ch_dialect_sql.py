@@ -106,8 +106,34 @@ def test_settings_strip_and_totals_guard():
     assert translate_ch_sql(
         "SELECT count() FROM t SETTINGS max_threads=4, join_algorithm='hash'"
     ) == "SELECT count(*) FROM t "
+    # WITH TOTALS now translates to GROUPING SETS ((keys), ())
+    assert (
+        "GROUPING SETS ((x), ())"
+        in translate_ch_sql("SELECT x, count() FROM t GROUP BY x WITH TOTALS")
+    )
+    # ...but the HAVING combination depends on totals_mode -> refuse
     with pytest.raises(ChTranslationError):
-        translate_ch_sql("SELECT x, count() FROM t GROUP BY x WITH TOTALS")
+        translate_ch_sql(
+            "SELECT x, count() FROM t GROUP BY x WITH TOTALS HAVING count() > 2"
+        )
+    # and a literal mentioning WITH TOTALS is never touched
+    sql = "SELECT x FROM t WHERE note = 'GROUP BY x WITH TOTALS'"
+    assert translate_ch_sql(sql) == sql
+
+
+def test_with_totals_multi_key_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)], "g string, h int, v int"
+    )
+    df.createOrReplaceTempView("tot_t")
+    out = spark.sql(
+        translate_ch_sql(
+            "SELECT g, h, sum(v) AS s FROM tot_t GROUP BY g, h WITH TOTALS"
+        )
+    ).collect()
+    rows = {(r.g, r.h): r.s for r in out}
+    assert rows[(None, None)] == 60  # the totals row
+    assert rows[("a", 1)] == 10 and len(rows) == 4
 
 
 def test_reference_user_queries_over_mikrotik_logs(spark):
