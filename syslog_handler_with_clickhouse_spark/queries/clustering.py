@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..operators import clustering
 from ..functions.vectors import to_double
-from ._common import _COS_EXPR, _t, query
+from ._common import _COS_EXPR, _dec, _t, query
 
 _K = 8
 _ITERS = 2
@@ -1038,4 +1038,105 @@ def q389(spark, sf_dir):
         "query_id",
         "exact_top10",
         (F.size(F.array_intersect("exact_ids", "pq_ids")) >= 7).alias("recall_ok"),
+    )
+
+
+# Poisson(1) CDF at 1e9 fixed-point: P(X<=k)*1e9 floored, k = 0..7
+# (50-digit Decimal derivation; tail mass beyond 7 maps to weight 8).
+_POIS1_CDF_1E9 = (367879441, 735758882, 919698602, 981011843,
+                  996340153, 999405815, 999916758, 999989750)
+
+
+def _pois1_case(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS1_CDF_1E9)
+    )
+    return f"CASE {arms} ELSE 8 END"
+
+
+@query(
+    "q425_poisson_bootstrap_ci",
+    f"""
+    WITH ev AS (
+      SELECT event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ), x AS (
+      SELECT ev.cents, r.b,
+             {_pois1_case(
+                 "CAST('0x' || substr(md5('pb' || CAST(ev.event_id AS VARCHAR)"
+                 " || '_' || CAST(r.b AS VARCHAR)), 1, 15) AS BIGINT)"
+                 " % 1000000000")} AS w
+      FROM ev, (SELECT unnest(range(0, 64)) AS b) r
+    ), rep AS (
+      SELECT b, SUM(w * cents) // SUM(w) AS mean_cents
+      FROM x GROUP BY b
+    ), ranked AS (
+      SELECT mean_cents, row_number() OVER (ORDER BY mean_cents, b) AS rk
+      FROM rep
+    )
+    SELECT (SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) FROM ev)
+             AS mean_cents,
+           (SELECT CAST(mean_cents AS BIGINT) FROM ranked WHERE rk = 2)
+             AS ci_lo_cents,
+           (SELECT CAST(mean_cents AS BIGINT) FROM ranked WHERE rk = 63)
+             AS ci_hi_cents,
+           CAST(64 AS BIGINT) AS n_replicates
+    """,
+)
+def q425(spark, sf_dir):
+    """Poisson bootstrap CI for the mean event value — THE bootstrap
+    that survives 100 TB: instead of materializing B resamples of n
+    rows (index joins, n*B shuffle mass), every row draws a
+    Poisson(1) replication weight per replicate from a portable
+    md5 hash (fixed-point inverse-CDF, the 1e9-scaled constants above
+    — no float, no RNG state), so 64 replicates cost ONE pass and one
+    (replicate)-keyed aggregation.  Replicate means in exact floor
+    cents; the 95% CI is the 2nd/63rd order statistic, tie-broken by
+    replicate id; the oracle replays the identical arithmetic."""
+    from ..operators.dedup import portable_hash60
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", (_dec("value") * 100).cast("bigint").alias("cents")
+    )
+    x = ev.select(
+        "event_id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+    ).withColumn(
+        "u",
+        portable_hash60(
+            F.concat(
+                F.lit("pb"),
+                F.col("event_id").cast("string"),
+                F.lit("_"),
+                F.col("b").cast("string"),
+            )
+        )
+        % 1000000000,
+    )
+    # inverse-CDF weight via the shared fixed-point thresholds
+    w = F.lit(8)
+    for k in range(len(_POIS1_CDF_1E9) - 1, -1, -1):
+        w = F.when(F.col("u") < _POIS1_CDF_1E9[k], F.lit(k)).otherwise(w)
+    rep = (
+        x.withColumn("w", w)
+        .groupBy("b")
+        .agg(F.expr("SUM(w * cents) DIV SUM(w)").alias("mean_cents"))
+    )
+    rk = Window.orderBy("mean_cents", "b")
+    ranked = rep.withColumn("rk", F.row_number().over(rk))
+    lo = ranked.filter(F.col("rk") == 2).select(
+        F.col("mean_cents").cast("bigint").alias("ci_lo_cents")
+    )
+    hi = ranked.filter(F.col("rk") == 63).select(
+        F.col("mean_cents").cast("bigint").alias("ci_hi_cents")
+    )
+    point = ev.agg(
+        F.expr("SUM(cents) DIV COUNT(*)").cast("bigint").alias("mean_cents")
+    )
+    return (
+        point.crossJoin(lo)
+        .crossJoin(hi)
+        .withColumn("n_replicates", F.lit(64).cast("bigint"))
     )

@@ -3985,3 +3985,72 @@ def q368(spark, sf_dir):
             )
         ).alias("shingles_flat"),
     )
+
+
+@query(
+    "q424_changepoint_cusum",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, day, c,
+             row_number() OVER w AS k,
+             SUM(c) OVER w AS sk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(c) OVER (PARTITION BY event_type) AS sn
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), stat AS (
+      SELECT event_type, day, k, n,
+             abs(n * sk - k * sn) AS g,
+             sk, sn,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(n * sk - k * sn) DESC, day)
+               AS pick
+      FROM s WHERE k < n
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS cp_day,
+           CAST(g AS BIGINT) AS stat,
+           CAST(1000000 * sk // k AS BIGINT) AS mean_before_ppm,
+           CAST(1000000 * (sn - sk) // (n - k) AS BIGINT) AS mean_after_ppm
+    FROM stat WHERE pick = 1 ORDER BY event_type
+    """,
+)
+def q424(spark, sf_dir):
+    """CUSUM-type single changepoint per event_type over the daily
+    count series: the split k maximizing |n*S_k - k*S_n| (the integer
+    rescaling of the classic |S_k - (k/n)S_n| CUSUM statistic, so the
+    argmax is EXACT — no float ever enters), ties broken to the
+    earliest day; per-side means reported in exact ppm via floor
+    division.  Binary segmentation's first step, pure windows — one
+    shuffle on event_type, no recursion, no Python."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    s = (
+        d.withColumn("k", F.row_number().over(w))
+        .withColumn("sk", F.sum("c").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wa))
+        .withColumn("sn", F.sum("c").over(wa))
+        .filter(F.col("k") < F.col("n"))
+        .withColumn("g", F.abs(F.col("n") * F.col("sk") - F.col("k") * F.col("sn")))
+    )
+    pick = Window.partitionBy("event_type").orderBy(F.desc("g"), "day")
+    return (
+        s.withColumn("pick", F.row_number().over(pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("cp_day"),
+            F.col("g").cast("bigint").alias("stat"),
+            F.expr("1000000 * sk DIV k").cast("bigint").alias("mean_before_ppm"),
+            F.expr("1000000 * (sn - sk) DIV (n - k)")
+            .cast("bigint")
+            .alias("mean_after_ppm"),
+        )
+        .orderBy("event_type")
+    )
