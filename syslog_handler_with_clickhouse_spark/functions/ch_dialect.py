@@ -973,6 +973,37 @@ def translate_ch_sql(sql: str) -> str:
             f"ELSE element_at(split({_dom(a)}, '\\\\.'), -1) END)"
         ),
     )
+    # first-significant-subdomain pair: the com/net/org/co second-level
+    # heuristic (functions/url.py twins; public-suffix refinements out
+    # of scope there too).  MUST rewrite before bare domain().
+    def _fsd_parts(a):
+        return f"split({_dom(a)}, '\\\\.')"
+
+    def _fsd(a):
+        p = _fsd_parts(a)
+        return (
+            f"(CASE WHEN {_dom(a)} = '' THEN '' "
+            f"WHEN size({p}) >= 3 AND element_at({p}, -2) IN "
+            f"('com','net','org','co') THEN element_at({p}, -3) "
+            f"WHEN size({p}) >= 2 THEN element_at({p}, -2) "
+            f"ELSE {_dom(a)} END)"
+        )
+
+    def _cut_fsd(a):
+        p = _fsd_parts(a)
+        keep = (
+            f"(CASE WHEN size({p}) >= 3 AND element_at({p}, -2) IN "
+            f"('com','net','org','co') THEN 3 "
+            f"ELSE least(size({p}), 2) END)"
+        )
+        return (
+            f"(CASE WHEN {_dom(a)} = '' THEN '' "
+            f"ELSE array_join(slice({p}, size({p}) - {keep} + 1, {keep}), "
+            f"'.') END)"
+        )
+
+    s = _rewrite_calls(s, "cutToFirstSignificantSubdomain", _cut_fsd)
+    s = _rewrite_calls(s, "firstSignificantSubdomain", _fsd)
     s = _rewrite_calls(s, "domain", _dom)
     s = _rewrite_calls(
         s, "cutQueryString",

@@ -107,3 +107,42 @@ def url_port(url: str | Column, default: int = 0) -> Column:
     return F.when(p == "", F.lit(default)).otherwise(
         p.cast("int")
     )
+
+
+# CH's compiled heuristic set: a second-to-last label in this set means
+# the registrable name sits one level deeper (news.clickhouse.com.tr ->
+# 'clickhouse').  CH proper consults a compiled TLD list; this is the
+# documented com/net/org/co core of it (docs example set), public-suffix
+# refinements out of scope.
+_SECOND_LEVEL_TLDS = ("com", "net", "org", "co")
+
+
+def first_significant_subdomain(url: str | Column) -> Column:
+    """CH ``firstSignificantSubdomain``: the label left of the effective
+    TLD — the third-from-last label when the second-from-last is in
+    {com, net, org, co}, else the second-from-last; the whole host when
+    it has a single label; '' for empty authority."""
+    host = domain(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    deep = F.try_element_at(parts, F.lit(-2)).isin(*_SECOND_LEVEL_TLDS) & (n >= 3)
+    return (
+        F.when(host == "", F.lit(""))
+        .when(deep, F.try_element_at(parts, F.lit(-3)))
+        .when(n >= 2, F.try_element_at(parts, F.lit(-2)))
+        .otherwise(host)
+    )
+
+
+def cut_to_first_significant_subdomain(url: str | Column) -> Column:
+    """CH ``cutToFirstSignificantSubdomain``: the host truncated to
+    start at the first significant subdomain (``news.clickhouse.com.tr``
+    -> ``clickhouse.com.tr``); '' for empty authority."""
+    host = domain(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    deep = F.try_element_at(parts, F.lit(-2)).isin(*_SECOND_LEVEL_TLDS) & (n >= 3)
+    keep = F.when(deep, F.lit(3)).otherwise(F.least(n, F.lit(2)))
+    return F.when(host == "", F.lit("")).otherwise(
+        F.array_join(F.slice(parts, n - keep + 1, keep), ".")
+    )

@@ -4054,3 +4054,85 @@ def q424(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q426_first_significant_subdomain",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'http://news.host' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.com.tr/x'
+               WHEN 1 THEN 'https://www.host' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.co.uk?q=1'
+               WHEN 2 THEN 'http://host' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.org/p'
+               WHEN 3 THEN '//cdn.host' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.io/a'
+               WHEN 4 THEN 'http://localhost:9000/z'
+               ELSE 'mailto:user@nowhere'
+             END AS url
+      FROM documents WHERE doc_id % 11 = 3
+    ), h AS (
+      SELECT doc_id, url,
+             regexp_extract(
+               regexp_extract(url,
+                 '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//(?:[^/?#@]*@)?([^/?#]*)',
+                 1), '^([^:]*)', 1) AS host
+      FROM u
+    ), p AS (
+      SELECT doc_id, url, host, string_split(host, '.') AS parts
+      FROM h
+    )
+    SELECT doc_id, url,
+           CASE WHEN host = '' THEN ''
+                WHEN len(parts) >= 3 AND list_extract(parts, -2) IN
+                     ('com','net','org','co') THEN list_extract(parts, -3)
+                WHEN len(parts) >= 2 THEN list_extract(parts, -2)
+                ELSE host END AS fsd,
+           CASE WHEN host = '' THEN ''
+                WHEN len(parts) >= 3 AND list_extract(parts, -2) IN
+                     ('com','net','org','co')
+                  THEN array_to_string(list_slice(parts, -3, -1), '.')
+                WHEN len(parts) >= 2
+                  THEN array_to_string(list_slice(parts, -2, -1), '.')
+                ELSE host END AS cut_fsd
+    FROM p ORDER BY doc_id
+    """,
+)
+def q426(spark, sf_dir):
+    """CH ``firstSignificantSubdomain`` / ``cutToFirstSignificantSubdomain``
+    (functions/url.py) over a hostile URL grid — deep two-level TLDs
+    (com.tr via 'com', co.uk via 'co'), plain second-level (.org, .io),
+    single-label hosts with ports, and authority-free URLs ('') — the
+    registrable-domain rollup key of every per-site crawl-mixing stat.
+    Native split/element_at/slice expressions, zero regex beyond the
+    shared authority parse; the oracle replays the same com/net/org/co
+    heuristic with DuckDB list ops."""
+    from ..functions.url import (
+        cut_to_first_significant_subdomain,
+        first_significant_subdomain,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 3)
+    k = (F.col("doc_id") % 20).cast("string")
+    url = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("http://news.host"), k, F.lit(".com.tr/x")))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("https://www.host"), k, F.lit(".co.uk?q=1")))
+        .when(F.col("doc_id") % 6 == 2,
+              F.concat(F.lit("http://host"), k, F.lit(".org/p")))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit("//cdn.host"), k, F.lit(".io/a")))
+        .when(F.col("doc_id") % 6 == 4, F.lit("http://localhost:9000/z"))
+        .otherwise(F.lit("mailto:user@nowhere"))
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        first_significant_subdomain("url").alias("fsd"),
+        cut_to_first_significant_subdomain("url").alias("cut_fsd"),
+    ).orderBy("doc_id")

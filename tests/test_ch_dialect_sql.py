@@ -924,3 +924,30 @@ def test_round3_array_literals_and_indexing_guard():
         translate_ch_sql("SELECT formatDateTime(ts, '%Q') FROM t")
     out = translate_ch_sql("SELECT formatDateTime(ts, '%Y-%m-%dT%H') FROM t")
     assert "date_format(ts, 'yyyy-MM-dd''T''HH')" in out
+
+
+def test_first_significant_subdomain_rules(spark):
+    df = spark.createDataFrame(
+        [
+            ("http://news.clickhouse.com.tr/x",),
+            ("https://www.example.co.uk/p",),
+            ("http://sub.example.io/a",),
+            ("http://localhost:9000/z",),
+            ("mailto:user@nowhere",),
+        ],
+        "url string",
+    )
+    df.createOrReplaceTempView("fsd_t")
+    out = spark.sql(
+        translate_ch_sql(
+            "SELECT url, firstSignificantSubdomain(url) AS f, "
+            "cutToFirstSignificantSubdomain(url) AS c FROM fsd_t"
+        )
+    ).collect()
+    got = {r.url: (r.f, r.c) for r in out}
+    assert got["http://news.clickhouse.com.tr/x"] == (
+        "clickhouse", "clickhouse.com.tr")
+    assert got["https://www.example.co.uk/p"] == ("example", "example.co.uk")
+    assert got["http://sub.example.io/a"] == ("example", "example.io")
+    assert got["http://localhost:9000/z"] == ("localhost", "localhost")
+    assert got["mailto:user@nowhere"] == ("", "")
