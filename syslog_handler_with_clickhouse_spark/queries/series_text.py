@@ -4136,3 +4136,104 @@ def q426(spark, sf_dir):
         first_significant_subdomain("url").alias("fsd"),
         cut_to_first_significant_subdomain("url").alias("cut_fsd"),
     ).orderBy("doc_id")
+
+
+def _binseg_round_sql(src: str, tag: str, min_len: int = 3,
+                      thr_ppm: int = 20000) -> str:
+    """One binary-segmentation round as DuckDB CTE text (the exact
+    mirror of operators/changepoints.py's window sequence)."""
+    return f"""
+    {tag}_s AS (
+      SELECT event_type, day, v, seg,
+             row_number() OVER w AS k,
+             SUM(v) OVER w AS sk,
+             COUNT(*) OVER ws AS n,
+             SUM(v) OVER ws AS sn
+      FROM {src}
+      WINDOW w AS (PARTITION BY event_type, seg ORDER BY day),
+             ws AS (PARTITION BY event_type, seg)
+    ), {tag}_g AS (
+      SELECT *, CASE WHEN k >= {min_len} AND k <= n - {min_len}
+                     THEN abs(n * sk - k * sn) ELSE -1 END AS g
+      FROM {tag}_s
+    ), {tag}_b AS (
+      SELECT *, MAX(g) OVER ws2 AS gmax
+      FROM {tag}_g WINDOW ws2 AS (PARTITION BY event_type, seg)
+    ), {tag}_c AS (
+      SELECT *, MIN(CASE WHEN g = gmax THEN k END) OVER ws3 AS cp,
+             (gmax > 0 AND gmax * 1000000 >= {thr_ppm} * n * sn) AS accept
+      FROM {tag}_b WINDOW ws3 AS (PARTITION BY event_type, seg)
+    ), {tag} AS (
+      SELECT event_type, day, v,
+             CASE WHEN accept THEN seg * 2 + CASE WHEN k > cp THEN 1 ELSE 0 END
+                  ELSE seg * 2 END AS seg
+      FROM {tag}_c
+    )"""
+
+
+@query(
+    "q427_binary_segmentation",
+    f"""
+    WITH d0 AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT event_type, day,
+             c * (1 + CASE WHEN dayofmonth(day) >= 11 THEN 1 ELSE 0 END
+                    + CASE WHEN dayofmonth(day) >= 21 THEN 1 ELSE 0 END) AS v,
+             0 AS seg
+      FROM d0
+    ),{_binseg_round_sql("d", "r1")},{_binseg_round_sql("r1", "r2")}
+    SELECT event_type,
+           row_number() OVER (PARTITION BY event_type ORDER BY MIN(day))
+             AS seg_idx,
+           strftime(MIN(day), '%Y-%m-%d') AS start_day,
+           strftime(MAX(day), '%Y-%m-%d') AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(1000000 * SUM(v) // COUNT(*) AS BIGINT) AS mean_ppm
+    FROM r2 GROUP BY event_type, seg
+    ORDER BY event_type, seg_idx
+    """,
+)
+def q427(spark, sf_dir):
+    """Multi-changepoint binary segmentation (q424's CUSUM statistic,
+    recursed): per event_type the daily count series carries a planted
+    two-step regime shift (x1 -> x2 from day 11, -> x3 from day 21), and
+    two segmentation rounds recover the pieces — each round two window
+    passes per (type, segment), split accepted only when the EXACT
+    integer relative statistic clears 2% (g*1e6 >= thr*n*sn), both
+    sides >= 3 points.  No self-join, no Python, no recursion in the
+    plan — depth is static composition (`operators/changepoints.py`);
+    the oracle replays both rounds as CTE mirrors."""
+    from ..operators.changepoints import binary_segmentation
+
+    ev = _t(spark, sf_dir, "events")
+    dom = F.dayofmonth("day")
+    d = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "event_type",
+            "day",
+            (
+                F.col("c")
+                * (
+                    F.lit(1)
+                    + (dom >= 11).cast("bigint")
+                    + (dom >= 21).cast("bigint")
+                )
+            ).alias("v"),
+        )
+    )
+    seg = binary_segmentation(
+        d, ["event_type"], "day", "v", depth=2, min_len=3, thr_ppm=20000
+    )
+    return seg.select(
+        "event_type",
+        "seg_idx",
+        F.date_format("start", "yyyy-MM-dd").alias("start_day"),
+        F.date_format("end", "yyyy-MM-dd").alias("end_day"),
+        "n_points",
+        "mean_ppm",
+    ).orderBy("event_type", "seg_idx")
