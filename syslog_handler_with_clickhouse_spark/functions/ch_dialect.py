@@ -547,6 +547,32 @@ def translate_ch_sql(sql: str) -> str:
         )
 
     s = _rewrite_calls(s, "hasToken", _has_token)
+
+    # extractKeyValuePairs(s[, kv_delim[, pair_delims]]) -> str_to_map.
+    # CH defaults: ':' between key and value, pairs split on ',', ' ' or
+    # ';'.  Spark's str_to_map takes REGEX delimiters, so the default
+    # pair-delimiter set maps to a character class.  The 4-arg quoting
+    # form has no Spark equivalent -> refuse rather than silently strip
+    # quotes.
+    def _extract_kv(a):
+        if len(a) >= 4:
+            raise ChTranslationError(
+                "extractKeyValuePairs quoting_character unsupported"
+            )
+        kv = a[1].strip() if len(a) >= 2 else "':'"
+        pairs = a[2].strip() if len(a) >= 3 else None
+        for lit in filter(None, [kv, pairs]):
+            if not (lit.startswith("'") and lit.endswith("'")):
+                raise ChTranslationError(
+                    "extractKeyValuePairs needs literal delimiters"
+                )
+        pair_re = (
+            "'[" + re.escape(pairs[1:-1]) + "]'" if pairs else "'[, ;]'"
+        )
+        kv_re = "'[" + re.escape(kv[1:-1]) + "]'"
+        return f"str_to_map({a[0]}, {pair_re}, {kv_re})"
+
+    s = _rewrite_calls(s, "extractKeyValuePairs", _extract_kv)
     s = _rewrite_calls(
         s, "countSubstrings",
         lambda a: (

@@ -4237,3 +4237,63 @@ def q427(spark, sf_dir):
         "n_points",
         "mean_ppm",
     ).orderBy("event_type", "seg_idx")
+
+
+@query(
+    "q428_logfmt_extract",
+    """
+    WITH raw AS (
+      SELECT 'user=' || CAST(user_id AS VARCHAR)
+             || ' type=' || event_type
+             || ' cents=' || CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                       AS BIGINT) AS VARCHAR)
+             || ' seq=' || CAST(event_id % 1000 AS VARCHAR) AS line
+      FROM events
+    ), kv AS (
+      SELECT CAST(regexp_extract(line, 'user=([^ ]+)', 1) AS BIGINT) AS u,
+             regexp_extract(line, 'type=([^ ]+)', 1) AS t,
+             CAST(regexp_extract(line, 'cents=([^ ]+)', 1) AS BIGINT) AS c,
+             CAST(regexp_extract(line, 'seq=([^ ]+)', 1) AS BIGINT) AS s
+      FROM raw
+    )
+    SELECT t AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
+           CAST(SUM(c) AS BIGINT) AS total_cents,
+           CAST(MAX(s) AS BIGINT) AS max_seq
+    FROM kv GROUP BY t ORDER BY t
+    """,
+)
+def q428(spark, sf_dir):
+    """logfmt / CH ``extractKeyValuePairs``-style structured-log
+    parsing: the canonical 'k=v k2=v2' log line round-trips through
+    Spark's native ``str_to_map`` (regex delimiters — one codegen
+    projection, the structured twin of the P1-P8 syslog parse) and the
+    typed fields aggregate exactly; the oracle parses the SAME lines
+    with per-key regexes — two independent parsers must agree.  The
+    dialect shim maps extractKeyValuePairs to this str_to_map form."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("user="), F.col("user_id").cast("string"),
+        F.lit(" type="), F.col("event_type"),
+        F.lit(" cents="),
+        (_dec("value") * 100).cast("bigint").cast("string"),
+        F.lit(" seq="), (F.col("event_id") % 1000).cast("string"),
+    )
+    m = F.expr("str_to_map(line, ' ', '=')")
+    kv = ev.select(line.alias("line")).select(
+        m.getItem("user").cast("bigint").alias("u"),
+        m.getItem("type").alias("t"),
+        m.getItem("cents").cast("bigint").alias("c"),
+        m.getItem("seq").cast("bigint").alias("s"),
+    )
+    return (
+        kv.groupBy(F.col("t").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("u").alias("n_users"),
+            F.sum("c").alias("total_cents"),
+            F.max("s").alias("max_seq"),
+        )
+        .orderBy("event_type")
+    )

@@ -951,3 +951,33 @@ def test_first_significant_subdomain_rules(spark):
     assert got["http://sub.example.io/a"] == ("example", "example.io")
     assert got["http://localhost:9000/z"] == ("localhost", "localhost")
     assert got["mailto:user@nowhere"] == ("", "")
+
+
+def test_extract_key_value_pairs_rule(spark):
+    df = spark.createDataFrame(
+        [("name:neymar, age:31 team:psg;nick:mostachudo",)], "s string"
+    )
+    df.createOrReplaceTempView("kv_t")
+    (row,) = spark.sql(
+        translate_ch_sql("SELECT extractKeyValuePairs(s) AS m FROM kv_t")
+    ).collect()
+    # CH doc example: keys split on ',', ' ' and ';', ':' inside pairs
+    got = {k.strip(): v for k, v in row.m.items() if k.strip()}
+    assert got == {
+        "name": "neymar", "age": "31", "team": "psg", "nick": "mostachudo"
+    }
+    # custom delimiters
+    (row,) = spark.sql(
+        translate_ch_sql(
+            "SELECT extractKeyValuePairs('a=1|b=2', '=', '|') AS m FROM kv_t"
+        )
+    ).collect()
+    assert dict(row.m) == {"a": "1", "b": "2"}
+    # quoting form refuses
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql(
+            "SELECT extractKeyValuePairs(s, ':', ',', '\"') FROM kv_t"
+        )
+    # non-literal delimiter refuses
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT extractKeyValuePairs(s, d) FROM kv_t")
