@@ -1107,6 +1107,46 @@ def translate_ch_sql(sql: str) -> str:
 
     s = _rewrite_calls(s, "arraySum", _array_sum)
 
+    # arrayDifference / arrayCumSum / arrayCumSumNonNegative: CH's
+    # everyday series-in-a-cell math.  No Spark builtin; expressed with
+    # the index-lambda transform (element_at is 1-based, the transform
+    # index 0-based, so element_at(arr, i) IS the previous element).
+    # CumSum is O(len²) via slice+aggregate — array cells are small by
+    # construction; the per-ROW series path is the window family.
+    def _array_difference(a):
+        if len(a) != 1:
+            raise ChTranslationError("arrayDifference takes one array")
+        x = a[0]
+        return (
+            f"transform({x}, (el, i) -> CASE WHEN i = 0 THEN CAST(0 AS "
+            f"BIGINT) ELSE el - element_at({x}, i) END)"
+        )
+
+    def _array_cumsum(a):
+        if len(a) != 1:
+            raise ChTranslationError("arrayCumSum takes one array")
+        x = a[0]
+        return (
+            f"transform({x}, (el, i) -> aggregate(slice({x}, 1, i + 1), "
+            f"CAST(0 AS BIGINT), (acc, y) -> acc + y))"
+        )
+
+    def _array_cumsum_nonneg(a):
+        if len(a) != 1:
+            raise ChTranslationError("arrayCumSumNonNegative takes one array")
+        x = a[0]
+        # CH clamps the RUNNING value at 0 (a big negative doesn't eat
+        # later positives), so the fold must clamp per step
+        return (
+            f"transform({x}, (el, i) -> aggregate(slice({x}, 1, i + 1), "
+            f"CAST(0 AS BIGINT), (acc, y) -> greatest(acc + y, "
+            f"CAST(0 AS BIGINT))))"
+        )
+
+    s = _rewrite_calls(s, "arrayDifference", _array_difference)
+    s = _rewrite_calls(s, "arrayCumSumNonNegative", _array_cumsum_nonneg)
+    s = _rewrite_calls(s, "arrayCumSum", _array_cumsum)
+
     def _array_sort(rev):
         def rule(a):
             if len(a) != 1:

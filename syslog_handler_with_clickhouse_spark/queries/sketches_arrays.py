@@ -3993,3 +3993,82 @@ def q280(spark, sf_dir):
             "forecast_total"
         ),
     )
+
+
+@query(
+    "q429_ch_array_series_math",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS idx
+      FROM events
+    ), f AS (
+      SELECT user_id, idx, x FROM e WHERE idx <= 8
+    ), w1 AS (
+      SELECT user_id, idx, x,
+             CASE WHEN idx = 1 THEN 0
+                  ELSE x - lag(x) OVER (PARTITION BY user_id ORDER BY idx)
+             END AS dx,
+             SUM(x) OVER (PARTITION BY user_id ORDER BY idx) AS cum,
+             SUM(x - 5000) OVER (PARTITION BY user_id ORDER BY idx) AS p
+      FROM f
+    )
+    SELECT user_id, CAST(idx AS BIGINT) AS idx, x,
+           CAST(dx AS BIGINT) AS dx, CAST(cum AS BIGINT) AS cum,
+           CAST(p - LEAST(0, MIN(p) OVER
+                  (PARTITION BY user_id ORDER BY idx)) AS BIGINT) AS cumnn
+    FROM w1 ORDER BY user_id, idx
+    """,
+)
+def q429(spark, sf_dir):
+    """CH array-series math — ``arrayDifference`` / ``arrayCumSum`` /
+    ``arrayCumSumNonNegative`` — through the dialect shim as
+    index-lambda transforms (element_at's 1-based index IS the
+    0-based transform index's previous element; the clamped cumsum
+    folds with a per-step greatest).  The oracle never folds: it uses
+    Lindley's reflection identity  clamped_i = prefix_i − min(0,
+    min_{j≤i} prefix_j)  over plain windows — two genuinely
+    independent derivations of the same integers.  cumnn runs on
+    (x − 5000) so the clamp actually engages."""
+    from ..functions.ch_dialect import translate_ch_sql
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    arr = (
+        ev.select(
+            "user_id",
+            (_dec("value") * 100).cast("bigint").alias("x"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 8)
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "x"))),
+                lambda s: s["x"],
+            ).alias("arr")
+        )
+    )
+    arr.createOrReplaceTempView("arr_t")
+    ch = (
+        "SELECT user_id, arr, arrayDifference(arr) AS dxs, "
+        "arrayCumSum(arr) AS cums, "
+        "arrayCumSumNonNegative(arrayMap(x -> x - 5000, arr)) AS cumnns "
+        "FROM arr_t"
+    )
+    z = spark.sql(translate_ch_sql(ch)).select(
+        "user_id",
+        F.posexplode(F.arrays_zip("arr", "dxs", "cums", "cumnns")).alias(
+            "pos", "z"
+        ),
+    )
+    return z.select(
+        "user_id",
+        (F.col("pos") + 1).cast("bigint").alias("idx"),
+        F.col("z.arr").alias("x"),
+        F.col("z.dxs").cast("bigint").alias("dx"),
+        F.col("z.cums").cast("bigint").alias("cum"),
+        F.col("z.cumnns").cast("bigint").alias("cumnn"),
+    ).orderBy("user_id", "idx")

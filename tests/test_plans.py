@@ -956,3 +956,35 @@ def test_pca_final_plan_never_rereads_corpus(spark):
     plan = formatted_plan(QUERIES["q399_pca_power_iteration"](spark, SF_DIR))
     assert "embeddings.parquet" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_round9_tail3_queries_python_free(spark):
+    """This round's native families stay JVM-side end-to-end: engine
+    FINAL reads, WITH TOTALS, changepoints, bootstrap, URL keys,
+    logfmt parse, array-series math.  (q420 is excluded by design —
+    its image build is a deliberate Arrow path.)"""
+    for name in [
+        "q421_collapsing_final",
+        "q422_versioned_collapsing_final",
+        "q423_ch_with_totals",
+        "q424_changepoint_cusum",
+        "q425_poisson_bootstrap_ci",
+        "q426_first_significant_subdomain",
+        "q427_binary_segmentation",
+        "q428_logfmt_extract",
+        "q429_ch_array_series_math",
+    ]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert python_eval_nodes(df) == [], name
+
+
+def test_changepoint_exchanges_key_on_series_key(spark):
+    """q424/q427's windows must exchange on event_type(+segment) only —
+    a day-keyed or global exchange would serialize the series scan."""
+    import re
+
+    for name in ["q424_changepoint_cusum", "q427_binary_segmentation"]:
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            keys = m.group(1)
+            assert "event_type" in keys, f"{name}: stray exchange on {keys}"
