@@ -4297,3 +4297,407 @@ def q428(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q430_gopher_quality",
+    """
+    WITH base AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 5 = 0
+                  THEN array_to_string(list_slice(string_split(text, ' '),
+                                                  1, 25), ' ')
+                  ELSE text END AS t1
+      FROM documents
+    ), d AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0 THEN t1 || ' ## ## ## ## ##'
+                  ELSE t1 END AS t
+      FROM base
+    ), m AS (
+      SELECT source,
+             len(string_split(t, ' ')) AS n_words,
+             length(replace(t, ' ', '')) AS wl_sum,
+             length(t) - length(replace(t, '#', '')) AS hc,
+             (' ' || t || ' ' LIKE '% the %') AS has_the,
+             (' ' || t || ' ' LIKE '% a %') AS has_a
+      FROM d
+    ), r AS (
+      SELECT source,
+             (n_words >= 30 AND n_words <= 100000) AS r1,
+             (3 * n_words <= wl_sum AND wl_sum <= 10 * n_words) AS r2,
+             (10 * hc < n_words) AS r3,
+             (10 * (n_words - hc // 2) >= 8 * n_words) AS r4,
+             (has_the AND has_a) AS r5
+      FROM m
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_word_count,
+           CAST(SUM(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_mean_word_len,
+           CAST(SUM(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_symbol_ratio,
+           CAST(SUM(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_alpha_words,
+           CAST(SUM(CASE WHEN NOT r5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_stop_words,
+           CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+def q430(spark, sf_dir):
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1) as
+    one UDF-free rule matrix over ``documents``: word-count bounds,
+    mean-word-length bounds (cross-multiplied integers — no float
+    division anywhere), symbol-to-word ratio, alphabetic-word fraction,
+    and stop-word presence.  Thresholds are scaled to the synthetic
+    corpus (min 30 words; stop set = the corpus's two function words
+    'the'/'a' standing in for Gopher's 2-of-8 list) and the corpus is
+    deterministically perturbed so every rule actually fires: doc_id%5
+    docs are truncated to 25 words (trips the word-count floor),
+    doc_id%7 docs get five '##' symbol tokens appended (trips the
+    symbol-ratio and alpha-fraction rules).  Per-source fail counts per
+    rule + overall pass count, all exact integers.  Every expression is
+    whole-stage-codegen string/arithmetic; the single exchange keys on
+    ``source`` with map-side partial aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t1 = F.when(
+        did % 5 == 0, F.concat_ws(" ", F.slice(F.split("text", " "), 1, 25))
+    ).otherwise(F.col("text"))
+    d = docs.select(
+        "source",
+        F.when(did % 7 == 0, F.concat(t1, F.lit(" ## ## ## ## ##")))
+        .otherwise(t1)
+        .alias("t"),
+    )
+    n_words = F.size(F.split("t", " "))
+    wl_sum = F.length(F.regexp_replace("t", " ", ""))
+    hc = F.length("t") - F.length(F.regexp_replace("t", "#", ""))
+    pad = F.concat(F.lit(" "), F.col("t"), F.lit(" "))
+    m = d.select(
+        "source",
+        n_words.cast("bigint").alias("n_words"),
+        wl_sum.cast("bigint").alias("wl_sum"),
+        hc.cast("bigint").alias("hc"),
+        pad.like("% the %").alias("has_the"),
+        pad.like("% a %").alias("has_a"),
+    )
+    nw, wl, h = F.col("n_words"), F.col("wl_sum"), F.col("hc")
+    r = m.select(
+        "source",
+        ((nw >= 30) & (nw <= 100000)).alias("r1"),
+        ((3 * nw <= wl) & (wl <= 10 * nw)).alias("r2"),
+        (10 * h < nw).alias("r3"),
+        (10 * (nw - (h - h % 2) / 2) >= 8 * nw).alias("r4"),
+        (F.col("has_the") & F.col("has_a")).alias("r5"),
+    )
+
+    def _fails(c, name):
+        return F.sum(F.when(~F.col(c), 1).otherwise(0)).cast("bigint").alias(name)
+
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            _fails("r1", "fail_word_count"),
+            _fails("r2", "fail_mean_word_len"),
+            _fails("r3", "fail_symbol_ratio"),
+            _fails("r4", "fail_alpha_words"),
+            _fails("r5", "fail_stop_words"),
+            F.sum(
+                F.when(
+                    F.col("r1") & F.col("r2") & F.col("r3") & F.col("r4") & F.col("r5"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q431_c4_line_filters",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             unnest(string_split(text, ' ')) AS word,
+             unnest(range(0, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ), l0 AS (
+      SELECT doc_id, source, pos // 7 AS line_id,
+             string_agg(word, ' ' ORDER BY pos) AS line,
+             CAST(COUNT(*) AS BIGINT) AS nw
+      FROM w GROUP BY doc_id, source, pos // 7
+    ), l1 AS (
+      SELECT doc_id, source, line_id,
+             CASE WHEN doc_id % 11 = 0 AND line_id = 0
+                  THEN 'javascript ' || line ELSE line END AS line,
+             nw + CASE WHEN doc_id % 11 = 0 AND line_id = 0
+                       THEN 1 ELSE 0 END AS nw
+      FROM l0
+    ), l2 AS (
+      SELECT doc_id, source, line_id,
+             CASE WHEN doc_id % 13 = 0 AND line_id = 1
+                  THEN line || ' {' ELSE line END AS line,
+             nw + CASE WHEN doc_id % 13 = 0 AND line_id = 1
+                       THEN 1 ELSE 0 END AS nw
+      FROM l1
+    ), l3 AS (
+      SELECT doc_id, source, line_id, nw,
+             CASE WHEN (doc_id + line_id) % 4 <> 0
+                  THEN line || '.' ELSE line END AS line
+      FROM l2
+    ), lr AS (
+      SELECT doc_id, source, line_id, nw, line,
+             (line LIKE '%.' AND nw >= 5
+              AND ' ' || line || ' ' NOT LIKE '% javascript %') AS keep,
+             (line LIKE '%{%') AS has_brace
+      FROM l3
+    ), docs_r AS (
+      SELECT doc_id, source,
+             CAST(COUNT(*) AS BIGINT) AS lines_total,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS lines_kept_doc,
+             MAX(CASE WHEN has_brace THEN 1 ELSE 0 END) AS has_brace,
+             CAST(SUM(CASE WHEN keep THEN nw ELSE 0 END) AS BIGINT)
+               AS words_kept_doc,
+             CAST(SUM(CASE WHEN keep THEN length(line) ELSE 0 END)
+                  AS BIGINT) AS chars_kept_doc
+      FROM lr GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs_total,
+           CAST(SUM(CASE WHEN has_brace = 0 AND lines_kept_doc >= 3
+                    THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+           CAST(SUM(lines_total) AS BIGINT) AS lines_total,
+           CAST(SUM(lines_kept_doc) AS BIGINT) AS lines_kept,
+           CAST(SUM(CASE WHEN has_brace = 0 AND lines_kept_doc >= 3
+                    THEN words_kept_doc ELSE 0 END) AS BIGINT)
+             AS words_kept,
+           CAST(SUM(CASE WHEN has_brace = 0 AND lines_kept_doc >= 3
+                    THEN chars_kept_doc ELSE 0 END) AS BIGINT)
+             AS chars_kept
+    FROM docs_r GROUP BY source ORDER BY source
+    """,
+)
+def q431(spark, sf_dir):
+    """C4-style line-level quality filtering (Raffel et al. 2020 §2.2)
+    re-expressed as a native explode -> line-rebuild -> rule pipeline:
+    documents shred to 7-word lines (posexplode + integer-div line
+    ids), lines keep only if they end in terminal punctuation, have
+    >= 5 words, and carry no policy token ('javascript'); documents
+    survive only with >= 3 kept lines and no curly brace anywhere
+    (C4 drops brace pages as code).  The corpus is deterministically
+    perturbed so each rule fires: doc_id%11 docs get a 'javascript'
+    token on line 0, doc_id%13 docs a '{' on line 1, and terminal '.'
+    is withheld from every (doc_id+line_id)%4==0 line.  Exchanges key
+    on (doc_id, line_id) then doc_id then source — all linear in corpus
+    size, no joins; the line rebuild is array_sort over collected
+    (pos, word) structs, never a window."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    l0 = (
+        w.groupBy("doc_id", "source", F.expr("pos DIV 7").alias("line_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x["word"],
+                ),
+                " ",
+            ).alias("line"),
+            F.count(F.lit(1)).cast("bigint").alias("nw"),
+        )
+    )
+    did, lid = F.col("doc_id"), F.col("line_id")
+    js = (did % 11 == 0) & (lid == 0)
+    br = (did % 13 == 0) & (lid == 1)
+    l1 = l0.select(
+        "doc_id",
+        "source",
+        "line_id",
+        F.when(js, F.concat(F.lit("javascript "), F.col("line")))
+        .otherwise(F.col("line"))
+        .alias("line"),
+        (F.col("nw") + F.when(js, 1).otherwise(0)).alias("nw"),
+    )
+    l2 = l1.select(
+        "doc_id",
+        "source",
+        "line_id",
+        F.when(br, F.concat(F.col("line"), F.lit(" {")))
+        .otherwise(F.col("line"))
+        .alias("line"),
+        (F.col("nw") + F.when(br, 1).otherwise(0)).alias("nw"),
+    )
+    l3 = l2.select(
+        "doc_id",
+        "source",
+        "line_id",
+        "nw",
+        F.when((did + lid) % 4 != 0, F.concat(F.col("line"), F.lit(".")))
+        .otherwise(F.col("line"))
+        .alias("line"),
+    )
+    keep = (
+        F.col("line").like("%.")
+        & (F.col("nw") >= 5)
+        & ~F.concat(F.lit(" "), F.col("line"), F.lit(" ")).like("% javascript %")
+    )
+    lr = l3.select(
+        "doc_id",
+        "source",
+        "nw",
+        "line",
+        keep.alias("keep"),
+        F.col("line").like("%{%").alias("has_brace"),
+    )
+    dr = lr.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("lines_total"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("lines_kept_doc"),
+        F.max(F.when(F.col("has_brace"), 1).otherwise(0)).alias("has_brace"),
+        F.sum(F.when(F.col("keep"), F.col("nw")).otherwise(0))
+        .cast("bigint")
+        .alias("words_kept_doc"),
+        F.sum(F.when(F.col("keep"), F.length("line")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_kept_doc"),
+    )
+    dk = (F.col("has_brace") == 0) & (F.col("lines_kept_doc") >= 3)
+    return (
+        dr.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_total"),
+            F.sum(F.when(dk, 1).otherwise(0)).cast("bigint").alias("docs_kept"),
+            F.sum("lines_total").cast("bigint").alias("lines_total"),
+            F.sum("lines_kept_doc").cast("bigint").alias("lines_kept"),
+            F.sum(F.when(dk, F.col("words_kept_doc")).otherwise(0))
+            .cast("bigint")
+            .alias("words_kept"),
+            F.sum(F.when(dk, F.col("chars_kept_doc")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q433_line_dedup",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             unnest(string_split(text, ' ')) AS word,
+             unnest(range(0, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ), content AS (
+      SELECT doc_id, source, pos // 7 AS line_id,
+             string_agg(word, ' ' ORDER BY pos) AS line
+      FROM w GROUP BY doc_id, source, pos // 7
+    ), lines AS (
+      SELECT doc_id, source, line FROM content
+      UNION ALL
+      SELECT doc_id, source,
+             'subscribe to ' || source || ' updates today' AS line
+      FROM documents
+      UNION ALL
+      SELECT doc_id, source,
+             'copyright ' || source || ' all rights reserved' AS line
+      FROM documents
+    ), df AS (
+      SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS line_df
+      FROM lines GROUP BY line
+    ), j AS (
+      SELECT l.doc_id, l.source, l.line, d.line_df,
+             (d.line_df < 20) AS keep
+      FROM lines l JOIN df d ON l.line = d.line
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS lines_total,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS lines_kept,
+           CAST(SUM(CASE WHEN NOT keep THEN length(line) + 1
+                    ELSE 0 END) AS BIGINT) AS chars_removed,
+           CAST(COUNT(DISTINCT CASE WHEN NOT keep THEN doc_id END)
+                AS BIGINT) AS docs_affected
+    FROM j GROUP BY source ORDER BY source
+    """,
+)
+def q433(spark, sf_dir):
+    """CCNet-style cross-document line deduplication (Wenzek et al.
+    2020 §3.1: drop lines whose document frequency across the corpus
+    exceeds a threshold — the standard boilerplate/header/footer
+    remover in web-crawl pipelines).  Documents shred to 7-word lines;
+    two deterministic boilerplate lines per document (a per-source
+    'subscribe' header and 'copyright' footer) model the repeated chrome
+    CCNet targets.  Line document-frequency is one hash aggregation
+    keyed on the line text (map-side partial count-distinct via the
+    doc_id set is NOT used — countDistinct shuffles (line, doc_id)
+    pairs, still linear); the keep flag joins back on the same line
+    key, so AQE can plan both sides from one exchange.  At 100 TB the
+    df table is |distinct lines| — orders of magnitude smaller than
+    the corpus — and the join never widens rows beyond one bigint.
+    Output: per-source kept/removed line counts, bytes removed, and
+    documents touched — all exact integers."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    content = (
+        w.groupBy("doc_id", "source", F.expr("pos DIV 7").alias("line_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x["word"],
+                ),
+                " ",
+            ).alias("line")
+        )
+        .select("doc_id", "source", "line")
+    )
+    header = docs.select(
+        "doc_id",
+        "source",
+        F.concat(F.lit("subscribe to "), F.col("source"), F.lit(" updates today")).alias(
+            "line"
+        ),
+    )
+    footer = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("copyright "), F.col("source"), F.lit(" all rights reserved")
+        ).alias("line"),
+    )
+    lines = content.unionByName(header).unionByName(footer)
+    df_t = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("line_df")
+    )
+    j = lines.join(df_t, "line").withColumn("keep", F.col("line_df") < 20)
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("lines_total"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("lines_kept"),
+            F.sum(F.when(~F.col("keep"), F.length("line") + 1).otherwise(0))
+            .cast("bigint")
+            .alias("chars_removed"),
+            F.countDistinct(F.when(~F.col("keep"), F.col("doc_id")))
+            .cast("bigint")
+            .alias("docs_affected"),
+        )
+        .orderBy("source")
+    )
