@@ -110,12 +110,20 @@ the bare keyword/regex rules alike) skips matches that start inside a
 quoted literal, so ``WHERE msg = 'call match(a, b) now'`` keeps its
 literal byte-for-byte.
 
+``FROM t SAMPLE <frac> [OFFSET <frac>]`` translates when the caller
+passes ``sampling_key=`` (CH reads the sampling expression from the
+MergeTree ``SAMPLE BY`` DDL, which a bare statement cannot carry): the
+table ref becomes a same-named subquery filtering on the leading 32
+bits of md5(sampling_key) — deterministic, and nested the way CH
+guarantees (SAMPLE 0.1 ⊂ SAMPLE 0.2).  The integer row-count form
+raises (needs table statistics).
+
 Deliberately NOT translated (semantics differ or need a planner):
 ``extract`` (CH group-or-whole-match rule), ``length`` (type-overloaded
 in CH), ``neighbor``, ``arrayEnumerate*`` beyond the q227 operator, CH
-``SAMPLE``/``FINAL``/``PREWHERE`` clauses (PREWHERE is translated to
-WHERE since Catalyst pushes predicates itself; SAMPLE/FINAL raise —
-FINAL's engine-aware reads live in ``operators/engines.py``).
+``FINAL`` (PREWHERE is translated to WHERE since Catalyst pushes
+predicates itself; FINAL raises — its engine-aware reads live in
+``operators/engines.py``).
 """
 
 from __future__ import annotations
@@ -307,9 +315,28 @@ _CASTS = {
 }
 
 
-def translate_ch_sql(sql: str) -> str:
+def _parse_sample_fraction(txt: str) -> float:
+    """CH SAMPLE accepts a decimal in (0, 1] or a ``k/n`` ratio."""
+    if "/" in txt:
+        num, den = txt.split("/")
+        return int(num) / int(den)
+    return float(txt)
+
+
+def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
     """Rewrite a ClickHouse-dialect statement into Spark SQL (see the
-    module docstring for the covered subset)."""
+    module docstring for the covered subset).
+
+    ``sampling_key`` enables the ``SAMPLE`` clause: CH resolves the
+    sampling expression from the MergeTree DDL (``SAMPLE BY ...``),
+    which a bare SQL string cannot carry — so the caller supplies it.
+    The translation keeps CH's two contracts: the subset is
+    DETERMINISTIC (same rows every run — CH hashes the sampling key,
+    here md5's leading 32 bits), and NESTED (``SAMPLE 0.1`` rows are a
+    subset of ``SAMPLE 0.2`` rows — both are prefixes of the same hash
+    order).  ``SAMPLE <frac> OFFSET <frac>`` shifts the hash window.
+    The integer row-count form (``SAMPLE 10000``) raises: CH resolves
+    it against table statistics this shim does not have."""
     s = sql
 
     # CH bracket array literals -> array(...).  A '[' directly after an
@@ -321,11 +348,59 @@ def translate_ch_sql(sql: str) -> str:
     # clause-level.  All keyword/function matching from here on is
     # literal-aware (_search_nl/_sub_nl/_find_call skip quoted spans):
     # `WHERE msg = 'call match(a, b) now'` keeps its literal verbatim.
+    # FROM <table> SAMPLE <frac> [OFFSET <frac>] -> the table replaced
+    # by a filtered subquery aliased to the same name, so every column
+    # reference downstream keeps resolving.  The predicate thresholds
+    # the leading 8 hex chars of md5(sampling_key): a fixed-width
+    # lowercase-hex string compares lexicographically == numerically,
+    # and DuckDB/Spark md5 agree byte-for-byte, so oracles can replay
+    # the exact subset.  Granularity is 2^-32 of the key space.
+    m = _search_nl(
+        r"\bFROM\s+([A-Za-z_][\w.]*)\s+SAMPLE\s+"
+        r"(\d+\s*/\s*\d+|0?\.\d+|1\.0|\d+)(?![\d./])"
+        r"(?:\s+OFFSET\s+(\d+\s*/\s*\d+|0?\.\d+)(?![\d./]))?",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        if sampling_key is None:
+            raise ChTranslationError(
+                "SAMPLE needs sampling_key= (CH reads the sampling "
+                "expression from the MergeTree SAMPLE BY clause; pass "
+                "it explicitly here)"
+            )
+        raw = m.group(2).replace(" ", "")
+        if "/" not in raw and "." not in raw and raw != "1":
+            raise ChTranslationError(
+                "SAMPLE <row count> needs table statistics to resolve; "
+                "only the fractional forms translate"
+            )
+        frac = _parse_sample_fraction(raw)
+        off = _parse_sample_fraction(m.group(3).replace(" ", "")) if m.group(3) else 0.0
+        if not (0.0 < frac <= 1.0 and 0.0 <= off < 1.0):
+            raise ChTranslationError("SAMPLE fraction must be in (0, 1]")
+        lo = int(off * 16**8)
+        hi = int((off + frac) * 16**8)
+        h = f"substring(md5(CAST({sampling_key} AS STRING)), 1, 8)"
+        conds = []
+        if lo > 0:
+            conds.append(f"{h} >= '{lo:08x}'")
+        if hi < 16**8:  # hi at 2^32 would need 9 hex chars: no upper bound
+            conds.append(f"{h} < '{hi:08x}'")
+        pred = " AND ".join(conds) or "true"
+        table = m.group(1)
+        s = (
+            s[: m.start()]
+            + f"FROM (SELECT * FROM {table} WHERE {pred}) {table}"
+            + s[m.end():]
+        )
+
     if _search_nl(r"\bSAMPLE\b|\bFINAL\b", s, re.IGNORECASE):
         raise ChTranslationError(
-            "SAMPLE/FINAL have no Spark equivalent here (FINAL needs "
-            "engine metadata; see operators/engines.py for the "
-            "Collapsing FINAL reads)"
+            "FINAL / non-FROM-table SAMPLE forms have no Spark "
+            "equivalent here (FINAL needs engine metadata; see "
+            "operators/engines.py for the Collapsing FINAL reads; "
+            "fractional SAMPLE translates when sampling_key= is given)"
         )
 
     # GROUP BY <keys> WITH TOTALS -> GROUPING SETS ((<keys>), ()).  CH

@@ -1231,3 +1231,47 @@ def q418(spark, sf_dir):
         "first_bucket",
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "q432_ch_sample_clause",
+    """
+    WITH s AS (
+      SELECT * FROM events
+      WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 8) < '33333333'
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu,
+           CAST(SUM(event_id % 97) AS BIGINT) AS s
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q432(spark, sf_dir):
+    """CH ``SAMPLE`` clause (``FROM events SAMPLE 0.2``) through the
+    dialect shim: CH samples deterministically by hashing the table's
+    ``SAMPLE BY`` expression, so the translation (given that key as
+    ``sampling_key=``) thresholds the leading 32 bits of
+    md5(sampling_key) — same subset every run, and nested exactly the
+    way CH guarantees (SAMPLE 0.1 rows ⊂ SAMPLE 0.2 rows: both are
+    prefixes of one hash order).  The oracle replays the identical
+    md5-prefix predicate in DuckDB — the two engines' md5 agree
+    byte-for-byte, so this is an exact-subset value check, not a
+    statistical one.  At scale the predicate is a codegen'd filter
+    ahead of the first exchange: sampling costs one scan pass, never a
+    shuffle."""
+    from ..functions.ch_dialect import translate_ch_sql
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_sample_t")
+    ch = (
+        "SELECT event_type, count() AS n, uniqExact(user_id) AS nu, "
+        "sum(event_id % 97) AS s "
+        "FROM events_sample_t SAMPLE 0.2 GROUP BY event_type"
+    )
+    df = spark.sql(translate_ch_sql(ch, sampling_key="event_id"))
+    return df.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("nu").cast("bigint").alias("nu"),
+        F.col("s").cast("bigint").alias("s"),
+    ).orderBy("event_type")

@@ -981,3 +981,57 @@ def test_extract_key_value_pairs_rule(spark):
     # non-literal delimiter refuses
     with pytest.raises(ChTranslationError):
         translate_ch_sql("SELECT extractKeyValuePairs(s, d) FROM kv_t")
+
+
+def test_sample_clause_translation_forms():
+    out = translate_ch_sql(
+        "SELECT count() FROM t SAMPLE 0.2", sampling_key="event_id"
+    )
+    assert "substring(md5(CAST(event_id AS STRING)), 1, 8) < '33333333'" in out
+    assert "SAMPLE" not in out
+    # k/n ratio + OFFSET window
+    out = translate_ch_sql(
+        "SELECT count() FROM t SAMPLE 1/10 OFFSET 1/2", sampling_key="k"
+    )
+    assert ">= '80000000'" in out and "< '99999999'" in out
+    # SAMPLE 1 keeps everything (predicate degenerates to true)
+    out = translate_ch_sql("SELECT count() FROM t SAMPLE 1", sampling_key="k")
+    assert "WHERE true" in out
+
+
+def test_sample_clause_guards():
+    with pytest.raises(ChTranslationError):  # no sampling key supplied
+        translate_ch_sql("SELECT count() FROM t SAMPLE 0.2")
+    with pytest.raises(ChTranslationError):  # row-count form
+        translate_ch_sql("SELECT count() FROM t SAMPLE 10000", sampling_key="k")
+    with pytest.raises(ChTranslationError):  # fraction out of range
+        translate_ch_sql("SELECT count() FROM t SAMPLE 1.5", sampling_key="k")
+    with pytest.raises(ChTranslationError):  # FINAL still refuses
+        translate_ch_sql("SELECT count() FROM t FINAL", sampling_key="k")
+    # literal text containing SAMPLE is data, not a clause
+    out = translate_ch_sql("SELECT x FROM t WHERE msg = 'FROM t SAMPLE 0.5'")
+    assert "'FROM t SAMPLE 0.5'" in out
+
+
+def test_sample_clause_nested_subsets(spark):
+    """CH contract: SAMPLE 0.1 rows are a subset of SAMPLE 0.2 rows
+    (same sampling key) — both are prefixes of one hash order."""
+    from syslog_handler_with_clickhouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView(
+        "events_sample_nest_t"
+    )
+
+    def ids(frac):
+        sql = translate_ch_sql(
+            f"SELECT event_id FROM events_sample_nest_t SAMPLE {frac}",
+            sampling_key="event_id",
+        )
+        return {r[0] for r in spark.sql(sql).collect()}
+
+    small, big = ids(0.1), ids(0.2)
+    assert small and small < big  # proper, non-empty nesting
+    # determinism: the same statement re-runs to the same subset
+    assert ids(0.1) == small
