@@ -97,3 +97,36 @@ def shingles(text: Column, n: int = 3) -> Column:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_rules(text: Column, *, min_words: int = 30,
+                 max_words: int = 100000) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1) as
+    native boolean columns over a space-tokenized text column — the
+    standard pre-training corpus gate, all integer arithmetic (the
+    mean-word-length band is cross-multiplied, never divided):
+
+    - ``r_word_count``: word count within [min_words, max_words]
+    - ``r_mean_word_len``: mean word length within [3, 10]
+    - ``r_symbol_ratio``: '#' chars per word < 0.1
+    - ``r_alpha_words``: >= 80 % of words contain an alphabetic char
+      (here: are not '##' symbol tokens — the corpus's only non-alpha
+      form; a general corpus would regex-count instead)
+    - ``r_stop_words``: carries the corpus's function words 'the'/'a'
+      (standing in for Gopher's 2-of-8 English stop-word rule)
+
+    Row-local: composing these adds ZERO exchanges to a plan."""
+    n_words = F.size(F.split(text, " ")).cast("bigint")
+    wl_sum = F.length(F.regexp_replace(text, " ", "")).cast("bigint")
+    hc = (F.length(text) - F.length(F.regexp_replace(text, "#", ""))).cast(
+        "bigint"
+    )
+    pad = F.concat(F.lit(" "), text, F.lit(" "))
+    non_alpha = ((hc - hc % 2) / 2).cast("bigint")  # '##' token count
+    return {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (3 * n_words <= wl_sum) & (wl_sum <= 10 * n_words),
+        "r_symbol_ratio": 10 * hc < n_words,
+        "r_alpha_words": 10 * (n_words - non_alpha) >= 8 * n_words,
+        "r_stop_words": pad.like("% the %") & pad.like("% a %"),
+    }

@@ -4374,26 +4374,16 @@ def q430(spark, sf_dir):
         .otherwise(t1)
         .alias("t"),
     )
-    n_words = F.size(F.split("t", " "))
-    wl_sum = F.length(F.regexp_replace("t", " ", ""))
-    hc = F.length("t") - F.length(F.regexp_replace("t", "#", ""))
-    pad = F.concat(F.lit(" "), F.col("t"), F.lit(" "))
-    m = d.select(
+    from ..functions.text import gopher_rules
+
+    rules = gopher_rules(F.col("t"))
+    r = d.select(
         "source",
-        n_words.cast("bigint").alias("n_words"),
-        wl_sum.cast("bigint").alias("wl_sum"),
-        hc.cast("bigint").alias("hc"),
-        pad.like("% the %").alias("has_the"),
-        pad.like("% a %").alias("has_a"),
-    )
-    nw, wl, h = F.col("n_words"), F.col("wl_sum"), F.col("hc")
-    r = m.select(
-        "source",
-        ((nw >= 30) & (nw <= 100000)).alias("r1"),
-        ((3 * nw <= wl) & (wl <= 10 * nw)).alias("r2"),
-        (10 * h < nw).alias("r3"),
-        (10 * (nw - (h - h % 2) / 2) >= 8 * nw).alias("r4"),
-        (F.col("has_the") & F.col("has_a")).alias("r5"),
+        rules["r_word_count"].alias("r1"),
+        rules["r_mean_word_len"].alias("r2"),
+        rules["r_symbol_ratio"].alias("r3"),
+        rules["r_alpha_words"].alias("r4"),
+        rules["r_stop_words"].alias("r5"),
     )
 
     def _fails(c, name):

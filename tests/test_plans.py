@@ -988,3 +988,90 @@ def test_changepoint_exchanges_key_on_series_key(spark):
         for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
             keys = m.group(1)
             assert "event_type" in keys, f"{name}: stray exchange on {keys}"
+
+
+def test_quality_filter_queries_python_free(spark):
+    """q430-q433 (Gopher rules, C4 line filters, SAMPLE clause, CCNet
+    line dedup) are pure relational pipelines — zero Python nodes."""
+    for name in [
+        "q430_gopher_quality",
+        "q431_c4_line_filters",
+        "q432_ch_sample_clause",
+        "q433_line_dedup",
+    ]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert python_eval_nodes(df) == [], name
+
+
+def test_gopher_rules_single_source_exchange(spark):
+    """q430's rule matrix is row-local string arithmetic; the ONLY
+    exchange is the final source-keyed aggregate (with a map-side
+    partial), so the whole filter costs one scan + one 1-key shuffle."""
+    import re
+
+    plan = formatted_plan(QUERIES["q430_gopher_quality"](spark, SF_DIR))
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 1, exchanges
+    assert "source" in exchanges[0], exchanges
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_c4_line_pipeline_exchanges_stay_doc_keyed(spark):
+    """q431's exchanges key on (doc_id[, line_id]) then source — never
+    on line text or position, so the shred stays linear and skew-free."""
+    import re
+
+    plan = formatted_plan(QUERIES["q431_c4_line_filters"](spark, SF_DIR))
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = {k.split("#")[0].strip() for k in m.group(1).split(",")[:-1]}
+        # `pos DIV 7` surfaces as Catalyst's _groupingexpression alias
+        assert keys <= {"doc_id", "source", "line_id",
+                        "_groupingexpression"}, keys
+
+
+def test_line_dedup_df_join_keys_on_line(spark):
+    """q433: the document-frequency aggregate and its join back to the
+    corpus both partition on the line key — AQE can reuse one exchange;
+    raw doc text never shuffles under any other key."""
+    import re
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(QUERIES["q433_line_dedup"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    lead_keys = [
+        m.group(1).split(",")[0].split("#")[0].strip()
+        for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan)
+    ]
+    assert "line" in lead_keys, lead_keys
+    # every exchange leads with a corpus-structural key (the distinct
+    # aggregate appends its CASE projection after `source`; `pos DIV 7`
+    # surfaces as Catalyst's _groupingexpression alias) — raw text never
+    # becomes a shuffle key except as the intended line-df key itself
+    for k in lead_keys:
+        assert k in {"line", "doc_id", "source", "_groupingexpression"}, (
+            k, lead_keys)
+
+
+def test_sample_clause_filter_precedes_every_exchange(spark):
+    """q432: the SAMPLE predicate is a plain codegen filter applied at
+    the scan, so sampling happens before the first shuffle — every
+    exchange only ever sees the 20 % subset.  Formatted-plan node ids
+    are assigned children-first, so filter-id < exchange-id proves the
+    ordering.  (The md5 call defeats parquet row-group pushdown by
+    nature; the contract is filter-before-exchange, not scan pushdown.)"""
+    import re
+
+    plan = formatted_plan(QUERIES["q432_ch_sample_clause"](spark, SF_DIR))
+    m = re.search(r"Condition :[^\n]*md5", plan)
+    assert m is not None, plan
+    filter_ids = [
+        int(i) for i in re.findall(r"\((\d+)\) Filter", plan)
+    ]
+    exchange_ids = [
+        int(i) for i in re.findall(r"\((\d+)\) Exchange", plan)
+    ]
+    assert filter_ids and exchange_ids, plan
+    assert min(filter_ids) < min(exchange_ids), (filter_ids, exchange_ids)
