@@ -1140,3 +1140,126 @@ def q425(spark, sf_dir):
         .crossJoin(hi)
         .withColumn("n_replicates", F.lit(64).cast("bigint"))
     )
+
+
+@query(
+    "q434_sq8_ann",
+    """
+    WITH ql AS (
+      SELECT vec_id AS vid,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ), sq AS (
+      SELECT vid, qv,
+             list_min(qv) AS mn, list_max(qv) AS mx,
+             CASE WHEN list_max(qv) > list_min(qv)
+                  THEN list_transform(qv,
+                    x -> (x - list_min(qv)) * 255
+                         // (list_max(qv) - list_min(qv)))
+                  ELSE list_transform(qv, x -> CAST(0 AS BIGINT)) END
+               AS codes
+      FROM ql
+    ), deq AS (
+      SELECT vid, qv, mn, mx,
+             list_transform(codes, c -> mn + (c * (mx - mn)) // 255) AS dq
+      FROM sq
+    ), scored AS (
+      SELECT q.vid AS query_id, c.vid AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> q.qv[i] * c.dq[i])) AS BIGINT) AS adc,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> q.qv[i] * c.qv[i])) AS BIGINT) AS exact
+      FROM (SELECT * FROM deq WHERE vid % 29 = 0) q
+      JOIN deq c ON q.vid <> c.vid
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc DESC, neighbor_id) AS rk_adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY exact DESC, neighbor_id) AS rk_ex
+      FROM scored
+    )
+    SELECT a.query_id,
+           CAST(COUNT(*) AS BIGINT) AS recall10,
+           CAST(MIN(CASE WHEN a.rk_adc = 1 THEN a.neighbor_id END)
+                AS BIGINT) AS adc_top1,
+           CAST(MIN(CASE WHEN a.rk_ex = 1 THEN a.neighbor_id END)
+                AS BIGINT) AS exact_top1
+    FROM ranked a
+    WHERE a.rk_adc <= 10 AND a.rk_ex <= 10
+    GROUP BY a.query_id ORDER BY a.query_id
+    """,
+)
+def q434(spark, sf_dir):
+    """SQ8 scalar-quantized ANN with asymmetric distance (the FAISS
+    ``IndexScalarQuantizer`` layout): vectors store per-vector (mn, mx)
+    + 8-bit codes (~8× less scan traffic than raw doubles); queries
+    stay unquantized and score against the integer dequantization —
+    classic ADC.  Both the ADC and the exact ranking are computed in
+    ONE corpus pass (each pair projected to both dot products), over
+    the round(x*1000) integer grid, so every score is an exact bigint
+    and rankings are engine-independent (ties broken by neighbor_id).
+    Output per query: |ADC top-10 ∩ exact top-10| (recall@10) and both
+    top-1 ids.  Scale shape: queries broadcast, codes stream through a
+    single nested-loop scorer, the two row_number windows key on
+    query_id — corpus never shuffles."""
+    from ..operators.clustering import quantize_vectors
+    from ..operators.similarity import sq8_dequantize, sq8_quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = quantize_vectors(emb)  # (vid, qv) integer grid
+    sq = sq8_quantize(v).join(v, "vid")
+    deq = sq.select(
+        "vid",
+        "qv",
+        sq8_dequantize(F.col("codes"), F.col("mn"), F.col("mx")).alias("dq"),
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    q = deq.filter(F.col("vid") % 29 == 0).select(
+        F.col("vid").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(deq.select(F.col("vid").alias("neighbor_id"), "qv", "dq"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("q_qv"), F.col("dq")).alias("adc"),
+            _dot(F.col("q_qv"), F.col("qv")).alias("exact"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("exact").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wa).alias("rk_adc"),
+        F.row_number().over(we).alias("rk_ex"),
+    )
+    return (
+        ranked.filter((F.col("rk_adc") <= 10) & (F.col("rk_ex") <= 10))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("recall10"),
+            F.min(F.when(F.col("rk_adc") == 1, F.col("neighbor_id")))
+            .cast("bigint")
+            .alias("adc_top1"),
+            F.min(F.when(F.col("rk_ex") == 1, F.col("neighbor_id")))
+            .cast("bigint")
+            .alias("exact_top1"),
+        )
+        .orderBy("query_id")
+    )
