@@ -4691,3 +4691,142 @@ def q433(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q435_pii_luhn_scan",
+    """
+    WITH c AS (
+      SELECT event_id, event_type, user_id,
+             list_aggregate(list_transform(range(0, 15),
+               j -> CAST(CASE WHEN j % 2 = 0
+                    THEN CASE WHEN 2 * ((event_id * (j + 3) + user_id * 7
+                                         + j * j) % 10) > 9
+                         THEN 2 * ((event_id * (j + 3) + user_id * 7
+                                    + j * j) % 10) - 9
+                         ELSE 2 * ((event_id * (j + 3) + user_id * 7
+                                    + j * j) % 10) END
+                    ELSE (event_id * (j + 3) + user_id * 7 + j * j) % 10
+                    END AS BIGINT)), 'sum') AS t,
+             array_to_string(list_transform(range(0, 15),
+               j -> CAST((event_id * (j + 3) + user_id * 7 + j * j) % 10
+                         AS VARCHAR)), '') AS d15
+      FROM events
+    ), lines AS (
+      SELECT event_type,
+             'uid=' || CAST(user_id AS VARCHAR) || ' card=' || d15 ||
+             CAST(CASE WHEN event_id % 2 = 0 THEN (10 - t % 10) % 10
+                  ELSE ((10 - t % 10) % 10 + 1) % 10 END AS VARCHAR) ||
+             ' tel=' || CAST(100 + user_id % 900 AS VARCHAR) || '-' ||
+             CAST(1000 + event_id % 9000 AS VARCHAR) AS raw
+      FROM c
+    ), scan AS (
+      SELECT event_type, raw,
+             regexp_extract_all(raw, '[0-9]{16}') AS cards,
+             len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS n_phones
+      FROM lines
+    ), judged AS (
+      SELECT event_type, n_phones, len(cards) AS n_cands,
+             len(list_filter(cards, s ->
+               list_aggregate(list_transform(range(0, 16), i ->
+                 CAST(CASE WHEN i % 2 = 1
+                      THEN CASE WHEN 2 * CAST(substring(reverse(s),
+                                              i + 1, 1) AS BIGINT) > 9
+                           THEN 2 * CAST(substring(reverse(s),
+                                         i + 1, 1) AS BIGINT) - 9
+                           ELSE 2 * CAST(substring(reverse(s),
+                                         i + 1, 1) AS BIGINT) END
+                      ELSE CAST(substring(reverse(s), i + 1, 1) AS BIGINT)
+                      END AS BIGINT)), 'sum') % 10 = 0)) AS n_valid
+      FROM scan
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(n_cands) AS BIGINT) AS n_candidates,
+           CAST(SUM(n_valid) AS BIGINT) AS n_luhn_valid,
+           CAST(SUM(n_cands - n_valid) AS BIGINT) AS n_luhn_invalid,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones
+    FROM judged GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q435(spark, sf_dir):
+    """PII scanning with Luhn validation — the precision step q92's
+    regex redaction lacks: a 16-digit match is only a REAL card number
+    if its Luhn checksum closes, which is what separates actionable
+    PII from order ids at pipeline scale.  Card numbers are
+    deterministically synthesized (15 payload digits from integer
+    arithmetic; even event_ids get the true Luhn check digit, odd ones
+    a corrupted one — so exactly half the candidates validate), then
+    the DETECTOR independently re-extracts `[0-9]{16}` runs and folds
+    the doubled-digit checksum over the extracted STRING with a native
+    higher-order aggregate — construction and validation share no
+    arithmetic.  Phone-shaped tokens counted alongside.  Everything is
+    one codegen projection + one event_type-keyed aggregate; no UDF,
+    no shuffle of raw text."""
+    ev = _t(spark, sf_dir, "events")
+    dig = (
+        "(event_id * (j + 3) + user_id * 7 + j * j) % 10"
+    )
+    d15 = F.expr(
+        f"concat_ws('', transform(sequence(0, 14), j -> CAST({dig} AS STRING)))"
+    )
+    t = F.expr(
+        f"""aggregate(transform(sequence(0, 14), j ->
+              CASE WHEN j % 2 = 0
+                   THEN CASE WHEN 2 * ({dig}) > 9 THEN 2 * ({dig}) - 9
+                        ELSE 2 * ({dig}) END
+                   ELSE {dig} END),
+            CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+    )
+    check = (10 - t % 10) % 10
+    final = F.when(F.col("event_id") % 2 == 0, check).otherwise((check + 1) % 10)
+    raw = F.concat(
+        F.lit("uid="),
+        F.col("user_id").cast("string"),
+        F.lit(" card="),
+        d15,
+        final.cast("int").cast("string"),
+        F.lit(" tel="),
+        (100 + F.col("user_id") % 900).cast("string"),
+        F.lit("-"),
+        (1000 + F.col("event_id") % 9000).cast("string"),
+    )
+    scan = ev.select("event_type", raw.alias("raw")).select(
+        "event_type",
+        F.expr("regexp_extract_all(raw, '[0-9]{16}', 0)").alias("cards"),
+        F.size(F.expr("regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}', 0)")).alias(
+            "n_phones"
+        ),
+    )
+    luhn_ok = (
+        """aggregate(transform(sequence(0, 15), i ->
+             CASE WHEN i % 2 = 1
+                  THEN CASE WHEN 2 * CAST(substring(reverse(s), i + 1, 1)
+                                          AS BIGINT) > 9
+                       THEN 2 * CAST(substring(reverse(s), i + 1, 1)
+                                     AS BIGINT) - 9
+                       ELSE 2 * CAST(substring(reverse(s), i + 1, 1)
+                                     AS BIGINT) END
+                  ELSE CAST(substring(reverse(s), i + 1, 1) AS BIGINT)
+             END),
+           CAST(0 AS BIGINT), (acc, x) -> acc + x) % 10 = 0"""
+    )
+    judged = scan.select(
+        "event_type",
+        "n_phones",
+        F.size("cards").alias("n_cands"),
+        F.size(F.expr(f"filter(cards, s -> {luhn_ok})")).alias("n_valid"),
+    )
+    return (
+        judged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("n_cands").cast("bigint").alias("n_candidates"),
+            F.sum("n_valid").cast("bigint").alias("n_luhn_valid"),
+            F.sum(F.col("n_cands") - F.col("n_valid"))
+            .cast("bigint")
+            .alias("n_luhn_invalid"),
+            F.sum("n_phones").cast("bigint").alias("n_phones"),
+        )
+        .orderBy("event_type")
+    )

@@ -94,3 +94,28 @@ def test_c4_line_rules_python_reference(spark):
     assert out["src"]["lines_kept"] == 2
     assert out["src"]["docs_kept"] == 0  # 2 kept lines < 3 minimum
     assert out["src"]["words_kept"] == 0  # dropped docs contribute none
+
+
+def test_luhn_fold_on_canonical_test_numbers(spark):
+    """The q435 Luhn fold against the classic card test vectors:
+    4111111111111111 / 5500005555555559 validate; one-digit
+    corruptions do not."""
+    luhn_ok = """aggregate(transform(sequence(0, 15), i ->
+         CASE WHEN i % 2 = 1
+              THEN CASE WHEN 2 * CAST(substring(reverse(s), i + 1, 1)
+                                      AS BIGINT) > 9
+                   THEN 2 * CAST(substring(reverse(s), i + 1, 1)
+                                 AS BIGINT) - 9
+                   ELSE 2 * CAST(substring(reverse(s), i + 1, 1)
+                                 AS BIGINT) END
+              ELSE CAST(substring(reverse(s), i + 1, 1) AS BIGINT)
+         END),
+       CAST(0 AS BIGINT), (acc, x) -> acc + x) % 10 = 0"""
+    rows = spark.createDataFrame(
+        [("4111111111111111", True), ("4111111111111112", False),
+         ("5500005555555559", True), ("5500005555555558", False),
+         ("0000000000000000", True)],
+        "s STRING, expect BOOLEAN",
+    ).selectExpr(f"({luhn_ok}) AS got", "expect").collect()
+    for r in rows:
+        assert r["got"] == r["expect"], r
