@@ -55,6 +55,13 @@ toYYYYMM[DD], toUnixTime-   date_format/unix_timestamp/dayofyear/
 timeSlot(ts) /              epoch floored to 1800 s / to the
   toStartOfInterval(ts,       interval (SECOND|MINUTE|HOUR only;
   INTERVAL n unit)            month-grain raises)
+toStartOfQuarter/Year       date_trunc('quarter'|'year', x)
+toStartOfFive|Ten|Fifteen-  epoch floored to 300/600/900 s
+  Minutes
+now() / today() /           current_timestamp() / current_date() /
+  yesterday()                 date_sub(current_date(), 1)
+uniqCombined[64] /          approx_count_distinct(x) (same
+  uniqHLL12                   HLL-class estimator contract)
 dateDiff('u', a, b)         unit-BOUNDARY crossings per unit
                             (day/month/year/hour/minute/second)
 protocol/domain[WithoutWWW]/ regexp_extract chains, same regexes
@@ -304,6 +311,8 @@ _TRUNC = {
     # is Monday-based (ISO) while CH's default mode 0 is Sunday-based.  It
     # gets a dedicated mode-aware rule in translate_ch_sql.
     "toStartOfMonth": "month",
+    "toStartOfQuarter": "quarter",
+    "toStartOfYear": "year",
 }
 
 _CASTS = {
@@ -561,7 +570,12 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
         lambda a: f"approx_count_distinct(CASE WHEN {a[1]} THEN {a[0]} END)",
     )
     s = _rewrite_calls(s, "uniqExact", lambda a: f"count(DISTINCT {', '.join(a)})")
-    s = _rewrite_calls(s, "uniq", lambda a: f"approx_count_distinct({', '.join(a)})")
+    # uniqCombined[64]/uniqHLL12 are CH's other HLL-class estimators —
+    # same contract (approximate distinct count), same Spark mapping
+    for fn in ("uniqCombined64", "uniqCombined", "uniqHLL12", "uniq"):
+        s = _rewrite_calls(
+            s, fn, lambda a: f"approx_count_distinct({', '.join(a)})"
+        )
     s = _rewrite_calls(
         s, "avgWeighted",
         lambda a: f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))",
@@ -803,13 +817,26 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
     s = _rewrite_calls(
         s, "monthName", lambda a: f"date_format({a[0]}, 'MMMM')"
     )
-    # timeSlot: floor to the half hour
+    # timeSlot: floor to the half hour; the FiveMinutes/TenMinutes/
+    # FifteenMinutes family floors the same way at 300/600/900 s
+    for fn, secs in (
+        ("timeSlot", 1800),
+        ("toStartOfFiveMinutes", 300),
+        ("toStartOfTenMinutes", 600),
+        ("toStartOfFifteenMinutes", 900),
+    ):
+        s = _rewrite_calls(
+            s, fn,
+            lambda a, secs=secs: (
+                f"timestamp_seconds(CAST(floor(unix_timestamp({a[0]}) / "
+                f"{secs}) AS BIGINT) * {secs})"
+            ),
+        )
+    # now()/today()/yesterday(): zero-arg clock functions
+    s = _rewrite_calls(s, "now", lambda a: "current_timestamp()")
+    s = _rewrite_calls(s, "today", lambda a: "current_date()")
     s = _rewrite_calls(
-        s, "timeSlot",
-        lambda a: (
-            f"timestamp_seconds(CAST(floor(unix_timestamp({a[0]}) / 1800)"
-            f" AS BIGINT) * 1800)"
-        ),
+        s, "yesterday", lambda a: "date_sub(current_date(), 1)"
     )
     s = _rewrite_calls(s, "makeDate", lambda a: f"make_date({', '.join(a)})")
 

@@ -1275,3 +1275,46 @@ def q432(spark, sf_dir):
         F.col("nu").cast("bigint").alias("nu"),
         F.col("s").cast("bigint").alias("s"),
     ).orderBy("event_type")
+
+
+@query(
+    "q436_ch_temporal4",
+    """
+    SELECT date_trunc('quarter', ts) AS q_start,
+           date_trunc('year', ts) AS y_start,
+           CAST(to_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600)
+                AS TIMESTAMP) AS ten_min,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+    FROM events
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q436(spark, sf_dir):
+    """Fourth CH temporal/estimator dialect family: toStartOfQuarter/
+    toStartOfYear (date_trunc grains CH users reach for in
+    month-over-month dashboards), the toStartOfTenMinutes epoch-floor
+    bucket, and uniqCombined (CH's other HLL estimator — but aggregated
+    here as uniqExact so the oracle can replay exactly; the
+    uniqCombined→approx_count_distinct mapping itself is unit-pinned in
+    tests/test_ch_dialect_sql.py).  CH returns Date for the
+    quarter/year grains where this returns timestamps — the same
+    documented deviation as toStartOfMonth."""
+    from ..functions.ch_dialect import translate_ch_sql
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_t4")
+    ch = (
+        "SELECT toStartOfQuarter(ts) AS q_start, "
+        "toStartOfYear(ts) AS y_start, "
+        "toStartOfTenMinutes(ts) AS ten_min, "
+        "count() AS n, uniqExact(user_id) AS nu "
+        "FROM events_t4 GROUP BY 1, 2, 3"
+    )
+    df = spark.sql(translate_ch_sql(ch))
+    return df.select(
+        "q_start",
+        "y_start",
+        "ten_min",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("nu").cast("bigint").alias("nu"),
+    ).orderBy("q_start", "y_start", "ten_min")

@@ -1035,3 +1035,27 @@ def test_sample_clause_nested_subsets(spark):
     assert small and small < big  # proper, non-empty nesting
     # determinism: the same statement re-runs to the same subset
     assert ids(0.1) == small
+
+
+def test_round4_temporal_and_uniq_rules():
+    out = translate_ch_sql(
+        "SELECT toStartOfQuarter(ts), toStartOfYear(ts), "
+        "toStartOfTenMinutes(ts), toStartOfFiveMinutes(ts), "
+        "toStartOfFifteenMinutes(ts) FROM t"
+    )
+    assert "date_trunc('quarter', ts)" in out
+    assert "date_trunc('year', ts)" in out
+    assert "/ 600) AS BIGINT) * 600" in out
+    assert "/ 300) AS BIGINT) * 300" in out
+    assert "/ 900) AS BIGINT) * 900" in out
+    out = translate_ch_sql(
+        "SELECT uniqCombined(u), uniqCombined64(u), uniqHLL12(u) FROM t"
+    )
+    assert out.count("approx_count_distinct(u)") == 3
+    out = translate_ch_sql("SELECT now(), today(), yesterday() FROM t")
+    assert "current_timestamp()" in out
+    assert "current_date()" in out
+    assert "date_sub(current_date(), 1)" in out
+    # 'now' as an identifier / inside a literal is untouched
+    out = translate_ch_sql("SELECT now FROM t WHERE msg = 'call now() x'")
+    assert "SELECT now FROM" in out and "'call now() x'" in out
