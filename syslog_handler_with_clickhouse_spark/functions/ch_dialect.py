@@ -62,6 +62,15 @@ now() / today() /           current_timestamp() / current_date() /
   yesterday()                 date_sub(current_date(), 1)
 uniqCombined[64] /          approx_count_distinct(x) (same
   uniqHLL12                   HLL-class estimator contract)
+median[Exact][If]           percentile_approx / percentile at 0.5
+groupArray[(N)](x)          collect_list (+ slice cap) — collection
+                              order arbitrary in BOTH engines
+base64Encode/Decode/        base64 / CAST(unbase64 AS STRING)
+  tryBase64Decode
+topK[Weighted] /            raise: sketch values / engine-specific
+  cityHash64,sipHash64,       hash values have no faithful SQL
+  halfMD5,xxHash32/64         mapping (sketches.py heavy_hitters;
+                              rehash deliberately instead)
 dateDiff('u', a, b)         unit-BOUNDARY crossings per unit
                             (day/month/year/hour/minute/second)
 protocol/domain[WithoutWWW]/ regexp_extract chains, same regexes
@@ -526,6 +535,68 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
         r"\bquantileExact\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant(True), s
     )
     s = _sub_nl(r"\bquantile\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant(False), s)
+
+    # median* are CH's quantile-0.5 aliases (same approx/exact split)
+    def _median_if(exact):
+        def rule(a):
+            if len(a) != 2:
+                raise ChTranslationError("median*If(x, cond) needs 2 args")
+            f = "percentile" if exact else "percentile_approx"
+            return f"{f}(CASE WHEN {a[1]} THEN {a[0]} END, 0.5)"
+
+        return rule
+
+    s = _rewrite_calls(s, "medianExactIf", _median_if(True))
+    s = _rewrite_calls(s, "medianIf", _median_if(False))
+    s = _rewrite_calls(
+        s, "medianExact", lambda a: f"percentile({a[0]}, 0.5)"
+    )
+    s = _rewrite_calls(
+        s, "median", lambda a: f"percentile_approx({a[0]}, 0.5)"
+    )
+
+    # groupArray[(N)](x) -> collect_list (CH insertion order and Spark
+    # collection order are BOTH arbitrary under parallelism — same
+    # contract); the parameterized cap becomes a post-slice
+    s = _sub_nl(
+        r"\bgroupArray\s*\((\d+)\)\s*\(([^()]*)\)",
+        lambda m: f"slice(collect_list({m.group(2).strip()}), 1, {m.group(1)})",
+        s,
+    )
+    s = _rewrite_calls(s, "groupArray", lambda a: f"collect_list({a[0]})")
+
+    # topK: the VALUE contract is a Misra-Gries sketch — there is no
+    # SQL-level Spark equivalent (operators/sketches.py has the real
+    # mergeable heavy-hitters operator)
+    if _search_nl(r"\btopK(Weighted)?\s*\(", s, re.IGNORECASE):
+        raise ChTranslationError(
+            "topK/topKWeighted are sketch aggregates with no SQL-level "
+            "Spark mapping — use operators/sketches.py heavy_hitters"
+        )
+
+    # engine-specific hash functions: the VALUES are part of the CH
+    # contract (stored bucketing, joins against persisted hashes), and
+    # Spark's xxhash64 uses seed 42 where CH uses 0 — translating would
+    # silently produce different hashes, so refuse loudly
+    if _search_nl(
+        r"\b(cityHash64|sipHash64|sipHash128|halfMD5|farmHash64|"
+        r"xxHash32|xxHash64)\s*\(",
+        s,
+    ):
+        raise ChTranslationError(
+            "CH hash functions produce engine-specific values (Spark's "
+            "xxhash64 seeds differently) — rehash deliberately with "
+            "Spark xxhash64/md5/crc32 instead"
+        )
+
+    # base64
+    s = _rewrite_calls(s, "base64Encode", lambda a: f"base64({a[0]})")
+    s = _rewrite_calls(
+        s, "base64Decode", lambda a: f"CAST(unbase64({a[0]}) AS STRING)"
+    )
+    s = _rewrite_calls(
+        s, "tryBase64Decode", lambda a: f"CAST(unbase64({a[0]}) AS STRING)"
+    )
 
     # -State / -Merge combinators carry CH-internal aggregate state and
     # CANNOT be mapped onto Spark SQL — refuse loudly (the engine's

@@ -1318,3 +1318,41 @@ def q436(spark, sf_dir):
         F.col("n").cast("bigint").alias("n"),
         F.col("nu").cast("bigint").alias("nu"),
     ).orderBy("q_start", "y_start", "ten_min")
+
+
+@query(
+    "q437_ch_median_grouparray",
+    """
+    SELECT event_type,
+           round(quantile_cont(user_id % 1000, 0.5), 4) AS med,
+           list_slice(list_sort(list(event_id % 97)), 1, 5) AS first5,
+           MIN(to_base64(CAST(event_type AS BLOB))) AS b64
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q437(spark, sf_dir):
+    """CH median/groupArray/base64 families through the dialect shim:
+    medianExact → Spark's exact interpolated percentile (DuckDB
+    quantile_cont replays it — the q61 idiom), groupArray → collect_list
+    wrapped in arraySort + arraySlice so the arbitrary collection order
+    (the same contract in BOTH engines) is normalized before comparison,
+    base64Encode → base64.  The topK / cityHash64-family guards —
+    sketch values and engine-specific hashes must never silently
+    translate — are unit-pinned in tests/test_ch_dialect_sql.py."""
+    from ..functions.ch_dialect import translate_ch_sql
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_t5")
+    ch = (
+        "SELECT event_type, "
+        "round(medianExact(user_id % 1000), 4) AS med, "
+        "arraySlice(arraySort(groupArray(event_id % 97)), 1, 5) AS first5, "
+        "min(base64Encode(event_type)) AS b64 "
+        "FROM events_t5 GROUP BY event_type"
+    )
+    df = spark.sql(translate_ch_sql(ch))
+    return df.select(
+        "event_type",
+        F.col("med").cast("double").alias("med"),
+        F.col("first5").cast("array<bigint>").alias("first5"),
+        "b64",
+    ).orderBy("event_type")

@@ -1059,3 +1059,39 @@ def test_round4_temporal_and_uniq_rules():
     # 'now' as an identifier / inside a literal is untouched
     out = translate_ch_sql("SELECT now FROM t WHERE msg = 'call now() x'")
     assert "SELECT now FROM" in out and "'call now() x'" in out
+
+
+def test_round4_median_grouparray_base64_rules():
+    out = translate_ch_sql(
+        "SELECT median(v), medianExact(v), medianIf(v, v > 0), "
+        "medianExactIf(v, v > 0) FROM t"
+    )
+    assert "percentile_approx(v, 0.5)" in out
+    assert "percentile(v, 0.5)" in out
+    assert "percentile_approx(CASE WHEN v > 0 THEN v END, 0.5)" in out
+    assert "percentile(CASE WHEN v > 0 THEN v END, 0.5)" in out
+    out = translate_ch_sql("SELECT groupArray(x), groupArray(3)(x) FROM t")
+    assert "collect_list(x), slice(collect_list(x), 1, 3)" in out
+    out = translate_ch_sql(
+        "SELECT base64Encode(s), base64Decode(e), tryBase64Decode(e) FROM t"
+    )
+    assert "base64(s)" in out
+    assert out.count("CAST(unbase64(e) AS STRING)") == 2
+
+
+def test_round4_hash_and_topk_guards():
+    for bad in [
+        "SELECT topK(5)(x) FROM t",
+        "SELECT topKWeighted(5)(x, w) FROM t",
+        "SELECT cityHash64(s) FROM t",
+        "SELECT sipHash64(s) FROM t",
+        "SELECT xxHash64(s) FROM t",
+        "SELECT halfMD5(s) FROM t",
+    ]:
+        with pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
+    # all of the above inside a literal are data, not code
+    out = translate_ch_sql(
+        "SELECT x FROM t WHERE m = 'median(v) topK(5)(x) cityHash64(s)'"
+    )
+    assert "'median(v) topK(5)(x) cityHash64(s)'" in out
