@@ -4830,3 +4830,79 @@ def q435(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q438_log_template_mining",
+    """
+    WITH raw AS (
+      SELECT user_id, event_type,
+             'conn from 10.0.' || CAST(user_id % 256 AS VARCHAR) || '.'
+             || CAST(event_id % 256 AS VARCHAR) || ' port '
+             || CAST(1024 + event_id % 60000 AS VARCHAR) || ' '
+             || event_type || ' latency '
+             || CAST(event_id % 500 AS VARCHAR) || 'ms req 0x'
+             || substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS line
+      FROM events
+    ), t AS (
+      SELECT user_id, event_type,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(line,
+                   '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>', 'g'),
+                 '0x[0-9a-f]+', '<HEX>', 'g'),
+               '[0-9]+', '<N>', 'g') AS template
+      FROM raw
+    )
+    SELECT template,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM t GROUP BY template ORDER BY template
+    """,
+)
+def q438(spark, sf_dir):
+    """Log template mining (the Drain-family first pass): unstructured
+    log lines collapse to templates by masking the variable parts —
+    IPv4s, hex tokens, then bare numbers, in that order (an IP masked
+    number-first would shred into four '<N>' islands) — and the
+    template becomes the group key.  The fleet's distinct message
+    SHAPES (one per event_type here) fall out of a 3-regex codegen
+    projection + one template-keyed aggregate; this is the unstructured
+    twin of q428's logfmt parse and what turns 100 TB of raw syslog
+    into a browsable template catalog.  Lines are synthesized with
+    deterministic variable parts so both engines mask the same text."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("conn from 10.0."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 256).cast("string"),
+        F.lit(" port "),
+        (1024 + F.col("event_id") % 60000).cast("string"),
+        F.lit(" "),
+        F.col("event_type"),
+        F.lit(" latency "),
+        (F.col("event_id") % 500).cast("string"),
+        F.lit("ms req 0x"),
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+    )
+    template = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                line, r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", "<IP>"
+            ),
+            r"0x[0-9a-f]+",
+            "<HEX>",
+        ),
+        r"[0-9]+",
+        "<N>",
+    )
+    return (
+        ev.select("user_id", template.alias("template"))
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("template")
+    )

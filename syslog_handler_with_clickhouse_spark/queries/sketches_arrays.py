@@ -4072,3 +4072,58 @@ def q429(spark, sf_dir):
         F.col("z.cums").cast("bigint").alias("cum"),
         F.col("z.cumnns").cast("bigint").alias("cumnn"),
     ).orderBy("user_id", "idx")
+
+
+@query(
+    "q439_sum_for_each",
+    """
+    WITH src AS (
+      SELECT event_type,
+             [CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+              event_id % 7, user_id % 13, 1] AS arr
+      FROM events
+    ), ex AS (
+      SELECT event_type,
+             unnest(arr) AS x,
+             unnest(range(0, len(arr))) AS idx
+      FROM src
+    ), agg AS (
+      SELECT event_type, idx, CAST(SUM(x) AS BIGINT) AS s
+      FROM ex GROUP BY event_type, idx
+    )
+    SELECT event_type,
+           list(s ORDER BY idx) AS sums
+    FROM agg GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q439(spark, sf_dir):
+    """CH ``sumForEach`` (the -ForEach combinator's flagship):
+    element-wise array aggregation — per group, position i of the
+    result is the sum of every input array's position i.  Expressed as
+    posexplode → (group, idx) partial-agg sum → array rebuild from
+    sorted (idx, sum) structs, so the shuffle carries ONE row per
+    (group, position), never whole arrays, and the map-side combine
+    collapses the per-partition element sums before the exchange —
+    exactly how CH's combinator state merges.  Exact integers (cents /
+    small moduli)."""
+    ev = _t(spark, sf_dir, "events")
+    arr = F.array(
+        (_dec("value") * 100).cast("bigint"),
+        (F.col("event_id") % 7).cast("bigint"),
+        (F.col("user_id") % 13).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    ex = ev.select("event_type", F.posexplode(arr).alias("idx", "x"))
+    agg = ex.groupBy("event_type", "idx").agg(
+        F.sum("x").cast("bigint").alias("s")
+    )
+    return (
+        agg.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "s"))),
+                lambda t: t["s"],
+            ).alias("sums")
+        )
+        .orderBy("event_type")
+    )
