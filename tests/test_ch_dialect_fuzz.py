@@ -1,0 +1,131 @@
+"""CH-dialect fuzz differential: randomized CH statements run on Spark
+THROUGH translate_ch_sql while an independently-derived DuckDB
+statement (same semantics, no shared rewrite code) runs on the same
+events fixture.  Every iteration draws fresh constants — sample
+fractions, moduli, slice caps, temporal grains — so each run explores
+new parameter space; failures print the seed and both SQL texts."""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+
+import pytest
+
+from conftest import SF_DIR
+from syslog_handler_with_clickhouse_spark.functions.ch_dialect import (
+    translate_ch_sql,
+)
+
+
+def _pair_sample(rng):
+    k = rng.randint(1, 999)
+    frac = f"0.{k:03d}"
+    ch = (
+        f"SELECT event_type, count() AS n, sum(user_id % 97) AS s "
+        f"FROM events_fz SAMPLE {frac} GROUP BY event_type"
+    )
+    hi = int(float(frac) * 16**8)
+    duck = (
+        f"SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(user_id % 97) AS BIGINT) AS s FROM events "
+        f"WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 8) "
+        f"< '{hi:08x}' GROUP BY event_type"
+    )
+    return ch, duck, "event_id"
+
+
+def _pair_median(rng):
+    m = rng.choice([11, 97, 503, 1000])
+    ch = (
+        f"SELECT event_type, medianExact(user_id % {m}) AS med, "
+        f"count() AS n FROM events_fz GROUP BY event_type"
+    )
+    duck = (
+        f"SELECT event_type, quantile_cont(user_id % {m}, 0.5) AS med, "
+        f"CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type"
+    )
+    return ch, duck, None
+
+
+def _pair_group_array(rng):
+    cap = rng.randint(1, 8)
+    m = rng.choice([7, 13, 101])
+    ch = (
+        f"SELECT event_type, "
+        f"arraySlice(arraySort(groupArray(event_id % {m})), 1, {cap}) AS a "
+        f"FROM events_fz GROUP BY event_type"
+    )
+    duck = (
+        f"SELECT event_type, "
+        f"list_slice(list_sort(list(event_id % {m})), 1, {cap}) AS a "
+        f"FROM events GROUP BY event_type"
+    )
+    return ch, duck, None
+
+
+def _pair_temporal(rng):
+    fn, secs = rng.choice(
+        [
+            ("toStartOfFiveMinutes", 300),
+            ("toStartOfTenMinutes", 600),
+            ("toStartOfFifteenMinutes", 900),
+            ("timeSlot", 1800),
+        ]
+    )
+    ch = (
+        f"SELECT {fn}(ts) AS b, count() AS n "
+        f"FROM events_fz GROUP BY b"
+    )
+    duck = (
+        f"SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / {secs}) AS BIGINT)"
+        f" * {secs}) AS TIMESTAMP) AS b, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM events GROUP BY b"
+    )
+    return ch, duck, None
+
+
+_PAIRS = [_pair_sample, _pair_median, _pair_group_array, _pair_temporal]
+
+
+def _norm(df):
+    df = df[sorted(df.columns)]
+    out = []
+    for tup in df.itertuples(index=False):
+        row = []
+        for v in tup:
+            if hasattr(v, "isoformat"):
+                row.append(v.isoformat())
+            elif isinstance(v, float):
+                row.append(round(v, 9))
+            elif hasattr(v, "tolist"):
+                row.append(tuple(v.tolist()))
+            elif isinstance(v, list):
+                row.append(tuple(v))
+            else:
+                row.append(v)
+        out.append(tuple(row))
+    return sorted(out, key=lambda r: tuple(str(x) for x in r))
+
+
+def test_ch_dialect_fuzz_differential(spark, duck):
+    from syslog_handler_with_clickhouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("events_fz")
+    seed_env = os.environ.get("SPARK_GRAFT_FUZZ_SEED")
+    seed = int(seed_env) if seed_env else int.from_bytes(os.urandom(6), "big")
+    rng = random.Random(seed)
+    n = int(os.environ.get("SPARK_GRAFT_CH_FUZZ_N", "40"))
+    failures = []
+    for i in range(n):
+        ch, ducksql, key = rng.choice(_PAIRS)(rng)
+        translated = translate_ch_sql(ch, sampling_key=key)
+        sdf = spark.sql(translated).toPandas()
+        odf = duck.execute(ducksql).df()
+        s_rows, o_rows = _norm(sdf), _norm(odf)
+        if s_rows != o_rows:
+            failures.append((i, ch, translated, ducksql))
+    assert not failures, f"seed={seed} first={failures[0]}"
