@@ -110,3 +110,76 @@ def flap_detection(logs: DataFrame, threshold: int = 5) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------- transformWithState (Spark 4)
+
+RATE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("Device", T.StringType()),
+        T.StructField("total", T.LongType()),
+        T.StructField("burst_max", T.LongType()),
+    ]
+)
+
+
+def make_rate_processor(ttl_ms: int = 3_600_000):
+    """Build the per-device rate ``StatefulProcessor`` (separately
+    constructible so its accumulation arithmetic is testable without
+    the streaming wire protocol — which needs google.protobuf, absent
+    from this container; same env-gate class as the live-CH
+    handshake)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    state_schema = T.StructType(
+        [
+            T.StructField("total", T.LongType()),
+            T.StructField("burst", T.LongType()),
+        ]
+    )
+
+    class RateProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("rate", state_schema, ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            total, burst = 0, 0
+            if self._state.exists():
+                total, burst = self._state.get()
+            n = 0
+            for pdf in rows:
+                n += len(pdf)
+            total += n
+            burst = max(burst, n)
+            self._state.update((total, burst))
+            yield pd.DataFrame(
+                {
+                    "Device": [key[0]],
+                    "total": [total],
+                    "burst_max": [burst],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RateProcessor()
+
+
+def device_rate_tracker(logs: DataFrame, ttl_ms: int = 3_600_000) -> DataFrame:
+    """Per-device message-rate tracking on Spark 4's NEW arbitrary-state
+    API (``transformWithStateInPandas`` + ``StatefulProcessor``): the
+    successor to ``applyInPandasWithState`` (q77's flap detector) with
+    composable named state and built-in per-state TTL — the TTL is what
+    bounds state for the long-tail of devices that appear once and
+    never again, which is the practical failure mode of an unbounded
+    per-device counter at fleet scale.
+
+    State: one (total, burst_max) ValueState per device, TTL'd.
+    Emits the running totals per device per micro-batch."""
+    return logs.groupBy("Device").transformWithStateInPandas(
+        statefulProcessor=make_rate_processor(ttl_ms),
+        outputStructType=RATE_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

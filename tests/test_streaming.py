@@ -3,6 +3,8 @@ availableNow trigger, assert stored-table contents)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -158,3 +160,84 @@ def test_snapshot_ingest_exactly_once(spark, tmp_path):
     replay = read_snapshot(spark, store, version=v)
     assert write_snapshot(replay, store, batch_id=0) == latest_version(store)
     assert read_snapshot(spark, store).count() == total
+
+
+def test_device_rate_tracker_transform_with_state(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: per-device running totals
+    with TTL'd ValueState (streaming/analytics.py:device_rate_tracker).
+    The wire protocol of the new API needs google.protobuf, which this
+    container does not ship — the e2e run is env-gated (same class as
+    the live-ClickHouse handshake); the processor's state arithmetic is
+    covered unconditionally below."""
+    pytest.importorskip("google.protobuf")
+    src = str(tmp_path / "in_tws")
+    _write_fixture(src)
+    from syslog_handler_with_clickhouse_spark.streaming.analytics import (
+        device_rate_tracker,
+    )
+
+    stream = parsed_stream(raw_lines_stream(spark, src))
+    rates = device_rate_tracker(stream)
+    q = (
+        rates.writeStream.format("memory")
+        .queryName("tws_rates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["Device"]: (r["total"], r["burst_max"])
+        for r in spark.table("tws_rates").collect()
+    }
+    assert rows, "no state output emitted"
+    # fixture ships 3 lines for device A and 1 for device B
+    assert rows["10.0.0.1:5514"][0] == 3
+    assert rows["10.0.0.2:5514"][0] == 1
+    for total, burst in rows.values():
+        assert burst <= total
+
+
+def test_rate_processor_state_arithmetic():
+    """The StatefulProcessor's accumulation logic, driven directly with
+    a fake ValueState — covers everything but the Spark wire protocol
+    (env-gated above)."""
+    import pandas as pd
+
+    from syslog_handler_with_clickhouse_spark.streaming.analytics import (
+        make_rate_processor,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+            self.ttl = None
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            self.ttl = ttlDurationMs
+            return self.state
+
+    proc = make_rate_processor(ttl_ms=60000)
+    h = FakeHandle()
+    proc.init(h)
+    assert h.ttl == 60000
+    # batch 1: 3 rows -> total 3, burst 3
+    out = list(proc.handleInputRows(("dev",), iter([pd.DataFrame({"x": [1, 2, 3]})]), None))
+    assert out[0]["total"].iloc[0] == 3 and out[0]["burst_max"].iloc[0] == 3
+    # batch 2: 1 row -> total 4, burst stays 3
+    out = list(proc.handleInputRows(("dev",), iter([pd.DataFrame({"x": [9]})]), None))
+    assert out[0]["total"].iloc[0] == 4 and out[0]["burst_max"].iloc[0] == 3
+    proc.close()
