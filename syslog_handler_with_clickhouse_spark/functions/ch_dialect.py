@@ -71,6 +71,20 @@ topK[Weighted] /            raise: sketch values / engine-specific
   cityHash64,sipHash64,       hash values have no faithful SQL
   halfMD5,xxHash32/64         mapping (sketches.py heavy_hitters;
                               rehash deliberately instead)
+arrayFold(l, arr, init)     aggregate(arr, init, l) (lambda-first
+                              arg order swapped)
+arrayReduce('agg', arr)     array_max/min/size, double-accumulated
+                              sum/avg; other agg names raise
+groupBitAnd/Or/Xor          bit_and / bit_or / bit_xor
+quantileTDigest[If] /       percentile_approx (approximate-quantile
+  BFloat16[If] /              contract class; the deterministic
+  Deterministic               form's determinator arg is dropped)
+addDays..addSeconds /       ts +/- make_interval(...) (CH Date
+  subtract*                   stays Date; Spark widens to timestamp
+                              — documented)
+deltaSum[Timestamp] /       raise: CH block-order semantics — use
+  runningDifference /          an explicit window (q440's
+  runningAccumulate            greatest(x - lag(x), 0) form)
 dateDiff('u', a, b)         unit-BOUNDARY crossings per unit
                             (day/month/year/hour/minute/second)
 protocol/domain[WithoutWWW]/ regexp_extract chains, same regexes
@@ -536,6 +550,38 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
     )
     s = _sub_nl(r"\bquantile\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant(False), s)
 
+    # the t-digest / bfloat16 / deterministic quantile variants are all
+    # approximate-quantile contracts -> percentile_approx (the
+    # deterministic form's extra determinator argument is dropped:
+    # Spark's sketch is already deterministic for a fixed input)
+    def _quant_alias_if(m):
+        q = m.group(1).strip()
+        args = _split_top_args(m.group(2))
+        if len(args) != 2:
+            raise ChTranslationError("quantile*If(q)(x, cond) needs 2 args")
+        return (
+            f"percentile_approx(CASE WHEN {args[1]} THEN {args[0]} END, {q})"
+        )
+
+    for alias in ("quantileTDigestIf", "quantileBFloat16If"):
+        s = _sub_nl(
+            rf"\b{alias}\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant_alias_if, s
+        )
+
+    def _quant_alias(m):
+        q = m.group(1).strip()
+        args = _split_top_args(m.group(2))
+        return f"percentile_approx({args[0]}, {q})"
+
+    for alias in (
+        "quantileTDigest",
+        "quantileBFloat16",
+        "quantileDeterministic",
+    ):
+        s = _sub_nl(
+            rf"\b{alias}\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant_alias, s
+        )
+
     # median* are CH's quantile-0.5 aliases (same approx/exact split)
     def _median_if(exact):
         def rule(a):
@@ -554,6 +600,93 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
     s = _rewrite_calls(
         s, "median", lambda a: f"percentile_approx({a[0]}, 0.5)"
     )
+
+    # bitwise aggregates map 1:1
+    s = _rewrite_calls(s, "groupBitAnd", lambda a: f"bit_and({a[0]})")
+    s = _rewrite_calls(s, "groupBitOr", lambda a: f"bit_or({a[0]})")
+    s = _rewrite_calls(s, "groupBitXor", lambda a: f"bit_xor({a[0]})")
+
+    # arrayFold((acc, x) -> e, arr, init): CH is lambda-first,
+    # Spark's aggregate is (arr, init, lambda)
+    def _array_fold(a):
+        if len(a) != 3:
+            raise ChTranslationError("arrayFold needs (lambda, arr, init)")
+        return f"aggregate({a[1]}, {a[2]}, {a[0]})"
+
+    s = _rewrite_calls(s, "arrayFold", _array_fold)
+
+    # arrayReduce('agg', arr) for the everyday aggregate names.  'sum'
+    # and 'avg' accumulate in DOUBLE (a rewrite has no type info to pick
+    # the CH integer-in/integer-out overload — documented deviation,
+    # same class as the avg/min/maxIf note); min/max/count are exact.
+    def _array_reduce(a):
+        if len(a) != 2:
+            raise ChTranslationError("arrayReduce needs ('agg', arr)")
+        name = a[0].strip().strip("'\"").lower()
+        arr = a[1]
+        if name == "sum":
+            return (
+                f"aggregate({arr}, CAST(0 AS DOUBLE), "
+                f"(acc, x) -> acc + CAST(x AS DOUBLE))"
+            )
+        if name == "avg":
+            return (
+                f"(aggregate({arr}, CAST(0 AS DOUBLE), "
+                f"(acc, x) -> acc + CAST(x AS DOUBLE)) / size({arr}))"
+            )
+        if name == "max":
+            return f"array_max({arr})"
+        if name == "min":
+            return f"array_min({arr})"
+        if name == "count":
+            return f"size({arr})"
+        raise ChTranslationError(
+            f"arrayReduce('{name}', ...) not translated (sum/avg/min/"
+            f"max/count only)"
+        )
+
+    s = _rewrite_calls(s, "arrayReduce", _array_reduce)
+
+    # add/subtract interval helpers -> +/- make_interval (a CH Date
+    # input would stay Date in CH but widens to timestamp in Spark —
+    # documented deviation, same class as the toStartOfMonth note)
+    _IVAL_SLOT = {
+        "Years": 0,
+        "Months": 1,
+        "Weeks": 2,
+        "Days": 3,
+        "Hours": 4,
+        "Minutes": 5,
+        "Seconds": 6,
+    }
+
+    def _add_interval(unit, sign):
+        def rule(a):
+            if len(a) != 2:
+                raise ChTranslationError("add/subtract needs (ts, n)")
+            slots = ["0"] * 7
+            slots[_IVAL_SLOT[unit]] = a[1]
+            return f"({a[0]} {sign} make_interval({', '.join(slots)}))"
+
+        return rule
+
+    for unit in _IVAL_SLOT:
+        s = _rewrite_calls(s, f"add{unit}", _add_interval(unit, "+"))
+        s = _rewrite_calls(s, f"subtract{unit}", _add_interval(unit, "-"))
+
+    # order-dependent aggregates: CH computes these in stored block
+    # order, which has no SQL-level meaning here — refuse loudly and
+    # point at the windowed form (q440's lag-based deltaSum)
+    if _search_nl(
+        r"\b(deltaSum|deltaSumTimestamp|runningDifference|"
+        r"runningAccumulate)\s*\(",
+        s,
+    ):
+        raise ChTranslationError(
+            "deltaSum/runningDifference-family aggregates depend on CH "
+            "block order — use an explicit window (sum(greatest(x - "
+            "lag(x) OVER (ORDER BY ts), 0))), see q440_delta_sum"
+        )
 
     # groupArray[(N)](x) -> collect_list (CH insertion order and Spark
     # collection order are BOTH arbitrary under parallelism — same

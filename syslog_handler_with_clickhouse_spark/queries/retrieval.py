@@ -1356,3 +1356,101 @@ def q437(spark, sf_dir):
         F.col("first5").cast("array<bigint>").alias("first5"),
         "b64",
     ).orderBy("event_type")
+
+
+@query(
+    "q440_delta_sum",
+    """
+    WITH s AS (
+      SELECT event_type, event_id % 1000 AS x,
+             lag(event_id % 1000) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS px
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN px IS NULL THEN 0
+                    WHEN x - px > 0 THEN x - px ELSE 0 END) AS BIGINT)
+             AS delta_sum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q440(spark, sf_dir):
+    """CH ``deltaSum`` with EXPLICIT ordering — the windowed form the
+    dialect guard points at: CH sums positive deltas of consecutive
+    values in stored block order (the monotonic-counter-with-resets
+    idiom — network byte counters, restart-prone gauges); block order
+    has no SQL meaning on a shuffled table, so this engine requires the
+    order to be spelled out (ORDER BY ts, event_id per series) and the
+    delta becomes greatest(x - lag(x), 0).  One window pass keyed on
+    the series, exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    x = F.col("event_id") % 1000
+    s = ev.select(
+        "event_type",
+        x.alias("x"),
+        F.lag(x).over(w).alias("px"),
+    )
+    delta = F.when(F.col("px").isNull(), 0).otherwise(
+        F.greatest(F.col("x") - F.col("px"), F.lit(0))
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.sum(delta).cast("bigint").alias("delta_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q441_ch_functions5",
+    """
+    SELECT event_type,
+           CAST(SUM(user_id % 5 + event_id % 7) AS BIGINT) AS fold_sum,
+           CAST(BIT_AND(user_id % 256) AS BIGINT) AS band,
+           CAST(BIT_OR(user_id % 256) AS BIGINT) AS bor,
+           CAST(BIT_XOR(user_id % 256) AS BIGINT) AS bxor,
+           CAST(SUM(GREATEST(user_id % 9, event_id % 11, 3)) AS BIGINT)
+             AS rmax_sum,
+           MIN(ts + INTERVAL 3 DAY) AS plus3d,
+           MAX(ts - INTERVAL 90 MINUTE) AS minus90m
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q441(spark, sf_dir):
+    """Fifth CH dialect family: arrayFold (lambda-first -> aggregate),
+    arrayReduce('max'|...) on literal aggregate names, the groupBit*
+    aggregates, and the add*/subtract* interval helpers
+    (make_interval arithmetic).  The oracle re-derives every expression
+    with scalar arithmetic — no array machinery shared; deltaSum &
+    friends refuse in the dialect (block-order semantics) and live as
+    the explicitly-ordered q440."""
+    from ..functions.ch_dialect import translate_ch_sql
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_t6")
+    ch = (
+        "SELECT event_type, "
+        "sum(arrayFold((acc, x) -> acc + x, [user_id % 5, event_id % 7], "
+        "CAST(0 AS BIGINT))) AS fold_sum, "
+        "groupBitAnd(user_id % 256) AS band, "
+        "groupBitOr(user_id % 256) AS bor, "
+        "groupBitXor(user_id % 256) AS bxor, "
+        "sum(arrayReduce('max', [user_id % 9, event_id % 11, 3])) AS rmax_sum, "
+        "min(addDays(ts, 3)) AS plus3d, "
+        "max(subtractMinutes(ts, 90)) AS minus90m "
+        "FROM events_t6 GROUP BY event_type"
+    )
+    df = spark.sql(translate_ch_sql(ch))
+    return df.select(
+        "event_type",
+        F.col("fold_sum").cast("bigint").alias("fold_sum"),
+        F.col("band").cast("bigint").alias("band"),
+        F.col("bor").cast("bigint").alias("bor"),
+        F.col("bxor").cast("bigint").alias("bxor"),
+        F.col("rmax_sum").cast("bigint").alias("rmax_sum"),
+        "plus3d",
+        "minus90m",
+    ).orderBy("event_type")

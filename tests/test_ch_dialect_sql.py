@@ -1095,3 +1095,42 @@ def test_round4_hash_and_topk_guards():
         "SELECT x FROM t WHERE m = 'median(v) topK(5)(x) cityHash64(s)'"
     )
     assert "'median(v) topK(5)(x) cityHash64(s)'" in out
+
+
+def test_round5_fold_reduce_bit_interval_rules():
+    out = translate_ch_sql(
+        "SELECT arrayFold((acc, x) -> acc + x, arr, CAST(0 AS BIGINT)) FROM t"
+    )
+    assert "aggregate(arr, CAST(0 AS BIGINT), (acc, x) -> acc + x)" in out
+    out = translate_ch_sql(
+        "SELECT arrayReduce('sum', arr), arrayReduce('min', arr), "
+        "arrayReduce('count', arr), arrayReduce('avg', arr) FROM t"
+    )
+    assert "array_min(arr)" in out and "size(arr)" in out
+    assert "acc + CAST(x AS DOUBLE)" in out
+    out = translate_ch_sql(
+        "SELECT groupBitAnd(x), groupBitOr(x), groupBitXor(x) FROM t"
+    )
+    assert "bit_and(x), bit_or(x), bit_xor(x)" in out
+    out = translate_ch_sql(
+        "SELECT quantileTDigest(0.9)(v), quantileBFloat16(0.5)(v), "
+        "quantileDeterministic(0.5)(v), quantileTDigestIf(0.5)(v, v > 0) FROM t"
+    )
+    assert out.count("percentile_approx") == 4
+    out = translate_ch_sql("SELECT addDays(ts, 3), subtractHours(ts, 2) FROM t")
+    assert "(ts + make_interval(0, 0, 0, 3, 0, 0, 0))" in out
+    assert "(ts - make_interval(0, 0, 0, 0, 2, 0, 0))" in out
+
+
+def test_round5_order_dependent_guards():
+    for bad in [
+        "SELECT deltaSum(v) FROM t",
+        "SELECT deltaSumTimestamp(v, ts) FROM t",
+        "SELECT runningDifference(v) FROM t",
+        "SELECT runningAccumulate(st) FROM t",
+        "SELECT arrayReduce('median', arr) FROM t",
+    ]:
+        with pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
+    out = translate_ch_sql("SELECT x FROM t WHERE m = 'deltaSum(v) now'")
+    assert "'deltaSum(v) now'" in out
