@@ -85,6 +85,19 @@ addDays..addSeconds /       ts +/- make_interval(...) (CH Date
 deltaSum[Timestamp] /       raise: CH block-order semantics — use
   runningDifference /          an explicit window (q440's
   runningAccumulate            greatest(x - lag(x), 0) form)
+hasAll / hasAny             forall-contains / arrays_overlap
+arrayPush/Pop[Back|Front],  concat/slice compositions; reverse;
+  arrayReverse,               consecutive-dedup via indexed filter
+  arrayCompact
+bitNot / toTypeName         ~x / typeof (type NAMES differ —
+                              introspection contract, documented)
+formatReadableSize          binary-unit CASE chain (B..PiB, 2dp)
+transform(x,[f],[t][,d])    CASE value-mapping chain (literal
+                              arrays only; CH's transform is never
+                              Spark's higher-order transform)
+intHash32/64,               raise: engine-specific hash values /
+  greatCircleDistance         verified haversine lives in
+                              functions/geo.py
 dateDiff('u', a, b)         unit-BOUNDARY crossings per unit
                             (day/month/year/hour/minute/second)
 protocol/domain[WithoutWWW]/ regexp_extract chains, same regexes
@@ -605,6 +618,99 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
     s = _rewrite_calls(s, "groupBitAnd", lambda a: f"bit_and({a[0]})")
     s = _rewrite_calls(s, "groupBitOr", lambda a: f"bit_or({a[0]})")
     s = _rewrite_calls(s, "groupBitXor", lambda a: f"bit_xor({a[0]})")
+    s = _rewrite_calls(s, "bitNot", lambda a: f"(~({a[0]}))")
+
+    # array membership across arrays
+    s = _rewrite_calls(
+        s,
+        "hasAll",
+        lambda a: f"forall({a[1]}, _x -> array_contains({a[0]}, _x))",
+    )
+    s = _rewrite_calls(s, "hasAny", lambda a: f"arrays_overlap({a[0]}, {a[1]})")
+
+    # array push/pop family
+    s = _rewrite_calls(
+        s, "arrayPushBack", lambda a: f"concat({a[0]}, array({a[1]}))"
+    )
+    s = _rewrite_calls(
+        s, "arrayPushFront", lambda a: f"concat(array({a[1]}), {a[0]})"
+    )
+    s = _rewrite_calls(
+        s,
+        "arrayPopBack",
+        lambda a: f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))",
+    )
+    s = _rewrite_calls(
+        s,
+        "arrayPopFront",
+        lambda a: f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))",
+    )
+    s = _rewrite_calls(s, "arrayReverse", lambda a: f"reverse({a[0]})")
+    # arrayCompact: drop CONSECUTIVE duplicates.  filter's (x, i) lambda
+    # is 0-indexed while element_at is 1-based, so element_at(a, i) IS
+    # the previous element; IS DISTINCT FROM keeps NULL runs compacted.
+    s = _rewrite_calls(
+        s,
+        "arrayCompact",
+        lambda a: (
+            f"filter({a[0]}, (_x, _i) -> _i = 0 OR "
+            f"_x IS DISTINCT FROM element_at({a[0]}, _i))"
+        ),
+    )
+
+    # type introspection: names differ (UInt64 vs bigint) but the
+    # contract — "the type of this expression, as a string" — maps
+    s = _rewrite_calls(s, "toTypeName", lambda a: f"typeof({a[0]})")
+
+    # formatReadableSize: CH's binary-unit pretty printer, two decimals
+    def _readable_size(a):
+        x = a[0]
+        arms = []
+        for k, unit in ((50, "PiB"), (40, "TiB"), (30, "GiB"), (20, "MiB"),
+                        (10, "KiB")):
+            arms.append(
+                f"WHEN {x} >= {1 << k} THEN concat(format_number("
+                f"CAST({x} AS DOUBLE) / {1 << k}, 2), ' {unit}')"
+            )
+        return (
+            "CASE " + " ".join(arms)
+            + f" ELSE concat(format_number(CAST({x} AS DOUBLE), 2), ' B') END"
+        )
+
+    s = _rewrite_calls(s, "formatReadableSize", _readable_size)
+
+    # CH transform(x, [from...], [to...], default): the value-mapping
+    # function (no relation to Spark's higher-order transform) becomes
+    # a CASE chain.  Requires the from/to arrays to be literals (they
+    # arrive as array(...) after bracket-literal rewriting).
+    def _ch_transform(a):
+        if len(a) not in (3, 4):
+            raise ChTranslationError("transform needs 3 or 4 args")
+        x, frm, to = a[0], a[1].strip(), a[2].strip()
+        if not (frm.startswith("array(") and to.startswith("array(")):
+            raise ChTranslationError(
+                "transform needs literal from/to arrays to translate"
+            )
+        f_items = _split_top_args(frm[len("array("):-1])
+        t_items = _split_top_args(to[len("array("):-1])
+        if len(f_items) != len(t_items) or not f_items:
+            raise ChTranslationError(
+                "transform from/to arrays must be same nonempty length"
+            )
+        arms = " ".join(
+            f"WHEN {x} = {f} THEN {t}" for f, t in zip(f_items, t_items)
+        )
+        default = a[3] if len(a) == 4 else x
+        return f"CASE {arms} ELSE {default} END"
+
+    s = _rewrite_calls(s, "transform", _ch_transform)
+
+    # geo great-circle math lives as a verified operator, not a rewrite
+    if _search_nl(r"\bgreatCircle(Distance|Angle)\s*\(", s):
+        raise ChTranslationError(
+            "greatCircleDistance/Angle are not rewritten — use the "
+            "verified haversine in functions/geo.py (q201/q202)"
+        )
 
     # arrayFold((acc, x) -> e, arr, init): CH is lambda-first,
     # Spark's aggregate is (arr, init, lambda)
@@ -713,7 +819,7 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
     # silently produce different hashes, so refuse loudly
     if _search_nl(
         r"\b(cityHash64|sipHash64|sipHash128|halfMD5|farmHash64|"
-        r"xxHash32|xxHash64)\s*\(",
+        r"xxHash32|xxHash64|intHash32|intHash64)\s*\(",
         s,
     ):
         raise ChTranslationError(

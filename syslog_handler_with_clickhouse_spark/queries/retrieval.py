@@ -1454,3 +1454,62 @@ def q441(spark, sf_dir):
         "plus3d",
         "minus90m",
     ).orderBy("event_type")
+
+
+@query(
+    "q442_ch_functions6",
+    """
+    WITH b AS (
+      SELECT event_type, user_id, event_id,
+             [user_id % 5, event_id % 7, user_id % 5] AS arr
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN list_has_all(arr, [user_id % 5, 3])
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_hasall,
+           CAST(SUM(CASE WHEN list_has_any(arr, [6])
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_hasany,
+           CAST(SUM(len(list_concat(arr, [99]))) AS BIGINT) AS n_push,
+           CAST(SUM(CASE WHEN user_id % 5 = event_id % 7 THEN 1
+                    ELSE 3 END) AS BIGINT) AS n_compact,
+           MIN(CASE WHEN event_id % 4 = 0 THEN 'small'
+                    WHEN event_id % 4 = 1 THEN 'mid' ELSE 'other' END)
+             AS t_min
+    FROM b GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q442(spark, sf_dir):
+    """Sixth CH dialect family executed end-to-end: hasAll/hasAny
+    (forall-contains / arrays_overlap), arrayPushBack (size checked),
+    arrayCompact (consecutive-dedup — the fixture arrays are
+    [a, b, a], which compact to ONE element exactly when a = b and stay
+    3 otherwise; the oracle re-derives that arithmetically), and the CH
+    value-mapping transform() as a CASE chain.  formatReadableSize,
+    bitNot, typeof, push/pop and the intHash/greatCircle guards are
+    unit-pinned in tests/test_ch_dialect_sql.py."""
+    from ..functions.ch_dialect import translate_ch_sql
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_t7")
+    ch = (
+        "SELECT event_type, "
+        "sum(multiIf(hasAll([user_id % 5, event_id % 7, user_id % 5], "
+        "[user_id % 5, 3]), 1, 0)) AS n_hasall, "
+        "sum(multiIf(hasAny([user_id % 5, event_id % 7, user_id % 5], "
+        "[6]), 1, 0)) AS n_hasany, "
+        "sum(arrayReduce('count', arrayPushBack([user_id % 5, event_id % 7, "
+        "user_id % 5], 99))) AS n_push, "
+        "sum(arrayReduce('count', arrayCompact([user_id % 5, event_id % 7, "
+        "user_id % 5]))) AS n_compact, "
+        "min(transform(event_id % 4, [0, 1], ['small', 'mid'], 'other')) "
+        "AS t_min "
+        "FROM events_t7 GROUP BY event_type"
+    )
+    df = spark.sql(translate_ch_sql(ch))
+    return df.select(
+        "event_type",
+        F.col("n_hasall").cast("bigint").alias("n_hasall"),
+        F.col("n_hasany").cast("bigint").alias("n_hasany"),
+        F.col("n_push").cast("bigint").alias("n_push"),
+        F.col("n_compact").cast("bigint").alias("n_compact"),
+        "t_min",
+    ).orderBy("event_type")

@@ -1134,3 +1134,43 @@ def test_round5_order_dependent_guards():
             translate_ch_sql(bad)
     out = translate_ch_sql("SELECT x FROM t WHERE m = 'deltaSum(v) now'")
     assert "'deltaSum(v) now'" in out
+
+
+def test_round6_array_and_misc_rules():
+    out = translate_ch_sql("SELECT hasAll(a, b), hasAny(a, b) FROM t")
+    assert "forall(b, _x -> array_contains(a, _x))" in out
+    assert "arrays_overlap(a, b)" in out
+    out = translate_ch_sql(
+        "SELECT arrayPushBack(a, 1), arrayPopFront(a), arrayReverse(a), "
+        "arrayCompact(a) FROM t"
+    )
+    assert "concat(a, array(1))" in out
+    assert "slice(a, 2, greatest(size(a) - 1, 0))" in out
+    assert "reverse(a)" in out
+    assert "_x IS DISTINCT FROM element_at(a, _i)" in out
+    out = translate_ch_sql("SELECT bitNot(x), toTypeName(x) FROM t")
+    assert "(~(x))" in out and "typeof(x)" in out
+    out = translate_ch_sql("SELECT formatReadableSize(x) FROM t")
+    assert "' KiB'" in out and "' PiB'" in out and "' B'" in out
+    # CH's value-mapping transform -> CASE chain; 3-arg form defaults
+    # to the input itself
+    out = translate_ch_sql("SELECT transform(x, [1,2], ['a','b'], 'z') FROM t")
+    assert "CASE WHEN x = 1 THEN 'a' WHEN x = 2 THEN 'b' ELSE 'z' END" in out
+    out = translate_ch_sql("SELECT transform(x, [1], ['a']) FROM t")
+    assert "ELSE x END" in out
+    # arrayMap (later in the pipeline) still emits Spark's higher-order
+    # transform untouched by the mapping rule
+    out = translate_ch_sql("SELECT arrayMap(v -> v * 2, a) FROM t")
+    assert "transform(a, v -> v * 2)" in out
+
+
+def test_round6_guards():
+    for bad in [
+        "SELECT intHash32(x) FROM t",
+        "SELECT intHash64(x) FROM t",
+        "SELECT greatCircleDistance(1.0, 2.0, 3.0, 4.0) FROM t",
+        "SELECT transform(x, a, b, 'z') FROM t",  # non-literal arrays
+        "SELECT transform(x, [1,2], ['a'], 'z') FROM t",  # length skew
+    ]:
+        with pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
