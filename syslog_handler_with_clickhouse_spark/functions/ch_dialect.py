@@ -705,6 +705,71 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
 
     s = _rewrite_calls(s, "transform", _ch_transform)
 
+    # IPv4 numeric family (q203's integer arithmetic as rewrites)
+    s = _rewrite_calls(
+        s,
+        "IPv4NumToString",
+        lambda a: (
+            f"concat(CAST({a[0]} DIV 16777216 AS STRING), '.', "
+            f"CAST(({a[0]} DIV 65536) % 256 AS STRING), '.', "
+            f"CAST(({a[0]} DIV 256) % 256 AS STRING), '.', "
+            f"CAST({a[0]} % 256 AS STRING))"
+        ),
+    )
+    s = _rewrite_calls(
+        s,
+        "IPv4StringToNum",
+        lambda a: (
+            f"(CAST(split({a[0]}, '\\\\.')[0] AS BIGINT) * 16777216 + "
+            f"CAST(split({a[0]}, '\\\\.')[1] AS BIGINT) * 65536 + "
+            f"CAST(split({a[0]}, '\\\\.')[2] AS BIGINT) * 256 + "
+            f"CAST(split({a[0]}, '\\\\.')[3] AS BIGINT))"
+        ),
+    )
+
+    def _ip_in_range(a):
+        if len(a) != 2:
+            raise ChTranslationError("isIPAddressInRange needs (ip, cidr)")
+        cidr = a[1].strip()
+        m2 = re.fullmatch(
+            r"['\"](\d+)\.(\d+)\.(\d+)\.(\d+)/(\d+)['\"]", cidr
+        )
+        if not m2:
+            raise ChTranslationError(
+                "isIPAddressInRange translates literal IPv4 CIDRs only "
+                "(IPv6 membership lives in functions/ip6.py)"
+            )
+        o1, o2, o3, o4, p = (int(m2.group(i)) for i in range(1, 6))
+        if not 0 <= p <= 32:
+            raise ChTranslationError("CIDR prefix out of range")
+        net = (o1 << 24) | (o2 << 16) | (o3 << 8) | o4
+        block = 1 << (32 - p)
+        ip = a[0]
+        num = (
+            f"(CAST(split({ip}, '\\\\.')[0] AS BIGINT) * 16777216 + "
+            f"CAST(split({ip}, '\\\\.')[1] AS BIGINT) * 65536 + "
+            f"CAST(split({ip}, '\\\\.')[2] AS BIGINT) * 256 + "
+            f"CAST(split({ip}, '\\\\.')[3] AS BIGINT))"
+        )
+        return f"({num} DIV {block} = {net // block})"
+
+    s = _rewrite_calls(s, "isIPAddressInRange", _ip_in_range)
+
+    def _cidr_to_range(a):
+        if len(a) != 2:
+            raise ChTranslationError("IPv4CIDRToRange needs (ipnum, prefix)")
+        try:
+            p = int(a[1].strip())
+        except ValueError:
+            raise ChTranslationError(
+                "IPv4CIDRToRange needs a literal prefix"
+            ) from None
+        block = 1 << (32 - p)
+        lo = f"({a[0]} DIV {block}) * {block}"
+        return f"array({lo}, {lo} + {block - 1})"
+
+    s = _rewrite_calls(s, "IPv4CIDRToRange", _cidr_to_range)
+
     # geo great-circle math lives as a verified operator, not a rewrite
     if _search_nl(r"\bgreatCircle(Distance|Angle)\s*\(", s):
         raise ChTranslationError(

@@ -1174,3 +1174,31 @@ def test_round6_guards():
     ]:
         with pytest.raises(ChTranslationError):
             translate_ch_sql(bad)
+
+
+def test_round6_ipv4_rules(spark):
+    out = translate_ch_sql("SELECT IPv4NumToString(n) FROM t")
+    assert "DIV 16777216" in out
+    out = translate_ch_sql(
+        "SELECT isIPAddressInRange(ip, '10.1.0.0/16') FROM t"
+    )
+    assert "DIV 65536 = " in out
+    out = translate_ch_sql("SELECT IPv4CIDRToRange(n, 24) FROM t")
+    assert "array((n DIV 256) * 256, (n DIV 256) * 256 + 255)" in out
+    with pytest.raises(ChTranslationError):  # non-literal cidr
+        translate_ch_sql("SELECT isIPAddressInRange(ip, c) FROM t")
+    with pytest.raises(ChTranslationError):  # v6 form
+        translate_ch_sql("SELECT isIPAddressInRange(ip, '::1/64') FROM t")
+    # executed round trip: string -> num -> string is identity, and
+    # range membership agrees with the div arithmetic
+    row = spark.sql(
+        translate_ch_sql(
+            "SELECT IPv4NumToString(IPv4StringToNum('10.1.2.3')) AS rt, "
+            "isIPAddressInRange('10.1.2.3', '10.1.0.0/16') AS yes, "
+            "isIPAddressInRange('10.2.2.3', '10.1.0.0/16') AS no, "
+            "IPv4CIDRToRange(IPv4StringToNum('10.1.2.3'), 24) AS rng"
+        )
+    ).collect()[0]
+    assert row["rt"] == "10.1.2.3"
+    assert row["yes"] is True and row["no"] is False
+    assert row["rng"] == [167838208, 167838463]
