@@ -4906,3 +4906,74 @@ def q438(spark, sf_dir):
         )
         .orderBy("template")
     )
+
+
+@query(
+    "q443_chat_transcript_stats",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_convs,
+           CAST(SUM(3) AS BIGINT) AS turns,
+           CAST(SUM(2) AS BIGINT) AS user_turns,
+           CAST(SUM(length('reply ') * (user_id % 5 + 1)
+                    + length(event_type)) AS BIGINT) AS asst_chars,
+           CAST(SUM(CASE WHEN 1 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS starts_user
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q443(spark, sf_dir):
+    """Chat-transcript analytics — the conversation-shaped corpus an
+    instruction-tuning pipeline audits: JSON turn arrays parse through
+    native ``from_json`` (array<struct<role, content>>), explode to
+    turns, and aggregate to per-source stats (turn counts, role split,
+    assistant byte volume, user-first contract).  The transcripts are
+    deterministically synthesized so the ORACLE derives every statistic
+    from the construction arithmetic alone — the Spark side must earn
+    the same numbers by actually parsing the JSON it was handed (two
+    fully independent code paths).  Parse + explode + one aggregate:
+    no UDF, no driver round trip."""
+    ev = _t(spark, sf_dir, "events")
+    reply = F.concat(
+        F.expr("repeat('reply ', user_id % 5 + 1)"), F.col("event_type")
+    )
+    j = F.concat(
+        F.lit('[{"role":"user","content":"ask about '),
+        F.col("event_type"),
+        F.lit('"},{"role":"assistant","content":"'),
+        reply,
+        F.lit('"},{"role":"user","content":"thanks"}]'),
+    )
+    turns = ev.select("event_type", j.alias("j")).select(
+        "event_type",
+        F.posexplode(
+            F.from_json("j", "array<struct<role:string,content:string>>")
+        ).alias("pos", "turn"),
+    )
+    per_conv_cols = turns.select(
+        "event_type",
+        "pos",
+        F.col("turn.role").alias("role"),
+        F.length("turn.content").alias("clen"),
+    )
+    return (
+        per_conv_cols.groupBy("event_type")
+        .agg(
+            (F.count(F.lit(1)) / 3).cast("bigint").alias("n_convs"),
+            F.count(F.lit(1)).cast("bigint").alias("turns"),
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+            .cast("bigint")
+            .alias("user_turns"),
+            F.sum(F.when(F.col("role") == "assistant", F.col("clen")).otherwise(0))
+            .cast("bigint")
+            .alias("asst_chars"),
+            F.sum(
+                F.when((F.col("pos") == 0) & (F.col("role") == "user"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("starts_user"),
+        )
+        .orderBy("event_type")
+    )
