@@ -1513,3 +1513,93 @@ def q442(spark, sf_dir):
         F.col("n_compact").cast("bigint").alias("n_compact"),
         "t_min",
     ).orderBy("event_type")
+
+
+@query(
+    "q444_ndcg_at_10",
+    """
+    WITH cand AS (
+      SELECT user_id % 20 AS q,
+             event_id,
+             (event_id * 7) % 1000 AS score,
+             3 - (event_id % 4) AS rel
+      FROM events WHERE event_id % 3 = 0
+    ), ranked AS (
+      SELECT q, rel,
+             row_number() OVER (PARTITION BY q
+                                ORDER BY score DESC, event_id) AS rk
+      FROM cand
+    ), top AS (
+      SELECT q,
+             list(rel ORDER BY rk) AS rels
+      FROM ranked WHERE rk <= 10 GROUP BY q
+    ), scored AS (
+      SELECT q, len(rels) AS n_cands,
+             list_reduce(list_transform(range(1, len(rels) + 1),
+               i -> (pow(2, rels[i]) - 1) / log2(i + 1)),
+               (a, b) -> a + b) AS dcg,
+             list_reduce(list_transform(range(1, len(rels) + 1),
+               i -> (pow(2, list_reverse_sort(rels)[i]) - 1) / log2(i + 1)),
+               (a, b) -> a + b) AS idcg
+      FROM top
+    )
+    SELECT q, CAST(n_cands AS BIGINT) AS n_cands,
+           round(dcg, 6) AS dcg,
+           round(dcg / idcg, 6) AS ndcg
+    FROM scored ORDER BY q
+    """,
+)
+def q444(spark, sf_dir):
+    """nDCG@10 — the graded-relevance retrieval metric the rank-eval
+    family (AUC q251, ECE q257, PR-AUC q258, RRF q413) was missing.
+    Deterministic synthetic rankings (score and graded relevance both
+    integer functions of the ids) rank per query by (score, id); DCG is
+    the canonical (2^rel − 1)/log2(pos+1) folded SEQUENTIALLY over the
+    rank-ordered relevance array — the repo's _COS_EXPR discipline, so
+    both engines add the same doubles in the same order and the values
+    round-trip to 6 dp bit-equal.  IDCG re-folds the same array sorted
+    descending; nDCG = DCG/IDCG.  One window + one aggregate per
+    query key."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    cand = ev.select(
+        (F.col("user_id") % 20).alias("q"),
+        "event_id",
+        ((F.col("event_id") * 7) % 1000).alias("score"),
+        (3 - F.col("event_id") % 4).alias("rel"),
+    )
+    w = Window.partitionBy("q").orderBy(F.col("score").desc(), F.col("event_id"))
+    top = (
+        cand.select("q", "rel", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 10)
+        .groupBy("q")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", "rel"))),
+                lambda s: s["rel"],
+            ).alias("rels")
+        )
+    )
+
+    def _dcg(arr):
+        return F.aggregate(
+            F.expr(
+                f"transform(sequence(1, size({arr})), "
+                f"i -> (pow(2, element_at({arr}, i)) - 1) / log2(i + 1))"
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = top.select(
+        "q",
+        F.size("rels").cast("bigint").alias("n_cands"),
+        _dcg("rels").alias("dcg"),
+        _dcg("array_sort(rels, (a, b) -> CASE WHEN a > b THEN -1 "
+             "WHEN a < b THEN 1 ELSE 0 END)").alias("idcg"),
+    )
+    return scored.select(
+        "q",
+        "n_cands",
+        F.round("dcg", 6).alias("dcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    ).orderBy("q")
