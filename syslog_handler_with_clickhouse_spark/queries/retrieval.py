@@ -1325,7 +1325,8 @@ def q436(spark, sf_dir):
     """
     SELECT event_type,
            round(quantile_cont(user_id % 1000, 0.5), 4) AS med,
-           list_slice(list_sort(list(event_id % 97)), 1, 5) AS first5,
+           array_to_string(list_slice(list_sort(list(event_id % 97)),
+                           1, 5), ',') AS first5,
            MIN(to_base64(CAST(event_type AS BLOB))) AS b64
     FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -1345,7 +1346,8 @@ def q437(spark, sf_dir):
     ch = (
         "SELECT event_type, "
         "round(medianExact(user_id % 1000), 4) AS med, "
-        "arraySlice(arraySort(groupArray(event_id % 97)), 1, 5) AS first5, "
+        "arrayStringConcat(arraySlice(arraySort(groupArray(event_id % 97)), "
+        "1, 5), ',') AS first5, "
         "min(base64Encode(event_type)) AS b64 "
         "FROM events_t5 GROUP BY event_type"
     )
@@ -1353,7 +1355,7 @@ def q437(spark, sf_dir):
     return df.select(
         "event_type",
         F.col("med").cast("double").alias("med"),
-        F.col("first5").cast("array<bigint>").alias("first5"),
+        "first5",
         "b64",
     ).orderBy("event_type")
 

@@ -4092,7 +4092,7 @@ def q429(spark, sf_dir):
       FROM ex GROUP BY event_type, idx
     )
     SELECT event_type,
-           list(s ORDER BY idx) AS sums
+           array_to_string(list(s ORDER BY idx), ',') AS sums
     FROM agg GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -4120,9 +4120,12 @@ def q439(spark, sf_dir):
     return (
         agg.groupBy("event_type")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "s"))),
-                lambda t: t["s"],
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "s"))),
+                    lambda t: t["s"].cast("string"),
+                ),
+                ",",
             ).alias("sums")
         )
         .orderBy("event_type")

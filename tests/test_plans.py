@@ -1075,3 +1075,23 @@ def test_sample_clause_filter_precedes_every_exchange(spark):
     ]
     assert filter_ids and exchange_ids, plan
     assert min(filter_ids) < min(exchange_ids), (filter_ids, exchange_ids)
+
+
+def test_round9_tail4_queries_python_free(spark):
+    """The q435–q444 natives stay JVM-side end-to-end: Luhn folds,
+    dialect temporal/median/fold/array families, log templates,
+    sumForEach, deltaSum windows, chat-transcript JSON parse, nDCG."""
+    for name in [
+        "q435_pii_luhn_scan",
+        "q436_ch_temporal4",
+        "q437_ch_median_grouparray",
+        "q438_log_template_mining",
+        "q439_sum_for_each",
+        "q440_delta_sum",
+        "q441_ch_functions5",
+        "q442_ch_functions6",
+        "q443_chat_transcript_stats",
+        "q444_ndcg_at_10",
+    ]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert python_eval_nodes(df) == [], name
