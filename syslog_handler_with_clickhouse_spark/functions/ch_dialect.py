@@ -85,6 +85,10 @@ addDays..addSeconds /       ts +/- make_interval(...) (CH Date
 deltaSum[Timestamp] /       raise: CH block-order semantics — use
   runningDifference /          an explicit window (q440's
   runningAccumulate            greatest(x - lag(x), 0) form)
+avgWeighted(x, w)           sum(x·w)/sum(w) in DOUBLE
+sumCount(x)                 named_struct('sum', 'count')
+anyHeavy(x) / uniqTheta     mode(x) (exact ⊇ the heavy-hitter
+                              contract) / approx_count_distinct
 hasAll / hasAny             forall-contains / arrays_overlap
 arrayPush/Pop[Back|Front],  concat/slice compositions; reverse;
   arrayReverse,               consecutive-dedup via indexed filter
@@ -612,6 +616,29 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
     )
     s = _rewrite_calls(
         s, "median", lambda a: f"percentile_approx({a[0]}, 0.5)"
+    )
+
+    # weighted mean / paired sum-count / heavy value / theta sketch
+    s = _rewrite_calls(
+        s,
+        "avgWeighted",
+        lambda a: (
+            f"(sum(CAST({a[0]} AS DOUBLE) * {a[1]}) / sum(CAST({a[1]} "
+            f"AS DOUBLE)))"
+        ),
+    )
+    s = _rewrite_calls(
+        s,
+        "sumCount",
+        lambda a: (
+            f"named_struct('sum', sum({a[0]}), 'count', count({a[0]}))"
+        ),
+    )
+    # anyHeavy picks "a frequently occurring value" (heavy hitter);
+    # Spark's exact mode() satisfies that contract strictly
+    s = _rewrite_calls(s, "anyHeavy", lambda a: f"mode({a[0]})")
+    s = _rewrite_calls(
+        s, "uniqTheta", lambda a: f"approx_count_distinct({', '.join(a)})"
     )
 
     # bitwise aggregates map 1:1

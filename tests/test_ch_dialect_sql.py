@@ -1202,3 +1202,25 @@ def test_round6_ipv4_rules(spark):
     assert row["rt"] == "10.1.2.3"
     assert row["yes"] is True and row["no"] is False
     assert row["rng"] == [167838208, 167838463]
+
+
+def test_round6_weighted_and_paired_aggregates(spark):
+    out = translate_ch_sql("SELECT avgWeighted(x, w) FROM t")
+    assert "sum(CAST(x AS DOUBLE) * w) / sum(CAST(w AS DOUBLE))" in out
+    out = translate_ch_sql("SELECT sumCount(x), anyHeavy(x), uniqTheta(x) FROM t")
+    assert "named_struct('sum', sum(x), 'count', count(x))" in out
+    assert "mode(x)" in out
+    assert "approx_count_distinct(x)" in out
+    # executed: weighted mean of a known tiny frame
+    spark.createDataFrame(
+        [(1.0, 1), (3.0, 3)], "x DOUBLE, w INT"
+    ).createOrReplaceTempView("aw_t")
+    row = spark.sql(
+        translate_ch_sql(
+            "SELECT avgWeighted(x, w) AS aw, sumCount(x) AS sc, "
+            "anyHeavy(CAST(w AS STRING)) AS h FROM aw_t"
+        )
+    ).collect()[0]
+    assert abs(row["aw"] - 2.5) < 1e-12
+    assert row["sc"]["sum"] == 4.0 and row["sc"]["count"] == 2
+    assert row["h"] in ("1", "3")
