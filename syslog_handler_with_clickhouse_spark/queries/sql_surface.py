@@ -2496,3 +2496,70 @@ def q170(spark, sf_dir):
     return s.join(
         dominant, s.s_suppkey == F.col("l_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q445_ttl_rollup",
+    """
+    WITH src AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CAST(ts AS DATE) < DATE '2024-01-15' AS old
+      FROM events
+    ), kept AS (
+      SELECT day, event_type, cents, FALSE AS rolled FROM src WHERE NOT old
+      UNION ALL
+      SELECT day, event_type, CAST(SUM(cents) AS BIGINT) AS cents,
+             TRUE AS rolled
+      FROM src WHERE old GROUP BY day, event_type
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN NOT rolled THEN 1 ELSE 0 END) AS BIGINT)
+             AS raw_rows_kept,
+           CAST(SUM(CASE WHEN rolled THEN 1 ELSE 0 END) AS BIGINT)
+             AS rolled_rows_stored,
+           CAST(SUM(cents) AS BIGINT) AS cents_total
+    FROM kept GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q445(spark, sf_dir):
+    """CH ``TTL ... GROUP BY`` rollup — aging that AGGREGATES instead
+    of deleting (``TTL ts + INTERVAL 14 DAY GROUP BY day, type SET
+    cents = sum(cents)``): rows older than the cutoff collapse to one
+    row per (day, type) carrying the aggregate, recent rows stay raw,
+    and the additive measures are invariant across the rewrite (the
+    cents_total column IS that invariant, oracle-checked).  The engine
+    shape: one partition-pruned scan split by the age predicate, the
+    old side one hash aggregation, then a cheap union — exactly how a
+    store compaction job would rewrite aged partitions in place
+    (q107/q127's machinery with an aggregate instead of a drop)."""
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        (_dec("value") * 100).cast("bigint").alias("cents"),
+        (F.col("ts").cast("date") < F.lit("2024-01-15").cast("date")).alias("old"),
+    )
+    fresh = src.filter(~F.col("old")).select(
+        "day", "event_type", "cents", F.lit(False).alias("rolled")
+    )
+    rolled = (
+        src.filter(F.col("old"))
+        .groupBy("day", "event_type")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+        .select("day", "event_type", "cents", F.lit(True).alias("rolled"))
+    )
+    kept = fresh.unionByName(rolled)
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.sum(F.when(~F.col("rolled"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("raw_rows_kept"),
+            F.sum(F.when(F.col("rolled"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("rolled_rows_stored"),
+            F.sum("cents").cast("bigint").alias("cents_total"),
+        )
+        .orderBy("event_type")
+    )
