@@ -165,6 +165,13 @@ bits of md5(sampling_key) — deterministic, and nested the way CH
 guarantees (SAMPLE 0.1 ⊂ SAMPLE 0.2).  The integer row-count form
 raises (needs table statistics).
 
+Known shape limitation (fails loudly in Spark's analyzer, never
+silently): ``SELECT arrayJoin(a) AS x ... GROUP BY x`` — CH lets the
+exploded alias feed the same SELECT's GROUP BY; Spark requires the
+generator in a subquery (``SELECT x, count(*) FROM (SELECT explode(a)
+AS x FROM t) GROUP BY x``).  The translated statement raises
+UNRESOLVED_COLUMN with the alias name, pointing at the rewrite.
+
 Deliberately NOT translated (semantics differ or need a planner):
 ``extract`` (CH group-or-whole-match rule), ``length`` (type-overloaded
 in CH), ``neighbor``, ``arrayEnumerate*`` beyond the q227 operator, CH
