@@ -81,21 +81,11 @@ def main():
         t_gopher = time.time() - t0
 
         t0 = time.time()
-        w = docs.select(
-            "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "word")
+        from syslog_handler_with_clickhouse_spark.functions.text import (
+            shred_lines,
         )
-        lines = w.groupBy(
-            "doc_id", "source", F.expr("pos DIV 7").alias("line_id")
-        ).agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                    lambda x: x["word"],
-                ),
-                " ",
-            ).alias("line"),
-            F.count(F.lit(1)).alias("nw"),
-        )
+
+        lines = shred_lines(docs)
         keep = F.col("line").like("%e%") & (F.col("nw") >= 5)
         c4 = (
             lines.groupBy("doc_id", "source")

@@ -85,7 +85,6 @@ addDays..addSeconds /       ts +/- make_interval(...) (CH Date
 deltaSum[Timestamp] /       raise: CH block-order semantics — use
   runningDifference /          an explicit window (q440's
   runningAccumulate            greatest(x - lag(x), 0) form)
-avgWeighted(x, w)           sum(x·w)/sum(w) in DOUBLE
 sumCount(x)                 named_struct('sum', 'count')
 anyHeavy(x) / uniqTheta     mode(x) (exact ⊇ the heavy-hitter
                               contract) / approx_count_distinct
@@ -375,6 +374,8 @@ def _parse_sample_fraction(txt: str) -> float:
     """CH SAMPLE accepts a decimal in (0, 1] or a ``k/n`` ratio."""
     if "/" in txt:
         num, den = txt.split("/")
+        if int(den) == 0:
+            raise ChTranslationError("SAMPLE ratio has a zero denominator")
         return int(num) / int(den)
     return float(txt)
 
@@ -445,9 +446,13 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
             conds.append(f"{h} < '{hi:08x}'")
         pred = " AND ".join(conds) or "true"
         table = m.group(1)
+        # alias with the LAST name segment: `db.events` is not a legal
+        # subquery alias, and unqualified column refs resolve against
+        # the table's simple name anyway
+        alias = table.rsplit(".", 1)[-1]
         s = (
             s[: m.start()]
-            + f"FROM (SELECT * FROM {table} WHERE {pred}) {table}"
+            + f"FROM (SELECT * FROM {table} WHERE {pred}) {alias}"
             + s[m.end():]
         )
 
@@ -625,15 +630,8 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
         s, "median", lambda a: f"percentile_approx({a[0]}, 0.5)"
     )
 
-    # weighted mean / paired sum-count / heavy value / theta sketch
-    s = _rewrite_calls(
-        s,
-        "avgWeighted",
-        lambda a: (
-            f"(sum(CAST({a[0]} AS DOUBLE) * {a[1]}) / sum(CAST({a[1]} "
-            f"AS DOUBLE)))"
-        ),
-    )
+    # paired sum-count / heavy value / theta sketch (avgWeighted has a
+    # long-standing rule further down, with the uniq family)
     s = _rewrite_calls(
         s,
         "sumCount",
@@ -696,19 +694,22 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
     # contract — "the type of this expression, as a string" — maps
     s = _rewrite_calls(s, "toTypeName", lambda a: f"typeof({a[0]})")
 
-    # formatReadableSize: CH's binary-unit pretty printer, two decimals
+    # formatReadableSize: CH's binary-unit pretty printer, two decimals.
+    # format_string('%.2f') not format_number: the latter inserts
+    # thousands separators CH never emits (1023.44 KiB, not 1,023.44)
     def _readable_size(a):
         x = a[0]
         arms = []
-        for k, unit in ((50, "PiB"), (40, "TiB"), (30, "GiB"), (20, "MiB"),
-                        (10, "KiB")):
+        for k, unit in ((60, "EiB"), (50, "PiB"), (40, "TiB"), (30, "GiB"),
+                        (20, "MiB"), (10, "KiB")):
             arms.append(
-                f"WHEN {x} >= {1 << k} THEN concat(format_number("
-                f"CAST({x} AS DOUBLE) / {1 << k}, 2), ' {unit}')"
+                f"WHEN {x} >= {1 << k} THEN concat(format_string('%.2f', "
+                f"CAST({x} AS DOUBLE) / {1 << k}), ' {unit}')"
             )
         return (
             "CASE " + " ".join(arms)
-            + f" ELSE concat(format_number(CAST({x} AS DOUBLE), 2), ' B') END"
+            + f" ELSE concat(format_string('%.2f', CAST({x} AS DOUBLE)),"
+            f" ' B') END"
         )
 
     s = _rewrite_calls(s, "formatReadableSize", _readable_size)
@@ -774,6 +775,8 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
                 "(IPv6 membership lives in functions/ip6.py)"
             )
         o1, o2, o3, o4, p = (int(m2.group(i)) for i in range(1, 6))
+        if not all(0 <= o <= 255 for o in (o1, o2, o3, o4)):
+            raise ChTranslationError("CIDR octet out of range (0-255)")
         if not 0 <= p <= 32:
             raise ChTranslationError("CIDR prefix out of range")
         net = (o1 << 24) | (o2 << 16) | (o3 << 8) | o4
@@ -798,6 +801,8 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
             raise ChTranslationError(
                 "IPv4CIDRToRange needs a literal prefix"
             ) from None
+        if not 0 <= p <= 32:
+            raise ChTranslationError("CIDR prefix out of range (0-32)")
         block = 1 << (32 - p)
         lo = f"({a[0]} DIV {block}) * {block}"
         return f"array({lo}, {lo} + {block - 1})"

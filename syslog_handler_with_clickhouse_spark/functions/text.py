@@ -130,3 +130,31 @@ def gopher_rules(text: Column, *, min_words: int = 30,
         "r_alpha_words": 10 * (n_words - non_alpha) >= 8 * n_words,
         "r_stop_words": pad.like("% the %") & pad.like("% a %"),
     }
+
+
+def shred_lines(df, text_col: str = "text", words_per_line: int = 7,
+                keys: tuple = ("doc_id", "source")):
+    """Shred documents into fixed-width word lines: posexplode the
+    space-split words, bucket by ``pos DIV words_per_line``, and rebuild
+    each line's text with array_sort over collected (pos, word) structs
+    — an aggregate, never a window, so there is no per-document sort
+    barrier and every exchange keys on (keys..., line_id).
+
+    Returns (keys..., line_id, line, nw).  Shared by the C4 line
+    filters (q431), the CCNet line dedup (q433), and the quality scale
+    bench."""
+    w = df.select(
+        *keys, F.posexplode(F.split(text_col, " ")).alias("pos", "word")
+    )
+    return w.groupBy(
+        *keys, F.expr(f"pos DIV {words_per_line}").alias("line_id")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("line"),
+        F.count(F.lit(1)).cast("bigint").alias("nw"),
+    )

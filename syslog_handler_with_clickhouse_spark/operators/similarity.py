@@ -492,7 +492,10 @@ def _d2_int(a, b):
 
 
 def sq8_quantize(
-    v: DataFrame, id_col: str = "vid", vec_col: str = "qv"
+    v: DataFrame,
+    id_col: str = "vid",
+    vec_col: str = "qv",
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Scalar (SQ8) quantization over integer-grid vectors — the FAISS
     ``SQ8`` storage layout re-expressed relationally: each vector keeps
@@ -505,7 +508,9 @@ def sq8_quantize(
     codes table is what streams through the broadcast-NLJ scorer while
     raw vectors stay in cold storage for reranking only.
 
-    Returns (id, mn, mx, codes).  Degenerate constant vectors
+    Returns (id, mn, mx, codes) plus any ``extra_cols`` passed through
+    (quantization is row-local, so carrying the raw vector costs no
+    join and no extra exchange).  Degenerate constant vectors
     (mx == mn) encode as all-zero codes and dequantize to mn exactly."""
     mn, mx = F.array_min(vec_col), F.array_max(vec_col)
     codes = F.when(
@@ -520,18 +525,20 @@ def sq8_quantize(
         mn.alias("mn"),
         mx.alias("mx"),
         codes.alias("codes"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
-def sq8_dequantize(codes, mn, mx):
+def sq8_dequantize(
+    codes_col: str = "codes", mn_col: str = "mn", mx_col: str = "mx"
+):
     """Integer dequantization: mn + code * (mx - mn) DIV 255 per
-    component (the asymmetric-distance reconstruction)."""
-    span = mx - mn
-    # c*span >= 0 always, so subtract-mod-then-divide is exact integer
-    # floor division with no float round-trip
-    return F.transform(
-        codes,
-        lambda c: (
-            mn + (((c * span) - ((c * span) % 255)) / 255).cast("bigint")
-        ).cast("bigint"),
+    component (the asymmetric-distance reconstruction).  Takes COLUMN
+    NAMES (like ``sq8_quantize``) so the division is SQL's integer DIV
+    — a Column-level ``/`` would round-trip through float64 and lose
+    exactness past 2^53, breaking the bit-reproducible-ranking
+    contract."""
+    return F.expr(
+        f"transform({codes_col}, c -> CAST({mn_col} + (c * ({mx_col} - "
+        f"{mn_col})) DIV 255 AS BIGINT))"
     )

@@ -1180,15 +1180,15 @@ def q425(spark, sf_dir):
                                 ORDER BY exact DESC, neighbor_id) AS rk_ex
       FROM scored
     )
-    SELECT a.query_id,
-           CAST(COUNT(*) AS BIGINT) AS recall10,
-           CAST(MIN(CASE WHEN a.rk_adc = 1 THEN a.neighbor_id END)
+    SELECT query_id,
+           CAST(SUM(CASE WHEN rk_adc <= 10 AND rk_ex <= 10
+                    THEN 1 ELSE 0 END) AS BIGINT) AS recall10,
+           CAST(MIN(CASE WHEN rk_adc = 1 THEN neighbor_id END)
                 AS BIGINT) AS adc_top1,
-           CAST(MIN(CASE WHEN a.rk_ex = 1 THEN a.neighbor_id END)
+           CAST(MIN(CASE WHEN rk_ex = 1 THEN neighbor_id END)
                 AS BIGINT) AS exact_top1
-    FROM ranked a
-    WHERE a.rk_adc <= 10 AND a.rk_ex <= 10
-    GROUP BY a.query_id ORDER BY a.query_id
+    FROM ranked
+    GROUP BY query_id ORDER BY query_id
     """,
 )
 def q434(spark, sf_dir):
@@ -1209,11 +1209,13 @@ def q434(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     v = quantize_vectors(emb)  # (vid, qv) integer grid
-    sq = sq8_quantize(v).join(v, "vid")
+    # quantization is row-local: carry qv through instead of joining
+    # the corpus back onto itself (plan-pinned single scan, no join)
+    sq = sq8_quantize(v, extra_cols=("qv",))
     deq = sq.select(
         "vid",
         "qv",
-        sq8_dequantize(F.col("codes"), F.col("mn"), F.col("mx")).alias("dq"),
+        sq8_dequantize("codes", "mn", "mx").alias("dq"),
     )
 
     def _dot(a, b):
@@ -1249,11 +1251,19 @@ def q434(spark, sf_dir):
         F.row_number().over(wa).alias("rk_adc"),
         F.row_number().over(we).alias("rk_ex"),
     )
+    # top-1s aggregate over ALL ranked rows — filtering to the top-10
+    # intersection first would NULL out a top-1 that the other ranking
+    # missed, which is exactly the quantization-error case the metric
+    # must surface
     return (
-        ranked.filter((F.col("rk_adc") <= 10) & (F.col("rk_ex") <= 10))
-        .groupBy("query_id")
+        ranked.groupBy("query_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("recall10"),
+            F.sum(
+                F.when((F.col("rk_adc") <= 10) & (F.col("rk_ex") <= 10), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("recall10"),
             F.min(F.when(F.col("rk_adc") == 1, F.col("neighbor_id")))
             .cast("bigint")
             .alias("adc_top1"),

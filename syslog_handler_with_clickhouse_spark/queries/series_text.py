@@ -4490,23 +4490,10 @@ def q431(spark, sf_dir):
     on (doc_id, line_id) then doc_id then source — all linear in corpus
     size, no joins; the line rebuild is array_sort over collected
     (pos, word) structs, never a window."""
+    from ..functions.text import shred_lines
+
     docs = _t(spark, sf_dir, "documents")
-    w = docs.select(
-        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "word")
-    )
-    l0 = (
-        w.groupBy("doc_id", "source", F.expr("pos DIV 7").alias("line_id"))
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                    lambda x: x["word"],
-                ),
-                " ",
-            ).alias("line"),
-            F.count(F.lit(1)).cast("bigint").alias("nw"),
-        )
-    )
+    l0 = shred_lines(docs)
     did, lid = F.col("doc_id"), F.col("line_id")
     js = (did % 11 == 0) & (lid == 0)
     br = (did % 13 == 0) & (lid == 1)
@@ -4639,23 +4626,10 @@ def q433(spark, sf_dir):
     the corpus — and the join never widens rows beyond one bigint.
     Output: per-source kept/removed line counts, bytes removed, and
     documents touched — all exact integers."""
+    from ..functions.text import shred_lines
+
     docs = _t(spark, sf_dir, "documents")
-    w = docs.select(
-        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "word")
-    )
-    content = (
-        w.groupBy("doc_id", "source", F.expr("pos DIV 7").alias("line_id"))
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                    lambda x: x["word"],
-                ),
-                " ",
-            ).alias("line")
-        )
-        .select("doc_id", "source", "line")
-    )
+    content = shred_lines(docs).select("doc_id", "source", "line")
     header = docs.select(
         "doc_id",
         "source",

@@ -1205,8 +1205,6 @@ def test_round6_ipv4_rules(spark):
 
 
 def test_round6_weighted_and_paired_aggregates(spark):
-    out = translate_ch_sql("SELECT avgWeighted(x, w) FROM t")
-    assert "sum(CAST(x AS DOUBLE) * w) / sum(CAST(w AS DOUBLE))" in out
     out = translate_ch_sql("SELECT sumCount(x), anyHeavy(x), uniqTheta(x) FROM t")
     assert "named_struct('sum', sum(x), 'count', count(x))" in out
     assert "mode(x)" in out
@@ -1224,3 +1222,44 @@ def test_round6_weighted_and_paired_aggregates(spark):
     assert abs(row["aw"] - 2.5) < 1e-12
     assert row["sc"]["sum"] == 4.0 and row["sc"]["count"] == 2
     assert row["h"] in ("1", "3")
+
+
+def test_selfreview_r9_fixes(spark):
+    """Regression pins for the round-9 self-review findings:
+    qualified-table SAMPLE aliasing, zero-denominator ratio, CIDR
+    bounds, and comma-free formatReadableSize."""
+    # SAMPLE on db.table: the subquery alias must be the simple name
+    out = translate_ch_sql(
+        "SELECT count() FROM db.events SAMPLE 0.2", sampling_key="k"
+    )
+    assert ") events" in out and ") db.events" not in out
+    with pytest.raises(ChTranslationError):  # zero denominator
+        translate_ch_sql("SELECT count() FROM t SAMPLE 1/0", sampling_key="k")
+    with pytest.raises(ChTranslationError):  # prefix out of range
+        translate_ch_sql("SELECT IPv4CIDRToRange(n, 40) FROM t")
+    with pytest.raises(ChTranslationError):  # octet out of range
+        translate_ch_sql(
+            "SELECT isIPAddressInRange(ip, '300.1.0.0/16') FROM t"
+        )
+    # formatReadableSize: no thousands separator, CH-style value
+    row = spark.sql(
+        translate_ch_sql(
+            "SELECT formatReadableSize(1048000) AS a, "
+            "formatReadableSize(1152921504606846976) AS b, "
+            "formatReadableSize(512) AS c"
+        )
+    ).collect()[0]
+    assert row["a"] == "1023.44 KiB", row["a"]
+    assert row["b"] == "1.00 EiB", row["b"]
+    assert row["c"] == "512.00 B", row["c"]
+
+
+def test_sq8_top1_survives_rank_disagreement(spark):
+    """q434 contract: adc_top1/exact_top1 are computed over ALL ranked
+    rows, so a top-1 outside the other ranking's top-10 still appears."""
+    from syslog_handler_with_clickhouse_spark.queries import QUERIES
+
+    rows = QUERIES["q434_sq8_ann"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["adc_top1"] is not None and r["exact_top1"] is not None

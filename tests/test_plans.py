@@ -1082,6 +1082,7 @@ def test_round9_tail4_queries_python_free(spark):
     dialect temporal/median/fold/array families, log templates,
     sumForEach, deltaSum windows, chat-transcript JSON parse, nDCG."""
     for name in [
+        "q434_sq8_ann",
         "q435_pii_luhn_scan",
         "q436_ch_temporal4",
         "q437_ch_median_grouparray",
