@@ -129,3 +129,48 @@ def test_ch_dialect_fuzz_differential(spark, duck):
         if s_rows != o_rows:
             failures.append((i, ch, translated, ducksql))
     assert not failures, f"seed={seed} first={failures[0]}"
+
+
+def _pair_array_family(rng):
+    m1, m2 = rng.choice([5, 7, 11]), rng.choice([3, 13])
+    cap = rng.randint(1, 3)
+    ch = (
+        f"SELECT event_type, "
+        f"sum(arrayReduce('max', [user_id % {m1}, event_id % {m2}])) AS rmax, "
+        f"sum(arrayReduce('count', arrayPushBack([user_id % {m1}], 9))) AS np, "
+        f"sum(multiIf(hasAny([user_id % {m1}, event_id % {m2}], "
+        f"[{cap}]), 1, 0)) AS ha "
+        f"FROM events_fz GROUP BY event_type"
+    )
+    duck = (
+        f"SELECT event_type, "
+        f"CAST(SUM(GREATEST(user_id % {m1}, event_id % {m2})) AS BIGINT) AS rmax, "
+        f"CAST(SUM(2) AS BIGINT) AS np, "
+        f"CAST(SUM(CASE WHEN user_id % {m1} = {cap} OR event_id % {m2} = {cap} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS ha "
+        f"FROM events GROUP BY event_type"
+    )
+    return ch, duck, None
+
+
+def _pair_interval_fold(rng):
+    nd = rng.randint(1, 30)
+    nh = rng.randint(1, 23)
+    m = rng.choice([5, 9])
+    ch = (
+        f"SELECT event_type, min(addDays(ts, {nd})) AS d, "
+        f"max(subtractHours(ts, {nh})) AS h, "
+        f"sum(arrayFold((acc, x) -> acc + x, [user_id % {m}, 2], "
+        f"CAST(0 AS BIGINT))) AS f "
+        f"FROM events_fz GROUP BY event_type"
+    )
+    duck = (
+        f"SELECT event_type, MIN(ts + INTERVAL {nd} DAY) AS d, "
+        f"MAX(ts - INTERVAL {nh} HOUR) AS h, "
+        f"CAST(SUM(user_id % {m} + 2) AS BIGINT) AS f "
+        f"FROM events GROUP BY event_type"
+    )
+    return ch, duck, None
+
+
+_PAIRS.extend([_pair_array_family, _pair_interval_fold])
