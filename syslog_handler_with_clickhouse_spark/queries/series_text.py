@@ -4951,3 +4951,105 @@ def q443(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q446_curation_funnel",
+    """
+    WITH m AS (
+      SELECT doc_id, source, text,
+             len(string_split(text, ' ')) AS n_words,
+             length(replace(text, ' ', '')) AS wl_sum,
+             (' ' || text || ' ' LIKE '% the %'
+              AND ' ' || text || ' ' LIKE '% a %') AS has_stops
+      FROM documents
+    ), q AS (
+      SELECT doc_id, source, text, n_words,
+             (n_words >= 30 AND n_words <= 100000
+              AND 3 * n_words <= wl_sum AND wl_sum <= 10 * n_words
+              AND has_stops) AS ok
+      FROM m
+    ), d AS (
+      SELECT source, md5(text) AS h,
+             CAST(MIN(n_words) AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS copies
+      FROM q WHERE ok GROUP BY source, md5(text)
+    )
+    SELECT s.source,
+           CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(s.n_quality AS BIGINT) AS n_quality,
+           CAST(COALESCE(d2.n_unique, 0) AS BIGINT) AS n_unique,
+           CAST(COALESCE(d2.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+           CAST(COALESCE(CAST((d2.tokens_kept + 511) // 512 AS BIGINT), 0)
+                AS BIGINT) AS packed_seqs
+    FROM (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_quality
+      FROM q GROUP BY source
+    ) s
+    LEFT JOIN (
+      SELECT source, COUNT(*) AS n_unique, SUM(n_words) AS tokens_kept
+      FROM d GROUP BY source
+    ) d2 USING (source)
+    ORDER BY s.source
+    """,
+)
+def q446(spark, sf_dir):
+    """The curation funnel END-TO-END — the composition story behind
+    the individual operators: Gopher-style quality gate
+    (functions/text.gopher_rules, the 3 rules that fire on this raw
+    corpus) → exact dedup on md5(text) keeping one survivor per
+    (source, digest) → whitespace token budget → 512-token packed
+    sequence count (the ceil arithmetic of greedy concat packing).
+    Every stage is the verified kernel of its standalone query
+    (q430/q36/q44/q379); this one proves they compose without a UDF or
+    an extra exchange class: scan → row-local rules → one (source,
+    digest) aggregate → one source aggregate."""
+    from ..functions.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = gopher_rules(F.col("text"))
+    q = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        (
+            rules["r_word_count"]
+            & rules["r_mean_word_len"]
+            & rules["r_stop_words"]
+        ).alias("ok"),
+    )
+    stage = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_quality"),
+    )
+    d = (
+        q.filter(F.col("ok"))
+        .groupBy("source", F.md5("text").alias("h"))
+        .agg(F.min("n_words").cast("bigint").alias("n_words"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+            F.sum("n_words").cast("bigint").alias("tokens_kept"),
+        )
+    )
+    out = stage.join(d, "source", "left")
+    return out.select(
+        "source",
+        "n_docs",
+        "n_quality",
+        F.coalesce("n_unique", F.lit(0)).cast("bigint").alias("n_unique"),
+        F.coalesce("tokens_kept", F.lit(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+        F.coalesce(
+            ((F.col("tokens_kept") + 511) - (F.col("tokens_kept") + 511) % 512)
+            / 512,
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("packed_seqs"),
+    ).orderBy("source")
