@@ -1093,6 +1093,21 @@ def test_round9_tail4_queries_python_free(spark):
         "q442_ch_functions6",
         "q443_chat_transcript_stats",
         "q444_ndcg_at_10",
+        "q445_ttl_rollup",
+        "q446_curation_funnel",
     ]:
         df = QUERIES[name](spark, SF_DIR)
         assert python_eval_nodes(df) == [], name
+
+
+def test_curation_funnel_exchanges_stay_source_keyed(spark):
+    """q446: the whole funnel exchanges only on source / (source, h) —
+    quality rules are row-local, dedup keys on the digest, packing is
+    arithmetic.  No exchange ever keys on raw text."""
+    import re
+
+    plan = formatted_plan(QUERIES["q446_curation_funnel"](spark, SF_DIR))
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = {k.split("#")[0].strip() for k in m.group(1).split(",")[:-1]}
+        # md5(text) surfaces as Catalyst's _groupingexpression alias
+        assert keys <= {"source", "h", "_groupingexpression"}, keys
