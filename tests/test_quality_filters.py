@@ -119,3 +119,42 @@ def test_luhn_fold_on_canonical_test_numbers(spark):
     ).selectExpr(f"({luhn_ok}) AS got", "expect").collect()
     for r in rows:
         assert r["got"] == r["expect"], r
+
+
+def test_shred_lines_reconstructs_text(spark):
+    """Property of the shared shred kernel (q431/q433/scale bench):
+    joining each document's lines in line_id order with single spaces
+    reconstructs the original text exactly — no word lost, reordered,
+    or duplicated by the posexplode/rebuild round trip."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.functions.text import (
+        shred_lines,
+    )
+    from syslog_handler_with_clickhouse_spark.sources.testdata import (
+        load_table,
+    )
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    )
+    rebuilt = (
+        shred_lines(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_id", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    bad = (
+        docs.join(rebuilt, "doc_id")
+        .filter(F.col("text") != F.col("rebuilt"))
+        .count()
+    )
+    assert bad == 0
