@@ -678,6 +678,11 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
         lambda a: f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))",
     )
     s = _rewrite_calls(s, "arrayReverse", lambda a: f"reverse({a[0]})")
+    s = _rewrite_calls(
+        s,
+        "countEqual",
+        lambda a: f"size(filter({a[0]}, _x -> _x <=> {a[1]}))",
+    )
     # arrayCompact: drop CONSECUTIVE duplicates.  filter's (x, i) lambda
     # is 0-indexed while element_at is 1-based, so element_at(a, i) IS
     # the previous element; IS DISTINCT FROM keeps NULL runs compacted.
@@ -1200,6 +1205,15 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
         return f"date_sub({x}, (dayofweek({x}) + 5) % 7)"  # Monday-start
 
     s = _rewrite_calls(s, "toStartOfWeek", _start_of_week)
+    # toMonday is toStartOfWeek's mode-1 (Monday) form by definition
+    s = _rewrite_calls(
+        s,
+        "toMonday",
+        lambda a: (
+            f"date_sub(to_date({a[0]}), (dayofweek(to_date({a[0]})) + 5)"
+            f" % 7)"
+        ),
+    )
     s = _rewrite_calls(s, "toDateTime", lambda a: f"to_timestamp({a[0]})")
     s = _rewrite_calls(s, "toDate", lambda a: f"to_date({a[0]})")
     s = _rewrite_calls(

@@ -1263,3 +1263,21 @@ def test_sq8_top1_survives_rank_disagreement(spark):
     assert rows
     for r in rows:
         assert r["adc_top1"] is not None and r["exact_top1"] is not None
+
+
+def test_to_monday_and_count_equal(spark):
+    out = translate_ch_sql("SELECT toMonday(ts), countEqual(arr, 3) FROM t")
+    assert "date_sub(to_date(ts), (dayofweek(to_date(ts)) + 5) % 7)" in out
+    assert "size(filter(arr, _x -> _x <=> 3))" in out
+    row = spark.sql(
+        translate_ch_sql(
+            "SELECT toMonday(toDate('2024-01-07')) AS sun, "  # a Sunday
+            "toMonday(toDate('2024-01-08')) AS mon, "          # a Monday
+            "countEqual([1, 3, 3, NULL], 3) AS c"
+        )
+    ).collect()[0]
+    import datetime
+
+    assert row["sun"] == datetime.date(2024, 1, 1)  # prev Monday
+    assert row["mon"] == datetime.date(2024, 1, 8)  # itself
+    assert row["c"] == 2
