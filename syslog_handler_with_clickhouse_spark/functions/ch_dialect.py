@@ -889,6 +889,28 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
         s = _rewrite_calls(s, f"add{unit}", _add_interval(unit, "+"))
         s = _rewrite_calls(s, f"subtract{unit}", _add_interval(unit, "-"))
 
+    # the behavioral/sketch parameterized aggregates have verified
+    # OPERATOR implementations, not scalar rewrites — a passthrough
+    # would die in Spark's parser with an unhelpful message, so refuse
+    # with a pointer to the real thing
+    _OPERATOR_AGGS = {
+        "windowFunnel": "queries q97/q163/q241/q267 (window-funnel family)",
+        "retention": "queries q99/q226/q287 (retention family)",
+        "sequenceMatch": "queries q104/q247 (sequence-match family)",
+        "sequenceCount": "query q207",
+        "uniqUpTo": "operators/sketches.py uniq_up_to (q342)",
+        "histogram": "operators/sketches.py adaptive histogram (q103/q260)",
+        "sumMap": "query q332 (sumMap/minMap/maxMap)",
+        "minMap": "query q332",
+        "maxMap": "query q332",
+    }
+    for agg, where in _OPERATOR_AGGS.items():
+        if _search_nl(rf"\b{agg}\s*\(", s):
+            raise ChTranslationError(
+                f"{agg} is a behavioral/sketch aggregate with no scalar "
+                f"SQL rewrite — use the verified operator: {where}"
+            )
+
     # order-dependent aggregates: CH computes these in stored block
     # order, which has no SQL-level meaning here — refuse loudly and
     # point at the windowed form (q440's lag-based deltaSum)

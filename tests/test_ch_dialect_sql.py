@@ -1281,3 +1281,20 @@ def test_to_monday_and_count_equal(spark):
     assert row["sun"] == datetime.date(2024, 1, 1)  # prev Monday
     assert row["mon"] == datetime.date(2024, 1, 8)  # itself
     assert row["c"] == 2
+
+
+def test_operator_aggregate_guards_point_at_implementations():
+    for bad, hint in [
+        ("SELECT windowFunnel(3600)(ts, a, b) FROM t", "funnel"),
+        ("SELECT retention(a, b) FROM t", "retention"),
+        ("SELECT sequenceMatch('(?1)(?2)')(ts, a, b) FROM t", "sequence"),
+        ("SELECT uniqUpTo(5)(x) FROM t", "uniq_up_to"),
+        ("SELECT histogram(10)(x) FROM t", "histogram"),
+        ("SELECT sumMap(k, v) FROM t", "q332"),
+    ]:
+        with pytest.raises(ChTranslationError) as ei:
+            translate_ch_sql(bad)
+        assert hint in str(ei.value)
+    # the names inside literals remain data
+    out = translate_ch_sql("SELECT x FROM t WHERE m = 'retention(a) sumMap'")
+    assert "'retention(a) sumMap'" in out
