@@ -85,6 +85,12 @@ addDays..addSeconds /       ts +/- make_interval(...) (CH Date
 deltaSum[Timestamp] /       raise: CH block-order semantics — use
   runningDifference /          an explicit window (q440's
   runningAccumulate            greatest(x - lag(x), 0) form)
+windowFunnel / retention /  raise with a pointer to the verified
+  sequenceMatch/Count /        OPERATOR implementation (funnel /
+  uniqUpTo / histogram /       retention / sequence / sketch query
+  sumMap/minMap/maxMap         families) — no scalar rewrite exists
+toMonday(x)                 Monday week-start date arithmetic
+countEqual(arr, v)          size(filter(arr, x -> x <=> v))
 sumCount(x)                 named_struct('sum', 'count')
 anyHeavy(x) / uniqTheta     mode(x) (exact ⊇ the heavy-hitter
                               contract) / approx_count_distinct
