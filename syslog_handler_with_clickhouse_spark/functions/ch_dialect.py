@@ -194,30 +194,39 @@ class ChTranslationError(ValueError):
     pass
 
 
+def _scan_literal_end(s: str, i: int) -> int:
+    """``s[i]`` is an opening quote: return the index just PAST the
+    literal's closing quote, honouring both escape conventions CH
+    accepts — backslash escapes (``'it\\'s'``) and SQL doubled quotes
+    (``'it''s'``).  Single source of truth for literal extents: every
+    lexer in this module (_literal_spans, _split_top_args, _find_call)
+    uses it, so they cannot disagree on where a string ends."""
+    q, j, n = s[i], i + 1, len(s)
+    while j < n:
+        c = s[j]
+        if c == "\\":
+            j += 2
+            continue
+        if c == q:
+            if j + 1 < n and s[j + 1] == q:  # doubled-quote escape
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
 def _literal_spans(s: str) -> list[tuple[int, int]]:
-    """[start, end) spans of quoted string literals.  Handles both
-    escape conventions CH accepts: backslash escapes (``'it\\'s'``) and
-    SQL doubled quotes (``'it''s'``).  Rewrites must never fire inside
-    these spans — a CH function name occurring in a message literal is
-    data, not code."""
+    """[start, end) spans of quoted string literals.  Rewrites must
+    never fire inside these spans — a CH function name occurring in a
+    message literal is data, not code."""
     spans: list[tuple[int, int]] = []
     i, n = 0, len(s)
     while i < n:
         if s[i] in "'\"":
-            q, j = s[i], i + 1
-            while j < n:
-                c = s[j]
-                if c == "\\":
-                    j += 2
-                    continue
-                if c == q:
-                    if j + 1 < n and s[j + 1] == q:  # doubled-quote escape
-                        j += 2
-                        continue
-                    break
-                j += 1
-            spans.append((i, min(j + 1, n)))
-            i = min(j + 1, n)
+            j = _scan_literal_end(s, i)
+            spans.append((i, j))
+            i = j
         else:
             i += 1
     return spans
@@ -283,30 +292,27 @@ def _sub_nl(pattern: str, repl, s: str, flags: int = 0) -> str:
 
 
 def _split_top_args(s: str) -> list[str]:
-    """Split a function-argument string on top-level commas."""
-    out, depth, cur, in_str = [], 0, [], None
-    for ch in s:
-        if in_str:
-            cur.append(ch)
-            if ch == in_str:
-                in_str = None
-            continue
+    """Split a function-argument string on top-level commas.  String
+    literals are skipped via _scan_literal_end (backslash + doubled-
+    quote escapes), so an argument like ``'it\\'s (x'`` can neither
+    corrupt paren depth nor split at a comma inside the literal."""
+    out: list[str] = []
+    depth, i, last, n = 0, 0, 0, len(s)
+    while i < n:
+        ch = s[i]
         if ch in "'\"":
-            in_str = ch
-            cur.append(ch)
-        elif ch in "([":
+            i = _scan_literal_end(s, i)
+            continue
+        if ch in "([":
             depth += 1
-            cur.append(ch)
         elif ch in ")]":
             depth -= 1
-            cur.append(ch)
         elif ch == "," and depth == 0:
-            out.append("".join(cur).strip())
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        out.append("".join(cur).strip())
+            out.append(s[last:i].strip())
+            last = i + 1
+        i += 1
+    if s[last:]:
+        out.append(s[last:].strip())
     return out
 
 
@@ -320,16 +326,14 @@ def _find_call(sql: str, name: str):
             continue
         i = m.end()
         depth = 1
-        in_str = None
         j = i
         while j < len(sql):
             ch = sql[j]
-            if in_str:
-                if ch == in_str:
-                    in_str = None
-            elif ch in "'\"":
-                in_str = ch
-            elif ch == "(":
+            if ch in "'\"":
+                # same escape rules as _literal_spans — the lexers agree
+                j = _scan_literal_end(sql, j)
+                continue
+            if ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
@@ -978,7 +982,11 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
     # CANNOT be mapped onto Spark SQL — refuse loudly (the engine's
     # mergeable-state analogues live in operators/sketches.py and
     # sources/mv.py, reached through the DataFrame API, not this shim)
-    st = _search_nl(r"\b\w+(State|Merge)\s*\(", s, re.IGNORECASE)
+    # Case-sensitive, and the char before the suffix must be lowercase/
+    # digit: catches CH camelCase combinators (sumState, uniqMerge,
+    # quantileTDigestState) without rejecting user identifiers that
+    # merely END in state/merge (update_state, device_state, DO_MERGE).
+    st = _search_nl(r"\b\w*[a-z0-9](State|Merge)\s*\(", s)
     if st:
         raise ChTranslationError(
             f"{st.group(0).strip('( ')}: -State/-Merge combinators have no "
@@ -1449,9 +1457,12 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
         # CH does not promise WHICH right-side row ANY JOIN keeps, so any
         # single-row pick is valid — but a NONdeterministic pick makes
         # results flap across runs.  Ordering the window by the partition
-        # keys alone would tie every row, so order by the full-row JSON
-        # serialization: a deterministic, content-based total order (rows
-        # tying on it are identical, so the pick no longer matters).
+        # keys alone would tie every row, so order by xxhash64 of the
+        # full-row struct: a deterministic, content-based total order at
+        # 8 bytes/row (the earlier to_json serialization allocated a
+        # string per row on wide tables).  Rows tying on the hash are
+        # either identical (pick doesn't matter) or a 2^-64 collision —
+        # and ANY JOIN permits either row in that case by definition.
         jtype = (m.group(1) or "INNER").strip().upper()
         tbl, alias = m.group(2), m.group(3) or m.group(2)
         cols = [c.strip() for c in m.group(4).split(",")]
@@ -1460,8 +1471,8 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
             f" {jtype} JOIN (SELECT * EXCEPT (_rn_any, _ord_any) FROM "
             f"(SELECT *, row_number() OVER (PARTITION BY {keys} "
             f"ORDER BY _ord_any) AS _rn_any FROM "
-            f"(SELECT *, to_json(struct(*)) AS _ord_any FROM {tbl}) _anysrc) "
-            f"WHERE _rn_any = 1) "
+            f"(SELECT *, xxhash64(struct(*)) AS _ord_any FROM {tbl}) "
+            f"_anysrc) WHERE _rn_any = 1) "
             f"{alias} USING ({keys})"
         )
 
@@ -1787,7 +1798,7 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
         spec = fmt[1:-1]
         table = {
             "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
-            "%H": "HH", "%M": "mm", "%S": "ss",
+            "%H": "HH", "%i": "mm", "%S": "ss",
             "%F": "yyyy-MM-dd", "%T": "HH:mm:ss", "%j": "DDD",
             "%e": "d", "%%": "%",
         }
@@ -1796,6 +1807,16 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
         while i < len(spec):
             if spec[i] == "%":
                 code = spec[i : i + 2]
+                if code == "%M":
+                    # %M means minutes pre-23.4 but FULL MONTH NAME on
+                    # modern CH (formatdatetime_parsedatetime_m_is_month_
+                    # name=1 default since 23.4) — setting-dependent, so
+                    # refuse loudly per this module's convention.
+                    raise ChTranslationError(
+                        "formatDateTime %M is setting-dependent (minutes "
+                        "pre-23.4, month name since 23.4) — use %i for "
+                        "minutes (MySQL-compatible, unambiguous)"
+                    )
                 if code not in table:
                     raise ChTranslationError(
                         f"formatDateTime code {code!r} not translated"

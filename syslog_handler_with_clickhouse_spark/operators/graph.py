@@ -99,7 +99,30 @@ def _pr_round(
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def _canonical_undirected(edges: DataFrame) -> DataFrame:
+    """Distinct undirected (u < v) edges, self-loops dropped."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _degrees(und: DataFrame) -> DataFrame:
+    """(node, deg) over a canonical undirected edge frame."""
+    return (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, *, _canon: DataFrame = None, _deg: DataFrame = None
+) -> DataFrame:
     """Per-node triangle counts on an undirected simple graph.
 
     ``edges`` is any (src, dst) frame; it is canonicalized to distinct
@@ -118,20 +141,15 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     shuffles, no cross join, no driver loop.
 
     Returns (node, tri_cnt) for nodes participating in ≥1 triangle.
+
+    ``_canon``/``_deg`` let a caller that has ALREADY canonicalized the
+    edge set and computed degrees (clustering_coefficients) share those
+    frames instead of re-deriving them — the shared subplans are
+    byte-identical, so ReuseExchange collapses the distinct/union/
+    groupBy shuffles to one execution each.
     """
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    und = _canon if _canon is not None else _canonical_undirected(edges)
+    deg = _deg if _deg is not None else _degrees(und)
     # orientation key: (deg, node) lexicographic
     e = (
         und.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
@@ -180,21 +198,15 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     (deg·(deg−1)) — the neighborhood-density score built on
     :func:`triangle_counts`.  Nodes of degree < 2 report 0 (no
     potential wedge).  Returns (node, deg, tri_cnt, cc_ppm) for every
-    node of the canonical simple graph."""
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    )
-    tri = triangle_counts(und.select(F.col("u").alias("src"), F.col("v").alias("dst")))
+    node of the canonical simple graph.
+
+    Canonicalization and the degree aggregate are computed ONCE and
+    shared with :func:`triangle_counts` (round-10 advice 4: the
+    previous version re-derived both inside the call, executing the
+    distinct + union + groupBy shuffles twice per run)."""
+    und = _canonical_undirected(edges)
+    deg = _degrees(und)
+    tri = triangle_counts(None, _canon=und, _deg=deg)
     return (
         deg.join(tri, "node", "left")
         .select(

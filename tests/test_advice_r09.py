@@ -122,7 +122,7 @@ def test_advice3_any_join_pick_is_deterministic(spark):
     rows = [(1, "b"), (1, "a"), (2, "z"), (2, "y")]
     sql = "SELECT k, v FROM lhs ANY LEFT JOIN rhs USING (k) ORDER BY k"
     out = translate_ch_sql(sql)
-    assert "_ord_any" in out  # full-row-serialization tiebreaker
+    assert "_ord_any" in out  # content-hash tiebreaker column
     results = []
     for order in (rows, rows[::-1]):
         left.createOrReplaceTempView("lhs")
@@ -131,8 +131,16 @@ def test_advice3_any_join_pick_is_deterministic(spark):
         ).createOrReplaceTempView("rhs")
         results.append([tuple(r) for r in spark.sql(out).collect()])
     assert results[0] == results[1]
-    # content-based min pick: {"k":1,"v":"a"} < {"k":1,"v":"b"}
-    assert results[0] == [(1, "a"), (2, "y")]
+    # content-based pick (round-10 directive 8: xxhash64 over the row
+    # struct replaced the per-row to_json serialization): the kept row
+    # per key is the one with the minimum signed xxhash64(struct(*))
+    best = {}
+    for r in spark.createDataFrame(rows, "k int, v string").selectExpr(
+        "k", "v", "xxhash64(struct(*)) AS h"
+    ).collect():
+        if r.k not in best or r.h < best[r.k][0]:
+            best[r.k] = (r.h, r.v)
+    assert results[0] == [(1, best[1][1]), (2, best[2][1])]
 
 
 # ---------------------------------------------------------------- 4
