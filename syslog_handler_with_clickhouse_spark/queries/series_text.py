@@ -4617,16 +4617,25 @@ def q433(spark, sf_dir):
     remover in web-crawl pipelines).  Documents shred to 7-word lines;
     two deterministic boilerplate lines per document (a per-source
     'subscribe' header and 'copyright' footer) model the repeated chrome
-    CCNet targets.  Line document-frequency is one hash aggregation
-    keyed on the line text (map-side partial count-distinct via the
-    doc_id set is NOT used — countDistinct shuffles (line, doc_id)
-    pairs, still linear); the keep flag joins back on the same line
-    key, so AQE can plan both sides from one exchange.  At 100 TB the
-    df table is |distinct lines| — orders of magnitude smaller than
-    the corpus — and the join never widens rows beyond one bigint.
-    Output: per-source kept/removed line counts, bytes removed, and
-    documents touched — all exact integers."""
+    CCNet targets.
+
+    100 TB shape (round-10 directive 2): NO exchange ships line text.
+    Each line is reduced to (line_key = portable_hash60(line),
+    line_len = length(line)) BEFORE the first shuffle, so the
+    document-frequency aggregate shuffles (bigint, doc_id) pairs and
+    the keep-flag join-back shuffles (bigint, doc_id, source, int) —
+    8-byte keys either side, never the raw 7-word string (~40 B/row
+    saved per exchanged row; at 100 TB that exchange previously
+    shipped text).  A 60-bit collision would merge two distinct
+    lines' df counts — at 2^-60 per pair this is the same accepted
+    trade as every fingerprint-dedup operator here, and the DuckDB
+    oracle (which groups by raw line) stays hash-equal at every test
+    scale.  The df table is |distinct lines| — orders of magnitude
+    smaller than the corpus.  Output: per-source kept/removed line
+    counts, bytes removed, and documents touched — all exact
+    integers."""
     from ..functions.text import shred_lines
+    from ..operators.dedup import portable_hash60
 
     docs = _t(spark, sf_dir, "documents")
     content = shred_lines(docs).select("doc_id", "source", "line")
@@ -4644,11 +4653,20 @@ def q433(spark, sf_dir):
             F.lit("copyright "), F.col("source"), F.lit(" all rights reserved")
         ).alias("line"),
     )
-    lines = content.unionByName(header).unionByName(footer)
-    df_t = lines.groupBy("line").agg(
+    lines = (
+        content.unionByName(header)
+        .unionByName(footer)
+        .select(
+            "doc_id",
+            "source",
+            portable_hash60(F.col("line")).alias("line_key"),
+            F.length("line").alias("line_len"),
+        )
+    )
+    df_t = lines.groupBy("line_key").agg(
         F.countDistinct("doc_id").cast("bigint").alias("line_df")
     )
-    j = lines.join(df_t, "line").withColumn("keep", F.col("line_df") < 20)
+    j = lines.join(df_t, "line_key").withColumn("keep", F.col("line_df") < 20)
     return (
         j.groupBy("source")
         .agg(
@@ -4656,7 +4674,7 @@ def q433(spark, sf_dir):
             F.sum(F.when(F.col("keep"), 1).otherwise(0))
             .cast("bigint")
             .alias("lines_kept"),
-            F.sum(F.when(~F.col("keep"), F.length("line") + 1).otherwise(0))
+            F.sum(F.when(~F.col("keep"), F.col("line_len") + 1).otherwise(0))
             .cast("bigint")
             .alias("chars_removed"),
             F.countDistinct(F.when(~F.col("keep"), F.col("doc_id")))

@@ -1031,8 +1031,10 @@ def test_c4_line_pipeline_exchanges_stay_doc_keyed(spark):
 
 def test_line_dedup_df_join_keys_on_line(spark):
     """q433: the document-frequency aggregate and its join back to the
-    corpus both partition on the line key — AQE can reuse one exchange;
-    raw doc text never shuffles under any other key."""
+    corpus both partition on the 60-bit line HASH (bigint), and NO
+    exchange ships the raw line text in its payload (round-10
+    directive 2: at 100 TB the old line-text-keyed exchange shipped
+    ~40 B of string per row where 8 bytes of key suffice)."""
     import re
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -1045,14 +1047,23 @@ def test_line_dedup_df_join_keys_on_line(spark):
         m.group(1).split(",")[0].split("#")[0].strip()
         for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan)
     ]
-    assert "line" in lead_keys, lead_keys
-    # every exchange leads with a corpus-structural key (the distinct
-    # aggregate appends its CASE projection after `source`; `pos DIV 7`
-    # surfaces as Catalyst's _groupingexpression alias) — raw text never
-    # becomes a shuffle key except as the intended line-df key itself
+    assert "line_key" in lead_keys, lead_keys
+    # the df key is a bigint (the #<id>L suffix pins LongType) — the
+    # 8-byte-key contract, not merely a renamed string column
+    assert re.search(r"hashpartitioning\(line_key#\d+L", plan), plan
+    # every exchange leads with a corpus-structural key (`pos DIV 7`
+    # surfaces as Catalyst's _groupingexpression alias); raw text is
+    # never a shuffle key at all anymore
     for k in lead_keys:
-        assert k in {"line", "doc_id", "source", "_groupingexpression"}, (
-            k, lead_keys)
+        assert k in {"line_key", "doc_id", "source",
+                     "_groupingexpression"}, (k, lead_keys)
+    # and never shuffle PAYLOAD either: each Exchange node's Input
+    # column list must not contain the `line` string column
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    ):
+        cols = {c.split("#")[0].strip() for c in m.group(1).split(",")}
+        assert "line" not in cols, (cols, m.group(1))
 
 
 def test_sample_clause_filter_precedes_every_exchange(spark):
