@@ -344,6 +344,57 @@ def _find_call(sql: str, name: str):
     return None
 
 
+def _find_param_call(sql: str, name: str):
+    """Find ``name(params)(args)`` — the CH parameterized-aggregate
+    shape — outside string literals.  Returns (start, params, args,
+    end); ``args`` is None when only one paren group follows (the
+    plain ``name(args)`` shape)."""
+    hit = _find_call(sql, name)
+    if hit is None:
+        return None
+    start, params, end = hit
+    j = end
+    while j < len(sql) and sql[j].isspace():
+        j += 1
+    if j >= len(sql) or sql[j] != "(":
+        return start, params, None, end
+    depth, k = 1, j + 1
+    i = k
+    while k < len(sql):
+        ch = sql[k]
+        if ch in "'\"":
+            k = _scan_literal_end(sql, k)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return start, params, sql[i:k], k + 1
+        k += 1
+    raise ChTranslationError(f"unbalanced parens in {name}(...)(...)")
+
+
+def _rewrite_param_calls(sql: str, name: str, fn) -> str:
+    """Repeatedly rewrite ``name(params)[(args)]`` via
+    fn(params_list, args_list_or_None)."""
+    guard = 0
+    while True:
+        hit = _find_param_call(sql, name)
+        if hit is None:
+            return sql
+        start, params, args, end = hit
+        repl = fn(
+            _split_top_args(params) if params.strip() else [],
+            None if args is None
+            else (_split_top_args(args) if args.strip() else []),
+        )
+        sql = sql[:start] + repl + sql[end:]
+        guard += 1
+        if guard > 500:
+            raise ChTranslationError(f"rewrite loop for {name}")
+
+
 def _rewrite_calls(sql: str, name: str, fn) -> str:
     """Repeatedly rewrite ``name(args)`` via fn(list_of_args)."""
     guard = 0
