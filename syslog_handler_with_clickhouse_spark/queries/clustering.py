@@ -925,6 +925,34 @@ def q388(spark, sf_dir):
     )
 
 
+def q389_corpus(spark, sf_dir):
+    """The q389 benchmark corpus: the embeddings table plus 10 planted
+    near-duplicates per query vector (component j bumped by j/1000).
+    Shared by the q389 oracle query and bench.py's build/scan split —
+    one definition so the two can never drift."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    planted = (
+        base.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "embedding", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("j"))
+        .select(
+            (F.lit(1000000) + F.col("vec_id") * 100 + F.col("j")).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: F.when(
+                    i == (F.col("vec_id") + F.col("j")) % 64,
+                    x.cast("double") + F.col("j") * 0.001,
+                ).otherwise(x.cast("double")),
+            ).alias("embedding"),
+        )
+    )
+    return base.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(planted)
+
+
+
 @query(
     "q389_ivfpq_ann",
     """
@@ -979,26 +1007,7 @@ def q389(spark, sf_dir):
     re-derives verbatim) + a recall boolean pinned at ≥ 7/10."""
     from ..operators.similarity import ivfpq_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", "embedding")
-    planted = (
-        base.filter(F.col("vec_id") % 50 == 0)
-        .select("vec_id", "embedding", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("j"))
-        .select(
-            (F.lit(1000000) + F.col("vec_id") * 100 + F.col("j")).alias("vec_id"),
-            F.transform(
-                F.col("embedding"),
-                lambda x, i: F.when(
-                    i == (F.col("vec_id") + F.col("j")) % 64,
-                    x.cast("double") + F.col("j") * 0.001,
-                ).otherwise(x.cast("double")),
-            ).alias("embedding"),
-        )
-    )
-    corpus = base.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-    ).unionByName(planted)
+    corpus = q389_corpus(spark, sf_dir)
 
     qpred = (F.col("vid") % 50 == 0) & (F.col("vid") < 1000000)
     approx = ivfpq_topk(corpus, k=10, query_pred=qpred).groupBy("query_id").agg(

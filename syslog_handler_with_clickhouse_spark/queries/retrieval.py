@@ -1605,3 +1605,137 @@ def q444(spark, sf_dir):
         F.round("dcg", 6).alias("dcg"),
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
     ).orderBy("q")
+
+
+@query(
+    "q447_ch_param_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(CASE WHEN user_id > 0
+                               THEN user_id % 211 ELSE 0 END, 0.9), 4)
+             AS p90,
+           round(quantile_cont(event_id % 499, 0.25), 4) AS q1,
+           round(quantile_cont(event_id % 499, 0.75), 4) AS q3,
+           round(quantile_cont(CASE WHEN user_id % 2 = 0
+                               THEN event_id % 997 END, 0.5), 4)
+             AS med_even,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q447(spark, sf_dir):
+    """CH parameterized-aggregate ``name(params)(args)`` shapes through
+    the escape-aware ``_rewrite_param_calls`` lexer (round-9 directive 3:
+    the earlier ``[^()]*`` regex rewrites broke the moment a quantile
+    argument itself contained parens or commas — here ``if(user_id > 0,
+    user_id % 211, 0)`` exercises exactly that).  quantileExact ->
+    Spark's exact interpolated percentile (DuckDB quantile_cont replays
+    it, the q61/q437 idiom), quantilesExact(list)(x) -> one percentile
+    over an array of levels (projected to scalars — array outputs don't
+    value-hash), quantileExactIf -> percentile over a CASE filter.  All
+    JVM-side Catalyst aggregates: one hash-aggregate exchange on the
+    5-value grouping key at any scale."""
+    from ..functions.ch_dialect import translate_ch_sql
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_q447")
+    ch = (
+        "SELECT event_type, "
+        "round(quantileExact(0.9)(if(user_id > 0, user_id % 211, 0)), 4) "
+        "AS p90, "
+        "quantilesExact(0.25, 0.75)(event_id % 499) AS iqr, "
+        "round(quantileExactIf(0.5)(event_id % 997, user_id % 2 = 0), 4) "
+        "AS med_even, "
+        "count() AS n "
+        "FROM events_q447 GROUP BY event_type"
+    )
+    df = spark.sql(translate_ch_sql(ch))
+    return df.select(
+        "event_type",
+        F.col("p90").cast("double").alias("p90"),
+        F.round(F.element_at("iqr", 1), 4).cast("double").alias("q1"),
+        F.round(F.element_at("iqr", 2), 4).cast("double").alias("q3"),
+        F.col("med_even").cast("double").alias("med_even"),
+        F.col("n").cast("bigint").alias("n"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q448_ch_sequence_match",
+    """
+    WITH base AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+    ), fe AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             (event_type = 'signup') AS m1,
+             (event_type = 'purchase') AS m2
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IN ('signup', 'purchase')
+    ), nx AS (
+      SELECT user_id, tsec, m1,
+             lead(m2) OVER (PARTITION BY user_id
+                            ORDER BY tsec, m1, m2) AS nm2,
+             lead(tsec) OVER (PARTITION BY user_id
+                              ORDER BY tsec, m1, m2) AS ntsec
+      FROM fe
+    ), adj AS (
+      SELECT user_id,
+             BOOL_OR(m1 AND nm2 AND ntsec - tsec <= 3600) AS quick_convert
+      FROM nx GROUP BY user_id
+    ), f3 AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             (event_type = 'signup') AS c1,
+             (event_type = 'click') AS c2,
+             (event_type = 'purchase') AS c3
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IN ('signup', 'click', 'purchase')
+    ), s1 AS (
+      SELECT user_id, min(tsec) AS t1 FROM f3 WHERE c1 GROUP BY user_id
+    ), s2 AS (
+      SELECT f3.user_id, min(tsec) AS t2 FROM f3 JOIN s1 USING (user_id)
+      WHERE c2 AND tsec > t1 GROUP BY f3.user_id
+    ), s3 AS (
+      SELECT DISTINCT f3.user_id FROM f3 JOIN s2 USING (user_id)
+      WHERE c3 AND tsec > t2
+    )
+    SELECT b.user_id,
+           COALESCE(adj.quick_convert, FALSE) AS quick_convert,
+           (s3.user_id IS NOT NULL) AS full_path
+    FROM base b
+    LEFT JOIN adj USING (user_id)
+    LEFT JOIN s3 ON b.user_id = s3.user_id
+    ORDER BY b.user_id
+    """,
+)
+def q448(spark, sf_dir):
+    """CH ``sequenceMatch`` compiled by the dialect shim into a
+    self-contained aggregate expression (no query restructuring): the
+    adjacency-plus-time-bound form ``(?1)(?t<=3600)(?2)`` becomes a
+    sorted collect_list scanned by an exists() over consecutive pairs,
+    and the eventually-follows form ``(?1).*(?2).*(?3)`` becomes a
+    greedy aggregate() fold — both bound ONCE via a one-element
+    transform so the stream text never repeats.  Semantics match the
+    q104/q247 kernels (rows matching no condition are skipped; the
+    oracle replays them with lead()-window and cascaded-min SQL, no
+    shared rewrite code).  Scale shape: one shuffle on user_id into a
+    hash aggregate; per-group state is the user's own filtered event
+    list, never a pair table."""
+    from ..functions.ch_dialect import translate_ch_sql
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_q448")
+    ch = (
+        "SELECT user_id, "
+        "sequenceMatch('(?1)(?t<=3600)(?2)')(ts, "
+        "event_type = 'signup', event_type = 'purchase') "
+        "AS quick_convert, "
+        "sequenceMatch('(?1).*(?2).*(?3)')(ts, event_type = 'signup', "
+        "event_type = 'click', event_type = 'purchase') AS full_path "
+        "FROM events_q448 WHERE user_id IS NOT NULL GROUP BY user_id"
+    )
+    df = spark.sql(translate_ch_sql(ch))
+    return df.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "quick_convert",
+        "full_path",
+    ).orderBy("user_id")

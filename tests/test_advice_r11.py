@@ -1,0 +1,197 @@
+"""Regression pins for the four round-10 ADVICE findings plus the
+round-11 directive-1 wiring (parameterized CH aggregates).
+
+1. (low) the tightened -State/-Merge guard required a LOWERCASE char
+   before the suffix, so combinators whose base ends in an uppercase
+   letter (topKState, quantileGKMerge) slipped through to an opaque
+   Spark unresolved-function error.  Now any alphanumeric char
+   qualifies, while update_state / DO_MERGE / _State stay accepted.
+2. (low) _find_param_call/_rewrite_param_calls shipped dead.  They now
+   carry the whole quantile family plus sequenceMatch — pinned here by
+   translating shapes the old [^()]* regexes could NOT handle (nested
+   parens/commas/literals inside parameters or arguments).
+3. (low) bench.py ran q39_minhash_lsh twice (HEADLINE and LLM_TIER) and
+   the second run overwrote the first's runs_detail — suites now reuse
+   timings for overlapping names (pinned on the bench helper).
+4. (low) ANY JOIN's xxhash64(struct(*)) tiebreak rejects MapType at
+   analysis (spark.sql.legacy.allowHashOnMapType=false) — pinned as the
+   documented-loud behavior, not silently wrong.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from syslog_handler_with_clickhouse_spark.functions.ch_dialect import (
+    ChTranslationError,
+    translate_ch_sql,
+)
+
+
+# ---------------------------------------------------------------- 1
+@pytest.mark.parametrize(
+    "frag",
+    [
+        "topKState(10)(v)",
+        "topKMerge(st)",
+        "quantileGKState(100, 0.5)(v)",
+        "sumState(x)",
+        "uniqMerge(st)",
+    ],
+)
+def test_advice1_uppercase_base_combinators_refused(frag):
+    with pytest.raises(ChTranslationError, match="State|Merge"):
+        translate_ch_sql(f"SELECT {frag} FROM t")
+
+
+@pytest.mark.parametrize(
+    "frag", ["update_state(x)", "DO_MERGE(x)", "device_state(x)"]
+)
+def test_advice1_user_identifiers_still_pass(frag):
+    # not combinators: the guard must NOT fire (the names pass through
+    # and would resolve against user functions/columns)
+    out = translate_ch_sql(f"SELECT {frag} FROM t")
+    assert frag in out
+
+
+# ---------------------------------------------------------------- 2
+def test_advice2_param_quantile_nested_args():
+    # nested parens + comma INSIDE the argument — the old regex form
+    # [^()]* could not match this call at all
+    out = translate_ch_sql(
+        "SELECT quantile(0.9)(if(a > (1 + 2), f(x, y), 0)) AS p FROM t"
+    )
+    assert "percentile_approx(if(a > (1 + 2), f(x, y), 0), 0.9)" in out
+
+
+def test_advice2_param_quantile_literal_with_paren():
+    # a string literal containing parens/commas inside the args
+    out = translate_ch_sql(
+        "SELECT quantileExact(0.5)(length(concat(s, '(,('))) AS p FROM t"
+    )
+    assert "percentile(length(concat(s, '(,('))" in out
+
+
+def test_advice2_bare_shapes_mean_median():
+    out = translate_ch_sql("SELECT quantile(x) AS p FROM t")
+    assert "percentile_approx(x, 0.5)" in out
+    out = translate_ch_sql("SELECT quantileTDigest(x) AS p FROM t")
+    assert "percentile_approx(x, 0.5)" in out
+    out = translate_ch_sql("SELECT quantileIf(x, c > 0) AS p FROM t")
+    assert "percentile_approx(CASE WHEN c > 0 THEN x END, 0.5)" in out
+
+
+def test_advice2_quantiles_shapes():
+    out = translate_ch_sql("SELECT quantilesExact(0.25, 0.75)(x) FROM t")
+    assert "percentile(x, array(0.25, 0.75))" in out
+    with pytest.raises(ChTranslationError, match="quantiles"):
+        translate_ch_sql("SELECT quantiles(x) FROM t")  # no level list
+
+
+def test_advice2_sequence_match_adjacency_bound(spark):
+    out = translate_ch_sql(
+        "SELECT u, sequenceMatch('(?1)(?t<=3600)(?2)')(ts, a = 1, b = 2) "
+        "AS m FROM t GROUP BY u"
+    )
+    # sorted stream bound once, pairs scanned with the time bound
+    assert "array_sort(collect_list(" in out
+    assert out.count("collect_list") == 1
+    assert ".t) <= 3600" in out
+    # end-to-end on a tiny frame: s->p within bound, p->s (wrong order),
+    # s->p outside bound
+    df = spark.createDataFrame(
+        [
+            (1, "s", 100), (1, "p", 200),       # matched
+            (2, "p", 100), (2, "s", 200),       # wrong order
+            (3, "s", 100), (3, "p", 99999),     # outside bound
+            (4, "x", 100),                      # no conditions at all
+        ],
+        "u int, e string, tsec long",
+    )
+    df.createOrReplaceTempView("seq_t")
+    got = spark.sql(
+        translate_ch_sql(
+            "SELECT u, sequenceMatch('(?1)(?t<=3600)(?2)')"
+            "(tsec, e = 's', e = 'p') AS m FROM seq_t GROUP BY u"
+        )
+    ).collect()
+    assert {r.u: r.m for r in got} == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_advice2_sequence_match_subsequence(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1), (1, "x", 2), (1, "b", 3), (1, "a", 4),  # a..b..a
+            (2, "a", 1), (2, "b", 2),                             # no 2nd a
+            (3, "b", 1), (3, "a", 2), (3, "a", 3),                # b first
+        ],
+        "u int, e string, tsec long",
+    )
+    df.createOrReplaceTempView("seq_sub_t")
+    got = spark.sql(
+        translate_ch_sql(
+            "SELECT u, sequenceMatch('(?1).*(?2).*(?1)')"
+            "(tsec, e = 'a', e = 'b') AS m FROM seq_sub_t GROUP BY u"
+        )
+    ).collect()
+    assert {r.u: r.m for r in got} == {1: True, 2: False, 3: False}
+
+
+@pytest.mark.parametrize(
+    "pat",
+    [
+        "(?1)(?t<=5).*(?2)",  # mixed adjacency/any
+        ".*(?1)",  # leading separator
+        "(?1).*",  # trailing separator
+        "(?1)..(?2)",  # bad token
+        "(?1)" * 9,  # too many steps
+    ],
+)
+def test_advice2_sequence_match_refusals(pat):
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql(
+            f"SELECT sequenceMatch('{pat}')(ts, a, b) FROM t GROUP BY u"
+        )
+
+
+def test_advice2_sequence_match_out_of_range_step():
+    with pytest.raises(ChTranslationError, match=r"\(\?3\)"):
+        translate_ch_sql(
+            "SELECT sequenceMatch('(?1)(?3)')(ts, a, b) FROM t GROUP BY u"
+        )
+
+
+def test_advice2_sequence_match_nonliteral_pattern_refused():
+    with pytest.raises(ChTranslationError, match="literal"):
+        translate_ch_sql(
+            "SELECT sequenceMatch(pat_col)(ts, a, b) FROM t GROUP BY u"
+        )
+
+
+# ---------------------------------------------------------------- 3
+def test_advice3_bench_suites_reuse_overlap():
+    import bench
+
+    assert "q39_minhash_lsh" in bench.HEADLINE
+    assert "q39_minhash_lsh" in bench.LLM_TIER
+    # the reuse plan: second suite must not re-run names the first timed
+    plan = bench._suite_plan(bench.LLM_TIER, set(bench.HEADLINE))
+    run, reused = plan
+    assert "q39_minhash_lsh" in reused and "q39_minhash_lsh" not in run
+    assert "q433_line_dedup" in run
+
+
+# ---------------------------------------------------------------- 4
+def test_advice4_any_join_map_column_fails_loud(spark):
+    left = spark.createDataFrame([(1, "a")], "k int, v string")
+    right = spark.createDataFrame(
+        [(1, {"x": 1})], "k int, attrs map<string,int>"
+    )
+    left.createOrReplaceTempView("anyl_t")
+    right.createOrReplaceTempView("anyr_map_t")
+    sql = translate_ch_sql(
+        "SELECT * FROM anyl_t ANY LEFT JOIN anyr_map_t USING (k)"
+    )
+    assert "xxhash64(struct(*))" in sql
+    # documented-loud: Spark refuses hashing MapType at ANALYSIS time
+    with pytest.raises(Exception, match="(?i)map"):
+        spark.sql(sql).collect()

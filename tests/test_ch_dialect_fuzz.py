@@ -174,3 +174,74 @@ def _pair_interval_fold(rng):
 
 
 _PAIRS.extend([_pair_array_family, _pair_interval_fold])
+
+
+def _pair_param_quantile(rng):
+    # round-11: parameterized-aggregate shapes through the escape-aware
+    # _rewrite_param_calls lexer — the ARGUMENT deliberately contains
+    # nested parens + commas (the shape the old [^()]* regexes broke on)
+    q = rng.choice(["0.1", "0.25", "0.5", "0.75", "0.9"])
+    m = rng.choice([97, 211, 499])
+    t = rng.randint(0, 50)
+    ch = (
+        f"SELECT event_type, "
+        f"round(quantileExact({q})(if(user_id > {t}, user_id % {m}, 0)), 4)"
+        f" AS p, "
+        f"round(arrayElement(quantilesExact(0.2, {q})(event_id % {m}), 2), 4)"
+        f" AS p2, count() AS n "
+        f"FROM events_fz GROUP BY event_type"
+    )
+    duck = (
+        f"SELECT event_type, "
+        f"round(quantile_cont(CASE WHEN user_id > {t} THEN user_id % {m} "
+        f"ELSE 0 END, {q}), 4) AS p, "
+        f"round(quantile_cont(event_id % {m}, {q}), 4) AS p2, "
+        f"CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM events GROUP BY event_type"
+    )
+    return ch, duck, None
+
+
+def _pair_sequence_match(rng):
+    # round-11: sequenceMatch adjacency + time bound compiled to a
+    # sorted-collect_list exists() — oracle replays it with a
+    # lead()-window whose ORDER BY mirrors the struct sort (tsec, then
+    # the two match booleans false<true, identical in both engines).
+    bound = rng.choice([600, 1800, 3600, 7200, 14400])
+    a, b = rng.choice(
+        [("signup", "purchase"), ("click", "purchase"), ("view", "error")]
+    )
+    ch = (
+        f"SELECT sum(if(m, 1, 0)) AS n_matched FROM ("
+        f"SELECT user_id, sequenceMatch('(?1)(?t<={bound})(?2)')(ts, "
+        f"event_type = '{a}', event_type = '{b}') AS m "
+        f"FROM events_fz WHERE user_id IS NOT NULL GROUP BY user_id)"
+    )
+    duck = f"""
+    WITH fe AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             (event_type = '{a}') AS m1, (event_type = '{b}') AS m2
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IN ('{a}', '{b}')
+    ), nx AS (
+      SELECT user_id, tsec, m1,
+             lead(m2) OVER (PARTITION BY user_id
+                            ORDER BY tsec, m1, m2) AS nm2,
+             lead(tsec) OVER (PARTITION BY user_id
+                              ORDER BY tsec, m1, m2) AS ntsec
+      FROM fe
+    ), per_user AS (
+      SELECT user_id,
+             BOOL_OR(m1 AND nm2 AND ntsec - tsec <= {bound}) AS m
+      FROM nx GROUP BY user_id
+    )
+    SELECT CAST(COALESCE(SUM(CASE WHEN m THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_matched
+    FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL) u
+    LEFT JOIN per_user USING (user_id)
+    """
+    return ch, duck, None
+
+
+_PAIRS.extend([_pair_param_quantile, _pair_sequence_match])
