@@ -583,10 +583,16 @@ def duplicated_ngram_coverage(
     Σ min(w, gap) over consecutive duplicated starts (first start
     contributes w).  All integers, no floats.
 
-    At 100 TB the gram string would be replaced by its 128-bit hash
-    before the shuffle (collision-negligible, 16 bytes/key); the plan
-    shape — explode, gram-keyed agg, gram-keyed join back, doc-keyed
-    window — is unchanged.
+    The gram string never reaches an exchange (round-11, the q433
+    hash-key discipline): each w-gram is reduced IN THE PROJECTION to a
+    128-bit composite key — two independent xxhash64 lanes, 16 bytes —
+    before the gram-keyed aggregate and the join back, so both shuffles
+    carry (g1, g2, doc_id, p) instead of ~w×5 bytes of token text.
+    128 bits (not 60) because a 100 TB corpus holds ~10^13 grams:
+    birthday collisions at 2^60 are near-certain there, at 2^128
+    negligible.  The hash never surfaces in the output, so the value
+    oracle (which groups the raw gram strings) checks the reduction
+    end to end.
 
     Returns (doc_id, n_tok, dup_starts, dup_cov, dup_ppm), one row per
     document with ≥ w tokens; undupped docs report zeros.
@@ -611,18 +617,23 @@ def duplicated_ngram_coverage(
                 lambda i: F.concat_ws(" ", F.slice("arr", i, w)),
             )
         ).alias("p0", "gram"),
-    ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("p"), "gram")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("bigint").alias("p"),
+        F.xxhash64("gram").alias("g1"),
+        F.xxhash64(F.lit(1), F.col("gram")).alias("g2"),
+    )
 
     dup_grams = (
-        grams.groupBy("gram")
+        grams.groupBy("g1", "g2")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= min_count)
-        .select("gram")
+        .select("g1", "g2")
     )
 
     win = Window.partitionBy("doc_id").orderBy("p")
     hits = (
-        grams.join(dup_grams, "gram")
+        grams.join(dup_grams, ["g1", "g2"])
         .select("doc_id", "p")
         .withColumn("gap", F.col("p") - F.lag("p").over(win))
     )

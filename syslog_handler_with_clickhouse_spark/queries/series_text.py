@@ -4477,65 +4477,79 @@ def q430(spark, sf_dir):
     """,
 )
 def q431(spark, sf_dir):
-    """C4-style line-level quality filtering (Raffel et al. 2020 §2.2)
-    re-expressed as a native explode -> line-rebuild -> rule pipeline:
-    documents shred to 7-word lines (posexplode + integer-div line
-    ids), lines keep only if they end in terminal punctuation, have
-    >= 5 words, and carry no policy token ('javascript'); documents
-    survive only with >= 3 kept lines and no curly brace anywhere
-    (C4 drops brace pages as code).  The corpus is deterministically
-    perturbed so each rule fires: doc_id%11 docs get a 'javascript'
-    token on line 0, doc_id%13 docs a '{' on line 1, and terminal '.'
-    is withheld from every (doc_id+line_id)%4==0 line.  Exchanges key
-    on (doc_id, line_id) then doc_id then source — all linear in corpus
-    size, no joins; the line rebuild is array_sort over collected
-    (pos, word) structs, never a window."""
-    from ..functions.text import shred_lines
-
+    """C4-style line-level quality filtering (Raffel et al. 2020 §2.2).
+    Round-11 (verdict directive 7, the q433 hash-key discipline applied
+    here): the LINE TEXT IS NEVER MATERIALIZED.  Every downstream rule
+    is a pure function of per-word features — ends-in-'.' is the
+    max-pos word's suffix, the 'javascript' token check is a word-
+    equality count with a last-word correction (the appended terminal
+    '.' fuses into the LAST token, so a trailing 'javascript' escapes
+    the token match exactly as it does in the rebuilt-string form),
+    line length is sum(len(word)) + (nw-1) separators, brace is a
+    per-word contains — so the (doc_id, source, line_id) aggregate
+    ships 5 numeric partial buffers per line instead of a collect_list
+    of every word (at 100 TB the old partials carried the whole corpus
+    text through the first exchange).  Deterministic perturbations
+    (javascript token on doc%11 line 0, '{' on doc%13 line 1, '.'
+    withheld on (doc+line)%4==0) are applied as feature arithmetic
+    (+11/+2/+1 chars), not string concat.  Exchanges key on
+    (doc_id, line_id) then doc_id then source — all linear, no joins.
+    The oracle rebuilds the actual line strings and applies the rules
+    verbatim, so the feature arithmetic is value-checked end to end."""
     docs = _t(spark, sf_dir, "documents")
-    l0 = shred_lines(docs)
     did, lid = F.col("doc_id"), F.col("line_id")
-    js = (did % 11 == 0) & (lid == 0)
-    br = (did % 13 == 0) & (lid == 1)
-    l1 = l0.select(
+    w = docs.select(
         "doc_id",
         "source",
-        "line_id",
-        F.when(js, F.concat(F.lit("javascript "), F.col("line")))
-        .otherwise(F.col("line"))
-        .alias("line"),
-        (F.col("nw") + F.when(js, 1).otherwise(0)).alias("nw"),
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
     )
-    l2 = l1.select(
+    lf = w.groupBy(
+        "doc_id", "source", F.expr("pos DIV 7").alias("line_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nw0"),
+        F.sum(F.length("word")).cast("bigint").alias("sum_len"),
+        F.sum((F.col("word") == "javascript").cast("int")).alias("cnt_js"),
+        F.max(F.col("word").contains("{")).alias("any_brace0"),
+        # the max-pos word's features: struct max is lexicographic on
+        # pos first, so this is "the last word of the line"
+        F.max(
+            F.struct(
+                F.col("pos").alias("p"),
+                F.col("word").endswith(".").alias("dot"),
+                (F.col("word") == "javascript").alias("js"),
+            )
+        ).alias("last"),
+    )
+    js_l = (did % 11 == 0) & (lid == 0)  # 'javascript ' prefixed
+    br_l = (did % 13 == 0) & (lid == 1)  # ' {' appended
+    dot_l = (did + lid) % 4 != 0  # '.' appended
+    nw = F.col("nw0") + js_l.cast("int") + br_l.cast("int")
+    line_len = (
+        F.col("sum_len")
+        + F.col("nw0")
+        - 1
+        + F.when(js_l, 11).otherwise(0)
+        + F.when(br_l, 2).otherwise(0)
+        + F.when(dot_l, 1).otherwise(0)
+    )
+    ends_dot = dot_l | (~br_l & F.col("last.dot"))
+    # token-boundary 'javascript': any NON-last occurrence always
+    # matches; a LAST-word occurrence matches only if something was
+    # appended after it (' {') or no '.' fused into it
+    any_js = (
+        js_l
+        | (F.col("cnt_js") - F.col("last.js").cast("int") > 0)
+        | (F.col("last.js") & (br_l | ~dot_l))
+    )
+    has_brace = F.col("any_brace0") | br_l
+    keep = ends_dot & (nw >= 5) & ~any_js
+    lr = lf.select(
         "doc_id",
         "source",
-        "line_id",
-        F.when(br, F.concat(F.col("line"), F.lit(" {")))
-        .otherwise(F.col("line"))
-        .alias("line"),
-        (F.col("nw") + F.when(br, 1).otherwise(0)).alias("nw"),
-    )
-    l3 = l2.select(
-        "doc_id",
-        "source",
-        "line_id",
-        "nw",
-        F.when((did + lid) % 4 != 0, F.concat(F.col("line"), F.lit(".")))
-        .otherwise(F.col("line"))
-        .alias("line"),
-    )
-    keep = (
-        F.col("line").like("%.")
-        & (F.col("nw") >= 5)
-        & ~F.concat(F.lit(" "), F.col("line"), F.lit(" ")).like("% javascript %")
-    )
-    lr = l3.select(
-        "doc_id",
-        "source",
-        "nw",
-        "line",
+        nw.alias("nw"),
+        line_len.alias("line_len"),
         keep.alias("keep"),
-        F.col("line").like("%{%").alias("has_brace"),
+        has_brace.alias("has_brace"),
     )
     dr = lr.groupBy("doc_id", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("lines_total"),
@@ -4546,7 +4560,7 @@ def q431(spark, sf_dir):
         F.sum(F.when(F.col("keep"), F.col("nw")).otherwise(0))
         .cast("bigint")
         .alias("words_kept_doc"),
-        F.sum(F.when(F.col("keep"), F.length("line")).otherwise(0))
+        F.sum(F.when(F.col("keep"), F.col("line_len")).otherwise(0))
         .cast("bigint")
         .alias("chars_kept_doc"),
     )
@@ -4859,10 +4873,20 @@ def q438(spark, sf_dir):
     number-first would shred into four '<N>' islands) — and the
     template becomes the group key.  The fleet's distinct message
     SHAPES (one per event_type here) fall out of a 3-regex codegen
-    projection + one template-keyed aggregate; this is the unstructured
+    projection + template-keyed aggregates; this is the unstructured
     twin of q428's logfmt parse and what turns 100 TB of raw syslog
     into a browsable template catalog.  Lines are synthesized with
-    deterministic variable parts so both engines mask the same text."""
+    deterministic variable parts so both engines mask the same text.
+
+    Round-11 hash-key discipline (verdict directive 7): the heavy
+    exchange here is the DISTINCT-user stage — Spark's distinct-agg
+    rewrite keys it on (template, user_id), shipping the ~70-byte
+    template string once per distinct pair.  Restructured: distinct
+    pairs and the per-template counts both key on xxhash64(template)
+    (8 bytes); the template text crosses the wire only in the tiny
+    post-partial-agg catalog frame (rows = distinct templates), and
+    the two frames join back on the hash.  The hash never surfaces in
+    the output, so the unchanged oracle checks the reduction."""
     ev = _t(spark, sf_dir, "events")
     line = F.concat(
         F.lit("conn from 10.0."),
@@ -4889,13 +4913,22 @@ def q438(spark, sf_dir):
         r"[0-9]+",
         "<N>",
     )
+    base = ev.select("user_id", template.alias("template")).select(
+        "user_id", "template", F.xxhash64("template").alias("th")
+    )
+    catalog = (
+        base.groupBy("th", "template")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    users = (
+        base.select("th", "user_id")
+        .distinct()
+        .groupBy("th")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
     return (
-        ev.select("user_id", template.alias("template"))
-        .groupBy("template")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.countDistinct("user_id").cast("bigint").alias("n_users"),
-        )
+        catalog.join(users, "th")
+        .select("template", "n", "n_users")
         .orderBy("template")
     )
 

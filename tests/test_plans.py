@@ -1122,3 +1122,71 @@ def test_curation_funnel_exchanges_stay_source_keyed(spark):
         keys = {k.split("#")[0].strip() for k in m.group(1).split(",")[:-1]}
         # md5(text) surfaces as Catalyst's _groupingexpression alias
         assert keys <= {"source", "h", "_groupingexpression"}, keys
+
+
+def test_c4_line_filter_exchanges_carry_no_text(spark):
+    """q431 (round-11 directive 7): the line text is never MATERIALIZED
+    at all — every rule is per-word feature arithmetic — so no Exchange
+    may carry a `word` or `line` string column, and the line-level
+    aggregate's partial buffers are numeric."""
+    import re
+
+    plan = formatted_plan(QUERIES["q431_c4_line_filters"](spark, SF_DIR))
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    ):
+        cols = {c.split("#")[0].strip() for c in m.group(1).split(",")}
+        assert "word" not in cols and "line" not in cols, cols
+    # exchanges key on corpus-structural keys only
+    lead_keys = {
+        m.group(1).split(",")[0].split("#")[0].strip()
+        for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert lead_keys <= {"doc_id", "source", "_groupingexpression"}, lead_keys
+
+
+def test_dup_ngram_coverage_exchanges_carry_no_gram(spark):
+    """q395 (round-11 directive 7): w-grams reduce to a 128-bit
+    xxhash64 pair IN THE PROJECTION; the gram-keyed aggregate and the
+    join back shuffle 16-byte (g1, g2) bigint keys, never the ~40-byte
+    gram string."""
+    import re
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(
+            QUERIES["q395_dup_ngram_coverage"](spark, SF_DIR)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # the dedup aggregate and join-back partition on the bigint hash
+    assert re.search(r"hashpartitioning\(g1#\d+L", plan), plan
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    ):
+        cols = {c.split("#")[0].strip() for c in m.group(1).split(",")}
+        assert "gram" not in cols, cols
+
+
+def test_template_mining_distinct_exchange_carries_no_template(spark):
+    """q438 (round-11 directive 7): the heavy distinct-(template, user)
+    exchange keys on xxhash64(template) — 8 bytes — and must not carry
+    the template string; the text crosses the wire only in the tiny
+    post-partial-agg catalog frame."""
+    import re
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(QUERIES["q438_log_template_mining"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert re.search(r"hashpartitioning\(th#\d+L", plan), plan
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    ):
+        cols = {c.split("#")[0].strip() for c in m.group(1).split(",")}
+        # the user-bearing (distinct-pairs) exchange must be text-free
+        if "user_id" in cols:
+            assert "template" not in cols, cols
