@@ -2514,8 +2514,10 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     photometric = one(262, 1)
     spp = one(277, 1)
     bits = tags.get(258, [8] * spp)
-    if any(x != 8 for x in bits):
-        raise NotImplementedError("TIFF bit depths other than 8")
+    if len(set(bits)) != 1 or bits[0] not in (8, 16):
+        raise NotImplementedError(f"TIFF bit depths {bits}")
+    sb = bits[0] // 8  # bytes per sample; 16-bit samples use the FILE
+    # byte order (TIFF spec §4) and reduce to the high byte at the end
     planar = one(284, 1)
     if planar not in (1, 2):
         raise NotImplementedError(f"TIFF planar configuration {planar}")
@@ -2532,6 +2534,8 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     if 322 in tags or 323 in tags:
         if planar != 1:
             raise NotImplementedError("tiled TIFF with planar configuration 2")
+        if sb != 1:
+            raise NotImplementedError("tiled 16-bit TIFF")
         return _decode_tiff_tiled(
             b, tags, one, w, h, channels, compression, predictor, photometric
         )
@@ -2566,9 +2570,13 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         out = bytearray()
         for si, (so, sc) in enumerate(zip(offsets, counts)):
             rows = min(rows_per_strip, h - si * rows_per_strip)
-            raw = strip_bytes(so, sc, rows * w * channels)
+            raw = strip_bytes(so, sc, rows * w * channels * sb)
             if predictor == 2:
-                raw = _tiff_undiff(raw, w * channels, channels)
+                raw = (
+                    _tiff_undiff(raw, w * channels, channels)
+                    if sb == 1
+                    else _tiff_undiff16(raw, w * channels, channels, e)
+                )
             out += raw
     else:
         # planar 2: strips arrive plane-major (all of sample 0, then 1, …)
@@ -2581,18 +2589,30 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
                 so = offsets[c * strips_per_plane + si]
                 sc = counts[c * strips_per_plane + si]
                 rows = min(rows_per_strip, h - si * rows_per_strip)
-                raw = strip_bytes(so, sc, rows * w)
+                raw = strip_bytes(so, sc, rows * w * sb)
                 if predictor == 2:
-                    raw = _tiff_undiff(raw, w, 1)
+                    raw = (
+                        _tiff_undiff(raw, w, 1)
+                        if sb == 1
+                        else _tiff_undiff16(raw, w, 1, e)
+                    )
                 plane += raw
-            if len(plane) < w * h:
+            if len(plane) < w * h * sb:
                 raise ValueError("TIFF plane shorter than image")
             planes.append(plane)
-        out = bytearray(need)
+        out = bytearray(need * sb)
         for c in range(channels):
-            out[c::channels] = planes[c][: w * h]
-    if len(out) < need:
+            for k in range(sb):
+                out[c * sb + k :: channels * sb] = planes[c][k : w * h * sb : sb]
+    if len(out) < need * sb:
         raise ValueError("TIFF strips shorter than image")
+    if sb == 2:
+        # 8-bit VIEW: the high byte of each sample in the FILE's byte
+        # order (the PNG-16 downconversion convention, q353); inverting
+        # 16-bit WhiteIsZero then truncating equals truncating then
+        # inverting the high byte ((65535-v)>>8 == 255-(v>>8)), so the
+        # shared inversion below stays exact.
+        out = out[0::2] if e == ">" else out[1::2]
     px = bytes(out[:need])
     if photometric == 0:  # WhiteIsZero: invert to the usual convention
         px = bytes(255 - v for v in px)
@@ -2620,6 +2640,34 @@ def _tiff_diff(buf: bytes, row_len: int, stride: int) -> bytes:
     return bytes(out)
 
 
+def _tiff_undiff16(buf: bytes, row_samples: int, stride: int, e: str) -> bytes:
+    """Invert TIFF predictor 2 for 16-bit data: differencing operates
+    on SAMPLE values (TIFF spec §14 — per sample, at sample width, in
+    the file byte order), not bytes.  ``row_samples`` is samples per
+    row, ``stride`` samples/pixel (1 within a plane)."""
+    import struct
+
+    n = len(buf) // 2
+    vals = list(struct.unpack(e + f"{n}H", buf[: n * 2]))
+    for r0 in range(0, n, row_samples):
+        end = min(r0 + row_samples, n)
+        for i in range(r0 + stride, end):
+            vals[i] = (vals[i] + vals[i - stride]) & 0xFFFF
+    return struct.pack(e + f"{n}H", *vals)
+
+
+def _tiff_diff16(vals: list, row_samples: int, stride: int) -> list:
+    """Forward 16-bit predictor 2 over a SAMPLE list (fixture twin of
+    :func:`_tiff_undiff16`; packing to the file byte order happens in
+    the encoder after differencing)."""
+    out = list(vals)
+    for r0 in range(0, len(out), row_samples):
+        end = min(r0 + row_samples, len(out))
+        for i in range(end - 1, r0 + stride - 1, -1):
+            out[i] = (out[i] - out[i - stride]) & 0xFFFF
+    return out
+
+
 def encode_tiff(
     pixels: bytes, w: int, h: int, channels: int,
     endian: str = "<", rows_per_strip: int | None = None,
@@ -2627,6 +2675,7 @@ def encode_tiff(
     lzw: bool = False, deflate: bool = False,
     predictor: bool = False, planar: bool = False,
     tile: "tuple[int, int] | None" = None,
+    bits: int = 8,
 ) -> bytes:
     """Baseline-TIFF builder (fixture twin of
     :func:`decode_tiff_pixels`): either byte order, multi-strip via
@@ -2634,13 +2683,24 @@ def encode_tiff(
     WhiteIsZero grayscale (pixels stored inverted), optional
     horizontal-differencing ``predictor`` (tag 317 = 2, the libtiff
     LZW pairing) and plane-sequential ``planar`` layout (tag 284 = 2,
-    strips plane-major)."""
+    strips plane-major).  ``bits=16`` takes ``pixels`` as a sequence
+    of 0..65535 SAMPLE values, stores them in the file byte order, and
+    differentiates at sample width (round-11: the last codec guard)."""
     import struct
 
     assert channels in (1, 3) and len(pixels) == w * h * channels
+    assert bits in (8, 16)
     e = endian
     magic = b"II*\x00" if e == "<" else b"MM\x00*"
-    if white_is_zero:
+    if bits == 16:
+        pixels = list(pixels)
+        assert all(0 <= v <= 0xFFFF for v in pixels)
+        if white_is_zero:
+            assert channels == 1
+            pixels = [65535 - v for v in pixels]
+        if tile is not None:
+            raise ValueError("tiled 16-bit encoding unsupported")
+    elif white_is_zero:
         assert channels == 1
         pixels = bytes(255 - v for v in pixels)
     if sum((packbits, lzw, deflate)) > 1:
@@ -2648,6 +2708,12 @@ def encode_tiff(
     if planar and channels == 1:
         raise ValueError("planar layout needs channels=3")
     rps = rows_per_strip or h
+
+    def pack(seg):
+        """Samples -> file bytes (identity at 8 bits)."""
+        if bits == 8:
+            return seg if isinstance(seg, (bytes, bytearray)) else bytes(seg)
+        return struct.pack(e + f"{len(seg)}H", *seg)
 
     def compress(raw: bytes) -> bytes:
         if packbits:
@@ -2686,19 +2752,27 @@ def encode_tiff(
     elif not planar:
         for r0 in range(0, h, rps):
             rows = min(rps, h - r0)
-            raw = pixels[r0 * w * channels : (r0 + rows) * w * channels]
+            seg = pixels[r0 * w * channels : (r0 + rows) * w * channels]
             if predictor:
-                raw = _tiff_diff(raw, w * channels, channels)
-            strips.append(compress(raw))
+                seg = (
+                    _tiff_diff(seg, w * channels, channels)
+                    if bits == 8
+                    else _tiff_diff16(seg, w * channels, channels)
+                )
+            strips.append(compress(pack(seg)))
     else:
         for c in range(channels):
             plane = pixels[c::channels]
             for r0 in range(0, h, rps):
                 rows = min(rps, h - r0)
-                raw = plane[r0 * w : (r0 + rows) * w]
+                seg = plane[r0 * w : (r0 + rows) * w]
                 if predictor:
-                    raw = _tiff_diff(raw, w, 1)
-                strips.append(compress(raw))
+                    seg = (
+                        _tiff_diff(seg, w, 1)
+                        if bits == 8
+                        else _tiff_diff16(seg, w, 1)
+                    )
+                strips.append(compress(pack(seg)))
     # layout: header(8) | strip data | IFD | external arrays
     data_off = 8
     offsets, pos = [], data_off
@@ -2708,7 +2782,7 @@ def encode_tiff(
     ifd_off = pos
     photometric = 0 if white_is_zero else (2 if channels == 3 else 1)
     entries = [
-        (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * channels),
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [bits] * channels),
         (259, 3, [32773 if packbits else (5 if lzw else (8 if deflate else 1))]),
         (262, 3, [photometric]),
         (277, 3, [channels]), (284, 3, [2 if planar else 1]),

@@ -4285,3 +4285,95 @@ def q423(spark, sf_dir):
         F.col("n").cast("bigint").alias("n"),
         F.col("total_value").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "q449_tiff16_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 19) + 4 AS w,
+             (doc_id % 11) + 3 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+      FROM documents WHERE doc_id % 29 = 3
+    )
+    SELECT d.doc_id,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(d.c AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(((d.doc_id * 1031 + 257 * t.k) % 65536) // 256)
+                AS BIGINT) AS px_sum,
+           CAST(MIN(((d.doc_id * 1031 + 257 * t.k) % 65536) // 256)
+                AS BIGINT) AS px_min,
+           CAST(MAX(((d.doc_id * 1031 + 257 * t.k) % 65536) // 256)
+                AS BIGINT) AS px_max
+    FROM d, LATERAL (SELECT unnest(range(0, d.w * d.h * d.c)) AS k) t
+    GROUP BY d.doc_id, d.w, d.h, d.c
+    """,
+)
+def q449(spark, sf_dir):
+    """16-BIT TIFF decode (round-11: the last remaining strip-layout
+    codec guard, `multimodal.decode_tiff_pixels`): samples are two
+    bytes in the FILE byte order, predictor-2 differencing operates at
+    SAMPLE width (TIFF spec §14), and the decoded 8-bit view is the
+    high byte of each sample — the PNG-16 downconversion convention
+    (q353), which the oracle replays in closed form as
+    ``((doc_id*1031 + 257*k) % 65536) // 256``.  Fixtures rotate both
+    byte orders × {none, PackBits, LZW, Deflate} × sample-width
+    predictor × chunky/planar × single/multi-strip × WhiteIsZero
+    (inverted at 16 bits, exact under truncation since
+    (65535-v)>>8 == 255-(v>>8)).  Same Arrow-batched mapInPandas
+    plumbing as q362 — the scanned/scientific-corpus matrix."""
+    import pandas as pd
+
+    from ..operators.multimodal import decode_assets, encode_tiff
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 29 == 3)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 19 + 4, d % 11 + 3
+                c = 1 if d % 2 == 0 else 3
+                vals = [
+                    (d * 1031 + 257 * k) % 65536 for k in range(w * h * c)
+                ]
+                v = d // 29
+                comp = v % 4  # rotate none / PackBits / LZW / Deflate
+                payloads.append(
+                    encode_tiff(
+                        vals, w, h, c,
+                        bits=16,
+                        endian="<" if v % 2 == 0 else ">",
+                        rows_per_strip=None if v % 3 == 0 else 2,
+                        packbits=comp == 1,
+                        lzw=comp == 2,
+                        deflate=comp == 3,
+                        predictor=v % 5 == 1,
+                        planar=(c == 3 and v % 6 < 2),
+                        white_is_zero=(c == 1 and v % 5 == 4),
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    return dec.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("px_sum"),
+        F.col("val_min").cast("bigint").alias("px_min"),
+        F.col("val_max").cast("bigint").alias("px_max"),
+    )

@@ -1257,3 +1257,76 @@ def test_tiff_tiled_roundtrip_matrix():
     # planar + tiled remains guarded
     with pytest.raises(ValueError, match="tiled planar"):
         encode_tiff(rgb, w, h, 3, planar=True, tile=(8, 4))
+
+
+def test_tiff16_roundtrip_matrix():
+    """Round-11: 16-bit TIFF decode (the last strip-layout codec
+    guard).  Full fixture matrix — byte orders × {none, PackBits, LZW,
+    Deflate} × sample-width predictor × chunky/planar × WhiteIsZero ×
+    single/multi-strip — decodes to the high-byte view of the exact
+    samples (the PNG-16 downconversion convention)."""
+    import itertools
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        encode_tiff,
+    )
+
+    n = 0
+    for e, comp, pred, planar, wiz, rps in itertools.product(
+        ["<", ">"],
+        ["none", "packbits", "lzw", "deflate"],
+        [False, True],
+        [False, True],
+        [False, True],
+        [None, 2],
+    ):
+        if planar and wiz:  # planar needs RGB, WhiteIsZero needs gray
+            continue
+        c = 3 if planar else (1 if wiz else 3)
+        w, h = 7, 5
+        vals = [(i * 1031 + 7) % 65536 for i in range(w * h * c)]
+        b = encode_tiff(
+            vals, w, h, c, endian=e, bits=16, rows_per_strip=rps,
+            packbits=comp == "packbits", lzw=comp == "lzw",
+            deflate=comp == "deflate", predictor=pred, planar=planar,
+            white_is_zero=wiz,
+        )
+        dw, dh, dc, px = decode_tiff_pixels(b)
+        assert (dw, dh, dc) == (w, h, c)
+        assert px == bytes(v >> 8 for v in vals), (e, comp, pred, planar, wiz, rps)
+        n += 1
+    assert n == 96
+
+
+def test_tiff16_predictor_is_sample_width():
+    """A 16-bit predictor-2 file differenced at BYTE width would decode
+    to garbage: pin one hand-built case where the two interpretations
+    diverge (sample deltas cross the byte boundary)."""
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        encode_tiff,
+    )
+
+    vals = [1000, 2000, 300, 65535, 0, 42]  # deltas wrap + cross bytes
+    b = encode_tiff(vals, 3, 2, 1, endian=">", bits=16, predictor=True)
+    _, _, _, px = decode_tiff_pixels(b)
+    assert px == bytes(v >> 8 for v in vals)
+
+
+def test_tiff16_guards_stay_loud():
+    import pytest
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        encode_tiff,
+    )
+
+    # tiled 16-bit stays a loud guard (encoder refuses to build one)
+    with pytest.raises(ValueError, match="tiled 16-bit"):
+        encode_tiff([0] * 12, 4, 3, 1, bits=16, tile=(2, 2))
+    # mixed / unsupported depths refuse at decode
+    b = encode_tiff([0] * 12, 4, 3, 1, bits=16)
+    mutated = b.replace((16).to_bytes(2, "little"), (12).to_bytes(2, "little"), 1)
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_tiff_pixels(mutated)
