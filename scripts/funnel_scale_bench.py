@@ -226,7 +226,22 @@ def main() -> None:
     ]
     spark = get_spark("funnel-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    results = {"loadavg_start": list(os.getloadavg()), "funnel": []}
+    # Spill posture knob: local[32] shares ONE driver JVM heap across
+    # all 32 "executors" (~250 MB/task at the default 8g), so big-corpus
+    # shuffles spill where a real cluster with per-executor heaps would
+    # not.  Raising partitions shrinks each task's working set — the
+    # same lever a 1000-executor deployment sets (AQE then coalesces).
+    parts = os.environ.get("SPARK_GRAFT_FUNNEL_PARTITIONS")
+    if parts:
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+    results = {
+        "loadavg_start": list(os.getloadavg()),
+        "shuffle_partitions": int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        ),
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "funnel": [],
+    }
     for n in sizes:
         results["funnel"].append(run_funnel(spark, n))
     results["loadavg_end"] = list(os.getloadavg())

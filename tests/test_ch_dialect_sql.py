@@ -1287,7 +1287,12 @@ def test_operator_aggregate_guards_point_at_implementations():
     for bad, hint in [
         ("SELECT windowFunnel(3600)(ts, a, b) FROM t", "funnel"),
         ("SELECT retention(a, b) FROM t", "retention"),
-        ("SELECT sequenceMatch('(?1)(?2)')(ts, a, b) FROM t", "sequence"),
+        # round 11: sequenceMatch TRANSLATES for literal supported
+        # patterns (see test_advice_r11) — only unsupported shapes
+        # still point at the operator queries
+        ("SELECT sequenceMatch('(?1)(?t<5).*(?2)')(ts, a, b) FROM t",
+         "sequence"),
+        ("SELECT sequenceCount('(?1)(?2)')(ts, a, b) FROM t", "q207"),
         ("SELECT uniqUpTo(5)(x) FROM t", "uniq_up_to"),
         ("SELECT histogram(10)(x) FROM t", "histogram"),
         ("SELECT sumMap(k, v) FROM t", "q332"),
