@@ -531,6 +531,93 @@ def _seq_match_sql(pat: str, t_expr: str, conds: list[str]) -> str:
     )
 
 
+_MINBIG = "CAST(-9223372036854775808 AS BIGINT)"
+
+
+def _seq_count_sql(pat: str, t_expr: str, conds: list[str]) -> str:
+    """Emit the Spark SQL aggregate expression for sequenceCount:
+    NON-OVERLAPPING chains, counted greedy-leftmost — CH's documented
+    semantics ("starts to search for the next chain after the current
+    chain is matched").  Supported shapes: a single step, a 2-step
+    adjacency chain with optional (?t OP n) bound, or an
+    eventually-follows ``.*`` chain (any length ≤ 8) — exactly the
+    shapes where one linear fold is provably equivalent to the greedy
+    restart scan; longer ADJACENCY chains would need KMP-style restart
+    state (self-overlapping prefixes) and refuse to the q207 operator."""
+    steps, seps = _parse_seq_pattern(pat)
+    if len(steps) > 8:
+        raise ChTranslationError(
+            "sequenceCount: patterns beyond 8 steps don't translate — "
+            "use the sequence-count operator query (q207)"
+        )
+    for n in steps:
+        if not 1 <= n <= len(conds):
+            raise ChTranslationError(
+                f"sequenceCount pattern references (?{n}) but only "
+                f"{len(conds)} condition(s) were passed"
+            )
+    kinds = {k for k, _ in seps}
+    if "any" in kinds and ("adj" in kinds or any(b for _, b in seps)):
+        raise ChTranslationError(
+            "sequenceCount: mixed .*-gap / adjacency patterns don't "
+            "translate to one SQL expression — use the sequence-count "
+            "operator query (q207)"
+        )
+    any_cond = " OR ".join(f"({c})" for c in conds)
+    fields = ", ".join(
+        [f"'t', unix_seconds(CAST(({t_expr}) AS TIMESTAMP))"]
+        + [
+            f"'m{i}', coalesce(CAST(({c}) AS BOOLEAN), false)"
+            for i, c in enumerate(conds, 1)
+        ]
+    )
+    ev = (
+        f"array_sort(collect_list(CASE WHEN (({t_expr}) IS NOT NULL) "
+        f"AND ({any_cond}) THEN named_struct({fields}) END))"
+    )
+    k = len(steps)
+    if k == 1:
+        return (
+            f"coalesce(CAST(size(filter({ev}, e -> e.m{steps[0]})) AS "
+            f"BIGINT), CAST(0 AS BIGINT))"
+        )
+    if kinds == {"adj"}:
+        if k != 2:
+            raise ChTranslationError(
+                "sequenceCount: adjacency chains beyond 2 steps need "
+                "KMP restart state — use the sequence-count operator "
+                "query (q207)"
+            )
+        bound = seps[0][1]
+        tcheck = f" AND e.t - acc.lt {bound[0]} {bound[1]}" if bound else ""
+        return (
+            f"coalesce(aggregate({ev}, named_struct('armed', false, "
+            f"'lt', {_MINBIG}, 'cnt', CAST(0 AS BIGINT)), (acc, e) -> "
+            f"CASE WHEN acc.armed AND e.m{steps[1]}{tcheck} "
+            f"THEN named_struct('armed', false, 'lt', e.t, "
+            f"'cnt', acc.cnt + CAST(1 AS BIGINT)) "
+            f"ELSE named_struct('armed', e.m{steps[0]}, 'lt', e.t, "
+            f"'cnt', acc.cnt) END, acc -> acc.cnt), CAST(0 AS BIGINT))"
+        )
+    # eventually-follows chain: greedy fold with restart on completion
+    whens = [
+        f"WHEN acc.step = {k - 1} AND e.m{steps[k - 1]} AND e.t > acc.lt "
+        f"THEN named_struct('step', 0, 'lt', {_MINBIG}, "
+        f"'cnt', acc.cnt + CAST(1 AS BIGINT))"
+    ]
+    whens += [
+        f"WHEN acc.step = {j} AND e.m{sn} AND e.t > acc.lt "
+        f"THEN named_struct('step', {j + 1}, 'lt', e.t, 'cnt', acc.cnt)"
+        for j, sn in enumerate(steps[:-1])
+    ]
+    return (
+        f"coalesce(aggregate({ev}, named_struct('step', 0, "
+        f"'lt', {_MINBIG}, 'cnt', CAST(0 AS BIGINT)), "
+        f"(acc, e) -> CASE {' '.join(whens)} ELSE acc END, "
+        f"acc -> acc.cnt), CAST(0 AS BIGINT))"
+    )
+
+
 def _rewrite_calls(sql: str, name: str, fn) -> str:
     """Repeatedly rewrite ``name(args)`` via fn(list_of_args)."""
     guard = 0
@@ -1118,6 +1205,25 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
 
     s = _rewrite_param_calls(s, "sequenceMatch", _seq_match_rule)
 
+    # sequenceCount — same literal-pattern contract; the fold-safe
+    # shapes compile (see _seq_count_sql), the rest refuse to q207
+    def _seq_count_rule(params, args):
+        if args is None or len(params) != 1 or len(args) < 2:
+            raise ChTranslationError(
+                "sequenceCount needs the ('pattern')(timestamp, cond, "
+                "...) shape"
+            )
+        pat = params[0]
+        if not re.fullmatch(r"'[^'\\]*'", pat):
+            raise ChTranslationError(
+                "sequenceCount: only a literal single-quoted pattern "
+                "translates — use the sequence-count operator query "
+                "(q207)"
+            )
+        return _seq_count_sql(pat[1:-1], args[0], args[1:])
+
+    s = _rewrite_param_calls(s, "sequenceCount", _seq_count_rule)
+
     # the remaining behavioral/sketch parameterized aggregates have
     # verified OPERATOR implementations, not scalar rewrites — a
     # passthrough would die in Spark's parser with an unhelpful
@@ -1125,7 +1231,6 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
     _OPERATOR_AGGS = {
         "windowFunnel": "queries q97/q163/q241/q267 (window-funnel family)",
         "retention": "queries q99/q226/q287 (retention family)",
-        "sequenceCount": "query q207",
         "uniqUpTo": "operators/sketches.py uniq_up_to (q342)",
         "histogram": "operators/sketches.py adaptive histogram (q103/q260)",
         "sumMap": "query q332 (sumMap/minMap/maxMap)",

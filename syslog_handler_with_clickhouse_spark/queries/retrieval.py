@@ -1739,3 +1739,69 @@ def q448(spark, sf_dir):
         "quick_convert",
         "full_path",
     ).orderBy("user_id")
+
+
+@query(
+    "q450_ch_sequence_count",
+    """
+    WITH base AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+    ), fe AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             (event_type = 'click') AS m1,
+             (event_type = 'purchase') AS m2
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IN ('click', 'purchase')
+    ), nx AS (
+      SELECT user_id, tsec, m1,
+             lead(m2) OVER (PARTITION BY user_id
+                            ORDER BY tsec, m1, m2) AS nm2,
+             lead(tsec) OVER (PARTITION BY user_id
+                              ORDER BY tsec, m1, m2) AS ntsec
+      FROM fe
+    ), per_user AS (
+      SELECT user_id,
+             SUM(CASE WHEN m1 AND nm2 AND ntsec - tsec <= 86400
+                      THEN 1 ELSE 0 END) AS n_quick,
+             SUM(CASE WHEN m1 THEN 1 ELSE 0 END) AS n_clicks
+      FROM nx GROUP BY user_id
+    )
+    SELECT b.user_id,
+           CAST(COALESCE(p.n_quick, 0) AS BIGINT) AS n_quick,
+           CAST(COALESCE(p.n_clicks, 0) AS BIGINT) AS n_clicks
+    FROM base b LEFT JOIN per_user p USING (user_id)
+    ORDER BY b.user_id
+    """,
+)
+def q450(spark, sf_dir):
+    """CH ``sequenceCount`` compiled by the dialect shim (round 11):
+    non-overlapping chains counted greedy-leftmost with
+    restart-after-completion — CH's documented contract.  The
+    2-step adjacency(+time bound) form becomes one linear aggregate()
+    fold over the sorted condition-filtered stream; the single-step
+    form a filtered size().  The conditions here are DISJOINT
+    (click vs purchase), which makes the oracle exact with a plain
+    lead()-window pair count: counted pairs can never share an event
+    (that would need both conditions true at once), so non-overlap is
+    structural and SUM(pair-predicate) equals the restart count.  The
+    overlapping-condition semantics ('(?1)(?1)', interleaved '.*'
+    chains) are pinned on hand-built frames in tests/test_advice_r11.
+    Scale shape: one user_id shuffle into a hash aggregate, per-group
+    state is the user's own event list."""
+    from ..functions.ch_dialect import translate_ch_sql
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_q450")
+    ch = (
+        "SELECT user_id, "
+        "sequenceCount('(?1)(?t<=86400)(?2)')(ts, "
+        "event_type = 'click', event_type = 'purchase') AS n_quick, "
+        "sequenceCount('(?1)')(ts, event_type = 'click') AS n_clicks "
+        "FROM events_q450 WHERE user_id IS NOT NULL GROUP BY user_id"
+    )
+    df = spark.sql(translate_ch_sql(ch))
+    return df.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("n_quick").cast("bigint").alias("n_quick"),
+        F.col("n_clicks").cast("bigint").alias("n_clicks"),
+    ).orderBy("user_id")

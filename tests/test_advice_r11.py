@@ -195,3 +195,77 @@ def test_advice4_any_join_map_column_fails_loud(spark):
     # documented-loud: Spark refuses hashing MapType at ANALYSIS time
     with pytest.raises(Exception, match="(?i)map"):
         spark.sql(sql).collect()
+
+
+# ------------------------------------------------- sequenceCount (r11)
+def test_sequence_count_adjacency_non_overlap(spark):
+    # '(?1)(?1)' on 3 consecutive matching events counts ONE chain:
+    # the middle event is consumed by the first chain (CH: "starts to
+    # search for the next chain after the current chain is matched")
+    df = spark.createDataFrame(
+        [(1, "a", 1), (1, "a", 2), (1, "a", 3), (2, "a", 1), (2, "a", 2),
+         (2, "a", 3), (2, "a", 4)],
+        "u int, e string, tsec long",
+    )
+    df.createOrReplaceTempView("sc_adj_t")
+    got = spark.sql(
+        translate_ch_sql(
+            "SELECT u, sequenceCount('(?1)(?1)')(tsec, e = 'a') AS c "
+            "FROM sc_adj_t GROUP BY u"
+        )
+    ).collect()
+    assert {r.u: r.c for r in got} == {1: 1, 2: 2}
+
+
+def test_sequence_count_adjacency_time_bound(spark):
+    df = spark.createDataFrame(
+        [(1, "s", 0), (1, "p", 10),      # within bound
+         (1, "s", 100), (1, "p", 9999),  # outside bound
+         (1, "s", 20000), (1, "p", 20010)],  # within bound
+        "u int, e string, tsec long",
+    )
+    df.createOrReplaceTempView("sc_tb_t")
+    got = spark.sql(
+        translate_ch_sql(
+            "SELECT u, sequenceCount('(?1)(?t<=100)(?2)')"
+            "(tsec, e = 's', e = 'p') AS c FROM sc_tb_t GROUP BY u"
+        )
+    ).collect()
+    assert got[0].c == 2
+
+
+def test_sequence_count_subsequence_restart_semantics(spark):
+    # a a b b: ONE chain — the first completes at b@3 and the search
+    # restarts after it (chains are sequential, never interleaved)
+    df = spark.createDataFrame(
+        [(1, "a", 1), (1, "a", 2), (1, "b", 3), (1, "b", 4),
+         (2, "a", 1), (2, "b", 2), (2, "a", 3), (2, "b", 4)],
+        "u int, e string, tsec long",
+    )
+    df.createOrReplaceTempView("sc_sub_t")
+    got = spark.sql(
+        translate_ch_sql(
+            "SELECT u, sequenceCount('(?1).*(?2)')(tsec, e = 'a', "
+            "e = 'b') AS c FROM sc_sub_t GROUP BY u"
+        )
+    ).collect()
+    assert {r.u: r.c for r in got} == {1: 1, 2: 2}
+
+
+def test_sequence_count_single_step_and_refusals(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "a")], "u int, e string"
+    )
+    df.createOrReplaceTempView("sc_one_t")
+    got = spark.sql(
+        translate_ch_sql(
+            "SELECT u, sequenceCount('(?1)')(u, e = 'a') AS c "
+            "FROM sc_one_t GROUP BY u"
+        )
+    ).collect()
+    assert got[0].c == 2
+    for pat in ["(?1)(?2)(?1)", "(?1)(?2).*(?1)"]:
+        with pytest.raises(ChTranslationError, match="q207"):
+            translate_ch_sql(
+                f"SELECT sequenceCount('{pat}')(ts, a, b) FROM t"
+            )

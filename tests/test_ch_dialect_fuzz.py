@@ -245,3 +245,41 @@ def _pair_sequence_match(rng):
 
 
 _PAIRS.extend([_pair_param_quantile, _pair_sequence_match])
+
+
+def _pair_sequence_count(rng):
+    # round-11: sequenceCount adjacency(+bound) fold — DISJOINT
+    # conditions make the lead()-window pair count exact (counted pairs
+    # cannot share an event), mirroring the q450 oracle argument.
+    bound = rng.choice([600, 3600, 14400, 86400])
+    a, b = rng.choice(
+        [("click", "purchase"), ("signup", "purchase"), ("view", "error")]
+    )
+    ch = (
+        f"SELECT sum(n) AS total FROM ("
+        f"SELECT user_id, sequenceCount('(?1)(?t<={bound})(?2)')(ts, "
+        f"event_type = '{a}', event_type = '{b}') AS n "
+        f"FROM events_fz WHERE user_id IS NOT NULL GROUP BY user_id)"
+    )
+    duck = f"""
+    WITH fe AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             (event_type = '{a}') AS m1, (event_type = '{b}') AS m2
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IN ('{a}', '{b}')
+    ), nx AS (
+      SELECT user_id, tsec, m1,
+             lead(m2) OVER (PARTITION BY user_id
+                            ORDER BY tsec, m1, m2) AS nm2,
+             lead(tsec) OVER (PARTITION BY user_id
+                              ORDER BY tsec, m1, m2) AS ntsec
+      FROM fe)
+    SELECT CAST(COALESCE(SUM(CASE WHEN m1 AND nm2 AND ntsec - tsec
+                <= {bound} THEN 1 ELSE 0 END), 0) AS BIGINT) AS total
+    FROM nx
+    """
+    return ch, duck, None
+
+
+_PAIRS.extend([_pair_sequence_count])
