@@ -618,6 +618,61 @@ def _seq_count_sql(pat: str, t_expr: str, conds: list[str]) -> str:
     )
 
 
+def _window_funnel_sql(window: str, t_expr: str, conds: list[str]) -> str:
+    """Emit the Spark SQL aggregate expression for CH ``windowFunnel
+    (window)(t, c1..ck)``: the MAXIMUM number of chain steps completed,
+    where a chain starts at any c1 event and each later step's event is
+    strictly later than the previous step's and within ``window``
+    seconds of the CHAIN'S FIRST event.  Per start event the greedy
+    earliest-match advance is depth-optimal (the constraint set only
+    loosens when a step matches earlier), so the expression is a fold
+    per c1 event and a max over starts — O(starts × group) array work
+    per group, in-memory, no extra exchange.  Same-second events cannot
+    chain (the q247/q448 strict-increase stance; CH's default mode
+    leaves same-second order undefined, its strict_increase mode matches
+    this exactly)."""
+    if not window.strip().lstrip("+").isdigit():
+        raise ChTranslationError(
+            "windowFunnel: only a literal integer window (seconds) "
+            "translates — use the funnel operator queries (q97/q163/"
+            "q241/q267)"
+        )
+    w = int(window)
+    k = len(conds)
+    fields = ", ".join(
+        [f"'t', unix_seconds(CAST(({t_expr}) AS TIMESTAMP))"]
+        + [
+            f"'m{i}', coalesce(CAST(({c}) AS BOOLEAN), false)"
+            for i, c in enumerate(conds, 1)
+        ]
+    )
+    any_cond = " OR ".join(f"({c})" for c in conds)
+    ev = (
+        f"array_sort(collect_list(CASE WHEN (({t_expr}) IS NOT NULL) "
+        f"AND ({any_cond}) THEN named_struct({fields}) END))"
+    )
+    if k == 1:
+        return (
+            f"CASE WHEN coalesce(exists({ev}, e -> e.m1), false) "
+            f"THEN 1 ELSE 0 END"
+        )
+    whens = " ".join(
+        f"WHEN acc.step = {j} AND e.m{j + 1} AND e.t > acc.lt "
+        f"AND e.t <= st.t + {w} "
+        f"THEN named_struct('step', {j + 1}, 'lt', e.t)"
+        for j in range(1, k)
+    )
+    # bind EV once via the one-element transform trick (q448), then:
+    # max over c1 starts of the greedy fold's reached depth
+    return (
+        f"coalesce(element_at(transform(array({ev}), EVS -> "
+        f"aggregate(transform(filter(EVS, s0 -> s0.m1), st -> "
+        f"aggregate(EVS, named_struct('step', 1, 'lt', st.t), "
+        f"(acc, e) -> CASE {whens} ELSE acc END, "
+        f"facc -> facc.step)), 0, (mx, d) -> greatest(mx, d))), 1), 0)"
+    )
+
+
 def _rewrite_calls(sql: str, name: str, fn) -> str:
     """Repeatedly rewrite ``name(args)`` via fn(list_of_args)."""
     guard = 0
@@ -1224,12 +1279,38 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
 
     s = _rewrite_param_calls(s, "sequenceCount", _seq_count_rule)
 
+    # windowFunnel(window[, 'strict_increase'])(t, c1..ck) — literal
+    # integer window; the emitted expression's strict-increase stance
+    # IS CH's strict_increase mode, so that mode string is accepted
+    # and the default-mode same-second looseness is documented away
+    # (CH leaves same-second order undefined).  Other modes refuse.
+    def _window_funnel_rule(params, args):
+        if args is None or not params or len(args) < 2:
+            raise ChTranslationError(
+                "windowFunnel needs the (window)(timestamp, cond, ...) "
+                "shape"
+            )
+        if len(params) > 1:
+            mode = params[1].strip()
+            if len(params) > 2 or mode not in (
+                "'strict_increase'", '"strict_increase"'
+            ):
+                raise ChTranslationError(
+                    "windowFunnel: only the default and "
+                    "'strict_increase' modes translate (they coincide "
+                    "under this module's deterministic same-second "
+                    "stance) — use the funnel operator queries "
+                    "(q97/q163/q241/q267) for strict_order/strict_dedup"
+                )
+        return _window_funnel_sql(params[0], args[0], args[1:])
+
+    s = _rewrite_param_calls(s, "windowFunnel", _window_funnel_rule)
+
     # the remaining behavioral/sketch parameterized aggregates have
     # verified OPERATOR implementations, not scalar rewrites — a
     # passthrough would die in Spark's parser with an unhelpful
     # message, so refuse with a pointer to the real thing
     _OPERATOR_AGGS = {
-        "windowFunnel": "queries q97/q163/q241/q267 (window-funnel family)",
         "retention": "queries q99/q226/q287 (retention family)",
         "uniqUpTo": "operators/sketches.py uniq_up_to (q342)",
         "histogram": "operators/sketches.py adaptive histogram (q103/q260)",

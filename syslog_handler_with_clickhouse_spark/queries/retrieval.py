@@ -1805,3 +1805,72 @@ def q450(spark, sf_dir):
         F.col("n_quick").cast("bigint").alias("n_quick"),
         F.col("n_clicks").cast("bigint").alias("n_clicks"),
     ).orderBy("user_id")
+
+
+@query(
+    "q451_ch_window_funnel",
+    """
+    WITH base AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+    ), fe AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_type
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IN ('view', 'click', 'purchase')
+    ), starts AS (
+      SELECT DISTINCT user_id, tsec AS t0 FROM fe
+      WHERE event_type = 'view'
+    ), d2 AS (
+      SELECT s.user_id, s.t0, min(f.tsec) AS t2
+      FROM starts s JOIN fe f
+        ON f.user_id = s.user_id AND f.event_type = 'click'
+       AND f.tsec > s.t0 AND f.tsec <= s.t0 + 86400
+      GROUP BY s.user_id, s.t0
+    ), d3 AS (
+      SELECT d.user_id, d.t0, min(f.tsec) AS t3
+      FROM d2 d JOIN fe f
+        ON f.user_id = d.user_id AND f.event_type = 'purchase'
+       AND f.tsec > d.t2 AND f.tsec <= d.t0 + 86400
+      GROUP BY d.user_id, d.t0
+    ), lvl AS (
+      SELECT s.user_id,
+             MAX(1 + CASE WHEN d2.t0 IS NOT NULL THEN 1 ELSE 0 END
+                   + CASE WHEN d3.t0 IS NOT NULL THEN 1 ELSE 0 END) AS lvl
+      FROM starts s
+      LEFT JOIN d2 ON d2.user_id = s.user_id AND d2.t0 = s.t0
+      LEFT JOIN d3 ON d3.user_id = s.user_id AND d3.t0 = s.t0
+      GROUP BY s.user_id
+    )
+    SELECT b.user_id, CAST(COALESCE(l.lvl, 0) AS INT) AS lvl
+    FROM base b LEFT JOIN lvl l USING (user_id)
+    ORDER BY b.user_id
+    """,
+)
+def q451(spark, sf_dir):
+    """CH ``windowFunnel(86400)(ts, view, click, purchase)`` compiled
+    by the dialect shim (round 11): the MAX chain depth over ALL c1
+    start events — each later step strictly later than the previous and
+    within the window of the CHAIN'S FIRST event — as one aggregate
+    expression (a greedy fold per start, max over starts; greedy
+    earliest-match is depth-optimal for a fixed start since an earlier
+    step match only loosens later constraints).  This is the honest
+    windowFunnel contract, DIFFERENT from q97's cascaded-min funnel
+    (which anchors every user at their FIRST view): a user whose first
+    view leads nowhere but whose later view converts scores full depth
+    here.  The oracle replays max-over-starts with cascaded min-
+    correlated joins — no shared machinery.  Scale shape: one user_id
+    shuffle; per-group work is O(starts × events) array arithmetic."""
+    from ..functions.ch_dialect import translate_ch_sql
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_q451")
+    ch = (
+        "SELECT user_id, "
+        "windowFunnel(86400)(ts, event_type = 'view', "
+        "event_type = 'click', event_type = 'purchase') AS lvl "
+        "FROM events_q451 WHERE user_id IS NOT NULL GROUP BY user_id"
+    )
+    df = spark.sql(translate_ch_sql(ch))
+    return df.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("lvl").cast("int").alias("lvl"),
+    ).orderBy("user_id")

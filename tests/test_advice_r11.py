@@ -269,3 +269,45 @@ def test_sequence_count_single_step_and_refusals(spark):
             translate_ch_sql(
                 f"SELECT sequenceCount('{pat}')(ts, a, b) FROM t"
             )
+
+
+# ------------------------------------------------- windowFunnel (r11)
+def test_window_funnel_semantics(spark):
+    """Max depth over ALL starts, per-step strict increase, window
+    anchored at the chain's FIRST event, same-second never chains."""
+    df = spark.createDataFrame(
+        [
+            (1, "v", 0), (1, "c", 10), (1, "p", 20),   # full depth 3
+            (2, "v", 0), (2, "c", 5000),               # c outside window
+            (3, "v", 0), (3, "c", 10), (3, "p", 5000), # p outside -> 2
+            (4, "c", 0), (4, "p", 10),                 # no start -> 0
+            (5, "v", 0), (5, "v", 4000), (5, "c", 4010),
+            (5, "p", 4020),                            # later start -> 3
+            (6, "v", 0), (6, "c", 0),                  # same second -> 1
+        ],
+        "u int, e string, tsec long",
+    )
+    df.createOrReplaceTempView("wf_r11_t")
+    got = spark.sql(
+        translate_ch_sql(
+            "SELECT u, windowFunnel(3600)(tsec, e = 'v', e = 'c', "
+            "e = 'p') AS lvl FROM wf_r11_t GROUP BY u"
+        )
+    ).collect()
+    assert sorted((r.u, r.lvl) for r in got) == [
+        (1, 3), (2, 1), (3, 2), (4, 0), (5, 3), (6, 1)
+    ]
+
+
+def test_window_funnel_mode_and_window_refusals():
+    with pytest.raises(ChTranslationError, match="funnel"):
+        translate_ch_sql(
+            "SELECT windowFunnel(10, 'strict_order')(ts, a, b) FROM t"
+        )
+    with pytest.raises(ChTranslationError, match="literal integer"):
+        translate_ch_sql("SELECT windowFunnel(w)(ts, a, b) FROM t")
+    # strict_increase coincides with this module's stance -> accepted
+    out = translate_ch_sql(
+        "SELECT windowFunnel(10, 'strict_increase')(ts, a) AS l FROM t"
+    )
+    assert "CASE WHEN" in out

@@ -283,3 +283,48 @@ def _pair_sequence_count(rng):
 
 
 _PAIRS.extend([_pair_sequence_count])
+
+
+def _pair_window_funnel(rng):
+    # round-11: 2-step windowFunnel — level 2 iff ANY start converts
+    # within the window (max over starts), level 1 iff any start at
+    # all.  Oracle replays it with an exists-pair join, no folds.
+    w = rng.choice([600, 3600, 14400, 86400])
+    a, b = rng.choice(
+        [("view", "click"), ("click", "purchase"), ("signup", "error")]
+    )
+    ch = (
+        f"SELECT sum(lvl) AS s, count() AS n FROM ("
+        f"SELECT user_id, windowFunnel({w})(ts, event_type = '{a}', "
+        f"event_type = '{b}') AS lvl "
+        f"FROM events_fz WHERE user_id IS NOT NULL GROUP BY user_id)"
+    )
+    duck = f"""
+    WITH fe AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_type
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IN ('{a}', '{b}')
+    ), pu AS (
+      SELECT u.user_id,
+             MAX(CASE WHEN y.user_id IS NOT NULL THEN 2
+                      WHEN x.user_id IS NOT NULL THEN 1
+                      ELSE 0 END) AS lvl
+      FROM (SELECT DISTINCT user_id FROM events
+            WHERE user_id IS NOT NULL) u
+      LEFT JOIN (SELECT DISTINCT user_id FROM fe
+                 WHERE event_type = '{a}') x USING (user_id)
+      LEFT JOIN (SELECT DISTINCT s.user_id
+                 FROM fe s JOIN fe t
+                   ON t.user_id = s.user_id AND s.event_type = '{a}'
+                  AND t.event_type = '{b}' AND t.tsec > s.tsec
+                  AND t.tsec <= s.tsec + {w}) y USING (user_id)
+      GROUP BY u.user_id
+    )
+    SELECT CAST(SUM(lvl) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pu
+    """
+    return ch, duck, None
+
+
+_PAIRS.extend([_pair_window_funnel])

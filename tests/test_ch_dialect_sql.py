@@ -1285,7 +1285,12 @@ def test_to_monday_and_count_equal(spark):
 
 def test_operator_aggregate_guards_point_at_implementations():
     for bad, hint in [
-        ("SELECT windowFunnel(3600)(ts, a, b) FROM t", "funnel"),
+        # round 11: windowFunnel TRANSLATES for literal windows in the
+        # default / strict_increase modes — only the other modes and
+        # non-literal windows still point at the operator queries
+        ("SELECT windowFunnel(3600, 'strict_order')(ts, a, b) FROM t",
+         "funnel"),
+        ("SELECT windowFunnel(w)(ts, a, b) FROM t", "funnel"),
         ("SELECT retention(a, b) FROM t", "retention"),
         # round 11: sequenceMatch TRANSLATES for literal supported
         # patterns (see test_advice_r11) — only unsupported shapes

@@ -925,13 +925,14 @@ def test_bm25_match_is_token_keyed_never_all_pairs(spark):
 
 
 def test_dup_ngram_exchanges_on_gram_and_doc(spark):
-    """q395: the duplicated-window detection keys on the gram, the
+    """q395: the duplicated-window detection keys on the gram's 128-bit
+    hash pair (round 11 — the gram string never shuffles), the
     sweep-line on the doc — nothing else may shuffle."""
     import re
 
     plan = formatted_plan(QUERIES["q395_dup_ngram_coverage"](spark, SF_DIR))
     keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
-    assert keys <= {"gram", "doc_id"}, keys
+    assert keys <= {"g1", "g2", "doc_id"}, keys
 
 
 def test_triangle_count_has_no_cartesian(spark):
