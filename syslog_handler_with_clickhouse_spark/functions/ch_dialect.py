@@ -1306,12 +1306,29 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
 
     s = _rewrite_param_calls(s, "windowFunnel", _window_funnel_rule)
 
+    # retention(c1, ..., ck) — CH's contract is row-order-free: r1 =
+    # "cond1 ever held in the group", ri = "cond1 ever held AND condi
+    # ever held" (the events may differ; no temporal ordering), so the
+    # faithful rewrite is k max-CASE aggregates ANDed with the first —
+    # UInt8 0/1 elements, matching CH's return type.  (The q99/q226/
+    # q287 operator queries implement the ORDERED day-over-day cohort
+    # retention, a different, stronger contract.)
+    def _retention_rule(args):
+        if not args:
+            raise ChTranslationError("retention needs >= 1 condition")
+        ors = [f"max(CASE WHEN {c} THEN 1 ELSE 0 END)" for c in args]
+        elems = [ors[0]] + [
+            f"(({ors[0]}) * ({o}))" for o in ors[1:]
+        ]
+        return f"array({', '.join(elems)})"
+
+    s = _rewrite_calls(s, "retention", _retention_rule)
+
     # the remaining behavioral/sketch parameterized aggregates have
     # verified OPERATOR implementations, not scalar rewrites — a
     # passthrough would die in Spark's parser with an unhelpful
     # message, so refuse with a pointer to the real thing
     _OPERATOR_AGGS = {
-        "retention": "queries q99/q226/q287 (retention family)",
         "uniqUpTo": "operators/sketches.py uniq_up_to (q342)",
         "histogram": "operators/sketches.py adaptive histogram (q103/q260)",
         "sumMap": "query q332 (sumMap/minMap/maxMap)",

@@ -1874,3 +1874,47 @@ def q451(spark, sf_dir):
         F.col("user_id").cast("bigint").alias("user_id"),
         F.col("lvl").cast("int").alias("lvl"),
     ).orderBy("user_id")
+
+
+@query(
+    "q452_ch_retention",
+    """
+    SELECT user_id,
+           CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS INT) AS r1,
+           CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              * MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS INT) AS r2,
+           CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              * MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS INT) AS r3
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q452(spark, sf_dir):
+    """CH ``retention(view, click, purchase)`` through the dialect shim
+    (round 11): CH's retention aggregate is ROW-ORDER-FREE — r1 =
+    cond1 ever held in the group, r_i = cond1 ever held AND cond_i ever
+    held (possibly different events, no temporal ordering) — so the
+    rewrite is k max-CASE aggregates ANDed with the first; one hash
+    aggregate, zero extra exchanges at any scale.  This is a WEAKER
+    contract than the ordered day-over-day cohort retention the q99/
+    q226/q287 operators implement; both exist because CH users rely on
+    both.  The array lands as UInt8-style 0/1 ints, projected to
+    scalar columns for the value hash."""
+    from ..functions.ch_dialect import translate_ch_sql
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_q452")
+    ch = (
+        "SELECT user_id, retention(event_type = 'view', "
+        "event_type = 'click', event_type = 'purchase') AS r "
+        "FROM events_q452 WHERE user_id IS NOT NULL GROUP BY user_id"
+    )
+    df = spark.sql(translate_ch_sql(ch))
+    return df.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.element_at("r", 1).cast("int").alias("r1"),
+        F.element_at("r", 2).cast("int").alias("r2"),
+        F.element_at("r", 3).cast("int").alias("r3"),
+    ).orderBy("user_id")

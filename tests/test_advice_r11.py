@@ -311,3 +311,28 @@ def test_window_funnel_mode_and_window_refusals():
         "SELECT windowFunnel(10, 'strict_increase')(ts, a) AS l FROM t"
     )
     assert "CASE WHEN" in out
+
+
+# ------------------------------------------------- retention (r11)
+def test_retention_is_order_free_and_anchored_on_cond1(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "c"), (1, "p"),            # no cond1 -> all zeros
+            (2, "v"), (2, "p"),            # view + purchase, no click
+            (3, "p"), (3, "v"),            # order-free: still (1,0,1)
+            (4, "v"), (4, "c"), (4, "p"),  # all three
+        ],
+        "u int, e string",
+    )
+    df.createOrReplaceTempView("ret_r11_t")
+    got = spark.sql(
+        translate_ch_sql(
+            "SELECT u, retention(e = 'v', e = 'c', e = 'p') AS r "
+            "FROM ret_r11_t GROUP BY u"
+        )
+    ).collect()
+    assert {r.u: list(r.r) for r in got} == {
+        1: [0, 0, 0], 2: [1, 0, 1], 3: [1, 0, 1], 4: [1, 1, 1]
+    }
+    with pytest.raises(ChTranslationError, match="retention"):
+        translate_ch_sql("SELECT retention() FROM t")

@@ -1291,13 +1291,14 @@ def test_operator_aggregate_guards_point_at_implementations():
         ("SELECT windowFunnel(3600, 'strict_order')(ts, a, b) FROM t",
          "funnel"),
         ("SELECT windowFunnel(w)(ts, a, b) FROM t", "funnel"),
-        ("SELECT retention(a, b) FROM t", "retention"),
         # round 11: sequenceMatch TRANSLATES for literal supported
         # patterns (see test_advice_r11) — only unsupported shapes
         # still point at the operator queries
         ("SELECT sequenceMatch('(?1)(?t<5).*(?2)')(ts, a, b) FROM t",
          "sequence"),
-        ("SELECT sequenceCount('(?1)(?2)')(ts, a, b) FROM t", "q207"),
+        # round 11: 2-step adjacency sequenceCount translates; only the
+        # KMP-needing >=3-step adjacency chains refuse
+        ("SELECT sequenceCount('(?1)(?2)(?1)')(ts, a, b) FROM t", "q207"),
         ("SELECT uniqUpTo(5)(x) FROM t", "uniq_up_to"),
         ("SELECT histogram(10)(x) FROM t", "histogram"),
         ("SELECT sumMap(k, v) FROM t", "q332"),
