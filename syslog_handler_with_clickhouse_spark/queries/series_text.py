@@ -5104,3 +5104,168 @@ def q446(spark, sf_dir):
         .cast("bigint")
         .alias("packed_seqs"),
     ).orderBy("source")
+
+
+@query(
+    "q453_gopher_repetition",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             unnest(range(0, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, pos // 7 AS line_id,
+             string_agg(word, ' ' ORDER BY pos) AS line
+      FROM w GROUP BY doc_id, pos // 7
+    ), lc AS (
+      SELECT doc_id, line, COUNT(*) AS c,
+             CAST(length(line) AS BIGINT) AS ln
+      FROM lines GROUP BY doc_id, line
+    ), lstat AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+               AS dup_lines,
+             CAST(SUM(c * ln) AS BIGINT) AS line_chars,
+             CAST(SUM(CASE WHEN c >= 2 THEN c * ln ELSE 0 END) AS BIGINT)
+               AS dup_line_chars
+      FROM lc GROUP BY doc_id
+    ), bg AS (
+      SELECT a.doc_id,
+             a.word || ' ' || b.word AS bigram,
+             CAST(length(a.word) + length(b.word) AS BIGINT) AS bl
+      FROM w a JOIN w b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ), bgc AS (
+      SELECT doc_id, bigram, COUNT(*) AS c, MIN(bl) AS bl
+      FROM bg GROUP BY doc_id, bigram
+    ), bstat AS (
+      SELECT doc_id,
+             MAX(c) AS top_bg_count,
+             MAX(struct_pack(c := c, bl := bl)) AS top,
+             CAST(SUM(c * bl) AS BIGINT) AS bg_chars
+      FROM bgc GROUP BY doc_id
+    )
+    SELECT l.doc_id,
+           l.n_lines,
+           (l.dup_lines * 1000000) // l.n_lines AS dup_line_ppm,
+           (l.dup_line_chars * 1000000) // l.line_chars
+             AS dup_line_char_ppm,
+           CAST(b.top_bg_count AS BIGINT) AS top_bigram_count,
+           ((b.top).c * (b.top).bl * 1000000) // b.bg_chars
+             AS top_bigram_char_ppm,
+           ((l.dup_lines * 1000000) // l.n_lines <= 300000) AND
+           (((b.top).c * (b.top).bl * 1000000) // b.bg_chars <= 200000)
+             AS keep
+    FROM lstat l JOIN bstat b USING (doc_id)
+    ORDER BY l.doc_id
+    """,
+)
+def q453(spark, sf_dir):
+    """Gopher REPETITION filters (Rae et al. 2021 §A1.1 — the
+    other half of the quality gate q430's length/symbol/stop-word rules
+    don't cover): duplicate-line fraction (count- and character-
+    weighted, lines = the repo's 7-word shred, q431/q433 convention)
+    and top-2-gram character fraction, as exact ppm integers plus the
+    paper's keep thresholds (dup-line ≤ 30 %, top-bigram chars ≤ 20 %).
+
+    Scale shape (round-11 hash-key discipline from birth): line stats
+    are a PURE PROJECTION — the 7-word slices hash to 64-bit
+    signatures inside a transform over the words array, and the
+    dup-fraction arithmetic runs on that ≤ ~20-element array row-
+    locally, so the line tier adds ZERO exchanges.  Bigram stats
+    explode to (doc_id, xxhash64(bigram)) — 8-byte keys, never the
+    bigram text — into one (doc, hash)-keyed count and a doc-keyed
+    max/sum.  The oracle groups the actual line and bigram STRINGS, so
+    hash collisions or slice-boundary drift would hash-mismatch.
+
+    Ties for the top bigram need no text tiebreak at all: the output
+    only uses the winner's count × char-weight, which is identical
+    across any (count, char-weight) tie — so the bigram TEXT never
+    crosses an exchange on either engine's plan."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    n_lines = F.expr("CAST(ceil(size(split(text, ' ')) / 7.0) AS INT)")
+    # per-line (hash, char-length) structs — row-local, no exchange
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.struct(
+            F.xxhash64(
+                F.concat_ws(" ", F.slice(words, i * 7 + 1, 7))
+            ).alias("h"),
+            F.length(
+                F.concat_ws(" ", F.slice(words, i * 7 + 1, 7))
+            ).cast("bigint").alias("ln"),
+        ),
+    )
+    base = docs.select("doc_id", "text", lines.alias("L"))
+    dup_flags = F.transform(
+        F.col("L"),
+        lambda x: F.struct(
+            (
+                F.size(F.filter(F.col("L"), lambda y: y["h"] == x["h"])) >= 2
+            ).alias("d"),
+            x["ln"].alias("ln"),
+        ),
+    )
+    lstat = base.select(
+        "doc_id",
+        "text",
+        F.size("L").cast("bigint").alias("n_lines"),
+        F.aggregate(
+            dup_flags,
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + F.when(x["d"], 1).otherwise(0),
+        ).alias("dup_lines"),
+        F.aggregate(
+            F.col("L"),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x["ln"],
+        ).alias("line_chars"),
+        F.aggregate(
+            dup_flags,
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + F.when(x["d"], x["ln"]).otherwise(0),
+        ).alias("dup_line_chars"),
+    )
+    # bigram tier: hash IN THE PROJECTION (zip_with over shifted array
+    # slices — no window, so no pre-hash shuffle of raw words), then
+    # explode only the 8-byte (hash, len) pairs
+    pair_structs = F.zip_with(
+        F.slice(words, 1, F.greatest(n_words - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n_words - 1, F.lit(0))),
+        lambda a, b: F.struct(
+            F.xxhash64(F.concat_ws(" ", a, b)).alias("bh"),
+            (F.length(a) + F.length(b)).cast("bigint").alias("bl"),
+        ),
+    )
+    bg = docs.select("doc_id", F.explode(pair_structs).alias("b")).select(
+        "doc_id", F.col("b.bh").alias("bh"), F.col("b.bl").alias("bl")
+    )
+    bgc = bg.groupBy("doc_id", "bh").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min("bl").alias("bl"),
+    )
+    bstat = bgc.groupBy("doc_id").agg(
+        F.max("c").cast("bigint").alias("top_bigram_count"),
+        (
+            F.max(F.struct("c", "bl"))["c"]
+            * F.max(F.struct("c", "bl"))["bl"]
+        ).cast("bigint").alias("top_bg_chars"),
+        F.sum(F.col("c") * F.col("bl")).cast("bigint").alias("bg_chars"),
+    )
+    out = lstat.join(bstat, "doc_id")
+    dlp = F.expr("dup_lines * 1000000 DIV n_lines")
+    dlcp = F.expr("dup_line_chars * 1000000 DIV line_chars")
+    tbcp = F.expr("top_bg_chars * 1000000 DIV bg_chars")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        dlp.alias("dup_line_ppm"),
+        dlcp.alias("dup_line_char_ppm"),
+        "top_bigram_count",
+        tbcp.alias("top_bigram_char_ppm"),
+        ((dlp <= 300000) & (tbcp <= 200000)).alias("keep"),
+    ).orderBy("doc_id")

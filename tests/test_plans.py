@@ -1191,3 +1191,18 @@ def test_template_mining_distinct_exchange_carries_no_template(spark):
         # the user-bearing (distinct-pairs) exchange must be text-free
         if "user_id" in cols:
             assert "template" not in cols, cols
+
+
+def test_gopher_repetition_exchanges_carry_no_text(spark):
+    """q453 (round 11, built under the hash-key discipline from birth):
+    line stats are a pure projection (no exchange at all), and the
+    bigram tier shuffles (doc_id, xxhash64(bigram)) — no word or bigram
+    string may appear in any Exchange payload."""
+    import re
+
+    plan = formatted_plan(QUERIES["q453_gopher_repetition"](spark, SF_DIR))
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    ):
+        cols = {c.split("#")[0].strip() for c in m.group(1).split(",")}
+        assert not cols & {"word", "nxt", "btxt", "bigram", "text"}, cols
