@@ -1306,6 +1306,30 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
 
     s = _rewrite_param_calls(s, "windowFunnel", _window_funnel_rule)
 
+    # uniqUpTo(N)(x...) — unlike topK, the VALUE contract here is exact
+    # and deterministic (the exact distinct count if <= N, else N+1;
+    # CH's bounded N-value state is an implementation detail), so the
+    # faithful SQL translation is least(count(DISTINCT ...), N+1).
+    # The bounded-state MERGEABLE form lives in operators/sketches.py
+    # uniq_up_to (q342) — use that when the distinct-agg expand plan's
+    # state is the concern, the values are identical.
+    def _uniq_up_to_rule(params, args):
+        if args is None:  # bare uniqUpTo(x) means N=5 in CH
+            params, args = ["5"], params
+        if len(params) != 1 or not params[0].strip().isdigit():
+            raise ChTranslationError(
+                "uniqUpTo takes one literal integer parameter"
+            )
+        if not args:
+            raise ChTranslationError("uniqUpTo needs >= 1 argument")
+        n = int(params[0])
+        return (
+            f"least(count(DISTINCT {', '.join(args)}), "
+            f"CAST({n + 1} AS BIGINT))"
+        )
+
+    s = _rewrite_param_calls(s, "uniqUpTo", _uniq_up_to_rule)
+
     # retention(c1, ..., ck) — CH's contract is row-order-free: r1 =
     # "cond1 ever held in the group", ri = "cond1 ever held AND condi
     # ever held" (the events may differ; no temporal ordering), so the
@@ -1329,7 +1353,6 @@ def translate_ch_sql(sql: str, sampling_key: str | None = None) -> str:
     # passthrough would die in Spark's parser with an unhelpful
     # message, so refuse with a pointer to the real thing
     _OPERATOR_AGGS = {
-        "uniqUpTo": "operators/sketches.py uniq_up_to (q342)",
         "histogram": "operators/sketches.py adaptive histogram (q103/q260)",
         "sumMap": "query q332 (sumMap/minMap/maxMap)",
         "minMap": "query q332",

@@ -336,3 +336,22 @@ def test_retention_is_order_free_and_anchored_on_cond1(spark):
     }
     with pytest.raises(ChTranslationError, match="retention"):
         translate_ch_sql("SELECT retention() FROM t")
+
+
+# ------------------------------------------------- uniqUpTo (r11)
+def test_uniq_up_to_translates_exact_contract(spark):
+    df = spark.createDataFrame(
+        [(1, v) for v in [1, 2, 3, 4, 5, 5]] + [(2, 7)], "g int, x int"
+    )
+    df.createOrReplaceTempView("uut_t")
+    got = spark.sql(
+        translate_ch_sql(
+            "SELECT g, uniqUpTo(3)(x) AS u FROM uut_t GROUP BY g"
+        )
+    ).collect()
+    # group 1 has 5 distinct > 3 -> N+1 = 4; group 2 exact 1
+    assert {r.g: r.u for r in got} == {1: 4, 2: 1}
+    out = translate_ch_sql("SELECT uniqUpTo(x) FROM t")  # bare -> N=5
+    assert "least(count(DISTINCT x), CAST(6 AS BIGINT))" in out
+    with pytest.raises(ChTranslationError, match="literal integer"):
+        translate_ch_sql("SELECT uniqUpTo(n)(x) FROM t")

@@ -328,3 +328,22 @@ def _pair_window_funnel(rng):
 
 
 _PAIRS.extend([_pair_window_funnel])
+
+
+def _pair_uniq_up_to(rng):
+    # round-11: uniqUpTo's value contract is exact — least(distinct, N+1)
+    n = rng.randint(1, 40)
+    m = rng.choice([7, 29, 97, 503])
+    ch = (
+        f"SELECT event_type, uniqUpTo({n})(user_id % {m}) AS u, "
+        f"count() AS c FROM events_fz GROUP BY event_type"
+    )
+    duck = (
+        f"SELECT event_type, "
+        f"LEAST(COUNT(DISTINCT user_id % {m}), {n + 1}) AS u, "
+        f"CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY event_type"
+    )
+    return ch, duck, None
+
+
+_PAIRS.extend([_pair_uniq_up_to])

@@ -1299,7 +1299,9 @@ def test_operator_aggregate_guards_point_at_implementations():
         # round 11: 2-step adjacency sequenceCount translates; only the
         # KMP-needing >=3-step adjacency chains refuse
         ("SELECT sequenceCount('(?1)(?2)(?1)')(ts, a, b) FROM t", "q207"),
-        ("SELECT uniqUpTo(5)(x) FROM t", "uniq_up_to"),
+        # round 11: uniqUpTo translates (exact value contract) — only
+        # the non-literal parameter shape refuses
+        ("SELECT uniqUpTo(n)(x) FROM t", "literal integer"),
         ("SELECT histogram(10)(x) FROM t", "histogram"),
         ("SELECT sumMap(k, v) FROM t", "q332"),
     ]:
