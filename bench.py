@@ -54,8 +54,10 @@ LLM_TIER = [
     "q369_kmeans_clusters",   # k-means assignment (broadcast projection)
     "q394_bm25_retrieval",    # inverted-index BM25 top-k
     "q407_cdc_chunking",      # content-defined chunking dedup
+    "q431_c4_line_filters",   # C4 line rules, feature-only exchanges (r11)
     "q433_line_dedup",        # CCNet-style cross-doc line dedup
     "q446_curation_funnel",   # end-to-end quality->dedup->pack funnel
+    "q453_gopher_repetition", # Gopher dup-line/top-bigram repetition (r11)
 ]
 # q389 IVF-PQ is benched as TWO phases (round-10 directive 5): the old
 # fused q389_ivfpq_ann number (6.26 s in BENCH_r10) mixed one-time index

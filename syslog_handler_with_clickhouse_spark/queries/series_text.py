@@ -5172,9 +5172,10 @@ def q453(spark, sf_dir):
 
     Scale shape (round-11 hash-key discipline from birth): line stats
     are a PURE PROJECTION — the 7-word slices hash to 64-bit
-    signatures inside a transform over the words array, and the
-    dup-fraction arithmetic runs on that ≤ ~20-element array row-
-    locally, so the line tier adds ZERO exchanges.  Bigram stats
+    signatures inside a transform over the words array, and dup
+    detection is array_sort + adjacent-equality (O(n log n) row-local,
+    safe for a million-word document), so the line tier adds ZERO
+    exchanges.  Bigram stats
     explode to (doc_id, xxhash64(bigram)) — 8-byte keys, never the
     bigram text — into one (doc, hash)-keyed count and a doc-keyed
     max/sum.  The oracle groups the actual line and bigram STRINGS, so
@@ -5200,27 +5201,42 @@ def q453(spark, sf_dir):
             ).cast("bigint").alias("ln"),
         ),
     )
-    base = docs.select("doc_id", "text", lines.alias("L"))
+    # dup detection is SORT + adjacent-equality over the hash array —
+    # O(n log n) per doc instead of the naive all-pairs filter, so a
+    # pathological million-word document stays row-local-cheap
+    base = docs.select(
+        "doc_id", "text", F.array_sort(lines).alias("S")
+    )
+    n_l = F.size("S")
     dup_flags = F.transform(
-        F.col("L"),
-        lambda x: F.struct(
+        F.sequence(F.lit(1), n_l),
+        lambda i: F.struct(
             (
-                F.size(F.filter(F.col("L"), lambda y: y["h"] == x["h"])) >= 2
+                F.when(
+                    i > 1,
+                    F.element_at("S", i)["h"]
+                    == F.element_at("S", i - 1)["h"],
+                ).otherwise(F.lit(False))
+                | F.when(
+                    i < n_l,
+                    F.element_at("S", i)["h"]
+                    == F.element_at("S", i + 1)["h"],
+                ).otherwise(F.lit(False))
             ).alias("d"),
-            x["ln"].alias("ln"),
+            F.element_at("S", i)["ln"].alias("ln"),
         ),
     )
     lstat = base.select(
         "doc_id",
         "text",
-        F.size("L").cast("bigint").alias("n_lines"),
+        n_l.cast("bigint").alias("n_lines"),
         F.aggregate(
             dup_flags,
             F.lit(0).cast("bigint"),
             lambda a, x: a + F.when(x["d"], 1).otherwise(0),
         ).alias("dup_lines"),
         F.aggregate(
-            F.col("L"),
+            F.col("S"),
             F.lit(0).cast("bigint"),
             lambda a, x: a + x["ln"],
         ).alias("line_chars"),
