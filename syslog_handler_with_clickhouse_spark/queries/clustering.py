@@ -1282,3 +1282,120 @@ def q434(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "q454_dsir_importance",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS arr
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 4096 AS b
+      FROM (
+        SELECT doc_id, unnest(arr) AS t FROM w
+        UNION ALL
+        SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS t
+        FROM w, LATERAL (SELECT unnest(range(1, len(arr))) AS i) x
+      )
+    ), tgt AS (
+      SELECT g.b, COUNT(*) AS c FROM g
+      JOIN w ON w.doc_id = g.doc_id
+      WHERE w.lang = 'en' AND g.doc_id % 5 = 0
+      GROUP BY g.b
+    ), src AS (
+      SELECT b, COUNT(*) AS c FROM g GROUP BY b
+    ), tots AS (
+      SELECT (SELECT COALESCE(SUM(c), 0) FROM tgt) AS ct_tot,
+             (SELECT SUM(c) FROM src) AS cs_tot
+    ), terms AS (
+      SELECT g.doc_id,
+             CAST(round(
+               ln((COALESCE(t.c, 0) + 1.0) / (tots.ct_tot + 4096))
+               - ln((s.c + 1.0) / (tots.cs_tot + 4096)), 9)
+               AS DECIMAL(20,9)) AS term
+      FROM g
+      JOIN src s ON s.b = g.b
+      LEFT JOIN tgt t ON t.b = g.b
+      CROSS JOIN tots
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           round(CAST(SUM(term) AS DOUBLE), 6) AS score,
+           (round(CAST(SUM(term) AS DOUBLE), 6)
+              > -0.5 * COUNT(*)) AS selected
+    FROM terms GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q454(spark, sf_dir):
+    """DSIR-style importance scoring for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): hashed-n-gram (unigram + bigram, 4 096 buckets)
+    log-likelihood ratio of a curated TARGET sample (here: lang='en'
+    docs with doc_id%5==0) against the RAW pool, per document —
+    positive scores mark target-like documents, the resampling weight
+    a 100 TB pretraining pipeline selects with.
+
+    Scale + determinism shape: bucket ids are portable_hash60 % 4096
+    computed IN THE PROJECTION (md5-based so DuckDB replays them
+    byte-identically); documents explode to (doc_id, bucket-int) — no
+    text in any exchange; the two bucket-count tables are ≤ 4 096 rows
+    each and BROADCAST to the scoring join; per-term log ratios round
+    to 9 dp and sum as exact DECIMAL (the q371 discipline), so the
+    per-doc score is summation-order-proof — no ordered fold needed.
+    Laplace +1 smoothing over B=4096 buckets keeps unseen-in-target
+    buckets finite."""
+    from ..operators.dedup import portable_hash60
+
+    B = 4096
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_w = F.size(words)
+    uni = F.transform(words, lambda w: F.pmod(portable_hash60(w), F.lit(B)))
+    bi = F.zip_with(
+        F.slice(words, 1, F.greatest(n_w - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n_w - 1, F.lit(0))),
+        lambda a, b: F.pmod(
+            portable_hash60(F.concat_ws(" ", a, b)), F.lit(B)
+        ),
+    )
+    g = docs.select(
+        "doc_id", "lang", F.explode(F.concat(uni, bi)).alias("b")
+    )
+    tgt = (
+        g.filter((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    src = g.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    stats = src.join(tgt, "b", "left").na.fill({"ct": 0})
+    tots = stats.agg(
+        F.sum("ct").alias("ct_tot"), F.sum("cs").alias("cs_tot")
+    )
+    term = F.round(
+        F.log((F.col("ct") + 1.0) / (F.col("ct_tot") + B))
+        - F.log((F.col("cs") + 1.0) / (F.col("cs_tot") + B)),
+        9,
+    ).cast("decimal(20,9)")
+    scored = (
+        g.select("doc_id", "b")
+        .join(F.broadcast(stats), "b")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(term).alias("score_dec"),
+        )
+    )
+    score = F.round(F.col("score_dec").cast("double"), 6)
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        score.alias("score"),
+        # per-gram LLR gate: mean log-ratio above -0.5 nat — the batch
+        # analogue of DSIR's resampling weight cut (with B=4096 Laplace
+        # mass over a small target, absolute scores sit well below 0,
+        # so a per-gram threshold is the meaningful separator)
+        (score > -0.5 * F.col("n_grams")).alias("selected"),
+    ).orderBy("doc_id")
