@@ -58,6 +58,7 @@ LLM_TIER = [
     "q433_line_dedup",        # CCNet-style cross-doc line dedup
     "q446_curation_funnel",   # end-to-end quality->dedup->pack funnel
     "q453_gopher_repetition", # Gopher dup-line/top-bigram repetition (r11)
+    "q454_dsir_importance",   # DSIR hashed-ngram LLR data selection (r11)
 ]
 # q389 IVF-PQ is benched as TWO phases (round-10 directive 5): the old
 # fused q389_ivfpq_ann number (6.26 s in BENCH_r10) mixed one-time index
