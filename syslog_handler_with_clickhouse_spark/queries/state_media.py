@@ -4377,3 +4377,136 @@ def q449(spark, sf_dir):
         F.col("val_min").cast("bigint").alias("px_min"),
         F.col("val_max").cast("bigint").alias("px_max"),
     )
+
+
+@query(
+    "q455_quality_canonical",
+    """
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             text || ' and the quality tail is here' AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ), consts AS (
+      SELECT {a_list} AS ha, {b_list} AS hb
+    ), sh AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+               i -> CAST('0x' || substr(md5(array_to_string(
+                      list_slice(string_split(text, ' '), i, i + 2), ' ')), 1, 15)
+                    AS BIGINT)
+             )) AS shl
+      FROM corpus
+    ), sig AS (
+      SELECT doc,
+             list_transform(range(0, 64), k ->
+               list_min(list_transform(shl, x ->
+                 ((x % 2147483647) * ha[k + 1] + hb[k + 1]) % 2147483647))
+             ) AS sig
+      FROM sh CROSS JOIN consts WHERE len(shl) > 0
+    ), bands AS (
+      SELECT doc, b AS band,
+             CAST('0x' || substr(md5(array_to_string(
+               list_slice(sig, b * 4 + 1, b * 4 + 4), '|')), 1, 15) AS BIGINT) AS bh
+      FROM sig, UNNEST(range(0, 16)) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc < y.doc
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ), reach(node, r) AS (
+      SELECT DISTINCT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    ), comp AS (
+      SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+    ), scored AS (
+      SELECT c.doc_id,
+             10 * len(string_split(c.text, ' '))
+             + CASE WHEN ' ' || c.text || ' ' LIKE '% the %'
+                    THEN 50 ELSE 0 END
+             + CASE WHEN ' ' || c.text || ' ' LIKE '% a %'
+                    THEN 25 ELSE 0 END AS score
+      FROM corpus c
+    ), labeled AS (
+      SELECT s.doc_id, COALESCE(cm.comp, s.doc_id) AS comp_id, s.score
+      FROM scored s LEFT JOIN comp cm ON cm.node = s.doc_id
+    ), best AS (
+      SELECT comp_id,
+             MAX(struct_pack(score := score, nid := -doc_id)) AS b,
+             COUNT(*) AS csize
+      FROM labeled GROUP BY comp_id
+    )
+    SELECT l.doc_id,
+           CAST(l.comp_id AS BIGINT) AS comp_id,
+           CAST(b.csize AS BIGINT) AS cluster_size,
+           CAST(l.score AS BIGINT) AS score,
+           (l.score = (b.b).score AND -l.doc_id = (b.b).nid) AS kept
+    FROM labeled l JOIN best b USING (comp_id)
+    ORDER BY l.doc_id
+    """.format(
+        a_list=list(dedup._MINHASH_A), b_list=list(dedup._MINHASH_B)
+    ),
+)
+def q455(spark, sf_dir):
+    """Quality-aware CANONICAL selection per near-dup cluster — the
+    policy real curation pipelines layer over q334's closure: instead
+    of keep-min-id, keep the member with the BEST quality score
+    (integer Gopher-ish: 10·word-count + stop-word bonuses), tie-broken
+    toward the lower id.  The fixture makes the two policies genuinely
+    diverge: every doc_id%5 original gets a near-dup copy whose text
+    carries a higher-quality tail, so the copy out-scores the original
+    and min-id-canonical ≠ quality-canonical on every such cluster.
+    Composition: LSH pairs → component closure (both verified kernels)
+    → one window max(struct(score, -id)) per component — no new
+    exchange class; docs outside any cluster are their own canonical.
+    The oracle recomputes the identical pair graph (portable-hash
+    chain), closes it with a recursive CTE, and replays the argmax."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" and the quality tail is here")
+            ).alias("text"),
+        )
+    )
+    pairs = dedup.minhash_lsh_pairs(corpus, "text", "doc_id")
+    comp = dedup.dedup_components(pairs)
+    pad = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    score = (
+        10 * F.size(F.split("text", " "))
+        + F.when(pad.like("% the %"), 50).otherwise(0)
+        + F.when(pad.like("% a %"), 25).otherwise(0)
+    ).cast("bigint")
+    labeled = (
+        corpus.select("doc_id", score.alias("score"))
+        .join(
+            comp.select(F.col("node").alias("doc_id"), "comp"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("comp", "doc_id").alias("comp_id"),
+            "score",
+        )
+    )
+    w = Window.partitionBy("comp_id")
+    best = F.max(F.struct("score", (-F.col("doc_id")).alias("nid"))).over(w)
+    return labeled.select(
+        "doc_id",
+        F.col("comp_id").cast("bigint").alias("comp_id"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+        "score",
+        (
+            (F.col("score") == best["score"])
+            & (-F.col("doc_id") == best["nid"])
+        ).alias("kept"),
+    ).orderBy("doc_id")
