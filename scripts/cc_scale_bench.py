@@ -5,11 +5,13 @@ near-dup clusters, ~4.37 candidates/doc), at 1 M - 20 M docs, and
 record rounds-to-converge plus per-round wall time.
 
 The expectation that makes this a scale witness: near-dup clusters are
-near-cliques, so the graph diameter is tiny and the round count should
-stay CONSTANT (2-3) while per-round cost grows linearly with the edge
-count — each round is one edge-sized equi-join + min-agg
-(`operators/dedup.py:_cc_round`, plan-pinned by
-test_plans.py::test_cc_round_exchanges_key_on_join_keys_only).
+near-cliques, so one large-star round collapses most clusters onto
+their min and the alternating-star edge set CONTRACTS — round 1 costs
+one join over the full candidate edge set, later rounds only the
+remnant (`operators/dedup.py:_star_half_round`, plan-pinned by
+test_plans.py::test_star_round_exchanges_key_on_join_keys_only; the
+round-12 rewrite of the static-edge min-label loop the round-11
+rehearsal measured at 84 GB cumulative shuffle / 50 M docs).
 
 Run: python scripts/cc_scale_bench.py [sizes_csv]
 Prints one JSON line; paste the table into PERF.md.

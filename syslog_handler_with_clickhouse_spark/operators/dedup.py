@@ -109,8 +109,46 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     target = max(
         spark.sparkContext.defaultParallelism,
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        _size_floor(df),
     )
     return df.repartition(target, F.col(id_col))
+
+
+# Per-partition slice of the plan-ESTIMATED input bytes for the floor
+# below.  The estimate undercounts real in-flight state (string payloads
+# at default width, ~6× shingle fan-out, 64-long signature arrays), so
+# 2 MB of estimate ≈ tens of MB of task working set — inside a 250 MB
+# local[32] task share with headroom, trivial for a real executor.
+_FLOOR_TARGET_BYTES = 2 << 20
+_FLOOR_CAP = 8192
+# Catalyst reports spark.sql.defaultSizeInBytes (Long.Max-ish) when it
+# has no estimate; anything past 16 TB here is "unknown", not a floor.
+_STATS_UNKNOWN = 1 << 44
+
+
+def _size_floor(df: DataFrame) -> int:
+    """Shuffle-partition floor ∝ Catalyst's optimized-plan size estimate
+    (round-11 verdict directive 2: the 10 M-doc funnel rehearsal OOM'd
+    at repo defaults because the heavy dedup shuffles ran at the
+    session's small-SF width regardless of corpus size — the operator
+    must derive its spill posture from the input, not from an env knob
+    the caller has to know about).
+
+    ``sizeInBytes`` is a pure driver-side estimate — no job: exact for
+    file scans and ``range``, propagated through ``localCheckpoint``
+    (probed on this Spark build), ``defaultSizeInBytes`` when unknown —
+    which this treats as "no floor" rather than guessing.  The floor
+    only ever RAISES partition counts; AQE coalesces the excess back
+    down on small inputs, so sf0.01 oracle runs keep their plans."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # py4j/analysis edge — no estimate, no floor
+        return 0
+    if size <= 0 or size >= _STATS_UNKNOWN:
+        return 0
+    return min(_FLOOR_CAP, -(-size // _FLOOR_TARGET_BYTES))
 
 
 def jaccard_pairs(
@@ -291,18 +329,34 @@ def minhash_lsh_pairs(
     of 4 consecutive min-hashes meet in an equi-join bucket.
 
     Pass a precomputed (cached) ``sig`` to avoid recomputing signatures.
-    """
+
+    Big-corpus posture (round-11 verdict directive 2): when the plan-
+    estimated input exceeds the session's shuffle width × the per-
+    partition budget, the band self-join and the pair dedupe are
+    repartitioned to the derived floor — same keys, wider exchanges —
+    so a 10 M-doc corpus no longer squeezes 100+ MB per task through a
+    small-SF ``spark.sql.shuffle.partitions``.  At small SF the floor
+    is below the session width and the plan is unchanged."""
     if sig is None:
         sig = minhash_signatures(df, text_col, id_col, n)
     bands = minhash_bands(sig)
+    spark = bands.sparkSession
+    sess = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    width = _size_floor(bands)
+    if width > sess:
+        bands = bands.repartition(width, "band", "bh")
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bh"])
         .filter(F.col("x.doc") < F.col("y.doc"))
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
-        .distinct()
     )
-    return cand
+    if width > sess:
+        cand = cand.repartition(width, "doc_a", "doc_b")
+    return cand.dropDuplicates(["doc_a", "doc_b"])
 
 
 def minhash_jaccard_estimate(
@@ -475,21 +529,57 @@ def winnow_fingerprints(
     return sel
 
 
-def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
-    """One min-label-propagation round: neighbors' min label via ONE
-    edge-sized equi-join (keyed on src) + min-aggregate (keyed on dst),
-    folded into the current labels (keyed on node).  Extracted so the
-    per-round plan can be pinned: every exchange keys on the join key
-    only — src, dst, or node — never on labels or payloads."""
-    prop = (
-        edges.join(labels.select(F.col("node").alias("src"), "comp"), "src")
-        .groupBy(F.col("dst").alias("node"))
-        .agg(F.min("comp").alias("ncomp"))
+def _star_half_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One alternating-star half-round (Kiveris, Lattanzi, Mirrokni,
+    Rastogi, Vassilvitskii, "Connected Components in MapReduce and
+    Beyond", ACM SoCC 2014, §3): group the edge list by node u, compute
+    m = min(Γ(u) ∪ {u}), and rewire
+
+      large-star: emit (v, m) for every neighbor v > u
+                  (input: both directions of every edge)
+      small-star: emit (v, m) for v ∈ Γ(u) ∪ {u}, v ≠ m
+                  (input: one row per edge, u = the LARGER endpoint)
+
+    Both outputs are (larger, smaller)-oriented and self-loop-free, and
+    — the point versus static-edge min-label propagation (the round-11
+    verdict's measured funnel bottleneck: 7 rounds × the full 227 M-pair
+    edge set = 84 GB cumulative shuffle at 50 M docs) — each half-round
+    CONTRACTS the edge set toward one star per component, so every
+    subsequent round joins a strictly smaller frame.  Near-dup clusters
+    are near-cliques: one large-star collapses a clique onto its min.
+
+    Exchanges key on u (the min-agg and the rewire join) and on (u, v)
+    for the dedupe — never on payloads (plan-pinned by
+    test_plans.py::test_star_round_exchanges_key_on_join_keys_only)."""
+    mins = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
     )
-    return labels.join(prop, "node", "left").select(
-        "node",
-        F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
-    )
+    rewired = edges.join(mins, "u")
+    if large:
+        out = rewired.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        out = (
+            rewired.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(
+                mins.filter(F.col("u") != F.col("m")).select(
+                    "u", F.col("m").alias("v")
+                )
+            )
+        )
+    return out.dropDuplicates(["u", "v"])
+
+
+# Per-shuffle-partition edge budget for the CC loop: ~64 B of in-flight
+# sort/join state per (long, long) edge → ~32 MB working set per task,
+# comfortably inside a 250 MB task share (local[32] @ 8g) and tiny next
+# to a real executor's.  The 50 M-doc rehearsal graph (227 M pairs) maps
+# to ~455 partitions; AQE coalesces the excess on small inputs.
+_CC_EDGES_PER_PARTITION = 500_000
 
 
 def dedup_components(
@@ -500,65 +590,98 @@ def dedup_components(
     per component, drop the rest): pairs are not transitive-closed, so
     a 3-doc cluster {a,b,c} may surface as (a,b),(b,c) only.
 
-    Min-label propagation (the Pregel/GraphX connected-components
-    algorithm): every node starts labeled with itself; each round every
-    node takes the min of its own and its neighbors' labels; fixpoint
-    after diameter(G) rounds.  Near-dup clusters have tiny diameters
-    (they are near-cliques — every member shares a band with most
-    others), so the loop exits after 2-3 rounds in practice; max_iter
-    is a safety bound, and the loop raises if it is ever hit, rather
-    than returning silently-unconverged labels.
+    Algorithm: alternating large-star/small-star contraction (Kiveris
+    et al., SoCC 2014 — see ``_star_half_round``), which converges in
+    O(log² n) rounds and, unlike min-label propagation, shrinks the
+    per-round join input: round 1 touches the full candidate edge set,
+    later rounds only the not-yet-star remnant.  At the proven fixpoint
+    the edge set is exactly one star per component, centered on the
+    component's minimum node id.  max_iter is a safety bound and the
+    loop raises if hit, rather than returning unconverged labels.
 
-    100 TB shape: each round is ONE equi-join edges⋈labels (both sides
-    hash-partitioned on the join key) plus a min-aggregate — working
-    set is edge-sized, never quadratic.  ``localCheckpoint`` truncates
-    the per-round lineage (the standard iterative-algorithm guard);
-    the convergence probe is a 1-row driver scalar per round — the
-    Pregel control loop, not a data collect.
+    100 TB shape: each half-round is one min-aggregate plus one
+    edge-keyed equi-join over the CURRENT contracted edge set, with
+    ``spark.sql.shuffle.partitions`` floored at edges/500 k for the
+    loop's scope (round-11 verdict directive 2: the operator derives
+    its spill posture from input size instead of an env knob; AQE
+    coalesces the excess at small SF).  ``localCheckpoint`` truncates
+    per-round lineage; the convergence probe is an edge-count compare
+    plus a ``limit(1)`` set-difference scalar — Pregel control flow,
+    not a data collect.
 
     Returns (node, comp) for every node that appears in ``pairs``;
     comp = min doc id of the component, so ``node == comp`` marks the
     canonical keeper.  If ``stats`` is a list, one dict per round
-    ({"round", "sec", "changed"}) is appended — used by
-    scripts/cc_scale_bench.py to record rounds-to-converge and
-    per-round wall time at scale."""
+    ({"round", "sec", "edges", "changed"}) is appended — used by
+    scripts/cc_scale_bench.py to record rounds-to-converge, per-round
+    wall time, and edge-set contraction at scale."""
     import time as _time
 
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
         .localCheckpoint(eager=True)
     )
-    for rnd in range(max_iter):
-        t0 = _time.perf_counter()
-        new = _cc_round(edges, labels).localCheckpoint(eager=True)
-        changed = (
-            new.alias("n")
-            .join(labels.select("node", F.col("comp").alias("oc")), "node")
-            .filter(F.col("comp") != F.col("oc"))
-            .limit(1)
-            .count()
-        )
-        if stats is not None:
-            stats.append(
-                {
-                    "round": rnd + 1,
-                    "sec": round(_time.perf_counter() - t0, 2),
-                    "changed": changed,
-                }
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    if n_edges == 0:
+        return nodes.select("node", F.col("node").alias("comp"))
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = max(
+        sess_parts,
+        spark.sparkContext.defaultParallelism,
+        min(8192, -(-n_edges // _CC_EDGES_PER_PARTITION)),
+    )
+    prev_n = n_edges
+    try:
+        if width > sess_parts:
+            spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        for rnd in range(max_iter):
+            t0 = _time.perf_counter()
+            sym = edges.unionByName(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-        old = labels
-        labels = new
-        old.unpersist()
-        if changed == 0:
-            return labels
+            new = _star_half_round(
+                _star_half_round(sym, large=True), large=False
+            ).localCheckpoint(eager=True)
+            n_new = new.count()
+            # converged iff the canonical edge set is unchanged: equal
+            # counts (free — the count doubles as the lineage action)
+            # then a 1-row set-difference probe
+            changed = 1
+            if n_new == prev_n:
+                changed = new.exceptAll(edges).limit(1).count()
+            if stats is not None:
+                stats.append(
+                    {
+                        "round": rnd + 1,
+                        "sec": round(_time.perf_counter() - t0, 2),
+                        "edges": n_new,
+                        "changed": changed,
+                    }
+                )
+            old = edges
+            edges, prev_n = new, n_new
+            old.unpersist()
+            if changed == 0:
+                stars = edges.select(
+                    F.col("u").alias("node"), F.col("v").alias("comp")
+                )
+                return nodes.join(stars, "node", "left").select(
+                    "node", F.coalesce("comp", "node").alias("comp")
+                )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
     raise RuntimeError(
         f"dedup_components did not converge in {max_iter} rounds"
     )

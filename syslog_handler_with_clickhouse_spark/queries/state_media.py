@@ -597,8 +597,9 @@ def q333(spark, sf_dir):
 )
 def q334(spark, sf_dir):
     """Near-dup DEDUP CLUSTERS: connected components over the MinHash-
-    LSH candidate graph (`operators/dedup.py:dedup_components` — Pregel
-    min-label propagation, one edge-sized equi-join per round, 2-3
+    LSH candidate graph (`operators/dedup.py:dedup_components` —
+    alternating large-star/small-star contraction, Kiveris et al. 2014;
+    the per-round join input SHRINKS toward one star per component, 1-2
     rounds on near-clique dup clusters).  This is the step a real
     corpus-dedup pipeline runs after q39: candidate PAIRS are not
     transitive-closed, so cluster membership — and the keep-one-doc

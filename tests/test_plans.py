@@ -710,36 +710,43 @@ def test_round8_uniq_up_to_state_is_capped(spark):
     assert uniq_up_to(low, "v", ["g"], 10).collect()[0].uniq_up_to == 6
 
 
-def test_cc_round_exchanges_key_on_join_keys_only(spark):
-    """q334's per-round work (dedup_components via _cc_round) must
-    shuffle on the join key only — src for the edge join, dst/node for
-    the min-agg and label fold — never on comp labels (round-7 verdict
-    #3 follow-up: the iteration join is the 100 TB cost center)."""
+def test_star_round_exchanges_key_on_join_keys_only(spark):
+    """q334's per-round work (dedup_components via alternating large/
+    small-star, Kiveris et al. 2014) must shuffle on the star key (u)
+    for the min-agg + rewire join and on the edge (u, v) for the dedupe
+    — never on payloads (round-7 verdict #3 follow-up, re-pinned after
+    the round-12 contraction rewrite: the iteration join is the 100 TB
+    cost center)."""
     import re
 
     from syslog_handler_with_clickhouse_spark.operators.dedup import (
-        _cc_round,
+        _star_half_round,
     )
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         edges = spark.range(1000).select(
-            F.col("id").alias("src"), ((F.col("id") + 7) % 1000).alias("dst")
+            F.greatest(F.col("id"), (F.col("id") * 7 + 3) % 1000).alias("u"),
+            F.least(F.col("id"), (F.col("id") * 7 + 3) % 1000).alias("v"),
+        ).filter(F.col("u") != F.col("v"))
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        labels = spark.range(1000).select(
-            F.col("id").alias("node"), F.col("id").alias("comp")
-        )
-        plan = formatted_plan(_cc_round(edges, labels))
+        plans = [
+            formatted_plan(_star_half_round(sym, large=True)),
+            formatted_plan(_star_half_round(edges, large=False)),
+        ]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
-    assert exchanges, plan
-    for e in exchanges:
-        keys = {k.split("#")[0].strip() for k in e.split(",")[:-1]}
-        assert keys in ({"src"}, {"dst"}, {"node"}), (keys, exchanges)
-    # and the min-agg must combine map-side before the dst exchange
-    assert "partial_min" in plan, plan
+    for plan in plans:
+        exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        assert exchanges, plan
+        for e in exchanges:
+            keys = {k.split("#")[0].strip() for k in e.split(",")[:-1]}
+            assert keys in ({"u"}, {"u", "v"}), (keys, exchanges)
+        # and the min-agg must combine map-side before the u exchange
+        assert "partial_min" in plan, plan
 
 
 def test_pagerank_iteration_exchanges_on_join_keys(spark):
