@@ -32,7 +32,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark import StorageLevel  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
+
+# big-frame checkpoints store SERIALIZED: deserialized row objects for
+# 10M docs are what pressured the 8g default heap (round-12 rehearsal)
+_CK = dict(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
 
 from syslog_handler_with_clickhouse_spark.functions.text import (  # noqa: E402
     gopher_rules,
@@ -134,7 +139,7 @@ def run_funnel(spark, n: int) -> dict:
         ).filter(
             r["r_word_count"] & r["r_mean_word_len"] & r["r_stop_words"]
         )
-        q = q.localCheckpoint(eager=True)
+        q = q.localCheckpoint(**_CK)
         out["n_quality"] = q.count()
         return q
 
@@ -152,7 +157,7 @@ def run_funnel(spark, n: int) -> dict:
             )
             .drop("h")
         )
-        u = u.localCheckpoint(eager=True)
+        u = u.localCheckpoint(**_CK)
         out["n_unique"] = u.count()
         return u
 
@@ -161,7 +166,7 @@ def run_funnel(spark, n: int) -> dict:
     # 3. MinHash signatures + LSH banding (q39 kernel)
     def s_lsh():
         sig = minhash_signatures(u, "text", "doc_id")
-        pairs = minhash_lsh_pairs(sig=sig).localCheckpoint(eager=True)
+        pairs = minhash_lsh_pairs(sig=sig).localCheckpoint(**_CK)
         out["n_candidates"] = pairs.count()
         return pairs
 
@@ -171,7 +176,7 @@ def run_funnel(spark, n: int) -> dict:
     def s_cc():
         stats: list = []
         labels = dedup_components(pairs, stats=stats)
-        labels = labels.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(**_CK)
         row = labels.agg(
             F.count(F.lit(1)).alias("nodes"),
             F.countDistinct("comp").alias("comps"),

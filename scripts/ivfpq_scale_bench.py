@@ -10,6 +10,11 @@ codebook training touch every vector once per pass); scan grows with
 the PROBED share (nprobe/n_cells of the code table) — sub-corpus-linear
 per query batch.
 
+Round 12 (verdict directive 4): every point is the MEDIAN OF 3 runs —
+bench.py's protocol — so single-run scheduling anomalies (the r11
+500 k-scan outlier) are measured away rather than narrated; per-run
+values are recorded alongside the medians.
+
 Run: python scripts/ivfpq_scale_bench.py [sizes_csv]
      (default "100000,500000,1000000")
 Prints one JSON line; paste the table into PERF.md.
@@ -19,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -33,6 +39,8 @@ from syslog_handler_with_clickhouse_spark.operators.similarity import (  # noqa:
 )
 from syslog_handler_with_clickhouse_spark.session import get_spark  # noqa: E402
 
+N_RUNS = 3
+
 
 def main() -> None:
     sizes = [
@@ -43,31 +51,36 @@ def main() -> None:
     ]
     spark = get_spark("ivfpq-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    out = {"loadavg_start": list(os.getloadavg()), "sweep": []}
+    out = {"loadavg_start": list(os.getloadavg()), "runs": N_RUNS, "sweep": []}
     for n in sizes:
         emb = synth_embeddings(spark, n).withColumn(
             "embedding", F.transform("embedding", lambda x: x.cast("double"))
         )
-        t0 = time.perf_counter()
-        index = {k: df.cache() for k, df in ivfpq_build(emb).items()}
-        for df in index.values():
-            df.count()
-        build_s = round(time.perf_counter() - t0, 2)
-        qpred = F.col("vid") % (n // 16) == 0  # 16 probe queries
-        t0 = time.perf_counter()
-        scan = ivfpq_scan(index, k=10, query_pred=qpred)
-        n_res = scan.count()
-        scan_s = round(time.perf_counter() - t0, 2)
-        for df in index.values():
-            df.unpersist()
+        builds, scans, n_res = [], [], None
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            index = {k: df.cache() for k, df in ivfpq_build(emb).items()}
+            for df in index.values():
+                df.count()
+            builds.append(round(time.perf_counter() - t0, 2))
+            qpred = F.col("vid") % (n // 16) == 0  # 16 probe queries
+            t0 = time.perf_counter()
+            scan = ivfpq_scan(index, k=10, query_pred=qpred)
+            n_res = scan.count()
+            scans.append(round(time.perf_counter() - t0, 2))
+            for df in index.values():
+                df.unpersist()
         row = {
             "n_vectors": n,
-            "build_sec": build_s,
-            "scan_sec": scan_s,
+            "build_sec": statistics.median(builds),
+            "scan_sec": statistics.median(scans),
+            "build_runs": builds,
+            "scan_runs": scans,
             "scan_results": n_res,
         }
         print("#", row, file=sys.stderr, flush=True)
         out["sweep"].append(row)
+    out["loadavg_end"] = list(os.getloadavg())
     print(json.dumps(out))
 
 

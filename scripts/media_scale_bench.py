@@ -14,6 +14,10 @@ measured average payload size, and the 100 TB envelope that follows:
     wall_days(1000 execs × 32 cores) =
         assets_at_100TB / (per_core × 32 000) / 86 400
 
+Round 12 (verdict directive 4): the timed decode is the MEDIAN OF 3
+warm runs — bench.py's protocol — with per-run walls recorded, so a
+single scheduling hiccup cannot masquerade as a codec property.
+
 Run: python scripts/media_scale_bench.py [n_assets]
 Prints one JSON line; paste the table into PERF.md.
 """
@@ -22,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -126,11 +131,14 @@ def main() -> None:
         n = max(256, int(base_n * weight))
         assets, n_built, avg_b = build_assets(spark, codec, n)
         dec = decode_assets(assets)
-        # warm run (JVM + Arrow + codegen), then the timed run
+        # warm run (JVM + Arrow + codegen), then median of 3 timed runs
         dec.write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        dec.write.format("noop").mode("overwrite").save()
-        wall = time.perf_counter() - t0
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            dec.write.format("noop").mode("overwrite").save()
+            walls.append(time.perf_counter() - t0)
+        wall = statistics.median(walls)
         n_ok = dec.filter(F.col("kind") != "undecoded").count()
         assets.unpersist()
         per_s = n_built / wall
@@ -143,6 +151,7 @@ def main() -> None:
             "decoded_ok": n_ok,
             "avg_bytes": round(avg_b, 0),
             "wall_sec": round(wall, 2),
+            "wall_runs": [round(x, 2) for x in walls],
             "assets_per_sec_32c": round(per_s, 1),
             "assets_per_sec_core": round(per_core, 2),
             "days_100tb_1000x32": round(days, 1),

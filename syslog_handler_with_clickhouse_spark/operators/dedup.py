@@ -115,11 +115,14 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
 
 
 # Per-partition slice of the plan-ESTIMATED input bytes for the floor
-# below.  The estimate undercounts real in-flight state (string payloads
-# at default width, ~6× shingle fan-out, 64-long signature arrays), so
-# 2 MB of estimate ≈ tens of MB of task working set — inside a 250 MB
-# local[32] task share with headroom, trivial for a real executor.
-_FLOOR_TARGET_BYTES = 2 << 20
+# below.  The estimate undercounts real in-flight state 25-40× (string
+# payloads at default width, ~6× shingle fan-out, 16× band fan-out,
+# 64-long signature arrays + collect_list buffers — measured at the
+# 10 M-doc rehearsal, where a 180 MB estimate carried ~6 GB of shuffle),
+# so 256 KB of estimate ≈ 8-16 MB of task working set — spill-free in a
+# 250 MB local[32] task share, trivial for a real executor, and AQE
+# coalesces the real shuffles back down when partitions come out small.
+_FLOOR_TARGET_BYTES = 256 << 10
 _FLOOR_CAP = 8192
 # Catalyst reports spark.sql.defaultSizeInBytes (Long.Max-ish) when it
 # has no estimate; anything past 16 TB here is "unknown", not a floor.
@@ -574,12 +577,13 @@ def _star_half_round(edges: DataFrame, large: bool) -> DataFrame:
     return out.dropDuplicates(["u", "v"])
 
 
-# Per-shuffle-partition edge budget for the CC loop: ~64 B of in-flight
-# sort/join state per (long, long) edge → ~32 MB working set per task,
-# comfortably inside a 250 MB task share (local[32] @ 8g) and tiny next
-# to a real executor's.  The 50 M-doc rehearsal graph (227 M pairs) maps
-# to ~455 partitions; AQE coalesces the excess on small inputs.
-_CC_EDGES_PER_PARTITION = 500_000
+# Per-shuffle-partition edge budget for the CC loop: ~100 B of
+# in-flight sort/join state per (long, long) edge → ~15 MB working set
+# per task, spill-free inside a 250 MB task share (local[32] @ 8g) and
+# tiny next to a real executor's.  The 50 M-doc rehearsal graph (227 M
+# pairs) maps to ~1.5 k partitions — wave-scheduled on 32 cores, normal
+# width for a real cluster; AQE coalesces the excess on small inputs.
+_CC_EDGES_PER_PARTITION = 150_000
 
 
 def dedup_components(
@@ -617,35 +621,61 @@ def dedup_components(
     wall time, and edge-set contraction at scale."""
     import time as _time
 
+    from pyspark import StorageLevel
+
     spark = pairs.sparkSession
-    edges = (
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # NARROW canonical projection first (no shuffle): checkpoint it so
+    # a lazy candidate plan (q334 passes the raw LSH frame) computes
+    # once, and its count — not Catalyst stats, which go unknown
+    # through checkpointed aggregates — sizes the loop width.  Every
+    # checkpoint stores SERIALIZED (MEMORY_AND_DISK): deserialized row
+    # objects for 10⁸ edges are what blew the 8 GB default heap in the
+    # round-12 rehearsal.  The canonical DEDUPE then runs inside the
+    # widened scope — at 32 session partitions it was the rehearsal's
+    # residual 1.1 GB spill (1.1 M-row hash-agg tasks).
+    raw = (
         pairs.select(
             F.greatest("doc_a", "doc_b").alias("u"),
             F.least("doc_a", "doc_b").alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
-        .dropDuplicates(["u", "v"])
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
-    nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    n_raw = raw.count()
+    nodes_src = raw.select(F.col("u").alias("node")).unionByName(
+        raw.select(F.col("v").alias("node"))
     )
-    n_edges = edges.count()
-    if n_edges == 0:
-        return nodes.select("node", F.col("node").alias("comp"))
-    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if n_raw == 0:
+        return nodes_src.distinct().select(
+            "node", F.col("node").alias("comp")
+        )
     width = max(
         sess_parts,
         spark.sparkContext.defaultParallelism,
-        min(8192, -(-n_edges // _CC_EDGES_PER_PARTITION)),
+        min(8192, -(-n_raw // _CC_EDGES_PER_PARTITION)),
     )
-    prev_n = n_edges
+    # AQE coalesces conf-width shuffles back toward its 64 MB advisory
+    # (COMPRESSED bytes — 3-5× that in-memory), which re-creates the
+    # very spill the width prevents (measured: 6 GB mem-spill at 10 M
+    # docs with width=238 but default advisory).  Scope a smaller
+    # advisory with the width; both restored in the finally.
+    adv_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    sess_adv = spark.conf.get(adv_key)
     try:
         if width > sess_parts:
             spark.conf.set("spark.sql.shuffle.partitions", str(width))
+            spark.conf.set(adv_key, str(8 << 20))
+        # canonical dedupe + node-set distinct are edge-sized
+        # aggregates: both run INSIDE the widened scope
+        edges = raw.dropDuplicates(["u", "v"]).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+        prev_n = edges.count()
+        nodes = nodes_src.distinct().localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+        raw.unpersist()  # both consumers are checkpointed now
         for rnd in range(max_iter):
             t0 = _time.perf_counter()
             sym = edges.unionByName(
@@ -653,7 +683,9 @@ def dedup_components(
             )
             new = _star_half_round(
                 _star_half_round(sym, large=True), large=False
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
             n_new = new.count()
             # converged iff the canonical edge set is unchanged: equal
             # counts (free — the count doubles as the lineage action)
@@ -677,11 +709,23 @@ def dedup_components(
                 stars = edges.select(
                     F.col("u").alias("node"), F.col("v").alias("comp")
                 )
-                return nodes.join(stars, "node", "left").select(
-                    "node", F.coalesce("comp", "node").alias("comp")
+                # materialize INSIDE the widened scope: the node-sized
+                # label join is lazy, and deferring it to the caller's
+                # next action would run it at the restored small-SF
+                # width (the v6 rehearsal's residual spill)
+                return (
+                    nodes.join(stars, "node", "left")
+                    .select(
+                        "node", F.coalesce("comp", "node").alias("comp")
+                    )
+                    .localCheckpoint(
+                        eager=True,
+                        storageLevel=StorageLevel.MEMORY_AND_DISK,
+                    )
                 )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
+        spark.conf.set(adv_key, sess_adv)
     raise RuntimeError(
         f"dedup_components did not converge in {max_iter} rounds"
     )
@@ -708,14 +752,17 @@ def duplicated_ngram_coverage(
 
     The gram string never reaches an exchange (round-11, the q433
     hash-key discipline): each w-gram is reduced IN THE PROJECTION to a
-    128-bit composite key — two independent xxhash64 lanes, 16 bytes —
-    before the gram-keyed aggregate and the join back, so both shuffles
-    carry (g1, g2, doc_id, p) instead of ~w×5 bytes of token text.
-    128 bits (not 60) because a 100 TB corpus holds ~10^13 grams:
-    birthday collisions at 2^60 are near-certain there, at 2^128
-    negligible.  The hash never surfaces in the output, so the value
-    oracle (which groups the raw gram strings) checks the reduction
-    end to end.
+    124-bit composite key — two lanes from INDEPENDENT hash families
+    (xxhash64 + the md5-derived 60-bit lane of ``portable_hash60``;
+    round-12 per driver advice: two xxhash64 calls share a mixer and
+    are only heuristically decorrelated) — before the gram-keyed
+    aggregate and the join back, so both shuffles carry
+    (g1, g2, doc_id, p) instead of ~w×5 bytes of token text.  124
+    composite bits (not 60) because a 100 TB corpus holds ~10^13
+    grams: birthday collisions at 2^60 are near-certain there, at
+    2^124 ~10^-12.  The hash never surfaces in the output, so the
+    value oracle (which groups the raw gram strings) checks the
+    reduction end to end.
 
     Returns (doc_id, n_tok, dup_starts, dup_cov, dup_ppm), one row per
     document with ≥ w tokens; undupped docs report zeros.
@@ -744,7 +791,7 @@ def duplicated_ngram_coverage(
         "doc_id",
         (F.col("p0") + 1).cast("bigint").alias("p"),
         F.xxhash64("gram").alias("g1"),
-        F.xxhash64(F.lit(1), F.col("gram")).alias("g2"),
+        portable_hash60(F.col("gram")).alias("g2"),
     )
 
     dup_grams = (

@@ -301,6 +301,142 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
+# ---------------------------------------------------------------------
+# numpy-batched entropy decode (round-11 verdict directive 5)
+# ---------------------------------------------------------------------
+# The sequential baseline decoder's hot loop was a per-BIT Python walk
+# (_BitReader.read_bit + a dict probe per bit, ~15 Python ops per
+# Huffman symbol) — measured at ~29 assets/s/core on 64×64 baseline
+# JPEG, ~10³× off native codecs.  The stream stays inherently serial
+# across symbols (each symbol's boundary depends on the previous
+# decode), but per SYMBOL the work drops to O(1) array lookups:
+#
+#   * the entropy bytes are unstuffed/segmented ONCE with numpy
+#     (_entropy_segments), instead of a Python branch per byte;
+#   * a 2^16-entry canonical fast table (T.81 F.2.2.3's lookahead
+#     idea taken to the full 16-bit max code length) maps the next 16
+#     bits straight to (symbol, code length) — one index, no bit loop;
+#   * the 16-bit lookahead itself comes from a precomputed per-byte
+#     24-bit window (b24), so peeking at bit position p is two integer
+#     ops — no accumulator refills;
+#   * the IDCT + dequant + dezigzag then run BATCHED over every block
+#     of a component in one einsum-shaped matmul (idct2 broadcasts),
+#     instead of per-block 8×8 matmuls.
+#
+# The progressive/lossless decoders keep the original _BitReader: their
+# scans interleave refinement state per bit and are off the measured
+# hot path (the media bench weights them 8× lower).
+
+
+def _fast_table(bits, vals):
+    """Canonical-Huffman full-lookahead decode table: for every 16-bit
+    window value, the symbol it starts with and that code's length
+    (0 = invalid prefix).  Same code assignment as _build_huffman;
+    codes of one length are consecutive, so each (symbol, length) fills
+    one contiguous [code<<(16-L), +2^(16-L)) slab — pure np.repeat."""
+    syms = np.zeros(65536, dtype=np.uint8)
+    lens = np.zeros(65536, dtype=np.uint8)
+    code, k = 0, 0
+    for length in range(1, 17):
+        nb = bits[length - 1]
+        if nb:
+            span = 1 << (16 - length)
+            start = code << (16 - length)
+            if start + nb * span > 65536:
+                raise ValueError("corrupt JPEG Huffman table (Kraft > 1)")
+            syms[start : start + nb * span] = np.repeat(
+                np.asarray(vals[k : k + nb], dtype=np.uint8), span
+            )
+            lens[start : start + nb * span] = length
+            code += nb
+            k += nb
+        code <<= 1
+    return syms, lens
+
+
+class _FastBitReader:
+    """Bit reader over ONE unstuffed restart segment: bit position p
+    peeks its next 16 bits out of a per-byte 24-bit window in two
+    integer ops; Huffman decode is a single _fast_table index."""
+
+    __slots__ = ("b24", "nbits", "p")
+
+    def __init__(self, data):
+        d = np.concatenate(
+            [data.astype(np.int64), np.zeros(2, dtype=np.int64)]
+        )
+        self.b24 = (d[:-2] << 16) | (d[1:-1] << 8) | d[2:]
+        self.nbits = int(data.size) * 8
+        self.p = 0
+
+    def peek16(self) -> int:
+        p = self.p
+        return (int(self.b24[p >> 3]) >> (8 - (p & 7))) & 0xFFFF
+
+    def decode(self, table) -> int:
+        v = self.peek16()
+        ln = int(table[1][v])
+        if ln == 0 or self.p + ln > self.nbits:
+            raise ValueError(
+                "invalid JPEG Huffman code"
+                if ln == 0
+                else "JPEG entropy stream truncated"
+            )
+        self.p += ln
+        return int(table[0][v])
+
+    def receive(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        if self.p + nbits > self.nbits:
+            raise ValueError("JPEG entropy stream truncated")
+        v = self.peek16() >> (16 - nbits)
+        self.p += nbits
+        return v
+
+
+def _entropy_segments(b: bytes, pos: int):
+    """Split the entropy-coded data at ``pos`` into per-restart-interval
+    unstuffed byte arrays, one numpy pass over the 0xFF positions:
+    0xFF00 stuffing is dropped, RSTn markers end a segment (their
+    modulo-8 sequence is validated, E.1.4), any other marker terminates
+    the scan.  Returns (segments, end_of_entropy_pos)."""
+    data = np.frombuffer(b, dtype=np.uint8)
+    segs = []
+    start = pos
+    cur_del: list[int] = []
+    rst = 0
+    end = None
+    skip_to = pos
+    for rel in np.nonzero(data[pos:] == 0xFF)[0]:
+        i = pos + int(rel)
+        if i < skip_to:
+            continue
+        if i + 1 >= len(b):
+            raise ValueError("JPEG entropy stream truncated at 0xFF")
+        nxt = data[i + 1]
+        if nxt == 0x00:  # stuffed data byte
+            cur_del.append(i + 1 - start)
+            skip_to = i + 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart boundary
+            if nxt - 0xD0 != rst & 7:
+                raise ValueError(
+                    f"bad restart marker at {i}: {b[i:i + 2].hex()}"
+                )
+            rst += 1
+            segs.append(np.delete(data[start:i], cur_del))
+            cur_del = []
+            start = i + 2
+            skip_to = i + 2
+        else:  # a real marker: end of entropy data
+            end = i
+            break
+    if end is None:
+        raise ValueError("JPEG entropy stream truncated (no marker)")
+    segs.append(np.delete(data[start:end], cur_del))
+    return segs, end
+
+
 def _decode_huff(r: _BitReader, dec: dict) -> int:
     code, length = 0, 0
     while length < 16:
@@ -533,6 +669,7 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     huff_dec: dict[tuple[int, int], dict] = {}  # (class, id) -> decode map
+    huff_fast: dict[tuple[int, int], tuple] = {}  # 16-bit lookahead tables
     frame = None  # (height, width, comps)
     restart_interval = 0
     scan = None
@@ -593,6 +730,7 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(seg[sp + 17 : sp + 17 + nv])
                 _, dec = _build_huffman(bits, vals)
                 huff_dec[(tc, th)] = dec
+                huff_fast[(tc, th)] = _fast_table(bits, vals)
                 sp += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2/3
             progressive = marker == 0xC2
@@ -645,8 +783,8 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
         c = by_id.get(cs)
         if c is None:
             raise ValueError(f"scan references unknown component {cs}")
-        dc = huff_dec.get((0, td))
-        ac = huff_dec.get((1, ta))
+        dc = huff_fast.get((0, td))
+        ac = huff_fast.get((1, ta))
         qt = qtabs.get(c["tq"])
         if dc is None or ac is None or qt is None:
             raise ValueError("scan references missing Huffman/quant table")
@@ -656,50 +794,67 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in comps
-    ]
+    total_mcus = mcus_x * mcus_y
 
-    r = _BitReader(b, pos)
+    # PASS 1 — serial entropy decode, O(1) array work per symbol (see
+    # the _FastBitReader block comment): zigzag coefficient rows are
+    # collected per component, blocks in (my, mx, by, bx) fill order.
+    segs, _ = _entropy_segments(b, pos)
+    coefs = [
+        np.zeros((total_mcus * c["v"] * c["h"], 64)) for c in comps
+    ]
+    idx = [0] * len(comps)
     dc_pred = [0] * len(comps)
-    rst_count = 0
-    for m in range(mcus_x * mcus_y):
+    r = _FastBitReader(segs[0])
+    for m in range(total_mcus):
         if restart_interval and m and m % restart_interval == 0:
-            r.sync_restart(rst_count)
-            rst_count += 1
+            si = m // restart_interval
+            if si >= len(segs):
+                raise ValueError("missing restart marker")
+            r = _FastBitReader(segs[si])
             dc_pred = [0] * len(comps)
-        my, mx = divmod(m, mcus_x)
         for ci, (c, dc, ac, qt) in enumerate(order):
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    zz = np.zeros(64, dtype=np.int64)
-                    s = _decode_huff(r, dc)
-                    diff = _extend(r.receive(s), s) if s else 0
-                    dc_pred[ci] += diff
-                    zz[0] = dc_pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _decode_huff(r, ac)
-                        run, size = rs >> 4, rs & 15
-                        if size == 0:
-                            if run == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += run
-                        if k > 63:
-                            raise ValueError("AC coefficient overrun")
-                        zz[k] = _extend(r.receive(size), size)
-                        k += 1
-                    nat = np.zeros(64)
-                    for zi, ni in enumerate(ZIGZAG):
-                        nat[ni] = zz[zi]
-                    block = idct2(nat.reshape(8, 8) * qt) + float(
-                        1 << (precision - 1)
-                    )
-                    r0 = (my * c["v"] + by) * 8
-                    c0 = (mx * c["h"] + bx) * 8
-                    planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
+            for _ in range(c["v"] * c["h"]):
+                row = coefs[ci][idx[ci]]
+                idx[ci] += 1
+                s = r.decode(dc)
+                diff = _extend(r.receive(s), s) if s else 0
+                dc_pred[ci] += diff
+                row[0] = dc_pred[ci]
+                k = 1
+                while k < 64:
+                    rs = r.decode(ac)
+                    run, size = rs >> 4, rs & 15
+                    if size == 0:
+                        if run == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC coefficient overrun")
+                    row[k] = _extend(r.receive(size), size)
+                    k += 1
+    if len(segs) > (
+        (total_mcus - 1) // restart_interval + 1 if restart_interval else 1
+    ):
+        raise ValueError("unexpected restart marker in entropy data")
+
+    # PASS 2 — batched dezigzag + dequant + IDCT per component (idct2's
+    # matmuls broadcast over the block axis), then one transpose/reshape
+    # from MCU fill order to the plane grid.
+    zz_np = np.asarray(ZIGZAG)
+    level = float(1 << (precision - 1))
+    planes = []
+    for ci, (c, dc, ac, qt) in enumerate(order):
+        nat = np.zeros_like(coefs[ci])
+        nat[:, zz_np] = coefs[ci]
+        blocks = idct2(nat.reshape(-1, 8, 8) * qt) + level
+        planes.append(
+            blocks.reshape(mcus_y, mcus_x, c["v"], c["h"], 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)
+        )
 
     # upsample to full grid, crop to (h, w)
     full = []

@@ -1766,11 +1766,34 @@ def q448(spark, sf_dir):
                       THEN 1 ELSE 0 END) AS n_quick,
              SUM(CASE WHEN m1 THEN 1 ELSE 0 END) AS n_clicks
       FROM nx GROUP BY user_id
+    ), f3 AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             (event_type = 'signup') AS c1,
+             (event_type = 'click') AS c2,
+             (event_type = 'purchase') AS c3
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IN ('signup', 'click', 'purchase')
+    ), n3 AS (
+      SELECT user_id, c1,
+             lead(c2) OVER (PARTITION BY user_id
+                            ORDER BY tsec, c1, c2, c3) AS nc2,
+             lead(c3, 2) OVER (PARTITION BY user_id
+                               ORDER BY tsec, c1, c2, c3) AS nnc3
+      FROM f3
+    ), per_user3 AS (
+      SELECT user_id,
+             SUM(CASE WHEN c1 AND nc2 AND nnc3 THEN 1 ELSE 0 END)
+               AS n_path
+      FROM n3 GROUP BY user_id
     )
     SELECT b.user_id,
            CAST(COALESCE(p.n_quick, 0) AS BIGINT) AS n_quick,
-           CAST(COALESCE(p.n_clicks, 0) AS BIGINT) AS n_clicks
-    FROM base b LEFT JOIN per_user p USING (user_id)
+           CAST(COALESCE(p.n_clicks, 0) AS BIGINT) AS n_clicks,
+           CAST(COALESCE(p3.n_path, 0) AS BIGINT) AS n_path
+    FROM base b
+    LEFT JOIN per_user p USING (user_id)
+    LEFT JOIN per_user3 p3 USING (user_id)
     ORDER BY b.user_id
     """,
 )
@@ -1780,15 +1803,20 @@ def q450(spark, sf_dir):
     restart-after-completion — CH's documented contract.  The
     2-step adjacency(+time bound) form becomes one linear aggregate()
     fold over the sorted condition-filtered stream; the single-step
-    form a filtered size().  The conditions here are DISJOINT
-    (click vs purchase), which makes the oracle exact with a plain
-    lead()-window pair count: counted pairs can never share an event
-    (that would need both conditions true at once), so non-overlap is
-    structural and SUM(pair-predicate) equals the restart count.  The
-    overlapping-condition semantics ('(?1)(?1)', interleaved '.*'
-    chains) are pinned on hand-built frames in tests/test_advice_r11.
-    Scale shape: one user_id shuffle into a hash aggregate, per-group
-    state is the user's own event list."""
+    form a filtered size(); the >= 3-step adjacency form (round 12)
+    becomes the bitset-NFA fold of `_seq_count_sql` — an integer mask
+    of alive prefix lengths, the restart state a single-slot fold
+    loses.  The conditions here are pairwise DISJOINT (distinct event
+    types), which makes the oracle exact with plain lead()-window
+    pair/triple counts: counted chains can never share an event (it
+    would need two disjoint conditions true at once), so non-overlap
+    is structural and SUM(chain-predicate) equals the restart count.
+    The overlapping-condition semantics ('(?1)(?1)', '(?1)(?1)(?2)',
+    interleaved '.*' chains) are pinned on hand-built frames in
+    tests/test_advice_r11 and fuzzed in
+    tests/test_sequence_dialect_property.py.  Scale shape: one user_id
+    shuffle into a hash aggregate, per-group state is the user's own
+    event list."""
     from ..functions.ch_dialect import translate_ch_sql
 
     _t(spark, sf_dir, "events").createOrReplaceTempView("events_q450")
@@ -1796,7 +1824,9 @@ def q450(spark, sf_dir):
         "SELECT user_id, "
         "sequenceCount('(?1)(?t<=86400)(?2)')(ts, "
         "event_type = 'click', event_type = 'purchase') AS n_quick, "
-        "sequenceCount('(?1)')(ts, event_type = 'click') AS n_clicks "
+        "sequenceCount('(?1)')(ts, event_type = 'click') AS n_clicks, "
+        "sequenceCount('(?1)(?2)(?3)')(ts, event_type = 'signup', "
+        "event_type = 'click', event_type = 'purchase') AS n_path "
         "FROM events_q450 WHERE user_id IS NOT NULL GROUP BY user_id"
     )
     df = spark.sql(translate_ch_sql(ch))
@@ -1804,6 +1834,7 @@ def q450(spark, sf_dir):
         F.col("user_id").cast("bigint").alias("user_id"),
         F.col("n_quick").cast("bigint").alias("n_quick"),
         F.col("n_clicks").cast("bigint").alias("n_clicks"),
+        F.col("n_path").cast("bigint").alias("n_path"),
     ).orderBy("user_id")
 
 

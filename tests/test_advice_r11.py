@@ -264,11 +264,67 @@ def test_sequence_count_single_step_and_refusals(spark):
         )
     ).collect()
     assert got[0].c == 2
-    for pat in ["(?1)(?2)(?1)", "(?1)(?2).*(?1)"]:
-        with pytest.raises(ChTranslationError, match="q207"):
+    # round 12: pure adjacency chains of any length <= 8 translate via
+    # the bitset NFA — only mixed .*/adjacency still refuses
+    with pytest.raises(ChTranslationError, match="q207"):
+        translate_ch_sql(
+            "SELECT sequenceCount('(?1)(?2).*(?1)')(ts, a, b) FROM t"
+        )
+
+
+def test_sequence_count_3step_adjacency_restart_state(spark):
+    """The case a naive single-slot fold gets wrong (why round 11
+    refused >= 3-step adjacency): pattern (?1)(?1)(?2) over events
+    a a a b — the first a,a prefix FAILS at the third a, but that third
+    a is itself the second element of the real match (a@2, a@3, b@4).
+    A fold that discards all progress on failure counts 0; the bitset
+    NFA keeps the overlapping prefix alive and counts 1."""
+    df = spark.createDataFrame(
+        [(1, "a", 1), (1, "a", 2), (1, "a", 3), (1, "b", 4),
+         # group 2: two non-overlapping matches back to back
+         (2, "a", 1), (2, "a", 2), (2, "b", 3),
+         (2, "a", 4), (2, "a", 5), (2, "b", 6),
+         # group 3: completion consumes its events (restart-after-match):
+         # a a b  a b -> one match (a@1,a@2,b@3); a@4,b@5 is only 2 steps
+         (3, "a", 1), (3, "a", 2), (3, "b", 3), (3, "a", 4), (3, "b", 5)],
+        "u int, e string, tsec long",
+    )
+    df.createOrReplaceTempView("sc_nfa_t")
+    got = {
+        r.u: r.c
+        for r in spark.sql(
             translate_ch_sql(
-                f"SELECT sequenceCount('{pat}')(ts, a, b) FROM t"
+                "SELECT u, sequenceCount('(?1)(?1)(?2)')(tsec, e = 'a', "
+                "e = 'b') AS c FROM sc_nfa_t GROUP BY u"
             )
+        ).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 1}
+
+
+def test_sequence_count_3step_time_bounds(spark):
+    """Per-gap bounds on a 3-step adjacency chain: each bound checks
+    the gap to the SHARED previous event (all alive prefixes end at the
+    same position under adjacency)."""
+    df = spark.createDataFrame(
+        # (a,b,c) at gaps (2, 10): passes t<=5 on gap1, fails on gap2
+        [(1, "a", 0), (1, "b", 2), (1, "c", 12),
+         # gaps (2, 3): both pass
+         (2, "a", 0), (2, "b", 2), (2, "c", 5)],
+        "u int, e string, tsec long",
+    )
+    df.createOrReplaceTempView("sc_nfa_b_t")
+    got = {
+        r.u: r.c
+        for r in spark.sql(
+            translate_ch_sql(
+                "SELECT u, sequenceCount('(?1)(?t<=5)(?2)(?t<=5)(?3)')"
+                "(tsec, e = 'a', e = 'b', e = 'c') AS c "
+                "FROM sc_nfa_b_t GROUP BY u"
+            )
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1}
 
 
 # ------------------------------------------------- windowFunnel (r11)
@@ -351,7 +407,10 @@ def test_uniq_up_to_translates_exact_contract(spark):
     ).collect()
     # group 1 has 5 distinct > 3 -> N+1 = 4; group 2 exact 1
     assert {r.g: r.u for r in got} == {1: 4, 2: 1}
-    out = translate_ch_sql("SELECT uniqUpTo(x) FROM t")  # bare -> N=5
-    assert "least(count(DISTINCT x), CAST(6 AS BIGINT))" in out
+    # round 12 (driver advice): the bare form REFUSES — CH's implicit
+    # default N is not verifiable from the reference, and a wrong guess
+    # silently changes values for counts near it
+    with pytest.raises(ChTranslationError, match="explicit N"):
+        translate_ch_sql("SELECT uniqUpTo(x) FROM t")
     with pytest.raises(ChTranslationError, match="literal integer"):
         translate_ch_sql("SELECT uniqUpTo(n)(x) FROM t")

@@ -282,7 +282,55 @@ def _pair_sequence_count(rng):
     return ch, duck, None
 
 
-_PAIRS.extend([_pair_sequence_count])
+def _pair_sequence_count_3step(rng):
+    # round-12: >= 3-step adjacency sequenceCount (bitset-NFA fold) —
+    # THREE pairwise-disjoint conditions make the lead()/lead(,2)
+    # triple count exact: two valid triples can never share an event
+    # (it would have to satisfy two disjoint conditions), so non-overlap
+    # is structural and count-all equals the greedy restart count.
+    a, b, c = rng.choice(
+        [("signup", "click", "purchase"), ("view", "click", "error"),
+         ("signup", "view", "purchase")]
+    )
+    b1 = rng.choice([None, 3600, 86400])
+    b2 = rng.choice([None, 3600, 86400])
+    gap1 = f"(?t<={b1})" if b1 else ""
+    gap2 = f"(?t<={b2})" if b2 else ""
+    ch = (
+        f"SELECT sum(n) AS total FROM ("
+        f"SELECT user_id, sequenceCount('(?1){gap1}(?2){gap2}(?3)')(ts, "
+        f"event_type = '{a}', event_type = '{b}', event_type = '{c}') "
+        f"AS n FROM events_fz WHERE user_id IS NOT NULL GROUP BY user_id)"
+    )
+    cond1 = f" AND ntsec - tsec <= {b1}" if b1 else ""
+    cond2 = f" AND nntsec - ntsec <= {b2}" if b2 else ""
+    duck = f"""
+    WITH fe AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             (event_type = '{a}') AS m1, (event_type = '{b}') AS m2,
+             (event_type = '{c}') AS m3
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IN ('{a}', '{b}', '{c}')
+    ), nx AS (
+      SELECT user_id, tsec, m1,
+             lead(m2) OVER (PARTITION BY user_id
+                            ORDER BY tsec, m1, m2, m3) AS nm2,
+             lead(tsec) OVER (PARTITION BY user_id
+                              ORDER BY tsec, m1, m2, m3) AS ntsec,
+             lead(m3, 2) OVER (PARTITION BY user_id
+                               ORDER BY tsec, m1, m2, m3) AS nnm3,
+             lead(tsec, 2) OVER (PARTITION BY user_id
+                                 ORDER BY tsec, m1, m2, m3) AS nntsec
+      FROM fe)
+    SELECT CAST(COALESCE(SUM(CASE WHEN m1 AND nm2 AND nnm3{cond1}{cond2}
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS total
+    FROM nx
+    """
+    return ch, duck, None
+
+
+_PAIRS.extend([_pair_sequence_count, _pair_sequence_count_3step])
 
 
 def _pair_window_funnel(rng):

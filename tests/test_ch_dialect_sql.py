@@ -1296,9 +1296,11 @@ def test_operator_aggregate_guards_point_at_implementations():
         # still point at the operator queries
         ("SELECT sequenceMatch('(?1)(?t<5).*(?2)')(ts, a, b) FROM t",
          "sequence"),
-        # round 11: 2-step adjacency sequenceCount translates; only the
-        # KMP-needing >=3-step adjacency chains refuse
-        ("SELECT sequenceCount('(?1)(?2)(?1)')(ts, a, b) FROM t", "q207"),
+        # round 12: adjacency sequenceCount of any length <= 8
+        # translates (bitset NFA); only mixed .*/adjacency and >8-step
+        # patterns still refuse
+        ("SELECT sequenceCount('(?1)(?2).*(?1)')(ts, a, b) FROM t",
+         "q207"),
         # round 11: uniqUpTo translates (exact value contract) — only
         # the non-literal parameter shape refuses
         ("SELECT uniqUpTo(n)(x) FROM t", "literal integer"),

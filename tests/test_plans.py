@@ -1154,10 +1154,10 @@ def test_c4_line_filter_exchanges_carry_no_text(spark):
 
 
 def test_dup_ngram_coverage_exchanges_carry_no_gram(spark):
-    """q395 (round-11 directive 7): w-grams reduce to a 128-bit
-    xxhash64 pair IN THE PROJECTION; the gram-keyed aggregate and the
-    join back shuffle 16-byte (g1, g2) bigint keys, never the ~40-byte
-    gram string."""
+    """q395 (round-11 directive 7): w-grams reduce to a 124-bit
+    two-family hash pair (xxhash64 + md5-derived, round-12 advice) IN
+    THE PROJECTION; the gram-keyed aggregate and the join back shuffle
+    16-byte (g1, g2) bigint keys, never the ~40-byte gram string."""
     import re
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

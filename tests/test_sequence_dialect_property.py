@@ -84,22 +84,38 @@ def _sim_count(events, conds, steps, seps):
     kinds = {k for k, _ in seps}
     if len(steps) == 1:
         return sum(1 for _, m in ev if m[steps[0] - 1])
-    if kinds == {"adj"}:  # 2-step linear scan, consume on match
-        bound = seps[0][1]
-        armed, lt, cnt = False, None, 0
-        for t, m in ev:
-            hit = armed and m[steps[1] - 1]
-            if hit and bound is not None:
-                op, n = bound
-                d = t - lt
-                hit = {
-                    "<=": d <= n, "<": d < n, ">=": d >= n, ">": d > n,
-                    "=": d == n,
-                }[op]
-            if hit:
-                armed, lt, cnt = False, t, cnt + 1
-            else:
-                armed, lt = m[steps[0] - 1], t
+    if kinds == {"adj"}:
+        # naive documented contract, written independently of the SQL's
+        # bitset-NFA: find the leftmost window of k consecutive filtered
+        # events matching the steps (+ per-gap bounds), count it, resume
+        # the scan AFTER the matched chain.
+        k = len(steps)
+
+        def window_ok(s):
+            ok = ev[s][1][steps[0] - 1]
+            for j in range(1, k):
+                if not ok:
+                    return False
+                ok = ev[s + j][1][steps[j] - 1]
+                bound = seps[j - 1][1]
+                if ok and bound is not None:
+                    op, n = bound
+                    d = ev[s + j][0] - ev[s + j - 1][0]
+                    ok = {
+                        "<=": d <= n, "<": d < n, ">=": d >= n,
+                        ">": d > n, "=": d == n,
+                    }[op]
+            return ok
+
+        cnt, pos = 0, 0
+        while pos <= len(ev) - k:
+            hit = next(
+                (s for s in range(pos, len(ev) - k + 1) if window_ok(s)),
+                None,
+            )
+            if hit is None:
+                break
+            cnt, pos = cnt + 1, hit + k
         return cnt
     step, lt, cnt = 0, None, 0  # .*-chain greedy restart
     for t, m in ev:
@@ -128,14 +144,22 @@ def _sim_funnel(events, conds, steps, window):
 
 def _rand_pattern(rng):
     """A random SUPPORTED sequenceMatch/Count pattern."""
-    if rng.random() < 0.2:
+    r = rng.random()
+    if r < 0.2:
         return [rng.randint(1, N_CONDS)], []
-    if rng.random() < 0.5:  # 2-step adjacency, maybe bounded
-        steps = [rng.randint(1, N_CONDS) for _ in range(2)]
-        if rng.random() < 0.6:
-            op = rng.choice(["<=", "<", ">=", ">"])
-            return steps, [("adj", (op, rng.randint(1, 6)))]
-        return steps, [("adj", None)]
+    if r < 0.65:  # adjacency chain (2-5 steps), per-gap maybe bounded —
+        # k >= 3 exercises the round-12 bitset-NFA sequenceCount path,
+        # where self-overlapping prefixes make the naive fold wrong
+        k = rng.randint(2, 5)
+        steps = [rng.randint(1, N_CONDS) for _ in range(k)]
+        seps = []
+        for _ in range(k - 1):
+            if rng.random() < 0.4:
+                op = rng.choice(["<=", "<", ">=", ">"])
+                seps.append(("adj", (op, rng.randint(1, 6))))
+            else:
+                seps.append(("adj", None))
+        return steps, seps
     k = rng.randint(2, 4)  # .*-chain
     steps = [rng.randint(1, N_CONDS) for _ in range(k)]
     return steps, [("any", None)] * (k - 1)
