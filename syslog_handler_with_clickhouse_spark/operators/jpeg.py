@@ -323,9 +323,11 @@ def _extend(v: int, s: int) -> int:
 #     of a component in one einsum-shaped matmul (idct2 broadcasts),
 #     instead of per-block 8×8 matmuls.
 #
-# The progressive/lossless decoders keep the original _BitReader: their
-# scans interleave refinement state per bit and are off the measured
-# hot path (the media bench weights them 8× lower).
+# The progressive decoder rides the same machinery through
+# _FastScanReader (a _BitReader-compatible facade, so its multi-scan /
+# EOB-run / refinement logic stays verbatim); the lossless decoder
+# keeps the original _BitReader — it is not on any bench path and its
+# per-sample predictor loop, not entropy I/O, dominates.
 
 
 def _fast_table(bits, vals):
@@ -435,6 +437,38 @@ def _entropy_segments(b: bytes, pos: int):
         raise ValueError("JPEG entropy stream truncated (no marker)")
     segs.append(np.delete(data[start:end], cur_del))
     return segs, end
+
+
+class _FastScanReader:
+    """_BitReader-compatible facade over _entropy_segments + per-segment
+    _FastBitReaders — lets the progressive/multi-scan walker keep its
+    scan logic verbatim while its Huffman decodes become fast-table
+    lookups.  ``pos`` reports the terminating marker's offset (the only
+    position the scan walker reads, to resume the marker walk)."""
+
+    __slots__ = ("_segs", "_si", "_r", "pos")
+
+    def __init__(self, b: bytes, pos: int):
+        self._segs, self.pos = _entropy_segments(b, pos)
+        self._si = 0
+        self._r = _FastBitReader(self._segs[0])
+
+    def decode(self, ftab) -> int:
+        return self._r.decode(ftab)
+
+    def receive(self, nbits: int) -> int:
+        return self._r.receive(nbits)
+
+    def read_bit(self) -> int:
+        return self._r.receive(1)
+
+    def sync_restart(self, expect: int):
+        # marker ids were already sequence-validated during
+        # segmentation; here a missing segment = a missing marker
+        self._si += 1
+        if self._si >= len(self._segs):
+            raise ValueError("missing restart marker")
+        self._r = _FastBitReader(self._segs[self._si])
 
 
 def _decode_huff(r: _BitReader, dec: dict) -> int:
@@ -690,7 +724,7 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
             # SOF2: hand the whole remaining walk (scans + interleaved
             # DHT redefinitions) to the multi-scan decoder
             return _decode_jpeg_progressive(
-                b, pos - 2, qtabs, huff_dec, frame, restart_interval
+                b, pos - 2, qtabs, huff_fast, frame, restart_interval
             )
         if marker == 0xDA and lossless:
             # SOF3: hand the scan to the predictive decoder
@@ -1303,7 +1337,7 @@ def _skip_to_marker(b: bytes, pos: int) -> int:
     raise ValueError("JPEG stream ended without a terminating marker")
 
 
-def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame, restart_interval=0):
+def _decode_jpeg_progressive(b, pos, qtabs, huff_fast, frame, restart_interval=0):
     """Multi-scan decode loop for SOF2 — both progressive axes, any
     sampling factors, and restart intervals.  ``pos`` points at the
     first SOS marker; ``frame`` is (h, w, comps).  Handles DC/AC first
@@ -1362,7 +1396,7 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame, restart_interval=0)
                     yield by * cbx + bx, cs, by, bx
 
     def run_scan(scan, ss, se, ah, al, pos):
-        r = _BitReader(b, pos)
+        r = _FastScanReader(b, pos)
         ri = restart_interval
         rst = [0]
 
@@ -1381,7 +1415,7 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame, restart_interval=0)
             preds = {cs: 0 for cs, _, _ in scan}
             tabs = {}
             for cs, td, _ta in scan:
-                tab = huff_dec.get((0, td))
+                tab = huff_fast.get((0, td))
                 if tab is None:
                     raise ValueError("missing DC Huffman table")
                 tabs[cs] = tab
@@ -1391,7 +1425,7 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame, restart_interval=0)
                     prev_unit = unit
                     if at_restart(unit):
                         preds = {c_: 0 for c_ in preds}
-                s = _decode_huff(r, tabs[cs])
+                s = r.decode(tabs[cs])
                 diff = _extend(r.receive(s), s) if s else 0
                 preds[cs] += diff
                 coefs[cs][by, bx, 0] = preds[cs] << al
@@ -1408,7 +1442,7 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame, restart_interval=0)
             if len(scan) != 1:
                 raise ValueError("progressive AC scan must be 1 component")
             cs, _td, ta = scan[0]
-            tab = huff_dec.get((1, ta))
+            tab = huff_fast.get((1, ta))
             if tab is None:
                 raise ValueError("missing AC Huffman table")
             cz = coefs[cs]
@@ -1423,7 +1457,7 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame, restart_interval=0)
                         continue
                     k = ss
                     while k <= se:
-                        rs = _decode_huff(r, tab)
+                        rs = r.decode(tab)
                         rr, s = rs >> 4, rs & 15
                         if s == 0:
                             if rr == 15:
@@ -1442,7 +1476,7 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame, restart_interval=0)
             if len(scan) != 1:
                 raise ValueError("progressive AC scan must be 1 component")
             cs, _td, ta = scan[0]
-            tab = huff_dec.get((1, ta))
+            tab = huff_fast.get((1, ta))
             if tab is None:
                 raise ValueError("missing AC Huffman table")
             cz = coefs[cs]
@@ -1464,7 +1498,7 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame, restart_interval=0)
                     k = ss
                     if eobrun == 0:
                         while k <= se:
-                            rs = _decode_huff(r, tab)
+                            rs = r.decode(tab)
                             rr, s = rs >> 4, rs & 15
                             val = 0
                             if s == 0:
@@ -1525,8 +1559,7 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame, restart_interval=0)
                 bits = list(seg[sp + 1 : sp + 17])
                 nv = sum(bits)
                 vals = list(seg[sp + 17 : sp + 17 + nv])
-                _, dec = _build_huffman(bits, vals)
-                huff_dec[(tc, th)] = dec
+                huff_fast[(tc, th)] = _fast_table(bits, vals)
                 sp += 17 + nv
         elif marker == 0xDA:  # SOS
             ns = seg[0]
@@ -1557,16 +1590,18 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_dec, frame, restart_interval=0)
         pbx, pby, _, _ = grids[c["id"]]
         cw = -(-(w * c["h"]) // hmax)
         ch2 = -(-(h * c["v"]) // vmax)
-        plane = np.zeros((pby * 8, pbx * 8))
-        nat = np.zeros(64)
-        for by in range(pby):
-            for bx in range(pbx):
-                nat[:] = 0.0
-                zz = cz[by, bx]
-                for zi, ni in enumerate(ZIGZAG):
-                    nat[ni] = zz[zi]
-                block = idct2((nat * qtf[np.arange(64)]).reshape(8, 8)) + 128.0
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        # batched dezigzag + dequant + IDCT (round-12, same shape as the
+        # baseline decoder's PASS 2): idct2's matmuls broadcast over the
+        # stacked block axis
+        zz = cz.reshape(pby * pbx, 64).astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[:, np.asarray(ZIGZAG)] = zz
+        blocks = idct2((nat * qtf).reshape(-1, 8, 8)) + 128.0
+        plane = (
+            blocks.reshape(pby, pbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(pby * 8, pbx * 8)
+        )
         plane = plane[:ch2, :cw]
         fy, fx = vmax // c["v"], hmax // c["h"]
         if fy > 1 or fx > 1:
