@@ -481,3 +481,106 @@ def test_lossless_category16_edge():
     samples = [0, 32768]
     blob = encode_jpeg_lossless(samples, 2, 1, precision=16, predictor=1)
     assert list(decode_jpeg_pixels(blob)[3]) == [0 >> 8, 32768 >> 8]
+
+
+# ---------------------------------------------------------------- round 12:
+# the numpy-batched entropy path's own seams (verdict directive 5)
+
+
+def test_fast_table_matches_dict_decoder_on_annex_k():
+    """The 2^16 lookahead table and the canonical dict assignment must
+    agree symbol-for-symbol: for every (code, length) in the dict, the
+    table row at code << (16-length) reports exactly that symbol and
+    length (and the whole slab it owns)."""
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        AC_LUM,
+        _build_huffman,
+        _fast_table,
+    )
+
+    enc, dec = _build_huffman(*AC_LUM)
+    syms, lens = _fast_table(*AC_LUM)
+    for (length, code), sym in dec.items():
+        lo = code << (16 - length)
+        hi = lo + (1 << (16 - length))
+        assert (syms[lo:hi] == sym).all(), (length, code, sym)
+        assert (lens[lo:hi] == length).all()
+    # invalid prefixes decode to length 0 (the reader's error path)
+    assert (lens == 0).sum() == 65536 - sum(
+        1 << (16 - ln) for (ln, _c) in dec
+    )
+
+
+def test_fast_table_rejects_overfull_kraft():
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        _fast_table,
+    )
+
+    # three 1-bit codes: Kraft sum 1.5 — an illegal DHT payload
+    with pytest.raises(ValueError, match="Kraft"):
+        _fast_table([3] + [0] * 15, [1, 2, 3])
+
+
+def test_entropy_segments_unstuffs_and_validates_sequence():
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        _entropy_segments,
+    )
+
+    # data | stuffed FF00 | RST0 | data | RST1 | data | EOI
+    raw = (
+        b"\x01\xff\x00\x02" + b"\xff\xd0" + b"\x03" + b"\xff\xd1"
+        + b"\x04\x05" + b"\xff\xd9"
+    )
+    segs, end = _entropy_segments(raw, 0)
+    assert [bytes(s.tobytes()) for s in segs] == [
+        b"\x01\xff\x02",
+        b"\x03",
+        b"\x04\x05",
+    ]
+    assert raw[end : end + 2] == b"\xff\xd9"
+    # out-of-order restart ids must be flagged (E.1.4 modulo-8 count)
+    bad = b"\x01" + b"\xff\xd4" + b"\x02" + b"\xff\xd9"
+    with pytest.raises(ValueError, match="restart"):
+        _entropy_segments(bad, 0)
+    # no terminating marker = truncated
+    with pytest.raises(ValueError, match="truncated"):
+        _entropy_segments(b"\x01\x02\x03", 0)
+
+
+def test_stray_restart_without_dri_rejected():
+    """A stream with RSTn markers but no DRI segment: the old per-bit
+    reader raised on the unexpected marker; the segmented reader must
+    reject it too, not silently concatenate across the marker."""
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+
+    jb = bytearray(encode_jpeg(_gray(32, 32), 32, 32, 1, restart_interval=1))
+    # strip the DRI segment (FF DD 00 04 xx xx) -> restarts become stray
+    i = bytes(jb).find(b"\xff\xdd")
+    assert i > 0
+    del jb[i : i + 6]
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(jb))
+
+
+def test_fast_reader_bitstream_equivalence():
+    """_FastBitReader must read the same bit-fields the scalar
+    _BitReader reads from the same (unstuffed) payload."""
+    import numpy as np
+
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        _BitReader,
+        _FastBitReader,
+    )
+
+    rng = np.random.default_rng(7)
+    payload = bytes(int(x) for x in rng.integers(0, 255, 64))  # no 0xFF
+    fast = _FastBitReader(np.frombuffer(payload, dtype=np.uint8))
+    slow = _BitReader(payload, 0)
+    rng2 = np.random.default_rng(8)
+    total = 0
+    while total + 16 <= len(payload) * 8:
+        n = int(rng2.integers(1, 17))
+        assert fast.receive(n) == slow.receive(n), (total, n)
+        total += n
