@@ -46,6 +46,7 @@ from syslog_handler_with_clickhouse_spark.metrics import (  # noqa: E402
     _completed_stages,
 )
 from syslog_handler_with_clickhouse_spark.operators.dedup import (  # noqa: E402
+    _size_floor,
     dedup_components,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -59,8 +60,14 @@ VOCAB = 10_000
 
 def synth_funnel_corpus(spark, n: int):
     """n docs with quality failures, exact duplicates, and near-dup
-    clusters — every funnel stage has real work to do."""
-    base = spark.range(n).select(
+    clusters — every funnel stage has real work to do.
+
+    Synthesized at ~200 k rows per partition: a real corpus of this
+    size scans in thousands of file splits, and the 32-partition
+    default of ``spark.range`` was the one unrealistic posture left —
+    it put 1.5 M-row PARTIAL aggregates on every downstream map task
+    (the 50 M-doc exact-dedup stage's measured 12 GB map-side spill)."""
+    base = spark.range(0, n, 1, max(32, n // 200_000)).select(
         F.col("id").alias("doc_id"),
         (F.col("id") / CLUSTER_SIZE).cast("long").alias("cl"),
         F.concat(F.lit("s"), F.pmod(F.col("id"), F.lit(4))).alias("source"),
@@ -117,6 +124,31 @@ def run_funnel(spark, n: int) -> dict:
     out: dict = {"n_docs": n, "stages": {}}
     seen = {s["stageId"] for s in _completed_stages(spark)}
 
+    def scoped(est_df, fn):
+        """Run ``fn`` (which performs its own actions) with the
+        session shuffle width floored from ``est_df``'s plan size and a
+        4 MB AQE advisory — the same posture the dedup operators derive
+        internally (operators/dedup.py), applied here to the SCRIPT's
+        own composition stages (md5 group-by, survivor join), which
+        were the only spillers left at 50 M docs."""
+        sess = spark.conf.get("spark.sql.shuffle.partitions")
+        adv = spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        )
+        w = max(int(sess), _size_floor(est_df))
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(w))
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                str(4 << 20),
+            )
+            return fn()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", sess)
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", adv
+            )
+
     def stage(name, fn):
         nonlocal seen
         t0 = time.perf_counter()
@@ -161,7 +193,7 @@ def run_funnel(spark, n: int) -> dict:
         out["n_unique"] = u.count()
         return u
 
-    u = stage("exact_dedup", s_exact)
+    u = stage("exact_dedup", lambda: scoped(q, s_exact))
 
     # 3. MinHash signatures + LSH banding (q39 kernel)
     def s_lsh():
@@ -215,7 +247,7 @@ def run_funnel(spark, n: int) -> dict:
         out["tokens_kept"] = int(sum(r.tokens for r in rows))
         return rows
 
-    stage("pack", s_pack)
+    stage("pack", lambda: scoped(u, s_pack))
     out["wall_total_sec"] = round(
         sum(s["wall_sec"] for s in out["stages"].values()), 1
     )
