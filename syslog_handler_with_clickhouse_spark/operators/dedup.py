@@ -605,7 +605,7 @@ def dedup_components(
 
     100 TB shape: each half-round is one min-aggregate plus one
     edge-keyed equi-join over the CURRENT contracted edge set, with
-    ``spark.sql.shuffle.partitions`` floored at edges/500 k for the
+    ``spark.sql.shuffle.partitions`` floored at edges/150 k for the
     loop's scope (round-11 verdict directive 2: the operator derives
     its spill posture from input size instead of an env knob; AQE
     coalesces the excess at small SF).  ``localCheckpoint`` truncates
@@ -643,12 +643,12 @@ def dedup_components(
         .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     n_raw = raw.count()
-    nodes_src = raw.select(F.col("u").alias("node")).unionByName(
-        raw.select(F.col("v").alias("node"))
-    )
     if n_raw == 0:
-        return nodes_src.distinct().select(
-            "node", F.col("node").alias("comp")
+        return (
+            raw.select(F.col("u").alias("node"))
+            .unionByName(raw.select(F.col("v").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("comp"))
         )
     width = max(
         sess_parts,
@@ -665,17 +665,19 @@ def dedup_components(
     try:
         if width > sess_parts:
             spark.conf.set("spark.sql.shuffle.partitions", str(width))
-            spark.conf.set(adv_key, str(8 << 20))
-        # canonical dedupe + node-set distinct are edge-sized
-        # aggregates: both run INSIDE the widened scope
+            # 4 MB compressed ≈ 15-20 MB in-memory per task: sized so
+            # the exceptAll convergence probes stay under the execution
+            # share even with the loop's serialized checkpoints pinning
+            # the storage pool (the last measured spill source)
+            spark.conf.set(adv_key, str(4 << 20))
+        # canonical dedupe is an edge-sized aggregate: runs INSIDE the
+        # widened scope.  (No separate node frame: the star fixpoint
+        # below carries every node — see the convergence branch.)
         edges = raw.dropDuplicates(["u", "v"]).localCheckpoint(
             eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
         )
         prev_n = edges.count()
-        nodes = nodes_src.distinct().localCheckpoint(
-            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-        )
-        raw.unpersist()  # both consumers are checkpointed now
+        raw.unpersist()
         for rnd in range(max_iter):
             t0 = _time.perf_counter()
             sym = edges.unionByName(
@@ -706,22 +708,28 @@ def dedup_components(
             edges, prev_n = new, n_new
             old.unpersist()
             if changed == 0:
-                stars = edges.select(
+                # the fixpoint is one star per component (Kiveris et
+                # al. Thm 1) and every input node survives each
+                # half-round, so the labels read straight off the star
+                # edges: members appear exactly once as u (comp = v),
+                # centers only as v (comp = self).  No node-universe
+                # frame, no label join — round-12 follow-up that cut
+                # the 86 M-row node distinct + the 43 M⋈43 M final
+                # join out of the 50 M-doc rehearsal.  Materialized
+                # INSIDE the widened scope (deferring it to the
+                # caller's next action would run the union at the
+                # restored small-SF width).
+                members = edges.select(
                     F.col("u").alias("node"), F.col("v").alias("comp")
                 )
-                # materialize INSIDE the widened scope: the node-sized
-                # label join is lazy, and deferring it to the caller's
-                # next action would run it at the restored small-SF
-                # width (the v6 rehearsal's residual spill)
-                return (
-                    nodes.join(stars, "node", "left")
-                    .select(
-                        "node", F.coalesce("comp", "node").alias("comp")
-                    )
-                    .localCheckpoint(
-                        eager=True,
-                        storageLevel=StorageLevel.MEMORY_AND_DISK,
-                    )
+                centers = (
+                    edges.select(F.col("v").alias("node"))
+                    .distinct()
+                    .withColumn("comp", F.col("node"))
+                )
+                return members.unionByName(centers).localCheckpoint(
+                    eager=True,
+                    storageLevel=StorageLevel.MEMORY_AND_DISK,
                 )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
