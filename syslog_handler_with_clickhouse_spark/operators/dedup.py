@@ -672,11 +672,15 @@ def dedup_components(
             spark.conf.set(adv_key, str(4 << 20))
         # canonical dedupe is an edge-sized aggregate: runs INSIDE the
         # widened scope.  (No separate node frame: the star fixpoint
-        # below carries every node — see the convergence branch.)
+        # below carries every node — see the convergence branch.  No
+        # count job either: prev_n starts unknown, so round 1 skips
+        # the set-equality probe — it can never be converged-at-entry
+        # anyway unless the input was already stars, which round 2
+        # detects at one extra cheap round.)
         edges = raw.dropDuplicates(["u", "v"]).localCheckpoint(
             eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
         )
-        prev_n = edges.count()
+        prev_n = -1
         raw.unpersist()
         for rnd in range(max_iter):
             t0 = _time.perf_counter()
@@ -716,9 +720,10 @@ def dedup_components(
                 # frame, no label join — round-12 follow-up that cut
                 # the 86 M-row node distinct + the 43 M⋈43 M final
                 # join out of the 50 M-doc rehearsal.  Materialized
-                # INSIDE the widened scope (deferring it to the
-                # caller's next action would run the union at the
-                # restored small-SF width).
+                # INSIDE the widened scope when one was opened
+                # (deferring it to the caller's next action would run
+                # the union at the restored small-SF width); small-SF
+                # callers keep a lazy frame — no extra job.
                 members = edges.select(
                     F.col("u").alias("node"), F.col("v").alias("comp")
                 )
@@ -727,10 +732,13 @@ def dedup_components(
                     .distinct()
                     .withColumn("comp", F.col("node"))
                 )
-                return members.unionByName(centers).localCheckpoint(
-                    eager=True,
-                    storageLevel=StorageLevel.MEMORY_AND_DISK,
-                )
+                labels = members.unionByName(centers)
+                if width > sess_parts:
+                    labels = labels.localCheckpoint(
+                        eager=True,
+                        storageLevel=StorageLevel.MEMORY_AND_DISK,
+                    )
+                return labels
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
         spark.conf.set(adv_key, sess_adv)
