@@ -68,6 +68,7 @@ def main():
             "cc_sec": cc_sec,
             "rounds": len(stats),
             "round_secs": [s["sec"] for s in stats],
+            "round_edges": [s.get("edges") for s in stats],
             "nodes": int(agg.nodes),
             "components": int(agg.comps),
         }
