@@ -603,17 +603,22 @@ def q334(spark, sf_dir):
     rounds on near-clique dup clusters).  This is the step a real
     corpus-dedup pipeline runs after q39: candidate PAIRS are not
     transitive-closed, so cluster membership — and the keep-one-doc
-    policy (``is_canonical`` = min-id member) — needs the closure.  The
-    oracle recomputes the identical pair graph bit-for-bit (q39's
-    portable-hash chain) and closes it with a recursive CTE — exact
-    per-doc component ids, sizes, and canonical flags."""
+    policy (``is_canonical`` = min-id member) — needs the closure.
+    Candidates come from ``minhash_lsh_star_edges`` (round 13): per
+    band bucket one (min, member) edge per member instead of all
+    within-bucket pairs — Σb instead of Σb², linear under boilerplate
+    bucket skew, SAME transitive closure.  The oracle recomputes the
+    full PAIR graph bit-for-bit (q39's portable-hash chain) and closes
+    it with a recursive CTE — identical per-doc component ids, sizes,
+    and canonical flags, which is exactly the invariance the star-edge
+    rewrite claims."""
     d = _t(spark, sf_dir, "documents")
     corpus = d.select("doc_id", "text").unionByName(
         d.filter(F.col("doc_id") % 5 == 0).select(
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
     )
-    pairs = dedup.minhash_lsh_pairs(corpus, "text", "doc_id")
+    pairs = dedup.minhash_lsh_star_edges(corpus, "text", "doc_id")
     comp = dedup.dedup_components(pairs)
     from pyspark.sql.window import Window
 
@@ -3916,7 +3921,7 @@ def q412(spark, sf_dir):
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
     )
-    pairs = dedup.minhash_lsh_pairs(corpus, "text", "doc_id")
+    pairs = dedup.minhash_lsh_star_edges(corpus, "text", "doc_id")
     comp = dedup.dedup_components(pairs)
     sized = comp.join(
         corpus.select(
@@ -4478,7 +4483,7 @@ def q455(spark, sf_dir):
             ).alias("text"),
         )
     )
-    pairs = dedup.minhash_lsh_pairs(corpus, "text", "doc_id")
+    pairs = dedup.minhash_lsh_star_edges(corpus, "text", "doc_id")
     comp = dedup.dedup_components(pairs)
     pad = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
     score = (
