@@ -144,8 +144,13 @@ def test_bloom_no_false_negative_exhaustive(spark, tmp_path):
     df = spark.createDataFrame([(i, k) for i, k in enumerate(keys)],
                                "id long, key string").coalesce(1)
     sn.write_snapshot(df, store, bloom_cols=["key"])
+    # round 13: the bitsets live in the Parquet stats manifest, not the
+    # JSON pointer file — read the single row back relationally
     m = sn._read_manifest(store, sn.latest_version(store))
-    hexbits = m["files"][0]["blooms"]["key"]
+    srow = spark.read.parquet(
+        *[f"{store}/_manifests/{sf}" for sf in m["stats_files"]]
+    ).collect()[0]
+    hexbits = srow.blooms["key"]
     for k in keys:
         assert sn._bloom_may_contain(hexbits, k), k
 
@@ -186,7 +191,10 @@ def test_bloom_integral_column_no_false_negative(spark, tmp_path):
     df = spark.createDataFrame(rows, "id long, key long").coalesce(1)
     sn.write_snapshot(df, store, bloom_cols=["key"])
     m = sn._read_manifest(store, sn.latest_version(store))
-    hexbits = m["files"][0]["blooms"]["key"]
+    srow = spark.read.parquet(
+        *[f"{store}/_manifests/{sf}" for sf in m["stats_files"]]
+    ).collect()[0]
+    hexbits = srow.blooms["key"]
     for i in range(200):
         assert sn._bloom_may_contain(hexbits, i * 1000 + 7), i
     # and the pruning read path agrees
@@ -290,3 +298,123 @@ def test_token_bloom_prunes_files_and_never_false_negatives(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="ONE"):
         read_snapshot(spark, path, token=("text", "two words"))
+
+
+# ------------------------------------------------------- round 13 additions
+
+
+def test_relational_prune_100k_files_synthetic(spark, tmp_path):
+    """The stats manifest prunes 10⁵ files relationally: the driver
+    receives only the losing names, never a stats entry or bitset.
+    Files are synthetic (only the stats parquet exists) — this pins the
+    prune decision itself at manifest scale."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.sources import snapshots as sn
+
+    store = str(tmp_path / "big")
+    mdir = os.path.join(store, "_manifests")
+    os.makedirs(mdir)
+    n = 100_000
+    # one row per fake file: file i covers x ∈ [10i, 10i+9]
+    stats = spark.range(n).select(
+        F.concat(F.lit("f"), F.col("id")).alias("name"),
+        F.create_map(
+            F.lit("x"), F.array(F.col("id") * 10, F.col("id") * 10 + 9)
+        ).alias("stats_i"),
+        F.lit(None).cast("map<string,array<double>>").alias("stats_d"),
+        F.lit(None).cast("map<string,array<string>>").alias("stats_s"),
+        F.lit(None).cast("map<string,string>").alias("blooms"),
+        F.lit(None).cast("map<string,string>").alias("tblooms"),
+    )
+    stats.write.parquet(os.path.join(mdir, "stats_test"))
+    excluded = sn._excludable_names(
+        spark, store, ["stats_test"], prune=("x", 12_345, 12_360), bloom=None,
+        token=None,
+    )
+    survivors = {f"f{i}" for i in range(n)} - excluded
+    # ranges [12340..12349] (f1234) and [12350..12359] (f1235) and
+    # [12360..12369] (f1236) intersect [12345, 12360]
+    assert survivors == {"f1234", "f1235", "f1236"}
+    assert len(excluded) == n - 3
+
+
+def test_relational_prune_string_lane(spark, tmp_path):
+    """min/max pruning on a STRING column goes through the stats_s lane."""
+    from syslog_handler_with_clickhouse_spark.sources import snapshots as sn
+
+    store = str(tmp_path / "slane")
+    for names in (["alpha", "bravo"], ["mike", "november"], ["yankee", "zulu"]):
+        sn.write_snapshot(
+            spark.createDataFrame([(n,) for n in names], "name string")
+            .coalesce(1),
+            store,
+            mode="append",
+            stat_cols=["name"],
+        )
+    full = sn.read_snapshot(spark, store)
+    pruned = sn.read_snapshot(spark, store, prune=("name", "m", "p"))
+    assert full.count() == 6
+    assert pruned.inputFiles() and len(pruned.inputFiles()) == 1
+    assert {r.name for r in pruned.collect()} == {"mike", "november"}
+
+
+def test_legacy_inline_manifest_still_prunes(spark, tmp_path):
+    """Pre-round-13 manifests carry stats INLINE; the reader must keep
+    honoring them (dict-walk fallback)."""
+    import json
+    import os
+
+    from syslog_handler_with_clickhouse_spark.sources import snapshots as sn
+
+    store = str(tmp_path / "legacy")
+    for lo in (0, 100):
+        sn.write_snapshot(
+            spark.range(lo, lo + 50).withColumnRenamed("id", "x").coalesce(1),
+            store,
+            mode="append",
+        )
+    # rewrite the manifest to the legacy inline form
+    v = sn.latest_version(store)
+    mpath = os.path.join(store, "_manifests", f"v{v}.json")
+    m = json.load(open(mpath))
+    assert len(m["files"]) == 2
+    by_name = sorted(m["files"], key=lambda e: e["name"])
+    # recover which file holds which range from the data itself
+    for e in m["files"]:
+        df = spark.read.parquet(os.path.join(store, "data", e["name"]))
+        row = df.agg({"x": "min"}).collect()[0]
+        lo = row[0]
+        e["stats"] = {"x": [lo, lo + 49]}
+    m.pop("stats_files", None)
+    json.dump(m, open(mpath, "w"))
+    pruned = sn.read_snapshot(spark, store, prune=("x", 120, 130))
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.count() == 50
+
+
+def test_vacuum_removes_orphan_stats_manifests(spark, tmp_path):
+    """Vacuum drops stats parquet dirs referenced only by removed
+    versions, keeps the live ones."""
+    import os
+
+    from syslog_handler_with_clickhouse_spark.sources import snapshots as sn
+
+    store = str(tmp_path / "vacstats")
+    for lo in (0, 100, 200):
+        sn.write_snapshot(
+            spark.range(lo, lo + 10).withColumnRenamed("id", "x").coalesce(1),
+            store,
+            mode="overwrite",
+            stat_cols=["x"],
+        )
+    mdir = os.path.join(store, "_manifests")
+    assert len([f for f in os.listdir(mdir) if f.startswith("stats_")]) == 3
+    sn.vacuum(store, keep_last=1)
+    left = [f for f in os.listdir(mdir) if f.startswith("stats_")]
+    assert len(left) == 1
+    # the survivor still prunes
+    pruned = sn.read_snapshot(spark, store, prune=("x", 205, 206))
+    assert pruned.count() == 10  # single live file overlaps
