@@ -498,8 +498,12 @@ def test_fast_table_matches_dict_decoder_on_annex_k():
         _fast_table,
     )
 
+    import numpy as np
+
     enc, dec = _build_huffman(*AC_LUM)
-    syms, lens = _fast_table(*AC_LUM)
+    syms_b, lens_b = _fast_table(*AC_LUM)  # bytes since round 13
+    syms = np.frombuffer(syms_b, dtype=np.uint8)
+    lens = np.frombuffer(lens_b, dtype=np.uint8)
     for (length, code), sym in dec.items():
         lo = code << (16 - length)
         hi = lo + (1 << (16 - length))
@@ -584,3 +588,45 @@ def test_fast_reader_bitstream_equivalence():
         n = int(rng2.integers(1, 17))
         assert fast.receive(n) == slow.receive(n), (total, n)
         total += n
+
+
+def test_empty_restart_segment_raises_valueerror():
+    """Back-to-back RSTn markers (an EMPTY restart segment) are a
+    corrupt stream and must surface as ValueError — never IndexError —
+    so decode_assets' (NotImplementedError, ValueError) net yields
+    kind='undecoded' instead of failing the whole Arrow batch
+    (driver advice r12)."""
+    jb = bytes(encode_jpeg(_gray(32, 32), 32, 32, 1, restart_interval=1))
+    i = jb.rfind(b"\xff\xd6")  # last RST6 — inserting RST7 after it
+    assert i > 0               # keeps every marker's sequence number valid
+    corrupt = jb[: i + 2] + b"\xff\xd7" + jb[i + 2 :]
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(corrupt)
+    # and the direct reader contract:
+    import numpy as np
+
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        _FastBitReader,
+    )
+
+    with pytest.raises(ValueError, match="empty JPEG restart segment"):
+        _FastBitReader(np.array([], dtype=np.uint8))
+
+
+def test_fastbitreader_overask_at_exhaustion_is_valueerror():
+    """decode() called when the stream is exactly exhausted must raise
+    the truncation ValueError, not IndexError from the lookahead."""
+    import numpy as np
+
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        _FastBitReader,
+        _fast_table,
+    )
+
+    r = _FastBitReader(np.array([0xAB], dtype=np.uint8))
+    assert r.receive(8) == 0xAB
+    ftab = _fast_table([1] + [0] * 15, [7])  # one 1-bit code
+    with pytest.raises(ValueError):
+        r.decode(ftab)
+    with pytest.raises(ValueError):
+        r.receive(1)
