@@ -1,0 +1,183 @@
+"""Retrieval-tier scale sweep (round-12 verdict directive 4): q394's
+``bm25_topk`` and q413's RRF fusion (BM25 leg + shingle-Jaccard leg)
+measured at 1 M - 20 M documents with a FIXED 2 000-query workload, so
+the growth curves isolate the corpus side:
+
+- postings rows (distinct (doc, token)) must grow ~linearly in docs;
+- the scored join fan-out — Σ over query terms of posting-list length —
+  is THE number the max_df stop-term cap must bound: the sweep records
+  the capped fan-out AND the analytic uncapped fan-out (computable from
+  the df table without running the explosion), so the cap's effect is a
+  measured ratio, not prose;
+- wall time is median-of-3 warm runs (cc_scale protocol), with total
+  shuffle read/write attributed from the Spark UI REST stage metrics.
+
+Corpus: scripts/scale_bench.synth_corpus (10-doc clusters sharing a
+word sequence + a per-doc tail) — the same fixture family every other
+sweep in this repo uses, so cross-sweep numbers are comparable.
+
+Run: python scripts/bm25_scale_bench.py [sizes_csv]
+Prints one JSON line; paste the table into PERF.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from scripts.funnel_scale_bench import _stage_delta  # noqa: E402
+from scripts.scale_bench import synth_corpus  # noqa: E402
+from syslog_handler_with_clickhouse_spark.functions.text import (  # noqa: E402
+    TOKEN_RE,
+    shingles,
+)
+from syslog_handler_with_clickhouse_spark.metrics import (  # noqa: E402
+    _completed_stages,
+)
+from syslog_handler_with_clickhouse_spark.operators.retrieval import (  # noqa: E402
+    bm25_topk,
+)
+from syslog_handler_with_clickhouse_spark.session import get_spark  # noqa: E402
+
+N_QUERIES = 2_000
+
+
+def _rrf(docs, queries_df):
+    """q413's RRF composition verbatim (BM25 top-20 + Jaccard top-20,
+    integer RRF, top-3 per query) on an explicit query frame."""
+    a = bm25_topk(docs, queries_df, k=20, max_df_num=9, max_df_den=10).select(
+        "query_id", "doc_id", F.col("rank").alias("rk_a")
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(shingles(F.col("text"), 3)).alias("shingle"),
+    )
+    n_sh = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    shn = sh.join(n_sh, "doc")
+    qids = queries_df.select(F.col("query_id").alias("doc"))
+    qsh = shn.join(F.broadcast(qids), "doc").select(
+        F.col("doc").alias("query_id"), F.col("n_sh").alias("qn"), "shingle"
+    )
+    jp = (
+        qsh.join(shn, "shingle")
+        .filter(F.col("doc") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc").alias("doc_id"), "qn", "n_sh")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr("inter * 1000000 DIV (qn + n_sh - inter)").alias("sp"),
+        )
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("sp").desc(), F.col("doc_id").asc()
+    )
+    b = (
+        jp.withColumn("rk_b", F.row_number().over(wb))
+        .filter(F.col("rk_b") <= 20)
+        .select("query_id", "doc_id", "rk_b")
+    )
+    fused = a.join(b, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(F.expr("1000000 DIV (60 + rk_a)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 DIV (60 + rk_b)"), F.lit(0))
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return fused.withColumn("rk", F.row_number().over(wf)).filter(
+        F.col("rk") <= 3
+    )
+
+
+def main():
+    sizes = [
+        int(s)
+        for s in (
+            sys.argv[1]
+            if len(sys.argv) > 1
+            else "1000000,5000000,10000000,20000000"
+        ).split(",")
+    ]
+    spark = get_spark("bm25-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = []
+    for n in sizes:
+        docs = synth_corpus(spark, n).localCheckpoint(eager=True)
+        step = max(1, n // N_QUERIES)
+        queries_df = docs.filter(F.col("doc_id") % step == 0).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        row: dict = {"n_docs": n, "n_queries": queries_df.count()}
+
+        # size witnesses (untimed, once): postings linearity + the
+        # max_df cap's measured effect on the join fan-out
+        tok = docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(TOKEN_RE), 0
+                )
+            ).alias("token"),
+        )
+        postings = tok.groupBy("doc_id", "token").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        row["n_postings"] = postings.count()
+        df_ = postings.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+        qterms = queries_df.select(
+            "query_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(TOKEN_RE), 0
+                )
+            ).alias("token"),
+        ).distinct()
+        fan = qterms.join(df_, "token").agg(
+            F.sum("dfreq").alias("uncapped"),
+            F.sum(
+                F.when(F.col("dfreq") * 4 <= F.lit(row["n_docs"]), F.col("dfreq"))
+            ).alias("capped"),
+        ).collect()[0]
+        row["fanout_uncapped"] = int(fan.uncapped or 0)
+        row["fanout_capped"] = int(fan.capped or 0)
+
+        # timed: median-of-3 warm runs, shuffle attributed per run
+        for name, frame_fn in (
+            ("bm25", lambda: bm25_topk(docs, queries_df, k=5)),
+            ("rrf", lambda: _rrf(docs, queries_df)),
+        ):
+            walls, shuf = [], []
+            for _ in range(3):
+                seen = {s["stageId"] for s in _completed_stages(spark)}
+                t0 = time.perf_counter()
+                n_rows = frame_fn().count()
+                walls.append(round(time.perf_counter() - t0, 2))
+                _, m = _stage_delta(spark, seen)
+                shuf.append(m)
+            row[f"{name}_sec"] = statistics.median(walls)
+            row[f"{name}_runs"] = walls
+            row[f"{name}_rows"] = n_rows
+            mid = walls.index(row[f"{name}_sec"])
+            row[f"{name}_shuffle_read_mb"] = shuf[mid]["shuffle_read_mb"]
+            row[f"{name}_shuffle_write_mb"] = shuf[mid]["shuffle_write_mb"]
+            row[f"{name}_spill_disk_mb"] = shuf[mid]["disk_spill_mb"]
+        print("#", row, file=sys.stderr, flush=True)
+        out.append(row)
+        docs.unpersist()
+    print(json.dumps({"bm25_sweep": out, "loadavg": list(os.getloadavg())}))
+
+
+if __name__ == "__main__":
+    main()

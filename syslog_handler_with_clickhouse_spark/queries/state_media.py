@@ -4516,3 +4516,61 @@ def q455(spark, sf_dir):
             & (-F.col("doc_id") == best["nid"])
         ).alias("kept"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q456_lsh_star_edges",
+    _DUP_UNION
+    + """
+    , consts AS (
+      SELECT {a_list} AS ha, {b_list} AS hb
+    ), sh AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+               i -> CAST('0x' || substr(md5(array_to_string(
+                      list_slice(string_split(text, ' '), i, i + 2), ' ')), 1, 15)
+                    AS BIGINT)
+             )) AS shl
+      FROM corpus
+    ), sig AS (
+      SELECT doc,
+             list_transform(range(0, 64), k ->
+               list_min(list_transform(shl, x ->
+                 ((x % 2147483647) * ha[k + 1] + hb[k + 1]) % 2147483647))
+             ) AS sig
+      FROM sh CROSS JOIN consts WHERE len(shl) > 0
+    ), bands AS (
+      SELECT doc, b AS band,
+             CAST('0x' || substr(md5(array_to_string(
+               list_slice(sig, b * 4 + 1, b * 4 + 4), '|')), 1, 15) AS BIGINT) AS bh
+      FROM sig, UNNEST(range(0, 16)) AS t(b)
+    ), starred AS (
+      SELECT doc, MIN(doc) OVER (PARTITION BY band, bh) AS m
+      FROM bands
+    )
+    SELECT DISTINCT m AS doc_a, doc AS doc_b
+    FROM starred WHERE doc <> m
+    """.format(
+        a_list=list(dedup._MINHASH_A), b_list=list(dedup._MINHASH_B)
+    ),
+)
+def q456(spark, sf_dir):
+    """STAR-EDGE LSH candidate emission (round 13, the round-12
+    verdict's standing scale-killer fix): per (band, band-hash) bucket,
+    one (bucket-min doc, member) edge per non-min member instead of all
+    within-bucket pairs — Σb instead of Σb² rows, linear under the
+    boilerplate bucket skew real web corpora have, with EXACTLY the
+    same transitive closure (so q334/q412/q455's component labels are
+    unchanged; their oracles still close the full pair graph, which is
+    the invariance proof).  This row verifies the edge list itself:
+    the oracle replays the q39 portable-hash signature/banding chain
+    and takes the per-bucket min with one window
+    (`operators/dedup.py:minhash_lsh_star_edges`)."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return dedup.minhash_lsh_star_edges(corpus, "text", "doc_id")
