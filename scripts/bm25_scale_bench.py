@@ -42,12 +42,35 @@ from syslog_handler_with_clickhouse_spark.functions.text import (  # noqa: E402
 from syslog_handler_with_clickhouse_spark.metrics import (  # noqa: E402
     _completed_stages,
 )
+from syslog_handler_with_clickhouse_spark.operators.dedup import (  # noqa: E402
+    _size_floor,
+)
 from syslog_handler_with_clickhouse_spark.operators.retrieval import (  # noqa: E402
     bm25_topk,
 )
 from syslog_handler_with_clickhouse_spark.session import get_spark  # noqa: E402
 
 N_QUERIES = 2_000
+
+_ADV_KEY = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+
+
+def scoped(spark, est_df, fn):
+    """Run ``fn`` (which performs its own actions) under a shuffle
+    width floored from ``est_df``'s plan estimate + the 4 MB AQE
+    advisory — the funnel script's posture, for the SCRIPT's own
+    composition stages (the size witnesses and the RRF jaccard leg;
+    bm25_topk scopes itself since round 13)."""
+    sess = spark.conf.get("spark.sql.shuffle.partitions")
+    adv = spark.conf.get(_ADV_KEY)
+    w = max(int(sess), _size_floor(est_df))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(w))
+        spark.conf.set(_ADV_KEY, str(4 << 20))
+        return fn()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", sess)
+        spark.conf.set(_ADV_KEY, adv)
 
 
 def _rrf(docs, queries_df):
@@ -114,7 +137,16 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     out = []
     for n in sizes:
-        docs = synth_corpus(spark, n).localCheckpoint(eager=True)
+        # synthesize at ~200k rows/partition (the funnel script's
+        # realism fix): spark.range's 32-partition default puts n/32-row
+        # PARTIAL aggregates on every downstream map task — a 5M-doc
+        # run measured 1.6 GB of map-side disk spill from that alone,
+        # which a real multi-split scan would never produce
+        docs = (
+            synth_corpus(spark, n)
+            .repartition(max(32, n // 200_000))
+            .localCheckpoint(eager=True)
+        )
         step = max(1, n // N_QUERIES)
         queries_df = docs.filter(F.col("doc_id") % step == 0).select(
             F.col("doc_id").alias("query_id"), "text"
@@ -134,7 +166,7 @@ def main():
         postings = tok.groupBy("doc_id", "token").agg(
             F.count(F.lit(1)).alias("tf")
         )
-        row["n_postings"] = postings.count()
+        row["n_postings"] = scoped(spark, tok, postings.count)
         df_ = postings.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
         qterms = queries_df.select(
             "query_id",
@@ -144,25 +176,30 @@ def main():
                 )
             ).alias("token"),
         ).distinct()
-        fan = qterms.join(df_, "token").agg(
+        fan_agg = qterms.join(df_, "token").agg(
             F.sum("dfreq").alias("uncapped"),
             F.sum(
                 F.when(F.col("dfreq") * 4 <= F.lit(row["n_docs"]), F.col("dfreq"))
             ).alias("capped"),
-        ).collect()[0]
+        )
+        fan = scoped(spark, tok, lambda: fan_agg.collect())[0]
         row["fanout_uncapped"] = int(fan.uncapped or 0)
         row["fanout_capped"] = int(fan.capped or 0)
 
         # timed: median-of-3 warm runs, shuffle attributed per run
         for name, frame_fn in (
-            ("bm25", lambda: bm25_topk(docs, queries_df, k=5)),
-            ("rrf", lambda: _rrf(docs, queries_df)),
+            # bm25_topk derives its own width; the RRF composition's
+            # jaccard leg is the script's, so it runs under scoped()
+            ("bm25", lambda: bm25_topk(docs, queries_df, k=5).count()),
+            ("rrf", lambda: scoped(
+                spark, tok, lambda: _rrf(docs, queries_df).count()
+            )),
         ):
             walls, shuf = [], []
             for _ in range(3):
                 seen = {s["stageId"] for s in _completed_stages(spark)}
                 t0 = time.perf_counter()
-                n_rows = frame_fn().count()
+                n_rows = frame_fn()
                 walls.append(round(time.perf_counter() - t0, 2))
                 _, m = _stage_delta(spark, seen)
                 shuf.append(m)

@@ -48,7 +48,7 @@ from syslog_handler_with_clickhouse_spark.metrics import (  # noqa: E402
 from syslog_handler_with_clickhouse_spark.operators.dedup import (  # noqa: E402
     _size_floor,
     dedup_components,
-    minhash_lsh_pairs,
+    minhash_lsh_star_edges,
     minhash_signatures,
 )
 from syslog_handler_with_clickhouse_spark.session import get_spark  # noqa: E402
@@ -195,10 +195,13 @@ def run_funnel(spark, n: int) -> dict:
 
     u = stage("exact_dedup", lambda: scoped(q, s_exact))
 
-    # 3. MinHash signatures + LSH banding (q39 kernel)
+    # 3. MinHash signatures + LSH banding — STAR EDGES since round 13
+    # (q456 kernel): the funnel's only candidate consumer is the
+    # component closure, so per-bucket (min, member) edges replace the
+    # all-pairs emission — Σb not Σb² rows, identical components
     def s_lsh():
         sig = minhash_signatures(u, "text", "doc_id")
-        pairs = minhash_lsh_pairs(sig=sig).localCheckpoint(**_CK)
+        pairs = minhash_lsh_star_edges(sig=sig).localCheckpoint(**_CK)
         out["n_candidates"] = pairs.count()
         return pairs
 

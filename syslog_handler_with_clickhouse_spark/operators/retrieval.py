@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import TOKEN_RE
+from .dedup import _size_floor
 
 #: ppm scale for the tf-saturation term.
 _SCALE = 1_000_000
@@ -77,15 +78,92 @@ def bm25_topk(
     Returns (query_id, rank, doc_id, score) with score the bigint
     Σ idf_int · tf_ppm over matched terms; rank by (score DESC,
     doc_id ASC) — a total order.
+
+    Big-corpus posture (round 13; same discipline as the dedup tier):
+    the operator derives its shuffle width from the plan-estimated
+    input instead of trusting the session's small-SF
+    ``spark.sql.shuffle.partitions``.  When the floor exceeds the
+    session width, the whole plan is materialized inside a scoped
+    conf (width + 4 MB AQE advisory — conf scoping only binds at an
+    ACTION, and AQE's default 64 MB advisory would re-coalesce the
+    width away) and the returned frame is the checkpointed top-k,
+    which is queries×k rows — tiny.  Motivating measurement
+    (scripts/bm25_scale_bench.py, 2 000 queries): at session width 32
+    the 10 M-doc postings build spilled 7.3 GB to disk and the
+    20 M-doc point OOM'd an 8 g heap; with the derived width both run
+    spill-free.  At small SF the floor is below the session width and
+    the plan stays lazy and unchanged (oracle/plan pins unaffected).
     """
+    tok = _tokens(docs, "doc_id")
+    spark = docs.sparkSession
+    sess = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    width = _size_floor(tok)
+    if width > sess:
+        from pyspark import StorageLevel
+
+        adv_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        sess_adv = spark.conf.get(adv_key)
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(width))
+            spark.conf.set(adv_key, str(4 << 20))
+            return _bm25_plan(
+                docs, queries, k=k, max_df_num=max_df_num,
+                max_df_den=max_df_den, width=width,
+            ).localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
+            spark.conf.set(adv_key, sess_adv)
+    return _bm25_plan(
+        docs, queries, k=k, max_df_num=max_df_num, max_df_den=max_df_den
+    )
+
+
+def _bm25_plan(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    max_df_num: int,
+    max_df_den: int,
+    width: int = 0,
+) -> DataFrame:
+    """The lazy BM25 plan (see bm25_topk for semantics and posture).
+
+    Single-pass statistics: the token explode happens ONCE; dl and the
+    corpus scalars derive FROM the postings aggregate (dl = Σ tf per
+    doc; corpus_tokens = Σ dl; n_docs = |dl|) instead of re-exploding
+    the corpus per statistic — identical values, two fewer scans.
+
+    When ``width`` is set (the big-corpus path), the NARROW doc rows
+    are hash-repartitioned by doc_id BEFORE the explode (dedup's
+    _spread pattern): the exchange ships ~50 B rows, the token fan-out
+    happens on the width-way side, and HashPartitioning(doc_id)
+    satisfies the clustered distribution of BOTH the (doc_id, token)
+    aggregate and the dl rollup — neither adds an exchange and neither
+    builds a per-input-split aggregation map.  Both earlier shapes
+    measured worse at 5 M docs: no width at all put ~1.1 M-entry
+    partial maps on every input split (~0.5 GB disk spill per map
+    stage, 8 g OOM at 20 M); repartitioning the EXPLODED stream moved
+    the same bytes into the exchange's map-side sort buffer (same
+    ~0.9 GB spill)."""
+    if width:
+        docs = docs.repartition(width, F.col("doc_id"))
     tok = _tokens(docs, "doc_id")
     postings = tok.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = tok.agg(
-        F.count(F.lit(1)).alias("corpus_tokens"),
-        F.countDistinct("doc_id").alias("n_docs"),
+    dl = postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("dl")
+    )
+    stats = dl.agg(
+        F.sum("dl").alias("corpus_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
     ).select(
         "n_docs",
         (F.expr("corpus_tokens * 1000 DIV n_docs")).alias("am"),
