@@ -219,6 +219,9 @@ def run_funnel(spark, n: int) -> dict:
         out["cc_nodes"] = int(row.nodes)
         out["cc_components"] = int(row.comps)
         out["cc_rounds"] = len(stats)
+        # per-round contraction record (round-12 verdict directive 1:
+        # show CC round 1 shrinking once the candidates are star edges)
+        out["cc_round_stats"] = stats
         return labels
 
     labels = stage("components", s_cc)

@@ -43,8 +43,17 @@ Scope (what "baseline" means here, per ITU-T T.81):
   the first-line-of-interval Ra rule, precisions 2-16 (exact bytes at
   8, high-byte view deeper), interleaved 1x1 components.  Encoder:
   ``encode_jpeg_lossless``.
-- Arithmetic coding, 12-bit progressive/color, and hierarchical modes
-  raise ``NotImplementedError`` — format guards, not stubs.
+- ARITHMETIC CODING (SOF9, sequential): the T.81 Annex D/E QM coder
+  (113-state estimation table D.3, conditional exchange, byte-stuffed
+  renormalization) with the F.1.4.4 DC/AC statistical models and DAC
+  conditioning (L/U bounds, Kx split), grayscale and color, 4:2:0 and
+  restart intervals included.  Encoder: ``encode_jpeg_arith`` —
+  the same DCT/quantize pipeline as ``encode_jpeg`` with the entropy
+  layer swapped, so arithmetic and Huffman decodes of the same image
+  are bit-identical (the differential oracle the tests pin).
+- Progressive-arithmetic (SOF10), 12-bit progressive/color/arithmetic,
+  and hierarchical modes raise ``NotImplementedError`` — format
+  guards, not stubs.
 
 All constant tables below are the public ITU-T T.81 Annex K examples
 (the tables every libjpeg-compatible encoder ships).  The DCT is the
@@ -795,10 +804,11 @@ def encode_jpeg(
 
 def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     """Decode a JPEG (baseline SOF0/SOF1, progressive SOF2, lossless
-    SOF3, 12-bit baseline grayscale) to ``(width, height, channels,
-    pixel_bytes)`` (row-major, interleaved RGB for 3 components,
-    grayscale for 1).  Raises ``ValueError`` on corrupt streams and
-    ``NotImplementedError`` for arithmetic / hierarchical variants."""
+    SOF3, arithmetic-sequential SOF9, 12-bit baseline grayscale) to
+    ``(width, height, channels, pixel_bytes)`` (row-major, interleaved
+    RGB for 3 components, grayscale for 1).  Raises ``ValueError`` on
+    corrupt streams and ``NotImplementedError`` for progressive-
+    arithmetic / hierarchical variants."""
     try:
         return _decode_jpeg(b)
     except (IndexError, struct.error) as e:  # truncated stream
@@ -817,6 +827,9 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     scan = None
     progressive = False
     lossless = False
+    arith = False
+    dac_dc: dict[int, tuple[int, int]] = {}  # Tb -> (L, U)
+    dac_ac: dict[int, int] = {}  # Tb -> Kx
     precision = 8
 
     while pos < len(b):
@@ -838,6 +851,12 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
             # SOF3: hand the scan to the predictive decoder
             return _decode_jpeg_lossless(
                 b, pos - 2, huff_dec, frame, restart_interval, precision
+            )
+        if marker == 0xDA and arith:
+            # SOF9: hand the scan to the QM-coder sequential decoder
+            return _decode_jpeg_arith(
+                b, pos - 2, qtabs, dac_dc, dac_ac, frame,
+                restart_interval, precision,
             )
         seg_len = struct.unpack(">H", b[pos : pos + 2])[0]
         seg = b[pos + 2 : pos + seg_len]
@@ -873,18 +892,22 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 huff_dec[(tc, th)] = _build_huffman_dec_cached(bits, vals)
                 huff_fast[(tc, th)] = _fast_table_cached(bits, vals)
                 sp += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2/3
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):  # SOF0/1/2/3/9
             progressive = marker == 0xC2
             lossless = marker == 0xC3
+            arith = marker == 0xC9
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if lossless:
                 if not 2 <= prec <= 16:
                     raise ValueError(f"invalid lossless precision {prec}")
             elif prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit precision")
-            if prec == 12 and not lossless and (progressive or nc != 1):
+            if prec == 12 and not lossless and (
+                progressive or arith or nc != 1
+            ):
                 raise NotImplementedError(
-                    "12-bit JPEG supported for baseline grayscale only"
+                    "12-bit JPEG supported for Huffman baseline "
+                    "grayscale only"
                 )
             precision = prec
             comps = []
@@ -894,8 +917,25 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
             frame = (h, w, comps)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF{marker - 0xC0} mode")
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            sp = 0
+            while sp + 1 < len(seg):
+                tc, tb = seg[sp] >> 4, seg[sp] & 15
+                cs = seg[sp + 1]
+                if tc == 0:
+                    lo, up = cs & 15, cs >> 4
+                    if lo > up:
+                        raise ValueError("DAC DC conditioning L > U")
+                    dac_dc[tb] = (lo, up)
+                elif tc == 1:
+                    if not 1 <= cs <= 63:
+                        raise ValueError(f"DAC AC Kx {cs} out of range")
+                    dac_ac[tb] = cs
+                else:
+                    raise ValueError(f"invalid DAC table class {tc}")
+                sp += 2
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -992,16 +1032,31 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     ):
         raise ValueError("unexpected restart marker in entropy data")
 
-    # PASS 2 — batched dezigzag + dequant + IDCT per component (idct2's
-    # matmuls broadcast over the block axis), then one transpose/reshape
-    # from MCU fill order to the plane grid.
+    # PASS 2 — shared with the arithmetic decoder
+    return _coefs_to_pixels(
+        coefs,
+        [qt for (_c, _dc, _ac, qt) in order],
+        [c for (c, _dc, _ac, _qt) in order],
+        mcus_x, mcus_y, hmax, vmax, h, w, precision,
+    )
+
+
+def _coefs_to_pixels(
+    coefs, qts, comps, mcus_x, mcus_y, hmax, vmax, h, w, precision
+):
+    """Shared PASS 2 of the sequential decoders (Huffman and
+    arithmetic): batched dezigzag + dequant + IDCT per component
+    (idct2's matmuls broadcast over the block axis), one transpose/
+    reshape from MCU fill order to the plane grid, chroma upsample,
+    crop to (h, w), color convert.  ``coefs``/``qts``/``comps`` are in
+    scan-component order."""
     zz_np = np.asarray(ZIGZAG)
     level = float(1 << (precision - 1))
     planes = []
-    for ci, (c, dc, ac, qt) in enumerate(order):
+    for ci, c in enumerate(comps):
         nat = np.zeros_like(coefs[ci])
         nat[:, zz_np] = coefs[ci]
-        blocks = idct2(nat.reshape(-1, 8, 8) * qt) + level
+        blocks = idct2(nat.reshape(-1, 8, 8) * qts[ci]) + level
         planes.append(
             blocks.reshape(mcus_y, mcus_x, c["v"], c["h"], 8, 8)
             .transpose(0, 2, 4, 1, 3, 5)
@@ -2130,3 +2185,666 @@ def _decode_jpeg_lossless(b, pos, huff_dec, frame, restart_interval, precision):
                 v = (planes[ci][y][x] << al) & 0xFFFF
                 out[(y * w + x) * ns + ci] = (v >> shift_down) & 0xFF
     return w, h, ns, bytes(out)
+
+
+# ---------------------------------------------------------------------
+# arithmetic coding (SOF9): QM-coder per ITU-T T.81 Annexes D & E,
+# statistical models per F.1.4.4
+# ---------------------------------------------------------------------
+# The reference (lib/cacheManage.go) stores media blobs opaquely; this
+# tier exists for the LLM-pipeline decode path, where arithmetic-coded
+# JPEGs are the long-tail variant every corpus crawl eventually hits.
+# The coder is the spec's QM arithmetic coder: a 113-state probability
+# estimation table (T.81 Table D.3 — the states are shared with JBIG),
+# MPS/LPS conditional exchange, byte-oriented renormalization with
+# 0xFF00 bit stuffing, and the sequential DCT statistical model of
+# F.1.4.4 (5-category DC conditioning contexts, 3-bin-per-index AC
+# contexts with the Kx low/high magnitude split, fixed ~0.5 AC sign
+# bin).  Verification posture: the Qe table values are the published
+# spec constants; correctness is pinned by (a) exhaustive roundtrip
+# equality against the Huffman path over the SAME quantized
+# coefficients (the entropy layer is lossless, so decode(arith) must
+# equal decode(huffman) BIT-EXACTLY for every image/variant), and
+# (b) a seeded-noise stress sweep that exercises deep magnitude
+# categories, carry propagation and stuffing.
+
+#: T.81 Table D.3 — (Qe, Next_Index_LPS, Next_Index_MPS, Switch_MPS).
+_QE_TABLE = (
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1),
+)
+
+_QE_FIXED = 0x5A1D  # the non-adaptive ~0.5 bin (AC sign, F.1.4.3.1)
+
+
+class _QMEncoder:
+    """T.81 Annex D arithmetic encoder.  Convention: after ``A -= Qe``
+    the MPS sub-interval is the bottom ``[0, A)`` and the LPS the top
+    ``[A, A+Qe)``; conditional exchange swaps them when ``A < Qe``.
+    ``C`` is the 28-bit code register; BYTEOUT takes bits 19-26 with
+    the carry walked back through already-emitted bytes (the spec's
+    0xFF stack collapses to a back-walk when the stream is buffered
+    in memory).  0xFF00 stuffing is applied in ``finish()``."""
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.raw = bytearray()  # un-stuffed entropy bytes
+
+    def _byteout(self):
+        t = self.c >> 19
+        if t > 0xFF:
+            # carry: walk back over any 0xFF run (D.1.8's stack case)
+            i = len(self.raw) - 1
+            while self.raw[i] == 0xFF:
+                self.raw[i] = 0x00
+                i -= 1
+            self.raw[i] += 1
+            t &= 0xFF
+        self.raw.append(t)
+        self.c &= 0x7FFFF
+        self.ct = 8
+
+    def _renorm(self):
+        while True:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a >= 0x8000:
+                break
+
+    def encode(self, area: bytearray, i: int, bit: int):
+        """CODE the decision ``bit`` in context ``area[i]`` (packed
+        ``mps << 7 | index``) with estimation (D.1.3-D.1.6)."""
+        sv = area[i]
+        qe, nlps, nmps, sw = _QE_TABLE[sv & 0x7F]
+        mps = sv >> 7
+        self.a -= qe
+        if bit == mps:
+            if self.a >= 0x8000:
+                return
+            if self.a < qe:  # conditional exchange: MPS coded on top
+                self.c += self.a
+                self.a = qe
+            area[i] = (mps << 7) | nmps
+        else:
+            if self.a >= qe:  # LPS on top (no exchange)
+                self.c += self.a
+                self.a = qe
+            # else: exchange — LPS keeps the (larger) bottom interval
+            if sw:
+                mps = 1 - mps
+            area[i] = (mps << 7) | nlps
+        self._renorm()
+
+    def encode_fixed(self, bit: int):
+        """CODE with the fixed ~0.5 bin (no estimation, MPS=0)."""
+        self.a -= _QE_FIXED
+        if bit == 0:
+            if self.a >= 0x8000:
+                return
+            if self.a < _QE_FIXED:
+                self.c += self.a
+                self.a = _QE_FIXED
+        else:
+            if self.a >= _QE_FIXED:
+                self.c += self.a
+                self.a = _QE_FIXED
+        self._renorm()
+
+    def finish(self) -> bytes:
+        """FLUSH (D.1.9): clear as many low C bits as the final
+        interval allows, push out the remaining register bytes, strip
+        trailing zeros (the decoder zero-feeds past the data), then
+        stuff 0x00 after every 0xFF."""
+        t = (self.c + self.a - 1) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= 8
+        self._byteout()
+        while self.raw and self.raw[-1] == 0x00:
+            self.raw.pop()
+        out = bytearray()
+        for byte in self.raw:
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+class _QMDecoder:
+    """T.81 Annex E arithmetic decoder over ONE de-stuffed entropy
+    segment (``_entropy_segments`` output).  Bytes past the segment end
+    decode as zeros (the spec's marker-reached convention), which is
+    why the encoder may strip trailing zero bytes."""
+
+    def __init__(self, data):
+        self.d = data
+        self.n = len(data)
+        # Chigh (bits 16-31) = the first 16 code-value bits, the next
+        # byte staged at bits 8-15, A at the encoder's INITENC scale —
+        # the alignment the encoder's CT=11 first BYTEOUT produces
+        # (first byte out = code bits 1-8).
+        b0 = int(data[0]) if self.n > 0 else 0
+        b1 = int(data[1]) if self.n > 1 else 0
+        b2 = int(data[2]) if self.n > 2 else 0
+        self.bp = 3
+        self.c = (b0 << 24) | (b1 << 16) | (b2 << 8)
+        self.ct = 8
+        self.a = 0x10000
+
+    def _bytein(self):
+        self.c += (int(self.d[self.bp]) if self.bp < self.n else 0) << 8
+        self.bp += 1
+        self.ct = 8
+
+    def _renorm(self):
+        while True:
+            if self.ct == 0:
+                self._bytein()
+            self.a <<= 1
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+
+    def decode(self, area: bytearray, i: int) -> int:
+        """DECODE a decision in context ``area[i]`` with estimation
+        (E.3.2/E.3.3) — exact mirror of ``_QMEncoder.encode``."""
+        sv = area[i]
+        qe, nlps, nmps, sw = _QE_TABLE[sv & 0x7F]
+        mps = sv >> 7
+        self.a -= qe
+        if (self.c >> 16) < self.a:
+            if self.a & 0x8000:
+                return mps
+            if self.a < qe:  # conditional exchange: bottom is LPS
+                d = 1 - mps
+                if sw:
+                    mps = 1 - mps
+                area[i] = (mps << 7) | nlps
+            else:
+                d = mps
+                area[i] = (mps << 7) | nmps
+        else:
+            self.c -= self.a << 16
+            if self.a < qe:  # conditional exchange: top is MPS
+                d = mps
+                area[i] = (mps << 7) | nmps
+            else:
+                d = 1 - mps
+                if sw:
+                    mps = 1 - mps
+                area[i] = (mps << 7) | nlps
+            self.a = qe
+        self._renorm()
+        return d
+
+    def decode_fixed(self) -> int:
+        """DECODE with the fixed ~0.5 bin (AC sign)."""
+        self.a -= _QE_FIXED
+        if (self.c >> 16) < self.a:
+            if self.a & 0x8000:
+                return 0
+            d = 1 if self.a < _QE_FIXED else 0
+        else:
+            self.c -= self.a << 16
+            d = 0 if self.a < _QE_FIXED else 1
+            self.a = _QE_FIXED
+        self._renorm()
+        return d
+
+
+def _dc_arith_context(m: int, sign: int, lo: int, up: int) -> int:
+    """F.1.4.4.1.2 conditioning category of the PREVIOUS block's DC
+    difference for the next block's context base: ``m`` is the MSB of
+    Sz (0 when |diff| <= 1), classified against the DAC L/U bounds.
+    Bases: 0 zero/near-zero, 4/8 small +/-, 12/16 large +/-."""
+    if m < ((1 << lo) >> 1):
+        return 0
+    if m > ((1 << up) >> 1):
+        return 12 + sign * 4
+    return 4 + sign * 4
+
+
+def _arith_encode_dc(enc, stats, diff, ctx, lo, up):
+    """Encode one DC difference (F.1.4.1 / Figures F.4-F.7): S0
+    decision at the conditioning context base, adaptive sign,
+    SP/SN magnitude>1 decision, X1..X15 category chain at bin 20,
+    single shared mantissa bin at category+14.  Returns the context
+    base the NEXT block's S0 uses."""
+    if diff == 0:
+        enc.encode(stats, ctx, 0)
+        return 0
+    enc.encode(stats, ctx, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(stats, ctx + 1, sign)
+    sz = (-diff if sign else diff) - 1
+    st = ctx + 2 + sign
+    if sz == 0:
+        enc.encode(stats, st, 0)
+        return _dc_arith_context(0, sign, lo, up)
+    enc.encode(stats, st, 1)
+    msb = 1 << (sz.bit_length() - 1)
+    m = 1
+    st = 20  # X1 (Table F.4)
+    while m != msb:
+        enc.encode(stats, st, 1)
+        st += 1
+        m <<= 1
+    enc.encode(stats, st, 0)
+    st += 14  # M_n — ONE shared bin for every mantissa bit
+    bit = msb >> 1
+    while bit:
+        enc.encode(stats, st, 1 if sz & bit else 0)
+        bit >>= 1
+    return _dc_arith_context(msb, sign, lo, up)
+
+
+def _arith_decode_dc(dec, stats, ctx, lo, up):
+    """Decode one DC difference — mirror of ``_arith_encode_dc``.
+    Returns (diff, next context base)."""
+    if dec.decode(stats, ctx) == 0:
+        return 0, 0
+    sign = dec.decode(stats, ctx + 1)
+    st = ctx + 2 + sign
+    m = dec.decode(stats, st)
+    if m:
+        st = 20
+        while dec.decode(stats, st):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("corrupt arithmetic DC magnitude")
+            st += 1
+    nxt = _dc_arith_context(m, sign, lo, up)
+    v = m
+    st += 14
+    while m > 1:
+        m >>= 1
+        if dec.decode(stats, st):
+            v |= m
+    v += 1
+    return (-v if sign else v), nxt
+
+
+def _arith_encode_ac(enc, stats, zz, kx):
+    """Encode one block's AC band (F.1.4.2 / Figures F.5, F.8): per
+    zigzag index k, EOB decision at 3(k-1), zero-run decisions at
+    3(k-1)+1, fixed-bin sign, SP/X1 sharing 3(k-1)+2, X2+ categories
+    in the 189 (k <= Kx) / 217 section, shared mantissa bin at +14."""
+    last = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last = k
+            break
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if k > last:
+            enc.encode(stats, st, 1)  # EOB
+            return
+        enc.encode(stats, st, 0)
+        while zz[k] == 0:
+            enc.encode(stats, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(stats, st + 1, 1)
+        v = int(zz[k])
+        sign = 1 if v < 0 else 0
+        enc.encode_fixed(sign)
+        sz = (-v if sign else v) - 1
+        st += 2  # SP, shared with X1
+        if sz == 0:
+            enc.encode(stats, st, 0)
+        else:
+            enc.encode(stats, st, 1)
+            if sz == 1:
+                enc.encode(stats, st, 0)
+                msb = 1
+            else:
+                enc.encode(stats, st, 1)
+                msb = 1 << (sz.bit_length() - 1)
+                m = 2
+                st = 189 if k <= kx else 217  # X2 of the lo/hi section
+                while m != msb:
+                    enc.encode(stats, st, 1)
+                    st += 1
+                    m <<= 1
+                enc.encode(stats, st, 0)
+            st += 14
+            bit = msb >> 1
+            while bit:
+                enc.encode(stats, st, 1 if sz & bit else 0)
+                bit >>= 1
+        k += 1
+
+
+def _arith_decode_ac(dec, stats, kx):
+    """Decode one block's AC band — mirror of ``_arith_encode_ac``.
+    Returns a list of (zigzag index, value)."""
+    out = []
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(stats, st):
+            break  # EOB
+        while dec.decode(stats, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > 63:
+                raise ValueError("corrupt arithmetic AC run")
+        sign = dec.decode_fixed()
+        st += 2
+        m = dec.decode(stats, st)
+        if m and dec.decode(stats, st):
+            m = 2
+            st = 189 if k <= kx else 217
+            while dec.decode(stats, st):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("corrupt arithmetic AC magnitude")
+                st += 1
+        v = m
+        st += 14
+        while m > 1:
+            m >>= 1
+            if dec.decode(stats, st):
+                v |= m
+        v += 1
+        out.append((k, -v if sign else v))
+        k += 1
+    return out
+
+
+def encode_jpeg_arith(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    dc_cond: tuple[int, int] = (0, 1),
+    ac_kx: int = 5,
+) -> bytes:
+    """Arithmetic-coded sequential JPEG encoder (SOF9): the SAME
+    pixel -> DCT -> quantize pipeline as ``encode_jpeg`` with the
+    entropy layer swapped for the T.81 QM coder, so for any input the
+    decoded pixels are BIT-IDENTICAL to decoding the Huffman encoding
+    at the same quality/subsample/restart settings (both entropy
+    layers are lossless over identical quantized coefficients — the
+    roundtrip tests pin exactly that).  ``dc_cond``/``ac_kx`` are the
+    DAC conditioning parameters (defaults are the spec defaults);
+    non-default values exercise the DAC parse path.  Restart markers
+    flush the coder and reset statistics, predictions and contexts."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer length != w*h*c")
+    lo, up = dc_cond
+    if not (0 <= lo <= up <= 15):
+        raise ValueError("dc_cond must satisfy 0 <= L <= U <= 15")
+    if not 1 <= ac_kx <= 63:
+        raise ValueError("ac_kx must be in 1..63")
+    img = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(height, width, channels)
+        .astype(np.float64)
+    )
+    qt_lum = scaled_quant(QUANT_LUM, quality)
+    qt_chrom = scaled_quant(QUANT_CHROM, quality)
+
+    if channels == 1:
+        planes = [img[..., 0]]
+        samp = [(1, 1)]
+        qts = [qt_lum]
+    else:
+        ycc = rgb_to_ycbcr(img)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample:
+            ph = height + (height & 1)
+            pw = width + (width & 1)
+            cbp = np.pad(cb, ((0, ph - height), (0, pw - width)), mode="edge")
+            crp = np.pad(cr, ((0, ph - height), (0, pw - width)), mode="edge")
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qts = [qt_lum, qt_chrom, qt_chrom]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    padded = [
+        _pad_to_blocks(p, mcus_y * s[1], mcus_x * s[0])
+        for p, s in zip(planes, samp)
+    ]
+
+    n_tab = 1 if channels == 1 else 2
+
+    def fresh_stats():
+        return (
+            [bytearray(64) for _ in range(n_tab)],
+            [bytearray(256) for _ in range(n_tab)],
+        )
+
+    enc = _QMEncoder()
+    dc_stats, ac_stats = fresh_stats()
+    dc_pred = [0] * channels
+    dc_ctx = [0] * channels
+    entropy = bytearray()
+    rst_count = 0
+    n_mcus = mcus_x * mcus_y
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            entropy += enc.finish()
+            entropy += bytes([0xFF, 0xD0 + (rst_count & 7)])
+            rst_count += 1
+            enc = _QMEncoder()
+            dc_stats, ac_stats = fresh_stats()
+            dc_pred = [0] * channels
+            dc_ctx = [0] * channels
+        my, mx = divmod(m, mcus_x)
+        for ci in range(channels):
+            hi, vi = samp[ci]
+            qt = qts[ci].reshape(8, 8).astype(np.float64)
+            tbl = 0 if (ci == 0 or channels == 1) else 1
+            for by in range(vi):
+                for bx in range(hi):
+                    r0 = (my * vi + by) * 8
+                    c0 = (mx * hi + bx) * 8
+                    block = padded[ci][r0 : r0 + 8, c0 : c0 + 8] - 128.0
+                    qcoef = np.round(fdct2(block) / qt).astype(np.int64)
+                    flat = qcoef.reshape(64)
+                    zz = [int(flat[z]) for z in ZIGZAG]
+                    diff = zz[0] - dc_pred[ci]
+                    dc_pred[ci] = zz[0]
+                    dc_ctx[ci] = _arith_encode_dc(
+                        enc, dc_stats[tbl], diff, dc_ctx[ci], lo, up
+                    )
+                    _arith_encode_ac(enc, ac_stats[tbl], zz, ac_kx)
+    entropy += enc.finish()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    qts_emit = [(0, qt_lum)] if channels == 1 else [(0, qt_lum), (1, qt_chrom)]
+    for tid, qt in qts_emit:
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64)
+        out.append(tid)
+        out += bytes(int(qt[z]) for z in ZIGZAG)
+    # SOF9 — extended sequential, arithmetic coding
+    out += b"\xff\xc9" + struct.pack(
+        ">HBHHB", 8 + 3 * channels, 8, height, width, channels
+    )
+    for ci in range(channels):
+        hi, vi = samp[ci]
+        tq = 0 if (ci == 0 or channels == 1) else 1
+        out += bytes([ci + 1, (hi << 4) | vi, tq])
+    # DAC — conditioning for every table id the scan references
+    dac = bytearray()
+    for tb in range(n_tab):
+        dac += bytes([0x00 | tb, (up << 4) | lo])
+        dac += bytes([0x10 | tb, ac_kx])
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * channels, channels)
+    for ci in range(channels):
+        td_ta = 0x00 if (ci == 0 or channels == 1) else 0x11
+        out += bytes([ci + 1, td_ta])
+    out += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _decode_jpeg_arith(
+    b, pos, qtabs, dac_dc, dac_ac, frame, restart_interval, precision
+):
+    """Sequential arithmetic-coded scan decode (SOF9).  ``pos`` points
+    at the 0xFFDA marker; statistics areas are keyed by DAC table id
+    (scan components sharing a conditioning table share statistics,
+    F.1.4.4), and restart markers reset coder, statistics, predictions
+    and conditioning contexts.  Reuses ``_entropy_segments`` (the
+    QM coder uses the same 0xFF00 stuffing convention as the Huffman
+    stream) and the shared ``_coefs_to_pixels`` PASS 2."""
+    if b[pos : pos + 2] != b"\xff\xda":
+        raise ValueError("arithmetic scan: expected SOS")
+    seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+    seg = b[pos + 4 : pos + 2 + seg_len]
+    ns = seg[0]
+    scan = []
+    for i in range(ns):
+        cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
+        scan.append((cs, tdta >> 4, tdta & 15))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    if ss != 0 or se != 63:
+        raise NotImplementedError(
+            "arithmetic JPEG: only full-band sequential scans"
+        )
+    h, w, comps = frame
+    if not 1 <= len(comps) <= 3 or len(scan) != len(comps):
+        raise NotImplementedError(
+            f"{len(comps)}-component / multi-scan arithmetic JPEG "
+            "unsupported"
+        )
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scan:
+        c = by_id.get(cs)
+        if c is None:
+            raise ValueError(f"scan references unknown component {cs}")
+        qt = qtabs.get(c["tq"])
+        if qt is None:
+            raise ValueError("scan references missing quant table")
+        lo, up = dac_dc.get(td, (0, 1))  # spec defaults (F.1.4.4.1.2)
+        kx = dac_ac.get(ta, 5)
+        order.append((c, td, ta, lo, up, kx, qt.astype(np.float64)))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    total_mcus = mcus_x * mcus_y
+
+    segs, _ = _entropy_segments(b, pos + 2 + seg_len)
+    coefs = [
+        np.zeros((total_mcus * c["v"] * c["h"], 64)) for c in comps
+    ]
+    idx = [0] * len(comps)
+    wr = [([], [], []) for _ in comps]  # (block row, zigzag k, value)
+
+    def fresh_stats():
+        return (
+            {td: bytearray(64) for (_c, td, *_rest) in order},
+            {ta: bytearray(256) for (_c, _td, ta, *_rest) in order},
+        )
+
+    dec = _QMDecoder(segs[0])
+    dc_stats, ac_stats = fresh_stats()
+    dc_pred = [0] * len(comps)
+    dc_ctx = [0] * len(comps)
+    for m in range(total_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            si = m // restart_interval
+            if si >= len(segs):
+                raise ValueError("missing restart marker")
+            dec = _QMDecoder(segs[si])
+            dc_stats, ac_stats = fresh_stats()
+            dc_pred = [0] * len(comps)
+            dc_ctx = [0] * len(comps)
+        for ci, (c, td, ta, lo, up, kx, _qt) in enumerate(order):
+            rows_w, ks_w, vs_w = wr[ci]
+            for _ in range(c["v"] * c["h"]):
+                row_i = idx[ci]
+                idx[ci] += 1
+                diff, dc_ctx[ci] = _arith_decode_dc(
+                    dec, dc_stats[td], dc_ctx[ci], lo, up
+                )
+                dc_pred[ci] += diff
+                rows_w.append(row_i)
+                ks_w.append(0)
+                vs_w.append(dc_pred[ci])
+                for k, v in _arith_decode_ac(dec, ac_stats[ta], kx):
+                    rows_w.append(row_i)
+                    ks_w.append(k)
+                    vs_w.append(v)
+    for ci, (rows_w, ks_w, vs_w) in enumerate(wr):
+        if rows_w:
+            coefs[ci][np.array(rows_w), np.array(ks_w)] = np.array(vs_w)
+    if len(segs) > (
+        (total_mcus - 1) // restart_interval + 1 if restart_interval else 1
+    ):
+        raise ValueError("unexpected restart marker in entropy data")
+
+    return _coefs_to_pixels(
+        coefs,
+        [qt for (*_head, qt) in order],
+        [c for (c, *_rest) in order],
+        mcus_x, mcus_y, hmax, vmax, h, w, precision,
+    )

@@ -4574,3 +4574,153 @@ def q456(spark, sf_dir):
         )
     )
     return dedup.minhash_lsh_star_edges(corpus, "text", "doc_id")
+
+
+@query(
+    "q457_jpeg_arith_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 29) + 16 AS w,
+             (doc_id % 17) + 12 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c,
+             CASE ((doc_id // 13) % 3)
+               WHEN 0 THEN 'plain'
+               WHEN 1 THEN CASE WHEN doc_id % 2 = 0
+                                THEN 'dac' ELSE 'sub' END
+               ELSE 'rst' END AS variant
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT doc_id, variant,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(c AS INT) AS channels,
+           CAST(w * h * c AS BIGINT) AS n_values,
+           CASE WHEN c = 1
+                THEN CAST(40 * w * h + h * w * (w - 1)
+                          + 3 * w * h * (h - 1) / 2 AS BIGINT)
+                ELSE NULL END AS gray_px_sum,
+           TRUE AS mean_ok,
+           TRUE AS minmax_ok
+    FROM d
+    """,
+)
+def q457(spark, sf_dir):
+    """ARITHMETIC-CODED JPEG (SOF9) decode round trip — closes the
+    first-named codec long-tail guard from the round-12 verdict: the
+    T.81 Annex D/E QM coder (113-state estimation, conditional
+    exchange, byte-stuffed renormalization with carry) plus the
+    F.1.4.4 DC/AC statistical models and DAC conditioning
+    (`operators/jpeg.py:encode_jpeg_arith/_decode_jpeg_arith`).
+
+    Same construct-then-decode oracle split as q331, through the SAME
+    distributed `decode_assets` path (Arrow-batched mapInPandas, bytes
+    never on the driver): grayscale fixtures encode at quality 100
+    where every quantization step is 1 and the un-wrapped gradient
+    decodes BIT-EXACTLY (closed-form pixel sum pinned); color fixtures
+    encode at quality 85 with mean/min-max booleans.  doc_id cycles
+    the variants so 4:4:4 color, 4:2:0 subsampling, restart-marker
+    streams AND non-default DAC conditioning (L=1/U=2/Kx=3) all hit
+    the decoder; unit-level, every variant's decode is additionally
+    differential-pinned bit-identical to the Huffman path
+    (tests/test_jpeg_arith.py)."""
+    import pandas as pd
+
+    from ..operators.jpeg import encode_jpeg_arith
+    from ..operators.multimodal import decode_assets
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 29 + 16, d % 17 + 12
+                c = 1 if d % 2 == 0 else 3
+                v = (d // 13) % 3
+                if c == 1:
+                    px = bytes(
+                        (40 + 2 * x + 3 * y)
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    payloads.append(
+                        encode_jpeg_arith(
+                            px, w, h, 1, quality=100,
+                            dc_cond=(1, 2) if v == 1 else (0, 1),
+                            ac_kx=3 if v == 1 else 5,
+                            restart_interval=2 if v == 2 else 0,
+                        )
+                    )
+                else:
+                    buf = bytearray()
+                    for y in range(h):
+                        for x in range(w):
+                            buf += bytes(
+                                (40 + 2 * x + y, 200 - x - 2 * y,
+                                 30 + x + 3 * y)
+                            )
+                    payloads.append(
+                        encode_jpeg_arith(
+                            bytes(buf), w, h, 3, quality=85,
+                            subsample=(v == 1),
+                            restart_interval=2 if v == 2 else 0,
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+
+    w = F.col("width").cast("long")
+    h = F.col("height").cast("long")
+    c = F.col("channels").cast("long")
+    variant = (
+        F.when((F.col("doc_id") / 13).cast("long") % 3 == 0, "plain")
+        .when(
+            (F.col("doc_id") / 13).cast("long") % 3 == 1,
+            F.when(F.col("doc_id") % 2 == 0, "dac").otherwise("sub"),
+        )
+        .otherwise("rst")
+    )
+    exp_mean = F.when(
+        c == 1,
+        F.lit(40.0) + (w - 1).cast("double") + 1.5 * (h - 1).cast("double"),
+    ).otherwise(
+        F.lit(90.0)
+        + ((w - 1) + (h - 1)).cast("double") / 3.0
+    )
+    exp_min = F.when(c == 1, F.lit(40)).otherwise(F.lit(30)).cast("long")
+    exp_max = F.when(c == 1, 40 + 2 * (w - 1) + 3 * (h - 1)).otherwise(
+        F.greatest(
+            F.lit(200).cast("long"),
+            40 + 2 * (w - 1) + (h - 1),
+            30 + (w - 1) + 3 * (h - 1),
+        )
+    )
+    mean = F.col("val_sum").cast("double") / F.col("n_values").cast("double")
+    return dec.select(
+        "doc_id",
+        variant.alias("variant"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.when(c == 1, F.col("val_sum"))
+        .cast("bigint")
+        .alias("gray_px_sum"),
+        (F.abs(mean - exp_mean) <= 2.0).alias("mean_ok"),
+        (
+            (F.col("val_min") >= exp_min - 4)
+            & (F.col("val_min") <= exp_min + 4)
+            & (F.col("val_max") >= exp_max - 4)
+            & (F.col("val_max") <= exp_max + 4)
+        ).alias("minmax_ok"),
+    )

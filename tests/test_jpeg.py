@@ -136,9 +136,14 @@ def test_unsupported_modes_raise_notimplemented():
     jb[i + 1] = 0xC3
     with pytest.raises(ValueError, match="predictor"):
         decode_jpeg_pixels(bytes(jb))
-    # genuinely unsupported: arithmetic-coded sequential (SOF9)
-    jb[i + 1] = 0xC9
-    with pytest.raises(NotImplementedError):
+    # SOF9 is now SUPPORTED (test_jpeg_arith.py) — genuinely
+    # unsupported: progressive-arithmetic (SOF10) and lossless-
+    # arithmetic (SOF11)
+    jb[i + 1] = 0xCA
+    with pytest.raises(NotImplementedError, match="SOF10"):
+        decode_jpeg_pixels(bytes(jb))
+    jb[i + 1] = 0xCB
+    with pytest.raises(NotImplementedError, match="SOF11"):
         decode_jpeg_pixels(bytes(jb))
 
 
