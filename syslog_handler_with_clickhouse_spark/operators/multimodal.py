@@ -664,29 +664,44 @@ def _mask_channel(px: int, mask: int) -> int:
 
 def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     """REAL BMP pixel decode (stdlib ``struct`` only): BITMAPINFOHEADER
-    (40-byte DIB), uncompressed BI_RGB, in the three everyday layouts —
-    24-bit BGR, 32-bit BGRX (padding byte dropped), and 8-bit
-    palettized (BGRA quads expanded to RGB).  Bottom-up rows (positive
-    height) are flipped to top-down; negative height means top-down
-    already; rows are padded to 4-byte boundaries per spec.  RLE
-    compression and other DIB header sizes raise
-    ``NotImplementedError``.
+    (40-byte DIB; the V4/V5 108/124-byte supersets share its first 40
+    bytes and mask offsets, so they decode through the same path) and
+    the 12-byte OS/2 BITMAPCOREHEADER (round 13: 16-bit unsigned dims,
+    BGR-triple palette normalized to quads, bottom-up only),
+    uncompressed BI_RGB in the everyday layouts — 24-bit BGR, 32-bit
+    BGRX (padding byte dropped), 16-bit masked, and 1/4/8-bit
+    palettized — plus RLE8/RLE4 and BI_BITFIELDS.  Bottom-up rows
+    (positive height) are flipped to top-down; negative height means
+    top-down already; rows are padded to 4-byte boundaries per spec.
+    OS/2 v2 (16/64-byte) headers raise ``NotImplementedError``.
 
     Returns ``(width, height, 3, rgb_bytes)`` row-major top-down."""
     import struct
 
     if b[:2] != b"BM":
         raise ValueError("not a BMP")
-    if len(b) < 54:
+    if len(b) < 26:
         raise ValueError("BMP truncated")
     (data_off,) = struct.unpack("<I", b[10:14])
     (dib_size,) = struct.unpack("<I", b[14:18])
-    if dib_size < 40:
+    core = dib_size == 12  # OS/2 BITMAPCOREHEADER (round 13)
+    if core:
+        # 16-bit unsigned dims, no compression/colors-used fields,
+        # palette entries are BGR TRIPLES; always bottom-up
+        w, h_signed, planes, bpp = struct.unpack("<HHHH", b[18:26])
+        compression = 0
+        colors_used = 0
+        if bpp not in (1, 4, 8, 24):
+            raise NotImplementedError(f"{bpp}-bit core-header BMP")
+    elif dib_size < 40:
         raise NotImplementedError(f"DIB header size {dib_size} unsupported")
-    w, h_signed = struct.unpack("<ii", b[18:26])
-    planes, bpp = struct.unpack("<HH", b[26:30])
-    (compression,) = struct.unpack("<I", b[30:34])
-    (colors_used,) = struct.unpack("<I", b[46:50])
+    else:
+        if len(b) < 54:
+            raise ValueError("BMP truncated")
+        w, h_signed = struct.unpack("<ii", b[18:26])
+        planes, bpp = struct.unpack("<HH", b[26:30])
+        (compression,) = struct.unpack("<I", b[30:34])
+        (colors_used,) = struct.unpack("<I", b[46:50])
     if planes != 1:
         raise ValueError(f"BMP planes {planes} != 1")
     if compression not in (0, 1, 2, 3):
@@ -717,9 +732,15 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     if bpp in (1, 4, 8):
         npal = colors_used or (1 << bpp)
         pal_off = 14 + dib_size
-        palette = b[pal_off : pal_off + 4 * npal]
-        if len(palette) != 4 * npal:
+        psz = 3 if core else 4  # core palettes are BGR triples
+        palette = b[pal_off : pal_off + psz * npal]
+        if len(palette) != psz * npal:
             raise ValueError("BMP palette truncated")
+        if core:
+            # normalize to the BGRA-quad layout the index paths use
+            palette = b"".join(
+                palette[3 * i : 3 * i + 3] + b"\x00" for i in range(npal)
+            )
     if compression in (1, 2):
         # RLE8/RLE4: decode to an index raster first (rows bottom-up
         # unless top_down).  Encoded runs (n>0: n pixels — RLE8 repeats
@@ -821,14 +842,21 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
 def encode_bmp(
     pixels: bytes, w: int, h: int, bpp: int = 24,
     palette: bytes | None = None, top_down: bool = False,
+    core: bool = False,
 ) -> bytes:
     """Forward BMP encoder (fixture-builder twin of
     :func:`decode_bmp_pixels`).  ``pixels`` is row-major top-down RGB
     for 24/32-bit, or palette indices for 8-bit (with ``palette`` as
     RGB triples, expanded to BGRA quads).  Emits bottom-up rows unless
-    ``top_down`` (negative height)."""
+    ``top_down`` (negative height).  ``core=True`` emits the 12-byte
+    OS/2 BITMAPCOREHEADER variant (16-bit dims, BGR-triple palette,
+    bottom-up only, bpp 1/4/8/24)."""
     import struct
 
+    if core and (top_down or bpp == 32):
+        raise ValueError("core-header BMP is bottom-up, bpp 1/4/8/24")
+    if core and max(w, h) > 0xFFFF:
+        raise ValueError("core-header BMP dims are 16-bit")
     if bpp in (24, 32):
         assert len(pixels) == w * h * 3
         pal_bytes = b""
@@ -836,10 +864,16 @@ def encode_bmp(
         assert palette is not None and len(pixels) == w * h
         assert all(v < (1 << bpp) for v in pixels)
         npal = len(palette) // 3
-        pal_bytes = b"".join(
-            bytes((palette[3 * i + 2], palette[3 * i + 1], palette[3 * i], 0))
-            for i in range(npal)
+        entry = (
+            (lambda i: bytes(
+                (palette[3 * i + 2], palette[3 * i + 1], palette[3 * i])
+            ))
+            if core
+            else (lambda i: bytes(
+                (palette[3 * i + 2], palette[3 * i + 1], palette[3 * i], 0)
+            ))
         )
+        pal_bytes = b"".join(entry(i) for i in range(npal))
     else:
         raise ValueError(f"unsupported bpp {bpp}")
     row_bytes = ((w * bpp + 31) // 32) * 4
@@ -862,12 +896,16 @@ def encode_bmp(
                     row.append(0)
         row += bytes(row_bytes - len(row))
         data += row
-    npal = len(pal_bytes) // 4
-    data_off = 14 + 40 + len(pal_bytes)
-    dib = struct.pack(
-        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, 0,
-        len(data), 2835, 2835, npal, 0,
-    )
+    if core:
+        data_off = 14 + 12 + len(pal_bytes)
+        dib = struct.pack("<IHHHH", 12, w, h, 1, bpp)
+    else:
+        npal = len(pal_bytes) // 4
+        data_off = 14 + 40 + len(pal_bytes)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, 0,
+            len(data), 2835, 2835, npal, 0,
+        )
     hdr = b"BM" + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
     return hdr + dib + pal_bytes + bytes(data)
 
@@ -2467,8 +2505,10 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     differencing predictor (tag 317 = 2) and BOTH planar
     configurations (chunky and tag 284 = 2 plane-sequential strips).
     Tiled layout (tags 322-325, full-size edge-padded tiles) decodes
-    through :func:`_decode_tiff_tiled`.  JPEG-in-TIFF and other sample
-    depths raise ``NotImplementedError``.
+    through :func:`_decode_tiff_tiled` — 8- AND 16-bit (round 13; the
+    chunky tiled path shares the strip path's sample-width predictor
+    and high-byte view).  JPEG-in-TIFF and other sample depths raise
+    ``NotImplementedError``.
 
     Returns ``(width, height, channels, pixels)`` row-major
     interleaved, matching the PNG decode shape."""
@@ -2535,10 +2575,9 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     if 322 in tags or 323 in tags:
         if planar != 1:
             raise NotImplementedError("tiled TIFF with planar configuration 2")
-        if sb != 1:
-            raise NotImplementedError("tiled 16-bit TIFF")
         return _decode_tiff_tiled(
-            b, tags, one, w, h, channels, compression, predictor, photometric
+            b, tags, one, w, h, channels, compression, predictor,
+            photometric, sb, e,
         )
     offsets = tags.get(273)
     counts = tags.get(279)
@@ -2699,8 +2738,6 @@ def encode_tiff(
         if white_is_zero:
             assert channels == 1
             pixels = [65535 - v for v in pixels]
-        if tile is not None:
-            raise ValueError("tiled 16-bit encoding unsupported")
     elif white_is_zero:
         assert channels == 1
         pixels = bytes(255 - v for v in pixels)
@@ -2736,7 +2773,12 @@ def encode_tiff(
         td = (h + th - 1) // th
         for ty in range(td):
             for tx in range(ta):
-                buf = bytearray(tw * th * channels)  # zero-padded edges
+                # zero-padded edge tiles; sample-typed buffer at 16 bits
+                buf = (
+                    bytearray(tw * th * channels)
+                    if bits == 8
+                    else [0] * (tw * th * channels)
+                )
                 y0, x0 = ty * th, tx * tw
                 rows = min(th, h - y0)
                 cols = min(tw, w - x0)
@@ -2746,9 +2788,14 @@ def encode_tiff(
                     buf[dst : dst + cols * channels] = pixels[
                         src : src + cols * channels
                     ]
-                raw = bytes(buf)
-                if predictor:
-                    raw = _tiff_diff(raw, tw * channels, channels)
+                if bits == 8:
+                    raw = bytes(buf)
+                    if predictor:
+                        raw = _tiff_diff(raw, tw * channels, channels)
+                else:
+                    if predictor:
+                        buf = _tiff_diff16(buf, tw * channels, channels)
+                    raw = pack(buf)
                 strips.append(compress(raw))
     elif not planar:
         for r0 in range(0, h, rps):
@@ -3241,10 +3288,14 @@ def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
 def _decode_tiff_tiled(
     b: bytes, tags, one, w: int, h: int, channels: int,
     compression: int, predictor: int, photometric: int,
+    sb: int = 1, e: str = "<",
 ):
     """Tiled-TIFF assembly (tags 322-325): tiles are stored at FULL
     tile size (edge tiles padded), decompressed independently,
-    predictor-undone per tile row, then blitted into the image grid."""
+    predictor-undone per tile row (at sample width — 16-bit tiles
+    difference per TIFF §14, like the strip path), then blitted into
+    the image grid; 16-bit samples reduce to the high-byte 8-bit view
+    in the FILE byte order at the end (the strip-path convention)."""
     tw, th = one(322), one(323)
     offsets = tags.get(324)
     counts = tags.get(325)
@@ -3254,8 +3305,9 @@ def _decode_tiff_tiled(
     td = (h + th - 1) // th
     if len(offsets) != ta * td:
         raise ValueError("TIFF tile count inconsistent")
-    out = bytearray(w * h * channels)
-    expect = tw * th * channels
+    out = bytearray(w * h * channels * sb)
+    expect = tw * th * channels * sb
+    row_bytes = tw * channels * sb
     for ti, (so, sc) in enumerate(zip(offsets, counts)):
         raw = b[so : so + sc]
         if len(raw) != sc:
@@ -3276,15 +3328,25 @@ def _decode_tiff_tiled(
                 raise ValueError("TIFF tile shorter than tile size")
             tile = raw[:expect]
         if predictor == 2:
-            tile = _tiff_undiff(tile, tw * channels, channels)
+            tile = (
+                _tiff_undiff(tile, row_bytes, channels)
+                if sb == 1
+                else _tiff_undiff16(tile, tw * channels, channels, e)
+            )
         ty, tx = divmod(ti, ta)
         y0, x0 = ty * th, tx * tw
         rows = min(th, h - y0)
         cols = min(tw, w - x0)
         for r in range(rows):
-            src = r * tw * channels
-            dst = ((y0 + r) * w + x0) * channels
-            out[dst : dst + cols * channels] = tile[src : src + cols * channels]
+            src = r * row_bytes
+            dst = ((y0 + r) * w + x0) * channels * sb
+            out[dst : dst + cols * channels * sb] = tile[
+                src : src + cols * channels * sb
+            ]
+    if sb == 2:
+        # high-byte 8-bit view in the file byte order (strip-path
+        # convention; WhiteIsZero inversion commutes with the view)
+        out = out[0::2] if e == ">" else out[1::2]
     px = bytes(out)
     if photometric == 0:
         px = bytes(255 - v for v in px)

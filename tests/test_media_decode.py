@@ -1322,11 +1322,96 @@ def test_tiff16_guards_stay_loud():
         encode_tiff,
     )
 
-    # tiled 16-bit stays a loud guard (encoder refuses to build one)
-    with pytest.raises(ValueError, match="tiled 16-bit"):
-        encode_tiff([0] * 12, 4, 3, 1, bits=16, tile=(2, 2))
     # mixed / unsupported depths refuse at decode
     b = encode_tiff([0] * 12, 4, 3, 1, bits=16)
     mutated = b.replace((16).to_bytes(2, "little"), (12).to_bytes(2, "little"), 1)
     with pytest.raises((NotImplementedError, ValueError)):
         decode_tiff_pixels(mutated)
+
+
+def test_tiff16_tiled_roundtrip_matrix():
+    """Tiled 16-bit TIFF (round 13 — closes the q449 guard): sample-
+    width predictor per tile row, both byte orders, every compression,
+    gray/RGB, WhiteIsZero, edge-padded tile grids; low bytes carry
+    content so a wrong-byte high-byte view cannot pass."""
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        encode_tiff,
+    )
+
+    w, h = 21, 13
+    for e in ("<", ">"):
+        for comp in ({}, {"packbits": True}, {"lzw": True}, {"deflate": True}):
+            for pred in (False, True):
+                for ch in (1, 3):
+                    wiz_opts = (False, True) if ch == 1 else (False,)
+                    for wiz in wiz_opts:
+                        px = [
+                            ((40 + 5 * i) % 256) * 256 + (i % 256)
+                            for i in range(w * h * ch)
+                        ]
+                        t = encode_tiff(
+                            px, w, h, ch, endian=e, predictor=pred,
+                            white_is_zero=wiz, tile=(8, 4), bits=16, **comp,
+                        )
+                        dw, dh, dc, out = decode_tiff_pixels(t)
+                        exp = bytes(
+                            (40 + 5 * i) % 256 for i in range(w * h * ch)
+                        )
+                        assert (dw, dh, dc) == (w, h, ch)
+                        assert out == exp, (e, comp, pred, ch, wiz)
+
+
+def test_bmp_core_header_round_trips():
+    """OS/2 BITMAPCOREHEADER (12-byte DIB, round 13 — the last BMP
+    header family): 16-bit dims, BGR-triple palette normalized to
+    quads, bottom-up only; 24-bit and every palettized depth."""
+    import random
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_real,
+        encode_bmp,
+    )
+
+    w, h = 19, 11
+    rgb = bytearray()
+    for y in range(h):
+        for x in range(w):
+            rgb += bytes(
+                (
+                    (40 + 2 * x + y) % 256,
+                    (200 - x - 2 * y) % 256,
+                    (30 + x + 3 * y) % 256,
+                )
+            )
+    blob = encode_bmp(bytes(rgb), w, h, 24, core=True)
+    assert decode_bmp_pixels(blob) == (w, h, 3, bytes(rgb))
+    # through the container dispatcher too
+    assert decode_real(blob) == ("bmp", w, h, 3, bytes(rgb))
+
+    rng = random.Random(5)
+    for bpp in (1, 4, 8):
+        n = 1 << bpp
+        pal = bytes(rng.randrange(256) for _ in range(3 * n))
+        idx = bytes(rng.randrange(n) for _ in range(w * h))
+        b = encode_bmp(idx, w, h, bpp, palette=pal, core=True)
+        dw, dh, dc, out = decode_bmp_pixels(b)
+        exp = b"".join(
+            bytes((pal[3 * i], pal[3 * i + 1], pal[3 * i + 2])) for i in idx
+        )
+        assert (dw, dh, dc) == (w, h, 3)
+        assert out == exp, bpp
+
+    # core constraints stay loud
+    with pytest.raises(ValueError, match="bottom-up"):
+        encode_bmp(bytes(rgb), w, h, 24, core=True, top_down=True)
+    # OS/2 v2 SHORT (16-byte) headers remain a genuine guard (the
+    # 64-byte v2 and Windows V4/V5 forms are BITMAPINFOHEADER
+    # supersets and decode through the >= 40 path)
+    import struct
+
+    v2 = bytearray(blob)
+    v2[14:18] = struct.pack("<I", 16)
+    with pytest.raises(NotImplementedError, match="DIB header size"):
+        decode_bmp_pixels(bytes(v2))
