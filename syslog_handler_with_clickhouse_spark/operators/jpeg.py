@@ -43,15 +43,20 @@ Scope (what "baseline" means here, per ITU-T T.81):
   the first-line-of-interval Ra rule, precisions 2-16 (exact bytes at
   8, high-byte view deeper), interleaved 1x1 components.  Encoder:
   ``encode_jpeg_lossless``.
-- ARITHMETIC CODING (SOF9, sequential): the T.81 Annex D/E QM coder
-  (113-state estimation table D.3, conditional exchange, byte-stuffed
-  renormalization) with the F.1.4.4 DC/AC statistical models and DAC
-  conditioning (L/U bounds, Kx split), grayscale and color, 4:2:0 and
-  restart intervals included.  Encoder: ``encode_jpeg_arith`` —
-  the same DCT/quantize pipeline as ``encode_jpeg`` with the entropy
-  layer swapped, so arithmetic and Huffman decodes of the same image
-  are bit-identical (the differential oracle the tests pin).
-- Progressive-arithmetic (SOF10), 12-bit progressive/color/arithmetic,
+- ARITHMETIC CODING (SOF9 sequential AND SOF10 progressive): the T.81
+  Annex D/E QM coder (113-state estimation table D.3, conditional
+  exchange, byte-stuffed renormalization) with the F.1.4.4 DC/AC
+  statistical models and DAC conditioning (L/U bounds, Kx split),
+  grayscale and color, 4:2:0 and restart intervals included.
+  Progressive covers spectral-selection bands and successive
+  approximation (point-transformed first scans, fixed-bin DC
+  refinement, kex-gated AC refinement) with per-scan statistics
+  reset.  Encoders: ``encode_jpeg_arith`` /
+  ``encode_jpeg_arith_progressive`` — the same DCT/quantize pipeline
+  as ``encode_jpeg`` with the entropy layer swapped, so arithmetic
+  and Huffman decodes of the same image are bit-identical (the
+  differential oracle the tests pin).
+- Lossless-arithmetic (SOF11), 12-bit progressive/color/arithmetic,
   and hierarchical modes raise ``NotImplementedError`` — format
   guards, not stubs.
 
@@ -804,10 +809,10 @@ def encode_jpeg(
 
 def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     """Decode a JPEG (baseline SOF0/SOF1, progressive SOF2, lossless
-    SOF3, arithmetic-sequential SOF9, 12-bit baseline grayscale) to
+    SOF3, arithmetic SOF9/SOF10, 12-bit baseline grayscale) to
     ``(width, height, channels, pixel_bytes)`` (row-major, interleaved
     RGB for 3 components, grayscale for 1).  Raises ``ValueError`` on
-    corrupt streams and ``NotImplementedError`` for progressive-
+    corrupt streams and ``NotImplementedError`` for lossless-
     arithmetic / hierarchical variants."""
     try:
         return _decode_jpeg(b)
@@ -841,6 +846,11 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
+        if marker == 0xDA and progressive and arith:
+            # SOF10: multi-scan walk with the QM coder
+            return _decode_jpeg_arith_progressive(
+                b, pos - 2, qtabs, dac_dc, dac_ac, frame, restart_interval
+            )
         if marker == 0xDA and progressive:
             # SOF2: hand the whole remaining walk (scans + interleaved
             # DHT redefinitions) to the multi-scan decoder
@@ -892,10 +902,10 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 huff_dec[(tc, th)] = _build_huffman_dec_cached(bits, vals)
                 huff_fast[(tc, th)] = _fast_table_cached(bits, vals)
                 sp += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):  # SOF0/1/2/3/9
-            progressive = marker == 0xC2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):  # SOF0/1/2/3/9/10
+            progressive = marker in (0xC2, 0xCA)
             lossless = marker == 0xC3
-            arith = marker == 0xC9
+            arith = marker in (0xC9, 0xCA)
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if lossless:
                 if not 2 <= prec <= 16:
@@ -917,7 +927,7 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
             frame = (h, w, comps)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF{marker - 0xC0} mode")
         elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
             sp = 0
@@ -2507,29 +2517,35 @@ def _arith_decode_dc(dec, stats, ctx, lo, up):
     return (-v if sign else v), nxt
 
 
-def _arith_encode_ac(enc, stats, zz, kx):
+def _arith_encode_ac(enc, stats, zz, kx, ss=1, se=63, al=0):
     """Encode one block's AC band (F.1.4.2 / Figures F.5, F.8): per
     zigzag index k, EOB decision at 3(k-1), zero-run decisions at
     3(k-1)+1, fixed-bin sign, SP/X1 sharing 3(k-1)+2, X2+ categories
-    in the 189 (k <= Kx) / 217 section, shared mantissa bin at +14."""
+    in the 189 (k <= Kx) / 217 section, shared mantissa bin at +14.
+    ``ss``/``se`` bound the band (progressive spectral selection) and
+    ``al`` is the successive-approximation point transform — AC
+    magnitudes shift as magnitudes (sign·(|v| >> Al), F.1.4.4.2)."""
+    vis = [0] * (se + 1)
     last = 0
-    for k in range(63, 0, -1):
-        if zz[k]:
+    for k in range(ss, se + 1):
+        a = int(zz[k])
+        v = abs(a) >> al
+        if v:
+            vis[k] = -v if a < 0 else v
             last = k
-            break
-    k = 1
-    while k <= 63:
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if k > last:
             enc.encode(stats, st, 1)  # EOB
             return
         enc.encode(stats, st, 0)
-        while zz[k] == 0:
+        while vis[k] == 0:
             enc.encode(stats, st + 1, 0)
             st += 3
             k += 1
         enc.encode(stats, st + 1, 1)
-        v = int(zz[k])
+        v = int(vis[k])
         sign = 1 if v < 0 else 0
         enc.encode_fixed(sign)
         sz = (-v if sign else v) - 1
@@ -2559,19 +2575,20 @@ def _arith_encode_ac(enc, stats, zz, kx):
         k += 1
 
 
-def _arith_decode_ac(dec, stats, kx):
+def _arith_decode_ac(dec, stats, kx, ss=1, se=63, al=0):
     """Decode one block's AC band — mirror of ``_arith_encode_ac``.
-    Returns a list of (zigzag index, value)."""
+    Returns a list of (zigzag index, value), values scaled << ``al``
+    (successive-approximation first scans deliver shifted bits)."""
     out = []
-    k = 1
-    while k <= 63:
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.decode(stats, st):
             break  # EOB
         while dec.decode(stats, st + 1) == 0:
             st += 3
             k += 1
-            if k > 63:
+            if k > se:
                 raise ValueError("corrupt arithmetic AC run")
         sign = dec.decode_fixed()
         st += 2
@@ -2591,6 +2608,8 @@ def _arith_decode_ac(dec, stats, kx):
             if dec.decode(stats, st):
                 v |= m
         v += 1
+        if al:
+            v <<= al
         out.append((k, -v if sign else v))
         k += 1
     return out
@@ -2848,3 +2867,510 @@ def _decode_jpeg_arith(
         [c for (c, *_rest) in order],
         mcus_x, mcus_y, hmax, vmax, h, w, precision,
     )
+
+
+# ---------------------------------------------------------------------
+# progressive arithmetic (SOF10): the F.1.4.4 models over the
+# spectral-selection / successive-approximation scan structure
+# ---------------------------------------------------------------------
+
+
+def _arith_encode_ac_refine(enc, stats, zz, ss, se, ah, al):
+    """Encode one block's AC successive-approximation refinement scan
+    (G.1.3.3 arithmetic variant): per band index, EOB decisions only
+    beyond the PREVIOUS stage's last nonzero (kex); previously-nonzero
+    coefficients send one correction bit at bin 3(k-1)+2;
+    newly-significant coefficients send a significance 1 at 3(k-1)+1
+    plus a fixed-bin sign.  Refinement is one bit (Ah == Al+1), so a
+    newly-significant magnitude at this stage is exactly 1."""
+    kex = 0
+    for k in range(se, 0, -1):
+        if abs(int(zz[k])) >> ah:
+            kex = k
+            break
+    ke = 0
+    for k in range(se, ss - 1, -1):
+        if abs(int(zz[k])) >> al:
+            ke = k
+            break
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if k > ke:
+                enc.encode(stats, st, 1)  # EOB — nothing visible remains
+                return
+            enc.encode(stats, st, 0)
+        while True:
+            t = int(zz[k])
+            a = abs(t)
+            if a >> ah:  # previously nonzero: one correction bit
+                enc.encode(stats, st + 2, (a >> al) & 1)
+                break
+            if a >> al:  # newly significant (magnitude exactly 1)
+                enc.encode(stats, st + 1, 1)
+                enc.encode_fixed(1 if t < 0 else 0)
+                break
+            enc.encode(stats, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+
+
+def _arith_decode_ac_refine(dec, stats, zzrow, ss, se, al):
+    """Decode one block's AC refinement scan — mirror of
+    ``_arith_encode_ac_refine``; mutates ``zzrow`` in place."""
+    p1 = 1 << al
+    m1 = -p1
+    kex = 0
+    for k in range(se, 0, -1):
+        if zzrow[k]:
+            kex = k
+            break
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex and dec.decode(stats, st):
+            break  # EOB
+        while True:
+            v = int(zzrow[k])
+            if v:
+                if dec.decode(stats, st + 2):
+                    zzrow[k] = v + (m1 if v < 0 else p1)
+                break
+            if dec.decode(stats, st + 1):
+                zzrow[k] = m1 if dec.decode_fixed() else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("corrupt arithmetic AC refinement")
+        k += 1
+
+
+def encode_jpeg_arith_progressive(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int,
+    quality: int = 85,
+    successive: bool = False,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    dc_cond: tuple[int, int] = (0, 1),
+    ac_kx: int = 5,
+) -> bytes:
+    """Progressive arithmetic-coded JPEG encoder (SOF10): the
+    ``encode_jpeg_progressive`` scan script (interleaved DC scan, one
+    full-band AC scan per component; ``successive=True`` sends first
+    scans at Al=1 then DC/AC refinement scans) with the QM coder as
+    the entropy layer.  The entropy layer is lossless, so the decode
+    is bit-identical to the baseline/progressive Huffman decode of the
+    same pixels (the differential oracle the tests pin).  Statistics
+    reset per scan AND per restart interval; the coder is flushed and
+    re-initialized at every restart marker."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer length != w*h*c")
+    lo, up = dc_cond
+    if not (0 <= lo <= up <= 15):
+        raise ValueError("dc_cond must satisfy 0 <= L <= U <= 15")
+    if not 1 <= ac_kx <= 63:
+        raise ValueError("ac_kx must be in 1..63")
+    img = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(height, width, channels)
+        .astype(np.float64)
+    )
+    qt_lum = scaled_quant(QUANT_LUM, quality)
+    qt_chrom = scaled_quant(QUANT_CHROM, quality)
+    if channels == 1:
+        planes = [img[..., 0]]
+        samp = [(1, 1)]
+        qts = [qt_lum]
+    else:
+        ycc = rgb_to_ycbcr(img)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample:
+            ph = height + (height & 1)
+            pw = width + (width & 1)
+            cbp = np.pad(cb, ((0, ph - height), (0, pw - width)), mode="edge")
+            crp = np.pad(cr, ((0, ph - height), (0, pw - width)), mode="edge")
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qts = [qt_lum, qt_chrom, qt_chrom]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+    padded = [
+        _pad_to_blocks(p, mcus_y * s[1], mcus_x * s[0])
+        for p, s in zip(planes, samp)
+    ]
+    pgrid, cgrid = [], []
+    for hi, vi in samp:
+        pgrid.append((mcus_x * hi, mcus_y * vi))
+        cw = -(-(width * hi) // hmax)
+        ch2 = -(-(height * vi) // vmax)
+        cgrid.append((-(-cw // 8), -(-ch2 // 8)))
+    coefs = []
+    for ci in range(channels):
+        qt = qts[ci].reshape(8, 8).astype(np.float64)
+        pbx, pby = pgrid[ci]
+        cz = np.zeros((pby, pbx, 64), dtype=np.int64)
+        for by in range(pby):
+            for bx in range(pbx):
+                block = (
+                    padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    - 128.0
+                )
+                cz[by, bx] = (
+                    np.round(fdct2(block) / qt).astype(np.int64).ravel()[ZIGZAG]
+                )
+        coefs.append(cz)
+
+    n_tab = 1 if channels == 1 else 2
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    qts_emit = [(0, qt_lum)] if channels == 1 else [(0, qt_lum), (1, qt_chrom)]
+    for tid, qt in qts_emit:
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64)
+        out.append(tid)
+        out += bytes(int(qt[z]) for z in ZIGZAG)
+    out += b"\xff\xca" + struct.pack(  # SOF10
+        ">HBHHB", 8 + 3 * channels, 8, height, width, channels
+    )
+    for ci in range(channels):
+        hi, vi = samp[ci]
+        tq = 0 if (ci == 0 or channels == 1) else 1
+        out += bytes([ci + 1, (hi << 4) | vi, tq])
+    dac = bytearray()
+    for tb in range(n_tab):
+        dac += bytes([0x00 | tb, (up << 4) | lo])
+        dac += bytes([0x10 | tb, ac_kx])
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    al0 = 1 if successive else 0
+    ri = restart_interval
+
+    def sos(comps_td_ta, ss, se, ah, al):
+        seg = bytearray()
+        seg += struct.pack(">HB", 6 + 2 * len(comps_td_ta), len(comps_td_ta))
+        for cid, td, ta in comps_td_ta:
+            seg += bytes([cid, (td << 4) | ta])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + seg
+
+    # scan 1 — DC first, interleaved, floor point transform by Al
+    out += sos(
+        [(ci + 1, 0 if (ci == 0 or channels == 1) else 1, 0)
+         for ci in range(channels)],
+        0, 0, 0, al0,
+    )
+    entropy = bytearray()
+    enc = _QMEncoder()
+    dc_stats = [bytearray(64) for _ in range(n_tab)]
+    pred = [0] * channels
+    ctx = [0] * channels
+    rst_count = 0
+    for m in range(n_mcus):
+        if ri and m and m % ri == 0:
+            entropy += enc.finish()
+            entropy += bytes([0xFF, 0xD0 + (rst_count & 7)])
+            rst_count += 1
+            enc = _QMEncoder()
+            dc_stats = [bytearray(64) for _ in range(n_tab)]
+            pred = [0] * channels
+            ctx = [0] * channels
+        my, mx = divmod(m, mcus_x)
+        for ci in range(channels):
+            hi, vi = samp[ci]
+            tbl = 0 if (ci == 0 or channels == 1) else 1
+            for by in range(vi):
+                for bx in range(hi):
+                    dc = int(coefs[ci][my * vi + by, mx * hi + bx, 0]) >> al0
+                    diff = dc - pred[ci]
+                    pred[ci] = dc
+                    ctx[ci] = _arith_encode_dc(
+                        enc, dc_stats[tbl], diff, ctx[ci], lo, up
+                    )
+    entropy += enc.finish()
+    out += entropy
+
+    # AC first scan per component, non-interleaved over its own grid
+    for ci in range(channels):
+        tbl = 0 if (ci == 0 or channels == 1) else 1
+        out += sos([(ci + 1, 0, tbl)], 1, 63, 0, al0)
+        entropy = bytearray()
+        enc = _QMEncoder()
+        ac_stats = bytearray(256)
+        rst_count = 0
+        cbx, cby = cgrid[ci]
+        for unit in range(cbx * cby):
+            if ri and unit and unit % ri == 0:
+                entropy += enc.finish()
+                entropy += bytes([0xFF, 0xD0 + (rst_count & 7)])
+                rst_count += 1
+                enc = _QMEncoder()
+                ac_stats = bytearray(256)
+            by, bx = divmod(unit, cbx)
+            _arith_encode_ac(
+                enc, ac_stats, coefs[ci][by, bx], ac_kx, 1, 63, al0
+            )
+        entropy += enc.finish()
+        out += entropy
+
+    if successive:
+        # DC refinement — one fixed-bin bit per block, interleaved
+        out += sos(
+            [(ci + 1, 0 if (ci == 0 or channels == 1) else 1, 0)
+             for ci in range(channels)],
+            0, 0, 1, 0,
+        )
+        entropy = bytearray()
+        enc = _QMEncoder()
+        rst_count = 0
+        for m in range(n_mcus):
+            if ri and m and m % ri == 0:
+                entropy += enc.finish()
+                entropy += bytes([0xFF, 0xD0 + (rst_count & 7)])
+                rst_count += 1
+                enc = _QMEncoder()
+            my, mx = divmod(m, mcus_x)
+            for ci in range(channels):
+                hi, vi = samp[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        dc = int(coefs[ci][my * vi + by, mx * hi + bx, 0])
+                        enc.encode_fixed(dc & 1)
+        entropy += enc.finish()
+        out += entropy
+
+        # AC refinement per component
+        for ci in range(channels):
+            tbl = 0 if (ci == 0 or channels == 1) else 1
+            out += sos([(ci + 1, 0, tbl)], 1, 63, 1, 0)
+            entropy = bytearray()
+            enc = _QMEncoder()
+            ac_stats = bytearray(256)
+            rst_count = 0
+            cbx, cby = cgrid[ci]
+            for unit in range(cbx * cby):
+                if ri and unit and unit % ri == 0:
+                    entropy += enc.finish()
+                    entropy += bytes([0xFF, 0xD0 + (rst_count & 7)])
+                    rst_count += 1
+                    enc = _QMEncoder()
+                    ac_stats = bytearray(256)
+                by, bx = divmod(unit, cbx)
+                _arith_encode_ac_refine(
+                    enc, ac_stats, coefs[ci][by, bx], 1, 63, 1, 0
+                )
+            entropy += enc.finish()
+            out += entropy
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_jpeg_arith_progressive(
+    b, pos, qtabs, dac_dc, dac_ac, frame, restart_interval
+):
+    """Multi-scan decode loop for SOF10 (progressive arithmetic):
+    the SOF2 walker's grid/scan conventions (interleaved scans walk
+    the MCU-padded grid, non-interleaved scans the component's own
+    block grid) with the QM coder and F.1.4.4 models per scan —
+    DC first/refine (refine = one fixed-bin bit per block), AC
+    first (band + point transform) and AC refine (kex-gated EOB
+    decisions, correction bits, fixed-bin signs).  Statistics reset
+    per scan and per restart interval; DAC/DRI may be redefined
+    between scans.  ``pos`` points at the first SOS marker."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    grids = {}
+    for c in comps:
+        cw = -(-(w * c["h"]) // hmax)
+        ch2 = -(-(h * c["v"]) // vmax)
+        grids[c["id"]] = (
+            mcus_x * c["h"],
+            mcus_y * c["v"],
+            -(-cw // 8),
+            -(-ch2 // 8),
+        )
+    coefs = {
+        cid: np.zeros((pby, pbx, 64), dtype=np.int64)
+        for cid, (pbx, pby, _, _) in grids.items()
+    }
+    seen_dc = set()
+    by_id = {c["id"]: c for c in comps}
+
+    def scan_blocks(scan):
+        if len(scan) > 1:
+            for m in range(mcus_x * mcus_y):
+                my, mx = divmod(m, mcus_x)
+                for cs, _td, _ta in scan:
+                    c = by_id[cs]
+                    for byy in range(c["v"]):
+                        for bxx in range(c["h"]):
+                            yield m, cs, my * c["v"] + byy, mx * c["h"] + bxx
+        else:
+            cs = scan[0][0]
+            _, _, cbx, cby = grids[cs]
+            for by in range(cby):
+                for bx in range(cbx):
+                    yield by * cbx + bx, cs, by, bx
+
+    def run_scan(scan, ss, se, ah, al, pos):
+        segs, end = _entropy_segments(b, pos)
+        ri = restart_interval
+        cond = {}
+        for cs, td, ta in scan:
+            cond[cs] = (*dac_dc.get(td, (0, 1)), dac_ac.get(ta, 5), td, ta)
+
+        state = {}
+
+        def fresh(si):
+            state["dec"] = _QMDecoder(segs[si])
+            state["dc"] = {td: bytearray(64) for (_cs, td, _ta) in scan}
+            state["ac"] = {ta: bytearray(256) for (_cs, _td, ta) in scan}
+            state["pred"] = {cs: 0 for (cs, _td, _ta) in scan}
+            state["ctx"] = {cs: 0 for (cs, _td, _ta) in scan}
+
+        fresh(0)
+        n_units = 0
+        prev_unit = -1
+        for unit, cs, by, bx in scan_blocks(scan):
+            if unit != prev_unit:
+                prev_unit = unit
+                n_units = unit + 1
+                if ri and unit and unit % ri == 0:
+                    si = unit // ri
+                    if si >= len(segs):
+                        raise ValueError("missing restart marker")
+                    fresh(si)
+            dec = state["dec"]
+            lo, up, kx, td, ta = cond[cs]
+            zz = coefs[cs][by, bx]
+            if ss == 0 and ah == 0:  # DC first
+                if se != 0:
+                    raise ValueError("DC scan must have Se=0")
+                diff, state["ctx"][cs] = _arith_decode_dc(
+                    dec, state["dc"][td], state["ctx"][cs], lo, up
+                )
+                state["pred"][cs] += diff
+                zz[0] = state["pred"][cs] << al
+                seen_dc.add(cs)
+            elif ss == 0:  # DC refinement: one fixed-bin bit
+                if dec.decode_fixed():
+                    zz[0] |= 1 << al
+            elif ah == 0:  # AC first (band, point transform)
+                if len(scan) > 1:
+                    raise ValueError("AC scans must be single-component")
+                for k, v in _arith_decode_ac(
+                    dec, state["ac"][ta], kx, ss, se, al
+                ):
+                    zz[k] = v
+            else:  # AC refinement
+                if len(scan) > 1:
+                    raise ValueError("AC scans must be single-component")
+                _arith_decode_ac_refine(
+                    dec, state["ac"][ta], zz, ss, se, al
+                )
+        if len(segs) > ((n_units - 1) // ri + 1 if ri else 1):
+            raise ValueError("unexpected restart marker in entropy data")
+        return end
+
+    while pos < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        seg_len = struct.unpack(">H", b[pos : pos + 2])[0]
+        seg = b[pos + 2 : pos + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("JPEG segment truncated")
+        nxt = pos + seg_len
+        if marker == 0xDA:
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
+                if cs not in by_id:
+                    raise ValueError(f"scan references unknown component {cs}")
+                scan.append((cs, tdta >> 4, tdta & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = run_scan(scan, ss, se, ahal >> 4, ahal & 15, nxt)
+            continue
+        if marker == 0xCC:  # DAC between scans
+            sp = 0
+            while sp + 1 < len(seg):
+                tc, tb = seg[sp] >> 4, seg[sp] & 15
+                cs_v = seg[sp + 1]
+                if tc == 0:
+                    lo, up = cs_v & 15, cs_v >> 4
+                    if lo > up:
+                        raise ValueError("DAC DC conditioning L > U")
+                    dac_dc[tb] = (lo, up)
+                elif tc == 1:
+                    if not 1 <= cs_v <= 63:
+                        raise ValueError(f"DAC AC Kx {cs_v} out of range")
+                    dac_ac[tb] = cs_v
+                else:
+                    raise ValueError(f"invalid DAC table class {tc}")
+                sp += 2
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        pos = nxt
+
+    if any(c["id"] not in seen_dc for c in comps):
+        raise ValueError("progressive JPEG missing a DC scan")
+    # reconstruct — same batched pass as the SOF2 walker
+    planes = []
+    for c in comps:
+        qt = qtabs.get(c["tq"])
+        if qt is None:
+            raise ValueError("missing quant table")
+        qtf = qt.astype(np.float64).ravel()
+        cz = coefs[c["id"]]
+        pbx, pby, _, _ = grids[c["id"]]
+        cw = -(-(w * c["h"]) // hmax)
+        ch2 = -(-(h * c["v"]) // vmax)
+        zz = cz.reshape(pby * pbx, 64).astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[:, np.asarray(ZIGZAG)] = zz
+        blocks = idct2((nat * qtf).reshape(-1, 8, 8)) + 128.0
+        plane = (
+            blocks.reshape(pby, pbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(pby * 8, pbx * 8)
+        )
+        plane = plane[:ch2, :cw]
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(comps) == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return (w, h, 1, out.tobytes())
+    rgb = ycbcr_to_rgb(np.stack(planes, axis=-1))
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return (w, h, 3, out.tobytes())

@@ -1597,10 +1597,10 @@ def decode_real(payload: bytes):
     :func:`_gif_lzw_decode`.  JPEG (SOF0/SOF1 baseline AND SOF2
     progressive — both axes, any sampling factors, restart intervals;
     8-bit; 12-bit baseline grayscale; SOF3 lossless with all seven
-    predictors; SOF9 arithmetic-sequential via the T.81 QM coder) is
+    predictors; SOF9/SOF10 arithmetic via the T.81 QM coder) is
     decoded by the stdlib+numpy codec in :mod:`.jpeg`, returning
     ``("jpeg", width, height, channels, pixel_bytes)``.  Hierarchical /
-    progressive-arithmetic JPEGs raise ``NotImplementedError`` (format
+    lossless-arithmetic JPEGs raise ``NotImplementedError`` (format
     guards inside a real decoder, not stubs)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return ("png", *decode_png_pixels(payload))

@@ -4584,11 +4584,13 @@ def q456(spark, sf_dir):
              (doc_id % 29) + 16 AS w,
              (doc_id % 17) + 12 AS h,
              CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c,
-             CASE ((doc_id // 13) % 3)
+             CASE ((doc_id // 13) % 5)
                WHEN 0 THEN 'plain'
                WHEN 1 THEN CASE WHEN doc_id % 2 = 0
                                 THEN 'dac' ELSE 'sub' END
-               ELSE 'rst' END AS variant
+               WHEN 2 THEN 'rst'
+               WHEN 3 THEN 'prog'
+               ELSE 'prog_sa' END AS variant
       FROM documents WHERE doc_id % 13 = 0
     )
     SELECT doc_id, variant,
@@ -4620,13 +4622,16 @@ def q457(spark, sf_dir):
     decodes BIT-EXACTLY (closed-form pixel sum pinned); color fixtures
     encode at quality 85 with mean/min-max booleans.  doc_id cycles
     the variants so 4:4:4 color, 4:2:0 subsampling, restart-marker
-    streams AND non-default DAC conditioning (L=1/U=2/Kx=3) all hit
-    the decoder; unit-level, every variant's decode is additionally
+    streams, non-default DAC conditioning (L=1/U=2/Kx=3) AND the
+    PROGRESSIVE arithmetic mode (SOF10 — spectral selection, plus a
+    successive-approximation 'prog_sa' lane with DC/AC refinement
+    scans, `encode_jpeg_arith_progressive`) all hit the decoder;
+    unit-level, every variant's decode is additionally
     differential-pinned bit-identical to the Huffman path
     (tests/test_jpeg_arith.py)."""
     import pandas as pd
 
-    from ..operators.jpeg import encode_jpeg_arith
+    from ..operators.jpeg import encode_jpeg_arith, encode_jpeg_arith_progressive
     from ..operators.multimodal import decode_assets
 
     docs = (
@@ -4642,7 +4647,15 @@ def q457(spark, sf_dir):
                 d = int(d)
                 w, h = d % 29 + 16, d % 17 + 12
                 c = 1 if d % 2 == 0 else 3
-                v = (d // 13) % 3
+                v = (d // 13) % 5
+                if v >= 3:  # SOF10; v==4 adds successive approximation
+                    enc = lambda px, ww, hh, cc, **kw: (  # noqa: E731
+                        encode_jpeg_arith_progressive(
+                            px, ww, hh, cc, successive=(v == 4), **kw
+                        )
+                    )
+                else:
+                    enc = encode_jpeg_arith
                 if c == 1:
                     px = bytes(
                         (40 + 2 * x + 3 * y)
@@ -4650,7 +4663,7 @@ def q457(spark, sf_dir):
                         for x in range(w)
                     )
                     payloads.append(
-                        encode_jpeg_arith(
+                        enc(
                             px, w, h, 1, quality=100,
                             dc_cond=(1, 2) if v == 1 else (0, 1),
                             ac_kx=3 if v == 1 else 5,
@@ -4666,7 +4679,7 @@ def q457(spark, sf_dir):
                                  30 + x + 3 * y)
                             )
                     payloads.append(
-                        encode_jpeg_arith(
+                        enc(
                             bytes(buf), w, h, 3, quality=85,
                             subsample=(v == 1),
                             restart_interval=2 if v == 2 else 0,
@@ -4683,12 +4696,14 @@ def q457(spark, sf_dir):
     h = F.col("height").cast("long")
     c = F.col("channels").cast("long")
     variant = (
-        F.when((F.col("doc_id") / 13).cast("long") % 3 == 0, "plain")
+        F.when((F.col("doc_id") / 13).cast("long") % 5 == 0, "plain")
         .when(
-            (F.col("doc_id") / 13).cast("long") % 3 == 1,
+            (F.col("doc_id") / 13).cast("long") % 5 == 1,
             F.when(F.col("doc_id") % 2 == 0, "dac").otherwise("sub"),
         )
-        .otherwise("rst")
+        .when((F.col("doc_id") / 13).cast("long") % 5 == 2, "rst")
+        .when((F.col("doc_id") / 13).cast("long") % 5 == 3, "prog")
+        .otherwise("prog_sa")
     )
     exp_mean = F.when(
         c == 1,

@@ -136,12 +136,12 @@ def test_unsupported_modes_raise_notimplemented():
     jb[i + 1] = 0xC3
     with pytest.raises(ValueError, match="predictor"):
         decode_jpeg_pixels(bytes(jb))
-    # SOF9 is now SUPPORTED (test_jpeg_arith.py) — genuinely
-    # unsupported: progressive-arithmetic (SOF10) and lossless-
-    # arithmetic (SOF11)
+    # SOF9/SOF10 are now SUPPORTED (test_jpeg_arith.py); a baseline
+    # stream relabeled SOF10 carries an illegal full-band DC scan
     jb[i + 1] = 0xCA
-    with pytest.raises(NotImplementedError, match="SOF10"):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg_pixels(bytes(jb))
+    # genuinely unsupported: lossless arithmetic (SOF11)
     jb[i + 1] = 0xCB
     with pytest.raises(NotImplementedError, match="SOF11"):
         decode_jpeg_pixels(bytes(jb))
@@ -261,10 +261,12 @@ def test_progressive_unsupported_modes_guarded():
     j12[i + 4] = 12
     with pytest.raises(NotImplementedError, match="baseline grayscale"):
         decode_jpeg_pixels(bytes(j12))
-    # arithmetic-coded progressive (SOF10) stays a format guard
+    # SOF10 now decodes (test_jpeg_arith.py) — 12-bit progressive
+    # ARITHMETIC stays a format guard too
     ja = bytearray(jb)
     ja[i + 1] = 0xCA
-    with pytest.raises(NotImplementedError):
+    ja[i + 4] = 12
+    with pytest.raises(NotImplementedError, match="baseline grayscale"):
         decode_jpeg_pixels(bytes(ja))
 
 

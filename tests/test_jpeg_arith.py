@@ -211,13 +211,100 @@ def test_bad_dac_segment_rejected():
 # ------------------------------------------------------------------ #
 
 
-def test_progressive_arithmetic_still_guarded():
+def test_arith_lossless_still_guarded():
+    # SOF10 now decodes (test_arith_progressive_*); a sequential stream
+    # merely relabeled as progressive carries an illegal full-band DC
+    # scan and is rejected as corrupt, while SOF11 (lossless
+    # arithmetic) remains a genuine format guard
     b = bytearray(encode_jpeg_arith(_gray(16, 16), 16, 16, 1))
     i = b.find(bytes([0xFF, 0xC9]))
     assert i > 0
-    b[i + 1] = 0xCA  # SOF10 — progressive arithmetic
-    with pytest.raises(NotImplementedError, match="SOF10"):
+    b[i + 1] = 0xCA
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg_pixels(bytes(b))
+    b[i + 1] = 0xCB
+    with pytest.raises(NotImplementedError, match="SOF11"):
+        decode_jpeg_pixels(bytes(b))
+
+
+# ------------------------------------------------------------------ #
+# progressive arithmetic (SOF10)
+# ------------------------------------------------------------------ #
+
+
+@pytest.mark.parametrize("w,h", [(8, 8), (17, 13), (33, 9)])
+@pytest.mark.parametrize("successive", [False, True])
+@pytest.mark.parametrize("quality,rst", [(100, 0), (85, 2)])
+def test_arith_progressive_gray_matches_huffman(w, h, successive, quality, rst):
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg_arith_progressive,
+    )
+
+    px = _gray(w, h)
+    a = decode_jpeg_pixels(
+        encode_jpeg_arith_progressive(
+            px, w, h, 1, quality=quality, successive=successive,
+            restart_interval=rst,
+        )
+    )
+    hf = decode_jpeg_pixels(
+        encode_jpeg(px, w, h, 1, quality=quality, restart_interval=rst)
+    )
+    assert a == hf
+
+
+@pytest.mark.parametrize("successive", [False, True])
+@pytest.mark.parametrize("sub,rst", [(False, 0), (True, 0), (True, 3)])
+def test_arith_progressive_color_matches_huffman(successive, sub, rst):
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg_arith_progressive,
+    )
+
+    w, h = 17, 13
+    px = _rgb(w, h)
+    a = decode_jpeg_pixels(
+        encode_jpeg_arith_progressive(
+            px, w, h, 3, quality=85, successive=successive,
+            subsample=sub, restart_interval=rst,
+        )
+    )
+    hf = decode_jpeg_pixels(
+        encode_jpeg(px, w, h, 3, quality=85, subsample=sub, restart_interval=rst)
+    )
+    assert a == hf
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_arith_progressive_noise_stress(trial):
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg_arith_progressive,
+    )
+
+    rng = np.random.default_rng(7 + trial)
+    w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+    c = 1 if trial % 2 == 0 else 3
+    px = rng.integers(0, 256, size=w * h * c, dtype=np.uint8).tobytes()
+    succ = trial % 2 == 1
+    rst = [0, 2][trial % 2]
+    a = encode_jpeg_arith_progressive(
+        px, w, h, c, quality=90, successive=succ, restart_interval=rst
+    )
+    hf = encode_jpeg(px, w, h, c, quality=90, restart_interval=rst)
+    assert decode_jpeg_pixels(a) == decode_jpeg_pixels(hf)
+
+
+def test_arith_progressive_dac_conditioning():
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg_arith_progressive,
+    )
+
+    w, h = 29, 21
+    px = _gray(w, h)
+    a = encode_jpeg_arith_progressive(
+        px, w, h, 1, quality=100, successive=True,
+        dc_cond=(1, 2), ac_kx=3,
+    )
+    assert decode_jpeg_pixels(a)[3] == px  # un-wrapped gradient, q100
 
 
 def test_truncated_arith_stream_is_valueerror_or_decodes():
