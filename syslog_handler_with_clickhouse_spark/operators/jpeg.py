@@ -2214,9 +2214,15 @@ def _decode_jpeg_lossless(b, pos, huff_dec, frame, restart_interval, precision):
 # spec constants; correctness is pinned by (a) exhaustive roundtrip
 # equality against the Huffman path over the SAME quantized
 # coefficients (the entropy layer is lossless, so decode(arith) must
-# equal decode(huffman) BIT-EXACTLY for every image/variant), and
-# (b) a seeded-noise stress sweep that exercises deep magnitude
-# categories, carry propagation and stuffing.
+# equal decode(huffman) BIT-EXACTLY for every image/variant), (b) a
+# seeded-noise stress sweep that exercises deep magnitude categories,
+# carry propagation and stuffing, and (c) CROSS-IMPLEMENTATION
+# interop (tests/test_jpeg_arith_interop.py): the system
+# libjpeg-turbo decodes every stream this encoder produces —
+# sequential, progressive, successive, restarts, non-default DAC —
+# and this decoder reads libjpeg-encoded arithmetic streams
+# including its default 4:2:0 and its standard multi-band
+# progressive script.
 
 #: T.81 Table D.3 — (Qe, Next_Index_LPS, Next_Index_MPS, Switch_MPS).
 _QE_TABLE = (
