@@ -2725,7 +2725,19 @@ def encode_tiff(
     LZW pairing) and plane-sequential ``planar`` layout (tag 284 = 2,
     strips plane-major).  ``bits=16`` takes ``pixels`` as a sequence
     of 0..65535 SAMPLE values, stores them in the file byte order, and
-    differentiates at sample width (round-11: the last codec guard)."""
+    differentiates at sample width (round-11: the last codec guard).
+
+    Portability note (round-13, found by the libtiff interop suite):
+    the TIFF-6 predictor is defined as part of the LZW (and by
+    TechNote, Deflate) codecs — libtiff applies/undoes it ONLY inside
+    those codecs, so ``predictor=True`` with ``compression=none`` or
+    PackBits produces files that only this codec pair round-trips.
+    This builder still allows the combination (our decoder honors the
+    tag unconditionally, and the roundtrip matrices exercise it) but
+    interoperable fixtures should pair the predictor with LZW or
+    Deflate, as tests/test_tiff_interop.py does.  Tile dimensions
+    should be multiples of 16 for interop (TIFF-6 §15 mandate,
+    enforced by libtiff; our decoder accepts any)."""
     import struct
 
     assert channels in (1, 3) and len(pixels) == w * h * channels

@@ -1,0 +1,363 @@
+"""Cross-implementation interop for the TIFF codec against the SYSTEM
+libtiff (round 13): TIFF is lossless, so both directions compare
+BIT-EXACTLY — no tolerance.
+
+Direction 1: libtiff reads files our ``encode_tiff`` produced (strip
+and tiled, 8- and 16-bit, both byte orders, every compression we
+emit, predictor, planar, WhiteIsZero) through ``TIFFReadRGBAImage``,
+whose 16-bit handling is the same high-byte view our decoder uses.
+Direction 2: libtiff WRITES files (``TIFFSetField`` +
+``TIFFWriteScanline`` / ``TIFFWriteTile``) and our
+``decode_tiff_pixels`` must reproduce the source samples exactly —
+including the round-13 tiled 16-bit path.
+
+libtiff reports errors by return value (no exit()/longjmp into us),
+but the driver still runs in a subprocess so a crash on a stream we
+mis-built is a loud test failure, not a dead pytest.  Skips when the
+shared library is absent.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import subprocess
+import sys
+
+import pytest
+
+from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+    decode_tiff_pixels,
+    encode_tiff,
+)
+
+LIB = "/usr/lib/x86_64-linux-gnu/libtiff.so.6"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(LIB), reason="system libtiff not present"
+)
+
+# Subprocess driver.  mode 'read': argv tiff-path; prints w h + base64
+# RGBA (TIFFReadRGBAImage order: bottom-up, R,G,B,A per pixel).
+# mode 'write': argv out-path w h spp bits compression predictor
+# tile_w tile_h photometric; samples (native-endian u8/u16) on stdin;
+# prints 'ok'.
+_HELPER = r"""
+import base64, ctypes, sys
+
+lt = ctypes.CDLL("%s")
+lt.TIFFOpen.restype = ctypes.c_void_p
+lt.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+
+TAG = dict(width=256, length=257, bits=258, compression=259, photometric=262,
+           spp=277, rps=278, planar=284, predictor=317,
+           tile_w=322, tile_h=323)
+
+mode = sys.argv[1]
+if mode == "readtiles":
+    # raw codec-layer read: TIFFReadEncodedTile per tile, bytes as
+    # stored (post-decompression, post-predictor), no RGBA conversion
+    tif = lt.TIFFOpen(sys.argv[2].encode(), b"r")
+    assert tif, "TIFFOpen failed"
+    t = ctypes.c_void_p(tif)
+    n_tiles = int(sys.argv[3])
+    tile_bytes = int(sys.argv[4])
+    out = []
+    for ti in range(n_tiles):
+        buf = ctypes.create_string_buffer(tile_bytes)
+        r = lt.TIFFReadEncodedTile(t, ctypes.c_uint32(ti), buf,
+                                   ctypes.c_ssize_t(tile_bytes))
+        assert r == tile_bytes, ("short tile", ti, r)
+        out.append(buf.raw)
+    lt.TIFFClose(t)
+    print(base64.b64encode(b"".join(out)).decode())
+elif mode == "read":
+    tif = lt.TIFFOpen(sys.argv[2].encode(), b"r")
+    assert tif, "TIFFOpen failed"
+    w = ctypes.c_uint32(0)
+    h = ctypes.c_uint32(0)
+    assert lt.TIFFGetField(ctypes.c_void_p(tif), ctypes.c_uint32(256),
+                           ctypes.byref(w))
+    assert lt.TIFFGetField(ctypes.c_void_p(tif), ctypes.c_uint32(257),
+                           ctypes.byref(h))
+    n = w.value * h.value
+    raster = (ctypes.c_uint32 * n)()
+    ok = lt.TIFFReadRGBAImage(ctypes.c_void_p(tif), w, h, raster, 0)
+    assert ok, "TIFFReadRGBAImage failed"
+    lt.TIFFClose(ctypes.c_void_p(tif))
+    print(w.value, h.value)
+    print(base64.b64encode(bytes(raster)).decode())
+else:
+    (out, w, h, spp, bits, comp, pred, tw, th, photo) = (
+        sys.argv[2], *(int(x) for x in sys.argv[3:12]))
+    data = base64.b64decode(sys.stdin.buffer.read())
+    tif = lt.TIFFOpen(out.encode(), b"w")
+    assert tif, "TIFFOpen(w) failed"
+    t = ctypes.c_void_p(tif)
+
+    def seti(tag, val):
+        assert lt.TIFFSetField(t, ctypes.c_uint32(tag), ctypes.c_int(val))
+
+    seti(TAG["width"], w)
+    seti(TAG["length"], h)
+    seti(TAG["bits"], bits)
+    seti(TAG["spp"], spp)
+    seti(TAG["photometric"], photo)
+    seti(TAG["planar"], 1)
+    seti(TAG["compression"], comp)
+    if pred:
+        seti(TAG["predictor"], 2)
+    sb = bits // 8
+    if tw:
+        seti(TAG["tile_w"], tw)
+        seti(TAG["tile_h"], th)
+        ta = (w + tw - 1) // tw
+        td = (h + th - 1) // th
+        tile_bytes = tw * th * spp * sb
+        for ty in range(td):
+            for tx in range(ta):
+                buf = bytearray(tile_bytes)
+                y0, x0 = ty * th, tx * tw
+                rows = min(th, h - y0)
+                cols = min(tw, w - x0)
+                for r in range(rows):
+                    src = ((y0 + r) * w + x0) * spp * sb
+                    dst = r * tw * spp * sb
+                    buf[dst : dst + cols * spp * sb] = data[
+                        src : src + cols * spp * sb]
+                cb = ctypes.create_string_buffer(bytes(buf), tile_bytes)
+                r = lt.TIFFWriteTile(t, cb, ctypes.c_uint32(x0),
+                                     ctypes.c_uint32(y0), ctypes.c_uint32(0),
+                                     ctypes.c_ushort(0))
+                assert r > 0, "TIFFWriteTile failed"
+    else:
+        seti(TAG["rps"], 5)
+        stride = w * spp * sb
+        for y in range(h):
+            row = ctypes.create_string_buffer(
+                data[y * stride : (y + 1) * stride], stride)
+            r = lt.TIFFWriteScanline(t, row, ctypes.c_uint32(y),
+                                     ctypes.c_ushort(0))
+            assert r == 1, "TIFFWriteScanline failed"
+    lt.TIFFClose(t)
+    print("ok")
+""" % LIB
+
+
+def _lib_read_rgba(tiff_bytes: bytes):
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".tif", delete=False) as f:
+        f.write(tiff_bytes)
+        path = f.name
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _HELPER, "read", path],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0, f"libtiff read failed: {r.stderr}"
+        dims, px64 = r.stdout.split("\n")[:2]
+        w, h = (int(x) for x in dims.split())
+        return w, h, base64.b64decode(px64)
+    finally:
+        os.unlink(path)
+
+
+def _lib_read_tiles(tiff_bytes: bytes, n_tiles: int, tile_bytes: int):
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".tif", delete=False) as f:
+        f.write(tiff_bytes)
+        path = f.name
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _HELPER, "readtiles", path,
+             str(n_tiles), str(tile_bytes)],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0, f"libtiff tile read failed: {r.stderr}"
+        return base64.b64decode(r.stdout.strip())
+    finally:
+        os.unlink(path)
+
+
+def _lib_write(w, h, spp, bits, comp, pred, tile, photo, samples: bytes):
+    import tempfile
+
+    path = tempfile.mktemp(suffix=".tif")
+    tw, th = tile if tile else (0, 0)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _HELPER, "write", path,
+             str(w), str(h), str(spp), str(bits), str(comp),
+             str(int(pred)), str(tw), str(th), str(photo)],
+            input=base64.b64encode(samples),
+            capture_output=True, timeout=120,
+        )
+        assert r.returncode == 0, f"libtiff write failed: {r.stderr!r}"
+        return open(path, "rb").read()
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
+
+
+def _rgba_to_ours(w, h, rgba: bytes, channels: int) -> bytes:
+    """TIFFReadRGBAImage raster (bottom-up ABGR-in-uint32, i.e. R,G,B,A
+    byte order on little-endian) -> our top-down gray/RGB bytes."""
+    out = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = rgba[y * w * 4 : (y + 1) * w * 4]
+        for x in range(w):
+            r, g, b = row[4 * x], row[4 * x + 1], row[4 * x + 2]
+            out += bytes([r] if channels == 1 else [r, g, b])
+    return bytes(out)
+
+
+def _gray8(w, h):
+    return bytes((40 + 5 * i) % 256 for i in range(w * h))
+
+
+def _rgb8(w, h):
+    return bytes((30 + 7 * i) % 256 for i in range(w * h * 3))
+
+
+# ------------------------------------------------------------------ #
+# direction 1: system libtiff reads OUR files — bit-exact
+# ------------------------------------------------------------------ #
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+@pytest.mark.parametrize(
+    "comp,pred",
+    [({}, False), ({"lzw": True}, True), ({"packbits": True}, False),
+     ({"deflate": True}, True)],
+)
+@pytest.mark.parametrize("ch", [1, 3])
+def test_libtiff_reads_our_8bit_strips(endian, comp, pred, ch):
+    w, h = 21, 13
+    px = _gray8(w, h) if ch == 1 else _rgb8(w, h)
+    blob = encode_tiff(
+        px, w, h, ch, endian=endian, predictor=pred,
+        rows_per_strip=5, **comp,
+    )
+    lw, lh, rgba = _lib_read_rgba(blob)
+    assert (lw, lh) == (w, h)
+    assert _rgba_to_ours(w, h, rgba, ch) == px
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+def test_libtiff_reads_our_16bit_strips(endian):
+    w, h = 21, 13
+    samples = [((40 + 5 * i) % 256) * 256 + (i % 256) for i in range(w * h)]
+    blob = encode_tiff(
+        samples, w, h, 1, endian=endian, predictor=True, lzw=True,
+        bits=16, rows_per_strip=5,
+    )
+    lw, lh, rgba = _lib_read_rgba(blob)
+    assert (lw, lh) == (w, h)
+    # RGBA's 16-bit path takes the high byte — our decode convention
+    exp = bytes((40 + 5 * i) % 256 for i in range(w * h))
+    assert _rgba_to_ours(w, h, rgba, 1) == exp
+    assert decode_tiff_pixels(blob)[3] == exp
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+def test_libtiff_reads_our_16bit_tiles_raw(endian):
+    """Tiled 16-bit, direction 1 via TIFFReadEncodedTile (the codec
+    layer, bit-exact).  Deliberately NOT via TIFFReadRGBAImage: its
+    16-bit grayscale converter corrupts the right-edge tile rows — it
+    does so on libtiff's OWN tiled-16 output too (verified while
+    building this suite; our decoder reads that same libtiff file
+    exactly), so the RGBA path would test the library's bug, not our
+    layout."""
+    import struct as _s
+
+    w, h = 21, 13
+    samples = [((40 + 5 * i) % 256) * 256 + (i % 256) for i in range(w * h)]
+    blob = encode_tiff(
+        samples, w, h, 1, endian=endian, predictor=True, lzw=True,
+        bits=16, tile=(16, 16),
+    )
+    tiles = _lib_read_tiles(blob, n_tiles=2, tile_bytes=16 * 16 * 2)
+    # expected tile contents: full-size zero-padded edge tiles;
+    # TIFFReadEncodedTile returns post-codec samples byte-swapped to
+    # HOST order (x86: little-endian), predictor already undone
+    for ti, x0 in enumerate((0, 16)):
+        exp_tile = []
+        for r in range(16):
+            for cx in range(16):
+                x, y = x0 + cx, r
+                exp_tile.append(
+                    samples[y * w + x] if (x < w and y < h) else 0
+                )
+        got = tiles[ti * 512 : (ti + 1) * 512]
+        assert got == _s.pack("<256H", *exp_tile), (endian, ti)
+    exp = bytes((40 + 5 * i) % 256 for i in range(w * h))
+    assert decode_tiff_pixels(blob)[3] == exp
+
+
+def test_libtiff_reads_our_planar_and_whitezero():
+    w, h = 21, 13
+    rgb = _rgb8(w, h)
+    blob = encode_tiff(rgb, w, h, 3, planar=True, lzw=True, predictor=True)
+    lw, lh, rgba = _lib_read_rgba(blob)
+    assert _rgba_to_ours(w, h, rgba, 3) == rgb
+    g = _gray8(w, h)
+    wiz = encode_tiff(g, w, h, 1, white_is_zero=True)
+    lw, lh, rgba = _lib_read_rgba(wiz)
+    # RGBA inverts WhiteIsZero, same as our decoder
+    assert _rgba_to_ours(w, h, rgba, 1) == g
+
+
+def test_libtiff_reads_our_8bit_tiled():
+    w, h = 21, 13
+    for comp in ({}, {"lzw": True}, {"deflate": True}):
+        for ch in (1, 3):
+            px = _gray8(w, h) if ch == 1 else _rgb8(w, h)
+            blob = encode_tiff(px, w, h, ch, tile=(16, 16),
+                               predictor="lzw" in comp, **comp)
+            lw, lh, rgba = _lib_read_rgba(blob)
+            assert _rgba_to_ours(w, h, rgba, ch) == px
+
+
+# ------------------------------------------------------------------ #
+# direction 2: OUR decoder reads libtiff-written files — bit-exact
+# ------------------------------------------------------------------ #
+
+
+@pytest.mark.parametrize(
+    "comp,pred",
+    [(1, False), (5, True), (32773, False), (8, True)],
+)
+@pytest.mark.parametrize("ch", [1, 3])
+def test_our_decoder_reads_libtiff_8bit_strips(comp, pred, ch):
+    w, h = 21, 13
+    px = _gray8(w, h) if ch == 1 else _rgb8(w, h)
+    photo = 1 if ch == 1 else 2
+    blob = _lib_write(w, h, ch, 8, comp, pred, None, photo, px)
+    assert decode_tiff_pixels(blob) == (w, h, ch, px)
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("comp,pred", [(5, True), (8, False)])
+def test_our_decoder_reads_libtiff_16bit(tiled, comp, pred):
+    import struct as _s
+
+    w, h = 21, 13
+    vals = [((40 + 5 * i) % 256) * 256 + (i % 256) for i in range(w * h)]
+    samples = _s.pack("<" + "H" * len(vals), *vals)  # x86 native order
+    blob = _lib_write(
+        w, h, 1, 16, comp, pred, (16, 16) if tiled else None, 1, samples
+    )
+    exp = bytes((40 + 5 * i) % 256 for i in range(w * h))
+    assert decode_tiff_pixels(blob) == (w, h, 1, exp)
+
+
+def test_our_decoder_reads_libtiff_8bit_tiled():
+    w, h = 21, 13
+    for comp, pred in ((1, False), (5, True), (8, False)):
+        for ch in (1, 3):
+            px = _gray8(w, h) if ch == 1 else _rgb8(w, h)
+            photo = 1 if ch == 1 else 2
+            blob = _lib_write(w, h, ch, 8, comp, pred, (16, 16), photo, px)
+            assert decode_tiff_pixels(blob) == (w, h, ch, px)
