@@ -2507,7 +2507,11 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     Tiled layout (tags 322-325, full-size edge-padded tiles) decodes
     through :func:`_decode_tiff_tiled` — 8- AND 16-bit (round 13; the
     chunky tiled path shares the strip path's sample-width predictor
-    and high-byte view).  JPEG-in-TIFF and other sample depths raise
+    and high-byte view).  NEW-STYLE JPEG-IN-TIFF (Compression 7,
+    TechNote 2: per-strip abbreviated JPEG streams + shared JPEGTables
+    tag, photometric gray/YCbCr) decodes through
+    :func:`_decode_tiff_jpeg` and the :mod:`.jpeg` codec.  Tiled
+    JPEG-in-TIFF, RGB-photometric JPEG and other sample depths raise
     ``NotImplementedError``.
 
     Returns ``(width, height, channels, pixels)`` row-major
@@ -2525,7 +2529,7 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("TIFF IFD offset out of range")
     (n_entries,) = struct.unpack(e + "H", b[ifd_off : ifd_off + 2])
     tags: dict[int, list[int]] = {}
-    type_size = {1: 1, 3: 2, 4: 4}
+    type_size = {1: 1, 3: 2, 4: 4, 7: 1}  # 7 = UNDEFINED (JPEGTables)
     for i in range(n_entries):
         off = ifd_off + 2 + 12 * i
         tag, typ = struct.unpack(e + "HH", b[off : off + 4])
@@ -2539,7 +2543,7 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         else:
             (voff,) = struct.unpack(e + "I", b[off + 8 : off + 12])
             raw = b[voff : voff + total]
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
         tags[tag] = list(struct.unpack(e + fmt * cnt, raw))
 
     def one(tag, default=None):
@@ -2565,6 +2569,18 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     predictor = one(317, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
+    if compression == 7:
+        # new-style JPEG-in-TIFF (round 13): per-strip abbreviated JPEG
+        # streams + optional shared JPEGTables (tag 347)
+        if 322 in tags or 323 in tags:
+            raise NotImplementedError("tiled JPEG-in-TIFF")
+        if photometric == 2:
+            raise NotImplementedError(
+                "JPEG-in-TIFF with photometric RGB (no transform marker)"
+            )
+        if photometric not in (1, 6) or bits[0] != 8 or predictor != 1:
+            raise NotImplementedError("JPEG-in-TIFF variant unsupported")
+        return _decode_tiff_jpeg(b, tags, one, w, h, spp, photometric)
     if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {compression}")
     if photometric not in (0, 1, 2):
@@ -3180,7 +3196,7 @@ def _read_ifd_numeric_tags(t: bytes) -> dict[int, list[int]]:
         raise ValueError("not a TIFF block")
     (ifd_off,) = struct.unpack(e + "I", t[4:8])
     out: dict[int, list[int]] = {}
-    type_size = {1: 1, 3: 2, 4: 4}
+    type_size = {1: 1, 3: 2, 4: 4, 7: 1}  # 7 = UNDEFINED (JPEGTables)
     (n_entries,) = struct.unpack(e + "H", t[ifd_off : ifd_off + 2])
     for i in range(n_entries):
         off = ifd_off + 2 + 12 * i
@@ -3194,7 +3210,7 @@ def _read_ifd_numeric_tags(t: bytes) -> dict[int, list[int]]:
         else:
             (voff,) = struct.unpack(e + "I", t[off + 8 : off + 12])
             raw = t[voff : voff + sz]
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
         out[tag] = list(struct.unpack(e + fmt * cnt, raw))
     return out
 
@@ -3363,3 +3379,141 @@ def _decode_tiff_tiled(
     if photometric == 0:
         px = bytes(255 - v for v in px)
     return w, h, channels, px
+
+
+def _decode_tiff_jpeg(b: bytes, tags, one, w: int, h: int, spp: int,
+                      photometric: int):
+    """New-style JPEG-in-TIFF (Compression 7, TIFF TechNote 2) strip
+    decode: each strip is an abbreviated (or self-contained) JPEG
+    stream; the optional JPEGTables tag (347) carries shared DQT/DHT/
+    DAC segments that are spliced after each strip's SOI before it is
+    handed to :func:`~..jpeg.decode_jpeg_pixels`.  Photometric 6
+    (YCbCr) is the JPEG codec's own business — its decode already
+    returns RGB; photometric 1 is grayscale.  Strips assemble by rows
+    exactly like the baseline strip path."""
+    from .jpeg import decode_jpeg_pixels
+
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip layout missing/inconsistent")
+    rows_per_strip = one(278, h)
+    channels = 1 if photometric == 1 else 3
+    if spp != channels:
+        raise ValueError("SamplesPerPixel inconsistent with photometric")
+
+    mid = b""
+    jt = tags.get(347)
+    if jt:
+        tb = bytes(jt)
+        if tb[:2] != b"\xff\xd8" or tb[-2:] != b"\xff\xd9":
+            raise ValueError("JPEGTables not SOI..EOI delimited")
+        mid = tb[2:-2]
+
+    out = bytearray()
+    for si, (so, sc) in enumerate(zip(offsets, counts)):
+        strip = b[so : so + sc]
+        if len(strip) != sc:
+            raise ValueError("TIFF strip truncated")
+        if strip[:2] != b"\xff\xd8":
+            raise ValueError("JPEG-in-TIFF strip missing SOI")
+        merged = b"\xff\xd8" + mid + strip[2:]
+        sw, sh, scc, px = decode_jpeg_pixels(merged)
+        rows = min(rows_per_strip, h - si * rows_per_strip)
+        if sw != w or scc != channels or sh < rows:
+            raise ValueError(
+                f"JPEG-in-TIFF strip {si} decodes {sw}x{sh}x{scc}, "
+                f"expected {w}x>={rows}x{channels}"
+            )
+        out += px[: rows * w * channels]
+    return w, h, channels, bytes(out)
+
+
+def encode_tiff_jpeg(
+    pixels: bytes, w: int, h: int, channels: int,
+    quality: int = 90, rows_per_strip: int = 8,
+    shared_tables: bool = False, subsample: bool = False,
+) -> bytes:
+    """JPEG-in-TIFF builder (fixture twin of :func:`_decode_tiff_jpeg`):
+    each strip is a real :func:`~.jpeg.encode_jpeg` stream of that
+    strip's rows.  ``shared_tables=True`` moves every DQT/DHT segment
+    out of the strips into a JPEGTables tag (347) — the abbreviated-
+    stream form real writers emit — by walking each strip's markers
+    and dropping the table segments (they are identical across strips
+    by construction)."""
+    import struct
+
+    from .jpeg import encode_jpeg
+
+    assert channels in (1, 3) and len(pixels) == w * h * channels
+    strips = []
+    tables_blob = None
+    for r0 in range(0, h, rows_per_strip):
+        rows = min(rows_per_strip, h - r0)
+        seg = pixels[r0 * w * channels : (r0 + rows) * w * channels]
+        blob = encode_jpeg(seg, w, rows, channels, quality=quality,
+                           subsample=subsample)
+        if shared_tables:
+            # split table segments (DQT 0xDB / DHT 0xC4) out of the stream
+            kept = bytearray(b"\xff\xd8")
+            tabs = bytearray()
+            pos = 2
+            while pos < len(blob):
+                assert blob[pos] == 0xFF
+                marker = blob[pos + 1]
+                if marker == 0xD9:
+                    kept += blob[pos : pos + 2]
+                    break
+                if marker == 0xDA:  # SOS: entropy data to EOI, verbatim
+                    kept += blob[pos:]
+                    break
+                (seg_len,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+                chunk = blob[pos : pos + 2 + seg_len]
+                if marker in (0xDB, 0xC4):
+                    tabs += chunk
+                else:
+                    kept += chunk
+                pos += 2 + seg_len
+            strips.append(bytes(kept))
+            if tables_blob is None:
+                tables_blob = b"\xff\xd8" + bytes(tabs) + b"\xff\xd9"
+        else:
+            strips.append(blob)
+
+    photometric = 1 if channels == 1 else 6  # gray / YCbCr (in-JPEG)
+    data_off = 8
+    offsets, pos = [], data_off
+    for sdata in strips:
+        offsets.append(pos)
+        pos += len(sdata)
+    entries = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * channels),
+        (259, 3, [7]), (262, 3, [photometric]), (277, 3, [channels]),
+        (273, 4, offsets), (278, 4, [rows_per_strip]),
+        (279, 4, [len(s) for s in strips]), (284, 3, [1]),
+    ]
+    if tables_blob is not None:
+        # payload > 4 bytes, so it lives in the ext area after the IFD
+        entries.append((347, 7, list(tables_blob)))
+    ifd_off = pos
+    entries.sort()
+    type_size = {3: 2, 4: 4, 7: 1}
+    fmt = {3: "H", 4: "I", 7: "B"}
+    ext = bytearray()
+    ext_base = ifd_off + 2 + 12 * len(entries) + 4
+    body = bytearray()
+    for tag, typ, vals in entries:
+        total = type_size[typ] * len(vals)
+        body += struct.pack("<HHI", tag, typ, len(vals))
+        packed = struct.pack("<" + fmt[typ] * len(vals), *vals)
+        if total <= 4:
+            body += packed + b"\x00" * (4 - total)
+        else:
+            body += struct.pack("<I", ext_base + len(ext))
+            ext += packed
+    out = bytearray(b"II*\x00") + struct.pack("<I", ifd_off)
+    for sdata in strips:
+        out += sdata
+    out += struct.pack("<H", len(entries)) + body + struct.pack("<I", 0)
+    out += ext
+    return bytes(out)

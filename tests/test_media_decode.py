@@ -792,7 +792,10 @@ def test_tiff_roundtrip_matrix_and_guards():
         off = ifd_off + 2 + 12 * i
         tag = _st.unpack("<H", blob[off : off + 2])[0]
         if tag == 259:
-            blob[off + 8 : off + 10] = _st.pack("<H", 7)
+            # old-style JPEG (6) stays a guard; NEW-style (7) decodes
+            # since round 13 (test_tiff_jpeg_in_tiff_round_trips) —
+            # relabeling raw strips as 7 is corrupt data, not a guard
+            blob[off + 8 : off + 10] = _st.pack("<H", 6)
     with pytest.raises(NotImplementedError, match="compression"):
         decode_tiff_pixels(bytes(blob))
     with pytest.raises(ValueError, match="not a TIFF"):
@@ -1415,3 +1418,51 @@ def test_bmp_core_header_round_trips():
     v2[14:18] = struct.pack("<I", 16)
     with pytest.raises(NotImplementedError, match="DIB header size"):
         decode_bmp_pixels(bytes(v2))
+
+
+def test_tiff_jpeg_in_tiff_round_trips():
+    """New-style JPEG-in-TIFF (Compression 7, round 13): per-strip
+    abbreviated JPEG streams, both the self-contained and the shared
+    JPEGTables (tag 347) forms, gray + color + 4:2:0; decode must
+    equal per-strip decode of the same encode_jpeg streams exactly."""
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        encode_tiff_jpeg,
+    )
+
+    w, h = 21, 19
+    gray = bytes((40 + 2 * (i % w) + 3 * (i // w)) for i in range(w * h))
+    rgb = bytearray()
+    for y in range(h):
+        for x in range(w):
+            rgb += bytes((40 + 2 * x + y, 200 - x - 2 * y, 30 + x + 3 * y))
+    for ch, px in ((1, gray), (3, bytes(rgb))):
+        for shared in (False, True):
+            subs = (False,) if ch == 1 else (False, True)
+            for sub in subs:
+                q = 100 if ch == 1 else 85
+                blob = encode_tiff_jpeg(
+                    px, w, h, ch, quality=q, rows_per_strip=8,
+                    shared_tables=shared, subsample=sub,
+                )
+                dw, dh, dc, out = decode_tiff_pixels(blob)
+                assert (dw, dh, dc) == (w, h, ch)
+                exp = bytearray()
+                for r0 in range(0, h, 8):
+                    rows = min(8, h - r0)
+                    seg = px[r0 * w * ch : (r0 + rows) * w * ch]
+                    j = encode_jpeg(seg, w, rows, ch, quality=q,
+                                    subsample=sub)
+                    exp += decode_jpeg_pixels(j)[3]
+                assert out == bytes(exp), (ch, shared, sub)
+    # tiled and RGB-photometric variants stay loud guards
+    blob = encode_tiff_jpeg(gray, w, h, 1)
+    mutated = bytearray(blob)
+    i = mutated.find((262).to_bytes(2, "little"))
+    mutated[i + 8] = 2  # photometric RGB
+    with pytest.raises(NotImplementedError, match="photometric RGB"):
+        decode_tiff_pixels(bytes(mutated))

@@ -105,6 +105,10 @@ else:
     seti(TAG["photometric"], photo)
     seti(TAG["planar"], 1)
     seti(TAG["compression"], comp)
+    if comp == 7:
+        seti(65537, 90)       # JPEGQUALITY pseudo-tag
+        if spp == 3:
+            seti(65538, 1)    # JPEGCOLORMODE_RGB: RGB scanlines in
     if pred:
         seti(TAG["predictor"], 2)
     sb = bits // 8
@@ -131,7 +135,7 @@ else:
                                      ctypes.c_ushort(0))
                 assert r > 0, "TIFFWriteTile failed"
     else:
-        seti(TAG["rps"], 5)
+        seti(TAG["rps"], 16 if comp == 7 else 5)
         stride = w * spp * sb
         for y in range(h):
             row = ctypes.create_string_buffer(
@@ -361,3 +365,70 @@ def test_our_decoder_reads_libtiff_8bit_tiled():
             photo = 1 if ch == 1 else 2
             blob = _lib_write(w, h, ch, 8, comp, pred, (16, 16), photo, px)
             assert decode_tiff_pixels(blob) == (w, h, ch, px)
+
+
+# ------------------------------------------------------------------ #
+# JPEG-in-TIFF (Compression 7, round 13)
+# ------------------------------------------------------------------ #
+
+
+def _close(a: bytes, b: bytes, tol: int):
+    import numpy as np
+
+    xa = np.frombuffer(a, dtype=np.uint8).astype(np.int16)
+    xb = np.frombuffer(b, dtype=np.uint8).astype(np.int16)
+    d = np.abs(xa - xb)
+    assert d.max() <= tol, f"max pixel diff {d.max()} > {tol}"
+    assert d.mean() <= 1.0, f"mean pixel diff {d.mean():.2f} > 1.0"
+
+
+@pytest.mark.parametrize("ch", [1, 3])
+@pytest.mark.parametrize("shared", [False, True])
+def test_libtiff_reads_our_jpeg_in_tiff(ch, shared):
+    """Direction 1: libtiff's JPEG codec (its libjpeg) decodes our
+    compression-7 strips, both self-contained and shared-JPEGTables
+    forms; 4:4:4 fixtures so only IDCT rounding differs."""
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        encode_tiff_jpeg,
+    )
+
+    w, h = 21, 19
+    if ch == 1:
+        px = bytes((40 + 2 * (i % w) + 3 * (i // w)) for i in range(w * h))
+    else:
+        buf = bytearray()
+        for y in range(h):
+            for x in range(w):
+                buf += bytes((40 + 2 * x + y, 200 - x - 2 * y,
+                              30 + x + 3 * y))
+        px = bytes(buf)
+    blob = encode_tiff_jpeg(px, w, h, ch, quality=90, rows_per_strip=8,
+                            shared_tables=shared)
+    lw, lh, rgba = _lib_read_rgba(blob)
+    assert (lw, lh) == (w, h)
+    ours = decode_tiff_pixels(blob)
+    assert (ours[0], ours[1], ours[2]) == (w, h, ch)
+    _close(_rgba_to_ours(w, h, rgba, ch), ours[3], tol=3 if ch == 1 else 4)
+
+
+@pytest.mark.parametrize("ch", [1, 3])
+def test_our_decoder_reads_libtiff_jpeg_in_tiff(ch):
+    """Direction 2: libtiff WRITES compression-7 (JPEGTables +
+    abbreviated strips, photometric YCbCr for color) and our decoder
+    must agree with libtiff's own read of the same lossy file."""
+    w, h = 21, 19
+    if ch == 1:
+        px = bytes((40 + 2 * (i % w) + 3 * (i // w)) for i in range(w * h))
+    else:
+        buf = bytearray()
+        for y in range(h):
+            for x in range(w):
+                buf += bytes((40 + 2 * x + y, 200 - x - 2 * y,
+                              30 + x + 3 * y))
+        px = bytes(buf)
+    photo = 1 if ch == 1 else 6
+    blob = _lib_write(w, h, ch, 8, 7, False, None, photo, px)
+    ow, oh, oc, opx = decode_tiff_pixels(blob)
+    assert (ow, oh, oc) == (w, h, ch)
+    lw, lh, rgba = _lib_read_rgba(blob)
+    _close(opx, _rgba_to_ours(w, h, rgba, ch), tol=3 if ch == 1 else 4)
