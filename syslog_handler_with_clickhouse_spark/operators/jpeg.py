@@ -1095,12 +1095,14 @@ def _coefs_to_pixels(
 # ---------------------------------------------------------------------
 # progressive (SOF2), spectral-selection mode
 # ---------------------------------------------------------------------
-# Progressive JPEG sends the DCT coefficients in multiple scans.  The
-# SPECTRAL-SELECTION axis (each scan carries a band [Ss..Se] of
-# coefficients, fully) is implemented here for 4:4:4 / grayscale;
-# the SUCCESSIVE-APPROXIMATION axis (bitplane refinement, Ah/Al != 0)
-# and progressive-with-subsampling raise NotImplementedError — format
-# guards, same policy as 12-bit/arithmetic.
+# Progressive JPEG sends the DCT coefficients in multiple scans.  Both
+# axes are implemented for 4:4:4 / grayscale: the SPECTRAL-SELECTION
+# axis (each scan carries a band [Ss..Se] of coefficients, fully) below,
+# and the SUCCESSIVE-APPROXIMATION axis (bitplane refinement,
+# Ah/Al != 0) further down; arithmetic-coded progressive (SOF10) lives
+# in the QM section.  Progressive-with-subsampling raises
+# NotImplementedError — a format guard, same policy as the remaining
+# hierarchical (SOF5-7/13-15) modes.
 #
 # Non-interleaved AC scans use EOB RUNS: the EOBn symbol (s=0, r<15)
 # ends the current block's band AND declares the next 2^r - 1 +
@@ -2289,9 +2291,14 @@ class _QMEncoder:
         if t > 0xFF:
             # carry: walk back over any 0xFF run (D.1.8's stack case)
             i = len(self.raw) - 1
-            while self.raw[i] == 0xFF:
+            while i >= 0 and self.raw[i] == 0xFF:
                 self.raw[i] = 0x00
                 i -= 1
+            if i < 0:
+                # unreachable for a well-formed coder (C + A <= 2^16
+                # << shifts bounds the carry); fail loudly rather than
+                # let Python's negative indexing corrupt the stream
+                raise AssertionError("QM carry propagated past stream start")
             self.raw[i] += 1
             t &= 0xFF
         self.raw.append(t)

@@ -3418,8 +3418,14 @@ def _decode_tiff_jpeg(b: bytes, tags, one, w: int, h: int, spp: int,
         if strip[:2] != b"\xff\xd8":
             raise ValueError("JPEG-in-TIFF strip missing SOI")
         merged = b"\xff\xd8" + mid + strip[2:]
-        sw, sh, scc, px = decode_jpeg_pixels(merged)
         rows = min(rows_per_strip, h - si * rows_per_strip)
+        if rows <= 0:
+            # more strips than needed to cover ImageLength: a negative
+            # slice bound below would silently append most of the strip
+            raise ValueError(
+                f"JPEG-in-TIFF strip {si} starts past image height {h}"
+            )
+        sw, sh, scc, px = decode_jpeg_pixels(merged)
         if sw != w or scc != channels or sh < rows:
             raise ValueError(
                 f"JPEG-in-TIFF strip {si} decodes {sw}x{sh}x{scc}, "

@@ -101,6 +101,18 @@ def test_qm_coder_bit_roundtrip(seed, p):
     assert area2 == area  # estimation state machines marched in lockstep
 
 
+def test_qm_coder_carry_past_start_raises():
+    # a carry that would propagate past the first emitted byte is
+    # unreachable for a well-formed coder (C + A <= 2^16 << shifts);
+    # the walk-back must fail loudly instead of letting Python's
+    # negative indexing wrap around and corrupt the last byte
+    enc = _QMEncoder()
+    enc.raw = bytearray([0xFF])
+    enc.c = 0x100 << 19  # t = C >> 19 > 0xFF -> carry
+    with pytest.raises(AssertionError, match="carry"):
+        enc._byteout()
+
+
 def test_qm_coder_carry_and_stuffing_paths():
     # all-LPS-then-all-MPS on a skewed state drives C toward the top of
     # the interval, forcing carry walks; the stuffing assert inside

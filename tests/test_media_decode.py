@@ -1420,6 +1420,36 @@ def test_bmp_core_header_round_trips():
         decode_bmp_pixels(bytes(v2))
 
 
+def test_tiff_jpeg_excess_strips_rejected():
+    """A malformed JPEG-in-TIFF carrying more strips than ImageLength
+    needs must raise, not silently append pixels past the image (the
+    rows bound would otherwise go negative and slice most of the
+    extra strip into the output buffer)."""
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        _decode_tiff_jpeg,
+    )
+
+    w, h, rps = 9, 19, 8  # 3 strips cover 8 + 8 + 3 rows
+    strips, buf = [], bytearray()
+    for r0 in range(0, h, rps):
+        rows = min(rps, h - r0)
+        seg = bytes((30 + x + y) & 0xFF for y in range(rows)
+                    for x in range(w))
+        j = encode_jpeg(seg, w, rows, 1, quality=100)
+        strips.append((len(buf), len(j)))
+        buf += j
+    # duplicate the last strip: a 4th strip starts past row 19
+    strips.append(strips[-1])
+    tags = {273: [o for o, _ in strips], 279: [c for _, c in strips],
+            278: [rps]}
+    one = lambda t, d: tags.get(t, [d])[0]
+    with pytest.raises(ValueError, match="past image height"):
+        _decode_tiff_jpeg(bytes(buf), tags, one, w, h, 1, 1)
+
+
 def test_tiff_jpeg_in_tiff_round_trips():
     """New-style JPEG-in-TIFF (Compression 7, round 13): per-strip
     abbreviated JPEG streams, both the self-contained and the shared
