@@ -30,14 +30,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from scripts.funnel_scale_bench import _stage_delta  # noqa: E402
 from scripts.scale_bench import synth_corpus  # noqa: E402
 from syslog_handler_with_clickhouse_spark.functions.text import (  # noqa: E402
     TOKEN_RE,
-    shingles,
 )
 from syslog_handler_with_clickhouse_spark.metrics import (  # noqa: E402
     _completed_stages,
@@ -47,6 +45,7 @@ from syslog_handler_with_clickhouse_spark.operators.dedup import (  # noqa: E402
 )
 from syslog_handler_with_clickhouse_spark.operators.retrieval import (  # noqa: E402
     bm25_topk,
+    rrf_hybrid_topk,
 )
 from syslog_handler_with_clickhouse_spark.session import get_spark  # noqa: E402
 
@@ -71,57 +70,6 @@ def scoped(spark, est_df, fn):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", sess)
         spark.conf.set(_ADV_KEY, adv)
-
-
-def _rrf(docs, queries_df):
-    """q413's RRF composition verbatim (BM25 top-20 + Jaccard top-20,
-    integer RRF, top-3 per query) on an explicit query frame."""
-    a = bm25_topk(docs, queries_df, k=20, max_df_num=9, max_df_den=10).select(
-        "query_id", "doc_id", F.col("rank").alias("rk_a")
-    )
-    sh = docs.select(
-        F.col("doc_id").alias("doc"),
-        F.explode(shingles(F.col("text"), 3)).alias("shingle"),
-    )
-    n_sh = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    shn = sh.join(n_sh, "doc")
-    qids = queries_df.select(F.col("query_id").alias("doc"))
-    qsh = shn.join(F.broadcast(qids), "doc").select(
-        F.col("doc").alias("query_id"), F.col("n_sh").alias("qn"), "shingle"
-    )
-    jp = (
-        qsh.join(shn, "shingle")
-        .filter(F.col("doc") != F.col("query_id"))
-        .groupBy("query_id", F.col("doc").alias("doc_id"), "qn", "n_sh")
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .select(
-            "query_id",
-            "doc_id",
-            F.expr("inter * 1000000 DIV (qn + n_sh - inter)").alias("sp"),
-        )
-    )
-    wb = Window.partitionBy("query_id").orderBy(
-        F.col("sp").desc(), F.col("doc_id").asc()
-    )
-    b = (
-        jp.withColumn("rk_b", F.row_number().over(wb))
-        .filter(F.col("rk_b") <= 20)
-        .select("query_id", "doc_id", "rk_b")
-    )
-    fused = a.join(b, ["query_id", "doc_id"], "full_outer").select(
-        "query_id",
-        "doc_id",
-        (
-            F.coalesce(F.expr("1000000 DIV (60 + rk_a)"), F.lit(0))
-            + F.coalesce(F.expr("1000000 DIV (60 + rk_b)"), F.lit(0))
-        ).alias("rrf"),
-    )
-    wf = Window.partitionBy("query_id").orderBy(
-        F.col("rrf").desc(), F.col("doc_id").asc()
-    )
-    return fused.withColumn("rk", F.row_number().over(wf)).filter(
-        F.col("rk") <= 3
-    )
 
 
 def main():
@@ -188,12 +136,19 @@ def main():
 
         # timed: median-of-3 warm runs, shuffle attributed per run
         for name, frame_fn in (
-            # bm25_topk derives its own width; the RRF composition's
-            # jaccard leg is the script's, so it runs under scoped()
+            # bm25_topk and rrf_hybrid_topk derive their own widths
+            # (round 14: the RRF composition moved into the operator)
             ("bm25", lambda: bm25_topk(docs, queries_df, k=5).count()),
-            ("rrf", lambda: scoped(
-                spark, tok, lambda: _rrf(docs, queries_df).count()
-            )),
+            ("rrf", lambda: rrf_hybrid_topk(
+                docs, queries_df, k_leg=20, k_out=3
+            ).count()),
+            # q458's capped form: jaccard_max_df=4 drops the
+            # cluster-shared body shingles (df ~= CLUSTER_SIZE), the
+            # same hot-shingle tail the cap exists for — the spill
+            # delta vs "rrf" is the contract's measured payoff
+            ("rrf_capped", lambda: rrf_hybrid_topk(
+                docs, queries_df, k_leg=20, k_out=3, jaccard_max_df=4
+            ).count()),
         ):
             walls, shuf = [], []
             for _ in range(3):

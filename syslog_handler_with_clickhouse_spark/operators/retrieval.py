@@ -202,3 +202,173 @@ def _bm25_plan(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "score")
     )
+
+
+def rrf_hybrid_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k_leg: int = 20,
+    k_out: int = 3,
+    bm25_max_df_num: int = 9,
+    bm25_max_df_den: int = 10,
+    jaccard_max_df: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack 2009) of a BM25 leg and a
+    shingle-Jaccard leg — the q413/q458 composition as one operator.
+
+    Leg A is :func:`bm25_topk` (top ``k_leg`` per query).  Leg B ranks
+    by exact 3-gram shingle Jaccard in integer ppm; fusion is
+    Σ 1 000 000 div (60 + rank) over a (query, doc)-keyed full outer
+    join of the two ≤``k_leg``-row-per-query lists, keeping the top
+    ``k_out`` fused rows per query.
+
+    ``jaccard_max_df`` engages the q195 stop-shingle cap on leg B:
+    shingles whose document frequency exceeds the cap are dropped
+    BEFORE per-doc counts, so Jaccard is computed over KEPT shingles
+    only (the established q195 semantic — values change, which is why
+    the capped form is a separate oracled contract, q458, not a silent
+    rewrite of q413).  This is leg B's scale guard: the uncapped
+    shingle self-join fans out Σ df² over hot shingles —
+    bm25_scale_r13 measured 11.3 GB of disk spill at 20 M docs from
+    exactly this — while the cap bounds every posting list the join
+    touches, the same way BM25's max_df bounds leg A.
+
+    Big-corpus posture mirrors :func:`bm25_topk`: when the
+    plan-estimated shingle explode exceeds the session shuffle width,
+    the leg-B plan is materialized under a scoped width + 4 MB AQE
+    advisory and the tiny fused top-k is checkpointed; at small SF the
+    plan stays lazy (oracle/plan pins unaffected).
+    """
+    from ..functions.text import shingles
+
+    a = bm25_topk(
+        docs, queries, k=k_leg,
+        max_df_num=bm25_max_df_num, max_df_den=bm25_max_df_den,
+    ).select("query_id", "doc_id", F.col("rank").alias("rk_a"))
+
+    spark = docs.sparkSession
+    sh0 = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(shingles(F.col("text"), 3)).alias("shingle"),
+    )
+    sess = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    width = _size_floor(sh0)
+    if width > sess:
+        from pyspark import StorageLevel
+
+        adv_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        sess_adv = spark.conf.get(adv_key)
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(width))
+            spark.conf.set(adv_key, str(4 << 20))
+            b = _rrf_jaccard_leg(
+                docs, queries, k_leg, jaccard_max_df, width=width
+            )
+            fused = _rrf_fuse(a, b, k_out).localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+            return fused
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
+            spark.conf.set(adv_key, sess_adv)
+    b = _rrf_jaccard_leg(docs, queries, k_leg, jaccard_max_df)
+    return _rrf_fuse(a, b, k_out)
+
+
+def _rrf_jaccard_leg(
+    docs: DataFrame,
+    queries: DataFrame,
+    k_leg: int,
+    jaccard_max_df: int | None,
+    width: int = 0,
+) -> DataFrame:
+    """Leg B of :func:`rrf_hybrid_topk`: exact shingle-Jaccard top-k
+    per query (query_id, doc_id, rk_b).  Shingle-keyed inverted-index
+    join, never all-pairs; the optional ``jaccard_max_df`` drop happens
+    before per-doc counts (Jaccard over kept shingles, q195).  When
+    ``width`` is set the narrow doc rows are hash-repartitioned before
+    the explode (the _bm25_plan posture — ship ~50 B rows, fan out on
+    the wide side)."""
+    from ..functions.text import shingles
+
+    if width:
+        docs = docs.repartition(width, F.col("doc_id"))
+    sh = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(shingles(F.col("text"), 3)).alias("shingle"),
+    )
+    if jaccard_max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_cnt"))
+            .filter(F.col("df_cnt") <= jaccard_max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    n_sh = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    shn = sh.join(n_sh, "doc")
+    qids = queries.select(F.col("query_id").alias("doc")).distinct()
+    qsh = shn.join(F.broadcast(qids), "doc").select(
+        F.col("doc").alias("query_id"),
+        F.col("n_sh").alias("qn"),
+        "shingle",
+    )
+    jp = (
+        qsh.join(shn, "shingle")
+        .filter(F.col("doc") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc").alias("doc_id"), "qn", "n_sh")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr("inter * 1000000 DIV (qn + n_sh - inter)").alias(
+                "score_ppm"
+            ),
+        )
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("score_ppm").desc(), F.col("doc_id").asc()
+    )
+    return (
+        jp.withColumn("rk_b", F.row_number().over(wb))
+        .filter(F.col("rk_b") <= k_leg)
+        .select("query_id", "doc_id", "rk_b")
+    )
+
+
+def _rrf_fuse(a: DataFrame, b: DataFrame, k_out: int) -> DataFrame:
+    """Integer RRF fusion of two ranked lists (full outer on (query,
+    doc) — a doc missing from one leg contributes nothing) and the
+    top-``k_out`` cut, the q413 output contract."""
+    fused = a.join(b, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(F.expr("1000000 DIV (60 + rk_a)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 DIV (60 + rk_b)"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rrf_score"),
+        F.coalesce("rk_a", F.lit(0)).cast("int").alias("bm25_rank"),
+        F.coalesce("rk_b", F.lit(0)).cast("int").alias("jaccard_rank"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= k_out)
+        .select(
+            "query_id",
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+            "doc_id",
+            "rrf_score",
+            "bm25_rank",
+            "jaccard_rank",
+        )
+    )

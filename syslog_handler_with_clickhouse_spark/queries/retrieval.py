@@ -882,76 +882,19 @@ def q413(spark, sf_dir):
     missing from one list simply contributes nothing (the outer-join
     semantics RRF is loved for).  Both legs are token/shingle-keyed
     inverted-index joins; fusion is one (query, doc)-keyed full outer
-    join over two ≤20-row-per-query lists — negligible at any scale."""
-    from pyspark.sql import Window
+    join over two ≤20-row-per-query lists — negligible at any scale.
 
-    from ..functions.text import shingles
-    from ..operators.retrieval import bm25_topk
+    This is the EXACT form (uncapped Jaccard leg — the verify tier);
+    q458 is the same operator with the q195 stop-shingle cap engaged,
+    the form that holds at 100 TB (`operators/retrieval.py:
+    rrf_hybrid_topk`)."""
+    from ..operators.retrieval import rrf_hybrid_topk
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     queries_df = docs.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    a = bm25_topk(docs, queries_df, k=20, max_df_num=9, max_df_den=10).select(
-        "query_id", "doc_id", F.col("rank").alias("rk_a")
-    )
-    sh = docs.select(
-        F.col("doc_id").alias("doc"),
-        F.explode(shingles(F.col("text"), 3)).alias("shingle"),
-    )
-    n_sh = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    shn = sh.join(n_sh, "doc")
-    qsh = shn.filter(F.col("doc") % 50 == 0).select(
-        F.col("doc").alias("query_id"),
-        F.col("n_sh").alias("qn"),
-        "shingle",
-    )
-    jp = (
-        qsh.join(shn, "shingle")
-        .filter(F.col("doc") != F.col("query_id"))
-        .groupBy("query_id", F.col("doc").alias("doc_id"), "qn", "n_sh")
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .select(
-            "query_id",
-            "doc_id",
-            F.expr("inter * 1000000 DIV (qn + n_sh - inter)").alias("score_ppm"),
-        )
-    )
-    wb = Window.partitionBy("query_id").orderBy(
-        F.col("score_ppm").desc(), F.col("doc_id").asc()
-    )
-    b = (
-        jp.withColumn("rk_b", F.row_number().over(wb))
-        .filter(F.col("rk_b") <= 20)
-        .select("query_id", "doc_id", "rk_b")
-    )
-    fused = a.join(b, ["query_id", "doc_id"], "full_outer").select(
-        "query_id",
-        "doc_id",
-        (
-            F.coalesce(F.expr("1000000 DIV (60 + rk_a)"), F.lit(0))
-            + F.coalesce(F.expr("1000000 DIV (60 + rk_b)"), F.lit(0))
-        )
-        .cast("bigint")
-        .alias("rrf_score"),
-        F.coalesce("rk_a", F.lit(0)).cast("int").alias("bm25_rank"),
-        F.coalesce("rk_b", F.lit(0)).cast("int").alias("jaccard_rank"),
-    )
-    wf = Window.partitionBy("query_id").orderBy(
-        F.col("rrf_score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        fused.withColumn("fused_rank", F.row_number().over(wf))
-        .filter(F.col("fused_rank") <= 3)
-        .select(
-            "query_id",
-            F.col("fused_rank").cast("int").alias("fused_rank"),
-            "doc_id",
-            "rrf_score",
-            "bm25_rank",
-            "jaccard_rank",
-        )
-    )
+    return rrf_hybrid_topk(docs, queries_df, k_leg=20, k_out=3)
 
 
 @query(
@@ -1949,3 +1892,115 @@ def q452(spark, sf_dir):
         F.element_at("r", 2).cast("int").alias("r2"),
         F.element_at("r", 3).cast("int").alias("r3"),
     ).orderBy("user_id")
+
+
+@query(
+    "q458_rrf_hybrid_capped",
+    """
+    WITH tok AS (
+      SELECT doc_id, t AS token
+      FROM documents, UNNEST(regexp_extract_all(lower(text), '{re}')) AS u(t)
+    ), postings AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs,
+             (COUNT(*) * 1000) // COUNT(DISTINCT doc_id) AS am
+      FROM tok
+    ), dfq AS (
+      SELECT token, COUNT(*) AS dfreq FROM postings GROUP BY token
+    ), qterms AS (
+      SELECT DISTINCT doc_id AS query_id, token FROM tok WHERE doc_id % 50 = 0
+    ), term_scores AS (
+      SELECT q.query_id, p.doc_id,
+             (s.n_docs // d.dfreq)
+             * ((22 * p.tf * s.am * 1000000)
+                // (10 * p.tf * s.am + 3 * s.am + 9000 * l.dl)) AS term_score
+      FROM qterms q
+      JOIN dfq d ON q.token = d.token
+      CROSS JOIN stats s
+      JOIN postings p ON p.token = q.token
+      JOIN dl l ON l.doc_id = p.doc_id
+      WHERE d.dfreq * 10 <= s.n_docs * 9 AND p.doc_id <> q.query_id
+    ), bm25 AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY SUM(term_score) DESC, doc_id) AS rk_a
+      FROM (SELECT query_id, doc_id, term_score FROM term_scores)
+      GROUP BY query_id, doc_id
+      QUALIFY rk_a <= 20
+    ), sh0 AS (
+      SELECT doc_id AS doc, unnest(shl) AS shingle
+      FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> array_to_string(
+                        list_slice(string_split(text, ' '), i, i + 2), ' ')
+               )) AS shl
+        FROM documents
+      )
+    ), keep AS (
+      SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 4
+    ), shk AS (
+      SELECT sh0.doc, sh0.shingle FROM sh0 JOIN keep USING (shingle)
+    ), cnts AS (
+      SELECT doc, COUNT(*) AS n_sh FROM shk GROUP BY doc
+    ), jpairs AS (
+      SELECT q.doc AS query_id, d.doc AS doc_id,
+             (COUNT(*) * 1000000)
+               // (cq.n_sh + cd.n_sh - COUNT(*)) AS score_ppm
+      FROM shk q JOIN shk d ON q.shingle = d.shingle AND q.doc <> d.doc
+      JOIN cnts cq ON q.doc = cq.doc
+      JOIN cnts cd ON d.doc = cd.doc
+      WHERE q.doc % 50 = 0
+      GROUP BY q.doc, d.doc, cq.n_sh, cd.n_sh
+    ), jac AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_ppm DESC, doc_id) AS rk_b
+      FROM jpairs QUALIFY rk_b <= 20
+    ), fused AS (
+      SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+             COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             COALESCE(1000000 // (60 + a.rk_a), 0)
+               + COALESCE(1000000 // (60 + b.rk_b), 0) AS rrf,
+             COALESCE(a.rk_a, 0) AS bm25_rank,
+             COALESCE(b.rk_b, 0) AS jaccard_rank
+      FROM bm25 a FULL OUTER JOIN jac b
+        ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+    )
+    SELECT query_id, CAST(rk AS INTEGER) AS fused_rank, doc_id,
+           CAST(rrf AS BIGINT) AS rrf_score,
+           CAST(bm25_rank AS INTEGER) AS bm25_rank,
+           CAST(jaccard_rank AS INTEGER) AS jaccard_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id) AS rk
+      FROM fused
+    ) WHERE rk <= 3
+    """.format(re=TOKEN_RE),
+)
+def q458(spark, sf_dir):
+    """q413 with the Jaccard leg's stop-shingle cap engaged
+    (``jaccard_max_df=4`` — the q195 precedent, Jaccard over KEPT
+    shingles only).  This is the form that holds at web scale: the
+    uncapped shingle self-join fans out Σ df² over hot shingles
+    (bm25_scale_r13 measured 11.3 GB of disk spill at 20 M docs from
+    that leg alone), while the cap bounds every posting list the join
+    touches, exactly like BM25's max_df bounds leg A.  Values differ
+    from q413 by construction (dropping shingles changes inter and the
+    per-doc counts), so the capped form is its own oracled contract
+    rather than a silent rewrite; at sf0.01 the cap drops the df 5-7
+    shingle tail and reorders part of the Jaccard leg, which the
+    value hash pins."""
+    from ..operators.retrieval import rrf_hybrid_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries_df = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return rrf_hybrid_topk(
+        docs, queries_df, k_leg=20, k_out=3, jaccard_max_df=4
+    )

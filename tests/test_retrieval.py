@@ -422,3 +422,76 @@ def test_sign_split_division_idiom_cross_engine(spark):
         ).fetchone()[0]
         py = -((-v) // d) if v < 0 else v // d
         assert got[(v, d)] == duck == py, (v, d, got[(v, d)], duck, py)
+
+
+def _py_jaccard_leg(docs: dict[int, str], query_ids, k=20, max_df=None):
+    """Pure-Python mirror of _rrf_jaccard_leg (Jaccard over KEPT
+    shingles when max_df is set — the q195/q458 semantic)."""
+    sh = {
+        d: sorted(
+            {
+                " ".join(ws[i : i + 3])
+                for ws in [t.split(" ")]
+                for i in range(max(len(ws) - 2, 0))
+            }
+        )
+        for d, t in docs.items()
+    }
+    if max_df is not None:
+        dfc: dict[str, int] = {}
+        for ss in sh.values():
+            for s in ss:
+                dfc[s] = dfc.get(s, 0) + 1
+        sh = {d: [s for s in ss if dfc[s] <= max_df] for d, ss in sh.items()}
+    out = {}
+    for q in query_ids:
+        scores = {}
+        qs = set(sh[q])
+        for d, ss in sh.items():
+            if d == q:
+                continue
+            inter = len(qs & set(ss))
+            if inter:
+                scores[d] = inter * 1_000_000 // (len(qs) + len(ss) - inter)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[q] = [(d, r + 1) for r, (d, _) in enumerate(ranked)]
+    return out
+
+
+def test_rrf_jaccard_cap_drops_hot_shingles(spark):
+    """q458's stop-shingle cap: a shingle planted in every doc must be
+    dropped from the Jaccard leg (and per-doc counts recomputed over
+    KEPT shingles), flipping a ranking the hot shingle alone carried —
+    verified against an independent Python mirror, capped and not."""
+    from syslog_handler_with_clickhouse_spark.operators.retrieval import (
+        _rrf_jaccard_leg,
+    )
+
+    hot = "omni present shingle"  # planted in all docs -> df = 5
+    docs = {
+        0: hot + " alpha beta gamma delta",
+        1: hot + " alpha beta gamma epsilon",
+        2: hot + " zeta eta theta iota",
+        3: hot + " zeta eta kappa wow",
+        4: hot + " unrelated totally different words",
+    }
+    sdf = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    )
+    qdf = spark.createDataFrame([(0,), (2,)], "query_id long")
+    for max_df in (None, 4):
+        got = {
+            q: []
+            for q in (0, 2)
+        }
+        rows = _rrf_jaccard_leg(sdf, qdf, 20, max_df).collect()
+        for r in sorted(rows, key=lambda r: (r.query_id, r.rk_b)):
+            got[r.query_id].append((r.doc_id, r.rk_b))
+        assert got == _py_jaccard_leg(docs, [0, 2], max_df=max_df), max_df
+    # and the cap is not a no-op: uncapped, every doc pairs with every
+    # other through the hot shingle; capped, doc 2 keeps only doc 3
+    # (the shared "... shingle zeta eta ..." crossing shingles)
+    uncapped = _py_jaccard_leg(docs, [0, 2], max_df=None)
+    capped = _py_jaccard_leg(docs, [0, 2], max_df=4)
+    assert len(uncapped[2]) == 4 and capped[2] == [(3, 1)]
+    assert uncapped != capped
