@@ -467,6 +467,8 @@ def minhash_lsh_star_edges(
     id_col: str = "doc_id",
     n: int = 3,
     sig: DataFrame | None = None,
+    stats: list | None = None,
+    hot_bucket_warn: int = 100_000,
 ) -> DataFrame:
     """STAR-EDGE candidate emission for the dedup-CLUSTER path (q334 /
     q412 / q455 and the curation funnel): per LSH band bucket, emit one
@@ -497,6 +499,16 @@ def minhash_lsh_star_edges(
     (q38/q39/q382): two non-min members of a bucket never surface as a
     pair here — use ``minhash_lsh_pairs`` (with ``max_bucket``) there.
 
+    Telemetry (round 14, the max_bucket precedent): pass ``stats=[]``
+    to receive one appended record {max_bucket_size, top_bucket_edges,
+    n_buckets, p99_bucket_size, rows} computed from ONE extra
+    bucket-size aggregate over the banded rows (an action — opt-in, so
+    the default lazy plan is unchanged).  A bucket at or above
+    ``hot_bucket_warn`` members additionally emits a UserWarning: star
+    emission keeps a hot bucket LINEAR, but it still lands in a single
+    window group (one task), so a 10⁵-member boilerplate family is a
+    straggler worth seeing before it is a problem.
+
     Output: (doc_a, doc_b) with doc_a < doc_b (doc_a = bucket min),
     deduplicated — dedup_components' input contract."""
     from pyspark.sql import Window
@@ -512,6 +524,38 @@ def minhash_lsh_star_edges(
     width = _size_floor(bands)
     if width > sess:
         bands = bands.repartition(width, "band", "bh")
+    if stats is not None:
+        import warnings
+
+        sizes = bands.groupBy("band", "bh").agg(
+            F.count(F.lit(1)).alias("b")
+        )
+        row = sizes.agg(
+            F.max("b").alias("mx"),
+            F.count(F.lit(1)).alias("nb"),
+            F.expr("approx_percentile(b, 0.99)").alias("p99"),
+            F.sum("b").alias("rows"),
+        ).collect()[0]
+        rec = {
+            "max_bucket_size": int(row["mx"] or 0),
+            "top_bucket_edges": max(int(row["mx"] or 0) - 1, 0),
+            "n_buckets": int(row["nb"]),
+            "p99_bucket_size": int(row["p99"] or 0),
+            "rows": int(row["rows"] or 0),
+        }
+        stats.append(rec)
+        if rec["max_bucket_size"] >= hot_bucket_warn:
+            warnings.warn(
+                "minhash_lsh_star_edges: hottest LSH bucket has %d members "
+                "(>= %d) — its %d star edges are linear work but land in "
+                "ONE window group; expect a straggler task"
+                % (
+                    rec["max_bucket_size"],
+                    hot_bucket_warn,
+                    rec["top_bucket_edges"],
+                ),
+                stacklevel=2,
+            )
     w = Window.partitionBy("band", "bh")
     edges = (
         bands.withColumn("m", F.min("doc").over(w))

@@ -419,3 +419,54 @@ def test_dedup_components_empty_and_selfonly_inputs(spark):
     # (empty-path out + self-only selfs); the raw edge checkpoints are
     # freed with blocking=True on this path
     assert after <= before + 2
+
+
+def test_star_edges_hot_bucket_telemetry(spark):
+    """Round-14 telemetry: a planted 10⁵-member bucket (identical text
+    ⇒ every doc shares every band bucket) must surface in the opt-in
+    stats record and trip the hot-bucket warning; a cold corpus must
+    append a record without warning."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        N_BANDS,
+        minhash_lsh_star_edges,
+    )
+
+    # planted hot bucket: one constant signature for 100k docs — bands
+    # built straight from the sig frame, no text shingling needed
+    sig = spark.range(100_000).select(
+        F.col("id").alias("doc"),
+        F.array(*[F.lit(7)] * 64).alias("sig"),
+    )
+    stats: list = []
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        edges = minhash_lsh_star_edges(sig=sig, stats=stats)
+        n = edges.count()
+    assert n == 100_000 - 1  # one star, linear
+    assert len(stats) == 1
+    rec = stats[0]
+    assert rec["max_bucket_size"] == 100_000
+    assert rec["top_bucket_edges"] == 100_000 - 1
+    assert rec["n_buckets"] == N_BANDS  # same (band, bh) per band
+    assert rec["rows"] == 100_000 * N_BANDS
+    hot = [w for w in caught if "hottest LSH bucket" in str(w.message)]
+    assert len(hot) == 1 and "100000 members" in str(hot[0].message)
+
+    # cold corpus: telemetry records, no warning
+    sig2 = spark.range(20).select(
+        F.col("id").alias("doc"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.col("id") * 100 + i,
+        ).alias("sig"),
+    )
+    stats2: list = []
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        minhash_lsh_star_edges(sig=sig2, stats=stats2).count()
+    assert stats2 and stats2[0]["max_bucket_size"] == 1
+    assert not [w for w in caught2 if "hottest" in str(w.message)]
