@@ -470,3 +470,160 @@ def test_star_edges_hot_bucket_telemetry(spark):
         minhash_lsh_star_edges(sig=sig2, stats=stats2).count()
     assert stats2 and stats2[0]["max_bucket_size"] == 1
     assert not [w for w in caught2 if "hottest" in str(w.message)]
+
+
+def test_incremental_dedup_matches_full(spark):
+    """Round-14 incremental funnel maintenance: fold three batches into
+    the (buckets, labels) state and require label-for-label equality
+    with a full star-edge + dedup_components recompute over the union —
+    including the BRIDGE case: two exact-dup families inserted in
+    different batches form two components, and a third-batch doc whose
+    text is the concat of both family texts (searched offline so its
+    LSH bands overlap BOTH families under the repo's minhash constants)
+    must MERGE the two existing components via the relabel map."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        dedup_components,
+        incremental_dedup_init,
+        incremental_dedup_insert,
+        minhash_lsh_star_edges,
+    )
+
+    words = [f"w{i}" for i in range(1000)]
+
+    def mk(seed, n=30):
+        r = random.Random(seed)
+        return " ".join(r.choice(words) for _ in range(n))
+
+    ta, tb = mk(1003), mk(2003)  # seed 3 of the offline band-overlap search
+    rows = [
+        (10, ta), (11, ta),                 # family A — batch 1
+        (20, tb), (21, tb),                 # family B — batch 2
+        (30, ta + " " + tb),                # bridge   — batch 3
+        (40, "zz yy xx ww vv uu tt ss"),    # unrelated singleton — batch 1
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # full recompute (singletons filled in)
+    full = dedup_components(
+        minhash_lsh_star_edges(corpus, "text", "doc_id")
+    )
+    fl = {
+        r.node: r.comp
+        for r in corpus.select(F.col("doc_id").alias("node"))
+        .join(full, "node", "left")
+        .select("node", F.coalesce("comp", F.col("node")).alias("comp"))
+        .collect()
+    }
+    assert fl[30] == 10 and fl[20] == 10  # the bridge really bridges
+    assert fl[40] == 40
+
+    stats: list = []
+    st = incremental_dedup_init(spark)
+    for pred in (
+        F.col("doc_id").isin(10, 11, 40),
+        F.col("doc_id").isin(20, 21),
+        F.col("doc_id") == 30,
+    ):
+        st = incremental_dedup_insert(
+            st, corpus.filter(pred), stats=stats
+        )
+    il = {r.node: r.comp for r in st["labels"].collect()}
+    assert il == fl
+    # batches 1-2 formed separate components (no cross-batch merge);
+    # batch 3 merged EXISTING components — visible as relabels
+    assert stats[0]["relabeled_comps"] == 0
+    assert stats[1]["relabeled_comps"] == 0
+    assert stats[2]["relabeled_comps"] >= 1
+
+
+def test_incremental_dedup_edgeless_batches(spark):
+    """Batches with no candidates at all (every doc a singleton, empty
+    mini graph) must still label every doc as its own component."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        incremental_dedup_init,
+        incremental_dedup_insert,
+    )
+
+    texts = [
+        (1, "aa bb cc dd ee ff gg hh"),
+        (2, "one two three four five six seven"),
+        (3, "red green blue cyan magenta yellow black"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    st = incremental_dedup_init(spark)
+    for i in (1, 2, 3):
+        st = incremental_dedup_insert(st, df.filter(F.col("doc_id") == i))
+    got = {r.node: r.comp for r in st["labels"].collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_incremental_dedup_over_snapshot_changefeed(spark, tmp_path):
+    """The deployment wiring (round-13 verdict directive 1): document
+    batches arrive as SNAPSHOT COMMITS, and the maintenance state folds
+    each version's changefeed (snapshot_diff inserts) — labels after
+    the last commit equal a full recompute over read_snapshot()."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        dedup_components,
+        incremental_dedup_init,
+        incremental_dedup_insert,
+        minhash_lsh_star_edges,
+    )
+    from syslog_handler_with_clickhouse_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    words = [f"w{i}" for i in range(1000)]
+
+    def mk(seed, n=30):
+        r = random.Random(seed)
+        return " ".join(r.choice(words) for _ in range(n))
+
+    ta, tb = mk(1003), mk(2003)
+    path = str(tmp_path / "docsnap")
+    batches = [
+        [(10, ta), (11, ta), (40, "zz yy xx ww vv uu tt ss")],
+        [(20, tb), (21, tb)],
+        [(30, ta + " " + tb)],
+    ]
+    st = incremental_dedup_init(spark)
+    prev_v = None
+    for rows in batches:
+        v = write_snapshot(
+            spark.createDataFrame(rows, "doc_id long, text string"), path
+        )
+        if prev_v is None:
+            batch = read_snapshot(spark, path, version=v)
+        else:
+            batch = (
+                snapshot_diff(spark, path, prev_v, v)
+                .filter(F.col("_change_type") == "insert")
+                .drop("_change_type")
+            )
+        st = incremental_dedup_insert(st, batch)
+        prev_v = v
+    il = {r.node: r.comp for r in st["labels"].collect()}
+
+    corpus = read_snapshot(spark, path)
+    full = dedup_components(
+        minhash_lsh_star_edges(corpus, "text", "doc_id")
+    )
+    fl = {
+        r.node: r.comp
+        for r in corpus.select(F.col("doc_id").alias("node"))
+        .join(full, "node", "left")
+        .select("node", F.coalesce("comp", F.col("node")).alias("comp"))
+        .collect()
+    }
+    assert il == fl and fl[30] == 10  # bridge merged through the feed
