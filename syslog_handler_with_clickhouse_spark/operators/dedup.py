@@ -1306,11 +1306,12 @@ def incremental_dedup_insert(
     new_labels = batch_ids.join(mini, "node", "left").select(
         "node", F.coalesce("comp", F.col("node")).alias("comp")
     )
-    old_comps = state["labels"].select(
-        F.col("comp").alias("node")
-    ).distinct()
+    # mini's nodes are exactly {batch docs} ∪ {touched old comp labels}
+    # (edges_ns endpoints were contracted through repc), so the old
+    # comps fall out of a tiny anti-join against the batch ids — no
+    # O(corpus) distinct over the stored labels' comp column
     relabel = (
-        mini.join(old_comps, "node")
+        mini.join(batch_ids, "node", "left_anti")
         .filter(F.col("comp") != F.col("node"))
         .select(
             F.col("node").alias("old_comp"), F.col("comp").alias("new_comp")
@@ -1351,3 +1352,202 @@ def incremental_dedup_insert(
             }
         )
     return {"buckets": buckets_next, "labels": labels_next}
+
+
+# -- stored (bucketed-table) maintenance state ------------------------
+# The DataFrame-state variant above re-shuffles the stored bucket
+# index and labels on every insert (localCheckpoint does NOT preserve
+# output partitioning through SparkSQL planning — probed on this
+# build: the checkpointed side re-exchanges under ENSURE_REQUIREMENTS).
+# For a standing 100 TB corpus the state belongs in BUCKETED TABLES:
+# hash-bucketing by the join key is paid once at write time, and every
+# subsequent insert joins the O(batch) side against the bucketed scan
+# with ZERO exchange on the stored side (tests/test_plans.py asserts
+# the plan).  Labels stay append-only by splitting them into a BASE
+# table (one row per doc, its label at insert time) plus a RELABEL
+# delta table (old_comp -> new_comp per merge); the current label is
+# base resolved through the (broadcast-sized) transitive closure of
+# the deltas, and `incremental_dedup_store_compact` folds the deltas
+# back into the base when the chain grows.  Per-insert work: O(batch)
+# shuffles + one narrow columnar scan of each state table — no
+# corpus-sized exchange anywhere.
+
+
+def _resolve_relabel(rel: DataFrame) -> DataFrame:
+    """Transitive closure of a relabel delta chain (old_comp →
+    new_comp; each old_comp appears once, hops strictly decrease, so
+    the chain is a forest onto terminal labels).  Pointer-doubling
+    join on the tiny delta frame — O(log chain) rounds."""
+    cur = rel.select("old_comp", "new_comp").localCheckpoint(eager=True)
+    for _ in range(30):
+        a, b = cur.alias("a"), cur.alias("b")
+        hop = a.join(
+            b, F.col("a.new_comp") == F.col("b.old_comp"), "left"
+        ).select(
+            F.col("a.old_comp").alias("old_comp"),
+            F.coalesce(F.col("b.new_comp"), F.col("a.new_comp")).alias(
+                "new_comp"
+            ),
+            F.col("b.old_comp").isNotNull().alias("hopped"),
+        )
+        hop = hop.localCheckpoint(eager=True)
+        n_hops = hop.filter("hopped").count()
+        cur = hop.select("old_comp", "new_comp")
+        if n_hops == 0:
+            return cur
+    raise RuntimeError("relabel chain did not resolve in 30 doublings")
+
+
+def _store_tables(prefix: str) -> tuple[str, str, str]:
+    return f"{prefix}_buckets", f"{prefix}_labels", f"{prefix}_relabel"
+
+
+def incremental_dedup_store_init(
+    spark, prefix: str, num_buckets: int = 64, location: str | None = None
+) -> None:
+    """Create the empty bucketed state tables for
+    :func:`incremental_dedup_store_insert`.  ``location`` roots the
+    table files outside the warehouse dir (external tables) — handy
+    for tests and for pointing the state at the pipeline's storage."""
+    tb, tl, tr = _store_tables(prefix)
+    eb = spark.createDataFrame([], "band int, bh bigint, rep bigint")
+    el = spark.createDataFrame([], "node bigint, comp bigint")
+    er = spark.createDataFrame([], "old_comp bigint, new_comp bigint")
+    wb = eb.write.mode("overwrite").bucketBy(num_buckets, "band", "bh")
+    wl = el.write.mode("overwrite").bucketBy(num_buckets, "node")
+    wr = er.write.mode("overwrite")
+    if location is not None:
+        wb = wb.option("path", f"{location}/{tb}")
+        wl = wl.option("path", f"{location}/{tl}")
+        wr = wr.option("path", f"{location}/{tr}")
+    wb.saveAsTable(tb)
+    wl.saveAsTable(tl)
+    wr.saveAsTable(tr)
+
+
+def incremental_dedup_store_labels(spark, prefix: str) -> DataFrame:
+    """Current (node, comp) labels: base resolved through the relabel
+    closure (broadcast projection over the bucketed base scan)."""
+    _, tl, tr = _store_tables(prefix)
+    base = spark.table(tl)
+    relmap = _resolve_relabel(spark.table(tr))
+    return base.join(
+        F.broadcast(relmap), base["comp"] == relmap["old_comp"], "left"
+    ).select(
+        base["node"], F.coalesce("new_comp", base["comp"]).alias("comp")
+    )
+
+
+def incremental_dedup_store_insert(
+    spark,
+    prefix: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    stats: list | None = None,
+) -> None:
+    """Fold one batch into the bucketed state tables (same algorithm
+    and label contract as :func:`incremental_dedup_insert`; see the
+    block comments).  All three state writes are APPENDS: new docs'
+    base labels, new buckets, and the merge deltas — nothing existing
+    is rewritten, so per-insert write volume is O(batch + touched
+    components)."""
+    from pyspark.sql import Window
+
+    tb, tl, tr = _store_tables(prefix)
+    sig = minhash_signatures(batch, text_col, id_col, n)
+    nb = minhash_bands(sig).localCheckpoint(eager=True)
+
+    w = Window.partitionBy("band", "bh")
+    nbm = nb.withColumn("m", F.min("doc").over(w))
+    edges_nn = nbm.filter(F.col("doc") != F.col("m")).select(
+        F.col("m").alias("doc_a"), F.col("doc").alias("doc_b")
+    )
+
+    stored_b = spark.table(tb)
+    matched = nb.join(stored_b, ["band", "bh"]).select(
+        F.col("rep"), F.col("doc")
+    )
+    reps = matched.select(F.col("rep").alias("node")).distinct()
+    base = spark.table(tl)
+    relmap = _resolve_relabel(spark.table(tr))
+    repc = (
+        base.join(reps, "node")
+        .join(F.broadcast(relmap), base["comp"] == relmap["old_comp"], "left")
+        .select(
+            F.col("node").alias("rep"),
+            F.coalesce("new_comp", base["comp"]).alias("rep_comp"),
+        )
+    )
+    edges_ns = matched.join(repc, "rep").select(
+        F.col("rep_comp").alias("doc_a"), F.col("doc").alias("doc_b")
+    )
+
+    mini_edges = edges_nn.unionByName(edges_ns)
+    batch_ids = batch.select(
+        F.col(id_col).cast("bigint").alias("node")
+    ).distinct()
+    mini = (
+        dedup_components(mini_edges)
+        .select("node", "comp")
+        .localCheckpoint(eager=True)
+    )
+    new_labels = batch_ids.join(mini, "node", "left").select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
+    )
+    relabel = (
+        mini.join(batch_ids, "node", "left_anti")
+        .filter(F.col("comp") != F.col("node"))
+        .select(
+            F.col("node").alias("old_comp"), F.col("comp").alias("new_comp")
+        )
+        .localCheckpoint(eager=True)
+    )
+    newb = (
+        nbm.select("band", "bh", F.col("m").alias("rep"))
+        .distinct()
+        .join(stored_b.select("band", "bh"), ["band", "bh"], "left_anti")
+    )
+
+    num_buckets = _table_num_buckets(spark, tb)
+    new_labels.write.mode("append").bucketBy(
+        num_buckets, "node"
+    ).saveAsTable(tl)
+    newb.write.mode("append").bucketBy(
+        num_buckets, "band", "bh"
+    ).saveAsTable(tb)
+    relabel.write.mode("append").saveAsTable(tr)
+
+    if stats is not None:
+        stats.append(
+            {
+                "batch_docs": batch_ids.count(),
+                "relabeled_comps": relabel.count(),
+            }
+        )
+
+
+def _table_num_buckets(spark, table: str) -> int:
+    """Bucket count of a bucketed table (appends must match the spec)."""
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r.col_name == "Num Buckets":
+            return int(r.data_type)
+    raise ValueError(f"{table} is not bucketed")
+
+
+def incremental_dedup_store_compact(spark, prefix: str) -> None:
+    """Fold the relabel deltas into the base labels (full rewrite of
+    the labels table — run when the delta chain has grown, not per
+    batch) and truncate the delta table."""
+    tb, tl, tr = _store_tables(prefix)
+    resolved = incremental_dedup_store_labels(spark, prefix).localCheckpoint(
+        eager=True
+    )
+    num_buckets = _table_num_buckets(spark, tl)
+    resolved.write.mode("overwrite").bucketBy(
+        num_buckets, "node"
+    ).saveAsTable(tl)
+    spark.createDataFrame(
+        [], "old_comp bigint, new_comp bigint"
+    ).write.mode("overwrite").saveAsTable(tr)

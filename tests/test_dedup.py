@@ -627,3 +627,137 @@ def test_incremental_dedup_over_snapshot_changefeed(spark, tmp_path):
         .collect()
     }
     assert il == fl and fl[30] == 10  # bridge merged through the feed
+
+
+def test_incremental_dedup_store_multihop_chain(spark, tmp_path):
+    """Bucketed-table maintenance state (round 14): append-only base
+    labels + relabel deltas.  Five batches build a 2-hop relabel chain
+    (B merges into A, then A∪B merges into the lower-id family C), so
+    reading node 21's label must resolve base 20 → 10 → 5 through the
+    pointer-doubling closure; compact folds the chain away and the
+    resolved labels must not change.  Labels are checked against a
+    full star-edge recompute of the union."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        dedup_components,
+        incremental_dedup_store_compact,
+        incremental_dedup_store_init,
+        incremental_dedup_store_insert,
+        incremental_dedup_store_labels,
+        minhash_lsh_star_edges,
+    )
+
+    words = [f"w{i}" for i in range(1000)]
+
+    def mk(seed, n=30):
+        r = random.Random(seed)
+        return " ".join(r.choice(words) for _ in range(n))
+
+    ta, tb, tc = mk(1003), mk(2003), mk(3000)  # offline-searched bridges
+    rows = [
+        (10, ta), (11, ta),
+        (20, tb), (21, tb),
+        (30, ta + " " + tb),   # bridges A-B  -> relabel 20 -> 10
+        (5, tc), (6, tc),
+        (50, tc + " " + ta),   # bridges C-AB -> relabel 10 -> 5
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    prefix = "t14chain"
+    incremental_dedup_store_init(
+        spark, prefix, num_buckets=4, location=str(tmp_path)
+    )
+    try:
+        stats: list = []
+        for pred in (
+            F.col("doc_id").isin(10, 11),
+            F.col("doc_id").isin(20, 21),
+            F.col("doc_id") == 30,
+            F.col("doc_id").isin(5, 6),
+            F.col("doc_id") == 50,
+        ):
+            incremental_dedup_store_insert(
+                spark, prefix, corpus.filter(pred), stats=stats
+            )
+        assert [s["relabeled_comps"] for s in stats] == [0, 0, 1, 0, 1]
+
+        full = dedup_components(
+            minhash_lsh_star_edges(corpus, "text", "doc_id")
+        )
+        fl = {
+            r.node: r.comp
+            for r in corpus.select(F.col("doc_id").alias("node"))
+            .join(full, "node", "left")
+            .select("node", F.coalesce("comp", F.col("node")).alias("comp"))
+            .collect()
+        }
+        got = {
+            r.node: r.comp
+            for r in incremental_dedup_store_labels(spark, prefix).collect()
+        }
+        assert got == fl and got[21] == 5  # the 2-hop resolution
+
+        # the chain is really 2 hops in the delta table before compact
+        rel = {
+            r.old_comp: r.new_comp
+            for r in spark.table(f"{prefix}_relabel").collect()
+        }
+        assert rel == {20: 10, 10: 5}
+
+        incremental_dedup_store_compact(spark, prefix)
+        assert spark.table(f"{prefix}_relabel").count() == 0
+        got2 = {
+            r.node: r.comp
+            for r in incremental_dedup_store_labels(spark, prefix).collect()
+        }
+        assert got2 == fl
+    finally:
+        for t in (f"{prefix}_buckets", f"{prefix}_labels",
+                  f"{prefix}_relabel"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_dedup_store_joins_shuffle_free(spark, tmp_path):
+    """The point of the bucketed state: with broadcast disabled, the
+    insert-path joins must read the stored tables' bucketed scans with
+    NO exchange on the stored side (only the O(batch) side shuffles)."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        incremental_dedup_store_init,
+        incremental_dedup_store_insert,
+    )
+
+    prefix = "t14plan"
+    incremental_dedup_store_init(
+        spark, prefix, num_buckets=4, location=str(tmp_path)
+    )
+    try:
+        incremental_dedup_store_insert(
+            spark,
+            prefix,
+            spark.createDataFrame(
+                [(1, "aa bb cc dd ee ff"), (2, "aa bb cc dd ee ff")],
+                "doc_id long, text string",
+            ),
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            nb = spark.createDataFrame(
+                [(9, 0, 123)], "doc long, band int, bh bigint"
+            )
+            j = nb.join(spark.table(f"{prefix}_buckets"), ["band", "bh"])
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # exactly one exchange — the batch side; the bucketed FileScan
+        # feeds the join through sort only
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    finally:
+        for t in (f"{prefix}_buckets", f"{prefix}_labels",
+                  f"{prefix}_relabel"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
