@@ -1551,3 +1551,152 @@ def incremental_dedup_store_compact(spark, prefix: str) -> None:
     spark.createDataFrame(
         [], "old_comp bigint, new_comp bigint"
     ).write.mode("overwrite").saveAsTable(tr)
+
+
+def exact_substring_rewrite(
+    docs: DataFrame, *, w: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Exact-substring dedup REWRITE (Lee et al. 2022 §4, the step
+    after :func:`duplicated_ngram_coverage`'s statistic): emit the
+    deduplicated corpus — every maximal token span covered by
+    duplicated ``w``-gram windows is TRIMMED from all but its
+    canonical occurrence (per duplicated gram, the lexicographically
+    smallest (doc_id, position)), so exactly one copy of each
+    duplicated span survives for clean cross-doc duplication and the
+    first occurrence survives for intra-doc repeats.
+
+    Spark-first shape (same discipline as the coverage operator —
+    still no suffix array): one gram-keyed count aggregate, one
+    gram-keyed min-occurrence aggregate, a join back, and a per-doc
+    sweep that merges dropped window starts into maximal intervals
+    (new interval iff the start gap exceeds ``w`` — runs of covered
+    positions, so span counts equal covered-position runs).  The
+    REWRITE itself never explodes positions: the per-doc interval
+    list folds back onto the token array as ONE higher-order
+    expression (complement intervals via transform-with-index, then
+    slice + flatten) — O(n_tok + spans) native work per doc, no UDF.
+    Gram strings never reach an exchange: the 124-bit composite key
+    (xxhash64 ⊕-independent portable_hash60 lane) carries the
+    aggregates, as in the coverage operator.
+
+    Returns one row PER INPUT DOC: (doc_id, n_tok, kept_text,
+    tokens_dropped, spans_dropped, chars_in, chars_kept) — docs
+    shorter than ``w`` tokens or with no duplicated window pass
+    through untouched (kept_text = the token stream re-joined on
+    single spaces; char telemetry measures that token stream, so the
+    dropped char mass is exact and reproducible)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import TOKEN_RE
+
+    base = docs.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(TOKEN_RE), 0
+        ).alias("arr"),
+    ).select("doc_id", "arr", F.size("arr").cast("bigint").alias("n_tok"))
+
+    grams = base.filter(F.col("n_tok") >= w).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tok") - w + 1),
+                lambda i: F.concat_ws(" ", F.slice("arr", i, w)),
+            )
+        ).alias("p0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("bigint").alias("p"),
+        F.xxhash64("gram").alias("g1"),
+        portable_hash60(F.col("gram")).alias("g2"),
+    )
+    dup_grams = (
+        grams.groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("g1", "g2")
+    )
+    occ = grams.join(dup_grams, ["g1", "g2"])
+    mo = occ.groupBy("g1", "g2").agg(
+        F.min(F.struct("doc_id", "p")).alias("mo")
+    )
+    dropped = (
+        occ.join(mo, ["g1", "g2"])
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("mo.doc_id"))
+                & (F.col("p") == F.col("mo.p"))
+            )
+        )
+        .select("doc_id", "p")
+        .distinct()
+    )
+
+    win = Window.partitionBy("doc_id").orderBy("p")
+    flagged = dropped.withColumn(
+        "gap", F.col("p") - F.lag("p").over(win)
+    ).withColumn(
+        "new_iv",
+        F.when(F.col("gap").isNull() | (F.col("gap") > w), 1).otherwise(0),
+    ).withColumn(
+        "iid",
+        F.sum("new_iv").over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ivs = (
+        flagged.groupBy("doc_id", "iid")
+        .agg(
+            F.min("p").alias("lo"),
+            (F.max("p") + w - 1).alias("hi"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("lo", "hi"))
+            ).alias("ivs")
+        )
+    )
+
+    out = base.join(ivs, "doc_id", "left")
+    kept = F.when(F.col("ivs").isNull(), F.col("arr")).otherwise(
+        F.expr(
+            """
+            flatten(transform(
+              filter(
+                concat(
+                  transform(ivs, (s, i) -> named_struct(
+                    'lo2', CASE WHEN i = 0 THEN CAST(1 AS BIGINT)
+                                ELSE ivs[i - 1].hi + 1 END,
+                    'hi2', s.lo - 1)),
+                  array(named_struct(
+                    'lo2', element_at(ivs, -1).hi + 1,
+                    'hi2', n_tok))
+                ),
+                s -> s.lo2 <= s.hi2
+              ),
+              s -> slice(arr, CAST(s.lo2 AS INT),
+                         CAST(s.hi2 - s.lo2 + 1 AS INT))
+            ))
+            """
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_tok",
+        F.array_join(kept, " ").alias("kept_text"),
+        F.coalesce(
+            F.expr(
+                "aggregate(ivs, CAST(0 AS BIGINT),"
+                " (acc, s) -> acc + s.hi - s.lo + 1)"
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("tokens_dropped"),
+        F.coalesce(F.size("ivs"), F.lit(0))
+        .cast("int")
+        .alias("spans_dropped"),
+        F.length(F.array_join("arr", " ")).cast("bigint").alias("chars_in"),
+        F.length(F.array_join(kept, " ")).cast("bigint").alias("chars_kept"),
+    )

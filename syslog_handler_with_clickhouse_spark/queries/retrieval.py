@@ -6,7 +6,7 @@ registers its queries into the shared QUERIES/ORACLE registry.
 """
 
 from ._common import *  # noqa: F401,F403
-from ._common import _lang_case_sql, _t
+from ._common import _DUP_UNION, _lang_case_sql, _t
 from ..functions.text import TOKEN_RE
 
 
@@ -2004,3 +2004,84 @@ def q458(spark, sf_dir):
     return rrf_hybrid_topk(
         docs, queries_df, k_leg=20, k_out=3, jaccard_max_df=4
     )
+
+
+@query(
+    "q460_exact_substring_rewrite",
+    _DUP_UNION
+    + """
+    , d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{re}') AS arr
+      FROM corpus
+    ), dd AS (
+      SELECT doc_id, arr, CAST(len(arr) AS BIGINT) AS n_tok FROM d
+    ), grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p,
+             array_to_string(list_slice(arr, i, i + 7), ' ') AS gram
+      FROM dd, LATERAL (SELECT unnest(range(1, n_tok - 8 + 2)) AS i) t
+      WHERE n_tok >= 8
+    ), gc AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+    ), occ AS (
+      SELECT g.doc_id, g.p, g.gram,
+             row_number() OVER (PARTITION BY g.gram
+                                ORDER BY g.doc_id, g.p) AS rn
+      FROM grams g JOIN gc USING (gram)
+    ), dropped AS (
+      SELECT DISTINCT doc_id, p FROM occ WHERE rn > 1
+    ), covered AS (
+      SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos
+      FROM dropped, LATERAL (SELECT unnest(range(p, p + 8)) AS pos) t
+    ), runs AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) = 1
+                  THEN 0 ELSE 1 END AS new_run
+      FROM covered
+    ), spans AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tokens_dropped,
+             CAST(SUM(new_run) AS INTEGER) AS spans_dropped
+      FROM runs GROUP BY doc_id
+    ), toks AS (
+      SELECT dd.doc_id, CAST(i AS BIGINT) AS p, arr[i] AS tok
+      FROM dd, LATERAL (SELECT unnest(range(1, n_tok + 1)) AS i) t
+    ), kept AS (
+      SELECT t.doc_id,
+             COALESCE(string_agg(t.tok, ' ' ORDER BY t.p), '') AS kept_text
+      FROM toks t LEFT JOIN covered c
+        ON t.doc_id = c.doc_id AND t.p = c.pos
+      WHERE c.doc_id IS NULL
+      GROUP BY t.doc_id
+    )
+    SELECT dd.doc_id, dd.n_tok,
+           COALESCE(k.kept_text, '') AS kept_text,
+           COALESCE(s.tokens_dropped, 0) AS tokens_dropped,
+           CAST(COALESCE(s.spans_dropped, 0) AS INTEGER) AS spans_dropped,
+           CAST(length(array_to_string(dd.arr, ' ')) AS BIGINT) AS chars_in,
+           CAST(length(COALESCE(k.kept_text, '')) AS BIGINT) AS chars_kept
+    FROM dd
+    LEFT JOIN spans s ON dd.doc_id = s.doc_id
+    LEFT JOIN kept k ON dd.doc_id = k.doc_id
+    """.format(re=TOKEN_RE),
+)
+def q460(spark, sf_dir):
+    """Exact-substring dedup REWRITE (Lee et al. 2022 §4,
+    `operators/dedup.exact_substring_rewrite`): q395 measured the
+    duplicated mass; this emits the DEDUPLICATED CORPUS — maximal
+    token spans covered by duplicated 8-gram windows are trimmed from
+    every occurrence except the canonical one (per gram, the smallest
+    (doc_id, position)), with exact token/char telemetry per doc.  On
+    the dup-union corpus the +1M exact copies rewrite to empty (their
+    canonical lives in the base doc) while base docs keep their text
+    minus intra-corpus boilerplate — the oracle replays the span
+    selection and the rewrite itself (positions → covered runs →
+    order-preserving re-join) row for row."""
+    from ..operators.dedup import exact_substring_rewrite
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return exact_substring_rewrite(corpus, w=8, min_count=2)

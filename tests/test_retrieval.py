@@ -495,3 +495,75 @@ def test_rrf_jaccard_cap_drops_hot_shingles(spark):
     capped = _py_jaccard_leg(docs, [0, 2], max_df=4)
     assert len(uncapped[2]) == 4 and capped[2] == [(3, 1)]
     assert uncapped != capped
+
+
+def test_exact_substring_rewrite_planted(spark):
+    """Lee et al. §4 rewrite on a planted-duplication fixture, checked
+    against an independent pure-Python mirror: cross-doc span keeps the
+    canonical (lowest doc_id) copy only; intra-doc repeat keeps the
+    first occurrence; overlapping duplicated windows merge into one
+    span; short docs pass through untouched."""
+    import re as _re
+
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        exact_substring_rewrite,
+    )
+
+    W = 8
+    shared = "one two three four five six seven eight nine ten"
+    docs = {
+        1: "aa bb " + shared + " cc dd",
+        2: "xx yy zz " + shared + " qq",
+        3: "short doc here",
+        4: ("alpha beta gamma delta epsilon zeta eta theta filler "
+            "alpha beta gamma delta epsilon zeta eta theta"),
+        5: shared + " " + shared,  # back-to-back repeat in one doc
+    }
+
+    def mirror():
+        tok = {d: _re.findall(TOKEN_RE, t.lower()) for d, t in docs.items()}
+        occ: dict[str, list] = {}
+        for d, ts in sorted(tok.items()):
+            for p in range(len(ts) - W + 1):
+                occ.setdefault(" ".join(ts[p : p + W]), []).append((d, p))
+        covered = {d: set() for d in tok}
+        for g, os_ in occ.items():
+            if len(os_) < 2:
+                continue
+            for d, p in sorted(os_)[1:]:
+                covered[d].update(range(p, p + W))
+        out = {}
+        for d, ts in tok.items():
+            keep = [t for i, t in enumerate(ts) if i not in covered[d]]
+            runs = 0
+            prev = -10
+            for i in sorted(covered[d]):
+                if i != prev + 1:
+                    runs += 1
+                prev = i
+            out[d] = (
+                " ".join(keep), len(covered[d]), runs,
+                len(" ".join(ts)), len(" ".join(keep)),
+            )
+        return out
+
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (
+            r.kept_text, r.tokens_dropped, r.spans_dropped,
+            r.chars_in, r.chars_kept,
+        )
+        for r in exact_substring_rewrite(df, w=W, min_count=2).collect()
+    }
+    exp = mirror()
+    assert got == exp
+    # and the plants behaved as designed
+    assert got[1][0].startswith("aa bb one")   # canonical untouched
+    assert got[2][0] == "xx yy zz qq"          # cross-doc span trimmed
+    assert got[3][1] == 0                      # short doc untouched
+    assert got[4][1] == 8 and got[4][2] == 1   # intra-doc second copy
+    # doc 5's shared grams are canonical in doc 1, so BOTH of its
+    # copies drop — the whole doc rewrites away as one span
+    assert got[5][1] == 20 and got[5][2] == 1 and got[5][0] == ""
