@@ -1511,12 +1511,18 @@ def incremental_dedup_store_insert(
     )
 
     num_buckets = _table_num_buckets(spark, tb)
-    new_labels.write.mode("append").bucketBy(
-        num_buckets, "node"
-    ).saveAsTable(tl)
-    newb.write.mode("append").bucketBy(
-        num_buckets, "band", "bh"
-    ).saveAsTable(tb)
+    # repartition ONTO the bucket hash before each bucketed write:
+    # repartition(n, cols) and bucketBy(n, cols) share the murmur3-pmod
+    # layout, so every task then writes exactly ONE bucket file.
+    # Without it each task holds rows of ALL buckets and the writer
+    # opens tasks×buckets parquet buffers at once — the 1 M-doc
+    # bootstrap OOM'd an 8 g heap exactly there (2048 open writers).
+    new_labels.repartition(num_buckets, "node").write.mode(
+        "append"
+    ).bucketBy(num_buckets, "node").saveAsTable(tl)
+    newb.repartition(num_buckets, "band", "bh").write.mode(
+        "append"
+    ).bucketBy(num_buckets, "band", "bh").saveAsTable(tb)
     relabel.write.mode("append").saveAsTable(tr)
 
     if stats is not None:
@@ -1545,9 +1551,9 @@ def incremental_dedup_store_compact(spark, prefix: str) -> None:
         eager=True
     )
     num_buckets = _table_num_buckets(spark, tl)
-    resolved.write.mode("overwrite").bucketBy(
-        num_buckets, "node"
-    ).saveAsTable(tl)
+    resolved.repartition(num_buckets, "node").write.mode(
+        "overwrite"
+    ).bucketBy(num_buckets, "node").saveAsTable(tl)
     spark.createDataFrame(
         [], "old_comp bigint, new_comp bigint"
     ).write.mode("overwrite").saveAsTable(tr)

@@ -630,6 +630,17 @@ def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------
 
 
+
+def _maybe_ycbcr_to_rgb(stack: np.ndarray, comps) -> np.ndarray:
+    """3-component color handling: the JFIF default is YCbCr, but
+    component ids 'R','G','B' (0x52/0x47/0x42 — the libjpeg JCS_RGB
+    convention, jcparam.c's jpeg_set_colorspace and jdapimin.c's
+    default_decompress_parms) mark an UNTRANSFORMED RGB stream — the
+    form TIFF photometric-2 JPEG strips/tiles carry (TechNote 2)."""
+    if [c["id"] for c in comps] == [0x52, 0x47, 0x42]:
+        return stack
+    return ycbcr_to_rgb(stack)
+
 def _pad_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     """Edge-replicate pad a plane to (bh*8, bw*8)."""
     h, w = plane.shape
@@ -681,16 +692,23 @@ def encode_jpeg(
     quality: int = 85,
     subsample: bool = False,
     restart_interval: int = 0,
+    rgb_components: bool = False,
 ) -> bytes:
     """Baseline sequential JPEG encoder.  ``pixels`` is row-major
     grayscale (channels=1) or interleaved RGB (channels=3).
     ``subsample=True`` emits 4:2:0 (chroma box-mean downsampled);
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs."""
+    MCUs.  ``rgb_components=True`` (3-channel, no subsampling) stores
+    the R/G/B planes UNTRANSFORMED with component ids 'R','G','B' and
+    luminance tables on every component — the libjpeg JCS_RGB
+    convention, which is how TIFF photometric-2 JPEG strips are
+    encoded (no JFIF APP0: JFIF mandates YCbCr)."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer length != w*h*c")
+    if rgb_components and (channels != 3 or subsample):
+        raise ValueError("rgb_components requires 3 channels, 4:4:4")
     img = (
         np.frombuffer(pixels, dtype=np.uint8)
         .reshape(height, width, channels)
@@ -703,6 +721,10 @@ def encode_jpeg(
         planes = [img[..., 0]]
         samp = [(1, 1)]
         qts = [qt_lum]
+    elif rgb_components:
+        planes = [img[..., 0], img[..., 1], img[..., 2]]
+        samp = [(1, 1), (1, 1), (1, 1)]
+        qts = [qt_lum, qt_lum, qt_lum]
     else:
         ycc = rgb_to_ycbcr(img)
         y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
@@ -734,7 +756,9 @@ def encode_jpeg(
     dc_enc_c, _ = _build_huffman(*DC_CHROM)
     ac_enc_c, _ = _build_huffman(*AC_CHROM)
     hufs = [
-        (dc_enc_l, ac_enc_l) if i == 0 or channels == 1 else (dc_enc_c, ac_enc_c)
+        (dc_enc_l, ac_enc_l)
+        if i == 0 or channels == 1 or rgb_components
+        else (dc_enc_c, ac_enc_c)
         for i in range(channels)
     ]
 
@@ -764,25 +788,31 @@ def encode_jpeg(
     w.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(
-        ">H", 16
-    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    if not rgb_components:
+        out += b"\xff\xe0" + struct.pack(
+            ">H", 16
+        ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     # DQT
-    qts_emit = [(0, qt_lum)] if channels == 1 else [(0, qt_lum), (1, qt_chrom)]
+    qts_emit = (
+        [(0, qt_lum)]
+        if channels == 1 or rgb_components
+        else [(0, qt_lum), (1, qt_chrom)]
+    )
     for tid, qt in qts_emit:
         out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64)
         out.append(tid)  # Pq=0 (8-bit), Tq=tid
         out += bytes(int(qt[z]) for z in ZIGZAG)
     # SOF0
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * channels, 8, height, width, channels)
+    comp_ids = [0x52, 0x47, 0x42] if rgb_components else [1, 2, 3]
     for ci in range(channels):
         hi, vi = samp[ci]
-        tq = 0 if (ci == 0 or channels == 1) else 1
-        out += bytes([ci + 1, (hi << 4) | vi, tq])
+        tq = 0 if (ci == 0 or channels == 1 or rgb_components) else 1
+        out += bytes([comp_ids[ci], (hi << 4) | vi, tq])
     # DHT
     tables = (
         [(0x00, DC_LUM), (0x10, AC_LUM)]
-        if channels == 1
+        if channels == 1 or rgb_components
         else [(0x00, DC_LUM), (0x10, AC_LUM), (0x01, DC_CHROM), (0x11, AC_CHROM)]
     )
     for tc_th, (bits, vals) in tables:
@@ -794,8 +824,10 @@ def encode_jpeg(
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * channels, channels)
     for ci in range(channels):
-        td_ta = 0x00 if (ci == 0 or channels == 1) else 0x11
-        out += bytes([ci + 1, td_ta])
+        td_ta = (
+            0x00 if (ci == 0 or channels == 1 or rgb_components) else 0x11
+        )
+        out += bytes([comp_ids[ci] if channels == 3 else ci + 1, td_ta])
     out += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
     out += w.out
     out += b"\xff\xd9"  # EOI
@@ -1087,7 +1119,7 @@ def _coefs_to_pixels(
         # convention as 16-bit PNG; 8-bit passes through
         out = (samp12 >> (precision - 8)).astype(np.uint8)
         return (w, h, 1, out.tobytes())
-    rgb = ycbcr_to_rgb(np.stack(full, axis=-1))
+    rgb = _maybe_ycbcr_to_rgb(np.stack(full, axis=-1), comps)
     out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return (w, h, 3, out.tobytes())
 
@@ -1099,10 +1131,11 @@ def _coefs_to_pixels(
 # axes are implemented for 4:4:4 / grayscale: the SPECTRAL-SELECTION
 # axis (each scan carries a band [Ss..Se] of coefficients, fully) below,
 # and the SUCCESSIVE-APPROXIMATION axis (bitplane refinement,
-# Ah/Al != 0) further down; arithmetic-coded progressive (SOF10) lives
-# in the QM section.  Progressive-with-subsampling raises
-# NotImplementedError — a format guard, same policy as the remaining
-# hierarchical (SOF5-7/13-15) modes.
+# Ah/Al != 0) further down, and both compose with 4:2:0 subsampling
+# (non-interleaved scans walk each component's own block grid);
+# arithmetic-coded progressive (SOF10) lives in the QM section.  The
+# remaining format guards are hierarchical (SOF5-7/13-15) and 12-bit
+# non-baseline modes.
 #
 # Non-interleaved AC scans use EOB RUNS: the EOBn symbol (s=0, r<15)
 # ends the current block's band AND declares the next 2^r - 1 +
@@ -1946,7 +1979,7 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_fast, frame, restart_interval=0
     if len(comps) == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return (w, h, 1, out.tobytes())
-    rgb = ycbcr_to_rgb(np.stack(planes, axis=-1))
+    rgb = _maybe_ycbcr_to_rgb(np.stack(planes, axis=-1), comps)
     out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return (w, h, 3, out.tobytes())
 
@@ -3384,6 +3417,6 @@ def _decode_jpeg_arith_progressive(
     if len(comps) == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return (w, h, 1, out.tobytes())
-    rgb = ycbcr_to_rgb(np.stack(planes, axis=-1))
+    rgb = _maybe_ycbcr_to_rgb(np.stack(planes, axis=-1), comps)
     out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return (w, h, 3, out.tobytes())

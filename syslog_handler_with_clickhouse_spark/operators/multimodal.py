@@ -2571,15 +2571,20 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         raise NotImplementedError(f"TIFF predictor {predictor}")
     if compression == 7:
         # new-style JPEG-in-TIFF (round 13): per-strip abbreviated JPEG
-        # streams + optional shared JPEGTables (tag 347)
-        if 322 in tags or 323 in tags:
-            raise NotImplementedError("tiled JPEG-in-TIFF")
-        if photometric == 2:
-            raise NotImplementedError(
-                "JPEG-in-TIFF with photometric RGB (no transform marker)"
-            )
-        if photometric not in (1, 6) or bits[0] != 8 or predictor != 1:
+        # streams + optional shared JPEGTables (tag 347).  Round 14:
+        # TILED layout (tags 322-325, libtiff-interop-verified) and
+        # photometric 2 — RGB component streams, detected in the JPEG
+        # codec by the 'R','G','B' component ids (JCS_RGB convention)
+        if photometric not in (1, 2, 6) or bits[0] != 8 or predictor != 1:
             raise NotImplementedError("JPEG-in-TIFF variant unsupported")
+        if 322 in tags or 323 in tags:
+            if planar != 1:
+                raise NotImplementedError(
+                    "tiled JPEG-in-TIFF with planar configuration 2"
+                )
+            return _decode_tiff_jpeg_tiled(
+                b, tags, one, w, h, spp, photometric
+            )
         return _decode_tiff_jpeg(b, tags, one, w, h, spp, photometric)
     if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {compression}")
@@ -3381,6 +3386,68 @@ def _decode_tiff_tiled(
     return w, h, channels, px
 
 
+def _jpeg_tables_mid(tags) -> bytes:
+    """Shared JPEGTables (tag 347) payload with its SOI/EOI stripped —
+    the segment run spliced after each strip/tile's SOI."""
+    jt = tags.get(347)
+    if not jt:
+        return b""
+    tb = bytes(jt)
+    if tb[:2] != b"\xff\xd8" or tb[-2:] != b"\xff\xd9":
+        raise ValueError("JPEGTables not SOI..EOI delimited")
+    return tb[2:-2]
+
+
+def _decode_tiff_jpeg_tiled(b: bytes, tags, one, w: int, h: int, spp: int,
+                            photometric: int):
+    """Tiled new-style JPEG-in-TIFF (round 14): tags 322-325, each tile
+    an abbreviated (or self-contained) JPEG stream of the FULL tile
+    size (edge tiles padded, TIFF §15), optional shared JPEGTables.
+    Photometric 6 decodes through the JPEG codec's YCbCr path,
+    photometric 2 through its 'R','G','B'-component-id RGB path —
+    cross-verified both directions against the system libtiff
+    (tests/test_tiff_interop.py)."""
+    from .jpeg import decode_jpeg_pixels
+
+    tw, th = one(322), one(323)
+    offsets = tags.get(324)
+    counts = tags.get(325)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF tile layout missing/inconsistent")
+    channels = 1 if photometric == 1 else 3
+    if spp != channels:
+        raise ValueError("SamplesPerPixel inconsistent with photometric")
+    ta = (w + tw - 1) // tw
+    td = (h + th - 1) // th
+    if len(offsets) != ta * td:
+        raise ValueError("TIFF tile count inconsistent")
+    mid = _jpeg_tables_mid(tags)
+    out = bytearray(w * h * channels)
+    for ti, (so, sc) in enumerate(zip(offsets, counts)):
+        tile = b[so : so + sc]
+        if len(tile) != sc:
+            raise ValueError("TIFF tile truncated")
+        if tile[:2] != b"\xff\xd8":
+            raise ValueError("JPEG-in-TIFF tile missing SOI")
+        merged = b"\xff\xd8" + mid + tile[2:]
+        sw, sh, scc, px = decode_jpeg_pixels(merged)
+        if sw != tw or sh != th or scc != channels:
+            raise ValueError(
+                f"JPEG-in-TIFF tile {ti} decodes {sw}x{sh}x{scc}, "
+                f"expected {tw}x{th}x{channels}"
+            )
+        ty, tx = divmod(ti, ta)
+        y0, x0 = ty * th, tx * tw
+        rows = min(th, h - y0)
+        cols = min(tw, w - x0)
+        row_bytes = tw * channels
+        for r in range(rows):
+            src = r * row_bytes
+            dst = ((y0 + r) * w + x0) * channels
+            out[dst : dst + cols * channels] = px[src : src + cols * channels]
+    return w, h, channels, bytes(out)
+
+
 def _decode_tiff_jpeg(b: bytes, tags, one, w: int, h: int, spp: int,
                       photometric: int):
     """New-style JPEG-in-TIFF (Compression 7, TIFF TechNote 2) strip
@@ -3402,14 +3469,7 @@ def _decode_tiff_jpeg(b: bytes, tags, one, w: int, h: int, spp: int,
     if spp != channels:
         raise ValueError("SamplesPerPixel inconsistent with photometric")
 
-    mid = b""
-    jt = tags.get(347)
-    if jt:
-        tb = bytes(jt)
-        if tb[:2] != b"\xff\xd8" or tb[-2:] != b"\xff\xd9":
-            raise ValueError("JPEGTables not SOI..EOI delimited")
-        mid = tb[2:-2]
-
+    mid = _jpeg_tables_mid(tags)
     out = bytearray()
     for si, (so, sc) in enumerate(zip(offsets, counts)):
         strip = b[so : so + sc]
@@ -3439,26 +3499,57 @@ def encode_tiff_jpeg(
     pixels: bytes, w: int, h: int, channels: int,
     quality: int = 90, rows_per_strip: int = 8,
     shared_tables: bool = False, subsample: bool = False,
+    photometric_rgb: bool = False, tile: tuple | None = None,
 ) -> bytes:
-    """JPEG-in-TIFF builder (fixture twin of :func:`_decode_tiff_jpeg`):
-    each strip is a real :func:`~.jpeg.encode_jpeg` stream of that
-    strip's rows.  ``shared_tables=True`` moves every DQT/DHT segment
-    out of the strips into a JPEGTables tag (347) — the abbreviated-
-    stream form real writers emit — by walking each strip's markers
-    and dropping the table segments (they are identical across strips
-    by construction)."""
+    """JPEG-in-TIFF builder (fixture twin of :func:`_decode_tiff_jpeg`
+    / :func:`_decode_tiff_jpeg_tiled`): each strip — or, with
+    ``tile=(tw, th)``, each FULL-SIZE tile (edge tiles padded by row/
+    column replication, TIFF §15) — is a real :func:`~.jpeg.encode_jpeg`
+    stream.  ``shared_tables=True`` moves every DQT/DHT segment out of
+    the streams into a JPEGTables tag (347) — the abbreviated-stream
+    form real writers emit.  ``photometric_rgb=True`` (3-channel)
+    writes photometric 2 with untransformed 'R','G','B'-component
+    streams (the libtiff JPEGCOLORMODE-off form)."""
     import struct
 
     from .jpeg import encode_jpeg
 
     assert channels in (1, 3) and len(pixels) == w * h * channels
+    if photometric_rgb and (channels != 3 or subsample):
+        raise ValueError("photometric_rgb requires 3 channels, 4:4:4")
+
+    def enc(seg, sw, sh):
+        return encode_jpeg(seg, sw, sh, channels, quality=quality,
+                           subsample=subsample,
+                           rgb_components=photometric_rgb)
+
+    segs = []  # (pixel bytes, seg_w, seg_h)
+    if tile is not None:
+        twd, thd = tile
+        for ty in range(0, h, thd):
+            for tx in range(0, w, twd):
+                buf = bytearray(twd * thd * channels)
+                for r in range(thd):
+                    sy = min(ty + r, h - 1)  # replicate last row
+                    dst = r * twd * channels
+                    for c in range(twd):
+                        sx = min(tx + c, w - 1)  # replicate last col
+                        src = (sy * w + sx) * channels
+                        buf[dst + c * channels : dst + (c + 1) * channels] = \
+                            pixels[src : src + channels]
+                segs.append((bytes(buf), twd, thd))
+    else:
+        for r0 in range(0, h, rows_per_strip):
+            rows = min(rows_per_strip, h - r0)
+            segs.append((
+                pixels[r0 * w * channels : (r0 + rows) * w * channels],
+                w, rows,
+            ))
+
     strips = []
     tables_blob = None
-    for r0 in range(0, h, rows_per_strip):
-        rows = min(rows_per_strip, h - r0)
-        seg = pixels[r0 * w * channels : (r0 + rows) * w * channels]
-        blob = encode_jpeg(seg, w, rows, channels, quality=quality,
-                           subsample=subsample)
+    for seg, sw, sh in segs:
+        blob = enc(seg, sw, sh)
         if shared_tables:
             # split table segments (DQT 0xDB / DHT 0xC4) out of the stream
             kept = bytearray(b"\xff\xd8")
@@ -3486,7 +3577,12 @@ def encode_tiff_jpeg(
         else:
             strips.append(blob)
 
-    photometric = 1 if channels == 1 else 6  # gray / YCbCr (in-JPEG)
+    if channels == 1:
+        photometric = 1
+    elif photometric_rgb:
+        photometric = 2
+    else:
+        photometric = 6  # YCbCr (in-JPEG)
     data_off = 8
     offsets, pos = [], data_off
     for sdata in strips:
@@ -3495,9 +3591,18 @@ def encode_tiff_jpeg(
     entries = [
         (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * channels),
         (259, 3, [7]), (262, 3, [photometric]), (277, 3, [channels]),
-        (273, 4, offsets), (278, 4, [rows_per_strip]),
-        (279, 4, [len(s) for s in strips]), (284, 3, [1]),
+        (284, 3, [1]),
     ]
+    if tile is not None:
+        entries += [
+            (322, 4, [tile[0]]), (323, 4, [tile[1]]),
+            (324, 4, offsets), (325, 4, [len(s) for s in strips]),
+        ]
+    else:
+        entries += [
+            (273, 4, offsets), (278, 4, [rows_per_strip]),
+            (279, 4, [len(s) for s in strips]),
+        ]
     if tables_blob is not None:
         # payload > 4 bytes, so it lives in the ext area after the IFD
         entries.append((347, 7, list(tables_blob)))

@@ -1420,6 +1420,49 @@ def test_bmp_core_header_round_trips():
         decode_bmp_pixels(bytes(v2))
 
 
+def test_tiff_jpeg_tiled_and_rgb_round_trips():
+    """Round 14: tiled JPEG-in-TIFF (tags 322-325, full-size padded
+    edge tiles) and photometric-2 RGB-component streams — every
+    combination must decode back to the per-segment encode_jpeg decode
+    exactly (and the RGB path skips the YCbCr matrix: maxdiff vs the
+    source collapses to quantization-only)."""
+    import numpy as np
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        encode_tiff_jpeg,
+    )
+
+    w, h = 37, 29
+    rgb = bytearray()
+    for y in range(h):
+        for x in range(w):
+            rgb += bytes(((40 + 2 * x + y) % 256, (200 - x - 2 * y) % 256,
+                          (30 + x + 3 * y) % 256))
+    rgb = bytes(rgb)
+    gray = bytes((40 + 2 * (i % w) + 3 * (i // w)) % 256
+                 for i in range(w * h))
+    src = np.frombuffer(rgb, np.uint8).astype(int)
+
+    for kwargs in (
+        dict(tile=(16, 16)),
+        dict(tile=(16, 16), shared_tables=True),
+        dict(photometric_rgb=True),
+        dict(photometric_rgb=True, shared_tables=True),
+        dict(photometric_rgb=True, tile=(16, 16)),
+    ):
+        blob = encode_tiff_jpeg(rgb, w, h, 3, quality=95, **kwargs)
+        dw, dh, dc, px = decode_tiff_pixels(blob)
+        assert (dw, dh, dc) == (w, h, 3), kwargs
+        diff = np.abs(src - np.frombuffer(px, np.uint8).astype(int)).max()
+        # q95 4:4:4: a couple of quanta; RGB path has no chroma matrix
+        assert diff <= (1 if kwargs.get("photometric_rgb") else 2), kwargs
+    dw, dh, dc, px = decode_tiff_pixels(
+        encode_tiff_jpeg(gray, w, h, 1, quality=100, tile=(16, 16))
+    )
+    assert (dw, dh, dc, px) == (w, h, 1, gray)  # q100 gray: exact
+
+
 def test_tiff_jpeg_excess_strips_rejected():
     """A malformed JPEG-in-TIFF carrying more strips than ImageLength
     needs must raise, not silently append pixels past the image (the
@@ -1489,10 +1532,12 @@ def test_tiff_jpeg_in_tiff_round_trips():
                                     subsample=sub)
                     exp += decode_jpeg_pixels(j)[3]
                 assert out == bytes(exp), (ch, shared, sub)
-    # tiled and RGB-photometric variants stay loud guards
+    # round 14: tiled and RGB-photometric JPEG-in-TIFF decode (see
+    # test_tiff_jpeg_tiled_and_rgb_round_trips); a photometric value
+    # outside {1, 2, 6} stays a loud guard
     blob = encode_tiff_jpeg(gray, w, h, 1)
     mutated = bytearray(blob)
     i = mutated.find((262).to_bytes(2, "little"))
-    mutated[i + 8] = 2  # photometric RGB
-    with pytest.raises(NotImplementedError, match="photometric RGB"):
+    mutated[i + 8] = 5  # photometric CMYK-ish — unsupported
+    with pytest.raises(NotImplementedError, match="variant unsupported"):
         decode_tiff_pixels(bytes(mutated))
