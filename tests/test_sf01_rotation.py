@@ -28,6 +28,28 @@ from test_oracle_parity import _dtype_group, _normalize, _values_equal
 SF01_DIR = "/root/testdata/sf0.1"
 K = 10
 
+# Round 14 (verdict directive 6): the HEAVY LLM-tier queries rotate
+# through the lane FASTER than the uniform sample would visit them —
+# each round takes K_HEAVY of these round-robin, on top of the K
+# uniform picks.  These are the queries whose sf0.1 behavior the
+# 100 TB story leans on (dedup funnel, BM25/RRF, DSIR, the round-14
+# incremental/rewrite contracts).
+HEAVY_POOL = [
+    "q334_dedup_components",
+    "q394_bm25_retrieval",
+    "q413_rrf_hybrid_retrieval",
+    "q454_dsir_importance",
+    "q39_minhash_lsh",
+    "q446_curation_funnel",
+    "q453_gopher_repetition",
+    "q431_c4_line_filters",
+    "q458_rrf_hybrid_capped",
+    "q459_incremental_dedup_labels",
+    "q460_exact_substring_rewrite",
+    "q455_dedup_survivors",
+]
+K_HEAVY = 4
+
 # Queries excluded from the sf0.1 lane, each with the reason — keep this
 # SHORT and justified; an entry here still gets its sf0.01 value check.
 DENYLIST: dict[str, str] = {}
@@ -42,9 +64,14 @@ def _round_number() -> int:
 
 
 def _rotation() -> list[str]:
-    pool = sorted(set(ORACLE) - set(DENYLIST))
-    rng = random.Random(_round_number())
-    return sorted(rng.sample(pool, min(K, len(pool))))
+    rnd = _round_number()
+    heavy = [h for h in HEAVY_POOL if h in ORACLE and h not in DENYLIST]
+    picked = [
+        heavy[(rnd * K_HEAVY + i) % len(heavy)] for i in range(K_HEAVY)
+    ] if heavy else []
+    pool = sorted(set(ORACLE) - set(DENYLIST) - set(picked))
+    rng = random.Random(rnd)
+    return sorted(set(picked) | set(rng.sample(pool, min(K, len(pool)))))
 
 
 @pytest.fixture(scope="module")
