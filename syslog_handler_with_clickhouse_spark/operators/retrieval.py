@@ -161,6 +161,27 @@ def _bm25_plan(
     dl = postings.groupBy("doc_id").agg(
         F.sum("tf").cast("bigint").alias("dl")
     )
+    df_ = postings.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    return _bm25_score(
+        postings, dl, df_, queries, k=k,
+        max_df_num=max_df_num, max_df_den=max_df_den,
+    )
+
+
+def _bm25_score(
+    postings: DataFrame,
+    dl: DataFrame,
+    df_: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    max_df_num: int,
+    max_df_den: int,
+) -> DataFrame:
+    """BM25 scoring tail over prebuilt index frames (postings
+    (doc_id, token, tf), dl (doc_id, dl), df_ (token, dfreq)) — shared
+    by the scan path (:func:`_bm25_plan`) and the maintained-index path
+    (:func:`bm25_topk_from_index`).  Corpus scalars derive from dl."""
     stats = dl.agg(
         F.sum("dl").alias("corpus_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
@@ -168,7 +189,6 @@ def _bm25_plan(
         "n_docs",
         (F.expr("corpus_tokens * 1000 DIV n_docs")).alias("am"),
     )
-    df_ = postings.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
 
     qterms = _tokens(queries, "query_id").distinct()
 
@@ -371,4 +391,87 @@ def _rrf_fuse(a: DataFrame, b: DataFrame, k_out: int) -> DataFrame:
             "bm25_rank",
             "jaccard_rank",
         )
+    )
+
+
+# ---------------------------------------------------------------------
+# incremental BM25 index maintenance (round 14)
+# ---------------------------------------------------------------------
+# The q459 discipline applied to the retrieval tier: a standing corpus
+# should not re-tokenize itself per ingest batch.  The index state is
+# three frames, ALL append-or-merge per batch:
+#
+#   postings (doc_id, token, tf) — append-only (new docs only);
+#   dl       (doc_id, dl)       — append-only;
+#   df       (token, dfreq)     — merged per batch (full-outer sum
+#            over the batch's vocabulary — O(vocab), and vocabulary
+#            grows sublinearly in corpus size).
+#
+# Query time is then PURE INDEX JOINS (_bm25_score) — no text ever
+# re-read — and the scores are EXACTLY the scan path's: tf/dl/df/N/am
+# are sums, so batch-wise accumulation commutes with the arithmetic
+# (everything integer, no reassociation drift).  q461's oracle is
+# q394's full-recompute SQL verbatim: the maintained index must
+# reproduce it bit for bit after any batch split.
+
+
+def bm25_index_init(spark) -> dict:
+    """Empty maintained-index state for :func:`bm25_index_insert`."""
+    return {
+        "postings": spark.createDataFrame(
+            [], "doc_id bigint, token string, tf bigint"
+        ),
+        "dl": spark.createDataFrame([], "doc_id bigint, dl bigint"),
+        "df": spark.createDataFrame([], "token string, dfreq bigint"),
+    }
+
+
+def bm25_index_insert(index: dict, batch: DataFrame) -> dict:
+    """Fold one (doc_id, text) batch into the maintained BM25 index
+    (see the block comment).  Batch ids must be new docs.  Returns the
+    new state (eagerly checkpointed); inputs are not mutated."""
+    tok = _tokens(batch, "doc_id")
+    bp = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    bdl = bp.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    bdf = bp.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dfreq")
+    )
+    postings = index["postings"].unionByName(
+        bp.select("doc_id", "token", "tf")
+    )
+    dl = index["dl"].unionByName(bdl)
+    df_ = (
+        index["df"]
+        .withColumnRenamed("dfreq", "a")
+        .join(bdf.withColumnRenamed("dfreq", "b"), "token", "full_outer")
+        .select(
+            "token",
+            (F.coalesce("a", F.lit(0)) + F.coalesce("b", F.lit(0)))
+            .cast("bigint")
+            .alias("dfreq"),
+        )
+    )
+    return {
+        "postings": postings.localCheckpoint(eager=True),
+        "dl": dl.localCheckpoint(eager=True),
+        "df": df_.localCheckpoint(eager=True),
+    }
+
+
+def bm25_topk_from_index(
+    index: dict,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    max_df_num: int = 1,
+    max_df_den: int = 4,
+) -> DataFrame:
+    """:func:`bm25_topk` semantics over the maintained index — same
+    output contract (query_id, rank, doc_id, score), bit-identical to
+    the scan path on the same accumulated corpus."""
+    return _bm25_score(
+        index["postings"], index["dl"], index["df"], queries,
+        k=k, max_df_num=max_df_num, max_df_den=max_df_den,
     )

@@ -2085,3 +2085,36 @@ def q460(spark, sf_dir):
         )
     )
     return exact_substring_rewrite(corpus, w=8, min_count=2)
+
+
+@query("q461_bm25_incremental_index", ORACLE["q394_bm25_retrieval"])
+def q461(spark, sf_dir):
+    """Incremental BM25 index maintenance (round 14 — the q459
+    discipline applied to retrieval, `operators/retrieval.py:
+    bm25_index_init/insert/bm25_topk_from_index`): the corpus arrives
+    in three batches (doc_id % 3), each folded into the maintained
+    index (postings/dl append-only, df merged over the batch
+    vocabulary — O(batch + vocab) per fold, the corpus text is never
+    re-read), and the query runs PURE INDEX JOINS.  tf/dl/df/N/avgdl
+    are all integer sums, so batch accumulation commutes with the
+    scoring arithmetic exactly — the oracle is q394's full-recompute
+    SQL VERBATIM, and the maintained index must reproduce it bit for
+    bit."""
+    from ..operators.retrieval import (
+        bm25_index_init,
+        bm25_index_insert,
+        bm25_topk_from_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries_df = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    idx = bm25_index_init(spark)
+    for m in (0, 1, 2):
+        idx = bm25_index_insert(
+            idx, docs.filter(F.col("doc_id") % 3 == m)
+        )
+    return bm25_topk_from_index(
+        idx, queries_df, k=5, max_df_num=9, max_df_den=10
+    )

@@ -567,3 +567,49 @@ def test_exact_substring_rewrite_planted(spark):
     # doc 5's shared grams are canonical in doc 1, so BOTH of its
     # copies drop — the whole doc rewrites away as one span
     assert got[5][1] == 20 and got[5][2] == 1 and got[5][0] == ""
+
+
+def test_bm25_incremental_index_matches_scan(spark):
+    """Round-14 maintained BM25 index: folding batches (append postings
+    and dl, merge df over the batch vocabulary) then scoring from the
+    index must be BIT-IDENTICAL to bm25_topk over the accumulated
+    corpus — including a term whose document frequency spans batches
+    (df must merge, not overwrite)."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.retrieval import (
+        bm25_index_init,
+        bm25_index_insert,
+        bm25_topk,
+        bm25_topk_from_index,
+    )
+
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "quick brown foxes are quick and brown",
+        3: "the lazy dog sleeps all day long every day",
+        4: "a fox and a dog met a lazy fox",
+        5: "nothing in common here whatsoever tonight",
+        6: "dog dog dog and one lazy fox again",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    queries = df.filter(F.col("doc_id").isin(1, 4)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    direct = sorted(
+        map(tuple, bm25_topk(df, queries, k=4, max_df_num=9,
+                             max_df_den=10).collect())
+    )
+    idx = bm25_index_init(spark)
+    for pred in (F.col("doc_id") <= 2, F.col("doc_id").isin(3, 4),
+                 F.col("doc_id") >= 5):
+        idx = bm25_index_insert(idx, df.filter(pred))
+    # 'dog' appears in batches 1, 2 AND 3 — merged df must be 4;
+    # 'fox' spans batches 1 (doc 1), 2 (doc 4) and 3 (doc 6)
+    dfreq = {r.token: r.dfreq for r in idx["df"].collect()}
+    assert dfreq["dog"] == 4 and dfreq["fox"] == 3
+    inc = sorted(
+        map(tuple, bm25_topk_from_index(idx, queries, k=4, max_df_num=9,
+                                        max_df_den=10).collect())
+    )
+    assert inc == direct and inc
