@@ -2594,11 +2594,9 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     if spp != channels:
         raise ValueError("SamplesPerPixel inconsistent with photometric")
     if 322 in tags or 323 in tags:
-        if planar != 1:
-            raise NotImplementedError("tiled TIFF with planar configuration 2")
         return _decode_tiff_tiled(
             b, tags, one, w, h, channels, compression, predictor,
-            photometric, sb, e,
+            photometric, sb, e, planar,
         )
     offsets = tags.get(273)
     counts = tags.get(279)
@@ -2798,9 +2796,37 @@ def encode_tiff(
         return raw
 
     strips = []
-    if tile is not None:
-        if planar:
-            raise ValueError("tiled planar encoding unsupported")
+    if tile is not None and planar:
+        # plane-major full-size tiles, single-sample, predictor stride 1
+        tw, th = tile
+        ta = (w + tw - 1) // tw
+        td = (h + th - 1) // th
+        for c in range(channels):
+            plane = pixels[c::channels]
+            for ty in range(td):
+                for tx in range(ta):
+                    buf = (
+                        bytearray(tw * th)
+                        if bits == 8
+                        else [0] * (tw * th)
+                    )
+                    y0, x0 = ty * th, tx * tw
+                    rows = min(th, h - y0)
+                    cols = min(tw, w - x0)
+                    for r in range(rows):
+                        src = (y0 + r) * w + x0
+                        dst = r * tw
+                        buf[dst : dst + cols] = plane[src : src + cols]
+                    if bits == 8:
+                        raw = bytes(buf)
+                        if predictor:
+                            raw = _tiff_diff(raw, tw, 1)
+                    else:
+                        if predictor:
+                            buf = _tiff_diff16(buf, tw, 1)
+                        raw = pack(buf)
+                    strips.append(compress(raw))
+    elif tile is not None:
         tw, th = tile
         ta = (w + tw - 1) // tw
         td = (h + th - 1) // th
@@ -3321,14 +3347,18 @@ def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
 def _decode_tiff_tiled(
     b: bytes, tags, one, w: int, h: int, channels: int,
     compression: int, predictor: int, photometric: int,
-    sb: int = 1, e: str = "<",
+    sb: int = 1, e: str = "<", planar: int = 1,
 ):
     """Tiled-TIFF assembly (tags 322-325): tiles are stored at FULL
     tile size (edge tiles padded), decompressed independently,
     predictor-undone per tile row (at sample width — 16-bit tiles
     difference per TIFF §14, like the strip path), then blitted into
     the image grid; 16-bit samples reduce to the high-byte 8-bit view
-    in the FILE byte order at the end (the strip-path convention)."""
+    in the FILE byte order at the end (the strip-path convention).
+    ``planar=2`` (round 14, libtiff-interop-verified): tiles arrive
+    PLANE-MAJOR (TIFF §15 — ta·td tiles of sample 0, then sample 1,
+    …), each tile single-sample, predictor at stride 1, blitted into
+    the interleaved buffer at the plane's channel offset."""
     tw, th = one(322), one(323)
     offsets = tags.get(324)
     counts = tags.get(325)
@@ -3336,11 +3366,12 @@ def _decode_tiff_tiled(
         raise ValueError("TIFF tile layout missing/inconsistent")
     ta = (w + tw - 1) // tw
     td = (h + th - 1) // th
-    if len(offsets) != ta * td:
+    tile_ch = 1 if planar == 2 else channels
+    if len(offsets) != ta * td * (channels if planar == 2 else 1):
         raise ValueError("TIFF tile count inconsistent")
     out = bytearray(w * h * channels * sb)
-    expect = tw * th * channels * sb
-    row_bytes = tw * channels * sb
+    expect = tw * th * tile_ch * sb
+    row_bytes = tw * tile_ch * sb
     for ti, (so, sc) in enumerate(zip(offsets, counts)):
         raw = b[so : so + sc]
         if len(raw) != sc:
@@ -3362,20 +3393,30 @@ def _decode_tiff_tiled(
             tile = raw[:expect]
         if predictor == 2:
             tile = (
-                _tiff_undiff(tile, row_bytes, channels)
+                _tiff_undiff(tile, row_bytes, tile_ch)
                 if sb == 1
-                else _tiff_undiff16(tile, tw * channels, channels, e)
+                else _tiff_undiff16(tile, tw * tile_ch, tile_ch, e)
             )
-        ty, tx = divmod(ti, ta)
+        plane_c, grid_i = divmod(ti, ta * td) if planar == 2 else (0, ti)
+        ty, tx = divmod(grid_i, ta)
         y0, x0 = ty * th, tx * tw
         rows = min(th, h - y0)
         cols = min(tw, w - x0)
-        for r in range(rows):
-            src = r * row_bytes
-            dst = ((y0 + r) * w + x0) * channels * sb
-            out[dst : dst + cols * channels * sb] = tile[
-                src : src + cols * channels * sb
-            ]
+        if planar == 2:
+            # scatter the single-sample tile into the channel lane
+            for r in range(rows):
+                for c in range(cols):
+                    src = (r * tw + c) * sb
+                    dst = (((y0 + r) * w + x0 + c) * channels
+                           + plane_c) * sb
+                    out[dst : dst + sb] = tile[src : src + sb]
+        else:
+            for r in range(rows):
+                src = r * row_bytes
+                dst = ((y0 + r) * w + x0) * channels * sb
+                out[dst : dst + cols * channels * sb] = tile[
+                    src : src + cols * channels * sb
+                ]
     if sb == 2:
         # high-byte 8-bit view in the file byte order (strip-path
         # convention; WhiteIsZero inversion commutes with the view)

@@ -1257,9 +1257,9 @@ def test_tiff_tiled_roundtrip_matrix():
     # WhiteIsZero inverts after assembly
     blob = encode_tiff(g, w, h, 1, white_is_zero=True, tile=(8, 4))
     assert decode_tiff_pixels(blob) == (w, h, 1, g)
-    # planar + tiled remains guarded
-    with pytest.raises(ValueError, match="tiled planar"):
-        encode_tiff(rgb, w, h, 3, planar=True, tile=(8, 4))
+    # planar + tiled round-trips since round 14
+    blob = encode_tiff(rgb, w, h, 3, planar=True, tile=(8, 4))
+    assert decode_tiff_pixels(blob) == (w, h, 3, rgb)
 
 
 def test_tiff16_roundtrip_matrix():
@@ -1541,3 +1541,28 @@ def test_tiff_jpeg_in_tiff_round_trips():
     mutated[i + 8] = 5  # photometric CMYK-ish — unsupported
     with pytest.raises(NotImplementedError, match="variant unsupported"):
         decode_tiff_pixels(bytes(mutated))
+
+
+def test_tiff_tiled_planar_round_trips():
+    """Round 14: PLANARCONFIG_SEPARATE tiles (plane-major single-sample
+    tiles, TIFF §15) round-trip bit-exactly across endians,
+    compressions, predictor and 8/16-bit depths (16-bit decodes to the
+    high-byte view, the strip-path convention)."""
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        encode_tiff,
+    )
+
+    w, h = 21, 13
+    rgb = bytes((30 + 7 * i) % 256 for i in range(w * h * 3))
+    for e in ("<", ">"):
+        for kwargs in (dict(), dict(packbits=True),
+                       dict(lzw=True, predictor=True), dict(deflate=True)):
+            blob = encode_tiff(rgb, w, h, 3, endian=e, planar=True,
+                               tile=(16, 16), **kwargs)
+            assert decode_tiff_pixels(blob) == (w, h, 3, rgb), (e, kwargs)
+    samples = [(i * 257) % 65536 for i in range(w * h * 3)]
+    blob = encode_tiff(samples, w, h, 3, endian=">", planar=True,
+                       tile=(16, 16), bits=16, lzw=True, predictor=True)
+    exp = bytes((v >> 8) & 0xFF for v in samples)
+    assert decode_tiff_pixels(blob) == (w, h, 3, exp)

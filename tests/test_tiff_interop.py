@@ -90,6 +90,7 @@ elif mode == "read":
 else:
     (out, w, h, spp, bits, comp, pred, tw, th, photo) = (
         sys.argv[2], *(int(x) for x in sys.argv[3:12]))
+    planar = int(sys.argv[12]) if len(sys.argv) > 12 else 1
     data = base64.b64decode(sys.stdin.buffer.read())
     tif = lt.TIFFOpen(out.encode(), b"w")
     assert tif, "TIFFOpen(w) failed"
@@ -103,7 +104,7 @@ else:
     seti(TAG["bits"], bits)
     seti(TAG["spp"], spp)
     seti(TAG["photometric"], photo)
-    seti(TAG["planar"], 1)
+    seti(TAG["planar"], planar)
     seti(TAG["compression"], comp)
     if comp == 7:
         seti(65537, 90)       # JPEGQUALITY pseudo-tag
@@ -112,7 +113,31 @@ else:
     if pred:
         seti(TAG["predictor"], 2)
     sb = bits // 8
-    if tw:
+    if tw and planar == 2:
+        seti(TAG["tile_w"], tw)
+        seti(TAG["tile_h"], th)
+        ta = (w + tw - 1) // tw
+        td = (h + th - 1) // th
+        tile_bytes = tw * th * sb
+        for c in range(spp):
+            for ty in range(td):
+                for tx in range(ta):
+                    buf = bytearray(tile_bytes)
+                    y0, x0 = ty * th, tx * tw
+                    rows = min(th, h - y0)
+                    cols = min(tw, w - x0)
+                    for r in range(rows):
+                        for cc in range(cols):
+                            src = (((y0 + r) * w + x0 + cc) * spp + c) * sb
+                            dst = (r * tw + cc) * sb
+                            buf[dst : dst + sb] = data[src : src + sb]
+                    cb = ctypes.create_string_buffer(bytes(buf), tile_bytes)
+                    r = lt.TIFFWriteTile(t, cb, ctypes.c_uint32(x0),
+                                         ctypes.c_uint32(y0),
+                                         ctypes.c_uint32(0),
+                                         ctypes.c_ushort(c))
+                    assert r > 0, "TIFFWriteTile(planar) failed"
+    elif tw:
         seti(TAG["tile_w"], tw)
         seti(TAG["tile_h"], th)
         ta = (w + tw - 1) // tw
@@ -185,7 +210,8 @@ def _lib_read_tiles(tiff_bytes: bytes, n_tiles: int, tile_bytes: int):
         os.unlink(path)
 
 
-def _lib_write(w, h, spp, bits, comp, pred, tile, photo, samples: bytes):
+def _lib_write(w, h, spp, bits, comp, pred, tile, photo, samples: bytes,
+               planar: int = 1):
     import tempfile
 
     path = tempfile.mktemp(suffix=".tif")
@@ -194,7 +220,7 @@ def _lib_write(w, h, spp, bits, comp, pred, tile, photo, samples: bytes):
         r = subprocess.run(
             [sys.executable, "-c", _HELPER, "write", path,
              str(w), str(h), str(spp), str(bits), str(comp),
-             str(int(pred)), str(tw), str(th), str(photo)],
+             str(int(pred)), str(tw), str(th), str(photo), str(planar)],
             input=base64.b64encode(samples),
             capture_output=True, timeout=120,
         )
@@ -541,3 +567,33 @@ def test_our_decoder_reads_libtiff_rgb_photometric_strips():
     ours = decode_tiff_pixels(blob)
     assert (ours[0], ours[1], ours[2]) == (w, h, 3)
     _close(_rgba_to_ours(w, h, rgba, 3), ours[3], tol=2)
+
+
+def test_our_decoder_reads_libtiff_tiled_planar():
+    """Round 14: libtiff writes PLANARCONFIG_SEPARATE tiles
+    (plane-major, single-sample) and our decoder must reproduce the
+    pixels bit-exactly (lossless codecs)."""
+    w, h = 21, 13
+    px = _rgb8(w, h)
+    for comp, pred in ((1, False), (5, True), (8, False)):
+        blob = _lib_write(w, h, 3, 8, comp, pred, (16, 16), 2, px,
+                          planar=2)
+        assert decode_tiff_pixels(blob) == (w, h, 3, px), (comp, pred)
+
+
+def test_libtiff_reads_our_tiled_planar():
+    """Round 14 direction 1: libtiff decodes OUR planar tiles —
+    bit-exact via TIFFReadRGBAImage."""
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        encode_tiff,
+    )
+
+    w, h = 21, 13
+    px = _rgb8(w, h)
+    for kwargs in (dict(), dict(lzw=True, predictor=True),
+                   dict(deflate=True)):
+        blob = encode_tiff(px, w, h, 3, planar=True, tile=(16, 16),
+                           **kwargs)
+        lw, lh, rgba = _lib_read_rgba(blob)
+        assert (lw, lh) == (w, h)
+        assert _rgba_to_ours(w, h, rgba, 3) == px, kwargs
