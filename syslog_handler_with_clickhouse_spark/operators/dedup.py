@@ -1239,12 +1239,24 @@ def cdc_chunks(docs: DataFrame, *, w: int = 8, mod: int = 1000003,
 # storage bucketing co-locates.
 
 
-def incremental_dedup_init(spark) -> dict:
-    """Empty maintenance state for :func:`incremental_dedup_insert`."""
-    return {
+def incremental_dedup_init(spark, with_scores: bool = False) -> dict:
+    """Empty maintenance state for :func:`incremental_dedup_insert`.
+    ``with_scores=True`` adds the survivor-selection state (q455's
+    keep-best-quality policy maintained incrementally): per-doc scores
+    (append-only) and one (comp, best_score, best_doc) row per
+    component, re-aggregated per batch only over TOUCHED components
+    (new members or merges) — O(batch + touched), the labels
+    discipline applied to the argmax."""
+    st = {
         "buckets": spark.createDataFrame([], "band int, bh bigint, rep bigint"),
         "labels": spark.createDataFrame([], "node bigint, comp bigint"),
     }
+    if with_scores:
+        st["scores"] = spark.createDataFrame([], "node bigint, score bigint")
+        st["best"] = spark.createDataFrame(
+            [], "comp bigint, best_score bigint, best_doc bigint"
+        )
+    return st
 
 
 def incremental_dedup_insert(
@@ -1254,6 +1266,7 @@ def incremental_dedup_insert(
     id_col: str = "doc_id",
     n: int = 3,
     stats: list | None = None,
+    score_col: str | None = None,
 ) -> dict:
     """Fold one document batch into the dedup maintenance state (see
     the block comment above for the algorithm and the equality
@@ -1341,6 +1354,61 @@ def incremental_dedup_insert(
         eager=True
     )
 
+    out = {"buckets": buckets_next, "labels": labels_next}
+
+    if score_col is not None:
+        batch_scores = batch.select(
+            F.col(id_col).cast("bigint").alias("node"),
+            F.col(score_col).cast("bigint").alias("score"),
+        )
+        out["scores"] = (
+            state["scores"].unionByName(batch_scores)
+            .localCheckpoint(eager=True)
+        )
+        new_entries = new_labels.join(batch_scores, "node").select(
+            "comp", "score", F.col("node").alias("doc")
+        )
+        # relabel the stored per-comp argmax rows (broadcast projection)
+        best = state["best"]
+        best_rel = best.join(
+            F.broadcast(relabel), best["comp"] == relabel["old_comp"], "left"
+        ).select(
+            F.coalesce("new_comp", best["comp"]).alias("comp"),
+            "best_score",
+            "best_doc",
+        )
+        # only TOUCHED comps re-aggregate: comps gaining members this
+        # batch plus merge targets — everything else passes through
+        touched = (
+            new_entries.select("comp")
+            .unionByName(relabel.select(F.col("new_comp").alias("comp")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        affected = best_rel.join(F.broadcast(touched), "comp").select(
+            "comp",
+            F.col("best_score").alias("score"),
+            F.col("best_doc").alias("doc"),
+        )
+        untouched = best_rel.join(F.broadcast(touched), "comp", "left_anti")
+        agg = (
+            affected.unionByName(new_entries)
+            .groupBy("comp")
+            .agg(
+                F.max(
+                    F.struct("score", (-F.col("doc")).alias("nid"))
+                ).alias("b")
+            )
+            .select(
+                "comp",
+                F.col("b.score").alias("best_score"),
+                (-F.col("b.nid")).alias("best_doc"),
+            )
+        )
+        out["best"] = (
+            untouched.unionByName(agg).localCheckpoint(eager=True)
+        )
+
     if stats is not None:
         stats.append(
             {
@@ -1351,7 +1419,7 @@ def incremental_dedup_insert(
                 "relabeled_comps": relabel.count(),
             }
         )
-    return {"buckets": buckets_next, "labels": labels_next}
+    return out
 
 
 # -- stored (bucketed-table) maintenance state ------------------------

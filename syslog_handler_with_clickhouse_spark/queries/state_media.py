@@ -4872,3 +4872,69 @@ def q459(spark, sf_dir):
         .alias("cluster_size"),
         (F.col("node") == F.col("comp")).alias("is_canonical"),
     )
+
+
+@query("q462_incremental_quality_canonical", ORACLE["q455_quality_canonical"])
+def q462(spark, sf_dir):
+    """Incremental SURVIVOR selection (round 14): q455's
+    keep-best-quality-per-cluster policy maintained batch by batch
+    through the q459 state — per batch the (comp, best_score,
+    best_doc) argmax re-aggregates only over TOUCHED components (new
+    members or merges), everything else passes through.  The corpus
+    and scoring are q455's verbatim (quality-tail near-dup copies make
+    min-id-canonical and quality-canonical genuinely diverge), the
+    batches are the q459 parity split, and the oracle is q455's full
+    recompute SQL VERBATIM — maintained survivors must reproduce the
+    one-shot closure + argmax bit for bit."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" and the quality tail is here")
+            ).alias("text"),
+        )
+    )
+    pad = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    score = (
+        10 * F.size(F.split("text", " "))
+        + F.when(pad.like("% the %"), 50).otherwise(0)
+        + F.when(pad.like("% a %"), 25).otherwise(0)
+    ).cast("bigint")
+    scored = corpus.select("doc_id", "text", score.alias("score"))
+    batches = [
+        scored.filter(
+            (F.col("doc_id") < 1000000) & (F.col("doc_id") % 2 == 0)
+        ),
+        scored.filter(
+            (F.col("doc_id") < 1000000) & (F.col("doc_id") % 2 == 1)
+        ),
+        scored.filter(F.col("doc_id") >= 1000000),
+    ]
+    st = dedup.incremental_dedup_init(spark, with_scores=True)
+    for b in batches:
+        st = dedup.incremental_dedup_insert(
+            st, b.localCheckpoint(eager=True), score_col="score"
+        )
+    labeled = st["labels"].join(st["scores"], "node").select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("comp_id"),
+        "score",
+    )
+    w = Window.partitionBy("comp_id")
+    best = st["best"].select(
+        F.col("comp").alias("comp_id"), "best_score", "best_doc"
+    )
+    return (
+        labeled.join(best, "comp_id")
+        .select(
+            "doc_id",
+            F.col("comp_id").cast("bigint").alias("comp_id"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+            "score",
+            (F.col("doc_id") == F.col("best_doc")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

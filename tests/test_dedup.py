@@ -761,3 +761,54 @@ def test_incremental_dedup_store_joins_shuffle_free(spark, tmp_path):
         for t in (f"{prefix}_buckets", f"{prefix}_labels",
                   f"{prefix}_relabel"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_survivors_merge_updates_best(spark):
+    """Round-14 survivor maintenance: when a bridge merges two existing
+    components, the merged argmax must take the better doc across BOTH
+    — including the case where the later-inserted family carries the
+    higher score; untouched components pass through unchanged."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        incremental_dedup_init,
+        incremental_dedup_insert,
+    )
+
+    words = [f"w{i}" for i in range(1000)]
+
+    def mk(seed, n=30):
+        r = random.Random(seed)
+        return " ".join(r.choice(words) for _ in range(n))
+
+    ta, tb = mk(1003), mk(2003)
+    # scores: family B's doc 21 is the global best of the merged cluster
+    rows = [
+        (10, ta, 100), (11, ta, 90),
+        (20, tb, 120), (21, tb, 500),
+        (30, ta + " " + tb, 10),          # bridge, low quality
+        (40, "zz yy xx ww vv uu tt ss", 7),  # untouched singleton
+    ]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, text string, score long"
+    )
+    st = incremental_dedup_init(spark, with_scores=True)
+    for pred in (
+        F.col("doc_id").isin(10, 11, 40),
+        F.col("doc_id").isin(20, 21),
+        F.col("doc_id") == 30,
+    ):
+        st = incremental_dedup_insert(
+            st, corpus.filter(pred), score_col="score"
+        )
+    best = {r.comp: (r.best_score, r.best_doc)
+            for r in st["best"].collect()}
+    # after batch 3 the A/B comps merged under label 10 with best = 21
+    assert best[10] == (500, 21)
+    assert best[40] == (7, 40)
+    assert 20 not in best  # the merged-away label's row is gone
+    # exactly one best row per live component
+    comps = {r.comp for r in st["labels"].collect()}
+    assert set(best) == comps
