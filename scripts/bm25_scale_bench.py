@@ -72,6 +72,12 @@ def scoped(spark, est_df, fn):
         spark.conf.set(_ADV_KEY, adv)
 
 
+BOILERPLATE = (
+    "standard legal disclaimer applies to this document in every "
+    "respect always"
+)
+
+
 def main():
     sizes = [
         int(s)
@@ -81,6 +87,13 @@ def main():
             else "1000000,5000000,10000000,20000000"
         ).split(",")
     ]
+    # --boilerplate: append a shared 11-word chunk to every 50th doc —
+    # a web-corpus boilerplate family.  Query docs (every n/2000th)
+    # land on the same stride, so the UNCAPPED jaccard leg fans every
+    # query's boilerplate shingles across the whole family (the
+    # hot-shingle blow-up q458's cap exists for); the capped leg drops
+    # them at df > 4.
+    boiler = "--boilerplate" in sys.argv
     spark = get_spark("bm25-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
     out = []
@@ -90,9 +103,17 @@ def main():
         # PARTIAL aggregates on every downstream map task — a 5M-doc
         # run measured 1.6 GB of map-side disk spill from that alone,
         # which a real multi-split scan would never produce
+        docs = synth_corpus(spark, n)
+        if boiler:
+            docs = docs.select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 50 == 0,
+                    F.concat_ws(" ", "text", F.lit(BOILERPLATE)),
+                ).otherwise(F.col("text")).alias("text"),
+            )
         docs = (
-            synth_corpus(spark, n)
-            .repartition(max(32, n // 200_000))
+            docs.repartition(max(32, n // 200_000))
             .localCheckpoint(eager=True)
         )
         step = max(1, n // N_QUERIES)
@@ -165,6 +186,7 @@ def main():
             row[f"{name}_shuffle_read_mb"] = shuf[mid]["shuffle_read_mb"]
             row[f"{name}_shuffle_write_mb"] = shuf[mid]["shuffle_write_mb"]
             row[f"{name}_spill_disk_mb"] = shuf[mid]["disk_spill_mb"]
+        row["boilerplate"] = boiler
         print("#", row, file=sys.stderr, flush=True)
         out.append(row)
         docs.unpersist()
