@@ -156,21 +156,33 @@ def main():
         row["fanout_capped"] = int(fan.capped or 0)
 
         # timed: median-of-3 warm runs, shuffle attributed per run
-        for name, frame_fn in (
+        # in --boilerplate mode both RRF variants run a TIGHT BM25-leg
+        # cap (1/100 — the boilerplate tokens are 2 % of docs, so the
+        # default 9/10 leg would drown both variants in the SAME
+        # token fan-out and mask the jaccard-leg delta the comparison
+        # exists to isolate); the standalone bm25 timing is skipped
+        # there (it measures the token cap, already witnessed by
+        # fanout_uncapped/fanout_capped)
+        bm = dict(bm25_max_df_num=1, bm25_max_df_den=100) if boiler else {}
+        timings = [] if boiler else [
+            ("bm25", lambda: bm25_topk(docs, queries_df, k=5).count()),
+        ]
+        timings += [
             # bm25_topk and rrf_hybrid_topk derive their own widths
             # (round 14: the RRF composition moved into the operator)
-            ("bm25", lambda: bm25_topk(docs, queries_df, k=5).count()),
             ("rrf", lambda: rrf_hybrid_topk(
-                docs, queries_df, k_leg=20, k_out=3
+                docs, queries_df, k_leg=20, k_out=3, **bm
             ).count()),
             # q458's capped form: jaccard_max_df=4 drops the
-            # cluster-shared body shingles (df ~= CLUSTER_SIZE), the
-            # same hot-shingle tail the cap exists for — the spill
-            # delta vs "rrf" is the contract's measured payoff
+            # cluster-shared body shingles (df ~= CLUSTER_SIZE) and
+            # the planted boilerplate family — the spill/wall delta
+            # vs "rrf" is the contract's measured payoff
             ("rrf_capped", lambda: rrf_hybrid_topk(
-                docs, queries_df, k_leg=20, k_out=3, jaccard_max_df=4
+                docs, queries_df, k_leg=20, k_out=3, jaccard_max_df=4,
+                **bm
             ).count()),
-        ):
+        ]
+        for name, frame_fn in timings:
             walls, shuf = [], []
             for _ in range(3):
                 seen = {s["stageId"] for s in _completed_stages(spark)}
