@@ -158,22 +158,38 @@ _PART_ESCAPE = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
 def _rename_exchange(a: str, b: str) -> bool:
     """Atomically EXCHANGE directories ``a`` and ``b`` via Linux
     ``renameat2(..., RENAME_EXCHANGE)`` (glibc ≥ 2.28, same filesystem).
-    Returns False when unavailable so callers can fall back."""
+    Returns False when unavailable so callers can fall back.
+
+    Transient failures (EINTR/EAGAIN/EBUSY — seen once under a fully
+    loaded box) retry briefly before giving up: a spurious False here
+    silently downgrades the caller to the two-rename fallback, whose
+    not-found window is exactly what the atomic path exists to
+    close."""
     import ctypes
+    import errno as _errno
     import os
+    import time as _time
 
     try:
         libc = ctypes.CDLL(None, use_errno=True)
         at_fdcwd = -100
         rename_exchange = 2
-        ret = libc.renameat2(
-            at_fdcwd,
-            os.fsencode(a),
-            at_fdcwd,
-            os.fsencode(b),
-            rename_exchange,
-        )
-        return ret == 0
+        for attempt in range(4):
+            ctypes.set_errno(0)
+            ret = libc.renameat2(
+                at_fdcwd,
+                os.fsencode(a),
+                at_fdcwd,
+                os.fsencode(b),
+                rename_exchange,
+            )
+            if ret == 0:
+                return True
+            err = ctypes.get_errno()
+            if err not in (_errno.EINTR, _errno.EAGAIN, _errno.EBUSY):
+                return False
+            _time.sleep(0.01 * (attempt + 1))
+        return False
     except Exception:
         return False
 
