@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import TOKEN_RE
-from .dedup import _size_floor
+from .dedup import _size_floor, portable_hash60
 
 #: ppm scale for the tf-saturation term.
 _SCALE = 1_000_000
@@ -318,10 +318,14 @@ def _rrf_jaccard_leg(
 
     if width:
         docs = docs.repartition(width, F.col("doc_id"))
+    # join/aggregate on the 60-bit shingle hash, not the string — every
+    # exchange in this leg becomes fixed-width 8-byte keys (the q38/q195
+    # shingle_table discipline; identical pair sets barring ~2^-60
+    # collisions, which those oracled contracts already accept)
     sh = docs.select(
         F.col("doc_id").alias("doc"),
-        F.explode(shingles(F.col("text"), 3)).alias("shingle"),
-    )
+        F.explode(shingles(F.col("text"), 3)).alias("sh_str"),
+    ).select("doc", portable_hash60(F.col("sh_str")).alias("shingle"))
     if jaccard_max_df is not None:
         keep = (
             sh.groupBy("shingle")
