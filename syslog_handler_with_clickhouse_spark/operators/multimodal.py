@@ -693,7 +693,26 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         colors_used = 0
         if bpp not in (1, 4, 8, 24):
             raise NotImplementedError(f"{bpp}-bit core-header BMP")
-    elif dib_size < 40:
+    elif 16 <= dib_size < 40:
+        # OS/2 BITMAPINFOHEADER2 short form (round 14): cbFix may be any
+        # of 16..64 — only the first cbFix bytes are present.  32-bit
+        # dims and planes/bpp always; compression exists at DIB offset
+        # 16 when cbFix >= 20 (OS/2 codes: 3 = Huffman 1D, 4 = RLE24 —
+        # NOT bitfields); cClrUsed at DIB offset 32 when cbFix >= 36.
+        # Palette entries are RGB2 QUADS like the Windows path.
+        w, h_signed = struct.unpack("<ii", b[18:26])
+        planes, bpp = struct.unpack("<HH", b[26:30])
+        compression = (
+            struct.unpack("<I", b[30:34])[0] if dib_size >= 20 else 0
+        )
+        colors_used = (
+            struct.unpack("<I", b[46:50])[0] if dib_size >= 36 else 0
+        )
+        if compression == 3:
+            raise NotImplementedError("OS/2 v2 Huffman-1D BMP")
+        if compression == 4:
+            raise NotImplementedError("OS/2 v2 RLE24 BMP")
+    elif dib_size < 16:
         raise NotImplementedError(f"DIB header size {dib_size} unsupported")
     else:
         if len(b) < 54:
@@ -842,7 +861,7 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
 def encode_bmp(
     pixels: bytes, w: int, h: int, bpp: int = 24,
     palette: bytes | None = None, top_down: bool = False,
-    core: bool = False,
+    core: bool = False, os2_v2_fix: int | None = None,
 ) -> bytes:
     """Forward BMP encoder (fixture-builder twin of
     :func:`decode_bmp_pixels`).  ``pixels`` is row-major top-down RGB
@@ -850,9 +869,14 @@ def encode_bmp(
     RGB triples, expanded to BGRA quads).  Emits bottom-up rows unless
     ``top_down`` (negative height).  ``core=True`` emits the 12-byte
     OS/2 BITMAPCOREHEADER variant (16-bit dims, BGR-triple palette,
-    bottom-up only, bpp 1/4/8/24)."""
+    bottom-up only, bpp 1/4/8/24).  ``os2_v2_fix`` emits an OS/2 v2
+    short header of that cbFix (16/20/36 — only the leading fields)."""
     import struct
 
+    if os2_v2_fix is not None and (core or top_down):
+        raise ValueError("os2_v2_fix excludes core/top_down")
+    if os2_v2_fix is not None and os2_v2_fix not in (16, 20, 36):
+        raise ValueError("os2_v2_fix must be 16, 20 or 36")
     if core and (top_down or bpp == 32):
         raise ValueError("core-header BMP is bottom-up, bpp 1/4/8/24")
     if core and max(w, h) > 0xFFFF:
@@ -899,6 +923,13 @@ def encode_bmp(
     if core:
         data_off = 14 + 12 + len(pal_bytes)
         dib = struct.pack("<IHHHH", 12, w, h, 1, bpp)
+    elif os2_v2_fix is not None:
+        full = struct.pack(
+            "<IiiHHIIiiII", os2_v2_fix, w, h, 1, bpp, 0,
+            len(data), 2835, 2835, len(pal_bytes) // 4, 0,
+        )
+        dib = full[:os2_v2_fix]
+        data_off = 14 + os2_v2_fix + len(pal_bytes)
     else:
         npal = len(pal_bytes) // 4
         data_off = 14 + 40 + len(pal_bytes)

@@ -1409,15 +1409,30 @@ def test_bmp_core_header_round_trips():
     # core constraints stay loud
     with pytest.raises(ValueError, match="bottom-up"):
         encode_bmp(bytes(rgb), w, h, 24, core=True, top_down=True)
-    # OS/2 v2 SHORT (16-byte) headers remain a genuine guard (the
-    # 64-byte v2 and Windows V4/V5 forms are BITMAPINFOHEADER
-    # supersets and decode through the >= 40 path)
+    # OS/2 v2 SHORT headers (cbFix 16/20/36) decode since round 14;
+    # sub-16 sizes stay a loud guard, as do the OS/2-specific
+    # compression codes (3 = Huffman 1D, 4 = RLE24)
     import struct
 
-    v2 = bytearray(blob)
-    v2[14:18] = struct.pack("<I", 16)
-    with pytest.raises(NotImplementedError, match="DIB header size"):
+    for fix in (16, 20, 36):
+        b16 = encode_bmp(bytes(rgb), w, h, 24, os2_v2_fix=fix)
+        assert decode_bmp_pixels(b16) == (w, h, 3, bytes(rgb)), fix
+        pal16 = bytes(rng.randrange(256) for _ in range(3 * 16))
+        idx16 = bytes(rng.randrange(16) for _ in range(w * h))
+        b4 = encode_bmp(idx16, w, h, 4, palette=pal16, os2_v2_fix=fix)
+        exp4 = b"".join(pal16[3 * i : 3 * i + 3] for i in idx16)
+        assert decode_bmp_pixels(b4) == (w, h, 3, exp4), fix
+    v2 = bytearray(encode_bmp(bytes(rgb), w, h, 24, os2_v2_fix=20))
+    v2[30:34] = struct.pack("<I", 3)  # OS/2 Huffman 1D
+    with pytest.raises(NotImplementedError, match="Huffman-1D"):
         decode_bmp_pixels(bytes(v2))
+    v2[30:34] = struct.pack("<I", 4)  # OS/2 RLE24
+    with pytest.raises(NotImplementedError, match="RLE24"):
+        decode_bmp_pixels(bytes(v2))
+    tiny = bytearray(encode_bmp(bytes(rgb), w, h, 24, os2_v2_fix=16))
+    tiny[14:18] = struct.pack("<I", 13)
+    with pytest.raises(NotImplementedError, match="DIB header size"):
+        decode_bmp_pixels(bytes(tiny))
 
 
 def test_tiff_jpeg_tiled_and_rgb_round_trips():
