@@ -241,3 +241,78 @@ def test_rate_processor_state_arithmetic():
     out = list(proc.handleInputRows(("dev",), iter([pd.DataFrame({"x": [9]})]), None))
     assert out[0]["total"].iloc[0] == 4 and out[0]["burst_max"].iloc[0] == 3
     proc.close()
+
+
+def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
+    """Round 14: the incremental dedup maintenance state driven by a
+    REAL Structured Streaming query — a file stream of document
+    batches folds through foreachBatch into incremental_dedup_insert,
+    and the final labels must equal a full star-edge + CC recompute
+    over everything the stream delivered (including a cross-batch
+    exact-dup merge)."""
+    import json
+    import os
+    import random
+
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        dedup_components,
+        incremental_dedup_init,
+        incremental_dedup_insert,
+        minhash_lsh_star_edges,
+    )
+
+    words = [f"w{i}" for i in range(1000)]
+
+    def mk(seed, n=30):
+        r = random.Random(seed)
+        return " ".join(r.choice(words) for _ in range(n))
+
+    ta, tb = mk(1003), mk(2003)
+    batches = [
+        [(10, ta), (11, ta), (40, "zz yy xx ww vv uu tt ss")],
+        [(20, tb), (21, tb)],
+        [(30, ta + " " + tb)],  # bridges the two families
+    ]
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        with open(os.path.join(src, f"batch{i}.jsonl"), "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+        .json(src)
+    )
+    state = {"st": incremental_dedup_init(spark)}
+
+    def fold(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            state["st"] = incremental_dedup_insert(
+                state["st"], batch_df.localCheckpoint(eager=True)
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    il = {r.node: r.comp for r in state["st"]["labels"].collect()}
+    corpus = spark.createDataFrame(
+        [r for rows in batches for r in rows], "doc_id long, text string"
+    )
+    full = dedup_components(
+        minhash_lsh_star_edges(corpus, "text", "doc_id")
+    )
+    fl = {
+        r.node: r.comp
+        for r in corpus.select(F.col("doc_id").alias("node"))
+        .join(full, "node", "left")
+        .select("node", F.coalesce("comp", F.col("node")).alias("comp"))
+        .collect()
+    }
+    assert il == fl and fl[30] == 10  # stream-fed bridge merged
