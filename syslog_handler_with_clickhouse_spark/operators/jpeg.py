@@ -56,7 +56,7 @@ Scope (what "baseline" means here, per ITU-T T.81):
   as ``encode_jpeg`` with the entropy layer swapped, so arithmetic
   and Huffman decodes of the same image are bit-identical (the
   differential oracle the tests pin).
-- Lossless-arithmetic (SOF11), 12-bit progressive/color/arithmetic,
+- Lossless-arithmetic (SOF11), 12-bit arithmetic,
   and hierarchical modes raise ``NotImplementedError`` — format
   guards, not stubs.
 
@@ -609,16 +609,18 @@ def _decode_huff(r: _BitReader, dec: dict) -> int:
 # ---------------------------------------------------------------------
 
 
-def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+def rgb_to_ycbcr(rgb: np.ndarray, center: float = 128.0) -> np.ndarray:
+    """``center`` is the chroma zero point — 2^(P-1) (128.0 for 8-bit,
+    2048.0 for 12-bit extended precision)."""
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + center
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + center
     return np.stack([y, cb, cr], axis=-1)
 
 
-def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
-    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+def ycbcr_to_rgb(ycc: np.ndarray, center: float = 128.0) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - center, ycc[..., 2] - center
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
@@ -631,7 +633,8 @@ def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 
 
 
-def _maybe_ycbcr_to_rgb(stack: np.ndarray, comps) -> np.ndarray:
+def _maybe_ycbcr_to_rgb(stack: np.ndarray, comps,
+                        center: float = 128.0) -> np.ndarray:
     """3-component color handling: the JFIF default is YCbCr, but
     component ids 'R','G','B' (0x52/0x47/0x42 — the libjpeg JCS_RGB
     convention, jcparam.c's jpeg_set_colorspace and jdapimin.c's
@@ -639,7 +642,7 @@ def _maybe_ycbcr_to_rgb(stack: np.ndarray, comps) -> np.ndarray:
     form TIFF photometric-2 JPEG strips/tiles carry (TechNote 2)."""
     if [c["id"] for c in comps] == [0x52, 0x47, 0x42]:
         return stack
-    return ycbcr_to_rgb(stack)
+    return ycbcr_to_rgb(stack, center=center)
 
 def _pad_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     """Edge-replicate pad a plane to (bh*8, bw*8)."""
@@ -887,7 +890,8 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
             # SOF2: hand the whole remaining walk (scans + interleaved
             # DHT redefinitions) to the multi-scan decoder
             return _decode_jpeg_progressive(
-                b, pos - 2, qtabs, huff_fast, frame, restart_interval
+                b, pos - 2, qtabs, huff_fast, frame, restart_interval,
+                precision,
             )
         if marker == 0xDA and lossless:
             # SOF3: hand the scan to the predictive decoder
@@ -944,12 +948,9 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError(f"invalid lossless precision {prec}")
             elif prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit precision")
-            if prec == 12 and not lossless and (
-                progressive or arith or nc != 1
-            ):
+            if prec == 12 and not lossless and arith:
                 raise NotImplementedError(
-                    "12-bit JPEG supported for Huffman baseline "
-                    "grayscale only"
+                    "12-bit arithmetic-coded JPEG unsupported"
                 )
             precision = prec
             comps = []
@@ -1119,8 +1120,14 @@ def _coefs_to_pixels(
         # convention as 16-bit PNG; 8-bit passes through
         out = (samp12 >> (precision - 8)).astype(np.uint8)
         return (w, h, 1, out.tobytes())
-    rgb = _maybe_ycbcr_to_rgb(np.stack(full, axis=-1), comps)
-    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    # color convert at FULL precision (chroma center 2^(P-1)), clip to
+    # the sample range, then reduce to the high-byte view — same order
+    # a 12-bit-aware consumer applies
+    rgb = _maybe_ycbcr_to_rgb(
+        np.stack(full, axis=-1), comps, center=float(1 << (precision - 1))
+    )
+    samp = np.clip(np.round(rgb), 0, maxv).astype(np.int64)
+    out = (samp >> (precision - 8)).astype(np.uint8)
     return (w, h, 3, out.tobytes())
 
 
@@ -1555,7 +1562,8 @@ def _skip_to_marker(b: bytes, pos: int) -> int:
     raise ValueError("JPEG stream ended without a terminating marker")
 
 
-def _decode_jpeg_progressive(b, pos, qtabs, huff_fast, frame, restart_interval=0):
+def _decode_jpeg_progressive(b, pos, qtabs, huff_fast, frame,
+                             restart_interval=0, precision=8):
     """Multi-scan decode loop for SOF2 — both progressive axes, any
     sampling factors, and restart intervals.  ``pos`` points at the
     first SOS marker; ``frame`` is (h, w, comps).  Handles DC/AC first
@@ -1965,7 +1973,8 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_fast, frame, restart_interval=0
         zz = cz.reshape(pby * pbx, 64).astype(np.float64)
         nat = np.zeros_like(zz)
         nat[:, np.asarray(ZIGZAG)] = zz
-        blocks = idct2((nat * qtf).reshape(-1, 8, 8)) + 128.0
+        level = float(1 << (precision - 1))
+        blocks = idct2((nat * qtf).reshape(-1, 8, 8)) + level
         plane = (
             blocks.reshape(pby, pbx, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -1976,11 +1985,16 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_fast, frame, restart_interval=0
         if fy > 1 or fx > 1:
             plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         planes.append(plane[:h, :w])
+    maxv = (1 << precision) - 1
     if len(comps) == 1:
-        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        samp = np.clip(np.round(planes[0]), 0, maxv).astype(np.int64)
+        out = (samp >> (precision - 8)).astype(np.uint8)
         return (w, h, 1, out.tobytes())
-    rgb = _maybe_ycbcr_to_rgb(np.stack(planes, axis=-1), comps)
-    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    rgb = _maybe_ycbcr_to_rgb(
+        np.stack(planes, axis=-1), comps, center=float(1 << (precision - 1))
+    )
+    samp = np.clip(np.round(rgb), 0, maxv).astype(np.int64)
+    out = (samp >> (precision - 8)).astype(np.uint8)
     return (w, h, 3, out.tobytes())
 
 
@@ -2006,31 +2020,125 @@ AC12 = (
 assert sum(DC12[0]) == len(DC12[1]) and sum(AC12[0]) == len(AC12[1])
 
 
+def _encode_dc_diff(w: _BitWriter, diff: int, dc_enc) -> None:
+    """DC size-category + magnitude bits (the _encode_block DC step,
+    standalone for progressive DC scans)."""
+    sz = int(abs(diff)).bit_length()
+    code, length = dc_enc[sz]
+    w.write(code, length)
+    if sz:
+        v = diff if diff >= 0 else diff + (1 << sz) - 1
+        w.write(v, sz)
+
+
+def _encode_ac_band(w: _BitWriter, qnat, ss: int, se: int, ac_enc) -> None:
+    """One block's full-value AC band scan body (Al=0): zero runs, ZRL,
+    plain EOB0 per block — the non-interleaved spectral-selection scan
+    structure (the decoder's general EOB-run handling covers it)."""
+    zz = qnat[ZIGZAG]
+    run = 0
+    for k in range(ss, se + 1):
+        c = int(zz[k])
+        if c == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_enc[0xF0]
+            w.write(zc, zl)
+            run -= 16
+        sz = int(abs(c)).bit_length()
+        ac, al = ac_enc[(run << 4) | sz]
+        w.write(ac, al)
+        v = c if c >= 0 else c + (1 << sz) - 1
+        w.write(v, sz)
+        run = 0
+    if run:
+        ec, el = ac_enc[0x00]
+        w.write(ec, el)
+
+
 def encode_jpeg12(
-    samples, width: int, height: int, quality: int = 100
+    samples, width: int, height: int, quality: int = 100,
+    channels: int = 1, progressive: bool = False,
 ) -> bytes:
-    """12-bit baseline grayscale encoder (fixture twin of the
-    precision-12 decode branch): samples 0..4095, level shift 2048,
-    16-bit quantization table (DQT Pq=1 — the combination T.81
-    mandates for extended precision), custom DC/AC tables in DHT."""
-    a = np.asarray(list(samples), dtype=np.int64).reshape(height, width)
+    """12-bit encoder (fixture twin of the precision-12 decode
+    branches): samples 0..4095, level shift 2048, 16-bit quantization
+    table (DQT Pq=1 — the combination T.81 mandates for extended
+    precision), custom DC/AC tables in DHT (size categories past the
+    Annex K examples).  ``channels=3`` takes interleaved 12-bit RGB
+    and stores 4:4:4 YCbCr with the chroma zero at 2048;
+    ``progressive=True`` emits SOF2 (round 14: an interleaved DC scan
+    + one full-band AC scan per component — the spectral-selection
+    structure of encode_jpeg_progressive at 12 bits)."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    a = np.asarray(list(samples), dtype=np.int64).reshape(
+        height, width, channels
+    )
     if a.min() < 0 or a.max() > 4095:
         raise ValueError("12-bit samples must be in 0..4095")
     qt = scaled_quant(QUANT_LUM, quality)
     qtf = qt.reshape(8, 8).astype(np.float64)
+    if channels == 1:
+        planes = [a[..., 0].astype(np.float64)]
+    else:
+        ycc = rgb_to_ycbcr(a.astype(np.float64), center=2048.0)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
     bx_n = -(-width // 8)
     by_n = -(-height // 8)
-    padded = _pad_to_blocks(a.astype(np.float64), by_n, bx_n)
+    padded = [_pad_to_blocks(pl, by_n, bx_n) for pl in planes]
     dc_enc, _ = _build_huffman(*DC12)
     ac_enc, _ = _build_huffman(*AC12)
-    w = _BitWriter()
-    pred = 0
-    for by in range(by_n):
-        for bx in range(bx_n):
-            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 2048.0
-            qcoef = np.round(fdct2(block) / qtf).astype(np.int64)
-            pred = _encode_block(w, qcoef, pred, dc_enc, ac_enc)
-    w.flush()
+
+    def quantize(ci, by, bx):
+        block = (
+            padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 2048.0
+        )
+        return np.round(fdct2(block) / qtf).astype(np.int64)
+
+    scans = []  # (header bytes after SOS marker, entropy bytes)
+    if not progressive:
+        w = _BitWriter()
+        preds = [0] * channels
+        for by in range(by_n):
+            for bx in range(bx_n):
+                for ci in range(channels):
+                    preds[ci] = _encode_block(
+                        w, quantize(ci, by, bx), preds[ci], dc_enc, ac_enc
+                    )
+        w.flush()
+        hdr = struct.pack(">HB", 6 + 2 * channels, channels)
+        hdr += b"".join(bytes([ci + 1, 0x00]) for ci in range(channels))
+        hdr += bytes([0, 63, 0])
+        scans.append((hdr, bytes(w.out)))
+    else:
+        # DC scan, interleaved over all components (Ss=Se=0)
+        w = _BitWriter()
+        preds = [0] * channels
+        for by in range(by_n):
+            for bx in range(bx_n):
+                for ci in range(channels):
+                    qc = quantize(ci, by, bx)
+                    diff = int(qc.ravel()[0]) - preds[ci]
+                    preds[ci] += diff
+                    _encode_dc_diff(w, diff, dc_enc)
+        w.flush()
+        hdr = struct.pack(">HB", 6 + 2 * channels, channels)
+        hdr += b"".join(bytes([ci + 1, 0x00]) for ci in range(channels))
+        hdr += bytes([0, 0, 0])
+        scans.append((hdr, bytes(w.out)))
+        # one full-band AC scan per component (Ss=1, Se=63), raster
+        for ci in range(channels):
+            w = _BitWriter()
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    _encode_ac_band(
+                        w, quantize(ci, by, bx).ravel(), 1, 63, ac_enc
+                    )
+            w.flush()
+            hdr = struct.pack(">HB", 8, 1)
+            hdr += bytes([ci + 1, 0x00, 1, 63, 0])
+            scans.append((hdr, bytes(w.out)))
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(
@@ -2040,15 +2148,18 @@ def encode_jpeg12(
     out.append(0x10)  # Pq=1 (16-bit entries), Tq=0
     for z in ZIGZAG:
         out += struct.pack(">H", int(qt[z]))
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3, 12, height, width, 1)
-    out += bytes([1, 0x11, 0])
+    sof = 0xC2 if progressive else 0xC0
+    out += bytes([0xFF, sof]) + struct.pack(
+        ">HBHHB", 8 + 3 * channels, 12, height, width, channels
+    )
+    for ci in range(channels):
+        out += bytes([ci + 1, 0x11, 0])
     for tc_th, (bits, vals) in ((0x00, DC12), (0x10, AC12)):
         out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
         out.append(tc_th)
         out += bytes(bits) + bytes(vals)
-    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
-    out += bytes([1, 0x00, 0, 63, 0])
-    out += w.out
+    for hdr, entropy in scans:
+        out += b"\xff\xda" + hdr + entropy
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -244,10 +244,10 @@ def test_progressive_gray_q100_bit_exact():
 
 
 def test_progressive_unsupported_modes_guarded():
-    """The REMAINING format guards on the progressive path: 12-bit
-    progressive (12-bit is baseline-grayscale only) and arithmetic
-    coding.  (Subsampling, restart intervals, 16-bit quant tables and
-    12-bit baseline grayscale are now supported.)"""
+    """The REMAINING format guard on the 12-bit path: ARITHMETIC
+    coding.  (Subsampling, restart intervals, 16-bit quant tables, and
+    — since round 14 — 12-bit color and 12-bit progressive are all
+    supported.)"""
     from syslog_handler_with_clickhouse_spark.operators.jpeg import (
         encode_jpeg_progressive,
     )
@@ -257,16 +257,12 @@ def test_progressive_unsupported_modes_guarded():
     assert i > 0
     # marker(2) + len(2) -> precision byte at i+4
     assert jb[i + 4] == 8
-    j12 = bytearray(jb)
-    j12[i + 4] = 12
-    with pytest.raises(NotImplementedError, match="baseline grayscale"):
-        decode_jpeg_pixels(bytes(j12))
-    # SOF10 now decodes (test_jpeg_arith.py) — 12-bit progressive
-    # ARITHMETIC stays a format guard too
+    # SOF10 decodes at 8 bits (test_jpeg_arith.py) — 12-bit ARITHMETIC
+    # stays a format guard
     ja = bytearray(jb)
     ja[i + 1] = 0xCA
     ja[i + 4] = 12
-    with pytest.raises(NotImplementedError, match="baseline grayscale"):
+    with pytest.raises(NotImplementedError, match="12-bit arithmetic"):
         decode_jpeg_pixels(bytes(ja))
 
 
@@ -405,7 +401,7 @@ def test_12bit_baseline_grayscale():
     """Precision 12: 16-bit DQT (Pq=1), 2048 level shift, extended
     DC/AC size categories.  Mid-nibble samples make the high-byte view
     closed-form even under DCT rounding; q100 smooth gradient is
-    bit-exact after >> 4; color/progressive 12-bit stay guarded."""
+    bit-exact after >> 4."""
     from syslog_handler_with_clickhouse_spark.operators.jpeg import (
         encode_jpeg12,
     )
@@ -423,6 +419,54 @@ def test_12bit_baseline_grayscale():
         assert out == bytes(s >> 4 for s in samples), (w, h)
     with pytest.raises(ValueError):
         encode_jpeg12([5000], 1, 1)  # out of 12-bit range
+
+
+def test_12bit_color_and_progressive():
+    """Round 14: 12-bit COLOR (4:4:4 YCbCr, chroma zero 2048) and
+    12-bit PROGRESSIVE (SOF2, DC scan + per-component full-band AC) —
+    the q100 mid-nibble gradient decodes to the exact high-byte view
+    in color too, and every progressive variant is bit-identical to
+    its baseline twin."""
+    import numpy as np
+
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg12,
+    )
+
+    w, h = 21, 13
+    g = [16 * (40 + 2 * (k % w) + 3 * (k // w)) + 8 for k in range(w * h)]
+    base_g = decode_jpeg_pixels(encode_jpeg12(g, w, h, quality=100))
+    prog_g = decode_jpeg_pixels(
+        encode_jpeg12(g, w, h, quality=100, progressive=True)
+    )
+    assert prog_g == base_g == (w, h, 1, bytes(s >> 4 for s in g))
+
+    rgb12 = []
+    for y in range(h):
+        for x in range(w):
+            rgb12 += [16 * (40 + 2 * x + y) + 8,
+                      16 * (200 - x - 2 * y) + 8,
+                      16 * (30 + x + 3 * y) + 8]
+    jc = encode_jpeg12(rgb12, w, h, quality=100, channels=3)
+    W, H, C, px = decode_jpeg_pixels(jc)
+    assert (W, H, C) == (w, h, 3)
+    exp = np.array([v >> 4 for v in rgb12])
+    got = np.frombuffer(px, np.uint8).astype(int)
+    assert np.abs(exp - got).max() == 0  # q100 smooth gradient: exact
+    assert jc[jc.find(b"\xff\xc0") + 4] == 12
+    jcp = encode_jpeg12(rgb12, w, h, quality=100, channels=3,
+                        progressive=True)
+    assert jcp.find(b"\xff\xc2") > 0 and jcp.find(b"\xff\xc0") == -1
+    assert decode_jpeg_pixels(jcp) == (W, H, C, px)
+    # lossy qualities stay close but non-trivially coded
+    for q in (90, 75):
+        Wq, Hq, Cq, pq = decode_jpeg_pixels(
+            encode_jpeg12(rgb12, w, h, quality=q, channels=3)
+        )
+        d = np.abs(np.frombuffer(pq, np.uint8).astype(int) - exp)
+        assert d.max() <= 4 and d.mean() <= 1.0, q
+    with pytest.raises(ValueError):
+        encode_jpeg12([0] * 6, 1, 2, channels=2)
 
 
 def test_lossless_round_trips():
