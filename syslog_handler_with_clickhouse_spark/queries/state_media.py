@@ -4938,3 +4938,140 @@ def q462(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q463_tiff_tiled_planar_jpeg_rgb",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 19) + 4 AS w,
+             (doc_id % 11) + 3 AS h,
+             doc_id % 4 AS variant
+      FROM documents WHERE doc_id % 23 = 7
+    ), px AS (
+      SELECT d.doc_id, d.variant, d.w, d.h,
+             CASE WHEN d.variant = 2 THEN 1 ELSE 3 END AS c,
+             CASE d.variant
+               WHEN 0 THEN (d.doc_id * 7 + 13 * t.k) % 256
+               WHEN 1 THEN ((d.doc_id * 1031 + 257 * t.k) % 65536) // 256
+               WHEN 2 THEN 40 + 2 * (t.k % d.w) + 3 * (t.k // d.w)
+               ELSE CASE t.k % 3
+                 WHEN 0 THEN 40 + 2 * ((t.k // 3) % d.w) + ((t.k // 3) // d.w)
+                 WHEN 1 THEN 200 - ((t.k // 3) % d.w) - 2 * ((t.k // 3) // d.w)
+                 ELSE 30 + ((t.k // 3) % d.w) + 3 * ((t.k // 3) // d.w)
+               END
+             END AS v
+      FROM d, LATERAL (
+        SELECT unnest(range(0,
+          d.w * d.h * (CASE WHEN d.variant = 2 THEN 1 ELSE 3 END))) AS k
+      ) t
+    )
+    SELECT doc_id, CAST(variant AS INT) AS variant,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(c AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS BIGINT) AS px_min,
+           CAST(MAX(v) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id, variant, w, h, c
+    """,
+)
+def q463(spark, sf_dir):
+    """The round-14 TIFF closures through the REAL Spark seam
+    (`multimodal.decode_assets` over Arrow-batched mapInPandas), each
+    variant with a closed-form value oracle: v0 = 8-bit TILED PLANAR
+    RGB (LZW + predictor — lossless, pseudo-random values); v1 =
+    16-bit tiled planar (Deflate, big-endian, high-byte view); v2 =
+    TILED JPEG-in-TIFF grayscale (q100 linear gradient — bit-exact
+    through the DCT, verified across the full fixture dimension
+    range, shared JPEGTables on even docs); v3 = photometric-2 RGB
+    JPEG strips ('R','G','B' component ids, no chroma transform —
+    q100 gradient exact per channel).  All four forms are ALSO
+    interop-verified against the system libtiff
+    (tests/test_tiff_interop.py); this query makes them part of the
+    driver's correctness gate."""
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        decode_assets,
+        encode_tiff,
+        encode_tiff_jpeg,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 7)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 19 + 4, d % 11 + 3
+                variant = d % 4
+                if variant == 0:
+                    vals = bytes(
+                        (d * 7 + 13 * k) % 256 for k in range(w * h * 3)
+                    )
+                    blob = encode_tiff(
+                        vals, w, h, 3, planar=True, tile=(16, 16),
+                        lzw=True, predictor=True,
+                    )
+                elif variant == 1:
+                    vals = [
+                        (d * 1031 + 257 * k) % 65536
+                        for k in range(w * h * 3)
+                    ]
+                    blob = encode_tiff(
+                        vals, w, h, 3, bits=16, endian=">",
+                        planar=True, tile=(16, 16), deflate=True,
+                    )
+                elif variant == 2:
+                    g = bytes(
+                        40 + 2 * (k % w) + 3 * (k // w)
+                        for k in range(w * h)
+                    )
+                    blob = encode_tiff_jpeg(
+                        g, w, h, 1, quality=100, tile=(16, 16),
+                        shared_tables=(d % 2 == 0),
+                    )
+                else:
+                    rgb = bytearray()
+                    for y in range(h):
+                        for x in range(w):
+                            rgb += bytes((
+                                40 + 2 * x + y,
+                                200 - x - 2 * y,
+                                30 + x + 3 * y,
+                            ))
+                    blob = encode_tiff_jpeg(
+                        bytes(rgb), w, h, 3, quality=100,
+                        photometric_rgb=True, shared_tables=True,
+                    )
+                payloads.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    return dec.join(
+        docs.select(
+            "doc_id", (F.col("doc_id") % 4).cast("int").alias("variant")
+        ),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "variant",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("px_sum"),
+        F.col("val_min").cast("bigint").alias("px_min"),
+        F.col("val_max").cast("bigint").alias("px_max"),
+    )
