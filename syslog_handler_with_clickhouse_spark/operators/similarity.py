@@ -594,3 +594,65 @@ def sq8_dequantize(
         f"transform({codes_col}, c -> CAST({mn_col} + (c * ({mx_col} - "
         f"{mn_col})) DIV 255 AS BIGINT))"
     )
+
+
+def ivfpq_insert(
+    index: dict,
+    emb: DataFrame,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> dict:
+    """Incremental IVF-PQ maintenance (round 14 — the q459/q461
+    discipline on the ANN tier): fold a new embedding batch into a
+    built index with FROZEN quantizers — batch vectors assign to the
+    existing coarse centroids, their residuals encode against the
+    existing PQ codebooks, and the (v, codes) frames append; ``cent``
+    and ``books`` never change.  This is the standard production
+    posture (FAISS add() after train()): per-batch cost is
+    O(batch × n_cells + batch × m_sub × n_codes) — no corpus rescan,
+    no retraining — and the resulting index is BIT-IDENTICAL to
+    encoding the accumulated corpus against the same quantizers in one
+    shot (unit-pinned), so scan results are too.  Recall drifts only
+    as far as the frozen quantizers stop representing the data
+    distribution — the documented trade every incremental ANN
+    deployment makes, with periodic re-train/re-build as the
+    compaction analogue."""
+    from . import clustering
+
+    d_sub = dim // m_sub
+    v_new = clustering.quantize_vectors(emb, id_col, vec_col)
+    assign = clustering.assign_nearest(v_new, index["cent"]).select(
+        "vid", "cluster", "qv"
+    )
+    res = assign.join(
+        index["cent"].select(F.col("cell").alias("cluster"), "cv"),
+        "cluster",
+    ).select(
+        "vid",
+        "cluster",
+        F.zip_with("qv", "cv", lambda a, b: a - b).alias("rv"),
+    )
+    sub = res.select(
+        "vid",
+        "cluster",
+        F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
+        "rv",
+    ).select(
+        "vid",
+        "cluster",
+        "m",
+        F.slice(F.col("rv"), F.col("m") * d_sub + 1, d_sub).alias("sv"),
+    )
+    codes_new = _pq_assign(sub.select("vid", "m", "sv"), index["books"]).select(
+        "vid", "m", "code"
+    ).join(assign.select("vid", "cluster"), "vid")
+    return {
+        "v": index["v"].unionByName(v_new).localCheckpoint(eager=True),
+        "cent": index["cent"],
+        "books": index["books"],
+        "codes": index["codes"]
+        .unionByName(codes_new)
+        .localCheckpoint(eager=True),
+    }

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..operators import clustering
 from ..functions.vectors import to_double
-from ._common import _COS_EXPR, _dec, _t, query
+from ._common import _COS_EXPR, ORACLE, _dec, _t, query
 
 _K = 8
 _ITERS = 2
@@ -1399,3 +1399,66 @@ def q454(spark, sf_dir):
         # so a per-gram threshold is the meaningful separator)
         (score > -0.5 * F.col("n_grams")).alias("selected"),
     ).orderBy("doc_id")
+
+
+@query("q464_ivfpq_incremental_insert", ORACLE["q389_ivfpq_ann"])
+def q464(spark, sf_dir):
+    """Incremental IVF-PQ maintenance (round 14 — the trilogy's ANN
+    leg, `similarity.ivfpq_insert`): quantizers train on the first
+    third of the q389 corpus (vec_id % 3 == 0), the other two thirds
+    fold in as batches with FROZEN centroids/codebooks (FAISS's
+    train-then-add posture; the maintained (v, codes) frames are
+    unit-pinned bit-identical to a one-shot encode against the same
+    quantizers), and the scan runs q389's query workload against the
+    maintained index.  Oracle = q389's exact-top-10 SQL verbatim; the
+    planted near-duplicate recall stays 10/10 at sf0.01 AND sf0.1
+    under third-corpus training (measured before pinning), so the
+    ≥ 7/10 recall boolean holds with margin."""
+    from ..operators.clustering import _d2, quantize_vectors
+    from ..operators.similarity import ivfpq_build, ivfpq_insert, ivfpq_scan
+
+    corpus = q389_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    idx = ivfpq_build(corpus.filter(F.col("vec_id") % 3 == 0))
+    for m in (1, 2):
+        idx = ivfpq_insert(idx, corpus.filter(F.col("vec_id") % 3 == m))
+    qpred = (F.col("vid") % 50 == 0) & (F.col("vid") < 1000000)
+    approx = ivfpq_scan(idx, k=10, query_pred=qpred).groupBy(
+        "query_id"
+    ).agg(F.collect_set("neighbor_id").alias("pq_ids"))
+
+    v = quantize_vectors(corpus)
+    q = v.filter(qpred).select(
+        F.col("vid").alias("query_id"), F.col("qv").alias("qx")
+    )
+    c = v.select(F.col("vid").alias("neighbor_id"), F.col("qv").alias("nx"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("d2", _d2(F.col("qx"), F.col("nx")))
+    )
+    we = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact10 = (
+        scored.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= 10)
+        .groupBy("query_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rk", "neighbor_id"))
+                    ),
+                    lambda s: s["neighbor_id"].cast("string"),
+                ),
+            ).alias("exact_top10"),
+            F.collect_set("neighbor_id").alias("exact_ids"),
+        )
+    )
+    return exact10.join(approx, "query_id").select(
+        "query_id",
+        "exact_top10",
+        (F.size(F.array_intersect("exact_ids", "pq_ids")) >= 7).alias(
+            "recall_ok"
+        ),
+    )

@@ -328,3 +328,55 @@ def test_pq_codebook_shape_and_code_range(spark):
     n_vec = emb.count()
     assert codes.count() == n_vec * 8
     assert codes.select(F.max("code")).collect()[0][0] < 16
+
+
+def test_ivfpq_insert_matches_oneshot_frozen_encode(spark):
+    """Round-14 incremental ANN maintenance: folding batches into a
+    built index with frozen quantizers must leave (v, codes)
+    BIT-IDENTICAL to encoding the accumulated corpus against the same
+    centroids/codebooks in one shot — so every scan result is too."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators import clustering
+    from syslog_handler_with_clickhouse_spark.operators.similarity import (
+        _pq_assign,
+        ivfpq_build,
+        ivfpq_insert,
+        ivfpq_scan,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = ivfpq_build(emb.filter(F.col("vec_id") % 3 == 0))
+    for m in (1, 2):
+        idx = ivfpq_insert(idx, emb.filter(F.col("vec_id") % 3 == m))
+
+    full_v = clustering.quantize_vectors(emb, "vec_id", "embedding")
+    assign = clustering.assign_nearest(full_v, idx["cent"]).select(
+        "vid", "cluster", "qv"
+    )
+    res = assign.join(
+        idx["cent"].select(F.col("cell").alias("cluster"), "cv"), "cluster"
+    ).select(
+        "vid", "cluster",
+        F.zip_with("qv", "cv", lambda a, b: a - b).alias("rv"),
+    )
+    sub = res.select(
+        "vid", "cluster",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("m"), "rv",
+    ).select(
+        "vid", "cluster", "m",
+        F.slice(F.col("rv"), F.col("m") * 8 + 1, 8).alias("sv"),
+    )
+    codes_full = _pq_assign(sub.select("vid", "m", "sv"), idx["books"]).select(
+        "vid", "m", "code"
+    ).join(assign.select("vid", "cluster"), "vid")
+
+    a = sorted(map(tuple, idx["codes"].collect()))
+    b = sorted(map(tuple, codes_full.collect()))
+    assert a == b and a
+    va = sorted((r.vid, tuple(r.qv)) for r in idx["v"].collect())
+    vb = sorted((r.vid, tuple(r.qv)) for r in full_v.collect())
+    assert va == vb
+    # and the maintained index actually scans
+    assert ivfpq_scan(idx, k=5,
+                      query_pred=F.col("vid") % 10 == 0).count() > 0
