@@ -3391,6 +3391,8 @@ def _decode_tiff_tiled(
     …), each tile single-sample, predictor at stride 1, blitted into
     the interleaved buffer at the plane's channel offset."""
     tw, th = one(322), one(323)
+    if not tw or not th:
+        raise ValueError("TIFF tile dimensions missing/zero")
     offsets = tags.get(324)
     counts = tags.get(325)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -3482,6 +3484,8 @@ def _decode_tiff_jpeg_tiled(b: bytes, tags, one, w: int, h: int, spp: int,
     from .jpeg import decode_jpeg_pixels
 
     tw, th = one(322), one(323)
+    if not tw or not th:
+        raise ValueError("TIFF tile dimensions missing/zero")
     offsets = tags.get(324)
     counts = tags.get(325)
     if not offsets or not counts or len(offsets) != len(counts):
