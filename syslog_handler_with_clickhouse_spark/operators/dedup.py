@@ -1283,6 +1283,22 @@ def incremental_dedup_insert(
     of a batch MERGING existing components (the bridge case)."""
     from pyspark.sql import Window
 
+    # the score keys travel WITH the state: a scored state must see a
+    # score_col on every insert (silently dropping 'scores'/'best'
+    # would corrupt the state for the next batch) and an unscored
+    # state has nothing for score_col to fold into
+    if score_col is not None and "scores" not in state:
+        raise ValueError(
+            "score_col given but the state has no 'scores'/'best' keys — "
+            "create it with incremental_dedup_init(with_scores=True)"
+        )
+    if score_col is None and "scores" in state:
+        raise ValueError(
+            "state carries 'scores'/'best' (with_scores=True) but no "
+            "score_col was given for this batch — every insert into a "
+            "scored state must supply score_col"
+        )
+
     spark = batch.sparkSession
     sig = minhash_signatures(batch, text_col, id_col, n)
     nb = minhash_bands(sig).localCheckpoint(eager=True)

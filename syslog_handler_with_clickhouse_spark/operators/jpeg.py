@@ -1142,7 +1142,8 @@ def _coefs_to_pixels(
 # (non-interleaved scans walk each component's own block grid);
 # arithmetic-coded progressive (SOF10) lives in the QM section.  The
 # remaining format guards are hierarchical (SOF5-7/13-15) and 12-bit
-# non-baseline modes.
+# arithmetic-coded modes (12-bit Huffman — sequential SOF1 and
+# progressive SOF2 — decodes here).
 #
 # Non-interleaved AC scans use EOB RUNS: the EOBn symbol (s=0, r<15)
 # ends the current block's band AND declares the next 2^r - 1 +

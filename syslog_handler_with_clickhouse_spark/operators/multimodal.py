@@ -3436,13 +3436,18 @@ def _decode_tiff_tiled(
         rows = min(th, h - y0)
         cols = min(tw, w - x0)
         if planar == 2:
-            # scatter the single-sample tile into the channel lane
+            # scatter the single-sample tile into the channel lane —
+            # one strided slice assignment per (row, sample byte), so
+            # the planar path stays O(rows·sb) interpreter operations
+            # like the chunky path, not O(rows·cols)
+            step = channels * sb
             for r in range(rows):
-                for c in range(cols):
-                    src = (r * tw + c) * sb
-                    dst = (((y0 + r) * w + x0 + c) * channels
-                           + plane_c) * sb
-                    out[dst : dst + sb] = tile[src : src + sb]
+                src0 = (r * tw) * sb
+                dst0 = (((y0 + r) * w + x0) * channels + plane_c) * sb
+                for bi in range(sb):
+                    out[dst0 + bi : dst0 + bi + cols * step : step] = tile[
+                        src0 + bi : src0 + bi + cols * sb : sb
+                    ]
         else:
             for r in range(rows):
                 src = r * row_bytes

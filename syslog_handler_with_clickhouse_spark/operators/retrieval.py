@@ -313,7 +313,18 @@ def _rrf_jaccard_leg(
     before per-doc counts (Jaccard over kept shingles, q195).  When
     ``width`` is set the narrow doc rows are hash-repartitioned before
     the explode (the _bm25_plan posture — ship ~50 B rows, fan out on
-    the wide side)."""
+    the wide side).
+
+    Query shingles come from ``queries.text`` DIRECTLY (round 15) —
+    not from joining query_id against the corpus — so a query whose id
+    is not a corpus doc_id still gets a real Jaccard leg.  For queries
+    that ARE corpus docs the shingle multiset is identical (same
+    text), so q413/q458 values are unchanged.  The cap is applied as a
+    broadcast ANTI-join against the over-cap shingle set (tiny — hot
+    shingles only; eagerly materialized so the corpus df aggregate
+    runs ONCE, not once per side): for corpus shingles that is exactly
+    the old keep-join (df ≥ 1 there), and a query-only shingle (corpus
+    df = 0, under any cap) stays in the query's denominator."""
     from ..functions.text import shingles
 
     if width:
@@ -326,22 +337,24 @@ def _rrf_jaccard_leg(
         F.col("doc_id").alias("doc"),
         F.explode(shingles(F.col("text"), 3)).alias("sh_str"),
     ).select("doc", portable_hash60(F.col("sh_str")).alias("shingle"))
+    qsh0 = queries.select(
+        F.col("query_id"),
+        F.explode(shingles(F.col("text"), 3)).alias("sh_str"),
+    ).select("query_id", portable_hash60(F.col("sh_str")).alias("shingle"))
     if jaccard_max_df is not None:
-        keep = (
+        drop = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df_cnt"))
-            .filter(F.col("df_cnt") <= jaccard_max_df)
+            .filter(F.col("df_cnt") > jaccard_max_df)
             .select("shingle")
+            .localCheckpoint(eager=True)
         )
-        sh = sh.join(keep, "shingle")
+        sh = sh.join(F.broadcast(drop), "shingle", "left_anti")
+        qsh0 = qsh0.join(F.broadcast(drop), "shingle", "left_anti")
     n_sh = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     shn = sh.join(n_sh, "doc")
-    qids = queries.select(F.col("query_id").alias("doc")).distinct()
-    qsh = shn.join(F.broadcast(qids), "doc").select(
-        F.col("doc").alias("query_id"),
-        F.col("n_sh").alias("qn"),
-        "shingle",
-    )
+    qn_df = qsh0.groupBy("query_id").agg(F.count(F.lit(1)).alias("qn"))
+    qsh = qsh0.join(qn_df, "query_id").select("query_id", "qn", "shingle")
     jp = (
         qsh.join(shn, "shingle")
         .filter(F.col("doc") != F.col("query_id"))

@@ -259,12 +259,25 @@ def pq_codebooks(
     sub: DataFrame, m_sub: int, d_sub: int, n_codes: int, refine: int = 1
 ) -> DataFrame:
     """Per-subspace codebooks: centroids seeded from the sub-vectors of
-    the first ``n_codes`` ids (the IVF convention), then ``refine``
-    Lloyd passes.  Means are computed as exact integer sums divided and
-    re-rounded to integers, so every pass is deterministic — no float
-    accumulation order anywhere.  Returns (m, code, cv)."""
-    cent = sub.filter(F.col("vid") < n_codes).select(
-        "m", F.col("vid").cast("int").alias("code"), F.col("sv").alias("cv")
+    the first ``n_codes`` ids IN VID ORDER (round 15 — an absolute
+    ``vid < n_codes`` filter under-seeds any training subset whose ids
+    are not dense from 0, e.g. a ``vid % 3 == 0`` train split collapsed
+    16 codes to 6), then ``refine`` Lloyd passes.  Codes are the dense
+    rank of the seed vid, so on a dense-from-0 corpus the seeds AND
+    code labels are bit-identical to the old filter.  Means are
+    computed as exact integer sums divided and re-rounded to integers,
+    so every pass is deterministic — no float accumulation order
+    anywhere.  Returns (m, code, cv)."""
+    wseed = Window.orderBy("vid")
+    seed_ids = (
+        sub.select("vid")
+        .distinct()
+        .orderBy("vid")
+        .limit(n_codes)
+        .withColumn("code", (F.row_number().over(wseed) - 1).cast("int"))
+    )
+    cent = sub.join(F.broadcast(seed_ids), "vid").select(
+        "m", "code", F.col("sv").alias("cv")
     )
     mean_cols = [
         F.round(
@@ -371,8 +384,21 @@ def ivfpq_build(
 
     d_sub = dim // m_sub
     v = clustering.quantize_vectors(emb, id_col, vec_col)
-    seed = v.filter(F.col("vid") < n_cells).select(
-        F.col("vid").alias("cell"), F.col("qv").alias("cv")
+    # seed from the first n_cells rows IN VID ORDER, not an absolute
+    # vid < n_cells filter (round 15): training on a subset whose ids
+    # are not dense from 0 (q464 trains on vec_id % 3 == 0) collapsed
+    # the coarse quantizer from n_cells to the few ids that happened to
+    # fall under the filter.  Cell labels are the dense seed rank, so a
+    # dense-from-0 corpus seeds bit-identically to the old filter.
+    wseed = Window.orderBy("vid")
+    seed = (
+        v.select("vid", "qv")
+        .orderBy("vid")
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(wseed) - 1).cast("bigint").alias("cell"),
+            F.col("qv").alias("cv"),
+        )
     )
     cent = clustering.refine_step(clustering.assign_nearest(v, seed))
     assign = clustering.assign_nearest(v, cent).select("vid", "cluster", "qv")

@@ -812,3 +812,28 @@ def test_incremental_survivors_merge_updates_best(spark):
     # exactly one best row per live component
     comps = {r.comp for r in st["labels"].collect()}
     assert set(best) == comps
+
+
+def test_incremental_dedup_score_state_mismatch_raises(spark):
+    """Round-15 ADVICE fix: score_col against an unscored state used to
+    die with an opaque KeyError; omitting score_col on a scored state
+    silently dropped the scores/best keys, corrupting the state for the
+    next insert.  Both directions now raise descriptive ValueErrors."""
+    import pytest
+
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        incremental_dedup_init,
+        incremental_dedup_insert,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "aa bb cc dd ee", 7)], "doc_id long, text string, q long"
+    )
+    with pytest.raises(ValueError, match="with_scores=True"):
+        incremental_dedup_insert(
+            incremental_dedup_init(spark), batch, score_col="q"
+        )
+    with pytest.raises(ValueError, match="score_col"):
+        incremental_dedup_insert(
+            incremental_dedup_init(spark, with_scores=True), batch
+        )

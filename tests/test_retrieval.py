@@ -478,7 +478,11 @@ def test_rrf_jaccard_cap_drops_hot_shingles(spark):
     sdf = spark.createDataFrame(
         [(d, t) for d, t in docs.items()], "doc_id long, text string"
     )
-    qdf = spark.createDataFrame([(0,), (2,)], "query_id long")
+    # round 15: the leg shingles queries.text directly (external
+    # queries get a real Jaccard leg), so query rows carry their text
+    qdf = spark.createDataFrame(
+        [(0, docs[0]), (2, docs[2])], "query_id long, text string"
+    )
     for max_df in (None, 4):
         got = {
             q: []
@@ -613,3 +617,32 @@ def test_bm25_incremental_index_matches_scan(spark):
                                         max_df_den=10).collect())
     )
     assert inc == direct and inc
+
+
+def test_rrf_external_query_gets_jaccard_leg(spark):
+    """Round-15 ADVICE fix: the Jaccard leg shingles queries.text
+    directly, so a query whose id is NOT a corpus doc_id still fuses
+    both legs (it used to silently degrade to BM25-only,
+    jaccard_rank = 0)."""
+    from syslog_handler_with_clickhouse_spark.operators.retrieval import (
+        rrf_hybrid_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma zeta eta"),
+            (3, "totally unrelated words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(999, "alpha beta gamma delta zeta")],  # 999 not in corpus
+        "query_id long, text string",
+    )
+    rows = rrf_hybrid_topk(docs, queries, k_leg=5, k_out=3).collect()
+    assert rows, "external query produced no fused rows"
+    by_doc = {r.doc_id: r for r in rows}
+    # docs 1 and 2 share crossing 3-gram shingles with the query text
+    assert any(r.jaccard_rank > 0 for r in rows), rows
+    assert by_doc[1].jaccard_rank > 0

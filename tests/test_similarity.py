@@ -380,3 +380,27 @@ def test_ivfpq_insert_matches_oneshot_frozen_encode(spark):
     # and the maintained index actually scans
     assert ivfpq_scan(idx, k=5,
                       query_pred=F.col("vid") % 10 == 0).count() > 0
+
+
+def test_ivfpq_build_seeds_full_cell_count_on_sparse_ids(spark):
+    """Round-15 ADVICE fix: seeding must take the first n_cells rows in
+    vid ORDER, not an absolute vid < n_cells filter — training on a
+    vec_id % 3 == 0 subset used to collapse the coarse quantizer to the
+    3 ids that fell under the filter (and the PQ codebooks to 6 of 16
+    codes), making nprobe scans near-exhaustive."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.similarity import (
+        ivfpq_build,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = ivfpq_build(emb.filter(F.col("vec_id") % 3 == 0))
+    assert idx["cent"].count() == 8
+    assert idx["books"].select("m", "code").distinct().count() == 8 * 16
+    # and dense-from-0 ids still seed cells 0..7 (bit-compat with the
+    # old filter on the q389-shaped corpus)
+    full = ivfpq_build(emb)
+    assert sorted(r.cell for r in full["cent"].select("cell").collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 7,
+    ]
