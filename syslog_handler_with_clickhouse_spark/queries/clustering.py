@@ -1462,3 +1462,91 @@ def q464(spark, sf_dir):
             "recall_ok"
         ),
     )
+
+
+@query("q466_ivfpq_store_index", ORACLE["q389_ivfpq_ann"])
+def q466(spark, sf_dir):
+    """STORED IVF-PQ index maintenance (round 15 — q464's semantics
+    through tables, `similarity.ivfpq_store_*`, closing the round-14
+    `weak`): quantizers train once on the first third of the q389
+    corpus and persist (cent/books tiny, written at init); the other
+    two thirds fold in as APPENDS to the vid-bucketed v table and the
+    cluster-partitioned codes table — per-insert I/O is O(batch), no
+    corpus-sized rewrite (the DataFrame-state variant localCheckpointed
+    the full union per batch).  The scan runs q389's query workload
+    against the stored index; encode results are unit-pinned
+    bit-identical to the DataFrame path, so the oracle is q389's
+    exact-top-10 SQL verbatim with the same ≥ 7/10 recall boolean.
+    The output joins are eagerly checkpointed (queries×k rows) so the
+    state tables can be dropped before returning."""
+    from ..operators.clustering import _d2, quantize_vectors
+    from ..operators.similarity import (
+        ivfpq_scan,
+        ivfpq_store_index,
+        ivfpq_store_init,
+        ivfpq_store_insert,
+    )
+
+    corpus = q389_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    prefix = "q466_state"
+    tables = (f"{prefix}_v", f"{prefix}_codes", f"{prefix}_cent",
+              f"{prefix}_books")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    ivfpq_store_init(
+        spark, prefix, corpus.filter(F.col("vec_id") % 3 == 0)
+    )
+    try:
+        for m in (1, 2):
+            ivfpq_store_insert(
+                spark, prefix, corpus.filter(F.col("vec_id") % 3 == m)
+            )
+        qpred = (F.col("vid") % 50 == 0) & (F.col("vid") < 1000000)
+        approx = (
+            ivfpq_scan(ivfpq_store_index(spark, prefix), k=10,
+                       query_pred=qpred)
+            .groupBy("query_id")
+            .agg(F.collect_set("neighbor_id").alias("pq_ids"))
+        )
+
+        v = quantize_vectors(corpus)
+        q = v.filter(qpred).select(
+            F.col("vid").alias("query_id"), F.col("qv").alias("qx")
+        )
+        c = v.select(
+            F.col("vid").alias("neighbor_id"), F.col("qv").alias("nx")
+        )
+        scored = (
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("d2", _d2(F.col("qx"), F.col("nx")))
+        )
+        we = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+        exact10 = (
+            scored.withColumn("rk", F.row_number().over(we))
+            .filter(F.col("rk") <= 10)
+            .groupBy("query_id")
+            .agg(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("rk", "neighbor_id"))
+                        ),
+                        lambda s: s["neighbor_id"].cast("string"),
+                    ),
+                ).alias("exact_top10"),
+                F.collect_set("neighbor_id").alias("exact_ids"),
+            )
+        )
+        return exact10.join(approx, "query_id").select(
+            "query_id",
+            "exact_top10",
+            (F.size(F.array_intersect("exact_ids", "pq_ids")) >= 7).alias(
+                "recall_ok"
+            ),
+        ).localCheckpoint(eager=True)
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -646,3 +646,124 @@ def test_rrf_external_query_gets_jaccard_leg(spark):
     # docs 1 and 2 share crossing 3-gram shingles with the query text
     assert any(r.jaccard_rank > 0 for r in rows), rows
     assert by_doc[1].jaccard_rank > 0
+
+
+def test_bm25_store_matches_scan_and_compacts(spark, tmp_path):
+    """Round-15 stored BM25 index: folding the corpus in three batches
+    through the bucketed tables must reproduce bm25_topk's scan-path
+    scores bit for bit (integer sums commute), before AND after the df
+    partials compact; df partials really do accumulate per batch and
+    compact to one row per token."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.retrieval import (
+        bm25_store_compact,
+        bm25_store_init,
+        bm25_store_insert,
+        bm25_store_topk,
+        bm25_topk,
+    )
+
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "quick brown foxes are quick and brown",
+        3: "the lazy dog sleeps all day long every day",
+        4: "a fox and a dog met a lazy fox",
+        5: "nothing in common here whatsoever tonight",
+        6: "dog dog dog and one lazy fox again",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    queries = df.filter(F.col("doc_id").isin(1, 4)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    direct = sorted(
+        map(tuple, bm25_topk(df, queries, k=4, max_df_num=9,
+                             max_df_den=10).collect())
+    )
+    prefix = "t15bm25"
+    bm25_store_init(spark, prefix, num_buckets=4, location=str(tmp_path))
+    try:
+        for pred in (F.col("doc_id") <= 2, F.col("doc_id").isin(3, 4),
+                     F.col("doc_id") >= 5):
+            bm25_store_insert(spark, prefix, df.filter(pred))
+        # 'dog' hits batches 1/2/3, 'fox' batches 1/2/3 -> 3 partials
+        parts = spark.table(f"{prefix}_df").filter(
+            F.col("token") == "dog"
+        ).collect()
+        assert len(parts) == 3 and sum(r.dfreq for r in parts) == 4
+        got = sorted(
+            map(tuple, bm25_store_topk(spark, prefix, queries, k=4,
+                                       max_df_num=9,
+                                       max_df_den=10).collect())
+        )
+        assert got == direct and got
+        bm25_store_compact(spark, prefix)
+        assert spark.table(f"{prefix}_df").filter(
+            F.col("token") == "dog"
+        ).count() == 1
+        got2 = sorted(
+            map(tuple, bm25_store_topk(spark, prefix, queries, k=4,
+                                       max_df_num=9,
+                                       max_df_den=10).collect())
+        )
+        assert got2 == direct
+    finally:
+        for t in (f"{prefix}_postings", f"{prefix}_dl", f"{prefix}_df"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bm25_store_joins_shuffle_free(spark, tmp_path):
+    """The point of the bucketed BM25 state (the dedup-store plan-pin
+    precedent): with broadcast disabled, the query-time joins read the
+    stored tables' bucketed scans with NO exchange on the stored side,
+    and the df merge aggregates exchange-free on the bucketed-by-token
+    layout."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.retrieval import (
+        bm25_store_df,
+        bm25_store_init,
+        bm25_store_insert,
+    )
+
+    prefix = "t15bm25plan"
+    bm25_store_init(spark, prefix, num_buckets=4, location=str(tmp_path))
+    try:
+        bm25_store_insert(
+            spark,
+            prefix,
+            spark.createDataFrame(
+                [(1, "aa bb cc dd"), (2, "aa bb xx yy")],
+                "doc_id long, text string",
+            ),
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            qt = spark.createDataFrame(
+                [(9, "aa"), (9, "cc")], "query_id long, token string"
+            )
+            jp = qt.join(spark.table(f"{prefix}_postings"), "token")
+            plan_p = jp._jdf.queryExecution().executedPlan().toString()
+            dd = spark.createDataFrame([(1,)], "doc_id long")
+            jl = dd.join(spark.table(f"{prefix}_dl"), "doc_id")
+            plan_l = jl._jdf.queryExecution().executedPlan().toString()
+            plan_d = (
+                bm25_store_df(spark, prefix)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # joins: exactly one exchange each — the O(batch) query side;
+        # the bucketed FileScan feeds the join through sort only
+        assert plan_p.count("Exchange hashpartitioning") == 1, plan_p
+        assert "SelectedBucketsCount" in plan_p or "Bucketed: true" in plan_p
+        assert plan_l.count("Exchange hashpartitioning") == 1, plan_l
+        # df merge: ZERO exchanges — the groupBy's distribution is
+        # satisfied by the bucketed layout
+        assert "Exchange" not in plan_d, plan_d
+    finally:
+        for t in (f"{prefix}_postings", f"{prefix}_dl", f"{prefix}_df"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

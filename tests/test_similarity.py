@@ -404,3 +404,98 @@ def test_ivfpq_build_seeds_full_cell_count_on_sparse_ids(spark):
     assert sorted(r.cell for r in full["cent"].select("cell").collect()) == [
         0, 1, 2, 3, 4, 5, 6, 7,
     ]
+
+
+def test_ivfpq_store_matches_dataframe_state(spark, tmp_path):
+    """Round-15 stored IVF-PQ index: train on the first third, fold the
+    other two thirds as table APPENDS — the stored (v, codes) must be
+    bit-identical to the DataFrame-state ivfpq_insert path on the same
+    splits (same frozen-quantizer encode), and the scan through the
+    stored index must return the same rows."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_insert,
+        ivfpq_scan,
+        ivfpq_store_index,
+        ivfpq_store_init,
+        ivfpq_store_insert,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    prefix = "t15ivf"
+    ivfpq_store_init(
+        spark, prefix, emb.filter(F.col("vec_id") % 3 == 0),
+        num_buckets=4, location=str(tmp_path),
+    )
+    try:
+        for m in (1, 2):
+            ivfpq_store_insert(spark, prefix, emb.filter(F.col("vec_id") % 3 == m))
+
+        idx_df = ivfpq_build(emb.filter(F.col("vec_id") % 3 == 0))
+        for m in (1, 2):
+            idx_df = ivfpq_insert(idx_df, emb.filter(F.col("vec_id") % 3 == m))
+
+        st = ivfpq_store_index(spark, prefix)
+        a = sorted((r.vid, tuple(r.qv)) for r in st["v"].collect())
+        b = sorted((r.vid, tuple(r.qv)) for r in idx_df["v"].collect())
+        assert a == b and a
+        ca = sorted(
+            (r.vid, r.m, r.code, r.cluster) for r in st["codes"].collect()
+        )
+        cb = sorted(
+            (r.vid, r.m, r.code, r.cluster)
+            for r in idx_df["codes"].collect()
+        )
+        assert ca == cb
+        pred = F.col("vid") % 10 == 0
+        sa = sorted(map(tuple, ivfpq_scan(st, k=5, query_pred=pred).collect()))
+        sb = sorted(
+            map(tuple, ivfpq_scan(idx_df, k=5, query_pred=pred).collect())
+        )
+        assert sa == sb and sa
+    finally:
+        for t in (f"{prefix}_v", f"{prefix}_codes", f"{prefix}_cent",
+                  f"{prefix}_books"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivfpq_store_layout_plans(spark, tmp_path):
+    """Stored-index layout pins: the rerank-style join on vid reads the
+    bucketed v scan with no stored-side exchange, and a cluster filter
+    on the codes table prunes to that partition's files."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.similarity import (
+        ivfpq_store_init,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    prefix = "t15ivfplan"
+    ivfpq_store_init(
+        spark, prefix, emb, num_buckets=4, location=str(tmp_path)
+    )
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            cand = spark.createDataFrame([(0,), (3,)], "vid long")
+            j = cand.join(spark.table(f"{prefix}_v"), "vid")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+        cp = (
+            spark.table(f"{prefix}_codes")
+            .filter(F.col("cluster") == 3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters" in cp and "cluster" in cp, cp
+    finally:
+        for t in (f"{prefix}_v", f"{prefix}_codes", f"{prefix}_cent",
+                  f"{prefix}_books"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
