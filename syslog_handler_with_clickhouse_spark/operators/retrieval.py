@@ -65,6 +65,9 @@ def bm25_topk(
     k: int = 5,
     max_df_num: int = 1,
     max_df_den: int = 4,
+    max_df_abs: int | None = None,
+    stats: list | None = None,
+    hot_token_warn: int = 100_000,
 ) -> DataFrame:
     """Rank ``docs`` (doc_id, text) for each query doc (query_id, text)
     by exact-integer BM25; keep the top ``k`` per query.
@@ -93,9 +96,55 @@ def bm25_topk(
     20 M-doc point OOM'd an 8 g heap; with the derived width both run
     spill-free.  At small SF the floor is below the session width and
     the plan stays lazy and unchanged (oracle/plan pins unaffected).
-    """
+
+    Telemetry (round 15, the star-edge ``stats=`` pattern applied to
+    the token leg): pass ``stats=[]`` to receive one appended record
+    {max_df, p99_df, n_tokens, n_docs, top_tokens} computed from one
+    extra df aggregate (an action — opt-in, the default lazy plan is
+    unchanged).  A token at or above ``hot_token_warn`` document
+    frequency additionally emits a UserWarning naming it: the
+    bm25_boilerplate_r14 measurement showed a 2 %-df boilerplate
+    family flooding the join with ~10 GB of spill straight past the
+    default 9/10 RATIO cap — ``max_df_abs`` is the matching guard (an
+    absolute posting-list bound; separate oracled contract, q467)."""
     tok = _tokens(docs, "doc_id")
     spark = docs.sparkSession
+    if stats is not None:
+        import warnings
+
+        dfreq = (
+            tok.groupBy("doc_id", "token")
+            .agg(F.lit(1))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("dfreq"))
+        )
+        agg = dfreq.agg(
+            F.max("dfreq").alias("mx"),
+            F.expr("approx_percentile(dfreq, 0.99)").alias("p99"),
+            F.count(F.lit(1)).alias("nt"),
+        ).collect()[0]
+        top = [
+            (r.token, int(r.dfreq))
+            for r in dfreq.orderBy(
+                F.col("dfreq").desc(), F.col("token")
+            ).limit(5).collect()
+        ]
+        rec = {
+            "max_df": int(agg["mx"] or 0),
+            "p99_df": int(agg["p99"] or 0),
+            "n_tokens": int(agg["nt"]),
+            "n_docs": docs.count(),
+            "top_tokens": top,
+        }
+        stats.append(rec)
+        if rec["max_df"] >= hot_token_warn:
+            warnings.warn(
+                "bm25_topk: hottest token %r appears in %d docs (>= %d) — "
+                "every query containing it fans the join out by that full "
+                "posting list; consider max_df_abs or a tighter ratio cap"
+                % (top[0][0] if top else "?", rec["max_df"], hot_token_warn),
+                stacklevel=2,
+            )
     sess = max(
         spark.sparkContext.defaultParallelism,
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
@@ -112,7 +161,7 @@ def bm25_topk(
             spark.conf.set(adv_key, str(4 << 20))
             return _bm25_plan(
                 docs, queries, k=k, max_df_num=max_df_num,
-                max_df_den=max_df_den, width=width,
+                max_df_den=max_df_den, max_df_abs=max_df_abs, width=width,
             ).localCheckpoint(
                 eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
             )
@@ -120,7 +169,8 @@ def bm25_topk(
             spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
             spark.conf.set(adv_key, sess_adv)
     return _bm25_plan(
-        docs, queries, k=k, max_df_num=max_df_num, max_df_den=max_df_den
+        docs, queries, k=k, max_df_num=max_df_num, max_df_den=max_df_den,
+        max_df_abs=max_df_abs,
     )
 
 
@@ -131,6 +181,7 @@ def _bm25_plan(
     k: int,
     max_df_num: int,
     max_df_den: int,
+    max_df_abs: int | None = None,
     width: int = 0,
 ) -> DataFrame:
     """The lazy BM25 plan (see bm25_topk for semantics and posture).
@@ -164,7 +215,7 @@ def _bm25_plan(
     df_ = postings.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
     return _bm25_score(
         postings, dl, df_, queries, k=k,
-        max_df_num=max_df_num, max_df_den=max_df_den,
+        max_df_num=max_df_num, max_df_den=max_df_den, max_df_abs=max_df_abs,
     )
 
 
@@ -177,11 +228,20 @@ def _bm25_score(
     k: int,
     max_df_num: int,
     max_df_den: int,
+    max_df_abs: int | None = None,
 ) -> DataFrame:
     """BM25 scoring tail over prebuilt index frames (postings
     (doc_id, token, tf), dl (doc_id, dl), df_ (token, dfreq)) — shared
     by the scan path (:func:`_bm25_plan`) and the maintained-index path
-    (:func:`bm25_topk_from_index`).  Corpus scalars derive from dl."""
+    (:func:`bm25_topk_from_index`).  Corpus scalars derive from dl.
+
+    ``max_df_abs`` (round 15) is an ABSOLUTE document-frequency cap on
+    query terms, ANDed with the ratio cap: the operational guard for a
+    boilerplate family whose hot tokens sit at a known df (e.g. 2 % of
+    a 20 M-doc corpus = 400 k-row posting lists — far under any usable
+    RATIO cap, yet each one fans the join out by its full df).  Values
+    change, so the capped form is a separate oracled contract (q467),
+    not a silent rewrite of q394."""
     stats = dl.agg(
         F.sum("dl").alias("corpus_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
@@ -192,11 +252,13 @@ def _bm25_score(
 
     qterms = _tokens(queries, "query_id").distinct()
 
+    kept = qterms.join(df_, "token").join(F.broadcast(stats)).filter(
+        F.col("dfreq") * max_df_den <= F.col("n_docs") * max_df_num
+    )
+    if max_df_abs is not None:
+        kept = kept.filter(F.col("dfreq") <= max_df_abs)
     scored_terms = (
-        qterms.join(df_, "token")
-        .join(F.broadcast(stats))
-        .filter(F.col("dfreq") * max_df_den <= F.col("n_docs") * max_df_num)
-        .join(postings, "token")
+        kept.join(postings, "token")
         .filter(F.col("query_id") != F.col("doc_id"))
         .join(dl, "doc_id")
         .select(
@@ -232,7 +294,10 @@ def rrf_hybrid_topk(
     k_out: int = 3,
     bm25_max_df_num: int = 9,
     bm25_max_df_den: int = 10,
+    bm25_max_df_abs: int | None = None,
     jaccard_max_df: int | None = None,
+    stats: list | None = None,
+    hot_token_warn: int = 100_000,
 ) -> DataFrame:
     """Reciprocal Rank Fusion (Cormack 2009) of a BM25 leg and a
     shingle-Jaccard leg — the q413/q458 composition as one operator.
@@ -259,12 +324,21 @@ def rrf_hybrid_topk(
     the leg-B plan is materialized under a scoped width + 4 MB AQE
     advisory and the tiny fused top-k is checkpointed; at small SF the
     plan stays lazy (oracle/plan pins unaffected).
+
+    ``bm25_max_df_abs`` / ``stats`` / ``hot_token_warn`` (round 15)
+    pass through to leg A: bm25_boilerplate_r14 measured a 2 %-df
+    boilerplate token family flooding BOTH RRF variants (~10 GB spill
+    each) straight past the default 9/10 ratio cap — the Jaccard cap
+    alone cannot save the hybrid, so the BM25 leg carries the same
+    hot-key telemetry and an absolute posting-list bound.
     """
     from ..functions.text import shingles
 
     a = bm25_topk(
         docs, queries, k=k_leg,
         max_df_num=bm25_max_df_num, max_df_den=bm25_max_df_den,
+        max_df_abs=bm25_max_df_abs, stats=stats,
+        hot_token_warn=hot_token_warn,
     ).select("query_id", "doc_id", F.col("rank").alias("rk_a"))
 
     spark = docs.sparkSession
@@ -495,6 +569,7 @@ def bm25_topk_from_index(
     k: int = 5,
     max_df_num: int = 1,
     max_df_den: int = 4,
+    max_df_abs: int | None = None,
 ) -> DataFrame:
     """:func:`bm25_topk` semantics over the maintained index — same
     output contract (query_id, rank, doc_id, score), bit-identical to
@@ -502,6 +577,7 @@ def bm25_topk_from_index(
     return _bm25_score(
         index["postings"], index["dl"], index["df"], queries,
         k=k, max_df_num=max_df_num, max_df_den=max_df_den,
+        max_df_abs=max_df_abs,
     )
 
 
@@ -601,6 +677,7 @@ def bm25_store_topk(
     k: int = 5,
     max_df_num: int = 1,
     max_df_den: int = 4,
+    max_df_abs: int | None = None,
 ) -> DataFrame:
     """:func:`bm25_topk` semantics over the stored index — pure index
     joins against the bucketed tables (no exchange on any stored
@@ -614,6 +691,7 @@ def bm25_store_topk(
         k=k,
         max_df_num=max_df_num,
         max_df_den=max_df_den,
+        max_df_abs=max_df_abs,
     )
 
 

@@ -2160,3 +2160,71 @@ def q465(spark, sf_dir):
     finally:
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@query(
+    "q467_bm25_absolute_df_cap",
+    """
+    WITH tok AS (
+      SELECT doc_id, t AS token
+      FROM documents, UNNEST(regexp_extract_all(lower(text), '{re}')) AS u(t)
+    ), postings AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs,
+             (COUNT(*) * 1000) // COUNT(DISTINCT doc_id) AS am
+      FROM tok
+    ), df AS (
+      SELECT token, COUNT(*) AS dfreq FROM postings GROUP BY token
+    ), qterms AS (
+      SELECT DISTINCT doc_id AS query_id, token FROM tok WHERE doc_id % 50 = 0
+    ), term_scores AS (
+      SELECT q.query_id, p.doc_id,
+             (s.n_docs // d.dfreq)
+             * ((22 * p.tf * s.am * 1000000)
+                // (10 * p.tf * s.am + 3 * s.am + 9000 * l.dl)) AS term_score
+      FROM qterms q
+      JOIN df d ON q.token = d.token
+      CROSS JOIN stats s
+      JOIN postings p ON p.token = q.token
+      JOIN dl l ON l.doc_id = p.doc_id
+      WHERE d.dfreq * 10 <= s.n_docs * 9
+        AND d.dfreq <= (s.n_docs * 4) // 5
+        AND p.doc_id <> q.query_id
+    ), scores AS (
+      SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score
+      FROM term_scores GROUP BY query_id, doc_id
+    ), ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
+    FROM ranked WHERE rank <= 5
+    """.format(re=TOKEN_RE),
+)
+def q467(spark, sf_dir):
+    """BM25 with the ABSOLUTE document-frequency cap (round 15,
+    `operators/retrieval.bm25_topk(max_df_abs=...)`): q394's workload
+    with query terms additionally bounded at df <= 4·N/5 — the
+    operational guard for boilerplate token families whose posting
+    lists sit at a df far below any usable RATIO cap yet fan the
+    retrieval join out by their full length (bm25_boilerplate_r14
+    measured ~10 GB of spill through the 9/10 ratio cap from tokens at
+    2 % df; on a real corpus the cap is set near the hot family's
+    absolute df).  Values change vs q394 — the fixture corpus has a
+    token at df 0.81N that the absolute cap prunes — so this is its
+    own oracled contract, the q458/q195 precedent."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries_df = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    cap = docs.count() * 4 // 5
+    return bm25_topk(
+        docs, queries_df, k=5, max_df_num=9, max_df_den=10, max_df_abs=cap
+    )

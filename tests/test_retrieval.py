@@ -767,3 +767,59 @@ def test_bm25_store_joins_shuffle_free(spark, tmp_path):
     finally:
         for t in (f"{prefix}_postings", f"{prefix}_dl", f"{prefix}_df"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bm25_hot_token_telemetry_and_absolute_cap(spark):
+    """Round-15 BM25 hot-token telemetry (the star-edge stats pattern
+    on the token leg) and the absolute df cap: a token planted in every
+    doc surfaces as top_tokens[0] with its exact df and trips the
+    warning threshold; max_df_abs prunes by absolute document
+    frequency — pinned against the Python mirror via the ratio-cap
+    equivalence df <= 2 on 8 docs ⟺ df·4 <= N."""
+    import warnings
+
+    from syslog_handler_with_clickhouse_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    docs = {
+        1: "omni the quick brown fox jumps over the lazy dog",
+        2: "omni quick brown foxes are quick and brown",
+        3: "omni the lazy dog sleeps all day long every day",
+        4: "omni a fox and a dog met a lazy fox",
+        5: "omni nothing in common here whatsoever tonight",
+        6: "omni quick thinking saves the day for the fox",
+        7: "omni dogs and foxes and wolves roam the woods",
+        8: "omni day after day the quick fox ran far away",
+    }
+    queries = {2: docs[2], 4: docs[4]}
+    ddf = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id bigint, text string"
+    )
+    qdf = spark.createDataFrame(
+        [(d, t) for d, t in queries.items()], "query_id bigint, text string"
+    )
+    st: list = []
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rows = bm25_topk(
+            ddf, qdf, k=5, max_df_num=1, max_df_den=1, max_df_abs=2,
+            stats=st, hot_token_warn=8,
+        ).collect()
+    assert len(st) == 1
+    assert st[0]["max_df"] == 8 and st[0]["n_docs"] == 8
+    assert st[0]["top_tokens"][0] == ("omni", 8)
+    assert any("omni" in str(x.message) for x in w), [str(x.message) for x in w]
+    got = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    want = _py_bm25(docs, queries, k=5, max_df_num=1, max_df_den=4)
+    want = {q: v for q, v in want.items() if v}
+    assert got == want and got
+    # and without the absolute cap (ratio 1/1 keeps everything,
+    # including 'omni' at df=8) the ranking differs
+    uncapped = bm25_topk(ddf, qdf, k=5, max_df_num=1, max_df_den=1).collect()
+    got_un = {}
+    for r in sorted(uncapped, key=lambda r: (r.query_id, r.rank)):
+        got_un.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    assert got_un != got
