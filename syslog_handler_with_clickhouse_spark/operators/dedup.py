@@ -1461,8 +1461,13 @@ def _resolve_relabel(rel: DataFrame) -> DataFrame:
     """Transitive closure of a relabel delta chain (old_comp →
     new_comp; each old_comp appears once, hops strictly decrease, so
     the chain is a forest onto terminal labels).  Pointer-doubling
-    join on the tiny delta frame — O(log chain) rounds."""
-    cur = rel.select("old_comp", "new_comp").localCheckpoint(eager=True)
+    join on the tiny delta frame — O(log chain) rounds.  The returned
+    frame carries a ``hops`` column (single-hop path length to the
+    terminal label — doubling sums compose exactly), which
+    :func:`_relabel_chain_depth` reduces to the depth telemetry."""
+    cur = rel.select(
+        "old_comp", "new_comp", F.lit(1).alias("hops")
+    ).localCheckpoint(eager=True)
     for _ in range(30):
         a, b = cur.alias("a"), cur.alias("b")
         hop = a.join(
@@ -1472,14 +1477,26 @@ def _resolve_relabel(rel: DataFrame) -> DataFrame:
             F.coalesce(F.col("b.new_comp"), F.col("a.new_comp")).alias(
                 "new_comp"
             ),
+            (F.col("a.hops") + F.coalesce(F.col("b.hops"), F.lit(0))).alias(
+                "hops"
+            ),
             F.col("b.old_comp").isNotNull().alias("hopped"),
         )
         hop = hop.localCheckpoint(eager=True)
         n_hops = hop.filter("hopped").count()
-        cur = hop.select("old_comp", "new_comp")
+        cur = hop.select("old_comp", "new_comp", "hops")
         if n_hops == 0:
             return cur
     raise RuntimeError("relabel chain did not resolve in 30 doublings")
+
+
+def _relabel_chain_depth(rel: DataFrame) -> int:
+    """Longest single-hop path length in the relabel delta forest (0
+    for an empty/compacted table) — the number a compact-when-depth>k
+    policy watches: label reads pay O(log depth) doubling rounds, and
+    :func:`_resolve_relabel` hard-fails past 30 doublings."""
+    row = _resolve_relabel(rel).agg(F.max("hops").alias("d")).collect()[0]
+    return int(row["d"] or 0)
 
 
 def _store_tables(prefix: str) -> tuple[str, str, str]:
@@ -1530,13 +1547,29 @@ def incremental_dedup_store_insert(
     id_col: str = "doc_id",
     n: int = 3,
     stats: list | None = None,
+    auto_compact_depth: int | None = None,
 ) -> None:
     """Fold one batch into the bucketed state tables (same algorithm
     and label contract as :func:`incremental_dedup_insert`; see the
     block comments).  All three state writes are APPENDS: new docs'
     base labels, new buckets, and the merge deltas — nothing existing
     is rewritten, so per-insert write volume is O(batch + touched
-    components)."""
+    components).
+
+    Relabel-chain policy (round 15): the delta chain grows one hop per
+    cascading merge and label reads pay O(log depth) doubling rounds
+    (hard-failed at 30 — depth 2^30 — by ``_resolve_relabel``).  When
+    ``auto_compact_depth`` is set, the insert measures the chain depth
+    after appending this batch's deltas (``stats`` records it as
+    ``relabel_depth`` either way when requested) and runs
+    :func:`incremental_dedup_store_compact` once depth exceeds the
+    threshold — resolved labels are unchanged by compaction (unit-
+    pinned), so the policy is pure I/O scheduling: it trades one
+    O(labels) rewrite for resetting every future read's chain walk.
+    A good k is single digits: depth only grows when a LATER batch
+    merges a component that was itself a merge target, so double-digit
+    depth means the corpus is re-clustering and the labels table is
+    due a rewrite anyway."""
     from pyspark.sql import Window
 
     tb, tl, tr = _store_tables(prefix)
@@ -1609,13 +1642,19 @@ def incremental_dedup_store_insert(
     ).bucketBy(num_buckets, "band", "bh").saveAsTable(tb)
     relabel.write.mode("append").saveAsTable(tr)
 
+    depth = None
+    if stats is not None or auto_compact_depth is not None:
+        depth = _relabel_chain_depth(spark.table(tr))
     if stats is not None:
         stats.append(
             {
                 "batch_docs": batch_ids.count(),
                 "relabeled_comps": relabel.count(),
+                "relabel_depth": depth,
             }
         )
+    if auto_compact_depth is not None and depth > auto_compact_depth:
+        incremental_dedup_store_compact(spark, prefix)
 
 
 def _table_num_buckets(spark, table: str) -> int:

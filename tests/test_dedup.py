@@ -837,3 +837,82 @@ def test_incremental_dedup_score_state_mismatch_raises(spark):
         incremental_dedup_insert(
             incremental_dedup_init(spark, with_scores=True), batch
         )
+
+
+def test_incremental_dedup_store_auto_compact_fires(spark, tmp_path):
+    """Round-15 relabel-chain policy: three cascading merges drive the
+    delta chain to depth 3; with auto_compact_depth=2 the third insert
+    must fire the compact (delta table left empty), stats must record
+    the measured depth per insert, and the resolved labels must equal
+    a full star-edge recompute — compaction is pure I/O scheduling."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        dedup_components,
+        incremental_dedup_store_init,
+        incremental_dedup_store_insert,
+        incremental_dedup_store_labels,
+        minhash_lsh_star_edges,
+    )
+
+    words = [f"w{i}" for i in range(1000)]
+
+    def mk(seed, n=30):
+        r = random.Random(seed)
+        return " ".join(r.choice(words) for _ in range(n))
+
+    ta, tb, tc, td = mk(1003), mk(2003), mk(3000), mk(4001)
+    rows = [
+        (10, ta), (11, ta),
+        (20, tb), (21, tb),
+        (30, ta + " " + tb),   # merge 1: relabel 20 -> 10 (depth 1)
+        (5, tc), (6, tc),
+        (50, tc + " " + ta),   # merge 2: relabel 10 -> 5 (depth 2)
+        (3, td), (4, td),
+        (60, td + " " + tc),   # merge 3: relabel 5 -> 3 (depth 3) -> compact
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    prefix = "t15auto"
+    incremental_dedup_store_init(
+        spark, prefix, num_buckets=4, location=str(tmp_path)
+    )
+    try:
+        stats: list = []
+        for pred in (
+            F.col("doc_id").isin(10, 11),
+            F.col("doc_id").isin(20, 21),
+            F.col("doc_id") == 30,
+            F.col("doc_id").isin(5, 6),
+            F.col("doc_id") == 50,
+            F.col("doc_id").isin(3, 4),
+            F.col("doc_id") == 60,
+        ):
+            incremental_dedup_store_insert(
+                spark, prefix, corpus.filter(pred), stats=stats,
+                auto_compact_depth=2,
+            )
+        assert [s["relabel_depth"] for s in stats] == [0, 0, 1, 1, 2, 2, 3]
+        # depth 3 > 2 -> the last insert compacted the chain away
+        assert spark.table(f"{prefix}_relabel").count() == 0
+
+        full = dedup_components(
+            minhash_lsh_star_edges(corpus, "text", "doc_id")
+        )
+        fl = {
+            r.node: r.comp
+            for r in corpus.select(F.col("doc_id").alias("node"))
+            .join(full, "node", "left")
+            .select("node", F.coalesce("comp", F.col("node")).alias("comp"))
+            .collect()
+        }
+        got = {
+            r.node: r.comp
+            for r in incremental_dedup_store_labels(spark, prefix).collect()
+        }
+        assert got == fl and got[21] == 3  # the compacted 3-hop resolution
+    finally:
+        for t in (f"{prefix}_buckets", f"{prefix}_labels",
+                  f"{prefix}_relabel"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
