@@ -2609,12 +2609,17 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         if photometric not in (1, 2, 6) or bits[0] != 8 or predictor != 1:
             raise NotImplementedError("JPEG-in-TIFF variant unsupported")
         if 322 in tags or 323 in tags:
-            if planar != 1:
+            if planar == 2 and photometric != 2:
+                # planar YCbCr tiles carry per-plane subsampled grids
+                # (chroma planes have their own tile counts) — loud
+                # until a real producer motivates it; planar RGB
+                # (round 15) decodes below
                 raise NotImplementedError(
-                    "tiled JPEG-in-TIFF with planar configuration 2"
+                    "tiled JPEG-in-TIFF with planar configuration 2 "
+                    "and YCbCr photometric"
                 )
             return _decode_tiff_jpeg_tiled(
-                b, tags, one, w, h, spp, photometric
+                b, tags, one, w, h, spp, photometric, planar=planar
             )
         return _decode_tiff_jpeg(b, tags, one, w, h, spp, photometric)
     if compression not in (1, 5, 8, 32773, 32946):
@@ -3478,14 +3483,18 @@ def _jpeg_tables_mid(tags) -> bytes:
 
 
 def _decode_tiff_jpeg_tiled(b: bytes, tags, one, w: int, h: int, spp: int,
-                            photometric: int):
+                            photometric: int, planar: int = 1):
     """Tiled new-style JPEG-in-TIFF (round 14): tags 322-325, each tile
     an abbreviated (or self-contained) JPEG stream of the FULL tile
     size (edge tiles padded, TIFF §15), optional shared JPEGTables.
     Photometric 6 decodes through the JPEG codec's YCbCr path,
     photometric 2 through its 'R','G','B'-component-id RGB path —
     cross-verified both directions against the system libtiff
-    (tests/test_tiff_interop.py)."""
+    (tests/test_tiff_interop.py).  ``planar=2`` (round 15,
+    libtiff-interop-verified): PLANARCONFIG_SEPARATE with JPEG tiles —
+    ta·td single-component JPEG streams per plane, plane-major (the
+    libtiff writer's layout for photometric-2 RGB), each decoded as
+    grayscale and blitted into its channel lane."""
     from .jpeg import decode_jpeg_pixels
 
     tw, th = one(322), one(323)
@@ -3498,9 +3507,10 @@ def _decode_tiff_jpeg_tiled(b: bytes, tags, one, w: int, h: int, spp: int,
     channels = 1 if photometric == 1 else 3
     if spp != channels:
         raise ValueError("SamplesPerPixel inconsistent with photometric")
+    tile_ch = 1 if planar == 2 else channels
     ta = (w + tw - 1) // tw
     td = (h + th - 1) // th
-    if len(offsets) != ta * td:
+    if len(offsets) != ta * td * (channels if planar == 2 else 1):
         raise ValueError("TIFF tile count inconsistent")
     mid = _jpeg_tables_mid(tags)
     out = bytearray(w * h * channels)
@@ -3512,20 +3522,33 @@ def _decode_tiff_jpeg_tiled(b: bytes, tags, one, w: int, h: int, spp: int,
             raise ValueError("JPEG-in-TIFF tile missing SOI")
         merged = b"\xff\xd8" + mid + tile[2:]
         sw, sh, scc, px = decode_jpeg_pixels(merged)
-        if sw != tw or sh != th or scc != channels:
+        if sw != tw or sh != th or scc != tile_ch:
             raise ValueError(
                 f"JPEG-in-TIFF tile {ti} decodes {sw}x{sh}x{scc}, "
-                f"expected {tw}x{th}x{channels}"
+                f"expected {tw}x{th}x{tile_ch}"
             )
-        ty, tx = divmod(ti, ta)
+        plane_c, grid_i = divmod(ti, ta * td) if planar == 2 else (0, ti)
+        ty, tx = divmod(grid_i, ta)
         y0, x0 = ty * th, tx * tw
         rows = min(th, h - y0)
         cols = min(tw, w - x0)
-        row_bytes = tw * channels
-        for r in range(rows):
-            src = r * row_bytes
-            dst = ((y0 + r) * w + x0) * channels
-            out[dst : dst + cols * channels] = px[src : src + cols * channels]
+        if planar == 2:
+            # single-sample tile into the channel lane — one strided
+            # slice per row (the raw-tiled planar path's O(rows) blit)
+            for r in range(rows):
+                src0 = r * tw
+                dst0 = ((y0 + r) * w + x0) * channels + plane_c
+                out[dst0 : dst0 + cols * channels : channels] = px[
+                    src0 : src0 + cols
+                ]
+        else:
+            row_bytes = tw * channels
+            for r in range(rows):
+                src = r * row_bytes
+                dst = ((y0 + r) * w + x0) * channels
+                out[dst : dst + cols * channels] = px[
+                    src : src + cols * channels
+                ]
     return w, h, channels, bytes(out)
 
 
@@ -3581,6 +3604,7 @@ def encode_tiff_jpeg(
     quality: int = 90, rows_per_strip: int = 8,
     shared_tables: bool = False, subsample: bool = False,
     photometric_rgb: bool = False, tile: tuple | None = None,
+    planar: bool = False,
 ) -> bytes:
     """JPEG-in-TIFF builder (fixture twin of :func:`_decode_tiff_jpeg`
     / :func:`_decode_tiff_jpeg_tiled`): each strip — or, with
@@ -3590,7 +3614,10 @@ def encode_tiff_jpeg(
     the streams into a JPEGTables tag (347) — the abbreviated-stream
     form real writers emit.  ``photometric_rgb=True`` (3-channel)
     writes photometric 2 with untransformed 'R','G','B'-component
-    streams (the libtiff JPEGCOLORMODE-off form)."""
+    streams (the libtiff JPEGCOLORMODE-off form).  ``planar=True``
+    (round 15, requires photometric_rgb + tile) writes
+    PLANARCONFIG_SEPARATE: ta·td single-component grayscale streams
+    per plane, plane-major — the libtiff planar-JPEG layout."""
     import struct
 
     from .jpeg import encode_jpeg
@@ -3598,14 +3625,32 @@ def encode_tiff_jpeg(
     assert channels in (1, 3) and len(pixels) == w * h * channels
     if photometric_rgb and (channels != 3 or subsample):
         raise ValueError("photometric_rgb requires 3 channels, 4:4:4")
+    if planar and (not photometric_rgb or tile is None):
+        raise ValueError("planar JPEG-in-TIFF requires photometric_rgb "
+                         "and a tile layout")
 
     def enc(seg, sw, sh):
+        if planar:
+            return encode_jpeg(seg, sw, sh, 1, quality=quality)
         return encode_jpeg(seg, sw, sh, channels, quality=quality,
                            subsample=subsample,
                            rgb_components=photometric_rgb)
 
     segs = []  # (pixel bytes, seg_w, seg_h)
-    if tile is not None:
+    if planar:
+        twd, thd = tile
+        for s in range(channels):
+            for ty in range(0, h, thd):
+                for tx in range(0, w, twd):
+                    buf = bytearray(twd * thd)
+                    for r in range(thd):
+                        sy = min(ty + r, h - 1)
+                        dst = r * twd
+                        for c in range(twd):
+                            sx = min(tx + c, w - 1)
+                            buf[dst + c] = pixels[(sy * w + sx) * channels + s]
+                    segs.append((bytes(buf), twd, thd))
+    elif tile is not None:
         twd, thd = tile
         for ty in range(0, h, thd):
             for tx in range(0, w, twd):
@@ -3672,7 +3717,7 @@ def encode_tiff_jpeg(
     entries = [
         (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * channels),
         (259, 3, [7]), (262, 3, [photometric]), (277, 3, [channels]),
-        (284, 3, [1]),
+        (284, 3, [2 if planar else 1]),
     ]
     if tile is not None:
         entries += [

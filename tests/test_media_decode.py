@@ -1581,3 +1581,69 @@ def test_tiff_tiled_planar_round_trips():
                        tile=(16, 16), bits=16, lzw=True, predictor=True)
     exp = bytes((v >> 8) & 0xFF for v in samples)
     assert decode_tiff_pixels(blob) == (w, h, 3, exp)
+
+
+def test_tiff_jpeg_tiled_planar_round_trips():
+    """Round 15: PLANARCONFIG_SEPARATE JPEG tiles (plane-major
+    single-component streams, the libtiff planar-JPEG layout,
+    interop-verified in tests/test_tiff_interop.py).  The decode must
+    equal the manual assembly — each plane tile decoded as grayscale
+    and blitted into its channel lane — exactly, and sit within JPEG
+    rounding of the source; planar YCbCr tiles stay a loud guard."""
+    import pytest
+
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        encode_tiff_jpeg,
+    )
+
+    w, h, tw, th = 37, 29, 16, 16
+    buf = bytearray()
+    for y in range(h):
+        for x in range(w):
+            buf += bytes(((40 + 2 * x + y) % 256, (200 - x - 2 * y) % 256,
+                          (30 + x + 3 * y) % 256))
+    px = bytes(buf)
+    for shared in (False, True):
+        blob = encode_tiff_jpeg(px, w, h, 3, quality=95,
+                                photometric_rgb=True, tile=(tw, th),
+                                planar=True, shared_tables=shared)
+        dw, dh, dc, out = decode_tiff_pixels(blob)
+        assert (dw, dh, dc) == (w, h, 3)
+        # manual assembly: per-plane padded tiles through the JPEG codec
+        exp = bytearray(w * h * 3)
+        for s in range(3):
+            for ty in range(0, h, th):
+                for tx in range(0, w, tw):
+                    seg = bytearray(tw * th)
+                    for r in range(th):
+                        sy = min(ty + r, h - 1)
+                        for c in range(tw):
+                            sx = min(tx + c, w - 1)
+                            seg[r * tw + c] = px[(sy * w + sx) * 3 + s]
+                    dec = decode_jpeg_pixels(
+                        encode_jpeg(bytes(seg), tw, th, 1, quality=95)
+                    )[3]
+                    rows = min(th, h - ty)
+                    cols = min(tw, w - tx)
+                    for r in range(rows):
+                        for c in range(cols):
+                            exp[((ty + r) * w + tx + c) * 3 + s] = dec[
+                                r * tw + c
+                            ]
+        assert out == bytes(exp), shared
+        assert max(
+            abs(a - b) for a, b in zip(out, px)
+        ) <= 2
+    # loud guard: planar + YCbCr tiles (per-plane subsampled grids)
+    blob = encode_tiff_jpeg(px, w, h, 3, quality=95, photometric_rgb=True,
+                            tile=(tw, th), planar=True)
+    mutated = bytearray(blob)
+    i = mutated.find((262).to_bytes(2, "little"))
+    mutated[i + 8] = 6  # flip photometric RGB -> YCbCr
+    with pytest.raises(NotImplementedError, match="planar configuration 2"):
+        decode_tiff_pixels(bytes(mutated))

@@ -597,3 +597,52 @@ def test_libtiff_reads_our_tiled_planar():
         lw, lh, rgba = _lib_read_rgba(blob)
         assert (lw, lh) == (w, h)
         assert _rgba_to_ours(w, h, rgba, 3) == px, kwargs
+
+
+def test_our_decoder_reads_libtiff_tiled_planar_jpeg():
+    """Round 15 direction 2: libtiff WRITES tiled PLANARCONFIG_SEPARATE
+    compression-7 (photometric-2 RGB — each plane's tiles are
+    single-component JPEG streams, plane-major) and our decoder must
+    agree with libtiff's own read of the same lossy file."""
+    w, h = 37, 29
+    buf = bytearray()
+    for y in range(h):
+        for x in range(w):
+            buf += bytes(((40 + 2 * x + y) % 256, (200 - x - 2 * y) % 256,
+                          (30 + x + 3 * y) % 256))
+    px = bytes(buf)
+    blob = _lib_write(w, h, 3, 8, 7, False, (16, 16), 2, px, planar=2)
+    ow, oh, oc, opx = decode_tiff_pixels(blob)
+    assert (ow, oh, oc) == (w, h, 3)
+    lw, lh, rgba = _lib_read_rgba(blob)
+    assert (lw, lh) == (w, h)
+    _close(opx, _rgba_to_ours(w, h, rgba, 3), tol=2)
+
+
+@pytest.mark.parametrize("shared", [False, True])
+def test_libtiff_reads_our_tiled_planar_jpeg(shared):
+    """Round 15 direction 1: libtiff decodes OUR planar-tiled
+    compression-7 files (single-component streams per plane,
+    self-contained and shared-JPEGTables forms) and agrees with our
+    decode AND the source."""
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        encode_tiff_jpeg,
+    )
+
+    w, h = 37, 29
+    buf = bytearray()
+    for y in range(h):
+        for x in range(w):
+            buf += bytes(((40 + 2 * x + y) % 256, (200 - x - 2 * y) % 256,
+                          (30 + x + 3 * y) % 256))
+    px = bytes(buf)
+    blob = encode_tiff_jpeg(px, w, h, 3, quality=95, photometric_rgb=True,
+                            tile=(16, 16), planar=True,
+                            shared_tables=shared)
+    lw, lh, rgba = _lib_read_rgba(blob)
+    assert (lw, lh) == (w, h)
+    lib = _rgba_to_ours(w, h, rgba, 3)
+    ours = decode_tiff_pixels(blob)
+    assert (ours[0], ours[1], ours[2]) == (w, h, 3)
+    _close(lib, ours[3], tol=2)
+    _close(px, ours[3], tol=2)
