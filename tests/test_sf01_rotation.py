@@ -46,7 +46,15 @@ HEAVY_POOL = [
     "q458_rrf_hybrid_capped",
     "q459_incremental_dedup_labels",
     "q460_exact_substring_rewrite",
-    "q455_dedup_survivors",
+    "q455_quality_canonical",
+    # round 15: the maintained-index family — exactly the operators
+    # whose state arithmetic could drift at scale (verdict directive 7)
+    "q461_bm25_incremental_index",
+    "q462_incremental_quality_canonical",
+    "q464_ivfpq_incremental_insert",
+    "q465_bm25_store_index",
+    "q466_ivfpq_store_index",
+    "q467_bm25_absolute_df_cap",
 ]
 K_HEAVY = 4
 
