@@ -684,6 +684,7 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("BMP truncated")
     (data_off,) = struct.unpack("<I", b[10:14])
     (dib_size,) = struct.unpack("<I", b[14:18])
+    os2_rle24 = False
     core = dib_size == 12  # OS/2 BITMAPCOREHEADER (round 13)
     if core:
         # 16-bit unsigned dims, no compression/colors-used fields,
@@ -711,7 +712,10 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         if compression == 3:
             raise NotImplementedError("OS/2 v2 Huffman-1D BMP")
         if compression == 4:
-            raise NotImplementedError("OS/2 v2 RLE24 BMP")
+            # OS/2 2.x RLE24 (round 15) — decoded below
+            if bpp != 24:
+                raise ValueError("RLE24 compression requires 24-bit BMP")
+            os2_rle24 = True
     elif dib_size < 16:
         raise NotImplementedError(f"DIB header size {dib_size} unsupported")
     else:
@@ -723,7 +727,7 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         (colors_used,) = struct.unpack("<I", b[46:50])
     if planes != 1:
         raise ValueError(f"BMP planes {planes} != 1")
-    if compression not in (0, 1, 2, 3):
+    if compression not in (0, 1, 2, 3) and not os2_rle24:
         raise NotImplementedError(f"BMP compression {compression} unsupported")
     if compression == 1 and bpp != 8:
         raise ValueError("RLE8 compression requires 8-bit BMP")
@@ -815,6 +819,58 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError(f"BMP palette index {idx} out of range")
                 bb, gg, rr, _a = palette[4 * idx : 4 * idx + 4]
                 out[dst + 3 * x : dst + 3 * x + 3] = bytes((rr, gg, bb))
+        return w, h, 3, bytes(out)
+    if os2_rle24:
+        # OS/2 2.x RLE24 (round 15): the RLE8 escape grammar with
+        # 3-byte BGR payloads — an encoded run is count + ONE BGR
+        # triple (4 bytes), an absolute run (0, n>=3) carries n
+        # triples word-aligned; EOL (0,0), EOD (0,1) and delta (0,2)
+        # escapes are identical.  Unwritten pixels stay black.
+        raster = bytearray(w * h * 3)  # raw decode order, BGR
+        x = y = 0
+        p = data_off
+        while p + 1 < len(b):
+            n = b[p]
+            if n > 0:
+                if p + 4 > len(b):
+                    raise ValueError("RLE24 encoded run truncated")
+                trip = b[p + 1 : p + 4]
+                for _ in range(n):
+                    if x < w and y < h:
+                        o = (y * w + x) * 3
+                        raster[o : o + 3] = trip
+                    x += 1
+                p += 4
+                continue
+            v = b[p + 1]
+            p += 2
+            if v == 0:  # end of line
+                x, y = 0, y + 1
+            elif v == 1:  # end of data
+                break
+            elif v == 2:  # delta
+                x += b[p]
+                y += b[p + 1]
+                p += 2
+            else:  # absolute run of v pixels (triples, word-aligned)
+                nb = 3 * v
+                if p + nb > len(b):
+                    raise ValueError("RLE24 absolute run truncated")
+                for k in range(v):
+                    if x < w and y < h:
+                        o = (y * w + x) * 3
+                        raster[o : o + 3] = b[p + 3 * k : p + 3 * k + 3]
+                    x += 1
+                p += nb + (nb & 1)
+        out = bytearray(w * h * 3)
+        for r in range(h):
+            src_row = r if top_down else h - 1 - r
+            for x in range(w):
+                s = (src_row * w + x) * 3
+                d = (r * w + x) * 3
+                out[d : d + 3] = bytes(
+                    (raster[s + 2], raster[s + 1], raster[s])
+                )
         return w, h, 3, bytes(out)
     row_bytes = ((w * bpp + 31) // 32) * 4  # bit rows pad to 4 bytes
     need = row_bytes * h
@@ -2474,6 +2530,59 @@ def encode_bmp_rle4(
     )
     hdr = b"BM" + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
     return hdr + dib + pal_bytes + bytes(data)
+
+
+def encode_bmp_rle24(
+    pixels: bytes, w: int, h: int, absolute_runs: bool = False,
+) -> bytes:
+    """OS/2 2.x RLE24 BMP builder (round 15, fixture twin of the RLE24
+    decode branch): 24-bit rows bottom-up, encoded runs of count + one
+    BGR triple (or word-aligned ABSOLUTE triple runs when
+    ``absolute_runs``), EOL per row, EOD terminator.  Emits the OS/2 v2
+    SHORT header (cbFix 20 — the form whose compression field carries
+    the OS/2 code 4, distinct from the 40-byte Windows header where 4
+    means BI_JPEG).  ``pixels`` are row-major top-down RGB."""
+    import struct
+
+    assert len(pixels) == w * h * 3
+    data = bytearray()
+    for r in range(h - 1, -1, -1):
+        row = pixels[r * w * 3 : (r + 1) * w * 3]
+        x = 0
+        if absolute_runs and w >= 3:
+            while x < w:
+                n = min(255, w - x)
+                if n >= 3:
+                    data += bytes([0, n])
+                    for k in range(n):
+                        rr, gg, bb = row[3 * (x + k) : 3 * (x + k) + 3]
+                        data += bytes((bb, gg, rr))
+                    if (3 * n) & 1:
+                        data.append(0)  # word alignment
+                else:  # tail shorter than 3: encoded runs
+                    for k in range(n):
+                        rr, gg, bb = row[3 * (x + k) : 3 * (x + k) + 3]
+                        data += bytes((1, bb, gg, rr))
+                x += n
+        else:
+            while x < w:
+                trip = row[3 * x : 3 * x + 3]
+                n = 1
+                while (
+                    x + n < w
+                    and n < 255
+                    and row[3 * (x + n) : 3 * (x + n) + 3] == trip
+                ):
+                    n += 1
+                rr, gg, bb = trip
+                data += bytes((n, bb, gg, rr))
+                x += n
+        data += bytes([0, 0])  # EOL
+    data += bytes([0, 1])  # EOD
+    data_off = 14 + 20
+    dib = struct.pack("<IiiHHI", 20, w, h, 1, 24, 4)
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
+    return hdr + dib + bytes(data)
 
 
 def _packbits_decode(data: bytes, expected: int) -> bytes:

@@ -1410,8 +1410,8 @@ def test_bmp_core_header_round_trips():
     with pytest.raises(ValueError, match="bottom-up"):
         encode_bmp(bytes(rgb), w, h, 24, core=True, top_down=True)
     # OS/2 v2 SHORT headers (cbFix 16/20/36) decode since round 14;
-    # sub-16 sizes stay a loud guard, as do the OS/2-specific
-    # compression codes (3 = Huffman 1D, 4 = RLE24)
+    # sub-16 sizes stay a loud guard, as does the OS/2-specific
+    # Huffman-1D compression code (3); RLE24 (4) decodes since round 15
     import struct
 
     for fix in (16, 20, 36):
@@ -1425,9 +1425,6 @@ def test_bmp_core_header_round_trips():
     v2 = bytearray(encode_bmp(bytes(rgb), w, h, 24, os2_v2_fix=20))
     v2[30:34] = struct.pack("<I", 3)  # OS/2 Huffman 1D
     with pytest.raises(NotImplementedError, match="Huffman-1D"):
-        decode_bmp_pixels(bytes(v2))
-    v2[30:34] = struct.pack("<I", 4)  # OS/2 RLE24
-    with pytest.raises(NotImplementedError, match="RLE24"):
         decode_bmp_pixels(bytes(v2))
     tiny = bytearray(encode_bmp(bytes(rgb), w, h, 24, os2_v2_fix=16))
     tiny[14:18] = struct.pack("<I", 13)
@@ -1647,3 +1644,54 @@ def test_tiff_jpeg_tiled_planar_round_trips():
     mutated[i + 8] = 6  # flip photometric RGB -> YCbCr
     with pytest.raises(NotImplementedError, match="planar configuration 2"):
         decode_tiff_pixels(bytes(mutated))
+
+
+def test_bmp_rle24_round_trips():
+    """Round 15: OS/2 2.x RLE24 (compression 4 in the v2 short header —
+    the RLE8 escape grammar with BGR-triple payloads).  Encoded and
+    word-aligned absolute-run forms round-trip exactly; a delta escape
+    skips pixels (left black); a truncated encoded run stays loud."""
+    import random
+    import struct
+
+    import pytest
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp_rle24,
+    )
+
+    w, h = 19, 11
+    rng = random.Random(15)
+    # runs of random length so the encoder emits real multi-pixel runs
+    px = bytearray()
+    while len(px) < w * h * 3:
+        trip = bytes(rng.randrange(256) for _ in range(3))
+        px += trip * rng.randrange(1, 7)
+    px = bytes(px[: w * h * 3])
+    for absolute in (False, True):
+        blob = encode_bmp_rle24(px, w, h, absolute_runs=absolute)
+        assert decode_bmp_pixels(blob) == (w, h, 3, px), absolute
+
+    # delta escape: (0,2,dx,dy) from the row start leaves the skipped
+    # pixels black — build a 4x3 stream by hand (bottom-up rows)
+    data = bytes([
+        0, 2, 2, 1,          # delta: x+=2, y+=1 (skip bottom row + 2 px)
+        2, 10, 20, 30,       # two pixels BGR(10,20,30) on middle row
+        0, 0,                # EOL
+        4, 40, 50, 60,       # full top row
+        0, 1,                # EOD
+    ])
+    dib = struct.pack("<IiiHHI", 20, 4, 3, 1, 24, 4)
+    hdr = b"BM" + struct.pack("<IHHI", 34 + len(data), 0, 0, 34)
+    dw, dh, dc, out = decode_bmp_pixels(hdr + dib + data)
+    assert (dw, dh, dc) == (4, 3, 3)
+    rows = [out[r * 4 * 3 : (r + 1) * 4 * 3] for r in range(3)]
+    assert rows[0] == bytes((60, 50, 40)) * 4          # top row (y=2)
+    assert rows[1] == (b"\x00" * 6                      # y=1: 2 skipped
+                       + bytes((30, 20, 10)) * 2)
+    assert rows[2] == b"\x00" * 12                      # y=0: skipped
+    # truncated encoded run is loud
+    bad = hdr + dib + bytes([5, 1])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp_pixels(bad)
