@@ -316,3 +316,79 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
         .collect()
     }
     assert il == fl and fl[30] == 10  # stream-fed bridge merged
+
+
+def test_streaming_bm25_store_foreachbatch(spark, tmp_path):
+    """Round 15: the STORED BM25 index driven by a real Structured
+    Streaming query — a file stream of document batches folds through
+    foreachBatch into bm25_store_insert (each micro-batch an O(batch)
+    append to the bucketed tables), and the final stored-index top-k
+    must equal bm25_topk's full scan over everything the stream
+    delivered, bit for bit."""
+    import json
+    import os
+
+    from syslog_handler_with_clickhouse_spark.operators.retrieval import (
+        bm25_store_init,
+        bm25_store_insert,
+        bm25_store_topk,
+        bm25_topk,
+    )
+
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "quick brown foxes are quick and brown",
+        3: "the lazy dog sleeps all day long every day",
+        4: "a fox and a dog met a lazy fox",
+        5: "nothing in common here whatsoever tonight",
+        6: "dog dog dog and one lazy fox again",
+    }
+    batches = [[(1, docs[1]), (2, docs[2])], [(3, docs[3]), (4, docs[4])],
+               [(5, docs[5]), (6, docs[6])]]
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        with open(os.path.join(src, f"batch{i}.jsonl"), "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    prefix = "t15stream_bm25"
+    bm25_store_init(spark, prefix, num_buckets=4,
+                    location=str(tmp_path / "state"))
+    try:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+
+        def fold(batch_df, batch_id):
+            if not batch_df.isEmpty():
+                bm25_store_insert(
+                    spark, prefix, batch_df.localCheckpoint(eager=True)
+                )
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        corpus = spark.createDataFrame(
+            [r for rows in batches for r in rows], "doc_id long, text string"
+        )
+        queries = corpus.filter(F.col("doc_id").isin(1, 4)).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        got = sorted(map(tuple, bm25_store_topk(
+            spark, prefix, queries, k=4, max_df_num=9, max_df_den=10
+        ).collect()))
+        want = sorted(map(tuple, bm25_topk(
+            corpus, queries, k=4, max_df_num=9, max_df_den=10
+        ).collect()))
+        assert got == want and got
+    finally:
+        for t in (f"{prefix}_postings", f"{prefix}_dl", f"{prefix}_df"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
