@@ -5075,3 +5075,113 @@ def q463(spark, sf_dir):
         F.col("val_min").cast("bigint").alias("px_min"),
         F.col("val_max").cast("bigint").alias("px_max"),
     )
+
+
+@query(
+    "q468_planar_jpeg_tiff_rle24_bmp",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 19) + 4 AS w,
+             (doc_id % 11) + 3 AS h,
+             doc_id % 2 AS variant
+      FROM documents WHERE doc_id % 23 = 11
+    ), px AS (
+      SELECT d.doc_id, d.variant, d.w, d.h,
+             CASE d.variant
+               WHEN 1 THEN (d.doc_id * 7 + 13 * t.k) % 256
+               ELSE CASE t.k % 3
+                 WHEN 0 THEN 40 + 2 * ((t.k // 3) % d.w) + ((t.k // 3) // d.w)
+                 WHEN 1 THEN 200 - ((t.k // 3) % d.w) - 2 * ((t.k // 3) // d.w)
+                 ELSE 30 + ((t.k // 3) % d.w) + 3 * ((t.k // 3) // d.w)
+               END
+             END AS v
+      FROM d, LATERAL (
+        SELECT unnest(range(0, d.w * d.h * 3)) AS k
+      ) t
+    )
+    SELECT doc_id, CAST(variant AS INT) AS variant,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS BIGINT) AS px_min,
+           CAST(MAX(v) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id, variant, w, h
+    """,
+)
+def q468(spark, sf_dir):
+    """The round-15 codec closures through the REAL Spark seam
+    (`multimodal.decode_assets` over Arrow-batched mapInPandas), each
+    with a closed-form value oracle — the q463 pattern: v0 = TILED
+    PLANAR JPEG-in-TIFF RGB (PLANARCONFIG_SEPARATE, plane-major
+    single-component q100 streams; per-channel linear gradients decode
+    BIT-EXACTLY through the DCT across the full fixture dimension
+    range, shared JPEGTables on doc_id % 4 == 0) — libtiff-interop-
+    verified both directions; v1 = OS/2 2.x RLE24 BMP (pseudo-random
+    values, lossless, alternating encoded/absolute-run forms)."""
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        decode_assets,
+        encode_bmp_rle24,
+        encode_tiff_jpeg,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 11)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 19 + 4, d % 11 + 3
+                if d % 2 == 1:
+                    vals = bytes(
+                        (d * 7 + 13 * k) % 256 for k in range(w * h * 3)
+                    )
+                    blob = encode_bmp_rle24(
+                        vals, w, h, absolute_runs=(d % 4 == 1)
+                    )
+                else:
+                    rgb = bytearray()
+                    for y in range(h):
+                        for x in range(w):
+                            rgb += bytes((
+                                40 + 2 * x + y,
+                                200 - x - 2 * y,
+                                30 + x + 3 * y,
+                            ))
+                    blob = encode_tiff_jpeg(
+                        bytes(rgb), w, h, 3, quality=100,
+                        photometric_rgb=True, tile=(16, 16), planar=True,
+                        shared_tables=(d % 4 == 0),
+                    )
+                payloads.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    dec = decode_assets(assets)
+    return dec.join(
+        docs.select(
+            "doc_id", (F.col("doc_id") % 2).cast("int").alias("variant")
+        ),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "variant",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("px_sum"),
+        F.col("val_min").cast("bigint").alias("px_min"),
+        F.col("val_max").cast("bigint").alias("px_max"),
+    )
