@@ -646,6 +646,14 @@ def bm25_store_insert(spark, prefix: str, batch: DataFrame) -> None:
 
     tp, tl, td = _bm25_store_tables(prefix)
     bp, bdl, bdf = _bm25_batch_stats(batch)
+    # the three appends all derive from the one (doc_id, token, tf)
+    # aggregate — materialize it ONCE (O(batch)) so the batch is not
+    # re-tokenized per table write
+    bp = bp.localCheckpoint(eager=True)
+    bdl = bp.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    bdf = bp.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dfreq")
+    )
     nb = _table_num_buckets(spark, tp)
     bp.select("doc_id", "token", "tf").repartition(
         nb, "token"

@@ -760,6 +760,14 @@ def ivfpq_store_init(
         train_emb, n_cells=n_cells, m_sub=m_sub, n_codes=n_codes,
         id_col=id_col, vec_col=vec_col, dim=dim,
     )
+    # the v and codes writes share the whole training pipeline —
+    # materialize once so the build is not re-executed per table write
+    idx = {
+        "v": idx["v"].localCheckpoint(eager=True),
+        "codes": idx["codes"].localCheckpoint(eager=True),
+        "cent": idx["cent"],
+        "books": idx["books"],
+    }
     wv = (
         idx["v"]
         .repartition(num_buckets, "vid")
@@ -801,9 +809,15 @@ def ivfpq_store_insert(
     from .dedup import _table_num_buckets
 
     tv, tc, tn, tb = _ivfpq_store_tables(prefix)
+    # checkpoint the BATCH once (O(batch)); the v write is then a
+    # row-local projection over it, and only the codes plan (the
+    # assignment/PQ work) is materialized — the encode runs once, not
+    # once per table write
+    emb = emb.localCheckpoint(eager=True)
     v_new, codes_new = _ivfpq_encode(
         emb, spark.table(tn), spark.table(tb), m_sub, id_col, vec_col, dim
     )
+    codes_new = codes_new.localCheckpoint(eager=True)
     nb = _table_num_buckets(spark, tv)
     v_new.repartition(nb, "vid").write.mode("append").bucketBy(
         nb, "vid"
