@@ -1514,8 +1514,12 @@ def incremental_dedup_store_init(
     eb = spark.createDataFrame([], "band int, bh bigint, rep bigint")
     el = spark.createDataFrame([], "node bigint, comp bigint")
     er = spark.createDataFrame([], "old_comp bigint, new_comp bigint")
-    wb = eb.write.mode("overwrite").bucketBy(num_buckets, "band", "bh")
-    wl = el.write.mode("overwrite").bucketBy(num_buckets, "node")
+    wb = eb.write.mode("overwrite").bucketBy(
+        num_buckets, "band", "bh"
+    ).sortBy("band", "bh")
+    wl = el.write.mode("overwrite").bucketBy(num_buckets, "node").sortBy(
+        "node"
+    )
     wr = er.write.mode("overwrite")
     if location is not None:
         wb = wb.option("path", f"{location}/{tb}")
@@ -1636,10 +1640,10 @@ def incremental_dedup_store_insert(
     # bootstrap OOM'd an 8 g heap exactly there (2048 open writers).
     new_labels.repartition(num_buckets, "node").write.mode(
         "append"
-    ).bucketBy(num_buckets, "node").saveAsTable(tl)
+    ).bucketBy(num_buckets, "node").sortBy("node").saveAsTable(tl)
     newb.repartition(num_buckets, "band", "bh").write.mode(
         "append"
-    ).bucketBy(num_buckets, "band", "bh").saveAsTable(tb)
+    ).bucketBy(num_buckets, "band", "bh").sortBy("band", "bh").saveAsTable(tb)
     relabel.write.mode("append").saveAsTable(tr)
 
     depth = None
@@ -1676,7 +1680,7 @@ def incremental_dedup_store_compact(spark, prefix: str) -> None:
     num_buckets = _table_num_buckets(spark, tl)
     resolved.repartition(num_buckets, "node").write.mode(
         "overwrite"
-    ).bucketBy(num_buckets, "node").saveAsTable(tl)
+    ).bucketBy(num_buckets, "node").sortBy("node").saveAsTable(tl)
     spark.createDataFrame(
         [], "old_comp bigint, new_comp bigint"
     ).write.mode("overwrite").saveAsTable(tr)

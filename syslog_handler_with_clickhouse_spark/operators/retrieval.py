@@ -623,9 +623,15 @@ def bm25_store_init(
     ep = spark.createDataFrame([], "doc_id bigint, token string, tf bigint")
     el = spark.createDataFrame([], "doc_id bigint, dl bigint")
     ed = spark.createDataFrame([], "token string, dfreq bigint")
-    wp = ep.write.mode("overwrite").bucketBy(num_buckets, "token")
-    wl = el.write.mode("overwrite").bucketBy(num_buckets, "doc_id")
-    wd = ed.write.mode("overwrite").bucketBy(num_buckets, "token")
+    wp = ep.write.mode("overwrite").bucketBy(num_buckets, "token").sortBy(
+        "token"
+    )
+    wl = el.write.mode("overwrite").bucketBy(
+        num_buckets, "doc_id"
+    ).sortBy("doc_id")
+    wd = ed.write.mode("overwrite").bucketBy(num_buckets, "token").sortBy(
+        "token"
+    )
     if location is not None:
         wp = wp.option("path", f"{location}/{tp}")
         wl = wl.option("path", f"{location}/{tl}")
@@ -657,13 +663,15 @@ def bm25_store_insert(spark, prefix: str, batch: DataFrame) -> None:
     nb = _table_num_buckets(spark, tp)
     bp.select("doc_id", "token", "tf").repartition(
         nb, "token"
-    ).write.mode("append").bucketBy(nb, "token").saveAsTable(tp)
+    ).write.mode("append").bucketBy(nb, "token").sortBy("token").saveAsTable(
+        tp
+    )
     bdl.select("doc_id", "dl").repartition(nb, "doc_id").write.mode(
         "append"
-    ).bucketBy(nb, "doc_id").saveAsTable(tl)
+    ).bucketBy(nb, "doc_id").sortBy("doc_id").saveAsTable(tl)
     bdf.select("token", "dfreq").repartition(nb, "token").write.mode(
         "append"
-    ).bucketBy(nb, "token").saveAsTable(td)
+    ).bucketBy(nb, "token").sortBy("token").saveAsTable(td)
 
 
 def bm25_store_df(spark, prefix: str) -> DataFrame:
@@ -715,4 +723,4 @@ def bm25_store_compact(spark, prefix: str) -> None:
     nb = _table_num_buckets(spark, td)
     merged.repartition(nb, "token").write.mode("overwrite").bucketBy(
         nb, "token"
-    ).saveAsTable(td)
+    ).sortBy("token").saveAsTable(td)

@@ -773,6 +773,7 @@ def ivfpq_store_init(
         .repartition(num_buckets, "vid")
         .write.mode("overwrite")
         .bucketBy(num_buckets, "vid")
+        .sortBy("vid")
     )
     wc = (
         idx["codes"]
@@ -821,7 +822,7 @@ def ivfpq_store_insert(
     nb = _table_num_buckets(spark, tv)
     v_new.repartition(nb, "vid").write.mode("append").bucketBy(
         nb, "vid"
-    ).saveAsTable(tv)
+    ).sortBy("vid").saveAsTable(tv)
     codes_new.select("vid", "m", "code", "cluster").write.mode(
         "append"
     ).partitionBy("cluster").saveAsTable(tc)

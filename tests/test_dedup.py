@@ -916,3 +916,59 @@ def test_incremental_dedup_store_auto_compact_fires(spark, tmp_path):
         for t in (f"{prefix}_buckets", f"{prefix}_labels",
                   f"{prefix}_relabel"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_dedup_store_compact_elides_stored_sort(spark, tmp_path):
+    """Round 15: the state tables are written bucketBy+sortBy, so after
+    a compact (one file per bucket) a session with
+    spark.sql.legacy.bucketedTableScan.outputOrdering=true reads the
+    labels scan ALREADY SORTED — the SMJ keeps only the O(batch) side's
+    sort.  (With multiple append files per bucket Spark correctly
+    re-sorts; compaction is what buys the sort-free scan — the LSM
+    trade, documented in PERF.md.)"""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        incremental_dedup_store_compact,
+        incremental_dedup_store_init,
+        incremental_dedup_store_insert,
+    )
+
+    prefix = "t15sort"
+    incremental_dedup_store_init(
+        spark, prefix, num_buckets=4, location=str(tmp_path)
+    )
+    try:
+        incremental_dedup_store_insert(
+            spark,
+            prefix,
+            spark.createDataFrame(
+                [(i, f"w{i} x{i} y{i} z{i} q{i} r{i}") for i in range(40)],
+                "doc_id long, text string",
+            ),
+        )
+        incremental_dedup_store_compact(spark, prefix)
+        old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+        old_ord = spark.conf.get(key, "false")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(key, "true")
+            batch = spark.createDataFrame([(1,), (7,)], "node long")
+            plan = (
+                batch.join(spark.table(f"{prefix}_labels"), "node")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+            spark.conf.set(key, old_ord)
+        # exactly ONE sort (the batch side) and one exchange — the
+        # compacted, sorted bucketed scan feeds the SMJ directly
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert plan.count("Sort ") == 1, plan
+    finally:
+        for t in (f"{prefix}_buckets", f"{prefix}_labels",
+                  f"{prefix}_relabel"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
