@@ -56,9 +56,10 @@ Scope (what "baseline" means here, per ITU-T T.81):
   as ``encode_jpeg`` with the entropy layer swapped, so arithmetic
   and Huffman decodes of the same image are bit-identical (the
   differential oracle the tests pin).
-- Lossless-arithmetic (SOF11), 12-bit arithmetic,
-  and hierarchical modes raise ``NotImplementedError`` — format
-  guards, not stubs.
+- Lossless-arithmetic (SOF11) and hierarchical modes raise
+  ``NotImplementedError`` — format guards, not stubs.  12-bit
+  arithmetic (SOF9/SOF10, round 15) decodes; ``encode_jpeg_arith12``
+  is its fixture twin.
 
 All constant tables below are the public ITU-T T.81 Annex K examples
 (the tables every libjpeg-compatible encoder ships).  The DCT is the
@@ -884,7 +885,8 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
         if marker == 0xDA and progressive and arith:
             # SOF10: multi-scan walk with the QM coder
             return _decode_jpeg_arith_progressive(
-                b, pos - 2, qtabs, dac_dc, dac_ac, frame, restart_interval
+                b, pos - 2, qtabs, dac_dc, dac_ac, frame, restart_interval,
+                precision,
             )
         if marker == 0xDA and progressive:
             # SOF2: hand the whole remaining walk (scans + interleaved
@@ -948,10 +950,12 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError(f"invalid lossless precision {prec}")
             elif prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit precision")
-            if prec == 12 and not lossless and arith:
-                raise NotImplementedError(
-                    "12-bit arithmetic-coded JPEG unsupported"
-                )
+            # 12-bit arithmetic (sequential SOF9 / progressive SOF10)
+            # decodes since round 15: T.81's Annex F conditioning is
+            # precision-independent (the DC magnitude tree covers
+            # categories to 2^15-1 and the AC tree to Se-indexed bins,
+            # both sized for 12-bit coefficients), so the QM decode
+            # paths below need no changes — only this guard did.
             precision = prec
             comps = []
             for i in range(nc):
@@ -1140,10 +1144,9 @@ def _coefs_to_pixels(
 # and the SUCCESSIVE-APPROXIMATION axis (bitplane refinement,
 # Ah/Al != 0) further down, and both compose with 4:2:0 subsampling
 # (non-interleaved scans walk each component's own block grid);
-# arithmetic-coded progressive (SOF10) lives in the QM section.  The
-# remaining format guards are hierarchical (SOF5-7/13-15) and 12-bit
-# arithmetic-coded modes (12-bit Huffman — sequential SOF1 and
-# progressive SOF2 — decodes here).
+# arithmetic-coded progressive (SOF10) lives in the QM section and
+# decodes at 8 AND 12 bits (round 15).  The remaining format guards
+# are hierarchical (SOF5-7/13-15) and lossless-arithmetic (SOF11).
 #
 # Non-interleaved AC scans use EOB RUNS: the EOBn symbol (s=0, r<15)
 # ends the current block's band AND declares the next 2^r - 1 +
@@ -2920,6 +2923,126 @@ def encode_jpeg_arith(
     return bytes(out)
 
 
+def encode_jpeg_arith12(
+    samples, width: int, height: int, quality: int = 100,
+    channels: int = 1, dc_cond: tuple[int, int] = (0, 1), ac_kx: int = 5,
+    progressive: bool = False,
+) -> bytes:
+    """12-bit arithmetic-coded sequential encoder (SOF9 at precision
+    12, round 15 — fixture twin of the 12-bit QM decode path): the
+    EXACT coefficient pipeline of :func:`encode_jpeg12`'s sequential
+    branch (level shift 2048, 16-bit Pq=1 quantization table, 4:4:4
+    YCbCr with chroma zero 2048 for color) with the entropy layer
+    swapped for the T.81 QM coder — so decoding this stream is
+    bit-identical to decoding ``encode_jpeg12`` at the same quality
+    (both entropy layers are lossless over identical quantized
+    coefficients; the tests pin exactly that)."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    lo, up = dc_cond
+    if not (0 <= lo <= up <= 15):
+        raise ValueError("dc_cond must satisfy 0 <= L <= U <= 15")
+    if not 1 <= ac_kx <= 63:
+        raise ValueError("ac_kx must be in 1..63")
+    a = np.asarray(list(samples), dtype=np.int64).reshape(
+        height, width, channels
+    )
+    if a.min() < 0 or a.max() > 4095:
+        raise ValueError("12-bit samples must be in 0..4095")
+    qt = scaled_quant(QUANT_LUM, quality)
+    qtf = qt.reshape(8, 8).astype(np.float64)
+    if channels == 1:
+        planes = [a[..., 0].astype(np.float64)]
+    else:
+        ycc = rgb_to_ycbcr(a.astype(np.float64), center=2048.0)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    bx_n = -(-width // 8)
+    by_n = -(-height // 8)
+    padded = [_pad_to_blocks(pl, by_n, bx_n) for pl in planes]
+
+    def quantize_zz(ci, by, bx):
+        block = (
+            padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 2048.0
+        )
+        flat = np.round(fdct2(block) / qtf).astype(np.int64).reshape(64)
+        return [int(flat[z]) for z in ZIGZAG]
+
+    scans = []  # (header bytes after SOS length field, entropy bytes)
+    if not progressive:
+        enc = _QMEncoder()
+        dc_stats, ac_stats = bytearray(64), bytearray(256)
+        dc_pred = [0] * channels
+        dc_ctx = [0] * channels
+        for by in range(by_n):
+            for bx in range(bx_n):
+                for ci in range(channels):
+                    zz = quantize_zz(ci, by, bx)
+                    diff = zz[0] - dc_pred[ci]
+                    dc_pred[ci] = zz[0]
+                    dc_ctx[ci] = _arith_encode_dc(
+                        enc, dc_stats, diff, dc_ctx[ci], lo, up
+                    )
+                    _arith_encode_ac(enc, ac_stats, zz, ac_kx)
+        hdr = struct.pack(">HB", 6 + 2 * channels, channels)
+        hdr += b"".join(bytes([ci + 1, 0x00]) for ci in range(channels))
+        hdr += bytes([0, 63, 0])
+        scans.append((hdr, enc.finish()))
+    else:
+        # interleaved DC scan (Ss=Se=0), then one full-band AC scan
+        # per component — encode_jpeg12's progressive scan script with
+        # the QM models (fresh coder + statistics per scan)
+        enc = _QMEncoder()
+        dc_stats = bytearray(64)
+        dc_pred = [0] * channels
+        dc_ctx = [0] * channels
+        for by in range(by_n):
+            for bx in range(bx_n):
+                for ci in range(channels):
+                    zz = quantize_zz(ci, by, bx)
+                    diff = zz[0] - dc_pred[ci]
+                    dc_pred[ci] = zz[0]
+                    dc_ctx[ci] = _arith_encode_dc(
+                        enc, dc_stats, diff, dc_ctx[ci], lo, up
+                    )
+        hdr = struct.pack(">HB", 6 + 2 * channels, channels)
+        hdr += b"".join(bytes([ci + 1, 0x00]) for ci in range(channels))
+        hdr += bytes([0, 0, 0])
+        scans.append((hdr, enc.finish()))
+        for ci in range(channels):
+            enc = _QMEncoder()
+            ac_stats = bytearray(256)
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    _arith_encode_ac(
+                        enc, ac_stats, quantize_zz(ci, by, bx), ac_kx,
+                        ss=1, se=63,
+                    )
+            hdr = struct.pack(">HB", 8, 1)
+            hdr += bytes([ci + 1, 0x00, 1, 63, 0])
+            scans.append((hdr, enc.finish()))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 128)
+    out.append(0x10)  # Pq=1 (16-bit entries), Tq=0
+    for z in ZIGZAG:
+        out += struct.pack(">H", int(qt[z]))
+    sof = 0xCA if progressive else 0xC9
+    out += bytes([0xFF, sof]) + struct.pack(
+        ">HBHHB", 8 + 3 * channels, 12, height, width, channels
+    )
+    for ci in range(channels):
+        out += bytes([ci + 1, 0x11, 0])
+    dac = bytes([0x00, (up << 4) | lo, 0x10, ac_kx])
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+    for hdr, entropy in scans:
+        out += b"\xff\xda" + hdr + entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _decode_jpeg_arith(
     b, pos, qtabs, dac_dc, dac_ac, frame, restart_interval, precision
 ):
@@ -3343,7 +3466,7 @@ def encode_jpeg_arith_progressive(
 
 
 def _decode_jpeg_arith_progressive(
-    b, pos, qtabs, dac_dc, dac_ac, frame, restart_interval
+    b, pos, qtabs, dac_dc, dac_ac, frame, restart_interval, precision=8
 ):
     """Multi-scan decode loop for SOF10 (progressive arithmetic):
     the SOF2 walker's grid/scan conventions (interleaved scans walk
@@ -3515,7 +3638,9 @@ def _decode_jpeg_arith_progressive(
         zz = cz.reshape(pby * pbx, 64).astype(np.float64)
         nat = np.zeros_like(zz)
         nat[:, np.asarray(ZIGZAG)] = zz
-        blocks = idct2((nat * qtf).reshape(-1, 8, 8)) + 128.0
+        blocks = idct2((nat * qtf).reshape(-1, 8, 8)) + float(
+            1 << (precision - 1)
+        )
         plane = (
             blocks.reshape(pby, pbx, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -3526,9 +3651,14 @@ def _decode_jpeg_arith_progressive(
         if fy > 1 or fx > 1:
             plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         planes.append(plane[:h, :w])
+    maxv = (1 << precision) - 1
     if len(comps) == 1:
-        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        samp = np.clip(np.round(planes[0]), 0, maxv).astype(np.int64)
+        out = (samp >> (precision - 8)).astype(np.uint8)
         return (w, h, 1, out.tobytes())
-    rgb = _maybe_ycbcr_to_rgb(np.stack(planes, axis=-1), comps)
-    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    rgb = _maybe_ycbcr_to_rgb(
+        np.stack(planes, axis=-1), comps, center=float(1 << (precision - 1))
+    )
+    samp = np.clip(np.round(rgb), 0, maxv).astype(np.int64)
+    out = (samp >> (precision - 8)).astype(np.uint8)
     return (w, h, 3, out.tobytes())

@@ -257,13 +257,13 @@ def test_progressive_unsupported_modes_guarded():
     assert i > 0
     # marker(2) + len(2) -> precision byte at i+4
     assert jb[i + 4] == 8
-    # SOF10 decodes at 8 bits (test_jpeg_arith.py) — 12-bit ARITHMETIC
-    # stays a format guard
-    ja = bytearray(jb)
-    ja[i + 1] = 0xCA
-    ja[i + 4] = 12
-    with pytest.raises(NotImplementedError, match="12-bit arithmetic"):
-        decode_jpeg_pixels(bytes(ja))
+    # 12-bit arithmetic decodes since round 15 (test_jpeg_arith.py);
+    # the remaining SOF guards are hierarchical and SOF11 — a
+    # hierarchical marker stays loud
+    jh = bytearray(jb)
+    jh[i + 1] = 0xC5
+    with pytest.raises(NotImplementedError, match="SOF5"):
+        decode_jpeg_pixels(bytes(jh))
 
 
 def test_progressive_subsampled_equals_baseline_decode():

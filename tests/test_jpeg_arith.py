@@ -327,3 +327,58 @@ def test_truncated_arith_stream_is_valueerror_or_decodes():
     sos = full.find(bytes([0xFF, 0xDA]))
     with pytest.raises(ValueError):
         decode_jpeg_pixels(full[: sos + 4])
+
+
+def test_arith12_decodes_bit_identical_to_huffman12():
+    """Round 15: 12-bit arithmetic-coded JPEG (SOF9 sequential and
+    SOF10 progressive, gray and color) — the QM entropy layer over
+    encode_jpeg12's exact coefficient pipeline, so the decode must be
+    BIT-IDENTICAL to the 12-bit Huffman stream's at every quality
+    (both entropy layers are lossless over identical coefficients).
+    This was a format guard through round 14; T.81's Annex F
+    conditioning is precision-independent, so only the guard fell."""
+    import random
+
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg12,
+        encode_jpeg_arith12,
+    )
+
+    rng = random.Random(15)
+    for ch in (1, 3):
+        for prog in (False, True):
+            w, h = 21, 19
+            samples = [
+                min(4095, max(0, 1000 + 40 * (i % w)
+                              + 60 * (i // (w * ch))
+                              + rng.randrange(-50, 51)))
+                for i in range(w * h * ch)
+            ]
+            hu = encode_jpeg12(samples, w, h, quality=92, channels=ch,
+                               progressive=prog)
+            ar = encode_jpeg_arith12(samples, w, h, quality=92,
+                                     channels=ch, progressive=prog)
+            assert decode_jpeg_pixels(ar) == decode_jpeg_pixels(hu), (
+                ch, prog)
+            # and the frame really is SOF9/SOF10 at precision 12
+            sof = b"\xff\xca" if prog else b"\xff\xc9"
+            i = ar.find(sof)
+            assert i > 0 and ar[i + 4] == 12
+
+
+def test_arith12_nondefault_conditioning_round_trips():
+    """12-bit QM streams with non-default DAC conditioning exercise
+    the DAC parse at precision 12."""
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg12,
+        encode_jpeg_arith12,
+    )
+
+    w, h = 17, 9
+    samples = [(i * 37) % 4096 for i in range(w * h)]
+    ar = encode_jpeg_arith12(samples, w, h, quality=97, channels=1,
+                             dc_cond=(2, 7), ac_kx=20)
+    hu = encode_jpeg12(samples, w, h, quality=97, channels=1)
+    assert decode_jpeg_pixels(ar) == decode_jpeg_pixels(hu)
