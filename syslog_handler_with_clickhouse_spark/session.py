@@ -21,6 +21,15 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # the store-state tables (dedup/BM25/IVF-PQ maintenance) are
+    # written bucketBy + sortBy; with this on, a bucket holding ONE
+    # file (post-bootstrap or post-compact) scans as already-sorted
+    # and the insert-path SMJ drops the stored-side sort — measured at
+    # the 10 M-doc point (round 15): per-insert disk spill 913 MB -> 0,
+    # wall 45-70 s -> 38 s.  Buckets with multiple append files are
+    # still (correctly) re-sorted, so the flag is safe for every other
+    # bucketed read.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 
