@@ -650,12 +650,18 @@ def bm25_store_insert(spark, prefix: str, batch: DataFrame) -> None:
     bucket file — the dedup store's writer-buffer lesson."""
     from .dedup import _table_num_buckets
 
+    from pyspark import StorageLevel
+
     tp, tl, td = _bm25_store_tables(prefix)
     bp, bdl, bdf = _bm25_batch_stats(batch)
     # the three appends all derive from the one (doc_id, token, tf)
     # aggregate — materialize it ONCE (O(batch)) so the batch is not
-    # re-tokenized per table write
-    bp = bp.localCheckpoint(eager=True)
+    # re-tokenized per table write.  DISK_ONLY: the frame is written
+    # once and read three times, and a BOOTSTRAP insert legitimately
+    # passes the whole corpus as the "batch" — deserialized on-heap
+    # caching of that blew a 24 g heap at 20 M docs, while disk blocks
+    # cost one spill-speed pass
+    bp = bp.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     bdl = bp.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     bdf = bp.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("dfreq")

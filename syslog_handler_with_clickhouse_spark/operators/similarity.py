@@ -762,9 +762,16 @@ def ivfpq_store_init(
     )
     # the v and codes writes share the whole training pipeline —
     # materialize once so the build is not re-executed per table write
+    # (DISK_ONLY: the training set is corpus-scale, not batch-scale)
+    from pyspark import StorageLevel
+
     idx = {
-        "v": idx["v"].localCheckpoint(eager=True),
-        "codes": idx["codes"].localCheckpoint(eager=True),
+        "v": idx["v"].localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        ),
+        "codes": idx["codes"].localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        ),
         "cent": idx["cent"],
         "books": idx["books"],
     }
