@@ -703,18 +703,51 @@ def bm25_store_topk(
 ) -> DataFrame:
     """:func:`bm25_topk` semantics over the stored index — pure index
     joins against the bucketed tables (no exchange on any stored
-    side), bit-identical to the scan path on the accumulated corpus."""
+    side), bit-identical to the scan path on the accumulated corpus.
+
+    Big-corpus posture (round 15, the bm25_topk discipline): the
+    scoring tail's post-join shuffles (the (query, doc) aggregate and
+    the rank window) run at the SESSION width, which a small-SF conf
+    undersizes for a 20 M-row index — measured 2.4 GB of spill at
+    width 32.  When the plan-estimated postings scan exceeds the
+    session width, the plan is materialized under a scoped width +
+    4 MB AQE advisory and the checkpointed queries×k result is
+    returned; at small SF the plan stays lazy (plan pins unaffected)."""
     tp, tl, _ = _bm25_store_tables(prefix)
-    return _bm25_score(
-        spark.table(tp),
-        spark.table(tl),
-        bm25_store_df(spark, prefix),
-        queries,
-        k=k,
-        max_df_num=max_df_num,
-        max_df_den=max_df_den,
-        max_df_abs=max_df_abs,
+
+    def plan():
+        return _bm25_score(
+            spark.table(tp),
+            spark.table(tl),
+            bm25_store_df(spark, prefix),
+            queries,
+            k=k,
+            max_df_num=max_df_num,
+            max_df_den=max_df_den,
+            max_df_abs=max_df_abs,
+        )
+
+    sess = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
     )
+    width = _size_floor(spark.table(tp))
+    if width > sess:
+        from pyspark import StorageLevel
+
+        adv_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        sess_adv = spark.conf.get(adv_key)
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(width))
+            spark.conf.set(adv_key, str(4 << 20))
+            return plan().localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
+            spark.conf.set(adv_key, sess_adv)
+    return plan()
 
 
 def bm25_store_compact(spark, prefix: str) -> None:
