@@ -97,8 +97,8 @@ def main() -> None:
             row[f"insert{i}_shuffle_mb"] = m["shuffle_read_mb"]
             row[f"insert{i}_spill_mb"] = m.get("disk_spill_mb", 0)
             row[f"insert{i}_written_mb"] = round(du_mb(loc) - pre, 1)
-        _, row["compact_df_sec"], _ = timed(
-            spark, lambda: bm25_store_compact(spark, PREFIX)
+        _, row["compact_full_sec"], _ = timed(
+            spark, lambda: bm25_store_compact(spark, PREFIX, full=True)
         )
 
         step = max(1, total // N_QUERIES)

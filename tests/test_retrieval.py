@@ -697,7 +697,7 @@ def test_bm25_store_matches_scan_and_compacts(spark, tmp_path):
                                        max_df_den=10).collect())
         )
         assert got == direct and got
-        bm25_store_compact(spark, prefix)
+        bm25_store_compact(spark, prefix, full=True)
         assert spark.table(f"{prefix}_df").filter(
             F.col("token") == "dog"
         ).count() == 1
