@@ -61,6 +61,8 @@ LLM_TIER = [
     "q454_dsir_importance",   # DSIR hashed-ngram LLR data selection (r11)
     "q465_bm25_store_index",  # stored BM25 index: 3 appends + topk (r15)
     "q466_ivfpq_store_index", # stored IVF-PQ: init+2 appends+scan (r15)
+    "q469_bm25_store_auto_compact",   # guarded appends + auto-compact (r16)
+    "q470_ivfpq_store_sampled_train", # sampled-train init + compacts (r16)
 ]
 # q389 IVF-PQ is benched as TWO phases (round-10 directive 5): the old
 # fused q389_ivfpq_ann number (6.26 s in BENCH_r10) mixed one-time index

@@ -14,6 +14,8 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1667,6 +1669,39 @@ def _table_num_buckets(spark, table: str) -> int:
         if r.col_name == "Num Buckets":
             return int(r.data_type)
     raise ValueError(f"{table} is not bucketed")
+
+
+_BUCKET_FILE_RE = re.compile(r"_(\d+)\.c\d+")
+
+
+def _bucket_file_depth(spark, table: str) -> int:
+    """Max parquet files sharing one bucket id in a bucketed table —
+    the number of sorted runs a query-time SMJ must merge (past 1 the
+    bucketed scan loses its sortBy ordering and the join re-sorts it,
+    the mechanism behind the retired round-15 10 M-doc spill).  Each
+    bucket-hash-aligned append writes exactly one file per touched
+    bucket, so depth == appends since the last full compact.  Pure
+    file-listing arithmetic — no data read, no job (bucket ids ride in
+    the ``part-NNNNN-<uuid>_BBBBB.c000`` file-name suffix)."""
+    counts: dict[int, int] = {}
+    for f in spark.table(table).inputFiles():
+        m = _BUCKET_FILE_RE.search(f.rsplit("/", 1)[-1])
+        if m:
+            b = int(m.group(1))
+            counts[b] = counts.get(b, 0) + 1
+    return max(counts.values(), default=0)
+
+
+def _partition_file_depth(spark, table: str) -> int:
+    """Max parquet files in one partition directory of a
+    dir-partitioned table (``k=v`` path segments) — the per-partition
+    merge-on-read fan-in that a compaction rewrite folds back to 1.
+    Pure file-listing arithmetic, no data read."""
+    counts: dict[str, int] = {}
+    for f in spark.table(table).inputFiles():
+        d = f.rsplit("/", 2)[-2]
+        counts[d] = counts.get(d, 0) + 1
+    return max(counts.values(), default=0)
 
 
 def incremental_dedup_store_compact(spark, prefix: str) -> None:

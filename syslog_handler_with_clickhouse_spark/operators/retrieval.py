@@ -641,19 +641,64 @@ def bm25_store_init(
     wd.saveAsTable(td)
 
 
-def bm25_store_insert(spark, prefix: str, batch: DataFrame) -> None:
+def bm25_store_insert(
+    spark,
+    prefix: str,
+    batch: DataFrame,
+    *,
+    assert_new: bool = False,
+    stats: list | None = None,
+    auto_compact_files: int | None = None,
+) -> None:
     """Fold one (doc_id, text) batch into the stored BM25 index —
     three APPENDS of O(batch) rows (see the block comment).  Batch ids
-    must be new docs.  Each append repartitions onto the table's
-    bucket hash first (repartition(n, cols) and bucketBy(n, cols)
-    share the murmur3-pmod layout), so every task writes exactly one
-    bucket file — the dedup store's writer-buffer lesson."""
-    from .dedup import _table_num_buckets
+    must be new docs: a replayed doc_id double-counts its df/dl and
+    duplicates its postings.  ``assert_new=True`` enforces that with
+    an O(batch) semi-join probe against the doc_id-bucketed dl table
+    (exchange-free on the stored side) and raises before any write;
+    leave it off when the caller already guarantees uniqueness — e.g.
+    the exactly-once snapshot-ingest recipe (``streaming/ingest.py``)
+    whose sink dedupes replayed micro-batches by batch id.
+
+    Each append repartitions onto the table's bucket hash first
+    (repartition(n, cols) and bucketBy(n, cols) share the murmur3-pmod
+    layout), so every task writes exactly one bucket file — the dedup
+    store's writer-buffer lesson.
+
+    Compaction policy (round 16, the dedup store's
+    ``auto_compact_depth`` discipline): every append adds one file per
+    touched bucket, and past one file per bucket the serving SMJ must
+    re-sort the stored scan (the mechanism behind the retired 10 M
+    spill — PERF.md round 15).  When ``auto_compact_files`` is set,
+    the insert measures the bucket file depth after its appends
+    (``stats`` records it either way when requested) and runs
+    :func:`bm25_store_compact(full=True)` once depth exceeds the
+    threshold — serving stays bit-equal (compaction is pure layout),
+    so the policy is pure I/O scheduling: one O(corpus) rewrite per k
+    appends buys sort-free serving in between."""
+    from .dedup import _bucket_file_depth, _table_num_buckets
 
     from pyspark import StorageLevel
 
     tp, tl, td = _bm25_store_tables(prefix)
-    bp, bdl, bdf = _bm25_batch_stats(batch)
+    if assert_new:
+        replayed = (
+            batch.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+            .distinct()
+            .join(spark.table(tl), "doc_id", "semi")
+            .limit(5)
+            .collect()
+        )
+        if replayed:
+            ids = sorted(r.doc_id for r in replayed)
+            raise ValueError(
+                f"bm25_store_insert({prefix!r}): batch replays already-"
+                f"indexed doc_ids (sample: {ids}) — inserting them again "
+                "would double-count df/dl and duplicate postings.  Dedupe "
+                "upstream (exactly-once ingest) or anti-join the batch "
+                f"against table {tl!r} first."
+            )
+    bp = _bm25_batch_stats(batch)[0]
     # the three appends all derive from the one (doc_id, token, tf)
     # aggregate — materialize it ONCE (O(batch)) so the batch is not
     # re-tokenized per table write.  DISK_ONLY: the frame is written
@@ -679,6 +724,25 @@ def bm25_store_insert(spark, prefix: str, batch: DataFrame) -> None:
         "append"
     ).bucketBy(nb, "token").sortBy("token").saveAsTable(td)
 
+    if stats is None and auto_compact_files is None:
+        return
+    # postings carries serving's SMJ; df accumulates one partial row
+    # set per insert — take the worse of the two so a df-only compact
+    # cannot mask postings depth (nor vice versa)
+    depth = max(_bucket_file_depth(spark, tp), _bucket_file_depth(spark, td))
+    compact = auto_compact_files is not None and depth > auto_compact_files
+    if stats is not None:
+        stats.append(
+            {
+                "batch_docs": bdl.count(),
+                "postings_files": len(spark.table(tp).inputFiles()),
+                "file_depth": depth,
+                "compacted": compact,
+            }
+        )
+    if compact:
+        bm25_store_compact(spark, prefix, full=True)
+
 
 def bm25_store_df(spark, prefix: str) -> DataFrame:
     """Merged (token, dfreq) view over the stored df partials — the
@@ -700,6 +764,7 @@ def bm25_store_topk(
     max_df_num: int = 1,
     max_df_den: int = 4,
     max_df_abs: int | None = None,
+    force_width: int | None = None,
 ) -> DataFrame:
     """:func:`bm25_topk` semantics over the stored index — pure index
     joins against the bucketed tables (no exchange on any stored
@@ -710,17 +775,27 @@ def bm25_store_topk(
     the rank window) run at the SESSION width, which a small-SF conf
     undersizes for a 20 M-row index — measured 2.4 GB of spill at
     width 32.  When the plan-estimated postings scan exceeds the
-    session width, the plan is materialized under a scoped width +
+    session width (or ``force_width`` overrides the estimate — the ops
+    and test hook), the plan is materialized under a scoped width +
     4 MB AQE advisory and the checkpointed queries×k result is
-    returned; at small SF the plan stays lazy (plan pins unaffected)."""
+    returned; at small SF the plan stays lazy (plan pins unaffected).
+
+    Concurrency (round 16, retiring the verdict's race note): the
+    scoped width runs in a FORKED session — ``spark.newSession()``
+    shares the SparkContext and catalog but owns a private SQLConf —
+    instead of a try/finally mutation of the caller session's globals,
+    so two store-topk calls racing on one session can no longer
+    observe each other's width.  The caller's ``queries`` frame
+    crosses sessions through a context-level global temp view (dropped
+    after the eager checkpoint materializes the queries×k result)."""
     tp, tl, _ = _bm25_store_tables(prefix)
 
-    def plan():
+    def plan(sess_, queries_):
         return _bm25_score(
-            spark.table(tp),
-            spark.table(tl),
-            bm25_store_df(spark, prefix),
-            queries,
+            sess_.table(tp),
+            sess_.table(tl),
+            bm25_store_df(sess_, prefix),
+            queries_,
             k=k,
             max_df_num=max_df_num,
             max_df_den=max_df_den,
@@ -731,23 +806,29 @@ def bm25_store_topk(
         spark.sparkContext.defaultParallelism,
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
     )
-    width = _size_floor(spark.table(tp))
+    width = force_width if force_width is not None else _size_floor(
+        spark.table(tp)
+    )
     if width > sess:
+        from uuid import uuid4
+
         from pyspark import StorageLevel
 
-        adv_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
-        sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        sess_adv = spark.conf.get(adv_key)
+        ns = spark.newSession()
+        ns.conf.set("spark.sql.shuffle.partitions", str(width))
+        ns.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(4 << 20)
+        )
+        vname = f"bm25_store_q_{uuid4().hex}"
+        queries.createOrReplaceGlobalTempView(vname)
         try:
-            spark.conf.set("spark.sql.shuffle.partitions", str(width))
-            spark.conf.set(adv_key, str(4 << 20))
-            return plan().localCheckpoint(
+            out = plan(ns, ns.table(f"global_temp.{vname}"))
+            return out.localCheckpoint(
                 eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
             )
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
-            spark.conf.set(adv_key, sess_adv)
-    return plan()
+            spark.catalog.dropGlobalTempView(vname)
+    return plan(spark, queries)
 
 
 def bm25_store_compact(spark, prefix: str, full: bool = False) -> None:

@@ -750,16 +750,43 @@ def ivfpq_store_init(
     dim: int = 64,
     num_buckets: int = 16,
     location: str | None = None,
+    train_sample_mod: int | None = None,
 ) -> None:
     """Build the IVF-PQ index on ``train_emb`` (:func:`ivfpq_build`)
     and persist it as the stored state tables — the one-time train
     phase.  Later batches fold in via :func:`ivfpq_store_insert` with
-    the quantizers frozen."""
+    the quantizers frozen.
+
+    ``train_sample_mod=s`` trains the quantizers on the deterministic
+    1/s modular sample ``id % s == 0`` and then encodes the FULL
+    ``train_emb`` against the frozen quantizers — the standard FAISS
+    train-on-sample/add-everything posture.  k-means and codebook
+    training are the O(corpus × cells) term that dominated the 5 M
+    init (1 042 s, store_index_scale_r15.json); sampling caps it at
+    O(corpus/s × cells) while the encode stays the same O(corpus)
+    broadcast projection every insert already pays per batch.  The
+    quantizers differ from full-corpus training (different cells, same
+    contract), so recall — not bit-equality with the unsampled build —
+    is the acceptance measure, exactly as for any frozen-quantizer
+    index (the q464/q466 ≥ 7/10 recall boolean)."""
     tv, tc, tn, tb = _ivfpq_store_tables(prefix)
-    idx = ivfpq_build(
-        train_emb, n_cells=n_cells, m_sub=m_sub, n_codes=n_codes,
-        id_col=id_col, vec_col=vec_col, dim=dim,
-    )
+    if train_sample_mod is not None and train_sample_mod > 1:
+        quant = ivfpq_build(
+            train_emb.filter(F.col(id_col) % train_sample_mod == 0),
+            n_cells=n_cells, m_sub=m_sub, n_codes=n_codes,
+            id_col=id_col, vec_col=vec_col, dim=dim,
+        )
+        cent = quant["cent"].localCheckpoint(eager=True)
+        books = quant["books"].localCheckpoint(eager=True)
+        v_all, codes_all = _ivfpq_encode(
+            train_emb, cent, books, m_sub, id_col, vec_col, dim
+        )
+        idx = {"v": v_all, "codes": codes_all, "cent": cent, "books": books}
+    else:
+        idx = ivfpq_build(
+            train_emb, n_cells=n_cells, m_sub=m_sub, n_codes=n_codes,
+            id_col=id_col, vec_col=vec_col, dim=dim,
+        )
     # the v and codes writes share the whole training pipeline —
     # materialize once so the build is not re-executed per table write
     # (DISK_ONLY: the training set is corpus-scale, not batch-scale)
@@ -809,14 +836,57 @@ def ivfpq_store_insert(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    *,
+    assert_new: bool = False,
+    stats: list | None = None,
+    auto_compact_files: int | None = None,
 ) -> None:
     """Fold one embedding batch into the stored IVF-PQ index: the
     O(batch) frozen-quantizer encode (:func:`_ivfpq_encode` against the
     stored cent/books, both tiny) + two APPENDS — nothing existing is
-    rewritten.  Batch ids must be new vectors."""
-    from .dedup import _table_num_buckets
+    rewritten.  Batch ids must be new vectors: a replayed id leaves
+    duplicate (vid, codes) rows that double-report in scan candidates.
+    ``assert_new=True`` enforces that with an O(batch) semi-join probe
+    against the vid-bucketed v table (exchange-free on the stored
+    side) and raises before any write; leave it off when the caller
+    already guarantees uniqueness (exactly-once ingest).
+
+    The codes append repartitions onto the cluster key first so each
+    cluster partition dir receives exactly ONE file per insert (not
+    one per write task) — write parallelism narrows to n_cells, which
+    at real scale (n_cells ~ √N) is plenty and at test scale is moot.
+
+    Compaction policy (round 16, the bm25/dedup-store discipline):
+    appends still accumulate one file per bucket of v and per cluster
+    dir of codes, and past one file per bucket the rerank SMJ re-sorts
+    the v scan.  When ``auto_compact_files`` is set the insert
+    measures both depths after its appends (``stats`` records them
+    either way when requested) and fires :func:`ivfpq_store_compact`
+    once the worse one exceeds the threshold — scans are bit-equal
+    before/after (pure layout), so this is pure I/O scheduling."""
+    from .dedup import (
+        _bucket_file_depth,
+        _partition_file_depth,
+        _table_num_buckets,
+    )
 
     tv, tc, tn, tb = _ivfpq_store_tables(prefix)
+    if assert_new:
+        replayed = (
+            emb.select(F.col(id_col).cast("bigint").alias("vid"))
+            .distinct()
+            .join(spark.table(tv), "vid", "semi")
+            .limit(5)
+            .collect()
+        )
+        if replayed:
+            ids = sorted(r.vid for r in replayed)
+            raise ValueError(
+                f"ivfpq_store_insert({prefix!r}): batch replays already-"
+                f"indexed ids (sample: {ids}) — inserting them again "
+                "would duplicate their (v, codes) rows.  Dedupe upstream "
+                f"(exactly-once ingest) or anti-join against table {tv!r}."
+            )
     # checkpoint the BATCH once (O(batch)); the v write is then a
     # row-local projection over it, and only the codes plan (the
     # assignment/PQ work) is materialized — the encode runs once, not
@@ -827,12 +897,63 @@ def ivfpq_store_insert(
     )
     codes_new = codes_new.localCheckpoint(eager=True)
     nb = _table_num_buckets(spark, tv)
+    n_cells = spark.table(tn).count()
     v_new.repartition(nb, "vid").write.mode("append").bucketBy(
         nb, "vid"
     ).sortBy("vid").saveAsTable(tv)
-    codes_new.select("vid", "m", "code", "cluster").write.mode(
-        "append"
+    codes_new.select("vid", "m", "code", "cluster").repartition(
+        max(int(n_cells), 1), "cluster"
+    ).write.mode("append").partitionBy("cluster").saveAsTable(tc)
+
+    if stats is None and auto_compact_files is None:
+        return
+    depth = max(
+        _bucket_file_depth(spark, tv), _partition_file_depth(spark, tc)
+    )
+    compact = auto_compact_files is not None and depth > auto_compact_files
+    if stats is not None:
+        stats.append(
+            {
+                "batch_vecs": v_new.count(),
+                "codes_files": len(spark.table(tc).inputFiles()),
+                "file_depth": depth,
+                "compacted": compact,
+            }
+        )
+    if compact:
+        ivfpq_store_compact(spark, prefix)
+
+
+def ivfpq_store_compact(spark, prefix: str) -> None:
+    """Rewrite the stored IVF-PQ data tables to ONE file per unit of
+    locality — each vid bucket of v (sorted, so the rerank SMJ reads
+    the bucketed scan sort-free again) and each cluster partition dir
+    of codes (one coherent file per probe-pruned partition).  The
+    cent/books quantizers are frozen at init and never need
+    compaction.  Cost is one O(corpus) rewrite — the LSM amortization,
+    paid per compaction window rather than per insert; scans are
+    bit-equal before/after (pure layout, unit-pinned)."""
+    from pyspark import StorageLevel
+
+    from .dedup import _table_num_buckets
+
+    tv, tc, _, _ = _ivfpq_store_tables(prefix)
+    nb = _table_num_buckets(spark, tv)
+    snap_v = spark.table(tv).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
+    snap_v.repartition(nb, "vid").write.mode("overwrite").bucketBy(
+        nb, "vid"
+    ).sortBy("vid").saveAsTable(tv)
+    snap_v.unpersist()
+    snap_c = spark.table(tc).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
+    n_cells = snap_c.select("cluster").distinct().count()
+    snap_c.repartition(max(int(n_cells), 1), "cluster").write.mode(
+        "overwrite"
     ).partitionBy("cluster").saveAsTable(tc)
+    snap_c.unpersist()
 
 
 def ivfpq_store_index(spark, prefix: str) -> dict:

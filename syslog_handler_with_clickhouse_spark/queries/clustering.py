@@ -1550,3 +1550,98 @@ def q466(spark, sf_dir):
     finally:
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@query("q470_ivfpq_store_sampled_train", ORACLE["q389_ivfpq_ann"])
+def q470(spark, sf_dir):
+    """STORED IVF-PQ with SAMPLED quantizer training + the round-16
+    operational lifecycle (`similarity.ivfpq_store_init(
+    train_sample_mod=3)` / `ivfpq_store_insert(assert_new=True,
+    auto_compact_files=1)` / `ivfpq_store_compact`): the coarse
+    centroids and PQ codebooks train on the deterministic 1/3 modular
+    sample of the training third — the FAISS train-on-sample posture
+    that caps the one-time k-means term, which dominated the 5 M init
+    at 1 042 s (store_index_scale_r15.json) — then the FULL training
+    set encodes against the frozen quantizers and the other two thirds
+    fold in as guarded appends, each tripping the auto-compact so the
+    scan always reads one sorted file per v bucket / one file per
+    codes cluster dir.  Sampled quantizers differ from full-corpus
+    training, so the contract is RECALL, not bit-equality with q466's
+    index: the oracle is q389's exact-top-10 SQL verbatim with the
+    same ≥ 7/10 recall boolean (measured 10/10 at sf0.01 AND sf0.1
+    before pinning)."""
+    from ..operators.clustering import _d2, quantize_vectors
+    from ..operators.similarity import (
+        ivfpq_scan,
+        ivfpq_store_index,
+        ivfpq_store_init,
+        ivfpq_store_insert,
+    )
+
+    corpus = q389_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    prefix = "q470_state"
+    tables = (f"{prefix}_v", f"{prefix}_codes", f"{prefix}_cent",
+              f"{prefix}_books")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    ivfpq_store_init(
+        spark, prefix, corpus.filter(F.col("vec_id") % 3 == 0),
+        train_sample_mod=3,
+    )
+    try:
+        stats: list = []
+        for m in (1, 2):
+            ivfpq_store_insert(
+                spark, prefix, corpus.filter(F.col("vec_id") % 3 == m),
+                assert_new=True, stats=stats, auto_compact_files=1,
+            )
+        assert all(s["compacted"] for s in stats), stats
+        qpred = (F.col("vid") % 50 == 0) & (F.col("vid") < 1000000)
+        approx = (
+            ivfpq_scan(ivfpq_store_index(spark, prefix), k=10,
+                       query_pred=qpred)
+            .groupBy("query_id")
+            .agg(F.collect_set("neighbor_id").alias("pq_ids"))
+        )
+
+        v = quantize_vectors(corpus)
+        q = v.filter(qpred).select(
+            F.col("vid").alias("query_id"), F.col("qv").alias("qx")
+        )
+        c = v.select(
+            F.col("vid").alias("neighbor_id"), F.col("qv").alias("nx")
+        )
+        scored = (
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("d2", _d2(F.col("qx"), F.col("nx")))
+        )
+        we = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+        exact10 = (
+            scored.withColumn("rk", F.row_number().over(we))
+            .filter(F.col("rk") <= 10)
+            .groupBy("query_id")
+            .agg(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("rk", "neighbor_id"))
+                        ),
+                        lambda s: s["neighbor_id"].cast("string"),
+                    ),
+                ).alias("exact_top10"),
+                F.collect_set("neighbor_id").alias("exact_ids"),
+            )
+        )
+        return exact10.join(approx, "query_id").select(
+            "query_id",
+            "exact_top10",
+            (F.size(F.array_intersect("exact_ids", "pq_ids")) >= 7).alias(
+                "recall_ok"
+            ),
+        ).localCheckpoint(eager=True)
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -2228,3 +2228,52 @@ def q467(spark, sf_dir):
     return bm25_topk(
         docs, queries_df, k=5, max_df_num=9, max_df_den=10, max_df_abs=cap
     )
+
+
+@query("q469_bm25_store_auto_compact", ORACLE["q394_bm25_retrieval"])
+def q469(spark, sf_dir):
+    """STORED BM25 index with the round-16 OPERATIONAL lifecycle:
+    q465's three appends run with the replay guard armed
+    (``assert_new=True`` — an O(batch) semi-join probe against the
+    doc_id-bucketed dl table, exchange-free on the stored side) and
+    the compaction policy live (``auto_compact_files=1`` — the second
+    and third appends each trip a full compact, so serving always
+    reads ONE sorted file per bucket and the SMJ never re-sorts the
+    stored scan; the dedup store's ``auto_compact_depth`` discipline
+    applied to the BM25 store, `operators/retrieval.bm25_store_insert`
+    / `bm25_store_compact`).  Compaction is pure layout and integer
+    sums commute, so the oracle stays q394's full-recompute SQL
+    VERBATIM — the driver hash proves the policy cannot move a bit of
+    the scores.  The per-insert stats records (file depth, compact
+    decisions) are asserted inline: [False, True, True] for depth
+    [1, 2, 2] under threshold 1."""
+    from ..operators.retrieval import (
+        bm25_store_init,
+        bm25_store_insert,
+        bm25_store_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries_df = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    prefix = "q469_state"
+    tables = (f"{prefix}_postings", f"{prefix}_dl", f"{prefix}_df")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    bm25_store_init(spark, prefix, num_buckets=8)
+    try:
+        stats: list = []
+        for m in (0, 1, 2):
+            bm25_store_insert(
+                spark, prefix, docs.filter(F.col("doc_id") % 3 == m),
+                assert_new=True, stats=stats, auto_compact_files=1,
+            )
+        assert [s["compacted"] for s in stats] == [False, True, True], stats
+        assert [s["file_depth"] for s in stats] == [1, 2, 2], stats
+        return bm25_store_topk(
+            spark, prefix, queries_df, k=5, max_df_num=9, max_df_den=10
+        ).localCheckpoint(eager=True)
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -823,3 +823,156 @@ def test_bm25_hot_token_telemetry_and_absolute_cap(spark):
     for r in sorted(uncapped, key=lambda r: (r.query_id, r.rank)):
         got_un.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
     assert got_un != got
+
+
+def test_bm25_store_auto_compact_telemetry_and_assert_new(spark, tmp_path):
+    """Round 16: the stored BM25 index's compaction policy + replay
+    guard.  With auto_compact_files=1 every second append must trip a
+    full compact (depth > 1 -> rewrite to one sorted file per bucket),
+    the stats records must carry the measured file depth and the
+    compact decision, serving must stay bit-equal to the scan path
+    throughout, and assert_new must refuse a replayed doc_id batch
+    BEFORE any write."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        _bucket_file_depth,
+    )
+    from syslog_handler_with_clickhouse_spark.operators.retrieval import (
+        bm25_store_init,
+        bm25_store_insert,
+        bm25_store_topk,
+        bm25_topk,
+    )
+
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "quick brown foxes are quick and brown",
+        3: "the lazy dog sleeps all day long every day",
+        4: "a fox and a dog met a lazy fox",
+        5: "nothing in common here whatsoever tonight",
+        6: "dog dog dog and one lazy fox again",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    queries = df.filter(F.col("doc_id").isin(1, 4)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    direct = sorted(
+        map(tuple, bm25_topk(df, queries, k=4, max_df_num=9,
+                             max_df_den=10).collect())
+    )
+    prefix = "t16bm25auto"
+    bm25_store_init(spark, prefix, num_buckets=4, location=str(tmp_path))
+    try:
+        stats: list = []
+        for pred in (F.col("doc_id") <= 2, F.col("doc_id").isin(3, 4),
+                     F.col("doc_id") >= 5):
+            bm25_store_insert(spark, prefix, df.filter(pred),
+                              stats=stats, auto_compact_files=1)
+        assert [s["batch_docs"] for s in stats] == [2, 2, 2]
+        # append 1: depth 1, no compact; append 2: depth 2 -> compact;
+        # append 3: depth 2 again (1 compacted file + 1 new) -> compact
+        assert [s["compacted"] for s in stats] == [False, True, True]
+        assert [s["file_depth"] for s in stats] == [1, 2, 2]
+        assert _bucket_file_depth(spark, f"{prefix}_postings") == 1
+        # df partials folded to one row per token by the last compact
+        assert spark.table(f"{prefix}_df").filter(
+            F.col("token") == "dog"
+        ).count() == 1
+        got = sorted(
+            map(tuple, bm25_store_topk(spark, prefix, queries, k=4,
+                                       max_df_num=9,
+                                       max_df_den=10).collect())
+        )
+        assert got == direct and got
+        # replay guard: doc_id 3 is already indexed
+        with pytest.raises(ValueError, match="replays already-indexed"):
+            bm25_store_insert(spark, prefix, df.filter(F.col("doc_id") >= 3),
+                              assert_new=True)
+        # the refused insert wrote nothing: serving unchanged
+        again = sorted(
+            map(tuple, bm25_store_topk(spark, prefix, queries, k=4,
+                                       max_df_num=9,
+                                       max_df_den=10).collect())
+        )
+        assert again == direct
+        # genuinely-new docs pass the guard
+        bm25_store_insert(
+            spark, prefix,
+            spark.createDataFrame([(7, "a brand new fox appears")],
+                                  "doc_id long, text string"),
+            assert_new=True,
+        )
+    finally:
+        for t in (f"{prefix}_postings", f"{prefix}_dl", f"{prefix}_df"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bm25_store_topk_concurrent_scoped_width(spark, tmp_path):
+    """Round 16: the scoped-width path runs in a FORKED session
+    (private SQLConf), so two concurrent store-topk calls with
+    different widths must both return the serial answer and leave the
+    caller session's width untouched (the round-15 try/finally restore
+    raced exactly here)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.retrieval import (
+        bm25_store_init,
+        bm25_store_insert,
+        bm25_store_topk,
+    )
+
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "quick brown foxes are quick and brown",
+        3: "the lazy dog sleeps all day long every day",
+        4: "a fox and a dog met a lazy fox",
+        5: "nothing in common here whatsoever tonight",
+        6: "dog dog dog and one lazy fox again",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    q14 = df.filter(F.col("doc_id").isin(1, 4)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    q25 = df.filter(F.col("doc_id").isin(2, 5)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    prefix = "t16bm25conc"
+    bm25_store_init(spark, prefix, num_buckets=4, location=str(tmp_path))
+    try:
+        bm25_store_insert(spark, prefix, df)
+        kw = dict(k=4, max_df_num=9, max_df_den=10)
+        serial = {
+            "a": sorted(map(tuple, bm25_store_topk(
+                spark, prefix, q14, **kw).collect())),
+            "b": sorted(map(tuple, bm25_store_topk(
+                spark, prefix, q25, **kw).collect())),
+        }
+        sess_width = spark.conf.get("spark.sql.shuffle.partitions")
+        out: dict = {}
+
+        def run(key, queries, width):
+            try:
+                out[key] = sorted(map(tuple, bm25_store_topk(
+                    spark, prefix, queries, force_width=width, **kw
+                ).collect()))
+            except Exception as e:  # pragma: no cover - surfaced below
+                out[key] = e
+
+        ts = [
+            threading.Thread(target=run, args=("a", q14, 257)),
+            threading.Thread(target=run, args=("b", q25, 263)),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(300)
+        assert out["a"] == serial["a"], out["a"]
+        assert out["b"] == serial["b"], out["b"]
+        # caller session's conf never mutated
+        assert spark.conf.get("spark.sql.shuffle.partitions") == sess_width
+    finally:
+        for t in (f"{prefix}_postings", f"{prefix}_dl", f"{prefix}_df"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from syslog_handler_with_clickhouse_spark.operators import multimodal, similarity
@@ -495,6 +496,119 @@ def test_ivfpq_store_layout_plans(spark, tmp_path):
             .toString()
         )
         assert "PartitionFilters" in cp and "cluster" in cp, cp
+    finally:
+        for t in (f"{prefix}_v", f"{prefix}_codes", f"{prefix}_cent",
+                  f"{prefix}_books"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivfpq_store_compact_auto_and_assert_new(spark, tmp_path):
+    """Round 16: the stored IVF-PQ index gets the compaction policy the
+    BM25/dedup stores have.  With auto_compact_files=1 the second
+    append must trip ivfpq_store_compact (v buckets and codes cluster
+    dirs rewritten to one file each), scans must be bit-equal
+    before/after (pure layout), and assert_new must refuse a replayed
+    vec_id batch before any write."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        _bucket_file_depth,
+        _partition_file_depth,
+    )
+    from syslog_handler_with_clickhouse_spark.operators.similarity import (
+        ivfpq_scan,
+        ivfpq_store_compact,
+        ivfpq_store_index,
+        ivfpq_store_init,
+        ivfpq_store_insert,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    prefix = "t16ivfauto"
+    ivfpq_store_init(
+        spark, prefix, emb.filter(F.col("vec_id") % 3 == 0),
+        num_buckets=4, location=str(tmp_path),
+    )
+    try:
+        stats: list = []
+        for m in (1, 2):
+            ivfpq_store_insert(
+                spark, prefix, emb.filter(F.col("vec_id") % 3 == m),
+                stats=stats, auto_compact_files=1,
+            )
+        # insert 1: init file + 1 append -> depth 2 -> compact;
+        # insert 2: compacted file + 1 append -> depth 2 -> compact
+        assert [s["compacted"] for s in stats] == [True, True]
+        assert all(s["file_depth"] == 2 for s in stats)
+        assert all(s["batch_vecs"] > 0 for s in stats)
+        assert _bucket_file_depth(spark, f"{prefix}_v") == 1
+        assert _partition_file_depth(spark, f"{prefix}_codes") == 1
+        pred = F.col("vid") % 10 == 0
+        st = ivfpq_store_index(spark, prefix)
+        before = sorted(
+            map(tuple, ivfpq_scan(st, k=5, query_pred=pred).collect())
+        )
+        # an explicit extra compact is a no-op on results
+        ivfpq_store_compact(spark, prefix)
+        after = sorted(
+            map(tuple,
+                ivfpq_scan(ivfpq_store_index(spark, prefix), k=5,
+                           query_pred=pred).collect())
+        )
+        assert before == after and before
+        # replay guard: the m==1 third is already indexed
+        with pytest.raises(ValueError, match="replays already-indexed"):
+            ivfpq_store_insert(
+                spark, prefix, emb.filter(F.col("vec_id") % 3 == 1),
+                assert_new=True,
+            )
+    finally:
+        for t in (f"{prefix}_v", f"{prefix}_codes", f"{prefix}_cent",
+                  f"{prefix}_books"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivfpq_store_init_sampled_training(spark, tmp_path):
+    """Round 16: sampled quantizer training — ivfpq_store_init(
+    train_sample_mod=s) must train cent/books EXACTLY as ivfpq_build on
+    the modular sample (bit-equal quantizers) while v/codes cover the
+    FULL training set encoded against those frozen quantizers
+    (bit-equal to _ivfpq_encode of the full set)."""
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.similarity import (
+        _ivfpq_encode,
+        ivfpq_build,
+        ivfpq_store_index,
+        ivfpq_store_init,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    prefix = "t16ivfsample"
+    ivfpq_store_init(
+        spark, prefix, emb, num_buckets=4, location=str(tmp_path),
+        train_sample_mod=3,
+    )
+    try:
+        st = ivfpq_store_index(spark, prefix)
+        ref = ivfpq_build(emb.filter(F.col("vec_id") % 3 == 0))
+        assert sorted((r.cell, tuple(r.cv)) for r in st["cent"].collect()) == \
+            sorted((r.cell, tuple(r.cv)) for r in ref["cent"].collect())
+        assert sorted(
+            (r.m, r.code, tuple(r.cv)) for r in st["books"].collect()
+        ) == sorted(
+            (r.m, r.code, tuple(r.cv)) for r in ref["books"].collect()
+        )
+        # full corpus is stored, encoded against the frozen quantizers
+        v_full, codes_full = _ivfpq_encode(
+            emb, ref["cent"], ref["books"], 8, "vec_id", "embedding", 64
+        )
+        assert st["v"].count() == emb.count()
+        assert sorted(
+            (r.vid, r.m, r.code, r.cluster) for r in st["codes"].collect()
+        ) == sorted(
+            (r.vid, r.m, r.code, r.cluster) for r in codes_full.collect()
+        )
     finally:
         for t in (f"{prefix}_v", f"{prefix}_codes", f"{prefix}_cent",
                   f"{prefix}_books"):

@@ -392,3 +392,71 @@ def test_streaming_bm25_store_foreachbatch(spark, tmp_path):
     finally:
         for t in (f"{prefix}_postings", f"{prefix}_dl", f"{prefix}_df"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_ivfpq_store_foreachbatch(spark, tmp_path):
+    """Round 16: the STORED IVF-PQ index driven by a real Structured
+    Streaming query — embeddings arrive as a file stream and fold
+    through foreachBatch into ivfpq_store_insert (frozen quantizers,
+    each micro-batch an O(batch) encode + append), and the final
+    stored-index scan must equal the one-shot encode of everything the
+    stream delivered, bit for bit (encode bit-identity must survive
+    batch boundaries)."""
+    import os
+
+    from syslog_handler_with_clickhouse_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_insert,
+        ivfpq_scan,
+        ivfpq_store_index,
+        ivfpq_store_init,
+        ivfpq_store_insert,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 3 == 0)
+    src = str(tmp_path / "emb_in")
+    os.makedirs(src)
+    for i, m in enumerate((1, 2)):
+        emb.filter(F.col("vec_id") % 3 == m).coalesce(1).write.parquet(
+            os.path.join(src, f"batch{i}")
+        )
+
+    prefix = "t16stream_ivf"
+    ivfpq_store_init(spark, prefix, train, num_buckets=4,
+                     location=str(tmp_path / "state"))
+    try:
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+
+        def fold(batch_df, batch_id):
+            if not batch_df.isEmpty():
+                ivfpq_store_insert(
+                    spark, prefix, batch_df.localCheckpoint(eager=True)
+                )
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        idx_df = ivfpq_build(train)
+        for m in (1, 2):
+            idx_df = ivfpq_insert(idx_df, emb.filter(F.col("vec_id") % 3 == m))
+        pred = F.col("vid") % 10 == 0
+        got = sorted(map(tuple, ivfpq_scan(
+            ivfpq_store_index(spark, prefix), k=5, query_pred=pred
+        ).collect()))
+        want = sorted(map(tuple, ivfpq_scan(
+            idx_df, k=5, query_pred=pred).collect()))
+        assert got == want and got
+    finally:
+        for t in (f"{prefix}_v", f"{prefix}_codes", f"{prefix}_cent",
+                  f"{prefix}_books"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
