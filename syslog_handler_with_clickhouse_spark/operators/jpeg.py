@@ -56,10 +56,18 @@ Scope (what "baseline" means here, per ITU-T T.81):
   as ``encode_jpeg`` with the entropy layer swapped, so arithmetic
   and Huffman decodes of the same image are bit-identical (the
   differential oracle the tests pin).
-- Lossless-arithmetic (SOF11) and hierarchical modes raise
-  ``NotImplementedError`` — format guards, not stubs.  12-bit
-  arithmetic (SOF9/SOF10, round 15) decodes; ``encode_jpeg_arith12``
-  is its fixture twin.
+- LOSSLESS-ARITHMETIC (SOF11, round 16): the SOF3 predictive walk
+  with the QM coder under the Annex H.1.2.2 conditioning model (25
+  (Da, Db) category-pair contexts, Db-selected magnitude sections,
+  158-bin statistics area); predictors 1-7, precisions 2-16, point
+  transform, restart intervals.  Encoder:
+  ``encode_jpeg_lossless_arith``.  Verification is roundtrip +
+  decoded-pixel equality with the SOF3 path — libjpeg-turbo rejects
+  lossless+arithmetic, so no cross-implementation stream exists
+  (refusal-pinned in tests/test_jpeg_lossless_arith.py).
+- Hierarchical modes (SOF5-7/13-15) raise ``NotImplementedError`` —
+  format guards, not stubs.  12-bit arithmetic (SOF9/SOF10, round 15)
+  decodes; ``encode_jpeg_arith12`` is its fixture twin.
 
 All constant tables below are the public ITU-T T.81 Annex K examples
 (the tables every libjpeg-compatible encoder ships).  The DCT is the
@@ -845,11 +853,11 @@ def encode_jpeg(
 
 def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     """Decode a JPEG (baseline SOF0/SOF1, progressive SOF2, lossless
-    SOF3, arithmetic SOF9/SOF10, 12-bit baseline grayscale) to
-    ``(width, height, channels, pixel_bytes)`` (row-major, interleaved
-    RGB for 3 components, grayscale for 1).  Raises ``ValueError`` on
-    corrupt streams and ``NotImplementedError`` for lossless-
-    arithmetic / hierarchical variants."""
+    SOF3, arithmetic SOF9/SOF10, lossless-arithmetic SOF11, 12-bit
+    baseline grayscale) to ``(width, height, channels, pixel_bytes)``
+    (row-major, interleaved RGB for 3 components, grayscale for 1).
+    Raises ``ValueError`` on corrupt streams and
+    ``NotImplementedError`` for hierarchical variants."""
     try:
         return _decode_jpeg(b)
     except (IndexError, struct.error) as e:  # truncated stream
@@ -894,6 +902,11 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
             return _decode_jpeg_progressive(
                 b, pos - 2, qtabs, huff_fast, frame, restart_interval,
                 precision,
+            )
+        if marker == 0xDA and lossless and arith:
+            # SOF11: predictive walk with the QM coder (H.1.2.2 model)
+            return _decode_jpeg_lossless_arith(
+                b, pos - 2, dac_dc, frame, restart_interval, precision
             )
         if marker == 0xDA and lossless:
             # SOF3: hand the scan to the predictive decoder
@@ -940,10 +953,11 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 huff_dec[(tc, th)] = _build_huffman_dec_cached(bits, vals)
                 huff_fast[(tc, th)] = _fast_table_cached(bits, vals)
                 sp += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):  # SOF0/1/2/3/9/10
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+            # SOF0/1/2/3/9/10/11
             progressive = marker in (0xC2, 0xCA)
-            lossless = marker == 0xC3
-            arith = marker in (0xC9, 0xCA)
+            lossless = marker in (0xC3, 0xCB)
+            arith = marker in (0xC9, 0xCA, 0xCB)
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if lossless:
                 if not 2 <= prec <= 16:
@@ -964,7 +978,7 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
             frame = (h, w, comps)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF{marker - 0xC0} mode")
         elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
             sp = 0
@@ -1145,8 +1159,9 @@ def _coefs_to_pixels(
 # Ah/Al != 0) further down, and both compose with 4:2:0 subsampling
 # (non-interleaved scans walk each component's own block grid);
 # arithmetic-coded progressive (SOF10) lives in the QM section and
-# decodes at 8 AND 12 bits (round 15).  The remaining format guards
-# are hierarchical (SOF5-7/13-15) and lossless-arithmetic (SOF11).
+# decodes at 8 AND 12 bits (round 15); lossless-arithmetic (SOF11)
+# decodes since round 16.  The remaining format guards are the
+# hierarchical modes (SOF5-7/13-15).
 #
 # Non-interleaved AC scans use EOB RUNS: the EOBn symbol (s=0, r<15)
 # ends the current block's band AND declares the next 2^r - 1 +
@@ -2347,6 +2362,165 @@ def _decode_jpeg_lossless(b, pos, huff_dec, frame, restart_interval, precision):
     return w, h, ns, bytes(out)
 
 
+def encode_jpeg_lossless_arith(
+    samples, width: int, height: int, channels: int = 1,
+    predictor: int = 1, precision: int = 8, restart_interval: int = 0,
+    point_transform: int = 0, dc_cond: tuple[int, int] = (0, 1),
+) -> bytes:
+    """Lossless-ARITHMETIC JPEG (SOF11) encoder — fixture twin of the
+    SOF11 decode path, closing the last lossless-family guard (round
+    16): ``encode_jpeg_lossless``'s exact prediction pipeline
+    (predictors 1-7, mod-2^16 differences, point transform, restart
+    resets) with the entropy layer swapped for the T.81 QM coder under
+    the Annex H.1.2.2 statistical model (see the model block comment —
+    including why verification is roundtrip + SOF3-equality rather
+    than libjpeg interop: libjpeg-turbo ERREXITs on lossless+arith).
+    ``dc_cond`` is the DAC (L, U) conditioning pair, emitted for table
+    0 which every scan component references."""
+    samples = list(samples)
+    if len(samples) != width * height * channels:
+        raise ValueError("samples length != width*height*channels")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid predictor {predictor}")
+    if not 2 <= precision <= 16:
+        raise ValueError(f"invalid precision {precision}")
+    if any(not 0 <= v < (1 << precision) for v in samples):
+        raise ValueError("sample out of range for precision")
+    lo, up = dc_cond
+    if not (0 <= lo <= up <= 15):
+        raise ValueError("dc_cond must satisfy 0 <= L <= U <= 15")
+    planes = [
+        [
+            [samples[(y * width + x) * channels + c] >> point_transform
+             for x in range(width)]
+            for y in range(height)
+        ]
+        for c in range(channels)
+    ]
+    default = 1 << (precision - 1 - point_transform)
+    enc = _QMEncoder()
+    stats = bytearray(158)
+    cat_above = [[0] * width for _ in range(channels)]
+    cat_left = [0] * channels
+    entropy = bytearray()
+    rst_count = 0
+    istart = (0, 0)
+    for idx in range(width * height):
+        y, x = divmod(idx, width)
+        if restart_interval and idx and idx % restart_interval == 0:
+            entropy += enc.finish()
+            entropy += bytes([0xFF, 0xD0 + (rst_count & 7)])
+            rst_count += 1
+            enc = _QMEncoder()
+            stats = bytearray(158)
+            cat_above = [[0] * width for _ in range(channels)]
+            cat_left = [0] * channels
+            istart = (x, y)
+        for c in range(channels):
+            pred = _ll_predict(
+                planes[c], x, y, predictor, default, istart[0], istart[1]
+            )
+            d = (planes[c][y][x] - pred) & 0xFFFF
+            signed = d - 65536 if d >= 32768 else d
+            da = 0 if (x == 0 or (x, y) == istart) else cat_left[c]
+            db = cat_above[c][x]
+            cat = _arith_encode_ll(enc, stats, signed, da, db, lo, up)
+            cat_left[c] = cat
+            cat_above[c][x] = cat
+    entropy += enc.finish()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xcb" + struct.pack(
+        ">HBHHB", 8 + 3 * channels, precision, height, width, channels
+    )
+    for c in range(channels):
+        out += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xcc" + struct.pack(">H", 4) + bytes([0x00, (up << 4) | lo])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * channels, channels)
+    for c in range(channels):
+        out += bytes([c + 1, 0x00])
+    out += bytes([predictor, 0, point_transform])
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_jpeg_lossless_arith(b, pos, dac_dc, frame, restart_interval,
+                                precision):
+    """SOF11 scan decode (``pos`` on the SOS marker): the SOF3
+    predictive walk with QM-coded differences under the H.1.2.2
+    conditioning model.  Scan components sharing a DAC table share a
+    158-bin statistics area; restarts reset coder, statistics,
+    conditioning categories and prediction (H.2.3).  Same output
+    contract as ``_decode_jpeg_lossless``."""
+    if b[pos] != 0xFF or b[pos + 1] != 0xDA:
+        raise ValueError("expected SOS")
+    seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+    seg = b[pos + 4 : pos + 2 + seg_len]
+    ns = seg[0]
+    h, w, comps = frame
+    if ns != len(comps):
+        raise NotImplementedError("multi-scan lossless JPEG unsupported")
+    by_id = {c["id"]: c for c in comps}
+    tabs = []
+    for i in range(ns):
+        cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
+        c = by_id.get(cs)
+        if c is None:
+            raise ValueError(f"scan references unknown component {cs}")
+        if c["h"] != 1 or c["v"] != 1:
+            raise NotImplementedError("lossless JPEG with subsampling")
+        tabs.append(tdta >> 4)
+    predictor, _se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+    al = ahal & 15
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    conds = {t: dac_dc.get(t, (0, 1)) for t in set(tabs)}
+
+    segs, _ = _entropy_segments(b, pos + 2 + seg_len)
+    si = 0
+    dec = _QMDecoder(segs[0])
+    stats = {t: bytearray(158) for t in conds}
+    cat_above = [[0] * w for _ in range(ns)]
+    cat_left = [0] * ns
+    default = 1 << (precision - 1 - al)
+    planes = [[[0] * w for _ in range(h)] for _ in range(ns)]
+    istart = (0, 0)
+    for idx in range(w * h):
+        y, x = divmod(idx, w)
+        if restart_interval and idx and idx % restart_interval == 0:
+            si += 1
+            if si >= len(segs):
+                raise ValueError("missing restart segment")
+            dec = _QMDecoder(segs[si])
+            stats = {t: bytearray(158) for t in conds}
+            cat_above = [[0] * w for _ in range(ns)]
+            cat_left = [0] * ns
+            istart = (x, y)
+        for ci in range(ns):
+            t = tabs[ci]
+            lo, up = conds[t]
+            da = 0 if (x == 0 or (x, y) == istart) else cat_left[ci]
+            db = cat_above[ci][x]
+            diff, cat = _arith_decode_ll(dec, stats[t], da, db, lo, up)
+            cat_left[ci] = cat
+            cat_above[ci][x] = cat
+            pred = _ll_predict(
+                planes[ci], x, y, predictor, default, istart[0], istart[1]
+            )
+            planes[ci][y][x] = (pred + diff) & 0xFFFF
+    shift_down = max(0, precision - 8)
+    out = bytearray(w * h * ns)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ns):
+                v = (planes[ci][y][x] << al) & 0xFFFF
+                out[(y * w + x) * ns + ci] = (v >> shift_down) & 0xFF
+    return w, h, ns, bytes(out)
+
+
 # ---------------------------------------------------------------------
 # arithmetic coding (SOF9): QM-coder per ITU-T T.81 Annexes D & E,
 # statistical models per F.1.4.4
@@ -2676,6 +2850,98 @@ def _arith_decode_dc(dec, stats, ctx, lo, up):
             v |= m
     v += 1
     return (-v if sign else v), nxt
+
+
+# -- lossless-arithmetic statistical model (SOF11, T.81 Annex H.1.2.2) --
+# The DC difference decision tree of F.1.4.1 conditioned on the 5x5
+# category pair of the differences already coded at the LEFT (Da) and
+# ABOVE (Db) sample positions: 25 four-bin context groups (S0, SS,
+# SP, SN) at bins 0..99, then TWO X1..X15/M magnitude sections — bins
+# 100..128 when Db is in the zero/small categories, 129..157 when Db
+# is large — the spec's 158-bin lossless statistics area.  Neighbor
+# categories reset to ZERO at scan/restart starts and where the
+# neighbor lies outside the current restart interval (restarts reset
+# all statistics and conditioning, H.2.3).  NOTE on verification: no
+# implementation available in this container cross-checks SOF11 —
+# libjpeg-turbo implements lossless Huffman and DCT arithmetic but
+# ERREXITs on their combination (pinned by a refusal probe in
+# tests/test_jpeg_lossless_arith.py) — so the posture is (a) exact
+# roundtrip over every predictor/precision/restart/Pt variant,
+# (b) decoded-pixel equality with the SOF3 Huffman path (both entropy
+# layers are lossless over the same predictions), (c) seeded-noise
+# stress through the deep magnitude chains (diffs to ±32768).
+
+
+def _ll_arith_cat(m: int, sign: int, lo: int, up: int) -> int:
+    """5-category classification of a coded difference for the
+    lossless conditioning state — the same L/U boundaries as the DC
+    model's F.1.4.4.1.2 (``m`` is the MSB of Sz, 0 when |diff| <= 1):
+    0 zero/near-zero, 1/2 small +/-, 3/4 large +/-."""
+    if m < ((1 << lo) >> 1):
+        return 0
+    if m > ((1 << up) >> 1):
+        return 3 + sign
+    return 1 + sign
+
+
+def _arith_encode_ll(enc, stats, diff, da, db, lo, up):
+    """Encode one lossless prediction difference in the (Da, Db)
+    conditioning context; returns the category of ``diff`` for the
+    neighbor state of later samples."""
+    ctx = 4 * (5 * db + da)
+    if diff == 0:
+        enc.encode(stats, ctx, 0)
+        return 0
+    enc.encode(stats, ctx, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(stats, ctx + 1, sign)
+    sz = (-diff if sign else diff) - 1
+    st = ctx + 2 + sign
+    if sz == 0:
+        enc.encode(stats, st, 0)
+        return _ll_arith_cat(0, sign, lo, up)
+    enc.encode(stats, st, 1)
+    msb = 1 << (sz.bit_length() - 1)
+    m = 1
+    st = 100 if db < 3 else 129  # X1 of the Db-selected section
+    while m != msb:
+        enc.encode(stats, st, 1)
+        st += 1
+        m <<= 1
+    enc.encode(stats, st, 0)
+    st += 14  # M_n — one shared mantissa bin per section/category
+    bit = msb >> 1
+    while bit:
+        enc.encode(stats, st, 1 if sz & bit else 0)
+        bit >>= 1
+    return _ll_arith_cat(msb, sign, lo, up)
+
+
+def _arith_decode_ll(dec, stats, da, db, lo, up):
+    """Decode one lossless difference — mirror of
+    ``_arith_encode_ll``.  Returns (diff, category)."""
+    ctx = 4 * (5 * db + da)
+    if dec.decode(stats, ctx) == 0:
+        return 0, 0
+    sign = dec.decode(stats, ctx + 1)
+    st = ctx + 2 + sign
+    m = dec.decode(stats, st)
+    if m:
+        st = 100 if db < 3 else 129
+        while dec.decode(stats, st):
+            m <<= 1
+            if m == 0x8000:  # past X15 — Sz <= 32767 by construction
+                raise ValueError("corrupt arithmetic lossless magnitude")
+            st += 1
+    cat = _ll_arith_cat(m, sign, lo, up)
+    v = m
+    st += 14
+    while m > 1:
+        m >>= 1
+        if dec.decode(stats, st):
+            v |= m
+    v += 1
+    return (-v if sign else v), cat
 
 
 def _arith_encode_ac(enc, stats, zz, kx, ss=1, se=63, al=0):

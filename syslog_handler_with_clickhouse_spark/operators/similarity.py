@@ -809,9 +809,14 @@ def ivfpq_store_init(
         .bucketBy(num_buckets, "vid")
         .sortBy("vid")
     )
+    # repartition onto the cluster key so each partition dir starts at
+    # ONE file (the insert/compact discipline) — otherwise the init
+    # write leaves one file per write task per dir and the file-depth
+    # telemetry starts at write-width instead of 1
     wc = (
         idx["codes"]
         .select("vid", "m", "code", "cluster")
+        .repartition(max(int(n_cells), 1), "cluster")
         .write.mode("overwrite")
         .partitionBy("cluster")
     )

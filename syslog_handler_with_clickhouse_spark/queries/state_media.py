@@ -5185,3 +5185,87 @@ def q468(spark, sf_dir):
         F.col("val_min").cast("bigint").alias("px_min"),
         F.col("val_max").cast("bigint").alias("px_max"),
     )
+
+
+@query(
+    "q471_jpeg_lossless_arith",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 13) + 3 AS w,
+             (doc_id % 7) + 2 AS h,
+             1 + 2 * (doc_id % 2) AS c
+      FROM documents WHERE doc_id % 23 = 17
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h, d.c,
+             (d.doc_id * 11 + 5 * t.k) % 256 AS v
+      FROM d, LATERAL (
+        SELECT unnest(range(0, d.w * d.h * d.c)) AS k
+      ) t
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(c AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS BIGINT) AS px_min,
+           CAST(MAX(v) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id, w, h, c
+    """,
+)
+def q471(spark, sf_dir):
+    """Lossless-ARITHMETIC JPEG (SOF11, round 16 — the last
+    lossless-family codec guard closed, `operators/jpeg.
+    encode_jpeg_lossless_arith` / `_decode_jpeg_lossless_arith`)
+    through the REAL Spark seam (`multimodal.decode_assets` over
+    Arrow-batched mapInPandas), the q468 pattern: pseudo-random pixel
+    streams encode with the T.81 Annex H.1.2.2 QM model (predictor
+    cycling 1-7 by doc_id, restart intervals on doc_id % 3 == 0,
+    grayscale and RGB) and must decode BIT-EXACTLY — the oracle is the
+    closed-form pixel formula itself, so a single wrong sample anywhere
+    in the QM chain breaks the hash.  Cross-implementation interop is
+    impossible for SOF11 (libjpeg-turbo ERREXITs on lossless+arith —
+    refusal-pinned in tests/test_jpeg_lossless_arith.py); the
+    SOF3-equality differential stands in (same file)."""
+    import pandas as pd
+
+    from ..operators.jpeg import encode_jpeg_lossless_arith
+    from ..operators.multimodal import decode_assets
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 17)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 13 + 3, d % 7 + 2
+                c = 1 + 2 * (d % 2)
+                vals = [(d * 11 + 5 * k) % 256 for k in range(w * h * c)]
+                payloads.append(
+                    encode_jpeg_lossless_arith(
+                        vals, w, h, c,
+                        predictor=d % 7 + 1,
+                        restart_interval=5 if d % 3 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    return decode_assets(assets).select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("px_sum"),
+        F.col("val_min").cast("bigint").alias("px_min"),
+        F.col("val_max").cast("bigint").alias("px_max"),
+    )

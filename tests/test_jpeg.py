@@ -141,9 +141,11 @@ def test_unsupported_modes_raise_notimplemented():
     jb[i + 1] = 0xCA
     with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg_pixels(bytes(jb))
-    # genuinely unsupported: lossless arithmetic (SOF11)
+    # SOF11 is now SUPPORTED (test_jpeg_lossless_arith.py); a baseline
+    # stream relabeled lossless-arithmetic carries the same illegal
+    # predictor 0 as the SOF3 case
     jb[i + 1] = 0xCB
-    with pytest.raises(NotImplementedError, match="SOF11"):
+    with pytest.raises(ValueError, match="predictor"):
         decode_jpeg_pixels(bytes(jb))
 
 
@@ -257,9 +259,9 @@ def test_progressive_unsupported_modes_guarded():
     assert i > 0
     # marker(2) + len(2) -> precision byte at i+4
     assert jb[i + 4] == 8
-    # 12-bit arithmetic decodes since round 15 (test_jpeg_arith.py);
-    # the remaining SOF guards are hierarchical and SOF11 — a
-    # hierarchical marker stays loud
+    # 12-bit arithmetic decodes since round 15 (test_jpeg_arith.py) and
+    # SOF11 since round 16; the remaining SOF guards are the
+    # hierarchical modes — a hierarchical marker stays loud
     jh = bytearray(jb)
     jh[i + 1] = 0xC5
     with pytest.raises(NotImplementedError, match="SOF5"):

@@ -223,11 +223,12 @@ def test_bad_dac_segment_rejected():
 # ------------------------------------------------------------------ #
 
 
-def test_arith_lossless_still_guarded():
+def test_arith_relabel_rejected():
     # SOF10 now decodes (test_arith_progressive_*); a sequential stream
     # merely relabeled as progressive carries an illegal full-band DC
-    # scan and is rejected as corrupt, while SOF11 (lossless
-    # arithmetic) remains a genuine format guard
+    # scan and is rejected as corrupt.  SOF11 decodes since round 16
+    # (test_jpeg_lossless_arith.py): the relabeled DCT stream carries
+    # an illegal predictor 0 (Ss=0) and is rejected as corrupt too.
     b = bytearray(encode_jpeg_arith(_gray(16, 16), 16, 16, 1))
     i = b.find(bytes([0xFF, 0xC9]))
     assert i > 0
@@ -235,7 +236,7 @@ def test_arith_lossless_still_guarded():
     with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg_pixels(bytes(b))
     b[i + 1] = 0xCB
-    with pytest.raises(NotImplementedError, match="SOF11"):
+    with pytest.raises(ValueError, match="predictor"):
         decode_jpeg_pixels(bytes(b))
 
 
