@@ -460,3 +460,68 @@ def test_streaming_ivfpq_store_foreachbatch(spark, tmp_path):
         for t in (f"{prefix}_v", f"{prefix}_codes", f"{prefix}_cent",
                   f"{prefix}_books"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_bm25_store_replay_guard_and_idempotent_fold(
+    spark, tmp_path
+):
+    """Round 16: the new-docs contract under streaming RESTART/REPLAY.
+    A foreachBatch sink can see the same micro-batch twice (restart
+    after a crash between the state write and the checkpoint commit).
+    Two defenses, both pinned here: (a) assert_new=True refuses the
+    replayed batch loudly BEFORE any write; (b) the idempotent-fold
+    recipe — anti-join the batch against the stored dl table (O(batch),
+    exchange-free on the bucketed side) and insert only the remainder —
+    makes the replay a no-op, so the final index equals the one-shot
+    scan path bit for bit."""
+    from syslog_handler_with_clickhouse_spark.operators.retrieval import (
+        bm25_store_init,
+        bm25_store_insert,
+        bm25_store_topk,
+        bm25_topk,
+    )
+
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "quick brown foxes are quick and brown",
+        3: "the lazy dog sleeps all day long every day",
+        4: "a fox and a dog met a lazy fox",
+    }
+    batches = [[(1, docs[1]), (2, docs[2])], [(3, docs[3]), (4, docs[4])]]
+    prefix = "t16replay_bm25"
+    bm25_store_init(spark, prefix, num_buckets=4,
+                    location=str(tmp_path / "state"))
+    try:
+        def idempotent_fold(batch_df):
+            fresh = batch_df.join(
+                spark.table(f"{prefix}_dl"), "doc_id", "left_anti"
+            ).localCheckpoint(eager=True)
+            if fresh.count():
+                bm25_store_insert(spark, prefix, fresh, assert_new=True)
+
+        for rows in batches:
+            idempotent_fold(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            )
+        # simulated restart: micro-batch 0 is delivered AGAIN
+        replay = spark.createDataFrame(batches[0],
+                                       "doc_id long, text string")
+        with pytest.raises(ValueError, match="replays already-indexed"):
+            bm25_store_insert(spark, prefix, replay, assert_new=True)
+        idempotent_fold(replay)  # the recipe: replay is a no-op
+        corpus = spark.createDataFrame(
+            [r for rows in batches for r in rows], "doc_id long, text string"
+        )
+        queries = corpus.filter(F.col("doc_id").isin(1, 4)).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        got = sorted(map(tuple, bm25_store_topk(
+            spark, prefix, queries, k=3, max_df_num=9, max_df_den=10
+        ).collect()))
+        want = sorted(map(tuple, bm25_topk(
+            corpus, queries, k=3, max_df_num=9, max_df_den=10
+        ).collect()))
+        assert got == want and got
+    finally:
+        for t in (f"{prefix}_postings", f"{prefix}_dl", f"{prefix}_df"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
