@@ -1554,6 +1554,7 @@ def incremental_dedup_store_insert(
     n: int = 3,
     stats: list | None = None,
     auto_compact_depth: int | None = None,
+    auto_compact_files: int | None = None,
 ) -> None:
     """Fold one batch into the bucketed state tables (same algorithm
     and label contract as :func:`incremental_dedup_insert`; see the
@@ -1561,6 +1562,16 @@ def incremental_dedup_store_insert(
     base labels, new buckets, and the merge deltas — nothing existing
     is rewritten, so per-insert write volume is O(batch + touched
     components).
+
+    File-depth policy (round 16, completing the bm25/ivfpq-store
+    symmetry): each bucket-hash-aligned append adds one file per
+    touched bucket of the buckets/labels tables, and past depth 1
+    their scans lose the sortBy ordering the insert-time joins rely
+    on.  ``auto_compact_files=k`` measures the worse of the two
+    depths after the appends (``stats`` records it as ``file_depth``
+    when requested) and fires
+    :func:`incremental_dedup_store_compact(full=True)` past k —
+    resolved labels unchanged, pure I/O scheduling.
 
     Relabel-chain policy (round 15): the delta chain grows one hop per
     cascading merge and label reads pay O(log depth) doubling rounds
@@ -1651,16 +1662,28 @@ def incremental_dedup_store_insert(
     depth = None
     if stats is not None or auto_compact_depth is not None:
         depth = _relabel_chain_depth(spark.table(tr))
+    fdepth = None
+    if stats is not None or auto_compact_files is not None:
+        fdepth = max(
+            _bucket_file_depth(spark, tb), _bucket_file_depth(spark, tl)
+        )
     if stats is not None:
         stats.append(
             {
                 "batch_docs": batch_ids.count(),
                 "relabeled_comps": relabel.count(),
                 "relabel_depth": depth,
+                "file_depth": fdepth,
             }
         )
-    if auto_compact_depth is not None and depth > auto_compact_depth:
-        incremental_dedup_store_compact(spark, prefix)
+    need_files = (
+        auto_compact_files is not None and fdepth > auto_compact_files
+    )
+    need_depth = (
+        auto_compact_depth is not None and depth > auto_compact_depth
+    )
+    if need_files or need_depth:
+        incremental_dedup_store_compact(spark, prefix, full=need_files)
 
 
 def _table_num_buckets(spark, table: str) -> int:
@@ -1704,10 +1727,22 @@ def _partition_file_depth(spark, table: str) -> int:
     return max(counts.values(), default=0)
 
 
-def incremental_dedup_store_compact(spark, prefix: str) -> None:
+def incremental_dedup_store_compact(
+    spark, prefix: str, full: bool = False
+) -> None:
     """Fold the relabel deltas into the base labels (full rewrite of
     the labels table — run when the delta chain has grown, not per
-    batch) and truncate the delta table."""
+    batch) and truncate the delta table.
+
+    ``full=True`` additionally rewrites the BUCKETS table to one
+    sorted file per bucket (round 16, the bm25/ivfpq-store policy):
+    it is the one state table the label compact never touches, so
+    appends accumulate one file per bucket per insert indefinitely
+    and the insert-time bucket join re-sorts the multi-file scan.
+    Resolved labels and bucket contents are unchanged (pure layout,
+    unit-pinned)."""
+    from pyspark import StorageLevel
+
     tb, tl, tr = _store_tables(prefix)
     resolved = incremental_dedup_store_labels(spark, prefix).localCheckpoint(
         eager=True
@@ -1719,6 +1754,15 @@ def incremental_dedup_store_compact(spark, prefix: str) -> None:
     spark.createDataFrame(
         [], "old_comp bigint, new_comp bigint"
     ).write.mode("overwrite").saveAsTable(tr)
+    if full:
+        nb = _table_num_buckets(spark, tb)
+        snap = spark.table(tb).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+        snap.repartition(nb, "band", "bh").write.mode("overwrite").bucketBy(
+            nb, "band", "bh"
+        ).sortBy("band", "bh").saveAsTable(tb)
+        snap.unpersist()
 
 
 def exact_substring_rewrite(

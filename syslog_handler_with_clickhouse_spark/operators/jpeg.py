@@ -65,9 +65,16 @@ Scope (what "baseline" means here, per ITU-T T.81):
   decoded-pixel equality with the SOF3 path — libjpeg-turbo rejects
   lossless+arithmetic, so no cross-implementation stream exists
   (refusal-pinned in tests/test_jpeg_lossless_arith.py).
-- Hierarchical modes (SOF5-7/13-15) raise ``NotImplementedError`` —
-  format guards, not stubs.  12-bit arithmetic (SOF9/SOF10, round 15)
-  decodes; ``encode_jpeg_arith12`` is its fixture twin.
+- HIERARCHICAL, lossless pyramid (DHP/EXP + SOF7/SOF15 differential
+  frames over an SOF3/SOF11 base, round 16): Annex J multi-frame walk
+  with the J.1.1.2 expansion filter and ceil-pyramid odd-dimension
+  trimming; zero-prediction difference frames in both entropy layers,
+  so every level reconstructs exactly.  Encoder:
+  ``encode_jpeg_hierarchical``.  DCT-based hierarchical frames
+  (SOF5/6/13/14 — and SOF0-2/9-10 inside a DHP stream) raise
+  ``NotImplementedError`` — format guards, not stubs.  12-bit
+  arithmetic (SOF9/SOF10, round 15) decodes; ``encode_jpeg_arith12``
+  is its fixture twin.
 
 All constant tables below are the public ITU-T T.81 Annex K examples
 (the tables every libjpeg-compatible encoder ships).  The DCT is the
@@ -853,11 +860,12 @@ def encode_jpeg(
 
 def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     """Decode a JPEG (baseline SOF0/SOF1, progressive SOF2, lossless
-    SOF3, arithmetic SOF9/SOF10, lossless-arithmetic SOF11, 12-bit
-    baseline grayscale) to ``(width, height, channels, pixel_bytes)``
-    (row-major, interleaved RGB for 3 components, grayscale for 1).
-    Raises ``ValueError`` on corrupt streams and
-    ``NotImplementedError`` for hierarchical variants."""
+    SOF3, arithmetic SOF9/SOF10, lossless-arithmetic SOF11,
+    hierarchical lossless DHP/SOF7/SOF15, 12-bit baseline grayscale)
+    to ``(width, height, channels, pixel_bytes)`` (row-major,
+    interleaved RGB for 3 components, grayscale for 1).  Raises
+    ``ValueError`` on corrupt streams and ``NotImplementedError`` for
+    hierarchical DCT variants (SOF5/6/13/14)."""
     try:
         return _decode_jpeg(b)
     except (IndexError, struct.error) as e:  # truncated stream
@@ -890,6 +898,10 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
+        if marker == 0xDE:
+            # DHP — hand the whole multi-frame walk to the
+            # hierarchical decoder (Annex J, lossless pyramid subset)
+            return _decode_jpeg_hierarchical(b, pos - 2)
         if marker == 0xDA and progressive and arith:
             # SOF10: multi-scan walk with the QM coder
             return _decode_jpeg_arith_progressive(
@@ -978,8 +990,16 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
             frame = (h, w, comps)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
             raise NotImplementedError(f"JPEG SOF{marker - 0xC0} mode")
+        elif marker in (0xC7, 0xCF):
+            # differential lossless frames decode since round 16 — but
+            # only inside a hierarchical (DHP) stream, which supplies
+            # the reference they difference against
+            raise ValueError(
+                f"differential frame SOF{marker - 0xC0} outside a "
+                "hierarchical (DHP) stream"
+            )
         elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
             sp = 0
             while sp + 1 < len(seg):
@@ -2193,6 +2213,42 @@ _LL_BITS = [0, 0, 0, 0, 17] + [0] * 11
 _LL_VALS = list(range(17))
 
 
+def _ll_encode_scan(planes, width, height, channels, predictor, default,
+                    restart_interval, differential=False):
+    """Huffman-entropy-code one lossless scan over per-channel value
+    planes (RSTn markers included): the SOF3 loop, with prediction
+    forced to ZERO when ``differential`` (hierarchical SOF7 — the
+    plane values are then the differences themselves, mod 2^16).
+    Shared by ``encode_jpeg_lossless`` and the hierarchical encoder."""
+    enc, _ = _build_huffman(_LL_BITS, _LL_VALS)
+    wtr = _BitWriter()
+    rst = [0]
+    istart = (0, 0)
+    for idx in range(width * height):
+        y, x = divmod(idx, width)
+        if restart_interval and idx and idx % restart_interval == 0:
+            _emit_restart(wtr, rst)
+            istart = (x, y)
+        for c in range(channels):
+            pred = 0 if differential else _ll_predict(
+                planes[c], x, y, predictor, default, istart[0], istart[1]
+            )
+            d = (planes[c][y][x] - pred) & 0xFFFF
+            if d == 32768:
+                code, ln = enc[16]
+                wtr.write(code, ln)
+            else:
+                signed = d - 65536 if d > 32768 else d
+                ssss = abs(signed).bit_length()
+                code, ln = enc[ssss]
+                wtr.write(code, ln)
+                if ssss:
+                    bitsv = signed if signed >= 0 else signed + (1 << ssss) - 1
+                    wtr.write(bitsv, ssss)
+    wtr.flush()
+    return bytes(wtr.out)
+
+
 def _ll_predict(plane, x, y, predictor, default, istart_x, istart_y):
     """T.81 H.1.1/H.2.3 prediction: the first sample of the scan and of
     every restart interval predicts from 2^(P-Pt-1); the REMAINDER of
@@ -2247,33 +2303,11 @@ def encode_jpeg_lossless(
         ]
         for c in range(channels)
     ]
-    enc, _ = _build_huffman(_LL_BITS, _LL_VALS)
-    wtr = _BitWriter()
     default = 1 << (precision - 1 - point_transform)
-    rst = [0]
-    istart = (0, 0)
-    for idx in range(width * height):
-        y, x = divmod(idx, width)
-        if restart_interval and idx and idx % restart_interval == 0:
-            _emit_restart(wtr, rst)
-            istart = (x, y)
-        for c in range(channels):
-            pred = _ll_predict(
-                planes[c], x, y, predictor, default, istart[0], istart[1]
-            )
-            d = (planes[c][y][x] - pred) & 0xFFFF
-            if d == 32768:
-                code, ln = enc[16]
-                wtr.write(code, ln)
-            else:
-                signed = d - 65536 if d > 32768 else d
-                ssss = abs(signed).bit_length()
-                code, ln = enc[ssss]
-                wtr.write(code, ln)
-                if ssss:
-                    bitsv = signed if signed >= 0 else signed + (1 << ssss) - 1
-                    wtr.write(bitsv, ssss)
-    wtr.flush()
+    entropy = _ll_encode_scan(
+        planes, width, height, channels, predictor, default,
+        restart_interval,
+    )
 
     out = bytearray(b"\xff\xd8")
     out += (
@@ -2294,15 +2328,20 @@ def encode_jpeg_lossless(
     for c in range(channels):
         out += bytes([c + 1, 0x00])
     out += bytes([predictor, 0, point_transform])
-    out += wtr.out
+    out += entropy
     out += b"\xff\xd9"
     return bytes(out)
 
 
-def _decode_jpeg_lossless(b, pos, huff_dec, frame, restart_interval, precision):
-    """SOF3 scan decode: ``pos`` sits on the SOS marker.  Returns
-    ``(w, h, channels, bytes)`` — exact samples for precision ≤ 8, the
-    high-byte view for deeper samples (the q353/q358 convention)."""
+def _ll_scan_planes(b, pos, huff_dec, frame, restart_interval, precision,
+                    differential=False):
+    """Core of the SOF3/SOF7 scan decode (``pos`` on the SOS marker):
+    returns ``(planes, al, end_pos)`` — per-component mod-2^16 value
+    planes (samples for a non-differential frame, coded DIFFERENCES
+    with zero prediction when ``differential`` — the hierarchical
+    SOF7 convention, H.2/J.1), the scan's point transform, and the
+    offset of the marker terminating the entropy data (so the
+    hierarchical walker can continue)."""
     if b[pos] != 0xFF or b[pos + 1] != 0xDA:
         raise ValueError("expected SOS")
     seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
@@ -2326,7 +2365,13 @@ def _decode_jpeg_lossless(b, pos, huff_dec, frame, restart_interval, precision):
         tables.append(dc)
     predictor, _se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
     al = ahal & 15
-    if not 1 <= predictor <= 7:
+    if differential:
+        if predictor != 0:
+            raise ValueError(
+                f"differential frame carries predictor {predictor} (must "
+                "be 0 — no prediction in hierarchical difference scans)"
+            )
+    elif not 1 <= predictor <= 7:
         raise ValueError(f"invalid lossless predictor {predictor}")
 
     r = _BitReader(b, pos + 2 + seg_len)
@@ -2348,10 +2393,17 @@ def _decode_jpeg_lossless(b, pos, huff_dec, frame, restart_interval, precision):
                 diff = _extend(r.receive(s), s)
             else:
                 diff = 0
-            pred = _ll_predict(
+            pred = 0 if differential else _ll_predict(
                 planes[ci], x, y, predictor, default, istart[0], istart[1]
             )
             planes[ci][y][x] = (pred + diff) & 0xFFFF
+    return planes, al, _skip_to_marker(b, r.pos)
+
+
+def _ll_planes_to_bytes(planes, w, h, ns, al, precision):
+    """Shared SOF3/SOF11/hierarchical output epilogue: exact bytes for
+    precision ≤ 8, the high-byte view for deeper samples (the
+    q353/q358 convention); the point transform shifts back up."""
     shift_down = max(0, precision - 8)
     out = bytearray(w * h * ns)
     for y in range(h):
@@ -2360,6 +2412,17 @@ def _decode_jpeg_lossless(b, pos, huff_dec, frame, restart_interval, precision):
                 v = (planes[ci][y][x] << al) & 0xFFFF
                 out[(y * w + x) * ns + ci] = (v >> shift_down) & 0xFF
     return w, h, ns, bytes(out)
+
+
+def _decode_jpeg_lossless(b, pos, huff_dec, frame, restart_interval, precision):
+    """SOF3 scan decode: ``pos`` sits on the SOS marker.  Returns
+    ``(w, h, channels, bytes)`` — exact samples for precision ≤ 8, the
+    high-byte view for deeper samples (the q353/q358 convention)."""
+    planes, al, _ = _ll_scan_planes(
+        b, pos, huff_dec, frame, restart_interval, precision
+    )
+    h, w, comps = frame
+    return _ll_planes_to_bytes(planes, w, h, len(comps), al, precision)
 
 
 def encode_jpeg_lossless_arith(
@@ -2398,36 +2461,10 @@ def encode_jpeg_lossless_arith(
         for c in range(channels)
     ]
     default = 1 << (precision - 1 - point_transform)
-    enc = _QMEncoder()
-    stats = bytearray(158)
-    cat_above = [[0] * width for _ in range(channels)]
-    cat_left = [0] * channels
-    entropy = bytearray()
-    rst_count = 0
-    istart = (0, 0)
-    for idx in range(width * height):
-        y, x = divmod(idx, width)
-        if restart_interval and idx and idx % restart_interval == 0:
-            entropy += enc.finish()
-            entropy += bytes([0xFF, 0xD0 + (rst_count & 7)])
-            rst_count += 1
-            enc = _QMEncoder()
-            stats = bytearray(158)
-            cat_above = [[0] * width for _ in range(channels)]
-            cat_left = [0] * channels
-            istart = (x, y)
-        for c in range(channels):
-            pred = _ll_predict(
-                planes[c], x, y, predictor, default, istart[0], istart[1]
-            )
-            d = (planes[c][y][x] - pred) & 0xFFFF
-            signed = d - 65536 if d >= 32768 else d
-            da = 0 if (x == 0 or (x, y) == istart) else cat_left[c]
-            db = cat_above[c][x]
-            cat = _arith_encode_ll(enc, stats, signed, da, db, lo, up)
-            cat_left[c] = cat
-            cat_above[c][x] = cat
-    entropy += enc.finish()
+    entropy = _lla_encode_scan(
+        planes, width, height, channels, predictor, default,
+        restart_interval, lo, up,
+    )
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xcb" + struct.pack(
@@ -2447,14 +2484,16 @@ def encode_jpeg_lossless_arith(
     return bytes(out)
 
 
-def _decode_jpeg_lossless_arith(b, pos, dac_dc, frame, restart_interval,
-                                precision):
-    """SOF11 scan decode (``pos`` on the SOS marker): the SOF3
-    predictive walk with QM-coded differences under the H.1.2.2
-    conditioning model.  Scan components sharing a DAC table share a
-    158-bin statistics area; restarts reset coder, statistics,
-    conditioning categories and prediction (H.2.3).  Same output
-    contract as ``_decode_jpeg_lossless``."""
+def _lla_scan_planes(b, pos, dac_dc, frame, restart_interval, precision,
+                     differential=False):
+    """Core of the SOF11/SOF15 scan decode (``pos`` on the SOS
+    marker): the SOF3 predictive walk with QM-coded values under the
+    H.1.2.2 conditioning model — zero prediction when ``differential``
+    (the hierarchical SOF15 convention; the conditioning state is the
+    coded values' own categories either way).  Scan components sharing
+    a DAC table share a 158-bin statistics area; restarts reset coder,
+    statistics, conditioning categories and prediction (H.2.3).
+    Returns ``(planes, al, end_pos)`` like :func:`_ll_scan_planes`."""
     if b[pos] != 0xFF or b[pos + 1] != 0xDA:
         raise ValueError("expected SOS")
     seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
@@ -2475,11 +2514,17 @@ def _decode_jpeg_lossless_arith(b, pos, dac_dc, frame, restart_interval,
         tabs.append(tdta >> 4)
     predictor, _se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
     al = ahal & 15
-    if not 1 <= predictor <= 7:
+    if differential:
+        if predictor != 0:
+            raise ValueError(
+                f"differential frame carries predictor {predictor} (must "
+                "be 0 — no prediction in hierarchical difference scans)"
+            )
+    elif not 1 <= predictor <= 7:
         raise ValueError(f"invalid lossless predictor {predictor}")
     conds = {t: dac_dc.get(t, (0, 1)) for t in set(tabs)}
 
-    segs, _ = _entropy_segments(b, pos + 2 + seg_len)
+    segs, end = _entropy_segments(b, pos + 2 + seg_len)
     si = 0
     dec = _QMDecoder(segs[0])
     stats = {t: bytearray(158) for t in conds}
@@ -2507,18 +2552,339 @@ def _decode_jpeg_lossless_arith(b, pos, dac_dc, frame, restart_interval,
             diff, cat = _arith_decode_ll(dec, stats[t], da, db, lo, up)
             cat_left[ci] = cat
             cat_above[ci][x] = cat
-            pred = _ll_predict(
+            pred = 0 if differential else _ll_predict(
                 planes[ci], x, y, predictor, default, istart[0], istart[1]
             )
             planes[ci][y][x] = (pred + diff) & 0xFFFF
-    shift_down = max(0, precision - 8)
-    out = bytearray(w * h * ns)
-    for y in range(h):
-        for x in range(w):
-            for ci in range(ns):
-                v = (planes[ci][y][x] << al) & 0xFFFF
-                out[(y * w + x) * ns + ci] = (v >> shift_down) & 0xFF
-    return w, h, ns, bytes(out)
+    return planes, al, end
+
+
+def _decode_jpeg_lossless_arith(b, pos, dac_dc, frame, restart_interval,
+                                precision):
+    """SOF11 scan decode — :func:`_lla_scan_planes` + the shared
+    output epilogue; same contract as ``_decode_jpeg_lossless``."""
+    planes, al, _ = _lla_scan_planes(
+        b, pos, dac_dc, frame, restart_interval, precision
+    )
+    h, w, comps = frame
+    return _ll_planes_to_bytes(planes, w, h, len(comps), al, precision)
+
+
+# -- hierarchical mode (DHP/EXP, T.81 Annex J) --------------------------
+# The LOSSLESS pyramid subset (round 16): a non-differential first
+# frame (SOF3 Huffman or SOF11 arithmetic) establishes the reference
+# at reduced resolution; each EXP marker doubles it with the J.1.1.2
+# interpolation filter (odd samples = (a + b + 1) >> 1, edges repeat);
+# each differential frame (SOF7 Huffman / SOF15 arithmetic) codes the
+# mod-2^16 difference against the (trimmed) expanded reference with
+# ZERO prediction, so every pyramid level reconstructs EXACTLY and the
+# full-resolution output is bit-identical to the input — the property
+# the tests pin.  Frame dims follow the ceil pyramid (w_i =
+# ceil(w_{i+1} / 2)); an expanded reference one sample wider/taller
+# than the next frame is trimmed (the odd-dimension rule).  DCT-based
+# hierarchical frames (SOF0-2/5-6/9-10/13-14 inside a DHP stream) stay
+# loud guards.  No third-party implementation in this container
+# produces or consumes hierarchical streams (libjpeg-turbo has no
+# Annex-J support at all), so the posture is the SOF11 one: exact
+# roundtrip + pyramid cross-checks against the flat lossless codecs.
+
+
+def _exp_upsample(plane, eh: int, ev: int):
+    """J.1.1.2 reference expansion: double horizontally/vertically;
+    even outputs copy, odd outputs interpolate (a + b + 1) >> 1 with
+    the last sample repeated at the edge."""
+    if eh:
+        out = []
+        for row in plane:
+            w = len(row)
+            r = []
+            for x in range(w):
+                r.append(row[x])
+                nxt = row[x + 1] if x + 1 < w else row[x]
+                r.append((row[x] + nxt + 1) >> 1)
+            out.append(r)
+        plane = out
+    if ev:
+        out = []
+        h = len(plane)
+        for y in range(h):
+            out.append(plane[y])
+            nxt = plane[y + 1] if y + 1 < h else plane[y]
+            out.append([(a + c + 1) >> 1 for a, c in zip(plane[y], nxt)])
+        plane = out
+    return plane
+
+
+def _decode_jpeg_hierarchical(b: bytes, pos: int):
+    """Hierarchical stream walk (``pos`` ON the DHP marker): frames +
+    EXP expansions until the reference reaches the DHP's full
+    resolution.  Returns the ``decode_jpeg_pixels`` tuple."""
+    seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+    seg = b[pos + 4 : pos + 2 + seg_len]
+    prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+    if not 2 <= prec <= 16:
+        raise ValueError(f"invalid hierarchical precision {prec}")
+    pos = pos + 2 + seg_len
+
+    huff_dec: dict[tuple[int, int], dict] = {}
+    dac_dc: dict[int, tuple[int, int]] = {}
+    restart_interval = 0
+    refs = None  # per-component value planes at the current resolution
+    ref_w = ref_h = 0
+    frame = None
+    differential = f_arith = False
+    while pos < len(b) - 1:
+        if b[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        seg_len = struct.unpack(">H", b[pos : pos + 2])[0]
+        seg = b[pos + 2 : pos + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("JPEG segment truncated")
+        nxt = pos + seg_len
+        if marker == 0xC4:  # DHT
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 15
+                bits = list(seg[sp + 1 : sp + 17])
+                nv = sum(bits)
+                vals = list(seg[sp + 17 : sp + 17 + nv])
+                huff_dec[(tc, th)] = _build_huffman_dec_cached(bits, vals)
+                sp += 17 + nv
+        elif marker == 0xCC:  # DAC
+            sp = 0
+            while sp + 1 < len(seg):
+                tc, tb = seg[sp] >> 4, seg[sp] & 15
+                cs = seg[sp + 1]
+                if tc == 0:
+                    lo, up = cs & 15, cs >> 4
+                    if lo > up:
+                        raise ValueError("DAC DC conditioning L > U")
+                    dac_dc[tb] = (lo, up)
+                elif tc != 1:
+                    raise ValueError(f"invalid DAC table class {tc}")
+                sp += 2
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDF:  # EXP
+            if refs is None:
+                raise ValueError("EXP before any reference frame")
+            eh, ev = seg[0] >> 4, seg[0] & 15
+            if eh not in (0, 1) or ev not in (0, 1):
+                raise ValueError(f"invalid EXP nibbles {eh}/{ev}")
+            refs = [_exp_upsample(rp, eh, ev) for rp in refs]
+            ref_h, ref_w = len(refs[0]), len(refs[0][0])
+        elif marker in (0xC3, 0xC7, 0xCB, 0xCF):
+            differential = marker in (0xC7, 0xCF)
+            f_arith = marker in (0xCB, 0xCF)
+            p2, h2, w2, nc2 = struct.unpack(">BHHB", seg[:6])
+            if p2 != prec:
+                raise ValueError("frame precision differs from DHP")
+            if nc2 != nc:
+                raise ValueError("frame component count differs from DHP")
+            if differential and refs is None:
+                raise ValueError("differential frame before any reference")
+            if not differential and refs is not None:
+                raise NotImplementedError(
+                    "hierarchical non-differential replacement frames"
+                )
+            comps = []
+            for i in range(nc2):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = (h2, w2, comps)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC9, 0xCA, 0xCD,
+                        0xCE):
+            raise NotImplementedError(
+                f"hierarchical DCT frame SOF{marker - 0xC0}"
+            )
+        elif marker == 0xDA:  # SOS — decode one frame's scan
+            if frame is None:
+                raise ValueError("SOS before SOF in hierarchical stream")
+            h2, w2, _comps = frame
+            if f_arith:
+                planes, al, end = _lla_scan_planes(
+                    b, pos - 2, dac_dc, frame, restart_interval, prec,
+                    differential,
+                )
+            else:
+                planes, al, end = _ll_scan_planes(
+                    b, pos - 2, huff_dec, frame, restart_interval, prec,
+                    differential,
+                )
+            if al != 0:
+                raise NotImplementedError("hierarchical point transform")
+            if differential:
+                if w2 > ref_w or h2 > ref_h:
+                    raise ValueError(
+                        "differential frame larger than the reference"
+                    )
+                # odd-dim rule: trim the expanded reference to frame dims
+                refs = [
+                    [
+                        [(rp[y][x] + dp[y][x]) & 0xFFFF for x in range(w2)]
+                        for y in range(h2)
+                    ]
+                    for rp, dp in zip(refs, planes)
+                ]
+            else:
+                refs = planes
+            ref_w, ref_h = w2, h2
+            frame = None
+            pos = end
+            continue
+        pos = nxt
+    if refs is None:
+        raise ValueError("hierarchical stream carried no frames")
+    if (ref_w, ref_h) != (fw, fh):
+        raise ValueError(
+            f"hierarchical stream ended at {ref_w}x{ref_h}, DHP declares "
+            f"{fw}x{fh}"
+        )
+    return _ll_planes_to_bytes(refs, ref_w, ref_h, len(refs), 0, prec)
+
+
+def encode_jpeg_hierarchical(
+    samples, width: int, height: int, channels: int = 1, levels: int = 2,
+    predictor: int = 1, precision: int = 8, restart_interval: int = 0,
+    arith: bool = False, dc_cond: tuple[int, int] = (0, 1),
+) -> bytes:
+    """Hierarchical lossless JPEG encoder (DHP + SOF3/SOF11 base frame
+    + EXP/SOF7/SOF15 differential frames) — fixture twin of
+    ``_decode_jpeg_hierarchical``.  The pyramid decimates by 2 per
+    level (ceil dims, top-left sample — the downsampling filter is an
+    encoder choice the spec leaves open); every level reconstructs
+    exactly, so decode == input bit for bit.  ``arith`` selects the QM
+    entropy layer for every frame."""
+    samples = list(samples)
+    if len(samples) != width * height * channels:
+        raise ValueError("samples length != width*height*channels")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid predictor {predictor}")
+    if not 2 <= precision <= 16:
+        raise ValueError(f"invalid precision {precision}")
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    if any(not 0 <= v < (1 << precision) for v in samples):
+        raise ValueError("sample out of range for precision")
+    lo, up = dc_cond
+    if not (0 <= lo <= up <= 15):
+        raise ValueError("dc_cond must satisfy 0 <= L <= U <= 15")
+    full = [
+        [
+            [samples[(y * width + x) * channels + c] for x in range(width)]
+            for y in range(height)
+        ]
+        for c in range(channels)
+    ]
+    pyramid = [(full, width, height)]
+    for _ in range(levels - 1):
+        prev, w, h = pyramid[-1]
+        if w == 1 and h == 1:
+            break
+        dw, dh = (w + 1) // 2, (h + 1) // 2
+        pyramid.append((
+            [
+                [[p[2 * y][2 * x] for x in range(dw)] for y in range(dh)]
+                for p in prev
+            ],
+            dw, dh,
+        ))
+    pyramid.reverse()  # smallest level first
+    default = 1 << (precision - 1)
+
+    def sof(marker, w, h):
+        o = bytearray(
+            bytes([0xFF, marker])
+            + struct.pack(">HBHHB", 8 + 3 * channels, precision, h, w,
+                          channels)
+        )
+        for c in range(channels):
+            o += bytes([c + 1, 0x11, 0])
+        return o
+
+    def sos(pred_byte):
+        o = bytearray(
+            b"\xff\xda" + struct.pack(">HB", 6 + 2 * channels, channels)
+        )
+        for c in range(channels):
+            o += bytes([c + 1, 0x00])
+        o += bytes([pred_byte, 0, 0])
+        return o
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xde" + struct.pack(
+        ">HBHHB", 8 + 3 * channels, precision, height, width, channels
+    )
+    for c in range(channels):
+        out += bytes([c + 1, 0x11, 0])
+    if arith:
+        out += b"\xff\xcc" + struct.pack(">H", 4) + bytes(
+            [0x00, (up << 4) | lo]
+        )
+    else:
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">H", 2 + 1 + 16 + len(_LL_VALS))
+            + bytes([0x00])
+            + bytes(_LL_BITS)
+            + bytes(_LL_VALS)
+        )
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    ref = None
+    for li, (planes, w, h) in enumerate(pyramid):
+        if li == 0:
+            out += sof(0xCB if arith else 0xC3, w, h)
+            out += sos(predictor)
+            if arith:
+                out += _lla_encode_scan(
+                    planes, w, h, channels, predictor, default,
+                    restart_interval, lo, up,
+                )
+            else:
+                out += _ll_encode_scan(
+                    planes, w, h, channels, predictor, default,
+                    restart_interval,
+                )
+        else:
+            pw = pyramid[li - 1][1]
+            eh = 1 if w > pw else 0
+            ev = 1 if h > pyramid[li - 1][2] else 0
+            out += b"\xff\xdf" + struct.pack(">H", 3) + bytes(
+                [(eh << 4) | ev]
+            )
+            up_ref = [_exp_upsample(rp, eh, ev) for rp in ref]
+            diffs = [
+                [
+                    [(pp[y][x] - rp[y][x]) & 0xFFFF for x in range(w)]
+                    for y in range(h)
+                ]
+                for pp, rp in zip(planes, up_ref)
+            ]
+            out += sof(0xCF if arith else 0xC7, w, h)
+            out += sos(0)
+            if arith:
+                out += _lla_encode_scan(
+                    diffs, w, h, channels, 0, default, restart_interval,
+                    lo, up, differential=True,
+                )
+            else:
+                out += _ll_encode_scan(
+                    diffs, w, h, channels, 0, default, restart_interval,
+                    differential=True,
+                )
+        ref = planes
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------
@@ -2915,6 +3281,46 @@ def _arith_encode_ll(enc, stats, diff, da, db, lo, up):
         enc.encode(stats, st, 1 if sz & bit else 0)
         bit >>= 1
     return _ll_arith_cat(msb, sign, lo, up)
+
+
+def _lla_encode_scan(planes, width, height, channels, predictor, default,
+                     restart_interval, lo, up, differential=False):
+    """QM-entropy-code one lossless scan (RSTn markers included, fresh
+    coder + 158-bin statistics + conditioning per interval), with
+    prediction forced to ZERO when ``differential`` (hierarchical
+    SOF15).  Shared by ``encode_jpeg_lossless_arith`` and the
+    hierarchical encoder."""
+    enc = _QMEncoder()
+    stats = bytearray(158)
+    cat_above = [[0] * width for _ in range(channels)]
+    cat_left = [0] * channels
+    entropy = bytearray()
+    rst_count = 0
+    istart = (0, 0)
+    for idx in range(width * height):
+        y, x = divmod(idx, width)
+        if restart_interval and idx and idx % restart_interval == 0:
+            entropy += enc.finish()
+            entropy += bytes([0xFF, 0xD0 + (rst_count & 7)])
+            rst_count += 1
+            enc = _QMEncoder()
+            stats = bytearray(158)
+            cat_above = [[0] * width for _ in range(channels)]
+            cat_left = [0] * channels
+            istart = (x, y)
+        for c in range(channels):
+            pred = 0 if differential else _ll_predict(
+                planes[c], x, y, predictor, default, istart[0], istart[1]
+            )
+            d = (planes[c][y][x] - pred) & 0xFFFF
+            signed = d - 65536 if d >= 32768 else d
+            da = 0 if (x == 0 or (x, y) == istart) else cat_left[c]
+            db = cat_above[c][x]
+            cat = _arith_encode_ll(enc, stats, signed, da, db, lo, up)
+            cat_left[c] = cat
+            cat_above[c][x] = cat
+    entropy += enc.finish()
+    return bytes(entropy)
 
 
 def _arith_decode_ll(dec, stats, da, db, lo, up):

@@ -5269,3 +5269,87 @@ def q471(spark, sf_dir):
         F.col("val_min").cast("bigint").alias("px_min"),
         F.col("val_max").cast("bigint").alias("px_max"),
     )
+
+
+@query(
+    "q472_jpeg_hierarchical",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 17) + 5 AS w,
+             (doc_id % 9) + 4 AS h,
+             1 + 2 * (doc_id % 2) AS c
+      FROM documents WHERE doc_id % 23 = 19
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h, d.c,
+             (d.doc_id * 13 + 7 * t.k) % 256 AS v
+      FROM d, LATERAL (
+        SELECT unnest(range(0, d.w * d.h * d.c)) AS k
+      ) t
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(c AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS BIGINT) AS px_min,
+           CAST(MAX(v) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id, w, h, c
+    """,
+)
+def q472(spark, sf_dir):
+    """HIERARCHICAL lossless JPEG (Annex J, round 16 —
+    `operators/jpeg.encode_jpeg_hierarchical` /
+    `_decode_jpeg_hierarchical`) through the Spark decode seam
+    (`multimodal.decode_assets`, the q468/q471 pattern): each asset is
+    a 3-level DHP pyramid — SOF3 or SOF11 base frame at quarter
+    resolution, two EXP expansions (J.1.1.2 interpolation, ceil-
+    pyramid odd-dimension trims on these fixture dims), two
+    zero-prediction differential frames (SOF7 Huffman on even doc_ids,
+    SOF15 arithmetic on odd) — and every level reconstructs exactly,
+    so the oracle is the closed-form pixel formula itself.  No
+    third-party Annex-J implementation exists in this container
+    (libjpeg-turbo refusal-pinned in tests/test_jpeg_hierarchical.py);
+    the flat SOF3/SOF11 codecs are the in-repo differential."""
+    import pandas as pd
+
+    from ..operators.jpeg import encode_jpeg_hierarchical
+    from ..operators.multimodal import decode_assets
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 19)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 17 + 5, d % 9 + 4
+                c = 1 + 2 * (d % 2)
+                vals = [(d * 13 + 7 * k) % 256 for k in range(w * h * c)]
+                payloads.append(
+                    encode_jpeg_hierarchical(
+                        vals, w, h, c, levels=3,
+                        predictor=d % 7 + 1,
+                        arith=(d % 2 == 1),
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    return decode_assets(assets).select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("px_sum"),
+        F.col("val_min").cast("bigint").alias("px_min"),
+        F.col("val_max").cast("bigint").alias("px_max"),
+    )

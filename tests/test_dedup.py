@@ -972,3 +972,73 @@ def test_incremental_dedup_store_compact_elides_stored_sort(spark, tmp_path):
         for t in (f"{prefix}_buckets", f"{prefix}_labels",
                   f"{prefix}_relabel"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_dedup_store_file_depth_auto_compact(spark, tmp_path):
+    """Round 16: the bm25/ivfpq-store file-depth policy applied to the
+    dedup store — appends accumulate one file per bucket of the
+    buckets/labels tables, auto_compact_files=1 fires the FULL compact
+    (buckets rewritten to one sorted file each, the one table the
+    label compact never touched), stats record the measured depth, and
+    resolved labels are unchanged by the rewrite."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        _bucket_file_depth,
+        dedup_components,
+        incremental_dedup_store_init,
+        incremental_dedup_store_insert,
+        incremental_dedup_store_labels,
+        minhash_lsh_star_edges,
+    )
+
+    words = [f"w{i}" for i in range(1000)]
+
+    def mk(seed, n=30):
+        r = random.Random(seed)
+        return " ".join(r.choice(words) for _ in range(n))
+
+    ta, tb = mk(1003), mk(2003)
+    rows = [(10, ta), (11, ta), (20, tb), (21, tb), (30, ta + " " + tb)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    prefix = "t16filedepth"
+    incremental_dedup_store_init(
+        spark, prefix, num_buckets=4, location=str(tmp_path)
+    )
+    try:
+        stats: list = []
+        for pred in (
+            F.col("doc_id").isin(10, 11),
+            F.col("doc_id").isin(20, 21),
+            F.col("doc_id") == 30,
+        ):
+            incremental_dedup_store_insert(
+                spark, prefix, corpus.filter(pred), stats=stats,
+                auto_compact_files=1,
+            )
+        # append 1: depth 1, no compact; appends 2/3: depth 2 -> compact
+        assert [s["file_depth"] for s in stats] == [1, 2, 2]
+        assert _bucket_file_depth(spark, f"{prefix}_buckets") == 1
+        assert _bucket_file_depth(spark, f"{prefix}_labels") == 1
+
+        full = dedup_components(
+            minhash_lsh_star_edges(corpus, "text", "doc_id")
+        )
+        fl = {
+            r.node: r.comp
+            for r in corpus.select(F.col("doc_id").alias("node"))
+            .join(full, "node", "left")
+            .select("node", F.coalesce("comp", F.col("node")).alias("comp"))
+            .collect()
+        }
+        got = {
+            r.node: r.comp
+            for r in incremental_dedup_store_labels(spark, prefix).collect()
+        }
+        assert got == fl and got
+    finally:
+        for t in (f"{prefix}_buckets", f"{prefix}_labels",
+                  f"{prefix}_relabel"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -1,0 +1,183 @@
+"""Hierarchical lossless JPEG (Annex J: DHP/EXP + SOF7/SOF15
+differential frames over an SOF3/SOF11 base) — round 16.
+
+Verification posture (the SOF11 one, stated in operators/jpeg.py):
+libjpeg-turbo has NO Annex-J support at all (refusal-pinned below), so
+no cross-implementation stream exists; correctness rests on exact
+roundtrips across levels/dims/entropy-layers/restarts/precisions, the
+ceil-pyramid odd-dimension trim, and structural checks that the
+streams really are multi-frame pyramids (marker census)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+    _exp_upsample,
+    decode_jpeg_pixels,
+    encode_jpeg_hierarchical,
+)
+
+
+def _img(w, h, c=1, precision=8, seed=7):
+    rng = random.Random(seed)
+    return [rng.randint(0, (1 << precision) - 1) for _ in range(w * h * c)]
+
+
+def _markers(b: bytes) -> list[int]:
+    out, i = [], 0
+    while i < len(b) - 1:
+        if b[i] == 0xFF and b[i + 1] not in (0x00,) and not (
+            0xD0 <= b[i + 1] <= 0xD7
+        ):
+            out.append(b[i + 1])
+        i += 1
+    return out
+
+
+@pytest.mark.parametrize("levels", [1, 2, 3, 4])
+def test_roundtrip_levels(levels):
+    w, h = 21, 17  # odd dims at every pyramid level
+    img = _img(w, h, seed=levels)
+    got = decode_jpeg_pixels(
+        encode_jpeg_hierarchical(img, w, h, 1, levels=levels)
+    )
+    assert got == (w, h, 1, bytes(img))
+
+
+@pytest.mark.parametrize("arith", [False, True])
+def test_roundtrip_color_both_entropy_layers(arith):
+    w, h = 13, 9
+    img = _img(w, h, c=3, seed=3)
+    b = encode_jpeg_hierarchical(img, w, h, 3, levels=3, arith=arith)
+    assert decode_jpeg_pixels(b) == (w, h, 3, bytes(img))
+    ms = _markers(b)
+    assert ms.count(0xDE) == 1  # one DHP
+    assert ms.count(0xDF) == 2  # one EXP per differential frame
+    if arith:
+        assert ms.count(0xCB) == 1 and ms.count(0xCF) == 2
+    else:
+        assert ms.count(0xC3) == 1 and ms.count(0xC7) == 2
+
+
+def test_roundtrip_restarts_and_precisions():
+    for prec in (8, 12, 16):
+        w, h = 14, 10
+        img = _img(w, h, precision=prec, seed=prec)
+        shift = max(0, prec - 8)
+        want = bytes((v >> shift) & 0xFF for v in img)
+        for arith in (False, True):
+            got = decode_jpeg_pixels(
+                encode_jpeg_hierarchical(
+                    img, w, h, 1, levels=3, precision=prec,
+                    restart_interval=7, arith=arith,
+                )
+            )
+            assert got == (w, h, 1, want), (prec, arith)
+
+
+def test_degenerate_dims():
+    for (w, h) in ((1, 1), (7, 1), (1, 6), (2, 2)):
+        img = _img(w, h, seed=w * 10 + h)
+        got = decode_jpeg_pixels(
+            encode_jpeg_hierarchical(img, w, h, 1, levels=3)
+        )
+        assert got == (w, h, 1, bytes(img))
+
+
+def test_exp_upsample_filter_exact():
+    # J.1.1.2: even outputs copy, odd outputs (a + b + 1) >> 1, edge
+    # repeats the last sample
+    plane = [[0, 10], [20, 30]]
+    assert _exp_upsample(plane, 1, 0) == [[0, 5, 10, 10], [20, 25, 30, 30]]
+    assert _exp_upsample(plane, 0, 1) == [[0, 10], [10, 20], [20, 30],
+                                          [20, 30]]
+    both = _exp_upsample(plane, 1, 1)
+    assert both[0] == [0, 5, 10, 10]
+    assert both[1] == [10, 15, 20, 20]  # rounded midpoints
+    assert len(both) == 4 and all(len(r) == 4 for r in both)
+
+
+def test_seeded_noise_stress():
+    rng = random.Random(99)
+    for trial in range(4):
+        w = rng.randint(1, 24)
+        h = rng.randint(1, 20)
+        c = rng.choice([1, 3])
+        prec = rng.choice([8, 12, 16])
+        levels = rng.randint(1, 4)
+        arith = rng.choice([False, True])
+        img = [rng.randint(0, (1 << prec) - 1) for _ in range(w * h * c)]
+        shift = max(0, prec - 8)
+        want = bytes((v >> shift) & 0xFF for v in img)
+        got = decode_jpeg_pixels(
+            encode_jpeg_hierarchical(
+                img, w, h, c, levels=levels, precision=prec, arith=arith,
+                predictor=rng.randint(1, 7),
+            )
+        )
+        assert got == (w, h, c, want), (trial, w, h, c, prec, levels, arith)
+
+
+def test_differential_frame_outside_dhp_rejected():
+    # a flat SOF3 stream relabeled SOF7: a differential frame with no
+    # DHP supplies no reference to difference against — refused loudly
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg_lossless,
+    )
+
+    b = bytearray(encode_jpeg_lossless(_img(8, 8), 8, 8, 1))
+    i = bytes(b).find(b"\xff\xc3")
+    assert i > 0
+    for marker in (0xC7, 0xCF):
+        b[i + 1] = marker
+        with pytest.raises(ValueError, match="outside a hierarchical"):
+            decode_jpeg_pixels(bytes(b))
+
+
+def test_dct_frames_inside_dhp_stay_loud():
+    b = bytearray(encode_jpeg_hierarchical(_img(8, 8), 8, 8, 1, levels=2))
+    i = bytes(b).find(b"\xff\xc3")
+    assert i > 0
+    b[i + 1] = 0xC5  # relabel the base frame as differential DCT
+    with pytest.raises(NotImplementedError, match="hierarchical DCT"):
+        decode_jpeg_pixels(bytes(b))
+
+
+def test_truncated_pyramid_rejected():
+    """A stream whose frames stop below the DHP's declared resolution
+    must be refused, not silently returned small."""
+    import struct
+
+    b = bytearray(encode_jpeg_hierarchical(_img(8, 8), 8, 8, 1, levels=2))
+    dhp = bytes(b).find(b"\xff\xde")
+    # declare a larger full resolution than the frames reach
+    struct.pack_into(">H", b, dhp + 7, 16)  # height field of DHP
+    with pytest.raises(ValueError, match="ended at"):
+        decode_jpeg_pixels(bytes(b))
+
+
+def test_system_libjpeg_rejects_hierarchical():
+    """Refusal pin for the verification posture: libjpeg-turbo has no
+    Annex-J support; if this starts passing, build the interop lane."""
+    import base64
+    import subprocess
+    import sys
+
+    from tests import _libjpeg_harness as hj
+
+    if not hj.available():  # pragma: no cover - env-gated
+        pytest.skip("system libjpeg not present")
+    stream = encode_jpeg_hierarchical(_img(8, 8), 8, 8, 1, levels=2)
+    r = subprocess.run(
+        [sys.executable, "-c", hj._HELPER, "decode"],
+        input=base64.b64encode(stream).decode(),
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode != 0, (
+        "system libjpeg now decodes hierarchical JPEG — add interop"
+    )
