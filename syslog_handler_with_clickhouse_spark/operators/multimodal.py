@@ -1835,7 +1835,10 @@ def probe_media(b: bytes) -> tuple[str, int | None, int | None, int | None, int 
             # SOFn variant carrying dimensions (0xC0-0xCF minus DHT 0xC4,
             # JPGext 0xC8, DAC 0xCC — i.e. baseline, progressive,
             # lossless, arithmetic, differential).
-            _SOF = {
+            # DHP (0xDE) uses SOF syntax and declares the FULL
+            # resolution of a hierarchical stream — it precedes the
+            # (reduced-resolution) first frame's SOF, so it must win
+            _SOF = {0xDE} | {
                 m
                 for m in range(0xC0, 0xD0)
                 if m not in (0xC4, 0xC8, 0xCC)

@@ -181,3 +181,14 @@ def test_system_libjpeg_rejects_hierarchical():
     assert r.returncode != 0, (
         "system libjpeg now decodes hierarchical JPEG — add interop"
     )
+
+
+def test_probe_media_reports_full_resolution():
+    """probe_media must report the DHP's FULL dims, not the reduced
+    base frame's (the DHP precedes the first SOF and wins)."""
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        probe_media,
+    )
+
+    b = encode_jpeg_hierarchical(_img(21, 17), 21, 17, 1, levels=3)
+    assert probe_media(b) == ("jpeg", 21, 17, None, None)
