@@ -65,16 +65,20 @@ Scope (what "baseline" means here, per ITU-T T.81):
   decoded-pixel equality with the SOF3 path — libjpeg-turbo rejects
   lossless+arithmetic, so no cross-implementation stream exists
   (refusal-pinned in tests/test_jpeg_lossless_arith.py).
-- HIERARCHICAL, lossless pyramid (DHP/EXP + SOF7/SOF15 differential
-  frames over an SOF3/SOF11 base, round 16): Annex J multi-frame walk
+- HIERARCHICAL (DHP/EXP, Annex J, round 16): the multi-frame walk
   with the J.1.1.2 expansion filter and ceil-pyramid odd-dimension
-  trimming; zero-prediction difference frames in both entropy layers,
-  so every level reconstructs exactly.  Encoder:
-  ``encode_jpeg_hierarchical``.  DCT-based hierarchical frames
-  (SOF5/6/13/14 — and SOF0-2/9-10 inside a DHP stream) raise
-  ``NotImplementedError`` — format guards, not stubs.  12-bit
-  arithmetic (SOF9/SOF10, round 15) decodes; ``encode_jpeg_arith12``
-  is its fixture twin.
+  trimming.  Lossless pyramid: SOF3/SOF11 base + SOF7/SOF15
+  zero-prediction differential frames in both entropy layers — every
+  level reconstructs exactly.  DCT progression: SOF0 non-differential
+  base and SOF5 differential middles (Huffman, 1×1, precision 8, DC
+  coded without prediction per J.1.1.5) with a lossless final frame —
+  the encoder closes the loop through the decoder's own
+  ``_dct_rows_to_plane`` reconstruction, so the overall decode is
+  STILL bit-exact.  Encoder: ``encode_jpeg_hierarchical``.
+  Progressive / arithmetic-DCT hierarchical frames (SOF6/13/14,
+  SOF2/9/10-inside-DHP) raise ``NotImplementedError`` — format
+  guards, not stubs.  12-bit arithmetic (SOF9/SOF10, round 15)
+  decodes; ``encode_jpeg_arith12`` is its fixture twin.
 
 All constant tables below are the public ITU-T T.81 Annex K examples
 (the tables every libjpeg-compatible encoder ships).  The DCT is the
@@ -861,11 +865,13 @@ def encode_jpeg(
 def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     """Decode a JPEG (baseline SOF0/SOF1, progressive SOF2, lossless
     SOF3, arithmetic SOF9/SOF10, lossless-arithmetic SOF11,
-    hierarchical lossless DHP/SOF7/SOF15, 12-bit baseline grayscale)
-    to ``(width, height, channels, pixel_bytes)`` (row-major,
-    interleaved RGB for 3 components, grayscale for 1).  Raises
-    ``ValueError`` on corrupt streams and ``NotImplementedError`` for
-    hierarchical DCT variants (SOF5/6/13/14)."""
+    hierarchical DHP streams — lossless SOF7/SOF15 differentials and
+    Huffman-DCT SOF0/SOF5 frames — and 12-bit baseline grayscale) to
+    ``(width, height, channels, pixel_bytes)`` (row-major, interleaved
+    RGB for 3 components, grayscale for 1).  Raises ``ValueError`` on
+    corrupt streams and ``NotImplementedError`` for the remaining
+    hierarchical variants (progressive / arithmetic-DCT frames:
+    SOF6/13/14)."""
     try:
         return _decode_jpeg(b)
     except (IndexError, struct.error) as e:  # truncated stream
@@ -2571,22 +2577,26 @@ def _decode_jpeg_lossless_arith(b, pos, dac_dc, frame, restart_interval,
 
 
 # -- hierarchical mode (DHP/EXP, T.81 Annex J) --------------------------
-# The LOSSLESS pyramid subset (round 16): a non-differential first
-# frame (SOF3 Huffman or SOF11 arithmetic) establishes the reference
-# at reduced resolution; each EXP marker doubles it with the J.1.1.2
-# interpolation filter (odd samples = (a + b + 1) >> 1, edges repeat);
-# each differential frame (SOF7 Huffman / SOF15 arithmetic) codes the
-# mod-2^16 difference against the (trimmed) expanded reference with
-# ZERO prediction, so every pyramid level reconstructs EXACTLY and the
-# full-resolution output is bit-identical to the input — the property
-# the tests pin.  Frame dims follow the ceil pyramid (w_i =
-# ceil(w_{i+1} / 2)); an expanded reference one sample wider/taller
-# than the next frame is trimmed (the odd-dimension rule).  DCT-based
-# hierarchical frames (SOF0-2/5-6/9-10/13-14 inside a DHP stream) stay
-# loud guards.  No third-party implementation in this container
-# produces or consumes hierarchical streams (libjpeg-turbo has no
-# Annex-J support at all), so the posture is the SOF11 one: exact
-# roundtrip + pyramid cross-checks against the flat lossless codecs.
+# Round 16.  A non-differential first frame (SOF3/SOF11 lossless, or
+# SOF0 Huffman-DCT) establishes the reference at reduced resolution;
+# each EXP marker doubles it with the J.1.1.2 interpolation filter
+# (odd samples = (a + b + 1) >> 1, edges repeat); each differential
+# frame codes the difference against the (trimmed) expanded reference
+# with ZERO prediction — losslessly (SOF7 Huffman / SOF15 arithmetic,
+# mod-2^16) or lossily (SOF5 Huffman-DCT: quantized DCT of the signed
+# difference, no level shift).  Frame dims follow the ceil pyramid
+# (w_i = ceil(w_{i+1} / 2)); an expanded reference one sample
+# wider/taller than the next frame is trimmed (the odd-dimension
+# rule).  An all-lossless pyramid reconstructs every level exactly; a
+# DCT progression with a lossless FINAL frame is exact overall because
+# the encoder tracks the decoder's own reconstruction
+# (_dct_rows_to_plane is shared by both sides).  Progressive and
+# arithmetic-DCT hierarchical frames (SOF6/13/14, SOF2/9/10 inside a
+# DHP stream) stay loud guards.  No third-party implementation in
+# this container produces or consumes hierarchical streams
+# (libjpeg-turbo has no Annex-J support at all), so the posture is the
+# SOF11 one: exact roundtrip + pyramid cross-checks against the flat
+# lossless codecs.
 
 
 def _exp_upsample(plane, eh: int, ev: int):
@@ -2615,6 +2625,105 @@ def _exp_upsample(plane, eh: int, ev: int):
     return plane
 
 
+def _dct_rows_to_plane(rows_zz, qt, mcus_x, mcus_y, h, w, differential):
+    """Zigzag-ordered quantized-coefficient rows → integer value plane
+    (dequant + IDCT + round; +128 level shift and [0, 255] clamp only
+    for NON-differential frames — differential frames yield signed
+    differences).  Shared by the hierarchical DCT decode path AND the
+    encoder's closed-loop reconstruction, so the two are bit-identical
+    by construction — the property that makes a lossy pyramid with a
+    lossless final frame decode EXACTLY."""
+    zz_np = np.asarray(ZIGZAG)
+    nat = np.zeros_like(rows_zz, dtype=np.float64)
+    nat[:, zz_np] = rows_zz
+    blocks = idct2(nat.reshape(-1, 8, 8) * qt)
+    if not differential:
+        blocks = blocks + 128.0
+    grid = (
+        blocks.reshape(mcus_y, mcus_x, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(mcus_y * 8, mcus_x * 8)
+    )
+    vals = np.round(grid[:h, :w]).astype(np.int64)
+    if not differential:
+        vals = np.clip(vals, 0, 255)
+    return [list(map(int, row)) for row in vals]
+
+
+def _dct_scan_planes(b, pos, qtabs, huff_fast, frame, restart_interval,
+                     differential):
+    """Sequential Huffman DCT scan decode for the hierarchical subset
+    (1×1 sampling, precision 8): PASS 1 of the baseline decoder with
+    the DC prediction DISABLED in differential frames (J.1.1.5 — each
+    block's DC is coded directly), PASS 2 through
+    :func:`_dct_rows_to_plane`.  Returns (planes, end_pos)."""
+    if b[pos] != 0xFF or b[pos + 1] != 0xDA:
+        raise ValueError("expected SOS")
+    seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+    seg = b[pos + 4 : pos + 2 + seg_len]
+    ns = seg[0]
+    h, w, comps = frame
+    if ns != len(comps):
+        raise NotImplementedError("multi-scan hierarchical DCT frame")
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for i in range(ns):
+        cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
+        c = by_id.get(cs)
+        if c is None:
+            raise ValueError(f"scan references unknown component {cs}")
+        if c["h"] != 1 or c["v"] != 1:
+            raise NotImplementedError(
+                "hierarchical DCT frame with subsampling"
+            )
+        dc = huff_fast.get((0, tdta >> 4))
+        ac = huff_fast.get((1, tdta & 15))
+        qt = qtabs.get(c["tq"])
+        if dc is None or ac is None or qt is None:
+            raise ValueError("scan references missing Huffman/quant table")
+        order.append((dc, ac, qt.astype(np.float64)))
+    mcus_x, mcus_y = -(-w // 8), -(-h // 8)
+    total_mcus = mcus_x * mcus_y
+
+    segs, end = _entropy_segments(b, pos + 2 + seg_len)
+    coefs = [np.zeros((total_mcus, 64)) for _ in order]
+    dc_pred = [0] * ns
+    r = _FastBitReader(segs[0])
+    for m in range(total_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            si = m // restart_interval
+            if si >= len(segs):
+                raise ValueError("missing restart marker")
+            r = _FastBitReader(segs[si])
+            dc_pred = [0] * ns
+        for ci, (dc, ac, _qt) in enumerate(order):
+            _, _s, diff = r.decode_rs_val(dc)
+            if differential:
+                coefs[ci][m, 0] = diff  # PRED = 0 per block
+            else:
+                dc_pred[ci] += diff
+                coefs[ci][m, 0] = dc_pred[ci]
+            k = 1
+            while k < 64:
+                run, size, val = r.decode_rs_val(ac)
+                if size == 0:
+                    if run == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient overrun")
+                coefs[ci][m, k] = val
+                k += 1
+    planes = [
+        _dct_rows_to_plane(coefs[ci], qt, mcus_x, mcus_y, h, w,
+                           differential)
+        for ci, (_dc, _ac, qt) in enumerate(order)
+    ]
+    return planes, end
+
+
 def _decode_jpeg_hierarchical(b: bytes, pos: int):
     """Hierarchical stream walk (``pos`` ON the DHP marker): frames +
     EXP expansions until the reference reaches the DHP's full
@@ -2627,12 +2736,14 @@ def _decode_jpeg_hierarchical(b: bytes, pos: int):
     pos = pos + 2 + seg_len
 
     huff_dec: dict[tuple[int, int], dict] = {}
+    huff_fast: dict[tuple[int, int], tuple] = {}
+    qtabs: dict[int, np.ndarray] = {}
     dac_dc: dict[int, tuple[int, int]] = {}
     restart_interval = 0
     refs = None  # per-component value planes at the current resolution
     ref_w = ref_h = 0
     frame = None
-    differential = f_arith = False
+    differential = f_arith = f_dct = False
     while pos < len(b) - 1:
         if b[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -2655,7 +2766,27 @@ def _decode_jpeg_hierarchical(b: bytes, pos: int):
                 nv = sum(bits)
                 vals = list(seg[sp + 17 : sp + 17 + nv])
                 huff_dec[(tc, th)] = _build_huffman_dec_cached(bits, vals)
+                huff_fast[(tc, th)] = _fast_table_cached(bits, vals)
                 sp += 17 + nv
+        elif marker == 0xDB:  # DQT (8-bit entries; 16-bit Pq=1)
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 15
+                if pq not in (0, 1):
+                    raise ValueError(f"invalid DQT precision {pq}")
+                if pq == 0:
+                    zz = list(seg[sp + 1 : sp + 65])
+                    sp += 65
+                else:
+                    raw = seg[sp + 1 : sp + 129]
+                    zz = [
+                        (raw[2 * i] << 8) | raw[2 * i + 1] for i in range(64)
+                    ]
+                    sp += 129
+                nat = np.zeros(64, dtype=np.int64)
+                for zi, ni in enumerate(ZIGZAG):
+                    nat[ni] = zz[zi]
+                qtabs[tq] = nat.reshape(8, 8)
         elif marker == 0xCC:  # DAC
             sp = 0
             while sp + 1 < len(seg):
@@ -2679,9 +2810,14 @@ def _decode_jpeg_hierarchical(b: bytes, pos: int):
                 raise ValueError(f"invalid EXP nibbles {eh}/{ev}")
             refs = [_exp_upsample(rp, eh, ev) for rp in refs]
             ref_h, ref_w = len(refs[0]), len(refs[0][0])
-        elif marker in (0xC3, 0xC7, 0xCB, 0xCF):
-            differential = marker in (0xC7, 0xCF)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC7, 0xCB, 0xCF):
+            differential = marker in (0xC5, 0xC7, 0xCF)
             f_arith = marker in (0xCB, 0xCF)
+            f_dct = marker in (0xC0, 0xC1, 0xC5)
+            if f_dct and prec != 8:
+                raise NotImplementedError(
+                    "hierarchical DCT frames at precision != 8"
+                )
             p2, h2, w2, nc2 = struct.unpack(">BHHB", seg[:6])
             if p2 != prec:
                 raise ValueError("frame precision differs from DHP")
@@ -2700,16 +2836,22 @@ def _decode_jpeg_hierarchical(b: bytes, pos: int):
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
             frame = (h2, w2, comps)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC9, 0xCA, 0xCD,
-                        0xCE):
+        elif marker in (0xC2, 0xC6, 0xC9, 0xCA, 0xCD, 0xCE):
             raise NotImplementedError(
-                f"hierarchical DCT frame SOF{marker - 0xC0}"
+                f"hierarchical progressive/arithmetic-DCT frame "
+                f"SOF{marker - 0xC0}"
             )
         elif marker == 0xDA:  # SOS — decode one frame's scan
             if frame is None:
                 raise ValueError("SOS before SOF in hierarchical stream")
             h2, w2, _comps = frame
-            if f_arith:
+            if f_dct:
+                planes, end = _dct_scan_planes(
+                    b, pos - 2, qtabs, huff_fast, frame, restart_interval,
+                    differential,
+                )
+                al = 0
+            elif f_arith:
                 planes, al, end = _lla_scan_planes(
                     b, pos - 2, dac_dc, frame, restart_interval, prec,
                     differential,
@@ -2751,18 +2893,76 @@ def _decode_jpeg_hierarchical(b: bytes, pos: int):
     return _ll_planes_to_bytes(refs, ref_w, ref_h, len(refs), 0, prec)
 
 
+def _dct_encode_scan(planes, w, h, channels, qt_nat, restart_interval,
+                     differential):
+    """Huffman-DCT-encode one 1×1-sampled hierarchical frame scan.
+    Returns ``(entropy_bytes, recon_planes)`` — the reconstruction is
+    computed from the QUANTIZED coefficients through the decoder's own
+    :func:`_dct_rows_to_plane`, so the encoder's closed loop tracks
+    the decoder bit-exactly (what makes a lossy pyramid with a
+    lossless final frame decode EXACTLY)."""
+    dc_enc, _ = _build_huffman(*DC_LUM)
+    ac_enc, _ = _build_huffman(*AC_LUM)
+    mcus_x, mcus_y = -(-w // 8), -(-h // 8)
+    qarr = qt_nat.reshape(8, 8).astype(np.float64)
+    padded = [
+        _pad_to_blocks(np.asarray(p, dtype=np.float64), mcus_y, mcus_x)
+        for p in planes
+    ]
+    rows = [np.zeros((mcus_x * mcus_y, 64)) for _ in range(channels)]
+    zz_np = np.asarray(ZIGZAG)
+    wtr = _BitWriter()
+    rst = [0]
+    dc_pred = [0] * channels
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            _emit_restart(wtr, rst)
+            dc_pred = [0] * channels
+        my, mx = divmod(m, mcus_x)
+        for c in range(channels):
+            block = padded[c][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            if not differential:
+                block = block - 128.0
+            qc = np.round(fdct2(block) / qarr).astype(np.int64)
+            pred = 0 if differential else dc_pred[c]
+            newpred = _encode_block(wtr, qc, pred, dc_enc, ac_enc)
+            if not differential:
+                dc_pred[c] = newpred
+            rows[c][m] = qc.ravel()[zz_np]
+    wtr.flush()
+    recon = [
+        _dct_rows_to_plane(rows[c], qarr, mcus_x, mcus_y, h, w,
+                           differential)
+        for c in range(channels)
+    ]
+    return bytes(wtr.out), recon
+
+
 def encode_jpeg_hierarchical(
     samples, width: int, height: int, channels: int = 1, levels: int = 2,
     predictor: int = 1, precision: int = 8, restart_interval: int = 0,
     arith: bool = False, dc_cond: tuple[int, int] = (0, 1),
+    dct_quality: int | None = None, dct_base: bool = False,
 ) -> bytes:
-    """Hierarchical lossless JPEG encoder (DHP + SOF3/SOF11 base frame
-    + EXP/SOF7/SOF15 differential frames) — fixture twin of
-    ``_decode_jpeg_hierarchical``.  The pyramid decimates by 2 per
-    level (ceil dims, top-left sample — the downsampling filter is an
-    encoder choice the spec leaves open); every level reconstructs
-    exactly, so decode == input bit for bit.  ``arith`` selects the QM
-    entropy layer for every frame."""
+    """Hierarchical JPEG encoder (DHP + frames + EXP expansions) —
+    fixture twin of ``_decode_jpeg_hierarchical``.  The pyramid
+    decimates by 2 per level (ceil dims, top-left sample — the
+    downsampling filter is an encoder choice the spec leaves open).
+
+    Default (all-lossless) mode: SOF3/SOF11 base + SOF7/SOF15
+    differential frames; every level reconstructs exactly, so decode
+    == input bit for bit.  ``arith`` selects the QM entropy layer for
+    the lossless frames.
+
+    ``dct_quality`` (precision 8 only) switches the MIDDLE frames to
+    lossy Huffman-DCT differentials (SOF5) at that quality —
+    ``dct_base=True`` additionally makes the base frame a
+    non-differential DCT frame (SOF0) — while the FINAL frame stays a
+    lossless differential: the classic Annex-J progression.  The
+    encoder closes the loop through the decoder's own reconstruction
+    (:func:`_dct_rows_to_plane`), so the overall decode is STILL
+    bit-exact — the lossy frames only shape how much residual the
+    final lossless frame carries."""
     samples = list(samples)
     if len(samples) != width * height * channels:
         raise ValueError("samples length != width*height*channels")
@@ -2777,6 +2977,10 @@ def encode_jpeg_hierarchical(
     lo, up = dc_cond
     if not (0 <= lo <= up <= 15):
         raise ValueError("dc_cond must satisfy 0 <= L <= U <= 15")
+    if dct_quality is not None and precision != 8:
+        raise ValueError("dct_quality requires precision 8")
+    if dct_base and dct_quality is None:
+        raise ValueError("dct_base requires dct_quality")
     full = [
         [
             [samples[(y * width + x) * channels + c] for x in range(width)]
@@ -2819,6 +3023,19 @@ def encode_jpeg_hierarchical(
         o += bytes([pred_byte, 0, 0])
         return o
 
+    ll_dht = (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(_LL_VALS))
+        + bytes([0x00])
+        + bytes(_LL_BITS)
+        + bytes(_LL_VALS)
+    )
+    dct_dht = bytearray()
+    for tid, (bits, vals) in ((0x00, DC_LUM), (0x10, AC_LUM)):
+        dct_dht += b"\xff\xc4" + struct.pack(
+            ">H", 2 + 1 + 16 + len(vals)
+        ) + bytes([tid]) + bytes(bits) + bytes(vals)
+
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xde" + struct.pack(
         ">HBHHB", 8 + 3 * channels, precision, height, width, channels
@@ -2829,20 +3046,80 @@ def encode_jpeg_hierarchical(
         out += b"\xff\xcc" + struct.pack(">H", 4) + bytes(
             [0x00, (up << 4) | lo]
         )
-    else:
-        out += (
-            b"\xff\xc4"
-            + struct.pack(">H", 2 + 1 + 16 + len(_LL_VALS))
-            + bytes([0x00])
-            + bytes(_LL_BITS)
-            + bytes(_LL_VALS)
-        )
+    qt = None
+    if dct_quality is not None:
+        qt = scaled_quant(QUANT_LUM, dct_quality)
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + bytes([0])
+        out += bytes(int(qt.ravel()[z]) for z in ZIGZAG)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
+    # class-0 table 0 means _LL for lossless frames but DC_LUM for DCT
+    # frames — (re)define DHT whenever the next frame's kind changes
+    cur_dht = None
     ref = None
+    last = len(pyramid) - 1
     for li, (planes, w, h) in enumerate(pyramid):
-        if li == 0:
+        base = li == 0
+        # middle frames go DCT when dct_quality is set; base goes DCT
+        # only under dct_base; the FINAL differential frame is always
+        # lossless so the pyramid reconstructs exactly
+        use_dct = dct_quality is not None and (
+            (base and dct_base) or (not base and li != last)
+        )
+        if not base:
+            pw, ph = pyramid[li - 1][1], pyramid[li - 1][2]
+            eh = 1 if w > pw else 0
+            ev = 1 if h > ph else 0
+            out += b"\xff\xdf" + struct.pack(">H", 3) + bytes(
+                [(eh << 4) | ev]
+            )
+            ref = [_exp_upsample(rp, eh, ev) for rp in ref]
+            diffs = [
+                [
+                    [(pp[y][x] - rp[y][x]) & 0xFFFF for x in range(w)]
+                    for y in range(h)
+                ]
+                for pp, rp in zip(planes, ref)
+            ]
+        if use_dct:
+            if cur_dht != "dct":
+                out += dct_dht
+                cur_dht = "dct"
+            if base:
+                entropy, recon = _dct_encode_scan(
+                    planes, w, h, channels, qt, restart_interval, False
+                )
+                out += sof(0xC0, w, h)
+                out += sos(0)
+                out += entropy
+                ref = recon
+            else:
+                # DCT codes SIGNED differences: fold mod-2^16 back
+                sdiffs = [
+                    [
+                        [d - 65536 if d >= 32768 else d for d in row]
+                        for row in dp
+                    ]
+                    for dp in diffs
+                ]
+                entropy, recon = _dct_encode_scan(
+                    sdiffs, w, h, channels, qt, restart_interval, True
+                )
+                out += sof(0xC5, w, h)
+                out += sos(0)
+                out += entropy
+                ref = [
+                    [
+                        [(rp[y][x] + dr[y][x]) & 0xFFFF for x in range(w)]
+                        for y in range(h)
+                    ]
+                    for rp, dr in zip(ref, recon)
+                ]
+        elif base:
+            if not arith and cur_dht != "ll":
+                out += ll_dht
+                cur_dht = "ll"
             out += sof(0xCB if arith else 0xC3, w, h)
             out += sos(predictor)
             if arith:
@@ -2855,21 +3132,14 @@ def encode_jpeg_hierarchical(
                     planes, w, h, channels, predictor, default,
                     restart_interval,
                 )
+            ref = planes
         else:
-            pw = pyramid[li - 1][1]
-            eh = 1 if w > pw else 0
-            ev = 1 if h > pyramid[li - 1][2] else 0
-            out += b"\xff\xdf" + struct.pack(">H", 3) + bytes(
-                [(eh << 4) | ev]
-            )
-            up_ref = [_exp_upsample(rp, eh, ev) for rp in ref]
-            diffs = [
-                [
-                    [(pp[y][x] - rp[y][x]) & 0xFFFF for x in range(w)]
-                    for y in range(h)
-                ]
-                for pp, rp in zip(planes, up_ref)
-            ]
+            # lossless differential: diff against the DECODER-tracked
+            # reference (identical to `planes` when every prior frame
+            # was lossless; the DCT residual otherwise)
+            if not arith and cur_dht != "ll":
+                out += ll_dht
+                cur_dht = "ll"
             out += sof(0xCF if arith else 0xC7, w, h)
             out += sos(0)
             if arith:
@@ -2882,7 +3152,7 @@ def encode_jpeg_hierarchical(
                     diffs, w, h, channels, 0, default, restart_interval,
                     differential=True,
                 )
-        ref = planes
+            ref = planes
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -5298,19 +5298,23 @@ def q471(spark, sf_dir):
     """,
 )
 def q472(spark, sf_dir):
-    """HIERARCHICAL lossless JPEG (Annex J, round 16 —
+    """HIERARCHICAL JPEG (Annex J, round 16 —
     `operators/jpeg.encode_jpeg_hierarchical` /
     `_decode_jpeg_hierarchical`) through the Spark decode seam
     (`multimodal.decode_assets`, the q468/q471 pattern): each asset is
-    a 3-level DHP pyramid — SOF3 or SOF11 base frame at quarter
-    resolution, two EXP expansions (J.1.1.2 interpolation, ceil-
-    pyramid odd-dimension trims on these fixture dims), two
-    zero-prediction differential frames (SOF7 Huffman on even doc_ids,
-    SOF15 arithmetic on odd) — and every level reconstructs exactly,
-    so the oracle is the closed-form pixel formula itself.  No
-    third-party Annex-J implementation exists in this container
-    (libjpeg-turbo refusal-pinned in tests/test_jpeg_hierarchical.py);
-    the flat SOF3/SOF11 codecs are the in-repo differential."""
+    a 3-level DHP pyramid — base frame at quarter resolution, two EXP
+    expansions (J.1.1.2 interpolation, ceil-pyramid odd-dimension
+    trims on these fixture dims), differential frames with a lossless
+    final (SOF7 Huffman on even doc_ids, SOF15 arithmetic on odd; on
+    doc_id % 5 == 0 the progression is the LOSSY Annex-J one — SOF0
+    DCT base + SOF5 DCT differential middle — whose final lossless
+    frame still makes the decode exact because the encoder closes the
+    loop through the decoder's own reconstruction).  Every variant
+    reconstructs exactly, so the oracle is the closed-form pixel
+    formula itself.  No third-party Annex-J implementation exists in
+    this container (libjpeg-turbo refusal-pinned in
+    tests/test_jpeg_hierarchical.py); the flat SOF3/SOF11 codecs are
+    the in-repo differential."""
     import pandas as pd
 
     from ..operators.jpeg import encode_jpeg_hierarchical
@@ -5330,11 +5334,14 @@ def q472(spark, sf_dir):
                 w, h = d % 17 + 5, d % 9 + 4
                 c = 1 + 2 * (d % 2)
                 vals = [(d * 13 + 7 * k) % 256 for k in range(w * h * c)]
+                dct = d % 5 == 0
                 payloads.append(
                     encode_jpeg_hierarchical(
                         vals, w, h, c, levels=3,
                         predictor=d % 7 + 1,
                         arith=(d % 2 == 1),
+                        dct_quality=85 if dct else None,
+                        dct_base=dct,
                     )
                 )
             yield pd.DataFrame(

@@ -137,13 +137,70 @@ def test_differential_frame_outside_dhp_rejected():
             decode_jpeg_pixels(bytes(b))
 
 
-def test_dct_frames_inside_dhp_stay_loud():
+def test_progressive_dct_frames_inside_dhp_stay_loud():
     b = bytearray(encode_jpeg_hierarchical(_img(8, 8), 8, 8, 1, levels=2))
     i = bytes(b).find(b"\xff\xc3")
     assert i > 0
-    b[i + 1] = 0xC5  # relabel the base frame as differential DCT
-    with pytest.raises(NotImplementedError, match="hierarchical DCT"):
+    # progressive / arithmetic-DCT frames remain the format guards
+    b[i + 1] = 0xC6
+    with pytest.raises(NotImplementedError, match="SOF6"):
         decode_jpeg_pixels(bytes(b))
+    # a differential DCT frame (SOF5, supported) before any reference
+    # frame is structurally corrupt, not unsupported
+    b[i + 1] = 0xC5
+    with pytest.raises(ValueError, match="before any reference"):
+        decode_jpeg_pixels(bytes(b))
+
+
+def test_dct_pyramid_exact_with_lossless_final():
+    """The classic Annex-J progression: lossy DCT base (SOF0) + lossy
+    DCT differential middles (SOF5) + a LOSSLESS final differential —
+    the encoder closes the loop through the decoder's own
+    reconstruction, so the overall decode is bit-exact even though the
+    intermediate frames are lossy."""
+    rng = random.Random(31)
+    for (w, h, c, levels, q, dct_base, rst) in [
+        (16, 16, 1, 3, 85, False, 0),
+        (21, 17, 1, 4, 50, True, 0),
+        (13, 9, 3, 3, 85, True, 5),
+        (24, 24, 1, 2, 85, True, 0),  # DCT base + lossless final only
+    ]:
+        img = [
+            min(255, (x * 3 + y * 5 + ch * 7 + rng.randint(0, 9)) % 256)
+            for y in range(h) for x in range(w) for ch in range(c)
+        ]
+        b = encode_jpeg_hierarchical(
+            img, w, h, c, levels=levels, dct_quality=q,
+            dct_base=dct_base, restart_interval=rst,
+        )
+        assert decode_jpeg_pixels(b) == (w, h, c, bytes(img)), (
+            w, h, c, levels, q, dct_base, rst,
+        )
+        ms = _markers(b)
+        if dct_base:
+            assert ms.count(0xC0) == 1  # non-differential DCT base
+        if levels > 2:
+            assert ms.count(0xC5) == levels - 2  # DCT differentials
+        assert ms.count(0xC7) == 1  # exactly one lossless final frame
+        assert ms.count(0xDB) == 1  # one DQT
+
+
+def test_dct_pyramid_intermediate_frames_really_lossy():
+    """The middle DCT frames must actually quantize (otherwise the
+    'lossy progression' is vacuous): at a harsh quality the residual
+    the final lossless frame carries is nonzero — pinned by comparing
+    stream composition, then exactness anyway."""
+    rng = random.Random(77)
+    w, h = 24, 24
+    img = [rng.randint(0, 255) for _ in range(w * h)]  # noise: worst case
+    b_lossy = encode_jpeg_hierarchical(img, w, h, 1, levels=3,
+                                       dct_quality=10, dct_base=True)
+    b_lossless = encode_jpeg_hierarchical(img, w, h, 1, levels=3)
+    # both decode exactly...
+    assert decode_jpeg_pixels(b_lossy) == (w, h, 1, bytes(img))
+    assert decode_jpeg_pixels(b_lossless) == (w, h, 1, bytes(img))
+    # ...but the lossy pyramid's early frames are DCT-coded
+    assert 0xC0 in _markers(b_lossy) and 0xC5 in _markers(b_lossy)
 
 
 def test_truncated_pyramid_rejected():
