@@ -69,15 +69,15 @@ Scope (what "baseline" means here, per ITU-T T.81):
   with the J.1.1.2 expansion filter and ceil-pyramid odd-dimension
   trimming.  Lossless pyramid: SOF3/SOF11 base + SOF7/SOF15
   zero-prediction differential frames in both entropy layers — every
-  level reconstructs exactly.  DCT progression: SOF0 non-differential
-  base and SOF5 differential middles (Huffman, 1×1, precision 8, DC
-  coded without prediction per J.1.1.5) with a lossless final frame —
-  the encoder closes the loop through the decoder's own
-  ``_dct_rows_to_plane`` reconstruction, so the overall decode is
-  STILL bit-exact.  Encoder: ``encode_jpeg_hierarchical``.
-  Progressive / arithmetic-DCT hierarchical frames (SOF6/13/14,
-  SOF2/9/10-inside-DHP) raise ``NotImplementedError`` — format
-  guards, not stubs.  12-bit arithmetic (SOF9/SOF10, round 15)
+  level reconstructs exactly.  DCT progression: SOF0/SOF9 non-differential
+  base and SOF5/SOF13 differential middles (Huffman AND QM
+  arithmetic, 1×1, precision 8, DC coded without prediction per
+  J.1.1.5) with a lossless final frame — the encoder closes the loop
+  through the decoder's own ``_dct_rows_to_plane`` reconstruction, so
+  the overall decode is STILL bit-exact.  Encoder:
+  ``encode_jpeg_hierarchical``.  Progressive hierarchical frames
+  (SOF6/SOF14, SOF2/SOF10-inside-DHP) raise ``NotImplementedError`` —
+  format guards, not stubs.  12-bit arithmetic (SOF9/SOF10, round 15)
   decodes; ``encode_jpeg_arith12`` is its fixture twin.
 
 All constant tables below are the public ITU-T T.81 Annex K examples
@@ -866,12 +866,12 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     """Decode a JPEG (baseline SOF0/SOF1, progressive SOF2, lossless
     SOF3, arithmetic SOF9/SOF10, lossless-arithmetic SOF11,
     hierarchical DHP streams — lossless SOF7/SOF15 differentials and
-    Huffman-DCT SOF0/SOF5 frames — and 12-bit baseline grayscale) to
-    ``(width, height, channels, pixel_bytes)`` (row-major, interleaved
-    RGB for 3 components, grayscale for 1).  Raises ``ValueError`` on
-    corrupt streams and ``NotImplementedError`` for the remaining
-    hierarchical variants (progressive / arithmetic-DCT frames:
-    SOF6/13/14)."""
+    sequential-DCT SOF0/SOF5/SOF9/SOF13 frames in both entropy layers
+    — and 12-bit baseline grayscale) to ``(width, height, channels,
+    pixel_bytes)`` (row-major, interleaved RGB for 3 components,
+    grayscale for 1).  Raises ``ValueError`` on corrupt streams and
+    ``NotImplementedError`` for the remaining hierarchical variants
+    (progressive frames: SOF6/SOF14)."""
     try:
         return _decode_jpeg(b)
     except (IndexError, struct.error) as e:  # truncated stream
@@ -2583,15 +2583,15 @@ def _decode_jpeg_lossless_arith(b, pos, dac_dc, frame, restart_interval,
 # (odd samples = (a + b + 1) >> 1, edges repeat); each differential
 # frame codes the difference against the (trimmed) expanded reference
 # with ZERO prediction — losslessly (SOF7 Huffman / SOF15 arithmetic,
-# mod-2^16) or lossily (SOF5 Huffman-DCT: quantized DCT of the signed
-# difference, no level shift).  Frame dims follow the ceil pyramid
-# (w_i = ceil(w_{i+1} / 2)); an expanded reference one sample
-# wider/taller than the next frame is trimmed (the odd-dimension
-# rule).  An all-lossless pyramid reconstructs every level exactly; a
-# DCT progression with a lossless FINAL frame is exact overall because
-# the encoder tracks the decoder's own reconstruction
-# (_dct_rows_to_plane is shared by both sides).  Progressive and
-# arithmetic-DCT hierarchical frames (SOF6/13/14, SOF2/9/10 inside a
+# mod-2^16) or lossily (SOF5 Huffman / SOF13 QM-arithmetic DCT:
+# quantized DCT of the signed difference, no level shift).  Frame dims
+# follow the ceil pyramid (w_i = ceil(w_{i+1} / 2)); an expanded
+# reference one sample wider/taller than the next frame is trimmed
+# (the odd-dimension rule).  An all-lossless pyramid reconstructs
+# every level exactly; a DCT progression with a lossless FINAL frame
+# is exact overall because the encoder tracks the decoder's own
+# reconstruction (_dct_rows_to_plane is shared by both sides).
+# Progressive hierarchical frames (SOF6/SOF14, SOF2/SOF10 inside a
 # DHP stream) stay loud guards.  No third-party implementation in
 # this container produces or consumes hierarchical streams
 # (libjpeg-turbo has no Annex-J support at all), so the posture is the
@@ -2724,6 +2724,132 @@ def _dct_scan_planes(b, pos, qtabs, huff_fast, frame, restart_interval,
     return planes, end
 
 
+def _dct_arith_scan_planes(b, pos, qtabs, dac_dc, dac_ac, frame,
+                           restart_interval, differential):
+    """QM-coded sequential DCT scan decode for the hierarchical subset
+    (1×1 sampling, precision 8) — the F.1.4.4 DC/AC models with the DC
+    value coded DIRECTLY (PRED = 0) in differential frames, mirroring
+    :func:`_dct_scan_planes`.  Returns (planes, end_pos)."""
+    if b[pos] != 0xFF or b[pos + 1] != 0xDA:
+        raise ValueError("expected SOS")
+    seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+    seg = b[pos + 4 : pos + 2 + seg_len]
+    ns = seg[0]
+    h, w, comps = frame
+    if ns != len(comps):
+        raise NotImplementedError("multi-scan hierarchical DCT frame")
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for i in range(ns):
+        cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
+        c = by_id.get(cs)
+        if c is None:
+            raise ValueError(f"scan references unknown component {cs}")
+        if c["h"] != 1 or c["v"] != 1:
+            raise NotImplementedError(
+                "hierarchical DCT frame with subsampling"
+            )
+        qt = qtabs.get(c["tq"])
+        if qt is None:
+            raise ValueError("scan references missing quant table")
+        order.append((tdta >> 4, tdta & 15, qt.astype(np.float64)))
+    mcus_x, mcus_y = -(-w // 8), -(-h // 8)
+    total_mcus = mcus_x * mcus_y
+
+    def fresh_stats():
+        return (
+            {t: bytearray(64) for t, _ta, _qt in order},
+            {ta: bytearray(256) for _t, ta, _qt in order},
+        )
+
+    segs, end = _entropy_segments(b, pos + 2 + seg_len)
+    coefs = [np.zeros((total_mcus, 64)) for _ in order]
+    dc_stats, ac_stats = fresh_stats()
+    dc_pred = [0] * ns
+    dc_ctx = [0] * ns
+    dec = _QMDecoder(segs[0])
+    for m in range(total_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            si = m // restart_interval
+            if si >= len(segs):
+                raise ValueError("missing restart marker")
+            dec = _QMDecoder(segs[si])
+            dc_stats, ac_stats = fresh_stats()
+            dc_pred = [0] * ns
+            dc_ctx = [0] * ns
+        for ci, (td, ta, _qt) in enumerate(order):
+            lo, up = dac_dc.get(td, (0, 1))
+            kx = dac_ac.get(ta, 5)
+            diff, dc_ctx[ci] = _arith_decode_dc(
+                dec, dc_stats[td], dc_ctx[ci], lo, up
+            )
+            if differential:
+                coefs[ci][m, 0] = diff  # PRED = 0 per block
+            else:
+                dc_pred[ci] += diff
+                coefs[ci][m, 0] = dc_pred[ci]
+            for k, val in _arith_decode_ac(dec, ac_stats[ta], kx):
+                coefs[ci][m, k] = val
+    planes = [
+        _dct_rows_to_plane(coefs[ci], qt, mcus_x, mcus_y, h, w,
+                           differential)
+        for ci, (_td, _ta, qt) in enumerate(order)
+    ]
+    return planes, end
+
+
+def _dct_arith_encode_scan(planes, w, h, channels, qt_nat,
+                           restart_interval, differential, lo, up, kx):
+    """QM twin of :func:`_dct_encode_scan` — same closed-loop
+    reconstruction contract.  Returns (entropy_bytes, recon)."""
+    mcus_x, mcus_y = -(-w // 8), -(-h // 8)
+    qarr = qt_nat.reshape(8, 8).astype(np.float64)
+    padded = [
+        _pad_to_blocks(np.asarray(p, dtype=np.float64), mcus_y, mcus_x)
+        for p in planes
+    ]
+    rows = [np.zeros((mcus_x * mcus_y, 64)) for _ in range(channels)]
+    zz_np = np.asarray(ZIGZAG)
+    enc = _QMEncoder()
+    dc_stats, ac_stats = bytearray(64), bytearray(256)
+    dc_pred = [0] * channels
+    dc_ctx = [0] * channels
+    entropy = bytearray()
+    rst_count = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            entropy += enc.finish()
+            entropy += bytes([0xFF, 0xD0 + (rst_count & 7)])
+            rst_count += 1
+            enc = _QMEncoder()
+            dc_stats, ac_stats = bytearray(64), bytearray(256)
+            dc_pred = [0] * channels
+            dc_ctx = [0] * channels
+        my, mx = divmod(m, mcus_x)
+        for c in range(channels):
+            block = padded[c][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            if not differential:
+                block = block - 128.0
+            qc = np.round(fdct2(block) / qarr).astype(np.int64)
+            zz = qc.ravel()[zz_np]
+            rows[c][m] = zz
+            dc = int(zz[0])
+            diff = dc if differential else dc - dc_pred[c]
+            if not differential:
+                dc_pred[c] = dc
+            dc_ctx[c] = _arith_encode_dc(
+                enc, dc_stats, diff, dc_ctx[c], lo, up
+            )
+            _arith_encode_ac(enc, ac_stats, [int(v) for v in zz], kx)
+    entropy += enc.finish()
+    recon = [
+        _dct_rows_to_plane(rows[c], qarr, mcus_x, mcus_y, h, w,
+                           differential)
+        for c in range(channels)
+    ]
+    return bytes(entropy), recon
+
+
 def _decode_jpeg_hierarchical(b: bytes, pos: int):
     """Hierarchical stream walk (``pos`` ON the DHP marker): frames +
     EXP expansions until the reference reaches the DHP's full
@@ -2739,6 +2865,7 @@ def _decode_jpeg_hierarchical(b: bytes, pos: int):
     huff_fast: dict[tuple[int, int], tuple] = {}
     qtabs: dict[int, np.ndarray] = {}
     dac_dc: dict[int, tuple[int, int]] = {}
+    dac_ac: dict[int, int] = {}
     restart_interval = 0
     refs = None  # per-component value planes at the current resolution
     ref_w = ref_h = 0
@@ -2797,7 +2924,11 @@ def _decode_jpeg_hierarchical(b: bytes, pos: int):
                     if lo > up:
                         raise ValueError("DAC DC conditioning L > U")
                     dac_dc[tb] = (lo, up)
-                elif tc != 1:
+                elif tc == 1:
+                    if not 1 <= cs <= 63:
+                        raise ValueError(f"DAC AC Kx {cs} out of range")
+                    dac_ac[tb] = cs
+                else:
                     raise ValueError(f"invalid DAC table class {tc}")
                 sp += 2
         elif marker == 0xDD:  # DRI
@@ -2810,10 +2941,11 @@ def _decode_jpeg_hierarchical(b: bytes, pos: int):
                 raise ValueError(f"invalid EXP nibbles {eh}/{ev}")
             refs = [_exp_upsample(rp, eh, ev) for rp in refs]
             ref_h, ref_w = len(refs[0]), len(refs[0][0])
-        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC7, 0xCB, 0xCF):
-            differential = marker in (0xC5, 0xC7, 0xCF)
-            f_arith = marker in (0xCB, 0xCF)
-            f_dct = marker in (0xC0, 0xC1, 0xC5)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD,
+                        0xCF):
+            differential = marker in (0xC5, 0xC7, 0xCD, 0xCF)
+            f_arith = marker in (0xC9, 0xCB, 0xCD, 0xCF)
+            f_dct = marker in (0xC0, 0xC1, 0xC5, 0xC9, 0xCD)
             if f_dct and prec != 8:
                 raise NotImplementedError(
                     "hierarchical DCT frames at precision != 8"
@@ -2836,16 +2968,21 @@ def _decode_jpeg_hierarchical(b: bytes, pos: int):
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
             frame = (h2, w2, comps)
-        elif marker in (0xC2, 0xC6, 0xC9, 0xCA, 0xCD, 0xCE):
+        elif marker in (0xC2, 0xC6, 0xCA, 0xCE):
             raise NotImplementedError(
-                f"hierarchical progressive/arithmetic-DCT frame "
-                f"SOF{marker - 0xC0}"
+                f"hierarchical progressive frame SOF{marker - 0xC0}"
             )
         elif marker == 0xDA:  # SOS — decode one frame's scan
             if frame is None:
                 raise ValueError("SOS before SOF in hierarchical stream")
             h2, w2, _comps = frame
-            if f_dct:
+            if f_dct and f_arith:
+                planes, end = _dct_arith_scan_planes(
+                    b, pos - 2, qtabs, dac_dc, dac_ac, frame,
+                    restart_interval, differential,
+                )
+                al = 0
+            elif f_dct:
                 planes, end = _dct_scan_planes(
                     b, pos - 2, qtabs, huff_fast, frame, restart_interval,
                     differential,
@@ -3043,9 +3180,10 @@ def encode_jpeg_hierarchical(
     for c in range(channels):
         out += bytes([c + 1, 0x11, 0])
     if arith:
-        out += b"\xff\xcc" + struct.pack(">H", 4) + bytes(
-            [0x00, (up << 4) | lo]
-        )
+        dac = bytes([0x00, (up << 4) | lo])
+        if dct_quality is not None:
+            dac += bytes([0x10, 5])  # AC Kx conditioning for table 0
+        out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
     qt = None
     if dct_quality is not None:
         qt = scaled_quant(QUANT_LUM, dct_quality)
@@ -3083,14 +3221,21 @@ def encode_jpeg_hierarchical(
                 for pp, rp in zip(planes, ref)
             ]
         if use_dct:
-            if cur_dht != "dct":
+            if not arith and cur_dht != "dct":
                 out += dct_dht
                 cur_dht = "dct"
             if base:
-                entropy, recon = _dct_encode_scan(
-                    planes, w, h, channels, qt, restart_interval, False
-                )
-                out += sof(0xC0, w, h)
+                if arith:
+                    entropy, recon = _dct_arith_encode_scan(
+                        planes, w, h, channels, qt, restart_interval,
+                        False, lo, up, 5,
+                    )
+                else:
+                    entropy, recon = _dct_encode_scan(
+                        planes, w, h, channels, qt, restart_interval,
+                        False,
+                    )
+                out += sof(0xC9 if arith else 0xC0, w, h)
                 out += sos(0)
                 out += entropy
                 ref = recon
@@ -3103,10 +3248,16 @@ def encode_jpeg_hierarchical(
                     ]
                     for dp in diffs
                 ]
-                entropy, recon = _dct_encode_scan(
-                    sdiffs, w, h, channels, qt, restart_interval, True
-                )
-                out += sof(0xC5, w, h)
+                if arith:
+                    entropy, recon = _dct_arith_encode_scan(
+                        sdiffs, w, h, channels, qt, restart_interval,
+                        True, lo, up, 5,
+                    )
+                else:
+                    entropy, recon = _dct_encode_scan(
+                        sdiffs, w, h, channels, qt, restart_interval, True
+                    )
+                out += sof(0xCD if arith else 0xC5, w, h)
                 out += sos(0)
                 out += entropy
                 ref = [

@@ -137,27 +137,30 @@ def test_differential_frame_outside_dhp_rejected():
             decode_jpeg_pixels(bytes(b))
 
 
-def test_progressive_dct_frames_inside_dhp_stay_loud():
+def test_progressive_frames_inside_dhp_stay_loud():
     b = bytearray(encode_jpeg_hierarchical(_img(8, 8), 8, 8, 1, levels=2))
     i = bytes(b).find(b"\xff\xc3")
     assert i > 0
-    # progressive / arithmetic-DCT frames remain the format guards
-    b[i + 1] = 0xC6
-    with pytest.raises(NotImplementedError, match="SOF6"):
-        decode_jpeg_pixels(bytes(b))
-    # a differential DCT frame (SOF5, supported) before any reference
-    # frame is structurally corrupt, not unsupported
-    b[i + 1] = 0xC5
-    with pytest.raises(ValueError, match="before any reference"):
-        decode_jpeg_pixels(bytes(b))
+    # progressive hierarchical frames remain the format guards
+    for marker, name in ((0xC6, "SOF6"), (0xCE, "SOF14")):
+        b[i + 1] = marker
+        with pytest.raises(NotImplementedError, match=name):
+            decode_jpeg_pixels(bytes(b))
+    # a differential DCT frame (SOF5/SOF13, supported) before any
+    # reference frame is structurally corrupt, not unsupported
+    for marker in (0xC5, 0xCD):
+        b[i + 1] = marker
+        with pytest.raises(ValueError, match="before any reference"):
+            decode_jpeg_pixels(bytes(b))
 
 
-def test_dct_pyramid_exact_with_lossless_final():
-    """The classic Annex-J progression: lossy DCT base (SOF0) + lossy
-    DCT differential middles (SOF5) + a LOSSLESS final differential —
-    the encoder closes the loop through the decoder's own
-    reconstruction, so the overall decode is bit-exact even though the
-    intermediate frames are lossy."""
+@pytest.mark.parametrize("arith", [False, True])
+def test_dct_pyramid_exact_with_lossless_final(arith):
+    """The classic Annex-J progression: lossy DCT base (SOF0/SOF9) +
+    lossy DCT differential middles (SOF5/SOF13) + a LOSSLESS final
+    differential — the encoder closes the loop through the decoder's
+    own reconstruction, so the overall decode is bit-exact even though
+    the intermediate frames are lossy, in BOTH entropy layers."""
     rng = random.Random(31)
     for (w, h, c, levels, q, dct_base, rst) in [
         (16, 16, 1, 3, 85, False, 0),
@@ -171,17 +174,20 @@ def test_dct_pyramid_exact_with_lossless_final():
         ]
         b = encode_jpeg_hierarchical(
             img, w, h, c, levels=levels, dct_quality=q,
-            dct_base=dct_base, restart_interval=rst,
+            dct_base=dct_base, restart_interval=rst, arith=arith,
         )
         assert decode_jpeg_pixels(b) == (w, h, c, bytes(img)), (
-            w, h, c, levels, q, dct_base, rst,
+            w, h, c, levels, q, dct_base, rst, arith,
         )
         ms = _markers(b)
+        base_m, diff_m, final_m = (
+            (0xC9, 0xCD, 0xCF) if arith else (0xC0, 0xC5, 0xC7)
+        )
         if dct_base:
-            assert ms.count(0xC0) == 1  # non-differential DCT base
+            assert ms.count(base_m) == 1  # non-differential DCT base
         if levels > 2:
-            assert ms.count(0xC5) == levels - 2  # DCT differentials
-        assert ms.count(0xC7) == 1  # exactly one lossless final frame
+            assert ms.count(diff_m) == levels - 2  # DCT differentials
+        assert ms.count(final_m) == 1  # exactly one lossless final
         assert ms.count(0xDB) == 1  # one DQT
 
 
