@@ -239,19 +239,35 @@ def _pq_subvectors(emb: DataFrame, id_col, vec_col, m_sub: int, d_sub: int):
 
 
 def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid code per (vid, m): broadcast the codebook, exact
-    integer squared distance via zip_with, argmin with a code tiebreak."""
-    d2 = F.aggregate(
-        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    """Nearest-centroid code per (vid, m): exact-argmin assignment as a
+    PROJECTION (round 16 — the `assign_nearest` discipline applied to
+    the PQ encode).  The per-subspace codebooks ride in as ONE
+    broadcast row (m → [(code, cv)...] map); each sub-vector row
+    scores its own subspace's codes in a higher-order ``transform``
+    and ``array_min``'s lexicographic struct ordering delivers the
+    argmin with the lower-code tiebreak — same values as the previous
+    join + window form, which shuffled AND sorted
+    corpus × m_sub × n_codes rows (2.6 B at 20 M vectors, the
+    dominant term of the stored-index init's measured spill); this
+    shuffles NOTHING."""
+    books = cent.groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct("code", "cv"))).alias("bk")
     )
-    scored = sub.join(F.broadcast(cent), "m").withColumn("d2", d2)
-    w = Window.partitionBy("vid", "m").orderBy("d2", "code")
+    bk_map = books.agg(
+        F.map_from_entries(F.collect_list(F.struct("m", "bk"))).alias("bkm")
+    )
+    scored = F.transform(
+        F.element_at(F.col("bkm"), F.col("m")),
+        lambda e: F.struct(
+            _d2_int(F.col("sv"), e.cv).alias("d2"),
+            e.code.alias("code"),
+        ),
+    )
+    best = F.array_min(scored)
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vid", "m", "code", "sv")
+        sub.crossJoin(F.broadcast(bk_map))
+        .withColumn("best", best)
+        .select("vid", "m", F.col("best.code").alias("code"), "sv")
     )
 
 
