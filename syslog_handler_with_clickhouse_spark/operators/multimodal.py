@@ -8,12 +8,13 @@ input partition, bytes never round-trip through the driver.
 The codecs here are REAL and stdlib/numpy-only — no PIL, libpng, or
 ffmpeg: PNG (all 8-bit color types incl. palette, all five scanline
 filters, Adam7 interlace), GIF (variable-width LZW incl. interlace),
-BMP (24/32-bit BGR(X) + 8-bit palettized, both row orders), WAV
-(8/16/24-bit PCM + IEEE float32), and JPEG via :mod:`.jpeg` (baseline
-AND progressive, both SOF2 axes, subsampling, restart intervals).
+BMP (24/32-bit BGR(X) + palettized incl. RLE4/8/24 and OS/2 Huffman-1D,
+both row orders), WAV (8/16/24-bit PCM + IEEE float32 + ADPCM/G.711),
+TIFF (strips/tiles, PackBits/LZW/Deflate/CCITT-MH, JPEG-in-TIFF), and
+JPEG via :mod:`.jpeg` (baseline AND progressive, lossless, arithmetic,
+hierarchical — see that module's docstring for the full matrix).
 Remaining ``NotImplementedError`` sites are format guards inside these
-working decoders (16-bit PNG, WAVE_FORMAT_EXTENSIBLE, BMP RLE,
-arithmetic/12-bit JPEG), not environment stubs.  Image resize is
+working decoders, not environment stubs.  Image resize is
 REAL too (``resize_decoded``: decode + exact nearest-neighbor /
 box-mean resampling); the legacy ``resize_images`` byte-tiler remains
 only as the q47 plumbing fixture.
@@ -670,10 +671,13 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     BGR-triple palette normalized to quads, bottom-up only),
     uncompressed BI_RGB in the everyday layouts — 24-bit BGR, 32-bit
     BGRX (padding byte dropped), 16-bit masked, and 1/4/8-bit
-    palettized — plus RLE8/RLE4 and BI_BITFIELDS.  Bottom-up rows
-    (positive height) are flipped to top-down; negative height means
-    top-down already; rows are padded to 4-byte boundaries per spec.
-    OS/2 v2 (16/64-byte) headers raise ``NotImplementedError``.
+    palettized — plus RLE8/RLE4 and BI_BITFIELDS.  OS/2
+    BITMAPINFOHEADER2 short forms (cbFix 16..36, round 14) decode too,
+    including the OS/2-specific compressions: RLE24 (code 4, round 15)
+    and Huffman-1D (code 3, round 16 — T.4 Modified Huffman over the
+    1-bit index raster, byte-aligned rows).  Bottom-up rows (positive
+    height) are flipped to top-down; negative height means top-down
+    already; rows are padded to 4-byte boundaries per spec.
 
     Returns ``(width, height, 3, rgb_bytes)`` row-major top-down."""
     import struct
@@ -685,6 +689,7 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     (data_off,) = struct.unpack("<I", b[10:14])
     (dib_size,) = struct.unpack("<I", b[14:18])
     os2_rle24 = False
+    os2_huffman = False
     core = dib_size == 12  # OS/2 BITMAPCOREHEADER (round 13)
     if core:
         # 16-bit unsigned dims, no compression/colors-used fields,
@@ -710,7 +715,10 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
             struct.unpack("<I", b[46:50])[0] if dib_size >= 36 else 0
         )
         if compression == 3:
-            raise NotImplementedError("OS/2 v2 Huffman-1D BMP")
+            # OS/2 2.x Huffman 1D (round 16) — decoded below
+            if bpp != 1:
+                raise ValueError("Huffman-1D compression requires 1-bit BMP")
+            os2_huffman = True
         if compression == 4:
             # OS/2 2.x RLE24 (round 15) — decoded below
             if bpp != 24:
@@ -736,7 +744,7 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     if bpp not in (1, 4, 8, 16, 24, 32):
         raise NotImplementedError(f"{bpp}-bit BMP unsupported")
     masks = None
-    if compression == 3:
+    if compression == 3 and not os2_huffman:
         # BI_BITFIELDS: three DWORD channel masks follow the 40-byte DIB
         if bpp not in (16, 32):
             raise ValueError("BI_BITFIELDS requires 16/32-bit BMP")
@@ -764,6 +772,35 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes]:
             palette = b"".join(
                 palette[3 * i : 3 * i + 3] + b"\x00" for i in range(npal)
             )
+    if os2_huffman:
+        # OS/2 2.x Huffman 1D (compression 3 under the v2 header,
+        # round 16): the T.4 Modified Huffman bitstream over the 1-bit
+        # index raster — rows byte-aligned in storage order (bottom-up
+        # unless top_down), white run = palette index 0, the same
+        # per-row convention as TIFF COMPRESSION_CCITTRLE (whose code
+        # tables the libtiff interop lane verifies).  Fixture twin:
+        # :func:`encode_bmp_huffman1d`.
+        data = b[data_off:]
+        raster = bytearray(w * h)
+        bitpos = 0
+        for y in range(h):
+            row, bitpos = _mh_decode_row(data, bitpos, w)
+            for x, v in enumerate(row):
+                raster[y * w + x] = v
+            bitpos = (bitpos + 7) & ~7
+        out = bytearray(w * h * 3)
+        for r in range(h):
+            src_row = r if top_down else h - 1 - r
+            dst = r * w * 3
+            for x in range(w):
+                idx = raster[src_row * w + x]
+                if idx * 4 + 3 > len(palette):
+                    raise ValueError(
+                        f"BMP palette index {idx} out of range"
+                    )
+                bb, gg, rr, _a = palette[4 * idx : 4 * idx + 4]
+                out[dst + 3 * x : dst + 3 * x + 3] = bytes((rr, gg, bb))
+        return w, h, 3, bytes(out)
     if compression in (1, 2):
         # RLE8/RLE4: decode to an index raster first (rows bottom-up
         # unless top_down).  Encoded runs (n>0: n pixels — RLE8 repeats
@@ -1684,11 +1721,13 @@ def decode_real(payload: bytes):
     :func:`_gif_lzw_decode`.  JPEG (SOF0/SOF1 baseline AND SOF2
     progressive — both axes, any sampling factors, restart intervals;
     8-bit; 12-bit baseline grayscale; SOF3 lossless with all seven
-    predictors; SOF9/SOF10 arithmetic via the T.81 QM coder) is
-    decoded by the stdlib+numpy codec in :mod:`.jpeg`, returning
-    ``("jpeg", width, height, channels, pixel_bytes)``.  Hierarchical /
-    lossless-arithmetic JPEGs raise ``NotImplementedError`` (format
-    guards inside a real decoder, not stubs)."""
+    predictors; SOF9/SOF10 arithmetic via the T.81 QM coder; SOF11
+    lossless-arithmetic and hierarchical DHP streams, both round 16)
+    is decoded by the stdlib+numpy codec in :mod:`.jpeg`, returning
+    ``("jpeg", width, height, channels, pixel_bytes)``.  The remaining
+    hierarchical-progressive variants (SOF6/SOF14) raise
+    ``NotImplementedError`` (format guards inside a real decoder, not
+    stubs)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return ("png", *decode_png_pixels(payload))
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -2588,6 +2627,184 @@ def encode_bmp_rle24(
     return hdr + dib + bytes(data)
 
 
+# -- ITU-T T.4 Modified Huffman (MH, "Group 3 one-dimensional") --------
+# The run-length code of bilevel fax: alternating white/black runs per
+# row (rows start WHITE), terminating codes 0-63, makeup codes in
+# 64-steps to 1728 per color plus the shared extended makeups to 2560;
+# runs past 2560 chain 2560-makeups.  Shared by TIFF compression 2
+# (CCITTRLE — each row's bitstream starts on a byte boundary, no EOLs)
+# and the OS/2 2.x Huffman-1D BMP (compression 3 under the v2 header;
+# same per-row convention, white = palette index 0).  The code tables
+# below are the published T.4 constants; transcription is cross-checked
+# two ways: a prefix-freeness unit test over every (color, code) set,
+# and the libtiff interop lane (tests/test_tiff_interop.py) decoding
+# our COMPRESSION_CCITTRLE strips and vice versa across fixtures that
+# sweep the terminating/makeup/extended ranges.
+
+_MH_WHITE = {
+    0: "00110101", 1: "000111", 2: "0111", 3: "1000", 4: "1011",
+    5: "1100", 6: "1110", 7: "1111", 8: "10011", 9: "10100",
+    10: "00111", 11: "01000", 12: "001000", 13: "000011", 14: "110100",
+    15: "110101", 16: "101010", 17: "101011", 18: "0100111",
+    19: "0001100", 20: "0001000", 21: "0010111", 22: "0000011",
+    23: "0000100", 24: "0101000", 25: "0101011", 26: "0010011",
+    27: "0100100", 28: "0011000", 29: "00000010", 30: "00000011",
+    31: "00011010", 32: "00011011", 33: "00010010", 34: "00010011",
+    35: "00010100", 36: "00010101", 37: "00010110", 38: "00010111",
+    39: "00101000", 40: "00101001", 41: "00101010", 42: "00101011",
+    43: "00101100", 44: "00101101", 45: "00000100", 46: "00000101",
+    47: "00001010", 48: "00001011", 49: "01010010", 50: "01010011",
+    51: "01010100", 52: "01010101", 53: "00100100", 54: "00100101",
+    55: "01011000", 56: "01011001", 57: "01011010", 58: "01011011",
+    59: "01001010", 60: "01001011", 61: "00110010", 62: "00110011",
+    63: "00110100",
+    64: "11011", 128: "10010", 192: "010111", 256: "0110111",
+    320: "00110110", 384: "00110111", 448: "01100100", 512: "01100101",
+    576: "01101000", 640: "01100111", 704: "011001100",
+    768: "011001101", 832: "011010010", 896: "011010011",
+    960: "011010100", 1024: "011010101", 1088: "011010110",
+    1152: "011010111", 1216: "011011000", 1280: "011011001",
+    1344: "011011010", 1408: "011011011", 1472: "010011000",
+    1536: "010011001", 1600: "010011010", 1664: "011000",
+    1728: "010011011",
+}
+
+_MH_BLACK = {
+    0: "0000110111", 1: "010", 2: "11", 3: "10", 4: "011", 5: "0011",
+    6: "0010", 7: "00011", 8: "000101", 9: "000100", 10: "0000100",
+    11: "0000101", 12: "0000111", 13: "00000100", 14: "00000111",
+    15: "000011000", 16: "0000010111", 17: "0000011000",
+    18: "0000001000", 19: "00001100111", 20: "00001101000",
+    21: "00001101100", 22: "00000110111", 23: "00000101000",
+    24: "00000010111", 25: "00000011000", 26: "000011001010",
+    27: "000011001011", 28: "000011001100", 29: "000011001101",
+    30: "000001101000", 31: "000001101001", 32: "000001101010",
+    33: "000001101011", 34: "000011010010", 35: "000011010011",
+    36: "000011010100", 37: "000011010101", 38: "000011010110",
+    39: "000011010111", 40: "000001101100", 41: "000001101101",
+    42: "000011011010", 43: "000011011011", 44: "000001010100",
+    45: "000001010101", 46: "000001010110", 47: "000001010111",
+    48: "000001100100", 49: "000001100101", 50: "000001010010",
+    51: "000001010011", 52: "000000100100", 53: "000000110111",
+    54: "000000111000", 55: "000000100111", 56: "000000101000",
+    57: "000001011000", 58: "000001011001", 59: "000000101011",
+    60: "000000101100", 61: "000001011010", 62: "000001100110",
+    63: "000001100111",
+    64: "0000001111", 128: "000011001000", 192: "000011001001",
+    256: "000001011011", 320: "000000110011", 384: "000000110100",
+    448: "000000110101", 512: "0000001101100", 576: "0000001101101",
+    640: "0000001001010", 704: "0000001001011", 768: "0000001001100",
+    832: "0000001001101", 896: "0000001110010", 960: "0000001110011",
+    1024: "0000001110100", 1088: "0000001110101", 1152: "0000001110110",
+    1216: "0000001110111", 1280: "0000001010010", 1344: "0000001010011",
+    1408: "0000001010100", 1472: "0000001010101", 1536: "0000001011010",
+    1600: "0000001011011", 1664: "0000001100100", 1728: "0000001100101",
+}
+
+_MH_EXT = {
+    1792: "00000001000", 1856: "00000001100", 1920: "00000001101",
+    1984: "000000010010", 2048: "000000010011", 2112: "000000010100",
+    2176: "000000010101", 2240: "000000010110", 2304: "000000010111",
+    2368: "000000011100", 2432: "000000011101", 2496: "000000011110",
+    2560: "000000011111",
+}
+
+_MH_DEC = {
+    color: {code: run for run, code in {**table, **_MH_EXT}.items()}
+    for color, table in (("w", _MH_WHITE), ("b", _MH_BLACK))
+}
+_MH_MAXLEN = max(len(c) for d in _MH_DEC.values() for c in d)
+
+
+def _mh_encode_row(row_bits, out: list) -> None:
+    """Append one row's MH code string (alternating runs, starts
+    white; white = 0 bit) to ``out`` (a list of '0'/'1' strings)."""
+    w = len(row_bits)
+    x = 0
+    color = 0  # white
+    table = (_MH_WHITE, _MH_BLACK)
+    while True:
+        run = 0
+        while x + run < w and row_bits[x + run] == color:
+            run += 1
+        x += run
+        while run >= 2624:
+            out.append(_MH_EXT[2560])
+            run -= 2560
+        if run >= 64:
+            mk = min(run - run % 64, 1728) if run < 1792 else run - run % 64
+            code = _MH_EXT.get(mk) or table[color][mk]
+            out.append(code)
+            run -= mk
+        out.append(table[color][run])
+        if x >= w:
+            return
+        color = 1 - color
+
+
+def _mh_decode_row(data: bytes, bitpos: int, width: int):
+    """Decode one MH row from ``data`` starting at bit ``bitpos``.
+    Returns (row_bits list, next bitpos).  Makeup codes accumulate
+    until a terminating code (< 64) ends the run; a row must land
+    exactly on ``width`` pixels."""
+    row = []
+    color = 0
+    nbits = len(data) * 8
+    while len(row) < width:
+        run = 0
+        while True:  # one (makeups... terminating) group
+            code = ""
+            while True:
+                if bitpos >= nbits:
+                    raise ValueError("MH row truncated")
+                code += "1" if data[bitpos >> 3] & (0x80 >> (bitpos & 7)) \
+                    else "0"
+                bitpos += 1
+                r = _MH_DEC["w" if color == 0 else "b"].get(code)
+                if r is not None:
+                    break
+                if len(code) > _MH_MAXLEN:
+                    raise ValueError(f"bad MH code {code!r}")
+            run += r
+            if r < 64:
+                break
+        row.extend([color] * run)
+        if len(row) > width:
+            raise ValueError("MH row overruns width")
+        color = 1 - color
+    return row, bitpos
+
+
+def encode_bmp_huffman1d(
+    samples, w: int, h: int,
+    palette: tuple = ((255, 255, 255), (0, 0, 0)),
+) -> bytes:
+    """OS/2 2.x Huffman-1D BMP builder (round 16, fixture twin of the
+    compression-3 decode branch): 1-bit palette indices (``samples``
+    row-major top-down, 0 = the MH white color = ``palette[0]``) coded
+    as byte-aligned T.4 MH rows, stored bottom-up under the OS/2 v2
+    SHORT header (cbFix 20, compression 3 — the same header form as
+    the RLE24 twin) with an RGB2-quad palette."""
+    import struct
+
+    samples = list(samples)
+    assert len(samples) == w * h and all(v in (0, 1) for v in samples)
+    data = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up storage order
+        codes: list = []
+        _mh_encode_row(samples[r * w : (r + 1) * w], codes)
+        bits = "".join(codes)
+        data += bytes(
+            int(bits[i : i + 8].ljust(8, "0"), 2)
+            for i in range(0, len(bits), 8)
+        )
+    pal = b"".join(bytes((bb, gg, rr, 0)) for rr, gg, bb in palette)
+    data_off = 14 + 20 + len(pal)
+    dib = struct.pack("<IiiHHI", 20, w, h, 1, 1, 3)
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
+    return hdr + dib + pal + bytes(data)
+
+
 def _packbits_decode(data: bytes, expected: int) -> bytes:
     """TIFF PackBits (Apple RLE): n in 0..127 -> n+1 literal bytes;
     n in 129..255 (-127..-1) -> next byte repeated 257-n times;
@@ -2702,6 +2919,12 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     photometric = one(262, 1)
     spp = one(277, 1)
     bits = tags.get(258, [8] * spp)
+    if bits == [1]:
+        # bilevel TIFF (round 16): uncompressed packed rows or the T.4
+        # Modified Huffman of COMPRESSION_CCITTRLE (compression 2)
+        return _decode_tiff_bilevel(
+            b, tags, one, w, h, compression, photometric, spp
+        )
     if len(set(bits)) != 1 or bits[0] not in (8, 16):
         raise NotImplementedError(f"TIFF bit depths {bits}")
     sb = bits[0] // 8  # bytes per sample; 16-bit samples use the FILE
@@ -2824,6 +3047,142 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     if photometric == 0:  # WhiteIsZero: invert to the usual convention
         px = bytes(255 - v for v in px)
     return w, h, channels, px
+
+
+def _decode_tiff_bilevel(b, tags, one, w, h, compression, photometric,
+                         spp):
+    """Bilevel (1-bit) TIFF decode — uncompressed packed rows
+    (compression 1) or T.4 Modified Huffman (compression 2,
+    COMPRESSION_CCITTRLE: each ROW's code stream starts on a byte
+    boundary, no EOL codes).  Output contract: 8-bit grayscale 0/255
+    with the photometric applied — 0 (WhiteIsZero, the CCITT default)
+    maps sample 0 / the MH white runs to 255."""
+    if spp != 1:
+        raise NotImplementedError("bilevel TIFF with SamplesPerPixel > 1")
+    if one(284, 1) != 1:
+        raise NotImplementedError("bilevel TIFF planar configuration 2")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled bilevel TIFF")
+    if compression not in (1, 2):
+        raise NotImplementedError(
+            f"bilevel TIFF compression {compression}"
+        )
+    if photometric not in (0, 1):
+        raise ValueError(f"bilevel TIFF photometric {photometric}")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip layout missing/inconsistent")
+    rows_per_strip = one(278, h)
+    rows_bits = []
+    for si, (so, sc) in enumerate(zip(offsets, counts)):
+        rows = min(rows_per_strip, h - si * rows_per_strip)
+        strip = b[so : so + sc]
+        if len(strip) != sc:
+            raise ValueError("TIFF strip truncated")
+        if compression == 2:
+            bitpos = 0
+            for _ in range(rows):
+                row, bitpos = _mh_decode_row(strip, bitpos, w)
+                rows_bits.append(row)
+                bitpos = (bitpos + 7) & ~7  # next row starts byte-aligned
+        else:
+            rb = (w + 7) // 8
+            if len(strip) < rows * rb:
+                raise ValueError("TIFF strip shorter than row layout")
+            for r in range(rows):
+                rows_bits.append(
+                    [
+                        (strip[r * rb + (x >> 3)] >> (7 - (x & 7))) & 1
+                        for x in range(w)
+                    ]
+                )
+    if len(rows_bits) < h:
+        raise ValueError("TIFF strips shorter than image")
+    px = bytes(
+        (255 * v if photometric == 1 else 255 - 255 * v)
+        for row in rows_bits[:h]
+        for v in row
+    )
+    return w, h, 1, px
+
+
+def encode_tiff_bilevel(
+    samples, w: int, h: int, *, compression: int = 2,
+    photometric: int = 0, endian: str = "<",
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Bilevel TIFF builder (fixture twin of the 1-bit decode path and
+    the libtiff CCITTRLE interop subject): ``samples`` is w*h 0/1
+    SAMPLE values (0 = white under photometric 0, the fax default).
+    Compression 1 packs rows to bytes; compression 2 MH-codes each row
+    byte-aligned (COMPRESSION_CCITTRLE, no EOLs)."""
+    import struct
+
+    samples = list(samples)
+    assert len(samples) == w * h and all(v in (0, 1) for v in samples)
+    assert compression in (1, 2) and photometric in (0, 1)
+    e = endian
+    magic = b"II*\x00" if e == "<" else b"MM\x00*"
+    rps = rows_per_strip or h
+    strips = []
+    for s0 in range(0, h, rps):
+        rows = min(rps, h - s0)
+        if compression == 2:
+            chunks = []
+            for r in range(rows):
+                row_codes: list = []
+                _mh_encode_row(samples[(s0 + r) * w : (s0 + r + 1) * w],
+                               row_codes)
+                bits = "".join(row_codes)
+                chunks.append(
+                    bytes(
+                        int(bits[i : i + 8].ljust(8, "0"), 2)
+                        for i in range(0, len(bits), 8)
+                    )
+                )
+            strips.append(b"".join(chunks))
+        else:
+            rb = (w + 7) // 8
+            buf = bytearray(rows * rb)
+            for r in range(rows):
+                for x in range(w):
+                    if samples[(s0 + r) * w + x]:
+                        buf[r * rb + (x >> 3)] |= 0x80 >> (x & 7)
+            strips.append(bytes(buf))
+    data_off = 8
+    offsets, pos = [], data_off
+    for sdata in strips:
+        offsets.append(pos)
+        pos += len(sdata)
+    ifd_off = pos
+    entries = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [1]),
+        (259, 3, [compression]), (262, 3, [photometric]),
+        (273, 4, offsets), (277, 3, [1]), (278, 4, [rps]),
+        (279, 4, [len(s) for s in strips]),
+    ]
+    entries.sort()
+    n = len(entries)
+    ext_off = ifd_off + 2 + 12 * n + 4
+    ifd = struct.pack(e + "H", n)
+    ext = bytearray()
+    tsz = {3: 2, 4: 4}
+    for tag, typ, vals in entries:
+        total = tsz[typ] * len(vals)
+        fmt = {3: "H", 4: "I"}[typ]
+        ifd += struct.pack(e + "HHI", tag, typ, len(vals))
+        if total <= 4:
+            raw = struct.pack(e + fmt * len(vals), *vals)
+            ifd += raw + b"\x00" * (4 - total)
+        else:
+            ifd += struct.pack(e + "I", ext_off + len(ext))
+            ext += struct.pack(e + fmt * len(vals), *vals)
+    ifd += struct.pack(e + "I", 0)
+    return (
+        magic + struct.pack(e + "I", ifd_off)
+        + b"".join(strips) + ifd + bytes(ext)
+    )
 
 
 def _tiff_undiff(buf: bytes, row_len: int, stride: int) -> bytes:

@@ -5360,3 +5360,97 @@ def q472(spark, sf_dir):
         F.col("val_min").cast("bigint").alias("px_min"),
         F.col("val_max").cast("bigint").alias("px_max"),
     )
+
+
+@query(
+    "q473_bilevel_mh_codecs",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 29) + 4 AS w,
+             (doc_id % 13) + 3 AS h,
+             doc_id % 2 AS variant
+      FROM documents WHERE doc_id % 23 = 21
+    ), px AS (
+      SELECT d.doc_id, d.variant, d.w, d.h,
+             CASE WHEN (d.doc_id * 7 + t.k * 3) % 5 < 2 THEN 1 ELSE 0
+             END AS bit
+      FROM d, LATERAL (
+        SELECT unnest(range(0, d.w * d.h)) AS k
+      ) t
+    )
+    SELECT doc_id, CAST(variant AS INT) AS variant,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(COUNT(*) * CASE WHEN variant = 0 THEN 3 ELSE 1 END
+                AS BIGINT) AS n_values,
+           CAST(SUM(CASE WHEN variant = 1 THEN 255 * (1 - bit)
+                         ELSE 765 * (1 - bit) END) AS BIGINT) AS px_sum,
+           CAST(1 - MAX(bit) AS BIGINT) AS min_bit_inv,
+           CAST(1 - MIN(bit) AS BIGINT) AS max_bit_inv
+    FROM px GROUP BY doc_id, variant, w, h
+    """,
+)
+def q473(spark, sf_dir):
+    """Bilevel T.4 Modified-Huffman codecs (round 16,
+    `operators/multimodal._mh_encode_row/_mh_decode_row`) through the
+    Spark decode seam (`decode_assets`, the q468 pattern): v0 = OS/2
+    2.x Huffman-1D BMP (compression 3, white/black palette — decodes
+    to RGB, so a white pixel contributes 765 to the value sum), v1 =
+    CCITTRLE TIFF (compression 2, WhiteIsZero — grayscale, a white
+    pixel contributes 255).  The MH tables are cross-verified against
+    the system libtiff in BOTH directions
+    (tests/test_mh_bilevel.py); the oracle is the closed-form bit
+    formula, so one wrong run anywhere breaks the hash."""
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        decode_assets,
+        encode_bmp_huffman1d,
+        encode_tiff_bilevel,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 21)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 29 + 4, d % 13 + 3
+                bits = [
+                    1 if (d * 7 + k * 3) % 5 < 2 else 0
+                    for k in range(w * h)
+                ]
+                if d % 2 == 1:
+                    blob = encode_tiff_bilevel(
+                        bits, w, h, compression=2, photometric=0,
+                        rows_per_strip=h if d % 4 == 1 else 4,
+                    )
+                else:
+                    blob = encode_bmp_huffman1d(bits, w, h)
+                payloads.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    return decode_assets(assets).join(
+        docs.select(
+            "doc_id", (F.col("doc_id") % 2).cast("int").alias("variant")
+        ),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "variant",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("px_sum"),
+        (F.col("val_min") / 255).cast("bigint").alias("min_bit_inv"),
+        (F.col("val_max") / 255).cast("bigint").alias("max_bit_inv"),
+    )
