@@ -238,7 +238,9 @@ def _pq_subvectors(emb: DataFrame, id_col, vec_col, m_sub: int, d_sub: int):
     )
 
 
-def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
+def _pq_assign(
+    sub: DataFrame, cent: DataFrame, extra_cols: tuple = ()
+) -> DataFrame:
     """Nearest-centroid code per (vid, m): exact-argmin assignment as a
     PROJECTION (round 16 — the `assign_nearest` discipline applied to
     the PQ encode).  The per-subspace codebooks ride in as ONE
@@ -249,7 +251,10 @@ def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
     join + window form, which shuffled AND sorted
     corpus × m_sub × n_codes rows (2.6 B at 20 M vectors, the
     dominant term of the stored-index init's measured spill); this
-    shuffles NOTHING."""
+    shuffles NOTHING.  ``extra_cols`` ride through the projection —
+    the IVF-PQ encode threads ``cluster`` here instead of joining the
+    codes back to the assignment on vid (a corpus-scale SMJ, the
+    other big init shuffle)."""
     books = cent.groupBy("m").agg(
         F.array_sort(F.collect_list(F.struct("code", "cv"))).alias("bk")
     )
@@ -267,7 +272,10 @@ def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
     return (
         sub.crossJoin(F.broadcast(bk_map))
         .withColumn("best", best)
-        .select("vid", "m", F.col("best.code").alias("code"), "sv")
+        .select(
+            "vid", "m", F.col("best.code").alias("code"), "sv",
+            *[F.col(c) for c in extra_cols],
+        )
     )
 
 
@@ -439,10 +447,11 @@ def ivfpq_build(
         F.slice(F.col("rv"), F.col("m") * d_sub + 1, d_sub).alias("sv"),
     )
     books = pq_codebooks(sub.select("vid", "m", "sv"), m_sub, d_sub, n_codes)
-    codes = _pq_assign(sub.select("vid", "m", "sv"), books).select(
-        "vid", "m", "code"
+    # cluster rides THROUGH the projection encode (round 16) — the old
+    # codes-to-assignment join on vid was a corpus-scale SMJ
+    codes = _pq_assign(sub, books, extra_cols=("cluster",)).select(
+        "vid", "m", "code", "cluster"
     )
-    codes = codes.join(assign.select("vid", "cluster"), "vid")
     return {"v": v, "cent": cent, "books": books, "codes": codes}
 
 
@@ -715,9 +724,9 @@ def _ivfpq_encode(
         "m",
         F.slice(F.col("rv"), F.col("m") * d_sub + 1, d_sub).alias("sv"),
     )
-    codes_new = _pq_assign(sub.select("vid", "m", "sv"), books).select(
-        "vid", "m", "code"
-    ).join(assign.select("vid", "cluster"), "vid")
+    codes_new = _pq_assign(sub, books, extra_cols=("cluster",)).select(
+        "vid", "m", "code", "cluster"
+    )
     return v_new, codes_new
 
 
