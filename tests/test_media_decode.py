@@ -1410,8 +1410,9 @@ def test_bmp_core_header_round_trips():
     with pytest.raises(ValueError, match="bottom-up"):
         encode_bmp(bytes(rgb), w, h, 24, core=True, top_down=True)
     # OS/2 v2 SHORT headers (cbFix 16/20/36) decode since round 14;
-    # sub-16 sizes stay a loud guard, as does the OS/2-specific
-    # Huffman-1D compression code (3); RLE24 (4) decodes since round 15
+    # sub-16 sizes stay a loud guard; RLE24 (4) decodes since round 15
+    # and Huffman-1D (3) since round 16 — but ONLY on 1-bit rasters, so
+    # a 24-bit frame relabeled compression 3 is structurally corrupt
     import struct
 
     for fix in (16, 20, 36):
@@ -1423,8 +1424,8 @@ def test_bmp_core_header_round_trips():
         exp4 = b"".join(pal16[3 * i : 3 * i + 3] for i in idx16)
         assert decode_bmp_pixels(b4) == (w, h, 3, exp4), fix
     v2 = bytearray(encode_bmp(bytes(rgb), w, h, 24, os2_v2_fix=20))
-    v2[30:34] = struct.pack("<I", 3)  # OS/2 Huffman 1D
-    with pytest.raises(NotImplementedError, match="Huffman-1D"):
+    v2[30:34] = struct.pack("<I", 3)  # OS/2 Huffman 1D on 24-bit: corrupt
+    with pytest.raises(ValueError, match="requires 1-bit"):
         decode_bmp_pixels(bytes(v2))
     tiny = bytearray(encode_bmp(bytes(rgb), w, h, 24, os2_v2_fix=16))
     tiny[14:18] = struct.pack("<I", 13)
