@@ -74,11 +74,14 @@ Scope (what "baseline" means here, per ITU-T T.81):
   arithmetic, 1×1, precision 8, DC coded without prediction per
   J.1.1.5) with a lossless final frame — the encoder closes the loop
   through the decoder's own ``_dct_rows_to_plane`` reconstruction, so
-  the overall decode is STILL bit-exact.  Encoder:
-  ``encode_jpeg_hierarchical``.  Progressive hierarchical frames
-  (SOF6/SOF14, SOF2/SOF10-inside-DHP) raise ``NotImplementedError`` —
-  format guards, not stubs.  12-bit arithmetic (SOF9/SOF10, round 15)
-  decodes; ``encode_jpeg_arith12`` is its fixture twin.
+  the overall decode is STILL bit-exact.  PROGRESSIVE hierarchical
+  frames (round 16: SOF6/SOF14 differential, SOF2/SOF10 as a DHP
+  base) decode through the flat progressive walkers in frame-scoped
+  mode — multi-scan spectral selection + successive approximation
+  with per-block PRED = 0 DC in differential frames — closing the
+  last JPEG frame-type guard.  Encoder: ``encode_jpeg_hierarchical``
+  (``progressive=``/``successive=``).  12-bit arithmetic (SOF9/SOF10,
+  round 15) decodes; ``encode_jpeg_arith12`` is its fixture twin.
 
 All constant tables below are the public ITU-T T.81 Annex K examples
 (the tables every libjpeg-compatible encoder ships).  The DCT is the
@@ -1608,7 +1611,8 @@ def _skip_to_marker(b: bytes, pos: int) -> int:
 
 
 def _decode_jpeg_progressive(b, pos, qtabs, huff_fast, frame,
-                             restart_interval=0, precision=8):
+                             restart_interval=0, precision=8,
+                             differential=False, frame_scoped=False):
     """Multi-scan decode loop for SOF2 — both progressive axes, any
     sampling factors, and restart intervals.  ``pos`` points at the
     first SOS marker; ``frame`` is (h, w, comps).  Handles DC/AC first
@@ -1624,7 +1628,17 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_fast, frame,
     Restart semantics (T.81 E.1.4 applied per scan): every Ri MCUs
     (interleaved) / blocks (non-interleaved) the reader byte-aligns and
     consumes RSTn (modulo-8 count restarting at 0 each scan); DC
-    predictors and EOB runs reset."""
+    predictors and EOB runs reset.
+
+    Hierarchical-frame mode (round 16): ``frame_scoped=True`` decodes
+    ONE progressive frame inside a DHP stream (SOF2 base /
+    SOF6 differential) — the walk stops at the first marker that is
+    not DHT/DRI/SOS (the next frame's preamble, EXP, or EOI) and the
+    function returns ``(planes, stop_pos)`` built through
+    :func:`_dct_rows_to_plane` (1×1 sampling only, like the sequential
+    hierarchical subset).  ``differential=True`` codes every block's
+    DC DIRECTLY (PRED = 0 per J.1.1.5, the same rule the sequential
+    differential path applies) and yields signed difference planes."""
     h, w, comps = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -1697,8 +1711,11 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_fast, frame,
                     if at_restart(unit):
                         preds = {c_: 0 for c_ in preds}
                 _, _s, diff = r.decode_rs_val(tabs[cs])
-                preds[cs] += diff
-                coefs[cs][by, bx, 0] = preds[cs] << al
+                if differential:
+                    coefs[cs][by, bx, 0] = diff << al  # PRED = 0
+                else:
+                    preds[cs] += diff
+                    coefs[cs][by, bx, 0] = preds[cs] << al
                 seen_dc.add(cs)
         elif ss == 0:  # DC refinement: one raw bit per block — BATCHED
             # per restart segment: the bits are consecutive literals
@@ -1969,6 +1986,11 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_fast, frame,
             raise ValueError(f"expected marker at {pos}")
         marker = b[pos + 1]
         pos += 2
+        if frame_scoped and marker not in (0xC4, 0xDA, 0xDD):
+            # end of this frame's scans: next frame's preamble, EXP,
+            # or EOI — hand the marker back to the hierarchical walk
+            pos -= 2
+            break
         if marker == 0xD9:  # EOI
             break
         seg_len = struct.unpack(">H", b[pos : pos + 2])[0]
@@ -2001,6 +2023,24 @@ def _decode_jpeg_progressive(b, pos, qtabs, huff_fast, frame,
 
     if any(c["id"] not in seen_dc for c in comps):
         raise ValueError("progressive JPEG missing a DC scan")
+    if frame_scoped:
+        # hierarchical subset: 1×1 sampling, value planes via the
+        # shared closed-loop reconstruction (signed when differential)
+        if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+            raise NotImplementedError(
+                "hierarchical DCT frame with subsampling"
+            )
+        planes = []
+        for c in comps:
+            qt = qtabs.get(c["tq"])
+            if qt is None:
+                raise ValueError("missing quant table")
+            planes.append(_dct_rows_to_plane(
+                coefs[c["id"]].reshape(-1, 64).astype(np.float64),
+                qt.astype(np.float64), mcus_x, mcus_y, h, w,
+                differential,
+            ))
+        return planes, pos
     # reconstruct: dequantize + IDCT every block, then upsample
     planes = []
     for c in comps:
@@ -2591,12 +2631,13 @@ def _decode_jpeg_lossless_arith(b, pos, dac_dc, frame, restart_interval,
 # every level exactly; a DCT progression with a lossless FINAL frame
 # is exact overall because the encoder tracks the decoder's own
 # reconstruction (_dct_rows_to_plane is shared by both sides).
-# Progressive hierarchical frames (SOF6/SOF14, SOF2/SOF10 inside a
-# DHP stream) stay loud guards.  No third-party implementation in
-# this container produces or consumes hierarchical streams
-# (libjpeg-turbo has no Annex-J support at all), so the posture is the
-# SOF11 one: exact roundtrip + pyramid cross-checks against the flat
-# lossless codecs.
+# Progressive hierarchical frames (SOF6/SOF14 differential,
+# SOF2/SOF10 as a DHP base) decode via the flat progressive walkers
+# in frame-scoped mode — round 16 closed that guard.  No third-party
+# implementation in this container produces or consumes hierarchical
+# streams (libjpeg-turbo has no Annex-J support at all), so the
+# posture is the SOF11 one: exact roundtrip + pyramid cross-checks
+# against the flat lossless codecs.
 
 
 def _exp_upsample(plane, eh: int, ev: int):
@@ -2850,6 +2891,291 @@ def _dct_arith_encode_scan(planes, w, h, channels, qt_nat,
     return bytes(entropy), recon
 
 
+def _dct_prog_quantize(planes, w, h, channels, qt_nat, differential):
+    """Quantize one 1×1-sampled hierarchical frame's blocks once for a
+    progressive scan script: → (zigzag rows per channel, mcus_x,
+    mcus_y).  No level shift for differential frames (signed
+    differences), same as the sequential helpers."""
+    mcus_x, mcus_y = -(-w // 8), -(-h // 8)
+    qarr = qt_nat.reshape(8, 8).astype(np.float64)
+    padded = [
+        _pad_to_blocks(np.asarray(p, dtype=np.float64), mcus_y, mcus_x)
+        for p in planes
+    ]
+    rows = [
+        np.zeros((mcus_x * mcus_y, 64), dtype=np.int64)
+        for _ in range(channels)
+    ]
+    zz_np = np.asarray(ZIGZAG)
+    for m in range(mcus_x * mcus_y):
+        my, mx = divmod(m, mcus_x)
+        for c in range(channels):
+            block = padded[c][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            if not differential:
+                block = block - 128.0
+            qc = np.round(fdct2(block) / qarr).astype(np.int64)
+            rows[c][m] = qc.ravel()[zz_np]
+    return rows, mcus_x, mcus_y
+
+
+def _dct_prog_encode_frame(planes, w, h, channels, qt_nat,
+                           restart_interval, differential,
+                           successive=False):
+    """Progressive-Huffman-encode one 1×1-sampled hierarchical DCT
+    frame (SOF2 base / SOF6 differential, round 16): interleaved DC
+    first scan (PRED = 0 per block when differential, J.1.1.5), one
+    full-band AC first scan per component, plus raw-bit DC refinement
+    and :func:`_emit_ac_refine` AC refinement scans when ``successive``
+    (first scans then carry Al=1).  Returns ``(scan_bytes, recon)``
+    where scan_bytes includes every SOS header; the frame preamble
+    must carry DC_LUM at 0x00 and PROG_AC at 0x10.  Reconstruction is
+    the shared closed loop (:func:`_dct_rows_to_plane`), identical to
+    the sequential helpers because the final coefficients are — the
+    scan script only reorders their delivery."""
+    rows, mcus_x, mcus_y = _dct_prog_quantize(
+        planes, w, h, channels, qt_nat, differential
+    )
+    n_units = mcus_x * mcus_y
+    dc_enc, _ = _build_huffman(*DC_LUM)
+    ac_enc, _ = _build_huffman(*PROG_AC)
+    qarr = qt_nat.reshape(8, 8).astype(np.float64)
+    al0 = 1 if successive else 0
+    ri = restart_interval
+    out = bytearray()
+
+    def sos(ncomp, first_comp, ss, se, ah, al):
+        o = bytearray(b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp,
+                                                ncomp))
+        for c in range(first_comp, first_comp + ncomp):
+            o += bytes([c + 1, 0x00])
+        o += bytes([ss, se, (ah << 4) | al])
+        return o
+
+    # DC first scan — all components interleaved
+    out += sos(channels, 0, 0, 0, 0, al0)
+    wtr = _BitWriter()
+    pred = [0] * channels
+    rst = [0]
+    for m in range(n_units):
+        if ri and m and m % ri == 0:
+            _emit_restart(wtr, rst)
+            pred = [0] * channels
+        for c in range(channels):
+            dc = int(rows[c][m, 0]) >> al0
+            if differential:
+                diff = dc  # PRED = 0 per block
+            else:
+                diff = dc - pred[c]
+                pred[c] = dc
+            _encode_dc_diff(wtr, diff, dc_enc)
+    wtr.flush()
+    out += wtr.out
+
+    # AC first scan per component, band 1..63 at Al=al0
+    for c in range(channels):
+        out += sos(1, c, 1, 63, 0, al0)
+        wtr = _BitWriter()
+        rst = [0]
+        pending_eob = 0
+
+        def flush_eob(wtr=wtr):
+            nonlocal pending_eob
+            if not pending_eob:
+                return
+            rr = pending_eob.bit_length() - 1
+            ec, el = ac_enc[rr << 4]
+            wtr.write(ec, el)
+            if rr:
+                wtr.write(pending_eob - (1 << rr), rr)
+            pending_eob = 0
+
+        for m in range(n_units):
+            if ri and m and m % ri == 0:
+                flush_eob()
+                _emit_restart(wtr, rst)
+            zz = rows[c][m]
+            vals = [
+                (1 if zz[k] >= 0 else -1) * (abs(int(zz[k])) >> al0)
+                for k in range(64)
+            ]
+            if not any(vals[1:]):
+                pending_eob += 1
+                if pending_eob == 32767:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for k in range(1, 64):
+                v = vals[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = ac_enc[0xF0]
+                    wtr.write(zc, zl)
+                    run -= 16
+                s = abs(v).bit_length()
+                acode, alen = ac_enc[(run << 4) | s]
+                wtr.write(acode, alen)
+                ebits = v if v >= 0 else v + (1 << s) - 1
+                wtr.write(ebits, s)
+                run = 0
+            if run:
+                pending_eob = 1
+        flush_eob()
+        wtr.flush()
+        out += wtr.out
+
+    if successive:
+        # DC refinement — one raw LSB per block, interleaved
+        out += sos(channels, 0, 0, 0, 1, 0)
+        wtr = _BitWriter()
+        rst = [0]
+        for m in range(n_units):
+            if ri and m and m % ri == 0:
+                _emit_restart(wtr, rst)
+            for c in range(channels):
+                wtr.write(int(rows[c][m, 0]) & 1, 1)
+        wtr.flush()
+        out += wtr.out
+        # AC refinement per component
+        for c in range(channels):
+            out += sos(1, c, 1, 63, 1, 0)
+            wtr = _BitWriter()
+            _emit_ac_refine(
+                wtr, ac_enc, (rows[c][m] for m in range(n_units)),
+                restart_interval=ri,
+            )
+            wtr.flush()
+            out += wtr.out
+
+    recon = [
+        _dct_rows_to_plane(rows[c], qarr, mcus_x, mcus_y, h, w,
+                           differential)
+        for c in range(channels)
+    ]
+    return bytes(out), recon
+
+
+def _dct_prog_arith_encode_frame(planes, w, h, channels, qt_nat,
+                                 restart_interval, differential,
+                                 lo, up, kx, successive=False):
+    """QM twin of :func:`_dct_prog_encode_frame` (SOF10 base / SOF14
+    differential): same scan script over the F.1.4.4 models —
+    statistics and the coder reset per scan and per restart interval,
+    DC refinement is one fixed-bin bit per block.  Returns
+    ``(scan_bytes, recon)``; uses DC conditioning table 0 and AC
+    conditioning table 0 (the frame preamble's DAC)."""
+    rows, mcus_x, mcus_y = _dct_prog_quantize(
+        planes, w, h, channels, qt_nat, differential
+    )
+    n_units = mcus_x * mcus_y
+    qarr = qt_nat.reshape(8, 8).astype(np.float64)
+    al0 = 1 if successive else 0
+    ri = restart_interval
+    out = bytearray()
+
+    def sos(ncomp, first_comp, ss, se, ah, al):
+        o = bytearray(b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp,
+                                                ncomp))
+        for c in range(first_comp, first_comp + ncomp):
+            o += bytes([c + 1, 0x00])
+        o += bytes([ss, se, (ah << 4) | al])
+        return o
+
+    def rst_marker(entropy, enc, n):
+        entropy += enc.finish()
+        entropy += bytes([0xFF, 0xD0 + (n & 7)])
+
+    # DC first scan — interleaved
+    out += sos(channels, 0, 0, 0, 0, al0)
+    entropy = bytearray()
+    enc = _QMEncoder()
+    dc_stats = bytearray(64)
+    pred = [0] * channels
+    ctx = [0] * channels
+    rst_count = 0
+    for m in range(n_units):
+        if ri and m and m % ri == 0:
+            rst_marker(entropy, enc, rst_count)
+            rst_count += 1
+            enc = _QMEncoder()
+            dc_stats = bytearray(64)
+            pred = [0] * channels
+            ctx = [0] * channels
+        for c in range(channels):
+            dc = int(rows[c][m, 0]) >> al0
+            if differential:
+                diff = dc  # PRED = 0 per block
+            else:
+                diff = dc - pred[c]
+                pred[c] = dc
+            ctx[c] = _arith_encode_dc(enc, dc_stats, diff, ctx[c], lo, up)
+    entropy += enc.finish()
+    out += entropy
+
+    # AC first scan per component
+    for c in range(channels):
+        out += sos(1, c, 1, 63, 0, al0)
+        entropy = bytearray()
+        enc = _QMEncoder()
+        ac_stats = bytearray(256)
+        rst_count = 0
+        for m in range(n_units):
+            if ri and m and m % ri == 0:
+                rst_marker(entropy, enc, rst_count)
+                rst_count += 1
+                enc = _QMEncoder()
+                ac_stats = bytearray(256)
+            _arith_encode_ac(
+                enc, ac_stats, [int(v) for v in rows[c][m]], kx, 1, 63,
+                al0,
+            )
+        entropy += enc.finish()
+        out += entropy
+
+    if successive:
+        # DC refinement — one fixed-bin bit per block
+        out += sos(channels, 0, 0, 0, 1, 0)
+        entropy = bytearray()
+        enc = _QMEncoder()
+        rst_count = 0
+        for m in range(n_units):
+            if ri and m and m % ri == 0:
+                rst_marker(entropy, enc, rst_count)
+                rst_count += 1
+                enc = _QMEncoder()
+            for c in range(channels):
+                enc.encode_fixed(int(rows[c][m, 0]) & 1)
+        entropy += enc.finish()
+        out += entropy
+        # AC refinement per component
+        for c in range(channels):
+            out += sos(1, c, 1, 63, 1, 0)
+            entropy = bytearray()
+            enc = _QMEncoder()
+            ac_stats = bytearray(256)
+            rst_count = 0
+            for m in range(n_units):
+                if ri and m and m % ri == 0:
+                    rst_marker(entropy, enc, rst_count)
+                    rst_count += 1
+                    enc = _QMEncoder()
+                    ac_stats = bytearray(256)
+                _arith_encode_ac_refine(
+                    enc, ac_stats, rows[c][m], 1, 63, 1, 0
+                )
+            entropy += enc.finish()
+            out += entropy
+
+    recon = [
+        _dct_rows_to_plane(rows[c], qarr, mcus_x, mcus_y, h, w,
+                           differential)
+        for c in range(channels)
+    ]
+    return bytes(out), recon
+
+
 def _decode_jpeg_hierarchical(b: bytes, pos: int):
     """Hierarchical stream walk (``pos`` ON the DHP marker): frames +
     EXP expansions until the reference reaches the DHP's full
@@ -2870,7 +3196,7 @@ def _decode_jpeg_hierarchical(b: bytes, pos: int):
     refs = None  # per-component value planes at the current resolution
     ref_w = ref_h = 0
     frame = None
-    differential = f_arith = f_dct = False
+    differential = f_arith = f_dct = f_prog = False
     while pos < len(b) - 1:
         if b[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -2941,11 +3267,13 @@ def _decode_jpeg_hierarchical(b: bytes, pos: int):
                 raise ValueError(f"invalid EXP nibbles {eh}/{ev}")
             refs = [_exp_upsample(rp, eh, ev) for rp in refs]
             ref_h, ref_w = len(refs[0]), len(refs[0][0])
-        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD,
-                        0xCF):
-            differential = marker in (0xC5, 0xC7, 0xCD, 0xCF)
-            f_arith = marker in (0xC9, 0xCB, 0xCD, 0xCF)
-            f_dct = marker in (0xC0, 0xC1, 0xC5, 0xC9, 0xCD)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            differential = marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF)
+            f_arith = marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+            f_dct = marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC9, 0xCA,
+                               0xCD, 0xCE)
+            f_prog = marker in (0xC2, 0xC6, 0xCA, 0xCE)
             if f_dct and prec != 8:
                 raise NotImplementedError(
                     "hierarchical DCT frames at precision != 8"
@@ -2968,15 +3296,29 @@ def _decode_jpeg_hierarchical(b: bytes, pos: int):
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
             frame = (h2, w2, comps)
-        elif marker in (0xC2, 0xC6, 0xCA, 0xCE):
-            raise NotImplementedError(
-                f"hierarchical progressive frame SOF{marker - 0xC0}"
-            )
-        elif marker == 0xDA:  # SOS — decode one frame's scan
+        elif marker == 0xDA:  # SOS — decode one frame's scan(s)
             if frame is None:
                 raise ValueError("SOS before SOF in hierarchical stream")
             h2, w2, _comps = frame
-            if f_dct and f_arith:
+            if f_prog:
+                # progressive frame (SOF2/SOF10 base, SOF6/SOF14
+                # differential): the frame-scoped walker consumes ALL
+                # of this frame's scans (incl. inter-scan DHT/DAC/DRI)
+                # and stops at the next frame's preamble
+                if f_arith:
+                    planes, end = _decode_jpeg_arith_progressive(
+                        b, pos - 2, qtabs, dac_dc, dac_ac, frame,
+                        restart_interval, differential=differential,
+                        frame_scoped=True,
+                    )
+                else:
+                    planes, end = _decode_jpeg_progressive(
+                        b, pos - 2, qtabs, huff_fast, frame,
+                        restart_interval, differential=differential,
+                        frame_scoped=True,
+                    )
+                al = 0
+            elif f_dct and f_arith:
                 planes, end = _dct_arith_scan_planes(
                     b, pos - 2, qtabs, dac_dc, dac_ac, frame,
                     restart_interval, differential,
@@ -3080,6 +3422,7 @@ def encode_jpeg_hierarchical(
     predictor: int = 1, precision: int = 8, restart_interval: int = 0,
     arith: bool = False, dc_cond: tuple[int, int] = (0, 1),
     dct_quality: int | None = None, dct_base: bool = False,
+    progressive: bool = False, successive: bool = False,
 ) -> bytes:
     """Hierarchical JPEG encoder (DHP + frames + EXP expansions) —
     fixture twin of ``_decode_jpeg_hierarchical``.  The pyramid
@@ -3099,7 +3442,16 @@ def encode_jpeg_hierarchical(
     encoder closes the loop through the decoder's own reconstruction
     (:func:`_dct_rows_to_plane`), so the overall decode is STILL
     bit-exact — the lossy frames only shape how much residual the
-    final lossless frame carries."""
+    final lossless frame carries.
+
+    ``progressive=True`` (round 16; requires ``dct_quality``) makes
+    every DCT frame PROGRESSIVE — differential middles become SOF6
+    (Huffman) / SOF14 (arithmetic) multi-scan frames, a ``dct_base``
+    base becomes SOF2 / SOF10 inside the DHP stream; ``successive``
+    adds the successive-approximation axis (first scans at Al=1, then
+    DC/AC refinement scans).  The scan script only reorders coefficient
+    delivery, so the closed-loop guarantee is unchanged — decode is
+    still bit-exact."""
     samples = list(samples)
     if len(samples) != width * height * channels:
         raise ValueError("samples length != width*height*channels")
@@ -3118,6 +3470,10 @@ def encode_jpeg_hierarchical(
         raise ValueError("dct_quality requires precision 8")
     if dct_base and dct_quality is None:
         raise ValueError("dct_base requires dct_quality")
+    if progressive and dct_quality is None:
+        raise ValueError("progressive requires dct_quality")
+    if successive and not progressive:
+        raise ValueError("successive requires progressive")
     full = [
         [
             [samples[(y * width + x) * channels + c] for x in range(width)]
@@ -3172,6 +3528,11 @@ def encode_jpeg_hierarchical(
         dct_dht += b"\xff\xc4" + struct.pack(
             ">H", 2 + 1 + 16 + len(vals)
         ) + bytes([tid]) + bytes(bits) + bytes(vals)
+    prog_dht = bytearray()
+    for tid, (bits, vals) in ((0x00, DC_LUM), (0x10, PROG_AC)):
+        prog_dht += b"\xff\xc4" + struct.pack(
+            ">H", 2 + 1 + 16 + len(vals)
+        ) + bytes([tid]) + bytes(bits) + bytes(vals)
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xde" + struct.pack(
@@ -3221,10 +3582,27 @@ def encode_jpeg_hierarchical(
                 for pp, rp in zip(planes, ref)
             ]
         if use_dct:
-            if not arith and cur_dht != "dct":
-                out += dct_dht
-                cur_dht = "dct"
+            dht_kind = "prog" if progressive else "dct"
+            if not arith and cur_dht != dht_kind:
+                out += prog_dht if progressive else dct_dht
+                cur_dht = dht_kind
             if base:
+                if progressive:
+                    if arith:
+                        scans, recon = _dct_prog_arith_encode_frame(
+                            planes, w, h, channels, qt, restart_interval,
+                            False, lo, up, 5, successive,
+                        )
+                        out += sof(0xCA, w, h)  # SOF10 inside DHP
+                    else:
+                        scans, recon = _dct_prog_encode_frame(
+                            planes, w, h, channels, qt, restart_interval,
+                            False, successive,
+                        )
+                        out += sof(0xC2, w, h)  # SOF2 inside DHP
+                    out += scans
+                    ref = recon
+                    continue
                 if arith:
                     entropy, recon = _dct_arith_encode_scan(
                         planes, w, h, channels, qt, restart_interval,
@@ -3248,17 +3626,33 @@ def encode_jpeg_hierarchical(
                     ]
                     for dp in diffs
                 ]
-                if arith:
+                if progressive:
+                    if arith:
+                        entropy, recon = _dct_prog_arith_encode_frame(
+                            sdiffs, w, h, channels, qt, restart_interval,
+                            True, lo, up, 5, successive,
+                        )
+                        out += sof(0xCE, w, h)  # SOF14
+                    else:
+                        entropy, recon = _dct_prog_encode_frame(
+                            sdiffs, w, h, channels, qt, restart_interval,
+                            True, successive,
+                        )
+                        out += sof(0xC6, w, h)  # SOF6
+                    # scan bytes already carry their SOS headers
+                elif arith:
                     entropy, recon = _dct_arith_encode_scan(
                         sdiffs, w, h, channels, qt, restart_interval,
                         True, lo, up, 5,
                     )
+                    out += sof(0xCD, w, h)
+                    out += sos(0)
                 else:
                     entropy, recon = _dct_encode_scan(
                         sdiffs, w, h, channels, qt, restart_interval, True
                     )
-                out += sof(0xCD if arith else 0xC5, w, h)
-                out += sos(0)
+                    out += sof(0xC5, w, h)
+                    out += sos(0)
                 out += entropy
                 ref = [
                     [
@@ -4559,7 +4953,8 @@ def encode_jpeg_arith_progressive(
 
 
 def _decode_jpeg_arith_progressive(
-    b, pos, qtabs, dac_dc, dac_ac, frame, restart_interval, precision=8
+    b, pos, qtabs, dac_dc, dac_ac, frame, restart_interval, precision=8,
+    differential=False, frame_scoped=False,
 ):
     """Multi-scan decode loop for SOF10 (progressive arithmetic):
     the SOF2 walker's grid/scan conventions (interleaved scans walk
@@ -4569,7 +4964,14 @@ def _decode_jpeg_arith_progressive(
     first (band + point transform) and AC refine (kex-gated EOB
     decisions, correction bits, fixed-bin signs).  Statistics reset
     per scan and per restart interval; DAC/DRI may be redefined
-    between scans.  ``pos`` points at the first SOS marker."""
+    between scans.  ``pos`` points at the first SOS marker.
+
+    ``frame_scoped``/``differential`` are the hierarchical-frame mode
+    (SOF10 base / SOF14 differential inside a DHP stream) — same
+    contract as :func:`_decode_jpeg_progressive`: stop at the first
+    marker that is not DAC/DRI/SOS, return ``(planes, stop_pos)``
+    through :func:`_dct_rows_to_plane`, DC coded with PRED = 0 when
+    differential (J.1.1.5)."""
     h, w, comps = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -4645,8 +5047,11 @@ def _decode_jpeg_arith_progressive(
                 diff, state["ctx"][cs] = _arith_decode_dc(
                     dec, state["dc"][td], state["ctx"][cs], lo, up
                 )
-                state["pred"][cs] += diff
-                zz[0] = state["pred"][cs] << al
+                if differential:
+                    zz[0] = diff << al  # PRED = 0
+                else:
+                    state["pred"][cs] += diff
+                    zz[0] = state["pred"][cs] << al
                 seen_dc.add(cs)
             elif ss == 0:  # DC refinement: one fixed-bin bit
                 if dec.decode_fixed():
@@ -4673,6 +5078,10 @@ def _decode_jpeg_arith_progressive(
             raise ValueError(f"expected marker at {pos}")
         marker = b[pos + 1]
         pos += 2
+        if frame_scoped and marker not in (0xCC, 0xDA, 0xDD):
+            # end of this frame's scans — hand back to the DHP walk
+            pos -= 2
+            break
         if marker == 0xD9:  # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
@@ -4717,6 +5126,22 @@ def _decode_jpeg_arith_progressive(
 
     if any(c["id"] not in seen_dc for c in comps):
         raise ValueError("progressive JPEG missing a DC scan")
+    if frame_scoped:
+        if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+            raise NotImplementedError(
+                "hierarchical DCT frame with subsampling"
+            )
+        planes = []
+        for c in comps:
+            qt = qtabs.get(c["tq"])
+            if qt is None:
+                raise ValueError("missing quant table")
+            planes.append(_dct_rows_to_plane(
+                coefs[c["id"]].reshape(-1, 64).astype(np.float64),
+                qt.astype(np.float64), mcus_x, mcus_y, h, w,
+                differential,
+            ))
+        return planes, pos
     # reconstruct — same batched pass as the SOF2 walker
     planes = []
     for c in comps:

@@ -1722,12 +1722,11 @@ def decode_real(payload: bytes):
     progressive — both axes, any sampling factors, restart intervals;
     8-bit; 12-bit baseline grayscale; SOF3 lossless with all seven
     predictors; SOF9/SOF10 arithmetic via the T.81 QM coder; SOF11
-    lossless-arithmetic and hierarchical DHP streams, both round 16)
-    is decoded by the stdlib+numpy codec in :mod:`.jpeg`, returning
-    ``("jpeg", width, height, channels, pixel_bytes)``.  The remaining
-    hierarchical-progressive variants (SOF6/SOF14) raise
-    ``NotImplementedError`` (format guards inside a real decoder, not
-    stubs)."""
+    lossless-arithmetic and hierarchical DHP streams incl. the
+    progressive frame kinds SOF6/SOF14 and SOF2/SOF10-as-base, all
+    round 16) is decoded by the stdlib+numpy codec in :mod:`.jpeg`,
+    returning ``("jpeg", width, height, channels, pixel_bytes)`` —
+    every T.81 frame type now decodes."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return ("png", *decode_png_pixels(payload))
     if payload[:6] in (b"GIF87a", b"GIF89a"):

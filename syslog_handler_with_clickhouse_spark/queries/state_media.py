@@ -5454,3 +5454,92 @@ def q473(spark, sf_dir):
         (F.col("val_min") / 255).cast("bigint").alias("min_bit_inv"),
         (F.col("val_max") / 255).cast("bigint").alias("max_bit_inv"),
     )
+
+
+@query(
+    "q474_jpeg_hierarchical_progressive",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 19) + 6 AS w,
+             (doc_id % 11) + 5 AS h,
+             1 + 2 * (doc_id % 2) AS c
+      FROM documents WHERE doc_id % 23 = 3
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h, d.c,
+             (d.doc_id * 11 + 5 * t.k) % 256 AS v
+      FROM d, LATERAL (
+        SELECT unnest(range(0, d.w * d.h * d.c)) AS k
+      ) t
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(c AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS BIGINT) AS px_min,
+           CAST(MAX(v) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id, w, h, c
+    """,
+)
+def q474(spark, sf_dir):
+    """PROGRESSIVE hierarchical JPEG (round 16 — the last T.81 frame
+    kinds: SOF6/SOF14 progressive differentials and SOF2/SOF10 as a
+    DHP base, `operators/jpeg.encode_jpeg_hierarchical(progressive=)`
+    / the frame-scoped progressive walkers) through the Spark decode
+    seam (`multimodal.decode_assets`, the q472 pattern): each asset is
+    a 3-level DHP pyramid whose DCT frames are MULTI-SCAN progressive
+    — Huffman (SOF6) on even doc_ids, QM arithmetic (SOF14) on odd,
+    the successive-approximation axis on doc_id % 3 == 0, SOF2/SOF10
+    as the base frame on doc_id % 5 == 0 — all with a lossless final
+    frame, so every variant reconstructs exactly and the oracle is the
+    closed-form pixel formula.  No third-party Annex-J implementation
+    exists in this container (libjpeg-turbo refusal-pinned in
+    tests/test_jpeg_hierarchical.py); the flat SOF2/SOF10 walkers are
+    the in-repo differential (tests pin a DHP-wrapped SOF2 base
+    bit-equal to the flat SOF2 decode)."""
+    import pandas as pd
+
+    from ..operators.jpeg import encode_jpeg_hierarchical
+    from ..operators.multimodal import decode_assets
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 3)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 19 + 6, d % 11 + 5
+                c = 1 + 2 * (d % 2)
+                vals = [(d * 11 + 5 * k) % 256 for k in range(w * h * c)]
+                payloads.append(
+                    encode_jpeg_hierarchical(
+                        vals, w, h, c, levels=3,
+                        dct_quality=60 + d % 31,
+                        progressive=True,
+                        arith=(d % 2 == 1),
+                        successive=(d % 3 == 0),
+                        dct_base=(d % 5 == 0),
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    return decode_assets(assets).select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("px_sum"),
+        F.col("val_min").cast("bigint").alias("px_min"),
+        F.col("val_max").cast("bigint").alias("px_max"),
+    )

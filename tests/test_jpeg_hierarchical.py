@@ -137,18 +137,16 @@ def test_differential_frame_outside_dhp_rejected():
             decode_jpeg_pixels(bytes(b))
 
 
-def test_progressive_frames_inside_dhp_stay_loud():
+def test_relabelled_differential_frames_are_corrupt_not_unsupported():
+    """Round 16 closed the SOF6/SOF14 guard: every differential DCT
+    frame kind (sequential SOF5/SOF13 AND progressive SOF6/SOF14) is
+    now supported, so relabelling the lossless BASE frame as one is
+    structurally corrupt — a differential frame before any reference —
+    not a NotImplementedError."""
     b = bytearray(encode_jpeg_hierarchical(_img(8, 8), 8, 8, 1, levels=2))
     i = bytes(b).find(b"\xff\xc3")
     assert i > 0
-    # progressive hierarchical frames remain the format guards
-    for marker, name in ((0xC6, "SOF6"), (0xCE, "SOF14")):
-        b[i + 1] = marker
-        with pytest.raises(NotImplementedError, match=name):
-            decode_jpeg_pixels(bytes(b))
-    # a differential DCT frame (SOF5/SOF13, supported) before any
-    # reference frame is structurally corrupt, not unsupported
-    for marker in (0xC5, 0xCD):
+    for marker in (0xC5, 0xCD, 0xC6, 0xCE):
         b[i + 1] = marker
         with pytest.raises(ValueError, match="before any reference"):
             decode_jpeg_pixels(bytes(b))
@@ -255,3 +253,102 @@ def test_probe_media_reports_full_resolution():
 
     b = encode_jpeg_hierarchical(_img(21, 17), 21, 17, 1, levels=3)
     assert probe_media(b) == ("jpeg", 21, 17, None, None)
+
+
+# -- progressive frames inside DHP (SOF2/SOF6/SOF10/SOF14, round 16) --
+
+
+@pytest.mark.parametrize("arith", [False, True])
+@pytest.mark.parametrize("successive", [False, True])
+def test_progressive_differential_roundtrip(arith, successive):
+    """SOF6 (Huffman) / SOF14 (arithmetic) progressive differential
+    middles with a lossless final frame: the scan script only reorders
+    coefficient delivery, so the closed-loop guarantee holds — decode
+    is bit-exact, in both entropy layers, with and without the
+    successive-approximation axis."""
+    for (w, h, c, seed) in [(21, 13, 1, 1), (16, 16, 3, 2), (7, 5, 1, 3),
+                            (33, 9, 3, 4)]:
+        img = _img(w, h, c=c, seed=seed)
+        b = encode_jpeg_hierarchical(
+            img, w, h, c, levels=3, dct_quality=70,
+            progressive=True, successive=successive, arith=arith,
+        )
+        assert decode_jpeg_pixels(b) == (w, h, c, bytes(img))
+        ms = _markers(b)
+        assert ms.count(0xCE if arith else 0xC6) == 1  # one middle
+        # base stays lossless (SOF3/SOF11), final lossless differential
+        assert ms.count(0xCB if arith else 0xC3) == 1
+        assert ms.count(0xCF if arith else 0xC7) == 1
+
+
+@pytest.mark.parametrize("arith", [False, True])
+def test_progressive_dct_base_inside_dhp(arith):
+    """dct_base + progressive: the base frame is SOF2/SOF10 INSIDE the
+    DHP stream — previously a loud guard, now a supported frame."""
+    w, h = 24, 17
+    img = _img(w, h, seed=9)
+    b = encode_jpeg_hierarchical(
+        img, w, h, 1, levels=3, dct_quality=70,
+        progressive=True, dct_base=True, arith=arith,
+    )
+    assert decode_jpeg_pixels(b) == (w, h, 1, bytes(img))
+    ms = _markers(b)
+    assert ms.count(0xCA if arith else 0xC2) == 1  # progressive base
+    assert ms.count(0xCE if arith else 0xC6) == 1  # progressive middle
+    assert ms.count(0xCF if arith else 0xC7) == 1  # lossless final
+
+
+@pytest.mark.parametrize("arith", [False, True])
+def test_progressive_restart_intervals(arith):
+    """RSTn inside every progressive scan kind (DC/AC first and the
+    refinement scans): per-scan modulo-8 counts, predictor/EOB-run and
+    QM statistics resets."""
+    w, h = 29, 23
+    img = _img(w, h, c=3, seed=11)
+    b = encode_jpeg_hierarchical(
+        img, w, h, 3, levels=3, dct_quality=60, progressive=True,
+        successive=True, restart_interval=3, arith=arith,
+    )
+    assert decode_jpeg_pixels(b) == (w, h, 3, bytes(img))
+
+
+def test_successive_scan_census():
+    """A successive progressive frame carries 2(1+channels) scans: DC
+    first + per-component AC first + DC refine + per-component AC
+    refine; the whole 3-level gray pyramid then holds 1 (base SOS) +
+    4 (SOF6 frame) + 1 (final SOS) SOS markers."""
+    img = _img(16, 16, seed=13)
+    b = encode_jpeg_hierarchical(
+        img, 16, 16, 1, levels=3, dct_quality=70,
+        progressive=True, successive=True,
+    )
+    assert _markers(b).count(0xDA) == 6
+
+
+def test_sof2_in_dhp_decode_equals_flat_progressive():
+    """A single-frame DHP pyramid whose base is SOF2 at quality q must
+    decode bit-identically to the FLAT SOF2 stream of the same pixels
+    at the same quality — same quantizer, same coefficients, same
+    reconstruction path."""
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    w, h = 24, 17
+    img = _img(w, h, seed=15)
+    hier = encode_jpeg_hierarchical(
+        img, w, h, 1, levels=1, dct_quality=70,
+        progressive=True, dct_base=True,
+    )
+    flat = encode_jpeg_progressive(bytes(img), w, h, 1, quality=70)
+    assert decode_jpeg_pixels(hier) == decode_jpeg_pixels(flat)
+
+
+def test_progressive_validation():
+    img = _img(8, 8)
+    with pytest.raises(ValueError, match="progressive requires"):
+        encode_jpeg_hierarchical(img, 8, 8, 1, progressive=True)
+    with pytest.raises(ValueError, match="successive requires"):
+        encode_jpeg_hierarchical(
+            img, 8, 8, 1, dct_quality=70, successive=True
+        )
