@@ -2943,17 +2943,14 @@ def decode_tiff_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         if photometric not in (1, 2, 6) or bits[0] != 8 or predictor != 1:
             raise NotImplementedError("JPEG-in-TIFF variant unsupported")
         if 322 in tags or 323 in tags:
-            if planar == 2 and photometric != 2:
-                # planar YCbCr tiles carry per-plane subsampled grids
-                # (chroma planes have their own tile counts) — loud
-                # until a real producer motivates it; planar RGB
-                # (round 15) decodes below
+            subs = tags.get(530, [2, 2])
+            if len(subs) != 2 or any(s not in (1, 2, 4) for s in subs):
                 raise NotImplementedError(
-                    "tiled JPEG-in-TIFF with planar configuration 2 "
-                    "and YCbCr photometric"
+                    f"TIFF YCbCr subsampling {subs}"
                 )
             return _decode_tiff_jpeg_tiled(
-                b, tags, one, w, h, spp, photometric, planar=planar
+                b, tags, one, w, h, spp, photometric, planar=planar,
+                subsampling=(subs[0], subs[1]),
             )
         return _decode_tiff_jpeg(b, tags, one, w, h, spp, photometric)
     if compression not in (1, 5, 8, 32773, 32946):
@@ -3953,7 +3950,8 @@ def _jpeg_tables_mid(tags) -> bytes:
 
 
 def _decode_tiff_jpeg_tiled(b: bytes, tags, one, w: int, h: int, spp: int,
-                            photometric: int, planar: int = 1):
+                            photometric: int, planar: int = 1,
+                            subsampling: tuple = (2, 2)):
     """Tiled new-style JPEG-in-TIFF (round 14): tags 322-325, each tile
     an abbreviated (or self-contained) JPEG stream of the FULL tile
     size (edge tiles padded, TIFF §15), optional shared JPEGTables.
@@ -3964,7 +3962,18 @@ def _decode_tiff_jpeg_tiled(b: bytes, tags, one, w: int, h: int, spp: int,
     libtiff-interop-verified): PLANARCONFIG_SEPARATE with JPEG tiles —
     ta·td single-component JPEG streams per plane, plane-major (the
     libtiff writer's layout for photometric-2 RGB), each decoded as
-    grayscale and blitted into its channel lane."""
+    grayscale and blitted into its channel lane.
+
+    Round 16 closes the planar-YCbCr guard: with ``planar=2`` AND
+    photometric 6, the chroma planes are SUBSAMPLED — plane dims
+    ceil(w/hs) × ceil(h/vs) from tag 530 (default 2,2), each plane
+    tiled on the SAME ta×td grid as luma but with chroma tiles
+    ceil(tw/hs) × ceil(th/vs) (the libtiff writer's layout, probed
+    from its own output: full-grid plane-major numbering, 16×8
+    single-component streams for 32×16 tiles at 2,2).  The assembled
+    chroma planes are replication-upsampled and converted through the
+    JPEG codec's own BT.601 matrix — the same convention its in-stream
+    4:2:0 path applies."""
     from .jpeg import decode_jpeg_pixels
 
     tw, th = one(322), one(323)
@@ -3983,6 +3992,15 @@ def _decode_tiff_jpeg_tiled(b: bytes, tags, one, w: int, h: int, spp: int,
     if len(offsets) != ta * td * (channels if planar == 2 else 1):
         raise ValueError("TIFF tile count inconsistent")
     mid = _jpeg_tables_mid(tags)
+    sep_ycc = planar == 2 and photometric == 6
+    if sep_ycc:
+        hs, vs = subsampling
+        # per-plane dims and tile dims: luma full-size, chroma ceil'd
+        pdims = [(w, h), (-(-w // hs), -(-h // vs)),
+                 (-(-w // hs), -(-h // vs))]
+        tdims = [(tw, th), (-(-tw // hs), -(-th // vs)),
+                 (-(-tw // hs), -(-th // vs))]
+        planes = [bytearray(pw * ph) for pw, ph in pdims]
     out = bytearray(w * h * channels)
     for ti, (so, sc) in enumerate(zip(offsets, counts)):
         tile = b[so : so + sc]
@@ -3992,12 +4010,24 @@ def _decode_tiff_jpeg_tiled(b: bytes, tags, one, w: int, h: int, spp: int,
             raise ValueError("JPEG-in-TIFF tile missing SOI")
         merged = b"\xff\xd8" + mid + tile[2:]
         sw, sh, scc, px = decode_jpeg_pixels(merged)
-        if sw != tw or sh != th or scc != tile_ch:
+        plane_c, grid_i = divmod(ti, ta * td) if planar == 2 else (0, ti)
+        etw, eth = (tdims[plane_c] if sep_ycc else (tw, th))
+        if sw != etw or sh != eth or scc != tile_ch:
             raise ValueError(
                 f"JPEG-in-TIFF tile {ti} decodes {sw}x{sh}x{scc}, "
-                f"expected {tw}x{th}x{tile_ch}"
+                f"expected {etw}x{eth}x{tile_ch}"
             )
-        plane_c, grid_i = divmod(ti, ta * td) if planar == 2 else (0, ti)
+        if sep_ycc:
+            pw, ph = pdims[plane_c]
+            y0, x0 = (grid_i // ta) * eth, (grid_i % ta) * etw
+            rows = min(eth, ph - y0)
+            cols = min(etw, pw - x0)
+            pl = planes[plane_c]
+            for r in range(rows):
+                src0 = r * etw
+                dst0 = (y0 + r) * pw + x0
+                pl[dst0 : dst0 + cols] = px[src0 : src0 + cols]
+            continue
         ty, tx = divmod(grid_i, ta)
         y0, x0 = ty * th, tx * tw
         rows = min(th, h - y0)
@@ -4019,6 +4049,26 @@ def _decode_tiff_jpeg_tiled(b: bytes, tags, one, w: int, h: int, spp: int,
                 out[dst : dst + cols * channels] = px[
                     src : src + cols * channels
                 ]
+    if sep_ycc:
+        import numpy as np
+
+        from .jpeg import ycbcr_to_rgb
+
+        yp = np.frombuffer(bytes(planes[0]), dtype=np.uint8).reshape(
+            h, w
+        ).astype(np.float64)
+        full = [yp]
+        for pc in (1, 2):
+            pw, ph = pdims[pc]
+            cp = np.frombuffer(bytes(planes[pc]), dtype=np.uint8).reshape(
+                ph, pw
+            ).astype(np.float64)
+            cp = np.repeat(np.repeat(cp, vs, axis=0), hs, axis=1)
+            full.append(cp[:h, :w])
+        rgb = ycbcr_to_rgb(np.stack(full, axis=-1))
+        return w, h, 3, np.clip(
+            np.round(rgb), 0, 255
+        ).astype(np.uint8).tobytes()
     return w, h, channels, bytes(out)
 
 
@@ -4074,7 +4124,7 @@ def encode_tiff_jpeg(
     quality: int = 90, rows_per_strip: int = 8,
     shared_tables: bool = False, subsample: bool = False,
     photometric_rgb: bool = False, tile: tuple | None = None,
-    planar: bool = False,
+    planar: bool = False, ycbcr_subsampling: tuple = (2, 2),
 ) -> bytes:
     """JPEG-in-TIFF builder (fixture twin of :func:`_decode_tiff_jpeg`
     / :func:`_decode_tiff_jpeg_tiled`): each strip — or, with
@@ -4085,9 +4135,16 @@ def encode_tiff_jpeg(
     form real writers emit.  ``photometric_rgb=True`` (3-channel)
     writes photometric 2 with untransformed 'R','G','B'-component
     streams (the libtiff JPEGCOLORMODE-off form).  ``planar=True``
-    (round 15, requires photometric_rgb + tile) writes
-    PLANARCONFIG_SEPARATE: ta·td single-component grayscale streams
-    per plane, plane-major — the libtiff planar-JPEG layout."""
+    (round 15, requires tile) writes PLANARCONFIG_SEPARATE: ta·td
+    single-component grayscale streams per plane, plane-major — the
+    libtiff planar-JPEG layout.  ``planar`` WITHOUT ``photometric_rgb``
+    (round 16, 3-channel) writes the separated-YCbCr form: RGB is
+    converted through the JPEG codec's BT.601 matrix, chroma planes
+    box-mean-downsampled by ``ycbcr_subsampling`` (tag 530, default
+    2,2) to ceil(w/hs) × ceil(h/vs), and each plane tiled on the SAME
+    ta×td grid with chroma tiles ceil(tw/hs) × ceil(th/vs) — the
+    layout the libtiff writer itself produces (probed from its
+    output)."""
     import struct
 
     from .jpeg import encode_jpeg
@@ -4095,9 +4152,16 @@ def encode_tiff_jpeg(
     assert channels in (1, 3) and len(pixels) == w * h * channels
     if photometric_rgb and (channels != 3 or subsample):
         raise ValueError("photometric_rgb requires 3 channels, 4:4:4")
-    if planar and (not photometric_rgb or tile is None):
-        raise ValueError("planar JPEG-in-TIFF requires photometric_rgb "
-                         "and a tile layout")
+    if planar and tile is None:
+        raise ValueError("planar JPEG-in-TIFF requires a tile layout")
+    planar_ycc = planar and not photometric_rgb
+    if planar_ycc and channels != 3:
+        raise ValueError("planar YCbCr JPEG-in-TIFF requires 3 channels")
+    hs, vs = ycbcr_subsampling
+    if planar_ycc and (hs not in (1, 2, 4) or vs not in (1, 2, 4)):
+        raise ValueError(
+            f"invalid YCbCr subsampling {ycbcr_subsampling}"
+        )
 
     def enc(seg, sw, sh):
         if planar:
@@ -4106,8 +4170,47 @@ def encode_tiff_jpeg(
                            subsample=subsample,
                            rgb_components=photometric_rgb)
 
+    def _plane_tiles(plane, pw, ph, ptw, pth, ta, td):
+        """Edge-replicated ptw×pth tiles of one plane over a ta×td
+        grid (the LUMA grid count — a trailing chroma tile replicates
+        the plane's last row/col, what a padded writer emits)."""
+        tiles = []
+        for gy in range(td):
+            for gx in range(ta):
+                buf = bytearray(ptw * pth)
+                for r in range(pth):
+                    sy = min(gy * pth + r, ph - 1)
+                    dst = r * ptw
+                    for c in range(ptw):
+                        sx = min(gx * ptw + c, pw - 1)
+                        buf[dst + c] = plane[sy * pw + sx]
+                tiles.append((bytes(buf), ptw, pth))
+        return tiles
+
     segs = []  # (pixel bytes, seg_w, seg_h)
-    if planar:
+    if planar_ycc:
+        import numpy as np
+
+        from .jpeg import rgb_to_ycbcr
+
+        twd, thd = tile
+        ta, td = -(-w // twd), -(-h // thd)
+        rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(
+            h, w, 3
+        ).astype(np.float64)
+        ycc = np.clip(np.round(rgb_to_ycbcr(rgb)), 0, 255).astype(np.uint8)
+        cw, ch2 = -(-w // hs), -(-h // vs)
+        ctw, cth = -(-twd // hs), -(-thd // vs)
+        segs += _plane_tiles(ycc[..., 0].tobytes(), w, h, twd, thd, ta, td)
+        # box-mean chroma downsample on edge-padded planes (the flat
+        # 4:2:0 encoder's convention)
+        for cc in (1, 2):
+            p = np.pad(ycc[..., cc].astype(np.float64),
+                       ((0, ch2 * vs - h), (0, cw * hs - w)), mode="edge")
+            d = p.reshape(ch2, vs, cw, hs).mean(axis=(1, 3))
+            cp = np.clip(np.round(d), 0, 255).astype(np.uint8)
+            segs += _plane_tiles(cp.tobytes(), cw, ch2, ctw, cth, ta, td)
+    elif planar:
         twd, thd = tile
         for s in range(channels):
             for ty in range(0, h, thd):
@@ -4189,6 +4292,8 @@ def encode_tiff_jpeg(
         (259, 3, [7]), (262, 3, [photometric]), (277, 3, [channels]),
         (284, 3, [2 if planar else 1]),
     ]
+    if planar_ycc:
+        entries.append((530, 3, [hs, vs]))
     if tile is not None:
         entries += [
             (322, 4, [tile[0]]), (323, 4, [tile[1]]),

@@ -5543,3 +5543,87 @@ def q474(spark, sf_dir):
         F.col("val_min").cast("bigint").alias("px_min"),
         F.col("val_max").cast("bigint").alias("px_max"),
     )
+
+
+@query(
+    "q475_tiff_separated_ycbcr",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 21) + 6 AS w,
+             (doc_id % 13) + 5 AS h
+      FROM documents WHERE doc_id % 23 = 11
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h,
+             40 + 2 * ((t.k // 3) % d.w) + 3 * ((t.k // 3) // d.w) AS v
+      FROM d, LATERAL (
+        SELECT unnest(range(0, d.w * d.h * 3)) AS k
+      ) t
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS BIGINT) AS px_min,
+           CAST(MAX(v) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def q475(spark, sf_dir):
+    """Tiled SEPARATED-YCbCr JPEG-in-TIFF (round 16 — the r15
+    'planar configuration 2 and YCbCr photometric' guard, closed:
+    `multimodal.encode_tiff_jpeg(planar=True)` /
+    `_decode_tiff_jpeg_tiled(subsampling=)`): chroma planes at
+    ceil(w/hs) × ceil(h/vs) from tag 530, tiled on the luma ta×td grid
+    in ceil(tw/hs) × ceil(th/vs) single-component streams, plane-major
+    — the libtiff writer's own layout (cross-verified both directions
+    in tests/test_tiff_interop.py).  The fixture makes the lossy path
+    EXACT so the oracle is closed-form: a grayscale gradient in RGB
+    (R=G=B → Y is the gradient exactly, Cb=Cr=128 constant — constant
+    planes survive box-downsample/replication-upsample and quantize to
+    pure DC exactly; the q100 linear-gradient luma is bit-exact
+    through the DCT, the q468 precedent).  Subsampling cycles
+    (2,2)/(2,1)/(1,2)/(1,1) with shared JPEGTables on even doc_ids."""
+    import pandas as pd
+
+    from ..operators.multimodal import decode_assets, encode_tiff_jpeg
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 11)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 21 + 6, d % 13 + 5
+                rgb = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        rgb += bytes([40 + 2 * x + 3 * y] * 3)
+                subs = [(2, 2), (2, 1), (1, 2), (1, 1)][d % 4]
+                payloads.append(encode_tiff_jpeg(
+                    bytes(rgb), w, h, 3, quality=100, tile=(16, 16),
+                    planar=True, ycbcr_subsampling=subs,
+                    shared_tables=(d % 2 == 0),
+                ))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    return decode_assets(assets).select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.col("val_sum").cast("bigint").alias("px_sum"),
+        F.col("val_min").cast("bigint").alias("px_min"),
+        F.col("val_max").cast("bigint").alias("px_max"),
+    )

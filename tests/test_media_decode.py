@@ -1637,13 +1637,62 @@ def test_tiff_jpeg_tiled_planar_round_trips():
         assert max(
             abs(a - b) for a, b in zip(out, px)
         ) <= 2
-    # loud guard: planar + YCbCr tiles (per-plane subsampled grids)
+    # round 16 closed the planar-YCbCr guard: relabelling a planar-RGB
+    # file photometric 6 is now structurally CORRUPT — the full-size
+    # "chroma" tiles contradict the (default 2,2) subsampled grid
     blob = encode_tiff_jpeg(px, w, h, 3, quality=95, photometric_rgb=True,
                             tile=(tw, th), planar=True)
     mutated = bytearray(blob)
     i = mutated.find((262).to_bytes(2, "little"))
     mutated[i + 8] = 6  # flip photometric RGB -> YCbCr
-    with pytest.raises(NotImplementedError, match="planar configuration 2"):
+    with pytest.raises(ValueError, match="expected"):
+        decode_tiff_pixels(bytes(mutated))
+
+
+def test_tiff_jpeg_tiled_separated_ycbcr_round_trips():
+    """Round 16: tiled separated-YCbCr JPEG-in-TIFF (planar config 2 +
+    photometric 6 + tag 530 — the r15 guard): chroma planes at
+    ceil(w/hs) × ceil(h/vs), tiled on the luma ta×td grid in
+    ceil(tw/hs) × ceil(th/vs) single-component streams, plane-major.
+    Decode must recover the source within JPEG + subsampling loss at
+    every legal factor pair, both JPEGTables forms; bad subsampling
+    factors stay loud."""
+    import pytest
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        encode_tiff_jpeg,
+    )
+
+    w, h = 37, 29
+    buf = bytearray()
+    for y in range(h):
+        for x in range(w):
+            buf += bytes(((40 + 2 * x + y) % 256, (200 - x - 2 * y) % 256,
+                          (30 + x + 3 * y) % 256))
+    px = bytes(buf)
+    for hs, vs, tol in ((2, 2, 4), (1, 1, 2), (2, 1, 3), (4, 2, 6),
+                        (1, 4, 8)):
+        for shared in (False, True):
+            blob = encode_tiff_jpeg(
+                px, w, h, 3, quality=95, tile=(16, 16), planar=True,
+                ycbcr_subsampling=(hs, vs), shared_tables=shared,
+            )
+            dw, dh, dc, out = decode_tiff_pixels(blob)
+            assert (dw, dh, dc) == (w, h, 3)
+            assert max(abs(a - b) for a, b in zip(out, px)) <= tol, (
+                hs, vs, shared,
+            )
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_tiff_jpeg(px, w, h, 3, tile=(16, 16), planar=True,
+                         ycbcr_subsampling=(3, 2))
+    # a corrupt tag-530 value in the FILE is refused loudly too
+    blob = encode_tiff_jpeg(px, w, h, 3, tile=(16, 16), planar=True)
+    mutated = bytearray(blob)
+    i = mutated.find((530).to_bytes(2, "little"))
+    assert i > 0
+    mutated[i + 8] = 3
+    with pytest.raises(NotImplementedError, match="subsampling"):
         decode_tiff_pixels(bytes(mutated))
 
 

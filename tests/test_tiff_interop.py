@@ -71,6 +71,61 @@ if mode == "readtiles":
         out.append(buf.raw)
     lt.TIFFClose(t)
     print(base64.b64encode(b"".join(out)).decode())
+elif mode == "writepycc":
+    # separated-YCbCr JPEG tiles: stdin = Y plane (w*h) + Cb + Cr
+    # (ceil(w/hs)*ceil(h/vs) each); chroma tile input buffers use
+    # libtiff's tile row stride (tw bytes/row, first ceil(tw/hs)
+    # meaningful) — probed from its write expectations
+    (out, w, h, tw, th, hs, vs) = (
+        sys.argv[2], *(int(x) for x in sys.argv[3:9]))
+    data = base64.b64decode(sys.stdin.buffer.read())
+    cw, ch = -(-w // hs), -(-h // vs)
+    ctw, cth = -(-tw // hs), -(-th // vs)
+    planes = [
+        (data[: w * h], w, h, tw, th, tw * th),
+        (data[w * h : w * h + cw * ch], cw, ch, ctw, cth, tw * cth),
+        (data[w * h + cw * ch :], cw, ch, ctw, cth, tw * cth),
+    ]
+    tif = lt.TIFFOpen(out.encode(), b"w")
+    assert tif, "TIFFOpen(w) failed"
+    t = ctypes.c_void_p(tif)
+
+    def seti(tag, *vals):
+        assert lt.TIFFSetField(t, ctypes.c_uint32(tag),
+                               *[ctypes.c_int(v) for v in vals])
+
+    seti(TAG["width"], w)
+    seti(TAG["length"], h)
+    seti(TAG["bits"], 8)
+    seti(TAG["spp"], 3)
+    seti(TAG["photometric"], 6)
+    seti(TAG["planar"], 2)
+    seti(TAG["compression"], 7)
+    seti(530, hs, vs)
+    seti(TAG["tile_w"], tw)
+    seti(TAG["tile_h"], th)
+    seti(65537, 95)  # JPEGQUALITY pseudo-tag
+    lt.TIFFWriteEncodedTile.restype = ctypes.c_ssize_t
+    ta = (w + tw - 1) // tw
+    td = (h + th - 1) // th
+    ti = 0
+    for pl, pw, ph, ptw, pth, nbytes in planes:
+        stride = nbytes // pth
+        for gy in range(td):
+            for gx in range(ta):
+                buf = bytearray(nbytes)
+                for r in range(pth):
+                    sy = min(gy * pth + r, ph - 1)
+                    for c in range(ptw):
+                        sx = min(gx * ptw + c, pw - 1)
+                        buf[r * stride + c] = pl[sy * pw + sx]
+                cb = ctypes.create_string_buffer(bytes(buf), nbytes)
+                r = lt.TIFFWriteEncodedTile(t, ctypes.c_uint32(ti), cb,
+                                            ctypes.c_ssize_t(nbytes))
+                assert r == nbytes, ("WriteEncodedTile", ti, r)
+                ti += 1
+    lt.TIFFClose(t)
+    print("ok")
 elif mode == "read":
     tif = lt.TIFFOpen(sys.argv[2].encode(), b"r")
     assert tif, "TIFFOpen failed"
@@ -646,3 +701,122 @@ def test_libtiff_reads_our_tiled_planar_jpeg(shared):
     assert (ours[0], ours[1], ours[2]) == (w, h, 3)
     _close(lib, ours[3], tol=2)
     _close(px, ours[3], tol=2)
+
+
+def _lib_write_planar_ycbcr(w, h, tw, th, hs, vs, planes: bytes) -> bytes:
+    import tempfile
+
+    path = tempfile.mktemp(suffix=".tif")
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _HELPER, "writepycc", path,
+             str(w), str(h), str(tw), str(th), str(hs), str(vs)],
+            input=base64.b64encode(planes),
+            capture_output=True, timeout=120,
+        )
+        assert r.returncode == 0, f"libtiff pycc write failed: {r.stderr!r}"
+        return open(path, "rb").read()
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
+
+
+def _ycc_planes(px: bytes, w, h, hs, vs):
+    """RGB bytes -> (Y plane, box-downsampled Cb/Cr planes, expected
+    RGB reconstruction) under the repo's own conventions — the shared
+    fixture both separated-YCbCr interop directions compare against."""
+    import numpy as np
+
+    from syslog_handler_with_clickhouse_spark.operators.jpeg import (
+        rgb_to_ycbcr, ycbcr_to_rgb,
+    )
+
+    rgb = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(np.float64)
+    ycc = np.clip(np.round(rgb_to_ycbcr(rgb)), 0, 255).astype(np.uint8)
+    cw, ch = -(-w // hs), -(-h // vs)
+    chroma = []
+    for cc in (1, 2):
+        p = np.pad(ycc[..., cc].astype(np.float64),
+                   ((0, ch * vs - h), (0, cw * hs - w)), mode="edge")
+        d = p.reshape(ch, vs, cw, hs).mean(axis=(1, 3))
+        chroma.append(np.clip(np.round(d), 0, 255).astype(np.uint8))
+    up = [ycc[..., 0].astype(np.float64)]
+    for cp in chroma:
+        up.append(np.repeat(np.repeat(cp.astype(np.float64), vs, axis=0),
+                            hs, axis=1)[:h, :w])
+    expect = np.clip(np.round(ycbcr_to_rgb(np.stack(up, axis=-1))),
+                     0, 255).astype(np.uint8).tobytes()
+    return ycc[..., 0].tobytes(), chroma[0].tobytes(), chroma[1].tobytes(), \
+        (cw, ch), expect
+
+
+def test_our_decoder_reads_libtiff_separated_ycbcr_jpeg():
+    """Round 16 direction 2 (the r15 'loud until a real producer'
+    guard): libtiff WRITES tiled separated-YCbCr compression-7 files —
+    full-grid plane-major numbering, chroma planes at ceil(w/hs) ×
+    ceil(h/vs) in ceil(tw/hs) × ceil(th/vs) single-component streams
+    (its RGBA reader refuses the layout, so ground truth is the source
+    planes themselves through the shared reconstruction fixture;
+    libtiff's JPEG codec is the independent encoder)."""
+    w, h = 37, 29
+    buf = bytearray()
+    for y in range(h):
+        for x in range(w):
+            buf += bytes(((40 + 2 * x + y) % 256, (200 - x - 2 * y) % 256,
+                          (30 + x + 3 * y) % 256))
+    px = bytes(buf)
+    for hs, vs in ((2, 2), (1, 1), (2, 1)):
+        yp, cb, cr, _cdims, expect = _ycc_planes(px, w, h, hs, vs)
+        blob = _lib_write_planar_ycbcr(w, h, 16, 16, hs, vs, yp + cb + cr)
+        ow, oh, oc, opx = decode_tiff_pixels(blob)
+        assert (ow, oh, oc) == (w, h, 3)
+        # only libtiff's libjpeg loss separates the two reconstructions
+        _close(expect, opx, tol=4)
+
+
+@pytest.mark.parametrize("shared", [False, True])
+def test_libtiff_reads_our_separated_ycbcr_jpeg(shared):
+    """Round 16 direction 1: libtiff's codec layer (TIFFReadEncodedTile
+    — its libjpeg) decodes every tile of OUR separated-YCbCr files:
+    6 luma tiles at 16×16 and 12 chroma tiles at 8×8 (returned at the
+    full-tile stride with zero pad, as its codec emits them)."""
+    import numpy as np
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        encode_tiff_jpeg,
+    )
+
+    w, h, tw, th, hs, vs = 37, 29, 16, 16, 2, 2
+    buf = bytearray()
+    for y in range(h):
+        for x in range(w):
+            buf += bytes(((40 + 2 * x + y) % 256, (200 - x - 2 * y) % 256,
+                          (30 + x + 3 * y) % 256))
+    px = bytes(buf)
+    blob = encode_tiff_jpeg(px, w, h, 3, quality=95, tile=(tw, th),
+                            planar=True, shared_tables=shared)
+    yp, cb, cr, (cw, ch), _expect = _ycc_planes(px, w, h, hs, vs)
+    ta, td = -(-w // tw), -(-h // th)
+    raw = _lib_read_tiles(blob, 3 * ta * td, tw * th)
+    ctw, cth = tw // hs, th // vs
+    for pi, (pl, pw, ph, ptw, pth) in enumerate([
+        (yp, w, h, tw, th), (cb, cw, ch, ctw, cth),
+        (cr, cw, ch, ctw, cth),
+    ]):
+        for gy in range(td):
+            for gx in range(ta):
+                tile = raw[(pi * ta * td + gy * ta + gx) * tw * th :]
+                got, want = [], []
+                for r in range(min(pth, ph - gy * pth)):
+                    for c in range(min(ptw, pw - gx * ptw)):
+                        # libtiff returns tile rows at the FULL tile
+                        # stride (tw) for every plane
+                        got.append(tile[r * tw + c])
+                        want.append(
+                            pl[(gy * pth + r) * pw + gx * ptw + c]
+                        )
+                d = np.abs(np.array(got, np.int16) -
+                           np.array(want, np.int16))
+                assert d.max() <= 4 and d.mean() <= 1.5, (
+                    pi, gy, gx, d.max(), d.mean(),
+                )
