@@ -2117,8 +2117,11 @@ def decompress_assets(assets: DataFrame) -> DataFrame:
     content identity, not just sizes).  Same Arrow-batched mapInPandas
     contract as decode_assets: payloads never visit the driver,
     corrupt streams yield codec='error' rows instead of failing the
-    batch.  zstd would slot into the same dispatch behind an
-    import-try (the zstandard lib is not in this container)."""
+    batch.  zstd (magic 28 B5 2F FD, or a leading skippable frame) is
+    decoded by the repo's own pure-Python RFC 8878 decoder
+    (:mod:`.zstd`, round 16 — no zstd library exists in this
+    container's Python; the decoder is differentially pinned against
+    the JVM's zstd-jni in tests/test_zstd.py)."""
     import zlib
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2142,6 +2145,16 @@ def decompress_assets(assets: DataFrame) -> DataFrame:
                         import lzma as _lzma
 
                         raw = _lzma.decompress(b)
+                    elif b[:4] == b"\x28\xb5\x2f\xfd" or (
+                        len(b) >= 4 and b[0] >= 0x50 and b[0] <= 0x5F
+                        and b[1:4] == b"\x2a\x4d\x18"
+                    ):
+                        # zstd frame (or leading skippable frame) —
+                        # the pure-Python RFC 8878 decoder (round 16)
+                        codec = "zstd"
+                        from .zstd import zstd_decompress
+
+                        raw = zstd_decompress(b)
                     elif (
                         len(b) >= 2
                         and b[0] == 0x78

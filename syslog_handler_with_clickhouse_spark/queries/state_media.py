@@ -5627,3 +5627,85 @@ def q475(spark, sf_dir):
         F.col("val_min").cast("bigint").alias("px_min"),
         F.col("val_max").cast("bigint").alias("px_max"),
     )
+
+
+@query(
+    "q476_zstd_corpus_ingest",
+    """
+    SELECT doc_id,
+           'zstd' AS codec,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                END AS BIGINT) AS n_tokens,
+           TRUE AS crc_ok
+    FROM documents WHERE doc_id % 23 = 15
+    """,
+)
+def q476(spark, sf_dir):
+    """Zstandard corpus ingestion (round 16 — the container's Python
+    has NO zstd library, so `operators/zstd.py` implements RFC 8878
+    from scratch: FSE, 1-/4-stream Huffman literals, sequence
+    execution with the repeat-offset rules, XXH64 checksums; pinned
+    byte-exact against the JVM's zstd-jni in tests/test_zstd.py).
+    This query drives the `decompress_assets` seam with SELF-CONTAINED
+    fixtures from the store-mode compressor twin, cycling the frame
+    grammar by doc_id: plain single frame / checksummed frame /
+    skippable-frame + two-frame concatenation (the multi-frame shape
+    of appended archives).  The oracle pins codec detection, the
+    decompressed byte and whitespace-token counts against the ORIGINAL
+    text, and content identity via the q354 crc32 cross-check.  The
+    entropy-coded decode paths (which need a real compressor) are
+    covered by the zstd-jni differential suite, not this oracle."""
+    import struct
+
+    import pandas as pd
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 15)
+        .select("doc_id", "text")
+    )
+
+    def build(it):
+        from ..operators.zstd import zstd_compress_store
+
+        for pdf in it:
+            payloads = []
+            for d, txt in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                raw = str(txt).encode("utf-8")
+                m = d % 3
+                if m == 0:
+                    payloads.append(zstd_compress_store(raw,
+                                                        checksum=False))
+                elif m == 1:
+                    payloads.append(zstd_compress_store(raw,
+                                                        checksum=True))
+                else:
+                    cut = max(1, len(raw) // 2)
+                    skip = struct.pack("<II", 0x184D2A50, 4) + b"meta"
+                    payloads.append(
+                        skip
+                        + zstd_compress_store(raw[:cut])
+                        + zstd_compress_store(raw[cut:])
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "payload": payloads}
+            )
+
+    from ..operators.multimodal import decompress_assets
+
+    assets = docs.mapInPandas(build, "doc_id long, payload binary")
+    out = decompress_assets(assets)
+    src = docs.select(
+        "doc_id", F.crc32(F.encode("text", "UTF-8")).alias("src_crc")
+    )
+    return out.join(src, "doc_id").select(
+        "doc_id",
+        "codec",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("crc32") == F.col("src_crc")).alias("crc_ok"),
+    )

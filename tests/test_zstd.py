@@ -1,0 +1,209 @@
+"""Pure-Python Zstandard decoder (RFC 8878, round 16).
+
+Verification posture: the container's Python carries NO zstd library,
+but the JVM does — Spark bundles zstd-jni for Parquet/ORC — so the
+decoder is pinned DIFFERENTIALLY against a real independent
+implementation: zstd-jni compresses structured + seeded-random corpora
+at levels across the whole range (predefined/FSE/RLE sequence-table
+modes, 1- and 4-stream Huffman literals, treeless repeats, multi-block
+frames, checksummed frames) and this decoder must reproduce every
+payload byte-exactly; zstd-jni also DECODES our store-mode compressor's
+frames (direction 1).  Spark-free unit tests cover the frame grammar,
+XXH64 vectors, and the loud guards."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from syslog_handler_with_clickhouse_spark.operators.zstd import (
+    ZstdError,
+    xxh64,
+    zstd_compress_store,
+    zstd_decompress,
+)
+
+
+def _jzstd(spark):
+    return spark._jvm.com.github.luben.zstd.Zstd
+
+
+# ------------------------------------------------------------------ #
+# Spark-free: store-mode roundtrip, frame grammar, guards
+# ------------------------------------------------------------------ #
+
+
+def test_store_mode_roundtrip():
+    rng = random.Random(3)
+    for payload in (
+        b"", b"q", b"ab" * 10, b"\x00" * 100000, b"z" * 300000,
+        bytes(rng.randrange(256) for _ in range(70000)),
+    ):
+        for checksum in (True, False):
+            frame = zstd_compress_store(payload, checksum=checksum)
+            assert frame[:4] == b"\x28\xb5\x2f\xfd"
+            assert zstd_decompress(frame) == payload
+
+
+def test_multi_frame_and_skippable():
+    f1 = zstd_compress_store(b"first ")
+    skip = struct.pack("<II", 0x184D2A53, 5) + b"EXTRA"
+    f2 = zstd_compress_store(b"second")
+    assert zstd_decompress(skip + f1 + skip + f2) == b"first second"
+
+
+def test_xxh64_vectors():
+    # the empty-input constant is a published reference value
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    # avalanche sanity: one-bit flips change everything
+    a, b = xxh64(b"abcd"), xxh64(b"abce")
+    assert a != b
+    # seed participates
+    assert xxh64(b"abcd", seed=1) != a
+    # all length branches (32-lane, 8-, 4-, byte tails)
+    for n in (0, 1, 3, 4, 7, 8, 31, 32, 33, 63, 100):
+        v = xxh64(bytes(range(n % 256)) * (n // 256 + 1) if n else b"")
+        assert 0 <= v < (1 << 64)
+
+
+def test_corruption_is_loud():
+    with pytest.raises(ZstdError, match="magic"):
+        zstd_decompress(b"\x00\x01\x02\x03rest")
+    with pytest.raises(ZstdError, match="truncated"):
+        zstd_decompress(b"\x28\xb5\x2f")
+    frame = zstd_compress_store(b"payload bytes here", checksum=True)
+    bad = bytearray(frame)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ZstdError, match="checksum"):
+        zstd_decompress(bytes(bad))
+    # declared content size contradicting the blocks
+    bad = bytearray(frame)
+    bad[5] ^= 0x01  # single-segment 1-byte FCS
+    with pytest.raises(ZstdError, match="content size"):
+        zstd_decompress(bytes(bad))
+
+
+def test_dictionary_guard():
+    # frame header declaring a 1-byte non-zero Dictionary_ID
+    frame = bytearray(b"\x28\xb5\x2f\xfd")
+    frame.append(0x21)  # single_segment + dict_id_flag 1
+    frame.append(7)     # dictionary id 7
+    frame.append(0)     # FCS = 0
+    frame += int.to_bytes(1, 3, "little")  # empty raw last block
+    with pytest.raises(NotImplementedError, match="dictionar"):
+        zstd_decompress(bytes(frame))
+
+
+def test_max_output_bound():
+    frame = zstd_compress_store(b"x" * 10000)
+    assert zstd_decompress(frame, max_output=10000) == b"x" * 10000
+    with pytest.raises(ZstdError, match="max_output"):
+        zstd_decompress(frame, max_output=9999)
+
+
+# ------------------------------------------------------------------ #
+# differential vs zstd-jni (the JVM's real zstd)
+# ------------------------------------------------------------------ #
+
+
+def _corpora(rng):
+    yield b""
+    yield b"a"
+    yield b"ab" * 10
+    yield b"x" * 100000                      # RLE block territory
+    yield bytes(rng.randrange(256) for _ in range(5000))  # raw blocks
+    yield ("the quick brown fox jumps over the lazy dog. " * 500).encode()
+    yield b"abcdefgh" * 40000                # multi-block, repeat trees
+    words = [bytes(rng.choices(b"abcdefghij ", k=rng.randrange(2, 9)))
+             for _ in range(50)]
+    yield b"".join(rng.choice(words) for _ in range(30000))
+    yield bytes(rng.choices(range(8), k=200000))  # low-entropy large
+
+
+def test_differential_structured(spark):
+    Z = _jzstd(spark)
+    rng = random.Random(42)
+    for data in _corpora(rng):
+        for level in (1, 3, 9, 19, 22):
+            comp = bytes(Z.compress(data, level))
+            assert zstd_decompress(comp) == data, (len(data), level)
+
+
+def test_differential_checksummed(spark):
+    ctx = spark._jvm.com.github.luben.zstd.ZstdCompressCtx()
+    ctx.setChecksum(True)
+    ctx.setLevel(19)
+    data = ("checksum me " * 4000).encode()
+    comp = bytes(ctx.compress(data))
+    assert zstd_decompress(comp) == data
+    bad = bytearray(comp)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ZstdError, match="checksum"):
+        zstd_decompress(bytes(bad))
+
+
+def test_differential_seeded_fuzz(spark):
+    """120 corpora × 2 levels over four content shapes — any error in
+    the FSE spread, Huffman canonical order, sequence-code tables, or
+    repeat-offset rules surfaces here as a byte mismatch."""
+    Z = _jzstd(spark)
+    rng = random.Random(7)
+    for t in range(120):
+        kind = t % 4
+        n = rng.randrange(0, 40000)
+        if kind == 0:
+            d = bytes(rng.randrange(256) for _ in range(n))
+        elif kind == 1:
+            d = bytes(rng.choices(b"abcdef", k=n))
+        elif kind == 2:
+            unit = bytes(rng.randrange(256)
+                         for _ in range(rng.randrange(1, 50)))
+            d = (unit * (n // max(1, len(unit)) + 1))[:n]
+        else:
+            d = bytes(rng.choices(range(3), k=n))
+        for level in (1, rng.randrange(2, 23)):
+            comp = bytes(Z.compress(d, level))
+            assert zstd_decompress(comp) == d, (t, level, n, kind)
+
+
+def test_jni_decodes_our_store_frames(spark):
+    """Direction 1: the real zstd reads every frame our store-mode
+    compressor emits (raw blocks, the RLE fast path, empty input,
+    checksummed and bare)."""
+    Z = _jzstd(spark)
+    rng = random.Random(11)
+    for payload in (b"", b"q", b"zz" * 50000, b"\x00" * 300000,
+                    bytes(rng.randrange(256) for _ in range(70000))):
+        for checksum in (True, False):
+            mine = zstd_compress_store(payload, checksum=checksum)
+            back = bytes(Z.decompress(mine, max(1, len(payload))))
+            assert back == payload
+
+
+def test_decompress_assets_zstd(spark):
+    """The ingestion seam: zstd payloads through the Arrow-batched
+    decompress_assets path — codec detected, CRC32 of the decompressed
+    text pinned, corrupt stream yields an error row."""
+    import zlib
+
+    from syslog_handler_with_clickhouse_spark.operators.multimodal import (
+        decompress_assets,
+    )
+
+    texts = [f"document {i} body " * (i + 1) for i in range(8)]
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append((i, bytearray(zstd_compress_store(t.encode()))))
+    rows.append((99, bytearray(b"\x28\xb5\x2f\xfd" + b"\x00" * 3)))
+    df = spark.createDataFrame(
+        [(i, bytes(p)) for i, p in rows], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: r for r in decompress_assets(df).collect()}
+    for i, t in enumerate(texts):
+        r = got[i]
+        assert r.codec == "zstd"
+        assert r.n_bytes == len(t.encode())
+        assert r.crc32 == (zlib.crc32(t.encode()) & 0xFFFFFFFF)
+    assert got[99].codec == "error"
