@@ -28,8 +28,14 @@ Scope — the full single-pass frame format:
   state machine, the three repeat offsets with the literals_length==0
   index shift and the repeat1-1 special case.
 
-Dictionaries (Dictionary_ID != 0) raise ``NotImplementedError`` — a
-format guard, not a stub: corpus archives are dictionary-less.
+Dictionaries (§5) are supported too: structured dictionaries (magic
+EC30A437 — pre-built Huffman/FSE entropy tables, starting repeat
+offsets, content history) and raw-content dictionaries, applied per
+frame exactly as ``ZSTD_decompress_usingDict`` does; the differential
+suite trains real dictionaries through zstd-jni's ZstdDictTrainer.  A
+frame referencing a dictionary that was not supplied is refused
+loudly (``decompress_assets`` surfaces it as a codec='error' row —
+the seam has no dictionary side-channel).
 
 Design note for the 100 TB path: decompression runs executor-side
 inside the Arrow-batched ``decompress_assets`` seam — this module is
@@ -588,15 +594,58 @@ def _decode_block(block: bytes, out: bytearray, ctx: dict) -> None:
     out += lit[lit_pos:]
 
 
+# --- dictionaries ----------------------------------------------------
+
+_DICT_MAGIC = 0xEC30A437
+
+
+def _parse_dict(d: bytes) -> dict:
+    """§5: a structured dictionary (magic EC30A437) carries an ID,
+    pre-built entropy tables (Huffman literals, then OF/ML/LL FSE, in
+    that order, each byte-aligned), three starting repeat offsets, and
+    content (the history prefix).  Anything without the magic is a
+    raw-content dictionary: pure history, no ID, no tables."""
+    if len(d) < 8 or struct.unpack_from("<I", d)[0] != _DICT_MAGIC:
+        return {"id": None, "huf": None, "ll": None, "of": None,
+                "ml": None, "reps": [1, 4, 8], "content": bytes(d)}
+    did = struct.unpack_from("<I", d, 4)[0]
+    pos = 8
+    weights, used = _huf_read_weights(d[pos:])
+    dec, tlog = _huf_build(weights)
+    pos += used
+    tables = {}
+    for kind in ("of", "ml", "ll"):
+        fb = _FwdBits(d[pos:])
+        probs, acc = _fse_read_ncount(
+            fb, _MAX_ACC[kind],
+            {"ll": 35, "of": 31, "ml": 52}[kind],
+        )
+        tables[kind] = (_fse_build_dtable(probs, acc), acc)
+        pos += fb.bytes_consumed()
+    reps = list(struct.unpack_from("<III", d, pos))
+    pos += 12
+    if any(r == 0 for r in reps):
+        raise ZstdError("dictionary repeat offset of zero")
+    return {"id": did, "huf": (dec, tlog), "ll": tables["ll"],
+            "of": tables["of"], "ml": tables["ml"], "reps": reps,
+            "content": bytes(d[pos:])}
+
+
 # --- frames ----------------------------------------------------------
 
 
-def zstd_decompress(data: bytes, max_output: int | None = None) -> bytes:
+def zstd_decompress(data: bytes, max_output: int | None = None,
+                    dictionary: bytes | None = None) -> bytes:
     """Decode a complete Zstandard payload (one or more frames,
     skippable frames passed over).  ``max_output`` bounds the total
     decompressed size (decompression-bomb guard for the ingestion
-    seam)."""
-    out = bytearray()
+    seam).  ``dictionary`` supplies the §5 dictionary a frame's
+    Dictionary_ID references — structured (entropy tables + repeat
+    offsets + content history) or raw content; each frame decodes
+    against its own history window seeded with the dictionary
+    content, never against previous frames."""
+    zdict = _parse_dict(dictionary) if dictionary is not None else None
+    total = bytearray()
     pos = 0
     n = len(data)
     while pos < n:
@@ -625,12 +674,24 @@ def zstd_decompress(data: bytes, max_output: int | None = None) -> bytes:
         if not single:
             pos += 1  # window descriptor (whole frames in memory)
         did_len = (0, 1, 2, 4)[did_flag]
+        # a supplied dictionary applies to every frame (the reference
+        # ZSTD_decompress_usingDict posture — raw-content dicts leave
+        # the frame's Dictionary_ID unset); a declared ID must match a
+        # structured dictionary's, and requires one to be supplied
+        use_dict = zdict is not None
         if did_len:
             did = int.from_bytes(data[pos : pos + did_len], "little")
             if did:
-                raise NotImplementedError(
-                    "zstd dictionaries are not supported"
-                )
+                if zdict is None:
+                    raise ZstdError(
+                        f"frame references dictionary {did} but none "
+                        "was supplied"
+                    )
+                if zdict["id"] is not None and zdict["id"] != did:
+                    raise ZstdError(
+                        f"frame wants dictionary {did}, supplied "
+                        f"{zdict['id']}"
+                    )
             pos += did_len
         fcs_len = (1 if single else 0, 2, 4, 8)[fcs_flag]
         fcs = None
@@ -639,8 +700,19 @@ def zstd_decompress(data: bytes, max_output: int | None = None) -> bytes:
             if fcs_len == 2:
                 fcs += 256
             pos += fcs_len
-        frame_start = len(out)
-        ctx = {"reps": [1, 4, 8], "huf": None}
+        # per-frame output seeded with the dictionary history — frames
+        # are independent (matches may reach the dict, never a
+        # previous frame)
+        if use_dict:
+            hist = len(zdict["content"])
+            out = bytearray(zdict["content"])
+            ctx = {"reps": list(zdict["reps"]), "huf": zdict["huf"],
+                   "ll": zdict["ll"], "of": zdict["of"],
+                   "ml": zdict["ml"]}
+        else:
+            hist = 0
+            out = bytearray()
+            ctx = {"reps": [1, 4, 8], "huf": None}
         while True:
             if n - pos < 3:
                 raise ZstdError("truncated block header")
@@ -662,22 +734,24 @@ def zstd_decompress(data: bytes, max_output: int | None = None) -> bytes:
                 raise ZstdError("reserved block type")
             if pos > n:
                 raise ZstdError("block overruns input")
-            if max_output is not None and len(out) > max_output:
+            if max_output is not None and \
+                    len(total) + len(out) - hist > max_output:
                 raise ZstdError("output exceeds max_output")
             if last:
                 break
-        if fcs is not None and len(out) - frame_start != fcs:
+        if fcs is not None and len(out) - hist != fcs:
             raise ZstdError(
-                f"frame content size {len(out) - frame_start} != "
+                f"frame content size {len(out) - hist} != "
                 f"declared {fcs}"
             )
         if checksum:
             want = struct.unpack_from("<I", data, pos)[0]
             pos += 4
-            got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+            got = xxh64(bytes(out[hist:])) & 0xFFFFFFFF
             if got != want:
                 raise ZstdError("content checksum mismatch")
-    return bytes(out)
+        total += out[hist:]
+    return bytes(total)
 
 
 def zstd_compress_store(data: bytes, checksum: bool = True) -> bytes:

@@ -85,15 +85,21 @@ def test_corruption_is_loud():
         zstd_decompress(bytes(bad))
 
 
-def test_dictionary_guard():
-    # frame header declaring a 1-byte non-zero Dictionary_ID
+def test_missing_dictionary_is_loud():
+    # frame header declaring a 1-byte non-zero Dictionary_ID with no
+    # dictionary supplied — and a wrong-ID dictionary
     frame = bytearray(b"\x28\xb5\x2f\xfd")
     frame.append(0x21)  # single_segment + dict_id_flag 1
     frame.append(7)     # dictionary id 7
     frame.append(0)     # FCS = 0
     frame += int.to_bytes(1, 3, "little")  # empty raw last block
-    with pytest.raises(NotImplementedError, match="dictionar"):
+    with pytest.raises(ZstdError, match="references dictionary 7"):
         zstd_decompress(bytes(frame))
+    wrong = struct.pack("<II", 0xEC30A437, 9)  # structured, id 9
+    with pytest.raises(ZstdError):
+        zstd_decompress(bytes(frame), dictionary=wrong)
+    # a raw-content dictionary carries no ID: accepted for any frame
+    assert zstd_decompress(bytes(frame), dictionary=b"history") == b""
 
 
 def test_max_output_bound():
@@ -180,6 +186,66 @@ def test_jni_decodes_our_store_frames(spark):
             mine = zstd_compress_store(payload, checksum=checksum)
             back = bytes(Z.decompress(mine, max(1, len(payload))))
             assert back == payload
+
+
+def _train_dict(spark, rng, samples, size=4096):
+    tr = spark._jvm.com.github.luben.zstd.ZstdDictTrainer(
+        sum(len(s) for s in samples), size
+    )
+    for s in samples:
+        tr.addSample(s)
+    return bytes(tr.trainSamples())
+
+
+def test_differential_dictionary(spark):
+    """§5 dictionaries: zstd-jni TRAINS a structured dictionary
+    (entropy tables + repeat offsets + content) and compresses small
+    payloads against it — the decoder must parse the dictionary, seed
+    the frame with its history/tables/offsets, and reproduce every
+    payload byte-exactly; decoding without the dictionary stays
+    loud."""
+    import random
+
+    jvm = spark._jvm
+    rng = random.Random(1)
+    words = [bytes(rng.choices(b"abcdefghij ", k=rng.randrange(3, 9)))
+             for _ in range(60)]
+    samples = [b"".join(rng.choice(words) for _ in range(200))
+               for _ in range(40)]
+    d = _train_dict(spark, rng, samples)
+    assert d[:4] == b"\x37\xa4\x30\xec"
+    for level in (1, 3, 19):
+        ctx = jvm.com.github.luben.zstd.ZstdCompressCtx()
+        ctx.setLevel(level)
+        ctx.loadDict(jvm.com.github.luben.zstd.ZstdDictCompress(d, level))
+        for t in range(6):
+            payload = b"".join(
+                rng.choice(words) for _ in range(rng.randrange(1, 300))
+            )
+            comp = bytes(ctx.compress(payload))
+            assert zstd_decompress(comp, dictionary=d) == payload, (
+                level, t,
+            )
+            with pytest.raises(ZstdError, match="dictionary"):
+                zstd_decompress(comp)
+
+
+def test_differential_raw_content_dictionary(spark):
+    """A raw-content (no-magic) dictionary is pure history: zstd-jni
+    accepts arbitrary bytes as a dict; frames compressed against it
+    reach into that history with matches."""
+    import random
+
+    jvm = spark._jvm
+    rng = random.Random(5)
+    content = bytes(rng.choices(b"abcdefgh", k=8000))
+    assert content[:4] != b"\x37\xa4\x30\xec"
+    ctx = jvm.com.github.luben.zstd.ZstdCompressCtx()
+    ctx.setLevel(19)
+    ctx.loadDict(jvm.com.github.luben.zstd.ZstdDictCompress(content, 19))
+    payload = content[2000:2600] + b"tail" + content[5000:5400]
+    comp = bytes(ctx.compress(payload))
+    assert zstd_decompress(comp, dictionary=content) == payload
 
 
 def test_decompress_assets_zstd(spark):
