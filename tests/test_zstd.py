@@ -174,6 +174,23 @@ def test_differential_seeded_fuzz(spark):
             assert zstd_decompress(comp) == d, (t, level, n, kind)
 
 
+def test_differential_long_distance_matching(spark):
+    """LDM streams (window log 27): a 1 MB block repeated at 3 MB
+    distance forces matches far beyond the 128 KB block size — the
+    offset-code extra-bits path at 20+ bits and multi-block windows."""
+    import random
+
+    ctx = spark._jvm.com.github.luben.zstd.ZstdCompressCtx()
+    ctx.setLevel(19)
+    ctx.setLong(27)
+    rng = random.Random(3)
+    chunk = bytes(rng.choices(b"abcdefgh", k=1_000_000))
+    data = chunk + bytes(rng.choices(b"xyz", k=2_000_000)) + chunk
+    comp = bytes(ctx.compress(data))
+    assert len(comp) < len(data) // 3  # the far match was actually used
+    assert zstd_decompress(comp) == data
+
+
 def test_jni_decodes_our_store_frames(spark):
     """Direction 1: the real zstd reads every frame our store-mode
     compressor emits (raw blocks, the RLE fast path, empty input,
