@@ -1346,9 +1346,9 @@ def encode_wav_ima_adpcm(samples, rate: int) -> bytes:
 
 def decode_wav_samples(b: bytes) -> tuple[int, int, int, "object"]:
     """REAL WAV sample decode with stdlib ``struct`` + numpy
-    ``frombuffer`` — integer PCM (format tag 1: 8-bit unsigned, 16-bit
+    ``frombuffer`` — integer PCM (format tag 1: 8-bit unsigned, 16/32-bit
     signed, 24-bit signed packed little-endian) and IEEE float (format
-    tag 3: float32).
+    tag 3: float32/float64).
 
     Returns ``(sample_rate, channels, bits, samples)`` where ``samples``
     is a 1-D numpy array of interleaved channel samples — int64 for
@@ -1413,12 +1413,19 @@ def decode_wav_samples(b: bytes) -> tuple[int, int, int, "object"]:
         samples = _ima_adpcm_decode(data, channels, _block_align)
         return rate, channels, bits, np.asarray(samples, dtype=np.int64)
     if tag == 3:
-        if bits != 32:
+        if bits == 32:
+            samples = np.frombuffer(data[: len(data) // 4 * 4],
+                                    dtype="<f4")
+        elif bits == 64:
+            samples = np.frombuffer(data[: len(data) // 8 * 8],
+                                    dtype="<f8")
+        else:
             raise NotImplementedError(f"{bits}-bit IEEE float unsupported")
-        samples = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4")
         return rate, channels, bits, samples.astype(np.float64)
     if bits == 16:
         samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    elif bits == 32:
+        samples = np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4")
     elif bits == 8:
         samples = np.frombuffer(data, dtype=np.uint8)
     elif bits == 24:
@@ -1451,9 +1458,15 @@ def encode_wav(samples, rate: int, channels: int, fmt: str = "pcm16") -> bytes:
         a = np.asarray(samples, dtype="<i4")
         wide = a.view(np.uint8).reshape(-1, 4)
         pcm = wide[:, :3].tobytes()  # low 3 bytes of little-endian i32
+    elif fmt == "pcm32":
+        tag, bits = 1, 32
+        pcm = np.asarray(samples, dtype="<i4").tobytes()
     elif fmt == "float32":
         tag, bits = 3, 32
         pcm = np.asarray(samples, dtype="<f4").tobytes()
+    elif fmt == "float64":
+        tag, bits = 3, 64
+        pcm = np.asarray(samples, dtype="<f8").tobytes()
     else:
         raise ValueError(f"unknown fmt {fmt}")
     bytes_per = bits // 8

@@ -224,6 +224,38 @@ def test_wav_float32_roundtrip():
     assert got.tolist() == samples.astype(np.float64).tolist()
 
 
+def test_wav_float64_roundtrip():
+    """64-bit IEEE-float WAV (format tag 3, bits 64 — the scientific /
+    mastering export, round 16): samples decode EXACTLY (no precision
+    step through float32)."""
+    import numpy as np
+
+    samples = np.array(
+        [0.0, 0.1, -0.25, 1.0, -1.0, 1e-300, 3.141592653589793],
+        dtype=np.float64,
+    )
+    blob = encode_wav(samples, 96000, 1, fmt="float64")
+    rate, ch, bits, got = decode_wav_samples(blob)
+    assert (rate, ch, bits) == (96000, 1, 64)
+    assert got.dtype == np.float64
+    assert got.tolist() == samples.tolist()
+
+
+def test_wav_pcm32_roundtrip():
+    """32-bit integer PCM (format tag 1, bits 32, round 16): full-range
+    extremes round-trip exactly."""
+    import numpy as np
+
+    samples = np.array(
+        [0, 1, -1, 2_147_483_647, -2_147_483_648, 1_000_000_007],
+        dtype=np.int64,
+    )
+    blob = encode_wav(samples, 44100, 2, fmt="pcm32")
+    rate, ch, bits, got = decode_wav_samples(blob)
+    assert (rate, ch, bits) == (44100, 2, 32)
+    assert got.tolist() == samples.tolist()
+
+
 def test_wav_pcm24_roundtrip():
     """Packed 24-bit PCM: 3-byte little-endian signed samples widen via
     the vectorized pad-and-shift (no per-sample loop); full range incl.
