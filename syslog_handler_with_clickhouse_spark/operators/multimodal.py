@@ -2163,11 +2163,13 @@ def decompress_assets(assets: DataFrame) -> DataFrame:
                         and b[1:4] == b"\x2a\x4d\x18"
                     ):
                         # zstd frame (or leading skippable frame) —
-                        # the pure-Python RFC 8878 decoder (round 16)
+                        # the pure-Python RFC 8878 decoder (round 16);
+                        # the 1 GiB cap turns a decompression bomb into
+                        # an error row instead of an executor OOM
                         codec = "zstd"
                         from .zstd import zstd_decompress
 
-                        raw = zstd_decompress(b)
+                        raw = zstd_decompress(b, max_output=1 << 30)
                     elif (
                         len(b) >= 2
                         and b[0] == 0x78

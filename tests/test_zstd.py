@@ -290,3 +290,31 @@ def test_decompress_assets_zstd(spark):
         assert r.n_bytes == len(t.encode())
         assert r.crc32 == (zlib.crc32(t.encode()) & 0xFFFFFFFF)
     assert got[99].codec == "error"
+
+
+def test_corruption_fuzz_never_hangs_or_crashes():
+    """Ingestion-robustness: random single-byte mutations of valid
+    frames must either decode (some mutations hit dead bytes or only
+    flip payload content) or raise ZstdError — never an uncaught
+    IndexError/OverflowError/hang.  max_output bounds mutations that
+    inflate sizes."""
+    import random
+
+    rng = random.Random(99)
+    words = [bytes(rng.choices(b"abcdef ", k=rng.randrange(2, 8)))
+             for _ in range(30)]
+    base_payload = b"".join(rng.choice(words) for _ in range(500))
+    frames = [
+        zstd_compress_store(base_payload, checksum=True),
+        zstd_compress_store(b"x" * 5000, checksum=False),
+    ]
+    for frame in frames:
+        for _ in range(150):
+            bad = bytearray(frame)
+            i = rng.randrange(len(bad))
+            bad[i] ^= 1 << rng.randrange(8)
+            try:
+                out = zstd_decompress(bytes(bad), max_output=1 << 22)
+                assert isinstance(out, bytes)
+            except (ZstdError, NotImplementedError):
+                pass
