@@ -55,7 +55,8 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["zstd_decompress", "zstd_compress_store", "xxh64"]
+__all__ = ["zstd_decompress", "zstd_compress_store", "zstd_frame_stats",
+           "xxh64"]
 
 _MAGIC = 0xFD2FB528
 _SKIP_LO, _SKIP_HI = 0x184D2A50, 0x184D2A5F
@@ -752,6 +753,113 @@ def zstd_decompress(data: bytes, max_output: int | None = None,
                 raise ZstdError("content checksum mismatch")
         total += out[hist:]
     return bytes(total)
+
+
+def zstd_frame_stats(data: bytes) -> list[dict]:
+    """Structural walk WITHOUT decoding entropy payloads — one dict
+    per frame: block-type counts, literals-section kinds (raw / rle /
+    compressed / treeless), stream counts, sequence-section presence,
+    checksum flag, dictionary id, declared content size.  Serves two
+    masters: ingestion diagnostics (what does this corpus actually
+    contain?) and the differential tests' no-silent-caps assertions —
+    a mode the suite claims to exercise must be SHOWN to occur in the
+    streams it decodes."""
+    frames = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if n - pos < 4:
+            raise ZstdError("truncated frame magic")
+        magic = struct.unpack_from("<I", data, pos)[0]
+        if _SKIP_LO <= magic <= _SKIP_HI:
+            size = struct.unpack_from("<I", data, pos + 4)[0]
+            frames.append({"kind": "skippable", "size": size})
+            pos += 8 + size
+            continue
+        if magic != _MAGIC:
+            raise ZstdError(f"bad frame magic {magic:#x}")
+        pos += 4
+        fhd = data[pos]
+        pos += 1
+        fcs_flag = fhd >> 6
+        single = (fhd >> 5) & 1
+        if not single:
+            pos += 1
+        did_flag = fhd & 3
+        did_len = (0, 1, 2, 4)[did_flag]
+        did = int.from_bytes(data[pos : pos + did_len], "little") \
+            if did_len else 0
+        pos += did_len
+        fcs_len = (1 if single else 0, 2, 4, 8)[fcs_flag]
+        fcs = None
+        if fcs_len:
+            fcs = int.from_bytes(data[pos : pos + fcs_len], "little")
+            if fcs_len == 2:
+                fcs += 256
+            pos += fcs_len
+        st = {"kind": "zstd", "dict_id": did, "content_size": fcs,
+              "checksum": bool((fhd >> 2) & 1),
+              "blocks": {"raw": 0, "rle": 0, "compressed": 0},
+              "literals": {"raw": 0, "rle": 0, "compressed": 0,
+                           "treeless": 0},
+              "four_stream": 0, "with_sequences": 0}
+        while True:
+            bh = int.from_bytes(data[pos : pos + 3], "little")
+            pos += 3
+            last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+            if btype == 0:
+                st["blocks"]["raw"] += 1
+                pos += bsize
+            elif btype == 1:
+                st["blocks"]["rle"] += 1
+                pos += 1
+            elif btype == 2:
+                st["blocks"]["compressed"] += 1
+                block = data[pos : pos + bsize]
+                b0 = block[0]
+                ltype = b0 & 3
+                sfmt = (b0 >> 2) & 3
+                st["literals"][
+                    ("raw", "rle", "compressed", "treeless")[ltype]
+                ] += 1
+                if ltype in (0, 1):
+                    if sfmt in (0, 2):
+                        rsize, hlen = b0 >> 3, 1
+                    elif sfmt == 1:
+                        rsize = (b0 >> 4) | (block[1] << 4)
+                        hlen = 2
+                    else:
+                        rsize = (b0 >> 4) | (block[1] << 4) | \
+                            (block[2] << 12)
+                        hlen = 3
+                    used = hlen + (rsize if ltype == 0 else 1)
+                else:
+                    if sfmt == 0:
+                        hlen, bits = 3, 10
+                    elif sfmt == 1:
+                        hlen, bits = 3, 10
+                        st["four_stream"] += 1
+                    elif sfmt == 2:
+                        hlen, bits = 4, 14
+                        st["four_stream"] += 1
+                    else:
+                        hlen, bits = 5, 18
+                        st["four_stream"] += 1
+                    v = int.from_bytes(block[:hlen], "little") >> 4
+                    used = hlen + ((v >> bits) & ((1 << bits) - 1))
+                if used < len(block) and block[used] != 0:
+                    st["with_sequences"] += 1
+                pos += bsize
+            else:
+                raise ZstdError("reserved block type")
+            if pos > n:
+                raise ZstdError("block overruns input")
+            if last:
+                break
+        if st["checksum"]:
+            pos += 4
+        frames.append(st)
+    return frames
 
 
 def zstd_compress_store(data: bytes, checksum: bool = True) -> bytes:
