@@ -312,6 +312,12 @@ def _huf_read_weights(src: bytes):
         s2 = _FseState(table, bb, acc)
         weights: list[int] = []
         while True:
+            # bound INSIDE the loop: a crafted single-symbol ncount
+            # yields an FSE table whose every state is a 0-bit
+            # self-loop, so without this the loop never terminates
+            # (bb.pos never decreases on 0-bit reads)
+            if len(weights) > 255:
+                raise ZstdError("more than 255 Huffman weights")
             weights.append(s1.symbol())
             if bb.pos < 0:
                 break
@@ -497,10 +503,23 @@ def _seq_table(mode: int, fb_data: bytes, off: int, kind: str, prev,
     return prev[0], prev[1], off, None
 
 
+_BLOCK_MAX = 1 << 17  # §3.1.1.2.3/4 Block_Maximum_Size (128 KB)
+
+
 def _decode_block(block: bytes, out: bytearray, ctx: dict) -> None:
     """One Compressed block: literals + sequences appended to ``out``
-    (which already holds the frame's history for match copies)."""
+    (which already holds the frame's history for match copies).
+
+    The regenerated size is capped at ``_BLOCK_MAX`` INSIDE the
+    sequence loop — a single block's sequences could otherwise emit
+    gigabytes (tens of thousands of matches × ~128 KB each) before any
+    between-block ``max_output`` check runs; the spec caps a block's
+    decompressed size at min(Window_Size, 128 KB), so enforcing 128 KB
+    both bounds adversarial input and rejects nothing conformant."""
+    base = len(out)
     lit, used, huf = _decode_literals(block, ctx.get("huf"))
+    if len(lit) > _BLOCK_MAX:
+        raise ZstdError("literals exceed 128 KB block maximum")
     ctx["huf"] = huf
     body = block[used:]
     if not body:
@@ -513,7 +532,10 @@ def _decode_block(block: bytes, out: bytearray, ctx: dict) -> None:
     elif b0 < 255:
         nseq, off = ((b0 - 128) << 8) | body[1], 2
     else:
-        nseq, off = body[1] | (body[2] << 8) | 0x7F00, 3
+        # RFC 8878 §3.1.1.3.2.1: byte0==0xFF means byte1 + (byte2<<8)
+        # PLUS 0x7F00 (addition, not OR — counts >= 0x8000 need the
+        # carry; an OR silently truncates them and desyncs the stream)
+        nseq, off = (body[1] | (body[2] << 8)) + 0x7F00, 3
     if nseq == 0:
         out += lit
         return
@@ -586,6 +608,8 @@ def _decode_block(block: bytes, out: bytearray, ctx: dict) -> None:
             # trailing `offset`-byte pattern
             pattern = bytes(out[len(out) - offset :])
             out += (pattern * (ml // offset + 1))[:ml]
+        if len(out) - base > _BLOCK_MAX:
+            raise ZstdError("block output exceeds 128 KB maximum")
         if i + 1 < nseq:
             ll_s.update(bb)
             ml_s.update(bb)
@@ -593,6 +617,8 @@ def _decode_block(block: bytes, out: bytearray, ctx: dict) -> None:
     if bb.pos != 0:
         raise ZstdError("sequence bitstream not fully consumed")
     out += lit[lit_pos:]
+    if len(out) - base > _BLOCK_MAX:
+        raise ZstdError("block output exceeds 128 KB maximum")
 
 
 # --- dictionaries ----------------------------------------------------
@@ -723,9 +749,16 @@ def zstd_decompress(data: bytes, max_output: int | None = None,
             btype = (bh >> 1) & 3
             bsize = bh >> 3
             if btype == 0:  # Raw
+                if bsize > _BLOCK_MAX:
+                    raise ZstdError("raw block exceeds 128 KB maximum")
                 out += data[pos : pos + bsize]
                 pos += bsize
             elif btype == 1:  # RLE
+                # bsize here is the REGENERATED size from a 21-bit
+                # field — without the cap a 4-byte block emits 2 MB,
+                # and the spec caps regenerated size at 128 KB anyway
+                if bsize > _BLOCK_MAX:
+                    raise ZstdError("RLE block exceeds 128 KB maximum")
                 out += bytes([data[pos]]) * bsize
                 pos += 1
             elif btype == 2:
@@ -879,13 +912,19 @@ def zstd_compress_store(data: bytes, checksum: bool = True) -> bytes:
     else:
         out.append(fhd | 0x80)  # fcs_flag 2 -> 4 bytes
         out += struct.pack("<I", n)
-    if n and data.count(data[0]) == n and n < (1 << 21):
-        out += int.to_bytes((n << 3) | (1 << 1) | 1, 3, "little")
-        out.append(data[0])
+    step = 1 << 17  # Block_Maximum_Size — applies to RLE output too
+    if n and data.count(data[0]) == n:
+        # split into <= 128 KB RLE blocks: the 21-bit size field could
+        # carry more, but the spec caps a block's REGENERATED size at
+        # 128 KB and libzstd rejects larger as corrupt
+        for i in range(0, n, step):
+            sz = min(step, n - i)
+            last = 1 if i + step >= n else 0
+            out += int.to_bytes((sz << 3) | (1 << 1) | last, 3, "little")
+            out.append(data[0])
     elif n == 0:
         out += int.to_bytes(1, 3, "little")  # empty raw last block
     else:
-        step = 1 << 17
         for i in range(0, n, step):
             chunk = data[i : i + step]
             last = 1 if i + step >= n else 0

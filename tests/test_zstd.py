@@ -388,3 +388,101 @@ def test_frame_stats_store_mode():
     assert zstd_frame_stats(skip + zstd_compress_store(b""))[0] == {
         "kind": "skippable", "size": 3,
     }
+
+
+# ------------------------------------------------------------------ #
+# round-17 hardening (ADVICE r16): long nseq header, weight-loop
+# bound, in-block bomb cap, RLE block splitting
+# ------------------------------------------------------------------ #
+
+
+def _seq_rle_frame(nseq):
+    """Hand-built frame: a raw block b"A", then ONE compressed block
+    of `nseq` sequences, each (ll=0, ml=3, offset=1) via RLE-mode
+    sequence tables (0 table bits; 2 offset-extra bits per sequence,
+    all zero) — regenerated content b"A" * (1 + 3*nseq).  Lets a test
+    pick ANY sequence count, far beyond what a real encoder emits."""
+    want = b"A" * (1 + 3 * nseq)
+    assert nseq >= 0x8000  # long (0xFF) header territory
+    rem = nseq - 0x7F00
+    nbits = 2 * nseq
+    stream = b"\x00" * (nbits // 8) + bytes([1 << (nbits % 8)])
+    block = (
+        b"\x00"                                 # raw literals, size 0
+        + bytes([0xFF, rem & 0xFF, rem >> 8])   # long nseq header
+        + bytes([0x54])                         # ll/of/ml all RLE mode
+        + bytes([0, 2, 0])                      # ll=0, of=2, ml=0
+        + stream
+    )
+    frame = (
+        b"\x28\xb5\x2f\xfd"
+        + bytes([0xA0])                         # single-segment, FCS u32
+        + struct.pack("<I", len(want))
+        + int.to_bytes(8, 3, "little") + b"A"   # raw block, not last
+        + int.to_bytes((len(block) << 3) | (2 << 1) | 1, 3, "little")
+        + block
+    )
+    return frame, want
+
+
+def test_long_sequence_count_header(spark):
+    """>= 0x8000 sequences in one block exercises the 0xFF long-form
+    header, whose count is byte1 + (byte2<<8) PLUS 0x7F00 (RFC 8878
+    §3.1.1.3.2.1) — an OR instead of the addition truncates any count
+    >= 0x8000 and desyncs the bitstream.  zstd-jni decodes the
+    hand-built fixture too, validating the crafting."""
+    frame, want = _seq_rle_frame(0x8200)
+    assert zstd_decompress(frame) == want
+    Z = _jzstd(spark)
+    assert bytes(Z.decompress(frame, len(want))) == want
+
+
+def test_sequence_bomb_capped_in_block():
+    """A single block whose sequences would regenerate > 128 KB is
+    rejected INSIDE the sequence loop: the spec caps a block's
+    decompressed size at 128 KB, and without the in-block check a
+    crafted block could emit gigabytes before the between-block
+    max_output guard ever ran."""
+    frame, _ = _seq_rle_frame(44000)  # would regenerate 132 001 bytes
+    with pytest.raises(ZstdError, match="128 KB"):
+        zstd_decompress(frame, max_output=1 << 30)
+
+
+def test_rle_block_size_capped():
+    """An RLE block's 21-bit size field could claim 2 MB from a 4-byte
+    input; the spec's 128 KB block cap refuses it."""
+    frame = (
+        b"\x28\xb5\x2f\xfd" + bytes([0xA0]) + struct.pack("<I", 200000)
+        + int.to_bytes((200000 << 3) | (1 << 1) | 1, 3, "little") + b"Z"
+    )
+    with pytest.raises(ZstdError, match="128 KB"):
+        zstd_decompress(frame)
+
+
+def test_huffman_weight_selfloop_bounded():
+    """Crafted FSE ncount granting ONE symbol the whole table: every
+    state is then a 0-bit self-loop, the weight loop consumes no bits,
+    and an after-the-loop length check never runs — must raise (> 255
+    weights), not hang."""
+    from syslog_handler_with_clickhouse_spark.operators.zstd import (
+        _huf_read_weights,
+    )
+    # acc=6 (4 bits = 1), then 7-bit raw value 127 -> count 64 = full
+    # table for symbol 0; tail holds 12 zero bits (two 6-bit state
+    # inits) below the backward-stream sentinel
+    comp = b"\xf1\x07\x00\x10"
+    with pytest.raises(ZstdError, match="255"):
+        _huf_read_weights(bytes([len(comp)]) + comp)
+
+
+def test_store_rle_splits_at_block_max(spark):
+    """Repeated-byte payloads > 128 KB now emit MULTIPLE <= 128 KB RLE
+    blocks (the spec's Block_Maximum_Size); zstd-jni still reads the
+    frame and our own decoder — which enforces the cap — accepts it."""
+    payload = b"z" * 300000
+    frame = zstd_compress_store(payload, checksum=True)
+    stats = zstd_frame_stats(frame)
+    assert stats[0]["blocks"] == {"raw": 0, "rle": 3, "compressed": 0}
+    assert zstd_decompress(frame) == payload
+    Z = _jzstd(spark)
+    assert bytes(Z.decompress(frame, len(payload))) == payload
