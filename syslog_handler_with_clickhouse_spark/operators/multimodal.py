@@ -2131,10 +2131,11 @@ def decompress_assets(assets: DataFrame) -> DataFrame:
     contract as decode_assets: payloads never visit the driver,
     corrupt streams yield codec='error' rows instead of failing the
     batch.  zstd (magic 28 B5 2F FD, or a leading skippable frame) is
-    decoded by the repo's own pure-Python RFC 8878 decoder
-    (:mod:`.zstd`, round 16 — no zstd library exists in this
-    container's Python; the decoder is differentially pinned against
-    the JVM's zstd-jni in tests/test_zstd.py)."""
+    decoded by :mod:`.zstd` — since round 17 that routes through the
+    container's libzstd via ctypes (~200 MB/s/thread) with the repo's
+    own pure-Python RFC 8878 decoder as the no-library fallback and
+    differential oracle (pinned pure == ctypes == zstd-jni in
+    tests/test_zstd.py)."""
     import zlib
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -31,6 +31,16 @@ def _jzstd(spark):
     return spark._jvm.com.github.luben.zstd.Zstd
 
 
+def _decode3(comp, **kw):
+    """Three-way differential: the dispatch path (ctypes libzstd when
+    loadable) and the pure-Python decoder must agree byte-exactly on
+    every stream; the caller compares the result against the zstd-jni
+    round trip, closing pure == ctypes == jni."""
+    fast = zstd_decompress(comp, **kw)
+    assert zstd_decompress(comp, force_pure=True, **kw) == fast
+    return fast
+
+
 # ------------------------------------------------------------------ #
 # Spark-free: store-mode roundtrip, frame grammar, guards
 # ------------------------------------------------------------------ #
@@ -70,6 +80,9 @@ def test_xxh64_vectors():
 
 
 def test_corruption_is_loud():
+    """Exact messages are a pure-path contract; the dispatch path
+    (libzstd when present) must be equally LOUD but words FCS
+    mismatches its own way ("Data corruption detected")."""
     with pytest.raises(ZstdError, match="magic"):
         zstd_decompress(b"\x00\x01\x02\x03rest")
     with pytest.raises(ZstdError, match="truncated"):
@@ -83,6 +96,8 @@ def test_corruption_is_loud():
     bad = bytearray(frame)
     bad[5] ^= 0x01  # single-segment 1-byte FCS
     with pytest.raises(ZstdError, match="content size"):
+        zstd_decompress(bytes(bad), force_pure=True)
+    with pytest.raises(ZstdError):
         zstd_decompress(bytes(bad))
 
 
@@ -148,7 +163,7 @@ def test_differential_structured(spark):
     for data in _corpora(rng):
         for level in (1, 3, 9, 19, 22):
             comp = bytes(Z.compress(data, level))
-            assert zstd_decompress(comp) == data, (len(data), level)
+            assert _decode3(comp) == data, (len(data), level)
             for st in zstd_frame_stats(comp):
                 agg["raw_b"] += st["blocks"]["raw"]
                 agg["comp_b"] += st["blocks"]["compressed"]
@@ -192,7 +207,7 @@ def test_differential_checksummed(spark):
     ctx.setLevel(19)
     data = ("checksum me " * 4000).encode()
     comp = bytes(ctx.compress(data))
-    assert zstd_decompress(comp) == data
+    assert _decode3(comp) == data
     bad = bytearray(comp)
     bad[-1] ^= 0xFF
     with pytest.raises(ZstdError, match="checksum"):
@@ -220,7 +235,7 @@ def test_differential_seeded_fuzz(spark):
             d = bytes(rng.choices(range(3), k=n))
         for level in (1, rng.randrange(2, 23)):
             comp = bytes(Z.compress(d, level))
-            assert zstd_decompress(comp) == d, (t, level, n, kind)
+            assert _decode3(comp) == d, (t, level, n, kind)
 
 
 def test_differential_long_distance_matching(spark):
@@ -237,7 +252,7 @@ def test_differential_long_distance_matching(spark):
     data = chunk + bytes(rng.choices(b"xyz", k=2_000_000)) + chunk
     comp = bytes(ctx.compress(data))
     assert len(comp) < len(data) // 3  # the far match was actually used
-    assert zstd_decompress(comp) == data
+    assert _decode3(comp) == data
 
 
 def test_jni_decodes_our_store_frames(spark):
@@ -289,7 +304,7 @@ def test_differential_dictionary(spark):
                 rng.choice(words) for _ in range(rng.randrange(1, 300))
             )
             comp = bytes(ctx.compress(payload))
-            assert zstd_decompress(comp, dictionary=d) == payload, (
+            assert _decode3(comp, dictionary=d) == payload, (
                 level, t,
             )
             with pytest.raises(ZstdError, match="dictionary"):
@@ -311,7 +326,7 @@ def test_differential_raw_content_dictionary(spark):
     ctx.loadDict(jvm.com.github.luben.zstd.ZstdDictCompress(content, 19))
     payload = content[2000:2600] + b"tail" + content[5000:5400]
     comp = bytes(ctx.compress(payload))
-    assert zstd_decompress(comp, dictionary=content) == payload
+    assert _decode3(comp, dictionary=content) == payload
 
 
 def test_decompress_assets_zstd(spark):
@@ -432,7 +447,7 @@ def test_long_sequence_count_header(spark):
     >= 0x8000 and desyncs the bitstream.  zstd-jni decodes the
     hand-built fixture too, validating the crafting."""
     frame, want = _seq_rle_frame(0x8200)
-    assert zstd_decompress(frame) == want
+    assert _decode3(frame) == want
     Z = _jzstd(spark)
     assert bytes(Z.decompress(frame, len(want))) == want
 
@@ -445,7 +460,11 @@ def test_sequence_bomb_capped_in_block():
     max_output guard ever ran."""
     frame, _ = _seq_rle_frame(44000)  # would regenerate 132 001 bytes
     with pytest.raises(ZstdError, match="128 KB"):
-        zstd_decompress(frame, max_output=1 << 30)
+        zstd_decompress(frame, max_output=1 << 30, force_pure=True)
+    # libzstd is LENIENT here (accepts the oversized block); its bomb
+    # bound is the per-chunk max_output check in the native loop
+    assert zstd_decompress(frame, max_output=1 << 30) == \
+        b"A" * 132001
 
 
 def test_rle_block_size_capped():
@@ -456,7 +475,7 @@ def test_rle_block_size_capped():
         + int.to_bytes((200000 << 3) | (1 << 1) | 1, 3, "little") + b"Z"
     )
     with pytest.raises(ZstdError, match="128 KB"):
-        zstd_decompress(frame)
+        zstd_decompress(frame, force_pure=True)
 
 
 def test_huffman_weight_selfloop_bounded():
