@@ -1042,3 +1042,53 @@ def test_incremental_dedup_store_file_depth_auto_compact(spark, tmp_path):
         for t in (f"{prefix}_buckets", f"{prefix}_labels",
                   f"{prefix}_relabel"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_file_depth_guards_are_loud():
+    """Round 17 (r16 verdict, What's wrong #3): a Spark upgrade that
+    changes the writer's file-name pattern must NOT silently return
+    depth 0 and disarm every auto-compact trigger — a non-empty
+    listing that matches nothing raises.  Spark-free: the helpers only
+    touch spark.table(t).inputFiles()."""
+    import pytest
+
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        _bucket_file_depth,
+        _partition_file_depth,
+    )
+
+    class _FakeDF:
+        def __init__(self, files):
+            self._files = files
+
+        def inputFiles(self):
+            return self._files
+
+    class _FakeSpark:
+        def __init__(self, files):
+            self._files = files
+
+        def table(self, name):
+            return _FakeDF(self._files)
+
+    good = [
+        "file:/w/t/part-00000-abc_00003.c000.snappy.parquet",
+        "file:/w/t/part-00001-abc_00003.c000.snappy.parquet",
+        "file:/w/t/part-00002-abc_00007.c000.snappy.parquet",
+    ]
+    assert _bucket_file_depth(_FakeSpark(good), "t") == 2
+    assert _bucket_file_depth(_FakeSpark([]), "t") == 0
+    doctored = ["file:/w/t/data-00000.snappy.parquet"]
+    with pytest.raises(AssertionError, match="naming convention"):
+        _bucket_file_depth(_FakeSpark(doctored), "t")
+
+    part = [
+        "file:/w/t/cluster=0/f1.parquet",
+        "file:/w/t/cluster=0/f2.parquet",
+        "file:/w/t/cluster=1/f3.parquet",
+    ]
+    assert _partition_file_depth(_FakeSpark(part), "t") == 2
+    assert _partition_file_depth(_FakeSpark([]), "t") == 0
+    flat = ["file:/w/t/f1.parquet", "file:/w/t/f2.parquet"]
+    with pytest.raises(AssertionError, match="partition directory"):
+        _partition_file_depth(_FakeSpark(flat), "t")

@@ -55,6 +55,13 @@ HEAVY_POOL = [
     "q465_bm25_store_index",
     "q466_ivfpq_store_index",
     "q467_bm25_absolute_df_cap",
+    # round 17 (r16 verdict directive 3): the stored-index LIFECYCLE
+    # queries (init / guarded inserts / auto-compact / serve) and the
+    # zstd ingestion seam — the three new surfaces whose sf0.1
+    # behavior the round-16/17 lifecycle story leans on
+    "q469_bm25_store_auto_compact",
+    "q470_ivfpq_store_sampled_train",
+    "q476_zstd_corpus_ingest",
 ]
 K_HEAVY = 4
 
