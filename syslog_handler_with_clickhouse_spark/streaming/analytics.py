@@ -127,7 +127,7 @@ def make_rate_processor(ttl_ms: int = 3_600_000):
     """Build the per-device rate ``StatefulProcessor`` (separately
     constructible so its accumulation arithmetic is testable without
     the streaming wire protocol — which needs google.protobuf, absent
-    from this container; probe re-run 2026-08-16 round 16, still
+    from this container; probe re-run 2026-08-17 round 17, still
     absent; same env-gate class as the live-CH handshake, ports
     8123/9000 both connection-refused on the same probe)."""
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
