@@ -135,13 +135,27 @@ def kmeans_assignments(
     Seeding: the vectors with ``id < k`` (the IVF/PQ convention used
     throughout this tier).  ``iters`` refinement passes, then one final
     assignment against the refined centroids.
+
+    Each pass's centroid frame (k rows of k×dim bigints) is eagerly
+    checkpointed (round 17): lazily, iteration i's centroids embed the
+    FULL corpus pipeline of every earlier iteration inside their
+    broadcast subtree — Catalyst does not CSE across broadcast
+    boundaries, so the unrolled q369 plan re-scanned and re-assigned
+    the corpus 8× for iters=2 (plans/r17/q369_kmeans_clusters_before
+    .txt: 8 parquet scans).  Materializing the k-row state makes each
+    iteration exactly ONE corpus pass (assign + refine aggregate) and
+    the final plan one more — 3 scans total, values bit-identical
+    (checkpointing is pure materialization; the arithmetic is exact
+    integers either way).
     """
     v = quantize_vectors(emb, id_col, vec_col)
     cent = v.filter(F.col("vid") < k).select(
         F.col("vid").alias("cell"), F.col("qv").alias("cv")
     )
     for _ in range(iters):
-        cent = refine_step(assign_nearest(v, cent))
+        cent = refine_step(assign_nearest(v, cent)).localCheckpoint(
+            eager=True
+        )
     return assign_nearest(v, cent).select("vid", "cluster", "d2")
 
 
@@ -228,5 +242,9 @@ def maximin_seeds(
                 "qv",
             )
         )
-        chosen = chosen.unionByName(pick)
+        # ≤k rows — checkpoint per pick (round 17): lazily, pick i's
+        # TakeOrdered subtree embeds every earlier pick's corpus scan,
+        # compounding to O(k²) scans by the last seed; materialized,
+        # each pick is exactly one projection-only corpus pass
+        chosen = chosen.unionByName(pick).localCheckpoint(eager=True)
     return chosen.select("pick_order", "vid", "min_d2")

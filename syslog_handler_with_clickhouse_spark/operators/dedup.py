@@ -1189,7 +1189,11 @@ def cdc_chunks(docs: DataFrame, *, w: int = 8, mod: int = 1000003,
                  "chunk": pd.Series(chunks, dtype="object")}
             )
 
-    return docs.select("doc_id", "source", "text").mapInPandas(
+    # widen the narrow corpus scan before the Arrow pass (round 17 —
+    # the _spread discipline): mapInPandas runs in the scan stage, so
+    # without this the vectorized hash is bounded by the input split
+    # count (2-3 tasks at sf0.1) instead of the cluster width
+    return _spread(docs.select("doc_id", "source", "text"), "doc_id").mapInPandas(
         batches, "doc_id long, source string, chunk string"
     )
 

@@ -205,9 +205,37 @@ def _bm25_plan(
     ~0.9 GB spill)."""
     if width:
         docs = docs.repartition(width, F.col("doc_id"))
+    else:
+        # widen the narrow corpus scan BEFORE the tokenize fan-out
+        # (round 17 — dedup's _spread discipline): the explode runs in
+        # the scan stage, so without this the whole tokenize+partial-agg
+        # pipeline is bounded by the input split count (2-3 tasks at
+        # sf0.1 regardless of cores).  The width path above already
+        # repartitions; this is the same move for the small-corpus path.
+        from .dedup import _spread
+
+        docs = _spread(docs, "doc_id")
     tok = _tokens(docs, "doc_id")
     postings = tok.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("tf")
+    )
+    # materialize the postings aggregate ONCE (round 17): the scoring
+    # tail consumes it through four subtrees (df_, dl, the corpus-scalar
+    # stats derived from dl, and the posting join itself), and Catalyst
+    # does not CSE across the broadcast boundaries between them — the
+    # q394 "before" plan re-scanned and re-tokenized the corpus FIVE
+    # times (plans/r17/q394_bm25_retrieval_before.txt: 5 parquet scans +
+    # 5 Generates).  One DISK_ONLY checkpoint (the bm25_store_insert
+    # bootstrap lesson: postings is corpus-scale, deserialized on-heap
+    # caching of it blew a 24 g heap at 20 M docs) turns that into ONE
+    # tokenize pass + three cheap re-reads of the narrow aggregate.
+    # Values are bit-identical — pure materialization.  In the
+    # big-corpus path this runs under the caller's scoped width conf
+    # (conf binds at the action, and the checkpoint IS the action).
+    from pyspark import StorageLevel
+
+    postings = postings.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
     )
     dl = postings.groupBy("doc_id").agg(
         F.sum("tf").cast("bigint").alias("dl")
@@ -636,9 +664,15 @@ def bm25_store_init(
         wp = wp.option("path", f"{location}/{tp}")
         wl = wl.option("path", f"{location}/{tl}")
         wd = wd.option("path", f"{location}/{td}")
-    wp.saveAsTable(tp)
-    wl.saveAsTable(tl)
-    wd.saveAsTable(td)
+    # three independent (empty) table creations — overlap the driver's
+    # per-write catalog/commit latency (guide §2.6, operators/actions.py)
+    from .actions import run_actions
+
+    run_actions(
+        lambda: wp.saveAsTable(tp),
+        lambda: wl.saveAsTable(tl),
+        lambda: wd.saveAsTable(td),
+    )
 
 
 def bm25_store_insert(
@@ -739,17 +773,37 @@ def bm25_store_insert(
         F.count(F.lit(1)).cast("bigint").alias("dfreq")
     )
     nb = _table_num_buckets(spark, tp)
+    # postings writes FIRST and alone — the replay/torn guard above
+    # probes it as the sentinel table, which is only sound if no other
+    # table can be written before it (a crash leaving dl-only rows would
+    # otherwise be invisible to the probe).  The dl and df appends are
+    # then independent jobs over the one checkpointed bp writing two
+    # DIFFERENT tables — run concurrently so each write's straggler
+    # tail and driver commit gap overlap the other's (guide §2.6,
+    # operators/actions.py).  Crash states remain the detectable set:
+    # {postings}, {postings,dl}, {postings,df} — bm25_store_repair
+    # probes each table independently, so any subset completes.
+    from .actions import run_actions
+
     bp.select("doc_id", "token", "tf").repartition(
         nb, "token"
     ).write.mode("append").bucketBy(nb, "token").sortBy("token").saveAsTable(
         tp
     )
-    bdl.select("doc_id", "dl").repartition(nb, "doc_id").write.mode(
-        "append"
-    ).bucketBy(nb, "doc_id").sortBy("doc_id").saveAsTable(tl)
-    bdf.select("token", "dfreq").repartition(nb, "token").write.mode(
-        "append"
-    ).bucketBy(nb, "token").sortBy("token").saveAsTable(td)
+    run_actions(
+        lambda: bdl.select("doc_id", "dl")
+        .repartition(nb, "doc_id")
+        .write.mode("append")
+        .bucketBy(nb, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(tl),
+        lambda: bdf.select("token", "dfreq")
+        .repartition(nb, "token")
+        .write.mode("append")
+        .bucketBy(nb, "token")
+        .sortBy("token")
+        .saveAsTable(td),
+    )
 
     if stats is None and auto_compact_files is None:
         return
@@ -806,8 +860,10 @@ def bm25_store_fsck(spark, prefix: str) -> dict:
 
 def bm25_store_repair(spark, prefix: str, batch: DataFrame) -> dict:
     """Complete a TORN insert (round 17, closing the round-16 verdict's
-    durability gap): a crash between :func:`bm25_store_insert`'s three
-    appends leaves a PREFIX of (postings, dl, df) written.  Given the
+    durability gap): a crash inside :func:`bm25_store_insert`'s appends
+    leaves a SUBSET of (postings, dl, df) written — postings always
+    first (the guard's sentinel), dl/df in either order (they run
+    concurrently).  Given the
     SAME batch, the derived rows are recomputed (deterministic
     tokenization) and ONLY the missing tables appended — table writes
     are job-atomic, so a batch's presence per table is all-or-nothing:
@@ -974,16 +1030,26 @@ def bm25_store_compact(spark, prefix: str, full: bool = False) -> None:
     the append count grows again."""
     from pyspark import StorageLevel
 
+    from .actions import run_actions
     from .dedup import _table_num_buckets
 
     tp, tl, td = _bm25_store_tables(prefix)
-    merged = bm25_store_df(spark, prefix).localCheckpoint(eager=True)
-    nb = _table_num_buckets(spark, td)
-    merged.repartition(nb, "token").write.mode("overwrite").bucketBy(
-        nb, "token"
-    ).sortBy("token").saveAsTable(td)
-    if full:
-        for table, key in ((tp, "token"), (tl, "doc_id")):
+
+    # each table's snapshot→rewrite pipeline touches only its own table;
+    # the three run concurrently (guide §2.6) — a full compact is the
+    # most job-dense operation in the store lifecycle (q469 trips two of
+    # them on purpose) and the per-table pipelines otherwise serialize
+    # their checkpoint jobs, rewrite jobs, and driver commit gaps.
+    def compact_df():
+        merged = bm25_store_df(spark, prefix).localCheckpoint(eager=True)
+        nb = _table_num_buckets(spark, td)
+        merged.repartition(nb, "token").write.mode("overwrite").bucketBy(
+            nb, "token"
+        ).sortBy("token").saveAsTable(td)
+        merged.unpersist()
+
+    def compact_table(table, key):
+        def run():
             nb_t = _table_num_buckets(spark, table)
             snap = spark.table(table).localCheckpoint(
                 eager=True, storageLevel=StorageLevel.DISK_ONLY
@@ -992,3 +1058,12 @@ def bm25_store_compact(spark, prefix: str, full: bool = False) -> None:
                 nb_t, key
             ).sortBy(key).saveAsTable(table)
             snap.unpersist()
+
+        return run
+
+    if full:
+        run_actions(
+            compact_df, compact_table(tp, "token"), compact_table(tl, "doc_id")
+        )
+    else:
+        compact_df()

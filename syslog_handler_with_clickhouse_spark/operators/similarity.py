@@ -154,7 +154,10 @@ def cosine_topk_ivf(
         "vn",
     )
     for _ in range(refine):
-        cent = refine_centroids(v, cent)
+        # n_cells rows — checkpoint per pass so later passes/consumers
+        # stop re-running earlier passes' corpus scans once per
+        # reference (round 17; values bit-identical)
+        cent = refine_centroids(v, cent).localCheckpoint(eager=True)
     cell_sims = _cell_sims(v, cent)
     wcell = Window.partitionBy("vid").orderBy(
         F.col("cell_sim").desc(), F.col("cell").asc()
@@ -300,8 +303,18 @@ def pq_codebooks(
         .limit(n_codes)
         .withColumn("code", (F.row_number().over(wseed) - 1).cast("int"))
     )
-    cent = sub.join(F.broadcast(seed_ids), "vid").select(
-        "m", "code", F.col("sv").alias("cv")
+    # the codebook state is m_sub × n_codes rows — checkpoint it per
+    # pass (round 17, the kmeans_assignments discipline): lazily, each
+    # refine's broadcast subtree embeds every earlier pass's FULL
+    # corpus-scale `sub` pipeline (Catalyst does not CSE across
+    # broadcast boundaries), so downstream consumers re-ran the seed
+    # scan + assignment once per reference.  Materializing the tiny
+    # state makes each pass exactly one `sub` pass; values are
+    # bit-identical (exact integer arithmetic, pure materialization).
+    cent = (
+        sub.join(F.broadcast(seed_ids), "vid")
+        .select("m", "code", F.col("sv").alias("cv"))
+        .localCheckpoint(eager=True)
     )
     mean_cols = [
         F.round(
@@ -322,6 +335,7 @@ def pq_codebooks(
                 "code",
                 F.array(*[F.col(f"_c{i}") for i in range(d_sub)]).alias("cv"),
             )
+            .localCheckpoint(eager=True)
         )
     return cent
 
@@ -424,7 +438,13 @@ def ivfpq_build(
             F.col("qv").alias("cv"),
         )
     )
-    cent = clustering.refine_step(clustering.assign_nearest(v, seed))
+    # n_cells rows — checkpoint so the assignment/residual/codebook
+    # consumers below stop re-running the seed TakeOrdered + first
+    # Lloyd pass once per broadcast reference (round 17, the
+    # kmeans_assignments discipline; values bit-identical)
+    cent = clustering.refine_step(
+        clustering.assign_nearest(v, seed)
+    ).localCheckpoint(eager=True)
     assign = clustering.assign_nearest(v, cent).select("vid", "cluster", "qv")
 
     # residual sub-vectors (already exact ints)
@@ -829,16 +849,31 @@ def ivfpq_store_init(
         )
     # the v and codes writes share the whole training pipeline —
     # materialize once so the build is not re-executed per table write
-    # (DISK_ONLY: the training set is corpus-scale, not batch-scale)
+    # (DISK_ONLY: the training set is corpus-scale, not batch-scale).
+    # v (a quantize projection of train_emb) and codes (the full encode)
+    # are independent DAGs, so their checkpoints run concurrently, as do
+    # the four table writes afterwards (guide §2.6, operators/actions.py
+    # — init is one-shot create, no sentinel-order contract like the
+    # insert path's: a partial init leaves a missing table that every
+    # later insert/scan fails on loudly).
     from pyspark import StorageLevel
 
+    from .actions import run_actions
+
+    box: dict = {}
+
+    def ckpt(key):
+        def run():
+            box[key] = idx[key].localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            )
+
+        return run
+
+    run_actions(ckpt("v"), ckpt("codes"))
     idx = {
-        "v": idx["v"].localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY
-        ),
-        "codes": idx["codes"].localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY
-        ),
+        "v": box["v"],
+        "codes": box["codes"],
         "cent": idx["cent"],
         "books": idx["books"],
     }
@@ -867,10 +902,12 @@ def ivfpq_store_init(
         wc = wc.option("path", f"{location}/{tc}")
         wn = wn.option("path", f"{location}/{tn}")
         wb = wb.option("path", f"{location}/{tb}")
-    wv.saveAsTable(tv)
-    wc.saveAsTable(tc)
-    wn.saveAsTable(tn)
-    wb.saveAsTable(tb)
+    run_actions(
+        lambda: wv.saveAsTable(tv),
+        lambda: wc.saveAsTable(tc),
+        lambda: wn.saveAsTable(tn),
+        lambda: wb.saveAsTable(tb),
+    )
 
 
 def ivfpq_store_insert(
@@ -963,12 +1000,32 @@ def ivfpq_store_insert(
     v_new, codes_new = _ivfpq_encode(
         emb, spark.table(tn), spark.table(tb), m_sub, id_col, vec_col, dim
     )
-    codes_new = codes_new.localCheckpoint(eager=True)
     nb = _table_num_buckets(spark, tv)
     n_cells = spark.table(tn).count()
-    v_new.repartition(nb, "vid").write.mode("append").bucketBy(
-        nb, "vid"
-    ).sortBy("vid").saveAsTable(tv)
+    # v writes FIRST and the codes append only starts after it — the
+    # replay/torn guard probes v as the sentinel table, which is only
+    # sound if codes can never exist without v.  But the codes ENCODE
+    # (the expensive job of the insert — PQ assignment over the batch)
+    # is independent of the v write, so its materializing checkpoint
+    # runs concurrently with the v append (guide §2.6): the barrier
+    # after run_actions still guarantees v is on disk before the codes
+    # append begins.
+    from .actions import run_actions
+
+    box: dict = {}
+
+    def ckpt_codes():
+        box["codes"] = codes_new.localCheckpoint(eager=True)
+
+    run_actions(
+        ckpt_codes,
+        lambda: v_new.repartition(nb, "vid")
+        .write.mode("append")
+        .bucketBy(nb, "vid")
+        .sortBy("vid")
+        .saveAsTable(tv),
+    )
+    codes_new = box["codes"]
     codes_new.select("vid", "m", "code", "cluster").repartition(
         max(int(n_cells), 1), "cluster"
     ).write.mode("append").partitionBy("cluster").saveAsTable(tc)
@@ -1038,25 +1095,36 @@ def ivfpq_store_compact(spark, prefix: str) -> None:
     bit-equal before/after (pure layout, unit-pinned)."""
     from pyspark import StorageLevel
 
+    from .actions import run_actions
     from .dedup import _table_num_buckets
 
     tv, tc, _, _ = _ivfpq_store_tables(prefix)
-    nb = _table_num_buckets(spark, tv)
-    snap_v = spark.table(tv).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
-    )
-    snap_v.repartition(nb, "vid").write.mode("overwrite").bucketBy(
-        nb, "vid"
-    ).sortBy("vid").saveAsTable(tv)
-    snap_v.unpersist()
-    snap_c = spark.table(tc).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
-    )
-    n_cells = snap_c.select("cluster").distinct().count()
-    snap_c.repartition(max(int(n_cells), 1), "cluster").write.mode(
-        "overwrite"
-    ).partitionBy("cluster").saveAsTable(tc)
-    snap_c.unpersist()
+
+    # the v and codes rewrites touch different tables — their
+    # snapshot→rewrite pipelines run concurrently (guide §2.6), which
+    # overlaps each pipeline's checkpoint job, rewrite job, and driver
+    # commit gap with the other's
+    def compact_v():
+        nb = _table_num_buckets(spark, tv)
+        snap_v = spark.table(tv).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+        snap_v.repartition(nb, "vid").write.mode("overwrite").bucketBy(
+            nb, "vid"
+        ).sortBy("vid").saveAsTable(tv)
+        snap_v.unpersist()
+
+    def compact_codes():
+        snap_c = spark.table(tc).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+        n_cells = snap_c.select("cluster").distinct().count()
+        snap_c.repartition(max(int(n_cells), 1), "cluster").write.mode(
+            "overwrite"
+        ).partitionBy("cluster").saveAsTable(tc)
+        snap_c.unpersist()
+
+    run_actions(compact_v, compact_codes)
 
 
 def ivfpq_store_index(spark, prefix: str) -> dict:

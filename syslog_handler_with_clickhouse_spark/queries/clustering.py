@@ -1363,13 +1363,32 @@ def q454(spark, sf_dir):
     g = docs.select(
         "doc_id", "lang", F.explode(F.concat(uni, bi)).alias("b")
     )
-    tgt = (
-        g.filter((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # ONE conditional aggregate over g computes both bucket-count tables
+    # (round 17): the old src-aggregate + tgt-aggregate + left-join form
+    # cost two full passes over the hashed-gram explode, and the `tots`
+    # scalar subtree re-ran both again — Catalyst does not CSE across
+    # broadcast boundaries, so the "before" plan scanned + re-hashed the
+    # corpus FIVE times (plans/r17/q454_dsir_importance_before.txt: 5
+    # parquet scans).  `ct` as a conditional sum equals the left-join +
+    # na.fill(0) count exactly (tgt's support ⊆ src's); the ≤4096-row
+    # stats table is checkpointed so `tots` and the scoring broadcast
+    # re-read it instead of re-running the explode.  g is now computed
+    # exactly twice (once here, once in the scoring join) — the hashing
+    # projection is cheaper to recompute than a corpus-scale
+    # (doc_id, b) spill would be to materialize.
+    stats = (
+        g.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cs"),
+            F.sum(
+                F.when(
+                    (F.col("lang") == "en") & (F.col("doc_id") % 5 == 0),
+                    1,
+                ).otherwise(0)
+            ).alias("ct"),
+        )
+        .localCheckpoint(eager=True)
     )
-    src = g.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
-    stats = src.join(tgt, "b", "left").na.fill({"ct": 0})
     tots = stats.agg(
         F.sum("ct").alias("ct_tot"), F.sum("cs").alias("cs_tot")
     )

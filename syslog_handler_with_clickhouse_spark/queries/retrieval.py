@@ -602,11 +602,17 @@ def q407(spark, sf_dir):
     expression version cost 16 s at sf0.1, see operator docstring);
     the only shuffles are the chunk-keyed dedup aggregate (the q395
     shape) and the per-source rollup."""
+    from pyspark import StorageLevel
+
     from ..operators.dedup import cdc_chunks
 
+    # the Arrow chunking pass is the expensive stage and feeds BOTH the
+    # dup-count aggregate and the join-back side — lazily it ran twice
+    # (plans/r17/q407_cdc_chunking_before.txt: 4 ArrowEval nodes).  One
+    # DISK_ONLY checkpoint runs it once; values bit-identical.
     chunks = cdc_chunks(
         _t(spark, sf_dir, "documents").filter(F.length("text") >= 8)
-    )
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     dupc = (
         chunks.groupBy("chunk")
         .agg(F.count(F.lit(1)).alias("cnt"))

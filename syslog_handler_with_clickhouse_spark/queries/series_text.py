@@ -4677,6 +4677,18 @@ def q433(spark, sf_dir):
             F.length("line").alias("line_len"),
         )
     )
+    # the hashed-line table feeds BOTH the document-frequency aggregate
+    # and the keep-flag join-back; lazily each side re-ran the 3-way
+    # union + shred + hash (round 17 — the "before" plan scanned the
+    # corpus 12×, plans/r17/q433_line_dedup_before.txt).  One DISK_ONLY
+    # checkpoint of the narrow (doc_id, source, line_key, line_len)
+    # rows (~30 B/line, far cheaper to re-read than the text is to
+    # re-shred) halves the heavy work; values bit-identical.
+    from pyspark import StorageLevel
+
+    lines = lines.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     df_t = lines.groupBy("line_key").agg(
         F.countDistinct("doc_id").cast("bigint").alias("line_df")
     )
