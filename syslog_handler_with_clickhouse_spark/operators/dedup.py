@@ -138,6 +138,16 @@ _FLOOR_CAP = 8192
 # Catalyst reports spark.sql.defaultSizeInBytes (Long.Max-ish) when it
 # has no estimate; anything past 16 TB here is "unknown", not a floor.
 _STATS_UNKNOWN = 1 << 44
+# Join-selectivity estimates inflate MULTIPLICATIVELY: q84's
+# keep1⋈keepers carried a 1.13 GB estimate for 431 actual rows at
+# sf0.01 (probed round 17 — 20 000× over), and localCheckpoint
+# PROPAGATES the bogus number, so one bad join poisoned every derived
+# width downstream (4313-partition shuffles on a ~1 MB corpus; 127 s).
+# Genuine super-leaf growth at the points this floor is taken is the
+# explode fan-out, and Catalyst sizes Generate output near its child —
+# so an estimate more than this multiple of the plan's summed LEAF
+# (scan) sizes is arithmetic garbage, not data, and is clamped.
+_FLOOR_LEAF_FANOUT_CAP = 8
 
 
 def _size_floor(df: DataFrame) -> int:
@@ -155,13 +165,29 @@ def _size_floor(df: DataFrame) -> int:
     only ever RAISES partition counts; AQE coalesces the excess back
     down on small inputs, so sf0.01 oracle runs keep their plans."""
     try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
+        plan = df._jdf.queryExecution().optimizedPlan()
+        size = int(plan.stats().sizeInBytes())
     except Exception:  # py4j/analysis edge — no estimate, no floor
         return 0
     if size <= 0 or size >= _STATS_UNKNOWN:
         return 0
+    # clamp join-inflated estimates at a bounded fan-out over the
+    # plan's leaf (scan) sizes — see _FLOOR_LEAF_FANOUT_CAP.  A leaf
+    # with no estimate disables the clamp (keep the top-level number),
+    # never the floor itself.
+    try:
+        leaves = plan.collectLeaves()
+        leaf_sum = 0
+        for i in range(leaves.size()):
+            s = int(leaves.apply(i).stats().sizeInBytes())
+            if s >= _STATS_UNKNOWN:
+                leaf_sum = None
+                break
+            leaf_sum += s
+        if leaf_sum is not None:
+            size = min(size, _FLOOR_LEAF_FANOUT_CAP * max(leaf_sum, 1))
+    except Exception:
+        pass  # clamp is best-effort; the unclamped floor still applies
     return min(_FLOOR_CAP, -(-size // _FLOOR_TARGET_BYTES))
 
 

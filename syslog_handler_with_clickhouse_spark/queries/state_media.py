@@ -4854,13 +4854,17 @@ def q459(spark, sf_dir):
     ]
     state = dedup.incremental_dedup_init(spark)
     for b in batches:
-        # materialize the batch (a changefeed batch arrives as data,
-        # not as a lazy plan) — also keeps _size_floor honest: the
-        # bridge JOIN's Catalyst size estimate otherwise inflates the
-        # derived shuffle width ~1700× for a 250-doc batch
-        state = dedup.incremental_dedup_insert(
-            state, b.localCheckpoint(eager=True)
-        )
+        # pass the batch LAZY (round 17): the old eager localCheckpoint
+        # was meant to keep _size_floor honest against the bridge
+        # JOIN's ~1700×-inflated Catalyst estimate, but checkpoints
+        # PROPAGATE the bogus stats on this build (probed: 437 MB
+        # carried for 110 rows), so every width the insert derived
+        # misfired anyway (1668-partition shuffles — 35 s at sf0.01).
+        # Lazy, the plan's LEAVES are the honest parquet scans and
+        # _size_floor's round-17 fan-out clamp bounds the estimate;
+        # the insert re-computes the cheap batch projection a couple
+        # of times instead of burning thousands of empty tasks.
+        state = dedup.incremental_dedup_insert(state, b)
     from pyspark.sql.window import Window
 
     return state["labels"].select(

@@ -1343,11 +1343,29 @@ def q84(spark, sf_dir):
         & (q["alpha_ratio"] > 0.6)
         & (q["stopword_ratio"] > 0.01)
     )
-    # stage 2: exact dedup on content hash, min-id keeper
-    keepers = keep1.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
+    # stage 2: exact dedup on content hash, min-id keeper — as a WINDOW
+    # rank, not the old min-agg + self-join (round 17): identical
+    # surviving rows (row_number()=1 ordered by doc_id per content hash
+    # ≡ doc_id ∈ {min(doc_id) per hash}), one exchange instead of
+    # agg + join, and — the measured bug — Catalyst's size estimate for
+    # the keep1⋈keepers join inflated 20 000× (1.13 GB for 431 rows at
+    # sf0.01; probed), which localCheckpoint PROPAGATES, so every
+    # derived shuffle-width floor downstream (jaccard's _spread, the CC
+    # loop) exploded to 4313 partitions — 127 s for a ~1 MB corpus, the
+    # whole-sweep outlier.  The window output keeps the child's honest
+    # estimate.  The checkpoint below still dedupes the two consumers
+    # (near-dup stage + final anti-join).
+    from pyspark.sql.window import Window as _W
+
+    wdup = _W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+        "doc_id"
     )
-    keep2 = keep1.join(keepers.select("doc_id"), "doc_id")
+    keep2 = (
+        keep1.withColumn("_rk", F.row_number().over(wdup))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+        .localCheckpoint(eager=True)
+    )
     # stages 3+4: near-dup pairs -> connected components -> drop non-reps
     pairs = dedup.jaccard_pairs(keep2, "text", "doc_id", n=3, threshold=0.5)
     clusters = dedup.cluster_assignments(pairs)
