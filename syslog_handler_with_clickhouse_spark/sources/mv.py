@@ -403,17 +403,25 @@ def refresh_join_mv_fact(
     )
     have_dim = latest_version(_jmv(root, "dim")) > 0
     if have_dim:
+        from ..operators.actions import run_actions
+
         dim = read_snapshot(spark, _jmv(root, "dim"))
         matched = dp.join(dim, key).groupBy(group_col).agg(
             F.sum("n").alias("n"), F.sum("s").cast("decimal(18,2)").alias("s")
         )
-        _fold_state(matched, _jmv(root, "view"), [group_col])
         unmatched = dp.join(dim.select(key), key, "left_anti")
+        # view and pending folds write DIFFERENT snapshot paths from the
+        # same batch partials — independent jobs, run concurrently
+        # (guide §2.6); a refresh is otherwise two serialized
+        # read+fold+write round trips
+        run_actions(
+            lambda: _fold_state(matched, _jmv(root, "view"), [group_col]),
+            lambda: _fold_state(
+                unmatched.select(key, "n", "s"), _jmv(root, "pending"), [key]
+            ),
+        )
     else:
-        unmatched = dp
-    _fold_state(
-        unmatched.select(key, "n", "s"), _jmv(root, "pending"), [key]
-    )
+        _fold_state(dp.select(key, "n", "s"), _jmv(root, "pending"), [key])
 
 
 def refresh_join_mv_dim(batch_df: DataFrame, root: str, key: str, group_col: str) -> None:
@@ -429,14 +437,20 @@ def refresh_join_mv_dim(batch_df: DataFrame, root: str, key: str, group_col: str
         dim = newdim
     write_snapshot(dim.coalesce(1), _jmv(root, "dim"), mode="overwrite")
     if latest_version(_jmv(root, "pending")) > 0:
+        from ..operators.actions import run_actions
+
         pend = read_snapshot(spark, _jmv(root, "pending"))
         released = pend.join(newdim, key).groupBy(group_col).agg(
             F.sum("n").alias("n"), F.sum("s").cast("decimal(18,2)").alias("s")
         )
-        _fold_state(released, _jmv(root, "view"), [group_col])
         keep = pend.join(newdim.select(key), key, "left_anti")
-        write_snapshot(
-            keep.coalesce(1), _jmv(root, "pending"), mode="overwrite"
+        # release-into-view and rewrite-pending target different paths —
+        # concurrent (guide §2.6)
+        run_actions(
+            lambda: _fold_state(released, _jmv(root, "view"), [group_col]),
+            lambda: write_snapshot(
+                keep.coalesce(1), _jmv(root, "pending"), mode="overwrite"
+            ),
         )
 
 
