@@ -63,6 +63,13 @@ LLM_TIER = [
     "q466_ivfpq_store_index", # stored IVF-PQ: init+2 appends+scan (r15)
     "q469_bm25_store_auto_compact",   # guarded appends + auto-compact (r16)
     "q470_ivfpq_store_sampled_train", # sampled-train init + compacts (r16)
+    # ADDED round 17 (additive — no existing entry removed/renamed):
+    # the end-to-end corpus pipeline (quality gate -> exact dedup ->
+    # jaccard near-dup -> components -> survivors).  Round 17 found it
+    # running 4313-partition shuffles off a join-inflated Catalyst
+    # estimate (127 s at sf0.01 for ~1 MB of corpus); benching it keeps
+    # the width-floor clamp honest round-over-round.
+    "q84_corpus_pipeline",
 ]
 # q389 IVF-PQ is benched as TWO phases (round-10 directive 5): the old
 # fused q389_ivfpq_ann number (6.26 s in BENCH_r10) mixed one-time index
