@@ -847,36 +847,19 @@ def ivfpq_store_init(
             train_emb, n_cells=n_cells, m_sub=m_sub, n_codes=n_codes,
             id_col=id_col, vec_col=vec_col, dim=dim,
         )
-    # the v and codes writes share the whole training pipeline —
-    # materialize once so the build is not re-executed per table write
-    # (DISK_ONLY: the training set is corpus-scale, not batch-scale).
-    # v (a quantize projection of train_emb) and codes (the full encode)
-    # are independent DAGs, so their checkpoints run concurrently, as do
-    # the four table writes afterwards (guide §2.6, operators/actions.py
-    # — init is one-shot create, no sentinel-order contract like the
-    # insert path's: a partial init leaves a missing table that every
-    # later insert/scan fails on loudly).
-    from pyspark import StorageLevel
-
+    # the four table writes run concurrently (guide §2.6,
+    # operators/actions.py — init is one-shot create, no sentinel-order
+    # contract like the insert path's: a partial init leaves a missing
+    # table that every later insert/scan fails on loudly).  No
+    # corpus-scale checkpoints here (round 17): cent and books are
+    # materialized INSIDE the build (per-iteration checkpoints in
+    # ivfpq_build/pq_codebooks), so the v plan is a pure quantize
+    # projection and the codes plan encodes against tiny checkpointed
+    # quantizers — each is consumed by exactly ONE table write, and the
+    # old eager DISK_ONLY checkpoints of both just doubled the init's
+    # corpus-scale I/O (write-to-checkpoint + write-to-table).
     from .actions import run_actions
 
-    box: dict = {}
-
-    def ckpt(key):
-        def run():
-            box[key] = idx[key].localCheckpoint(
-                eager=True, storageLevel=StorageLevel.DISK_ONLY
-            )
-
-        return run
-
-    run_actions(ckpt("v"), ckpt("codes"))
-    idx = {
-        "v": box["v"],
-        "codes": box["codes"],
-        "cent": idx["cent"],
-        "books": idx["books"],
-    }
     wv = (
         idx["v"]
         .repartition(num_buckets, "vid")
@@ -1103,7 +1086,10 @@ def ivfpq_store_compact(spark, prefix: str) -> None:
     # the v and codes rewrites touch different tables — their
     # snapshot→rewrite pipelines run concurrently (guide §2.6), which
     # overlaps each pipeline's checkpoint job, rewrite job, and driver
-    # commit gap with the other's
+    # commit gap with the other's.  (A one-pass write-to-temp + catalog
+    # rename was tried round 17 and REVERTED: repeated rename cycles
+    # silently stop swapping the data dir on this Spark build — see
+    # OPTIMIZATION_r17.md "tried and reverted".)
     def compact_v():
         nb = _table_num_buckets(spark, tv)
         snap_v = spark.table(tv).localCheckpoint(
