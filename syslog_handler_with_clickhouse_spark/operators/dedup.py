@@ -1391,28 +1391,42 @@ def incremental_dedup_insert(
             F.coalesce("new_comp", state["labels"]["comp"]).alias("comp"),
         )
     )
-    labels_next = lab.unionByName(new_labels).localCheckpoint(eager=True)
-
     newb = (
         nbm.select("band", "bh", F.col("m").alias("rep"))
         .distinct()
         .join(state["buckets"].select("band", "bh"), ["band", "bh"], "left_anti")
     )
-    buckets_next = state["buckets"].unionByName(newb).localCheckpoint(
-        eager=True
-    )
+    # the next-state checkpoints (labels, buckets, and — scored path —
+    # scores) are independent DAGs over already-materialized inputs:
+    # run them concurrently (guide §2.6, round 17) instead of paying
+    # three serialized materialization round trips per insert
+    from .actions import run_actions
 
-    out = {"buckets": buckets_next, "labels": labels_next}
+    box: dict = {}
 
+    def ck(key, frame):
+        def run():
+            box[key] = frame.localCheckpoint(eager=True)
+
+        return run
+
+    thunks = [
+        ck("labels", lab.unionByName(new_labels)),
+        ck("buckets", state["buckets"].unionByName(newb)),
+    ]
     if score_col is not None:
         batch_scores = batch.select(
             F.col(id_col).cast("bigint").alias("node"),
             F.col(score_col).cast("bigint").alias("score"),
         )
-        out["scores"] = (
-            state["scores"].unionByName(batch_scores)
-            .localCheckpoint(eager=True)
+        thunks.append(
+            ck("scores", state["scores"].unionByName(batch_scores))
         )
+    run_actions(*thunks)
+    out = {"buckets": box["buckets"], "labels": box["labels"]}
+
+    if score_col is not None:
+        out["scores"] = box["scores"]
         new_entries = new_labels.join(batch_scores, "node").select(
             "comp", "score", F.col("node").alias("doc")
         )
