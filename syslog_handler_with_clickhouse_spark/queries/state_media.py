@@ -4852,19 +4852,25 @@ def q459(spark, sf_dir):
         ),
         corpus.filter(F.col("doc_id") >= 1000000),
     ]
+    import tempfile
+
     state = dedup.incremental_dedup_init(spark)
-    for b in batches:
-        # pass the batch LAZY (round 17): the old eager localCheckpoint
-        # was meant to keep _size_floor honest against the bridge
-        # JOIN's ~1700×-inflated Catalyst estimate, but checkpoints
-        # PROPAGATE the bogus stats on this build (probed: 437 MB
-        # carried for 110 rows), so every width the insert derived
-        # misfired anyway (1668-partition shuffles — 35 s at sf0.01).
-        # Lazy, the plan's LEAVES are the honest parquet scans and
-        # _size_floor's round-17 fan-out clamp bounds the estimate;
-        # the insert re-computes the cheap batch projection a couple
-        # of times instead of burning thousands of empty tasks.
-        state = dedup.incremental_dedup_insert(state, b)
+    base = tempfile.mkdtemp(prefix="q459_batches_")
+    for i, b in enumerate(batches):
+        # materialize each batch as PARQUET and read it back (round 17,
+        # guide §3.3): the old eager localCheckpoint was meant to keep
+        # _size_floor honest against the bridge JOIN's ~1700×-inflated
+        # Catalyst estimate, but checkpoints PROPAGATE the bogus stats
+        # on this build (probed: 437 MB carried for 110 rows), so every
+        # width the insert derived misfired anyway (1668-partition
+        # shuffles — 35 s at sf0.01).  A written-and-re-read batch has
+        # an EXACT file-scan estimate (floors honest at every scale),
+        # is computed once however many times the insert consumes it,
+        # and matches the operator's realism claim — a changefeed batch
+        # arrives as data, not as a lazy plan.
+        p = f"{base}/b{i}"
+        b.write.parquet(p)
+        state = dedup.incremental_dedup_insert(state, spark.read.parquet(p))
     from pyspark.sql.window import Window
 
     return state["labels"].select(
