@@ -55,4 +55,11 @@ def run_actions(*thunks: Callable[[], None]) -> None:
             except Exception as e:  # noqa: PERF203 — collect, raise first
                 errs.append(e)
         if errs:
+            # surface SIBLING failures too (round-18 ADVICE): the first
+            # error propagates, the rest ride along as __notes__ so a
+            # multi-write failure isn't diagnosed from one table alone
+            for other in errs[1:]:
+                errs[0].add_note(
+                    f"concurrent sibling action also failed: {other!r}"
+                )
             raise errs[0]

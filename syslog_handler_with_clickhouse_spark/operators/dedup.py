@@ -14,6 +14,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import Column, DataFrame
@@ -148,6 +149,13 @@ _STATS_UNKNOWN = 1 << 44
 # so an estimate more than this multiple of the plan's summed LEAF
 # (scan) sizes is arithmetic garbage, not data, and is clamped.
 _FLOOR_LEAF_FANOUT_CAP = 8
+# Clamp firings, recorded for attribution (round-18 ADVICE): bounded
+# in-session telemetry, never persisted — inspect after a run to see
+# which plans the clamp touched.
+_FLOOR_CLAMP_EVENTS: list = []
+import logging as _logging
+
+_log = _logging.getLogger(__name__)
 
 
 def _size_floor(df: DataFrame) -> int:
@@ -185,7 +193,23 @@ def _size_floor(df: DataFrame) -> int:
                 break
             leaf_sum += s
         if leaf_sum is not None:
-            size = min(size, _FLOOR_LEAF_FANOUT_CAP * max(leaf_sum, 1))
+            capped = _FLOOR_LEAF_FANOUT_CAP * max(leaf_sum, 1)
+            if size > capped:
+                # record the firing (round-18 ADVICE: a silently-reduced
+                # floor must be attributable if a genuinely-expanding
+                # plan ever regresses into a spill because of it)
+                if len(_FLOOR_CLAMP_EVENTS) < 256:
+                    _FLOOR_CLAMP_EVENTS.append(
+                        {"estimate": size, "leaf_sum": leaf_sum}
+                    )
+                _log.info(
+                    "_size_floor clamp fired: estimate=%d bytes > %d x "
+                    "leaf_sum=%d — using the leaf-derived bound",
+                    size,
+                    _FLOOR_LEAF_FANOUT_CAP,
+                    leaf_sum,
+                )
+            size = min(size, capped)
     except Exception:
         pass  # clamp is best-effort; the unclamped floor still applies
     return min(_FLOOR_CAP, -(-size // _FLOOR_TARGET_BYTES))
@@ -644,9 +668,27 @@ def cluster_assignments(
     truncates the otherwise exponentially-growing lineage; the driver
     sees only a changed-row COUNT per round, never the data.
     """
-    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    edges = edges.unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # Driver-local fast path (round 18, same bound and argument as
+    # dedup_components): a pair list inside one partition's edge budget
+    # closes on the driver in milliseconds, against ≥2 full
+    # join+aggregate+count propagation rounds (≈8 jobs) here — and the
+    # labels come back as a LocalRelation with exact stats, so the
+    # caller's join-back broadcasts.
+    base = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).cache()
+    probe = base.limit(_CC_DRIVER_MAX_EDGES + 1).toPandas()
+    if (
+        len(probe) <= _CC_DRIVER_MAX_EDGES
+        and not probe.isnull().values.any()
+    ):
+        out = _cc_driver_local(
+            base.sparkSession, probe["u"].values, probe["v"].values
+        ).select(F.col("node").alias("doc"), F.col("comp").alias("cluster"))
+        base.unpersist()
+        return out
+    edges = base.unionByName(
+        base.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).cache()
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     while True:
@@ -674,6 +716,7 @@ def cluster_assignments(
         if changed == 0:
             break
     edges.unpersist()
+    base.unpersist()
     return labels.select(F.col("u").alias("doc"), F.col("label").alias("cluster"))
 
 
@@ -776,6 +819,74 @@ def winnow_fingerprints(
     return sel
 
 
+def _ckpt_unless_local(df: DataFrame) -> DataFrame:
+    """Eager lineage-truncation checkpoint, skipped when the optimized
+    plan is already a LocalRelation — driver-local data recomputes for
+    free, so a checkpoint would only spend a Spark job materializing
+    what the driver already holds (and would REPLACE the relation's
+    exact Catalyst stats with a stats-less LogicalRDD, un-broadcasting
+    every downstream join)."""
+    try:
+        is_local = (
+            df._jdf.queryExecution()
+            .optimizedPlan()
+            .getClass()
+            .getSimpleName()
+            == "LocalRelation"
+        )
+    except Exception:
+        is_local = False
+    return df if is_local else df.localCheckpoint(eager=True)
+
+
+def materialize_batches(
+    df: DataFrame, part_col: str, values: list
+) -> tuple:
+    """Materialize a pre-split batch plan as PARQUET and hand back one
+    frame per split value, plus a cleanup callable the caller runs when
+    every consumer is done (try/finally — round 17 leaked these dirs).
+
+    Why parquet and not localCheckpoint: a checkpoint PROPAGATES the
+    producing plan's Catalyst estimate on this Spark build (probed
+    round 17: q459's bridge join carried 437 MB of estimate for 110
+    rows THROUGH the checkpoint), so every width derived downstream
+    misfires; a written-and-re-read file scan has an EXACT estimate at
+    every scale, computes once however many times the insert consumes
+    it, and matches the operators' realism claim — a changefeed batch
+    arrives as data, not as a lazy plan.  ONE partitioned write (the
+    splits share the producing scan) instead of one write job per
+    split; a split with no rows comes back as an empty LocalRelation
+    with the same schema."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import StructField, StructType
+
+    spark = df.sparkSession
+    base = tempfile.mkdtemp(prefix="dedup_batches_")
+    df.write.partitionBy(part_col).mode("overwrite").parquet(base)
+    # parquet read-back always surfaces nullable columns — normalize the
+    # empty-split frames to the same shape
+    schema = StructType(
+        [
+            StructField(f.name, f.dataType, True)
+            for f in df.drop(part_col).schema.fields
+        ]
+    )
+    frames = []
+    for v in values:
+        p = os.path.join(base, f"{part_col}={v}")
+        if os.path.isdir(p):
+            frames.append(spark.read.schema(schema).parquet(p))
+        else:
+            frames.append(spark.createDataFrame([], schema))
+
+    def cleanup() -> None:
+        shutil.rmtree(base, ignore_errors=True)
+
+    return frames, cleanup
+
+
 def _free_checkpoint(df: DataFrame, blocking: bool = False) -> None:
     """Actually release a ``localCheckpoint``'ed frame's storage.
 
@@ -852,6 +963,57 @@ def _star_half_round(edges: DataFrame, large: bool) -> DataFrame:
 # width for a real cluster; AQE coalesces the excess on small inputs.
 _CC_EDGES_PER_PARTITION = 150_000
 
+# Driver-local fast-path bound (round 18): a graph whose RAW edge-row
+# count fits ONE shuffle partition's budget is — by the loop's own
+# sizing arithmetic above — a single-task problem, but the distributed
+# fixpoint still pays ~10 job dispatches (checkpoints, counts,
+# convergence probes) to solve it: measured 36-38 Spark jobs and
+# 2.7-5.8 s PER INSERT inside q459's batch minis at sf0.01, against
+# milliseconds of actual union-find work.  At or under this bound the
+# edges are pulled to the driver (≤ ~3.6 MB through Arrow — the same
+# order as any broadcast build) and closed with union-find; the result
+# returns as a LocalRelation with EXACT Catalyst stats, so downstream
+# joins broadcast it instead of planning blind SMJs.  Above the bound
+# nothing changes — the 100 TB posture is the star-contraction loop.
+_CC_DRIVER_MAX_EDGES = _CC_EDGES_PER_PARTITION
+
+
+def _cc_driver_local(spark, us, vs) -> "DataFrame":
+    """Union-find closure of a small edge list (parallel arrays of
+    int64, canonicalized u >= v, self-loops allowed) → (node, comp)
+    with comp = min node id of the component — bit-identical to the
+    star-contraction fixpoint's labels.  Roots stay the component MIN
+    by construction: every union links the larger root under the
+    smaller, so find() of any member terminates at the min."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        p = parent.setdefault(x, x)
+        if p == x:
+            return x
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(us.tolist(), vs.tolist()):
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        if ru < rv:
+            parent[rv] = ru
+        else:
+            parent[ru] = rv
+    nodes = sorted(parent)
+    out = pd.DataFrame(
+        {"node": nodes, "comp": [find(n) for n in nodes]}, dtype="int64"
+    )
+    return spark.createDataFrame(out, schema="node bigint, comp bigint")
+
 
 def dedup_components(
     pairs: DataFrame, max_iter: int = 25, stats: list | None = None
@@ -921,6 +1083,34 @@ def dedup_components(
         )
         .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
+    # Driver-local fast path (round 18): ONE CollectLimit job over the
+    # checkpointed blocks answers "does the whole graph fit one
+    # partition's edge budget" AND, when yes, already holds every edge
+    # — union-find closes it on the driver in milliseconds and the
+    # labels return as a LocalRelation with exact Catalyst stats
+    # (downstream joins broadcast instead of planning blind SMJs).
+    # When no, the probe cost one early-exiting job and the loop below
+    # is untouched.  Nulls (no legal producer emits them) defensively
+    # fall through to the distributed path.
+    t0_fast = _time.perf_counter()
+    probe = raw.limit(_CC_DRIVER_MAX_EDGES + 1).toPandas()
+    if (
+        len(probe) <= _CC_DRIVER_MAX_EDGES
+        and not probe.isnull().values.any()
+    ):
+        out = _cc_driver_local(spark, probe["u"].values, probe["v"].values)
+        if stats is not None:
+            stats.append(
+                {
+                    "round": 1,
+                    "sec": round(_time.perf_counter() - t0_fast, 2),
+                    "edges": int(len(probe)),
+                    "changed": 0,
+                    "driver_local": True,
+                }
+            )
+        _free_checkpoint(raw, blocking=True)
+        return out
     # ONE pass over the checkpoint yields both the proper-edge count
     # (sizes the loop width — the old raw.count()) and whether any
     # SELF-pairs exist (degenerate (x, x) input rows: no connectivity,
@@ -1357,11 +1547,11 @@ def incremental_dedup_insert(
         F.col(id_col).cast("bigint").alias("node")
     ).distinct()
     # dedup_components checkpoints its input and handles the empty
-    # graph itself — no pre-materialization or isEmpty probe needed
-    mini = (
-        dedup_components(mini_edges)
-        .select("node", "comp")
-        .localCheckpoint(eager=True)
+    # graph itself — no pre-materialization or isEmpty probe needed.
+    # Batch-scale graphs come back driver-local (LocalRelation): skip
+    # the checkpoint there — free recompute, exact stats preserved
+    mini = _ckpt_unless_local(
+        dedup_components(mini_edges).select("node", "comp")
     )
 
     new_labels = batch_ids.join(mini, "node", "left").select(
@@ -1377,8 +1567,13 @@ def incremental_dedup_insert(
         .select(
             F.col("node").alias("old_comp"), F.col("comp").alias("new_comp")
         )
-        .localCheckpoint(eager=True)
     )
+    # relabel has ONE consumer on the plain path (the broadcast build
+    # inside the labels union) — a checkpoint there is a pure extra
+    # job + materialization round trip per insert; the scored/stats
+    # paths read it 2-4 times, so they keep the truncation
+    if score_col is not None or stats is not None:
+        relabel = relabel.localCheckpoint(eager=True)
     lab = (
         state["labels"]
         .join(
@@ -1666,10 +1861,8 @@ def incremental_dedup_store_insert(
     batch_ids = batch.select(
         F.col(id_col).cast("bigint").alias("node")
     ).distinct()
-    mini = (
-        dedup_components(mini_edges)
-        .select("node", "comp")
-        .localCheckpoint(eager=True)
+    mini = _ckpt_unless_local(
+        dedup_components(mini_edges).select("node", "comp")
     )
     new_labels = batch_ids.join(mini, "node", "left").select(
         "node", F.coalesce("comp", F.col("node")).alias("comp")

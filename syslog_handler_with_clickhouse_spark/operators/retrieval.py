@@ -184,7 +184,15 @@ def _bm25_plan(
     max_df_abs: int | None = None,
     width: int = 0,
 ) -> DataFrame:
-    """The lazy BM25 plan (see bm25_topk for semantics and posture).
+    """The BM25 plan (see bm25_topk for semantics and posture).
+
+    NOT fully lazy since round 17 (ADVICE r18): constructing this frame
+    eagerly checkpoints the postings aggregate DISK_ONLY — one
+    corpus-scale tokenize job runs at DataFrame-CONSTRUCTION time, and
+    the checkpointed blocks live until the returned frame is GC'd.
+    Callers that only want to inspect the plan (explain-only paths) pay
+    that job; every caller in this repo executes the frame, where the
+    checkpoint is a measured win (see the inline comment below).
 
     Single-pass statistics: the token explode happens ONCE; dl and the
     corpus scalars derive FROM the postings aggregate (dl = Σ tf per

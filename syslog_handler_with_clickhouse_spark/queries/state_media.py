@@ -4843,34 +4843,34 @@ def q459(spark, sf_dir):
         )
         .unionByName(bridge)
     )
-    batches = [
-        corpus.filter(
-            (F.col("doc_id") < 1000000) & (F.col("doc_id") % 2 == 0)
-        ),
-        corpus.filter(
-            (F.col("doc_id") < 1000000) & (F.col("doc_id") % 2 == 1)
-        ),
-        corpus.filter(F.col("doc_id") >= 1000000),
-    ]
-    import tempfile
-
+    # materialize the batches as PARQUET and read them back (round 17,
+    # guide §3.3): the old eager localCheckpoint was meant to keep
+    # _size_floor honest against the bridge JOIN's ~1700×-inflated
+    # Catalyst estimate, but checkpoints PROPAGATE the bogus stats on
+    # this build (probed: 437 MB carried for 110 rows), so every width
+    # the insert derived misfired anyway (1668-partition shuffles —
+    # 35 s at sf0.01).  Round 18: one partitioned write via
+    # materialize_batches (the three splits share the producing scan —
+    # one write job instead of three) and the scratch dir is removed in
+    # the finally (round 17 leaked it on every invocation).  Safe once
+    # the inserts return: every state frame is eagerly checkpointed, so
+    # nothing downstream re-reads the batch files.
+    split = (
+        F.when(
+            (F.col("doc_id") < 1000000) & (F.col("doc_id") % 2 == 0), 0
+        )
+        .when((F.col("doc_id") < 1000000) & (F.col("doc_id") % 2 == 1), 1)
+        .otherwise(2)
+    )
+    batches, cleanup = dedup.materialize_batches(
+        corpus.withColumn("b", split), "b", [0, 1, 2]
+    )
     state = dedup.incremental_dedup_init(spark)
-    base = tempfile.mkdtemp(prefix="q459_batches_")
-    for i, b in enumerate(batches):
-        # materialize each batch as PARQUET and read it back (round 17,
-        # guide §3.3): the old eager localCheckpoint was meant to keep
-        # _size_floor honest against the bridge JOIN's ~1700×-inflated
-        # Catalyst estimate, but checkpoints PROPAGATE the bogus stats
-        # on this build (probed: 437 MB carried for 110 rows), so every
-        # width the insert derived misfired anyway (1668-partition
-        # shuffles — 35 s at sf0.01).  A written-and-re-read batch has
-        # an EXACT file-scan estimate (floors honest at every scale),
-        # is computed once however many times the insert consumes it,
-        # and matches the operator's realism claim — a changefeed batch
-        # arrives as data, not as a lazy plan.
-        p = f"{base}/b{i}"
-        b.write.parquet(p)
-        state = dedup.incremental_dedup_insert(state, spark.read.parquet(p))
+    try:
+        for b in batches:
+            state = dedup.incremental_dedup_insert(state, b)
+    finally:
+        cleanup()
     from pyspark.sql.window import Window
 
     return state["labels"].select(

@@ -1360,11 +1360,17 @@ def q84(spark, sf_dir):
     wdup = _W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
         "doc_id"
     )
+    # DISK_ONLY (round-18 ADVICE): keep2 is corpus-scale rows INCLUDING
+    # full text — the default deserialized MEMORY_AND_DISK level would
+    # hold an on-heap copy of the corpus (the bm25 24 g-heap-at-20 M-docs
+    # lesson; q433/q407 use the same level for the same reason).
+    from pyspark import StorageLevel as _SL
+
     keep2 = (
         keep1.withColumn("_rk", F.row_number().over(wdup))
         .filter(F.col("_rk") == 1)
         .drop("_rk")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_SL.DISK_ONLY)
     )
     # stages 3+4: near-dup pairs -> connected components -> drop non-reps
     pairs = dedup.jaccard_pairs(keep2, "text", "doc_id", n=3, threshold=0.5)

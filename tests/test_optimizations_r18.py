@@ -1,0 +1,157 @@
+"""Round-18 optimization internals.
+
+The value-level proof that none of the round-18 plan surgery moved a
+result lives in test_oracle_parity.py (all registered queries); these
+tests pin the new MECHANISMS directly:
+
+* the driver-local union-find fast path in ``dedup_components`` (small
+  graphs — one partition's edge budget — close on the driver and come
+  back as a LocalRelation with exact stats, bit-identical labels to the
+  star-contraction loop);
+* ``materialize_batches`` (the q459 parquet round-trip behind a helper:
+  one partitioned write, per-split frames with exact file-scan stats,
+  cleanup actually removes the scratch dir);
+* ``_ckpt_unless_local`` (driver-local frames skip the checkpoint job
+  and keep their exact stats).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from syslog_handler_with_clickhouse_spark.operators import dedup
+from syslog_handler_with_clickhouse_spark.operators.dedup import (
+    _ckpt_unless_local,
+    dedup_components,
+    materialize_batches,
+)
+
+
+def _graph(spark):
+    """Clique + 4-chain + singleton self-pair + isolated edge — every
+    CC shape the operator documents (merge, path, degenerate)."""
+    rows = (
+        # 4-clique {1,2,3,4} given only as a path + one chord
+        [(1, 2), (2, 3), (3, 4), (1, 4)]
+        # long path {10..15}
+        + [(i, i + 1) for i in range(10, 15)]
+        # self-pair-only node (singleton label contract)
+        + [(99, 99)]
+        # isolated edge, reversed orientation on input
+        + [(51, 50)]
+        # duplicate edges both ways (dropDuplicates contract)
+        + [(2, 1), (1, 2)]
+    )
+    return spark.createDataFrame(rows, "doc_a bigint, doc_b bigint")
+
+
+def test_cc_driver_local_matches_distributed_loop(spark, monkeypatch):
+    pairs = _graph(spark)
+    fast = {(r.node, r.comp) for r in dedup_components(pairs).collect()}
+    # force the distributed star-contraction loop on the same graph
+    monkeypatch.setattr(dedup, "_CC_DRIVER_MAX_EDGES", -1)
+    slow = {(r.node, r.comp) for r in dedup_components(pairs).collect()}
+    assert fast == slow
+    assert fast == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10), (13, 10), (14, 10), (15, 10),
+        (99, 99),
+        (50, 50), (51, 50),
+    }
+
+
+def test_cc_driver_local_returns_local_relation_with_exact_stats(spark):
+    out = dedup_components(_graph(spark))
+    plan = out._jdf.queryExecution().optimizedPlan()
+    assert plan.getClass().getSimpleName() == "LocalRelation"
+    # exact (tiny) stats → downstream joins broadcast instead of SMJ
+    assert int(plan.stats().sizeInBytes()) < 10_000
+
+
+def test_cc_driver_local_stats_flag(spark):
+    stats: list = []
+    dedup_components(_graph(spark), stats=stats)
+    assert len(stats) == 1
+    assert stats[0]["driver_local"] is True
+    assert stats[0]["changed"] == 0
+
+
+def test_cc_empty_and_selfonly_through_fast_path(spark):
+    empty = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert dedup_components(empty).collect() == []
+    selfs = spark.createDataFrame(
+        [(7, 7), (8, 8)], "doc_a bigint, doc_b bigint"
+    )
+    got = {(r.node, r.comp) for r in dedup_components(selfs).collect()}
+    assert got == {(7, 7), (8, 8)}
+
+
+def test_materialize_batches_split_exact_stats_and_cleanup(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        (F.col("id") % 3).cast("int").alias("b"),
+    )
+    frames, cleanup = materialize_batches(df, "b", [0, 1, 2])
+    assert [f.count() for f in frames] == [34, 33, 33]
+    assert frames[0].columns == ["doc_id", "text"]
+    # file-scan stats are EXACT (no join-estimate poison can survive a
+    # parquet round trip) and small
+    for f in frames:
+        sz = int(f._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        assert 0 < sz < (1 << 20)
+    # a value with no rows comes back empty with the same schema
+    frames2, cleanup2 = materialize_batches(
+        df.filter("b < 2"), "b", [0, 1, 2]
+    )
+    assert frames2[2].count() == 0
+    assert frames2[2].schema == frames[0].schema
+    # cleanup removes the scratch dirs (round 17 leaked them)
+    base = None
+    for f in (frames[0],):
+        # recover the dir from the scan's input files
+        base = os.path.dirname(os.path.dirname(f.inputFiles()[0]))
+    base = base.replace("file:", "")
+    cleanup()
+    cleanup2()
+    assert not os.path.exists(base)
+
+
+def test_cluster_assignments_driver_local_matches_propagation(
+    spark, monkeypatch
+):
+    pairs = _graph(spark)
+    fast = {
+        (r.doc, r.cluster)
+        for r in dedup.cluster_assignments(pairs).collect()
+    }
+    monkeypatch.setattr(dedup, "_CC_DRIVER_MAX_EDGES", -1)
+    slow = {
+        (r.doc, r.cluster)
+        for r in dedup.cluster_assignments(pairs).collect()
+    }
+    assert fast == slow
+    # same component structure as dedup_components on the same graph
+    assert fast == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10), (13, 10), (14, 10), (15, 10),
+        (99, 99),
+        (50, 50), (51, 50),
+    }
+
+
+def test_ckpt_unless_local_skips_local_relations(spark):
+    import pandas as pd
+
+    local = spark.createDataFrame(pd.DataFrame({"x": [1, 2, 3]}))
+    same = _ckpt_unless_local(local)
+    assert same is local
+    dist = spark.range(10)
+    ck = _ckpt_unless_local(dist)
+    assert ck is not dist
+    assert (
+        ck._jdf.queryExecution().optimizedPlan().getClass().getSimpleName()
+        == "LogicalRDD"
+    )
