@@ -649,6 +649,21 @@ def _bm25_store_tables(prefix: str) -> tuple[str, str, str]:
     return f"{prefix}_postings", f"{prefix}_dl", f"{prefix}_df"
 
 
+def _bm25_store_phys(spark, prefix: str) -> tuple[str, str, str]:
+    """The PHYSICAL tables currently backing the store: compaction
+    alternates each logical table between ``t`` and ``t__alt``
+    (operators/genswap.py — the one-pass compact), so every reader and
+    appender resolves through here."""
+    from .genswap import current_table
+
+    tp, tl, td = _bm25_store_tables(prefix)
+    return (
+        current_table(spark, tp),
+        current_table(spark, tl),
+        current_table(spark, td),
+    )
+
+
 def bm25_store_init(
     spark, prefix: str, num_buckets: int = 64, location: str | None = None
 ) -> None:
@@ -656,6 +671,11 @@ def bm25_store_init(
     :func:`bm25_store_insert`.  ``location`` roots the table files
     outside the warehouse dir (external tables)."""
     tp, tl, td = _bm25_store_tables(prefix)
+    # a RE-init over a previously compacted store retires any __alt
+    # generations up front: the base names created below already win
+    # the resolver's preference, so this only reclaims orphans
+    for t in (tp, tl, td):
+        spark.sql(f"DROP TABLE IF EXISTS {t}__alt")
     ep = spark.createDataFrame([], "doc_id bigint, token string, tf bigint")
     el = spark.createDataFrame([], "doc_id bigint, dl bigint")
     ed = spark.createDataFrame([], "token string, dfreq bigint")
@@ -722,7 +742,7 @@ def bm25_store_insert(
 
     from pyspark import StorageLevel
 
-    tp, tl, td = _bm25_store_tables(prefix)
+    tp, tl, td = _bm25_store_phys(spark, prefix)
     if assert_new:
         bids = (
             batch.select(F.col("doc_id").cast("bigint").alias("doc_id"))
@@ -842,7 +862,7 @@ def bm25_store_fsck(spark, prefix: str) -> dict:
     O(corpus) aggregates over the bucketed tables — run on demand
     after a crash, not per insert (the insert guard's per-batch probes
     stay O(batch))."""
-    tp, tl, td = _bm25_store_tables(prefix)
+    tp, tl, td = _bm25_store_phys(spark, prefix)
     postings_rows = int(spark.table(tp).count())
     df_sum = int(
         spark.table(td).agg(F.sum("dfreq")).collect()[0][0] or 0
@@ -885,7 +905,7 @@ def bm25_store_repair(spark, prefix: str, batch: DataFrame) -> dict:
 
     from .dedup import _table_num_buckets
 
-    tp, tl, td = _bm25_store_tables(prefix)
+    tp, tl, td = _bm25_store_phys(spark, prefix)
     bp = _bm25_batch_stats(batch)[0].localCheckpoint(
         eager=True, storageLevel=StorageLevel.DISK_ONLY
     )
@@ -938,7 +958,7 @@ def bm25_store_repair(spark, prefix: str, batch: DataFrame) -> dict:
 def bm25_store_df(spark, prefix: str) -> DataFrame:
     """Merged (token, dfreq) view over the stored df partials — the
     groupBy-sum runs exchange-free on the bucketed-by-token scan."""
-    _, _, td = _bm25_store_tables(prefix)
+    _, _, td = _bm25_store_phys(spark, prefix)
     return (
         spark.table(td)
         .groupBy("token")
@@ -979,7 +999,7 @@ def bm25_store_topk(
     observe each other's width.  The caller's ``queries`` frame
     crosses sessions through a context-level global temp view (dropped
     after the eager checkpoint materializes the queries×k result)."""
-    tp, tl, _ = _bm25_store_tables(prefix)
+    tp, tl, _ = _bm25_store_phys(spark, prefix)
 
     def plan(sess_, queries_):
         return _bm25_score(
@@ -1034,44 +1054,64 @@ def bm25_store_compact(spark, prefix: str, full: bool = False) -> None:
     2 000-query batch at 20 M docs); after a full compact the sorted
     bucketed scan feeds the join directly (the session default
     ``bucketedTableScan.outputOrdering`` + one file per bucket).  Cost
-    is one O(corpus) rewrite, amortized over every query batch until
-    the append count grows again."""
-    from pyspark import StorageLevel
-
+    is one O(corpus) rewrite — ONE-PASS since round 18: each table is
+    written directly from a forced-bucketed scan of its current
+    physical generation into the alternate physical name and the old
+    generation dropped (operators/genswap.py), instead of the old
+    snapshot(localCheckpoint)+overwrite that materialized every row
+    TWICE (the in-place overwrite needed the snapshot because Spark
+    refuses to overwrite a table it reads from).  The bucketed scan
+    gives one task per bucket and zero exchange; readers resolve the
+    current generation through ``_bm25_store_phys``."""
     from .actions import run_actions
     from .dedup import _table_num_buckets
+    from .genswap import compact_swap, current_table, forced_bucketed_scan
 
     tp, tl, td = _bm25_store_tables(prefix)
 
-    # each table's snapshot→rewrite pipeline touches only its own table;
+    # each table's one-pass rewrite touches only its own logical table;
     # the three run concurrently (guide §2.6) — a full compact is the
     # most job-dense operation in the store lifecycle (q469 trips two of
-    # them on purpose) and the per-table pipelines otherwise serialize
-    # their checkpoint jobs, rewrite jobs, and driver commit gaps.
+    # them on purpose) and the per-table rewrites otherwise serialize
+    # their jobs and driver commit gaps.
     def compact_df():
-        merged = bm25_store_df(spark, prefix).localCheckpoint(eager=True)
-        nb = _table_num_buckets(spark, td)
-        merged.repartition(nb, "token").write.mode("overwrite").bucketBy(
-            nb, "token"
-        ).sortBy("token").saveAsTable(td)
-        merged.unpersist()
+        nb = _table_num_buckets(spark, current_table(spark, td))
+
+        def write(cur_df, target, path):
+            merged = cur_df.groupBy("token").agg(
+                F.sum("dfreq").cast("bigint").alias("dfreq")
+            )
+            w = merged.write.mode("overwrite").bucketBy(
+                nb, "token"
+            ).sortBy("token")
+            if path is not None:
+                w = w.option("path", path)
+            w.saveAsTable(target)
+
+        compact_swap(spark, td, write)
 
     def compact_table(table, key):
         def run():
-            nb_t = _table_num_buckets(spark, table)
-            snap = spark.table(table).localCheckpoint(
-                eager=True, storageLevel=StorageLevel.DISK_ONLY
-            )
-            snap.repartition(nb_t, key).write.mode("overwrite").bucketBy(
-                nb_t, key
-            ).sortBy(key).saveAsTable(table)
-            snap.unpersist()
+            nb_t = _table_num_buckets(spark, current_table(spark, table))
+
+            def write(cur_df, target, path):
+                w = cur_df.write.mode("overwrite").bucketBy(
+                    nb_t, key
+                ).sortBy(key)
+                if path is not None:
+                    w = w.option("path", path)
+                w.saveAsTable(target)
+
+            compact_swap(spark, table, write)
 
         return run
 
-    if full:
-        run_actions(
-            compact_df, compact_table(tp, "token"), compact_table(tl, "doc_id")
-        )
-    else:
-        compact_df()
+    with forced_bucketed_scan(spark):
+        if full:
+            run_actions(
+                compact_df,
+                compact_table(tp, "token"),
+                compact_table(tl, "doc_id"),
+            )
+        else:
+            compact_df()

@@ -798,6 +798,18 @@ def _ivfpq_store_tables(prefix: str) -> tuple[str, str, str, str]:
     )
 
 
+def _ivfpq_store_phys(spark, prefix: str) -> tuple[str, str, str, str]:
+    """The PHYSICAL tables currently backing the store: compaction
+    alternates v and codes between ``t`` and ``t__alt``
+    (operators/genswap.py); cent/books are frozen at init and never
+    swap, but resolve uniformly."""
+    from .genswap import current_table
+
+    return tuple(
+        current_table(spark, t) for t in _ivfpq_store_tables(prefix)
+    )
+
+
 def ivfpq_store_init(
     spark,
     prefix: str,
@@ -830,6 +842,11 @@ def ivfpq_store_init(
     is the acceptance measure, exactly as for any frozen-quantizer
     index (the q464/q466 ≥ 7/10 recall boolean)."""
     tv, tc, tn, tb = _ivfpq_store_tables(prefix)
+    # a RE-init over a previously compacted store retires any __alt
+    # generations up front (the base names created below win the
+    # resolver's preference; this reclaims orphans)
+    for t in (tv, tc):
+        spark.sql(f"DROP TABLE IF EXISTS {t}__alt")
     if train_sample_mod is not None and train_sample_mod > 1:
         quant = ivfpq_build(
             train_emb.filter(F.col(id_col) % train_sample_mod == 0),
@@ -935,7 +952,7 @@ def ivfpq_store_insert(
         _table_num_buckets,
     )
 
-    tv, tc, tn, tb = _ivfpq_store_tables(prefix)
+    tv, tc, tn, tb = _ivfpq_store_phys(spark, prefix)
     if assert_new:
         bids = (
             emb.select(F.col(id_col).cast("bigint").alias("vid"))
@@ -1044,7 +1061,7 @@ def ivfpq_store_repair(spark, prefix: str) -> dict:
     quantizers make the re-encode bit-identical to what the crashed
     insert would have written).  Round 17, closing the round-16
     verdict's durability gap.  Returns ``{"repaired": n}``."""
-    tv, tc, tn, tb = _ivfpq_store_tables(prefix)
+    tv, tc, tn, tb = _ivfpq_store_phys(spark, prefix)
     books = spark.table(tb)
     m_sub = int(books.agg(F.max("m")).collect()[0][0]) + 1
     d_sub = int(
@@ -1075,49 +1092,63 @@ def ivfpq_store_compact(spark, prefix: str) -> None:
     cent/books quantizers are frozen at init and never need
     compaction.  Cost is one O(corpus) rewrite — the LSM amortization,
     paid per compaction window rather than per insert; scans are
-    bit-equal before/after (pure layout, unit-pinned)."""
-    from pyspark import StorageLevel
-
+    bit-equal before/after (pure layout, unit-pinned).  ONE-PASS since
+    round 18 (operators/genswap.py): each table is written directly
+    from a scan of its current physical generation into the alternate
+    physical name and the old generation dropped, instead of the old
+    snapshot(localCheckpoint)+overwrite that materialized every row
+    TWICE.  (A write-to-temp + catalog RENAME was tried round 17 and
+    REVERTED: repeated rename cycles silently stop swapping the data
+    dir on this Spark build — the alternating-name swap never renames.)
+    Readers resolve the current generation via ``_ivfpq_store_phys``."""
     from .actions import run_actions
     from .dedup import _table_num_buckets
+    from .genswap import compact_swap, current_table, forced_bucketed_scan
 
-    tv, tc, _, _ = _ivfpq_store_tables(prefix)
+    tv, tc, tn, _ = _ivfpq_store_tables(prefix)
 
-    # the v and codes rewrites touch different tables — their
-    # snapshot→rewrite pipelines run concurrently (guide §2.6), which
-    # overlaps each pipeline's checkpoint job, rewrite job, and driver
-    # commit gap with the other's.  (A one-pass write-to-temp + catalog
-    # rename was tried round 17 and REVERTED: repeated rename cycles
-    # silently stop swapping the data dir on this Spark build — see
-    # OPTIMIZATION_r17.md "tried and reverted".)
+    # the v and codes rewrites touch different logical tables — they
+    # run concurrently (guide §2.6), overlapping each rewrite's jobs
+    # and driver commit gap with the other's.
     def compact_v():
-        nb = _table_num_buckets(spark, tv)
-        snap_v = spark.table(tv).localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY
-        )
-        snap_v.repartition(nb, "vid").write.mode("overwrite").bucketBy(
-            nb, "vid"
-        ).sortBy("vid").saveAsTable(tv)
-        snap_v.unpersist()
+        nb = _table_num_buckets(spark, current_table(spark, tv))
+
+        def write(cur_df, target, path):
+            w = cur_df.write.mode("overwrite").bucketBy(
+                nb, "vid"
+            ).sortBy("vid")
+            if path is not None:
+                w = w.option("path", path)
+            w.saveAsTable(target)
+
+        compact_swap(spark, tv, write)
 
     def compact_codes():
-        snap_c = spark.table(tc).localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY
-        )
-        n_cells = snap_c.select("cluster").distinct().count()
-        snap_c.repartition(max(int(n_cells), 1), "cluster").write.mode(
-            "overwrite"
-        ).partitionBy("cluster").saveAsTable(tc)
-        snap_c.unpersist()
+        # width from the frozen quantizer (n_cells) — cheaper than a
+        # distinct over the codes rows, same repartition target
+        n_cells = spark.table(current_table(spark, tn)).count()
 
-    run_actions(compact_v, compact_codes)
+        def write(cur_df, target, path):
+            w = (
+                cur_df.repartition(max(int(n_cells), 1), "cluster")
+                .write.mode("overwrite")
+                .partitionBy("cluster")
+            )
+            if path is not None:
+                w = w.option("path", path)
+            w.saveAsTable(target)
+
+        compact_swap(spark, tc, write)
+
+    with forced_bucketed_scan(spark):
+        run_actions(compact_v, compact_codes)
 
 
 def ivfpq_store_index(spark, prefix: str) -> dict:
     """The stored index as the dict :func:`ivfpq_scan` expects — each
     frame a (bucketed/partitioned) table scan; cent/books tiny and
     broadcast by the scan."""
-    tv, tc, tn, tb = _ivfpq_store_tables(prefix)
+    tv, tc, tn, tb = _ivfpq_store_phys(spark, prefix)
     return {
         "v": spark.table(tv),
         "codes": spark.table(tc),

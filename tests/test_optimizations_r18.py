@@ -142,6 +142,164 @@ def test_cluster_assignments_driver_local_matches_propagation(
     }
 
 
+def _bm25_fixture(spark, tmp_path, prefix):
+    from syslog_handler_with_clickhouse_spark.operators.retrieval import (
+        bm25_store_init,
+        bm25_store_insert,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog"),
+            (2, "a quick dog and a lazy fox"),
+            (3, "grep awk sed pipelines for log files"),
+            (4, "the dog sat on the log"),
+            (5, "vector search with quantized codes"),
+            (6, "fox dens and dog parks"),
+        ],
+        "doc_id long, text string",
+    )
+    bm25_store_init(spark, prefix, num_buckets=4, location=str(tmp_path))
+    for pred in ("doc_id <= 2", "doc_id in (3, 4)", "doc_id >= 5"):
+        bm25_store_insert(spark, prefix, df.filter(pred))
+    return df
+
+
+def _drop_store(spark, prefix):
+    for t in (f"{prefix}_postings", f"{prefix}_dl", f"{prefix}_df"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {t}__alt")
+
+
+def test_compact_swap_repeated_cycles_keep_relayouting(spark, tmp_path):
+    """THE regression the round-17 rename-based one-pass compact hit:
+    the first rename cycle worked, every later one silently stopped
+    swapping the data directory (file counts grew 8→12→16).  The
+    alternating-generation swap must re-layout on EVERY cycle: depth
+    returns to 1, values stay bit-equal, and exactly one physical
+    generation exists per logical table after each compact."""
+    from syslog_handler_with_clickhouse_spark.operators.dedup import (
+        _bucket_file_depth,
+    )
+    from syslog_handler_with_clickhouse_spark.operators.retrieval import (
+        _bm25_store_phys,
+        bm25_store_compact,
+        bm25_store_insert,
+        bm25_store_topk,
+    )
+
+    prefix = "t18swapcycles"
+    df = _bm25_fixture(spark, tmp_path, prefix)
+    queries = df.select(F.col("doc_id").alias("query_id"), "text")
+    try:
+        new_id = 100
+        for cycle in range(3):
+            # expected serving BEFORE the compact — compaction is pure
+            # layout, so it must reproduce this bit for bit (the corpus
+            # grows by one doc per cycle below, so recompute each time)
+            want = sorted(
+                map(
+                    tuple,
+                    bm25_store_topk(
+                        spark, prefix, queries,
+                        k=3, max_df_num=9, max_df_den=10,
+                    ).collect(),
+                )
+            )
+            bm25_store_compact(spark, prefix, full=True)
+            tp, tl, td = _bm25_store_phys(spark, prefix)
+            # generations alternate and exactly one physical table
+            # exists per logical name
+            suffix = "__alt" if cycle % 2 == 0 else ""
+            assert tp == f"{prefix}_postings{suffix}", (cycle, tp)
+            assert not spark.catalog.tableExists(
+                f"{prefix}_postings" if suffix else f"{prefix}_postings__alt"
+            )
+            # every cycle re-layouts to depth 1 (the rename bug grew it)
+            assert _bucket_file_depth(spark, tp) == 1, cycle
+            got = sorted(
+                map(
+                    tuple,
+                    bm25_store_topk(
+                        spark, prefix, queries,
+                        k=3, max_df_num=9, max_df_den=10,
+                    ).collect(),
+                )
+            )
+            assert got == want, cycle
+            # appends keep landing in the current generation
+            bm25_store_insert(
+                spark,
+                prefix,
+                spark.createDataFrame(
+                    [(new_id, "an entirely new dogless document")],
+                    "doc_id long, text string",
+                ),
+            )
+            new_id += 1
+            assert _bucket_file_depth(spark, tp) == 2
+    finally:
+        _drop_store(spark, prefix)
+
+
+def test_compact_swap_crash_window_serves_and_recovers(spark, tmp_path):
+    """The one crash window the swap leaves open — compacted generation
+    written, old generation not yet dropped (both physical tables
+    exist) — must serve value-correct results through the resolver's
+    deterministic preference, and the next compact must reclaim the
+    orphan."""
+    from syslog_handler_with_clickhouse_spark.operators.retrieval import (
+        _bm25_store_phys,
+        bm25_store_compact,
+        bm25_store_fsck,
+        bm25_store_topk,
+    )
+
+    prefix = "t18swapcrash"
+    df = _bm25_fixture(spark, tmp_path, prefix)
+    queries = df.select(F.col("doc_id").alias("query_id"), "text")
+    try:
+        want = sorted(
+            map(
+                tuple,
+                bm25_store_topk(
+                    spark, prefix, queries, k=3, max_df_num=9, max_df_den=10
+                ).collect(),
+            )
+        )
+        # compact once: current generation is now __alt
+        bm25_store_compact(spark, prefix, full=True)
+        # simulate the crash window of the NEXT compact: the new base
+        # generation fully written, the __alt drop never ran
+        tp_alt = f"{prefix}_postings__alt"
+        spark.table(tp_alt).write.mode("overwrite").bucketBy(
+            4, "token"
+        ).sortBy("token").option(
+            "path", str(tmp_path / f"{prefix}_postings")
+        ).saveAsTable(f"{prefix}_postings")
+        assert spark.catalog.tableExists(f"{prefix}_postings")
+        assert spark.catalog.tableExists(tp_alt)
+        # resolver picks the base name deterministically; serving is
+        # value-correct and the store consistent
+        assert _bm25_store_phys(spark, prefix)[0] == f"{prefix}_postings"
+        got = sorted(
+            map(
+                tuple,
+                bm25_store_topk(
+                    spark, prefix, queries, k=3, max_df_num=9, max_df_den=10
+                ).collect(),
+            )
+        )
+        assert got == want
+        assert bm25_store_fsck(spark, prefix)["consistent"]
+        # the next compact reclaims the orphan: exactly one generation
+        bm25_store_compact(spark, prefix, full=True)
+        assert spark.catalog.tableExists(tp_alt)
+        assert not spark.catalog.tableExists(f"{prefix}_postings")
+    finally:
+        _drop_store(spark, prefix)
+
+
 def test_ckpt_unless_local_skips_local_relations(spark):
     import pandas as pd
 

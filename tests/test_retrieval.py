@@ -698,7 +698,11 @@ def test_bm25_store_matches_scan_and_compacts(spark, tmp_path):
         )
         assert got == direct and got
         bm25_store_compact(spark, prefix, full=True)
-        assert spark.table(f"{prefix}_df").filter(
+        # compaction swaps generations — resolve the physical table
+        from syslog_handler_with_clickhouse_spark.operators.retrieval import (
+            _bm25_store_phys,
+        )
+        assert spark.table(_bm25_store_phys(spark, prefix)[2]).filter(
             F.col("token") == "dog"
         ).count() == 1
         got2 = sorted(
@@ -710,6 +714,7 @@ def test_bm25_store_matches_scan_and_compacts(spark, tmp_path):
     finally:
         for t in (f"{prefix}_postings", f"{prefix}_dl", f"{prefix}_df"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}__alt")
 
 
 def test_bm25_store_joins_shuffle_free(spark, tmp_path):
@@ -767,6 +772,7 @@ def test_bm25_store_joins_shuffle_free(spark, tmp_path):
     finally:
         for t in (f"{prefix}_postings", f"{prefix}_dl", f"{prefix}_df"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}__alt")
 
 
 def test_bm25_hot_token_telemetry_and_absolute_cap(spark):
@@ -874,9 +880,13 @@ def test_bm25_store_auto_compact_telemetry_and_assert_new(spark, tmp_path):
         # append 3: depth 2 again (1 compacted file + 1 new) -> compact
         assert [s["compacted"] for s in stats] == [False, True, True]
         assert [s["file_depth"] for s in stats] == [1, 2, 2]
-        assert _bucket_file_depth(spark, f"{prefix}_postings") == 1
+        from syslog_handler_with_clickhouse_spark.operators.retrieval import (
+            _bm25_store_phys,
+        )
+        phys = _bm25_store_phys(spark, prefix)
+        assert _bucket_file_depth(spark, phys[0]) == 1
         # df partials folded to one row per token by the last compact
-        assert spark.table(f"{prefix}_df").filter(
+        assert spark.table(phys[2]).filter(
             F.col("token") == "dog"
         ).count() == 1
         got = sorted(
@@ -906,6 +916,7 @@ def test_bm25_store_auto_compact_telemetry_and_assert_new(spark, tmp_path):
     finally:
         for t in (f"{prefix}_postings", f"{prefix}_dl", f"{prefix}_df"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}__alt")
 
 
 def test_bm25_store_topk_concurrent_scoped_width(spark, tmp_path):
@@ -976,3 +987,4 @@ def test_bm25_store_topk_concurrent_scoped_width(spark, tmp_path):
     finally:
         for t in (f"{prefix}_postings", f"{prefix}_dl", f"{prefix}_df"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}__alt")

@@ -460,6 +460,7 @@ def test_ivfpq_store_matches_dataframe_state(spark, tmp_path):
         for t in (f"{prefix}_v", f"{prefix}_codes", f"{prefix}_cent",
                   f"{prefix}_books"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}__alt")
 
 
 def test_ivfpq_store_layout_plans(spark, tmp_path):
@@ -500,6 +501,7 @@ def test_ivfpq_store_layout_plans(spark, tmp_path):
         for t in (f"{prefix}_v", f"{prefix}_codes", f"{prefix}_cent",
                   f"{prefix}_books"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}__alt")
 
 
 def test_ivfpq_store_compact_auto_and_assert_new(spark, tmp_path):
@@ -541,8 +543,12 @@ def test_ivfpq_store_compact_auto_and_assert_new(spark, tmp_path):
         assert [s["compacted"] for s in stats] == [True, True]
         assert all(s["file_depth"] == 2 for s in stats)
         assert all(s["batch_vecs"] > 0 for s in stats)
-        assert _bucket_file_depth(spark, f"{prefix}_v") == 1
-        assert _partition_file_depth(spark, f"{prefix}_codes") == 1
+        from syslog_handler_with_clickhouse_spark.operators.similarity import (
+            _ivfpq_store_phys,
+        )
+        phys = _ivfpq_store_phys(spark, prefix)
+        assert _bucket_file_depth(spark, phys[0]) == 1
+        assert _partition_file_depth(spark, phys[1]) == 1
         pred = F.col("vid") % 10 == 0
         st = ivfpq_store_index(spark, prefix)
         before = sorted(
@@ -566,6 +572,7 @@ def test_ivfpq_store_compact_auto_and_assert_new(spark, tmp_path):
         for t in (f"{prefix}_v", f"{prefix}_codes", f"{prefix}_cent",
                   f"{prefix}_books"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}__alt")
 
 
 def test_ivfpq_store_init_sampled_training(spark, tmp_path):
@@ -613,3 +620,4 @@ def test_ivfpq_store_init_sampled_training(spark, tmp_path):
         for t in (f"{prefix}_v", f"{prefix}_codes", f"{prefix}_cent",
                   f"{prefix}_books"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}__alt")

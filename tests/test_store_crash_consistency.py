@@ -35,12 +35,14 @@ DOCS = {
 def _bm25_drop(spark, prefix):
     for t in (f"{prefix}_postings", f"{prefix}_dl", f"{prefix}_df"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {t}__alt")
 
 
 def _ivf_drop(spark, prefix):
     for t in (f"{prefix}_v", f"{prefix}_codes", f"{prefix}_cent",
               f"{prefix}_books"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {t}__alt")
 
 
 def _bm25_tear(spark, prefix, batch):
