@@ -199,6 +199,61 @@ def main() -> None:
             )
         return out
 
+    def run_scale_lane() -> dict[str, float]:
+        """Round-18 additive SCALE LANE (VERDICT r17 'next round' #8):
+        every headline query is sub-second at sf0.1 and dominated by
+        per-query fixed overhead, so the driver's low-core/high-core
+        comparison measured session overhead, not parallelism (all 24
+        c8/c32 ratios ≈ 1).  This entry duplicates the documents corpus
+        24× under disjoint id ranges and runs the CPU-heavy minhash
+        signature+banding tier on it — a multi-second compute-bound job
+        whose core ratio carries real signal (measured on this box:
+        7.8 s at 32 cores vs 22.2 s at 8 → ratio 2.85; bm25 and
+        winnowing lanes were tried and REJECTED as latency-bound at
+        this volume — ratios 1.0/1.2).  Additive only: reported in
+        "queries"/"runs_detail" but NOT in "value", so
+        headline_suite_seconds stays comparable with every earlier
+        BENCH artifact."""
+        from pyspark.sql import functions as F
+
+        from syslog_handler_with_clickhouse_spark.operators import dedup
+
+        def corpus():
+            d = spark.read.parquet(
+                os.path.join(SF_DIR, "documents.parquet")
+            ).select("doc_id", "text")
+            out = None
+            for rep in range(24):
+                part = d.select(
+                    (F.col("doc_id") + F.lit(rep * 10_000_000)).alias(
+                        "doc_id"
+                    ),
+                    "text",
+                )
+                out = part if out is None else out.unionByName(part)
+            return out
+
+        out: dict[str, float] = {}
+        name = "scale24x_minhash_bands"
+        samples = []
+        for i in range(RUNS):
+            t0 = time.time()
+            df = dedup.minhash_bands(
+                dedup.minhash_signatures(corpus(), "text", "doc_id")
+            )
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(round(time.time() - t0, 3))
+            if i == 0:
+                rows[name] = df.count()
+        all_runs[name] = samples
+        out[name] = round(_median(samples), 3)
+        print(
+            f"# {name}: median={out[name]:.3f}s runs={samples} "
+            f"rows={rows[name]}",
+            file=sys.stderr,
+        )
+        return out
+
     timings = run_suite(HEADLINE)
     # overlapping names reuse the headline timing (round-10 ADVICE 3:
     # re-running overwrote runs_detail and produced a self-inconsistent
@@ -210,7 +265,10 @@ def main() -> None:
     llm_timings.update(bench_ivfpq_split())
     llm_timings = {k: llm_timings[k] for k in sorted(llm_timings)}
 
+    # headline total FIRST (the scale lane is reported beside the
+    # headline queries but never counted into the comparable total)
     total = round(sum(timings.values()), 3)
+    timings.update(run_scale_lane())
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     ingest = "q70_stream_ingest_store"
     out = {

@@ -123,6 +123,7 @@ def main() -> None:
     finally:
         for t in (f"{PREFIX}_postings", f"{PREFIX}_dl", f"{PREFIX}_df"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}__alt")
         shutil.rmtree(loc, ignore_errors=True)
         docs.unpersist()
     print("#", row, file=sys.stderr, flush=True)

@@ -133,8 +133,17 @@ def bench(spark, n: int, sample_mod: int) -> dict:
     total = n + 3 * b
     row: dict = {"n_corpus": n, "n_batch": b, "train_sample_mod": sample_mod}
     corpus, step = planted_corpus(spark, total, n)
+    # DISK_ONLY (round 18): the default deserialized level held tens of
+    # GB of vector OBJECT arrays in the storage pool at 20 M — reading
+    # an evicted partition back re-materializes a ~0.5 GB object array
+    # per task and OOM'd the 8 g heap in one of two runs (GC-timing
+    # luck; the HARNESS, not the operators).  Serialized disk blocks
+    # stream instead.  Untimed region — does not touch the timed
+    # init/insert/scan/compact numbers' methodology.
+    from pyspark import StorageLevel as _SL
+
     corpus = corpus.repartition(max(32, total // 100_000)).localCheckpoint(
-        eager=True
+        eager=True, storageLevel=_SL.DISK_ONLY
     )
     loc = tempfile.mkdtemp(prefix="ivfstorescale_")
     try:
@@ -156,7 +165,7 @@ def bench(spark, n: int, sample_mod: int) -> dict:
             lo, hi = n + i * b, n + (i + 1) * b
             batch = corpus.filter(
                 (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True, storageLevel=_SL.DISK_ONLY)
             pre = du_mb(loc)
             _, sec, m = timed(
                 spark,
@@ -182,11 +191,14 @@ def bench(spark, n: int, sample_mod: int) -> dict:
             _partition_file_depth,
         )
 
-        row["v_depth_post_compact"] = _bucket_file_depth(
-            spark, f"{PREFIX}_v"
+        from syslog_handler_with_clickhouse_spark.operators.similarity import (
+            _ivfpq_store_phys,
         )
+
+        phys = _ivfpq_store_phys(spark, PREFIX)
+        row["v_depth_post_compact"] = _bucket_file_depth(spark, phys[0])
         row["codes_depth_post_compact"] = _partition_file_depth(
-            spark, f"{PREFIX}_codes"
+            spark, phys[1]
         )
         (hits_post, rows_post), row["scan_postcompact_sec"], _ = timed(
             spark, lambda: scan_recall(spark, n, step)
@@ -202,6 +214,7 @@ def bench(spark, n: int, sample_mod: int) -> dict:
         for t in (f"{PREFIX}_v", f"{PREFIX}_codes", f"{PREFIX}_cent",
                   f"{PREFIX}_books"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}__alt")
         shutil.rmtree(loc, ignore_errors=True)
         corpus.unpersist()
 

@@ -164,6 +164,7 @@ def bench_bm25(spark, n: int, b: int, row: dict) -> None:
     finally:
         for t in (f"{PREFIX}_postings", f"{PREFIX}_dl", f"{PREFIX}_df"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}__alt")
         shutil.rmtree(loc, ignore_errors=True)
         docs.unpersist()
 
@@ -224,6 +225,7 @@ def bench_ivfpq(spark, n: int, b: int, row: dict) -> None:
         for t in (f"{PREFIX}_v", f"{PREFIX}_codes", f"{PREFIX}_cent",
                   f"{PREFIX}_books"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}__alt")
         shutil.rmtree(loc, ignore_errors=True)
         emb.unpersist()
 

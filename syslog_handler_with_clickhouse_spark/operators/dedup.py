@@ -1617,14 +1617,26 @@ def incremental_dedup_insert(
         thunks.append(
             ck("scores", state["scores"].unionByName(batch_scores))
         )
+        new_entries = new_labels.join(batch_scores, "node").select(
+            "comp", "score", F.col("node").alias("doc")
+        )
+        # 'touched' depends only on inputs that are ALREADY materialized
+        # (mini/relabel/batch) — its checkpoint joins the concurrent
+        # batch instead of paying a fourth serialized round trip
+        # (round 18; the best-argmax below is the only dependent step)
+        thunks.append(
+            ck(
+                "touched",
+                new_entries.select("comp")
+                .unionByName(relabel.select(F.col("new_comp").alias("comp")))
+                .distinct(),
+            )
+        )
     run_actions(*thunks)
     out = {"buckets": box["buckets"], "labels": box["labels"]}
 
     if score_col is not None:
         out["scores"] = box["scores"]
-        new_entries = new_labels.join(batch_scores, "node").select(
-            "comp", "score", F.col("node").alias("doc")
-        )
         # relabel the stored per-comp argmax rows (broadcast projection)
         best = state["best"]
         best_rel = best.join(
@@ -1636,12 +1648,7 @@ def incremental_dedup_insert(
         )
         # only TOUCHED comps re-aggregate: comps gaining members this
         # batch plus merge targets — everything else passes through
-        touched = (
-            new_entries.select("comp")
-            .unionByName(relabel.select(F.col("new_comp").alias("comp")))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        touched = box["touched"]
         affected = best_rel.join(F.broadcast(touched), "comp").select(
             "comp",
             F.col("best_score").alias("score"),

@@ -41,6 +41,23 @@ TSF_S = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 TSF_D = "%Y-%m-%d %H:%M:%S.%f"
 
 
+def scratch_dir(prefix: str) -> str:
+    """A per-invocation scratch directory that is actually RECLAIMED
+    (round 18 — the q459 temp-dir-leak ADVICE generalized to the ~20
+    query sites that write snapshot stores / stream sources under
+    ``tempfile.mkdtemp``): removal is registered with atexit, because
+    the returned lazy frame may read these files any time before the
+    session ends, so in-query cleanup would break every consumer.
+    Never reused across processes — no cross-run state."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -139,7 +156,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     set_nanos_conf(spark)
     path = os.path.join(sf_dir, "events.parquet")
     if sf_dir not in _STREAM_DIRS:
-        d = tempfile.mkdtemp(prefix="events_stream_")
+        d = scratch_dir("events_stream_")
         os.symlink(path, os.path.join(d, "events.parquet"))
         _STREAM_DIRS[sf_dir] = d
     schema = spark.read.parquet(path).schema

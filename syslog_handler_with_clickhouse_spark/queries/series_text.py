@@ -635,7 +635,7 @@ def q184(spark, sf_dir):
     from ..operators.layout import write_zordered
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
-    store = tempfile.mkdtemp(prefix="zq_") + "/store"
+    store = scratch_dir("zq_") + "/store"
     write_zordered(ev, store, "user_id", "event_id", bits=12, n_files=4)
     back = spark.read.parquet(store)
     return (
@@ -2201,7 +2201,7 @@ def q209(spark, sf_dir):
     from ..sources.snapshots import read_snapshot, write_snapshot
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
-    path = tempfile.mkdtemp(prefix="snapbloom_") + "/store"
+    path = scratch_dir("snapbloom_") + "/store"
     for et_mod in range(4):
         write_snapshot(
             ev.filter(F.crc32(F.col("event_type")) % 4 == et_mod).coalesce(1),

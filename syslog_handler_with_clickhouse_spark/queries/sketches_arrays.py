@@ -913,7 +913,7 @@ def q242(spark, sf_dir):
         lo_hi += [max(p - tol, 0.0), min(p + tol, 1.0)]
 
     ev = _events_stream(spark, sf_dir).select("event_type", "value")
-    base = tempfile.mkdtemp(prefix="td_stream_")
+    base = scratch_dir("td_stream_")
     store = os.path.join(base, "centroids")
 
     def sink(batch_df, _batch_id):
@@ -1938,7 +1938,7 @@ def q254(spark, sf_dir):
     from ..operators.sketches import mg_summarize, unpersist_mg
 
     ev = _events_stream(spark, sf_dir).select("user_id")
-    base = tempfile.mkdtemp(prefix="mg_stream_")
+    base = scratch_dir("mg_stream_")
     store = os.path.join(base, "partials")
 
     def sink(batch_df, batch_id):
@@ -2965,7 +2965,7 @@ def q266(spark, sf_dir):
         .filter(F.col("value").isNotNull() & (F.col("event_id") % 3 == 0))
         .select("event_id", "event_type", "value")
     )
-    base = tempfile.mkdtemp(prefix="orc_rt_")
+    base = scratch_dir("orc_rt_")
     path = os.path.join(base, "events_orc")
     ev.write.mode("overwrite").option("compression", "zstd").orc(path)
     back = spark.read.orc(path)
@@ -3276,7 +3276,7 @@ def q270(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id"
     )
-    path = tempfile.mkdtemp(prefix="cdcq_") + "/store"
+    path = scratch_dir("cdcq_") + "/store"
     write_snapshot(ev.filter(F.col("event_id") % 3 == 0), path)  # v1
     write_snapshot(ev.filter(F.col("event_id") % 3 == 1), path)  # v2
     rewrite_snapshot(  # v3
@@ -3330,7 +3330,7 @@ def q271(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id"
     )
-    base = tempfile.mkdtemp(prefix="imvq_")
+    base = scratch_dir("imvq_")
     src_path = base + "/source"
     mv_path = base + "/mv"
 

@@ -626,7 +626,7 @@ def q126(spark, sf_dir):
         F.col("event_id").alias("last_event_id"),
         F.round("value", 2).alias("last_value"),
     )
-    base = tempfile.mkdtemp(prefix="stream_upsert_")
+    base = scratch_dir("stream_upsert_")
     store = f"{base}/store"
 
     def sink(batch_df, batch_id):
@@ -666,7 +666,7 @@ def q127(spark, sf_dir):
     from ..sources.sinks import expire_partitions
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
-    store = tempfile.mkdtemp(prefix="ttl_q_") + "/store"
+    store = scratch_dir("ttl_q_") + "/store"
     (
         ev.withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
         .write.partitionBy("day")
@@ -1936,7 +1936,7 @@ def q157(spark, sf_dir):
     from ..sources.sinks import delete_rows
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
-    store = tempfile.mkdtemp(prefix="del_q_") + "/store"
+    store = scratch_dir("del_q_") + "/store"
     (
         ev.withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
         .write.partitionBy("day")
@@ -1978,7 +1978,7 @@ def q158(spark, sf_dir):
     from ..sources.sinks import update_rows
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 1)
-    store = tempfile.mkdtemp(prefix="upd_q_") + "/store"
+    store = scratch_dir("upd_q_") + "/store"
     (
         ev.withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
         .write.partitionBy("day")
@@ -2261,7 +2261,7 @@ def q165(spark, sf_dir):
     from ..sources.snapshots import read_snapshot, rewrite_snapshot, write_snapshot
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
-    path = tempfile.mkdtemp(prefix="snapq_") + "/store"
+    path = scratch_dir("snapq_") + "/store"
     write_snapshot(ev.filter(F.col("event_id") % 3 == 0), path)
     write_snapshot(ev.filter(F.col("event_id") % 3 == 1), path)
     rewrite_snapshot(
@@ -2299,7 +2299,7 @@ def q166(spark, sf_dir):
     from ..sources.snapshots import read_snapshot, write_snapshot
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
-    path = tempfile.mkdtemp(prefix="snapprune_") + "/store"
+    path = scratch_dir("snapprune_") + "/store"
     for lo, hi in ((0, 9), (10, 19), (20, 1 << 62)):
         write_snapshot(
             ev.filter(F.col("user_id").between(lo, hi)).coalesce(1),

@@ -2455,7 +2455,7 @@ def q361(spark, sf_dir):
     from ..sources.snapshots import read_snapshot, write_snapshot
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    path = tempfile.mkdtemp(prefix="snaptok_") + "/store"
+    path = scratch_dir("snaptok_") + "/store"
     for m in range(6):
         write_snapshot(
             docs.filter(F.crc32(F.col("doc_id").cast("string")) % 6 == m)

@@ -865,7 +865,7 @@ def q70(spark, sf_dir):
         F.lit(" msg "),
         F.col("event_id").cast("string"),
     )
-    base = tempfile.mkdtemp(prefix="ingest_e2e_")
+    base = scratch_dir("ingest_e2e_")
     src, store, ckpt = f"{base}/in", f"{base}/store", f"{base}/ckpt"
     ev.select(raw.alias("value")).coalesce(4).write.text(src)
     q = start_ingest(
@@ -1033,7 +1033,7 @@ def q76(spark, sf_dir):
 
     _BUCKETED_SEQ[0] += 1
     seq = _BUCKETED_SEQ[0]
-    base = tempfile.mkdtemp(prefix="bucketed_")
+    base = scratch_dir("bucketed_")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100).select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
@@ -1401,7 +1401,7 @@ def q85(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000).select(
         "l_orderkey", "l_returnflag", "l_quantity"
     )
-    base = tempfile.mkdtemp(prefix="srcfmt_")
+    base = scratch_dir("srcfmt_")
     li.write.option("header", True).csv(f"{base}/csv")
     li.write.json(f"{base}/json")
     schema = li.schema
@@ -2324,7 +2324,7 @@ def q107(spark, sf_dir):
     from ..sources.sinks import compact_parquet
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
-    base = tempfile.mkdtemp(prefix="compact_q_") + "/store"
+    base = scratch_dir("compact_q_") + "/store"
     ev.repartition(64).write.parquet(base)
     compact_parquet(spark, base, target_bytes=64 << 20)
     back = spark.read.parquet(base)
@@ -2452,7 +2452,7 @@ def q110(spark, sf_dir):
         F.round(F.col("value") * 2, 2).alias("value"),
         F.lit(2).alias("version"),
     )
-    store = tempfile.mkdtemp(prefix="upsert_q_") + "/store"
+    store = scratch_dir("upsert_q_") + "/store"
     base.write.parquet(store)
     upsert_parquet(spark, store, upd, keys=["event_id"], version_col="version")
     return spark.read.parquet(store)
@@ -2727,7 +2727,7 @@ def q404(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_nationkey"
     )
-    root = tempfile.mkdtemp(prefix="jmv_q_") + "/mv"
+    root = scratch_dir("jmv_q_") + "/mv"
     fact = lambda i: orders.filter(F.col("o_orderkey") % 3 == i)
     dim = lambda i: cust.filter(F.col("o_custkey") % 2 == i)
     refresh_join_mv_fact(fact(0), root, "o_custkey", "c_nationkey", "o_totalprice")
@@ -2778,7 +2778,7 @@ def q411(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_nationkey"
     )
-    root = tempfile.mkdtemp(prefix="jmvd_q_") + "/mv"
+    root = scratch_dir("jmvd_q_") + "/mv"
     fact = lambda i: orders.filter(F.col("o_orderkey") % 3 == i)
     dele = lambda i: fact(i).filter(F.col("o_orderkey") % 7 == 0)
     dim = lambda i: cust.filter(F.col("o_custkey") % 2 == i)

@@ -300,6 +300,40 @@ def test_compact_swap_crash_window_serves_and_recovers(spark, tmp_path):
         _drop_store(spark, prefix)
 
 
+def test_floor_stays_honest_through_sanctioned_materialization(spark):
+    """VERDICT r17 #2 regression pin: a JOIN-derived batch (the exact
+    q459 shape whose Catalyst estimate inflated ~1700× and poisoned
+    every derived width through a localCheckpoint) must reach the
+    floor-consuming operators with an HONEST size once it goes through
+    the sanctioned route (materialize_batches), and the leaf clamp must
+    not need to fire.  The full-surface evidence is the round-18 sweep
+    (floor_audit_r18_sf001.json: zero binding floors, zero clamp events
+    across all 476 queries at sf0.01); this keeps the mechanism pinned
+    at unit scale."""
+    d = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "),
+                 F.col("id")).alias("text"),
+    )
+    nxt = d.select(F.col("doc_id").alias("nid"), F.col("text").alias("ntext"))
+    bridged = d.join(nxt, F.col("nid") == F.col("doc_id") + 1).select(
+        "doc_id", F.concat_ws(" ", "text", "ntext").alias("text")
+    ).withColumn("b", F.lit(0))
+    frames, cleanup = dedup.materialize_batches(bridged, "b", [0])
+    try:
+        batch = frames[0]
+        # the materialized batch has a file-scan estimate, tiny
+        floor = dedup._size_floor(batch)
+        assert floor <= 1, floor
+        events_before = len(dedup._FLOOR_CLAMP_EVENTS)
+        # drive the floor-consuming operator entries on it
+        dedup.minhash_lsh_pairs(batch, "text", "doc_id").collect()
+        dedup.jaccard_pairs(batch, "text", "doc_id").collect()
+        assert len(dedup._FLOOR_CLAMP_EVENTS) == events_before
+    finally:
+        cleanup()
+
+
 def test_ckpt_unless_local_skips_local_relations(spark):
     import pandas as pd
 
